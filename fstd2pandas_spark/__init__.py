@@ -1,0 +1,47 @@
+"""fstd2pandas_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of ``sebastiendfortier/fstd2pandas`` (fstpy).
+
+The reference converts RPN standard-file (FST) records into pandas
+DataFrames (one row per 2-D field record) and layers metadata decoding,
+selection, metadata association, statistics, unit conversion, vertical
+coordinates (pressure), and masking on top (see SURVEY.md). This package
+re-expresses that data model and every operator Spark-first:
+
+- the record catalog is a Spark ``DataFrame`` with a fixed ``StructType``
+  (:mod:`fstd2pandas_spark.schema`);
+- per-record 2-D field data is an ``array<float>`` column (row-major,
+  ``ni`` fastest) materialized lazily and pruned by Catalyst;
+- all decoders are native Column expressions or broadcast joins
+  (:mod:`fstd2pandas_spark.functions`);
+- all compute operators are DataFrame transformations
+  (:mod:`fstd2pandas_spark.operators`);
+- sources/sinks are Spark (streaming-capable) data sources
+  (:mod:`fstd2pandas_spark.sources`);
+- large-scale training-data pipeline operators (dedup, similarity search,
+  text analysis, multimodal plumbing) live in
+  :mod:`fstd2pandas_spark.operators.llm`.
+
+Designed for 100 TB scale: declarative plans (Catalyst pushdown + pruning),
+broadcast joins for all lookup tables, no driver-side loops in hot paths,
+Arrow-batched pandas UDFs only where built-ins cannot express the semantics.
+"""
+
+from fstd2pandas_spark.session import get_spark
+from fstd2pandas_spark.schema import (
+    BASE_COLUMNS,
+    RECORD_SCHEMA,
+    META_NOMVARS,
+    DATYP_DICT,
+    KIND_DICT,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "get_spark",
+    "BASE_COLUMNS",
+    "RECORD_SCHEMA",
+    "META_NOMVARS",
+    "DATYP_DICT",
+    "KIND_DICT",
+]

@@ -1,0 +1,223 @@
+"""RMN codec algorithms as native Spark Column expressions.
+
+Two bit-level codecs underpin the whole metadata layer:
+
+1. **CMC date-time stamps** (reference: std_dec.py:172-187 via RPNDate;
+   raw-header decode std_io.py:781-786). The operational ("new", post-1980)
+   stamp encodes ``units5`` = number of 5-second intervals since
+   1980-01-01T00:00:00 UTC as::
+
+       stamp = 123200000 + (units5 div 8) * 10 + (units5 mod 8)
+
+   i.e. the last decimal digit holds 3 bits (0..7) and the rest counts
+   40-second blocks. The raw directory word is linear
+   (``raw = units5 + 98560000``), which is why consecutive records "increase
+   in 5-second intervals" (std_io.py:783-786) and
+   ``stamp = (raw >> 3)*10 + (raw & 7)``. Verified against the reference
+   doctest anchor ``442998800 -> 2020-07-14T12:00`` (std_dec.py:180-182).
+   Dummy stamps ``{0, 10101011}`` decode to NULL.
+
+2. **convertIp packing** (reference delegates to librmn ``convertIp``;
+   call sites std_io.py:820-872, std_enc.py:59-117). New style
+   (ip > 32767)::
+
+       ip = (kind << 24) | (exp << 20) | mantissa
+       value = signed(mantissa) * 10^(4 - exp)
+
+   where mantissa in [0, 999999] and 1000000+m encodes -m (m <= 48575); encode
+   normalizes |value| into [100000, 999999] by choosing exp in [0, 15]
+   starting at 4. Verified anchors: 94733000 -> (0.36116, kind 5)
+   (std_dec.py:201-203) and hybrid-surface 93423264 -> (1.0, kind 5).
+   Old style (ip < 32768) by range: [0, 2000) pressure mb kind 2;
+   [2000, 12000] sigma (ip-2000)/10000 kind 1; (12000, 32000] height
+   5*(ip-12001) m kind 0; >32000 arbitrary kind 3.
+
+Everything is pure integer/float arithmetic -> expressible both as Spark
+Column expressions (JVM-side, codegen) and as ANSI SQL for the DuckDB
+oracle. Python scalar versions (``*_py``) are provided for tests and for
+the write path's row construction.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_EPOCH_1980 = 315532800          # unix seconds of 1980-01-01T00:00:00Z
+_STAMP_BASE = 123200000
+_DUMMY_STAMPS = (0, 10101011)
+
+
+# ---------------------------------------------------------------------------
+# date stamps
+# ---------------------------------------------------------------------------
+
+def stamp_to_timestamp(stamp: Column) -> Column:
+    """Decode a CMC date-time stamp column to a UTC timestamp (NULL for
+    dummy stamps)."""
+    x = stamp - F.lit(_STAMP_BASE)
+    units5 = (x / 10).cast("long") * 8 + (x % 10)
+    secs = F.lit(_EPOCH_1980) + units5 * 5
+    return F.when(
+        stamp.isin(*_DUMMY_STAMPS), F.lit(None).cast("timestamp")
+    ).otherwise(F.timestamp_seconds(secs))
+
+
+def timestamp_to_stamp(ts: Column) -> Column:
+    """Encode a UTC timestamp column to a CMC date-time stamp."""
+    units5 = ((F.unix_timestamp(ts) - F.lit(_EPOCH_1980)) / 5).cast("long")
+    return (
+        F.lit(_STAMP_BASE) + (units5 / 8).cast("long") * 10 + (units5 % 8)
+    ).cast("long")
+
+
+def stamp_from_raw(raw: Column) -> Column:
+    """Directory word -> stamp (std_io.py:781: ``(raw>>3)*10 + (raw&7)``)."""
+    return F.shiftright(raw, 3) * 10 + raw.bitwiseAND(F.lit(7))
+
+
+def raw_from_stamp(stamp: Column) -> Column:
+    """Stamp -> directory word (inverse of :func:`stamp_from_raw`)."""
+    return F.shiftleft((stamp / 10).cast("long"), 3) + (stamp % 10)
+
+
+def forecast_hour_seconds(deet: Column, npas: Column) -> Column:
+    """Forecast lead time in seconds = deet * npas (std_dec.py:89-101)."""
+    return (deet.cast("long") * npas.cast("long")).alias("forecast_hour_seconds")
+
+
+def stamp_to_datetime_py(stamp: int) -> "_dt.datetime | None":
+    """Python scalar stamp decode (tests / row constructors)."""
+    if stamp in _DUMMY_STAMPS:
+        return None
+    x = stamp - _STAMP_BASE
+    units5 = (x // 10) * 8 + (x % 10)
+    return _dt.datetime(1980, 1, 1) + _dt.timedelta(seconds=units5 * 5)
+
+
+def datetime_to_stamp_py(dt: _dt.datetime) -> int:
+    """Python scalar stamp encode."""
+    units5 = int((dt - _dt.datetime(1980, 1, 1)).total_seconds()) // 5
+    return _STAMP_BASE + (units5 // 8) * 10 + (units5 % 8)
+
+
+# ---------------------------------------------------------------------------
+# convertIp
+# ---------------------------------------------------------------------------
+
+def decode_ip_kind(ip: Column) -> Column:
+    """Level kind from an encoded ip (new + old styles)."""
+    return (
+        F.when(ip > 32767, F.shiftright(ip, 24).bitwiseAND(F.lit(31)))
+        .when(ip < 2000, F.lit(2))
+        .when(ip <= 12000, F.lit(1))
+        .when(ip <= 32000, F.lit(0))
+        .otherwise(F.lit(3))
+    )
+
+
+def decode_ip_value(ip: Column) -> Column:
+    """Level value from an encoded ip (new + old styles), as double."""
+    exp = F.shiftright(ip, 20).bitwiseAND(F.lit(15))
+    mant = ip.bitwiseAND(F.lit(0xFFFFF))
+    signed = F.when(mant > 1000000, -(mant - 1000000)).otherwise(mant)
+    new_val = signed.cast("double") * F.pow(F.lit(10.0), (F.lit(4) - exp).cast("double"))
+    return (
+        F.when(ip > 32767, new_val)
+        .when(ip < 2000, ip.cast("double"))
+        .when(ip <= 12000, (ip - 2000).cast("double") / 10000.0)
+        .when(ip <= 32000, ((ip - 12001) * 5).cast("double"))
+        .otherwise(ip.cast("double"))
+    )
+
+
+def encode_ip_expr(value: Column, kind: Column) -> Column:
+    """New-style convertIp encode as a native expression.
+
+    Mirrors the normalization loop (exp from 4, scale |v| into
+    [100000, 999999], round) using log10 plus one fix-up round; exact for
+    values whose mantissa does not round across the 10^6 boundary, which
+    the fix-up handles.
+    """
+    v = F.abs(value.cast("double"))
+
+    def _m(e):
+        return F.round(v * F.pow(F.lit(10.0), (e - F.lit(4)).cast("double"))).cast("long")
+
+    e0 = F.when(v == 0, F.lit(15)).otherwise(
+        F.greatest(F.least(F.lit(9) - F.floor(F.log10(v)).cast("int"), F.lit(15)), F.lit(0))
+    ).cast("int")
+    m0 = _m(e0)
+    # positive fix-up: if rounding pushed mantissa to 10^6, drop one exponent
+    e_pos = F.when((m0 >= 1000000) & (e0 > 0), e0 - 1).otherwise(e0)
+    m_pos = F.least(F.when(e_pos == e0, m0).otherwise(_m(e_pos)), F.lit(999999))
+    # negative branch: mantissa capacity is 48575 (20-bit field minus the
+    # 1000000 sign offset), so shed digits until it fits
+    e_n0 = F.greatest(e0 - 1, F.lit(0))
+    m_n0 = _m(e_n0)
+    e_neg = F.when((m_n0 > 48575) & (e_n0 > 0), e_n0 - 1).otherwise(e_n0)
+    m_neg = F.least(F.when(e_neg == e_n0, m_n0).otherwise(_m(e_neg)), F.lit(48575))
+
+    e1 = F.when(value < 0, e_neg).otherwise(e_pos)
+    mant = F.when(value < 0, m_neg + 1000000).otherwise(m_pos)
+    return (
+        F.shiftleft(kind.cast("long").bitwiseAND(F.lit(31)), 24)
+        + F.shiftleft(e1.cast("long"), 20)
+        + mant
+    ).cast("int")
+
+
+#: alias — the preferred public name
+encode_ip = encode_ip_expr
+
+
+def decode_ip_py(ip: int) -> tuple[float, int]:
+    """Python scalar convertIp decode -> (value, kind)."""
+    ip = int(ip)
+    if ip > 32767:
+        kind = (ip >> 24) & 31
+        exp = (ip >> 20) & 15
+        mant = ip & 0xFFFFF
+        if mant > 1000000:
+            mant = -(mant - 1000000)
+        return mant * 10.0 ** (4 - exp), kind
+    if ip < 2000:
+        return float(ip), 2
+    if ip <= 12000:
+        return (ip - 2000) / 10000.0, 1
+    if ip <= 32000:
+        return float((ip - 12001) * 5), 0
+    return float(ip), 3
+
+
+def encode_ip_py(value: float, kind: int) -> int:
+    """Python scalar convertIp new-style encode (the reference loop
+    semantics: exp starts at 4, scale into [100000, 1000000), round)."""
+    exp = 4
+    av = abs(float(value))
+    temp = av
+    while 0 < exp < 15:
+        if temp >= 1000000.0:
+            temp /= 10.0
+            exp -= 1
+        elif temp < 100000.0:
+            temp *= 10.0
+            exp += 1
+        else:
+            break
+    mant = int(round(temp))
+    if value < 0:
+        # mantissa capacity for negatives is 48575 (20-bit field minus the
+        # 1000000 sign offset) — shed digits until it fits
+        while mant > 48575 and exp > 0:
+            exp -= 1
+            mant = int(round(av * 10.0 ** (exp - 4)))
+        mant = min(mant, 48575) + 1000000
+    else:
+        if mant >= 1000000 and exp > 0:
+            exp -= 1
+            mant = int(round(av * 10.0 ** (exp - 4)))
+        mant = min(mant, 999999)
+    return ((int(kind) & 31) << 24) | (exp << 20) | mant

@@ -1,0 +1,99 @@
+"""Codec round-trip + anchor tests (reference doctests, SURVEY §5.2/§5.4)."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from fstd2pandas_spark.functions.codecs import (
+    datetime_to_stamp_py,
+    decode_ip_py,
+    encode_ip_py,
+    stamp_to_datetime_py,
+    stamp_to_timestamp,
+    timestamp_to_stamp,
+    decode_ip_value,
+    decode_ip_kind,
+    encode_ip_expr,
+)
+
+
+# --- anchors from reference doctests -------------------------------------
+
+def test_stamp_anchor():
+    # std_dec.py:180-182
+    assert stamp_to_datetime_py(442998800) == dt.datetime(2020, 7, 14, 12, 0)
+    assert stamp_to_datetime_py(0) is None
+    assert stamp_to_datetime_py(10101011) is None
+
+
+def test_stamp_roundtrip_py():
+    for d in [dt.datetime(1980, 1, 1), dt.datetime(2020, 7, 14, 12),
+              dt.datetime(2026, 8, 13, 6, 30), dt.datetime(1999, 12, 31, 23, 59, 55)]:
+        assert stamp_to_datetime_py(datetime_to_stamp_py(d)) == d
+
+
+def test_ip_anchors():
+    # std_dec.py:201-203 — is_surface(5, 0.36116) context
+    v, k = decode_ip_py(94733000)
+    assert k == 5 and abs(v - 0.36116) < 1e-9
+    # well-known hybrid surface ip1
+    assert encode_ip_py(1.0, 5) == 93423264
+    assert encode_ip_py(0.36116, 5) == 94733000
+    # old style
+    assert decode_ip_py(500) == (500.0, 2)          # pressure mb
+    assert decode_ip_py(11950) == (0.995, 1)        # sigma
+    assert decode_ip_py(12001) == (0.0, 0)          # height
+
+
+@given(
+    v=st.floats(min_value=0.0001, max_value=1_000_000, allow_nan=False),
+    k=st.sampled_from([0, 1, 2, 4, 5, 10, 21]),
+)
+@settings(max_examples=300, deadline=None)
+def test_ip_roundtrip_py(v, k):
+    ip = encode_ip_py(v, k)
+    v2, k2 = decode_ip_py(ip)
+    assert k2 == k
+    assert v2 == pytest.approx(v, rel=5e-6)
+
+
+# --- Spark expression == python scalar ------------------------------------
+
+def test_spark_exprs_match_python(spark):
+    ips = [94733000, 93423264, encode_ip_py(850.0, 2), encode_ip_py(0.3, 1),
+           500, 11950, 12001, 2000, 0, 32001, encode_ip_py(-5.0, 0)]
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip int")
+    out = df.select(
+        "ip",
+        decode_ip_value(F.col("ip")).alias("v"),
+        decode_ip_kind(F.col("ip")).alias("k"),
+    ).collect()
+    for row in out:
+        v, k = decode_ip_py(row.ip)
+        assert row.k == k, row.ip
+        assert row.v == pytest.approx(v, rel=1e-9), row.ip
+
+
+def test_spark_encode_matches_python(spark):
+    vals = [(0.36116, 5), (1.0, 5), (850.0, 2), (0.995, 1), (10.0, 4),
+            (0.0, 4), (1013.25, 2), (-2.5, 0), (99999.5, 0), (123456.0, 0)]
+    df = spark.createDataFrame(vals, "v double, k int")
+    out = df.select("v", "k", encode_ip_expr(F.col("v"), F.col("k")).alias("ip")).collect()
+    for row in out:
+        assert row.ip == encode_ip_py(row.v, row.k), (row.v, row.k)
+
+
+def test_spark_stamp_roundtrip(spark):
+    stamps = [442998800, datetime_to_stamp_py(dt.datetime(1980, 1, 2)),
+              datetime_to_stamp_py(dt.datetime(2026, 8, 13, 6))]
+    df = spark.createDataFrame([(s,) for s in stamps], "stamp long")
+    out = df.select(
+        "stamp",
+        stamp_to_timestamp(F.col("stamp")).alias("ts"),
+        timestamp_to_stamp(stamp_to_timestamp(F.col("stamp"))).alias("back"),
+    ).collect()
+    for row in out:
+        assert row.back == row.stamp
+        assert row.ts.replace(tzinfo=None) == stamp_to_datetime_py(row.stamp)
