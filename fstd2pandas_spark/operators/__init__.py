@@ -1,0 +1,32 @@
+"""DataFrame transformation operators (SURVEY.md §2.2-§2.9).
+
+Each operator is a pure function ``DataFrame -> DataFrame`` built from
+declarative Spark expressions so Catalyst can push filters into scans,
+prune ``d`` when untouched, and broadcast the lookup joins.
+"""
+
+from fstd2pandas_spark.operators.select import (
+    select_meta,
+    select_with_meta,
+    add_metadata_to_query_results,
+    query_with_meta,
+    SelectError,
+)
+from fstd2pandas_spark.operators.metadata import (
+    add_grid_column,
+    metadata_cleanup,
+)
+from fstd2pandas_spark.operators.vgrid import set_vertical_coordinate_type
+from fstd2pandas_spark.operators.stats import fststat, voir
+from fstd2pandas_spark.operators.dedup import drop_duplicates, group_invariant_violations
+from fstd2pandas_spark.operators.units import unit_convert, converter_columns
+from fstd2pandas_spark.operators.mask import apply_mask, recover_mask
+from fstd2pandas_spark.operators.pressure import quick_pressure
+
+__all__ = [
+    "select_meta", "select_with_meta", "add_metadata_to_query_results",
+    "query_with_meta", "SelectError", "add_grid_column", "metadata_cleanup",
+    "set_vertical_coordinate_type", "fststat", "voir", "drop_duplicates",
+    "group_invariant_violations", "unit_convert", "converter_columns",
+    "apply_mask", "recover_mask", "quick_pressure",
+]

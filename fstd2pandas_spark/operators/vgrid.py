@@ -1,0 +1,84 @@
+"""Vertical-coordinate classification (SURVEY §2.9 G8 / §2.3 J3;
+reference std_vgrid.py:574-646 + dataframe.py:653-673).
+
+Per (grid, ip1_kind) group, compute which meta records exist on that grid
+(``!!``, P0, E1, PT, HY, ``!!SF``) plus the set of toctoc vcodes (the
+``!!`` rows' ig1), pick the vcode whose thousands digit matches the
+ip1_kind when several are present, then classify against the VCTYPES rule
+table on the 8 equality keys.
+
+Spark shape: one conditional aggregation over the meta rows per grid
+(no loop over groups), then two broadcast joins. The per-group pandas loop
+of the reference becomes a single shuffle-light plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fstd2pandas_spark.schema import META_NOMVARS
+from fstd2pandas_spark.functions.codecs import decode_ip_kind
+from fstd2pandas_spark.lookups import vctypes_df
+
+
+def _meta_flags_per_grid(meta: DataFrame) -> DataFrame:
+    """Per-grid existence booleans + vcode list (dataframe.py:653-673)."""
+    return meta.groupBy("grid").agg(
+        (F.max(F.when(F.col("nomvar") == "!!", 1).otherwise(0)) == 1).alias("toctoc"),
+        (F.max(F.when(F.col("nomvar") == "P0", 1).otherwise(0)) == 1).alias("P0"),
+        (F.max(F.when(F.col("nomvar") == "E1", 1).otherwise(0)) == 1).alias("E1"),
+        (F.max(F.when(F.col("nomvar") == "PT", 1).otherwise(0)) == 1).alias("PT"),
+        (F.max(F.when(F.col("nomvar") == "HY", 1).otherwise(0)) == 1).alias("HY"),
+        (F.max(F.when(F.col("nomvar") == "!!SF", 1).otherwise(0)) == 1).alias("SF"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("nomvar") == "!!", F.col("ig1")))
+        ).alias("vcodes"),
+    )
+
+
+def set_vertical_coordinate_type(df: DataFrame) -> DataFrame:
+    """Add a ``vctype`` column; meta rows get 'UNKNOWN'
+    (std_vgrid.py:574-646)."""
+    if "vctype" in df.columns:
+        return df
+
+    meta = df.filter(F.col("nomvar").isin(META_NOMVARS))
+    no_meta = df.filter(~F.col("nomvar").isin(META_NOMVARS))
+
+    flags = _meta_flags_per_grid(meta)
+    with_kind = no_meta.withColumn("ip1_kind", decode_ip_kind(F.col("ip1")))
+
+    # distinct classification requests: (grid, ip1_kind)
+    req = with_kind.select("grid", "ip1_kind").distinct()
+    req = req.join(F.broadcast(flags), "grid", "left").fillna(
+        False, subset=["toctoc", "P0", "E1", "PT", "HY", "SF"]
+    )
+    # vcode pick: single vcode -> it; several -> the one whose
+    # thousands-digit equals ip1_kind, else -1 (std_vgrid.py:601-614)
+    vcodes = F.coalesce(F.col("vcodes"), F.array())
+    matching = F.filter(vcodes, lambda v: (v / 1000).cast("int") == F.col("ip1_kind"))
+    req = req.withColumn(
+        "vcode",
+        F.when(F.size(vcodes) == 0, F.lit(-1))
+        .when(F.size(vcodes) == 1, F.element_at(vcodes, 1))
+        .otherwise(F.coalesce(F.element_at(matching, 1), F.lit(-1))),
+    ).drop("vcodes")
+
+    rules = vctypes_df()
+    classified = req.join(
+        F.broadcast(rules),
+        on=["ip1_kind", "toctoc", "P0", "E1", "PT", "HY", "SF", "vcode"],
+        how="left",
+    ).select(
+        "grid", "ip1_kind",
+        F.coalesce(F.col("vctype"), F.lit("UNKNOWN")).alias("vctype"),
+    )
+
+    data_out = (
+        with_kind.join(F.broadcast(classified), ["grid", "ip1_kind"], "left")
+        .withColumn("vctype", F.coalesce(F.col("vctype"), F.lit("UNKNOWN")))
+        .drop("ip1_kind")
+    )
+    meta_out = meta.withColumn("vctype", F.lit("UNKNOWN"))
+    return data_out.unionByName(meta_out.select(data_out.columns))

@@ -9,6 +9,8 @@ key, multi-file paths, and old+new style ip1 encodings.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
@@ -56,11 +58,17 @@ def build_fst_records(spark: SparkSession) -> DataFrame:
     add("f1", nomvar="^^", typvar="X", etiket="AXIS", dateo_dt=BASE_DATE,
         ip1=11, ip2=22, ip3=0, deet=0, npas=0, datyp=5, nbits=32,
         d=np.linspace(40, 46, 4), **ax_lat)
-    # toctoc for hybrid 5005 on grid 1
+    # toctoc for hybrid 5005 on grid 1: (3 x nlevels) table, column j =
+    # (ip1, A, B); column 2's A doubles as pref (std_vgrid.py:282); B=1 and
+    # A=ln(eta*pref) makes pres = eta * P0 (easy oracle)
+    _pref = 100000.0
+    _tt_cols = [(1, 0.0, 0.0), (2, _pref, 0.0)]
+    for hy in [0.36116, 0.85, 1.0]:
+        _tt_cols.append((encode_ip_py(hy, 5), math.log(hy * _pref), 1.0))
     add("f1", nomvar="!!", typvar="X", etiket="TOCTOC", dateo_dt=BASE_DATE,
         ip1=11, ip2=22, ip3=0, deet=0, npas=0, datyp=5, nbits=64,
-        ni=3, nj=2, grtyp="X", ig1=5005, ig2=0, ig3=0, ig4=0,
-        d=[0.0] * 6)
+        ni=3, nj=len(_tt_cols), grtyp="X", ig1=5005, ig2=0, ig3=0, ig4=0,
+        d=[v for col in _tt_cols for v in col])
     # P0 surface pressure on grid 1 (two forecast hours)
     for hh, npas in [(0, 0), (6, 72)]:
         add("f1", nomvar="P0", typvar="P", etiket="R1_V710_N",
@@ -127,6 +135,13 @@ def build_fst_records(spark: SparkSession) -> DataFrame:
     add("f2", nomvar="HU", typvar="P", etiket="G133K80N", dateo_dt=BASE_DATE,
         ip1=2000 + 9950, ip2=0, ip3=0, deet=3600, npas=0, datyp=134,
         nbits=16, d=np.abs(rng.randn(12)) * 0.01, **g2)
+    # --- grid 3: bare pressure-level grid (no meta) -> PRESSURE_2001 ---
+    g3 = dict(ni=3, nj=2, grtyp="L", ig1=55, ig2=66, ig3=0, ig4=0)
+    for mb in [500, 850]:
+        add("f2", nomvar="TT", typvar="P", etiket="G133K80N",
+            dateo_dt=BASE_DATE, ip1=mb, ip2=0, ip3=0, deet=3600, npas=0,
+            datyp=134, nbits=16, d=rng.randn(6) * 5, **g3)
+
     # HY record (hybrid params, grid-independent)
     add("f1", nomvar="HY", typvar="X", etiket="HYBRID", dateo_dt=BASE_DATE,
         ip1=encode_ip_py(10.0, 2), ip2=0, ip3=0, deet=0, npas=0, datyp=5,

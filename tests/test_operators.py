@@ -1,0 +1,197 @@
+"""Operator-layer tests over the synthetic fst_records fixture."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fstd2pandas_spark.operators import (
+    select_meta, select_with_meta, query_with_meta, SelectError,
+    metadata_cleanup, set_vertical_coordinate_type, fststat, voir,
+    drop_duplicates, unit_convert, apply_mask, recover_mask, quick_pressure,
+)
+from fstd2pandas_spark.operators.dedup import kinds_and_ip1
+from fstd2pandas_spark.schema import META_NOMVARS
+
+
+def test_select_meta(records):
+    metas = select_meta(records).select("nomvar").distinct().collect()
+    assert {r.nomvar for r in metas} <= set(META_NOMVARS)
+    assert {">>", "^^", "!!", "P0", "PT", "HY"} <= {r.nomvar for r in metas}
+
+
+def test_select_with_meta(records):
+    out = select_with_meta(records, ["TT"])
+    names = {r.nomvar for r in out.select("nomvar").distinct().collect()}
+    assert "TT" in names
+    assert ">>" in names and "^^" in names      # grid 1 axes kept
+    assert "UU" not in names
+    with pytest.raises(SelectError):
+        select_with_meta(records, ["ZZ"])
+
+
+def test_query_with_meta_prunes_unused_grids(records):
+    out = query_with_meta(records, "nomvar = 'HU'")
+    grids = {r.grid for r in out.filter(F.col("nomvar") == ">>")
+             .select("grid").collect()}
+    assert grids == {"3344"}        # only grid 2's axis survives
+
+
+def test_metadata_cleanup_keeps_referenced_meta(records):
+    # select only TT (pressure levels on grid 1): axes of grid 1 stay,
+    # P0 of grid 2 (sigma) goes, HY goes (no hybrid ip1s in selection)
+    sel = records.filter(F.col("nomvar").isin(["TT"]) | F.col("nomvar").isin(META_NOMVARS))
+    out = metadata_cleanup(sel)
+    names = {(r.nomvar, r.grid) for r in out.select("nomvar", "grid").distinct().collect()}
+    assert ("TT", "1122") in names
+    assert (">>", "1122") in names
+    assert ("HY", "None") not in names
+    assert ("P0", "3344") not in names
+    # never drops data rows
+    assert out.filter(F.col("nomvar") == "TT").count() == \
+        records.filter(F.col("nomvar") == "TT").count()
+
+
+def test_metadata_cleanup_hybrid_keeps_hy_and_toctoc(records):
+    sel = records.filter(F.col("nomvar").isin(["UU"]) | F.col("nomvar").isin(META_NOMVARS))
+    out = metadata_cleanup(sel)
+    names = {r.nomvar for r in out.select("nomvar").distinct().collect()}
+    assert "HY" in names            # hybrid levels present
+    assert "!!" in names            # toctoc ig1=5005 matches hybrid family
+    assert "PT" not in names        # PT is sigma-only
+
+
+def test_vctype_classification(records):
+    out = set_vertical_coordinate_type(records)
+    got = {
+        (r.nomvar, r.vctype)
+        for r in out.select("nomvar", "vctype").distinct().collect()
+    }
+    # grid 2 has P0 AND PT -> eta; grid 1 lives in a 5005 file (toctoc+P0)
+    # so even its pressure-level TT classifies HYBRID_5005 (vctypes row
+    # "2,True,True,...,5005"); grid 3 has no meta -> PRESSURE_2001
+    assert ("HU", "ETA_1002") in got
+    assert ("UU", "HYBRID_5005") in got
+    assert ("TT", "HYBRID_5005") in got
+    assert ("TT", "PRESSURE_2001") in got
+    # meta rows are UNKNOWN
+    assert all(v == "UNKNOWN" for n, v in got if n in META_NOMVARS)
+
+
+def test_fststat_values(spark, records):
+    row = fststat(records.filter((F.col("nomvar") == "FB"))).collect()[0]
+    assert row.min == pytest.approx(3.25)
+    assert row.max == pytest.approx(3.25)
+    assert row.mean == pytest.approx(3.25)
+    assert row.std == pytest.approx(0.0)
+    assert row.min_pos.i == 1 and row.min_pos.j == 1
+
+    tt = records.filter((F.col("nomvar") == "TT")).limit(1)
+    d = tt.collect()[0].d
+    ni = tt.collect()[0].ni
+    st = fststat(tt).collect()[0]
+    assert st.min == pytest.approx(min(d), rel=1e-6)
+    assert st.max == pytest.approx(max(d), rel=1e-6)
+    mean = sum(d) / len(d)
+    assert st.mean == pytest.approx(mean, rel=1e-6)
+    var = sum((x - mean) ** 2 for x in d) / len(d)
+    assert st.std == pytest.approx(math.sqrt(var), rel=1e-5)
+    pmin = d.index(min(d))
+    assert (st.min_pos.i, st.min_pos.j) == (pmin % ni + 1, pmin // ni + 1)
+
+
+def test_voir_sorted(records):
+    rows = voir(records).collect()
+    assert rows == sorted(rows, key=lambda r: (r.nomvar, -r.level))
+
+
+def test_drop_duplicates(records):
+    hu = records.filter(F.col("nomvar") == "HU")
+    assert hu.count() == 4          # 3 levels + 1 dup
+    assert drop_duplicates(hu).count() == 3
+
+
+def test_kinds_and_ip1(records):
+    out = {r.kind: r.ip1s for r in kinds_and_ip1(
+        records.filter(~F.col("nomvar").isin(META_NOMVARS))).collect()}
+    assert 2 in out and 5 in out and 1 in out
+
+
+def test_unit_convert_roundtrip(spark, records):
+    tt = records.filter(F.col("nomvar") == "TT")
+    orig = tt.orderBy("key").collect()
+    as_k = unit_convert(tt, "kelvin")
+    k_rows = as_k.orderBy("key").collect()
+    for o, k in zip(orig, k_rows):
+        assert k.d[0] == pytest.approx(o.d[0] + 273.15, rel=1e-5)
+    back = unit_convert(as_k.withColumn("unit", F.lit("kelvin")), "celsius")
+    for o, b in zip(orig, back.orderBy("key").collect()):
+        assert b.d[0] == pytest.approx(o.d[0], abs=1e-3)
+
+
+def test_unit_convert_knot(spark):
+    from tests.fixtures import build_fst_records
+    recs = build_fst_records(spark)
+    uu = recs.filter(F.col("nomvar") == "UU")   # knots in stdvar
+    out = unit_convert(uu, "meter_per_second").collect()
+    src = {r.key: r for r in uu.collect()}
+    for r in out:
+        assert r.d[0] == pytest.approx(src[r.key].d[0] * 0.514444444, rel=1e-5)
+
+
+def test_mask_apply_recover_roundtrip(records):
+    masked = apply_mask(records)
+    gz = masked.filter((F.col("nomvar") == "GZ")).collect()
+    assert len(gz) == 1                          # mask row consumed
+    assert any(v is None for v in gz[0].d)       # masked elements are NULL
+    rec = recover_mask(masked)
+    gz2 = rec.filter(F.col("nomvar") == "GZ").collect()
+    assert len(gz2) == 2                         # var + mask again
+    mask_row = [r for r in gz2 if r.typvar == "@@"][0]
+    orig_mask = [r for r in records.filter(
+        (F.col("nomvar") == "GZ") & (F.col("typvar") == "@@")).collect()][0]
+    assert mask_row.d == orig_mask.d
+    assert mask_row.datyp == 2 and mask_row.nbits == 1
+
+
+def test_quick_pressure_sigma(records):
+    px = quick_pressure(records)
+    rows = px.filter(F.col("nomvar") == "PX").collect()
+    assert rows, "no PX records emitted"
+    p0 = records.filter((F.col("nomvar") == "P0") & (F.col("grid") == "3344")).collect()[0]
+    pt = records.filter((F.col("nomvar") == "PT") & (F.col("grid") == "3344")).collect()[0]
+    # eta 0.85 on grid 2 (P0+PT present): pres = 0.85*(P0-PT) + PT
+    sig = [r for r in rows if r.grid == "3344" and abs(
+        (r.ip1 - 2000) / 10000.0 - 0.85) < 1e-9]
+    assert sig, "eta PX missing"
+    for a, b, c in zip(sig[0].d, p0.d, pt.d):
+        assert a == pytest.approx(0.85 * (b - c) + c, rel=1e-6)
+    # grid 3 (PRESSURE_2001): constant fields = the level itself
+    prs = [r for r in rows if r.grid == "5566"]
+    assert prs, "pressure-level PX missing"
+    for c in prs:
+        assert len(set(c.d)) == 1
+        assert c.d[0] == pytest.approx(float(c.ip1))
+    # grid 1 hybrid-5005 via toctoc: A=ln(eta*pref), B=1 -> pres = eta*P0
+    p0g1 = records.filter((F.col("nomvar") == "P0") & (F.col("grid") == "1122")).orderBy("key").collect()[0]
+    hyb = [r for r in rows if r.grid == "1122"]
+    assert hyb, "hybrid-5005 PX missing"
+    from fstd2pandas_spark.functions.codecs import decode_ip_py
+    for r in hyb:
+        eta, kind = decode_ip_py(r.ip1)
+        assert kind == 5
+        for a, b in zip(r.d, p0g1.d):
+            assert a == pytest.approx(eta * b, rel=1e-4)
+
+
+def test_quick_pressure_standard_atmosphere(records):
+    pxsa = quick_pressure(records, standard_atmosphere=True)
+    rows = pxsa.filter(F.col("nomvar") == "PXSA").collect()
+    assert rows
+    sig = [r for r in rows if r.grid == "3344"]
+    assert sig
+    pt = [r for r in pxsa.filter(F.col("nomvar") == "PT").collect()
+          if r.grid == "3344"][0]
+    lvl = (sig[0].ip1 - 2000) / 10000.0
+    # eta SA: ptop*(1-lvl) + lvl*1013.25
+    assert sig[0].d[0] == pytest.approx(pt.d[0] * (1 - lvl) + 1013.25 * lvl, rel=1e-6)
