@@ -1,38 +1,843 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+LLM-pipeline operators) to a callable ``(spark, sf_dir) -> DataFrame``;
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL. Column names/aliases
+match exactly; float results are made cross-engine deterministic by exact
+decimal aggregation + final rounding (binary doubles can never sit exactly
+on a decimal rounding tie, so round() agrees across engines whenever the
+double itself is identical).
+
+FST-record operators are exercised by deterministically synthesizing a
+record table from ``lineitem`` in BOTH engines (same arithmetic), then
+applying the operator: the Spark side uses the fstd2pandas_spark library,
+the oracle re-expresses the reference semantics in SQL.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fstd2pandas_spark.functions.codecs import (  # noqa: E402
+    decode_ip_kind, decode_ip_value, encode_ip_py, stamp_to_timestamp,
+    datetime_to_stamp_py,
+)
+
+#: encoded ip1 literals shared by the Spark builders and the SQL oracles
+IP1S = [encode_ip_py(v, k) for v, k in
+        [(1000.0, 2), (850.0, 2), (0.36116, 5), (1.0, 5)]]
+#: old-style literals: 500 mb, sigma .995, 20 m height
+IP1S_OLD = [500, 11950, 12005]
+ALL_IP1S = IP1S + IP1S_OLD
+
+ETIKETS = ["R1_V710_N", "G133K80N", "SPOOKI_STUFF", "R1ABCDEFN123"]
+NOMVARS = ["TT", "UU", "HU"]
+
+#: date stamps: 2020-07-14T12:00 + k hours, k in 0..3
+import datetime as _dt  # noqa: E402
+STAMPS = [datetime_to_stamp_py(_dt.datetime(2020, 7, 14, 12) + _dt.timedelta(hours=6 * k))
+          for k in range(4)]
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read nanos as long and rebuild the timestamp
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(_t(sf_dir, name))
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+def _sql_list(xs) -> str:
+    return ", ".join(str(x) for x in xs)
+
+
+# ---------------------------------------------------------------------------
+# synthetic record table from lineitem (both engines, same arithmetic)
+# ---------------------------------------------------------------------------
+
+def records_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One record per l_orderkey: d = quantities ordered by linenumber,
+    nomvar/ip1/etiket/dateo assigned by orderkey modulo — the Spark half of
+    the shared construction (the oracle mirrors it in SQL)."""
+    li = _load(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "l_quantity"))),
+            lambda s: s["l_quantity"].cast("float"),
+        ).alias("d"),
+        F.count("*").alias("ni"),
+    )
+    ok = F.col("l_orderkey")
+    nomvar = F.element_at(F.array(*[F.lit(v) for v in NOMVARS]), (ok % 3 + 1).cast("int"))
+    ip1 = F.element_at(F.array(*[F.lit(v) for v in ALL_IP1S]), (ok % 7 + 1).cast("int"))
+    etiket = F.element_at(F.array(*[F.lit(v) for v in ETIKETS]), (ok % 4 + 1).cast("int"))
+    dateo = F.element_at(F.array(*[F.lit(v) for v in STAMPS]), (ok % 4 + 1).cast("int"))
+    return grouped.select(
+        ok.alias("key"),
+        nomvar.alias("nomvar"),
+        etiket.alias("etiket"),
+        ip1.alias("ip1"),
+        dateo.cast("long").alias("dateo"),
+        ((ok % 5).cast("int") * 6).alias("deet"),
+        ((ok % 3).cast("int") * 12).alias("npas"),
+        F.col("ni").cast("int").alias("ni"),
+        F.lit(1).alias("nj"),
+        F.col("d"),
+    )
+
+
+_RECORDS_SQL = f"""
+  SELECT l_orderkey AS key,
+         (['TT','UU','HU'])[CAST(l_orderkey % 3 AS INT) + 1] AS nomvar,
+         (['{ETIKETS[0]}','{ETIKETS[1]}','{ETIKETS[2]}','{ETIKETS[3]}'])[CAST(l_orderkey % 4 AS INT) + 1] AS etiket,
+         ([{_sql_list(ALL_IP1S)}])[CAST(l_orderkey % 7 AS INT) + 1] AS ip1,
+         CAST(([{_sql_list(STAMPS)}])[CAST(l_orderkey % 4 AS INT) + 1] AS BIGINT) AS dateo,
+         CAST(l_orderkey % 5 AS INT) * 6 AS deet,
+         CAST(l_orderkey % 3 AS INT) * 12 AS npas,
+         CAST(count(*) AS INT) AS ni,
+         1 AS nj,
+         array_agg(CAST(l_quantity AS FLOAT) ORDER BY l_linenumber, l_quantity) AS d
+  FROM lineitem GROUP BY l_orderkey
+"""
+
+#: SQL mirror of decode_ip_value/decode_ip_kind (see functions/codecs.py)
+_DECODE_KIND_SQL = """
+  CASE WHEN {ip} > 32767 THEN ({ip} // 16777216) & 31
+       WHEN {ip} < 2000 THEN 2
+       WHEN {ip} <= 12000 THEN 1
+       WHEN {ip} <= 32000 THEN 0
+       ELSE 3 END
+"""
+
+_DECODE_VALUE_SQL = """
+  CASE WHEN {ip} > 32767 THEN
+         (CASE WHEN ({ip} & 1048575) > 1000000
+               THEN -(({ip} & 1048575) - 1000000)
+               ELSE ({ip} & 1048575) END)
+         * pow(10.0, 4 - (({ip} // 1048576) & 15))
+       WHEN {ip} < 2000 THEN CAST({ip} AS DOUBLE)
+       WHEN {ip} <= 12000 THEN ({ip} - 2000) / 10000.0
+       WHEN {ip} <= 32000 THEN CAST(({ip} - 12001) * 5 AS DOUBLE)
+       ELSE CAST({ip} AS DOUBLE) END
+"""
+
+#: SQL mirror of stamp_to_timestamp
+_STAMP_TS_SQL = """
+  CASE WHEN {s} IN (0, 10101011) THEN NULL
+       ELSE to_timestamp(315532800 +
+            (CAST(({s} - 123200000) // 10 AS BIGINT) * 8 + ({s} - 123200000) % 10) * 5)
+            AT TIME ZONE 'UTC'
+  END
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter + groupBy + exact decimal aggregation."""
+    li = _load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      ).cast("decimal(28,10)").cast("double"), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                (F.sum(dec("l_quantity")).cast("double") / F.count("*")), 6
+            ).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q_PRICING_SQL = """
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         round(CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS DOUBLE), 4) AS sum_disc_price,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+  ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F6: predicate + projection pushdown to the parquet scan."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_discount") >= 0.05) & (F.col("l_quantity") < 10))
+        .select("l_orderkey", "l_linenumber",
+                F.round(F.col("l_extendedprice").cast("decimal(18,2)").cast("double"), 2).alias("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_Q_FILTER_SQL = """
+  SELECT l_orderkey, l_linenumber,
+         round(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS price
+  FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10
+  ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4-style left-semi join: orders having at least one high-qty line."""
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    hi = li.filter(F.col("l_quantity") >= 45).select("l_orderkey")
+    return (
+        orders.join(hi, orders["o_orderkey"] == hi["l_orderkey"], "leftsemi")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+_Q_SEMI_SQL = """
+  SELECT o_orderkey, o_orderstatus FROM orders
+  WHERE EXISTS (SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+  ORDER BY o_orderkey
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders."""
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "leftanti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_Q_ANTI_SQL = """
+  SELECT c_custkey, c_name FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  ORDER BY c_custkey
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-chain with broadcast dims: revenue per nation."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
+             F.count("*").cast("long").alias("n_lines"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+_Q_REVENUE_SQL = """
+  SELECT r_name, n_name,
+         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue,
+         count(*) AS n_lines
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+  ORDER BY r_name, n_name
+"""
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: top-3 orders by totalprice per customer (rank window)."""
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+        .orderBy("o_custkey", "rank")
+    )
+
+
+_Q_TOPK_SQL = """
+  SELECT o_custkey, o_orderkey, rank FROM (
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+    FROM orders) t
+  WHERE rank <= 3
+  ORDER BY o_custkey, rank
+"""
+
+
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: dropDuplicates semantics — distinct on a key subset with a
+    deterministic representative (min orderkey per group)."""
+    orders = _load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey", "o_orderstatus", "o_orderpriority")
+        .agg(F.min("o_orderkey").alias("o_orderkey"),
+             F.count("*").cast("long").alias("n_dups"))
+        .orderBy("o_custkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_Q_DEDUP_SQL = """
+  SELECT o_custkey, o_orderstatus, o_orderpriority,
+         min(o_orderkey) AS o_orderkey, count(*) AS n_dups
+  FROM orders GROUP BY o_custkey, o_orderstatus, o_orderpriority
+  ORDER BY o_custkey, o_orderstatus, o_orderpriority
+"""
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: UNION ALL of two disjoint selections + dedupe count."""
+    li = _load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_linenumber")
+    b = li.filter(F.col("l_quantity") >= 49).select("l_orderkey", "l_linenumber")
+    return (
+        a.unionByName(b).distinct()
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_Q_UNION_SQL = """
+  SELECT DISTINCT l_orderkey, l_linenumber FROM (
+    SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity >= 49) t
+  ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-group existence flags via conditional aggregation."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("has_purchase"),
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_click"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q_CONDAGG_SQL = """
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+         count(*) AS n_events
+  FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming op)."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+_Q_EVENTS_SQL = """
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+  FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+# --- FST-record operator queries ------------------------------------------
+
+def q_fst_decode_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: convertIp decode (new + old styles) on the synthetic records."""
+    rec = records_from_lineitem(spark, sf_dir)
+    return rec.select(
+        "key", "ip1",
+        decode_ip_kind(F.col("ip1")).alias("ip1_kind"),
+        F.round(decode_ip_value(F.col("ip1")), 6).alias("level"),
+    ).orderBy("key")
+
+
+_Q_DECODE_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL})
+  SELECT key, ip1,
+         {_DECODE_KIND_SQL.format(ip='ip1')} AS ip1_kind,
+         round({_DECODE_VALUE_SQL.format(ip='ip1')}, 6) AS level
+  FROM rec ORDER BY key
+"""
+
+
+def q_fst_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/C5: stamp decode + forecast hour + validity date arithmetic."""
+    rec = records_from_lineitem(spark, sf_dir)
+    return rec.select(
+        "key", "dateo",
+        stamp_to_timestamp(F.col("dateo")).alias("date_of_observation"),
+        (F.col("deet").cast("long") * F.col("npas")).alias("forecast_seconds"),
+    ).orderBy("key")
+
+
+_Q_DATES_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL})
+  SELECT key, dateo,
+         {_STAMP_TS_SQL.format(s='dateo')} AS date_of_observation,
+         CAST(deet AS BIGINT) * npas AS forecast_seconds
+  FROM rec ORDER BY key
+"""
+
+
+def q_fst_etiket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: etiket parse into (label, run, implementation, ensemble_member)."""
+    from fstd2pandas_spark.functions.meta import parsed_etiket
+
+    rec = records_from_lineitem(spark, sf_dir)
+    et = parsed_etiket(F.col("etiket"))
+    return rec.select(
+        "key", "etiket",
+        et["label"].alias("label"),
+        et["run"].alias("run"),
+        et["implementation"].alias("implementation"),
+        et["ensemble_member"].alias("ensemble_member"),
+    ).orderBy("key").distinct().orderBy("key")
+
+
+_Q_ETIKET_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL})
+  SELECT DISTINCT key, etiket,
+    CASE
+      WHEN regexp_matches(etiket, '^[RGPEAIMWNC_][0-9RLHMEA_][0-9A-Za-z_]{{5}}[NPX]$') THEN substr(etiket, 3, 5)
+      WHEN regexp_matches(etiket, '^[RGPEAIMWNC_][0-9RLHMEA_][0-9A-Za-z_]{{5}}[NPX][0-9A-Za-z_]{{3}}$') THEN substr(etiket, 3, 5)
+      WHEN regexp_matches(etiket, '^[RGPEAIMWNC_][0-9RLHMEA_][0-9A-Za-z_]{{6}}[NPX]$') THEN substr(etiket, 3, 6)
+      WHEN regexp_matches(etiket, '^[RGPEAIMWNC_][0-9RLHMEA_][0-9A-Za-z_]{{6}}[NPX][0-9A-Za-z_]{{3}}$') THEN substr(etiket, 3, 6)
+      ELSE etiket END AS label,
+    CASE
+      WHEN regexp_matches(etiket, '^[RGPEAIMWNC_][0-9RLHMEA_][0-9A-Za-z_]{{5,6}}[NPX]([0-9A-Za-z_]{{3}})?$') THEN substr(etiket, 1, 2)
+      ELSE NULL END AS run,
+    CASE
+      WHEN regexp_matches(etiket, '^[RGPEAIMWNC_][0-9RLHMEA_][0-9A-Za-z_]{{5}}[NPX]([0-9A-Za-z_]{{3}})?$') THEN substr(etiket, 8, 1)
+      WHEN regexp_matches(etiket, '^[RGPEAIMWNC_][0-9RLHMEA_][0-9A-Za-z_]{{6}}[NPX]([0-9A-Za-z_]{{3}})?$') THEN substr(etiket, 9, 1)
+      ELSE NULL END AS implementation,
+    CASE
+      WHEN regexp_matches(etiket, '^[RGPEAIMWNC_][0-9RLHMEA_][0-9A-Za-z_]{{5}}[NPX][0-9A-Za-z_]{{3}}$') THEN substr(etiket, 9, 3)
+      WHEN regexp_matches(etiket, '^[RGPEAIMWNC_][0-9RLHMEA_][0-9A-Za-z_]{{6}}[NPX][0-9A-Za-z_]{{3}}$') THEN substr(etiket, 10, 3)
+      ELSE NULL END AS ensemble_member
+  FROM rec ORDER BY key
+"""
+
+
+def q_fst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 fststat: per-record min/max/mean/std + argmin/argmax positions."""
+    from fstd2pandas_spark.operators.stats import array_stats_columns
+
+    rec = records_from_lineitem(spark, sf_dir)
+    stats = rec.select("key", "nomvar", "ni", *array_stats_columns(F.col("d"), F.col("ni")))
+    return stats.select(
+        "key", "nomvar",
+        F.round("min", 4).alias("min"),
+        F.round("max", 4).alias("max"),
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+        F.col("min_pos.i").alias("min_i"),
+        F.col("max_pos.i").alias("max_i"),
+    ).orderBy("key")
+
+
+_Q_STATS_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL})
+  SELECT key, nomvar,
+         round(list_min(d), 4) AS min,
+         round(list_max(d), 4) AS max,
+         round(list_sum(list_transform(d, x -> CAST(x AS DOUBLE))) / len(d), 4) AS mean,
+         round(sqrt(greatest(
+            list_sum(list_transform(d, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / len(d)
+            - pow(list_sum(list_transform(d, x -> CAST(x AS DOUBLE))) / len(d), 2), 0.0)), 4) AS std,
+         CAST((list_position(d, list_min(d)) - 1) % ni + 1 AS INT) AS min_i,
+         CAST((list_position(d, list_max(d)) - 1) % ni + 1 AS INT) AS max_i
+  FROM rec ORDER BY key
+"""
+
+
+def q_fst_unit_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17/C18: affine array conversion (celsius -> kelvin on TT records)."""
+    rec = records_from_lineitem(spark, sf_dir)
+    converted = rec.filter(F.col("nomvar") == "TT").withColumn(
+        "d_k", F.transform("d", lambda x: F.round(x.cast("double") + 273.15, 4))
+    )
+    return converted.select("key", F.col("d_k")).orderBy("key")
+
+
+_Q_UNIT_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL})
+  SELECT key, list_transform(d, x -> round(CAST(x AS DOUBLE) + 273.15, 4)) AS d_k
+  FROM rec WHERE nomvar = 'TT' ORDER BY key
+"""
+
+
+def q_fst_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 apply-mask semantics: zip_with NULLing where mask == 0.
+    The mask here derives from the data itself (qty > 25) so both engines
+    construct identical pairs."""
+    rec = records_from_lineitem(spark, sf_dir)
+    mask = F.transform("d", lambda x: F.when(x > 25.0, F.lit(1.0)).otherwise(F.lit(0.0)))
+    masked = F.zip_with(F.col("d"), mask, lambda v, m: F.when(m == 1.0, v))
+    # NULL elements -> sentinel so the cross-engine value hash is stable
+    sent = F.transform(masked, lambda x: F.coalesce(x, F.lit(-999.0).cast("float")))
+    return rec.select(
+        "key", sent.alias("d_masked"),
+        F.size(F.filter(masked, lambda x: x.isNull())).alias("n_masked"),
+    ).orderBy("key")
+
+
+_Q_MASK_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL})
+  SELECT key,
+         list_transform(d, v -> CASE WHEN v > 25.0 THEN v ELSE CAST(-999.0 AS FLOAT) END) AS d_masked,
+         len(list_filter(d, v -> v <= 25.0)) AS n_masked
+  FROM rec ORDER BY key
+"""
+
+
+def q_fst_pressure_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 eta pressure: pres = level*(P0-PT) + PT with P0 = the record's own
+    d (as surrogate surface pressure) and PT = 10.0; level from ip1 decode."""
+    rec = records_from_lineitem(spark, sf_dir)
+    lvl = F.round(decode_ip_value(F.col("ip1")), 6)
+    sig = rec.filter(decode_ip_kind(F.col("ip1")) == 1)
+    pres = F.transform(
+        "d", lambda x: F.round(lvl * (x.cast("double") * 10.0 - 10.0) + 10.0, 4)
+    )
+    return sig.select("key", "ip1", pres.alias("pres")).orderBy("key")
+
+
+_Q_PRESSURE_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL})
+  SELECT key, ip1,
+         list_transform(d, x -> round(
+            ({_DECODE_VALUE_SQL.format(ip='ip1')}) * (CAST(x AS DOUBLE) * 10.0 - 10.0) + 10.0, 4)) AS pres
+  FROM rec WHERE ({_DECODE_KIND_SQL.format(ip='ip1')}) = 1
+  ORDER BY key
+"""
+
+
+def q_fst_voir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 voir ordering: nomvar asc, decoded level desc."""
+    rec = records_from_lineitem(spark, sf_dir)
+    return (
+        rec.select(
+            "nomvar", "key",
+            F.round(decode_ip_value(F.col("ip1")), 6).alias("level"),
+        )
+        .orderBy(F.col("nomvar").asc(), F.col("level").desc(), F.col("key").asc())
+    )
+
+
+_Q_VOIR_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL})
+  SELECT nomvar, key, round({_DECODE_VALUE_SQL.format(ip='ip1')}, 6) AS level
+  FROM rec ORDER BY nomvar ASC, level DESC, key ASC
+"""
+
+
+# --- LLM-pipeline queries ---------------------------------------------------
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fstd2pandas_spark.operators.llm import exact_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("doc_id")
+
+
+_Q_EXACT_DEDUP_SQL = """
+  SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+  FROM documents GROUP BY md5(text) ORDER BY doc_id
+"""
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fstd2pandas_spark.operators.llm import language_id
+
+    docs = _load(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    from fstd2pandas_spark.operators.llm.text import LANG_MARKERS
+
+    score = {
+        lang: f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({', '.join(repr(m) for m in ms)})))"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    # ascending-name iteration with strictly-greater replacement
+    langs = sorted(score)
+    expr = "'und'"
+    best = "0"
+    for lang in langs:
+        expr = f"CASE WHEN {score[lang]} > ({best}) THEN '{lang}' ELSE ({expr}) END"
+        best = f"greatest({best}, {score[lang]})"
+    return f"SELECT doc_id, lang, {expr} AS lang_pred FROM documents ORDER BY doc_id"
+
+
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fstd2pandas_spark.operators.llm import token_counts
+
+    docs = _load(spark, sf_dir, "documents")
+    return token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens").orderBy("doc_id")
+
+
+_Q_TOKENS_SQL = """
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+  FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fstd2pandas_spark.operators.llm import fingerprint
+
+    docs = _load(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+_Q_FINGERPRINT_SQL = """
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(lower(text), ' '),
+               t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))),
+           (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+  FROM documents ORDER BY doc_id
+"""
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fstd2pandas_spark.operators.llm import cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, k=5, n_queries=10).orderBy("query_id", "rank")
+
+
+_Q_COSINE_SQL = """
+  SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(
+             list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_cosine_similarity(
+                                list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+                              c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 10) t
+  WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fstd2pandas_spark.operators.llm import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2).orderBy("doc_a", "doc_b")
+
+
+_Q_JACCARD_SQL = """
+  WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  ), sh AS (
+    SELECT DISTINCT doc_id, shingle FROM toks,
+      UNNEST(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(t) - 2),
+                       j -> array_to_string(list_slice(t, j, j + 2), ' ')) END) AS u(shingle)
+  ), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+  ), shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  )
+  SELECT doc_a, doc_b,
+         round(shared / (na.n + nb.n - shared), 6) AS jaccard
+  FROM shared
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE round(shared / (na.n + nb.n - shared), 6) >= 0.2
+  ORDER BY doc_a, doc_b
+"""
+
+
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fstd2pandas_spark.operators.llm import lsh_candidate_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, num_hashes=8, bands=4).orderBy("doc_a", "doc_b")
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    from fstd2pandas_spark.operators.llm.dedup import (
+        MINHASH_AS, MINHASH_BS, MINHASH_P,
+    )
+
+    r = num_hashes // bands
+    sig_terms = ", ".join(
+        "coalesce(list_min(list_transform(sh, s -> "
+        f"({MINHASH_AS[i]} * CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)"
+        f" + {MINHASH_BS[i]}) % {MINHASH_P})), {MINHASH_P})"
+        for i in range(num_hashes)
+    )
+    return f"""
+  WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  ), shing AS (
+    SELECT doc_id, CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                        ELSE list_transform(generate_series(1, len(t) - 2),
+                             j -> array_to_string(list_slice(t, j, j + 2), ' ')) END AS sh
+    FROM toks
+  ), sigs AS (
+    SELECT doc_id, [{sig_terms}] AS sig FROM shing
+  ), banded AS (
+    SELECT doc_id, b.band AS band,
+           md5(array_to_string(list_transform(
+             list_slice(sig, b.band * {r} + 1, b.band * {r} + {r}),
+             x -> CAST(x AS VARCHAR)), '|')) AS bucket
+    FROM sigs, (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
+  )
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  ORDER BY doc_a, doc_b
+"""
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fstd2pandas_spark.operators.llm import simhash_buckets
+
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_buckets(docs).orderBy("simhash")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    vote = lambda b: (  # noqa: E731
+        "list_sum(list_transform(string_split(lower(text), ' '), "
+        f"t -> ((CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) // {1 << b}) % 2) * 2 - 1))"
+    )
+    total = " + ".join(
+        f"(CASE WHEN {vote(b)} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+  WITH sh AS (SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM documents)
+  SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
+  FROM sh GROUP BY simhash ORDER BY simhash
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize the record table at sf0.001, decode, and
+    compute per-record stats (the reference's read -> query -> fststat
+    pipeline, SURVEY §7.1)."""
+    return q_fst_stats(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "filter_project": q_filter_project,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "revenue_by_nation": q_revenue_by_nation,
+        "window_topk": q_window_topk,
+        "dedup_keys": q_dedup,
+        "union_all_distinct": q_union_all,
+        "conditional_agg": q_conditional_agg,
+        "events_hourly": q_events_hourly,
+        "fst_decode_ip": q_fst_decode_ip,
+        "fst_dates": q_fst_dates,
+        "fst_etiket": q_fst_etiket,
+        "fst_stats": q_fst_stats,
+        "fst_unit_convert": q_fst_unit_convert,
+        "fst_mask": q_fst_mask,
+        "fst_pressure_eta": q_fst_pressure_eta,
+        "fst_voir": q_fst_voir,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_langid": q_doc_langid,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_simhash": q_doc_simhash,
+        "emb_cosine_topk": q_emb_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": _Q_PRICING_SQL,
+        "filter_project": _Q_FILTER_SQL,
+        "semi_join": _Q_SEMI_SQL,
+        "anti_join": _Q_ANTI_SQL,
+        "revenue_by_nation": _Q_REVENUE_SQL,
+        "window_topk": _Q_TOPK_SQL,
+        "dedup_keys": _Q_DEDUP_SQL,
+        "union_all_distinct": _Q_UNION_SQL,
+        "conditional_agg": _Q_CONDAGG_SQL,
+        "events_hourly": _Q_EVENTS_SQL,
+        "fst_decode_ip": _Q_DECODE_SQL,
+        "fst_dates": _Q_DATES_SQL,
+        "fst_etiket": _Q_ETIKET_SQL,
+        "fst_stats": _Q_STATS_SQL,
+        "fst_unit_convert": _Q_UNIT_SQL,
+        "fst_mask": _Q_MASK_SQL,
+        "fst_pressure_eta": _Q_PRESSURE_SQL,
+        "fst_voir": _Q_VOIR_SQL,
+        "doc_exact_dedup": _Q_EXACT_DEDUP_SQL,
+        "doc_langid": _langid_sql(),
+        "doc_token_counts": _Q_TOKENS_SQL,
+        "doc_fingerprint": _Q_FINGERPRINT_SQL,
+        "doc_ngram_jaccard": _Q_JACCARD_SQL,
+        "doc_minhash_lsh": _minhash_sql(),
+        "doc_simhash": _simhash_sql(),
+        "emb_cosine_topk": _Q_COSINE_SQL,
+    }

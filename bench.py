@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion (count() over the result, which
+forces full evaluation but keeps driver transfer out of the measurement).
+A warmup pass on sf0.001 primes the JVM/codegen so the numbers measure the
+plans, not JIT warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "filter_project",
+    "revenue_by_nation",
+    "window_topk",
+    "events_hourly",
+    "fst_decode_ip",
+    "fst_stats",
+    "fst_mask",
+    "fst_pressure_eta",
+    "doc_exact_dedup",
+    "doc_minhash_lsh",
+    "doc_simhash",
+    "doc_fingerprint",
+    "emb_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    import __spark_entry__ as entry_mod
+    from fstd2pandas_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    # warmup: prime codegen paths on the smallest SF
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE[:3]:
+        try:
+            qs[name](spark, warm_dir).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's own surface (it has none of these), this package
+adds the operators a 100 TB LLM-data pipeline needs, on the same
+DataFrame model:
+
+- :mod:`text`       — language-ID, quality scoring, token counting,
+                      document fingerprinting
+- :mod:`dedup`      — exact, MinHash+LSH, SimHash, n-gram Jaccard
+- :mod:`similarity` — brute-force cosine top-k + LSH-bucketed ANN
+- :mod:`multimodal` — binary-column plumbing (decode/resize/frame-sample
+                      stubs with real Spark-side schema/batching)
+
+Determinism contract: every hash used here is md5-derived so the exact
+same results are computable in ANSI SQL (the DuckDB oracle) — no
+engine-specific hash functions in any correctness-gated path.
+"""
+
+from fstd2pandas_spark.operators.llm.text import (
+    tokens_col, shingles_col, token_hash_col,
+    language_id, quality_score, token_counts, fingerprint, simhash,
+)
+from fstd2pandas_spark.operators.llm.dedup import (
+    exact_dedup, minhash_signature, lsh_candidate_pairs,
+    ngram_jaccard_pairs, simhash_buckets,
+)
+from fstd2pandas_spark.operators.llm.similarity import (
+    cosine_topk, lsh_ann_topk, cosine_col,
+)
+
+__all__ = [
+    "tokens_col", "shingles_col", "token_hash_col", "language_id",
+    "quality_score", "token_counts", "fingerprint", "simhash",
+    "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
+    "ngram_jaccard_pairs", "simhash_buckets",
+    "cosine_topk", "lsh_ann_topk", "cosine_col",
+]

@@ -1,0 +1,166 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+- exact dedup is a hash-groupBy (one shuffle on the content hash);
+- MinHash signatures are computed shuffle-free per document (higher-order
+  aggregates over the shingle array), LSH banding turns near-dup search
+  into an equi-join on (band_index, band_hash) — the classic
+  shingle -> minhash -> band -> bucket-join pipeline;
+- n-gram Jaccard uses an inverted-index self-join on shingles with
+  pair aggregation (count intersection / union);
+- SimHash groups by the 16-bit signature (candidate buckets).
+
+All hashes are md5-derived (see llm/__init__ determinism contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fstd2pandas_spark.operators.llm.text import (
+    tokens_col, shingles_col, simhash,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact content hash (md5)."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+#: affine minhash family h_i(x) = (a_i*x + b_i) mod P over a 32-bit md5
+#: base hash — ONE md5 per shingle, the variants are integer arithmetic
+#: (a*x <= 1e9 * 4.3e9 < 2^63: no overflow in either engine)
+MINHASH_P = 1_000_000_007
+MINHASH_AS = [769236919, 392333197, 152342387, 982451653,
+              741721967, 297764993, 613651349, 858599509,
+              104395303, 472882027, 533000401, 715225741]
+MINHASH_BS = [324011567, 832040011, 514229033, 196418123,
+              75025661, 28657333, 10946117, 4181099,
+              1597031, 610099, 233239, 89017]
+
+
+def base_hash_col(s: Column) -> Column:
+    """32-bit base hash: first 8 md5 hex digits as integer."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      num_hashes: int = 12, shingle_k: int = 3) -> DataFrame:
+    """Add ``sig``: array of `num_hashes` minhash values over word
+    shingles (P as sentinel for empty shingle sets).
+
+    Single ``aggregate`` fold over the shingle-hash array: the md5 base
+    hash is the fold *input*, so it is computed exactly once per shingle
+    regardless of signature width — the variants are integer arithmetic.
+    Shuffle-free per-document computation."""
+    sh = shingles_col(tokens_col(F.col(text_col)), shingle_k)
+    hashes = F.transform(sh, base_hash_col)
+    a_arr = F.array(*[F.lit(a).cast("long") for a in MINHASH_AS[:num_hashes]])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in MINHASH_BS[:num_hashes]])
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes)
+    sig = F.aggregate(
+        hashes, init,
+        lambda acc, h: F.zip_with(
+            acc, F.sequence(F.lit(1), F.lit(num_hashes)),
+            lambda m, i: F.least(
+                m,
+                (F.element_at(a_arr, i.cast("int")) * h
+                 + F.element_at(b_arr, i.cast("int"))) % MINHASH_P,
+            ),
+        ),
+    )
+    return df.withColumn("sig", sig)
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", num_hashes: int = 12,
+                        bands: int = 4, shingle_k: int = 3) -> DataFrame:
+    """MinHash-LSH candidate pairs: documents sharing at least one band
+    bucket. Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
+
+    rows-per-band r = num_hashes // bands; band hash = md5 of the joined
+    signature slice. The pair join runs per-bucket (equi-join), never
+    all-pairs.
+    """
+    r = num_hashes // bands
+    with_sig = minhash_signature(df, text_col, num_hashes, shingle_k)
+    banded = with_sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(F.slice(F.col("sig"), b * r + 1, r),
+                                        lambda x: x.cast("string")),
+                            "|",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    left = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_a"))
+    right = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs by word-shingle Jaccard >= threshold, via an
+    inverted-index self-join (explode distinct shingles, equi-join on the
+    shingle, count shared, |A|+|B|-shared as union).
+
+    Returns (doc_a, doc_b, jaccard) rounded to 6 dp, doc_a < doc_b.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(
+            F.array_distinct(shingles_col(tokens_col(F.col(text_col)), shingle_k))
+        ).alias("shingle"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col("shingle"), F.col(id_col).alias("doc_a"))
+    b = sh.select(F.col("shingle"), F.col(id_col).alias("doc_b"))
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_buckets(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Documents grouped by SimHash value — each multi-doc bucket is a
+    near-duplicate candidate set. Returns (simhash, n_docs, min_doc)."""
+    with_sh = simhash(df, text_col, bits)
+    return with_sh.groupBy("simhash").agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc")
+    )

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force cosine top-k: query set x corpus with
+  a window row_number. O(|Q| * N) but embarrassingly parallel; the
+  correctness baseline.
+- :func:`lsh_ann_topk` — the scale path: random-hyperplane LSH with
+  md5-derived +-1 planes; vectors bucket by their sign pattern and top-k is
+  searched within the bucket only. Sublinear candidate sets at the cost of
+  recall; planes are deterministic so the oracle can reproduce them.
+
+Dot products run through higher-order array functions (JVM, sequential
+fold => bit-identical to the oracle's list_cosine_similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity between two float arrays (double precision)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
+                k: int = 5, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                n_queries: int = 10) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest
+    others. Returns (query_id, neighbor_id, cos) with cos rounded to 6 dp,
+    ranked by (cos desc, neighbor_id asc)."""
+    if query_ids is None:
+        queries = emb.filter(F.col(id_col) < n_queries)
+    else:
+        queries = emb.filter(F.col(id_col).isin(query_ids))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cand = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _plane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign bit of <vec, w_plane> with w_plane[j] = +-1 from md5(plane_j)."""
+    signed = F.aggregate(
+        F.zip_with(
+            vec,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.when(
+                    F.substring(F.md5(F.concat(F.lit(f"{plane}_"), j.cast("string"))), 1, 1)
+                    .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            lambda x, w: x.cast("double") * w,
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return F.when(signed > 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket_col(vec: Column, n_planes: int, dim: int) -> Column:
+    """LSH bucket id = integer of the n sign bits."""
+    b = F.lit(0)
+    for p in range(n_planes):
+        b = b + _plane_sign(vec, p, dim) * (1 << p)
+    return b
+
+
+def lsh_ann_topk(emb: DataFrame, k: int = 5, n_planes: int = 4,
+                 dim: int = 64, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 n_queries: int = 10) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    At 100 TB this is the shape that works: bucketing is a narrow map,
+    the join is per-bucket (co-partitioned), and each bucket holds
+    ~N / 2^n_planes vectors.
+    """
+    bucketed = emb.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), n_planes, dim))
+    q = bucketed.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_bucket"
+    )
+    cand = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_bucket"
+    )
+    scored = (
+        cand.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1,0 +1,156 @@
+"""Text-analysis operators: language-ID, quality, tokens, fingerprints.
+
+All pure Column expressions (split/regexp/higher-order aggregates) —
+JVM-side, shuffle-free maps over documents; every formula is also
+expressible in ANSI SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: marker stopwords per language for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "en": ["the", "and", "of", "is", "to", "in"],
+    "es": ["el", "los", "de", "y", "que", "la"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+#: BPE-ish token pattern: letter runs, digit runs, or single punctuation
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+MOD_PRIME = 1_000_000_007
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of lowercased text."""
+    return F.split(F.lower(text), " ")
+
+
+def shingles_col(tokens: Column, k: int = 3) -> Column:
+    """Word k-shingles (space-joined); empty array when < k tokens."""
+    n = F.size(tokens)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda j: F.array_join(F.slice(tokens, j + 1, k), " "),
+        )
+    )
+
+
+def token_hash_col(tok: Column) -> Column:
+    """Deterministic 32-bit token hash = first 8 md5 hex digits as int.
+
+    md5 is identical across engines, so the oracle reproduces it with
+    ``CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                out_col: str = "lang_pred") -> DataFrame:
+    """Marker-stopword language heuristic: count marker hits per language,
+    pick the max (ties broken by language name ascending; no hits -> 'und').
+    """
+    toks = tokens_col(F.col(text_col))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # ascending-name iteration + strictly-greater replacement = argmax with
+    # ascending-name tie-break; 'und' when no marker hits at all
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return df.withColumn(out_col, best)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score:
+
+    - n_tokens, mean_token_len
+    - punct_ratio  = punctuation chars / chars
+    - stop_ratio   = English stopword tokens / tokens
+    - score = 0.4*min(n_tokens/100,1) + 0.3*(1-punct_ratio)
+              + 0.3*min(stop_ratio*5, 1)     (rounded to 6 dp)
+    """
+    toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) /
+        F.greatest(n_tok, F.lit(1)), 6)
+    n_punct = F.size(F.filter(F.split(F.col(text_col), ""),
+                              lambda c: c.isin(".", ",", "!", "?", ";", ":")))
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+    score = F.round(
+        0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0)), 6)
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_token_len", mean_len)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("quality", score)
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    return (
+        df.withColumn("ws_tokens", F.size(tokens_col(F.col(text_col))))
+        .withColumn("bpe_tokens", F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """Polynomial rolling hash over token hashes:
+    ``fp = fold(tokens, 0, (acc, t) -> (acc*31 + h(t)) mod 1e9+7)``."""
+    toks = tokens_col(F.col(text_col))
+    fp = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + token_hash_col(t)) % MOD_PRIME,
+    )
+    return df.withColumn(out_col, fp)
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
+            out_col: str = "simhash") -> DataFrame:
+    """SimHash over token hashes: bit b of the output is set when the sum
+    of (+1/-1) votes of bit b across all token hashes is positive.
+
+    One ``aggregate`` fold with an array-of-votes accumulator — the md5
+    token hash is the fold input (computed once per token, not per bit).
+    """
+    toks = tokens_col(F.col(text_col))
+    hashes = F.transform(toks, token_hash_col)
+    init = F.array_repeat(F.lit(0).cast("long"), bits)
+    # shift amounts are data-dependent, so use exact power-of-2 arithmetic
+    # (h < 2^32 and b <= 15: all exact in double)
+    pow2 = F.array(*[F.lit(float(1 << b)) for b in range(bits)])
+    votes = F.aggregate(
+        hashes, init,
+        lambda acc, h: F.zip_with(
+            acc, F.sequence(F.lit(1), F.lit(bits)),
+            lambda v, i: v + ((h / F.element_at(pow2, i.cast("int"))).cast("long") % 2) * 2 - 1,
+        ),
+    )
+    sh = F.aggregate(
+        F.zip_with(votes, F.sequence(F.lit(1), F.lit(bits)),
+                   lambda v, i: F.when(v > 0, F.element_at(pow2, i.cast("int")).cast("long")).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn(out_col, sh)

@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB, compare row count, column
+names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            try:
+                s = s.dt.tz_localize(None)
+            except TypeError:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s
+        elif s.dtype == object:
+            df[c] = s.map(
+                lambda v: tuple(np.round(np.asarray(v, dtype=float), 9).tolist())
+                if isinstance(v, (list, tuple, np.ndarray)) and not isinstance(v, str)
+                else v
+            )
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = np.round(s.astype(float), 9)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif isinstance(s.dtype, pd.CategoricalDtype):
+            df[c] = s.astype(str)
+        else:
+            try:
+                df[c] = s.astype("float64")
+            except (ValueError, TypeError):
+                df[c] = s.astype(str)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from fstd2pandas_spark.session import get_spark
+
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(sdf)} (no oracle: rows-only)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: oracle error: {str(e)[:300]}")
+            continue
+        if len(sdf) != len(odf):
+            failures.append(name)
+            print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            failures.append(name)
+            print(f"FAIL {name}: cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                          check_exact=False, rtol=0, atol=1e-9)
+            print(f"ok   {name}: rows={len(sdf)} values match")
+        except AssertionError as e:
+            failures.append(name)
+            msg = str(e).splitlines()
+            print(f"FAIL {name}: value mismatch: {' | '.join(msg[:3])}")
+            diff = (a != b) & ~(a.isna() & b.isna())
+            bad_cols = [c for c in a.columns if diff[c].any()]
+            for c in bad_cols[:3]:
+                idx = diff[c].idxmax()
+                print(f"      col={c} row={idx} spark={a[c][idx]!r} oracle={b[c][idx]!r}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
