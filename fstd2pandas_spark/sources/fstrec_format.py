@@ -1,0 +1,168 @@
+"""The ``.fstrec`` portable record container — this engine's stand-in for
+the RPN standard-file binary layout.
+
+The real FST format needs librmn (unavailable here); this container keeps
+the *architecturally relevant* properties of it (SURVEY §2.1 S1-S8):
+
+- a **directory of fixed-width packed record headers at the front** of the
+  file (like XDF directory pages, std_io.py:656-812) so a metadata scan
+  reads a few KB without touching field data;
+- **payloads stored after the directory**, one seekable extent per record
+  (like the word-address/length pairs swa/lng, std_io.py:722-729), so a
+  pruned or filtered read fetches only matching records' bytes;
+- float32 payloads, row-major, ni-fastest.
+
+Layout (little-endian):
+
+    magic  b'FSTR0001'
+    u32    nrecords
+    directory: nrecords * HEADER (fixed width, see _HEADER_STRUCT)
+    payloads: concatenated float32 arrays
+
+Header fields mirror BASE_COLUMNS; payload extent = (offset, n_floats).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+MAGIC = b"FSTR0001"
+
+#: nomvar(4s) typvar(2s) etiket(12s) grtyp(2s) then 17 ints + 2 longs + extent
+_HEADER_STRUCT = struct.Struct(
+    "<4s2s12s2s"   # strings (space padded)
+    "iii"          # ni nj nk
+    "q"            # dateo
+    "iii"          # ip1 ip2 ip3
+    "ii"           # deet npas
+    "ii"           # datyp nbits
+    "iiii"         # ig1..ig4
+    "q"            # datev
+    "QI"           # payload offset, n_floats
+)
+
+HEADER_SIZE = _HEADER_STRUCT.size
+_PREFIX = len(MAGIC) + 4
+
+COLUMNS = [
+    "nomvar", "typvar", "etiket", "ni", "nj", "nk", "dateo", "ip1", "ip2",
+    "ip3", "deet", "npas", "datyp", "nbits", "grtyp", "ig1", "ig2", "ig3",
+    "ig4", "datev",
+]
+
+
+@dataclass
+class RecordHeader:
+    nomvar: str
+    typvar: str
+    etiket: str
+    grtyp: str
+    ni: int
+    nj: int
+    nk: int
+    dateo: int
+    ip1: int
+    ip2: int
+    ip3: int
+    deet: int
+    npas: int
+    datyp: int
+    nbits: int
+    ig1: int
+    ig2: int
+    ig3: int
+    ig4: int
+    datev: int
+    offset: int
+    n_floats: int
+
+
+def _pad(s: str, n: int) -> bytes:
+    return s.encode("ascii", "replace")[:n].ljust(n, b" ")
+
+
+def write_fstrec(path: str, records: "list[dict]") -> int:
+    """Write records (dicts with BASE column keys + 'd' list/array) to one
+    .fstrec file. Returns the number of records written."""
+    headers = bytearray()
+    payloads = []
+    offset = _PREFIX + HEADER_SIZE * len(records)
+    for rec in records:
+        d = np.asarray(rec.get("d") if rec.get("d") is not None else [], dtype="<f4")
+        headers += _HEADER_STRUCT.pack(
+            _pad(rec["nomvar"], 4), _pad(rec["typvar"], 2),
+            _pad(rec["etiket"], 12), _pad(rec.get("grtyp", "X"), 2),
+            int(rec["ni"]), int(rec["nj"]), int(rec.get("nk", 1)),
+            int(rec["dateo"]), int(rec["ip1"]), int(rec["ip2"]),
+            int(rec["ip3"]), int(rec["deet"]), int(rec["npas"]),
+            int(rec["datyp"]), int(rec["nbits"]),
+            int(rec["ig1"]), int(rec["ig2"]), int(rec["ig3"]),
+            int(rec["ig4"]), int(rec["datev"]),
+            offset, len(d),
+        )
+        payloads.append(d.tobytes())
+        offset += len(d) * 4
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", len(records)))
+        f.write(bytes(headers))
+        for p in payloads:
+            f.write(p)
+    return len(records)
+
+
+def maybe_fstrec(path: str) -> bool:
+    """Magic-bytes sniff (the reference's maybeFST, std_io.py:136-151)."""
+    try:
+        with open(path, "rb") as f:
+            return f.read(len(MAGIC)) == MAGIC
+    except OSError:
+        return False
+
+
+def read_directory(path: str) -> list[RecordHeader]:
+    """Read only the header directory — the metadata-scan fast path
+    (std_io.py:698-799's vectorized unpack; payloads untouched)."""
+    with open(path, "rb") as f:
+        if f.read(len(MAGIC)) != MAGIC:
+            raise ValueError(f"not an fstrec file: {path}")
+        (n,) = struct.unpack("<I", f.read(4))
+        raw = f.read(HEADER_SIZE * n)
+    out = []
+    for i in range(n):
+        vals = _HEADER_STRUCT.unpack_from(raw, i * HEADER_SIZE)
+        out.append(RecordHeader(
+            nomvar=vals[0].decode().rstrip(), typvar=vals[1].decode().rstrip(),
+            etiket=vals[2].decode().rstrip(), grtyp=vals[3].decode().rstrip(),
+            ni=vals[4], nj=vals[5], nk=vals[6], dateo=vals[7], ip1=vals[8],
+            ip2=vals[9], ip3=vals[10], deet=vals[11], npas=vals[12],
+            datyp=vals[13], nbits=vals[14], ig1=vals[15], ig2=vals[16],
+            ig3=vals[17], ig4=vals[18], datev=vals[19],
+            offset=vals[20], n_floats=vals[21],
+        ))
+    return out
+
+
+def read_payload(f, header: RecordHeader) -> np.ndarray:
+    """Seek + read one record's float32 payload (the point read of
+    get_data, std_io.py:463-475)."""
+    f.seek(header.offset)
+    return np.frombuffer(f.read(header.n_floats * 4), dtype="<f4")
+
+
+def list_fstrec_files(path: str) -> list[str]:
+    """Expand a path/directory/glob to .fstrec files."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, p) for p in os.listdir(path)
+            if p.endswith(".fstrec")
+        )
+    if any(ch in path for ch in "*?["):
+        return sorted(p for p in _glob.glob(path) if maybe_fstrec(p))
+    return [path]
