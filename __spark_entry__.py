@@ -770,6 +770,150 @@ def _simhash_sql(bits: int = 16) -> str:
 """
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fstd2pandas_spark.operators.llm import quality_score
+
+    docs = _load(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+        "stop_ratio", "quality",
+    ).orderBy("doc_id")
+
+
+def _quality_sql() -> str:
+    from fstd2pandas_spark.operators.llm.text import EN_STOPWORDS
+
+    stops = ", ".join(repr(s) for s in EN_STOPWORDS)
+    return f"""
+  WITH q AS (
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS n_tokens,
+           round(CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                 t -> len(t))) AS DOUBLE)
+                 / greatest(len(string_split(lower(text), ' ')), 1), 6)
+             AS mean_token_len,
+           round(CAST(len(list_filter(string_split(text, ''),
+                 c -> c IN ('.', ',', '!', '?', ';', ':'))) AS DOUBLE)
+                 / greatest(len(text), 1), 6) AS punct_ratio,
+           round(CAST(len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ({stops}))) AS DOUBLE)
+                 / greatest(len(string_split(lower(text), ' ')), 1), 6)
+             AS stop_ratio
+    FROM documents)
+  SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stop_ratio,
+         round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (1.0 - punct_ratio)
+               + 0.3 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+  FROM q ORDER BY doc_id
+"""
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fstd2pandas_spark.operators.llm import embedding_neardup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return embedding_neardup(emb, threshold=0.4).orderBy("vec_a", "vec_b")
+
+
+_Q_NEARDUP_SQL = """
+  WITH e AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings)
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+  ORDER BY vec_a, vec_b
+"""
+
+
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fstd2pandas_spark.operators.llm import lsh_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, k=5, n_planes=4, dim=64, n_queries=10).orderBy(
+        "query_id", "rank")
+
+
+def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5,
+                 n_queries: int = 10) -> str:
+    planes = " + ".join(
+        f"""(CASE WHEN list_dot_product(v,
+              list_transform(generate_series(0, {dim - 1}),
+                j -> CASE WHEN substr(md5(concat('{p}_', CAST(j AS VARCHAR))), 1, 1)
+                          IN ('0','1','2','3','4','5','6','7')
+                     THEN 1.0 ELSE -1.0 END)) > 0
+           THEN {1 << p} ELSE 0 END)"""
+        for p in range(n_planes)
+    )
+    return f"""
+  WITH e AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+  bucketed AS (SELECT vec_id, v, {planes} AS bucket FROM e)
+  SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.v, c.v), 6) AS cos,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                              c.vec_id ASC) AS rank
+    FROM bucketed q JOIN bucketed c
+      ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+    WHERE q.vec_id < {n_queries}) t
+  WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing driven end-to-end: documents become opaque
+    binary assets, features extracted via Arrow-batched mapInPandas
+    (decode kernel stubbed, SURVEY extension). Feature floats are
+    byte/255 from the md5 digest, so integer projections are exact."""
+    from fstd2pandas_spark.operators.llm import extract_features
+
+    docs = _load(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    feats = extract_features(assets)
+    return feats.select(
+        "asset_id", "kind", "n_bytes",
+        F.round(F.element_at("feature", 1) * 255).cast("long").alias("f0"),
+        F.round(F.element_at("feature", 16) * 255).cast("long").alias("f15"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x) * 255
+        ).cast("long").alias("fsum"),
+    ).orderBy("asset_id")
+
+
+_Q_MM_SQL = """
+  WITH h AS (
+    SELECT doc_id AS asset_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS hex
+    FROM documents),
+  b AS (
+    SELECT asset_id, kind, n_bytes,
+           list_transform(generate_series(0, 15),
+             i -> CAST(concat('0x', substr(hex, 2 * i + 1, 2)) AS BIGINT))
+             AS bytes
+    FROM h)
+  SELECT asset_id, kind, n_bytes,
+         bytes[1] AS f0, bytes[16] AS f15, list_sum(bytes) AS fsum
+  FROM b ORDER BY asset_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -808,7 +952,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
+        "doc_quality": q_doc_quality,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_neardup": q_emb_neardup,
+        "emb_ann_lsh": q_emb_ann_lsh,
+        "mm_features": q_mm_features,
     }
 
 
@@ -839,5 +987,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": _Q_JACCARD_SQL,
         "doc_minhash_lsh": _minhash_sql(),
         "doc_simhash": _simhash_sql(),
+        "doc_quality": _quality_sql(),
         "emb_cosine_topk": _Q_COSINE_SQL,
+        "emb_neardup": _Q_NEARDUP_SQL,
+        "emb_ann_lsh": _ann_lsh_sql(),
+        "mm_features": _Q_MM_SQL,
     }

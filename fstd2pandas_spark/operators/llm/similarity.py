@@ -69,6 +69,35 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
     )
 
 
+def embedding_neardup(emb: DataFrame, threshold: float = 0.4,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = 0, dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos) for every
+    unordered pair with cosine >= ``threshold``.
+
+    ``n_planes=0`` is the exact all-pairs baseline (O(N^2) — the
+    correctness oracle). With ``n_planes>0`` candidates are restricted to
+    the same random-hyperplane LSH bucket, which is the 100 TB shape:
+    bucketing is a narrow map and the pair join is per-bucket equi-join
+    (shuffles on bucket id, ~N/2^n_planes rows per bucket) instead of a
+    cross join.
+    """
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+    if n_planes > 0:
+        a = a.withColumn("_bucket", lsh_bucket_col(F.col("_va"), n_planes, dim))
+        b = b.withColumn("_bucket", lsh_bucket_col(F.col("_vb"), n_planes, dim))
+        joined = a.join(b, "_bucket")
+    else:
+        joined = a.crossJoin(b)
+    return (
+        joined.filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(cosine_col(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
 def _plane_sign(vec: Column, plane: int, dim: int) -> Column:
     """Sign bit of <vec, w_plane> with w_plane[j] = +-1 from md5(plane_j)."""
     signed = F.aggregate(

@@ -1,0 +1,152 @@
+"""LLM-pipeline operator tests over the driver's documents/embeddings
+tables (TESTDATA.md) at sf0.001."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fstd2pandas_spark.operators.llm import (
+    cosine_topk,
+    embedding_neardup,
+    exact_dedup,
+    extract_features,
+    fingerprint,
+    language_id,
+    lsh_ann_topk,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    sample_video_frames,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_partitions_docs(docs):
+    n_docs = docs.count()
+    dd = exact_dedup(docs)
+    assert dd.agg(F.sum("n_copies")).first()[0] == n_docs
+    # representative doc_id is the min of its hash group
+    assert dd.filter(F.col("doc_id").isNull()).count() == 0
+
+
+def test_language_id_domain(docs):
+    langs = {r.lang_pred for r in language_id(docs).select("lang_pred").distinct().collect()}
+    assert langs <= {"de", "en", "es", "fr", "und"}
+
+
+def test_quality_score_bounds(docs):
+    q = quality_score(docs)
+    bad = q.filter(
+        (F.col("quality") < 0) | (F.col("quality") > 1.0000001)
+        | (F.col("punct_ratio") < 0) | (F.col("punct_ratio") > 1)
+        | (F.col("stop_ratio") < 0) | (F.col("stop_ratio") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_token_counts_positive(docs):
+    tc = token_counts(docs)
+    assert tc.filter(F.col("ws_tokens") <= 0).count() == 0
+    assert tc.filter(F.col("bpe_tokens") < F.col("ws_tokens") / 2).count() == 0
+
+
+def test_fingerprint_deterministic(docs):
+    a = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    b = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    assert a == b
+    assert all(0 <= v < 1_000_000_007 for v in a.values())
+
+
+def test_lsh_candidates_catch_high_jaccard(docs):
+    """LSH with 8 hashes / 4 bands must surface every pair with very high
+    true Jaccard (threshold ~ (1/b)^(1/r) ≈ 0.5 at s=0.9 w.p. ~1)."""
+    true_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    assert true_pairs <= cand or not true_pairs
+
+
+def test_cosine_topk_matches_numpy(emb):
+    pdf = emb.toPandas()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in pdf.itertuples()}
+    got = cosine_topk(emb, k=3, n_queries=3).collect()
+    for row in got:
+        q, n = vecs[row.query_id], vecs[row.neighbor_id]
+        expect = float(q @ n / (np.linalg.norm(q) * np.linalg.norm(n)))
+        assert abs(row.cos - round(expect, 6)) < 1e-6
+
+
+def test_embedding_neardup_pairs_ordered(emb):
+    nd = embedding_neardup(emb, threshold=0.3).collect()
+    assert all(r.vec_a < r.vec_b for r in nd)
+    assert all(r.cos >= 0.3 for r in nd)
+
+
+def test_embedding_neardup_lsh_subset_of_exact(emb):
+    exact = {(r.vec_a, r.vec_b) for r in embedding_neardup(emb, threshold=0.3).collect()}
+    lsh = {(r.vec_a, r.vec_b)
+           for r in embedding_neardup(emb, threshold=0.3, n_planes=2).collect()}
+    assert lsh <= exact
+
+
+def test_lsh_ann_is_subset_ranked(emb):
+    rows = lsh_ann_topk(emb, k=3, n_planes=2, dim=64, n_queries=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        ranks = [r.rank for r in sorted(rs, key=lambda r: r.rank)]
+        assert ranks == list(range(1, len(ranks) + 1))
+        coss = [r.cos for r in sorted(rs, key=lambda r: r.rank)]
+        assert coss == sorted(coss, reverse=True)
+
+
+def _assets(docs):
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("doc_id") % 5 * 1000 + 500).cast("int").alias("duration_ms"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def test_multimodal_extract_features(docs):
+    import hashlib
+
+    feats = extract_features(_assets(docs)).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(feats) == len(texts)
+    for r in feats[:5]:
+        digest = hashlib.md5(texts[r.asset_id].encode()).digest()
+        assert r.n_bytes == len(texts[r.asset_id].encode())
+        np.testing.assert_allclose(
+            r.feature, [b / 255.0 for b in digest], rtol=1e-6)
+
+
+def test_multimodal_frame_sampling(docs):
+    frames = sample_video_frames(_assets(docs), every_ms=1000)
+    counts = {r.asset_id: r.n for r in
+              frames.groupBy("asset_id").agg(F.count("*").alias("n")).collect()}
+    docs_pd = docs.select("doc_id").toPandas()
+    for doc_id in docs_pd["doc_id"]:
+        dur = int(doc_id) % 5 * 1000 + 500
+        assert counts[doc_id] == len(range(0, max(dur - 1, 0) + 1, 1000))
