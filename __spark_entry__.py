@@ -914,6 +914,46 @@ _Q_MM_SQL = """
 """
 
 
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end (SURVEY §2.10 extension): file
+    stream over events, event-time watermark + tumbling window, drained
+    with an availableNow trigger. Complete mode output equals the batch
+    rollup, so the oracle fully gates the streaming path too."""
+    import uuid
+
+    from fstd2pandas_spark.streaming import run_to_memory
+
+    # events.parquet carries TIMESTAMP(NANOS) — same legacy-long rebuild
+    # as _load, applied to the stream
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    # FileStreamSource wants a directory or glob, not a bare file path
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(os.path.join(sf_dir, "events*.parquet"))
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4)
+             .alias("sum_value"))
+        .select(F.col("window.start").alias("hour"), "event_type", "n",
+                "sum_value")
+    )
+    name = f"stream_ev_{uuid.uuid4().hex[:8]}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).orderBy("hour", "event_type")
+
+
+_Q_STREAM_EVENTS_SQL = """
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+  FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -937,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all_distinct": q_union_all,
         "conditional_agg": q_conditional_agg,
         "events_hourly": q_events_hourly,
+        "stream_events_hourly": q_stream_events_hourly,
         "fst_decode_ip": q_fst_decode_ip,
         "fst_dates": q_fst_dates,
         "fst_etiket": q_fst_etiket,
@@ -972,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "union_all_distinct": _Q_UNION_SQL,
         "conditional_agg": _Q_CONDAGG_SQL,
         "events_hourly": _Q_EVENTS_SQL,
+        "stream_events_hourly": _Q_STREAM_EVENTS_SQL,
         "fst_decode_ip": _Q_DECODE_SQL,
         "fst_dates": _Q_DATES_SQL,
         "fst_etiket": _Q_ETIKET_SQL,

@@ -1,0 +1,17 @@
+from fstd2pandas_spark.streaming.record_stream import (
+    DEDUP_KEYS,
+    cycle_window_stats,
+    read_record_stream,
+    run_to_memory,
+    running_extrema,
+    streaming_drop_duplicates,
+)
+
+__all__ = [
+    "DEDUP_KEYS",
+    "cycle_window_stats",
+    "read_record_stream",
+    "run_to_memory",
+    "running_extrema",
+    "streaming_drop_duplicates",
+]

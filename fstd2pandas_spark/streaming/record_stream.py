@@ -1,0 +1,160 @@
+"""Structured Streaming over the record table (SURVEY §2.10 extension).
+
+The reference has no streaming (SURVEY §2.10) — its closest concept is the
+time axis ``datev``/``forecast_hour`` organized per record. Here
+forecast-cycle arrival maps onto Spark Structured Streaming natively:
+
+- a file stream (``readStream``) over a directory of record-table
+  parquet (or any ``fstrec``-converted drop zone): each forecast cycle
+  lands as new files, Spark discovers them incrementally;
+- event time = decoded ``datev`` (``date_of_validity``); watermarks bound
+  state for late cycles;
+- tumbling windows per forecast cycle for rollups;
+- ``dropDuplicatesWithinWatermark`` for the streaming analog of the
+  reference's ``drop_duplicates`` (dataframe.py:268-287);
+- ``applyInPandasWithState`` for custom stateful operators (running
+  per-variable extrema across cycles).
+
+Scale: each micro-batch is a normal DataFrame — all batch operators in
+this package apply unchanged. State is partitioned by group key across
+executors; watermark retention bounds its size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from fstd2pandas_spark.functions.codecs import stamp_to_timestamp
+from fstd2pandas_spark.schema import DEDUP_COLUMNS, RECORD_SCHEMA
+
+
+def read_record_stream(spark: SparkSession, path: str,
+                       schema: T.StructType | None = None,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """Open a streaming record table over a parquet drop-zone directory.
+
+    Adds ``event_time`` (decoded ``datev``) for watermarking. New files =
+    new records; one forecast cycle per file drop is the expected layout.
+    """
+    reader = spark.readStream.schema(schema or RECORD_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
+    return df.withColumn("event_time", stamp_to_timestamp(F.col("datev")))
+
+
+def cycle_window_stats(stream: DataFrame, window_duration: str = "6 hours",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Per (forecast-cycle window, nomvar) rollup: record count and the
+    running mean of field means — the streaming version of ``fststat``
+    (SURVEY §2.5 A1). Late records beyond ``watermark`` are dropped."""
+    mean_d = F.aggregate(
+        "d", F.lit(0.0), lambda a, x: a + x.cast("double"),
+    ) / F.greatest(F.size("d"), F.lit(1))
+    return (
+        stream.withWatermark("event_time", watermark)
+        .withColumn("_mean", mean_d)
+        .groupBy(F.window("event_time", window_duration), F.col("nomvar"))
+        .agg(
+            F.count("*").alias("n_records"),
+            F.round(F.avg("_mean"), 6).alias("mean_of_means"),
+            F.round(F.min("_mean"), 6).alias("min_mean"),
+            F.round(F.max("_mean"), 6).alias("max_mean"),
+        )
+        .select(
+            F.col("window.start").alias("cycle_start"),
+            F.col("window.end").alias("cycle_end"),
+            "nomvar", "n_records", "mean_of_means", "min_mean", "max_mean",
+        )
+    )
+
+
+#: the reference's duplicate-detection key subset (dataframe.py:268-287,
+#: ``ig2`` deliberately excluded) — reused for streaming dedup
+DEDUP_KEYS = list(DEDUP_COLUMNS)
+
+
+def streaming_drop_duplicates(stream: DataFrame,
+                              keys: Iterable[str] = tuple(DEDUP_KEYS),
+                              watermark: str = "1 hour") -> DataFrame:
+    """Streaming analog of ``drop_duplicates`` (A2): duplicates arriving
+    within the watermark horizon are suppressed; state self-expires."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+
+
+_EXTREMA_SCHEMA = T.StructType([
+    T.StructField("nomvar", T.StringType(), False),
+    T.StructField("n_seen", T.LongType(), False),
+    T.StructField("running_min", T.DoubleType(), True),
+    T.StructField("running_max", T.DoubleType(), True),
+])
+
+_EXTREMA_STATE = T.StructType([
+    T.StructField("n_seen", T.LongType(), False),
+    T.StructField("running_min", T.DoubleType(), True),
+    T.StructField("running_max", T.DoubleType(), True),
+])
+
+
+def running_extrema(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-variable
+    running min/max of field values across all micro-batches — state the
+    windowless aggregations can't express with bounded memory per key.
+    """
+
+    def _update(key, pdfs, state: GroupState):
+        n = 0
+        lo = hi = None
+        if state.exists:
+            n, lo, hi = state.get
+        for pdf in pdfs:
+            for arr in pdf["d"]:
+                if arr is None or len(arr) == 0:
+                    continue
+                vals = pd.Series(arr, dtype="float64")
+                n += len(vals)
+                m, mx = float(vals.min()), float(vals.max())
+                lo = m if lo is None else min(lo, m)
+                hi = mx if hi is None else max(hi, mx)
+        state.update((n, lo, hi))
+        yield pd.DataFrame({
+            "nomvar": [key[0]], "n_seen": [n],
+            "running_min": [lo], "running_max": [hi],
+        })
+
+    return (
+        stream.select("nomvar", "d")
+        .groupBy("nomvar")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=_EXTREMA_SCHEMA,
+            stateStructType=_EXTREMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_result: DataFrame, table_name: str,
+                  output_mode: str = "append") -> None:
+    """Drain a streaming query into an in-memory sink with the
+    ``availableNow`` trigger (process-everything-then-stop) and block
+    until done — the test/CI drive pattern."""
+    q = (
+        stream_result.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,121 @@
+"""Structured Streaming tests (SURVEY §2.10 extension): drive with
+availableNow triggers over a parquet drop-zone and compare against the
+batch equivalents."""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from fstd2pandas_spark.streaming import (
+    cycle_window_stats,
+    read_record_stream,
+    run_to_memory,
+    running_extrema,
+    streaming_drop_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def drop_zone(spark, records, tmp_path_factory):
+    """Record-table parquet written as two file drops (= two forecast
+    cycles arriving)."""
+    zone = str(tmp_path_factory.mktemp("dropzone"))
+    recs = records.select(
+        "nomvar", "typvar", "etiket", "ni", "nj", "nk", "dateo", "ip1",
+        "ip2", "ip3", "deet", "npas", "datyp", "nbits", "grtyp", "ig1",
+        "ig2", "ig3", "ig4", "datev", "grid", "d", "path", "key",
+    ).withColumn("dateo", F.col("dateo").cast("long")) \
+     .withColumn("datev", F.col("datev").cast("long"))
+    for i, half in enumerate(recs.randomSplit([0.5, 0.5], seed=7)):
+        half.coalesce(1).write.parquet(f"{zone}/drop{i}")
+    # stream source watches a flat dir of parquet files
+    import glob
+    import shutil
+
+    flat = str(tmp_path_factory.mktemp("flat"))
+    for j, f in enumerate(sorted(glob.glob(f"{zone}/drop*/part-*.parquet"))):
+        shutil.copy(f, f"{flat}/cycle-{j}.parquet")
+    return flat
+
+
+def _mem_table(spark, name):
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_cycle_window_stats_matches_batch(spark, records, drop_zone):
+    name = f"cyc_{uuid.uuid4().hex[:8]}"
+    stream = read_record_stream(spark, drop_zone, max_files_per_trigger=1)
+    # append mode would hold back windows the watermark never passes
+    # (availableNow ends the query first); complete re-emits all windows.
+    run_to_memory(cycle_window_stats(stream), name, output_mode="complete")
+    got = _mem_table(spark, name).toPandas()
+
+    # batch equivalent over the same files
+    from fstd2pandas_spark.functions.codecs import stamp_to_timestamp
+
+    batch = spark.read.parquet(drop_zone).withColumn(
+        "event_time", stamp_to_timestamp(F.col("datev")))
+    mean_d = F.aggregate("d", F.lit(0.0), lambda a, x: a + x.cast("double")) \
+        / F.greatest(F.size("d"), F.lit(1))
+    want = (
+        batch.withColumn("_mean", mean_d)
+        .groupBy(F.window("event_time", "6 hours"), "nomvar")
+        .agg(F.count("*").alias("n_records"),
+             F.round(F.avg("_mean"), 6).alias("mean_of_means"))
+        .select("nomvar", "n_records", "mean_of_means")
+    ).toPandas()
+    key = ["nomvar", "n_records", "mean_of_means"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    want_s = want[key].sort_values(key).reset_index(drop=True)
+    assert got_s.equals(want_s)
+    assert (got["cycle_end"] - got["cycle_start"]).nunique() == 1
+
+
+def test_streaming_dedup_suppresses_replayed_cycle(spark, records,
+                                                   drop_zone, tmp_path):
+    """Replaying the same cycle file (at-least-once delivery) must not
+    duplicate records downstream."""
+    import glob
+    import shutil
+
+    zone = str(tmp_path / "dups")
+    (tmp_path / "dups").mkdir()
+    files = sorted(glob.glob(f"{drop_zone}/*.parquet"))
+    for f in files:
+        shutil.copy(f, zone)
+    shutil.copy(files[0], f"{zone}/replayed.parquet")
+
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    stream = read_record_stream(spark, zone)
+    run_to_memory(streaming_drop_duplicates(stream), name)
+    got = _mem_table(spark, name).count()
+    # the fixture plants one duplicate pair of its own — batch-dedup is
+    # the ground truth, and the replayed file must add nothing beyond it
+    from fstd2pandas_spark.streaming import DEDUP_KEYS
+
+    want = spark.read.parquet(drop_zone).dropDuplicates(DEDUP_KEYS).count()
+    assert got == want
+
+
+def test_running_extrema_state(spark, records, drop_zone):
+    name = f"ext_{uuid.uuid4().hex[:8]}"
+    stream = read_record_stream(spark, drop_zone, max_files_per_trigger=1)
+    run_to_memory(running_extrema(stream), name, output_mode="update")
+    got = _mem_table(spark, name).toPandas()
+
+    batch = spark.read.parquet(drop_zone).select("nomvar", "d")
+    want = (
+        batch.select("nomvar", F.explode("d").alias("v"))
+        .groupBy("nomvar")
+        .agg(F.count("*").alias("n_seen"),
+             F.min(F.col("v").cast("double")).alias("running_min"),
+             F.max(F.col("v").cast("double")).alias("running_max"))
+    ).toPandas().set_index("nomvar")
+
+    # the final update per nomvar must equal the batch totals
+    final = got.sort_values("n_seen").groupby("nomvar").last()
+    for nomvar, row in want.iterrows():
+        assert final.loc[nomvar, "n_seen"] == row["n_seen"]
+        assert abs(final.loc[nomvar, "running_min"] - row["running_min"]) < 1e-5
+        assert abs(final.loc[nomvar, "running_max"] - row["running_max"]) < 1e-5
