@@ -914,6 +914,70 @@ _Q_MM_SQL = """
 """
 
 
+def q_fst_latlon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: 2-D lat/lon generation for L grids (native sequence/transform
+    expressions). One synthetic L grid per nation; LA/LO records
+    posexploded to scalar cells for the hash compare."""
+    from fstd2pandas_spark.operators.grid import grid_lat_lon
+
+    nat = _load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    lat0 = (k - 12).cast("double")
+    lon0 = (k * 14 - 180).cast("double")
+    dlat = (k % 3 + 1).cast("double")
+    dlon = (k % 4 + 2).cast("double")
+    ig1 = F.round((lat0 + 90) * 100).cast("int")
+    ig2 = F.round((lon0 + 180) * 100).cast("int")
+    ig3 = F.round(dlat * 100).cast("int")
+    ig4 = F.round(dlon * 100).cast("int")
+    ni = (k % 5 + 4).cast("int")
+    nj = (k % 3 + 3).cast("int")
+    recs = nat.select(
+        F.lit("TT").alias("nomvar"), F.lit("P").alias("typvar"),
+        F.lit("GRIDQ").alias("etiket"), ni.alias("ni"), nj.alias("nj"),
+        F.lit(1).alias("nk"), F.lit(0).cast("long").alias("dateo"),
+        F.lit(0).alias("ip1"), F.lit(0).alias("ip2"), F.lit(0).alias("ip3"),
+        F.lit(0).alias("deet"), F.lit(0).alias("npas"),
+        F.lit(134).alias("datyp"), F.lit(16).alias("nbits"),
+        F.lit("L").alias("grtyp"), ig1.alias("ig1"), ig2.alias("ig2"),
+        ig3.alias("ig3"), ig4.alias("ig4"),
+        F.lit(0).cast("long").alias("datev"),
+        F.concat(ig1.cast("string"), ig2.cast("string")).alias("grid"),
+        F.array_repeat(F.lit(0.0).cast("float"), ni * nj).alias("d"),
+    )
+    ll = grid_lat_lon(recs)
+    return (
+        ll.select("grid", "nomvar", "ni", "nj",
+                  F.posexplode("d").alias("pos", "val"))
+        .withColumn("val", F.round(F.col("val"), 6))
+        .orderBy("grid", "nomvar", "pos")
+    )
+
+
+_Q_LATLON_SQL = """
+  WITH g AS (
+    SELECT n_nationkey AS k,
+           n_nationkey - 12.0 AS lat0, n_nationkey * 14.0 - 180.0 AS lon0,
+           CAST(n_nationkey % 3 + 1 AS DOUBLE) AS dlat,
+           CAST(n_nationkey % 4 + 2 AS DOUBLE) AS dlon,
+           CAST(n_nationkey % 5 + 4 AS INT) AS ni,
+           CAST(n_nationkey % 3 + 3 AS INT) AS nj,
+           CAST(round((n_nationkey - 12.0 + 90.0) * 100) AS INT) AS ig1,
+           CAST(round((n_nationkey * 14.0) * 100) AS INT) AS ig2
+    FROM nation),
+  cells AS (
+    SELECT concat(CAST(ig1 AS VARCHAR), CAST(ig2 AS VARCHAR)) AS grid,
+           ni, nj, lat0, lon0, dlat, dlon, u.p AS pos
+    FROM g, UNNEST(generate_series(0, ni * nj - 1)) u(p))
+  SELECT grid, 'LA' AS nomvar, ni, nj, pos,
+         round(lat0 + (pos // ni) * dlat, 6) AS val FROM cells
+  UNION ALL
+  SELECT grid, 'LO' AS nomvar, ni, nj, pos,
+         round(lon0 + (pos % ni) * dlon, 6) AS val FROM cells
+  ORDER BY grid, nomvar, pos
+"""
+
+
 def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end (SURVEY §2.10 extension): file
     stream over events, event-time watermark + tumbling window, drained
@@ -986,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fst_mask": q_fst_mask,
         "fst_pressure_eta": q_fst_pressure_eta,
         "fst_voir": q_fst_voir,
+        "fst_latlon": q_fst_latlon,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_langid": q_doc_langid,
         "doc_token_counts": q_doc_token_counts,
@@ -1022,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "fst_mask": _Q_MASK_SQL,
         "fst_pressure_eta": _Q_PRESSURE_SQL,
         "fst_voir": _Q_VOIR_SQL,
+        "fst_latlon": _Q_LATLON_SQL,
         "doc_exact_dedup": _Q_EXACT_DEDUP_SQL,
         "doc_langid": _langid_sql(),
         "doc_token_counts": _Q_TOKENS_SQL,

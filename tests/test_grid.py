@@ -1,0 +1,143 @@
+"""Grid/coordinate layer tests (SURVEY §2.9 G12-G16) against numpy
+ground truth of the public grid-type formulas."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fstd2pandas_spark.operators.grid import (
+    GridDefinitionError,
+    df_from_grid,
+    gaussian_latitudes,
+    grid_lat_lon,
+    grid_metadata_for,
+    is_global_grid,
+    l_grid_igs,
+)
+
+_REC = ("nomvar string, typvar string, etiket string, ni int, nj int, nk int, "
+        "dateo bigint, ip1 int, ip2 int, ip3 int, deet int, npas int, "
+        "datyp int, nbits int, grtyp string, ig1 int, ig2 int, ig3 int, "
+        "ig4 int, datev bigint, grid string, d array<float>")
+
+
+def _rec(nomvar="TT", grtyp="L", ni=4, nj=3, ig=(0, 0, 0, 0), grid="g1",
+         d=None, ip1=0, ip2=0):
+    return dict(nomvar=nomvar, typvar="P", etiket="T", ni=ni, nj=nj, nk=1,
+                dateo=0, ip1=ip1, ip2=ip2, ip3=0, deet=0, npas=0, datyp=134,
+                nbits=16, grtyp=grtyp, ig1=ig[0], ig2=ig[1], ig3=ig[2],
+                ig4=ig[3], datev=0, grid=grid,
+                d=d or [0.0] * (ni * nj))
+
+
+def _latlon(spark, rows):
+    df = spark.createDataFrame(rows, schema=_REC)
+    out = grid_lat_lon(df).select("grid", "nomvar", "d").collect()
+    return {(r.grid, r.nomvar): np.array(r.d) for r in out}
+
+
+def test_l_grid_latlon(spark):
+    igs = l_grid_igs(lat0=40.0, lon0=-80.0, dlat=2.0, dlon=3.0)
+    got = _latlon(spark, [_rec(grtyp="L", ni=4, nj=3, ig=igs)])
+    lon_axis = -80.0 + np.arange(4) * 3.0
+    lat_axis = 40.0 + np.arange(3) * 2.0
+    np.testing.assert_allclose(got[("g1", "LO")], np.tile(lon_axis, 3), atol=1e-5)
+    np.testing.assert_allclose(got[("g1", "LA")], np.repeat(lat_axis, 4), atol=1e-5)
+
+
+def test_a_b_grid_latlon(spark):
+    got = _latlon(spark, [
+        _rec(grtyp="A", ni=6, nj=4, grid="ga"),
+        _rec(grtyp="B", ni=5, nj=3, grid="gb"),
+    ])
+    np.testing.assert_allclose(
+        got[("ga", "LO")][:6], np.arange(6) * 60.0, atol=1e-5)
+    np.testing.assert_allclose(
+        got[("ga", "LA")][::6], -90.0 + (np.arange(4) + 0.5) * 45.0, atol=1e-5)
+    np.testing.assert_allclose(
+        got[("gb", "LO")][:5], np.arange(5) * 90.0, atol=1e-5)
+    np.testing.assert_allclose(
+        got[("gb", "LA")][::5], [-90.0, 0.0, 90.0], atol=1e-5)
+
+
+def test_gaussian_grid_latlon(spark):
+    got = _latlon(spark, [_rec(grtyp="G", ni=4, nj=4, grid="gg")])
+    lats = got[("gg", "LA")][::4]
+    expect = gaussian_latitudes(4)
+    np.testing.assert_allclose(lats, expect, atol=1e-5)
+    roots = np.sort(np.polynomial.legendre.leggauss(4)[0])
+    np.testing.assert_allclose(np.sin(np.radians(expect)), roots, atol=1e-12)
+
+
+def test_z_grid_latlon_outer_product(spark):
+    ax = [10.0, 20.0, 30.0]
+    ay = [45.0, 50.0]
+    rows = [
+        _rec(grtyp="Z", ni=3, nj=2, grid="gz", ig=(11, 22, 0, 0)),
+        _rec(nomvar=">>", grtyp="L", ni=3, nj=1, grid="gz", d=ax,
+             ip1=11, ip2=22),
+        _rec(nomvar="^^", grtyp="L", ni=1, nj=2, grid="gz", d=ay,
+             ip1=11, ip2=22),
+    ]
+    got = _latlon(spark, rows)
+    np.testing.assert_allclose(got[("gz", "LO")], [10, 20, 30, 10, 20, 30])
+    np.testing.assert_allclose(got[("gz", "LA")], [45, 45, 45, 50, 50, 50])
+
+
+def test_unsupported_grtyp_raises(spark):
+    df = spark.createDataFrame([_rec(grtyp="N")], schema=_REC)
+    with pytest.raises(GridDefinitionError):
+        grid_lat_lon(df)
+
+
+def test_is_global_grid(spark):
+    rows = [
+        _rec(grtyp="A", ni=4, nj=2, grid="ga"),
+        _rec(grtyp="B", ni=4, nj=2, grid="gb"),
+        # L global no repetition: 8 * 45 == 360
+        _rec(grtyp="L", ni=8, nj=2, grid="gl1",
+             ig=l_grid_igs(0.0, 0.0, 1.0, 45.0)),
+        # L global with repetition: 9 * 45 == 360 + 45
+        _rec(grtyp="L", ni=9, nj=2, grid="gl2",
+             ig=l_grid_igs(0.0, 0.0, 1.0, 45.0)),
+        # L regional: 4 * 3 deg
+        _rec(grtyp="L", ni=4, nj=2, grid="gl3",
+             ig=l_grid_igs(0.0, 0.0, 1.0, 3.0)),
+    ]
+    df = spark.createDataFrame(rows, schema=_REC)
+    got = {r.grid: (r.global_grid, r.repetition)
+           for r in is_global_grid(df).collect()}
+    assert got["ga"] == (True, False)
+    assert got["gb"] == (True, True)
+    assert got["gl1"] == (True, False)
+    assert got["gl2"] == (True, True)
+    assert got["gl3"] == (False, False)
+
+
+def test_df_from_grid_roundtrip(spark):
+    """G15 then G12: constructed >>/^^ records drive the Z-grid outer
+    product."""
+    g = dict(grtyp="Z", ni=3, nj=2, ig1=11, ig2=22, grref="L",
+             ax=[100.0, 110.0, 120.0], ay=[-10.0, 0.0])
+    meta = df_from_grid(spark, g)
+    assert {r.nomvar for r in meta.select("nomvar").collect()} == {">>", "^^"}
+    data = spark.createDataFrame(
+        [_rec(grtyp="Z", ni=3, nj=2, grid="1122", ig=(11, 22, 0, 0))],
+        schema=_REC)
+    both = data.unionByName(meta)
+    got = {(r.grid, r.nomvar): np.array(r.d)
+           for r in grid_lat_lon(both).select("grid", "nomvar", "d").collect()}
+    np.testing.assert_allclose(got[("1122", "LO")],
+                               [100, 110, 120, 100, 110, 120])
+    np.testing.assert_allclose(got[("1122", "LA")],
+                               [-10, -10, -10, 0, 0, 0])
+
+
+def test_grid_metadata_for_semi_join(spark, records):
+    sel = records.filter(F.col("nomvar") == "TT")
+    meta = grid_metadata_for(sel, records)
+    grids = {r.grid for r in sel.select("grid").distinct().collect()}
+    got = {r.grid for r in meta.select("grid").distinct().collect()}
+    assert got <= grids
+    assert meta.filter(~F.col("nomvar").isin(
+        "!!", "P0", "PT", ">>", "^^", "^>", "HY", "!!SF")).count() == 0
