@@ -578,6 +578,53 @@ _Q_VOIR_SQL = f"""
 
 # --- LLM-pipeline queries ---------------------------------------------------
 
+def q_fst_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 cube builder: stack per-record arrays into per-variable
+    cubes (one shuffle), then posexplode the flattened cube to scalar
+    cells for the hash compare."""
+    from fstd2pandas_spark.operators.cube import to_cube
+
+    rec = (
+        records_from_lineitem(spark, sf_dir)
+        .withColumn("grid", F.lit("0"))
+        .withColumn("datev", F.col("dateo"))
+    )
+    cube = to_cube(rec)
+    return (
+        cube.select(
+            "nomvar", "ip1_kind", "datev",
+            F.size("cube").alias("n_layers"),
+            F.posexplode(F.flatten("cube")).alias("pos", "val"),
+        )
+        .withColumn("val", F.round(F.col("val").cast("double"), 4))
+        .orderBy("nomvar", "ip1_kind", "datev", "pos")
+    )
+
+
+_Q_CUBE_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL}),
+  lv AS (
+    SELECT nomvar,
+           {_DECODE_KIND_SQL.format(ip='ip1')} AS ip1_kind,
+           dateo AS datev,
+           CAST(CAST({_DECODE_VALUE_SQL.format(ip='ip1')} AS FLOAT) AS DOUBLE)
+             AS level,
+           d
+    FROM rec),
+  grp AS (
+    SELECT nomvar, ip1_kind, datev,
+           count(*) AS n_layers,
+           flatten(list(d ORDER BY
+             level * (CASE WHEN ip1_kind IN (1, 2, 5) THEN -1 ELSE 1 END),
+             d)) AS flat
+    FROM lv GROUP BY 1, 2, 3)
+  SELECT nomvar, ip1_kind, datev, n_layers, s.i - 1 AS pos,
+         round(CAST(flat[s.i] AS DOUBLE), 4) AS val
+  FROM grp, UNNEST(generate_series(1, len(flat))) s(i)
+  ORDER BY nomvar, ip1_kind, datev, pos
+"""
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fstd2pandas_spark.operators.llm import exact_dedup
 
@@ -1051,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fst_pressure_eta": q_fst_pressure_eta,
         "fst_voir": q_fst_voir,
         "fst_latlon": q_fst_latlon,
+        "fst_cube": q_fst_cube,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_langid": q_doc_langid,
         "doc_token_counts": q_doc_token_counts,
@@ -1088,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "fst_pressure_eta": _Q_PRESSURE_SQL,
         "fst_voir": _Q_VOIR_SQL,
         "fst_latlon": _Q_LATLON_SQL,
+        "fst_cube": _Q_CUBE_SQL,
         "doc_exact_dedup": _Q_EXACT_DEDUP_SQL,
         "doc_langid": _langid_sql(),
         "doc_token_counts": _Q_TOKENS_SQL,

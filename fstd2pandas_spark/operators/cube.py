@@ -1,0 +1,119 @@
+"""Cube builder — the distributed re-expression of the reference's xarray
+export (SURVEY §2.11; xarray_utils.py:10-77).
+
+The reference groups by grid, then (nomvar, ip1_kind), sorts each group
+by level (direction from the ``ascending`` flag) or by date_of_validity
+in timeseries mode, and ``da.stack``s the 2-D arrays into a 3-D cube.
+At 100 TB the cube must stay distributed: here it is one row per
+(grid, nomvar[, ip1_kind]) holding ``array<array<float>>`` — built with
+``collect_list`` + ``sort_array`` inside the aggregation (a single
+shuffle on the group key), never a driver collect.
+
+``to_xarray`` is the terminal driver-side convenience (explicitly NOT a
+distributed op — SURVEY §7.3e), gated behind an xarray import-try.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fstd2pandas_spark.functions.codecs import (
+    decode_ip_kind,
+    decode_ip_value,
+    stamp_to_timestamp,
+)
+from fstd2pandas_spark.schema import ASCENDING_KINDS, META_NOMVARS
+
+
+def _level_cols(df: DataFrame) -> DataFrame:
+    out = df
+    if "level" not in df.columns:
+        out = out.withColumn("level", decode_ip_value(F.col("ip1")).cast("float"))
+    if "ip1_kind" not in df.columns:
+        out = out.withColumn("ip1_kind", decode_ip_kind(F.col("ip1")))
+    return out
+
+
+def to_cube(df: DataFrame, by_time: bool = False) -> DataFrame:
+    """Stack per-record arrays into per-variable cubes.
+
+    Level mode (default): one row per (grid, nomvar, ip1_kind); the level
+    axis is sorted by decoded level, direction taken from the kind's
+    ascending convention (std_dec.py:71-85), matching xarray_utils.py:51.
+
+    Timeseries mode (``by_time=True``): one row per (grid, nomvar, ip1);
+    axis = date_of_validity (xarray_utils.py:55-57).
+
+    Output columns: group keys + ``axis`` (the sorted coordinate values),
+    ``cube`` (array<array<float>>, one inner array per record), ``ni``,
+    ``nj`` (validated single-valued per group).
+    """
+    data = _level_cols(df.filter(~F.col("nomvar").isin(META_NOMVARS)))
+    if by_time:
+        keys = ["grid", "nomvar", "ip1"]
+        axis = stamp_to_timestamp(F.col("datev")).cast("double")
+        sort_sign = F.lit(1.0)
+    else:
+        # datev in the key: the reference's "one datev per group" invariant
+        # (A4, std_vgrid.py:131-153) — one cube per variable per valid time
+        keys = ["grid", "nomvar", "ip1_kind", "datev"]
+        axis = F.col("level").cast("double")
+        # descending-level kinds sort by -level (xarray_utils.py:51; W2)
+        asc_expr = F.lit(True)
+        for kind, asc in ASCENDING_KINDS.items():
+            asc_expr = F.when(F.col("ip1_kind") == kind, F.lit(asc)) \
+                        .otherwise(asc_expr)
+        sort_sign = F.when(asc_expr, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    stacked = (
+        data.withColumn("_axis", axis)
+        .withColumn("_sort", F.col("_axis") * sort_sign)
+        .groupBy(*keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("_sort", "_axis", "d"))
+            ).alias("_s"),
+            # min/max instead of count_distinct: count_distinct would add
+            # an Expand + a second shuffle (3x shuffle volume at scale)
+            F.min("ni").alias("_ni_lo"), F.max("ni").alias("ni"),
+            F.min("nj").alias("_nj_lo"), F.max("nj").alias("nj"),
+        )
+    )
+    return stacked.select(
+        *keys,
+        F.transform("_s", lambda s: s["_axis"]).alias("axis"),
+        F.transform("_s", lambda s: s["d"]).alias("cube"),
+        "ni", "nj",
+        ((F.col("_ni_lo") != F.col("ni"))
+         | (F.col("_nj_lo") != F.col("nj"))).alias("ragged"),
+    )
+
+
+def to_xarray(df: DataFrame, by_time: bool = False):
+    """Driver-side xarray export of :func:`to_cube` output. Requires the
+    optional ``xarray`` dependency; raises ImportError otherwise. Collect
+    happens here — use only on selections that fit in driver memory."""
+    try:
+        import xarray as xr
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError(
+            "xarray is not installed in this environment; "
+            "to_cube() output is the distributed equivalent"
+        ) from exc
+    import numpy as np
+
+    rows = to_cube(df, by_time=by_time).collect()
+    arrays = {}
+    for r in rows:
+        if r.ragged:
+            continue
+        cube = np.array([np.asarray(layer, dtype=np.float32).reshape(r.nj, r.ni)
+                         for layer in r.cube])
+        dim0 = "time" if by_time else "level"
+        name = (f"{r.nomvar}_{r.grid}" if by_time
+                else f"{r.nomvar}_{r.grid}_{r.datev}")
+        arrays[name] = xr.DataArray(
+            cube, dims=(dim0, "y", "x"),
+            coords={dim0: list(r.axis)}, name=name)
+    return xr.Dataset(arrays)

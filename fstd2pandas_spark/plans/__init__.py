@@ -1,0 +1,19 @@
+from fstd2pandas_spark.plans.checks import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    count_exchanges,
+    plan_string,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+
+__all__ = [
+    "assert_broadcast_join",
+    "assert_no_cartesian",
+    "assert_pushed_filters",
+    "count_exchanges",
+    "plan_string",
+    "read_schema_columns",
+    "wholestage_codegen_spans",
+]
