@@ -46,9 +46,11 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entry_mod.queries()
 
-    # warmup: prime codegen paths on the smallest SF
+    # warmup: prime codegen for EVERY headline query on the smallest SF —
+    # whole-stage codegen compiles per plan shape (~1-2 s each, cached
+    # thereafter), and the measurement should time the plans, not Janino
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE[:3]:
+    for name in HEADLINE:
         try:
             qs[name](spark, warm_dir).count()
         except Exception:

@@ -60,23 +60,26 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     hash is the fold *input*, so it is computed exactly once per shingle
     regardless of signature width — the variants are integer arithmetic.
     Shuffle-free per-document computation."""
-    sh = shingles_col(tokens_col(F.col(text_col)), shingle_k)
-    hashes = F.transform(sh, base_hash_col)
-    a_arr = F.array(*[F.lit(a).cast("long") for a in MINHASH_AS[:num_hashes]])
-    b_arr = F.array(*[F.lit(b).cast("long") for b in MINHASH_BS[:num_hashes]])
-    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes)
-    sig = F.aggregate(
-        hashes, init,
-        lambda acc, h: F.zip_with(
-            acc, F.sequence(F.lit(1), F.lit(num_hashes)),
-            lambda m, i: F.least(
-                m,
-                (F.element_at(a_arr, i.cast("int")) * h
-                 + F.element_at(b_arr, i.cast("int"))) % MINHASH_P,
-            ),
-        ),
+    # Projection boundaries matter doubly here (CollapseProject keeps
+    # expensive multi-referenced aliases, and HOF lambdas have no
+    # loop-invariant hoisting): tokens materialize first — an inline
+    # split() would re-split the text once PER SHINGLE inside the
+    # transform — then the base-hash array (md5 once per shingle). The
+    # per-hash variants are one flat transform + array_min each: far
+    # fewer allocations than a fold rebuilding a num_hashes-wide
+    # accumulator per shingle. The sig expression is ONE SQL string — the
+    # Column DSL would cost hundreds of py4j round-trips to build.
+    with_t = df.withColumn("_tk", tokens_col(F.col(text_col)))
+    sh = shingles_col(F.col("_tk"), shingle_k)
+    with_h = with_t.withColumn(
+        "_mh", F.transform(sh, base_hash_col)).drop("_tk")
+    terms = ", ".join(
+        "coalesce(array_min(transform(_mh, "
+        f"h -> (cast({MINHASH_AS[i]} as bigint) * h + {MINHASH_BS[i]}) "
+        f"% {MINHASH_P})), cast({MINHASH_P} as bigint))"
+        for i in range(num_hashes)
     )
-    return df.withColumn("sig", sig)
+    return with_h.withColumn("sig", F.expr(f"array({terms})")).drop("_mh")
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
@@ -110,6 +113,11 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
+    # repartition on the join key so both self-join sides share ONE
+    # exchange subtree (ReusedExchange): the signature pipeline computes
+    # once. A plain self-join would broadcast one side and recompute the
+    # entire minhash for it.
+    banded = banded.repartition("band", "bucket")
     left = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_a"))
     right = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_b"))
     return (
@@ -129,9 +137,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
     Returns (doc_a, doc_b, jaccard) rounded to 6 dp, doc_a < doc_b.
     """
+    # tokens behind a projection boundary: inline split() would re-split
+    # the text once per shingle inside the transform lambda
     sh = (
-        df.select(F.col(id_col), F.explode(
-            F.array_distinct(shingles_col(tokens_col(F.col(text_col)), shingle_k))
+        df.withColumn("_tk", tokens_col(F.col(text_col)))
+        .select(F.col(id_col), F.explode(
+            F.array_distinct(shingles_col(F.col("_tk"), shingle_k))
         ).alias("shingle"))
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))

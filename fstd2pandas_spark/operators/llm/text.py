@@ -134,23 +134,21 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
     One ``aggregate`` fold with an array-of-votes accumulator — the md5
     token hash is the fold input (computed once per token, not per bit).
     """
-    toks = tokens_col(F.col(text_col))
-    hashes = F.transform(toks, token_hash_col)
-    init = F.array_repeat(F.lit(0).cast("long"), bits)
-    # shift amounts are data-dependent, so use exact power-of-2 arithmetic
-    # (h < 2^32 and b <= 15: all exact in double)
-    pow2 = F.array(*[F.lit(float(1 << b)) for b in range(bits)])
-    votes = F.aggregate(
-        hashes, init,
-        lambda acc, h: F.zip_with(
-            acc, F.sequence(F.lit(1), F.lit(bits)),
-            lambda v, i: v + ((h / F.element_at(pow2, i.cast("int"))).cast("long") % 2) * 2 - 1,
-        ),
+    # token-hash array behind a projection boundary: md5 once per token;
+    # then one flat long-fold per bit (unrolled, so the shift amount is a
+    # literal). Built as ONE SQL string — a wide expression assembled via
+    # the Column DSL costs hundreds of py4j round-trips (~2 s of pure
+    # driver-side build time); expr() parses it JVM-side in one call.
+    with_h = df.withColumn(
+        "_th",
+        F.expr(f"transform(split(lower({text_col}), ' '), "
+               "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"),
     )
-    sh = F.aggregate(
-        F.zip_with(votes, F.sequence(F.lit(1), F.lit(bits)),
-                   lambda v, i: F.when(v > 0, F.element_at(pow2, i.cast("int")).cast("long")).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    vote = ("aggregate(_th, cast(0 as bigint), "
+            "(acc, h) -> acc + (shiftright(h, {b}) & 1) * 2 - 1)")
+    sh = " + ".join(
+        f"(CASE WHEN {vote.format(b=b)} > 0 "
+        f"THEN cast({1 << b} as bigint) ELSE cast(0 as bigint) END)"
+        for b in range(bits)
     )
-    return df.withColumn(out_col, sh)
+    return with_h.withColumn(out_col, F.expr(sh)).drop("_th")
