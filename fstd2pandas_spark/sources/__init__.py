@@ -19,6 +19,10 @@ from fstd2pandas_spark.sources.csv_source import (
     write_csv_records,
     dimension_violations,
 )
+from fstd2pandas_spark.sources.writer import (
+    detect_rewrite,
+    write_record_table,
+)
 
 
 def read_records(spark: SparkSession, path: str) -> DataFrame:
@@ -39,4 +43,5 @@ def write_records(df: DataFrame, path: str, mode: str = "error",
 __all__ = [
     "FstRecDataSource", "register", "read_csv_records", "write_csv_records",
     "dimension_violations", "read_records", "write_records",
+    "detect_rewrite", "write_record_table",
 ]

@@ -154,6 +154,37 @@ def read_payload(f, header: RecordHeader) -> np.ndarray:
     return np.frombuffer(f.read(header.n_floats * 4), dtype="<f4")
 
 
+def update_metadata(path: str, updates: "dict[int, dict]") -> int:
+    """In-place metadata edit by 1-based record key — the reference's
+    ``update`` mode (std_writer.py:100-125 via ``fst_edit_dir``). Payload
+    extents are never touched; only header metadata fields change.
+    Returns the number of edited records."""
+    headers = read_directory(path)
+    edited = 0
+    with open(path, "r+b") as f:
+        for key, fields in updates.items():
+            if not 1 <= key <= len(headers):
+                raise KeyError(f"record key {key} not in {path}")
+            h = headers[key - 1]
+            for name, value in fields.items():
+                if name in ("offset", "n_floats", "d"):
+                    raise ValueError(f"cannot update {name} in-place")
+                if not hasattr(h, name):
+                    raise KeyError(f"unknown metadata field {name}")
+                setattr(h, name, value)
+            f.seek(_PREFIX + (key - 1) * HEADER_SIZE)
+            f.write(_HEADER_STRUCT.pack(
+                _pad(h.nomvar, 4), _pad(h.typvar, 2), _pad(h.etiket, 12),
+                _pad(h.grtyp, 2), int(h.ni), int(h.nj), int(h.nk),
+                int(h.dateo), int(h.ip1), int(h.ip2), int(h.ip3),
+                int(h.deet), int(h.npas), int(h.datyp), int(h.nbits),
+                int(h.ig1), int(h.ig2), int(h.ig3), int(h.ig4),
+                int(h.datev), h.offset, h.n_floats,
+            ))
+            edited += 1
+    return edited
+
+
 def list_fstrec_files(path: str) -> list[str]:
     """Expand a path/directory/glob to .fstrec files."""
     import glob as _glob

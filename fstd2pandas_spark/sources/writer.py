@@ -1,0 +1,85 @@
+"""High-level record-table writer — the three modes of
+``StandardFileWriter`` (SURVEY §2.1 S9-S10; std_writer.py:30-168) on the
+``fstrec`` data source:
+
+- ``write``: metadata_cleanup -> sequential-I/O ordering (path, key) ->
+  distributed write (std_writer.py:127-155; O7's sort discipline via
+  ``sortWithinPartitions``);
+- ``dump``: raw write, no cleanup (std_writer.py:90-98);
+- ``update``: metadata-only in-place edit of existing container files by
+  (path, key) — never rewrites payload bytes (std_writer.py:100-125).
+
+``detect_rewrite`` is S10 (std_writer.py:158-168): flags duplicate
+(nomvar, typvar, etiket, ip1, ip2, ip3) groups so callers choose
+append-vs-rewrite before committing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: S10 duplicate-detection key (std_writer.py:163)
+REWRITE_KEYS = ["nomvar", "typvar", "etiket", "ip1", "ip2", "ip3"]
+
+UPDATABLE = ["nomvar", "typvar", "etiket", "grtyp", "dateo", "ip1", "ip2",
+             "ip3", "deet", "npas", "datyp", "nbits", "ig1", "ig2", "ig3",
+             "ig4", "datev"]
+
+
+class WriterError(Exception):
+    pass
+
+
+def detect_rewrite(df: DataFrame) -> bool:
+    """True when the table holds duplicate logical records (S10): the
+    write must rewrite instead of append."""
+    return bool(
+        df.groupBy(*REWRITE_KEYS).count().filter(F.col("count") > 1)
+        .limit(1).count()
+    )
+
+
+def write_record_table(df: DataFrame, path: str, mode: str = "write",
+                       no_meta: bool = False,
+                       overwrite: bool = False) -> None:
+    """Write a record table to a directory of .fstrec files."""
+    from fstd2pandas_spark.operators.metadata import metadata_cleanup
+    from fstd2pandas_spark.schema import META_NOMVARS
+
+    if mode == "update":
+        _update(df)
+        return
+    if no_meta:
+        df = df.filter(~F.col("nomvar").isin(META_NOMVARS))
+    if mode == "write":
+        df = metadata_cleanup(df)
+        order = [c for c in ("path", "key") if c in df.columns]
+        if order:
+            df = df.sortWithinPartitions(*order)
+    elif mode != "dump":
+        raise WriterError(f"unknown mode {mode!r}; use write|dump|update")
+    writer = df.write.format("fstrec")
+    if overwrite:
+        writer = writer.mode("overwrite")
+    writer.save(path)
+
+
+def _update(df: DataFrame) -> None:
+    """Metadata-only in-place edit: every row must carry (path, key)
+    pointing at an existing container record. Edits are grouped per file
+    and applied driver-side (header pages are KBs; the payloads — the
+    100 TB part — are untouched, so a distributed pass adds nothing)."""
+    from fstd2pandas_spark.sources.fstrec_format import update_metadata
+
+    cols = [c for c in UPDATABLE if c in df.columns]
+    if "path" not in df.columns or "key" not in df.columns:
+        raise WriterError("update mode needs path and key columns")
+    rows = df.select("path", "key", *cols).collect()
+    by_path: dict[str, dict[int, dict]] = {}
+    for r in rows:
+        by_path.setdefault(r.path, {})[int(r.key)] = {
+            c: r[c] for c in cols if r[c] is not None
+        }
+    for p, updates in by_path.items():
+        update_metadata(p, updates)

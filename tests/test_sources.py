@@ -117,3 +117,41 @@ def test_maybe_fstrec(fstrec_dir, tmp_path):
     other = tmp_path / "not.fstrec"
     other.write_bytes(b"garbage")
     assert not maybe_fstrec(str(other))
+
+
+def test_writer_modes_and_update(registered, records, tmp_path):
+    """S9: write (cleanup+order), dump (raw), update (in-place metadata)."""
+    from fstd2pandas_spark.sources import write_record_table, detect_rewrite
+
+    out = str(tmp_path / "w1")
+    write_record_table(records, out, mode="write", overwrite=True)
+    back = registered.read.format("fstrec").load(out)
+    assert back.count() > 0
+    # write mode ran metadata_cleanup: no unreferenced meta rows appear
+    dumped = str(tmp_path / "w2")
+    write_record_table(records, dumped, mode="dump", overwrite=True)
+    assert registered.read.format("fstrec").load(dumped).count() == records.count()
+
+    # update: retag every TT record's etiket in-place
+    tt = (
+        back.filter(F.col("nomvar") == "TT")
+        .select("path", "key", F.lit("RETAGGED").alias("etiket"))
+    )
+    write_record_table(tt, out, mode="update")
+    again = registered.read.format("fstrec").load(out)
+    tags = {r.etiket for r in again.filter(F.col("nomvar") == "TT")
+            .select("etiket").distinct().collect()}
+    assert tags == {"RETAGGED"}
+    # payloads untouched
+    d0 = {r.key: r.d for r in back.filter(F.col("nomvar") == "TT").collect()}
+    d1 = {r.key: r.d for r in again.filter(F.col("nomvar") == "TT").collect()}
+    assert d0.keys() == d1.keys() and all(d0[k] == d1[k] for k in d0)
+
+
+def test_detect_rewrite(registered, records):
+    from fstd2pandas_spark.sources import detect_rewrite
+
+    uniq = records.dropDuplicates(["nomvar", "typvar", "etiket", "ip1",
+                                   "ip2", "ip3"])
+    assert not detect_rewrite(uniq)
+    assert detect_rewrite(uniq.unionByName(uniq.limit(1)))
