@@ -848,9 +848,18 @@ def _quality_sql() -> str:
              AS stop_ratio
     FROM documents)
   SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stop_ratio,
-         round(0.4 * least(n_tokens / 100.0, 1.0)
-               + 0.3 * (1.0 - punct_ratio)
-               + 0.3 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+         -- CASE instead of least(): DuckDB's least() on DECIMALs returns
+         -- DOUBLE, which would reintroduce float tie-noise
+         CAST(round(CAST('0.004' AS DECIMAL(6,4))
+                      * CAST(least(n_tokens, 100) AS DECIMAL(18,6))
+                    + CAST('0.3' AS DECIMAL(2,1))
+                      * (CAST('1' AS DECIMAL(18,6)) - CAST(punct_ratio AS DECIMAL(18,6)))
+                    + CAST('0.3' AS DECIMAL(2,1))
+                      * (CASE WHEN CAST(stop_ratio AS DECIMAL(18,6)) * 5
+                                   > CAST('1' AS DECIMAL(18,6))
+                              THEN CAST('1' AS DECIMAL(18,6))
+                              ELSE CAST(stop_ratio AS DECIMAL(18,6)) * 5 END),
+                    6) AS DOUBLE) AS quality
   FROM q ORDER BY doc_id
 """
 

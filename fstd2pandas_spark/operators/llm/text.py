@@ -93,10 +93,21 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
     stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
+    # composite in DECIMAL: the rounded 6-dp ratios cast exactly, every
+    # product/sum is exact rational, and the final 6-dp round has
+    # deterministic tie behavior in both engines (double arithmetic put
+    # one fixture doc exactly on a x.xxxxxx5 tie and the engines split)
+    p_dec = punct_ratio.cast("decimal(18,6)")
+    s_dec = stop_ratio.cast("decimal(18,6)")
+    one = F.lit("1").cast("decimal(18,6)")
     score = F.round(
-        0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
-        + 0.3 * (1.0 - punct_ratio)
-        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0)), 6)
+        F.lit("0.004").cast("decimal(6,4)")
+        * F.least(n_tok, F.lit(100)).cast("decimal(18,6)")
+        + F.lit("0.3").cast("decimal(2,1)") * (one - p_dec)
+        + F.lit("0.3").cast("decimal(2,1)")
+        * F.least(s_dec * F.lit(5).cast("decimal(2,0)"), one),
+        6,
+    ).cast("double")
     return (
         df.withColumn("n_tokens", n_tok)
         .withColumn("mean_token_len", mean_len)
