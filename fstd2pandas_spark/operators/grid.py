@@ -22,11 +22,23 @@ lat/lon generation scales as a narrow map over grids:
 Array layout: row-major with ``i`` (the ni/longitude axis) fastest —
 ``flat[k]`` maps to ``i = k % ni``, ``j = k div ni`` (SURVEY §7.3b).
 
-ig packing for ``L`` grids (engine convention, invertible; bit-parity
-with librmn cigaxg is future work and irrelevant to the synthetic
-container format): ``ig1 = round((lat0+90)*100)``,
-``ig2 = round((lon0+180)*100)``, ``ig3 = round(dlat*100)``,
-``ig4 = round(dlon*100)``.
+ig packing (engine convention, invertible; bit-parity with librmn
+cigaxg is future work and irrelevant to the synthetic container format):
+
+- ``L``:   ig1 = round((lat0+90)*100), ig2 = round((lon0+180)*100),
+           ig3 = round(dlat*100), ig4 = round(dlon*100)
+- ``N/S``: ig1 = round(pi*100), ig2 = round(pj*100),
+           ig3 = round(d60/100) [m], ig4 = round(dgrw*100)
+- ``E``:   ig1 = round((xlat1+90)*100), ig2 = round(xlon1*100),
+           ig3 = round((xlat2+90)*100), ig4 = round(xlon2*100)
+
+``E`` (rotated lat-lon): the grid is globally uniform in a rotated
+frame whose equator passes through (xlat1, xlon1) — mapped to rotated
+(0, 0) — and (xlat2, xlon2) east of it; rows/cols follow the ``A``
+convention in rotated coordinates. ``N``/``S`` (polar stereographic,
+true at 60°): cell (i, j) sits at x = (i+1-pi)*d60, y = (j+1-pj)*d60
+from the pole; r = |(x, y)| inverts through
+lat = ±(90 - 2*atan(r / (Re*(1+sin 60°)))), lon = dgrw ± atan2(y, x).
 """
 
 from __future__ import annotations
@@ -38,8 +50,11 @@ from pyspark.sql import functions as F
 
 from fstd2pandas_spark.schema import META_NOMVARS
 
-SUPPORTED_GRTYPS = ["A", "B", "G", "L", "Z", "#", "Y"]
-DECLARED_GRTYPS = SUPPORTED_GRTYPS + ["E", "N", "S", "U", "X"]
+SUPPORTED_GRTYPS = ["A", "B", "G", "L", "Z", "#", "Y", "E", "N", "S"]
+DECLARED_GRTYPS = SUPPORTED_GRTYPS + ["U", "X"]
+
+#: mean Earth radius (m), the ezscint convention
+EARTH_RADIUS_M = 6_371_000.0
 
 
 class GridDefinitionError(Exception):
@@ -69,6 +84,20 @@ def l_dlat(ig3: Column) -> Column:
 
 def l_dlon(ig4: Column) -> Column:
     return ig4 / 100.0
+
+
+def ps_grid_igs(pi: float, pj: float, d60: float, dgrw: float) -> tuple:
+    """Pack N/S polar-stereographic params into igs (engine convention)."""
+    return (int(round(pi * 100.0)), int(round(pj * 100.0)),
+            int(round(d60 / 100.0)), int(round(dgrw * 100.0)))
+
+
+def e_grid_igs(xlat1: float, xlon1: float, xlat2: float, xlon2: float) -> tuple:
+    """Pack E rotated-lat-lon reference points into igs."""
+    return (int(round((xlat1 + 90.0) * 100.0)),
+            int(round((xlon1 % 360.0) * 100.0)),
+            int(round((xlat2 + 90.0) * 100.0)),
+            int(round((xlon2 % 360.0) * 100.0)))
 
 
 def gaussian_latitudes(nj: int) -> list[float]:
@@ -116,6 +145,85 @@ def _axis_lat(grtyp: Column, nj: Column, ig1: Column,
     if gauss is not None:
         out = F.when(grtyp == "G", gauss).otherwise(out)
     return out
+
+
+def _ps_latlon(ni: Column, nj: Column, south: bool):
+    """N/S polar-stereographic per-cell (lat, lon) flattened arrays.
+    Inverse of the true-at-60° projection; engine ig packing above."""
+    pi_ = F.col("ig1") / 100.0
+    pj_ = F.col("ig2") / 100.0
+    d60 = F.col("ig3") * 100.0
+    dgrw = F.col("ig4") / 100.0
+    import math
+
+    scale = EARTH_RADIUS_M * (1.0 + math.sin(math.radians(60.0)))
+    k = F.sequence(F.lit(0), ni * nj - 1)
+
+    def _cell(fn):
+        return F.transform(k, fn)
+
+    def _xy(x):
+        i = (x % ni + 1).cast("double")
+        j = (F.floor(x / ni) + 1).cast("double")
+        return (i - pi_) * d60, (j - pj_) * d60
+
+    def _lat(x):
+        dx, dy = _xy(x)
+        r = F.sqrt(dx * dx + dy * dy)
+        lat = 90.0 - 2.0 * F.degrees(F.atan(r / scale))
+        return -lat if south else lat
+
+    def _lon(x):
+        dx, dy = _xy(x)
+        ang = F.degrees(F.atan2(dy, dx))
+        lon = (dgrw - ang) if south else (dgrw + ang)
+        return F.pmod(lon, F.lit(360.0))
+
+    return _cell(_lat), _cell(_lon)
+
+
+def _e_latlon(ni: Column, nj: Column):
+    """E rotated-lat-lon per-cell (lat, lon): orthonormal basis from the
+    two reference points, A-style uniform coordinates in the rotated
+    frame, inverse rotation per cell — all native trig expressions."""
+    lat1 = F.radians(F.col("ig1") / 100.0 - 90.0)
+    lon1 = F.radians(F.col("ig2") / 100.0)
+    lat2 = F.radians(F.col("ig3") / 100.0 - 90.0)
+    lon2 = F.radians(F.col("ig4") / 100.0)
+    # e1 = P1; p2 = second equator point; e3 = unit(e1 x p2); e2 = e3 x e1
+    e1x, e1y, e1z = (F.cos(lat1) * F.cos(lon1), F.cos(lat1) * F.sin(lon1),
+                     F.sin(lat1))
+    p2x, p2y, p2z = (F.cos(lat2) * F.cos(lon2), F.cos(lat2) * F.sin(lon2),
+                     F.sin(lat2))
+    cx = e1y * p2z - e1z * p2y
+    cy = e1z * p2x - e1x * p2z
+    cz = e1x * p2y - e1y * p2x
+    cn = F.sqrt(cx * cx + cy * cy + cz * cz)
+    e3x, e3y, e3z = cx / cn, cy / cn, cz / cn
+    e2x = e3y * e1z - e3z * e1y
+    e2y = e3z * e1x - e3x * e1z
+    e2z = e3x * e1y - e3y * e1x
+
+    k = F.sequence(F.lit(0), ni * nj - 1)
+
+    def _rot(x):
+        i = (x % ni).cast("double")
+        j = F.floor(x / ni).cast("double")
+        rlon = F.radians(i * 360.0 / ni)
+        rlat = F.radians(-90.0 + (j + 0.5) * 180.0 / nj)
+        vx = (F.cos(rlat) * F.cos(rlon) * e1x
+              + F.cos(rlat) * F.sin(rlon) * e2x + F.sin(rlat) * e3x)
+        vy = (F.cos(rlat) * F.cos(rlon) * e1y
+              + F.cos(rlat) * F.sin(rlon) * e2y + F.sin(rlat) * e3y)
+        vz = (F.cos(rlat) * F.cos(rlon) * e1z
+              + F.cos(rlat) * F.sin(rlon) * e2z + F.sin(rlat) * e3z)
+        return vx, vy, vz
+
+    lat2d = F.transform(k, lambda x: F.degrees(F.asin(
+        F.greatest(F.least(_rot(x)[2], F.lit(1.0)), F.lit(-1.0)))))
+    lon2d = F.transform(k, lambda x: F.pmod(
+        F.degrees(F.atan2(_rot(x)[1], _rot(x)[0])), F.lit(360.0)))
+    return lat2d, lon2d
 
 
 def _expand_2d(axis_x: Column, axis_y: Column, ni: Column, nj: Column):
@@ -178,9 +286,16 @@ def grid_lat_lon(df: DataFrame, keep_template_cols: bool = True) -> DataFrame:
     axis_x = F.coalesce(_axis_lon(grtyp, ni, F.col("ig2")), F.col("_ax"))
     axis_y = F.coalesce(_axis_lat(grtyp, nj, F.col("ig1"), gauss), F.col("_ay"))
     lat2d, lon2d = _expand_2d(axis_x, axis_y, ni, nj)
+    n_lat, n_lon = _ps_latlon(ni, nj, south=False)
+    s_lat, s_lon = _ps_latlon(ni, nj, south=True)
+    e_lat, e_lon = _e_latlon(ni, nj)
     # Y grids: >>/^^ already hold full 2-D lon/lat
-    lat2d = F.when(grtyp == "Y", F.col("_ay")).otherwise(lat2d)
-    lon2d = F.when(grtyp == "Y", F.col("_ax")).otherwise(lon2d)
+    lat2d = (F.when(grtyp == "Y", F.col("_ay"))
+             .when(grtyp == "N", n_lat).when(grtyp == "S", s_lat)
+             .when(grtyp == "E", e_lat).otherwise(lat2d))
+    lon2d = (F.when(grtyp == "Y", F.col("_ax"))
+             .when(grtyp == "N", n_lon).when(grtyp == "S", s_lon)
+             .when(grtyp == "E", e_lon).otherwise(lon2d))
 
     computed = rep.withColumn("_lat", lat2d).withColumn("_lon", lon2d)
     la = computed.withColumn("nomvar", F.lit("LA")) \

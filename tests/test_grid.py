@@ -85,7 +85,7 @@ def test_z_grid_latlon_outer_product(spark):
 
 
 def test_unsupported_grtyp_raises(spark):
-    df = spark.createDataFrame([_rec(grtyp="N")], schema=_REC)
+    df = spark.createDataFrame([_rec(grtyp="U")], schema=_REC)
     with pytest.raises(GridDefinitionError):
         grid_lat_lon(df)
 
@@ -141,3 +141,90 @@ def test_grid_metadata_for_semi_join(spark, records):
     assert got <= grids
     assert meta.filter(~F.col("nomvar").isin(
         "!!", "P0", "PT", ">>", "^^", "^>", "HY", "!!SF")).count() == 0
+
+
+def test_ps_north_grid(spark):
+    """N polar stereographic: pole cell -> lat 90; r at the 60-deg radius
+    -> lat 60; lon = dgrw + atan2(dy, dx)."""
+    import math
+
+    from fstd2pandas_spark.operators.grid import EARTH_RADIUS_M, ps_grid_igs
+
+    d60 = 381000.0  # 381 km
+    igs = ps_grid_igs(pi=2.0, pj=2.0, d60=d60, dgrw=10.0)
+    got = _latlon(spark, [_rec(grtyp="N", ni=3, nj=3, ig=igs, grid="gn")])
+    lat = got[("gn", "LA")].reshape(3, 3)
+    lon = got[("gn", "LO")].reshape(3, 3)
+    # cell (i=2, j=2) is the pole (1-based)
+    assert abs(lat[1, 1] - 90.0) < 1e-6
+    # one step east of the pole: dx=d60, dy=0
+    scale = EARTH_RADIUS_M * (1 + math.sin(math.radians(60)))
+    expect = 90 - 2 * math.degrees(math.atan(d60 / scale))
+    assert abs(lat[1, 2] - expect) < 1e-5
+    assert abs(lon[1, 2] - 10.0) < 1e-5          # dgrw + atan2(0, +)
+    assert abs(lon[2, 1] - 100.0) < 1e-5         # dgrw + 90 (north)
+    # corners are sqrt(2)*d60 from the pole — the grid minimum
+    corner = 90 - 2 * math.degrees(math.atan(math.sqrt(2) * d60 / scale))
+    assert np.all(lat >= corner - 1e-6) and np.all(lat <= 90.0 + 1e-9)
+
+
+def test_ps_south_grid(spark):
+    from fstd2pandas_spark.operators.grid import ps_grid_igs
+
+    igs = ps_grid_igs(pi=1.0, pj=1.0, d60=381000.0, dgrw=0.0)
+    got = _latlon(spark, [_rec(grtyp="S", ni=2, nj=2, ig=igs, grid="gs")])
+    lat = got[("gs", "LA")].reshape(2, 2)
+    assert abs(lat[0, 0] + 90.0) < 1e-6
+    assert np.all(lat <= -50.0)
+
+
+def test_e_grid_identity_rotation(spark):
+    """E grid with equator points (0,180) and (0,270): the rotated frame
+    is the geographic frame shifted 180 deg in longitude."""
+    from fstd2pandas_spark.operators.grid import e_grid_igs
+
+    igs = e_grid_igs(0.0, 180.0, 0.0, 270.0)
+    ni, nj = 4, 3
+    got = _latlon(spark, [_rec(grtyp="E", ni=ni, nj=nj, ig=igs, grid="ge")])
+    lat = got[("ge", "LA")].reshape(nj, ni)
+    lon = got[("ge", "LO")].reshape(nj, ni)
+    for j in range(nj):
+        want_lat = -90 + (j + 0.5) * 180.0 / nj
+        np.testing.assert_allclose(lat[j], want_lat, atol=1e-5)
+    for i in range(ni):
+        want_lon = (180.0 + i * 360.0 / ni) % 360.0
+        np.testing.assert_allclose(lon[:, i], want_lon, atol=1e-5)
+
+
+def test_e_grid_general_rotation_invariants(spark):
+    """General rotation: lat stays in [-90, 90]; the rotated (0, 0) cell
+    neighborhood straddles (xlat1, xlon1); rows are great circles (all
+    cells in a rotated-latitude row keep constant angle to the rotated
+    pole)."""
+    import math
+
+    from fstd2pandas_spark.operators.grid import e_grid_igs
+
+    xlat1, xlon1, xlat2, xlon2 = 35.0, 250.0, 0.0, 340.0
+    ni, nj = 8, 6
+    igs = e_grid_igs(xlat1, xlon1, xlat2, xlon2)
+    got = _latlon(spark, [_rec(grtyp="E", ni=ni, nj=nj, ig=igs, grid="gr")])
+    lat = got[("gr", "LA")]
+    lon = got[("gr", "LO")]
+    assert np.all((lat >= -90 - 1e-9) & (lat <= 90 + 1e-9))
+    assert np.all((lon >= 0) & (lon < 360))
+
+    # rotated pole = unit(P1 x P2); every row must have constant angular
+    # distance to it
+    def cart(la, lo):
+        la, lo = math.radians(la), math.radians(lo)
+        return np.array([math.cos(la) * math.cos(lo),
+                         math.cos(la) * math.sin(lo), math.sin(la)])
+
+    pole = np.cross(cart(xlat1, xlon1), cart(xlat2, xlon2))
+    pole /= np.linalg.norm(pole)
+    lat2, lon2 = lat.reshape(nj, ni), lon.reshape(nj, ni)
+    for j in range(nj):
+        angles = [np.dot(pole, cart(lat2[j, i], lon2[j, i]))
+                  for i in range(ni)]
+        np.testing.assert_allclose(angles, angles[0], atol=1e-9)
