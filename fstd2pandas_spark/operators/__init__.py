@@ -16,17 +16,29 @@ from fstd2pandas_spark.operators.metadata import (
     add_grid_column,
     metadata_cleanup,
 )
-from fstd2pandas_spark.operators.vgrid import set_vertical_coordinate_type
+from fstd2pandas_spark.operators.vgrid import (
+    meta_fields_exists,
+    set_vertical_coordinate_type,
+)
 from fstd2pandas_spark.operators.stats import fststat, voir
 from fstd2pandas_spark.operators.dedup import drop_duplicates, group_invariant_violations
 from fstd2pandas_spark.operators.units import unit_convert, converter_columns
 from fstd2pandas_spark.operators.mask import apply_mask, recover_mask
 from fstd2pandas_spark.operators.pressure import quick_pressure
+from fstd2pandas_spark.operators.grid import (
+    df_from_grid,
+    grid_lat_lon,
+    grid_metadata_for,
+    is_global_grid,
+)
+from fstd2pandas_spark.operators.cube import to_cube, to_xarray
 
 __all__ = [
     "select_meta", "select_with_meta", "add_metadata_to_query_results",
     "query_with_meta", "SelectError", "add_grid_column", "metadata_cleanup",
-    "set_vertical_coordinate_type", "fststat", "voir", "drop_duplicates",
-    "group_invariant_violations", "unit_convert", "converter_columns",
-    "apply_mask", "recover_mask", "quick_pressure",
+    "set_vertical_coordinate_type", "meta_fields_exists", "fststat", "voir",
+    "drop_duplicates", "group_invariant_violations", "unit_convert",
+    "converter_columns", "apply_mask", "recover_mask", "quick_pressure",
+    "df_from_grid", "grid_lat_lon", "grid_metadata_for", "is_global_grid",
+    "to_cube", "to_xarray",
 ]

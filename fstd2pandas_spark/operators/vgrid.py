@@ -37,6 +37,13 @@ def _meta_flags_per_grid(meta: DataFrame) -> DataFrame:
     )
 
 
+def meta_fields_exists(df: DataFrame) -> DataFrame:
+    """A6 (dataframe.py:653-673): per-grid existence booleans for the
+    reserved meta records (toctoc/P0/E1/PT/HY/SF) plus the sorted vcode
+    list — one conditional aggregation, no per-group loop."""
+    return _meta_flags_per_grid(df.filter(F.col("nomvar").isin(META_NOMVARS)))
+
+
 def set_vertical_coordinate_type(df: DataFrame) -> DataFrame:
     """Add a ``vctype`` column; meta rows get 'UNKNOWN'
     (std_vgrid.py:574-646)."""

@@ -30,6 +30,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -199,6 +200,49 @@ class FstRecReader(DataSourceReader):
                 f.close()
 
 
+class FstRecStreamReader(DataSourceStreamReader):
+    """Streaming scan: each micro-batch reads the .fstrec files that
+    appeared since the last committed offset — forecast-cycle drops
+    become a Structured Streaming source (SURVEY §2.10 extension).
+    Offsets are the sorted seen-file list; one task per new file."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fstrec: path required")
+        self.with_data = str(options.get("with_data", "true")).lower() != "false"
+        self.batch_rows = int(options.get("batch_rows", "2048"))
+
+    def _current_files(self) -> list[str]:
+        from fstd2pandas_spark.sources.fstrec_format import list_fstrec_files
+
+        try:
+            return sorted(list_fstrec_files(self.path))
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": self._current_files()}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        return [_FilePartition(p) for p in new]
+
+    def read(self, partition: _FilePartition):
+        reader = FstRecReader({
+            "path": partition.path,
+            "with_data": "true" if self.with_data else "false",
+            "batch_rows": str(self.batch_rows),
+        })
+        yield from reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        return None
+
+
 @dataclass
 class _WriteResult(WriterCommitMessage):
     path: str
@@ -256,6 +300,9 @@ class FstRecDataSource(DataSource):
 
     def reader(self, schema: StructType) -> FstRecReader:
         return FstRecReader(self.options)
+
+    def streamReader(self, schema: StructType) -> FstRecStreamReader:
+        return FstRecStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> FstRecWriter:
         import glob
