@@ -32,6 +32,14 @@ cigaxg is future work and irrelevant to the synthetic container format):
 - ``E``:   ig1 = round((xlat1+90)*100), ig2 = round(xlon1*100),
            ig3 = round((xlat2+90)*100), ig4 = round(xlon2*100)
 
+``U`` (composite, e.g. Yin-Yang): two lat-lon subgrids packed in the
+``^>`` record. Engine payload convention (the reference's ``^>`` is an
+opaque librmn blob, std_grid.py:35-42):
+``[nsub=2, ni1, nj1, ni2, nj2, ax1(ni1), ay1(nj1), ax2(ni2), ay2(nj2)]``;
+the composite field is the two subgrids' rows concatenated
+(lat/lon = concat along j, std_grid.py:139-143), so the LA/LO records
+have ni = ni1 and nj = nj1 + nj2.
+
 ``E`` (rotated lat-lon): the grid is globally uniform in a rotated
 frame whose equator passes through (xlat1, xlon1) — mapped to rotated
 (0, 0) — and (xlat2, xlon2) east of it; rows/cols follow the ``A``
@@ -50,8 +58,8 @@ from pyspark.sql import functions as F
 
 from fstd2pandas_spark.schema import META_NOMVARS
 
-SUPPORTED_GRTYPS = ["A", "B", "G", "L", "Z", "#", "Y", "E", "N", "S"]
-DECLARED_GRTYPS = SUPPORTED_GRTYPS + ["U", "X"]
+SUPPORTED_GRTYPS = ["A", "B", "G", "L", "Z", "#", "Y", "E", "N", "S", "U"]
+DECLARED_GRTYPS = SUPPORTED_GRTYPS + ["X"]
 
 #: mean Earth radius (m), the ezscint convention
 EARTH_RADIUS_M = 6_371_000.0
@@ -226,6 +234,31 @@ def _e_latlon(ni: Column, nj: Column):
     return lat2d, lon2d
 
 
+def _u_latlon(axy: Column):
+    """U composite per-cell (lat, lon): unpack the two subgrids from the
+    ``^>`` payload and concatenate their outer products along j."""
+    ni1 = F.element_at(axy, 2).cast("int")
+    nj1 = F.element_at(axy, 3).cast("int")
+    ni2 = F.element_at(axy, 4).cast("int")
+    nj2 = F.element_at(axy, 5).cast("int")
+    ax1 = F.slice(axy, 6, ni1)
+    ay1 = F.slice(axy, 6 + ni1, nj1)
+    ax2 = F.slice(axy, 6 + ni1 + nj1, ni2)
+    ay2 = F.slice(axy, 6 + ni1 + nj1 + ni2, nj2)
+
+    def _outer(ax, ay, ni, nj, pick):
+        k = F.sequence(F.lit(0), ni * nj - 1)
+        if pick == "lon":
+            return F.transform(k, lambda x: F.element_at(ax, (x % ni + 1).cast("int")))
+        return F.transform(k, lambda x: F.element_at(ay, (F.floor(x / ni) + 1).cast("int")))
+
+    lat = F.concat(_outer(ax1, ay1, ni1, nj1, "lat"),
+                   _outer(ax2, ay2, ni2, nj2, "lat"))
+    lon = F.concat(_outer(ax1, ay1, ni1, nj1, "lon"),
+                   _outer(ax2, ay2, ni2, nj2, "lon"))
+    return lat, lon, ni1, nj1 + nj2
+
+
 def _expand_2d(axis_x: Column, axis_y: Column, ni: Column, nj: Column):
     """Outer-product a lon axis (ni) and lat axis (nj) to flattened 2-D
     row-major arrays: lon[k] = ax[k % ni], lat[k] = ay[k div ni]."""
@@ -262,13 +295,17 @@ def grid_lat_lon(df: DataFrame, keep_template_cols: bool = True) -> DataFrame:
         .filter(F.col("_rn") == 1).drop("_rn")
     )
 
-    # axis records: >> holds the lon axis (ni x 1), ^^ the lat axis (1 x nj)
+    # axis records: >> holds the lon axis (ni x 1), ^^ the lat axis
+    # (1 x nj), ^> the packed U-grid subgrid axes
     ax = (df.filter(F.col("nomvar") == ">>")
             .select(F.col("grid"), F.col("d").alias("_ax")))
     ay = (df.filter(F.col("nomvar") == "^^")
             .select(F.col("grid"), F.col("d").alias("_ay")))
+    axy = (df.filter(F.col("nomvar") == "^>")
+             .select(F.col("grid"), F.col("d").alias("_axy")))
     rep = (rep.join(F.broadcast(ax), "grid", "left")
-              .join(F.broadcast(ay), "grid", "left"))
+              .join(F.broadcast(ay), "grid", "left")
+              .join(F.broadcast(axy), "grid", "left"))
 
     # Gaussian latitudes per distinct nj (driver-side scalars, G only)
     g_njs = [r.nj for r in rep.filter(F.col("grtyp") == "G")
@@ -289,15 +326,23 @@ def grid_lat_lon(df: DataFrame, keep_template_cols: bool = True) -> DataFrame:
     n_lat, n_lon = _ps_latlon(ni, nj, south=False)
     s_lat, s_lon = _ps_latlon(ni, nj, south=True)
     e_lat, e_lon = _e_latlon(ni, nj)
+    u_lat, u_lon, u_ni, u_nj = _u_latlon(F.col("_axy"))
     # Y grids: >>/^^ already hold full 2-D lon/lat
     lat2d = (F.when(grtyp == "Y", F.col("_ay"))
              .when(grtyp == "N", n_lat).when(grtyp == "S", s_lat)
-             .when(grtyp == "E", e_lat).otherwise(lat2d))
+             .when(grtyp == "E", e_lat)
+             .when(grtyp == "U", u_lat).otherwise(lat2d))
     lon2d = (F.when(grtyp == "Y", F.col("_ax"))
              .when(grtyp == "N", n_lon).when(grtyp == "S", s_lon)
-             .when(grtyp == "E", e_lon).otherwise(lon2d))
+             .when(grtyp == "E", e_lon)
+             .when(grtyp == "U", u_lon).otherwise(lon2d))
 
-    computed = rep.withColumn("_lat", lat2d).withColumn("_lon", lon2d)
+    computed = (
+        rep.withColumn("_lat", lat2d).withColumn("_lon", lon2d)
+        # LA/LO dims follow the composite lat shape (std_grid.py:189-199)
+        .withColumn("ni", F.when(grtyp == "U", u_ni).otherwise(F.col("ni")))
+        .withColumn("nj", F.when(grtyp == "U", u_nj).otherwise(F.col("nj")))
+    )
     la = computed.withColumn("nomvar", F.lit("LA")) \
                  .withColumn("d", F.col("_lat"))
     lo = computed.withColumn("nomvar", F.lit("LO")) \
@@ -353,8 +398,8 @@ def df_from_grid(spark, grid_params: dict) -> DataFrame:
     grid-params dict (keys: grtyp in Z/Y, ni, nj, ig1, ig2, grref,
     ig1ref..ig4ref, ax, ay)."""
     g = grid_params
-    if g.get("grtyp") not in ("Z", "Y"):
-        raise GridDefinitionError("df_from_grid supports Z and Y grids")
+    if g.get("grtyp") not in ("Z", "Y", "U"):
+        raise GridDefinitionError("df_from_grid supports Z, Y and U grids")
     base = dict(
         typvar="X", etiket="", nk=1, dateo=0, ip1=int(g["ig1"]),
         ip2=int(g["ig2"]), ip3=0, deet=0, npas=0, datyp=5, nbits=32,
@@ -363,12 +408,21 @@ def df_from_grid(spark, grid_params: dict) -> DataFrame:
         ig4=int(g.get("ig4ref", 0)), datev=0,
         grid=f"{int(g['ig1'])}{int(g['ig2'])}",
     )
-    rows = [
-        dict(base, nomvar=">>", ni=int(g["ni"]), nj=1,
-             d=[float(x) for x in g["ax"]]),
-        dict(base, nomvar="^^", ni=1, nj=int(g["nj"]),
-             d=[float(x) for x in g["ay"]]),
-    ]
+    if g["grtyp"] == "U":
+        sub = g["subgrids"]  # [(ax1, ay1), (ax2, ay2)]
+        (ax1, ay1), (ax2, ay2) = sub
+        axy = ([2.0, float(len(ax1)), float(len(ay1)),
+                float(len(ax2)), float(len(ay2))]
+               + [float(x) for x in ax1] + [float(y) for y in ay1]
+               + [float(x) for x in ax2] + [float(y) for y in ay2])
+        rows = [dict(base, nomvar="^>", ni=len(axy), nj=1, d=axy)]
+    else:
+        rows = [
+            dict(base, nomvar=">>", ni=int(g["ni"]), nj=1,
+                 d=[float(x) for x in g["ax"]]),
+            dict(base, nomvar="^^", ni=1, nj=int(g["nj"]),
+                 d=[float(x) for x in g["ay"]]),
+        ]
     schema = ("nomvar string, typvar string, etiket string, ni int, nj int, "
               "nk int, dateo bigint, ip1 int, ip2 int, ip3 int, deet int, "
               "npas int, datyp int, nbits int, grtyp string, ig1 int, "

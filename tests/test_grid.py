@@ -85,7 +85,7 @@ def test_z_grid_latlon_outer_product(spark):
 
 
 def test_unsupported_grtyp_raises(spark):
-    df = spark.createDataFrame([_rec(grtyp="U")], schema=_REC)
+    df = spark.createDataFrame([_rec(grtyp="X")], schema=_REC)
     with pytest.raises(GridDefinitionError):
         grid_lat_lon(df)
 
@@ -228,3 +228,27 @@ def test_e_grid_general_rotation_invariants(spark):
         angles = [np.dot(pole, cart(lat2[j, i], lon2[j, i]))
                   for i in range(ni)]
         np.testing.assert_allclose(angles, angles[0], atol=1e-9)
+
+
+def test_u_grid_composite(spark):
+    """U grid: two subgrids packed in ^>, rows concatenated along j."""
+    from fstd2pandas_spark.operators.grid import df_from_grid
+
+    g = dict(grtyp="U", ig1=33, ig2=44, grref="L",
+             subgrids=[([0.0, 90.0, 180.0], [-45.0, 45.0]),
+                       ([10.0, 100.0, 190.0], [-30.0, 30.0])])
+    meta = df_from_grid(spark, g)
+    assert meta.first().nomvar == "^>"
+    data = spark.createDataFrame(
+        [_rec(grtyp="U", ni=3, nj=4, grid="3344", ig=(33, 44, 0, 0))],
+        schema=_REC)
+    got = {(r.nomvar): (np.array(r.d), r.ni, r.nj)
+           for r in grid_lat_lon(data.unionByName(meta))
+           .select("nomvar", "ni", "nj", "d").collect()}
+    lat, ni, nj = got["LA"]
+    lon, _, _ = got["LO"]
+    assert (ni, nj) == (3, 4)
+    np.testing.assert_allclose(
+        lat, [-45, -45, -45, 45, 45, 45, -30, -30, -30, 30, 30, 30])
+    np.testing.assert_allclose(
+        lon, [0, 90, 180, 0, 90, 180, 10, 100, 190, 10, 100, 190])
