@@ -557,6 +557,38 @@ _Q_PRESSURE_SQL = f"""
 """
 
 
+def q_fst_pressure_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 hybrid-toctoc pressure arithmetic:
+    pres = exp(A + B*ln(P0*100/pref))/100, with per-record (A, B)
+    synthesized deterministically from ip1 and P0 = the record's own d
+    scaled (surrogate), over kind-5 (hybrid) records."""
+    rec = records_from_lineitem(spark, sf_dir)
+    hyb = rec.filter(decode_ip_kind(F.col("ip1")) == 5)
+    a = (F.col("ip1") % 97).cast("double") / 10.0
+    b = (F.col("ip1") % 13).cast("double") / 20.0
+    pref = F.lit(800.0)
+    pres = F.transform(
+        "d",
+        lambda x: F.round(
+            F.exp(a + b * F.log((x.cast("double") * 10.0 + 500.0) * 100.0 / pref))
+            / 100.0, 4),
+    )
+    return hyb.select("key", "ip1", pres.alias("pres")).orderBy("key")
+
+
+_Q_PRESSURE_HYB_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL})
+  SELECT key, ip1,
+         list_transform(d, x -> round(
+            exp(CAST(ip1 % 97 AS DOUBLE) / 10.0
+                + CAST(ip1 % 13 AS DOUBLE) / 20.0
+                  * ln((CAST(x AS DOUBLE) * 10.0 + 500.0) * 100.0 / 800.0))
+            / 100.0, 4)) AS pres
+  FROM rec WHERE ({_DECODE_KIND_SQL.format(ip='ip1')}) = 5
+  ORDER BY key
+"""
+
+
 def q_fst_voir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W2 voir ordering: nomvar asc, decoded level desc."""
     rec = records_from_lineitem(spark, sf_dir)
@@ -1105,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fst_unit_convert": q_fst_unit_convert,
         "fst_mask": q_fst_mask,
         "fst_pressure_eta": q_fst_pressure_eta,
+        "fst_pressure_hybrid": q_fst_pressure_hybrid,
         "fst_voir": q_fst_voir,
         "fst_latlon": q_fst_latlon,
         "fst_cube": q_fst_cube,
@@ -1143,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         "fst_unit_convert": _Q_UNIT_SQL,
         "fst_mask": _Q_MASK_SQL,
         "fst_pressure_eta": _Q_PRESSURE_SQL,
+        "fst_pressure_hybrid": _Q_PRESSURE_HYB_SQL,
         "fst_voir": _Q_VOIR_SQL,
         "fst_latlon": _Q_LATLON_SQL,
         "fst_cube": _Q_CUBE_SQL,
