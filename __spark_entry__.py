@@ -657,6 +657,387 @@ _Q_CUBE_SQL = f"""
 """
 
 
+# --- metadata-association queries (meta-augmented record table) ------------
+
+#: interval-encoded ip2/ip3 literals (kind 10 = hours) + a level-interval ip3
+IP2_IV = [encode_ip_py(float(h), 10) for h in (6, 12, 24, 48)]
+IP3_IV = [encode_ip_py(float(h), 10) for h in (0, 6, 12, 24)]
+IP3_LVL = encode_ip_py(700.0, 2)
+
+
+def meta_records_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record table where some rows are reserved meta records: key%13 picks
+    the nomvar slot ('!!', P0, PT, HY, E1, '!!SF', '>>', '^^' for slots 0-7,
+    the data nomvar otherwise); grid = key%7; '!!' rows carry a vcode in
+    ig1 = 5001 + key%5. Mirrored exactly by _META_RECORDS_SQL."""
+    rec = records_from_lineitem(spark, sf_dir)
+    m = (F.col("key") % 13).cast("int")
+    nomvar = (
+        F.when(m == 0, "!!").when(m == 1, "P0").when(m == 2, "PT")
+        .when(m == 3, "HY").when(m == 4, "E1").when(m == 5, "!!SF")
+        .when(m == 6, ">>").when(m == 7, "^^").otherwise(F.col("nomvar"))
+    )
+    return (
+        rec.withColumn("nomvar", nomvar)
+        .withColumn("grid", (F.col("key") % 7).cast("int"))
+        .withColumn(
+            "ig1",
+            F.when(F.col("nomvar") == "!!",
+                   F.lit(5001) + (F.col("key") % 5).cast("int"))
+            .otherwise(F.lit(0)).cast("int"),
+        )
+    )
+
+
+_META_RECORDS_SQL = f"""
+  SELECT key,
+         CASE CAST(key % 13 AS INT)
+           WHEN 0 THEN '!!' WHEN 1 THEN 'P0' WHEN 2 THEN 'PT'
+           WHEN 3 THEN 'HY' WHEN 4 THEN 'E1' WHEN 5 THEN '!!SF'
+           WHEN 6 THEN '>>' WHEN 7 THEN '^^' ELSE nomvar END AS nomvar,
+         etiket, ip1, dateo, deet, npas, ni, nj, d,
+         CAST(key % 7 AS INT) AS grid,
+         CASE WHEN CAST(key % 13 AS INT) = 0
+              THEN 5001 + CAST(key % 5 AS INT) ELSE 0 END AS ig1
+  FROM ({_RECORDS_SQL})
+"""
+
+_META_LIST_SQL = "'!!','P0','PT','>>','^^','^>','HY','!!SF'"
+
+
+def q_fst_meta_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 meta_fields_exists (reference dataframe.py:653-673): per-grid
+    existence booleans for the reserved meta records + sorted vcode list,
+    via one conditional aggregation (operators/vgrid.py)."""
+    from fstd2pandas_spark.operators.vgrid import meta_fields_exists
+
+    rec = meta_records_from_lineitem(spark, sf_dir)
+    return meta_fields_exists(rec).select(
+        "grid",
+        F.col("toctoc").alias("has_toctoc"),
+        F.col("P0").alias("has_p0"),
+        F.col("E1").alias("has_e1"),
+        F.col("PT").alias("has_pt"),
+        F.col("HY").alias("has_hy"),
+        F.col("SF").alias("has_sf"),
+        "vcodes",
+    ).orderBy("grid")
+
+
+_Q_META_EXISTS_SQL = f"""
+  WITH rec AS ({_META_RECORDS_SQL})
+  SELECT grid,
+         max(CASE WHEN nomvar = '!!' THEN 1 ELSE 0 END) = 1 AS has_toctoc,
+         max(CASE WHEN nomvar = 'P0' THEN 1 ELSE 0 END) = 1 AS has_p0,
+         max(CASE WHEN nomvar = 'E1' THEN 1 ELSE 0 END) = 1 AS has_e1,
+         max(CASE WHEN nomvar = 'PT' THEN 1 ELSE 0 END) = 1 AS has_pt,
+         max(CASE WHEN nomvar = 'HY' THEN 1 ELSE 0 END) = 1 AS has_hy,
+         max(CASE WHEN nomvar = '!!SF' THEN 1 ELSE 0 END) = 1 AS has_sf,
+         coalesce(list_sort(array_agg(DISTINCT ig1) FILTER (WHERE nomvar = '!!')),
+                  []) AS vcodes
+  FROM rec WHERE nomvar IN ({_META_LIST_SQL})
+  GROUP BY grid ORDER BY grid
+"""
+
+
+def _vct_rules_values_sql() -> str:
+    import csv as _csv
+    rows = []
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fstd2pandas_spark", "lookups",
+                        "verticalcoordinatetypes.csv")
+    with open(path) as fh:
+        for r in _csv.DictReader(fh):
+            rows.append(
+                "({ip1_kind}, {toctoc}, {P0}, {E1}, {PT}, {HY}, {SF}, "
+                "{vcode}, '{vctype}')".format(
+                    ip1_kind=r["ip1_kind"],
+                    toctoc=r["toctoc"].lower(), P0=r["P0"].lower(),
+                    E1=r["E1"].lower(), PT=r["PT"].lower(),
+                    HY=r["HY"].lower(), SF=r["SF"].lower(),
+                    vcode=r["vcode"], vctype=r["vctype"]))
+    return ", ".join(rows)
+
+
+def q_fst_vctype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/G8 vertical-coordinate classification
+    (reference std_vgrid.py:574-646): per-grid meta flags -> vcode pick ->
+    8-key broadcast join against the VCTYPES rule table."""
+    from fstd2pandas_spark.operators.vgrid import set_vertical_coordinate_type
+
+    rec = meta_records_from_lineitem(spark, sf_dir)
+    return (
+        set_vertical_coordinate_type(rec)
+        .select("key", "nomvar", "vctype")
+        .orderBy("key")
+    )
+
+
+_Q_VCTYPE_SQL = f"""
+  WITH rec AS ({_META_RECORDS_SQL}),
+  meta AS (SELECT * FROM rec WHERE nomvar IN ({_META_LIST_SQL})),
+  data AS (SELECT *, ({_DECODE_KIND_SQL.format(ip='ip1')}) AS ip1_kind
+           FROM rec WHERE nomvar NOT IN ({_META_LIST_SQL})),
+  flags AS (
+    SELECT grid,
+           max(CASE WHEN nomvar = '!!' THEN 1 ELSE 0 END) = 1 AS toctoc,
+           max(CASE WHEN nomvar = 'P0' THEN 1 ELSE 0 END) = 1 AS "P0",
+           max(CASE WHEN nomvar = 'E1' THEN 1 ELSE 0 END) = 1 AS "E1",
+           max(CASE WHEN nomvar = 'PT' THEN 1 ELSE 0 END) = 1 AS "PT",
+           max(CASE WHEN nomvar = 'HY' THEN 1 ELSE 0 END) = 1 AS "HY",
+           max(CASE WHEN nomvar = '!!SF' THEN 1 ELSE 0 END) = 1 AS "SF",
+           coalesce(list_sort(array_agg(DISTINCT ig1) FILTER (WHERE nomvar = '!!')),
+                    []) AS vcodes
+    FROM meta GROUP BY grid),
+  req AS (
+    SELECT d.grid, d.ip1_kind,
+           coalesce(f.toctoc, false) AS toctoc,
+           coalesce(f."P0", false) AS "P0",
+           coalesce(f."E1", false) AS "E1",
+           coalesce(f."PT", false) AS "PT",
+           coalesce(f."HY", false) AS "HY",
+           coalesce(f."SF", false) AS "SF",
+           coalesce(f.vcodes, []) AS vcodes
+    FROM (SELECT DISTINCT grid, ip1_kind FROM data) d
+    LEFT JOIN flags f USING (grid)),
+  req2 AS (
+    SELECT grid, ip1_kind, toctoc, "P0", "E1", "PT", "HY", "SF",
+           CASE WHEN len(vcodes) = 0 THEN -1
+                WHEN len(vcodes) = 1 THEN vcodes[1]
+                ELSE coalesce(list_filter(vcodes, v -> v // 1000 = ip1_kind)[1], -1)
+           END AS vcode
+    FROM req),
+  rules(ip1_kind, toctoc, "P0", "E1", "PT", "HY", "SF", vcode, vctype) AS (
+    VALUES {_vct_rules_values_sql()}),
+  cls AS (
+    SELECT r.grid, r.ip1_kind, coalesce(u.vctype, 'UNKNOWN') AS vctype
+    FROM req2 r LEFT JOIN rules u
+      USING (ip1_kind, toctoc, "P0", "E1", "PT", "HY", "SF", vcode))
+  SELECT d.key, d.nomvar, coalesce(c.vctype, 'UNKNOWN') AS vctype
+  FROM data d LEFT JOIN cls c USING (grid, ip1_kind)
+  UNION ALL
+  SELECT key, nomvar, 'UNKNOWN' AS vctype FROM meta
+  ORDER BY key
+"""
+
+
+def q_fst_grid_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 3-tier fallback grid-meta association (reference
+    dataframe_utils.py:335-392, our operators/metadata.py
+    _grid_deformation_fields): match each data row to an axis ('>>')
+    record very-strictly on (grid,dateo,deet,npas), then (grid,dateo),
+    then (grid); tier records which level matched. Each tier is a
+    broadcast join of a tiny aggregated axis table."""
+    rec = meta_records_from_lineitem(spark, sf_dir)
+    axes = rec.filter(F.col("nomvar") == ">>")
+    data = rec.filter(~F.col("nomvar").isin(
+        "!!", "P0", "PT", ">>", "^^", "^>", "HY", "!!SF"))
+    t1 = axes.groupBy("grid", "dateo", "deet", "npas").agg(
+        F.min("key").alias("axis1"))
+    t2 = axes.groupBy("grid", "dateo").agg(F.min("key").alias("axis2"))
+    t3 = axes.groupBy("grid").agg(F.min("key").alias("axis3"))
+    out = (
+        data.join(F.broadcast(t1), ["grid", "dateo", "deet", "npas"], "left")
+        .join(F.broadcast(t2), ["grid", "dateo"], "left")
+        .join(F.broadcast(t3), ["grid"], "left")
+    )
+    return out.select(
+        "key",
+        F.coalesce("axis1", "axis2", "axis3").alias("axis_key"),
+        F.when(F.col("axis1").isNotNull(), 1)
+        .when(F.col("axis2").isNotNull(), 2)
+        .when(F.col("axis3").isNotNull(), 3)
+        .otherwise(0).alias("tier"),
+    ).orderBy("key")
+
+
+_Q_GRID_ASSOC_SQL = f"""
+  WITH rec AS ({_META_RECORDS_SQL}),
+  axes AS (SELECT * FROM rec WHERE nomvar = '>>'),
+  data AS (SELECT * FROM rec WHERE nomvar NOT IN ({_META_LIST_SQL})),
+  t1 AS (SELECT grid, dateo, deet, npas, min(key) AS axis1
+         FROM axes GROUP BY grid, dateo, deet, npas),
+  t2 AS (SELECT grid, dateo, min(key) AS axis2 FROM axes GROUP BY grid, dateo),
+  t3 AS (SELECT grid, min(key) AS axis3 FROM axes GROUP BY grid)
+  SELECT d.key,
+         coalesce(t1.axis1, t2.axis2, t3.axis3) AS axis_key,
+         CASE WHEN t1.axis1 IS NOT NULL THEN 1
+              WHEN t2.axis2 IS NOT NULL THEN 2
+              WHEN t3.axis3 IS NOT NULL THEN 3 ELSE 0 END AS tier
+  FROM data d
+  LEFT JOIN t1 USING (grid, dateo, deet, npas)
+  LEFT JOIN t2 USING (grid, dateo)
+  LEFT JOIN t3 USING (grid)
+  ORDER BY d.key
+"""
+
+
+def q_fst_select_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3/F4: select data rows by nomvar, then re-attach the meta
+    records of the surviving grids via a left-semi join
+    (operators/select.py add_metadata_to_query_results;
+    reference std_io.py:77-94)."""
+    from fstd2pandas_spark.operators.select import (
+        add_metadata_to_query_results, select_meta, select_no_meta)
+
+    rec = meta_records_from_lineitem(spark, sf_dir)
+    result = select_no_meta(rec).filter(F.col("nomvar") == "TT")
+    out = add_metadata_to_query_results(result, select_meta(rec))
+    return out.select("key", "nomvar", "grid").orderBy("key", "nomvar")
+
+
+_Q_SELECT_META_SQL = f"""
+  WITH rec AS ({_META_RECORDS_SQL}),
+  res AS (SELECT * FROM rec WHERE nomvar = 'TT'
+          AND nomvar NOT IN ({_META_LIST_SQL})),
+  meta AS (SELECT * FROM rec WHERE nomvar IN ({_META_LIST_SQL}))
+  SELECT key, nomvar, grid FROM res
+  UNION ALL
+  SELECT key, nomvar, grid FROM meta
+  WHERE grid IN (SELECT DISTINCT grid FROM res)
+  ORDER BY key, nomvar
+"""
+
+
+def q_fst_pressure_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 sigma-1001 pressure: pres = level * P0 (reference
+    std_vgrid.py:328-351), P0 surrogate = x*10+500 from the record's d,
+    over kind-1 (sigma) records."""
+    rec = records_from_lineitem(spark, sf_dir)
+    lvl = F.round(decode_ip_value(F.col("ip1")), 6)
+    sig = rec.filter(decode_ip_kind(F.col("ip1")) == 1)
+    pres = F.transform(
+        "d", lambda x: F.round(lvl * (x.cast("double") * 10.0 + 500.0), 4))
+    return sig.select("key", "ip1", pres.alias("pres")).orderBy("key")
+
+
+_Q_PRESSURE_SIGMA_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL})
+  SELECT key, ip1,
+         list_transform(d, x -> round(
+            round({_DECODE_VALUE_SQL.format(ip='ip1')}, 6)
+            * (CAST(x AS DOUBLE) * 10.0 + 500.0), 4)) AS pres
+  FROM rec WHERE ({_DECODE_KIND_SQL.format(ip='ip1')}) = 1
+  ORDER BY key
+"""
+
+
+def q_fst_pressure_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 pressure-2001: constant grid = the decoded level itself
+    (reference std_vgrid.py:388-422) over kind-2 (pressure) records —
+    an array_repeat shaped like d."""
+    rec = records_from_lineitem(spark, sf_dir)
+    lvl = F.round(decode_ip_value(F.col("ip1")), 4)
+    prs = rec.filter(decode_ip_kind(F.col("ip1")) == 2)
+    return prs.select(
+        "key", "ip1",
+        F.array_repeat(lvl, F.col("ni")).alias("pres"),
+    ).orderBy("key")
+
+
+_Q_PRESSURE_CONST_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL})
+  SELECT key, ip1,
+         list_transform(d, x -> round({_DECODE_VALUE_SQL.format(ip='ip1')}, 4))
+           AS pres
+  FROM rec WHERE ({_DECODE_KIND_SQL.format(ip='ip1')}) = 2
+  ORDER BY key
+"""
+
+
+def q_fst_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 interval detection (reference std_dec.py:44-69 +
+    std_io.py:854-871, functions/meta.py interval_struct): ip3 >= 32768
+    with ip3's kind matching ip2's -> time interval (low=ip3 value,
+    high=ip2 value); matching ip1's -> level interval."""
+    from fstd2pandas_spark.functions.meta import interval_struct
+
+    rec = records_from_lineitem(spark, sf_dir)
+    k = F.col("key")
+    ip2 = (
+        F.when(k % 2 == 0, F.element_at(
+            F.array(*[F.lit(v) for v in IP2_IV]), (k % 4 + 1).cast("int")))
+        .otherwise((k % 30).cast("int"))
+    )
+    ip3 = (
+        F.when(k % 2 == 0, F.element_at(
+            F.array(*[F.lit(v) for v in IP3_IV]), (k % 4 + 1).cast("int")))
+        .when(k % 6 == 1, F.lit(IP3_LVL))
+        .otherwise(F.lit(0))
+    )
+    ext = rec.withColumn("ip2", ip2).withColumn("ip3", ip3)
+    iv = interval_struct(F.col("nomvar"), F.col("ip1"), F.col("ip2"), F.col("ip3"))
+    return ext.select(
+        "key",
+        iv["ip"].alias("iv_ip"),
+        F.round(iv["low"], 4).alias("iv_low"),
+        F.round(iv["high"], 4).alias("iv_high"),
+        iv["kind"].alias("iv_kind"),
+    ).orderBy("key")
+
+
+_Q_INTERVAL_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL}),
+  ext AS (
+    SELECT key, nomvar, ip1,
+           CASE WHEN key % 2 = 0
+                THEN ([{_sql_list(IP2_IV)}])[CAST(key % 4 AS INT) + 1]
+                ELSE CAST(key % 30 AS INT) END AS ip2,
+           CASE WHEN key % 2 = 0
+                THEN ([{_sql_list(IP3_IV)}])[CAST(key % 4 AS INT) + 1]
+                WHEN key % 6 = 1 THEN {IP3_LVL}
+                ELSE 0 END AS ip3
+    FROM rec),
+  kinds AS (
+    SELECT key, ip1, ip2, ip3,
+           ({_DECODE_KIND_SQL.format(ip='ip1')}) AS k1,
+           ({_DECODE_VALUE_SQL.format(ip='ip1')}) AS v1,
+           ({_DECODE_KIND_SQL.format(ip='ip2')}) AS k2,
+           ({_DECODE_VALUE_SQL.format(ip='ip2')}) AS v2,
+           ({_DECODE_KIND_SQL.format(ip='ip3')}) AS k3,
+           ({_DECODE_VALUE_SQL.format(ip='ip3')}) AS v3
+    FROM ext)
+  SELECT key,
+         CASE WHEN ip3 < 32768 THEN NULL
+              WHEN ip2 >= 32768 AND k3 = k2 THEN 'ip2'
+              WHEN ip1 >= 32768 AND k3 = k1 THEN 'ip1' END AS iv_ip,
+         CASE WHEN ip3 < 32768 THEN NULL
+              WHEN ip2 >= 32768 AND k3 = k2 THEN round(v3, 4)
+              WHEN ip1 >= 32768 AND k3 = k1 THEN round(v1, 4) END AS iv_low,
+         CASE WHEN ip3 < 32768 THEN NULL
+              WHEN ip2 >= 32768 AND k3 = k2 THEN round(v2, 4)
+              WHEN ip1 >= 32768 AND k3 = k1 THEN round(v3, 4) END AS iv_high,
+         CASE WHEN ip3 < 32768 THEN NULL
+              WHEN ip2 >= 32768 AND k3 = k2 THEN k2
+              WHEN ip1 >= 32768 AND k3 = k1 THEN k1 END AS iv_kind
+  FROM kinds ORDER BY key
+"""
+
+
+def q_fst_recover_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 recover-mask (reference recover_mask.py:16-100,
+    operators/mask.py recover_mask): split a null-masked array into a
+    data array (masked -> 0) and a 0/1 uint mask array."""
+    rec = records_from_lineitem(spark, sf_dir)
+    masked = F.transform("d", lambda x: F.when(x > 25.0, x))
+    d_data = F.transform(masked, lambda x: F.coalesce(x, F.lit(0.0).cast("float")))
+    d_mask = F.transform(
+        masked, lambda x: F.when(x.isNull(), 0).otherwise(1))
+    return rec.select(
+        "key", d_data.alias("d_data"), d_mask.alias("d_mask")
+    ).orderBy("key")
+
+
+_Q_RECOVER_MASK_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL})
+  SELECT key,
+         list_transform(d, v -> CASE WHEN v > 25.0 THEN v
+                                     ELSE CAST(0.0 AS FLOAT) END) AS d_data,
+         list_transform(d, v -> CASE WHEN v > 25.0 THEN 1 ELSE 0 END) AS d_mask
+  FROM rec ORDER BY key
+"""
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fstd2pandas_spark.operators.llm import exact_dedup
 
@@ -1138,6 +1519,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fst_mask": q_fst_mask,
         "fst_pressure_eta": q_fst_pressure_eta,
         "fst_pressure_hybrid": q_fst_pressure_hybrid,
+        "fst_pressure_sigma": q_fst_pressure_sigma,
+        "fst_pressure_const": q_fst_pressure_const,
+        "fst_meta_exists": q_fst_meta_exists,
+        "fst_vctype": q_fst_vctype,
+        "fst_grid_assoc": q_fst_grid_assoc,
+        "fst_select_meta": q_fst_select_meta,
+        "fst_interval": q_fst_interval,
+        "fst_recover_mask": q_fst_recover_mask,
         "fst_voir": q_fst_voir,
         "fst_latlon": q_fst_latlon,
         "fst_cube": q_fst_cube,
@@ -1177,6 +1566,14 @@ def oracle_sql() -> dict[str, str]:
         "fst_mask": _Q_MASK_SQL,
         "fst_pressure_eta": _Q_PRESSURE_SQL,
         "fst_pressure_hybrid": _Q_PRESSURE_HYB_SQL,
+        "fst_pressure_sigma": _Q_PRESSURE_SIGMA_SQL,
+        "fst_pressure_const": _Q_PRESSURE_CONST_SQL,
+        "fst_meta_exists": _Q_META_EXISTS_SQL,
+        "fst_vctype": _Q_VCTYPE_SQL,
+        "fst_grid_assoc": _Q_GRID_ASSOC_SQL,
+        "fst_select_meta": _Q_SELECT_META_SQL,
+        "fst_interval": _Q_INTERVAL_SQL,
+        "fst_recover_mask": _Q_RECOVER_MASK_SQL,
         "fst_voir": _Q_VOIR_SQL,
         "fst_latlon": _Q_LATLON_SQL,
         "fst_cube": _Q_CUBE_SQL,

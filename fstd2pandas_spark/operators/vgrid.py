@@ -69,7 +69,7 @@ def set_vertical_coordinate_type(df: DataFrame) -> DataFrame:
         "vcode",
         F.when(F.size(vcodes) == 0, F.lit(-1))
         .when(F.size(vcodes) == 1, F.element_at(vcodes, 1))
-        .otherwise(F.coalesce(F.element_at(matching, 1), F.lit(-1))),
+        .otherwise(F.coalesce(F.try_element_at(matching, F.lit(1)), F.lit(-1))),
     ).drop("vcodes")
 
     rules = vctypes_df()
