@@ -1014,6 +1014,108 @@ _Q_INTERVAL_SQL = f"""
 """
 
 
+def _full_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta_records + the remaining BASE_COLUMNS metadata_cleanup touches
+    (typvar/nk/ip2/ip3/ig2-4/nbits/datyp/grtyp/datev), all key-derived or
+    constant — mirrored by _FULL_RECORDS_SQL."""
+    rec = meta_records_from_lineitem(spark, sf_dir)
+    k = F.col("key")
+    return (
+        rec.withColumn("typvar", F.lit("P"))
+        .withColumn("nk", F.lit(1))
+        .withColumn("ip2", ((k % 3) * 6).cast("int"))
+        .withColumn("ip3", F.lit(0))
+        .withColumn("ig2", (k % 4).cast("int"))
+        .withColumn("ig3", F.lit(0))
+        .withColumn("ig4", F.lit(0))
+        .withColumn("nbits", F.lit(16))
+        .withColumn("datyp", F.lit(134))
+        .withColumn("grtyp", F.lit("Z"))
+        .withColumn("datev",
+                    (F.col("dateo") + F.col("deet") * F.col("npas")).cast("long"))
+    )
+
+
+_FULL_RECORDS_SQL = f"""
+  SELECT *, 'P' AS typvar, 1 AS nk,
+         CAST((key % 3) * 6 AS INT) AS ip2, 0 AS ip3,
+         CAST(key % 4 AS INT) AS ig2, 0 AS ig3, 0 AS ig4,
+         16 AS nbits, 134 AS datyp, 'Z' AS grtyp,
+         CAST(dateo + deet * npas AS BIGINT) AS datev
+  FROM ({_META_RECORDS_SQL})
+"""
+
+
+def q_fst_metadata_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 flagship metadata_cleanup (reference dataframe_utils.py:67-110,
+    operators/metadata.py): recompute which descriptor records are actually
+    referenced — 3-tier deformation fallback, P0/PT dim-matched picks, HY
+    gated on hybrid levels, ``!!`` gated on level-family vcodes — and drop
+    the rest. The result is projected onto columns inside every dedup
+    subset (nomvar, ip1, ip2, ni, nj, ig1) and DISTINCT'd so the compare is
+    insensitive to which duplicate row a dedup keeps."""
+    from fstd2pandas_spark.operators.metadata import metadata_cleanup
+
+    rec = _full_records(spark, sf_dir)
+    out = metadata_cleanup(rec)
+    cols = ["nomvar", "ip1", "ip2", "ni", "nj", "ig1"]
+    return out.select(*cols).distinct().orderBy(*cols)
+
+
+_Q_META_CLEANUP_SQL = f"""
+  WITH rec AS ({_FULL_RECORDS_SQL}),
+  no_meta AS (SELECT * FROM rec WHERE nomvar NOT IN ({_META_LIST_SQL})),
+  kinds AS (SELECT *, ({_DECODE_KIND_SQL.format(ip='ip1')}) AS k FROM no_meta),
+  groups AS (SELECT DISTINCT grid, dateo, datev, deet, npas FROM no_meta),
+  cand AS (SELECT * FROM rec WHERE nomvar IN ('>>', '^^', '^>')),
+  pairs AS (
+    SELECT c.nomvar, c.ip1, c.ip2, c.ni, c.nj, c.ig1,
+           g.grid AS ggrid, g.dateo AS gdateo, g.datev AS gdatev,
+           g.deet AS gdeet, g.npas AS gnpas,
+           CASE WHEN c.dateo = g.dateo AND c.deet = g.deet AND c.npas = g.npas
+                THEN 3
+                WHEN c.dateo = g.dateo THEN 2 ELSE 1 END AS tier
+    FROM cand c JOIN groups g ON c.grid = g.grid),
+  best AS (
+    SELECT *, max(tier) OVER (PARTITION BY ggrid, gdateo, gdatev, gdeet,
+                                           gnpas, nomvar) AS btier
+    FROM pairs),
+  surv_def AS (
+    SELECT DISTINCT nomvar, ip1, ip2, ni, nj, ig1 FROM best
+    WHERE tier = btier),
+  hyb_grids AS (SELECT DISTINCT grid FROM kinds WHERE k IN (5, 1)),
+  sig_grids AS (SELECT DISTINCT grid FROM kinds WHERE k = 1),
+  dims AS (SELECT grid, min(ni) AS ni, min(nj) AS nj FROM no_meta GROUP BY grid),
+  surv_p0 AS (
+    SELECT DISTINCT r.nomvar, r.ip1, r.ip2, r.ni, r.nj, r.ig1
+    FROM rec r
+    JOIN dims d ON r.grid = d.grid AND r.ni = d.ni AND r.nj = d.nj
+    WHERE r.nomvar = 'P0' AND r.grid IN (SELECT grid FROM hyb_grids)),
+  surv_pt AS (
+    SELECT DISTINCT r.nomvar, r.ip1, r.ip2, r.ni, r.nj, r.ig1
+    FROM rec r
+    JOIN dims d ON r.grid = d.grid AND r.ni = d.ni AND r.nj = d.nj
+    WHERE r.nomvar = 'PT' AND r.grid IN (SELECT grid FROM sig_grids)),
+  surv_hy AS (
+    SELECT DISTINCT nomvar, ip1, ip2, ni, nj, ig1 FROM rec
+    WHERE nomvar = 'HY'
+      AND EXISTS (SELECT 1 FROM kinds WHERE k = 5)),
+  surv_tt AS (
+    SELECT DISTINCT nomvar, ip1, ip2, ni, nj, ig1 FROM rec
+    WHERE nomvar = '!!' AND (
+      (ig1 IN (1003, 5001, 5002, 5003, 5004, 5005, 5100, 5999, 21001, 21002)
+       AND grid IN (SELECT grid FROM kinds WHERE k = 5))
+      OR (ig1 IN (1001, 1002) AND grid IN (SELECT grid FROM kinds WHERE k = 1))
+      OR (ig1 = 2001 AND grid IN (SELECT grid FROM kinds WHERE k = 2)))),
+  surv_data AS (SELECT DISTINCT nomvar, ip1, ip2, ni, nj, ig1 FROM no_meta)
+  SELECT DISTINCT nomvar, ip1, ip2, ni, nj, ig1 FROM (
+    SELECT * FROM surv_def UNION ALL SELECT * FROM surv_p0
+    UNION ALL SELECT * FROM surv_pt UNION ALL SELECT * FROM surv_hy
+    UNION ALL SELECT * FROM surv_tt UNION ALL SELECT * FROM surv_data)
+  ORDER BY nomvar, ip1, ip2, ni, nj, ig1
+"""
+
+
 def q_fst_recover_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G11 recover-mask (reference recover_mask.py:16-100,
     operators/mask.py recover_mask): split a null-masked array into a
@@ -1527,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fst_select_meta": q_fst_select_meta,
         "fst_interval": q_fst_interval,
         "fst_recover_mask": q_fst_recover_mask,
+        "fst_metadata_cleanup": q_fst_metadata_cleanup,
         "fst_voir": q_fst_voir,
         "fst_latlon": q_fst_latlon,
         "fst_cube": q_fst_cube,
@@ -1574,6 +1677,7 @@ def oracle_sql() -> dict[str, str]:
         "fst_select_meta": _Q_SELECT_META_SQL,
         "fst_interval": _Q_INTERVAL_SQL,
         "fst_recover_mask": _Q_RECOVER_MASK_SQL,
+        "fst_metadata_cleanup": _Q_META_CLEANUP_SQL,
         "fst_voir": _Q_VOIR_SQL,
         "fst_latlon": _Q_LATLON_SQL,
         "fst_cube": _Q_CUBE_SQL,

@@ -103,10 +103,12 @@ def _grid_deformation_fields(df: DataFrame, no_meta: DataFrame) -> DataFrame:
 
 
 def _grid_dims(no_meta: DataFrame) -> DataFrame:
-    """First (ni, nj) per grid of the data rows (dataframe_utils.py:402-423
-    takes ``unique()[0]``)."""
+    """Representative (ni, nj) per grid of the data rows
+    (dataframe_utils.py:402-423 takes ``unique()[0]`` — an arbitrary
+    representative; we pick min() so the choice is deterministic across
+    runs and engines)."""
     return no_meta.groupBy("grid").agg(
-        F.first("ni").alias("ni"), F.first("nj").alias("nj")
+        F.min("ni").alias("ni"), F.min("nj").alias("nj")
     )
 
 
