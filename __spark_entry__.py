@@ -1140,6 +1140,75 @@ _Q_RECOVER_MASK_SQL = f"""
 """
 
 
+TYPVARS = ["P", "PZ", "PF", "A", "PI", "PU", "PB", "PM"]
+
+
+def q_fst_typvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 typvar-modifier parse (reference dataframe.py:104-139,
+    functions/meta.py typvar_flags): 2nd char -> 8 boolean flags."""
+    from fstd2pandas_spark.functions.meta import typvar_flags
+
+    rec = records_from_lineitem(spark, sf_dir)
+    tv = F.element_at(F.array(*[F.lit(t) for t in TYPVARS]),
+                      (F.col("key") % 8 + 1).cast("int"))
+    ext = rec.withColumn("typvar", tv)
+    return ext.select(
+        "key", "typvar", *typvar_flags(F.col("typvar"))
+    ).orderBy("key")
+
+
+_Q_TYPVAR_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL}),
+  ext AS (
+    SELECT key,
+           (['{"','".join(TYPVARS)}'])[CAST(key % 8 AS INT) + 1] AS typvar
+    FROM rec),
+  c AS (
+    SELECT key, typvar,
+           CASE WHEN len(typvar) > 1 THEN substr(typvar, 2, 1) ELSE '' END AS ch
+    FROM ext)
+  SELECT key, typvar,
+         ch = 'M' AS multiple_modifications,
+         ch = 'Z' AS zapped,
+         ch = 'F' AS filtered,
+         ch = 'I' AS interpolated,
+         ch = 'U' AS unit_converted,
+         ch = 'B' AS bounded,
+         ch = '?' AS missing_data,
+         ch = '!' AS ensemble_extra_info
+  FROM c ORDER BY key
+"""
+
+
+def q_fst_encode_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15/C16 ip encode (functions/codecs.py encode_ip_expr; reference
+    std_enc.py:10-175): re-encode each record's decoded (value, kind).
+    New-style ips round-trip to themselves; old-style ips re-encode to
+    their canonical new-style form."""
+    rec = records_from_lineitem(spark, sf_dir)
+    ip = F.col("ip1")
+    from fstd2pandas_spark.functions.codecs import encode_ip_expr
+    re_enc = encode_ip_expr(decode_ip_value(ip), decode_ip_kind(ip))
+    return rec.select("key", "ip1", re_enc.alias("ip1_reenc")).orderBy("key")
+
+
+#: expected canonical new-style encodings of the old-style literals
+_OLD_REENC = {
+    old: encode_ip_py(*__import__("fstd2pandas_spark.functions.codecs",
+                                  fromlist=["decode_ip_py"]).decode_ip_py(old))
+    for old in IP1S_OLD
+}
+
+_Q_ENCODE_IP_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL})
+  SELECT key, ip1,
+         CASE WHEN ip1 > 32767 THEN ip1
+              {' '.join(f'WHEN ip1 = {o} THEN {n}' for o, n in _OLD_REENC.items())}
+         END AS ip1_reenc
+  FROM rec ORDER BY key
+"""
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fstd2pandas_spark.operators.llm import exact_dedup
 
@@ -1630,6 +1699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fst_interval": q_fst_interval,
         "fst_recover_mask": q_fst_recover_mask,
         "fst_metadata_cleanup": q_fst_metadata_cleanup,
+        "fst_typvar": q_fst_typvar,
+        "fst_encode_ip": q_fst_encode_ip,
         "fst_voir": q_fst_voir,
         "fst_latlon": q_fst_latlon,
         "fst_cube": q_fst_cube,
@@ -1678,6 +1749,8 @@ def oracle_sql() -> dict[str, str]:
         "fst_interval": _Q_INTERVAL_SQL,
         "fst_recover_mask": _Q_RECOVER_MASK_SQL,
         "fst_metadata_cleanup": _Q_META_CLEANUP_SQL,
+        "fst_typvar": _Q_TYPVAR_SQL,
+        "fst_encode_ip": _Q_ENCODE_IP_SQL,
         "fst_voir": _Q_VOIR_SQL,
         "fst_latlon": _Q_LATLON_SQL,
         "fst_cube": _Q_CUBE_SQL,
