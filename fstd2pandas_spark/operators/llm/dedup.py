@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from fstd2pandas_spark.operators.llm.text import (
     tokens_col, shingles_col, simhash,
 )
+from fstd2pandas_spark.plans.partitioning import ensure_min_partitions
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -69,6 +70,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     # fewer allocations than a fold rebuilding a num_hashes-wide
     # accumulator per shingle. The sig expression is ONE SQL string — the
     # Column DSL would cost hundreds of py4j round-trips to build.
+    df = ensure_min_partitions(df)
     with_t = df.withColumn("_tk", tokens_col(F.col(text_col)))
     sh = shingles_col(F.col("_tk"), shingle_k)
     with_h = with_t.withColumn(

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from fstd2pandas_spark.plans.partitioning import ensure_min_partitions
 
 #: schema of a multimodal asset row
 MEDIA_SCHEMA = T.StructType([
@@ -78,7 +79,7 @@ def extract_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
                     "feature": feats,
                 })
 
-    return df.mapInPandas(_run, schema=_FEATURE_SCHEMA)
+    return ensure_min_partitions(df).mapInPandas(_run, schema=_FEATURE_SCHEMA)
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:

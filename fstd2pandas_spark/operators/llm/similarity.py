@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from fstd2pandas_spark.plans.partitioning import ensure_min_partitions
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -44,6 +45,7 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
     """Brute-force cosine top-k: for each query vector, the k nearest
     others. Returns (query_id, neighbor_id, cos) with cos rounded to 6 dp,
     ranked by (cos desc, neighbor_id asc)."""
+    emb = ensure_min_partitions(emb)
     if query_ids is None:
         queries = emb.filter(F.col(id_col) < n_queries)
     else:
@@ -82,6 +84,7 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.4,
     (shuffles on bucket id, ~N/2^n_planes rows per bucket) instead of a
     cross join.
     """
+    emb = ensure_min_partitions(emb)
     a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
     b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
     if n_planes > 0:
@@ -136,6 +139,7 @@ def lsh_ann_topk(emb: DataFrame, k: int = 5, n_planes: int = 4,
     the join is per-bucket (co-partitioned), and each bucket holds
     ~N / 2^n_planes vectors.
     """
+    emb = ensure_min_partitions(emb)
     bucketed = emb.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), n_planes, dim))
     q = bucketed.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_bucket"

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from fstd2pandas_spark.plans.partitioning import ensure_min_partitions
 
 #: marker stopwords per language for the n-gram/stopword language heuristic
 LANG_MARKERS: dict[str, list[str]] = {
@@ -56,6 +57,7 @@ def language_id(df: DataFrame, text_col: str = "text",
     """Marker-stopword language heuristic: count marker hits per language,
     pick the max (ties broken by language name ascending; no hits -> 'und').
     """
+    df = ensure_min_partitions(df)
     toks = tokens_col(F.col(text_col))
     scores = {
         lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
@@ -119,6 +121,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count."""
+    df = ensure_min_partitions(df)
     return (
         df.withColumn("ws_tokens", F.size(tokens_col(F.col(text_col))))
         .withColumn("bpe_tokens", F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)))
@@ -129,6 +132,7 @@ def fingerprint(df: DataFrame, text_col: str = "text",
                 out_col: str = "fingerprint") -> DataFrame:
     """Polynomial rolling hash over token hashes:
     ``fp = fold(tokens, 0, (acc, t) -> (acc*31 + h(t)) mod 1e9+7)``."""
+    df = ensure_min_partitions(df)
     toks = tokens_col(F.col(text_col))
     fp = F.aggregate(
         toks, F.lit(0).cast("long"),
@@ -150,6 +154,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
     # literal). Built as ONE SQL string — a wide expression assembled via
     # the Column DSL costs hundreds of py4j round-trips (~2 s of pure
     # driver-side build time); expr() parses it JVM-side in one call.
+    df = ensure_min_partitions(df)
     with_h = df.withColumn(
         "_th",
         F.expr(f"transform(split(lower({text_col}), ' '), "
