@@ -17,7 +17,7 @@ from fstd2pandas_spark.operators.metadata import (
     metadata_cleanup,
 )
 from fstd2pandas_spark.operators.vgrid import (
-    meta_fields_exists,
+    meta_fields_exists, toctoc_from_vgrid,
     set_vertical_coordinate_type,
 )
 from fstd2pandas_spark.operators.stats import fststat, voir
@@ -36,7 +36,7 @@ from fstd2pandas_spark.operators.cube import to_cube, to_xarray
 __all__ = [
     "select_meta", "select_with_meta", "add_metadata_to_query_results",
     "query_with_meta", "SelectError", "add_grid_column", "metadata_cleanup",
-    "set_vertical_coordinate_type", "meta_fields_exists", "fststat", "voir",
+    "set_vertical_coordinate_type", "meta_fields_exists", "toctoc_from_vgrid", "fststat", "voir",
     "drop_duplicates", "group_invariant_violations", "unit_convert",
     "converter_columns", "apply_mask", "recover_mask", "quick_pressure",
     "df_from_grid", "grid_lat_lon", "grid_metadata_for", "is_global_grid",

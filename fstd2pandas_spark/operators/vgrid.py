@@ -44,6 +44,33 @@ def meta_fields_exists(df: DataFrame) -> DataFrame:
     return _meta_flags_per_grid(df.filter(F.col("nomvar").isin(META_NOMVARS)))
 
 
+def toctoc_from_vgrid(spark, kind: int, version: int,
+                      vtbl: "list[list[float]]", ip1: int,
+                      ip2: int) -> DataFrame:
+    """G9 (reference std_vgrid.py:749-791 ``get_df_from_vgrid``): build the
+    one-row ``!!`` record for a vertical-grid descriptor.
+
+    ``ig1 = int(f"{kind}{version:03d}")`` (e.g. kind 5, version 2 ->
+    5002); ``d`` is the descriptor table flattened row-major with
+    ni = len(vtbl) rows and nj = len(vtbl[0]) columns; (ip1, ip2) stamp
+    the grid association.
+    """
+    from fstd2pandas_spark.schema import empty_record_table
+
+    ni = len(vtbl)
+    nj = len(vtbl[0]) if ni else 0
+    flat = [float(x) for row in vtbl for x in row]
+    ig1 = int(f"{kind}{version:03d}")
+    out = empty_record_table(
+        spark, 1, nomvar="!!", typvar="X", etiket="", ni=ni, nj=nj,
+        ip1=ip1, ip2=ip2, datyp=5, nbits=64, grtyp="X", ig1=ig1,
+    )
+    return out.withColumn(
+        "d", F.lit(flat).cast("array<float>")
+    ).withColumn("grid", F.concat(F.col("ip1").cast("string"),
+                                  F.col("ip2").cast("string")))
+
+
 def set_vertical_coordinate_type(df: DataFrame) -> DataFrame:
     """Add a ``vctype`` column; meta rows get 'UNKNOWN'
     (std_vgrid.py:574-646)."""

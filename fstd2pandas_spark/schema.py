@@ -92,6 +92,34 @@ DEDUP_COLUMNS = [
 ]
 
 
+#: template-row defaults (reference dataframe.py:675-700).
+RECORD_DEFAULTS = {
+    "nomvar": " ", "typvar": "P", "etiket": " ",
+    "ni": 1, "nj": 1, "nk": 1,
+    "dateo": 0, "ip1": 0, "ip2": 0, "ip3": 0,
+    "deet": 0, "npas": 0, "datyp": 133, "nbits": 16,
+    "grtyp": "G", "ig1": 0, "ig2": 0, "ig3": 0, "ig4": 0,
+    "datev": 0, "grid": None, "d": None,
+}
+
+
+def empty_record_table(spark, num_rows: int, **overrides):
+    """G17 (reference dataframe.py:675-700 ``create_empty_dataframe``):
+    a template record table of ``num_rows`` default rows. ``overrides``
+    replace any default with a constant. Built as ``spark.range`` +
+    literal columns — no driver-side row list, so a billion-row template
+    is as cheap as a ten-row one."""
+    from pyspark.sql import functions as F
+
+    vals = dict(RECORD_DEFAULTS, **overrides)
+    df = spark.range(num_rows).drop("id")
+    for f in RECORD_SCHEMA.fields:
+        if f.name in ("path", "key"):
+            continue
+        df = df.withColumn(f.name, F.lit(vals[f.name]).cast(f.dataType))
+    return df
+
+
 def field_dtype(datyp: int, nbits: int) -> str:
     """numpy-style dtype name selected by (datyp, nbits).
 

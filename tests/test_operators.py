@@ -195,3 +195,30 @@ def test_quick_pressure_standard_atmosphere(records):
     lvl = (sig[0].ip1 - 2000) / 10000.0
     # eta SA: ptop*(1-lvl) + lvl*1013.25
     assert sig[0].d[0] == pytest.approx(pt.d[0] * (1 - lvl) + 1013.25 * lvl, rel=1e-6)
+
+
+def test_empty_record_table(spark):
+    from fstd2pandas_spark.schema import empty_record_table, RECORD_SCHEMA
+
+    df = empty_record_table(spark, 3, nomvar="TT", ni=4)
+    rows = df.collect()
+    assert len(rows) == 3
+    assert all(r.nomvar == "TT" and r.ni == 4 and r.typvar == "P"
+               and r.datyp == 133 and r.grtyp == "G" for r in rows)
+    assert df.columns == [f.name for f in RECORD_SCHEMA.fields
+                          if f.name not in ("path", "key")]
+
+
+def test_toctoc_from_vgrid(spark):
+    from fstd2pandas_spark.operators.vgrid import toctoc_from_vgrid
+
+    vtbl = [[5002.0, 0.0, 0.0], [1.0, 0.1, 800.0], [2.0, 0.2, 900.0]]
+    df = toctoc_from_vgrid(spark, kind=5, version=2, vtbl=vtbl,
+                           ip1=11, ip2=22)
+    r = df.collect()[0]
+    assert r.nomvar == "!!" and r.typvar == "X"
+    assert r.ig1 == 5002
+    assert (r.ni, r.nj) == (3, 3)
+    assert r.grid == "1122"
+    assert r.d[:3] == [5002.0, 0.0, 0.0]
+    assert len(r.d) == 9
