@@ -59,6 +59,16 @@ _VCTYPES_SCHEMA = T.StructType([
     T.StructField("vctype", T.StringType()),
 ])
 
+_STATIONS_SCHEMA = T.StructType([
+    T.StructField("station_id", T.IntegerType()),
+    T.StructField("alpha_id", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("latitude", T.DoubleType()),
+    T.StructField("longitude", T.DoubleType()),
+    T.StructField("elevation", T.IntegerType()),
+    T.StructField("timezone", T.StringType()),
+])
+
 _LEVELTYPE_SCHEMA = T.StructType([
     T.StructField("label", T.StringType()),
     T.StructField("kind", T.IntegerType()),
@@ -87,6 +97,8 @@ def _cached(key: str) -> DataFrame:
         return df.cache()
     if key == "leveltype":
         return _read(spark, "leveltype.csv", _LEVELTYPE_SCHEMA).cache()
+    if key == "stations":
+        return _read(spark, "stationsfb.csv", _STATIONS_SCHEMA).cache()
     if key == "thermo":
         spark_df = (
             spark.read.option("header", "true")
@@ -119,6 +131,14 @@ def vctypes_df() -> DataFrame:
 def leveltype_df() -> DataFrame:
     """Level-kind properties (follow_topography, surface level values)."""
     return _cached("leveltype")
+
+
+def stations_df() -> DataFrame:
+    """Forecast-bulletin station registry (J9; reference STATIONSFB,
+    __init__.py:161-168) — representative subset with the same shape:
+    id, alpha id, name, lat/lon, elevation, IANA timezone for C14
+    timezone shifts. Broadcast-join on station_id or alpha_id."""
+    return _cached("stations")
 
 
 def thermo_df() -> DataFrame:

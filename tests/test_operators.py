@@ -222,3 +222,27 @@ def test_toctoc_from_vgrid(spark):
     assert r.grid == "1122"
     assert r.d[:3] == [5002.0, 0.0, 0.0]
     assert len(r.d) == 9
+
+
+def test_stations_lookup_timezone_join(spark):
+    """J9 + C14: broadcast station lookup feeding a timezone shift."""
+    from pyspark.sql import functions as F
+    from fstd2pandas_spark.lookups import stations_df
+
+    st = stations_df()
+    assert st.count() >= 10
+    obs = spark.createDataFrame(
+        [("CYUL", "2020-07-14 12:00:00"), ("CYVR", "2020-07-14 12:00:00")],
+        ["alpha_id", "ts_utc"],
+    ).withColumn("ts_utc", F.to_timestamp("ts_utc"))
+    joined = obs.join(F.broadcast(st), "alpha_id")
+    rows = {r.alpha_id: r for r in joined.collect()}
+    assert rows["CYUL"].timezone == "America/Montreal"
+    assert rows["CYVR"].timezone == "America/Vancouver"
+    # C14 shift via the joined zone column
+    shifted = joined.withColumn(
+        "ts_local", F.from_utc_timestamp(F.col("ts_utc"), F.col("timezone"))
+    ).collect()
+    by_id = {r.alpha_id: r for r in shifted}
+    assert by_id["CYUL"].ts_local.hour == 8   # UTC-4 in July
+    assert by_id["CYVR"].ts_local.hour == 5   # UTC-7 in July
