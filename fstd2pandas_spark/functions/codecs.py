@@ -173,6 +173,27 @@ def encode_ip_expr(value: Column, kind: Column) -> Column:
 encode_ip = encode_ip_expr
 
 
+#: printable kind -> kind code (C16; reference utils.py:90-99)
+PKIND_TO_KIND = {"m": 0, "sg": 1, "mb": 2, "M": 4, "hy": 5, "th": 6,
+                 "H": 10, "mp": 21}
+
+
+def encode_ip_from_user(value: Column, pkind: Column) -> Column:
+    """C16 (reference utils.py:79-108 ``ip_from_value_and_kind``): encode
+    an ip from a value and a *printable* kind string (m, sg, mb, M, hy,
+    th, H, mp) — the printable alias resolves to its kind code through a
+    when() cascade, then the new-style packer runs."""
+    kind = F.lit(None).cast("int")
+    for pk, k in PKIND_TO_KIND.items():
+        kind = F.when(F.trim(pkind) == pk, F.lit(k)).otherwise(kind)
+    return encode_ip_expr(value, kind)
+
+
+def encode_ip_from_user_py(value: float, pkind: str) -> int:
+    """Driver-side scalar variant of :func:`encode_ip_from_user`."""
+    return encode_ip_py(value, PKIND_TO_KIND[pkind.strip()])
+
+
 def decode_ip_py(ip: int) -> tuple[float, int]:
     """Python scalar convertIp decode -> (value, kind)."""
     ip = int(ip)

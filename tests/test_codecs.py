@@ -97,3 +97,24 @@ def test_spark_stamp_roundtrip(spark):
     for row in out:
         assert row.back == row.stamp
         assert row.ts.replace(tzinfo=None) == stamp_to_datetime_py(row.stamp)
+
+
+def test_encode_ip_from_user(spark):
+    """C16: printable-kind encode matches int-kind encode and round-trips."""
+    from pyspark.sql import functions as F
+    from fstd2pandas_spark.functions.codecs import (
+        encode_ip_from_user, encode_ip_from_user_py, encode_ip_py,
+        decode_ip_py,
+    )
+
+    cases = [(850.0, "mb", 2), (0.995, "sg", 1), (1.0, "hy", 5),
+             (10.0, "m", 0), (24.0, "H", 10), (0.5, "th", 6)]
+    df = spark.createDataFrame([(v, pk) for v, pk, _ in cases],
+                               ["value", "pkind"])
+    out = df.withColumn("ip", encode_ip_from_user(F.col("value"),
+                                                  F.col("pkind"))).collect()
+    for (v, pk, k), row in zip(cases, out):
+        assert row.ip == encode_ip_py(v, k) == encode_ip_from_user_py(v, pk)
+        dv, dk = decode_ip_py(row.ip)
+        assert dk == k
+        assert abs(dv - v) < 1e-4 * max(1.0, abs(v))
