@@ -60,9 +60,11 @@ def add_grid_column(df: DataFrame) -> DataFrame:
     )
 
 
-def _grid_deformation_fields(df: DataFrame, no_meta: DataFrame) -> DataFrame:
-    """J5 — the 3-tier fallback join as a specificity-ranked window."""
-    groups = no_meta.select("grid", "dateo", "datev", "deet", "npas").distinct()
+def _grid_deformation_fields(df: DataFrame, groups: DataFrame) -> DataFrame:
+    """J5 — the 3-tier fallback join as a specificity-ranked window.
+    ``groups`` is the distinct (grid, dateo, datev, deet, npas) frame
+    (one row per deformation group, from :func:`_group_profile`)."""
+    groups = groups.select("grid", "dateo", "datev", "deet", "npas")
     cands = df.filter(F.col("nomvar").isin(">>", "^^", "^>"))
 
     g = groups.select(
@@ -102,42 +104,61 @@ def _grid_deformation_fields(df: DataFrame, no_meta: DataFrame) -> DataFrame:
     return out.select(df.columns).dropDuplicates(DEFORMATION_SUBSET)
 
 
-def _grid_dims(no_meta: DataFrame) -> DataFrame:
-    """Representative (ni, nj) per grid of the data rows
-    (dataframe_utils.py:402-423 takes ``unique()[0]`` — an arbitrary
-    representative; we pick min() so the choice is deterministic across
-    runs and engines)."""
-    return no_meta.groupBy("grid").agg(
-        F.min("ni").alias("ni"), F.min("nj").alias("nj")
-    )
+def _group_profile(no_meta: DataFrame) -> DataFrame:
+    """ONE aggregation pass over the data rows serving every survival
+    rule, at the deformation-group granularity (grid, dateo, datev, deet,
+    npas): representative (ni, nj) minima and the set of ip1 kinds.
 
-
-def _family_grids(no_meta: DataFrame, kinds: list[int]) -> DataFrame:
-    """Distinct grids having any level of the given ip1 kinds."""
+    Both the deformation group list and the per-grid profile re-aggregate
+    from this frame, so the whole cleanup carries a single scan +
+    exchange of the data rows and Spark's ReusedExchange serves all
+    consumers — instead of one full pass per rule (5+ scans at 100 TB).
+    """
     return (
         no_meta.withColumn("_k", decode_ip_kind(F.col("ip1")))
-        .filter(F.col("_k").isin(kinds))
-        .select("grid").distinct()
+        .groupBy("grid", "dateo", "datev", "deet", "npas").agg(
+            F.min("ni").alias("ni"), F.min("nj").alias("nj"),
+            F.collect_set("_k").alias("kinds"),
+        )
     )
 
 
-def _surface_fields(df: DataFrame, no_meta: DataFrame, nomvar: str,
+def _grid_profile(groups: DataFrame) -> DataFrame:
+    """Per-grid roll-up of :func:`_group_profile`: the representative
+    (ni, nj) (dataframe_utils.py:402-423 takes ``unique()[0]`` — an
+    arbitrary representative; we pick min() so the choice is
+    deterministic) and the union of ip1 kinds. Input is already tiny
+    (one row per deformation group), so this re-aggregation is free."""
+    return groups.groupBy("grid").agg(
+        F.min("ni").alias("ni"), F.min("nj").alias("nj"),
+        F.array_distinct(F.flatten(F.collect_set("kinds"))).alias("kinds"),
+    )
+
+
+def _family_grids(profile: DataFrame, kinds: list[int]) -> DataFrame:
+    """Distinct grids having any level of the given ip1 kinds."""
+    karr = F.array(*[F.lit(k) for k in kinds])
+    return profile.filter(F.arrays_overlap("kinds", karr)).select("grid")
+
+
+def _surface_fields(df: DataFrame, profile: DataFrame, nomvar: str,
                     kinds: list[int]) -> DataFrame:
     """P0/PT selection: meta rows of `nomvar` matching a family grid AND
     that grid's representative (ni, nj)."""
-    grids = _family_grids(no_meta, kinds)
-    dims = _grid_dims(no_meta).join(F.broadcast(grids), "grid", "leftsemi")
+    karr = F.array(*[F.lit(k) for k in kinds])
+    dims = profile.filter(F.arrays_overlap("kinds", karr)) \
+        .select("grid", "ni", "nj")
     sel = df.filter(F.col("nomvar") == nomvar).join(
         F.broadcast(dims), ["grid", "ni", "nj"], "leftsemi"
     )
     return sel.dropDuplicates(META_DEDUP_SUBSET)
 
 
-def _hy_field(df: DataFrame, no_meta: DataFrame) -> DataFrame:
+def _hy_field(df: DataFrame, profile: DataFrame) -> DataFrame:
     """HY survives only if hybrid (kind 5) levels exist anywhere."""
     hybrid_any = (
-        no_meta.withColumn("_k", decode_ip_kind(F.col("ip1")))
-        .filter(F.col("_k") == 5).select(F.lit(1).alias("_x")).limit(1)
+        profile.filter(F.array_contains("kinds", F.lit(5)))
+        .select(F.lit(1).alias("_x")).limit(1)
     )
     return (
         df.filter(F.col("nomvar") == "HY")
@@ -146,14 +167,14 @@ def _hy_field(df: DataFrame, no_meta: DataFrame) -> DataFrame:
     )
 
 
-def _toctoc_fields(df: DataFrame, no_meta: DataFrame) -> DataFrame:
+def _toctoc_fields(df: DataFrame, profile: DataFrame) -> DataFrame:
     """``!!`` rows kept when their grid carries the matching level family
     and ig1 is in that family's vcode set."""
     toctoc = df.filter(F.col("nomvar") == "!!")
     parts = []
     for kinds, vcodes in (([5], HYBRID_VCODES), ([1], SIGMA_VCODES),
                           ([2], PRESSURE_VCODES)):
-        grids = _family_grids(no_meta, kinds)
+        grids = _family_grids(profile, kinds)
         parts.append(
             toctoc.filter(F.col("ig1").isin(vcodes))
             .join(F.broadcast(grids), "grid", "leftsemi")
@@ -167,11 +188,13 @@ def metadata_cleanup(df: DataFrame, strict_toctoc: bool = True) -> DataFrame:
     (dataframe_utils.py:67-110). Returns data rows + the surviving meta
     rows (column set unchanged)."""
     no_meta = df.filter(~F.col("nomvar").isin(META_NOMVARS))
-    deformation = _grid_deformation_fields(df, no_meta)
-    p0 = _surface_fields(df, no_meta, "P0", kinds=[5, 1])
-    pt = _surface_fields(df, no_meta, "PT", kinds=[1])
-    hy = _hy_field(df, no_meta)
-    toctoc = _toctoc_fields(df, no_meta)
+    groups = _group_profile(no_meta)
+    profile = _grid_profile(groups)
+    deformation = _grid_deformation_fields(df, groups)
+    p0 = _surface_fields(df, profile, "P0", kinds=[5, 1])
+    pt = _surface_fields(df, profile, "PT", kinds=[1])
+    hy = _hy_field(df, profile)
+    toctoc = _toctoc_fields(df, profile)
     out = deformation
     for part in (p0, pt, hy, toctoc, no_meta):
         out = out.unionByName(part.select(df.columns))

@@ -246,3 +246,28 @@ def test_stations_lookup_timezone_join(spark):
     by_id = {r.alpha_id: r for r in shifted}
     assert by_id["CYUL"].ts_local.hour == 8   # UTC-4 in July
     assert by_id["CYVR"].ts_local.hour == 5   # UTC-7 in July
+
+
+def test_vctype_and_cleanup_plan_shape(records):
+    """Scale guards: classification joins broadcast (lookup + per-grid
+    flags are tiny at any scale), cleanup never goes cartesian, and the
+    full-shuffle count stays bounded (grid-distinct frames, not data)."""
+    from fstd2pandas_spark.operators.vgrid import set_vertical_coordinate_type
+    from fstd2pandas_spark.operators.metadata import metadata_cleanup
+    from fstd2pandas_spark.plans.checks import (
+        assert_broadcast_join, assert_no_cartesian, count_exchanges,
+    )
+
+    classified = set_vertical_coordinate_type(records)
+    assert_broadcast_join(classified, 2)
+    assert_no_cartesian(classified)
+
+    assert count_exchanges(classified) <= 2
+
+    cleaned = metadata_cleanup(records)
+    assert_no_cartesian(cleaned)
+    # every exchange below the survival joins carries a distinct-group
+    # frame (tiny at any scale), never the data rows; the static plan
+    # repeats the shared profile subtree per consumer (~4 consumers x
+    # ~5 nodes), so cap the count rather than pin it
+    assert count_exchanges(cleaned) <= 25
