@@ -1658,6 +1658,48 @@ _Q_STREAM_EVENTS_SQL = """
 """
 
 
+def q_stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end (SURVEY §2.10
+    extension; streaming/record_stream.py running_extrema): per-key
+    running min/max via applyInPandasWithState, drained with availableNow.
+    Events adapt to the record shape (event_type -> nomvar, value -> d);
+    the final state per key equals the batch aggregate, which the oracle
+    checks."""
+    import uuid
+
+    from fstd2pandas_spark.streaming import run_to_memory
+    from fstd2pandas_spark.streaming.record_stream import running_extrema
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(_t(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(os.path.join(sf_dir, "events*.parquet"))
+        .select(F.col("event_type").alias("nomvar"),
+                F.array(F.col("value")).alias("d"))
+    )
+    name = f"stream_ext_{uuid.uuid4().hex[:8]}"
+    run_to_memory(running_extrema(stream), name, output_mode="update")
+    # update-mode sink holds one row per key per micro-batch; the final
+    # state is the monotone envelope of the updates
+    return (
+        spark.table(name)
+        .groupBy("nomvar")
+        .agg(F.max("n_seen").alias("n_seen"),
+             F.round(F.min("running_min"), 6).alias("running_min"),
+             F.round(F.max("running_max"), 6).alias("running_max"))
+        .orderBy("nomvar")
+    )
+
+
+_Q_STREAM_EXTREMA_SQL = """
+  SELECT event_type AS nomvar, count(*) AS n_seen,
+         round(min(value), 6) AS running_min,
+         round(max(value), 6) AS running_max
+  FROM events GROUP BY 1 ORDER BY nomvar
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1682,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_agg": q_conditional_agg,
         "events_hourly": q_events_hourly,
         "stream_events_hourly": q_stream_events_hourly,
+        "stream_running_extrema": q_stream_running_extrema,
         "fst_decode_ip": q_fst_decode_ip,
         "fst_dates": q_fst_dates,
         "fst_etiket": q_fst_etiket,
@@ -1732,6 +1775,7 @@ def oracle_sql() -> dict[str, str]:
         "conditional_agg": _Q_CONDAGG_SQL,
         "events_hourly": _Q_EVENTS_SQL,
         "stream_events_hourly": _Q_STREAM_EVENTS_SQL,
+        "stream_running_extrema": _Q_STREAM_EXTREMA_SQL,
         "fst_decode_ip": _Q_DECODE_SQL,
         "fst_dates": _Q_DATES_SQL,
         "fst_etiket": _Q_ETIKET_SQL,
