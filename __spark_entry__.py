@@ -1500,6 +1500,50 @@ def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5,
 """
 
 
+def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fstd2pandas_spark.operators.llm import ivf_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, k=5, n_cells=8, nprobe=2, dim=64,
+                        n_queries=10).orderBy("query_id", "rank")
+
+
+def _ann_ivf_sql(n_cells: int = 8, nprobe: int = 2, dim: int = 64,
+                 k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+  WITH e AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+  cents AS (
+    SELECT c.c AS c,
+           list_transform(generate_series(0, {dim - 1}),
+             j -> CAST(concat('0x', substr(md5(concat('ivf',
+                    CAST(c.c AS VARCHAR), '_', CAST(j AS VARCHAR))), 1, 4))
+                  AS BIGINT) / 32768.0 - 1.0) AS w
+    FROM (SELECT unnest(generate_series(0, {n_cells - 1})) AS c) c),
+  sc AS (
+    SELECT e.vec_id, e.v, cents.c,
+           list_dot_product(e.v, cents.w) AS s,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, cents.w) DESC,
+                                       cents.c ASC) AS rn
+    FROM e, cents),
+  cand AS (SELECT vec_id AS neighbor_id, v AS cv, c AS cell
+           FROM sc WHERE rn = 1),
+  probe AS (SELECT vec_id AS query_id, v AS qv, c AS cell
+            FROM sc WHERE vec_id < {n_queries} AND rn <= {nprobe})
+  SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT p.query_id, c.neighbor_id,
+           round(list_cosine_similarity(p.qv, c.cv), 6) AS cos,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY round(list_cosine_similarity(p.qv, c.cv), 6) DESC,
+                                       c.neighbor_id ASC) AS rank
+    FROM probe p JOIN cand c ON c.cell = p.cell
+    WHERE c.neighbor_id != p.query_id) t
+  WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing driven end-to-end: documents become opaque
     binary assets, features extracted via Arrow-batched mapInPandas
@@ -1754,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_neardup": q_emb_neardup,
         "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_ivf": q_emb_ann_ivf,
         "mm_features": q_mm_features,
     }
 
@@ -1805,5 +1850,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": _Q_COSINE_SQL,
         "emb_neardup": _Q_NEARDUP_SQL,
         "emb_ann_lsh": _ann_lsh_sql(),
+        "emb_ann_ivf": _ann_ivf_sql(),
         "mm_features": _Q_MM_SQL,
     }

@@ -25,7 +25,7 @@ from fstd2pandas_spark.operators.llm.dedup import (
     ngram_jaccard_pairs, simhash_buckets,
 )
 from fstd2pandas_spark.operators.llm.similarity import (
-    cosine_topk, lsh_ann_topk, cosine_col, embedding_neardup,
+    cosine_topk, lsh_ann_topk, ivf_ann_topk, cosine_col, embedding_neardup,
 )
 from fstd2pandas_spark.operators.llm.multimodal import (
     extract_features, resize_images, sample_video_frames,
@@ -36,6 +36,6 @@ __all__ = [
     "quality_score", "token_counts", "fingerprint", "simhash",
     "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
     "ngram_jaccard_pairs", "simhash_buckets",
-    "cosine_topk", "lsh_ann_topk", "cosine_col", "embedding_neardup",
+    "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "cosine_col", "embedding_neardup",
     "extract_features", "resize_images", "sample_video_frames",
 ]

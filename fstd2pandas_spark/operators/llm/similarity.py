@@ -101,6 +101,83 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.4,
     )
 
 
+def _centroid_weights(cell: int, dim: int) -> Column:
+    """Deterministic pseudo-random centroid: w[j] in [-1, 1) from the
+    first 4 md5 hex digits of ``ivf{cell}_{j}`` — reproducible on any
+    engine, no training pass needed (a k-means refinement would slot in
+    here without changing the query shape)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"ivf{cell}_"), j.cast("string"))), 1, 4),
+            16, 10).cast("double") / 32768.0 - 1.0,
+    )
+
+
+def ivf_cell_col(vec: Column, n_cells: int, dim: int) -> Column:
+    """IVF cell assignment: argmax over cells of <vec, centroid_c>
+    (ties break toward the lower cell id)."""
+    best_c, best_s = None, None
+    for c in range(n_cells):
+        s = _dot(vec, _centroid_weights(c, dim))
+        if best_s is None:
+            best_c, best_s = F.lit(c), s
+        else:
+            cond = s > best_s
+            best_c = F.when(cond, F.lit(c)).otherwise(best_c)
+            best_s = F.when(cond, s).otherwise(best_s)
+    return best_c
+
+
+def ivf_ann_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
+                 nprobe: int = 2, dim: int = 64, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 n_queries: int = 10) -> DataFrame:
+    """IVF-style approximate top-k — the second scale path beside
+    :func:`lsh_ann_topk`.
+
+    Vectors partition into ``n_cells`` inverted lists by nearest
+    deterministic centroid (a narrow map); each query probes its
+    ``nprobe`` best cells (explode, still narrow) and candidates join
+    per-cell — a co-partitioned equi-join over lists of ~N/n_cells
+    vectors, never an all-pairs product. At 100 TB the inverted lists
+    shuffle once on the cell id and every probe is a bucket lookup.
+    """
+    emb = ensure_min_partitions(emb)
+    cand = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        ivf_cell_col(F.col(vec_col), n_cells, dim).alias("_cell"),
+    )
+    # per-query top-nprobe cells: score every centroid, rank, explode
+    scores = F.array(*[
+        F.struct(
+            (-_dot(F.col(vec_col), _centroid_weights(c, dim))).alias("neg"),
+            F.lit(c).alias("cell"),
+        )
+        for c in range(n_cells)
+    ])
+    q = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+                F.explode(
+                    F.slice(F.array_sort(scores), 1, nprobe)["cell"]
+                ).alias("_cell"))
+    )
+    scored = (
+        cand.join(F.broadcast(q), "_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def _plane_sign(vec: Column, plane: int, dim: int) -> Column:
     """Sign bit of <vec, w_plane> with w_plane[j] = +-1 from md5(plane_j)."""
     signed = F.aggregate(

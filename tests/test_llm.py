@@ -150,3 +150,30 @@ def test_multimodal_frame_sampling(docs):
     for doc_id in docs_pd["doc_id"]:
         dur = int(doc_id) % 5 * 1000 + 500
         assert counts[doc_id] == len(range(0, max(dur - 1, 0) + 1, 1000))
+
+
+def test_ivf_ann_topk(spark, emb):
+    """IVF ANN: valid cosines, correct ranking, and usable recall vs the
+    exact brute-force top-k."""
+    from fstd2pandas_spark.operators.llm.similarity import (
+        cosine_topk, ivf_ann_topk)
+    ivf = ivf_ann_topk(emb, k=5, n_cells=8, nprobe=2, dim=64, n_queries=10)
+    rows = ivf.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    exact = cosine_topk(emb, k=5, n_queries=10).collect()
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for qid, lst in by_q.items():
+        # ranks are 1..n, ordered by cos desc
+        lst = sorted(lst, key=lambda r: r.rank)
+        assert [r.rank for r in lst] == list(range(1, len(lst) + 1))
+        assert all(a.cos >= b.cos for a, b in zip(lst, lst[1:]))
+        got = {r.neighbor_id for r in lst}
+        hits += len(got & exact_by_q.get(qid, set()))
+        total += len(exact_by_q.get(qid, set()))
+    assert total and hits / total >= 0.2, f"recall {hits}/{total}"
