@@ -42,8 +42,15 @@ def detect_rewrite(df: DataFrame) -> bool:
 
 def write_record_table(df: DataFrame, path: str, mode: str = "write",
                        no_meta: bool = False,
-                       overwrite: bool = False) -> None:
-    """Write a record table to a directory of .fstrec files."""
+                       overwrite: bool = False,
+                       partition_by: "list[str] | None" = None) -> None:
+    """Write a record table to a directory of .fstrec files.
+
+    ``partition_by`` (e.g. ``["datev", "grid"]`` — the 100 TB layout from
+    SURVEY §7.2) clusters records so each output file holds one key
+    group: readers of a (date, grid) slice then touch one file instead
+    of all of them, the file-level pruning analog of partition pruning.
+    """
     from fstd2pandas_spark.operators.metadata import metadata_cleanup
     from fstd2pandas_spark.schema import META_NOMVARS
 
@@ -54,6 +61,11 @@ def write_record_table(df: DataFrame, path: str, mode: str = "write",
         df = df.filter(~F.col("nomvar").isin(META_NOMVARS))
     if mode == "write":
         df = metadata_cleanup(df)
+    if partition_by:
+        # cluster after cleanup so the union with surviving meta rows
+        # does not scatter the groups again
+        df = df.repartition(*[F.col(c) for c in partition_by])
+    if mode == "write":
         order = [c for c in ("path", "key") if c in df.columns]
         if order:
             df = df.sortWithinPartitions(*order)

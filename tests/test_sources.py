@@ -155,3 +155,29 @@ def test_detect_rewrite(registered, records):
                                    "ip2", "ip3"])
     assert not detect_rewrite(uniq)
     assert detect_rewrite(uniq.unionByName(uniq.limit(1)))
+
+
+def test_write_partition_by_clusters_files(registered, records, tmp_path):
+    """§7.2 layout: partition_by clusters one key group per output file."""
+    from fstd2pandas_spark.sources.writer import write_record_table
+    from fstd2pandas_spark.sources.fstrec_format import (
+        list_fstrec_files, read_directory)
+
+    out = str(tmp_path / "clustered")
+    write_record_table(records, out, mode="dump", partition_by=["grid"],
+                       overwrite=True)
+    grids_per_file = []
+    for f in list_fstrec_files(out):
+        headers = read_directory(f)
+        if not headers:
+            continue
+        grids_per_file.append({(h.ig1, h.ig2) for h in headers})
+    assert grids_per_file
+    # hash clustering: a grid never splits across files (same-key rows
+    # land in one partition; distinct keys may share one)
+    seen: dict = {}
+    for i, grids in enumerate(grids_per_file):
+        for g in grids:
+            assert g not in seen, f"grid {g} split across files {seen[g]},{i}"
+            seen[g] = i
+    assert len(seen) >= 2
