@@ -286,8 +286,14 @@ def grid_lat_lon(df: DataFrame, keep_template_cols: bool = True) -> DataFrame:
     )
     if unsupported:
         bad = sorted(r.grtyp for r in unsupported)
-        raise GridDefinitionError(
-            f"unsupported grid type(s) {bad}; supported: {SUPPORTED_GRTYPS}")
+        # X = unstructured/no-projection: the reference skips it with a
+        # warning (std_grid.py:181-183); anything else is an error
+        if bad != ["X"]:
+            raise GridDefinitionError(
+                f"unsupported grid type(s) {bad}; supported: {SUPPORTED_GRTYPS}")
+        import logging
+        logging.warning("X is an unsupported grid type! skipping its grids")
+        no_meta = no_meta.filter(F.col("grtyp") != "X")
 
     w = Window.partitionBy("grid").orderBy("nomvar", "ip1", "ip2", "ip3")
     rep = (

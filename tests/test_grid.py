@@ -85,7 +85,7 @@ def test_z_grid_latlon_outer_product(spark):
 
 
 def test_unsupported_grtyp_raises(spark):
-    df = spark.createDataFrame([_rec(grtyp="X")], schema=_REC)
+    df = spark.createDataFrame([_rec(grtyp="Q")], schema=_REC)
     with pytest.raises(GridDefinitionError):
         grid_lat_lon(df)
 
@@ -252,3 +252,22 @@ def test_u_grid_composite(spark):
         lat, [-45, -45, -45, 45, 45, 45, -30, -30, -30, 30, 30, 30])
     np.testing.assert_allclose(
         lon, [0, 90, 180, 0, 90, 180, 10, 100, 190, 10, 100, 190])
+
+
+def test_x_grid_skipped_like_reference(spark, records):
+    """X (unstructured) grids skip with a warning (std_grid.py:181-183);
+    other unknown types still error."""
+    import pytest
+    from pyspark.sql import functions as F
+    from fstd2pandas_spark.operators.grid import (
+        grid_lat_lon, GridDefinitionError)
+
+    with_x = records.withColumn(
+        "grtyp",
+        F.when(F.col("grid") == "5566", F.lit("X")).otherwise(F.col("grtyp")))
+    out = grid_lat_lon(with_x)
+    grids = {r.grid for r in out.select("grid").distinct().collect()}
+    assert "5566" not in grids and grids   # X skipped, others emitted
+
+    with pytest.raises(GridDefinitionError):
+        grid_lat_lon(records.withColumn("grtyp", F.lit("Q"))).collect()
