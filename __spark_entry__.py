@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fstd2pandas_spark.functions.codecs import (  # noqa: E402
-    decode_ip_kind, decode_ip_value, encode_ip_py, stamp_to_timestamp,
-    datetime_to_stamp_py,
+    decode_ip_kind, decode_ip_value, decode_ip_py, encode_ip_py,
+    stamp_to_timestamp, datetime_to_stamp_py,
 )
 
 #: encoded ip1 literals shared by the Spark builders and the SQL oracles
@@ -1189,11 +1189,7 @@ def q_fst_encode_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: expected canonical new-style encodings of the old-style literals
-_OLD_REENC = {
-    old: encode_ip_py(*__import__("fstd2pandas_spark.functions.codecs",
-                                  fromlist=["decode_ip_py"]).decode_ip_py(old))
-    for old in IP1S_OLD
-}
+_OLD_REENC = {old: encode_ip_py(*decode_ip_py(old)) for old in IP1S_OLD}
 
 _Q_ENCODE_IP_SQL = f"""
   WITH rec AS ({_RECORDS_SQL})
