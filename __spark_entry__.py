@@ -134,7 +134,7 @@ _DECODE_VALUE_SQL = """
 
 #: SQL mirror of stamp_to_timestamp
 _STAMP_TS_SQL = """
-  CASE WHEN {s} IN (0, 10101011) THEN NULL
+  CASE WHEN {s} IN (0, 10101011) OR {s} < 123200000 THEN NULL
        ELSE to_timestamp(315532800 +
             (CAST(({s} - 123200000) // 10 AS BIGINT) * 8 + ({s} - 123200000) % 10) * 5)
             AT TIME ZONE 'UTC'
@@ -241,7 +241,12 @@ _Q_ANTI_SQL = """
 
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J-chain with broadcast dims: revenue per nation."""
+    """J-chain with broadcast dims: revenue per nation.
+
+    Only FIXED-cardinality dims (nation=25, region=5) get broadcast
+    hints; customer SCALES with sf (~15M rows at sf100) so its join is
+    left to AQE — a hard-coded broadcast there OOMs the driver at 100x.
+    """
     li = _load(spark, sf_dir, "lineitem")
     orders = _load(spark, sf_dir, "orders")
     cust = _load(spark, sf_dir, "customer")
@@ -250,7 +255,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("r_name", "n_name")
@@ -497,13 +502,22 @@ def q_fst_unit_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     converted = rec.filter(F.col("nomvar") == "TT").withColumn(
         "d_k", F.transform("d", lambda x: F.round(x.cast("double") + 273.15, 4))
     )
-    return converted.select("key", F.col("d_k")).orderBy("key")
+    # posexplode to scalar (pos, val) cells: the driver's canonicalizer
+    # hashes scalar cells only (same shape as the green fst_latlon row).
+    return (
+        converted.select("key", F.posexplode("d_k").alias("pos", "val"))
+        .orderBy("key", "pos")
+    )
 
 
 _Q_UNIT_SQL = f"""
-  WITH rec AS ({_RECORDS_SQL})
-  SELECT key, list_transform(d, x -> round(CAST(x AS DOUBLE) + 273.15, 4)) AS d_k
-  FROM rec WHERE nomvar = 'TT' ORDER BY key
+  WITH rec AS ({_RECORDS_SQL}),
+  conv AS (
+    SELECT key, list_transform(d, x -> round(CAST(x AS DOUBLE) + 273.15, 4)) AS d_k
+    FROM rec WHERE nomvar = 'TT')
+  SELECT key, s.i - 1 AS pos, d_k[s.i] AS val
+  FROM conv, UNNEST(generate_series(1, len(d_k))) s(i)
+  ORDER BY key, pos
 """
 
 
@@ -514,20 +528,31 @@ def q_fst_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = records_from_lineitem(spark, sf_dir)
     mask = F.transform("d", lambda x: F.when(x > 25.0, F.lit(1.0)).otherwise(F.lit(0.0)))
     masked = F.zip_with(F.col("d"), mask, lambda v, m: F.when(m == 1.0, v))
-    # NULL elements -> sentinel so the cross-engine value hash is stable
+    # NULL elements -> sentinel so the cross-engine value hash is stable;
+    # posexplode to scalar cells (driver canonicalizer contract).
     sent = F.transform(masked, lambda x: F.coalesce(x, F.lit(-999.0).cast("float")))
-    return rec.select(
-        "key", sent.alias("d_masked"),
-        F.size(F.filter(masked, lambda x: x.isNull())).alias("n_masked"),
-    ).orderBy("key")
+    return (
+        rec.select(
+            "key",
+            F.size(F.filter(masked, lambda x: x.isNull())).alias("n_masked"),
+            F.posexplode(sent).alias("pos", "val"),
+        )
+        .withColumn("val", F.round(F.col("val").cast("double"), 4))
+        .orderBy("key", "pos")
+    )
 
 
 _Q_MASK_SQL = f"""
-  WITH rec AS ({_RECORDS_SQL})
-  SELECT key,
-         list_transform(d, v -> CASE WHEN v > 25.0 THEN v ELSE CAST(-999.0 AS FLOAT) END) AS d_masked,
-         len(list_filter(d, v -> v <= 25.0)) AS n_masked
-  FROM rec ORDER BY key
+  WITH rec AS ({_RECORDS_SQL}),
+  m AS (
+    SELECT key,
+           list_transform(d, v -> CASE WHEN v > 25.0 THEN v ELSE CAST(-999.0 AS FLOAT) END) AS d_masked,
+           len(list_filter(d, v -> v <= 25.0)) AS n_masked
+    FROM rec)
+  SELECT key, n_masked, s.i - 1 AS pos,
+         round(CAST(d_masked[s.i] AS DOUBLE), 4) AS val
+  FROM m, UNNEST(generate_series(1, len(d_masked))) s(i)
+  ORDER BY key, pos
 """
 
 
@@ -540,16 +565,22 @@ def q_fst_pressure_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     pres = F.transform(
         "d", lambda x: F.round(lvl * (x.cast("double") * 10.0 - 10.0) + 10.0, 4)
     )
-    return sig.select("key", "ip1", pres.alias("pres")).orderBy("key")
+    return (
+        sig.select("key", "ip1", F.posexplode(pres).alias("pos", "pres"))
+        .orderBy("key", "pos")
+    )
 
 
 _Q_PRESSURE_SQL = f"""
-  WITH rec AS ({_RECORDS_SQL})
-  SELECT key, ip1,
-         list_transform(d, x -> round(
-            ({_DECODE_VALUE_SQL.format(ip='ip1')}) * (CAST(x AS DOUBLE) * 10.0 - 10.0) + 10.0, 4)) AS pres
-  FROM rec WHERE ({_DECODE_KIND_SQL.format(ip='ip1')}) = 1
-  ORDER BY key
+  WITH rec AS ({_RECORDS_SQL}),
+  p AS (
+    SELECT key, ip1,
+           list_transform(d, x -> round(
+              ({_DECODE_VALUE_SQL.format(ip='ip1')}) * (CAST(x AS DOUBLE) * 10.0 - 10.0) + 10.0, 4)) AS pres
+    FROM rec WHERE ({_DECODE_KIND_SQL.format(ip='ip1')}) = 1)
+  SELECT key, ip1, s.i - 1 AS pos, pres[s.i] AS pres
+  FROM p, UNNEST(generate_series(1, len(pres))) s(i)
+  ORDER BY key, pos
 """
 
 
@@ -569,19 +600,25 @@ def q_fst_pressure_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(a + b * F.log((x.cast("double") * 10.0 + 500.0) * 100.0 / pref))
             / 100.0, 4),
     )
-    return hyb.select("key", "ip1", pres.alias("pres")).orderBy("key")
+    return (
+        hyb.select("key", "ip1", F.posexplode(pres).alias("pos", "pres"))
+        .orderBy("key", "pos")
+    )
 
 
 _Q_PRESSURE_HYB_SQL = f"""
-  WITH rec AS ({_RECORDS_SQL})
-  SELECT key, ip1,
-         list_transform(d, x -> round(
-            exp(CAST(ip1 % 97 AS DOUBLE) / 10.0
-                + CAST(ip1 % 13 AS DOUBLE) / 20.0
-                  * ln((CAST(x AS DOUBLE) * 10.0 + 500.0) * 100.0 / 800.0))
-            / 100.0, 4)) AS pres
-  FROM rec WHERE ({_DECODE_KIND_SQL.format(ip='ip1')}) = 5
-  ORDER BY key
+  WITH rec AS ({_RECORDS_SQL}),
+  p AS (
+    SELECT key, ip1,
+           list_transform(d, x -> round(
+              exp(CAST(ip1 % 97 AS DOUBLE) / 10.0
+                  + CAST(ip1 % 13 AS DOUBLE) / 20.0
+                    * ln((CAST(x AS DOUBLE) * 10.0 + 500.0) * 100.0 / 800.0))
+              / 100.0, 4)) AS pres
+    FROM rec WHERE ({_DECODE_KIND_SQL.format(ip='ip1')}) = 5)
+  SELECT key, ip1, s.i - 1 AS pos, pres[s.i] AS pres
+  FROM p, UNNEST(generate_series(1, len(pres))) s(i)
+  ORDER BY key, pos
 """
 
 
@@ -716,7 +753,11 @@ def q_fst_meta_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("PT").alias("has_pt"),
         F.col("HY").alias("has_hy"),
         F.col("SF").alias("has_sf"),
-        "vcodes",
+        # array_join to a scalar string: the driver canonicalizer can't
+        # hash list cells.
+        F.array_join(
+            F.transform("vcodes", lambda x: x.cast("string")), ","
+        ).alias("vcodes"),
     ).orderBy("grid")
 
 
@@ -729,8 +770,9 @@ _Q_META_EXISTS_SQL = f"""
          max(CASE WHEN nomvar = 'PT' THEN 1 ELSE 0 END) = 1 AS has_pt,
          max(CASE WHEN nomvar = 'HY' THEN 1 ELSE 0 END) = 1 AS has_hy,
          max(CASE WHEN nomvar = '!!SF' THEN 1 ELSE 0 END) = 1 AS has_sf,
-         coalesce(list_sort(array_agg(DISTINCT ig1) FILTER (WHERE nomvar = '!!')),
-                  []) AS vcodes
+         array_to_string(
+           coalesce(list_sort(array_agg(DISTINCT ig1) FILTER (WHERE nomvar = '!!')),
+                    []), ',') AS vcodes
   FROM rec WHERE nomvar IN ({_META_LIST_SQL})
   GROUP BY grid ORDER BY grid
 """
@@ -904,17 +946,23 @@ def q_fst_pressure_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = rec.filter(decode_ip_kind(F.col("ip1")) == 1)
     pres = F.transform(
         "d", lambda x: F.round(lvl * (x.cast("double") * 10.0 + 500.0), 4))
-    return sig.select("key", "ip1", pres.alias("pres")).orderBy("key")
+    return (
+        sig.select("key", "ip1", F.posexplode(pres).alias("pos", "pres"))
+        .orderBy("key", "pos")
+    )
 
 
 _Q_PRESSURE_SIGMA_SQL = f"""
-  WITH rec AS ({_RECORDS_SQL})
-  SELECT key, ip1,
-         list_transform(d, x -> round(
-            round({_DECODE_VALUE_SQL.format(ip='ip1')}, 6)
-            * (CAST(x AS DOUBLE) * 10.0 + 500.0), 4)) AS pres
-  FROM rec WHERE ({_DECODE_KIND_SQL.format(ip='ip1')}) = 1
-  ORDER BY key
+  WITH rec AS ({_RECORDS_SQL}),
+  p AS (
+    SELECT key, ip1,
+           list_transform(d, x -> round(
+              round({_DECODE_VALUE_SQL.format(ip='ip1')}, 6)
+              * (CAST(x AS DOUBLE) * 10.0 + 500.0), 4)) AS pres
+    FROM rec WHERE ({_DECODE_KIND_SQL.format(ip='ip1')}) = 1)
+  SELECT key, ip1, s.i - 1 AS pos, pres[s.i] AS pres
+  FROM p, UNNEST(generate_series(1, len(pres))) s(i)
+  ORDER BY key, pos
 """
 
 
@@ -925,19 +973,25 @@ def q_fst_pressure_const(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = records_from_lineitem(spark, sf_dir)
     lvl = F.round(decode_ip_value(F.col("ip1")), 4)
     prs = rec.filter(decode_ip_kind(F.col("ip1")) == 2)
-    return prs.select(
-        "key", "ip1",
-        F.array_repeat(lvl, F.col("ni")).alias("pres"),
-    ).orderBy("key")
+    return (
+        prs.select(
+            "key", "ip1",
+            F.posexplode(F.array_repeat(lvl, F.col("ni"))).alias("pos", "pres"),
+        )
+        .orderBy("key", "pos")
+    )
 
 
 _Q_PRESSURE_CONST_SQL = f"""
-  WITH rec AS ({_RECORDS_SQL})
-  SELECT key, ip1,
-         list_transform(d, x -> round({_DECODE_VALUE_SQL.format(ip='ip1')}, 4))
-           AS pres
-  FROM rec WHERE ({_DECODE_KIND_SQL.format(ip='ip1')}) = 2
-  ORDER BY key
+  WITH rec AS ({_RECORDS_SQL}),
+  p AS (
+    SELECT key, ip1,
+           list_transform(d, x -> round({_DECODE_VALUE_SQL.format(ip='ip1')}, 4))
+             AS pres
+    FROM rec WHERE ({_DECODE_KIND_SQL.format(ip='ip1')}) = 2)
+  SELECT key, ip1, s.i - 1 AS pos, pres[s.i] AS pres
+  FROM p, UNNEST(generate_series(1, len(pres))) s(i)
+  ORDER BY key, pos
 """
 
 
@@ -994,18 +1048,19 @@ _Q_INTERVAL_SQL = f"""
            ({_DECODE_VALUE_SQL.format(ip='ip3')}) AS v3
     FROM ext)
   SELECT key,
+         -- ip1 (level interval) first, matching reference get_interval
          CASE WHEN ip3 < 32768 THEN NULL
-              WHEN ip2 >= 32768 AND k3 = k2 THEN 'ip2'
-              WHEN ip1 >= 32768 AND k3 = k1 THEN 'ip1' END AS iv_ip,
+              WHEN ip1 >= 32768 AND k3 = k1 THEN 'ip1'
+              WHEN ip2 >= 32768 AND k3 = k2 THEN 'ip2' END AS iv_ip,
          CASE WHEN ip3 < 32768 THEN NULL
-              WHEN ip2 >= 32768 AND k3 = k2 THEN round(v3, 4)
-              WHEN ip1 >= 32768 AND k3 = k1 THEN round(v1, 4) END AS iv_low,
+              WHEN ip1 >= 32768 AND k3 = k1 THEN round(v1, 4)
+              WHEN ip2 >= 32768 AND k3 = k2 THEN round(v3, 4) END AS iv_low,
          CASE WHEN ip3 < 32768 THEN NULL
-              WHEN ip2 >= 32768 AND k3 = k2 THEN round(v2, 4)
-              WHEN ip1 >= 32768 AND k3 = k1 THEN round(v3, 4) END AS iv_high,
+              WHEN ip1 >= 32768 AND k3 = k1 THEN round(v3, 4)
+              WHEN ip2 >= 32768 AND k3 = k2 THEN round(v2, 4) END AS iv_high,
          CASE WHEN ip3 < 32768 THEN NULL
-              WHEN ip2 >= 32768 AND k3 = k2 THEN k2
-              WHEN ip1 >= 32768 AND k3 = k1 THEN k1 END AS iv_kind
+              WHEN ip1 >= 32768 AND k3 = k1 THEN k1
+              WHEN ip2 >= 32768 AND k3 = k2 THEN k2 END AS iv_kind
   FROM kinds ORDER BY key
 """
 
@@ -1117,22 +1172,29 @@ def q_fst_recover_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/mask.py recover_mask): split a null-masked array into a
     data array (masked -> 0) and a 0/1 uint mask array."""
     rec = records_from_lineitem(spark, sf_dir)
-    masked = F.transform("d", lambda x: F.when(x > 25.0, x))
-    d_data = F.transform(masked, lambda x: F.coalesce(x, F.lit(0.0).cast("float")))
-    d_mask = F.transform(
-        masked, lambda x: F.when(x.isNull(), 0).otherwise(1))
-    return rec.select(
-        "key", d_data.alias("d_data"), d_mask.alias("d_mask")
-    ).orderBy("key")
+    # posexplode d once; derive both outputs per scalar cell (driver
+    # canonicalizer contract — no array columns in results).
+    cells = rec.select("key", F.posexplode("d").alias("pos", "v"))
+    return (
+        cells.select(
+            "key", "pos",
+            F.round(
+                F.when(F.col("v") > 25.0, F.col("v"))
+                .otherwise(F.lit(0.0)).cast("double"), 4).alias("d_data"),
+            F.when(F.col("v") > 25.0, 1).otherwise(0).alias("d_mask"),
+        )
+        .orderBy("key", "pos")
+    )
 
 
 _Q_RECOVER_MASK_SQL = f"""
   WITH rec AS ({_RECORDS_SQL})
-  SELECT key,
-         list_transform(d, v -> CASE WHEN v > 25.0 THEN v
-                                     ELSE CAST(0.0 AS FLOAT) END) AS d_data,
-         list_transform(d, v -> CASE WHEN v > 25.0 THEN 1 ELSE 0 END) AS d_mask
-  FROM rec ORDER BY key
+  SELECT key, s.i - 1 AS pos,
+         round(CAST(CASE WHEN d[s.i] > 25.0 THEN d[s.i]
+                         ELSE CAST(0.0 AS FLOAT) END AS DOUBLE), 4) AS d_data,
+         CASE WHEN d[s.i] > 25.0 THEN 1 ELSE 0 END AS d_mask
+  FROM rec, UNNEST(generate_series(1, len(d))) s(i)
+  ORDER BY key, pos
 """
 
 
@@ -1441,13 +1503,51 @@ def _quality_sql() -> str:
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gated default is the LSH-bucketed scale path (n_planes=4):
+    per-bucket equi-join over ONE repartitioned subtree, no all-pairs."""
     from fstd2pandas_spark.operators.llm import embedding_neardup
 
     emb = _load(spark, sf_dir, "embeddings")
-    return embedding_neardup(emb, threshold=0.4).orderBy("vec_a", "vec_b")
+    return embedding_neardup(emb, threshold=0.4, n_planes=4).orderBy(
+        "vec_a", "vec_b")
 
 
-_Q_NEARDUP_SQL = """
+def q_emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline (n_planes=0) — small-sf cross-check ONLY;
+    documents the recall ceiling for the bucketed default."""
+    from fstd2pandas_spark.operators.llm import embedding_neardup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return embedding_neardup(emb, threshold=0.4, n_planes=0).orderBy(
+        "vec_a", "vec_b")
+
+
+def _neardup_bucketed_sql(n_planes: int = 4, dim: int = 64,
+                          threshold: float = 0.4) -> str:
+    planes = " + ".join(
+        f"""(CASE WHEN list_dot_product(v,
+              list_transform(generate_series(0, {dim - 1}),
+                j -> CASE WHEN substr(md5(concat('{p}_', CAST(j AS VARCHAR))), 1, 1)
+                          IN ('0','1','2','3','4','5','6','7')
+                     THEN 1.0 ELSE -1.0 END)) > 0
+           THEN {1 << p} ELSE 0 END)"""
+        for p in range(n_planes)
+    )
+    return f"""
+  WITH e AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+  bucketed AS (SELECT vec_id, v, {planes} AS bucket FROM e)
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+  ORDER BY vec_a, vec_b
+"""
+
+
+_Q_NEARDUP_EXACT_SQL = """
   WITH e AS (SELECT vec_id,
                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings)
@@ -1585,7 +1685,8 @@ _Q_MM_SQL = """
              AS bytes
     FROM h)
   SELECT asset_id, kind, n_bytes,
-         bytes[1] AS f0, bytes[16] AS f15, list_sum(bytes) AS fsum
+         bytes[1] AS f0, bytes[16] AS f15,
+         CAST(list_sum(bytes) AS BIGINT) AS fsum
   FROM b ORDER BY asset_id
 """
 
@@ -1793,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_neardup": q_emb_neardup,
+        "emb_neardup_exact": q_emb_neardup_exact,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
         "mm_features": q_mm_features,
@@ -1844,7 +1946,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": _simhash_sql(),
         "doc_quality": _quality_sql(),
         "emb_cosine_topk": _Q_COSINE_SQL,
-        "emb_neardup": _Q_NEARDUP_SQL,
+        "emb_neardup": _neardup_bucketed_sql(),
+        "emb_neardup_exact": _Q_NEARDUP_EXACT_SQL,
         "emb_ann_lsh": _ann_lsh_sql(),
         "emb_ann_ivf": _ann_ivf_sql(),
         "mm_features": _Q_MM_SQL,

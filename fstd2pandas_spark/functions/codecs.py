@@ -56,12 +56,20 @@ _DUMMY_STAMPS = (0, 10101011)
 
 def stamp_to_timestamp(stamp: Column) -> Column:
     """Decode a CMC date-time stamp column to a UTC timestamp (NULL for
-    dummy stamps)."""
+    dummy stamps).
+
+    Only the new-style (post-1980, stamp >= _STAMP_BASE) linear encoding
+    is decoded; old-format stamps below the base would decode to garbage
+    under the linear formula (the reference routes them through RPNDate's
+    old-format branch), so they yield NULL here rather than a wrong
+    timestamp.
+    """
     x = stamp - F.lit(_STAMP_BASE)
     units5 = (x / 10).cast("long") * 8 + (x % 10)
     secs = F.lit(_EPOCH_1980) + units5 * 5
     return F.when(
-        stamp.isin(*_DUMMY_STAMPS), F.lit(None).cast("timestamp")
+        stamp.isin(*_DUMMY_STAMPS) | (stamp < F.lit(_STAMP_BASE)),
+        F.lit(None).cast("timestamp"),
     ).otherwise(F.timestamp_seconds(secs))
 
 

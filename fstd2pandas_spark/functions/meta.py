@@ -165,10 +165,13 @@ def interval_struct(nomvar: Column, ip1: Column, ip2: Column, ip3: Column) -> Co
         return F.struct(F.lit(ip_name).alias("ip"), low.alias("low"),
                         high.alias("high"), kind.alias("kind"))
 
+    # ip1 (level interval) is tested FIRST, matching the reference's
+    # get_interval order (std_dec.py): when both ip1 and ip2 are >= 32768
+    # and both kinds equal ip3's, the level interval wins.
     return (
         F.when(special | (ip3 < 32768), null)
-        .when((ip2 >= 32768) & (k3 == k2), _mk("ip2", v3, v2, k2))
         .when((ip1 >= 32768) & (k3 == k1), _mk("ip1", v1, v3, k1))
+        .when((ip2 >= 32768) & (k3 == k2), _mk("ip2", v3, v2, k2))
         .otherwise(null)
     )
 

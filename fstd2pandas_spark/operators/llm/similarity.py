@@ -73,25 +73,36 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
 
 def embedding_neardup(emb: DataFrame, threshold: float = 0.4,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      n_planes: int = 0, dim: int = 64) -> DataFrame:
+                      n_planes: int = 4, dim: int = 64) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos) for every
     unordered pair with cosine >= ``threshold``.
 
-    ``n_planes=0`` is the exact all-pairs baseline (O(N^2) — the
-    correctness oracle). With ``n_planes>0`` candidates are restricted to
-    the same random-hyperplane LSH bucket, which is the 100 TB shape:
-    bucketing is a narrow map and the pair join is per-bucket equi-join
-    (shuffles on bucket id, ~N/2^n_planes rows per bucket) instead of a
-    cross join.
+    The DEFAULT (``n_planes>0``) is the 100 TB shape: candidates are
+    restricted to the same random-hyperplane LSH bucket — bucketing is a
+    narrow map, the buckets are materialized ONCE behind a
+    ``repartition(_bucket)`` so the self-join reuses a single exchange
+    subtree (ReusedExchange), and each bucket holds ~N/2^n_planes rows.
+    ``n_planes=0`` is the exact all-pairs O(N^2) baseline, kept only as a
+    small-sf correctness cross-check — never run it on a real corpus.
     """
     emb = ensure_min_partitions(emb)
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
     if n_planes > 0:
-        a = a.withColumn("_bucket", lsh_bucket_col(F.col("_va"), n_planes, dim))
-        b = b.withColumn("_bucket", lsh_bucket_col(F.col("_vb"), n_planes, dim))
-        joined = a.join(b, "_bucket")
+        bucketed = emb.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+            lsh_bucket_col(F.col(vec_col), n_planes, dim).alias("_bucket"),
+        ).repartition("_bucket")
+        a = bucketed.select(F.col("_id").alias("vec_a"),
+                            F.col("_v").alias("_va"), "_bucket")
+        b = bucketed.select(F.col("_id").alias("vec_b"),
+                            F.col("_v").alias("_vb"), "_bucket")
+        # MERGE hint: a broadcast self-join would rebuild the md5 bucket
+        # subtree on the build side (double compute) and broadcasting the
+        # whole corpus is wrong at scale anyway; sort-merge makes both
+        # sides share the ONE repartition exchange (ReusedExchange).
+        joined = a.hint("merge").join(b, "_bucket")
     else:
+        a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
+        b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
         joined = a.crossJoin(b)
     return (
         joined.filter(F.col("vec_a") < F.col("vec_b"))

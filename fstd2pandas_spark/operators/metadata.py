@@ -144,7 +144,16 @@ def _family_grids(profile: DataFrame, kinds: list[int]) -> DataFrame:
 def _surface_fields(df: DataFrame, profile: DataFrame, nomvar: str,
                     kinds: list[int]) -> DataFrame:
     """P0/PT selection: meta rows of `nomvar` matching a family grid AND
-    that grid's representative (ni, nj)."""
+    that grid's representative (ni, nj).
+
+    DELIBERATE DEVIATION from the reference: get_p0_fields/get_pt_fields
+    (std_writer.py) derive the grid set from the FIRST row of each
+    matching ip1 (`.iloc[0]`), so a file where one hybrid/sigma ip1
+    appears on several grids keeps P0/PT for only one of them. Keeping
+    every family grid (this implementation) is more complete and
+    order-independent — a per-ip1 "first row" is not well-defined under
+    distributed execution (same class of choice as the min(ni, nj)
+    representative)."""
     karr = F.array(*[F.lit(k) for k in kinds])
     dims = profile.filter(F.arrays_overlap("kinds", karr)) \
         .select("grid", "ni", "nj")

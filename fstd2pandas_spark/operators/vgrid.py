@@ -51,14 +51,21 @@ def toctoc_from_vgrid(spark, kind: int, version: int,
     one-row ``!!`` record for a vertical-grid descriptor.
 
     ``ig1 = int(f"{kind}{version:03d}")`` (e.g. kind 5, version 2 ->
-    5002); ``d`` is the descriptor table flattened row-major with
-    ni = len(vtbl) rows and nj = len(vtbl[0]) columns; (ip1, ip2) stamp
-    the grid association.
+    5002). ``vtbl`` is one ``(ip1, A, B)`` triple per level; the record
+    stores it as ni=3, nj=nlevels with element (i, j) 1-based at flat
+    index ``(j-1)*3 + i`` — the exact convention
+    :func:`~fstd2pandas_spark.operators.pressure.quick_pressure` reads
+    back (pressure.py:165-176), so G9-built records feed HYBRID_5002-5005
+    for any level count, not just nlevels == 3.
     """
     from fstd2pandas_spark.schema import empty_record_table
 
-    ni = len(vtbl)
-    nj = len(vtbl[0]) if ni else 0
+    nj = len(vtbl)
+    ni = 3 if nj else 0
+    for row in vtbl:
+        if len(row) != 3:
+            raise ValueError(
+                f"vtbl rows must be (ip1, A, B) triples; got {len(row)} entries")
     flat = [float(x) for row in vtbl for x in row]
     ig1 = int(f"{kind}{version:03d}")
     out = empty_record_table(

@@ -251,10 +251,22 @@ class _WriteResult(WriterCommitMessage):
 
 class FstRecWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
+        import glob
+        import os
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("fstrec: path required")
         self.overwrite = overwrite
+        # overwrite snapshots the files to replace but does NOT delete
+        # them yet: tasks write uniquely-named part files alongside, and
+        # the old files are removed only in commit() — a failed job
+        # leaves the previous contents intact (abort() removes only the
+        # new part files).
+        self._old_files: list[str] = []
+        if overwrite and self.path and os.path.isdir(self.path):
+            self._old_files = sorted(
+                glob.glob(os.path.join(self.path, "*.fstrec")))
 
     def write(self, rows) -> _WriteResult:
         """One output file per task (the reference's 128-row block writes,
@@ -278,7 +290,15 @@ class FstRecWriter(DataSourceWriter):
         return _WriteResult(path=out, n=n)
 
     def commit(self, messages) -> None:
-        return None
+        import os
+
+        # all tasks succeeded: now swap out the pre-existing files
+        # (overwrite mode). New part files carry fresh uuids, so the two
+        # generations never collide by name.
+        new = {m.path for m in messages if m and m.path}
+        for p in self._old_files:
+            if p not in new and os.path.exists(p):
+                os.remove(p)
 
     def abort(self, messages) -> None:
         import os
@@ -305,14 +325,8 @@ class FstRecDataSource(DataSource):
         return FstRecStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> FstRecWriter:
-        import glob
-        import os
-
-        if overwrite:
-            path = self.options.get("path", "")
-            if path and os.path.isdir(path):
-                for p in glob.glob(os.path.join(path, "*.fstrec")):
-                    os.remove(p)
+        # deletion of existing files is deferred to FstRecWriter.commit()
+        # so a failed overwrite job never destroys the previous data
         return FstRecWriter(self.options, overwrite)
 
 

@@ -99,10 +99,31 @@ def test_embedding_neardup_pairs_ordered(emb):
 
 
 def test_embedding_neardup_lsh_subset_of_exact(emb):
-    exact = {(r.vec_a, r.vec_b) for r in embedding_neardup(emb, threshold=0.3).collect()}
+    exact = {(r.vec_a, r.vec_b)
+             for r in embedding_neardup(emb, threshold=0.3, n_planes=0).collect()}
     lsh = {(r.vec_a, r.vec_b)
            for r in embedding_neardup(emb, threshold=0.3, n_planes=2).collect()}
     assert lsh <= exact
+
+
+def test_embedding_neardup_default_is_bucketed_no_cartesian(spark, sf_dir):
+    from fstd2pandas_spark.plans.checks import assert_no_cartesian
+
+    # uncached read: AQE stage reuse keys on canonicalized plans and an
+    # InMemoryRelation (the cached fixture) defeats it; parquet scans —
+    # the production path — dedupe into one ReusedExchange. clearCache
+    # because cache lookup would silently substitute the fixture's
+    # InMemoryRelation for this very scan (same canonical plan).
+    spark.catalog.clearCache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nd = embedding_neardup(emb, threshold=0.3)
+    assert_no_cartesian(nd)
+    # AQE applies exchange reuse at runtime — the self-join must reuse
+    # the ONE bucketed shuffle, not recompute the md5 bucketing twice.
+    nd.collect()
+    executed = nd._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+    assert "CartesianProduct" not in executed
 
 
 def test_lsh_ann_is_subset_ranked(emb):

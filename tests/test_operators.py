@@ -224,6 +224,52 @@ def test_toctoc_from_vgrid(spark):
     assert len(r.d) == 9
 
 
+def test_toctoc_from_vgrid_roundtrip_quick_pressure(spark):
+    """G9 -> G6 with nlevels != 3: one (ip1, A, B) triple per level must
+    survive the flat (j-1)*ni+i layout quick_pressure reads back — the
+    old ni=len(vtbl) convention transposed any non-square table."""
+    import math
+    from fstd2pandas_spark.functions.codecs import decode_ip_py, encode_ip_py
+    from fstd2pandas_spark.operators.vgrid import toctoc_from_vgrid
+    from fstd2pandas_spark.schema import empty_record_table
+
+    pref = 100000.0
+    etas = [0.3, 0.7, 1.0]
+    # A = ln(eta*pref), B = 1 -> pres = eta * P0 (easy oracle); row 2's A
+    # doubles as pref (pressure.py:169)
+    vtbl = [(1.0, 0.0, 0.0), (2.0, pref, 0.0)] + [
+        (float(encode_ip_py(e, 5)), math.log(e * pref), 1.0) for e in etas]
+    assert len(vtbl) == 5  # nlevels != 3: transposes under the old layout
+    tt = toctoc_from_vgrid(spark, kind=5, version=5, vtbl=vtbl, ip1=11, ip2=22)
+    r = tt.collect()[0]
+    assert (r.ni, r.nj) == (3, 5) and r.ig1 == 5005
+
+    p0_vals = [1000.0, 1010.0, 990.0, 1005.0]
+    grid = dict(ni=2, nj=2, grtyp="Z", ig1=11, ig2=22)
+    p0 = (empty_record_table(spark, 1, nomvar="P0", typvar="P", **grid)
+          .withColumn("grid", F.lit("1122"))
+          .withColumn("d", F.lit(p0_vals).cast("array<float>")))
+    uu = None
+    for e in etas:
+        row = (empty_record_table(spark, 1, nomvar="UU", typvar="P",
+                                  ip1=encode_ip_py(e, 5), **grid)
+               .withColumn("grid", F.lit("1122"))
+               .withColumn("d", F.lit([5.0, 6.0, 7.0, 8.0]).cast("array<float>")))
+        uu = row if uu is None else uu.unionByName(row)
+    recs = (
+        tt.unionByName(p0.select(tt.columns))
+        .unionByName(uu.select(tt.columns))
+        .withColumn("key", F.lit(None).cast("long"))
+    )
+    px = quick_pressure(recs).filter(F.col("nomvar") == "PX").collect()
+    assert len(px) == len(etas)
+    for r in px:
+        eta, kind = decode_ip_py(r.ip1)
+        assert kind == 5
+        for a, b in zip(r.d, p0_vals):
+            assert a == pytest.approx(eta * b, rel=1e-4)
+
+
 def test_stations_lookup_timezone_join(spark):
     """J9 + C14: broadcast station lookup feeding a timezone shift."""
     from pyspark.sql import functions as F

@@ -31,11 +31,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = s
         elif s.dtype == object:
-            df[c] = s.map(
-                lambda v: tuple(np.round(np.asarray(v, dtype=float), 9).tolist())
-                if isinstance(v, (list, tuple, np.ndarray)) and not isinstance(v, str)
-                else v
+            # The DRIVER's canonicalizer cannot hash list cells
+            # (TypeError: unhashable type: 'list') — mirror that contract
+            # here so array-valued results fail locally too.
+            bad = s.map(
+                lambda v: isinstance(v, (list, tuple, np.ndarray))
+                and not isinstance(v, str)
             )
+            if bad.any():
+                raise TypeError(
+                    f"column {c!r} contains array cells — the driver "
+                    "canonicalizer rejects these; posexplode to scalars"
+                )
         elif pd.api.types.is_float_dtype(s):
             df[c] = np.round(s.astype(float), 9)
         elif pd.api.types.is_integer_dtype(s):
