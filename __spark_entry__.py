@@ -1838,6 +1838,491 @@ _Q_STREAM_EXTREMA_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# lat/lon across all analytic grid types (G12 beyond L)
+# ---------------------------------------------------------------------------
+
+LATLON_GRTYPS = ["A", "B", "G", "L", "Z", "Y", "E", "N", "S"]
+
+
+def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12 across A/B/G/L/Z/Y/E/N/S (reference std_grid.py:114-203): one
+    synthetic grid per nation, grtyp by nationkey % 9. Z gets real
+    ``>>``/``^^`` axis records (grref L), Y gets full 2-D axis payloads;
+    E (rotated frame), N/S (polar stereographic true at 60°) and G
+    (Gauss-Legendre latitudes) exercise the trig paths. U (composite)
+    stays pytest-gated — its ``^>`` payload unpack has no SQL mirror."""
+    from fstd2pandas_spark.operators.grid import grid_lat_lon
+
+    nat = _load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    ni = (k % 5 + 4).cast("int")
+    nj = (k % 4 + 3).cast("int")
+    gt = F.element_at(F.array(*[F.lit(g) for g in LATLON_GRTYPS]),
+                      (k % 9 + 1).cast("int"))
+    lat0 = (k - 12).cast("double")
+    lon0 = (k * 14 - 180).cast("double")
+    dlat = (k % 3 + 1).cast("double")
+    dlon = (k % 4 + 2).cast("double")
+    ig1 = (
+        F.when(gt == "A", (k % 3).cast("int"))
+        .when(gt.isin("B", "G"), F.lit(0))
+        .when(gt == "L", F.round((lat0 + 90) * 100).cast("int"))
+        .when(gt == "Z", (3000 + k).cast("int"))
+        .when(gt == "Y", (4000 + k).cast("int"))
+        .when(gt == "E", ((k % 60 - 30 + 90) * 100).cast("int"))
+        .otherwise(((k % 3 + 2) * 100).cast("int"))  # N/S: pi*100
+    )
+    ig2 = (
+        F.when(gt.isin("A", "B", "G"), (1000 + k).cast("int"))
+        .when(gt == "L", F.round((lon0 + 180) * 100).cast("int"))
+        .when(gt.isin("Z", "Y"), (500 + k).cast("int"))
+        .when(gt == "E", ((k * 11 % 360) * 100).cast("int"))
+        .otherwise(((k % 2 + 2) * 100).cast("int"))  # N/S: pj*100
+    )
+    ig3 = (
+        F.when(gt == "L", F.round(dlat * 100).cast("int"))
+        .when(gt == "E", ((k % 40 - 10 + 90) * 100).cast("int"))
+        .when(gt.isin("N", "S"), (1000 + k).cast("int"))  # d60 = ig3*100
+        .otherwise(F.lit(0))
+    )
+    ig4 = (
+        F.when(gt == "L", F.round(dlon * 100).cast("int"))
+        .when(gt == "E", (((k * 11 + 90) % 360) * 100).cast("int"))
+        .when(gt.isin("N", "S"), ((k * 10 % 360) * 100).cast("int"))
+        .otherwise(F.lit(0))
+    )
+    grid = F.concat(ig1.cast("string"), ig2.cast("string"))
+
+    def _rec(nomvar, ni_c, nj_c, ip1_c, ip2_c, grtyp_c, ig1_c, ig2_c,
+             ig3_c, ig4_c, grid_c, d_c):
+        return nat.select(
+            F.lit(nomvar).alias("nomvar"), F.lit("P").alias("typvar"),
+            F.lit("GRIDQ").alias("etiket"), ni_c.alias("ni"),
+            nj_c.alias("nj"), F.lit(1).alias("nk"),
+            F.lit(0).cast("long").alias("dateo"),
+            ip1_c.alias("ip1"), ip2_c.alias("ip2"), F.lit(0).alias("ip3"),
+            F.lit(0).alias("deet"), F.lit(0).alias("npas"),
+            F.lit(134).alias("datyp"), F.lit(16).alias("nbits"),
+            grtyp_c.alias("grtyp"), ig1_c.alias("ig1"), ig2_c.alias("ig2"),
+            ig3_c.alias("ig3"), ig4_c.alias("ig4"),
+            F.lit(0).cast("long").alias("datev"), grid_c.alias("grid"),
+            d_c.alias("d"),
+        )
+
+    data = _rec("TT", ni, nj, F.lit(0), F.lit(0), gt, ig1, ig2, ig3, ig4,
+                grid, F.array_repeat(F.lit(0.0).cast("float"), ni * nj))
+
+    zero = F.lit(0)
+    # Z axis records (grref L): >> = lon axis (ni), ^^ = lat axis (nj)
+    znat = k % 9 == 4
+    z_ax = F.transform(F.sequence(F.lit(0), ni - 1),
+                       lambda i: (lon0 + i * dlon).cast("float"))
+    z_ay = F.transform(F.sequence(F.lit(0), nj - 1),
+                       lambda j: (lat0 + j * dlat).cast("float"))
+    zx = _rec(">>", ni, F.lit(1), ig1, ig2, F.lit("L"), zero, zero, zero,
+              zero, grid, z_ax).where(znat)
+    zy = _rec("^^", F.lit(1), nj, ig1, ig2, F.lit("L"), zero, zero, zero,
+              zero, grid, z_ay).where(znat)
+    # Y axis records: full 2-D integral lon/lat payloads
+    ynat = k % 9 == 5
+    cseq = F.sequence(F.lit(0), ni * nj - 1)
+    y_lon = F.transform(cseq, lambda c: ((k * 31 + c * 17) % 360).cast("float"))
+    y_lat = F.transform(cseq, lambda c: ((k * 13 + c * 7) % 180 - 90).cast("float"))
+    yx = _rec(">>", ni, nj, ig1, ig2, F.lit("L"), zero, zero, zero, zero,
+              grid, y_lon).where(ynat)
+    yy = _rec("^^", ni, nj, ig1, ig2, F.lit("L"), zero, zero, zero, zero,
+              grid, y_lat).where(ynat)
+
+    recs = data.unionByName(zx).unionByName(zy).unionByName(yx).unionByName(yy)
+    ll = grid_lat_lon(recs)
+    return (
+        ll.select("grid", "grtyp", "nomvar", "ni", "nj",
+                  F.posexplode("d").alias("pos", "val"))
+        .withColumn("val", F.round(F.col("val").cast("double"), 6))
+        .orderBy("grid", "nomvar", "pos")
+    )
+
+
+def _gauss_case_sql(njs) -> str:
+    """CASE nj -> Gaussian-latitude literal array (same numpy scalars the
+    Spark side broadcasts, printed with full repr precision)."""
+    from fstd2pandas_spark.operators.grid import gaussian_latitudes
+
+    arms = " ".join(
+        f"WHEN nj = {n} THEN ([{', '.join(repr(v) for v in gaussian_latitudes(n))}])[CAST(j AS INT) + 1]"
+        for n in sorted(set(njs))
+    )
+    return f"CASE {arms} END"
+
+
+def _latlon_all_sql() -> str:
+    # Spark-side literal floats survive the float32 axis cast exactly for
+    # integral values, so Z/Y formulas mirror without a FLOAT cast
+    e_basis = """
+    cos(lat1) * cos(lon1) AS e1x, cos(lat1) * sin(lon1) AS e1y,
+    sin(lat1) AS e1z,
+    cos(lat2) * cos(lon2) AS p2x, cos(lat2) * sin(lon2) AS p2y,
+    sin(lat2) AS p2z
+    """
+    return f"""
+  WITH g AS (
+    SELECT n_nationkey AS k,
+           CAST(n_nationkey % 5 + 4 AS INT) AS ni,
+           CAST(n_nationkey % 4 + 3 AS INT) AS nj,
+           (['A','B','G','L','Z','Y','E','N','S'])[CAST(n_nationkey % 9 AS INT) + 1] AS gt
+    FROM nation),
+  p AS (
+    SELECT k, ni, nj, gt,
+           CASE WHEN gt = 'A' THEN CAST(k % 3 AS INT)
+                WHEN gt IN ('B', 'G') THEN 0
+                WHEN gt = 'L' THEN CAST((k - 12 + 90) * 100 AS INT)
+                WHEN gt = 'Z' THEN CAST(3000 + k AS INT)
+                WHEN gt = 'Y' THEN CAST(4000 + k AS INT)
+                WHEN gt = 'E' THEN CAST((k % 60 - 30 + 90) * 100 AS INT)
+                ELSE CAST((k % 3 + 2) * 100 AS INT) END AS ig1,
+           CASE WHEN gt IN ('A', 'B', 'G') THEN CAST(1000 + k AS INT)
+                WHEN gt = 'L' THEN CAST((k * 14 - 180 + 180) * 100 AS INT)
+                WHEN gt IN ('Z', 'Y') THEN CAST(500 + k AS INT)
+                WHEN gt = 'E' THEN CAST((k * 11 % 360) * 100 AS INT)
+                ELSE CAST((k % 2 + 2) * 100 AS INT) END AS ig2
+    FROM g),
+  cells AS (
+    SELECT k, ni, nj, gt,
+           concat(CAST(ig1 AS VARCHAR), CAST(ig2 AS VARCHAR)) AS grid,
+           u.c AS pos,
+           CAST(u.c % ni AS DOUBLE) AS i,
+           CAST(u.c // ni AS DOUBLE) AS j
+    FROM p, UNNEST(generate_series(0, ni * nj - 1)) u(c)),
+  ez AS (
+    SELECT *,
+           radians(CAST(k % 60 - 30 AS DOUBLE)) AS lat1,
+           radians(CAST(k * 11 % 360 AS DOUBLE)) AS lon1,
+           radians(CAST(k % 40 - 10 AS DOUBLE)) AS lat2,
+           radians(CAST((k * 11 + 90) % 360 AS DOUBLE)) AS lon2,
+           radians(i * 360.0 / ni) AS rlon,
+           radians(-90.0 + (j + 0.5) * 180.0 / nj) AS rlat,
+           CAST(k % 3 + 2 AS DOUBLE) AS pi_,
+           CAST(k % 2 + 2 AS DOUBLE) AS pj_,
+           CAST(1000 + k AS DOUBLE) * 100.0 AS d60,
+           CAST(k * 10 % 360 AS DOUBLE) AS dgrw,
+           6371000.0 * (1.0 + sin(radians(60.0))) AS scale,
+           ((i + 1) - CAST(k % 3 + 2 AS DOUBLE)) * (CAST(1000 + k AS DOUBLE) * 100.0) AS dx,
+           ((j + 1) - CAST(k % 2 + 2 AS DOUBLE)) * (CAST(1000 + k AS DOUBLE) * 100.0) AS dy
+    FROM cells),
+  eb AS (
+    SELECT *, {e_basis}
+    FROM ez),
+  eb2 AS (
+    SELECT *,
+           e1y * p2z - e1z * p2y AS cx,
+           e1z * p2x - e1x * p2z AS cy,
+           e1x * p2y - e1y * p2x AS cz
+    FROM eb),
+  eb3 AS (
+    SELECT *,
+           cx / sqrt(cx*cx + cy*cy + cz*cz) AS e3x,
+           cy / sqrt(cx*cx + cy*cy + cz*cz) AS e3y,
+           cz / sqrt(cx*cx + cy*cy + cz*cz) AS e3z
+    FROM eb2),
+  eb4 AS (
+    SELECT *,
+           e3y * e1z - e3z * e1y AS e2x,
+           e3z * e1x - e3x * e1z AS e2y,
+           e3x * e1y - e3y * e1x AS e2z
+    FROM eb3),
+  ev AS (
+    SELECT *,
+           cos(rlat)*cos(rlon)*e1x + cos(rlat)*sin(rlon)*e2x + sin(rlat)*e3x AS vx,
+           cos(rlat)*cos(rlon)*e1y + cos(rlat)*sin(rlon)*e2y + sin(rlat)*e3y AS vy,
+           cos(rlat)*cos(rlon)*e1z + cos(rlat)*sin(rlon)*e2z + sin(rlat)*e3z AS vz
+    FROM eb4),
+  vals AS (
+    SELECT grid, gt AS grtyp, ni, nj, pos,
+      CASE WHEN gt = 'A' THEN
+             (CASE WHEN k % 3 = 1 THEN 0.0 ELSE -90.0 END)
+             + (j + 0.5) * (CASE WHEN k % 3 IN (1, 2) THEN 90.0 ELSE 180.0 END) / nj
+           WHEN gt = 'B' THEN -90.0 + j * 180.0 / (nj - 1)
+           WHEN gt = 'G' THEN {_gauss_case_sql(range(3, 7))}
+           WHEN gt IN ('L', 'Z') THEN (k - 12) + j * (k % 3 + 1)
+           WHEN gt = 'Y' THEN CAST((k * 13 + pos * 7) % 180 - 90 AS DOUBLE)
+           WHEN gt = 'E' THEN degrees(asin(greatest(least(vz, 1.0), -1.0)))
+           WHEN gt = 'N' THEN 90.0 - 2.0 * degrees(atan(sqrt(dx*dx + dy*dy) / scale))
+           WHEN gt = 'S' THEN -(90.0 - 2.0 * degrees(atan(sqrt(dx*dx + dy*dy) / scale)))
+      END AS lat,
+      CASE WHEN gt IN ('A', 'G') THEN i * 360.0 / ni
+           WHEN gt = 'B' THEN i * 360.0 / (ni - 1)
+           WHEN gt IN ('L', 'Z') THEN (k * 14 - 180) + i * (k % 4 + 2)
+           WHEN gt = 'Y' THEN CAST((k * 31 + pos * 17) % 360 AS DOUBLE)
+           WHEN gt = 'E' THEN ((degrees(atan2(vy, vx)) % 360.0) + 360.0) % 360.0
+           WHEN gt = 'N' THEN ((((dgrw + degrees(atan2(dy, dx))) % 360.0) + 360.0) % 360.0)
+           WHEN gt = 'S' THEN ((((dgrw - degrees(atan2(dy, dx))) % 360.0) + 360.0) % 360.0)
+      END AS lon
+    FROM ev)
+  SELECT grid, grtyp, 'LA' AS nomvar, ni, nj, pos, round(lat, 6) AS val
+  FROM vals
+  UNION ALL
+  SELECT grid, grtyp, 'LO' AS nomvar, ni, nj, pos, round(lon, 6) AS val
+  FROM vals
+  ORDER BY grid, nomvar, pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# full ip-info decode cascade (C1/C7/C8/C9/C12/C13)
+# ---------------------------------------------------------------------------
+
+#: datyp sample covering every DATYP_DICT arm + one unknown (-> 'X')
+IPINFO_DATYPS = [0, 1, 2, 5, 130, 133, 134, 99]
+
+
+def q_fst_ip_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 full ip info + C1 grid id + C8 surface + C9 follow_topography +
+    C12 datyp letter + C13 kind printable (reference std_dec.py:118-233,
+    std_io.py:813-871): the decode cascade over synthetic (ip2, ip3,
+    datyp, nomvar) extensions of the record table — every output is a
+    native Column expression, no Python in the data path."""
+    from fstd2pandas_spark.functions.meta import (
+        data_type_str, follows_topography, grid_identifier, is_surface,
+        kind_str, level_ascending)
+
+    rec = records_from_lineitem(spark, sf_dir)
+    k = F.col("key")
+    ip2 = (
+        F.when(k % 2 == 0, F.element_at(
+            F.array(*[F.lit(v) for v in IP2_IV]), (k % 4 + 1).cast("int")))
+        .otherwise((k % 30).cast("int"))
+    )
+    ip3 = (
+        F.when(k % 6 == 1, F.lit(IP3_LVL)).otherwise((k % 3).cast("int"))
+    )
+    datyp = F.element_at(
+        F.array(*[F.lit(v) for v in IPINFO_DATYPS]), (k % 8 + 1).cast("int"))
+    # remap some nomvars onto the reserved names so every grid_identifier
+    # branch (axis/descriptor, HY, data) is exercised
+    nomvar = (
+        F.when(k % 11 == 0, F.lit(">>")).when(k % 13 == 0, F.lit("HY"))
+        .otherwise(F.col("nomvar"))
+    )
+    ext = (
+        rec.withColumn("ip2", ip2).withColumn("ip3", ip3)
+        .withColumn("datyp", datyp).withColumn("nomvar", nomvar)
+        .withColumn("ig1", (k % 90).cast("int"))
+        .withColumn("ig2", (k % 45).cast("int"))
+    )
+    k1 = decode_ip_kind(F.col("ip1"))
+    v1 = decode_ip_value(F.col("ip1"))
+    k2 = decode_ip_kind(F.col("ip2"))
+    k3 = decode_ip_kind(F.col("ip3"))
+    return ext.select(
+        "key", "nomvar", "ip1", "ip2", "ip3",
+        F.round(v1, 6).alias("level"),
+        k1.alias("ip1_kind"), kind_str(k1).alias("ip1_pkind"),
+        F.round(decode_ip_value(F.col("ip2")), 6).alias("ip2_dec"),
+        k2.alias("ip2_kind"), kind_str(k2).alias("ip2_pkind"),
+        F.round(decode_ip_value(F.col("ip3")), 6).alias("ip3_dec"),
+        k3.alias("ip3_kind"), kind_str(k3).alias("ip3_pkind"),
+        is_surface(k1, v1).alias("surface"),
+        follows_topography(k1).alias("follow_topography"),
+        level_ascending(k1).alias("ascending"),
+        data_type_str(F.col("datyp")).alias("data_type_str"),
+        grid_identifier(F.col("nomvar"), F.col("ip1"), F.col("ip2"),
+                        F.col("ig1"), F.col("ig2")).alias("grid"),
+    ).orderBy("key")
+
+
+_KIND_STR_SQL = """
+  CASE WHEN {k} IN (-1, 3, 15, 17, 100) THEN ''
+       WHEN {k} = 0 THEN 'm' WHEN {k} = 1 THEN 'sg' WHEN {k} = 2 THEN 'mb'
+       WHEN {k} = 4 THEN 'M' WHEN {k} = 5 THEN 'hy' WHEN {k} = 6 THEN 'th'
+       WHEN {k} = 10 THEN 'H' WHEN {k} = 21 THEN 'mp' ELSE '' END
+"""
+
+_DATYP_STR_SQL = """
+  CASE WHEN {d} = 0 THEN 'X' WHEN {d} = 1 THEN 'R' WHEN {d} = 2 THEN 'I'
+       WHEN {d} = 3 THEN 'C' WHEN {d} = 4 THEN 'S' WHEN {d} = 5 THEN 'E'
+       WHEN {d} = 6 THEN 'F' WHEN {d} = 7 THEN 'A' WHEN {d} = 8 THEN 'Z'
+       WHEN {d} = 130 THEN 'i' WHEN {d} = 132 THEN 's'
+       WHEN {d} = 133 THEN 'e' WHEN {d} = 134 THEN 'f' ELSE 'X' END
+"""
+
+
+def _ip_info_sql() -> str:
+    return f"""
+  WITH rec AS ({_RECORDS_SQL}),
+  ext AS (
+    SELECT key,
+           CASE WHEN key % 11 = 0 THEN '>>'
+                WHEN key % 13 = 0 THEN 'HY' ELSE nomvar END AS nomvar,
+           ip1,
+           CASE WHEN key % 2 = 0
+                THEN ([{_sql_list(IP2_IV)}])[CAST(key % 4 AS INT) + 1]
+                ELSE CAST(key % 30 AS INT) END AS ip2,
+           CASE WHEN key % 6 = 1 THEN {IP3_LVL}
+                ELSE CAST(key % 3 AS INT) END AS ip3,
+           ([{_sql_list(IPINFO_DATYPS)}])[CAST(key % 8 AS INT) + 1] AS datyp,
+           CAST(key % 90 AS INT) AS ig1, CAST(key % 45 AS INT) AS ig2
+    FROM rec),
+  kd AS (
+    SELECT *,
+           ({_DECODE_KIND_SQL.format(ip='ip1')}) AS k1,
+           ({_DECODE_VALUE_SQL.format(ip='ip1')}) AS v1,
+           ({_DECODE_KIND_SQL.format(ip='ip2')}) AS k2,
+           ({_DECODE_VALUE_SQL.format(ip='ip2')}) AS v2,
+           ({_DECODE_KIND_SQL.format(ip='ip3')}) AS k3,
+           ({_DECODE_VALUE_SQL.format(ip='ip3')}) AS v3
+    FROM ext)
+  SELECT key, nomvar, ip1, ip2, ip3,
+         round(v1, 6) AS level,
+         k1 AS ip1_kind, ({_KIND_STR_SQL.format(k='k1')}) AS ip1_pkind,
+         round(v2, 6) AS ip2_dec,
+         k2 AS ip2_kind, ({_KIND_STR_SQL.format(k='k2')}) AS ip2_pkind,
+         round(v3, 6) AS ip3_dec,
+         k3 AS ip3_kind, ({_KIND_STR_SQL.format(k='k3')}) AS ip3_pkind,
+         ((k1 = 5 AND round(v1, 6) = 1.0) OR (k1 = 1 AND round(v1, 6) = 1.0)
+          OR (k1 = 4 AND round(v1, 6) >= 0 AND round(v1, 6) <= 10
+              AND round(v1, 6) * 2 = floor(round(v1, 6) * 2)))
+           AS surface,
+         k1 IN (1, 4, 5) AS follow_topography,
+         k1 IN (0, 3, 4, 21, 100) AS ascending,
+         ({_DATYP_STR_SQL.format(d='datyp')}) AS data_type_str,
+         CASE WHEN trim(nomvar) IN ('^>', '>>', '^^', '!!', '!!SF')
+              THEN concat(CAST(ip1 AS VARCHAR), CAST(ip2 AS VARCHAR))
+              WHEN trim(nomvar) = 'HY' THEN 'None'
+              ELSE concat(CAST(ig1 AS VARCHAR), CAST(ig2 AS VARCHAR)) END
+           AS grid
+  FROM kd ORDER BY key
+"""
+
+
+# ---------------------------------------------------------------------------
+# sink round-trips (S6/S9/S10/W3 fstrec; S11/S12/C20 CSV)
+# ---------------------------------------------------------------------------
+
+_TMP_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp")
+
+#: columns every sink round-trip projects back out (order = RECORD_SCHEMA)
+_RT_META_COLS = ["nomvar", "typvar", "etiket", "ni", "nj", "nk", "dateo",
+                 "ip1", "ip2", "ip3", "deet", "npas", "datyp", "nbits",
+                 "grtyp", "ig1", "ig2", "ig3", "ig4", "datev"]
+
+
+def _writable_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """records_from_lineitem widened to the full BASE column set; the
+    original key rides in ip3 (unique), so the round-trip multiset is
+    collision-free without depending on container key assignment."""
+    from fstd2pandas_spark.operators.metadata import add_grid_column
+
+    rec = records_from_lineitem(spark, sf_dir)
+    return add_grid_column(rec.select(
+        "nomvar", F.lit("P").alias("typvar"), "etiket", "ni", "nj",
+        F.lit(1).alias("nk"), "dateo", "ip1",
+        (F.col("key") % 30).cast("int").alias("ip2"),
+        F.col("key").cast("int").alias("ip3"),
+        "deet", "npas",
+        F.lit(134).alias("datyp"), F.lit(16).alias("nbits"),
+        F.lit("X").alias("grtyp"),
+        (F.col("key") % 90).cast("int").alias("ig1"),
+        (F.col("key") % 45).cast("int").alias("ig2"),
+        F.lit(0).alias("ig3"), F.lit(0).alias("ig4"),
+        F.col("dateo").alias("datev"), "d",
+        # keep key: metadata_cleanup tie-breaks on it and mode="write"
+        # sorts by it within partitions (W3)
+        "key",
+    ))
+
+
+_RT_RECORDS_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL})
+  SELECT nomvar, 'P' AS typvar, etiket, ni, nj, 1 AS nk, dateo, ip1,
+         CAST(key % 30 AS INT) AS ip2, CAST(key AS INT) AS ip3,
+         deet, npas, 134 AS datyp, 16 AS nbits, 'X' AS grtyp,
+         CAST(key % 90 AS INT) AS ig1, CAST(key % 45 AS INT) AS ig2,
+         0 AS ig3, 0 AS ig4, dateo AS datev, d
+  FROM rec
+"""
+
+
+def q_fst_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S9/S10/W3 (reference std_writer.py:30-168): write the synthetic
+    record table through write_record_table (metadata_cleanup + ordered
+    distributed fstrec write), re-read via the fstrec DataSource, and
+    project metadata + exploded payload cells. The oracle is the identity
+    construction — the sink/source pair must be lossless. S10's
+    detect_rewrite rides along as a constant column."""
+    from fstd2pandas_spark.sources import (
+        detect_rewrite, register, write_record_table)
+
+    try:
+        register(spark)
+    except Exception:
+        pass  # already registered in this session
+    wdf = _writable_records(spark, sf_dir)
+    out_dir = os.path.join(
+        _TMP_ROOT, f"write_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}")
+    rewrite = detect_rewrite(wdf)
+    write_record_table(wdf, out_dir, mode="write", overwrite=True)
+    back = spark.read.format("fstrec").load(out_dir)
+    return (
+        back.select(
+            *_RT_META_COLS,
+            F.lit(rewrite).alias("rewrite_needed"),
+            F.posexplode("d").alias("pos", "val"),
+        )
+        .withColumn("val", F.round(F.col("val").cast("double"), 4))
+        .orderBy("ip3", "pos")
+    )
+
+
+_Q_WRITE_RT_SQL = f"""
+  WITH w AS ({_RT_RECORDS_SQL})
+  SELECT nomvar, typvar, etiket, ni, nj, nk, dateo, ip1, ip2, ip3, deet,
+         npas, datyp, nbits, grtyp, ig1, ig2, ig3, ig4, datev,
+         (SELECT count(*) FROM (
+            SELECT 1 FROM w GROUP BY nomvar, typvar, etiket, ip1, ip2, ip3
+            HAVING count(*) > 1)) > 0 AS rewrite_needed,
+         s.i - 1 AS pos, round(CAST(d[s.i] AS DOUBLE), 4) AS val
+  FROM w, UNNEST(generate_series(1, len(d))) s(i)
+  ORDER BY ip3, pos
+"""
+
+
+def q_fst_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/S12/C20 (reference csv_reader.py:85-504, csv_writer.py:11-137):
+    write records through the "a,b;c,d" CSV dialect, read them back with
+    read_csv_records, and compare against the identity construction. The
+    d string parse (C20) and the defaulted-column fill are both on the
+    read path; quantities are small decimals so the string round-trip is
+    exact."""
+    from fstd2pandas_spark.sources import read_csv_records, write_csv_records
+
+    # every 10th record keeps the CSV small while covering all modulo arms
+    wdf = _writable_records(spark, sf_dir).filter(F.col("ip3") % 10 == 0)
+    out_dir = os.path.join(
+        _TMP_ROOT, f"csv_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}")
+    write_csv_records(wdf, out_dir, mode="overwrite")
+    back = read_csv_records(spark, out_dir, encode_ip1=False)
+    return (
+        back.select(
+            *_RT_META_COLS,
+            F.posexplode("d").alias("pos", "val"),
+        )
+        .withColumn("val", F.round(F.col("val").cast("double"), 4))
+        .orderBy("ip3", "pos")
+    )
+
+
+_Q_CSV_RT_SQL = f"""
+  WITH w AS ({_RT_RECORDS_SQL})
+  SELECT nomvar, typvar, etiket, ni, nj, nk, dateo, ip1, ip2, ip3, deet,
+         npas, datyp, nbits, grtyp, ig1, ig2, ig3, ig4, datev,
+         s.i - 1 AS pos, round(CAST(d[s.i] AS DOUBLE), 4) AS val
+  FROM w, UNNEST(generate_series(1, len(d))) s(i)
+  WHERE ip3 % 10 = 0
+  ORDER BY ip3, pos
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1883,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fst_encode_ip": q_fst_encode_ip,
         "fst_voir": q_fst_voir,
         "fst_latlon": q_fst_latlon,
+        "fst_latlon_all": q_fst_latlon_all,
         "fst_cube": q_fst_cube,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_langid": q_doc_langid,
@@ -1895,6 +2381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_exact": q_emb_neardup_exact,
+        "fst_write_roundtrip": q_fst_write_roundtrip,
+        "fst_csv_roundtrip": q_fst_csv_roundtrip,
+        "fst_ip_info": q_fst_ip_info,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
         "mm_features": q_mm_features,
@@ -1936,6 +2425,7 @@ def oracle_sql() -> dict[str, str]:
         "fst_encode_ip": _Q_ENCODE_IP_SQL,
         "fst_voir": _Q_VOIR_SQL,
         "fst_latlon": _Q_LATLON_SQL,
+        "fst_latlon_all": _latlon_all_sql(),
         "fst_cube": _Q_CUBE_SQL,
         "doc_exact_dedup": _Q_EXACT_DEDUP_SQL,
         "doc_langid": _langid_sql(),
@@ -1948,6 +2438,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": _Q_COSINE_SQL,
         "emb_neardup": _neardup_bucketed_sql(),
         "emb_neardup_exact": _Q_NEARDUP_EXACT_SQL,
+        "fst_write_roundtrip": _Q_WRITE_RT_SQL,
+        "fst_csv_roundtrip": _Q_CSV_RT_SQL,
+        "fst_ip_info": _ip_info_sql(),
         "emb_ann_lsh": _ann_lsh_sql(),
         "emb_ann_ivf": _ann_ivf_sql(),
         "mm_features": _Q_MM_SQL,

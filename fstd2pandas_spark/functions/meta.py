@@ -130,10 +130,16 @@ def kind_str(kind: Column) -> Column:
 
 def is_surface(kind: Column, level: Column) -> Column:
     """Surface-level test: hybrid/sigma at 1.0, or meters in {0, 0.5, ..., 10}
-    (std_dec.py:191-212)."""
-    doubled = level * 2
-    meter_surface = (kind == 4) & (level >= 0) & (level <= 10) & (doubled == F.floor(doubled))
-    return ((kind == 5) & (level == 1.0)) | ((kind == 1) & (level == 1.0)) | meter_surface
+    (std_dec.py:191-212).
+
+    The level is rounded to 6 dp first: the ip1 mantissa*10^(4-exp)
+    decode is inexact in binary (1.0 decodes to 0.999...9), and the
+    reference compares against convip's cleaned values — 6 dp is the
+    decode grid's own precision (C23 epsilon discipline)."""
+    lvl = F.round(level, 6)
+    doubled = lvl * 2
+    meter_surface = (kind == 4) & (lvl >= 0) & (lvl <= 10) & (doubled == F.floor(doubled))
+    return ((kind == 5) & (lvl == 1.0)) | ((kind == 1) & (lvl == 1.0)) | meter_surface
 
 
 def follows_topography(kind: Column) -> Column:
