@@ -2322,6 +2322,59 @@ _Q_CSV_RT_SQL = f"""
 """
 
 
+def q_fst_xdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S8 on the REAL FST/XDF binary layout (reference std_io.py:
+    247-460 structures, 656-799 unpack): write the record table as
+    librmn-layout .fst files (big-endian XDF directory pages, 6-bit
+    packed strings, raw date stamps), re-read through the same
+    DataSource (magic-sniffed per file, S8), and compare against the
+    identity construction. The directory stores only the valid-date
+    stamp, so ``dateo`` is the derived value ``stamp - deet*npas/5``
+    exactly as the reference recovers it (std_io.py:786-792)."""
+    from fstd2pandas_spark.sources import register, write_record_table
+
+    try:
+        register(spark)
+    except Exception:
+        pass  # already registered in this session
+    # IEEE float32 (datyp 5) — the transparent packing the XDF layer
+    # round-trips bit-exactly; quantities are small decimals
+    wdf = (
+        _writable_records(spark, sf_dir)
+        .withColumn("datyp", F.lit(5)).withColumn("nbits", F.lit(32))
+    )
+    out_dir = os.path.join(
+        _TMP_ROOT, f"xdf_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}")
+    write_record_table(wdf, out_dir, mode="write", overwrite=True,
+                       container="xdf")
+    back = spark.read.format("fstrec").load(out_dir)
+    return (
+        back.select(
+            *_RT_META_COLS,
+            F.posexplode("d").alias("pos", "val"),
+        )
+        .withColumn("val", F.round(F.col("val").cast("double"), 4))
+        .orderBy("ip3", "pos")
+    )
+
+
+# datev stamps end in 0-7, so raw = (datev//10)*8 + datev%10 is exact and
+# dateo mirrors the reader's stamp arithmetic (std_io.py:786-792)
+_Q_XDF_RT_SQL = f"""
+  WITH w AS ({_RT_RECORDS_SQL}),
+  s AS (
+    SELECT *, (datev // 10) * 8 + datev % 10 - (deet * npas) // 5 AS raw_o
+    FROM w)
+  SELECT nomvar, typvar, etiket, ni, nj, nk,
+         (raw_o // 8) * 10 + raw_o % 8 AS dateo,
+         ip1, ip2, ip3, deet, npas, 5 AS datyp, 32 AS nbits, grtyp,
+         ig1, ig2, ig3, ig4, datev,
+         u.i - 1 AS pos, round(CAST(d[u.i] AS DOUBLE), 4) AS val
+  FROM s, UNNEST(generate_series(1, len(d))) u(i)
+  ORDER BY ip3, pos
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2383,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_exact": q_emb_neardup_exact,
         "fst_write_roundtrip": q_fst_write_roundtrip,
         "fst_csv_roundtrip": q_fst_csv_roundtrip,
+        "fst_xdf_roundtrip": q_fst_xdf_roundtrip,
         "fst_ip_info": q_fst_ip_info,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
@@ -2440,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_exact": _Q_NEARDUP_EXACT_SQL,
         "fst_write_roundtrip": _Q_WRITE_RT_SQL,
         "fst_csv_roundtrip": _Q_CSV_RT_SQL,
+        "fst_xdf_roundtrip": _Q_XDF_RT_SQL,
         "fst_ip_info": _ip_info_sql(),
         "emb_ann_lsh": _ann_lsh_sql(),
         "emb_ann_ivf": _ann_ivf_sql(),

@@ -59,6 +59,28 @@ class _FilePartition(InputPartition):
     path: str
 
 
+def _list_container_files(path: str) -> "list[str]":
+    """Expand path/dir/glob to record containers of either layout:
+    .fstrec (the portable container) or real FST/XDF files (sniffed by
+    the 'STDR' signature, S8)."""
+    from fstd2pandas_spark.sources.fstrec_format import list_fstrec_files
+    from fstd2pandas_spark.sources.xdf_format import list_xdf_files
+
+    seen: dict[str, None] = {}
+    for p in list_fstrec_files(path) + list_xdf_files(path):
+        seen.setdefault(p, None)
+    return sorted(seen)
+
+
+def _container_io(path: str):
+    """Per-file format dispatch -> (read_directory, read_payload)."""
+    from fstd2pandas_spark.sources import fstrec_format, xdf_format
+
+    if xdf_format.maybe_xdf(path):
+        return xdf_format.read_xdf_directory, xdf_format.read_xdf_payload
+    return fstrec_format.read_directory, fstrec_format.read_payload
+
+
 def _grid_of(h) -> str:
     if h.nomvar in ("^>", ">>", "^^", "!!", "!!SF"):
         return f"{h.ip1}{h.ip2}"
@@ -124,9 +146,7 @@ class FstRecReader(DataSourceReader):
                 yield f
 
     def partitions(self):
-        from fstd2pandas_spark.sources.fstrec_format import list_fstrec_files
-
-        files = list_fstrec_files(self.path)
+        files = _list_container_files(self.path)
         if not files:
             raise FileNotFoundError(f"fstrec: no files at {self.path}")
         return [_FilePartition(p) for p in files]
@@ -134,11 +154,8 @@ class FstRecReader(DataSourceReader):
     def read(self, partition: _FilePartition):
         import pyarrow as pa
 
-        from fstd2pandas_spark.sources.fstrec_format import (
-            read_directory, read_payload,
-        )
-
         path = partition.path
+        read_directory, read_payload = _container_io(path)
         headers = read_directory(path)
         selected = [
             (i + 1, h) for i, h in enumerate(headers)
@@ -214,10 +231,8 @@ class FstRecStreamReader(DataSourceStreamReader):
         self.batch_rows = int(options.get("batch_rows", "2048"))
 
     def _current_files(self) -> list[str]:
-        from fstd2pandas_spark.sources.fstrec_format import list_fstrec_files
-
         try:
-            return sorted(list_fstrec_files(self.path))
+            return _list_container_files(self.path)
         except FileNotFoundError:
             return []
 
@@ -251,12 +266,14 @@ class _WriteResult(WriterCommitMessage):
 
 class FstRecWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
-        import glob
         import os
 
         self.path = options.get("path")
         if not self.path:
             raise ValueError("fstrec: path required")
+        self.container = str(options.get("container", "fstrec")).lower()
+        if self.container not in ("fstrec", "xdf"):
+            raise ValueError(f"unknown container {self.container!r}")
         self.overwrite = overwrite
         # overwrite snapshots the files to replace but does NOT delete
         # them yet: tasks write uniquely-named part files alongside, and
@@ -265,8 +282,7 @@ class FstRecWriter(DataSourceWriter):
         # new part files).
         self._old_files: list[str] = []
         if overwrite and self.path and os.path.isdir(self.path):
-            self._old_files = sorted(
-                glob.glob(os.path.join(self.path, "*.fstrec")))
+            self._old_files = _list_container_files(self.path)
 
     def write(self, rows) -> _WriteResult:
         """One output file per task (the reference's 128-row block writes,
@@ -277,16 +293,19 @@ class FstRecWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         from fstd2pandas_spark.sources.fstrec_format import write_fstrec
+        from fstd2pandas_spark.sources.xdf_format import write_xdf
 
         os.makedirs(self.path, exist_ok=True)
         tid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        ext = "fst" if self.container == "xdf" else "fstrec"
         out = os.path.join(
-            self.path, f"part-{tid:05d}-{uuid.uuid4().hex[:8]}.fstrec"
+            self.path, f"part-{tid:05d}-{uuid.uuid4().hex[:8]}.{ext}"
         )
         records = [r.asDict() for r in rows]
         if not records:
             return _WriteResult(path="", n=0)
-        n = write_fstrec(out, records)
+        writer_fn = write_xdf if self.container == "xdf" else write_fstrec
+        n = writer_fn(out, records)
         return _WriteResult(path=out, n=n)
 
     def commit(self, messages) -> None:

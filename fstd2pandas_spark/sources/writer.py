@@ -43,8 +43,14 @@ def detect_rewrite(df: DataFrame) -> bool:
 def write_record_table(df: DataFrame, path: str, mode: str = "write",
                        no_meta: bool = False,
                        overwrite: bool = False,
-                       partition_by: "list[str] | None" = None) -> None:
-    """Write a record table to a directory of .fstrec files.
+                       partition_by: "list[str] | None" = None,
+                       container: str = "fstrec") -> None:
+    """Write a record table to a directory of record containers.
+
+    ``container="fstrec"`` emits the portable container;
+    ``container="xdf"`` emits real FST/XDF binary files (librmn layout,
+    readable by ECCC tools for the transparent datyps — see
+    :mod:`~fstd2pandas_spark.sources.xdf_format`).
 
     ``partition_by`` (e.g. ``["datev", "grid"]`` — the 100 TB layout from
     SURVEY §7.2) clusters records so each output file holds one key
@@ -71,7 +77,7 @@ def write_record_table(df: DataFrame, path: str, mode: str = "write",
             df = df.sortWithinPartitions(*order)
     elif mode != "dump":
         raise WriterError(f"unknown mode {mode!r}; use write|dump|update")
-    writer = df.write.format("fstrec")
+    writer = df.write.format("fstrec").option("container", container)
     if overwrite:
         writer = writer.mode("overwrite")
     writer.save(path)

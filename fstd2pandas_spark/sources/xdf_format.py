@@ -1,0 +1,353 @@
+"""Real RPN standard-file (FST/XDF) binary layout — reader and writer.
+
+This is the on-disk format produced by ECCC tools via librmn: a
+big-endian XDF container whose directory pages hold 9×64-bit packed
+record headers (the "primary keys"), with record payloads addressed by
+word address (``swa``) and length (``lng``).  The bit layout is public
+(librmn ``qstdir.h``); the reference decodes it with ctypes + numpy in
+std_io.py:247-460 (structures) and std_io.py:656-799 (vectorized
+unpack).  This module implements the same layout from the spec, in both
+directions, with no librmn dependency:
+
+word pair layout of one directory entry (32-bit big-endian words)::
+
+    0  deleted:1 select:7 lng:24   | 1  addr:32 (swa, origin-1 64-bit)
+    2  deet:24 nbits:8             | 3  ni:24 gtyp:8
+    4  nj:24 datyp:8               | 5  nk:20 ubc:12
+    6  npas:26 pad:6               | 7  ig4:24 ig2a:8
+    8  ig1:24 ig2b:8               | 9  ig3:24 ig2c:8
+    10 etik15:30 pad:2             | 11 etik6a:30 pad:2
+    12 etikbc:12 typvar:12 pad:8   | 13 nomvar:24 pad:8
+    14 ip1:28 levtyp:4             | 15 ip2:28 pad:4
+    16 ip3:28 pad:4                | 17 date_stamp:32
+
+Strings are 6-bit printable codes (``chr(code + 32)``); the valid date
+stamp packs as ``(datev // 10) * 8 + datev % 10`` and the origin date is
+recovered as ``stamp - (deet * npas) // 5`` (std_io.py:761-792).
+
+File layout::
+
+    file_header       16 words + key-descriptor table  (sign 'STDR' at
+                      byte 12 — the c_wkoffit magic the reference sniffs,
+                      std_io.py:136-151)
+    DIR0 pages        8-word page header + 256 packed entries each,
+                      chained through nxt_addr
+    records           [primary keys (lprm×2 words) | aux keys (laux×2) |
+                      payload words], one extent per record at its swa
+
+Payload packing implemented for the uncompressed transparent datyps:
+IEEE float (5, 32/64-bit), unsigned int (2), signed int (4).  The
+turbo-packed / predictor-compressed datyps (1, 6, 129-134) need the
+armn_compress bit-stream codecs, which are out of scope here — reads
+raise with a clear message instead of returning wrong bytes.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from typing import Iterable
+
+import numpy as np
+
+from fstd2pandas_spark.sources.fstrec_format import RecordHeader
+
+SIGN = b"STDR"
+VRSN = b"XDF0"
+ENTRIES_PER_PAGE = 256
+ENTRY_WORDS = 18          # 9 × 64-bit
+PAGE_HEADER_WORDS = 8
+PAGE_WORDS = PAGE_HEADER_WORDS + ENTRIES_PER_PAGE * ENTRY_WORDS
+FILE_HEADER_FIXED_WORDS = 16
+NPRM, LPRM = 16, 9        # primary keys: 9 × 64-bit incl. XDF header
+NAUX, LAUX = 2, 2         # aux keys (xtra1..3 + pad): 2 × 64-bit
+KEY_TABLE_WORDS = 2 * (NPRM + NAUX)
+FILE_HEADER_WORDS = FILE_HEADER_FIXED_WORDS + KEY_TABLE_WORDS
+
+#: transparent (uncompressed) payload datyps -> big-endian numpy dtype
+#: keyed by (datyp, nbits); everything else needs the armn bit codecs
+_TRANSPARENT = {
+    (5, 32): ">f4", (5, 64): ">f8",
+    (2, 32): ">u4", (4, 32): ">i4",
+}
+
+
+def _str6(s: str, n: int) -> int:
+    """Pack an n-char space-padded string into n 6-bit codes."""
+    s = s[:n].ljust(n)
+    v = 0
+    for ch in s:
+        code = ord(ch) - 32
+        if not 0 <= code < 64:
+            raise ValueError(f"character {ch!r} not encodable in 6 bits")
+        v = (v << 6) | code
+    return v
+
+
+def _unpack_str6(vals: np.ndarray, n: int) -> np.ndarray:
+    """n 6-bit codes -> '|S{n}' byte strings, vectorized."""
+    out = np.empty((len(vals), n), dtype="ubyte")
+    for i in range(n):
+        out[:, i] = ((vals >> ((n - 1 - i) * 6)) & 0x3F) + 32
+    return out.reshape(-1).view(f"|S{n}")
+
+
+def stamp_raw(datev: int) -> int:
+    """User RMN stamp -> raw directory stamp (std_io.py:784: the inverse
+    of ``(raw >> 3) * 10 + (raw & 7)``). Valid stamps end in 0-7."""
+    return (int(datev) // 10) * 8 + int(datev) % 10
+
+
+def stamp_user(raw) -> "np.ndarray":
+    """Raw directory stamp -> user RMN stamp (std_io.py:784)."""
+    raw = np.asarray(raw, dtype="int64")
+    return (raw >> 3) * 10 + (raw & 0x7)
+
+
+def payload_dtype(datyp: int, nbits: int) -> str:
+    dt = _TRANSPARENT.get((int(datyp), int(nbits)))
+    if dt is None:
+        raise NotImplementedError(
+            f"datyp={datyp}/nbits={nbits}: compressed or sub-word FST "
+            "packing needs the armn bit-stream codecs; only transparent "
+            f"layouts {sorted(_TRANSPARENT)} are readable here"
+        )
+    return dt
+
+
+def pack_dir_entry(rec: dict, swa: int, lng: int) -> np.ndarray:
+    """One record's metadata -> the 18-word packed directory entry."""
+    w = np.zeros(ENTRY_WORDS, dtype=">u4")
+    if not 0 < lng < (1 << 24):
+        raise ValueError(f"record length {lng} units out of 24-bit range")
+    deleted = 1 if rec.get("deleted") else 0
+    w[0] = (deleted << 31) | (int(lng) & 0xFFFFFF)
+    w[1] = swa
+    w[2] = (int(rec["deet"]) << 8) | (int(rec["nbits"]) & 0xFF)
+    w[3] = (int(rec["ni"]) << 8) | (ord(str(rec.get("grtyp", "X"))[:1] or "X") & 0xFF)
+    w[4] = (int(rec["nj"]) << 8) | (int(rec["datyp"]) & 0xFF)
+    w[5] = (int(rec.get("nk", 1)) << 12)  # ubc = 0
+    w[6] = int(rec["npas"]) << 6
+    ig2 = int(rec["ig2"])
+    w[7] = (int(rec["ig4"]) << 8) | ((ig2 >> 16) & 0xFF)
+    w[8] = (int(rec["ig1"]) << 8) | ((ig2 >> 8) & 0xFF)
+    w[9] = (int(rec["ig3"]) << 8) | (ig2 & 0xFF)
+    etiket = str(rec.get("etiket", "")).ljust(12)
+    w[10] = _str6(etiket[:5], 5) << 2
+    w[11] = _str6(etiket[5:10], 5) << 2
+    w[12] = ((_str6(etiket[10:12], 2) << 12) | _str6(str(rec["typvar"]), 2)) << 8
+    w[13] = _str6(str(rec["nomvar"]), 4) << 8
+    w[14] = int(rec["ip1"]) << 4  # levtyp = 0
+    w[15] = int(rec["ip2"]) << 4
+    w[16] = int(rec["ip3"]) << 4
+    w[17] = stamp_raw(rec["datev"]) & 0xFFFFFFFF
+    return w
+
+
+def unpack_dir_entries(raw: np.ndarray) -> dict:
+    """(n, 18) uint32 words -> column arrays. The same divmod cascade the
+    reference runs over librmn's in-core pages (std_io.py:735-799),
+    rebuilt from the qstdir.h layout over on-disk big-endian words."""
+    raw = raw.astype("int64")
+    out: dict = {}
+    top8, out["lng"] = np.divmod(raw[:, 0], 1 << 24)
+    out["lng"] = out["lng"] * 2          # 64-bit units -> 32-bit words
+    out["dltf"] = (top8 >> 7).astype("ubyte")
+    out["swa"] = raw[:, 1]
+    out["deet"], out["nbits"] = np.divmod(raw[:, 2], 256)
+    out["ni"], gtyp = np.divmod(raw[:, 3], 256)
+    out["nj"], out["datyp"] = np.divmod(raw[:, 4], 256)
+    out["nk"], out["ubc"] = np.divmod(raw[:, 5], 4096)
+    out["npas"] = raw[:, 6] >> 6
+    out["ig4"], ig2a = np.divmod(raw[:, 7], 256)
+    out["ig1"], ig2b = np.divmod(raw[:, 8], 256)
+    out["ig3"], ig2c = np.divmod(raw[:, 9], 256)
+    out["ig2"] = (ig2a << 16) | (ig2b << 8) | ig2c
+    etik15 = raw[:, 10] >> 2
+    etik6a = raw[:, 11] >> 2
+    etikbc, typvar = np.divmod(raw[:, 12] >> 8, 4096)
+    nomvar = raw[:, 13] >> 8
+    out["ip1"] = raw[:, 14] >> 4
+    out["ip2"] = raw[:, 15] >> 4
+    out["ip3"] = raw[:, 16] >> 4
+    raw_stamp = raw[:, 17]
+    out["datev"] = stamp_user(raw_stamp)
+    out["dateo"] = stamp_user(raw_stamp - (out["deet"] * out["npas"]) // 5)
+
+    e = np.empty((len(raw), 12), dtype="ubyte")
+    e[:, 0:5] = _unpack_str6(etik15, 5).view("ubyte").reshape(-1, 5)
+    e[:, 5:10] = _unpack_str6(etik6a, 5).view("ubyte").reshape(-1, 5)
+    e[:, 10:12] = _unpack_str6(etikbc, 2).view("ubyte").reshape(-1, 2)
+    out["etiket"] = np.char.strip(e.reshape(-1).view("|S12").astype("str"))
+    out["nomvar"] = np.char.strip(_unpack_str6(nomvar, 4).astype("str"))
+    out["typvar"] = np.char.strip(_unpack_str6(typvar, 2).astype("str"))
+    out["grtyp"] = np.char.strip(
+        gtyp.astype("ubyte").view("|S1").astype("str"))
+    return out
+
+
+def _payload_words(rec: dict, d: np.ndarray) -> np.ndarray:
+    dt = payload_dtype(rec["datyp"], rec["nbits"])
+    arr = np.ascontiguousarray(np.asarray(d).astype(dt))
+    words = np.frombuffer(arr.tobytes(), dtype=">u4").copy()
+    if len(words) % 2:  # pad to a 64-bit boundary
+        # concatenate would normalize to native byte order — keep >u4
+        words = np.concatenate([words, np.zeros(1, dtype=">u4")]).astype(">u4")
+    return words
+
+
+def write_xdf(path: str, records: "list[dict]") -> int:
+    """Write records (BASE column dicts + ``d``) as one FST/XDF file.
+
+    Layout: file header, then every directory page, then the record
+    extents; pages are chained through ``nxt_addr`` and each record's
+    primary-key block is repeated at its ``swa`` the way librmn lays
+    files out, so the result is byte-compatible with the walk in
+    std_io.py:656-735."""
+    n = len(records)
+    npages = max(1, -(-n // ENTRIES_PER_PAGE))
+    header_units = FILE_HEADER_WORDS // 2
+    page_units = PAGE_WORDS // 2
+    first_page = 1 + header_units
+
+    payloads = [_payload_words(r, r.get("d", [])) for r in records]
+    lngs = [LPRM + LAUX + len(p) // 2 for p in payloads]
+    swas = []
+    cur = first_page + npages * page_units
+    for lng in lngs:
+        swas.append(cur)
+        cur += lng
+    fsiz = cur - 1
+
+    words = np.zeros(FILE_HEADER_WORDS + npages * PAGE_WORDS, dtype=">u4")
+    # --- file header (std_io.py:362-396 field comments) ---
+    words[0] = header_units & 0xFFFFFF          # idtyp 0
+    words[1] = 0                                # addr: 0 for file header
+    words[2] = np.frombuffer(VRSN, dtype=">u4")[0]
+    words[3] = np.frombuffer(SIGN, dtype=">u4")[0]
+    words[4] = fsiz
+    words[5] = 0                                # nrwr
+    words[6] = 0                                # nxtn
+    words[7] = npages                           # nbd
+    words[8] = first_page + (npages - 1) * page_units  # plst
+    words[9] = max(lngs, default=0)             # nbig
+    words[10] = (LPRM << 16) | NPRM
+    words[11] = (LAUX << 16) | NAUX
+    words[12] = 0                               # neff
+    words[13] = n                               # nrec
+    words[14] = 0                               # rwflg
+    # key-descriptor table left zeroed: readers locate keys via lprm/laux
+
+    entries = np.zeros((n, ENTRY_WORDS), dtype=">u4")
+    for i, rec in enumerate(records):
+        entries[i] = pack_dir_entry(rec, swas[i], lngs[i])
+
+    for p in range(npages):
+        base = FILE_HEADER_WORDS + p * PAGE_WORDS
+        addr = first_page + p * page_units
+        chunk = entries[p * ENTRIES_PER_PAGE:(p + 1) * ENTRIES_PER_PAGE]
+        words[base + 0] = page_units & 0xFFFFFF
+        words[base + 1] = addr
+        words[base + 2] = np.frombuffer(b"DIR0", dtype=">u4")[0]
+        words[base + 4] = addr + page_units if p + 1 < npages else 0
+        words[base + 5] = len(chunk)
+        words[base + 6] = np.bitwise_xor.reduce(
+            chunk.reshape(-1).astype("uint32")) if len(chunk) else 0
+        flat = base + PAGE_HEADER_WORDS
+        words[flat:flat + chunk.size] = chunk.reshape(-1)
+
+    with open(path, "wb") as f:
+        f.write(words.tobytes())
+        aux = np.zeros(2 * LAUX, dtype=">u4")
+        for i, rec in enumerate(records):
+            f.write(entries[i].tobytes())
+            aux[0] = stamp_raw(rec["datev"]) & 0xFFFFFFFF
+            f.write(aux.tobytes())
+            f.write(payloads[i].tobytes())
+    return n
+
+
+def maybe_xdf(path: str) -> bool:
+    """The reference's maybeFST sniff (std_io.py:136-151): c_wkoffit's
+    'STDR' signature at byte 12."""
+    try:
+        with open(path, "rb") as f:
+            buf = f.read(16)
+        return len(buf) == 16 and buf[12:] == SIGN
+    except OSError:
+        return False
+
+
+def read_xdf_directory(path: str, include_deleted: bool = False
+                       ) -> "list[RecordHeader]":
+    """Walk header -> DIR0 page chain -> vectorized entry unpack; never
+    touches payload bytes (the metadata fast path, std_io.py:656-812)."""
+    with open(path, "rb") as f:
+        head = np.frombuffer(f.read(FILE_HEADER_FIXED_WORDS * 4), dtype=">u4")
+        # slice (not index) keeps the big-endian dtype for tobytes()
+        if len(head) < FILE_HEADER_FIXED_WORDS or head[3:4].tobytes() != SIGN:
+            raise ValueError(f"not an FST/XDF file: {path}")
+        header_units = int(head[0]) & 0xFFFFFF
+        lprm = int(head[10]) >> 16
+        laux = int(head[11]) >> 16
+        key_offset = (lprm + laux) * 8
+        chunks = []
+        next_addr = 1 + header_units
+        while next_addr:
+            f.seek((next_addr - 1) * 8)
+            page_head = np.frombuffer(f.read(PAGE_HEADER_WORDS * 4), dtype=">u4")
+            if len(page_head) < PAGE_HEADER_WORDS or \
+                    page_head[2:3].tobytes() != b"DIR0":
+                raise ValueError(
+                    f"bad directory page at unit {next_addr} in {path}")
+            nent = int(page_head[5])
+            raw = np.frombuffer(
+                f.read(nent * ENTRY_WORDS * 4), dtype=">u4"
+            ).reshape(nent, ENTRY_WORDS)
+            chunks.append(raw)
+            next_addr = int(page_head[4])
+    if not chunks:
+        return []
+    cols = unpack_dir_entries(np.concatenate(chunks))
+    out = []
+    for i in range(len(cols["swa"])):
+        if cols["dltf"][i] and not include_deleted:
+            continue
+        out.append(RecordHeader(
+            nomvar=str(cols["nomvar"][i]), typvar=str(cols["typvar"][i]),
+            etiket=str(cols["etiket"][i]), grtyp=str(cols["grtyp"][i]),
+            ni=int(cols["ni"][i]), nj=int(cols["nj"][i]),
+            nk=int(cols["nk"][i]), dateo=int(cols["dateo"][i]),
+            ip1=int(cols["ip1"][i]), ip2=int(cols["ip2"][i]),
+            ip3=int(cols["ip3"][i]), deet=int(cols["deet"][i]),
+            npas=int(cols["npas"][i]), datyp=int(cols["datyp"][i]),
+            nbits=int(cols["nbits"][i]), ig1=int(cols["ig1"][i]),
+            ig2=int(cols["ig2"][i]), ig3=int(cols["ig3"][i]),
+            ig4=int(cols["ig4"][i]), datev=int(cols["datev"][i]),
+            offset=(int(cols["swa"][i]) - 1) * 8 + key_offset,
+            n_floats=int(cols["ni"][i]) * int(cols["nj"][i])
+            * int(cols["nk"][i]),
+        ))
+    return out
+
+
+def read_xdf_payload(f, header: RecordHeader) -> np.ndarray:
+    """Seek + read one record's payload (the point read of get_data,
+    std_io.py:463-475), decoded per (datyp, nbits) and returned float32
+    to match the engine's ``d`` column type."""
+    dt = payload_dtype(header.datyp, header.nbits)
+    f.seek(header.offset)
+    nbytes = header.n_floats * np.dtype(dt).itemsize
+    return np.frombuffer(f.read(nbytes), dtype=dt).astype("<f4")
+
+
+def list_xdf_files(path: str) -> "list[str]":
+    """Expand a path/directory/glob to FST files (sniffed by magic)."""
+    if os.path.isdir(path):
+        cand: Iterable[str] = (
+            os.path.join(path, p) for p in sorted(os.listdir(path)))
+    elif any(ch in path for ch in "*?["):
+        cand = sorted(_glob.glob(path))
+    else:
+        return [path]
+    return [p for p in cand if maybe_xdf(p)]

@@ -181,3 +181,132 @@ def test_write_partition_by_clusters_files(registered, records, tmp_path):
             assert g not in seen, f"grid {g} split across files {seen[g]},{i}"
             seen[g] = i
     assert len(seen) >= 2
+
+
+# ---------------------------------------------------------------------------
+# real FST/XDF binary layout (std_io.py:247-460, 656-799)
+# ---------------------------------------------------------------------------
+
+
+def _xdf_sample_records(n=600):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    recs = []
+    for i in range(n):
+        ni, nj = int(rng.randint(1, 9)), int(rng.randint(1, 7))
+        recs.append(dict(
+            nomvar=["TT", "UU", ">>", "P0"][i % 4], typvar="P",
+            etiket=f"R1_V{i % 100:03d}_N", ni=ni, nj=nj, nk=1,
+            ip1=int(rng.randint(0, 2 ** 28)), ip2=i % 30, ip3=i,
+            deet=300, npas=i % 100, datyp=5, nbits=32,
+            grtyp="Z", ig1=i % 90, ig2=(i * 7) % (1 << 24), ig3=0,
+            ig4=i % 50, datev=442998800 + 10 * i + (i % 8),
+            deleted=(i % 97 == 5),
+            d=rng.randn(ni * nj).astype("<f4"),
+        ))
+    return recs
+
+
+def test_xdf_bit_roundtrip(tmp_path):
+    """Bit-exact encode -> decode of the packed 9x64-bit directory
+    entries, multi-page chains, 6-bit strings, and stamp arithmetic."""
+    import numpy as np
+
+    from fstd2pandas_spark.sources.xdf_format import (
+        maybe_xdf, read_xdf_directory, read_xdf_payload, stamp_raw,
+        stamp_user, write_xdf)
+
+    recs = _xdf_sample_records()           # 600 records -> 3 DIR0 pages
+    path = str(tmp_path / "t.fst")
+    write_xdf(path, recs)
+    assert maybe_xdf(path)
+
+    hdrs = read_xdf_directory(path, include_deleted=True)
+    assert len(hdrs) == len(recs)
+    live = read_xdf_directory(path)
+    assert len(live) == sum(1 for r in recs if not r["deleted"])
+
+    fields = ("nomvar", "typvar", "ni", "nj", "nk", "ip1", "ip2", "ip3",
+              "deet", "npas", "datyp", "nbits", "grtyp", "ig1", "ig2",
+              "ig3", "ig4", "datev")
+    with open(path, "rb") as f:
+        for r, h in zip(recs, hdrs):
+            for k in fields:
+                assert getattr(h, k) == r[k], k
+            assert h.etiket == r["etiket"].strip()
+            # dateo is derived from the stored valid-date stamp exactly
+            # as the reference does (std_io.py:786-792)
+            raw_o = stamp_raw(r["datev"]) - (r["deet"] * r["npas"]) // 5
+            assert h.dateo == int(stamp_user(raw_o))
+            assert np.array_equal(read_xdf_payload(f, h), r["d"])
+
+
+def test_xdf_transparent_datyps_and_compressed_rejection(tmp_path):
+    import numpy as np
+
+    from fstd2pandas_spark.sources.xdf_format import (
+        read_xdf_directory, read_xdf_payload, write_xdf)
+
+    base = _xdf_sample_records(3)
+    recs = [
+        dict(base[0], datyp=2, deleted=False,
+             d=np.arange(base[0]["ni"] * base[0]["nj"], dtype="u4")),
+        dict(base[1], datyp=4, deleted=False,
+             d=(np.arange(base[1]["ni"] * base[1]["nj"]) - 3).astype("i4")),
+        dict(base[2], datyp=5, nbits=64, deleted=False,
+             d=np.linspace(0, 1, base[2]["ni"] * base[2]["nj"])),
+    ]
+    path = str(tmp_path / "ints.fst")
+    write_xdf(path, recs)
+    hdrs = read_xdf_directory(path)
+    with open(path, "rb") as f:
+        for r, h in zip(recs, hdrs):
+            assert np.array_equal(
+                read_xdf_payload(f, h), np.asarray(r["d"]).astype("f4"))
+    # compressed packings need the armn codecs -> explicit error
+    with pytest.raises(NotImplementedError):
+        write_xdf(str(tmp_path / "c.fst"),
+                  [dict(base[0], datyp=134, nbits=16)])
+
+
+def test_xdf_datasource_roundtrip_and_mixed_dir(registered, records,
+                                                tmp_path):
+    """The fstrec DataSource writes/reads real .fst files
+    (option container=xdf) and sniffs both layouts in one directory."""
+    from fstd2pandas_spark.schema import BASE_COLUMNS
+
+    out = str(tmp_path / "xdf")
+    wdf = records.withColumn("datyp", F.lit(5)).withColumn(
+        "nbits", F.lit(32))
+    (
+        wdf.repartition(2).write.format("fstrec")
+        .option("container", "xdf").mode("overwrite").save(out)
+    )
+    files = os.listdir(out)
+    assert files and all(f.endswith(".fst") for f in files)
+
+    back = registered.read.format("fstrec").load(out)
+    assert back.count() == records.count()
+    # fixture stamps satisfy datev = dateo + deet*npas/5, so every BASE
+    # column (dateo included) survives the real binary layout
+    cols = [c for c in BASE_COLUMNS if c not in ("d", "datyp", "nbits")]
+    orig = {tuple(r[c] for c in cols) for r in wdf.collect()}
+    got = {tuple(r[c] for c in cols) for r in back.collect()}
+    assert orig == got
+    key = ("nomvar", "typvar", "grid", "ip1", "ip2", "datev")
+    o = {tuple(r[c] for c in key): r.d for r in wdf.collect()}
+    g = {tuple(r[c] for c in key): r.d for r in back.collect()}
+    assert set(o) == set(g)
+    for k, d in o.items():
+        assert g[k] == pytest.approx(d, rel=1e-6)
+
+    # mixed directory: drop one .fstrec alongside; one load reads both
+    extra = wdf.limit(3)
+    extra.write.format("fstrec").mode("append").save(out)
+    mixed = registered.read.format("fstrec").load(out)
+    assert mixed.count() == records.count() + 3
+
+    # pushed filters evaluate against the XDF directory pages too
+    tt = mixed.filter(F.col("nomvar") == "TT")
+    assert all(r.nomvar == "TT" for r in tt.collect())
