@@ -132,10 +132,21 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_doc_freq: "int | None" = None) -> DataFrame:
     """Near-duplicate pairs by word-shingle Jaccard >= threshold, via an
     inverted-index self-join (explode distinct shingles, equi-join on the
     shingle, count shared, |A|+|B|-shared as union).
+
+    ``max_doc_freq`` is the 100 TB skew guard: a shingle present in d
+    documents emits d^2 join rows on ONE reducer, so one stopword
+    shingle ("one of the") can hold a whole stage hostage. Shingles
+    above the document-frequency cap are dropped from the inverted
+    index before the self-join — standard in MinHash/inverted-index
+    dedup pipelines. Document sizes stay uncapped, so capped Jaccard is
+    a LOWER bound of the exact value (pairs only supported by
+    ultra-common shingles fall out; near-identical pairs keep enough
+    rare shingles to survive). ``None`` = exact.
 
     Returns (doc_a, doc_b, jaccard) rounded to 6 dp, doc_a < doc_b.
     """
@@ -148,8 +159,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         ).alias("shingle"))
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col("shingle"), F.col(id_col).alias("doc_a"))
-    b = sh.select(F.col("shingle"), F.col(id_col).alias("doc_b"))
+    idx = sh
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq).select("shingle")
+        )
+        # left_anti keeps the index free of the hot keys; the small hot
+        # list broadcasts (it is bounded by |vocab above the cap|)
+        idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = idx.select(F.col("shingle"), F.col(id_col).alias("doc_a"))
+    b = idx.select(F.col("shingle"), F.col(id_col).alias("doc_b"))
     shared = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

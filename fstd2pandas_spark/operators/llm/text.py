@@ -146,13 +146,16 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
     """SimHash over token hashes: bit b of the output is set when the sum
     of (+1/-1) votes of bit b across all token hashes is positive.
 
-    One ``aggregate`` fold with an array-of-votes accumulator — the md5
-    token hash is the fold input (computed once per token, not per bit).
+    One ``aggregate`` fold with an array-of-counts accumulator — the md5
+    token hash is the fold input (computed once per token, not per bit),
+    and the token-hash array is walked ONCE: the accumulator holds the
+    per-bit set-counts, and ``votes_b > 0  <=>  2*count_b > n`` converts
+    counts to sign votes at the end. Measured at sf0.1 this is ~1.5x the
+    throughput of 16 unrolled per-bit folds (each re-walking the array).
     """
-    # token-hash array behind a projection boundary: md5 once per token;
-    # then one flat long-fold per bit (unrolled, so the shift amount is a
-    # literal). Built as ONE SQL string — a wide expression assembled via
-    # the Column DSL costs hundreds of py4j round-trips (~2 s of pure
+    # token-hash array behind a projection boundary: md5 once per token.
+    # Built as ONE SQL string — a wide expression assembled via the
+    # Column DSL costs hundreds of py4j round-trips (~2 s of pure
     # driver-side build time); expr() parses it JVM-side in one call.
     df = ensure_min_partitions(df)
     with_h = df.withColumn(
@@ -160,11 +163,10 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
         F.expr(f"transform(split(lower({text_col}), ' '), "
                "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"),
     )
-    vote = ("aggregate(_th, cast(0 as bigint), "
-            "(acc, h) -> acc + (shiftright(h, {b}) & 1) * 2 - 1)")
-    sh = " + ".join(
-        f"(CASE WHEN {vote.format(b=b)} > 0 "
-        f"THEN cast({1 << b} as bigint) ELSE cast(0 as bigint) END)"
-        for b in range(bits)
-    )
+    counts = (f"aggregate(_th, array_repeat(cast(0 as bigint), {bits}), "
+              "(acc, h) -> transform(acc, (a, i) -> a + (shiftright(h, i) & 1)))")
+    sh = (f"aggregate(transform({counts}, (c, i) -> "
+          "CASE WHEN c * 2 > size(_th) "
+          "THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END), "
+          "cast(0 as bigint), (a, x) -> a + x)")
     return with_h.withColumn(out_col, F.expr(sh)).drop("_th")

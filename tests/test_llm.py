@@ -198,3 +198,29 @@ def test_ivf_ann_topk(spark, emb):
         hits += len(got & exact_by_q.get(qid, set()))
         total += len(exact_by_q.get(qid, set()))
     assert total and hits / total >= 0.2, f"recall {hits}/{total}"
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_doc_freq drops ultra-common shingles from the inverted index
+    (the 100 TB skew guard): capped jaccard is a lower bound of exact,
+    near-identical pairs survive, stopword-only pairs fall out."""
+    stop = "one of the most common phrase"        # shared by EVERY doc
+    rows = [("d%02d" % i, f"{stop} unique{i} token{i} filler{i}")
+            for i in range(20)]
+    # d90/d91: near-identical beyond the hot shingles
+    rows += [("d90", f"{stop} alpha beta gamma delta epsilon"),
+             ("d91", f"{stop} alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in ngram_jaccard_pairs(df, threshold=0.2).collect()}
+    capped = {(r.doc_a, r.doc_b): r.jaccard
+              for r in ngram_jaccard_pairs(
+                  df, threshold=0.2, max_doc_freq=5).collect()}
+    # the stopword shingles connect everything in the exact index
+    assert len(exact) > len(capped)
+    # capped survivors: subset with jaccard <= exact (lower bound)
+    for pair, j in capped.items():
+        assert pair in exact and j <= exact[pair] + 1e-9
+    # the genuinely near-identical pair survives the cap
+    assert ("d90", "d91") in capped
