@@ -125,7 +125,13 @@ def _matches(h, flt: Filter, key: int, path: str) -> bool:
     return True
 
 
-class FstRecReader(DataSourceReader):
+class _FstRecReaderBase(DataSourceReader):
+    """Scan implementation WITHOUT ``pushFilters`` — Spark refuses to
+    initialize any Python reader that overrides ``pushFilters`` when
+    ``spark.sql.python.filterPushdown.enabled`` is false, so this base is
+    the fallback registered under that conf (filters then run engine-side;
+    results identical, header-skip fast path lost)."""
+
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
@@ -134,17 +140,6 @@ class FstRecReader(DataSourceReader):
         self.batch_rows = int(options.get("batch_rows", "2048"))
         self.filters: list[Filter] = []
 
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Accept every supported metadata filter; Spark re-applies the
-        rest (we keep unsupported ones by yielding them back)."""
-        supported = (EqualTo, In, GreaterThan, GreaterThanOrEqual,
-                     LessThan, LessThanOrEqual, IsNotNull)
-        for f in filters:
-            if isinstance(f, supported) and len(f.attribute) == 1:
-                self.filters.append(f)
-            else:
-                yield f
-
     def partitions(self):
         files = _list_container_files(self.path)
         if not files:
@@ -152,6 +147,7 @@ class FstRecReader(DataSourceReader):
         return [_FilePartition(p) for p in files]
 
     def read(self, partition: _FilePartition):
+        import numpy as np
         import pyarrow as pa
 
         path = partition.path
@@ -163,58 +159,81 @@ class FstRecReader(DataSourceReader):
         ]
         if not selected:
             return
-        cols: dict[str, list] = {c: [] for c in (
-            "nomvar", "typvar", "etiket", "ni", "nj", "nk", "dateo", "ip1",
-            "ip2", "ip3", "deet", "npas", "datyp", "nbits", "grtyp", "ig1",
-            "ig2", "ig3", "ig4", "datev", "grid", "d", "path", "key")}
+
+        int32_cols = ("ni", "nj", "nk", "ip1", "ip2", "ip3", "deet",
+                      "npas", "datyp", "nbits", "ig1", "ig2", "ig3", "ig4")
+        int64_cols = ("dateo", "datev")
+        str_cols = ("nomvar", "typvar", "etiket", "grtyp")
 
         f = open(path, "rb") if self.with_data else None
         try:
             for start in range(0, len(selected), self.batch_rows):
                 chunk = selected[start:start + self.batch_rows]
-                for c in cols:
-                    cols[c].clear()
-                for key, h in chunk:
-                    for c in ("nomvar", "typvar", "etiket", "ni", "nj", "nk",
-                              "dateo", "ip1", "ip2", "ip3", "deet", "npas",
-                              "datyp", "nbits", "grtyp", "ig1", "ig2", "ig3",
-                              "ig4", "datev"):
-                        cols[c].append(getattr(h, c))
-                    cols["grid"].append(_grid_of(h))
-                    cols["d"].append(
-                        read_payload(f, h).tolist() if f is not None else None
-                    )
-                    cols["path"].append(path)
-                    cols["key"].append(key)
-                yield pa.RecordBatch.from_pydict({
-                    "nomvar": pa.array(cols["nomvar"], pa.string()),
-                    "typvar": pa.array(cols["typvar"], pa.string()),
-                    "etiket": pa.array(cols["etiket"], pa.string()),
-                    "ni": pa.array(cols["ni"], pa.int32()),
-                    "nj": pa.array(cols["nj"], pa.int32()),
-                    "nk": pa.array(cols["nk"], pa.int32()),
-                    "dateo": pa.array(cols["dateo"], pa.int64()),
-                    "ip1": pa.array(cols["ip1"], pa.int32()),
-                    "ip2": pa.array(cols["ip2"], pa.int32()),
-                    "ip3": pa.array(cols["ip3"], pa.int32()),
-                    "deet": pa.array(cols["deet"], pa.int32()),
-                    "npas": pa.array(cols["npas"], pa.int32()),
-                    "datyp": pa.array(cols["datyp"], pa.int32()),
-                    "nbits": pa.array(cols["nbits"], pa.int32()),
-                    "grtyp": pa.array(cols["grtyp"], pa.string()),
-                    "ig1": pa.array(cols["ig1"], pa.int32()),
-                    "ig2": pa.array(cols["ig2"], pa.int32()),
-                    "ig3": pa.array(cols["ig3"], pa.int32()),
-                    "ig4": pa.array(cols["ig4"], pa.int32()),
-                    "datev": pa.array(cols["datev"], pa.int64()),
-                    "grid": pa.array(cols["grid"], pa.string()),
-                    "d": pa.array(cols["d"], pa.list_(pa.float32())),
-                    "path": pa.array(cols["path"], pa.string()),
-                    "key": pa.array(cols["key"], pa.int64()),
-                })
+                n = len(chunk)
+                arrays: dict[str, pa.Array] = {}
+                for c in str_cols:
+                    arrays[c] = pa.array([getattr(h, c) for _, h in chunk],
+                                         pa.string())
+                for c in int32_cols:
+                    arrays[c] = pa.array(
+                        np.fromiter((getattr(h, c) for _, h in chunk),
+                                    dtype=np.int32, count=n))
+                for c in int64_cols:
+                    arrays[c] = pa.array(
+                        np.fromiter((getattr(h, c) for _, h in chunk),
+                                    dtype=np.int64, count=n))
+                arrays["grid"] = pa.array([_grid_of(h) for _, h in chunk],
+                                          pa.string())
+                arrays["path"] = pa.array([path] * n, pa.string())
+                arrays["key"] = pa.array(
+                    np.fromiter((k for k, _ in chunk), dtype=np.int64,
+                                count=n))
+                if f is not None:
+                    # zero-copy list column: one concatenated float32
+                    # values buffer + int32 offsets (no per-element
+                    # Python boxing in the scan hot path)
+                    payloads = [
+                        np.asarray(read_payload(f, h), dtype=np.float32)
+                        for _, h in chunk
+                    ]
+                    offsets = np.zeros(n + 1, dtype=np.int32)
+                    np.cumsum([p.size for p in payloads], out=offsets[1:])
+                    values = (np.concatenate(payloads) if payloads
+                              else np.empty(0, dtype=np.float32))
+                    arrays["d"] = pa.ListArray.from_arrays(
+                        pa.array(offsets, pa.int32()),
+                        pa.array(values, pa.float32()))
+                else:
+                    arrays["d"] = pa.nulls(n, pa.list_(pa.float32()))
+                yield pa.RecordBatch.from_arrays(
+                    [arrays[c] for c in (
+                        "nomvar", "typvar", "etiket", "ni", "nj", "nk",
+                        "dateo", "ip1", "ip2", "ip3", "deet", "npas",
+                        "datyp", "nbits", "grtyp", "ig1", "ig2", "ig3",
+                        "ig4", "datev", "grid", "d", "path", "key")],
+                    names=[
+                        "nomvar", "typvar", "etiket", "ni", "nj", "nk",
+                        "dateo", "ip1", "ip2", "ip3", "deet", "npas",
+                        "datyp", "nbits", "grtyp", "ig1", "ig2", "ig3",
+                        "ig4", "datev", "grid", "d", "path", "key"])
         finally:
             if f is not None:
                 f.close()
+
+
+class FstRecReader(_FstRecReaderBase):
+    """Default reader: header-directory filter pushdown (F1)."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept every supported metadata filter; Spark re-applies the
+        rest (we keep unsupported ones by yielding them back)."""
+        supported = (EqualTo, In, GreaterThan, GreaterThanOrEqual,
+                     LessThan, LessThanOrEqual, IsNotNull)
+        for f in filters:
+            if isinstance(f, supported) and len(f.attribute) == 1:
+                self.filters.append(f)
+            else:
+                yield f
 
 
 class FstRecStreamReader(DataSourceStreamReader):
@@ -260,7 +279,8 @@ class FstRecStreamReader(DataSourceStreamReader):
 
 @dataclass
 class _WriteResult(WriterCommitMessage):
-    path: str
+    path: str       # final committed name in the output dir
+    tmp_path: str   # where the task actually wrote (under _tmp/)
     n: int
 
 
@@ -275,11 +295,11 @@ class FstRecWriter(DataSourceWriter):
         if self.container not in ("fstrec", "xdf"):
             raise ValueError(f"unknown container {self.container!r}")
         self.overwrite = overwrite
-        # overwrite snapshots the files to replace but does NOT delete
-        # them yet: tasks write uniquely-named part files alongside, and
-        # the old files are removed only in commit() — a failed job
-        # leaves the previous contents intact (abort() removes only the
-        # new part files).
+        # Tasks write into <path>/_tmp/ (invisible to the container
+        # listers, which never recurse) and commit() renames the
+        # committed set into place.  A failed or speculated attempt's
+        # file never appears in the output dir, and a failed job leaves
+        # the previous contents intact.
         self._old_files: list[str] = []
         if overwrite and self.path and os.path.isdir(self.path):
             self._old_files = _list_container_files(self.path)
@@ -295,40 +315,54 @@ class FstRecWriter(DataSourceWriter):
         from fstd2pandas_spark.sources.fstrec_format import write_fstrec
         from fstd2pandas_spark.sources.xdf_format import write_xdf
 
-        os.makedirs(self.path, exist_ok=True)
+        tmp_dir = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
         tid = TaskContext.get().partitionId() if TaskContext.get() else 0
         ext = "fst" if self.container == "xdf" else "fstrec"
-        out = os.path.join(
-            self.path, f"part-{tid:05d}-{uuid.uuid4().hex[:8]}.{ext}"
-        )
+        name = f"part-{tid:05d}-{uuid.uuid4().hex[:8]}.{ext}"
         records = [r.asDict() for r in rows]
         if not records:
-            return _WriteResult(path="", n=0)
+            return _WriteResult(path="", tmp_path="", n=0)
         writer_fn = write_xdf if self.container == "xdf" else write_fstrec
-        n = writer_fn(out, records)
-        return _WriteResult(path=out, n=n)
+        tmp = os.path.join(tmp_dir, name)
+        n = writer_fn(tmp, records)
+        return _WriteResult(path=os.path.join(self.path, name),
+                            tmp_path=tmp, n=n)
 
     def commit(self, messages) -> None:
         import os
+        import shutil
 
-        # all tasks succeeded: now swap out the pre-existing files
-        # (overwrite mode). New part files carry fresh uuids, so the two
-        # generations never collide by name.
-        new = {m.path for m in messages if m and m.path}
+        # 1) publish: rename each committed task file into the output
+        # dir (same filesystem — atomic). Orphans from retried or
+        # speculated attempts stay in _tmp/ and are removed below.
+        committed = set()
+        for m in messages:
+            if m and m.path and m.tmp_path:
+                os.replace(m.tmp_path, m.path)
+                committed.add(m.path)
+        # 2) overwrite mode: remove the previous generation.
         for p in self._old_files:
-            if p not in new and os.path.exists(p):
+            if p not in committed and os.path.exists(p):
                 os.remove(p)
+        # 3) drop the scratch dir (and with it any failed-attempt files).
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
 
     def abort(self, messages) -> None:
-        import os
+        import shutil
 
-        for m in messages:
-            if m and m.path and os.path.exists(m.path):
-                os.remove(m.path)
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
 
 
 class FstRecDataSource(DataSource):
     """format name: ``fstrec``."""
+
+    # register() flips this off when the session forbids Python-reader
+    # filter pushdown (spark.sql.python.filterPushdown.enabled=false and
+    # not runtime-settable): Spark refuses to even construct a reader
+    # that overrides pushFilters under that conf, so we fall back to the
+    # same scan without the pushdown hook.
+    pushdown = True
 
     @classmethod
     def name(cls) -> str:
@@ -337,8 +371,9 @@ class FstRecDataSource(DataSource):
     def schema(self) -> str:
         return SCHEMA_DDL
 
-    def reader(self, schema: StructType) -> FstRecReader:
-        return FstRecReader(self.options)
+    def reader(self, schema: StructType) -> _FstRecReaderBase:
+        cls = FstRecReader if FstRecDataSource.pushdown else _FstRecReaderBase
+        return cls(self.options)
 
     def streamReader(self, schema: StructType) -> FstRecStreamReader:
         return FstRecStreamReader(self.options)
@@ -350,4 +385,17 @@ class FstRecDataSource(DataSource):
 
 
 def register(spark) -> None:
+    """Register the ``fstrec`` format.  Spark 4 refuses to initialize a
+    Python DataSource reader that defines ``pushFilters()`` when
+    ``spark.sql.python.filterPushdown.enabled`` is false, so make sure
+    it is on (runtime-settable); if the session has made it static and
+    off, degrade to the no-pushdown reader instead of failing the scan."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        FstRecDataSource.pushdown = True
+    except Exception:
+        enabled = str(
+            spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        ).lower() == "true"
+        FstRecDataSource.pushdown = enabled
     spark.dataSource.register(FstRecDataSource)

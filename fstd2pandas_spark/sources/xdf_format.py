@@ -94,8 +94,14 @@ def _unpack_str6(vals: np.ndarray, n: int) -> np.ndarray:
 
 def stamp_raw(datev: int) -> int:
     """User RMN stamp -> raw directory stamp (std_io.py:784: the inverse
-    of ``(raw >> 3) * 10 + (raw & 7)``). Valid stamps end in 0-7."""
-    return (int(datev) // 10) * 8 + int(datev) % 10
+    of ``(raw >> 3) * 10 + (raw & 7)``). Valid stamps end in 0-7; a
+    last digit of 8/9 has no raw encoding and would silently round-trip
+    to a different value, so reject it."""
+    datev = int(datev)
+    if datev % 10 > 7:
+        raise ValueError(
+            f"datev {datev}: not a valid RMN stamp (last digit must be 0-7)")
+    return (datev // 10) * 8 + datev % 10
 
 
 def stamp_user(raw) -> "np.ndarray":
@@ -115,11 +121,24 @@ def payload_dtype(datyp: int, nbits: int) -> str:
     return dt
 
 
+_FIELD_BITS = (("ni", 24), ("nj", 24), ("nk", 20), ("deet", 24),
+               ("npas", 26), ("ip1", 28), ("ip2", 28), ("ip3", 28),
+               ("ig1", 24), ("ig2", 24), ("ig3", 24), ("ig4", 24),
+               ("datyp", 8), ("nbits", 8))
+
+
 def pack_dir_entry(rec: dict, swa: int, lng: int) -> np.ndarray:
     """One record's metadata -> the 18-word packed directory entry."""
     w = np.zeros(ENTRY_WORDS, dtype=">u4")
     if not 0 < lng < (1 << 24):
         raise ValueError(f"record length {lng} units out of 24-bit range")
+    # every packed field must fit its directory-entry bit width — the
+    # shifts below would otherwise truncate silently (e.g. ig2 >= 2^24)
+    for name, bits in _FIELD_BITS:
+        v = int(rec.get(name, 0) or 0)
+        if not 0 <= v < (1 << bits):
+            raise ValueError(
+                f"{name}={v} out of the {bits}-bit directory-entry range")
     deleted = 1 if rec.get("deleted") else 0
     w[0] = (deleted << 31) | (int(lng) & 0xFFFFFF)
     w[1] = swa
@@ -189,6 +208,13 @@ def unpack_dir_entries(raw: np.ndarray) -> dict:
 def _payload_words(rec: dict, d: np.ndarray) -> np.ndarray:
     dt = payload_dtype(rec["datyp"], rec["nbits"])
     arr = np.ascontiguousarray(np.asarray(d).astype(dt))
+    # the reader sizes the payload from ni*nj*nk, so a mismatched d
+    # would silently bleed into the next record's key block on read
+    want = int(rec["ni"]) * int(rec["nj"]) * int(rec.get("nk", 1) or 1)
+    if arr.size != want:
+        raise ValueError(
+            f"record {rec.get('nomvar')!r}: len(d)={arr.size} != "
+            f"ni*nj*nk={want}")
     words = np.frombuffer(arr.tobytes(), dtype=">u4").copy()
     if len(words) % 2:  # pad to a 64-bit boundary
         # concatenate would normalize to native byte order — keep >u4

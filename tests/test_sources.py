@@ -310,3 +310,60 @@ def test_xdf_datasource_roundtrip_and_mixed_dir(registered, records,
     # pushed filters evaluate against the XDF directory pages too
     tt = mixed.filter(F.col("nomvar") == "TT")
     assert all(r.nomvar == "TT" for r in tt.collect())
+
+
+def test_xdf_write_validation(tmp_path):
+    """Over-width fields, invalid stamps, and mis-sized payloads must
+    fail loudly at write time — each would silently corrupt on read."""
+    import numpy as np
+
+    from fstd2pandas_spark.sources.xdf_format import stamp_raw, write_xdf
+
+    base = _xdf_sample_records(1)[0]
+    base.update(deleted=False, datev=442998800)
+
+    # d length must equal ni*nj*nk (reader sizes the payload from it)
+    bad_d = dict(base, d=np.zeros(base["ni"] * base["nj"] + 1, dtype="<f4"))
+    with pytest.raises(ValueError, match=r"ni\*nj\*nk"):
+        write_xdf(str(tmp_path / "a.fst"), [bad_d])
+
+    # RMN stamps never end in 8/9 — the raw encoding can't express them
+    with pytest.raises(ValueError, match="last digit"):
+        stamp_raw(442998808)
+    with pytest.raises(ValueError, match="last digit"):
+        write_xdf(str(tmp_path / "b.fst"), [dict(base, datev=442998809)])
+
+    # packed fields must fit their directory-entry bit widths
+    for field, bad in (("ig2", 1 << 24), ("ip1", 1 << 28), ("ni", 1 << 24),
+                      ("npas", 1 << 26), ("deet", 1 << 24)):
+        rec = dict(base, **{field: bad})
+        if field == "ni":
+            rec["d"] = np.zeros((1 << 24) * base["nj"], dtype="<f4")
+        with pytest.raises(ValueError, match=field):
+            write_xdf(str(tmp_path / "c.fst"), [rec])
+
+
+def test_writer_commit_removes_orphans_and_tmp(registered, records, tmp_path):
+    """Task files publish via _tmp/ + rename: after commit the output dir
+    holds exactly the committed containers, no scratch dir, and a
+    pre-seeded orphan in _tmp/ is swept."""
+    out = str(tmp_path / "o")
+    os.makedirs(os.path.join(out, "_tmp"))
+    orphan = os.path.join(out, "_tmp", "part-99999-deadbeef.fstrec")
+    with open(orphan, "wb") as f:
+        f.write(b"leftover from a failed attempt")
+
+    records.repartition(2).write.format("fstrec").mode("overwrite").save(out)
+    assert not os.path.exists(os.path.join(out, "_tmp"))
+    names = sorted(os.listdir(out))
+    assert names and all(n.endswith(".fstrec") for n in names)
+
+    back = registered.read.format("fstrec").load(out)
+    assert back.count() == records.count()
+
+    # second overwrite replaces the first generation entirely
+    records.limit(5).repartition(1).write.format("fstrec") \
+        .mode("overwrite").save(out)
+    names2 = sorted(os.listdir(out))
+    assert names2 and not (set(names) & set(names2))
+    assert registered.read.format("fstrec").load(out).count() == 5
