@@ -202,41 +202,41 @@ _Q_FILTER_SQL = """
 """
 
 
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4-style left-semi join: orders having at least one high-qty line."""
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4-style semi/anti joins in one gated query: orders having at
+    least one high-qty line ('semi' rows) plus customers with no orders
+    ('anti' rows)."""
     orders = _load(spark, sf_dir, "orders")
     li = _load(spark, sf_dir, "lineitem")
+    cust = _load(spark, sf_dir, "customer")
     hi = li.filter(F.col("l_quantity") >= 45).select("l_orderkey")
-    return (
+    semi = (
         orders.join(hi, orders["o_orderkey"] == hi["l_orderkey"], "leftsemi")
-        .select("o_orderkey", "o_orderstatus")
-        .orderBy("o_orderkey")
+        .select(F.lit("semi").alias("side"),
+                F.col("o_orderkey").cast("bigint").alias("join_key"),
+                F.col("o_orderstatus").alias("info"))
     )
+    anti = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "leftanti")
+        .select(F.lit("anti").alias("side"),
+                F.col("c_custkey").cast("bigint").alias("join_key"),
+                F.col("c_name").alias("info"))
+    )
+    return semi.unionByName(anti).orderBy("side", "join_key")
 
 
-_Q_SEMI_SQL = """
-  SELECT o_orderkey, o_orderstatus FROM orders
+_Q_SEMI_ANTI_SQL = """
+  SELECT 'semi' AS side, CAST(o_orderkey AS BIGINT) AS join_key,
+         o_orderstatus AS info
+  FROM orders
   WHERE EXISTS (SELECT 1 FROM lineitem
                 WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
-  ORDER BY o_orderkey
-"""
-
-
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders."""
-    cust = _load(spark, sf_dir, "customer")
-    orders = _load(spark, sf_dir, "orders")
-    return (
-        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "leftanti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
-
-
-_Q_ANTI_SQL = """
-  SELECT c_custkey, c_name FROM customer
+  UNION ALL
+  SELECT 'anti' AS side, CAST(c_custkey AS BIGINT) AS join_key,
+         c_name AS info
+  FROM customer
   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-  ORDER BY c_custkey
+  ORDER BY side, join_key
 """
 
 
@@ -425,24 +425,41 @@ _Q_DATES_SQL = f"""
 """
 
 
-def q_fst_etiket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3: etiket parse into (label, run, implementation, ensemble_member)."""
-    from fstd2pandas_spark.functions.meta import parsed_etiket
+TYPVARS = ["P", "PZ", "PF", "A", "PI", "PU", "PB", "PM"]
+
+
+def q_fst_meta_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 etiket parse into (label, run, implementation, ensemble_member)
+    + C2 typvar-modifier parse (reference dataframe.py:104-139): 2nd
+    typvar char -> 8 boolean flags — one gated query for both string
+    decoders."""
+    from fstd2pandas_spark.functions.meta import parsed_etiket, typvar_flags
 
     rec = records_from_lineitem(spark, sf_dir)
     et = parsed_etiket(F.col("etiket"))
-    return rec.select(
+    tv = F.element_at(F.array(*[F.lit(t) for t in TYPVARS]),
+                      (F.col("key") % 8 + 1).cast("int"))
+    ext = rec.withColumn("typvar", tv)
+    return ext.select(
         "key", "etiket",
         et["label"].alias("label"),
         et["run"].alias("run"),
         et["implementation"].alias("implementation"),
         et["ensemble_member"].alias("ensemble_member"),
-    ).orderBy("key").distinct().orderBy("key")
+        "typvar", *typvar_flags(F.col("typvar")),
+    ).orderBy("key")
 
 
-_Q_ETIKET_SQL = f"""
-  WITH rec AS ({_RECORDS_SQL})
-  SELECT DISTINCT key, etiket,
+_Q_META_PARSE_SQL = f"""
+  WITH rec0 AS ({_RECORDS_SQL}),
+  rec AS (
+    SELECT key, etiket,
+           (['{"','".join(TYPVARS)}'])[CAST(key % 8 AS INT) + 1] AS typvar,
+           CASE WHEN len((['{"','".join(TYPVARS)}'])[CAST(key % 8 AS INT) + 1]) > 1
+                THEN substr((['{"','".join(TYPVARS)}'])[CAST(key % 8 AS INT) + 1], 2, 1)
+                ELSE '' END AS ch
+    FROM rec0)
+  SELECT key, etiket,
     CASE
       WHEN regexp_matches(etiket, '^[RGPEAIMWNC_][0-9RLHMEA_][0-9A-Za-z_]{{5}}[NPX]$') THEN substr(etiket, 3, 5)
       WHEN regexp_matches(etiket, '^[RGPEAIMWNC_][0-9RLHMEA_][0-9A-Za-z_]{{5}}[NPX][0-9A-Za-z_]{{3}}$') THEN substr(etiket, 3, 5)
@@ -459,7 +476,16 @@ _Q_ETIKET_SQL = f"""
     CASE
       WHEN regexp_matches(etiket, '^[RGPEAIMWNC_][0-9RLHMEA_][0-9A-Za-z_]{{5}}[NPX][0-9A-Za-z_]{{3}}$') THEN substr(etiket, 9, 3)
       WHEN regexp_matches(etiket, '^[RGPEAIMWNC_][0-9RLHMEA_][0-9A-Za-z_]{{6}}[NPX][0-9A-Za-z_]{{3}}$') THEN substr(etiket, 10, 3)
-      ELSE NULL END AS ensemble_member
+      ELSE NULL END AS ensemble_member,
+    typvar,
+    ch = 'M' AS multiple_modifications,
+    ch = 'Z' AS zapped,
+    ch = 'F' AS filtered,
+    ch = 'I' AS interpolated,
+    ch = 'U' AS unit_converted,
+    ch = 'B' AS bounded,
+    ch = '?' AS missing_data,
+    ch = '!' AS ensemble_extra_info
   FROM rec ORDER BY key
 """
 
@@ -1198,45 +1224,6 @@ _Q_RECOVER_MASK_SQL = f"""
 """
 
 
-TYPVARS = ["P", "PZ", "PF", "A", "PI", "PU", "PB", "PM"]
-
-
-def q_fst_typvar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 typvar-modifier parse (reference dataframe.py:104-139,
-    functions/meta.py typvar_flags): 2nd char -> 8 boolean flags."""
-    from fstd2pandas_spark.functions.meta import typvar_flags
-
-    rec = records_from_lineitem(spark, sf_dir)
-    tv = F.element_at(F.array(*[F.lit(t) for t in TYPVARS]),
-                      (F.col("key") % 8 + 1).cast("int"))
-    ext = rec.withColumn("typvar", tv)
-    return ext.select(
-        "key", "typvar", *typvar_flags(F.col("typvar"))
-    ).orderBy("key")
-
-
-_Q_TYPVAR_SQL = f"""
-  WITH rec AS ({_RECORDS_SQL}),
-  ext AS (
-    SELECT key,
-           (['{"','".join(TYPVARS)}'])[CAST(key % 8 AS INT) + 1] AS typvar
-    FROM rec),
-  c AS (
-    SELECT key, typvar,
-           CASE WHEN len(typvar) > 1 THEN substr(typvar, 2, 1) ELSE '' END AS ch
-    FROM ext)
-  SELECT key, typvar,
-         ch = 'M' AS multiple_modifications,
-         ch = 'Z' AS zapped,
-         ch = 'F' AS filtered,
-         ch = 'I' AS interpolated,
-         ch = 'U' AS unit_converted,
-         ch = 'B' AS bounded,
-         ch = '?' AS missing_data,
-         ch = '!' AS ensemble_extra_info
-  FROM c ORDER BY key
-"""
-
 
 def q_fst_encode_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C15/C16 ip encode (functions/codecs.py encode_ip_expr; reference
@@ -1512,16 +1499,6 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_a", "vec_b")
 
 
-def q_emb_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs baseline (n_planes=0) — small-sf cross-check ONLY;
-    documents the recall ceiling for the bucketed default."""
-    from fstd2pandas_spark.operators.llm import embedding_neardup
-
-    emb = _load(spark, sf_dir, "embeddings")
-    return embedding_neardup(emb, threshold=0.4, n_planes=0).orderBy(
-        "vec_a", "vec_b")
-
-
 def _neardup_bucketed_sql(n_planes: int = 4, dim: int = 64,
                           threshold: float = 0.4) -> str:
     planes = " + ".join(
@@ -1543,18 +1520,6 @@ def _neardup_bucketed_sql(n_planes: int = 4, dim: int = 64,
   FROM bucketed a JOIN bucketed b
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id
   WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
-  ORDER BY vec_a, vec_b
-"""
-
-
-_Q_NEARDUP_EXACT_SQL = """
-  WITH e AS (SELECT vec_id,
-                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             FROM embeddings)
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round(list_cosine_similarity(a.v, b.v), 6) AS cos
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
   ORDER BY vec_a, vec_b
 """
 
@@ -1688,70 +1653,6 @@ _Q_MM_SQL = """
          bytes[1] AS f0, bytes[16] AS f15,
          CAST(list_sum(bytes) AS BIGINT) AS fsum
   FROM b ORDER BY asset_id
-"""
-
-
-def q_fst_latlon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G12: 2-D lat/lon generation for L grids (native sequence/transform
-    expressions). One synthetic L grid per nation; LA/LO records
-    posexploded to scalar cells for the hash compare."""
-    from fstd2pandas_spark.operators.grid import grid_lat_lon
-
-    nat = _load(spark, sf_dir, "nation")
-    k = F.col("n_nationkey").cast("long")
-    lat0 = (k - 12).cast("double")
-    lon0 = (k * 14 - 180).cast("double")
-    dlat = (k % 3 + 1).cast("double")
-    dlon = (k % 4 + 2).cast("double")
-    ig1 = F.round((lat0 + 90) * 100).cast("int")
-    ig2 = F.round((lon0 + 180) * 100).cast("int")
-    ig3 = F.round(dlat * 100).cast("int")
-    ig4 = F.round(dlon * 100).cast("int")
-    ni = (k % 5 + 4).cast("int")
-    nj = (k % 3 + 3).cast("int")
-    recs = nat.select(
-        F.lit("TT").alias("nomvar"), F.lit("P").alias("typvar"),
-        F.lit("GRIDQ").alias("etiket"), ni.alias("ni"), nj.alias("nj"),
-        F.lit(1).alias("nk"), F.lit(0).cast("long").alias("dateo"),
-        F.lit(0).alias("ip1"), F.lit(0).alias("ip2"), F.lit(0).alias("ip3"),
-        F.lit(0).alias("deet"), F.lit(0).alias("npas"),
-        F.lit(134).alias("datyp"), F.lit(16).alias("nbits"),
-        F.lit("L").alias("grtyp"), ig1.alias("ig1"), ig2.alias("ig2"),
-        ig3.alias("ig3"), ig4.alias("ig4"),
-        F.lit(0).cast("long").alias("datev"),
-        F.concat(ig1.cast("string"), ig2.cast("string")).alias("grid"),
-        F.array_repeat(F.lit(0.0).cast("float"), ni * nj).alias("d"),
-    )
-    ll = grid_lat_lon(recs)
-    return (
-        ll.select("grid", "nomvar", "ni", "nj",
-                  F.posexplode("d").alias("pos", "val"))
-        .withColumn("val", F.round(F.col("val"), 6))
-        .orderBy("grid", "nomvar", "pos")
-    )
-
-
-_Q_LATLON_SQL = """
-  WITH g AS (
-    SELECT n_nationkey AS k,
-           n_nationkey - 12.0 AS lat0, n_nationkey * 14.0 - 180.0 AS lon0,
-           CAST(n_nationkey % 3 + 1 AS DOUBLE) AS dlat,
-           CAST(n_nationkey % 4 + 2 AS DOUBLE) AS dlon,
-           CAST(n_nationkey % 5 + 4 AS INT) AS ni,
-           CAST(n_nationkey % 3 + 3 AS INT) AS nj,
-           CAST(round((n_nationkey - 12.0 + 90.0) * 100) AS INT) AS ig1,
-           CAST(round((n_nationkey * 14.0) * 100) AS INT) AS ig2
-    FROM nation),
-  cells AS (
-    SELECT concat(CAST(ig1 AS VARCHAR), CAST(ig2 AS VARCHAR)) AS grid,
-           ni, nj, lat0, lon0, dlat, dlon, u.p AS pos
-    FROM g, UNNEST(generate_series(0, ni * nj - 1)) u(p))
-  SELECT grid, 'LA' AS nomvar, ni, nj, pos,
-         round(lat0 + (pos // ni) * dlat, 6) AS val FROM cells
-  UNION ALL
-  SELECT grid, 'LO' AS nomvar, ni, nj, pos,
-         round(lon0 + (pos % ni) * dlon, 6) AS val FROM cells
-  ORDER BY grid, nomvar, pos
 """
 
 
@@ -2379,6 +2280,91 @@ _Q_XDF_RT_SQL = f"""
 # contract surface
 # ---------------------------------------------------------------------------
 
+def q_fst_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 group-invariant checks + A5 kinds_and_ip1 + F5/W5 HY limit-1 in
+    one gated query (reference std_vgrid.py:131-153,
+    dataframe_utils.py:186-197, std_io.py:97-124). Output is a uniform
+    (chk, name, pos, value) check ledger so three differently-shaped
+    operators share one oracle row."""
+    from fstd2pandas_spark.operators.dedup import (
+        group_invariant_violations, kinds_and_ip1)
+    from fstd2pandas_spark.operators.select import process_hy
+
+    rec = meta_records_from_lineitem(spark, sf_dir)
+    # A4: per-nomvar one-distinct-value invariants. deet/ni/dateo are
+    # deliberately violated by the modulo construction (the operator's
+    # job is to FIND them); nj is constant and must NOT be reported.
+    a4 = group_invariant_violations(
+        rec, ["nomvar"], ["deet", "ni", "dateo", "nj"]
+    ).select(
+        F.lit("group_invariant").alias("chk"),
+        F.concat(F.col("nomvar"), F.lit("/"), F.col("col")).alias("name"),
+        F.lit(0).cast("long").alias("pos"),
+        F.col("n_distinct").cast("long").alias("value"),
+    )
+    # A5: distinct ip1s grouped by decoded kind; the sorted array is
+    # posexploded to scalar cells for the hash compare.
+    a5 = kinds_and_ip1(rec).select(
+        "kind", F.posexplode("ip1s").alias("pos", "ip1")
+    ).select(
+        F.lit("kinds_ip1").alias("chk"),
+        F.col("kind").cast("string").alias("name"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("ip1").cast("long").alias("value"),
+    )
+    # F5/W5: at most one HY survives process_hy, stamped with the data
+    # rows' grid. Restricted to a single grid so the stamp (and thus the
+    # oracle row) is deterministic.
+    hy = (
+        process_hy(rec.filter(F.col("grid") == 3))
+        .filter(F.col("nomvar") == "HY")
+        .groupBy("grid").agg(F.count("*").alias("n"))
+        .select(
+            F.lit("hy_limit1").alias("chk"),
+            F.col("grid").cast("string").alias("name"),
+            F.lit(0).cast("long").alias("pos"),
+            F.col("n").cast("long").alias("value"),
+        )
+    )
+    return a4.unionByName(a5).unionByName(hy).orderBy("chk", "name", "pos")
+
+
+_Q_INVARIANTS_SQL = f"""
+  WITH rec AS ({_META_RECORDS_SQL}),
+  inv AS (
+    SELECT nomvar,
+           count(DISTINCT deet) AS deet, count(DISTINCT ni) AS ni,
+           count(DISTINCT dateo) AS dateo, count(DISTINCT nj) AS nj
+    FROM rec GROUP BY nomvar),
+  ips AS (SELECT DISTINCT ip1 FROM rec),
+  kinds AS (
+    SELECT ip1, ({_DECODE_KIND_SQL.format(ip='ip1')}) AS kind FROM ips)
+  SELECT * FROM (
+    SELECT 'group_invariant' AS chk, nomvar || '/deet' AS name,
+           CAST(0 AS BIGINT) AS pos, CAST(deet AS BIGINT) AS value
+    FROM inv WHERE deet > 1
+    UNION ALL
+    SELECT 'group_invariant', nomvar || '/ni', 0, CAST(ni AS BIGINT)
+    FROM inv WHERE ni > 1
+    UNION ALL
+    SELECT 'group_invariant', nomvar || '/dateo', 0, CAST(dateo AS BIGINT)
+    FROM inv WHERE dateo > 1
+    UNION ALL
+    SELECT 'group_invariant', nomvar || '/nj', 0, CAST(nj AS BIGINT)
+    FROM inv WHERE nj > 1
+    UNION ALL
+    SELECT 'kinds_ip1', CAST(kind AS VARCHAR),
+           row_number() OVER (PARTITION BY kind ORDER BY ip1) - 1,
+           CAST(ip1 AS BIGINT)
+    FROM kinds
+    UNION ALL
+    SELECT 'hy_limit1', '3', 0,
+           CAST(CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS BIGINT)
+    FROM rec WHERE nomvar = 'HY' AND grid = 3
+  ) ORDER BY chk, name, pos
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize the record table at sf0.001, decode, and
     compute per-record stats (the reference's read -> query -> fststat
@@ -2390,8 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "filter_project": q_filter_project,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
+        "join_semi_anti": q_join_semi_anti,
         "revenue_by_nation": q_revenue_by_nation,
         "window_topk": q_window_topk,
         "dedup_keys": q_dedup,
@@ -2402,7 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_running_extrema": q_stream_running_extrema,
         "fst_decode_ip": q_fst_decode_ip,
         "fst_dates": q_fst_dates,
-        "fst_etiket": q_fst_etiket,
+        "fst_meta_parse": q_fst_meta_parse,
         "fst_stats": q_fst_stats,
         "fst_unit_convert": q_fst_unit_convert,
         "fst_mask": q_fst_mask,
@@ -2417,12 +2402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fst_interval": q_fst_interval,
         "fst_recover_mask": q_fst_recover_mask,
         "fst_metadata_cleanup": q_fst_metadata_cleanup,
-        "fst_typvar": q_fst_typvar,
         "fst_encode_ip": q_fst_encode_ip,
         "fst_voir": q_fst_voir,
-        "fst_latlon": q_fst_latlon,
         "fst_latlon_all": q_fst_latlon_all,
         "fst_cube": q_fst_cube,
+        "fst_invariants": q_fst_invariants,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_langid": q_doc_langid,
         "doc_token_counts": q_doc_token_counts,
@@ -2433,14 +2417,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_neardup": q_emb_neardup,
-        "emb_neardup_exact": q_emb_neardup_exact,
-        "fst_write_roundtrip": q_fst_write_roundtrip,
-        "fst_csv_roundtrip": q_fst_csv_roundtrip,
-        "fst_xdf_roundtrip": q_fst_xdf_roundtrip,
-        "fst_ip_info": q_fst_ip_info,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
         "mm_features": q_mm_features,
+        "fst_ip_info": q_fst_ip_info,
+        "fst_write_roundtrip": q_fst_write_roundtrip,
+        "fst_csv_roundtrip": q_fst_csv_roundtrip,
+        "fst_xdf_roundtrip": q_fst_xdf_roundtrip,
     }
 
 
@@ -2448,8 +2431,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": _Q_PRICING_SQL,
         "filter_project": _Q_FILTER_SQL,
-        "semi_join": _Q_SEMI_SQL,
-        "anti_join": _Q_ANTI_SQL,
+        "join_semi_anti": _Q_SEMI_ANTI_SQL,
         "revenue_by_nation": _Q_REVENUE_SQL,
         "window_topk": _Q_TOPK_SQL,
         "dedup_keys": _Q_DEDUP_SQL,
@@ -2460,7 +2442,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_running_extrema": _Q_STREAM_EXTREMA_SQL,
         "fst_decode_ip": _Q_DECODE_SQL,
         "fst_dates": _Q_DATES_SQL,
-        "fst_etiket": _Q_ETIKET_SQL,
+        "fst_meta_parse": _Q_META_PARSE_SQL,
         "fst_stats": _Q_STATS_SQL,
         "fst_unit_convert": _Q_UNIT_SQL,
         "fst_mask": _Q_MASK_SQL,
@@ -2475,12 +2457,11 @@ def oracle_sql() -> dict[str, str]:
         "fst_interval": _Q_INTERVAL_SQL,
         "fst_recover_mask": _Q_RECOVER_MASK_SQL,
         "fst_metadata_cleanup": _Q_META_CLEANUP_SQL,
-        "fst_typvar": _Q_TYPVAR_SQL,
         "fst_encode_ip": _Q_ENCODE_IP_SQL,
         "fst_voir": _Q_VOIR_SQL,
-        "fst_latlon": _Q_LATLON_SQL,
         "fst_latlon_all": _latlon_all_sql(),
         "fst_cube": _Q_CUBE_SQL,
+        "fst_invariants": _Q_INVARIANTS_SQL,
         "doc_exact_dedup": _Q_EXACT_DEDUP_SQL,
         "doc_langid": _langid_sql(),
         "doc_token_counts": _Q_TOKENS_SQL,
@@ -2491,12 +2472,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "emb_cosine_topk": _Q_COSINE_SQL,
         "emb_neardup": _neardup_bucketed_sql(),
-        "emb_neardup_exact": _Q_NEARDUP_EXACT_SQL,
-        "fst_write_roundtrip": _Q_WRITE_RT_SQL,
-        "fst_csv_roundtrip": _Q_CSV_RT_SQL,
-        "fst_xdf_roundtrip": _Q_XDF_RT_SQL,
-        "fst_ip_info": _ip_info_sql(),
         "emb_ann_lsh": _ann_lsh_sql(),
         "emb_ann_ivf": _ann_ivf_sql(),
         "mm_features": _Q_MM_SQL,
+        "fst_ip_info": _ip_info_sql(),
+        "fst_write_roundtrip": _Q_WRITE_RT_SQL,
+        "fst_csv_roundtrip": _Q_CSV_RT_SQL,
+        "fst_xdf_roundtrip": _Q_XDF_RT_SQL,
     }

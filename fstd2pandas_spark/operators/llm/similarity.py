@@ -73,9 +73,15 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
 
 def embedding_neardup(emb: DataFrame, threshold: float = 0.4,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      n_planes: int = 4, dim: int = 64) -> DataFrame:
+                      *, n_planes: int = 4, dim: int = 64) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos) for every
     unordered pair with cosine >= ``threshold``.
+
+    BEHAVIOR CHANGE (v0.2): the default switched from exact all-pairs to
+    LSH bucketing (``n_planes=4``) — approximate: a borderline pair split
+    across buckets is dropped (survival ~ ``(1-theta/pi)^n_planes``).
+    ``n_planes`` is keyword-only so callers opting back into the exact
+    path (``n_planes=0``) do so explicitly.
 
     The DEFAULT (``n_planes>0``) is the 100 TB shape: candidates are
     restricted to the same random-hyperplane LSH bucket — bucketing is a
