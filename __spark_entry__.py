@@ -111,6 +111,14 @@ _RECORDS_SQL = f"""
   FROM lineitem GROUP BY l_orderkey
 """
 
+#: SQL mirror of kind_str (functions/meta.py)
+_KIND_STR_SQL = """
+  CASE WHEN {k} IN (-1, 3, 15, 17, 100) THEN ''
+       WHEN {k} = 0 THEN 'm' WHEN {k} = 1 THEN 'sg' WHEN {k} = 2 THEN 'mb'
+       WHEN {k} = 4 THEN 'M' WHEN {k} = 5 THEN 'hy' WHEN {k} = 6 THEN 'th'
+       WHEN {k} = 10 THEN 'H' WHEN {k} = 21 THEN 'mp' ELSE '' END
+"""
+
 #: SQL mirror of decode_ip_value/decode_ip_kind (see functions/codecs.py)
 _DECODE_KIND_SQL = """
   CASE WHEN {ip} > 32767 THEN ({ip} // 16777216) & 31
@@ -406,22 +414,61 @@ _Q_DECODE_SQL = f"""
 """
 
 
+#: old-format AAMMJJHH fixtures: valid 1985/1999/1945 stamps, an
+#: unparseable one (month 0), and a dummy stamp
+OLD_STAMPS = [85050612, 99123123, 45010100, 123, 10101011]
+
+
 def q_fst_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4/C5: stamp decode + forecast hour + validity date arithmetic."""
+    """C4/C5 stamp decode (new-style linear + old AAMMJJHH format) +
+    forecast hour + C14 timezone shift (reference std_dec.py:172-187,
+    dataframe.py:148-167)."""
+    from fstd2pandas_spark.functions.encoders import to_timezone
+
     rec = records_from_lineitem(spark, sf_dir)
+    obs = stamp_to_timestamp(F.col("dateo"))
+    old = F.element_at(F.array(*[F.lit(s) for s in OLD_STAMPS]),
+                       (F.col("key") % 5 + 1).cast("int")).cast("long")
     return rec.select(
         "key", "dateo",
-        stamp_to_timestamp(F.col("dateo")).alias("date_of_observation"),
+        obs.alias("date_of_observation"),
         (F.col("deet").cast("long") * F.col("npas")).alias("forecast_seconds"),
+        old.alias("dateo_old"),
+        # string-typed: NULL-bearing timestamp columns hash unreliably
+        # across engines; strings carry NULL fine
+        F.date_format(stamp_to_timestamp(old), "yyyy-MM-dd HH:mm:ss")
+        .alias("date_old_decoded"),
+        to_timezone(obs, "America/Montreal").alias("date_local"),
     ).orderBy("key")
 
 
+#: SQL mirror of the old-format AAMMJJHH decode branch
+_STAMP_OLD_SQL = """
+  CASE WHEN {s} IN (0, 10101011) OR {s} <= 0 THEN NULL
+       ELSE try_cast(printf('%04d-%02d-%02d %02d:00:00',
+                            1900 + CAST({s} // 1000000 AS INT),
+                            CAST(({s} // 10000) % 100 AS INT),
+                            CAST(({s} // 100) % 100 AS INT),
+                            CAST({s} % 100 AS INT)) AS TIMESTAMP)
+  END
+"""
+
 _Q_DATES_SQL = f"""
-  WITH rec AS ({_RECORDS_SQL})
+  WITH rec AS ({_RECORDS_SQL}),
+  ext AS (
+    SELECT *,
+           CAST(([{_sql_list(OLD_STAMPS)}])[CAST(key % 5 AS INT) + 1]
+                AS BIGINT) AS dateo_old
+    FROM rec)
   SELECT key, dateo,
          {_STAMP_TS_SQL.format(s='dateo')} AS date_of_observation,
-         CAST(deet AS BIGINT) * npas AS forecast_seconds
-  FROM rec ORDER BY key
+         CAST(deet AS BIGINT) * npas AS forecast_seconds,
+         dateo_old,
+         strftime({_STAMP_OLD_SQL.format(s='dateo_old')},
+                  '%Y-%m-%d %H:%M:%S') AS date_old_decoded,
+         {_STAMP_TS_SQL.format(s='dateo').replace("'UTC'", "'America/Montreal'")}
+           AS date_local
+  FROM ext ORDER BY key
 """
 
 
@@ -1225,28 +1272,75 @@ _Q_RECOVER_MASK_SQL = f"""
 
 
 
+#: (datyp, nbits) pairs for the C22 precision-max lattice
+_PM_A = [(1, 16), (2, 32), (4, 16), (5, 32), (134, 16)]
+_PM_B = [(5, 12), (130, 64), (133, 24), (2, 12), (8, 64)]
+
+
 def q_fst_encode_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C15/C16 ip encode (functions/codecs.py encode_ip_expr; reference
     std_enc.py:10-175): re-encode each record's decoded (value, kind).
     New-style ips round-trip to themselves; old-style ips re-encode to
-    their canonical new-style form."""
+    their canonical new-style form. Extended with C16 encode-from-user
+    (value + printable kind, reference utils.py:79-108) and C22
+    precision max over synthesized (datyp, nbits) pairs
+    (utils.py:206-218)."""
+    from fstd2pandas_spark.functions.codecs import (
+        encode_ip_expr, encode_ip_from_user)
+    from fstd2pandas_spark.functions.meta import kind_str
+    from fstd2pandas_spark.functions.encoders import precision_max
+
     rec = records_from_lineitem(spark, sf_dir)
-    ip = F.col("ip1")
-    from fstd2pandas_spark.functions.codecs import encode_ip_expr
-    re_enc = encode_ip_expr(decode_ip_value(ip), decode_ip_kind(ip))
-    return rec.select("key", "ip1", re_enc.alias("ip1_reenc")).orderBy("key")
+    ip, k = F.col("ip1"), F.col("key")
+    v1, k1 = decode_ip_value(ip), decode_ip_kind(ip)
+    re_enc = encode_ip_expr(v1, k1)
+    # every 5th row gets an unknown printable kind -> NULL encode
+    pkind = F.when(k % 5 == 0, F.lit("")).otherwise(kind_str(k1))
+    pick = lambda vals: F.element_at(  # noqa: E731
+        F.array(*[F.lit(v) for v in vals]), (k % 5 + 1).cast("int"))
+    pm = precision_max(
+        pick([a for a, _ in _PM_A]), pick([b for _, b in _PM_A]),
+        pick([a for a, _ in _PM_B]), pick([b for _, b in _PM_B]))
+    return rec.select(
+        "key", "ip1", re_enc.alias("ip1_reenc"),
+        pkind.alias("pkind"),
+        encode_ip_from_user(v1, pkind).alias("ip1_from_user"),
+        pm["datyp"].alias("pm_datyp"), pm["nbits"].alias("pm_nbits"),
+    ).orderBy("key")
 
 
 #: expected canonical new-style encodings of the old-style literals
 _OLD_REENC = {old: encode_ip_py(*decode_ip_py(old)) for old in IP1S_OLD}
 
+#: DATYP_PRIORITY as inline SQL (utils.py:208)
+_PM_PRIO_SQL = """
+  CASE {d} WHEN -1 THEN -1 WHEN 0 THEN 0 WHEN 1 THEN 5 WHEN 2 THEN 1
+           WHEN 4 THEN 3 WHEN 5 THEN 7 WHEN 6 THEN 4 WHEN 7 THEN 0
+           WHEN 8 THEN 9 WHEN 130 THEN 2 WHEN 133 THEN 8 WHEN 134 THEN 6
+           ELSE 0 END
+"""
+
 _Q_ENCODE_IP_SQL = f"""
-  WITH rec AS ({_RECORDS_SQL})
-  SELECT key, ip1,
-         CASE WHEN ip1 > 32767 THEN ip1
-              {' '.join(f'WHEN ip1 = {o} THEN {n}' for o, n in _OLD_REENC.items())}
-         END AS ip1_reenc
-  FROM rec ORDER BY key
+  WITH rec AS ({_RECORDS_SQL}),
+  ext AS (
+    SELECT key, ip1,
+           CASE WHEN ip1 > 32767 THEN ip1
+                {' '.join(f'WHEN ip1 = {o} THEN {n}' for o, n in _OLD_REENC.items())}
+           END AS ip1_reenc,
+           CASE WHEN key % 5 = 0 THEN ''
+                ELSE ({_KIND_STR_SQL.format(
+                        k=_DECODE_KIND_SQL.format(ip='ip1'))}) END AS pkind,
+           ([{_sql_list(a for a, _ in _PM_A)}])[CAST(key % 5 AS INT) + 1] AS da,
+           ([{_sql_list(b for _, b in _PM_A)}])[CAST(key % 5 AS INT) + 1] AS na,
+           ([{_sql_list(a for a, _ in _PM_B)}])[CAST(key % 5 AS INT) + 1] AS db,
+           ([{_sql_list(b for _, b in _PM_B)}])[CAST(key % 5 AS INT) + 1] AS nb
+    FROM rec)
+  SELECT key, ip1, ip1_reenc, pkind,
+         CASE WHEN pkind = '' THEN NULL ELSE ip1_reenc END AS ip1_from_user,
+         CASE WHEN ({_PM_PRIO_SQL.format(d='da')}) >= ({_PM_PRIO_SQL.format(d='db')})
+              THEN da ELSE db END AS pm_datyp,
+         greatest(na, nb) AS pm_nbits
+  FROM ext ORDER BY key
 """
 
 
@@ -2030,13 +2124,6 @@ def q_fst_ip_info(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("ig1"), F.col("ig2")).alias("grid"),
     ).orderBy("key")
 
-
-_KIND_STR_SQL = """
-  CASE WHEN {k} IN (-1, 3, 15, 17, 100) THEN ''
-       WHEN {k} = 0 THEN 'm' WHEN {k} = 1 THEN 'sg' WHEN {k} = 2 THEN 'mb'
-       WHEN {k} = 4 THEN 'M' WHEN {k} = 5 THEN 'hy' WHEN {k} = 6 THEN 'th'
-       WHEN {k} = 10 THEN 'H' WHEN {k} = 21 THEN 'mp' ELSE '' END
-"""
 
 _DATYP_STR_SQL = """
   CASE WHEN {d} = 0 THEN 'X' WHEN {d} = 1 THEN 'R' WHEN {d} = 2 THEN 'I'

@@ -58,19 +58,27 @@ def stamp_to_timestamp(stamp: Column) -> Column:
     """Decode a CMC date-time stamp column to a UTC timestamp (NULL for
     dummy stamps).
 
-    Only the new-style (post-1980, stamp >= _STAMP_BASE) linear encoding
-    is decoded; old-format stamps below the base would decode to garbage
-    under the linear formula (the reference routes them through RPNDate's
-    old-format branch), so they yield NULL here rather than a wrong
-    timestamp.
+    New-style stamps (post-1980, >= _STAMP_BASE) use the linear 5-second
+    encoding. Old-format stamps below the base carry AAMMJJHH decimal
+    digits (AA = year - 1900) — the encoding the reference reaches
+    through RPNDate's old-format branch (std_dec.py:172-187; librmn
+    newdate op=+3). Unparseable old stamps decode to NULL, not garbage.
     """
     x = stamp - F.lit(_STAMP_BASE)
     units5 = (x / 10).cast("long") * 8 + (x % 10)
     secs = F.lit(_EPOCH_1980) + units5 * 5
-    return F.when(
-        stamp.isin(*_DUMMY_STAMPS) | (stamp < F.lit(_STAMP_BASE)),
-        F.lit(None).cast("timestamp"),
-    ).otherwise(F.timestamp_seconds(secs))
+    yy = F.floor(stamp / 1000000).cast("int")
+    mm = (F.floor(stamp / 10000) % 100).cast("int")
+    dd = (F.floor(stamp / 100) % 100).cast("int")
+    hh = (stamp % 100).cast("int")
+    old_ts = F.try_make_timestamp(
+        yy + F.lit(1900), mm, dd, hh, F.lit(0), F.lit(0))
+    return (
+        F.when(stamp.isin(*_DUMMY_STAMPS) | (stamp <= 0),
+               F.lit(None).cast("timestamp"))
+        .when(stamp >= F.lit(_STAMP_BASE), F.timestamp_seconds(secs))
+        .otherwise(old_ts)
+    )
 
 
 def timestamp_to_stamp(ts: Column) -> Column:

@@ -35,11 +35,13 @@ File layout::
     records           [primary keys (lprm×2 words) | aux keys (laux×2) |
                       payload words], one extent per record at its swa
 
-Payload packing implemented for the uncompressed transparent datyps:
-IEEE float (5, 32/64-bit), unsigned int (2), signed int (4).  The
-turbo-packed / predictor-compressed datyps (1, 6, 129-134) need the
-armn_compress bit-stream codecs, which are out of scope here — reads
-raise with a clear message instead of returning wrong bytes.
+Payload packing implemented for the uncompressed transparent datyps —
+IEEE float (5, 32/64-bit), unsigned int (2), signed int (4) — and for
+the turbo-packed codes 130 (compressed unsigned int) and 134
+(compressed float) via the numpy predictor+bit-plane codec in
+``turbo_codec.py`` (the armn_compress/float_packer analogue; reference
+std_io.py:550-560).  The remaining legacy packed datyps (1, 6, 129,
+133) still raise with a clear message instead of returning wrong bytes.
 """
 
 from __future__ import annotations
@@ -50,6 +52,7 @@ from typing import Iterable
 
 import numpy as np
 
+from fstd2pandas_spark.sources import turbo_codec
 from fstd2pandas_spark.sources.fstrec_format import RecordHeader
 
 SIGN = b"STDR"
@@ -114,9 +117,10 @@ def payload_dtype(datyp: int, nbits: int) -> str:
     dt = _TRANSPARENT.get((int(datyp), int(nbits)))
     if dt is None:
         raise NotImplementedError(
-            f"datyp={datyp}/nbits={nbits}: compressed or sub-word FST "
-            "packing needs the armn bit-stream codecs; only transparent "
-            f"layouts {sorted(_TRANSPARENT)} are readable here"
+            f"datyp={datyp}/nbits={nbits}: legacy packed FST layouts are "
+            "unsupported; readable here are the transparent layouts "
+            f"{sorted(_TRANSPARENT)} and the turbo-packed datyps "
+            f"{turbo_codec.COMPRESSED_DATYPS}"
         )
     return dt
 
@@ -206,16 +210,23 @@ def unpack_dir_entries(raw: np.ndarray) -> dict:
 
 
 def _payload_words(rec: dict, d: np.ndarray) -> np.ndarray:
-    dt = payload_dtype(rec["datyp"], rec["nbits"])
-    arr = np.ascontiguousarray(np.asarray(d).astype(dt))
-    # the reader sizes the payload from ni*nj*nk, so a mismatched d
-    # would silently bleed into the next record's key block on read
-    want = int(rec["ni"]) * int(rec["nj"]) * int(rec.get("nk", 1) or 1)
+    datyp, nbits = int(rec["datyp"]), int(rec["nbits"])
+    ni, nj = int(rec["ni"]), int(rec["nj"])
+    nk = int(rec.get("nk", 1) or 1)
+    # the reader sizes transparent payloads from ni*nj*nk, so a
+    # mismatched d would silently bleed into the next record's key
+    # block on read
+    want = ni * nj * nk
+    arr = np.asarray(d)
     if arr.size != want:
         raise ValueError(
             f"record {rec.get('nomvar')!r}: len(d)={arr.size} != "
             f"ni*nj*nk={want}")
-    words = np.frombuffer(arr.tobytes(), dtype=">u4").copy()
+    if datyp in turbo_codec.COMPRESSED_DATYPS:
+        words = turbo_codec.compress_payload(arr, ni, nj, nk, datyp, nbits)
+    else:
+        buf = np.ascontiguousarray(arr.astype(payload_dtype(datyp, nbits)))
+        words = np.frombuffer(buf.tobytes(), dtype=">u4").copy()
     if len(words) % 2:  # pad to a 64-bit boundary
         # concatenate would normalize to native byte order — keep >u4
         words = np.concatenate([words, np.zeros(1, dtype=">u4")]).astype(">u4")
@@ -360,7 +371,16 @@ def read_xdf_directory(path: str, include_deleted: bool = False
 def read_xdf_payload(f, header: RecordHeader) -> np.ndarray:
     """Seek + read one record's payload (the point read of get_data,
     std_io.py:463-475), decoded per (datyp, nbits) and returned float32
-    to match the engine's ``d`` column type."""
+    to match the engine's ``d`` column type.  Turbo-packed records
+    (datyp 130/134) carry a self-describing header, so the byte count
+    comes from the payload itself rather than ni*nj*nk."""
+    if header.datyp in turbo_codec.COMPRESSED_DATYPS:
+        nwords = turbo_codec.compressed_payload_length(f, header.offset)
+        f.seek(header.offset)
+        words = np.frombuffer(f.read(nwords * 4), dtype=">u4")
+        return turbo_codec.decompress_payload(
+            words, header.ni, header.nj, header.nk,
+            header.datyp, header.nbits)
     dt = payload_dtype(header.datyp, header.nbits)
     f.seek(header.offset)
     nbytes = header.n_floats * np.dtype(dt).itemsize

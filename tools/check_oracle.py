@@ -29,7 +29,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 s = s.dt.tz_localize(None)
             except TypeError:
                 s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-            df[c] = s
+            # unify resolution: Spark yields ns, DuckDB us — mixed units
+            # with NaT present compare as raw int epochs and false-fail
+            df[c] = s.astype("datetime64[us]")
         elif s.dtype == object:
             # The DRIVER's canonicalizer cannot hash list cells
             # (TypeError: unhashable type: 'list') — mirror that contract
