@@ -120,7 +120,8 @@ def _pack_bits(u: np.ndarray) -> np.ndarray:
         chunks.append(((w >> np.arange(_WIDTH_BITS - 1, -1, -1)) & 1
                        ).astype("uint8"))
         if w:
-            bits = ((blk[:, None] >> np.arange(w - 1, -1, -1)) & 1
+            bits = ((blk[:, None] >> np.arange(w - 1, -1, -1,
+                                               dtype="uint64")) & 1
                     ).astype("uint8")
             chunks.append(bits.reshape(-1))
     bits = np.concatenate(chunks) if chunks else np.zeros(0, dtype="uint8")
@@ -154,6 +155,11 @@ def _unpack_bits(words: np.ndarray, ntokens: int) -> np.ndarray:
 def compress_payload(d: np.ndarray, ni: int, nj: int, nk: int,
                      datyp: int, nbits: int) -> np.ndarray:
     """Record data -> self-describing big-endian u32 payload words."""
+    if not 0 < nbits <= 61:
+        # zigzagged Lorenzo residuals of nbits-bit tokens need nbits+2
+        # bits; the 6-bit block width prefix tops out at 63
+        raise ValueError(
+            f"turbo-pack nbits must be in [1, 61], got {nbits}")
     d = np.asarray(d)
     if datyp == 134:
         m, exp0, tokens = quantize(d, nbits)
