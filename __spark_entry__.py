@@ -50,15 +50,27 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and rebuild the timestamp
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(_t(sf_dir, name))
+def _fix_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to session-tz TimestampType across testdata
+    generations: nanos-as-long bigint (legacy conf) gets rebuilt via
+    timestamp_micros; native TIMESTAMP_NTZ gets a wall-clock cast (session
+    tz is UTC, so the cast is identity on values)."""
+    dtype = dict(df.dtypes)["ts"]
+    if dtype in ("bigint", "long"):
         return df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    if dtype != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # older testdata generations carry TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects without the legacy nanos-as-long conf
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return _fix_event_ts(spark.read.parquet(_t(sf_dir, name)))
     return spark.read.parquet(_t(sf_dir, name))
 
 
@@ -1759,15 +1771,13 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fstd2pandas_spark.streaming import run_to_memory
 
-    # events.parquet carries TIMESTAMP(NANOS) — same legacy-long rebuild
-    # as _load, applied to the stream
+    # same ts normalization as _load, applied to the stream
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(_t(sf_dir, "events")).schema
     # FileStreamSource wants a directory or glob, not a bare file path
-    stream = (
+    stream = _fix_event_ts(
         spark.readStream.schema(schema)
         .parquet(os.path.join(sf_dir, "events*.parquet"))
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     )
     agg = (
         stream.withWatermark("ts", "1 hour")
@@ -2325,11 +2335,14 @@ def q_fst_xdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         register(spark)
     except Exception:
         pass  # already registered in this session
-    # IEEE float32 (datyp 5) — the transparent packing the XDF layer
-    # round-trips bit-exactly; quantities are small decimals
+    # mixed packings: transparent IEEE float32 (datyp 5) for even keys,
+    # turbo-compressed (datyp 134, turbo_codec.py) for odd — quantities
+    # are integer-valued and span < 2**16 quanta, so the quantizer is
+    # exact and the oracle stays the identity construction
     wdf = (
         _writable_records(spark, sf_dir)
-        .withColumn("datyp", F.lit(5)).withColumn("nbits", F.lit(32))
+        .withColumn("datyp", F.when(F.col("ip3") % 2 == 0, 5).otherwise(134))
+        .withColumn("nbits", F.when(F.col("ip3") % 2 == 0, 32).otherwise(16))
     )
     out_dir = os.path.join(
         _TMP_ROOT, f"xdf_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}")
@@ -2355,7 +2368,9 @@ _Q_XDF_RT_SQL = f"""
     FROM w)
   SELECT nomvar, typvar, etiket, ni, nj, nk,
          (raw_o // 8) * 10 + raw_o % 8 AS dateo,
-         ip1, ip2, ip3, deet, npas, 5 AS datyp, 32 AS nbits, grtyp,
+         ip1, ip2, ip3, deet, npas,
+         CASE WHEN ip3 % 2 = 0 THEN 5 ELSE 134 END AS datyp,
+         CASE WHEN ip3 % 2 = 0 THEN 32 ELSE 16 END AS nbits, grtyp,
          ig1, ig2, ig3, ig4, datev,
          u.i - 1 AS pos, round(CAST(d[u.i] AS DOUBLE), 4) AS val
   FROM s, UNNEST(generate_series(1, len(d))) u(i)

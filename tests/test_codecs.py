@@ -118,3 +118,43 @@ def test_encode_ip_from_user(spark):
         dv, dk = decode_ip_py(row.ip)
         assert dk == k
         assert abs(dv - v) < 1e-4 * max(1.0, abs(v))
+
+
+def test_turbo_codec_roundtrips():
+    """Turbo-pack (datyps 130/134, turbo_codec.py; reference
+    std_io.py:550-560 armn_compress + c_float_packer routing): quantize ->
+    Lorenzo residuals -> zigzag -> block bit-pack round-trips through
+    itself — random float grids, multi-block sizes, and all-zero edges."""
+    import numpy as np
+
+    from fstd2pandas_spark.sources.turbo_codec import (
+        compress_payload, decompress_payload)
+
+    rng = np.random.RandomState(11)
+    for ni, nj in [(1, 1), (7, 5), (33, 1), (64, 48)]:
+        n = ni * nj
+        # datyp 134: lossy float quantization, error <= half quantum
+        for nbits in (12, 16, 24):
+            d = (rng.randn(n) * 100).astype("<f4")
+            words = compress_payload(d, ni, nj, 1, 134, nbits)
+            back = decompress_payload(words, ni, nj, 1, 134, nbits)
+            span = float(d.max() - d.min()) or 1.0
+            assert back.dtype == np.dtype("<f4")
+            assert np.allclose(back, d, atol=span / (1 << (nbits - 1)))
+        # datyp 134 exact case: integer-valued floats within nbits quanta
+        ints = rng.randint(0, 1 << 10, size=n).astype("<f4")
+        w = compress_payload(ints, ni, nj, 1, 134, 16)
+        assert np.array_equal(decompress_payload(w, ni, nj, 1, 134, 16), ints)
+        # datyp 130: unsigned-short tokens, bit-exact
+        u = rng.randint(0, 1 << 12, size=n).astype("u2")
+        w = compress_payload(u, ni, nj, 1, 130, 16)
+        assert np.array_equal(
+            decompress_payload(w, ni, nj, 1, 130, 16), u.astype("<f4"))
+    # all-zero input (both codes) and constant input
+    for datyp in (130, 134):
+        z = np.zeros(40, dtype="<f4")
+        w = compress_payload(z, 8, 5, 1, datyp, 16)
+        assert np.array_equal(decompress_payload(w, 8, 5, 1, datyp, 16), z)
+    c = np.full(40, 7.0, dtype="<f4")
+    w = compress_payload(c, 8, 5, 1, 134, 16)
+    assert np.array_equal(decompress_payload(w, 8, 5, 1, 134, 16), c)

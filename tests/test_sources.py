@@ -264,10 +264,23 @@ def test_xdf_transparent_datyps_and_compressed_rejection(tmp_path):
         for r, h in zip(recs, hdrs):
             assert np.array_equal(
                 read_xdf_payload(f, h), np.asarray(r["d"]).astype("f4"))
-    # compressed packings need the armn codecs -> explicit error
-    with pytest.raises(NotImplementedError):
-        write_xdf(str(tmp_path / "c.fst"),
-                  [dict(base[0], datyp=134, nbits=16)])
+    # turbo-packed datyp 134 round-trips through the container within the
+    # quantizer's half-quantum tolerance (turbo_codec.py quantize)
+    crec = dict(base[0], datyp=134, nbits=16, deleted=False,
+                d=np.random.RandomState(3).randn(
+                    base[0]["ni"] * base[0]["nj"]).astype("<f4"))
+    cpath = str(tmp_path / "c.fst")
+    write_xdf(cpath, [crec])
+    (chdr,) = read_xdf_directory(cpath)
+    with open(cpath, "rb") as f:
+        got = read_xdf_payload(f, chdr)
+    span = float(crec["d"].max() - crec["d"].min())
+    assert np.allclose(got, crec["d"], atol=span / (1 << 15))
+    # legacy armn packed datyps stay an explicit error
+    for legacy in (1, 6, 129, 133):
+        with pytest.raises(NotImplementedError):
+            write_xdf(str(tmp_path / f"l{legacy}.fst"),
+                      [dict(base[0], datyp=legacy, nbits=16)])
 
 
 def test_xdf_datasource_roundtrip_and_mixed_dir(registered, records,
