@@ -18,13 +18,21 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     defaultParallelism) iff the plan currently has fewer partitions.
 
     Use ahead of expensive per-row expressions (hashing, shingling,
-    vector math) whose input may be a single unsplittable file. On an
-    input that already has >= n partitions this returns ``df`` unchanged
-    — no shuffle is added, so it is safe at any scale.
+    vector math) whose input may be a single unsplittable file. The
+    under-partitioning test counts the scan's input files — a pure
+    logical-plan lookup (``inputFiles()``), NOT an ``.rdd`` probe, which
+    would force a physical-plan conversion per call. At scale a table
+    arrives as >= n files and this returns ``df`` unchanged — no shuffle
+    and no plan materialization. Non-file inputs (memory relations) are
+    left unchanged: they only occur in tests, where parallelism is moot.
     """
     sc = df.sparkSession.sparkContext
     if n is None:
         n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if files and len(files) < n:
         return df.repartition(n)
     return df
