@@ -670,40 +670,131 @@ _Q_PRESSURE_SQL = f"""
 
 
 def q_fst_pressure_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G6 hybrid-toctoc pressure arithmetic:
-    pres = exp(A + B*ln(P0*100/pref))/100, with per-record (A, B)
-    synthesized deterministically from ip1 and P0 = the record's own d
-    scaled (surrogate), over kind-5 (hybrid) records."""
+    """G5/G6/G7 + J4 through the REAL quick_pressure operator
+    (operators/pressure.py; reference quick_pressure.py:18-83,
+    std_vgrid.py:278-300,437-476): kind-5 data records spread over 50
+    grids; grids 0-24 carry a constructed ``!!`` toctoc record (ig1=5005,
+    (ip1, A, B) triples in d — the layout pressure.py:165-176 parses and
+    equi-joins on ip1), grids 25-49 classify HYBRID_5001 off a global HY
+    record (ptop=d[0], pref=ig1, rcoef=ig2/1000); every grid gets a P0
+    record built from its min-key data array. Both the PX pass and the
+    standard-atmosphere PXSA pass (G7) are emitted; the oracle re-derives
+    the same coefficients arithmetically."""
+    from fstd2pandas_spark.operators.pressure import quick_pressure
+
+    k5a, k5b = IP1S[2], IP1S[3]   # kind-5 encodings; float32-exact ints
     rec = records_from_lineitem(spark, sf_dir)
-    hyb = rec.filter(decode_ip_kind(F.col("ip1")) == 5)
-    a = (F.col("ip1") % 97).cast("double") / 10.0
-    b = (F.col("ip1") % 13).cast("double") / 20.0
-    pref = F.lit(800.0)
-    pres = F.transform(
-        "d",
-        lambda x: F.round(
-            F.exp(a + b * F.log((x.cast("double") * 10.0 + 500.0) * 100.0 / pref))
-            / 100.0, 4),
+    gi = (F.col("key") % 50).cast("int")
+    data = rec.filter(F.col("ip1").isin(k5a, k5b)).select(
+        "nomvar", "etiket", gi.cast("string").alias("grid"),
+        F.col("dateo").alias("datev"), "key", "ip1", "ni", "nj", "d",
+        F.lit(32).alias("nbits"), F.lit(5).alias("datyp"),
+        F.lit(0).alias("ig1"), F.lit(0).alias("ig2"),
     )
+    grids = data.groupBy("grid").agg(F.min_by("d", "key").alias("d0"))
+    g = F.col("grid").cast("int")
+
+    def _meta(src: DataFrame, nomvar: str, etiket: str, key0: int, *,
+              ip1, ni, nj, d, ig1, ig2, nbits, datyp) -> DataFrame:
+        return src.select(
+            F.lit(nomvar).alias("nomvar"), F.lit(etiket).alias("etiket"),
+            "grid", F.lit(int(STAMPS[0])).cast("bigint").alias("datev"),
+            (g + F.lit(key0)).cast("bigint").alias("key"),
+            F.lit(ip1).alias("ip1"), ni.alias("ni"), nj.alias("nj"),
+            d.alias("d"), nbits.alias("nbits"), datyp.alias("datyp"),
+            ig1.alias("ig1"), ig2.alias("ig2"),
+        )
+
+    # P0 per grid: the grid's min-key quantities rescaled to ~500-1000 hPa
+    p0 = _meta(
+        grids, "P0", "PRESSR", 10_000_000,
+        ip1=0, ni=F.size("d0"), nj=F.lit(1),
+        d=F.transform("d0", lambda x: (x.cast("double") * 10.0 + 500.0)
+                      .cast("float")),
+        ig1=F.lit(0), ig2=F.lit(0), nbits=F.lit(32), datyp=F.lit(5))
+    # !! toctoc on grids 0-24: rows (ip1, A, B); A[1]=8.0 doubles as pref
+    tta1 = (F.lit(7.0) + (g % 8).cast("double") * 0.25).cast("float")
+    ttb1 = ((g % 4).cast("double") * 0.125).cast("float")
+    ttb2 = ((g % 8).cast("double") * 0.0625 + 0.5).cast("float")
+    tt = _meta(
+        grids.filter(g < 25), "!!", "TOCTOC", 20_000_000,
+        ip1=0, ni=F.lit(3), nj=F.lit(2),
+        d=F.array(F.lit(float(k5a)).cast("float"), tta1, ttb1,
+                  F.lit(float(k5b)).cast("float"), F.lit(8.0).cast("float"),
+                  ttb2),
+        ig1=F.lit(5005), ig2=F.lit(0), nbits=F.lit(64), datyp=F.lit(5))
+    # one global HY record (grid 25): ptop=2.0, pref=800, rcoef=1.6
+    hy = _meta(
+        grids.filter(g == 25), "HY", "HYBRID", 30_000_000,
+        ip1=0, ni=F.lit(1), nj=F.lit(1),
+        d=F.array(F.lit(2.0).cast("float")),
+        ig1=F.lit(800), ig2=F.lit(1600), nbits=F.lit(32), datyp=F.lit(5))
+
+    recs = data.unionByName(p0).unionByName(tt).unionByName(hy)
+    out = quick_pressure(recs).unionByName(
+        quick_pressure(recs, standard_atmosphere=True))
     return (
-        hyb.select("key", "ip1", F.posexplode(pres).alias("pos", "pres"))
-        .orderBy("key", "pos")
+        out.filter(F.col("nomvar").isin("PX", "PXSA"))
+        .select(
+            "nomvar", F.col("grid").cast("int").alias("g"), "ip1", "datev",
+            F.posexplode(
+                F.transform("d", lambda x: F.round(x.cast("double"), 4))
+            ).alias("pos", "pres"),
+        )
+        .orderBy("nomvar", "g", "ip1", "datev", "pos")
     )
 
 
 _Q_PRESSURE_HYB_SQL = f"""
   WITH rec AS ({_RECORDS_SQL}),
-  p AS (
-    SELECT key, ip1,
-           list_transform(d, x -> round(
-              exp(CAST(ip1 % 97 AS DOUBLE) / 10.0
-                  + CAST(ip1 % 13 AS DOUBLE) / 20.0
-                    * ln((CAST(x AS DOUBLE) * 10.0 + 500.0) * 100.0 / 800.0))
-              / 100.0, 4)) AS pres
-    FROM rec WHERE ({_DECODE_KIND_SQL.format(ip='ip1')}) = 5)
-  SELECT key, ip1, s.i - 1 AS pos, pres[s.i] AS pres
-  FROM p, UNNEST(generate_series(1, len(pres))) s(i)
-  ORDER BY key, pos
+  data AS (
+    SELECT nomvar, CAST(key % 50 AS INT) AS g, dateo AS datev, key, ip1,
+           ni, nj, d
+    FROM rec WHERE ip1 IN ({IP1S[2]}, {IP1S[3]})),
+  p0 AS (
+    SELECT g, list_transform(arg_min(d, key),
+             x -> CAST(CAST(x AS DOUBLE) * 10.0 + 500.0 AS FLOAT)) AS p0_d
+    FROM data GROUP BY g),
+  lv AS (
+    SELECT g, datev, ip1, arg_min(ni, key) AS ni, arg_min(nj, key) AS nj
+    FROM data GROUP BY 1, 2, 3),
+  co AS (
+    SELECT lv.*, p0.p0_d,
+      CAST(CASE WHEN ip1 = {IP1S[2]}
+                THEN CAST(7.0 + (g % 8) * 0.25 AS FLOAT)
+                ELSE CAST(8.0 AS FLOAT) END AS DOUBLE) AS tta,
+      CAST(CASE WHEN ip1 = {IP1S[2]}
+                THEN CAST((g % 4) * 0.125 AS FLOAT)
+                ELSE CAST((g % 8) * 0.0625 + 0.5 AS FLOAT) END AS DOUBLE) AS ttb,
+      ({_DECODE_VALUE_SQL.format(ip='ip1')}) AS lvl,
+      pow((({_DECODE_VALUE_SQL.format(ip='ip1')}) - 2.0 / 800.0)
+          / (1.0 - 2.0 / 800.0), 1600.0 / 1000.0) AS bco
+    FROM lv JOIN p0 USING (g)),
+  px AS (
+    SELECT 'PX' AS nomvar, g, ip1, datev,
+      CASE WHEN g < 25 THEN
+        list_transform(p0_d, x -> CAST(
+          exp(tta + ttb * ln(CAST(x AS DOUBLE) * 100.0 / 8.0)) / 100.0
+          AS FLOAT))
+      ELSE
+        list_transform(p0_d, x -> CAST(
+          800.0 * (lvl - bco) + bco * CAST(x AS DOUBLE) AS FLOAT))
+      END AS parr
+    FROM co
+    UNION ALL
+    SELECT 'PXSA' AS nomvar, g, ip1, datev,
+      CASE WHEN g < 25 THEN
+        list_transform(generate_series(1, ni * nj), i -> CAST(
+          exp(tta + ttb * ln(1013.25 * 100.0 / 8.0)) / 100.0 AS FLOAT))
+      ELSE
+        list_transform(generate_series(1, ni * nj), i -> CAST(
+          800.0 * (lvl - bco) + bco * 1013.25 AS FLOAT))
+      END AS parr
+    FROM co)
+  SELECT nomvar, g, ip1, datev, u.i - 1 AS pos,
+         round(CAST(parr[u.i] AS DOUBLE), 4) AS pres
+  FROM px, UNNEST(generate_series(1, len(parr))) u(i)
+  ORDER BY nomvar, g, ip1, datev, pos
 """
 
 
