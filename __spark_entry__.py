@@ -1937,7 +1937,7 @@ _Q_STREAM_EXTREMA_SQL = """
 # lat/lon across all analytic grid types (G12 beyond L)
 # ---------------------------------------------------------------------------
 
-LATLON_GRTYPS = ["A", "B", "G", "L", "Z", "Y", "E", "N", "S"]
+LATLON_GRTYPS = ["A", "B", "G", "L", "Z", "Y", "E", "N", "S", "U"]
 
 
 def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1945,8 +1945,10 @@ def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic grid per nation, grtyp by nationkey % 9. Z gets real
     ``>>``/``^^`` axis records (grref L), Y gets full 2-D axis payloads;
     E (rotated frame), N/S (polar stereographic true at 60°) and G
-    (Gauss-Legendre latitudes) exercise the trig paths. U (composite)
-    stays pytest-gated — its ``^>`` payload unpack has no SQL mirror."""
+    (Gauss-Legendre latitudes) exercise the trig paths. U (composite,
+    reference std_grid.py:114-203) gets a real ``^>`` record packing two
+    subgrid axis sets; the oracle rebuilds the same outer products, so
+    only X remains (documented) unsupported."""
     from fstd2pandas_spark.operators.grid import grid_lat_lon
 
     nat = _load(spark, sf_dir, "nation")
@@ -1954,7 +1956,7 @@ def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ni = (k % 5 + 4).cast("int")
     nj = (k % 4 + 3).cast("int")
     gt = F.element_at(F.array(*[F.lit(g) for g in LATLON_GRTYPS]),
-                      (k % 9 + 1).cast("int"))
+                      (k % 10 + 1).cast("int"))
     lat0 = (k - 12).cast("double")
     lon0 = (k * 14 - 180).cast("double")
     dlat = (k % 3 + 1).cast("double")
@@ -1966,6 +1968,7 @@ def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(gt == "Z", (3000 + k).cast("int"))
         .when(gt == "Y", (4000 + k).cast("int"))
         .when(gt == "E", ((k % 60 - 30 + 90) * 100).cast("int"))
+        .when(gt == "U", (5000 + k).cast("int"))
         .otherwise(((k % 3 + 2) * 100).cast("int"))  # N/S: pi*100
     )
     ig2 = (
@@ -1973,6 +1976,7 @@ def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(gt == "L", F.round((lon0 + 180) * 100).cast("int"))
         .when(gt.isin("Z", "Y"), (500 + k).cast("int"))
         .when(gt == "E", ((k * 11 % 360) * 100).cast("int"))
+        .when(gt == "U", (600 + k).cast("int"))
         .otherwise(((k % 2 + 2) * 100).cast("int"))  # N/S: pj*100
     )
     ig3 = (
@@ -2010,7 +2014,7 @@ def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     zero = F.lit(0)
     # Z axis records (grref L): >> = lon axis (ni), ^^ = lat axis (nj)
-    znat = k % 9 == 4
+    znat = k % 10 == 4
     z_ax = F.transform(F.sequence(F.lit(0), ni - 1),
                        lambda i: (lon0 + i * dlon).cast("float"))
     z_ay = F.transform(F.sequence(F.lit(0), nj - 1),
@@ -2020,7 +2024,7 @@ def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     zy = _rec("^^", F.lit(1), nj, ig1, ig2, F.lit("L"), zero, zero, zero,
               zero, grid, z_ay).where(znat)
     # Y axis records: full 2-D integral lon/lat payloads
-    ynat = k % 9 == 5
+    ynat = k % 10 == 5
     cseq = F.sequence(F.lit(0), ni * nj - 1)
     y_lon = F.transform(cseq, lambda c: ((k * 31 + c * 17) % 360).cast("float"))
     y_lat = F.transform(cseq, lambda c: ((k * 13 + c * 7) % 180 - 90).cast("float"))
@@ -2029,7 +2033,27 @@ def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     yy = _rec("^^", ni, nj, ig1, ig2, F.lit("L"), zero, zero, zero, zero,
               grid, y_lat).where(ynat)
 
-    recs = data.unionByName(zx).unionByName(zy).unionByName(yx).unionByName(yy)
+    # U composite: one ^> record packing [version, ni1, nj1, ni2, nj2,
+    # ax1, ay1, ax2, ay2] — subgrid 2 mirrors subgrid 1 (lon +90, lat
+    # negated), the yin-yang shape grid.py:_u_latlon unpacks
+    unat = k % 10 == 9
+    u_ax1 = F.transform(F.sequence(F.lit(0), ni - 1),
+                        lambda i: (lon0 + i * dlon).cast("float"))
+    u_ay1 = F.transform(F.sequence(F.lit(0), nj - 1),
+                        lambda j: (lat0 + j * dlat).cast("float"))
+    u_ax2 = F.transform(F.sequence(F.lit(0), ni - 1),
+                        lambda i: (lon0 + 90.0 + i * dlon).cast("float"))
+    u_ay2 = F.transform(F.sequence(F.lit(0), nj - 1),
+                        lambda j: (-(lat0 + j * dlat)).cast("float"))
+    u_d = F.concat(
+        F.array(F.lit(1.0).cast("float"), ni.cast("float"), nj.cast("float"),
+                ni.cast("float"), nj.cast("float")),
+        u_ax1, u_ay1, u_ax2, u_ay2)
+    uxy = _rec("^>", F.size(u_d), F.lit(1), ig1, ig2, F.lit("L"), zero,
+               zero, zero, zero, grid, u_d).where(unat)
+
+    recs = (data.unionByName(zx).unionByName(zy).unionByName(yx)
+            .unionByName(yy).unionByName(uxy))
     ll = grid_lat_lon(recs)
     return (
         ll.select("grid", "grtyp", "nomvar", "ni", "nj",
@@ -2065,7 +2089,7 @@ def _latlon_all_sql() -> str:
     SELECT n_nationkey AS k,
            CAST(n_nationkey % 5 + 4 AS INT) AS ni,
            CAST(n_nationkey % 4 + 3 AS INT) AS nj,
-           (['A','B','G','L','Z','Y','E','N','S'])[CAST(n_nationkey % 9 AS INT) + 1] AS gt
+           (['A','B','G','L','Z','Y','E','N','S','U'])[CAST(n_nationkey % 10 AS INT) + 1] AS gt
     FROM nation),
   p AS (
     SELECT k, ni, nj, gt,
@@ -2075,11 +2099,13 @@ def _latlon_all_sql() -> str:
                 WHEN gt = 'Z' THEN CAST(3000 + k AS INT)
                 WHEN gt = 'Y' THEN CAST(4000 + k AS INT)
                 WHEN gt = 'E' THEN CAST((k % 60 - 30 + 90) * 100 AS INT)
+                WHEN gt = 'U' THEN CAST(5000 + k AS INT)
                 ELSE CAST((k % 3 + 2) * 100 AS INT) END AS ig1,
            CASE WHEN gt IN ('A', 'B', 'G') THEN CAST(1000 + k AS INT)
                 WHEN gt = 'L' THEN CAST((k * 14 - 180 + 180) * 100 AS INT)
                 WHEN gt IN ('Z', 'Y') THEN CAST(500 + k AS INT)
                 WHEN gt = 'E' THEN CAST((k * 11 % 360) * 100 AS INT)
+                WHEN gt = 'U' THEN CAST(600 + k AS INT)
                 ELSE CAST((k % 2 + 2) * 100 AS INT) END AS ig2
     FROM g),
   cells AS (
@@ -2088,7 +2114,8 @@ def _latlon_all_sql() -> str:
            u.c AS pos,
            CAST(u.c % ni AS DOUBLE) AS i,
            CAST(u.c // ni AS DOUBLE) AS j
-    FROM p, UNNEST(generate_series(0, ni * nj - 1)) u(c)),
+    FROM p, UNNEST(generate_series(
+      0, ni * (CASE WHEN gt = 'U' THEN 2 * nj ELSE nj END) - 1)) u(c)),
   ez AS (
     SELECT *,
            radians(CAST(k % 60 - 30 AS DOUBLE)) AS lat1,
@@ -2133,7 +2160,8 @@ def _latlon_all_sql() -> str:
            cos(rlat)*cos(rlon)*e1z + cos(rlat)*sin(rlon)*e2z + sin(rlat)*e3z AS vz
     FROM eb4),
   vals AS (
-    SELECT grid, gt AS grtyp, ni, nj, pos,
+    SELECT grid, gt AS grtyp, ni,
+      CASE WHEN gt = 'U' THEN 2 * nj ELSE nj END AS nj_out, pos,
       CASE WHEN gt = 'A' THEN
              (CASE WHEN k % 3 = 1 THEN 0.0 ELSE -90.0 END)
              + (j + 0.5) * (CASE WHEN k % 3 IN (1, 2) THEN 90.0 ELSE 180.0 END) / nj
@@ -2144,6 +2172,9 @@ def _latlon_all_sql() -> str:
            WHEN gt = 'E' THEN degrees(asin(greatest(least(vz, 1.0), -1.0)))
            WHEN gt = 'N' THEN 90.0 - 2.0 * degrees(atan(sqrt(dx*dx + dy*dy) / scale))
            WHEN gt = 'S' THEN -(90.0 - 2.0 * degrees(atan(sqrt(dx*dx + dy*dy) / scale)))
+           WHEN gt = 'U' THEN CASE WHEN j < nj
+             THEN (k - 12) + j * (k % 3 + 1)
+             ELSE -((k - 12) + (j - nj) * (k % 3 + 1)) END
       END AS lat,
       CASE WHEN gt IN ('A', 'G') THEN i * 360.0 / ni
            WHEN gt = 'B' THEN i * 360.0 / (ni - 1)
@@ -2152,12 +2183,16 @@ def _latlon_all_sql() -> str:
            WHEN gt = 'E' THEN ((degrees(atan2(vy, vx)) % 360.0) + 360.0) % 360.0
            WHEN gt = 'N' THEN ((((dgrw + degrees(atan2(dy, dx))) % 360.0) + 360.0) % 360.0)
            WHEN gt = 'S' THEN ((((dgrw - degrees(atan2(dy, dx))) % 360.0) + 360.0) % 360.0)
+           WHEN gt = 'U' THEN (k * 14 - 180)
+             + (CASE WHEN j < nj THEN 0 ELSE 90 END) + i * (k % 4 + 2)
       END AS lon
     FROM ev)
-  SELECT grid, grtyp, 'LA' AS nomvar, ni, nj, pos, round(lat, 6) AS val
+  SELECT grid, grtyp, 'LA' AS nomvar, ni, nj_out AS nj, pos,
+         round(lat, 6) AS val
   FROM vals
   UNION ALL
-  SELECT grid, grtyp, 'LO' AS nomvar, ni, nj, pos, round(lon, 6) AS val
+  SELECT grid, grtyp, 'LO' AS nomvar, ni, nj_out AS nj, pos,
+         round(lon, 6) AS val
   FROM vals
   ORDER BY grid, nomvar, pos
 """
