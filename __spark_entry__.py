@@ -799,20 +799,52 @@ _Q_PRESSURE_HYB_SQL = f"""
 
 
 def q_fst_voir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/W2 voir ordering: nomvar asc, decoded level desc."""
+    """W1/W2 voir ordering (nomvar asc, decoded level desc) + J1 stdvar
+    dictionary broadcast-join (functions/meta.py with_decoded_columns'
+    lookup; reference std_dec.py:146-167): unit/description attach per
+    nomvar with the reference's scalar/empty defaults."""
+    from fstd2pandas_spark.lookups import stdvar_df
+
     rec = records_from_lineitem(spark, sf_dir)
+    lookup = F.broadcast(stdvar_df().select(
+        "nomvar", F.col("unit").alias("_u"),
+        F.col("description_en").alias("_d")))
     return (
-        rec.select(
+        rec.join(lookup, "nomvar", "left")
+        .select(
             "nomvar", "key",
             F.round(decode_ip_value(F.col("ip1")), 6).alias("level"),
+            F.coalesce(F.col("_u"), F.lit("scalar")).alias("unit"),
+            F.coalesce(F.col("_d"), F.lit("")).alias("description"),
         )
         .orderBy(F.col("nomvar").asc(), F.col("level").desc(), F.col("key").asc())
     )
 
 
+def _stdvar_case_sql() -> "tuple[str, str]":
+    """CASE arms for unit/description of the fixture nomvars, read from
+    the same public stdvar.csv the Spark side broadcasts."""
+    import csv
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fstd2pandas_spark", "lookups", "stdvar.csv")
+    units, descs = [], []
+    with open(path, newline="", encoding="utf-8") as f:
+        for row in csv.DictReader(f):
+            if row["nomvar"] in NOMVARS:
+                nv = row["nomvar"]
+                units.append(f"WHEN '{nv}' THEN '{row['unit']}'")
+                descs.append(f"WHEN '{nv}' THEN '{row['description_en']}'")
+    return (f"CASE nomvar {' '.join(units)} ELSE 'scalar' END",
+            f"CASE nomvar {' '.join(descs)} ELSE '' END")
+
+
+_U_CASE, _D_CASE = _stdvar_case_sql()
+
 _Q_VOIR_SQL = f"""
   WITH rec AS ({_RECORDS_SQL})
-  SELECT nomvar, key, round({_DECODE_VALUE_SQL.format(ip='ip1')}, 6) AS level
+  SELECT nomvar, key, round({_DECODE_VALUE_SQL.format(ip='ip1')}, 6) AS level,
+         {_U_CASE} AS unit, {_D_CASE} AS description
   FROM rec ORDER BY nomvar ASC, level DESC, key ASC
 """
 
@@ -2055,10 +2087,24 @@ def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = (data.unionByName(zx).unionByName(zy).unionByName(yx)
             .unionByName(yy).unionByName(uxy))
     ll = grid_lat_lon(recs)
-    return (
+    cells = (
         ll.select("grid", "grtyp", "nomvar", "ni", "nj",
                   F.posexplode("d").alias("pos", "val"))
         .withColumn("val", F.round(F.col("val").cast("double"), 6))
+    )
+    # G14/C23 epsilon-compare global/repetition flags as extra rows
+    # (operators/grid.py is_global_grid; reference std_grid.py:208-270)
+    from fstd2pandas_spark.operators.grid import is_global_grid
+
+    flags = is_global_grid(recs).select(
+        "grid", "grtyp", F.lit("GG").alias("nomvar"),
+        F.lit(0).alias("ni"), F.lit(0).alias("nj"),
+        F.posexplode(F.array(
+            F.col("global_grid").cast("double"),
+            F.col("repetition").cast("double"))).alias("pos", "val"),
+    )
+    return (
+        cells.unionByName(flags)
         .orderBy("grid", "nomvar", "pos")
     )
 
@@ -2186,7 +2232,31 @@ def _latlon_all_sql() -> str:
            WHEN gt = 'U' THEN (k * 14 - 180)
              + (CASE WHEN j < nj THEN 0 ELSE 90 END) + i * (k % 4 + 2)
       END AS lon
-    FROM ev)
+    FROM ev),
+  gf AS (
+    SELECT concat(CAST(ig1 AS VARCHAR), CAST(ig2 AS VARCHAR)) AS grid, gt,
+           CAST(ni - 1 AS DOUBLE) * (k % 4 + 2) AS zspan,
+           CAST(ni AS DOUBLE) * (k % 4 + 2) AS nb,
+           CAST(k % 4 + 2 AS DOUBLE) AS dlon
+    FROM p),
+  gf2 AS (
+    SELECT grid, gt,
+      CASE WHEN gt IN ('A', 'G', 'B') THEN TRUE
+           WHEN gt = 'Z' THEN abs(zspan) <= 0.001
+           WHEN gt = 'L' THEN
+             CASE WHEN abs(360.0 % dlon) < 1e-12
+                  THEN abs(nb - 360.0) <= 0.001
+                       OR abs(nb - (360.0 + dlon)) <= 0.001
+                  ELSE FALSE END
+           ELSE FALSE END AS gg,
+      CASE WHEN gt = 'B' THEN TRUE
+           WHEN gt = 'Z' THEN abs(zspan) <= 0.001
+           WHEN gt = 'L' THEN
+             CASE WHEN abs(360.0 % dlon) < 1e-12
+                  THEN abs(nb - (360.0 + dlon)) <= 0.001
+                  ELSE FALSE END
+           ELSE FALSE END AS rep
+    FROM gf)
   SELECT grid, grtyp, 'LA' AS nomvar, ni, nj_out AS nj, pos,
          round(lat, 6) AS val
   FROM vals
@@ -2194,6 +2264,14 @@ def _latlon_all_sql() -> str:
   SELECT grid, grtyp, 'LO' AS nomvar, ni, nj_out AS nj, pos,
          round(lon, 6) AS val
   FROM vals
+  UNION ALL
+  SELECT grid, gt AS grtyp, 'GG' AS nomvar, 0 AS ni, 0 AS nj, 0 AS pos,
+         CAST(gg AS DOUBLE) AS val
+  FROM gf2
+  UNION ALL
+  SELECT grid, gt AS grtyp, 'GG' AS nomvar, 0 AS ni, 0 AS nj, 1 AS pos,
+         CAST(rep AS DOUBLE) AS val
+  FROM gf2
   ORDER BY grid, nomvar, pos
 """
 
