@@ -1791,11 +1791,15 @@ def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5,
 
 
 def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with one Lloyd k-means refinement pass (similarity.py
+    lloyd_refine): md5-seeded centroids -> per-cell member means via
+    order-free quantized-integer sums, then inverted lists + nprobe
+    bucket joins. The oracle rebuilds the same refined index in SQL."""
     from fstd2pandas_spark.operators.llm import ivf_ann_topk
 
     emb = _load(spark, sf_dir, "embeddings")
     return ivf_ann_topk(emb, k=5, n_cells=8, nprobe=2, dim=64,
-                        n_queries=10).orderBy("query_id", "rank")
+                        n_queries=10, refine=1).orderBy("query_id", "rank")
 
 
 def _ann_ivf_sql(n_cells: int = 8, nprobe: int = 2, dim: int = 64,
@@ -1804,13 +1808,31 @@ def _ann_ivf_sql(n_cells: int = 8, nprobe: int = 2, dim: int = 64,
   WITH e AS (SELECT vec_id,
                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
-  cents AS (
+  cents0 AS (
     SELECT c.c AS c,
            list_transform(generate_series(0, {dim - 1}),
              j -> CAST(concat('0x', substr(md5(concat('ivf',
                     CAST(c.c AS VARCHAR), '_', CAST(j AS VARCHAR))), 1, 4))
                   AS BIGINT) / 32768.0 - 1.0) AS w
     FROM (SELECT unnest(generate_series(0, {n_cells - 1})) AS c) c),
+  sc0 AS (
+    SELECT e.vec_id, e.v, cents0.c,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, cents0.w) DESC,
+                                       cents0.c ASC) AS rn
+    FROM e, cents0),
+  a0 AS (SELECT vec_id, v, c AS cell FROM sc0 WHERE rn = 1),
+  cx AS (
+    SELECT cell, u.j AS j, count(*) AS n,
+           sum(CAST(floor(v[u.j] * 1048576.0) AS BIGINT)) AS s
+    FROM a0, UNNEST(generate_series(1, {dim})) u(j)
+    GROUP BY cell, u.j),
+  cr AS (SELECT cell, list(CAST(s AS DOUBLE) / (n * 1048576.0)
+                           ORDER BY j) AS w
+         FROM cx GROUP BY cell),
+  cents AS (
+    SELECT c0.c AS c, COALESCE(cr.w, c0.w) AS w
+    FROM cents0 c0 LEFT JOIN cr ON cr.cell = c0.c),
   sc AS (
     SELECT e.vec_id, e.v, cents.c,
            list_dot_product(e.v, cents.w) AS s,

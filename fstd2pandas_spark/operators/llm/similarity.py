@@ -131,12 +131,21 @@ def _centroid_weights(cell: int, dim: int) -> Column:
     )
 
 
-def ivf_cell_col(vec: Column, n_cells: int, dim: int) -> Column:
+def _centroid_col(cell: int, dim: int, weights=None) -> Column:
+    """Centroid c as a Column array: a Lloyd-refined literal when one is
+    available, the md5 seed otherwise."""
+    if weights is not None and weights[cell] is not None:
+        return F.array(*[F.lit(w) for w in weights[cell]])
+    return _centroid_weights(cell, dim)
+
+
+def ivf_cell_col(vec: Column, n_cells: int, dim: int,
+                 weights=None) -> Column:
     """IVF cell assignment: argmax over cells of <vec, centroid_c>
     (ties break toward the lower cell id)."""
     best_c, best_s = None, None
     for c in range(n_cells):
-        s = _dot(vec, _centroid_weights(c, dim))
+        s = _dot(vec, _centroid_col(c, dim, weights))
         if best_s is None:
             best_c, best_s = F.lit(c), s
         else:
@@ -146,10 +155,49 @@ def ivf_cell_col(vec: Column, n_cells: int, dim: int) -> Column:
     return best_c
 
 
+#: 2**20 — exact dyadic quantizer: float * _LLOYD_Q is exact, floor has
+#: no rounding ties, and integer sums are summation-order-free, so the
+#: refined centroids are bit-identical on any engine or partitioning
+_LLOYD_Q = 1048576.0
+
+
+def lloyd_refine(emb: DataFrame, n_cells: int, dim: int,
+                 vec_col: str = "embedding", iters: int = 1,
+                 weights=None) -> list:
+    """K-means (Lloyd) centroid refinement for the IVF index: assign
+    every vector to its nearest current centroid, then take per-cell
+    member means. Sums run as quantized integers (see _LLOYD_Q) so the
+    result is deterministic under any aggregation order — the property
+    that lets an SQL oracle reproduce the index exactly. One shuffle per
+    iteration (the cell groupBy); the collect is n_cells bounded rows.
+    Empty cells keep their previous (md5-seeded) centroid."""
+    for _ in range(iters):
+        assigned = emb.select(
+            ivf_cell_col(F.col(vec_col), n_cells, dim, weights)
+            .alias("_cell"),
+            F.col(vec_col).alias("_v"))
+        agg = assigned.groupBy("_cell").agg(
+            F.count("*").alias("_n"),
+            *[F.sum(F.floor(F.element_at("_v", j + 1).cast("double")
+                            * _LLOYD_Q).cast("long")).alias(f"_s{j}")
+              for j in range(dim)])
+        rows = {int(r["_cell"]): r for r in agg.collect()}
+        nxt = []
+        for c in range(n_cells):
+            r = rows.get(c)
+            if r is None or r["_n"] == 0:
+                nxt.append(None if weights is None else weights[c])
+            else:
+                nxt.append([float(r[f"_s{j}"]) / (r["_n"] * _LLOYD_Q)
+                            for j in range(dim)])
+        weights = nxt
+    return weights
+
+
 def ivf_ann_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
                  nprobe: int = 2, dim: int = 64, id_col: str = "vec_id",
                  vec_col: str = "embedding",
-                 n_queries: int = 10) -> DataFrame:
+                 n_queries: int = 10, refine: int = 0) -> DataFrame:
     """IVF-style approximate top-k — the second scale path beside
     :func:`lsh_ann_topk`.
 
@@ -159,16 +207,22 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
     per-cell — a co-partitioned equi-join over lists of ~N/n_cells
     vectors, never an all-pairs product. At 100 TB the inverted lists
     shuffle once on the cell id and every probe is a bucket lookup.
+
+    ``refine`` > 0 runs that many Lloyd iterations over the corpus to
+    replace the md5-seeded centroids with member means (deterministic —
+    see :func:`lloyd_refine`) before building the inverted lists.
     """
     emb = ensure_min_partitions(emb)
+    weights = (lloyd_refine(emb, n_cells, dim, vec_col, iters=refine)
+               if refine else None)
     cand = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        ivf_cell_col(F.col(vec_col), n_cells, dim).alias("_cell"),
+        ivf_cell_col(F.col(vec_col), n_cells, dim, weights).alias("_cell"),
     )
     # per-query top-nprobe cells: score every centroid, rank, explode
     scores = F.array(*[
         F.struct(
-            (-_dot(F.col(vec_col), _centroid_weights(c, dim))).alias("neg"),
+            (-_dot(F.col(vec_col), _centroid_col(c, dim, weights))).alias("neg"),
             F.lit(c).alias("cell"),
         )
         for c in range(n_cells)

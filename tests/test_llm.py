@@ -224,3 +224,28 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
         assert pair in exact and j <= exact[pair] + 1e-9
     # the genuinely near-identical pair survives the cap
     assert ("d90", "d91") in capped
+
+
+def test_ivf_lloyd_refinement(spark, emb):
+    """One Lloyd iteration must not hurt recall vs the md5 seeds, and its
+    centroids must be deterministic under re-computation (quantized
+    integer sums are aggregation-order-free)."""
+    from fstd2pandas_spark.operators.llm.similarity import (
+        cosine_topk, ivf_ann_topk, lloyd_refine)
+
+    exact = {}
+    for r in cosine_topk(emb, k=5, n_queries=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(refine):
+        got = {}
+        for r in ivf_ann_topk(emb, k=5, n_cells=8, nprobe=2, dim=64,
+                              n_queries=10, refine=refine).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(got.get(q, set()) & s) for q, s in exact.items())
+        return hits / sum(len(s) for s in exact.values())
+
+    assert recall(1) >= recall(0)
+    w1 = lloyd_refine(emb, 8, 64, iters=1)
+    w2 = lloyd_refine(emb.repartition(7), 8, 64, iters=1)
+    assert w1 == w2
