@@ -1,11 +1,15 @@
 """Multimodal-column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The container has no image/audio codecs, so the *decode kernels* are
-stubbed (deterministic fake or NotImplementedError), but the Spark-side
-plumbing is real and tested: schemas, Arrow-batched ``mapInPandas``
-pipelines, partition sizing, and batch shapes are exactly what a real
-decoder would plug into.
+Image decode is REAL for the codec-free formats — PPM (P6 binary / P3
+ascii) and uncompressed 24-bit BMP decode in pure numpy
+(:func:`decode_image`), and :func:`resize_images` runs an actual
+nearest-neighbour resample + PPM re-encode. Payloads in formats that
+need external codecs (JPEG/PNG/audio/video) fall back to a
+deterministic content-hash featurizer; the Spark-side plumbing —
+schemas, Arrow-batched ``mapInPandas`` pipelines, partition sizing,
+batch shapes — is identical either way, so plugging PIL/ffmpeg in later
+changes one function.
 
 Pipeline shape at 100 TB: media rows are large (MBs), so
 ``spark.sql.files.maxPartitionBytes`` and Arrow's maxRecordsPerBatch bound
@@ -48,9 +52,101 @@ _FEATURE_SCHEMA = T.StructType([
 ])
 
 
-def _fake_decode(payload: bytes) -> np.ndarray:
-    """STUB decoder: a real build would call PIL/ffmpeg here. Deterministic
-    fake: md5-seeded byte histogram folded to FEATURE_DIM floats."""
+def decode_image(payload: bytes) -> "np.ndarray | None":
+    """Pure-numpy decode of the codec-free raster formats to an
+    (h, w, 3) uint8 array: PPM P6 (binary) / P3 (ascii) and uncompressed
+    24-bit BMP. Returns None for anything else — callers fall back to
+    the opaque-payload featurizer."""
+    if not payload:
+        return None
+    if payload[:2] in (b"P6", b"P3"):
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM" and len(payload) > 34:
+        return _decode_bmp(payload)
+    return None
+
+
+def _ppm_tokens(payload: bytes, n: int, start: int = 2):
+    """First ``n`` whitespace-separated tokens after ``start``, skipping
+    ``#`` comments; returns (ints, offset just past the final token's
+    single trailing whitespace byte)."""
+    toks, i, tok = [], start, b""
+    while len(toks) < n and i < len(payload):
+        c = payload[i:i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            if tok:
+                toks.append(int(tok))
+                tok = b""
+                if len(toks) == n:
+                    i += 1
+                    break
+        else:
+            tok += c
+        i += 1
+    if len(toks) < n:
+        raise ValueError("truncated PPM header")
+    return toks, i
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    binary = payload[:2] == b"P6"
+    (w, h, maxval), off = _ppm_tokens(payload, 3)
+    if binary:
+        raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                            offset=off)
+    else:
+        raw = np.array(payload[off:].split()[:w * h * 3], dtype=np.int64)
+    if maxval != 255:
+        raw = (raw.astype(np.int64) * 255) // max(maxval, 1)
+    return raw.astype(np.uint8).reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes) -> "np.ndarray | None":
+    off = int(np.frombuffer(payload, "<u4", 1, 10)[0])
+    w = int(np.frombuffer(payload, "<i4", 1, 18)[0])
+    h = int(np.frombuffer(payload, "<i4", 1, 22)[0])
+    bpp = int(np.frombuffer(payload, "<u2", 1, 28)[0])
+    comp = int(np.frombuffer(payload, "<u4", 1, 30)[0])
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None    # only the uncompressed 24-bit layout is codec-free
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, stride * h, off)
+    img = rows.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)[..., ::-1]
+    return img if top_down else img[::-1]
+
+
+def _encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def _resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return img[yi][:, xi]
+
+
+def _image_features(img: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM floats from real pixels: per-channel means and stds
+    (6) + a 10-bin normalized luma histogram."""
+    px = img.reshape(-1, 3).astype(np.float64)
+    means = px.mean(axis=0) / 255.0
+    stds = px.std(axis=0) / 255.0
+    luma = px @ np.array([0.299, 0.587, 0.114])
+    hist = np.histogram(luma, bins=10, range=(0.0, 255.0001))[0]
+    hist = hist / max(len(luma), 1)
+    return np.concatenate([means, stds, hist]).astype(np.float32)
+
+
+def _opaque_features(payload: bytes) -> np.ndarray:
+    """Featurizer for payloads whose codec is unavailable (JPEG/PNG/
+    audio/video): md5-seeded byte histogram folded to FEATURE_DIM floats
+    — deterministic, so pipelines stay testable without the codec."""
     if payload is None:
         payload = b""
     digest = hashlib.md5(payload).digest()
@@ -58,19 +154,23 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return arr.reshape(FEATURE_DIM, -1).mean(axis=1) / 255.0
 
 
-def extract_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+def _featurize(payload: bytes) -> np.ndarray:
+    img = decode_image(payload)
+    return _image_features(img) if img is not None else _opaque_features(payload)
 
-    Real decode is stubbed (:func:`_fake_decode`); the mapInPandas batch
-    shape, schema and memory profile are production-real.
-    """
+
+def extract_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads: real pixel
+    statistics for PPM/BMP (:func:`decode_image`), content-hash features
+    for opaque formats. The mapInPandas batch shape, schema and memory
+    profile are production-real either way."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # bound working set: split oversized Arrow batches
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start:start + batch_rows]
-                feats = [_fake_decode(p).tolist() for p in chunk["payload"]]
+                feats = [_featurize(p).tolist() for p in chunk["payload"]]
                 yield pd.DataFrame({
                     "asset_id": chunk["asset_id"].values,
                     "kind": chunk["kind"].values,
@@ -82,20 +182,31 @@ def extract_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     return ensure_min_partitions(df).mapInPandas(_run, schema=_FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: image resize kernel. Raises on execution (no codec in this
-    container); the plan-side contract (schema in = schema out with new
-    width/height) is real."""
+def resize_images(df: DataFrame, width: int, height: int,
+                  batch_rows: int = 64) -> DataFrame:
+    """Nearest-neighbour resample of every decodable payload to
+    (width, height), re-encoded as PPM P6. Non-decodable payloads raise
+    — resizing bytes you can't decode is an error, not a no-op."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image codecs unavailable in this container; plug PIL/opencv here"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows].copy()
+                out = []
+                for a, p in zip(chunk["asset_id"], chunk["payload"]):
+                    img = decode_image(p)
+                    if img is None:
+                        raise ValueError(
+                            f"asset {a}: payload is not a decodable "
+                            "PPM/BMP image")
+                    out.append(_encode_ppm(_resize_nearest(img, width, height)))
+                chunk["payload"] = out
+                chunk["mime"] = "image/x-portable-pixmap"
+                chunk["width"] = np.int32(width)
+                chunk["height"] = np.int32(height)
+                yield chunk
 
-    out_schema = df.schema
-    resized = df.mapInPandas(_run, schema=out_schema)
-    return resized.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
+    return df.mapInPandas(_run, schema=df.schema)
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

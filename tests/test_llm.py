@@ -249,3 +249,72 @@ def test_ivf_lloyd_refinement(spark, emb):
     w1 = lloyd_refine(emb, 8, 64, iters=1)
     w2 = lloyd_refine(emb.repartition(7), 8, 64, iters=1)
     assert w1 == w2
+
+
+def _bmp_bytes(img):
+    """Minimal uncompressed 24-bit BMP (bottom-up, BGR, 4-byte row pad)."""
+    import struct
+
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = b"".join(
+        img[y, :, ::-1].tobytes() + b"\x00" * (stride - w * 3)
+        for y in range(h - 1, -1, -1))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                       2835, 2835, 0, 0)
+    return header + info + rows
+
+
+def test_image_decode_and_features(spark):
+    """PPM P6/P3 + BMP decode to identical pixels; features are real
+    pixel stats, not hash fakes."""
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.multimodal import (
+        _encode_ppm, _image_features, decode_image, extract_features)
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    p6 = _encode_ppm(img)
+    p3 = b"P3\n# comment\n5 4\n255\n" + " ".join(
+        str(v) for v in img.reshape(-1)).encode()
+    bmp = _bmp_bytes(img)
+    for payload in (p6, p3, bmp):
+        assert np.array_equal(decode_image(payload), img)
+    assert decode_image(b"\x89PNG\r\n") is None
+
+    feats = _image_features(img)
+    assert feats.shape == (16,)
+    assert abs(feats[0] - img[..., 0].mean() / 255.0) < 1e-6
+    assert abs(feats[6:].sum() - 1.0) < 1e-6  # luma histogram sums to 1
+
+    df = spark.createDataFrame(
+        [(1, "image", "image/x-portable-pixmap", 5, 4, None, bytearray(p6)),
+         (2, "image", None, None, None, None, bytearray(b"not an image"))],
+        "asset_id long, kind string, mime string, width int, height int, "
+        "duration_ms int, payload binary")
+    out = {r.asset_id: r for r in extract_features(df).collect()}
+    assert np.allclose(out[1].feature, feats, atol=1e-6)
+    assert out[2].n_bytes == 12  # opaque fallback still deterministic
+
+
+def test_resize_images_real(spark):
+    """Nearest-neighbour resize halves dims and re-encodes as PPM."""
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.multimodal import (
+        _encode_ppm, _resize_nearest, decode_image, resize_images)
+
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, "image", "image/x-portable-pixmap", 6, 8, None,
+          bytearray(_encode_ppm(img)))],
+        "asset_id long, kind string, mime string, width int, height int, "
+        "duration_ms int, payload binary")
+    row = resize_images(df, 3, 4).collect()[0]
+    assert (row.width, row.height) == (3, 4)
+    got = decode_image(bytes(row.payload))
+    assert np.array_equal(got, _resize_nearest(img, 3, 4))
+    assert got.shape == (4, 3, 3)
