@@ -380,3 +380,57 @@ def test_writer_commit_removes_orphans_and_tmp(registered, records, tmp_path):
     names2 = sorted(os.listdir(out))
     assert names2 and not (set(names) & set(names2))
     assert registered.read.format("fstrec").load(out).count() == 5
+
+
+@pytest.mark.parametrize("datyp,nbits,gen", [
+    (5, 32, "randn_f4"), (5, 64, "randn_f8"),
+    (2, 32, "uint_u4"), (4, 32, "int_i4"),
+    (130, 16, "uint_small"), (134, 16, "int_valued_f4"),
+    (134, 24, "randn_f4"),
+])
+def test_xdf_format_matrix(tmp_path, datyp, nbits, gen):
+    """One matrix test locking the whole supported (datyp, nbits)
+    lattice through the real container: every transparent layout plus
+    both turbo codes, with deleted records interleaved and enough
+    records to chain multiple directory pages (xdf_format.py
+    ENTRIES_PER_PAGE=256)."""
+    import numpy as np
+
+    from fstd2pandas_spark.sources.xdf_format import (
+        read_xdf_directory, read_xdf_payload, write_xdf)
+
+    rng = np.random.RandomState(datyp * 100 + nbits)
+    n = 300    # > ENTRIES_PER_PAGE: forces a second directory page
+    recs = []
+    for i, base in enumerate(_xdf_sample_records(n)):
+        sz = base["ni"] * base["nj"]
+        if gen == "randn_f4":
+            d = (rng.randn(sz) * 50).astype("<f4")
+        elif gen == "randn_f8":
+            d = rng.randn(sz)
+        elif gen == "uint_u4":
+            d = rng.randint(0, 1 << 31, size=sz).astype("u4")
+        elif gen == "int_i4":
+            d = rng.randint(-(1 << 30), 1 << 30, size=sz).astype("i4")
+        elif gen == "uint_small":
+            d = rng.randint(0, 1 << 12, size=sz).astype("u2")
+        else:   # int-valued floats: exact through the 134 quantizer
+            d = rng.randint(0, 1 << 10, size=sz).astype("<f4")
+        recs.append(dict(base, datyp=datyp, nbits=nbits, d=d,
+                         deleted=(i % 37 == 5)))
+    path = str(tmp_path / f"m{datyp}_{nbits}.fst")
+    write_xdf(path, recs)
+    hdrs = read_xdf_directory(path)
+    live = [r for r in recs if not r["deleted"]]
+    assert len(hdrs) == len(live)
+    with open(path, "rb") as f:
+        for r, h in zip(live, hdrs):
+            assert (h.datyp, h.nbits) == (datyp, nbits)
+            got = read_xdf_payload(f, h)
+            # the reader returns float32 (the engine's d column type)
+            want = np.asarray(r["d"]).astype("<f4")
+            if gen == "randn_f4" and datyp == 134:
+                span = float(want.max() - want.min()) or 1.0
+                assert np.allclose(got, want, atol=span / (1 << (nbits - 1)))
+            else:
+                assert np.array_equal(got, want)
