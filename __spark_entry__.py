@@ -434,24 +434,56 @@ OLD_STAMPS = [85050612, 99123123, 45010100, 123, 10101011]
 def q_fst_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/C5 stamp decode (new-style linear + old AAMMJJHH format) +
     forecast hour + C14 timezone shift (reference std_dec.py:172-187,
-    dataframe.py:148-167)."""
+    dataframe.py:148-167) + J9 stations dictionary broadcast-join
+    (lookups/stationsfb.csv; reference csv station table)."""
     from fstd2pandas_spark.functions.encoders import to_timezone
+    from fstd2pandas_spark.lookups import stations_df
 
     rec = records_from_lineitem(spark, sf_dir)
     obs = stamp_to_timestamp(F.col("dateo"))
     old = F.element_at(F.array(*[F.lit(s) for s in OLD_STAMPS]),
                        (F.col("key") % 5 + 1).cast("int")).cast("long")
-    return rec.select(
-        "key", "dateo",
-        obs.alias("date_of_observation"),
-        (F.col("deet").cast("long") * F.col("npas")).alias("forecast_seconds"),
-        old.alias("dateo_old"),
-        # string-typed: NULL-bearing timestamp columns hash unreliably
-        # across engines; strings carry NULL fine
-        F.date_format(stamp_to_timestamp(old), "yyyy-MM-dd HH:mm:ss")
-        .alias("date_old_decoded"),
-        to_timezone(obs, "America/Montreal").alias("date_local"),
-    ).orderBy("key")
+    st = F.broadcast(stations_df().select(
+        F.col("station_id").cast("long").alias("_sid"),
+        F.col("name").alias("station_name"),
+        F.col("latitude").alias("station_lat"),
+        F.col("longitude").alias("station_lon")))
+    return (
+        rec.withColumn("_sid", F.lit(71000) + F.col("key") % 10)
+        .join(st, "_sid", "left")
+        .select(
+            "key", "dateo",
+            obs.alias("date_of_observation"),
+            (F.col("deet").cast("long") * F.col("npas")).alias("forecast_seconds"),
+            old.alias("dateo_old"),
+            # string-typed: NULL-bearing timestamp columns hash unreliably
+            # across engines; strings carry NULL fine
+            F.date_format(stamp_to_timestamp(old), "yyyy-MM-dd HH:mm:ss")
+            .alias("date_old_decoded"),
+            to_timezone(obs, "America/Montreal").alias("date_local"),
+            "station_name", "station_lat", "station_lon",
+        ).orderBy("key")
+    )
+
+
+def _stations_case_sql() -> str:
+    """CASE arms mapping key % 10 -> (name, lat, lon) from the same
+    public stationsfb.csv the Spark side broadcasts."""
+    import csv
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fstd2pandas_spark", "lookups", "stationsfb.csv")
+    n, la, lo = [], [], []
+    with open(path, newline="", encoding="utf-8") as f:
+        for row in csv.DictReader(f):
+            i = int(row["station_id"]) - 71000
+            n.append(f"WHEN {i} THEN '{row['name']}'")
+            la.append(f"WHEN {i} THEN {row['latitude']}")
+            lo.append(f"WHEN {i} THEN {row['longitude']}")
+    arm = "CASE CAST(key % 10 AS INT) {} END"
+    return (f"{arm.format(' '.join(n))} AS station_name, "
+            f"{arm.format(' '.join(la))} AS station_lat, "
+            f"{arm.format(' '.join(lo))} AS station_lon")
 
 
 #: SQL mirror of the old-format AAMMJJHH decode branch
@@ -479,7 +511,8 @@ _Q_DATES_SQL = f"""
          strftime({_STAMP_OLD_SQL.format(s='dateo_old')},
                   '%Y-%m-%d %H:%M:%S') AS date_old_decoded,
          {_STAMP_TS_SQL.format(s='dateo').replace("'UTC'", "'America/Montreal'")}
-           AS date_local
+           AS date_local,
+         {_stations_case_sql()}
   FROM ext ORDER BY key
 """
 
@@ -582,25 +615,65 @@ _Q_STATS_SQL = f"""
 
 
 def q_fst_unit_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C17/C18: affine array conversion (celsius -> kelvin on TT records)."""
+    """C17/C18 affine array conversion (celsius -> kelvin on TT records)
+    + J9 thermo-constants broadcast lookup: Magnus saturation vapour
+    pressure svp = AEw1 * exp(AEw2*t/(t+AEw3)) with the coefficients
+    joined from lookups/thermo_constants.csv, treating the quantity as a
+    temperature in celsius."""
+    from fstd2pandas_spark.lookups import thermo_df
+
     rec = records_from_lineitem(spark, sf_dir)
-    converted = rec.filter(F.col("nomvar") == "TT").withColumn(
-        "d_k", F.transform("d", lambda x: F.round(x.cast("double") + 273.15, 4))
+    co = F.broadcast(
+        thermo_df().filter(F.col("name").isin("AEw1", "AEw2", "AEw3"))
+        .groupBy().pivot("name", ["AEw1", "AEw2", "AEw3"]).agg(F.first("value")))
+    converted = (
+        rec.filter(F.col("nomvar") == "TT").crossJoin(co)
+        .withColumn("d_k", F.transform(
+            "d", lambda x: F.round(x.cast("double") + 273.15, 4)))
+        .withColumn("svp", F.transform(
+            "d", lambda x: F.round(
+                F.col("AEw1") * F.exp(F.col("AEw2") * x.cast("double")
+                                      / (x.cast("double") + F.col("AEw3"))),
+                4)))
     )
     # posexplode to scalar (pos, val) cells: the driver's canonicalizer
     # hashes scalar cells only (same shape as the green fst_latlon row).
     return (
-        converted.select("key", F.posexplode("d_k").alias("pos", "val"))
+        converted.select(
+            "key",
+            F.posexplode(F.arrays_zip("d_k", "svp")).alias("pos", "_z"))
+        .select("key", "pos", F.col("_z.d_k").alias("val"),
+                F.col("_z.svp").alias("svp"))
         .orderBy("key", "pos")
     )
+
+
+def _thermo_literal(name: str) -> str:
+    """The named constant's literal from the same thermo_constants.csv
+    the Spark side broadcasts."""
+    import csv
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fstd2pandas_spark", "lookups",
+                        "thermo_constants.csv")
+    with open(path, newline="", encoding="utf-8") as f:
+        for row in csv.DictReader(f):
+            if row["name"].strip("'") == name:
+                return row["value"]
+    raise KeyError(name)
 
 
 _Q_UNIT_SQL = f"""
   WITH rec AS ({_RECORDS_SQL}),
   conv AS (
-    SELECT key, list_transform(d, x -> round(CAST(x AS DOUBLE) + 273.15, 4)) AS d_k
+    SELECT key,
+           list_transform(d, x -> round(CAST(x AS DOUBLE) + 273.15, 4)) AS d_k,
+           list_transform(d, x -> round(
+             {_thermo_literal('AEw1')} * exp({_thermo_literal('AEw2')}
+               * CAST(x AS DOUBLE)
+               / (CAST(x AS DOUBLE) + {_thermo_literal('AEw3')})), 4)) AS svp
     FROM rec WHERE nomvar = 'TT')
-  SELECT key, s.i - 1 AS pos, d_k[s.i] AS val
+  SELECT key, s.i - 1 AS pos, d_k[s.i] AS val, svp[s.i] AS svp
   FROM conv, UNNEST(generate_series(1, len(d_k))) s(i)
   ORDER BY key, pos
 """
