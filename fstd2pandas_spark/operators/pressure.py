@@ -19,9 +19,12 @@ grid's surface-pressure/coordinate descriptors:
 (std_vgrid.py:298-310,345-351,376-383,463-476).
 
 Spark shape: the per-level coefficient math runs on a *levels frame*
-(distinct (grid, datev, vctype, ip1) — tiny), which then broadcast-joins
-the per-grid P0/PT arrays; the only big-data operation is one
-``transform``/``zip_with`` per emitted record. No Python in the data path.
+(distinct (grid, datev, vctype, ip1) — tiny) computed by ONE window over
+the data rows, then four broadcast LEFT joins (P0, PT, ``!!`` triples,
+HY) and a per-row CASE choosing the family's arithmetic — a single-pass
+plan with no per-family subtree duplication. The only big-data operation
+is one ``transform``/``zip_with`` per emitted record. No Python and no
+driver-side actions in the data path.
 
 Output matches the reference's ``compute``: PX records + the input's meta
 records (quick_pressure.py:79-83); the original data rows are not echoed.
@@ -43,7 +46,12 @@ _EXCLUDED = ["!!", "HY", "P0", "PT", ">>", "^^", "PX", "PXSA"]
 
 def _first_meta(df: DataFrame, nomvar: str, keys: list[str],
                 prefix: str) -> DataFrame:
-    """First record of `nomvar` per key set, renamed with a prefix."""
+    """First record of `nomvar` per key set, renamed with a prefix.
+
+    With no keys the window is intentionally global — it only ever sees
+    the handful of rows surviving the nomvar filter (HY is a per-file
+    singleton), so the single partition is bounded, not a scale hazard.
+    """
     parts = [F.col(k) for k in keys] if keys else [F.lit(1)]
     w = Window.partitionBy(*parts).orderBy(F.col("key").asc_nulls_last(),
                                            F.col("datev").asc())
@@ -85,77 +93,11 @@ def quick_pressure(df: DataFrame, standard_atmosphere: bool = False) -> DataFram
 
     p0 = _first_meta(df, "P0", ["grid"], "p0")
     pt = _first_meta(df, "PT", ["grid"], "pt")
-    hy = _first_meta(df, "HY", [], "hy") if df.filter(F.col("nomvar") == "HY").limit(1).count() else None
+    hy = _first_meta(df, "HY", [], "hy")
 
     lvl = F.col("level").cast("double")
     sa = F.lit(STANDARD_ATMOSPHERE)
-    out_parts: list[DataFrame] = []
-
-    def _finish(part: DataFrame, d_expr: Column, nbits_col, datyp_col) -> DataFrame:
-        nomvar = "PXSA" if standard_atmosphere else "PX"
-        return (
-            part.withColumn("d", d_expr)
-            .withColumn("nomvar", F.lit(nomvar))
-            .withColumn("etiket", F.lit("PRESSR"))
-            .withColumn("nbits", nbits_col.cast("int"))
-            .withColumn("datyp", datyp_col.cast("int"))
-            .select(*[c for c in df.columns if c != "vctype"])
-        )
-
-    # --- SIGMA_1001: level * P0 ------------------------------------------
-    sig = levels.filter(F.col("vctype") == "SIGMA_1001").join(F.broadcast(p0), "grid")
-    if standard_atmosphere:
-        d = F.array_repeat((sa * lvl).cast("float"), F.col("ni") * F.col("nj"))
-    else:
-        d = F.transform(F.col("p0_d"), lambda x: (lvl * x.cast("double")).cast("float"))
-    out_parts.append(_finish(sig, d, F.col("p0_nbits"), F.col("p0_datyp")))
-
-    # --- ETA_1002: level*(P0-PT) + PT -------------------------------------
-    eta = (
-        levels.filter(F.col("vctype") == "ETA_1002")
-        .join(F.broadcast(p0), "grid").join(F.broadcast(pt), "grid")
-    )
-    if standard_atmosphere:
-        d = F.transform(
-            F.col("pt_d"),
-            lambda ptv: (ptv.cast("double") * (1.0 - lvl) + lvl * sa).cast("float"),
-        )
-    else:
-        d = F.zip_with(
-            F.col("p0_d"), F.col("pt_d"),
-            lambda a, b: (lvl * (a.cast("double") - b.cast("double")) + b.cast("double")).cast("float"),
-        )
-    out_parts.append(_finish(eta, d, F.col("p0_nbits"), F.col("p0_datyp")))
-
-    # --- PRESSURE_2001: constant level (nbits 32, datyp 5) ----------------
-    prs = levels.filter(F.col("vctype") == "PRESSURE_2001")
-    d = F.array_repeat(lvl.cast("float"), F.col("ni") * F.col("nj"))
-    out_parts.append(_finish(prs, d, F.lit(32), F.lit(5)))
-
-    # --- HYBRID_5001: A + B*P0 from HY params -----------------------------
-    if hy is not None:
-        h51 = (
-            levels.filter(F.col("vctype") == "HYBRID_5001")
-            .join(F.broadcast(p0), "grid").crossJoin(F.broadcast(hy))
-        )
-        ptop = F.element_at(F.col("hy_d"), 1).cast("double")
-        pref = F.col("hy_ig1").cast("double")
-        rcoef = F.col("hy_ig2").cast("double") / 1000.0
-        etatop = ptop / pref
-        bcoef = F.pow((lvl - etatop) / (1.0 - etatop), rcoef)
-        acoef = pref * (lvl - bcoef)
-        if standard_atmosphere:
-            term = F.pow(
-                F.greatest(lvl - etatop, F.lit(0.0)) / (1.0 - etatop), rcoef
-            )
-            pv = (pref * (lvl - term) + term * sa).cast("float")
-            d = F.array_repeat(pv, F.col("ni") * F.col("nj"))
-        else:
-            d = F.transform(
-                F.col("p0_d"),
-                lambda x: (acoef + bcoef * x.cast("double")).cast("float"),
-            )
-        out_parts.append(_finish(h51, d, F.col("p0_nbits"), F.col("p0_datyp")))
+    vct = F.col("vctype")
 
     # --- HYBRID_5002-5005: exp(A + B*ln(P0*100/pref))/100 via !! table ----
     # NOTE: ip1 values inside the ``!!`` table ride in the float32 ``d``
@@ -179,31 +121,102 @@ def quick_pressure(df: DataFrame, standard_atmosphere: bool = False) -> DataFram
         ).alias("_tt"),
     ).select("tt_grid", "tt_vcode", "tt_pref", "_tt.*")
 
-    htt = (
-        levels.filter(F.col("vctype").isin("HYBRID_5002", "HYBRID_5003",
-                                           "HYBRID_5004", "HYBRID_5005"))
-        .withColumn("_vcode", F.regexp_extract("vctype", r"(\d+)$", 1).try_cast("int"))
+    # --- single-pass join pipeline ----------------------------------------
+    # ONE windowed levels frame + four broadcast LEFT joins + per-row CASE
+    # arithmetic. The per-vctype union of earlier versions duplicated the
+    # base scan + window subtree once per family (6x at plan level); here
+    # every family reads the same exchange. HY attaches via a 1-row
+    # broadcast NLJ on lit(true): an empty HY frame yields nulls (the
+    # 5001 rows then drop in the eligibility filter) without any
+    # driver-side existence probe.
+    lv = (
+        levels
+        .withColumn("_vcode",
+                    F.regexp_extract("vctype", r"(\d+)$", 1).try_cast("int"))
+        .join(F.broadcast(p0), "grid", "left")
+        .join(F.broadcast(pt), "grid", "left")
         .join(
             F.broadcast(tt),
             on=(F.col("ip1") == F.col("tt_ip1"))
             & (F.col("grid") == F.col("tt_grid"))
             & (F.col("_vcode") == F.col("tt_vcode")),
+            how="left",
         )
-        .join(F.broadcast(p0), "grid")
+        .join(F.broadcast(hy), on=F.lit(True), how="left")
     )
-    if standard_atmosphere:
-        pv = (F.exp(F.col("tt_a") + F.col("tt_b") * F.log(sa * 100.0 / F.col("tt_pref"))) / 100.0).cast("float")
-        d = F.array_repeat(pv, F.col("ni") * F.col("nj"))
-    else:
-        d = F.transform(
-            F.col("p0_d"),
-            lambda x: (
-                F.exp(F.col("tt_a") + F.col("tt_b") * F.log(x.cast("double") * 100.0 / F.col("tt_pref"))) / 100.0
-            ).cast("float"),
-        )
-    out_parts.append(_finish(htt, d, F.col("p0_nbits"), F.col("p0_datyp")))
 
-    out = out_parts[0]
-    for p in out_parts[1:]:
-        out = out.unionByName(p)
+    is_toc = vct.isin("HYBRID_5002", "HYBRID_5003", "HYBRID_5004",
+                      "HYBRID_5005")
+    has_p0 = F.col("p0_d").isNotNull()
+    eligible = (
+        ((vct == "SIGMA_1001") & has_p0)
+        | ((vct == "ETA_1002") & has_p0 & F.col("pt_d").isNotNull())
+        | (vct == "PRESSURE_2001")
+        | ((vct == "HYBRID_5001") & has_p0 & F.col("hy_d").isNotNull())
+        | (is_toc & has_p0 & F.col("tt_ip1").isNotNull())
+    )
+
+    # HYBRID_5001 coefficients (HY: ptop = d[0], pref = ig1, rcoef = ig2/1000)
+    ptop = F.element_at(F.col("hy_d"), 1).cast("double")
+    pref = F.col("hy_ig1").cast("double")
+    rcoef = F.col("hy_ig2").cast("double") / 1000.0
+    etatop = ptop / pref
+    bcoef = F.pow((lvl - etatop) / (1.0 - etatop), rcoef)
+    acoef = pref * (lvl - bcoef)
+    cell = F.col("ni") * F.col("nj")
+
+    if standard_atmosphere:
+        term = F.pow(
+            F.greatest(lvl - etatop, F.lit(0.0)) / (1.0 - etatop), rcoef)
+        d = (
+            F.when(vct == "SIGMA_1001",
+                   F.array_repeat((sa * lvl).cast("float"), cell))
+            .when(vct == "ETA_1002", F.transform(
+                F.col("pt_d"),
+                lambda ptv: (ptv.cast("double") * (1.0 - lvl) + lvl * sa)
+                .cast("float")))
+            .when(vct == "PRESSURE_2001",
+                  F.array_repeat(lvl.cast("float"), cell))
+            .when(vct == "HYBRID_5001", F.array_repeat(
+                (pref * (lvl - term) + term * sa).cast("float"), cell))
+            .otherwise(F.array_repeat(
+                (F.exp(F.col("tt_a") + F.col("tt_b")
+                       * F.log(sa * 100.0 / F.col("tt_pref"))) / 100.0)
+                .cast("float"), cell))
+        )
+    else:
+        d = (
+            F.when(vct == "SIGMA_1001", F.transform(
+                F.col("p0_d"),
+                lambda x: (lvl * x.cast("double")).cast("float")))
+            .when(vct == "ETA_1002", F.zip_with(
+                F.col("p0_d"), F.col("pt_d"),
+                lambda a, b: (lvl * (a.cast("double") - b.cast("double"))
+                              + b.cast("double")).cast("float")))
+            .when(vct == "PRESSURE_2001",
+                  F.array_repeat(lvl.cast("float"), cell))
+            .when(vct == "HYBRID_5001", F.transform(
+                F.col("p0_d"),
+                lambda x: (acoef + bcoef * x.cast("double")).cast("float")))
+            .otherwise(F.transform(
+                F.col("p0_d"),
+                lambda x: (F.exp(F.col("tt_a") + F.col("tt_b")
+                                 * F.log(x.cast("double") * 100.0
+                                         / F.col("tt_pref"))) / 100.0)
+                .cast("float")))
+        )
+
+    is_2001 = vct == "PRESSURE_2001"
+    out = (
+        lv.filter(eligible)
+        .withColumn("d", d)
+        .withColumn("nomvar",
+                    F.lit("PXSA" if standard_atmosphere else "PX"))
+        .withColumn("etiket", F.lit("PRESSR"))
+        .withColumn("nbits", F.when(is_2001, F.lit(32))
+                    .otherwise(F.col("p0_nbits")).cast("int"))
+        .withColumn("datyp", F.when(is_2001, F.lit(5))
+                    .otherwise(F.col("p0_datyp")).cast("int"))
+        .select(*[c for c in df.columns if c != "vctype"])
+    )
     return out.unionByName(meta.select(out.columns))
