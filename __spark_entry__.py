@@ -2634,14 +2634,18 @@ def q_fst_xdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         register(spark)
     except Exception:
         pass  # already registered in this session
-    # mixed packings: transparent IEEE float32 (datyp 5) for even keys,
-    # turbo-compressed (datyp 134, turbo_codec.py) for odd — quantities
-    # are integer-valued and span < 2**16 quanta, so the quantizer is
+    # mixed packings cycling the whole float codec family
+    # (turbo_codec.py): transparent IEEE (5), compressed quantized
+    # (134/129), legacy packed (1), compressed IEEE (133) — quantities
+    # are integer-valued and span < 2**16 quanta, so the quantizers are
     # exact and the oracle stays the identity construction
+    dcase = F.element_at(F.array(*[F.lit(v) for v in (5, 134, 129, 1, 133)]),
+                         (F.col("ip3") % 5 + 1).cast("int"))
+    ncase = F.element_at(F.array(*[F.lit(v) for v in (32, 16, 16, 16, 32)]),
+                         (F.col("ip3") % 5 + 1).cast("int"))
     wdf = (
         _writable_records(spark, sf_dir)
-        .withColumn("datyp", F.when(F.col("ip3") % 2 == 0, 5).otherwise(134))
-        .withColumn("nbits", F.when(F.col("ip3") % 2 == 0, 32).otherwise(16))
+        .withColumn("datyp", dcase).withColumn("nbits", ncase)
     )
     out_dir = os.path.join(
         _TMP_ROOT, f"xdf_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}")
@@ -2668,8 +2672,8 @@ _Q_XDF_RT_SQL = f"""
   SELECT nomvar, typvar, etiket, ni, nj, nk,
          (raw_o // 8) * 10 + raw_o % 8 AS dateo,
          ip1, ip2, ip3, deet, npas,
-         CASE WHEN ip3 % 2 = 0 THEN 5 ELSE 134 END AS datyp,
-         CASE WHEN ip3 % 2 = 0 THEN 32 ELSE 16 END AS nbits, grtyp,
+         ([5, 134, 129, 1, 133])[CAST(ip3 % 5 AS INT) + 1] AS datyp,
+         ([32, 16, 16, 16, 32])[CAST(ip3 % 5 AS INT) + 1] AS nbits, grtyp,
          ig1, ig2, ig3, ig4, datev,
          u.i - 1 AS pos, round(CAST(d[u.i] AS DOUBLE), 4) AS val
   FROM s, UNNEST(generate_series(1, len(d))) u(i)

@@ -1,4 +1,9 @@
-"""Turbo-pack payload codec for compressed FST datyps (130, 134).
+"""Turbo-pack payload codec family for packed/compressed FST datyps.
+
+Codes (reference DATYP_DICT __init__.py:94-108; +128 = armn_compress):
+1 'R' / 6 'F' legacy packed floats (quantize, no entropy layer);
+129 'R' / 134 'F' compressed quantized floats; 130 'I' unsigned /
+132 'S' signed compressed ints; 133 'E' compressed IEEE float32.
 
 Real operational FST files overwhelmingly carry ``datyp 134`` (float
 fields quantized by librmn's ``c_float_packer`` then entropy-reduced by
@@ -53,7 +58,12 @@ _WIDTH_BITS = 6
 _BLOCK = 32
 _EXP_BIAS = 4096
 
-COMPRESSED_DATYPS = (130, 134)
+COMPRESSED_DATYPS = (129, 130, 132, 133, 134)
+#: legacy non-compressed packed floats (datyp 1 'R', 6 'F'): exponent-
+#: aligned fixed point at adaptive block widths, no entropy layer
+PACKED_DATYPS = (1, 6)
+#: every datyp whose payload carries the self-describing codec header
+SELF_DESCRIBING_DATYPS = PACKED_DATYPS + COMPRESSED_DATYPS
 
 
 # ---------------------------------------------------------------------------
@@ -161,7 +171,10 @@ def compress_payload(d: np.ndarray, ni: int, nj: int, nk: int,
         raise ValueError(
             f"turbo-pack nbits must be in [1, 61], got {nbits}")
     d = np.asarray(d)
-    if datyp == 134:
+    entropy = datyp in COMPRESSED_DATYPS
+    if datyp in (134, 129, 1, 6):
+        # quantized floats: 134/129 add the Lorenzo entropy layer,
+        # 1/6 pack the raw tokens (legacy R/F, std_io.py DATYP_DICT)
         m, exp0, tokens = quantize(d, nbits)
     elif datyp == 130:
         tokens = np.rint(np.asarray(d, dtype="float64")).astype("int64")
@@ -170,9 +183,26 @@ def compress_payload(d: np.ndarray, ni: int, nj: int, nk: int,
             raise ValueError(
                 f"datyp 130 tokens out of the {nbits}-bit unsigned range")
         m, exp0 = 0.0, 0
+    elif datyp == 132:
+        tokens = np.rint(np.asarray(d, dtype="float64")).astype("int64")
+        lim = 1 << max(nbits - 1, 1)
+        if tokens.size and (tokens.min() < -lim or tokens.max() >= lim):
+            raise ValueError(
+                f"datyp 132 tokens out of the {nbits}-bit signed range")
+        m, exp0 = 0.0, 0
+    elif datyp == 133:
+        # compressed IEEE: the float32 bit patterns are the tokens
+        if nbits > 32:
+            raise ValueError("datyp 133 packs float32; nbits must be <= 32")
+        tokens = np.ascontiguousarray(
+            np.asarray(d, dtype="<f4")).view("<u4").astype("int64")
+        m, exp0 = 0.0, 0
     else:
         raise NotImplementedError(f"datyp {datyp} is not a turbo-pack code")
-    stream = _pack_bits(_zigzag(_residuals(tokens, ni)))
+    if entropy:
+        stream = _pack_bits(_zigzag(_residuals(tokens, ni)))
+    else:
+        stream = _pack_bits(tokens.astype("uint64"))
     head = np.zeros(5, dtype=">u4")
     head[0] = tokens.size
     head[1] = ((nbits & 0xFF) << 24) | ((exp0 + _EXP_BIAS) & 0xFFFFFF)
@@ -193,10 +223,15 @@ def decompress_payload(words: np.ndarray, ni: int, nj: int, nk: int,
         np.array([head[3], head[2]], dtype="<u4").tobytes(), dtype="<f8")[0])
     stream = words[5:5 + int(head[4])]
     u = _unpack_bits(np.asarray(stream, dtype=">u4"), ntokens)
-    tokens = _unresiduals(_unzigzag(u), ni)
-    if datyp == 134:
+    if datyp in COMPRESSED_DATYPS:
+        tokens = _unresiduals(_unzigzag(u), ni)
+    else:                       # 1/6: raw fixed-point tokens
+        tokens = u.astype("int64")
+    if datyp in (134, 129, 1, 6):
         return dequantize(m, exp0, tokens, qnbits)
-    return tokens.astype("<f4")
+    if datyp == 133:
+        return tokens.astype("<u4").view("<f4")
+    return tokens.astype("<f4")     # 130 unsigned / 132 signed ints
 
 
 def compressed_payload_length(f, offset: int) -> int:

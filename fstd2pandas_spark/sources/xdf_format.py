@@ -37,11 +37,13 @@ File layout::
 
 Payload packing implemented for the uncompressed transparent datyps —
 IEEE float (5, 32/64-bit), unsigned int (2), signed int (4) — and for
-the turbo-packed codes 130 (compressed unsigned int) and 134
-(compressed float) via the numpy predictor+bit-plane codec in
-``turbo_codec.py`` (the armn_compress/float_packer analogue; reference
-std_io.py:550-560).  The remaining legacy packed datyps (1, 6, 129,
-133) still raise with a clear message instead of returning wrong bytes.
+every packed/compressed code in the DATYP table via the numpy codec
+family in ``turbo_codec.py`` (the armn_compress/float_packer analogue;
+reference std_io.py:550-560, DATYP_DICT __init__.py:94-108): legacy
+packed floats 1 'R' / 6 'F' (exponent-aligned fixed point) and the
+compressed codes 129 'R', 130 'I', 132 'S', 133 'E', 134 'F'
+(Lorenzo-predictor entropy layer). Self-describing payload headers, so
+the reader needs no librmn length tables.
 """
 
 from __future__ import annotations
@@ -117,10 +119,10 @@ def payload_dtype(datyp: int, nbits: int) -> str:
     dt = _TRANSPARENT.get((int(datyp), int(nbits)))
     if dt is None:
         raise NotImplementedError(
-            f"datyp={datyp}/nbits={nbits}: legacy packed FST layouts are "
-            "unsupported; readable here are the transparent layouts "
-            f"{sorted(_TRANSPARENT)} and the turbo-packed datyps "
-            f"{turbo_codec.COMPRESSED_DATYPS}"
+            f"datyp={datyp}/nbits={nbits}: unsupported layout; readable "
+            f"here are the transparent layouts {sorted(_TRANSPARENT)} and "
+            f"the self-describing packed/compressed datyps "
+            f"{turbo_codec.SELF_DESCRIBING_DATYPS}"
         )
     return dt
 
@@ -222,7 +224,7 @@ def _payload_words(rec: dict, d: np.ndarray) -> np.ndarray:
         raise ValueError(
             f"record {rec.get('nomvar')!r}: len(d)={arr.size} != "
             f"ni*nj*nk={want}")
-    if datyp in turbo_codec.COMPRESSED_DATYPS:
+    if datyp in turbo_codec.SELF_DESCRIBING_DATYPS:
         words = turbo_codec.compress_payload(arr, ni, nj, nk, datyp, nbits)
     else:
         buf = np.ascontiguousarray(arr.astype(payload_dtype(datyp, nbits)))
@@ -374,7 +376,7 @@ def read_xdf_payload(f, header: RecordHeader) -> np.ndarray:
     to match the engine's ``d`` column type.  Turbo-packed records
     (datyp 130/134) carry a self-describing header, so the byte count
     comes from the payload itself rather than ni*nj*nk."""
-    if header.datyp in turbo_codec.COMPRESSED_DATYPS:
+    if header.datyp in turbo_codec.SELF_DESCRIBING_DATYPS:
         nwords = turbo_codec.compressed_payload_length(f, header.offset)
         f.seek(header.offset)
         words = np.frombuffer(f.read(nwords * 4), dtype=">u4")

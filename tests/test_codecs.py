@@ -158,3 +158,31 @@ def test_turbo_codec_roundtrips():
     c = np.full(40, 7.0, dtype="<f4")
     w = compress_payload(c, 8, 5, 1, 134, 16)
     assert np.array_equal(decompress_payload(w, 8, 5, 1, 134, 16), c)
+
+
+def test_codec_family_roundtrips():
+    """Datyps 1/6 (legacy packed floats), 129 (compressed quantized),
+    132 (compressed signed int), 133 (compressed IEEE bit-exact)."""
+    import numpy as np
+
+    from fstd2pandas_spark.sources.turbo_codec import (
+        compress_payload, decompress_payload)
+
+    rng = np.random.RandomState(17)
+    ni, nj = 9, 7
+    n = ni * nj
+    f = (rng.randn(n) * 30).astype("<f4")
+    for datyp in (1, 6, 129):
+        w = compress_payload(f, ni, nj, 1, datyp, 20)
+        back = decompress_payload(w, ni, nj, 1, datyp, 20)
+        span = float(f.max() - f.min())
+        assert np.allclose(back, f, atol=span / (1 << 19))
+    s = rng.randint(-2000, 2000, size=n).astype("i2")
+    w = compress_payload(s, ni, nj, 1, 132, 16)
+    assert np.array_equal(decompress_payload(w, ni, nj, 1, 132, 16),
+                          s.astype("<f4"))
+    # 133: IEEE bit patterns survive exactly, including -0.0 and tiny values
+    f2 = np.concatenate([f, np.array([-0.0, 1e-38, -1e-30], dtype="<f4")])
+    w = compress_payload(f2, 1, len(f2), 1, 133, 32)
+    back = decompress_payload(w, 1, len(f2), 1, 133, 32)
+    assert np.array_equal(back.view("<u4"), f2.view("<u4"))

@@ -276,11 +276,11 @@ def test_xdf_transparent_datyps_and_compressed_rejection(tmp_path):
         got = read_xdf_payload(f, chdr)
     span = float(crec["d"].max() - crec["d"].min())
     assert np.allclose(got, crec["d"], atol=span / (1 << 15))
-    # legacy armn packed datyps stay an explicit error
-    for legacy in (1, 6, 129, 133):
+    # datyps outside the DATYP table stay an explicit error
+    for bad in (7, 3):
         with pytest.raises(NotImplementedError):
-            write_xdf(str(tmp_path / f"l{legacy}.fst"),
-                      [dict(base[0], datyp=legacy, nbits=16)])
+            write_xdf(str(tmp_path / f"l{bad}.fst"),
+                      [dict(base[0], datyp=bad, nbits=16)])
 
 
 def test_xdf_datasource_roundtrip_and_mixed_dir(registered, records,
@@ -386,7 +386,10 @@ def test_writer_commit_removes_orphans_and_tmp(registered, records, tmp_path):
     (5, 32, "randn_f4"), (5, 64, "randn_f8"),
     (2, 32, "uint_u4"), (4, 32, "int_i4"),
     (130, 16, "uint_small"), (134, 16, "int_valued_f4"),
-    (134, 24, "randn_f4"),
+    (134, 24, "randn_f4"), (129, 16, "int_valued_f4"),
+    (129, 24, "randn_f4"), (132, 16, "int_small_signed"),
+    (133, 32, "randn_f4"), (1, 16, "int_valued_f4"),
+    (1, 24, "randn_f4"), (6, 16, "int_valued_f4"),
 ])
 def test_xdf_format_matrix(tmp_path, datyp, nbits, gen):
     """One matrix test locking the whole supported (datyp, nbits)
@@ -414,7 +417,9 @@ def test_xdf_format_matrix(tmp_path, datyp, nbits, gen):
             d = rng.randint(-(1 << 30), 1 << 30, size=sz).astype("i4")
         elif gen == "uint_small":
             d = rng.randint(0, 1 << 12, size=sz).astype("u2")
-        else:   # int-valued floats: exact through the 134 quantizer
+        elif gen == "int_small_signed":
+            d = rng.randint(-(1 << 12), 1 << 12, size=sz).astype("i2")
+        else:   # int-valued floats: exact through the quantizer
             d = rng.randint(0, 1 << 10, size=sz).astype("<f4")
         recs.append(dict(base, datyp=datyp, nbits=nbits, d=d,
                          deleted=(i % 37 == 5)))
@@ -429,7 +434,7 @@ def test_xdf_format_matrix(tmp_path, datyp, nbits, gen):
             got = read_xdf_payload(f, h)
             # the reader returns float32 (the engine's d column type)
             want = np.asarray(r["d"]).astype("<f4")
-            if gen == "randn_f4" and datyp == 134:
+            if gen == "randn_f4" and datyp in (1, 129, 134):
                 span = float(want.max() - want.min()) or 1.0
                 assert np.allclose(got, want, atol=span / (1 << (nbits - 1)))
             else:
