@@ -59,11 +59,21 @@ _BLOCK = 32
 _EXP_BIAS = 4096
 
 COMPRESSED_DATYPS = (129, 130, 132, 133, 134)
-#: legacy non-compressed packed floats (datyp 1 'R', 6 'F'): exponent-
-#: aligned fixed point at adaptive block widths, no entropy layer
-PACKED_DATYPS = (1, 6)
+#: legacy non-compressed packed codes: floats 1 'R' / 6 'F' (exponent-
+#: aligned fixed point) and sub-word ints 2 'I' / 4 'S' at nbits < 32 —
+#: all at adaptive block widths, no entropy layer
+PACKED_DATYPS = (1, 2, 4, 6)
 #: every datyp whose payload carries the self-describing codec header
 SELF_DESCRIBING_DATYPS = PACKED_DATYPS + COMPRESSED_DATYPS
+
+
+def is_codec_datyp(datyp: int, nbits: int) -> bool:
+    """True when (datyp, nbits) routes through this codec rather than a
+    transparent word layout: every compressed code, the packed floats,
+    and sub-word ints (2/4 at nbits < 32 — at 32 they are transparent)."""
+    if datyp in COMPRESSED_DATYPS or datyp in (1, 6):
+        return True
+    return datyp in (2, 4) and nbits < 32
 
 
 # ---------------------------------------------------------------------------
@@ -176,19 +186,23 @@ def compress_payload(d: np.ndarray, ni: int, nj: int, nk: int,
         # quantized floats: 134/129 add the Lorenzo entropy layer,
         # 1/6 pack the raw tokens (legacy R/F, std_io.py DATYP_DICT)
         m, exp0, tokens = quantize(d, nbits)
-    elif datyp == 130:
+    elif datyp in (130, 2):
         tokens = np.rint(np.asarray(d, dtype="float64")).astype("int64")
         if tokens.size and (tokens.min() < 0 or
                             tokens.max() >= (1 << nbits)):
             raise ValueError(
-                f"datyp 130 tokens out of the {nbits}-bit unsigned range")
+                f"datyp {datyp} tokens out of the {nbits}-bit unsigned range")
         m, exp0 = 0.0, 0
-    elif datyp == 132:
+    elif datyp in (132, 4):
+        # signed ints; the packed (4) variant zigzags so the raw block
+        # packer sees unsigned tokens
         tokens = np.rint(np.asarray(d, dtype="float64")).astype("int64")
         lim = 1 << max(nbits - 1, 1)
         if tokens.size and (tokens.min() < -lim or tokens.max() >= lim):
             raise ValueError(
-                f"datyp 132 tokens out of the {nbits}-bit signed range")
+                f"datyp {datyp} tokens out of the {nbits}-bit signed range")
+        if datyp == 4:
+            tokens = _zigzag(tokens).astype("int64")
         m, exp0 = 0.0, 0
     elif datyp == 133:
         # compressed IEEE: the float32 bit patterns are the tokens
@@ -225,13 +239,15 @@ def decompress_payload(words: np.ndarray, ni: int, nj: int, nk: int,
     u = _unpack_bits(np.asarray(stream, dtype=">u4"), ntokens)
     if datyp in COMPRESSED_DATYPS:
         tokens = _unresiduals(_unzigzag(u), ni)
-    else:                       # 1/6: raw fixed-point tokens
+    elif datyp == 4:            # packed signed: undo the zigzag
+        tokens = _unzigzag(u)
+    else:                       # 1/6/2: raw fixed-point / uint tokens
         tokens = u.astype("int64")
     if datyp in (134, 129, 1, 6):
         return dequantize(m, exp0, tokens, qnbits)
     if datyp == 133:
         return tokens.astype("<u4").view("<f4")
-    return tokens.astype("<f4")     # 130 unsigned / 132 signed ints
+    return tokens.astype("<f4")     # 130/2 unsigned, 132/4 signed ints
 
 
 def compressed_payload_length(f, offset: int) -> int:

@@ -224,7 +224,7 @@ def _payload_words(rec: dict, d: np.ndarray) -> np.ndarray:
         raise ValueError(
             f"record {rec.get('nomvar')!r}: len(d)={arr.size} != "
             f"ni*nj*nk={want}")
-    if datyp in turbo_codec.SELF_DESCRIBING_DATYPS:
+    if turbo_codec.is_codec_datyp(datyp, nbits):
         words = turbo_codec.compress_payload(arr, ni, nj, nk, datyp, nbits)
     else:
         buf = np.ascontiguousarray(arr.astype(payload_dtype(datyp, nbits)))
@@ -376,7 +376,7 @@ def read_xdf_payload(f, header: RecordHeader) -> np.ndarray:
     to match the engine's ``d`` column type.  Turbo-packed records
     (datyp 130/134) carry a self-describing header, so the byte count
     comes from the payload itself rather than ni*nj*nk."""
-    if header.datyp in turbo_codec.SELF_DESCRIBING_DATYPS:
+    if turbo_codec.is_codec_datyp(header.datyp, header.nbits):
         nwords = turbo_codec.compressed_payload_length(f, header.offset)
         f.seek(header.offset)
         words = np.frombuffer(f.read(nwords * 4), dtype=">u4")

@@ -439,3 +439,34 @@ def test_xdf_format_matrix(tmp_path, datyp, nbits, gen):
                 assert np.allclose(got, want, atol=span / (1 << (nbits - 1)))
             else:
                 assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("datyp,nbits,signed", [
+    (2, 16, False), (2, 8, False), (4, 16, True), (4, 12, True),
+])
+def test_xdf_subword_int_packing(tmp_path, datyp, nbits, signed):
+    """Sub-word int layouts (datyp 2/4 at nbits < 32) round-trip through
+    the packed-token route; at nbits = 32 they stay transparent."""
+    import numpy as np
+
+    from fstd2pandas_spark.sources.xdf_format import (
+        read_xdf_directory, read_xdf_payload, write_xdf)
+
+    rng = np.random.RandomState(nbits)
+    recs = []
+    for base in _xdf_sample_records(40):
+        sz = base["ni"] * base["nj"]
+        if signed:
+            lim = 1 << (nbits - 1)
+            d = rng.randint(-lim, lim, size=sz).astype("i4")
+        else:
+            d = rng.randint(0, 1 << nbits, size=sz).astype("u4")
+        recs.append(dict(base, datyp=datyp, nbits=nbits, d=d,
+                         deleted=False))
+    path = str(tmp_path / "sub.fst")
+    write_xdf(path, recs)
+    hdrs = read_xdf_directory(path)
+    with open(path, "rb") as f:
+        for r, h in zip(recs, hdrs):
+            assert np.array_equal(read_xdf_payload(f, h),
+                                  np.asarray(r["d"]).astype("<f4"))
