@@ -2191,7 +2191,7 @@ def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/grid.py is_global_grid; reference std_grid.py:208-270)
     from fstd2pandas_spark.operators.grid import is_global_grid
 
-    flags = is_global_grid(recs).select(
+    flags = is_global_grid(recs, latlon=ll).select(
         "grid", "grtyp", F.lit("GG").alias("nomvar"),
         F.lit(0).alias("ni"), F.lit(0).alias("nj"),
         F.posexplode(F.array(

@@ -359,12 +359,16 @@ def grid_lat_lon(df: DataFrame, keep_template_cols: bool = True) -> DataFrame:
     return out
 
 
-def is_global_grid(df: DataFrame, epsilon: float = 0.001) -> DataFrame:
+def is_global_grid(df: DataFrame, epsilon: float = 0.001,
+                   latlon: "DataFrame | None" = None) -> DataFrame:
     """G14: per grid, (global_grid, repetition) flags following the
     reference's rules (std_grid.py:208-270): A/G global; B global with
     repeated longitude; Z global iff first lon == last lon (eps); L by
-    dlon coverage arithmetic."""
-    lo = grid_lat_lon(df).filter(F.col("nomvar") == "LO").select(
+    dlon coverage arithmetic. Pass ``latlon`` (a prior
+    :func:`grid_lat_lon` result) to reuse its plan instead of
+    recomputing the LA/LO expansion."""
+    lo = (grid_lat_lon(df) if latlon is None else latlon).filter(
+        F.col("nomvar") == "LO").select(
         "grid", "grtyp", "ni", "ig4", F.col("d").alias("_lon"))
     first = F.element_at("_lon", 1)
     last = F.element_at("_lon", F.size("_lon"))
