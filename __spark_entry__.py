@@ -803,7 +803,13 @@ def q_fst_pressure_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         d=F.array(F.lit(2.0).cast("float")),
         ig1=F.lit(800), ig2=F.lit(1600), nbits=F.lit(32), datyp=F.lit(5))
 
-    recs = data.unionByName(p0).unionByName(tt).unionByName(hy)
+    # quick_pressure references its input six ways (meta, levels, P0,
+    # PT, HY, !!); a file-backed table would serve those as pushed-down
+    # scans, but this synthetic union would re-expand per reference
+    # (165-exchange plan measured) — checkpoint the small constructed
+    # input so every reference scans materialized blocks instead
+    recs = (data.unionByName(p0).unionByName(tt).unionByName(hy)
+            .localCheckpoint(eager=True))
     out = quick_pressure(recs).unionByName(
         quick_pressure(recs, standard_atmosphere=True))
     return (
