@@ -1394,7 +1394,10 @@ def q_fst_metadata_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     insensitive to which duplicate row a dedup keeps."""
     from fstd2pandas_spark.operators.metadata import metadata_cleanup
 
-    rec = _full_records(spark, sf_dir)
+    # metadata_cleanup references its input once per descriptor family;
+    # checkpoint the synthetic construction so those references scan
+    # materialized blocks instead of re-expanding the lineage
+    rec = _full_records(spark, sf_dir).localCheckpoint(eager=True)
     out = metadata_cleanup(rec)
     cols = ["nomvar", "ip1", "ip2", "ni", "nj", "ig1"]
     return out.select(*cols).distinct().orderBy(*cols)
