@@ -34,6 +34,44 @@ from fstd2pandas_spark.schema import (
     DATYP_DICT,
     KIND_DICT,
 )
+from fstd2pandas_spark.api import (
+    QuickPressure,
+    StandardFileReader,
+    StandardFileWriter,
+)
+
+
+def __getattr__(name):
+    """Reference-named helpers, lazily bound so importing the package
+    stays light (mirrors fstpy's top-level exports: select_with_meta,
+    fststat, voir, metadata_cleanup, unit_convert, ...)."""
+    _LAZY = {
+        "select_with_meta": ("operators.select", "select_with_meta"),
+        "select_meta": ("operators.select", "select_meta"),
+        "select_no_meta": ("operators.select", "select_no_meta"),
+        "fststat": ("operators.stats", "fststat"),
+        "voir": ("operators.stats", "voir"),
+        "metadata_cleanup": ("operators.metadata", "metadata_cleanup"),
+        "unit_convert": ("operators.units", "unit_convert"),
+        "quick_pressure": ("operators.pressure", "quick_pressure"),
+        "apply_mask": ("operators.mask", "apply_mask"),
+        "recover_mask": ("operators.mask", "recover_mask"),
+        "grid_lat_lon": ("operators.grid", "grid_lat_lon"),
+        "is_global_grid": ("operators.grid", "is_global_grid"),
+        "to_cube": ("operators.cube", "to_cube"),
+        "to_xarray": ("operators.cube", "to_xarray"),
+        "with_decoded_columns": ("functions.meta", "with_decoded_columns"),
+        "drop_duplicates": ("operators.dedup", "drop_duplicates"),
+        "csv_to_records": ("sources.csv_source", "read_csv_records"),
+    }
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(f"fstd2pandas_spark.{mod}"),
+                       attr)
+    raise AttributeError(name)
+
 
 __version__ = "0.1.0"
 
@@ -44,4 +82,7 @@ __all__ = [
     "META_NOMVARS",
     "DATYP_DICT",
     "KIND_DICT",
+    "StandardFileReader",
+    "StandardFileWriter",
+    "QuickPressure",
 ]
