@@ -117,13 +117,15 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
 
     # repartition on the join key so both self-join sides share ONE
     # exchange subtree (ReusedExchange): the signature pipeline computes
-    # once. A plain self-join would broadcast one side and recompute the
-    # entire minhash for it.
+    # once. The MERGE hint keeps the planner from broadcasting one side
+    # when stats look small — that would recompute the whole minhash
+    # subtree for the build side, and at corpus scale the build side IS
+    # the corpus (a driver-OOM plan).
     banded = banded.repartition("band", "bucket")
     left = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_a"))
     right = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_b"))
     return (
-        left.join(right, ["band", "bucket"])
+        left.hint("merge").join(right, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_bands"))

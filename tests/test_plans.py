@@ -1,0 +1,77 @@
+"""Plan-shape regression locks: the scale properties the engine is
+designed around (SURVEY §4 O1/O2/O10) asserted against actual physical
+plans, so a refactor that silently loses pushdown, pruning, a broadcast,
+or an exchange reuse fails here rather than at 100 TB."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_parquet_pushdown_and_pruning(spark):
+    """O1/O2: a metadata predicate reaches the parquet scan and the read
+    schema carries only referenced columns."""
+    df = (
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        .filter(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_comment" not in rs and "l_extendedprice" not in rs
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_revenue_join_strategy(spark):
+    """O10: small dims broadcast; no cartesian products anywhere."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["revenue_by_nation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_minhash_lsh_reuses_bucket_exchange(spark):
+    """The LSH bucket self-join must share ONE repartition exchange
+    (ReusedExchange), not rebuild the md5/shingle subtree per side — and
+    must never broadcast a side (the build side IS the corpus at scale).
+    AQE finalizes exchange reuse at runtime, so execute first and assert
+    on the final adaptive plan."""
+    import __spark_entry__ as e
+
+    df = e.queries()["doc_minhash_lsh"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_no_row_python_udfs_in_gated_queries(spark):
+    """UDFs are the slow path: no row-at-a-time Python evaluation in any
+    batch gated query (Arrow mapInPandas shows as MapInPandas, which is
+    allowed for the multimodal kernel only)."""
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        if name.startswith("stream_"):
+            continue
+        plan = _plan(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        if name != "mm_features":
+            assert "MapInPandas" not in plan, name
