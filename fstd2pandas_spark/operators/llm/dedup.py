@@ -170,10 +170,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         # left_anti keeps the index free of the hot keys; the small hot
         # list broadcasts (it is bounded by |vocab above the cap|)
         idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # one shuffle on the shingle shared by both self-join sides
+    # (ReusedExchange); MERGE hints throughout — the posting list and
+    # the per-doc size table are both corpus-sized at scale, so a
+    # stats-driven broadcast of either is a driver-OOM plan
+    idx = idx.repartition("shingle")
     a = idx.select(F.col("shingle"), F.col(id_col).alias("doc_a"))
     b = idx.select(F.col("shingle"), F.col(id_col).alias("doc_b"))
     shared = (
-        a.join(b, "shingle")
+        a.hint("merge").join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
@@ -181,7 +186,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     return (
-        shared.join(na, "doc_a").join(nb, "doc_b")
+        shared.hint("merge").join(na, "doc_a")
+        .hint("merge").join(nb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),

@@ -51,14 +51,15 @@ def test_minhash_lsh_reuses_bucket_exchange(spark):
     on the final adaptive plan."""
     import __spark_entry__ as e
 
-    df = e.queries()["doc_minhash_lsh"](spark, SF_DIR)
-    df.collect()
-    plan = _plan(df)
-    assert "isFinalPlan=true" in plan
-    assert "ReusedExchange" in plan
-    assert "SortMergeJoin" in plan
-    assert "BroadcastHashJoin" not in plan
-    assert "CartesianProduct" not in plan
+    for q in ("doc_minhash_lsh", "doc_ngram_jaccard"):
+        df = e.queries()[q](spark, SF_DIR)
+        df.collect()
+        plan = _plan(df)
+        assert "isFinalPlan=true" in plan, q
+        assert "ReusedExchange" in plan, q
+        assert "SortMergeJoin" in plan, q
+        assert "BroadcastHashJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
