@@ -59,7 +59,9 @@ def apply_mask(df: DataFrame, mask_typvar: str = "@@",
         *MASK_GROUP_COLS, F.col("d").alias("_mask_d")
     )
     keep = float(keep_value)
-    paired = vars_.join(masks, MASK_GROUP_COLS, "inner")
+    # MERGE hint: the mask side is one record per data record — corpus-
+    # scale — so a stats-driven broadcast would be a driver-OOM plan
+    paired = vars_.hint("merge").join(masks, MASK_GROUP_COLS, "inner")
     masked_d = F.zip_with(
         F.col("d"), F.col("_mask_d"),
         lambda v, m: F.when(m == F.lit(keep), v).otherwise(F.lit(None)),
