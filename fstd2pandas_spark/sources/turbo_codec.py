@@ -131,7 +131,14 @@ def _unzigzag(u: np.ndarray) -> np.ndarray:
 
 
 def _pack_bits(u: np.ndarray) -> np.ndarray:
-    """Width-prefixed block bitstream -> big-endian u32 words."""
+    """Width-prefixed block bitstream -> big-endian u32 words.
+
+    Deliberately a per-block loop: a width-grouped "vectorized" variant
+    (width table up front, per-distinct-width fancy-index scatter) was
+    measured 2.5x SLOWER at 2M tokens (4.0 s vs 1.6 s pack) — the giant
+    uint8 bit-matrix temporaries and scatter dominate, while this loop's
+    62k tiny numpy calls stay cache-resident. Don't redo that experiment.
+    """
     nblocks = -(-len(u) // _BLOCK) if len(u) else 0
     chunks = []
     for b in range(nblocks):
