@@ -186,3 +186,29 @@ def test_codec_family_roundtrips():
     w = compress_payload(f2, 1, len(f2), 1, 133, 32)
     back = decompress_payload(w, 1, len(f2), 1, 133, 32)
     assert np.array_equal(back.view("<u4"), f2.view("<u4"))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=8, max_value=24),
+    st.sampled_from([1, 6, 129, 134]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_turbo_quantized_roundtrip_property(ni, nj, nbits, datyp, seed):
+    """Property: every quantized-float codec round-trips any float grid
+    within half a quantum of the value span, for any shape (including
+    single-row, single-column, and multi-block) and any nbits."""
+    import numpy as np
+
+    from fstd2pandas_spark.sources.turbo_codec import (
+        compress_payload, decompress_payload)
+
+    rng = np.random.RandomState(seed % 2**31)
+    d = (rng.randn(ni * nj) * rng.choice([0.01, 1.0, 1e4])).astype("<f4")
+    words = compress_payload(d, ni, nj, 1, datyp, nbits)
+    back = decompress_payload(words, ni, nj, 1, datyp, nbits)
+    span = float(d.max() - d.min()) or 1.0
+    assert back.shape == d.shape
+    assert np.allclose(back, d, atol=span / (1 << (nbits - 1)))
