@@ -76,3 +76,38 @@ def test_no_row_python_udfs_in_gated_queries(spark):
         assert "BatchEvalPython" not in plan, name
         if name != "mm_features":
             assert "MapInPandas" not in plan, name
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """plans/bucketing.py: a join of two same-bucketed tables runs with
+    ZERO shuffle exchanges — the co-located layout the 100 TB design
+    prescribes for recurring big-big joins."""
+    from fstd2pandas_spark.plans.bucketing import (
+        bucketed_join, write_bucketed)
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    od = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    write_bucketed(li.select("l_orderkey", "l_quantity")
+                   .withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "t_li_b", ["o_orderkey"], 4,
+                   path=str(tmp_path / "li"))
+    write_bucketed(od.select("o_orderkey", "o_totalprice"),
+                   "t_od_b", ["o_orderkey"], 4,
+                   path=str(tmp_path / "od"))
+    try:
+        from fstd2pandas_spark.plans.bucketing import read_bucketed
+
+        # merge hint on the input: forbid broadcast (these fixtures are
+        # tiny) so the bucket layout is what the planner exercises
+        j = (read_bucketed(spark, "t_li_b").hint("merge")
+             .join(read_bucketed(spark, "t_od_b"), ["o_orderkey"]))
+        assert bucketed_join(spark, "t_li_b", "t_od_b",
+                             ["o_orderkey"]).count() == j.count()
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_od_b")
