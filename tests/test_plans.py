@@ -111,3 +111,36 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_od_b")
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_salted_join_equivalence(spark):
+    """plans/salting.py: a salted join returns exactly the unsalted
+    result while the physical join key carries the salt (the hot key
+    spreads over n_salts reducers)."""
+    from fstd2pandas_spark.plans.salting import salted_join
+
+    li = (spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+          .select("l_orderkey", "l_partkey", "l_quantity")
+          # manufacture a hot key: fold most orders onto one key
+          .withColumn("l_orderkey",
+                      F.when(F.col("l_orderkey") % 3 == 0, 1)
+                      .otherwise(F.col("l_orderkey"))))
+    od = (spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+          .select("o_orderkey", "o_totalprice")
+          .withColumnRenamed("o_orderkey", "l_orderkey"))
+
+    plain = li.join(od, ["l_orderkey"]).groupBy().agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(20,4)")
+                      * F.col("o_totalprice").cast("decimal(20,4)")), 2)
+        .alias("s")).collect()[0]
+    salted = salted_join(li, od, ["l_orderkey"], n_salts=8).groupBy().agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(20,4)")
+                      * F.col("o_totalprice").cast("decimal(20,4)")), 2)
+        .alias("s")).collect()[0]
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+
+    plan = _plan(salted_join(li.hint("merge"), od, ["l_orderkey"], 8))
+    assert "_salt" in plan.split("SortMergeJoin")[1].splitlines()[0]
