@@ -271,3 +271,22 @@ def test_x_grid_skipped_like_reference(spark, records):
 
     with pytest.raises(GridDefinitionError):
         grid_lat_lon(records.withColumn("grtyp", F.lit("Q"))).collect()
+
+
+def test_tiled_grid_latlon_like_z(spark):
+    """'#' (tiled Z) resolves its axes from the same >>/^^ records as Z
+    (reference std_grid.py grtyp table; tile offsets ride in ig3/ig4 and
+    do not change the axis expansion)."""
+    ax = [100.0, 110.0]
+    ay = [-10.0, 0.0, 10.0]
+    rows = [
+        _rec(grtyp="#", ni=2, nj=3, grid="gt", ig=(12, 34, 1, 1)),
+        _rec(nomvar=">>", grtyp="L", ni=2, nj=1, grid="gt", d=ax,
+             ip1=12, ip2=34),
+        _rec(nomvar="^^", grtyp="L", ni=1, nj=3, grid="gt", d=ay,
+             ip1=12, ip2=34),
+    ]
+    got = _latlon(spark, rows)
+    np.testing.assert_allclose(got[("gt", "LO")], [100, 110] * 3)
+    np.testing.assert_allclose(got[("gt", "LA")],
+                               [-10, -10, 0, 0, 10, 10])
