@@ -365,14 +365,20 @@ _Q_UNION_SQL = """
 
 
 def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: per-group existence flags via conditional aggregation."""
+    """A6 per-group existence flags via conditional aggregation + JSON
+    property extraction from the events ``props`` column (Spark
+    get_json_object; the oracle mirrors the value by regex — mechanisms
+    may differ, values must not)."""
     ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
         ev.groupBy("user_id")
         .agg(
             F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("has_purchase"),
             F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_click"),
             F.count("*").cast("long").alias("n_events"),
+            F.sum(k).cast("long").alias("sum_k"),
+            F.max(k).cast("long").alias("max_k"),
         )
         .orderBy("user_id")
     )
@@ -382,7 +388,9 @@ _Q_CONDAGG_SQL = """
   SELECT user_id,
          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
          max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
-         count(*) AS n_events
+         count(*) AS n_events,
+         sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS sum_k,
+         max(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS max_k
   FROM events GROUP BY user_id ORDER BY user_id
 """
 
