@@ -1664,10 +1664,22 @@ _Q_COSINE_SQL = """
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard pairs + duplicate-cluster labels: each pair carries
+    its connected component's canonical (min) doc id from the iterative
+    min-label propagation operator (operators/llm/cluster.py). The
+    oracle mirrors the converged labels with unrolled propagation rounds
+    (the fixture graph is cliques; the unroll is diameter-safe)."""
     from fstd2pandas_spark.operators.llm import ngram_jaccard_pairs
+    from fstd2pandas_spark.operators.llm.cluster import neardup_components
 
     docs = _load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.2).orderBy("doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    comp = neardup_components(pairs)
+    return (
+        pairs.join(comp, pairs.doc_a == comp.node)
+        .select("doc_a", "doc_b", "jaccard", "component")
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 _Q_JACCARD_SQL = """
@@ -1685,12 +1697,36 @@ _Q_JACCARD_SQL = """
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
   )
-  SELECT doc_a, doc_b,
-         round(shared / (na.n + nb.n - shared), 6) AS jaccard
-  FROM shared
-  JOIN sizes na ON na.doc_id = doc_a
-  JOIN sizes nb ON nb.doc_id = doc_b
-  WHERE round(shared / (na.n + nb.n - shared), 6) >= 0.2
+  , p AS (
+    SELECT doc_a, doc_b,
+           round(shared / (na.n + nb.n - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE round(shared / (na.n + nb.n - shared), 6) >= 0.2
+  ), e AS (
+    SELECT doc_a AS src, doc_b AS dst FROM p
+    UNION SELECT doc_b, doc_a FROM p
+  ), l0 AS (
+    SELECT DISTINCT src AS node, src AS comp FROM e
+  ), l1 AS (
+    SELECT l.node, least(l.comp, coalesce(min(r.comp), l.comp)) AS comp
+    FROM l0 l LEFT JOIN e ON e.src = l.node
+              LEFT JOIN l0 r ON r.node = e.dst
+    GROUP BY l.node, l.comp
+  ), l2 AS (
+    SELECT l.node, least(l.comp, coalesce(min(r.comp), l.comp)) AS comp
+    FROM l1 l LEFT JOIN e ON e.src = l.node
+              LEFT JOIN l1 r ON r.node = e.dst
+    GROUP BY l.node, l.comp
+  ), l3 AS (
+    SELECT l.node, least(l.comp, coalesce(min(r.comp), l.comp)) AS comp
+    FROM l2 l LEFT JOIN e ON e.src = l.node
+              LEFT JOIN l2 r ON r.node = e.dst
+    GROUP BY l.node, l.comp
+  )
+  SELECT doc_a, doc_b, jaccard, l3.comp AS component
+  FROM p JOIN l3 ON l3.node = doc_a
   ORDER BY doc_a, doc_b
 """
 

@@ -1,0 +1,78 @@
+"""Connected components over near-duplicate pair graphs.
+
+The step after candidate-pair generation in a dedup pipeline: group the
+pairs into duplicate clusters and elect one canonical document per
+cluster (the min id). Iterative min-label propagation — each round every
+node takes the minimum label in its closed neighbourhood — converges in
+O(graph diameter) rounds; near-dup graphs are near-cliques per
+duplicate family, so 2-3 rounds typically suffice.
+
+Spark shape per round: one equi-join (edges x labels) + one groupBy min
+— both shuffle on the node id and co-partition after the first round.
+Lineage is truncated with ``localCheckpoint`` every round (the standard
+iterative-algorithm idiom: without it the plan doubles per iteration),
+and convergence is detected with a bounded count action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
+                       id_b: str = "doc_b", max_iter: int = 20,
+                       checkpoint: bool = True) -> DataFrame:
+    """(node, component) for every node in ``pairs``; component = min
+    node id reachable through the pair graph. ``max_iter`` bounds the
+    rounds (diameter guard); iteration stops early at the first round
+    that changes no label."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+                  .withColumn("component", F.col("node"))
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("component").alias("_nmin"))
+        )
+        nxt = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("_nmin"), F.col("component")))
+                .alias("component"),
+            )
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        changed = (
+            nxt.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_docs(pairs: DataFrame, docs: DataFrame,
+                   id_col: str = "doc_id", id_a: str = "doc_a",
+                   id_b: str = "doc_b") -> DataFrame:
+    """Dedup policy applied: every doc keeps its cluster's canonical
+    (min) id; docs in no pair are their own canonical."""
+    comp = neardup_components(pairs, id_a, id_b)
+    return (
+        docs.join(comp, docs[id_col] == comp.node, "left")
+        .select(
+            docs["*"],
+            F.coalesce(F.col("component"), docs[id_col]).alias("canonical_id"),
+        )
+    )

@@ -318,3 +318,48 @@ def test_resize_images_real(spark):
     got = decode_image(bytes(row.payload))
     assert np.array_equal(got, _resize_nearest(img, 3, 4))
     assert got.shape == (4, 3, 3)
+
+
+def test_neardup_components_and_canonical(spark):
+    """Connected components match a driver-side union-find on random
+    graphs, including a chain longer than the near-clique typical case."""
+    import random
+
+    from fstd2pandas_spark.operators.llm.cluster import (
+        canonical_docs, neardup_components)
+
+    rng = random.Random(9)
+    nodes = list(range(40))
+    edges = [(a, a + 1) for a in range(0, 10)]          # an 11-chain
+    edges += [(rng.choice(nodes[20:]), rng.choice(nodes[20:]))
+              for _ in range(25)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in {x for e in edges for x in e}:
+        r = find(n)
+        want[n] = min(m for m in parent if find(m) == r)
+
+    pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    got = {r.node: r.component
+           for r in neardup_components(pairs).collect()}
+    assert got == want
+
+    docs = spark.createDataFrame([(n, f"t{n}") for n in nodes],
+                                 "doc_id int, text string")
+    canon = {r.doc_id: r.canonical_id
+             for r in canonical_docs(pairs, docs).collect()}
+    for n in nodes:
+        assert canon[n] == want.get(n, n)
