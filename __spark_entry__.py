@@ -1798,12 +1798,16 @@ def _simhash_sql(bits: int = 16) -> str:
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + deterministic md5-hash train/val split
+    (operators/llm/sampling.py hash_split — reproducible across engines
+    and partitionings, unlike rand())."""
     from fstd2pandas_spark.operators.llm import quality_score
+    from fstd2pandas_spark.operators.llm.sampling import hash_split
 
     docs = _load(spark, sf_dir, "documents")
-    return quality_score(docs).select(
+    return hash_split(quality_score(docs), val_pct=5).select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
-        "stop_ratio", "quality",
+        "stop_ratio", "quality", "split",
     ).orderBy("doc_id")
 
 
@@ -1839,7 +1843,10 @@ def _quality_sql() -> str:
                                    > CAST('1' AS DECIMAL(18,6))
                               THEN CAST('1' AS DECIMAL(18,6))
                               ELSE CAST(stop_ratio AS DECIMAL(18,6)) * 5 END),
-                    6) AS DOUBLE) AS quality
+                    6) AS DOUBLE) AS quality,
+         CASE WHEN CAST(concat('0x', substr(md5(concat('split1_',
+                     CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 5
+              THEN 'val' ELSE 'train' END AS split
   FROM q ORDER BY doc_id
 """
 
