@@ -1607,17 +1607,37 @@ def _langid_sql() -> str:
 
 
 def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + sequence packing (operators/llm/sampling.py
+    token_pack): greedy fixed-budget packing in id order within md5
+    shards — per-shard running token totals, the scale-safe packing
+    idiom (global packing is inherently sequential)."""
     from fstd2pandas_spark.operators.llm import token_counts
+    from fstd2pandas_spark.operators.llm.sampling import token_pack
 
     docs = _load(spark, sf_dir, "documents")
-    return token_counts(docs).select("doc_id", "ws_tokens", "bpe_tokens").orderBy("doc_id")
+    return token_pack(
+        token_counts(docs), budget=512, n_shards=8
+    ).select("doc_id", "ws_tokens", "bpe_tokens", "shard", "pack_id",
+             "pack_offset").orderBy("doc_id")
 
 
 _Q_TOKENS_SQL = """
-  SELECT doc_id,
-         len(string_split(lower(text), ' ')) AS ws_tokens,
-         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
-  FROM documents ORDER BY doc_id
+  WITH t AS (
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
+           CAST(CAST(concat('0x', substr(md5(concat('pack1_',
+                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+    FROM documents),
+  p AS (
+    SELECT *,
+           sum(ws_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+             - ws_tokens AS strt
+    FROM t)
+  SELECT doc_id, ws_tokens, bpe_tokens, shard,
+         CAST(strt // 512 AS BIGINT) AS pack_id,
+         CAST(strt % 512 AS BIGINT) AS pack_offset
+  FROM p ORDER BY doc_id
 """
 
 

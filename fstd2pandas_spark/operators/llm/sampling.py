@@ -45,3 +45,33 @@ def hash_sample(df: DataFrame, pct: int, id_col: str = "doc_id",
     if not 0 < pct <= 100:
         raise ValueError("pct must be in (0, 100]")
     return df.filter(_hash_bucket(F.col(id_col), seed) < pct)
+
+
+def token_pack(df: DataFrame, budget: int, tokens_col: str = "ws_tokens",
+               id_col: str = "doc_id", shard_col: "Column | None" = None,
+               n_shards: int = 1024) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs.
+
+    Documents pack greedily in id order WITHIN a shard (running token
+    total via a per-shard window; pack = the budget bin the document
+    STARTS in). Sharding is what makes this scale — packing is
+    inherently sequential, so real pipelines pack per shard rather than
+    globally, and each shard's window is an independent partition. The
+    default shard key is an md5 bucket of the id (deterministic).
+
+    Adds ``shard``, ``pack_id`` (per-shard bin), ``pack_offset`` (token
+    offset of this document inside its shard's running stream).
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    shard = (shard_col if shard_col is not None
+             else _hash_bucket(F.col(id_col), "pack1", n_shards))
+    out = df.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(F.col(id_col))
+    start = (F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col))
+    return (
+        out.withColumn("pack_id", F.floor(start / budget).cast("long"))
+        .withColumn("pack_offset", (start % budget).cast("long"))
+    )
