@@ -363,3 +363,31 @@ def test_neardup_components_and_canonical(spark):
              for r in canonical_docs(pairs, docs).collect()}
     for n in nodes:
         assert canon[n] == want.get(n, n)
+
+
+def test_hash_split_sample_pack_determinism(spark, docs):
+    """Sampling ops are pure functions of the data: identical under
+    repartitioning, disjoint/complete splits, pack offsets consistent."""
+    from fstd2pandas_spark.operators.llm.sampling import (
+        hash_sample, hash_split, token_pack)
+    from fstd2pandas_spark.operators.llm import token_counts
+
+    s1 = {(r.doc_id, r.split) for r in hash_split(docs, val_pct=10,
+                                                  test_pct=10).collect()}
+    s2 = {(r.doc_id, r.split)
+          for r in hash_split(docs.repartition(13), val_pct=10,
+                              test_pct=10).collect()}
+    assert s1 == s2
+    assert {s for _, s in s1} == {"train", "val", "test"}
+
+    k1 = {r.doc_id for r in hash_sample(docs, 20).collect()}
+    k2 = {r.doc_id for r in hash_sample(docs.repartition(7), 20).collect()}
+    assert k1 == k2 and 0 < len(k1) < docs.count()
+
+    tp = token_pack(token_counts(docs), budget=64, n_shards=4)
+    rows = sorted(tp.collect(), key=lambda r: (r.shard, r.doc_id))
+    per_shard: dict = {}
+    for r in rows:
+        run = per_shard.get(r.shard, 0)
+        assert r.pack_id == run // 64 and r.pack_offset == run % 64
+        per_shard[r.shard] = run + r.ws_tokens
