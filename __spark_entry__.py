@@ -1570,23 +1570,46 @@ _Q_ENCODE_IP_SQL = f"""
 
 
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over raw AND normalized content (dedup.py
+    normalized_exact_dedup: lowercase, punctuation stripped, whitespace
+    collapsed — reformatting does not defeat the hash), as one ledger
+    with a kind discriminator."""
     from fstd2pandas_spark.operators.llm import exact_dedup
+    from fstd2pandas_spark.operators.llm.dedup import normalized_exact_dedup
 
     docs = _load(spark, sf_dir, "documents")
-    return exact_dedup(docs).orderBy("doc_id")
+    raw = exact_dedup(docs).withColumn("kind", F.lit("raw"))
+    norm = normalized_exact_dedup(docs).withColumn("kind", F.lit("norm"))
+    return raw.unionByName(norm).orderBy("kind", "doc_id")
 
 
 _Q_EXACT_DEDUP_SQL = """
-  SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
-  FROM documents GROUP BY md5(text) ORDER BY doc_id
+  SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
+         count(*) AS n_copies, 'raw' AS kind
+  FROM documents GROUP BY md5(text)
+  UNION ALL
+  SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS content_hash,
+         min(doc_id) AS doc_id, count(*) AS n_copies, 'norm' AS kind
+  FROM documents GROUP BY 1
+  ORDER BY kind, doc_id
 """
 
 
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID + benchmark decontamination (decontam.py
+    contamination_overlap): docs sharing 3-gram shingles with the
+    'benchmark' (here: docs 0-4) get flagged via a broadcast semi-join
+    of the benchmark shingle set."""
     from fstd2pandas_spark.operators.llm import language_id
+    from fstd2pandas_spark.operators.llm.decontam import contamination_overlap
 
     docs = _load(spark, sf_dir, "documents")
-    return language_id(docs).select("doc_id", "lang", "lang_pred").orderBy("doc_id")
+    bench = docs.filter(F.col("doc_id") < 5)
+    flagged = contamination_overlap(language_id(docs), bench)
+    return flagged.select(
+        "doc_id", "lang", "lang_pred", "n_bench_shingles", "contaminated"
+    ).orderBy("doc_id")
 
 
 def _langid_sql() -> str:
@@ -1603,7 +1626,23 @@ def _langid_sql() -> str:
     for lang in langs:
         expr = f"CASE WHEN {score[lang]} > ({best}) THEN '{lang}' ELSE ({expr}) END"
         best = f"greatest({best}, {score[lang]})"
-    return f"SELECT doc_id, lang, {expr} AS lang_pred FROM documents ORDER BY doc_id"
+    return f"""
+  WITH sh AS (
+    SELECT doc_id, shingle FROM (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      UNNEST(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                  ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       j -> array_to_string(list_slice(t, j, j + 2), ' '))) END)
+      AS u(shingle)),
+  bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+  hits AS (
+    SELECT sh.doc_id, count(*) AS n_bench_shingles
+    FROM sh JOIN bsh USING (shingle) GROUP BY sh.doc_id)
+  SELECT d.doc_id, d.lang, {expr} AS lang_pred,
+         coalesce(h.n_bench_shingles, 0) AS n_bench_shingles,
+         coalesce(h.n_bench_shingles, 0) >= 1 AS contaminated
+  FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+  ORDER BY d.doc_id"""
 
 
 def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

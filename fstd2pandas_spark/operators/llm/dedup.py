@@ -205,3 +205,24 @@ def simhash_buckets(df: DataFrame, text_col: str = "text",
     return with_sh.groupBy("simhash").agg(
         F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc")
     )
+
+
+def normalized_text_col(text: Column) -> Column:
+    """Dedup normalization: lowercase, punctuation -> space, whitespace
+    collapsed, trimmed — so reformatting (case, punctuation, spacing)
+    does not defeat exact dedup."""
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "),
+        r"\s+", " "))
+
+
+def normalized_exact_dedup(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup over NORMALIZED content (see normalized_text_col):
+    keep the lowest-id doc per normalized md5."""
+    h = F.md5(normalized_text_col(F.col(text_col)))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
