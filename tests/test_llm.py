@@ -391,3 +391,33 @@ def test_hash_split_sample_pack_determinism(spark, docs):
         run = per_shard.get(r.shard, 0)
         assert r.pack_id == run // 64 and r.pack_offset == run % 64
         per_shard[r.shard] = run + r.ws_tokens
+
+
+def test_normalized_dedup_and_decontamination(spark):
+    """Reformatting collapses under normalized dedup; contamination
+    flags exactly the docs sharing a benchmark shingle."""
+    from fstd2pandas_spark.operators.llm.decontam import (
+        contamination_overlap)
+    from fstd2pandas_spark.operators.llm.dedup import (
+        exact_dedup, normalized_exact_dedup)
+
+    docs = spark.createDataFrame(
+        [(0, "The quick brown fox jumps!"),
+         (1, "the  quick,   BROWN fox jumps"),
+         (2, "a completely different document entirely here"),
+         (3, "quick brown fox appears again in this one")],
+        "doc_id long, text string")
+    assert exact_dedup(docs).count() == 4          # raw: all distinct
+    norm = {r.doc_id: r.n_copies
+            for r in normalized_exact_dedup(docs).collect()}
+    assert norm[0] == 2 and 1 not in norm          # 0 and 1 collapse
+
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {r.doc_id: (r.n_bench_shingles, r.contaminated)
+           for r in contamination_overlap(docs, bench).collect()}
+    assert out[0][1]                               # bench overlaps itself
+    assert out[3] == (1, True)                     # shares "quick brown fox"
+    assert out[2] == (0, False)
+    # shingling is punctuation-sensitive by design: doc 1's "quick,"
+    # token breaks every candidate shingle
+    assert out[1] == (0, False)
