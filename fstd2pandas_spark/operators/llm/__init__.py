@@ -6,10 +6,16 @@ DataFrame model:
 
 - :mod:`text`       — language-ID, quality scoring, token counting,
                       document fingerprinting
-- :mod:`dedup`      — exact, MinHash+LSH, SimHash, n-gram Jaccard
-- :mod:`similarity` — brute-force cosine top-k + LSH-bucketed ANN
-- :mod:`multimodal` — binary-column plumbing (decode/resize/frame-sample
-                      stubs with real Spark-side schema/batching)
+- :mod:`dedup`      — exact (raw + normalized), MinHash+LSH, SimHash,
+                      n-gram Jaccard
+- :mod:`cluster`    — near-dup connected components + canonical doc
+- :mod:`similarity` — brute-force cosine top-k, LSH-bucketed ANN, IVF
+                      ANN with deterministic Lloyd k-means refinement
+- :mod:`decontam`   — benchmark shingle-overlap contamination flags
+- :mod:`sampling`   — deterministic hash split/sample + sequence packing
+- :mod:`multimodal` — binary columns with REAL pure-numpy PPM/BMP
+                      decode/resize; content-hash fallback for formats
+                      needing external codecs
 
 Determinism contract: every hash used here is md5-derived so the exact
 same results are computable in ANSI SQL (the DuckDB oracle) — no
@@ -21,8 +27,15 @@ from fstd2pandas_spark.operators.llm.text import (
     language_id, quality_score, token_counts, fingerprint, simhash,
 )
 from fstd2pandas_spark.operators.llm.dedup import (
-    exact_dedup, minhash_signature, lsh_candidate_pairs,
-    ngram_jaccard_pairs, simhash_buckets,
+    exact_dedup, normalized_exact_dedup, minhash_signature,
+    lsh_candidate_pairs, ngram_jaccard_pairs, simhash_buckets,
+)
+from fstd2pandas_spark.operators.llm.cluster import (
+    neardup_components, canonical_docs,
+)
+from fstd2pandas_spark.operators.llm.decontam import contamination_overlap
+from fstd2pandas_spark.operators.llm.sampling import (
+    hash_split, hash_sample, token_pack,
 )
 from fstd2pandas_spark.operators.llm.similarity import (
     cosine_topk, lsh_ann_topk, ivf_ann_topk, cosine_col, embedding_neardup,
@@ -34,8 +47,10 @@ from fstd2pandas_spark.operators.llm.multimodal import (
 __all__ = [
     "tokens_col", "shingles_col", "token_hash_col", "language_id",
     "quality_score", "token_counts", "fingerprint", "simhash",
-    "exact_dedup", "minhash_signature", "lsh_candidate_pairs",
-    "ngram_jaccard_pairs", "simhash_buckets",
+    "exact_dedup", "normalized_exact_dedup", "minhash_signature",
+    "lsh_candidate_pairs", "ngram_jaccard_pairs", "simhash_buckets",
+    "neardup_components", "canonical_docs", "contamination_overlap",
+    "hash_split", "hash_sample", "token_pack",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "cosine_col", "embedding_neardup",
     "extract_features", "resize_images", "sample_video_frames",
 ]
