@@ -308,3 +308,29 @@ def lsh_ann_topk(emb: DataFrame, k: int = 5, n_planes: int = 4,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def random_projection(emb: DataFrame, out_dim: int, dim: int,
+                      vec_col: str = "embedding",
+                      seed: str = "proj1") -> DataFrame:
+    """Johnson-Lindenstrauss signed random projection R^dim -> R^out_dim:
+    component o = <vec, s_o> / sqrt(out_dim), s_o[j] = +-1 from the md5
+    parity of (seed, o, j) — deterministic on any engine, no trained
+    matrix to ship. A narrow per-row map (no shuffle); the standard
+    pre-reduction in front of ANN indexing when dim is large."""
+    inv = 1.0 / float(out_dim) ** 0.5
+
+    def _component(o: int) -> Column:
+        signs = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}_{o}_"), j.cast("string"))),
+                    1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        return (_dot(F.col(vec_col), signs) * inv).cast("float")
+
+    return emb.withColumn(
+        vec_col, F.array(*[_component(o) for o in range(out_dim)]))

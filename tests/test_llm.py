@@ -421,3 +421,35 @@ def test_normalized_dedup_and_decontamination(spark):
     # shingling is punctuation-sensitive by design: doc 1's "quick,"
     # token breaks every candidate shingle
     assert out[1] == (0, False)
+
+
+def test_random_projection_preserves_geometry(spark, emb):
+    """J-L projection 64 -> 16: shapes right, deterministic, and
+    pairwise distances correlate strongly with the originals."""
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.similarity import random_projection
+
+    sub = emb.filter(F.col("vec_id") < 40)
+    proj = {r.vec_id: np.array(r.embedding)
+            for r in random_projection(sub, 16, 64).collect()}
+    proj2 = {r.vec_id: np.array(r.embedding)
+             for r in random_projection(sub.repartition(5), 16, 64).collect()}
+    orig = {r.vec_id: np.array(r.embedding) for r in sub.collect()}
+    assert all(v.shape == (16,) for v in proj.values())
+    assert all(np.array_equal(proj[k], proj2[k]) for k in proj)
+
+    # random embeddings concentrate pairwise distances, so correlation
+    # is noise; assert the J-L property directly — projected/original
+    # distance ratios stay in a bounded band around 1
+    ids = sorted(orig)
+    ratios = []
+    for i in range(0, len(ids), 2):
+        for j in range(i + 1, len(ids), 3):
+            a, b = ids[i], ids[j]
+            do = float(np.linalg.norm(orig[a] - orig[b]))
+            dp = float(np.linalg.norm(proj[a] - proj[b]))
+            ratios.append(dp / do)
+    ratios = np.array(ratios)
+    assert abs(float(ratios.mean()) - 1.0) < 0.15, ratios.mean()
+    assert float((np.abs(ratios - 1.0) < 0.6).mean()) > 0.9
