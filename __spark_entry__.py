@@ -1735,7 +1735,7 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, threshold=0.2)
     comp = neardup_components(pairs)
     return (
-        pairs.join(comp, pairs.doc_a == comp.node)
+        pairs.hint("merge").join(comp, pairs.doc_a == comp.node)
         .select("doc_a", "doc_b", "jaccard", "component")
         .orderBy("doc_a", "doc_b")
     )

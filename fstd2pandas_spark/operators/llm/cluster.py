@@ -36,13 +36,16 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
     if checkpoint:
         edges = edges.localCheckpoint(eager=True)
         labels = labels.localCheckpoint(eager=True)
+    # MERGE hints throughout: the label and edge tables are both
+    # pair-graph-scale (millions of rows on a real corpus), so a
+    # stats-driven broadcast of either side is a scale hazard
     for _ in range(max_iter):
         neigh = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.hint("merge").join(labels, edges.dst == labels.node)
             .groupBy("src").agg(F.min("component").alias("_nmin"))
         )
         nxt = (
-            labels.join(neigh, labels.node == neigh.src, "left")
+            labels.hint("merge").join(neigh, labels.node == neigh.src, "left")
             .select(
                 "node",
                 F.least(F.col("component"),
@@ -53,7 +56,7 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
         if checkpoint:
             nxt = nxt.localCheckpoint(eager=True)
         changed = (
-            nxt.alias("n").join(labels.alias("o"), "node")
+            nxt.alias("n").hint("merge").join(labels.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1).count()
         )
@@ -70,7 +73,7 @@ def canonical_docs(pairs: DataFrame, docs: DataFrame,
     (min) id; docs in no pair are their own canonical."""
     comp = neardup_components(pairs, id_a, id_b)
     return (
-        docs.join(comp, docs[id_col] == comp.node, "left")
+        docs.hint("merge").join(comp, docs[id_col] == comp.node, "left")
         .select(
             docs["*"],
             F.coalesce(F.col("component"), docs[id_col]).alias("canonical_id"),
