@@ -818,8 +818,8 @@ def q_fst_pressure_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input so every reference scans materialized blocks instead
     recs = (data.unionByName(p0).unionByName(tt).unionByName(hy)
             .localCheckpoint(eager=True))
-    out = quick_pressure(recs).unionByName(
-        quick_pressure(recs, standard_atmosphere=True))
+    # one fused pass emits both PX and PXSA (pressure.py "both" mode)
+    out = quick_pressure(recs, standard_atmosphere="both")
     return (
         out.filter(F.col("nomvar").isin("PX", "PXSA"))
         .select(

@@ -67,9 +67,15 @@ def _first_meta(df: DataFrame, nomvar: str, keys: list[str],
     return sel.select(*cols)
 
 
-def quick_pressure(df: DataFrame, standard_atmosphere: bool = False) -> DataFrame:
+def quick_pressure(df: DataFrame,
+                   standard_atmosphere: "bool | str" = False) -> DataFrame:
     """Emit PX (or PXSA) records for every level of every classified
-    vertical-coordinate group, plus the input meta records."""
+    vertical-coordinate group, plus the input meta records.
+
+    ``standard_atmosphere="both"`` emits PX and PXSA from ONE pass: the
+    levels frame explodes over both modes, so callers needing both
+    outputs pay one window + one join pipeline instead of two."""
+    both = standard_atmosphere == "both"
     df = set_vertical_coordinate_type(df)
     meta = df.filter(F.col("nomvar").isin(META_NOMVARS)).drop("vctype")
 
@@ -145,6 +151,13 @@ def quick_pressure(df: DataFrame, standard_atmosphere: bool = False) -> DataFram
         .join(F.broadcast(hy), on=F.lit(True), how="left")
     )
 
+    if both:
+        lv = lv.withColumn(
+            "_sa", F.explode(F.array(F.lit(False), F.lit(True))))
+        sa_mode = F.col("_sa")
+    else:
+        sa_mode = F.lit(bool(standard_atmosphere))
+
     is_toc = vct.isin("HYBRID_5002", "HYBRID_5003", "HYBRID_5004",
                       "HYBRID_5005")
     has_p0 = F.col("p0_d").isNotNull()
@@ -165,53 +178,51 @@ def quick_pressure(df: DataFrame, standard_atmosphere: bool = False) -> DataFram
     acoef = pref * (lvl - bcoef)
     cell = F.col("ni") * F.col("nj")
 
-    if standard_atmosphere:
-        term = F.pow(
-            F.greatest(lvl - etatop, F.lit(0.0)) / (1.0 - etatop), rcoef)
-        d = (
-            F.when(vct == "SIGMA_1001",
-                   F.array_repeat((sa * lvl).cast("float"), cell))
-            .when(vct == "ETA_1002", F.transform(
-                F.col("pt_d"),
-                lambda ptv: (ptv.cast("double") * (1.0 - lvl) + lvl * sa)
-                .cast("float")))
-            .when(vct == "PRESSURE_2001",
-                  F.array_repeat(lvl.cast("float"), cell))
-            .when(vct == "HYBRID_5001", F.array_repeat(
-                (pref * (lvl - term) + term * sa).cast("float"), cell))
-            .otherwise(F.array_repeat(
-                (F.exp(F.col("tt_a") + F.col("tt_b")
-                       * F.log(sa * 100.0 / F.col("tt_pref"))) / 100.0)
-                .cast("float"), cell))
-        )
-    else:
-        d = (
-            F.when(vct == "SIGMA_1001", F.transform(
-                F.col("p0_d"),
-                lambda x: (lvl * x.cast("double")).cast("float")))
-            .when(vct == "ETA_1002", F.zip_with(
-                F.col("p0_d"), F.col("pt_d"),
-                lambda a, b: (lvl * (a.cast("double") - b.cast("double"))
-                              + b.cast("double")).cast("float")))
-            .when(vct == "PRESSURE_2001",
-                  F.array_repeat(lvl.cast("float"), cell))
-            .when(vct == "HYBRID_5001", F.transform(
-                F.col("p0_d"),
-                lambda x: (acoef + bcoef * x.cast("double")).cast("float")))
-            .otherwise(F.transform(
-                F.col("p0_d"),
-                lambda x: (F.exp(F.col("tt_a") + F.col("tt_b")
-                                 * F.log(x.cast("double") * 100.0
-                                         / F.col("tt_pref"))) / 100.0)
-                .cast("float")))
-        )
+    term = F.pow(
+        F.greatest(lvl - etatop, F.lit(0.0)) / (1.0 - etatop), rcoef)
+    d_sa = (
+        F.when(vct == "SIGMA_1001",
+               F.array_repeat((sa * lvl).cast("float"), cell))
+        .when(vct == "ETA_1002", F.transform(
+            F.col("pt_d"),
+            lambda ptv: (ptv.cast("double") * (1.0 - lvl) + lvl * sa)
+            .cast("float")))
+        .when(vct == "PRESSURE_2001",
+              F.array_repeat(lvl.cast("float"), cell))
+        .when(vct == "HYBRID_5001", F.array_repeat(
+            (pref * (lvl - term) + term * sa).cast("float"), cell))
+        .otherwise(F.array_repeat(
+            (F.exp(F.col("tt_a") + F.col("tt_b")
+                   * F.log(sa * 100.0 / F.col("tt_pref"))) / 100.0)
+            .cast("float"), cell))
+    )
+    d_px = (
+        F.when(vct == "SIGMA_1001", F.transform(
+            F.col("p0_d"),
+            lambda x: (lvl * x.cast("double")).cast("float")))
+        .when(vct == "ETA_1002", F.zip_with(
+            F.col("p0_d"), F.col("pt_d"),
+            lambda a, b: (lvl * (a.cast("double") - b.cast("double"))
+                          + b.cast("double")).cast("float")))
+        .when(vct == "PRESSURE_2001",
+              F.array_repeat(lvl.cast("float"), cell))
+        .when(vct == "HYBRID_5001", F.transform(
+            F.col("p0_d"),
+            lambda x: (acoef + bcoef * x.cast("double")).cast("float")))
+        .otherwise(F.transform(
+            F.col("p0_d"),
+            lambda x: (F.exp(F.col("tt_a") + F.col("tt_b")
+                             * F.log(x.cast("double") * 100.0
+                                     / F.col("tt_pref"))) / 100.0)
+            .cast("float")))
+    )
 
     is_2001 = vct == "PRESSURE_2001"
     out = (
         lv.filter(eligible)
-        .withColumn("d", d)
+        .withColumn("d", F.when(sa_mode, d_sa).otherwise(d_px))
         .withColumn("nomvar",
-                    F.lit("PXSA" if standard_atmosphere else "PX"))
+                    F.when(sa_mode, F.lit("PXSA")).otherwise(F.lit("PX")))
         .withColumn("etiket", F.lit("PRESSR"))
         .withColumn("nbits", F.when(is_2001, F.lit(32))
                     .otherwise(F.col("p0_nbits")).cast("int"))
