@@ -2664,7 +2664,11 @@ def q_fst_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed fstrec write), re-read via the fstrec DataSource, and
     project metadata + exploded payload cells. The oracle is the identity
     construction — the sink/source pair must be lossless. S10's
-    detect_rewrite rides along as a constant column."""
+    detect_rewrite rides along as a constant column. Also exercised:
+    ``partition_by`` file clustering (the 100 TB layout — content is
+    unchanged, so the oracle stays the identity) and S9's in-place
+    ``update`` mode (every TT record's etiket is retagged after the
+    write; the oracle applies the same CASE)."""
     from fstd2pandas_spark.sources import (
         detect_rewrite, register, write_record_table)
 
@@ -2676,7 +2680,13 @@ def q_fst_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(
         _TMP_ROOT, f"write_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}")
     rewrite = detect_rewrite(wdf)
-    write_record_table(wdf, out_dir, mode="write", overwrite=True)
+    write_record_table(wdf, out_dir, mode="write", overwrite=True,
+                       partition_by=["etiket"])
+    first = spark.read.format("fstrec").load(out_dir)
+    # S9 update: in-place metadata retag of every TT record
+    tt = (first.filter(F.col("nomvar") == "TT")
+          .select("path", "key", F.lit("RETAGGED").alias("etiket")))
+    write_record_table(tt, out_dir, mode="update")
     back = spark.read.format("fstrec").load(out_dir)
     return (
         back.select(
@@ -2690,7 +2700,11 @@ def q_fst_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_WRITE_RT_SQL = f"""
-  WITH w AS ({_RT_RECORDS_SQL})
+  WITH w0 AS ({_RT_RECORDS_SQL}),
+  w AS (
+    SELECT * REPLACE (CASE WHEN nomvar = 'TT' THEN 'RETAGGED'
+                           ELSE etiket END AS etiket)
+    FROM w0)
   SELECT nomvar, typvar, etiket, ni, nj, nk, dateo, ip1, ip2, ip3, deet,
          npas, datyp, nbits, grtyp, ig1, ig2, ig3, ig4, datev,
          (SELECT count(*) FROM (
