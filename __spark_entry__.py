@@ -389,8 +389,8 @@ _Q_CONDAGG_SQL = """
          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
          max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
          count(*) AS n_events,
-         sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS sum_k,
-         max(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS max_k
+         CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(max(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
   FROM events GROUP BY user_id ORDER BY user_id
 """
 
@@ -2304,7 +2304,9 @@ def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         ll.select("grid", "grtyp", "nomvar", "ni", "nj",
                   F.posexplode("d").alias("pos", "val"))
-        .withColumn("val", F.round(F.col("val").cast("double"), 6))
+        # `+ 0.0` collapses IEEE -0.0 to +0.0 (mirrored in the oracle SQL;
+        # trig paths can produce signed zeros that hash differently)
+        .withColumn("val", F.round(F.col("val").cast("double"), 6) + F.lit(0.0))
     )
     # G14/C23 epsilon-compare global/repetition flags as extra rows
     # (operators/grid.py is_global_grid; reference std_grid.py:208-270)
@@ -2472,11 +2474,11 @@ def _latlon_all_sql() -> str:
            ELSE FALSE END AS rep
     FROM gf)
   SELECT grid, grtyp, 'LA' AS nomvar, ni, nj_out AS nj, pos,
-         round(lat, 6) AS val
+         round(lat, 6) + 0.0 AS val
   FROM vals
   UNION ALL
   SELECT grid, grtyp, 'LO' AS nomvar, ni, nj_out AS nj, pos,
-         round(lon, 6) AS val
+         round(lon, 6) + 0.0 AS val
   FROM vals
   UNION ALL
   SELECT grid, gt AS grtyp, 'GG' AS nomvar, 0 AS ni, 0 AS nj, 0 AS pos,
