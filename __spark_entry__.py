@@ -1092,18 +1092,90 @@ def _vct_rules_values_sql() -> str:
     return ", ".join(rows)
 
 
+#: G9 fixtures: (kind, version, vtbl, ip1, ip2). All floats are dyadic so
+#: the float32 record payload round-trips to an exact double string; the
+#: resulting grids ("9182", "7364") collide with nothing (rec grids are
+#: 0..6). Classification expectations: grid 9182 carries only the built
+#: toctoc (vcode 5005) -> a kind-5 data row classifies HYBRID_5005; grid
+#: 7364 gets toctoc 1002 + a P0 row -> a kind-1 data row is ETA_1002.
+_G9_SPECS = [
+    (5, 5, [[12001, 2.0, 0.125], [12002, 10.0, 0.875]], 91, 82),
+    (1, 2, [[13001, 0.25, 0.75], [13002, 0.5, 0.5], [13003, 0.75, 0.25]],
+     73, 64),
+]
+#: (ip1 with encoded kind, grid, expected vctype) for the G9 data rows
+_G9_DATA = [(95221840, 9182), (27762976, 7364)]
+
+
 def q_fst_vctype(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/G8 vertical-coordinate classification
     (reference std_vgrid.py:574-646): per-grid meta flags -> vcode pick ->
-    8-key broadcast join against the VCTYPES rule table."""
-    from fstd2pandas_spark.operators.vgrid import set_vertical_coordinate_type
+    8-key broadcast join against the VCTYPES rule table. Extended with G9
+    ``toctoc_from_vgrid`` (reference std_vgrid.py:749-791): real ``!!``
+    records built from (kind, version, vtbl) descriptors are unioned into
+    the table so their ig1/grid drive the classification of synthetic data
+    rows on the same grids, and their flattened (ip1,A,B) payload is
+    emitted as a construction-check ledger (negative keys)."""
+    from fstd2pandas_spark.operators.vgrid import (
+        set_vertical_coordinate_type, toctoc_from_vgrid)
+    from fstd2pandas_spark.schema import empty_record_table
 
     rec = meta_records_from_lineitem(spark, sf_dir)
-    return (
-        set_vertical_coordinate_type(rec)
-        .select("key", "nomvar", "vctype")
-        .orderBy("key")
+
+    def _as_rec(df, key_col):
+        return df.select(
+            key_col.cast("bigint").alias("key"), "nomvar", "etiket", "ip1",
+            F.col("dateo").cast("bigint").alias("dateo"), "deet", "npas",
+            "ni", "nj", "d", F.col("grid").cast("int").alias("grid"), "ig1")
+
+    g9 = None
+    for kind, ver, vtbl, ip1, ip2 in _G9_SPECS:
+        t = toctoc_from_vgrid(spark, kind, ver, vtbl, ip1, ip2)
+        g9 = t if g9 is None else g9.unionByName(t)
+    g9_rec = _as_rec(g9, -F.col("ig1"))  # keys -5005, -1002
+
+    def _synth(key, nomvar, ip1, grid):  # G17 template container
+        t = empty_record_table(
+            spark, 1, nomvar=nomvar, ip1=ip1, grid=str(grid),
+            d=[1.0]).withColumn("d", F.col("d").cast("array<float>"))
+        return _as_rec(t, F.lit(key))
+
+    data_rows = None
+    for i, (ip1, grid) in enumerate(_G9_DATA):
+        r = _synth(-(i + 1), "TT", ip1, grid)
+        data_rows = r if data_rows is None else data_rows.unionByName(r)
+    p0 = _synth(-3, "P0", 0, 7364)
+    full = rec.unionByName(g9_rec).unionByName(data_rows).unionByName(p0)
+    out = set_vertical_coordinate_type(full).select("key", "nomvar", "vctype")
+    # construction-check ledger: the flattened vtbl payload, shape, and
+    # dyadic values, one row per element at key -(ig1*100 + pos)
+    chk = g9.select("ig1", "ni", "nj", F.posexplode("d").alias("pos", "val"))
+    chk = chk.select(
+        (-(F.col("ig1").cast("bigint") * 100 + F.col("pos"))).alias("key"),
+        F.lit("!!").alias("nomvar"),
+        F.concat(F.col("ni").cast("string"), F.lit("x"),
+                 F.col("nj").cast("string"), F.lit(":"),
+                 F.col("val").cast("double").cast("string")).alias("vctype"),
     )
+    return out.unionByName(chk).orderBy("key", "nomvar")
+
+
+def _g9_expected_sql() -> str:
+    """Expected rows for the G9 extension: the construction ledger (flat
+    row-major (ip1,A,B) payload at key -(ig1*100+pos)) plus the
+    classification outcomes of the synthetic rows. All inputs are dyadic
+    floats, so ``repr(float(v))`` equals Spark's double->string cast."""
+    rows = []
+    for kind, ver, vtbl, ip1, ip2 in _G9_SPECS:
+        ig1 = int(f"{kind}{ver:03d}")
+        nj = len(vtbl)
+        flat = [float(x) for r in vtbl for x in r]
+        for pos, v in enumerate(flat):
+            rows.append(f"({-(ig1 * 100 + pos)}, '!!', '3x{nj}:{v!r}')")
+        rows.append(f"({-ig1}, '!!', 'UNKNOWN')")
+    rows += ["(-1, 'TT', 'HYBRID_5005')", "(-2, 'TT', 'ETA_1002')",
+             "(-3, 'P0', 'UNKNOWN')"]
+    return ", ".join(rows)
 
 
 _Q_VCTYPE_SQL = f"""
@@ -1150,7 +1222,9 @@ _Q_VCTYPE_SQL = f"""
   FROM data d LEFT JOIN cls c USING (grid, ip1_kind)
   UNION ALL
   SELECT key, nomvar, 'UNKNOWN' AS vctype FROM meta
-  ORDER BY key
+  UNION ALL
+  SELECT * FROM (VALUES {_g9_expected_sql()}) ext(key, nomvar, vctype)
+  ORDER BY key, nomvar
 """
 
 
@@ -1161,9 +1235,41 @@ def q_fst_grid_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     record very-strictly on (grid,dateo,deet,npas), then (grid,dateo),
     then (grid); tier records which level matched. Each tier is a
     broadcast join of a tiny aggregated axis table."""
+    from fstd2pandas_spark.operators.grid import (
+        df_from_grid, grid_metadata_for)
+    from fstd2pandas_spark.schema import empty_record_table
+
     rec = meta_records_from_lineitem(spark, sf_dir)
-    axes = rec.filter(F.col("nomvar") == ">>")
-    data = rec.filter(~F.col("nomvar").isin(
+
+    def _as_rec(df, key_col):
+        return df.select(
+            key_col.cast("bigint").alias("key"), "nomvar", "etiket", "ip1",
+            F.col("dateo").cast("bigint").alias("dateo"), "deet", "npas",
+            "ni", "nj", "d", F.col("grid").cast("int").alias("grid"),
+            F.lit(0).alias("ig1"))
+
+    # G15: build real >>/^^ axis records from a grid-params dict; they
+    # land on grid 7788 (no collision: rec grids are 0..6) with
+    # dateo=deet=npas=0, so the synthetic data rows below associate at
+    # tier 1 (exact) and tier 2 (dateo-only) respectively
+    built = df_from_grid(spark, dict(
+        grtyp="Z", ni=4, nj=3, ig1=77, ig2=88, grref="L", ig1ref=100,
+        ig2ref=200, ax=[0.0, 1.0, 2.0, 3.0], ay=[10.0, 11.0, 12.0]))
+    built_rec = _as_rec(
+        built, F.when(F.col("nomvar") == ">>", -11).otherwise(-12))
+
+    def _synth(key, dateo, deet, npas):  # G17 template container
+        t = empty_record_table(
+            spark, 1, nomvar="TT", dateo=dateo, deet=deet, npas=npas,
+            grid="7788", d=[1.0])
+        return _as_rec(t, F.lit(key))
+
+    ext = (rec.unionByName(built_rec)
+           .unionByName(_synth(-21, 0, 0, 0))
+           .unionByName(_synth(-22, 0, 7, 9)))
+
+    axes = ext.filter(F.col("nomvar") == ">>")
+    data = ext.filter(~F.col("nomvar").isin(
         "!!", "P0", "PT", ">>", "^^", "^>", "HY", "!!SF"))
     t1 = axes.groupBy("grid", "dateo", "deet", "npas").agg(
         F.min("key").alias("axis1"))
@@ -1173,25 +1279,44 @@ def q_fst_grid_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         data.join(F.broadcast(t1), ["grid", "dateo", "deet", "npas"], "left")
         .join(F.broadcast(t2), ["grid", "dateo"], "left")
         .join(F.broadcast(t3), ["grid"], "left")
-    )
-    return out.select(
+    ).select(
         "key",
         F.coalesce("axis1", "axis2", "axis3").alias("axis_key"),
         F.when(F.col("axis1").isNotNull(), 1)
         .when(F.col("axis2").isNotNull(), 2)
         .when(F.col("axis3").isNotNull(), 3)
         .otherwise(0).alias("tier"),
-    ).orderBy("key")
+    )
+    # G16: re-scan the extended table for meta records tied to the grids
+    # a data sample touches (left-semi join); ledger rows at tier 9
+    sample = data.filter((F.col("key") % 97 == 0) | (F.col("key") < 0))
+    rescan = grid_metadata_for(sample, ext).select(
+        "key", F.lit(None).cast("bigint").alias("axis_key"),
+        F.lit(9).alias("tier"))
+    return out.unionByName(rescan).orderBy("key", "tier")
 
 
 _Q_GRID_ASSOC_SQL = f"""
   WITH rec AS ({_META_RECORDS_SQL}),
-  axes AS (SELECT * FROM rec WHERE nomvar = '>>'),
-  data AS (SELECT * FROM rec WHERE nomvar NOT IN ({_META_LIST_SQL})),
+  axes AS (SELECT grid, dateo, deet, npas, key FROM rec WHERE nomvar = '>>'
+           UNION ALL
+           SELECT 7788, CAST(0 AS BIGINT), 0, 0, CAST(-11 AS BIGINT)),
+  data AS (SELECT key, grid, dateo, deet, npas
+           FROM rec WHERE nomvar NOT IN ({_META_LIST_SQL})
+           UNION ALL
+           SELECT * FROM (VALUES
+             (CAST(-21 AS BIGINT), 7788, CAST(0 AS BIGINT), 0, 0),
+             (CAST(-22 AS BIGINT), 7788, CAST(0 AS BIGINT), 7, 9))
+             s(key, grid, dateo, deet, npas)),
   t1 AS (SELECT grid, dateo, deet, npas, min(key) AS axis1
          FROM axes GROUP BY grid, dateo, deet, npas),
   t2 AS (SELECT grid, dateo, min(key) AS axis2 FROM axes GROUP BY grid, dateo),
-  t3 AS (SELECT grid, min(key) AS axis3 FROM axes GROUP BY grid)
+  t3 AS (SELECT grid, min(key) AS axis3 FROM axes GROUP BY grid),
+  meta_ext AS (SELECT key, grid FROM rec WHERE nomvar IN ({_META_LIST_SQL})
+               UNION ALL
+               SELECT * FROM (VALUES (CAST(-11 AS BIGINT), 7788),
+                                     (CAST(-12 AS BIGINT), 7788))
+                 m(key, grid))
   SELECT d.key,
          coalesce(t1.axis1, t2.axis2, t3.axis3) AS axis_key,
          CASE WHEN t1.axis1 IS NOT NULL THEN 1
@@ -1201,7 +1326,12 @@ _Q_GRID_ASSOC_SQL = f"""
   LEFT JOIN t1 USING (grid, dateo, deet, npas)
   LEFT JOIN t2 USING (grid, dateo)
   LEFT JOIN t3 USING (grid)
-  ORDER BY d.key
+  UNION ALL
+  SELECT key, CAST(NULL AS BIGINT) AS axis_key, 9 AS tier
+  FROM meta_ext
+  WHERE grid IN (SELECT DISTINCT grid FROM data
+                 WHERE key % 97 = 0 OR key < 0)
+  ORDER BY key, tier
 """
 
 
@@ -2754,6 +2884,20 @@ _Q_CSV_RT_SQL = f"""
 """
 
 
+#: (datyp, nbits) cycle for the XDF roundtrip, keyed by ip3 % 7
+_XDF_CASES = [(5, 32), (134, 16), (129, 16), (1, 16), (133, 32),
+              (2, 16), (4, 16)]
+
+
+def _xdf_dtype_sql() -> "list[str]":
+    """Expected S5 dtype names per _XDF_CASES arm, via the library table
+    itself (the Spark side applies it to the READ-BACK datyp/nbits, so a
+    reader corruption of either column flips the match)."""
+    from fstd2pandas_spark.schema import field_dtype
+
+    return [f"'{field_dtype(d, n)}'" for d, n in _XDF_CASES]
+
+
 def q_fst_xdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S8 on the REAL FST/XDF binary layout (reference std_io.py:
     247-460 structures, 656-799 unpack): write the record table as
@@ -2763,36 +2907,53 @@ def q_fst_xdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity construction. The directory stores only the valid-date
     stamp, so ``dateo`` is the derived value ``stamp - deet*npas/5``
     exactly as the reference recovers it (std_io.py:786-792)."""
+    from fstd2pandas_spark.schema import field_dtype
     from fstd2pandas_spark.sources import register, write_record_table
+    from fstd2pandas_spark.sources.xdf_format import maybe_xdf
 
     try:
         register(spark)
     except Exception:
         pass  # already registered in this session
-    # mixed packings cycling the whole float codec family
-    # (turbo_codec.py): transparent IEEE (5), compressed quantized
-    # (134/129), legacy packed (1), compressed IEEE (133) — quantities
-    # are integer-valued and span < 2**16 quanta, so the quantizers are
+    # mixed packings cycling the whole codec family (turbo_codec.py):
+    # transparent IEEE (5), compressed quantized (134/129), legacy packed
+    # (1), compressed IEEE (133), plus unsigned/signed sub-word ints
+    # (2/4) — quantities are small positive integers, so every packer is
     # exact and the oracle stays the identity construction
-    dcase = F.element_at(F.array(*[F.lit(v) for v in (5, 134, 129, 1, 133)]),
-                         (F.col("ip3") % 5 + 1).cast("int"))
-    ncase = F.element_at(F.array(*[F.lit(v) for v in (32, 16, 16, 16, 32)]),
-                         (F.col("ip3") % 5 + 1).cast("int"))
     wdf = (
         _writable_records(spark, sf_dir)
-        .withColumn("datyp", dcase).withColumn("nbits", ncase)
+        .withColumn("datyp", F.element_at(
+            F.array(*[F.lit(d) for d, _ in _XDF_CASES]),
+            (F.col("ip3") % len(_XDF_CASES) + 1).cast("int")))
+        .withColumn("nbits", F.element_at(
+            F.array(*[F.lit(n) for _, n in _XDF_CASES]),
+            (F.col("ip3") % len(_XDF_CASES) + 1).cast("int")))
     )
     out_dir = os.path.join(
         _TMP_ROOT, f"xdf_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}")
     write_record_table(wdf, out_dir, mode="write", overwrite=True,
                        container="xdf")
+    # S8: the written files must sniff as XDF by magic bytes, and a
+    # parquet file must NOT — computed driver-side from the real files
+    xdf_files = [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+                 if not f.startswith(("_", "."))]
+    magic_ok = bool(xdf_files) and all(maybe_xdf(f) for f in xdf_files) \
+        and not maybe_xdf(_t(sf_dir, "nation"))
     back = spark.read.format("fstrec").load(out_dir)
+    # S5: dtype name selected from the read-back (datyp, nbits) through
+    # the library's field_dtype table (reference std_io.py:633-644)
+    dt = F.lit(None).cast("string")
+    for d0, n0 in _XDF_CASES:
+        dt = F.when((F.col("datyp") == d0) & (F.col("nbits") == n0),
+                    F.lit(field_dtype(d0, n0))).otherwise(dt)
     return (
         back.select(
             *_RT_META_COLS,
             F.posexplode("d").alias("pos", "val"),
         )
         .withColumn("val", F.round(F.col("val").cast("double"), 4))
+        .withColumn("dtype_str", dt)
+        .withColumn("magic_ok", F.lit(magic_ok))
         .orderBy("ip3", "pos")
     )
 
@@ -2807,10 +2968,12 @@ _Q_XDF_RT_SQL = f"""
   SELECT nomvar, typvar, etiket, ni, nj, nk,
          (raw_o // 8) * 10 + raw_o % 8 AS dateo,
          ip1, ip2, ip3, deet, npas,
-         ([5, 134, 129, 1, 133])[CAST(ip3 % 5 AS INT) + 1] AS datyp,
-         ([32, 16, 16, 16, 32])[CAST(ip3 % 5 AS INT) + 1] AS nbits, grtyp,
+         ([{", ".join(str(d) for d, _ in _XDF_CASES)}])[CAST(ip3 % {len(_XDF_CASES)} AS INT) + 1] AS datyp,
+         ([{", ".join(str(n) for _, n in _XDF_CASES)}])[CAST(ip3 % {len(_XDF_CASES)} AS INT) + 1] AS nbits, grtyp,
          ig1, ig2, ig3, ig4, datev,
-         u.i - 1 AS pos, round(CAST(d[u.i] AS DOUBLE), 4) AS val
+         u.i - 1 AS pos, round(CAST(d[u.i] AS DOUBLE), 4) AS val,
+         ([{", ".join(_xdf_dtype_sql())}])[CAST(ip3 % {len(_XDF_CASES)} AS INT) + 1] AS dtype_str,
+         TRUE AS magic_ok
   FROM s, UNNEST(generate_series(1, len(d))) u(i)
   ORDER BY ip3, pos
 """
