@@ -2323,7 +2323,9 @@ def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     E (rotated frame), N/S (polar stereographic true at 60°) and G
     (Gauss-Legendre latitudes) exercise the trig paths. U (composite,
     reference std_grid.py:114-203) gets a real ``^>`` record packing two
-    subgrid axis sets; the oracle rebuilds the same outer products, so
+    subgrid axis sets; '#' (tiled Z, reference std_grid.py:74-109) gets
+    its own grids resolving the same ``>>``/``^^`` axis shape with tile
+    offsets in ig3/ig4; the oracle rebuilds the same outer products, so
     only X remains (documented) unsupported."""
     from fstd2pandas_spark.operators.grid import grid_lat_lon
 
@@ -2428,8 +2430,24 @@ def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     uxy = _rec("^>", F.size(u_d), F.lit(1), ig1, ig2, F.lit("L"), zero,
                zero, zero, zero, grid, u_d).where(unat)
 
+    # '#' tiled grids (reference std_grid.py:74-109: Z-with-tile-offsets;
+    # ig3/ig4 carry the tile origin and do not change the axis expansion):
+    # the Z nations get a second grid with the same axis arrays under a
+    # fresh (ig1,ig2) pair, exercising the '#' arm end-to-end
+    t_ig1 = (30000 + k).cast("int")
+    t_ig2 = (700 + k).cast("int")
+    grid_t = F.concat(t_ig1.cast("string"), t_ig2.cast("string"))
+    t_d = _rec("TT", ni, nj, F.lit(0), F.lit(0), F.lit("#"), t_ig1, t_ig2,
+               F.lit(1), F.lit(1), grid_t,
+               F.array_repeat(F.lit(0.0).cast("float"), ni * nj)).where(znat)
+    tx = _rec(">>", ni, F.lit(1), t_ig1, t_ig2, F.lit("L"), zero, zero,
+              zero, zero, grid_t, z_ax).where(znat)
+    ty = _rec("^^", F.lit(1), nj, t_ig1, t_ig2, F.lit("L"), zero, zero,
+              zero, zero, grid_t, z_ay).where(znat)
+
     recs = (data.unionByName(zx).unionByName(zy).unionByName(yx)
-            .unionByName(yy).unionByName(uxy))
+            .unionByName(yy).unionByName(uxy)
+            .unionByName(t_d).unionByName(tx).unionByName(ty))
     ll = grid_lat_lon(recs)
     cells = (
         ll.select("grid", "grtyp", "nomvar", "ni", "nj",
@@ -2579,6 +2597,15 @@ def _latlon_all_sql() -> str:
              + (CASE WHEN j < nj THEN 0 ELSE 90 END) + i * (k % 4 + 2)
       END AS lon
     FROM ev),
+  tiles AS (
+    SELECT k, ni, nj,
+           concat(CAST(30000 + k AS VARCHAR), CAST(700 + k AS VARCHAR)) AS grid
+    FROM g WHERE k % 10 = 4),
+  tvals AS (
+    SELECT grid, ni, nj, u.c AS pos,
+           (k - 12) + (u.c // ni) * (k % 3 + 1) AS lat,
+           (k * 14 - 180) + (u.c % ni) * (k % 4 + 2) AS lon
+    FROM tiles, UNNEST(generate_series(0, ni * nj - 1)) u(c)),
   gf AS (
     SELECT concat(CAST(ig1 AS VARCHAR), CAST(ig2 AS VARCHAR)) AS grid, gt,
            CAST(ni - 1 AS DOUBLE) * (k % 4 + 2) AS zspan,
@@ -2618,6 +2645,18 @@ def _latlon_all_sql() -> str:
   SELECT grid, gt AS grtyp, 'GG' AS nomvar, 0 AS ni, 0 AS nj, 1 AS pos,
          CAST(rep AS DOUBLE) AS val
   FROM gf2
+  UNION ALL
+  SELECT grid, '#' AS grtyp, 'LA' AS nomvar, ni, nj, pos,
+         round(lat, 6) + 0.0 AS val
+  FROM tvals
+  UNION ALL
+  SELECT grid, '#' AS grtyp, 'LO' AS nomvar, ni, nj, pos,
+         round(lon, 6) + 0.0 AS val
+  FROM tvals
+  UNION ALL
+  SELECT grid, '#' AS grtyp, 'GG' AS nomvar, 0 AS ni, 0 AS nj, u.p AS pos,
+         0.0 AS val
+  FROM tiles, UNNEST([0, 1]) u(p)
   ORDER BY grid, nomvar, pos
 """
 
