@@ -235,13 +235,33 @@ def compress_payload(d: np.ndarray, ni: int, nj: int, nk: int,
 
 def decompress_payload(words: np.ndarray, ni: int, nj: int, nk: int,
                        datyp: int, nbits: int) -> np.ndarray:
-    """Inverse of compress_payload -> float32 record data."""
+    """Inverse of compress_payload -> float32 record data.
+
+    The 5-word header is validated against the record dims BEFORE any
+    bit-unpacking: an authentic librmn-compressed (ARMN/zfst) payload —
+    which this repo deliberately does not implement (reference
+    fstpy/std_io.py:463-475 delegates to the librmn C library) — fails
+    these checks and raises instead of decoding to wrong data. See
+    README "FST binary compatibility boundary".
+    """
+    if len(words) < 5:
+        raise ValueError(
+            f"compressed payload too short ({len(words)} words); not a "
+            "turbo-pack stream — librmn-compressed records are not supported")
     head = words[:5].astype("int64")
     ntokens = int(head[0])
     qnbits = int(head[1]) >> 24
     exp0 = (int(head[1]) & 0xFFFFFF) - _EXP_BIAS
     m = float(np.frombuffer(
         np.array([head[3], head[2]], dtype="<u4").tobytes(), dtype="<f8")[0])
+    if ntokens != ni * nj * nk or not 0 < qnbits <= 61 \
+            or int(head[4]) > len(words) - 5:
+        raise ValueError(
+            f"turbo-pack header mismatch (ntokens={ntokens} vs dims "
+            f"{ni}x{nj}x{nk}, width={qnbits}, stream={int(head[4])}/"
+            f"{len(words) - 5} words): this is not a stream written by "
+            "this repo — authentic librmn-compressed (ARMN/zfst) records "
+            "are not supported")
     stream = words[5:5 + int(head[4])]
     u = _unpack_bits(np.asarray(stream, dtype=">u4"), ntokens)
     if datyp in COMPRESSED_DATYPS:

@@ -470,3 +470,42 @@ def test_xdf_subword_int_packing(tmp_path, datyp, nbits, signed):
         for r, h in zip(recs, hdrs):
             assert np.array_equal(read_xdf_payload(f, h),
                                   np.asarray(r["d"]).astype("<f4"))
+
+
+def test_librmn_compression_boundary(tmp_path):
+    """The README's FST compatibility contract: transparent datyps are
+    bit-compatible with the librmn layout, but compressed datyps use this
+    repo's own turbo-pack stream — an authentic librmn-compressed
+    (ARMN/zfst) payload must raise a clear error, never decode to wrong
+    data (reference fstpy/std_io.py:463-475 delegates to librmn)."""
+    import numpy as np
+
+    from fstd2pandas_spark.sources.xdf_format import (
+        read_xdf_directory, read_xdf_payload, write_xdf)
+
+    base = _xdf_sample_records(2)
+    rec = dict(base[0], datyp=134, nbits=16, deleted=False,
+               d=np.random.RandomState(5).randn(
+                   base[0]["ni"] * base[0]["nj"]).astype("<f4"))
+    path = str(tmp_path / "c.fst")
+    write_xdf(path, [rec])
+    (hdr,) = read_xdf_directory(path)
+
+    # sanity: our own stream decodes
+    with open(path, "rb") as f:
+        got = read_xdf_payload(f, hdr)
+    assert got.shape == (rec["ni"] * rec["nj"],)
+
+    # simulate a foreign (librmn zfst) payload: overwrite the payload
+    # with a stream whose leading words do not satisfy the turbo-pack
+    # header contract (token count != ni*nj*nk); the reader must reject
+    # it loudly instead of returning garbage
+    foreign = np.array([999999, (33 << 24) | 0x7F, 0xDEADBEEF,
+                        0x12345678, 2, 0xCAFEBABE, 0x0BADF00D],
+                       dtype=">u4")
+    with open(path, "r+b") as f:
+        f.seek(hdr.offset)
+        f.write(foreign.tobytes())
+    with open(path, "rb") as f:
+        with pytest.raises(ValueError, match="librmn"):
+            read_xdf_payload(f, hdr)
