@@ -44,7 +44,8 @@ def write_record_table(df: DataFrame, path: str, mode: str = "write",
                        no_meta: bool = False,
                        overwrite: bool = False,
                        partition_by: "list[str] | None" = None,
-                       container: str = "fstrec") -> None:
+                       container: str = "fstrec",
+                       update_driver_threshold: int = 10_000) -> None:
     """Write a record table to a directory of record containers.
 
     ``container="fstrec"`` emits the portable container;
@@ -61,7 +62,7 @@ def write_record_table(df: DataFrame, path: str, mode: str = "write",
     from fstd2pandas_spark.schema import META_NOMVARS
 
     if mode == "update":
-        _update(df)
+        _update(df, driver_threshold=update_driver_threshold)
         return
     if no_meta:
         df = df.filter(~F.col("nomvar").isin(META_NOMVARS))
@@ -83,21 +84,45 @@ def write_record_table(df: DataFrame, path: str, mode: str = "write",
     writer.save(path)
 
 
-def _update(df: DataFrame) -> None:
-    """Metadata-only in-place edit: every row must carry (path, key)
-    pointing at an existing container record. Edits are grouped per file
-    and applied driver-side (header pages are KBs; the payloads — the
-    100 TB part — are untouched, so a distributed pass adds nothing)."""
-    from fstd2pandas_spark.sources.fstrec_format import update_metadata
-
-    cols = [c for c in UPDATABLE if c in df.columns]
-    if "path" not in df.columns or "key" not in df.columns:
-        raise WriterError("update mode needs path and key columns")
-    rows = df.select("path", "key", *cols).collect()
+def _group_updates(rows, cols) -> "dict[str, dict[int, dict]]":
     by_path: dict[str, dict[int, dict]] = {}
     for r in rows:
         by_path.setdefault(r.path, {})[int(r.key)] = {
             c: r[c] for c in cols if r[c] is not None
         }
-    for p, updates in by_path.items():
-        update_metadata(p, updates)
+    return by_path
+
+
+def _update(df: DataFrame, driver_threshold: int = 10_000) -> None:
+    """Metadata-only in-place edit: every row must carry (path, key)
+    pointing at an existing container record; payload bytes are never
+    rewritten (reference std_writer.py:100-125 ``fst_edit_dir``).
+
+    Small edit sets (<= ``driver_threshold`` rows) are applied
+    driver-side in one loop — header pages are KBs and job-scheduling
+    overhead would dominate. Larger sets go through
+    ``repartition("path").foreachPartition``: every file's edits land in
+    exactly one task (no two tasks touch the same file), so a
+    billion-record metadata edit never pins the driver. The scale path
+    assumes executors see the container files (shared FS / object store
+    — the same premise as any in-place edit)."""
+    from fstd2pandas_spark.sources.fstrec_format import update_metadata
+
+    cols = [c for c in UPDATABLE if c in df.columns]
+    if "path" not in df.columns or "key" not in df.columns:
+        raise WriterError("update mode needs path and key columns")
+    sel = df.select("path", "key", *cols)
+    if driver_threshold > 0:
+        head = sel.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            for p, updates in _group_updates(head, cols).items():
+                update_metadata(p, updates)
+            return
+
+    def _apply(part) -> None:
+        from fstd2pandas_spark.sources.fstrec_format import update_metadata
+
+        for p, updates in _group_updates(part, cols).items():
+            update_metadata(p, updates)
+
+    sel.repartition("path").foreachPartition(_apply)

@@ -509,3 +509,26 @@ def test_librmn_compression_boundary(tmp_path):
     with open(path, "rb") as f:
         with pytest.raises(ValueError, match="librmn"):
             read_xdf_payload(f, hdr)
+
+
+def test_update_mode_distributed_path(registered, records, tmp_path):
+    """The update-mode scale path (threshold 0 forces it): edits are
+    applied via repartition('path').foreachPartition — one task per
+    file, no full-table collect on the driver — and produce exactly the
+    same files as the driver-side fast path."""
+    from fstd2pandas_spark.sources import write_record_table
+
+    out = str(tmp_path / "wd")
+    write_record_table(records, out, mode="dump", overwrite=True)
+    back = registered.read.format("fstrec").load(out)
+    upd = back.select("path", "key", F.lit("DISTTAG").alias("etiket"),
+                      F.lit(77).alias("ip3"))
+    write_record_table(upd, out, mode="update", update_driver_threshold=0)
+    again = registered.read.format("fstrec").load(out)
+    assert {r.etiket for r in again.select("etiket").distinct().collect()} \
+        == {"DISTTAG"}
+    assert {r.ip3 for r in again.select("ip3").distinct().collect()} == {77}
+    # payloads untouched
+    d0 = sorted(tuple(r.d) for r in back.select("d").collect())
+    d1 = sorted(tuple(r.d) for r in again.select("d").collect())
+    assert d0 == d1
