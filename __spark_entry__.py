@@ -1700,17 +1700,14 @@ _Q_ENCODE_IP_SQL = f"""
 
 
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup over raw AND normalized content (dedup.py
-    normalized_exact_dedup: lowercase, punctuation stripped, whitespace
-    collapsed — reformatting does not defeat the hash), as one ledger
-    with a kind discriminator."""
-    from fstd2pandas_spark.operators.llm import exact_dedup
-    from fstd2pandas_spark.operators.llm.dedup import normalized_exact_dedup
+    """Exact dedup over raw AND normalized content in ONE corpus scan
+    (dedup.py multi_exact_dedup: both md5s computed in a single
+    projection and unpivoted — normalization is Unicode-aware and
+    empty-normalized docs are excluded from the norm ledger)."""
+    from fstd2pandas_spark.operators.llm.dedup import multi_exact_dedup
 
     docs = _load(spark, sf_dir, "documents")
-    raw = exact_dedup(docs).withColumn("kind", F.lit("raw"))
-    norm = normalized_exact_dedup(docs).withColumn("kind", F.lit("norm"))
-    return raw.unionByName(norm).orderBy("kind", "doc_id")
+    return multi_exact_dedup(docs).orderBy("kind", "doc_id")
 
 
 _Q_EXACT_DEDUP_SQL = """
@@ -1718,10 +1715,12 @@ _Q_EXACT_DEDUP_SQL = """
          count(*) AS n_copies, 'raw' AS kind
   FROM documents GROUP BY md5(text)
   UNION ALL
-  SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS content_hash,
-         min(doc_id) AS doc_id, count(*) AS n_copies, 'norm' AS kind
-  FROM documents GROUP BY 1
+  SELECT md5(n) AS content_hash, min(doc_id) AS doc_id,
+         count(*) AS n_copies, 'norm' AS kind
+  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+          '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS n
+        FROM documents)
+  WHERE n <> '' GROUP BY n
   ORDER BY kind, doc_id
 """
 

@@ -27,7 +27,7 @@ from fstd2pandas_spark.operators.llm.text import (
     language_id, quality_score, token_counts, fingerprint, simhash,
 )
 from fstd2pandas_spark.operators.llm.dedup import (
-    exact_dedup, normalized_exact_dedup, minhash_signature,
+    exact_dedup, multi_exact_dedup, normalized_exact_dedup, minhash_signature,
     lsh_candidate_pairs, ngram_jaccard_pairs, simhash_buckets,
 )
 from fstd2pandas_spark.operators.llm.cluster import (
@@ -47,7 +47,7 @@ from fstd2pandas_spark.operators.llm.multimodal import (
 __all__ = [
     "tokens_col", "shingles_col", "token_hash_col", "language_id",
     "quality_score", "token_counts", "fingerprint", "simhash",
-    "exact_dedup", "normalized_exact_dedup", "minhash_signature",
+    "exact_dedup", "multi_exact_dedup", "normalized_exact_dedup", "minhash_signature",
     "lsh_candidate_pairs", "ngram_jaccard_pairs", "simhash_buckets",
     "neardup_components", "canonical_docs", "contamination_overlap",
     "hash_split", "hash_sample", "token_pack",

@@ -208,21 +208,55 @@ def simhash_buckets(df: DataFrame, text_col: str = "text",
 
 
 def normalized_text_col(text: Column) -> Column:
-    """Dedup normalization: lowercase, punctuation -> space, whitespace
-    collapsed, trimmed — so reformatting (case, punctuation, spacing)
-    does not defeat exact dedup."""
+    """Dedup normalization: lowercase, punctuation/symbols -> space,
+    whitespace collapsed, trimmed — so reformatting (case, punctuation,
+    spacing) does not defeat exact dedup. Unicode-aware: keeps letters
+    and digits of EVERY script (``\\p{L}\\p{N}``), so Chinese/Cyrillic/
+    Arabic documents normalize to their own content rather than
+    collapsing to the empty string."""
     return F.trim(F.regexp_replace(
-        F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", " "),
+        F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}\s]", " "),
         r"\s+", " "))
 
 
 def normalized_exact_dedup(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
     """Exact dedup over NORMALIZED content (see normalized_text_col):
-    keep the lowest-id doc per normalized md5."""
-    h = F.md5(normalized_text_col(F.col(text_col)))
+    keep the lowest-id doc per normalized md5. Documents whose
+    normalized form is EMPTY (emoji-only, punctuation-only) are excluded
+    — unrelated degenerate documents must never collapse into one
+    "duplicate" group and be mass-deleted."""
+    n = normalized_text_col(F.col(text_col))
     return (
-        df.withColumn("content_hash", h)
+        df.withColumn("content_hash", F.md5(n)).where(F.length(n) > 0)
         .groupBy("content_hash")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def multi_exact_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Raw + normalized exact-dedup ledgers in ONE scan: both hashes are
+    computed in a single projection and unpivoted to (kind,
+    content_hash) rows before one hash-groupBy — at corpus scale this
+    halves the input I/O vs running the two dedups separately and
+    unioning. Output: (content_hash, doc_id, n_copies, kind)."""
+    n = normalized_text_col(F.col(text_col))
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.filter(
+            F.array(
+                F.struct(F.lit("raw").alias("kind"),
+                         F.md5(F.col(text_col)).alias("content_hash")),
+                F.struct(F.lit("norm").alias("kind"),
+                         F.when(F.length(n) > 0, F.md5(n))
+                         .alias("content_hash")),
+            ),
+            lambda s: s["content_hash"].isNotNull())).alias("kc"),
+    )
+    return (
+        pairs.groupBy(F.col("kc.kind").alias("kind"),
+                      F.col("kc.content_hash").alias("content_hash"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select("content_hash", id_col, "n_copies", "kind")
     )

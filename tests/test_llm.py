@@ -453,3 +453,32 @@ def test_random_projection_preserves_geometry(spark, emb):
     ratios = np.array(ratios)
     assert abs(float(ratios.mean()) - 1.0) < 0.15, ratios.mean()
     assert float((np.abs(ratios - 1.0) < 0.6).mean()) > 0.9
+
+
+def test_unicode_normalization_and_single_scan_dedup(spark):
+    """Normalization keeps letters/digits of every script (non-Latin
+    corpora must not collapse to the empty string), punctuation-only
+    docs are excluded from the norm ledger, and the single-scan
+    multi_exact_dedup reproduces both separate ledgers."""
+    from fstd2pandas_spark.operators.llm.dedup import (
+        exact_dedup, multi_exact_dedup, normalized_exact_dedup)
+
+    docs = spark.createDataFrame(
+        [(0, "你好，世界！"), (1, "你好 世界"), (2, "Привет, мир!"),
+         (3, "привет   МИР"), (4, "!!!"), (5, "???"),
+         (6, "plain english doc")],
+        "doc_id long, text string")
+    norm = {r.doc_id: r.n_copies
+            for r in normalized_exact_dedup(docs).collect()}
+    assert norm[0] == 2 and norm[2] == 2     # CJK / Cyrillic pairs collapse
+    assert 4 not in norm and 5 not in norm   # empty-normalized excluded
+    assert sum(norm.values()) == 5           # 7 docs - 2 punctuation-only
+    multi = multi_exact_dedup(docs)
+    raw_ref = {(r.content_hash, r.doc_id, r.n_copies)
+               for r in exact_dedup(docs).collect()}
+    raw_got = {(r.content_hash, r.doc_id, r.n_copies)
+               for r in multi.filter(F.col("kind") == "raw").collect()}
+    assert raw_got == raw_ref
+    norm_got = {r.doc_id: r.n_copies
+                for r in multi.filter(F.col("kind") == "norm").collect()}
+    assert norm_got == norm
