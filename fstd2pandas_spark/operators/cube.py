@@ -90,10 +90,50 @@ def to_cube(df: DataFrame, by_time: bool = False) -> DataFrame:
     )
 
 
-def to_xarray(df: DataFrame, by_time: bool = False):
+#: attrs attached per DataArray when ``attributes=True`` — the decoded
+#: metadata the reference keeps (xarray_utils.py:80-108: the row dict
+#: minus structural keys like ip*/ig*/datev/grid/shape/d)
+XARRAY_ATTR_COLS = [
+    "typvar", "deet", "npas", "unit", "description", "run",
+    "implementation", "ensemble_member", "label", "ip1_kind", "ip1_pkind",
+    "surface", "follow_topography", "ascending", "data_type_str",
+    "forecast_hour", "date_of_observation", "date_of_validity",
+]
+
+
+def _cube_keys(by_time: bool) -> "list[str]":
+    return (["grid", "nomvar", "ip1"] if by_time
+            else ["grid", "nomvar", "ip1_kind", "datev"])
+
+
+def cube_attributes(df: DataFrame, by_time: bool = False) -> DataFrame:
+    """Distributed attrs table for :func:`to_xarray(attributes=True)`:
+    one row per cube group holding the first non-null value of every
+    :data:`XARRAY_ATTR_COLS` column (decoded via with_decoded_columns —
+    unit/description dictionary join, parsed etiket, kind flags). Kept
+    as a DataFrame so the attrs computation itself never collects more
+    than one row per cube."""
+    from fstd2pandas_spark.functions.meta import with_decoded_columns
+
+    dec = _level_cols(with_decoded_columns(
+        df.filter(~F.col("nomvar").isin(META_NOMVARS))))
+    attr_cols = [c for c in XARRAY_ATTR_COLS if c in dec.columns]
+    return dec.groupBy(*_cube_keys(by_time)).agg(
+        *[F.first(c, ignorenulls=True).alias(c) for c in attr_cols])
+
+
+def to_xarray(df: DataFrame, by_time: bool = False,
+              attributes: bool = False):
     """Driver-side xarray export of :func:`to_cube` output. Requires the
     optional ``xarray`` dependency; raises ImportError otherwise. Collect
-    happens here — use only on selections that fit in driver memory."""
+    happens here — use only on selections that fit in driver memory.
+
+    ``attributes=True`` (reference xarray_utils.py:10-77,
+    ``convert_to_cmc_xarray(attributes=True)``): each DataArray carries
+    the decoded metadata of its group (unit, description, parsed etiket,
+    kind flags — :data:`XARRAY_ATTR_COLS`) as attrs, computed
+    distributed (one first-value aggregation per cube group) and
+    collected alongside the cubes."""
     try:
         import xarray as xr
     except ImportError as exc:  # pragma: no cover
@@ -102,6 +142,15 @@ def to_xarray(df: DataFrame, by_time: bool = False):
             "to_cube() output is the distributed equivalent"
         ) from exc
     import numpy as np
+
+    keys = _cube_keys(by_time)
+    attrs_by_key: dict = {}
+    if attributes:
+        attr_df = cube_attributes(df, by_time=by_time)
+        attr_cols = [c for c in attr_df.columns if c not in keys]
+        for r in attr_df.collect():
+            attrs_by_key[tuple(r[k] for k in keys)] = {
+                c: r[c] for c in attr_cols if r[c] is not None}
 
     rows = to_cube(df, by_time=by_time).collect()
     arrays = {}
@@ -115,5 +164,6 @@ def to_xarray(df: DataFrame, by_time: bool = False):
                 else f"{r.nomvar}_{r.grid}_{r.datev}")
         arrays[name] = xr.DataArray(
             cube, dims=(dim0, "y", "x"),
-            coords={dim0: list(r.axis)}, name=name)
+            coords={dim0: list(r.axis)}, name=name,
+            attrs=attrs_by_key.get(tuple(r[k] for k in keys), {}))
     return xr.Dataset(arrays)

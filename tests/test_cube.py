@@ -58,6 +58,33 @@ def test_to_xarray_optional(spark, records):
     pytest.importorskip("xarray")
     ds = to_xarray(records.filter(F.col("nomvar") == "TT"))
     assert len(ds.data_vars) >= 1
+    # attributes=True attaches the decoded metadata per DataArray
+    # (reference xarray_utils.py convert_to_cmc_xarray attributes flag)
+    ds2 = to_xarray(records.filter(F.col("nomvar") == "TT"),
+                    attributes=True)
+    for name in ds2.data_vars:
+        assert ds2[name].attrs["unit"] == "celsius"
+        assert ds2[name].attrs["description"] == "Air Temperature"
+
+
+def test_cube_attributes_table(spark, records):
+    """The attrs half of to_xarray(attributes=True), testable without
+    xarray: one row per cube group carrying unit/description/parsed
+    etiket from the decode pipeline."""
+    from fstd2pandas_spark.operators.cube import cube_attributes
+
+    at = cube_attributes(records)
+    rows = {(r.grid, r.nomvar, r.ip1_kind, r.datev): r
+            for r in at.collect()}
+    assert rows
+    cube_keys = {(r.grid, r.nomvar, r.ip1_kind, r.datev)
+                 for r in to_cube(records).collect()}
+    assert set(rows) == cube_keys           # exactly one attrs row per cube
+    tt = [r for k, r in rows.items() if k[1] == "TT"]
+    assert tt and all(r.unit == "celsius" for r in tt)
+    assert all(r.description == "Air Temperature" for r in tt)
+    # parsed etiket rides along (f1 TT rows are R1_V710_N; f2's differ)
+    assert "R1" in {r.run for r in tt}
 
 
 # --- plan checks ------------------------------------------------------------
