@@ -1862,7 +1862,10 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.2)
-    comp = neardup_components(pairs)
+    # the oracle unrolls exactly 3 propagation rounds: a testdata
+    # regeneration producing a deeper pair graph must fail HERE, loudly,
+    # not as a silent hash mismatch (cluster.py ConvergenceError)
+    comp = neardup_components(pairs, require_convergence_within=3)
     return (
         pairs.hint("merge").join(comp, pairs.doc_a == comp.node)
         .select("doc_a", "doc_b", "jaccard", "component")

@@ -20,13 +20,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """Label propagation needed more rounds than the caller allowed."""
+
+
 def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
                        id_b: str = "doc_b", max_iter: int = 20,
-                       checkpoint: bool = True) -> DataFrame:
+                       checkpoint: bool = True,
+                       require_convergence_within: "int | None" = None,
+                       ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = min
     node id reachable through the pair graph. ``max_iter`` bounds the
     rounds (diameter guard); iteration stops early at the first round
-    that changes no label."""
+    that changes no label.
+
+    ``require_convergence_within=N`` raises :class:`ConvergenceError` if
+    labels are still changing after N rounds — used by callers whose
+    expected output is pinned to an N-round unroll (the gated oracle),
+    so a graph-shape change fails loudly instead of silently diverging
+    from the pinned expectation."""
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -39,6 +51,7 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
     # MERGE hints throughout: the label and edge tables are both
     # pair-graph-scale (millions of rows on a real corpus), so a
     # stats-driven broadcast of either side is a scale hazard
+    changing_rounds = 0
     for _ in range(max_iter):
         neigh = (
             edges.hint("merge").join(labels, edges.dst == labels.node)
@@ -63,6 +76,13 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
         labels = nxt
         if changed == 0:
             break
+        changing_rounds += 1
+        if (require_convergence_within is not None
+                and changing_rounds > require_convergence_within):
+            raise ConvergenceError(
+                f"label propagation still changing after "
+                f"{require_convergence_within} rounds; the pair graph's "
+                "diameter exceeds the caller's pinned unroll")
     return labels
 
 

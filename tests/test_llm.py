@@ -482,3 +482,24 @@ def test_unicode_normalization_and_single_scan_dedup(spark):
     norm_got = {r.doc_id: r.n_copies
                 for r in multi.filter(F.col("kind") == "norm").collect()}
     assert norm_got == norm
+
+
+def test_neardup_convergence_guard(spark):
+    """require_convergence_within pins the round budget: a graph whose
+    diameter needs more rounds raises ConvergenceError loudly (the gated
+    oracle unrolls a fixed number of rounds), while a shallow graph
+    passes under the same bound."""
+    from fstd2pandas_spark.operators.llm.cluster import (
+        ConvergenceError, neardup_components)
+
+    chain = spark.createDataFrame([(a, a + 1) for a in range(12)],
+                                  "doc_a int, doc_b int")
+    with pytest.raises(ConvergenceError):
+        neardup_components(chain, require_convergence_within=2)
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "doc_a int, doc_b int")
+    got = {r.node: r.component
+           for r in neardup_components(
+               clique, require_convergence_within=2).collect()}
+    assert got == {n: 0 for n in range(4)}
