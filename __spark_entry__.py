@@ -1774,28 +1774,73 @@ def _langid_sql() -> str:
   ORDER BY d.doc_id"""
 
 
+#: deterministic PII/URL span injection — the documents fixture is
+#: synthetic word-soup with no real PII, so the gated query plants
+#: spans derived from doc_id (identical expression on both engines) and
+#: the detectors/redactor run against text with real matches.
+_PII_INJECT_SQL = """concat(text,
+    CASE WHEN doc_id % 7 = 0 THEN ' mail user' || CAST(doc_id AS STRING)
+         || '@example.com' ELSE '' END,
+    CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.'
+         || CAST(doc_id % 256 AS STRING) || '.1' ELSE '' END,
+    CASE WHEN doc_id % 13 = 0 THEN ' call +1 555-01'
+         || CAST(doc_id % 90 + 10 AS STRING) ELSE '' END,
+    CASE WHEN doc_id % 5 = 0 THEN ' see https://site'
+         || CAST(doc_id % 3 AS STRING) || '.example.org/p/'
+         || CAST(doc_id AS STRING) ELSE '' END)"""
+
+
 def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + sequence packing (operators/llm/sampling.py
     token_pack): greedy fixed-budget packing in id order within md5
     shards — per-shard running token totals, the scale-safe packing
-    idiom (global packing is inherently sequential)."""
+    idiom (global packing is inherently sequential).
+
+    Also gates the scrubbing layer (operators/llm/scrub.py): PII
+    detection counts, typed-placeholder redaction (pinned by an md5
+    signature of the redacted text) and URL/domain extraction with a
+    blocklist flag, over deterministically injected spans."""
     from fstd2pandas_spark.operators.llm import token_counts
     from fstd2pandas_spark.operators.llm.sampling import token_pack
+    from fstd2pandas_spark.operators.llm.scrub import (
+        pii_counts, redact_pii, url_metrics)
 
     docs = _load(spark, sf_dir, "documents")
+    aug = docs.withColumn("_pii_text", F.expr(_PII_INJECT_SQL))
+    scrubbed = url_metrics(
+        redact_pii(pii_counts(aug, "_pii_text"), "_pii_text"),
+        "_pii_text", blocklist=["site0.example.org"],
+    ).withColumn("redacted_sig", F.substring(F.md5(F.col("redacted")), 1, 8))
     return token_pack(
-        token_counts(docs), budget=512, n_shards=8
+        token_counts(scrubbed), budget=512, n_shards=8
     ).select("doc_id", "ws_tokens", "bpe_tokens", "shard", "pack_id",
-             "pack_offset").orderBy("doc_id")
+             "pack_offset", "n_email", "n_ipv4", "n_phone", "redacted_sig",
+             "n_urls", "first_domain", "blocked_domain").orderBy("doc_id")
 
 
-_Q_TOKENS_SQL = """
+def _tokens_sql() -> str:
+    from fstd2pandas_spark.operators.llm.scrub import (
+        PII_PATTERNS, URL_DOMAIN_PATTERN, URL_PATTERN)
+
+    def q(pat: str) -> str:
+        # DuckDB single-quoted literals are NOT backslash-escaped, so
+        # the regex goes in verbatim; only quotes need doubling
+        return "'" + pat.replace("'", "''") + "'"
+
+    email, ipv4, phone = (q(PII_PATTERNS[k]) for k in ("email", "ipv4",
+                                                       "phone"))
+    redact = "p"
+    for name, pat in PII_PATTERNS.items():
+        redact = (f"regexp_replace({redact}, {q(pat)}, "
+                  f"'<{name.upper()}>', 'g')")
+    return f"""
   WITH t AS (
     SELECT doc_id,
            len(string_split(lower(text), ' ')) AS ws_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
            CAST(CAST(concat('0x', substr(md5(concat('pack1_',
-                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+           {_PII_INJECT_SQL} AS p
     FROM documents),
   p AS (
     SELECT *,
@@ -1804,26 +1849,63 @@ _Q_TOKENS_SQL = """
     FROM t)
   SELECT doc_id, ws_tokens, bpe_tokens, shard,
          CAST(strt // 512 AS BIGINT) AS pack_id,
-         CAST(strt % 512 AS BIGINT) AS pack_offset
+         CAST(strt % 512 AS BIGINT) AS pack_offset,
+         len(regexp_extract_all(p, {email})) AS n_email,
+         len(regexp_extract_all(p, {ipv4})) AS n_ipv4,
+         len(regexp_extract_all(p, {phone})) AS n_phone,
+         substr(md5({redact}), 1, 8) AS redacted_sig,
+         len(regexp_extract_all(p, {q(URL_PATTERN)})) AS n_urls,
+         coalesce(regexp_extract(p, {q(URL_DOMAIN_PATTERN)}, 1), '')
+           AS first_domain,
+         coalesce(regexp_extract(p, {q(URL_DOMAIN_PATTERN)}, 1), '')
+           = 'site0.example.org' AS blocked_domain
   FROM p ORDER BY doc_id
 """
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fstd2pandas_spark.operators.llm import fingerprint
+    """Fingerprint + Gopher-style repetition counts (text.py
+    repetition_metrics): duplicate-token, duplicate-line and
+    top-bigram-frequency signals, the standard boilerplate filters of a
+    training-data pipeline.  Integer counts are gated (the 6-dp fraction
+    columns ride on them and are unit-tested; fractions are kept out of
+    the hash to stay immune to cross-engine double-rounding ties)."""
+    from fstd2pandas_spark.operators.llm import fingerprint, repetition_metrics
 
     docs = _load(spark, sf_dir, "documents")
-    return fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+    return repetition_metrics(fingerprint(docs)).select(
+        "doc_id", "fingerprint", "n_tok_rep", "n_tok_distinct",
+        "n_lines", "n_lines_distinct", "top_bigram_count", "n_bigrams",
+    ).orderBy("doc_id")
 
 
 _Q_FINGERPRINT_SQL = """
+  WITH t AS (
+    SELECT doc_id, text, string_split(lower(text), ' ') AS tk
+    FROM documents),
+  b AS (
+    SELECT *, CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                   ELSE list_transform(generate_series(1, len(tk) - 1),
+                        j -> array_to_string(list_slice(tk, j, j + 1), ' '))
+              END AS bg
+    FROM t)
   SELECT doc_id,
          list_reduce(
            list_prepend(CAST(0 AS BIGINT),
-             list_transform(string_split(lower(text), ' '),
+             list_transform(tk,
                t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))),
-           (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
-  FROM documents ORDER BY doc_id
+           (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint,
+         CAST(len(tk) AS BIGINT) AS n_tok_rep,
+         CAST(len(list_distinct(tk)) AS BIGINT) AS n_tok_distinct,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_distinct(string_split(text, chr(10)))) AS BIGINT)
+           AS n_lines_distinct,
+         CAST(CASE WHEN len(bg) = 0 THEN 0
+                   ELSE list_max(list_transform(list_distinct(bg),
+                        x -> len(list_filter(bg, y -> y = x)))) END
+              AS BIGINT) AS top_bigram_count,
+         CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_bigrams
+  FROM b ORDER BY doc_id
 """
 
 
@@ -3208,7 +3290,7 @@ def oracle_sql() -> dict[str, str]:
         "fst_invariants": _Q_INVARIANTS_SQL,
         "doc_exact_dedup": _Q_EXACT_DEDUP_SQL,
         "doc_langid": _langid_sql(),
-        "doc_token_counts": _Q_TOKENS_SQL,
+        "doc_token_counts": _tokens_sql(),
         "doc_fingerprint": _Q_FINGERPRINT_SQL,
         "doc_ngram_jaccard": _Q_JACCARD_SQL,
         "doc_minhash_lsh": _minhash_sql(),

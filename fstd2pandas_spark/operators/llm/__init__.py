@@ -25,6 +25,10 @@ engine-specific hash functions in any correctness-gated path.
 from fstd2pandas_spark.operators.llm.text import (
     tokens_col, shingles_col, token_hash_col,
     language_id, quality_score, token_counts, fingerprint, simhash,
+    repetition_metrics,
+)
+from fstd2pandas_spark.operators.llm.scrub import (
+    pii_counts, redact_pii, url_metrics,
 )
 from fstd2pandas_spark.operators.llm.dedup import (
     exact_dedup, multi_exact_dedup, normalized_exact_dedup, minhash_signature,
@@ -47,6 +51,7 @@ from fstd2pandas_spark.operators.llm.multimodal import (
 __all__ = [
     "tokens_col", "shingles_col", "token_hash_col", "language_id",
     "quality_score", "token_counts", "fingerprint", "simhash",
+    "repetition_metrics", "pii_counts", "redact_pii", "url_metrics",
     "exact_dedup", "multi_exact_dedup", "normalized_exact_dedup", "minhash_signature",
     "lsh_candidate_pairs", "ngram_jaccard_pairs", "simhash_buckets",
     "neardup_components", "canonical_docs", "contamination_overlap",

@@ -141,6 +141,87 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, fp)
 
 
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       method: str = "fold",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    filters, public): documents dominated by repeated lines / words /
+    n-grams are boilerplate and get filtered before training.
+
+    Adds integer counts plus 6-dp fractions:
+
+    - ``n_tok_rep`` / ``n_tok_distinct`` and ``dup_word_frac``
+      (1 - distinct/total tokens)
+    - ``n_lines`` / ``n_lines_distinct`` and ``dup_line_frac``
+      (split on newline)
+    - ``top_bigram_count`` / ``n_bigrams`` and ``top_bigram_frac``
+      (occurrences of the most frequent word 2-gram)
+
+    ``method='fold'`` (default) computes the top-bigram count as a pure
+    array fold — shuffle-free, O(distinct·n) per row, the right shape
+    for web-scale corpora of ordinary documents.  ``method='explode'``
+    is the long-document path: explode + two ``groupBy(id_col)``
+    aggregations (map-side combined) so a 1M-token doc costs O(n log n)
+    across the cluster instead of O(n²) in one task.
+    """
+    df = ensure_min_partitions(df)
+    toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks)
+    n_dist = F.size(F.array_distinct(toks))
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_dlines = F.size(F.array_distinct(lines))
+
+    if method == "fold":
+        # guard n < 2 explicitly: sequence(1, 0) counts DOWN in Spark
+        # ([1, 0]), it is not empty
+        bg = (f"CASE WHEN size(split(lower({text_col}), ' ')) < 2 "
+              f"THEN array() "
+              f"ELSE transform(sequence(1, size(split(lower({text_col})"
+              f", ' ')) - 1), j -> concat_ws(' ', "
+              f"slice(split(lower({text_col}), ' '), j, 2))) END")
+        top = (f"CASE WHEN size({bg}) = 0 THEN 0 ELSE "
+               f"array_max(transform(array_distinct({bg}), "
+               f"b -> size(filter({bg}, x -> x = b)))) END")
+        out = (
+            df.withColumn("top_bigram_count", F.expr(top).cast("long"))
+            .withColumn("n_bigrams",
+                        F.greatest(n_tok - 1, F.lit(0)).cast("long"))
+        )
+    elif method == "explode":
+        bg_counts = (
+            df.select(F.col(id_col),
+                      F.explode(shingles_col(toks, 2)).alias("_bg"))
+            .groupBy(id_col, "_bg").agg(F.count("*").alias("_c"))
+            .groupBy(id_col).agg(
+                F.max("_c").alias("top_bigram_count"),
+                F.sum("_c").alias("n_bigrams"))
+        )
+        out = (
+            df.join(bg_counts, id_col, "left")
+            .withColumn("top_bigram_count",
+                        F.coalesce(F.col("top_bigram_count"), F.lit(0)))
+            .withColumn("n_bigrams",
+                        F.coalesce(F.col("n_bigrams"), F.lit(0)))
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    return (
+        out.withColumn("n_tok_rep", n_tok.cast("long"))
+        .withColumn("n_tok_distinct", n_dist.cast("long"))
+        .withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("n_lines_distinct", n_dlines.cast("long"))
+        .withColumn("dup_word_frac", F.round(
+            (n_tok - n_dist) / F.greatest(n_tok, F.lit(1)), 6))
+        .withColumn("dup_line_frac", F.round(
+            (n_lines - n_dlines) / F.greatest(n_lines, F.lit(1)), 6))
+        .withColumn("top_bigram_frac", F.round(
+            F.col("top_bigram_count") /
+            F.greatest(F.col("n_bigrams"), F.lit(1)), 6))
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
             out_col: str = "simhash") -> DataFrame:
     """SimHash over token hashes: bit b of the output is set when the sum

@@ -503,3 +503,62 @@ def test_neardup_convergence_guard(spark):
            for r in neardup_components(
                clique, require_convergence_within=2).collect()}
     assert got == {n: 0 for n in range(4)}
+
+
+def test_repetition_metrics_fold_and_explode(spark):
+    from fstd2pandas_spark.operators.llm import repetition_metrics
+
+    rows = [
+        (0, "a b a b a b"),            # top bigram 'a b' x3 of 5
+        (1, "x"),                      # single token: no bigrams
+        (2, "l1\nl2\nl1\nl3"),         # one duplicated line of 4
+        (3, "all distinct words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for method in ("fold", "explode"):
+        got = {r["doc_id"]: r for r in
+               repetition_metrics(df, method=method).collect()}
+        assert got[0]["top_bigram_count"] == 3
+        assert got[0]["n_bigrams"] == 5
+        assert got[0]["top_bigram_frac"] == 0.6
+        assert got[0]["n_tok_distinct"] == 2
+        assert got[0]["dup_word_frac"] == pytest.approx(4 / 6, abs=1e-6)
+        # sequence(1, 0) guard: a 1-token doc must yield zero bigrams
+        assert got[1]["top_bigram_count"] == 0
+        assert got[1]["n_bigrams"] == 0
+        assert got[1]["top_bigram_frac"] == 0.0
+        assert got[2]["n_lines"] == 4
+        assert got[2]["n_lines_distinct"] == 3
+        assert got[2]["dup_line_frac"] == 0.25
+        assert got[3]["dup_word_frac"] == 0.0
+        assert got[3]["top_bigram_count"] == 1
+
+
+def test_pii_scrub_and_urls(spark):
+    from fstd2pandas_spark.operators.llm.scrub import (
+        pii_counts, redact_pii, url_metrics)
+
+    rows = [
+        (0, "mail me at jane.doe+x@corp.example.org or call +1 555-0172 33"),
+        (1, "server 192.168.0.17 and 10.0.0.1 responded"),
+        (2, "see https://docs.example.com/a/b and http://evil.example.net"),
+        (3, "clean text with no sensitive spans"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in url_metrics(
+        redact_pii(pii_counts(df)),
+        blocklist=["docs.example.com"]).collect()}
+
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
+    assert "<EMAIL>" in out[0]["redacted"]
+    assert "<PHONE>" in out[0]["redacted"]
+    assert "jane" not in out[0]["redacted"]
+    # dotted quads are IPV4, not phone numbers
+    assert out[1]["n_ipv4"] == 2 and out[1]["n_phone"] == 0
+    assert out[1]["redacted"].count("<IPV4>") == 2
+    assert out[2]["n_urls"] == 2
+    assert out[2]["first_domain"] == "docs.example.com"
+    assert out[2]["blocked_domain"] is True
+    assert out[3]["n_email"] + out[3]["n_ipv4"] + out[3]["n_phone"] == 0
+    assert out[3]["redacted"] == out[3]["text"]
+    assert out[3]["first_domain"] == "" and out[3]["blocked_domain"] is False
