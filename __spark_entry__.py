@@ -2073,14 +2073,27 @@ def _simhash_sql(bits: int = 16) -> str:
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features + deterministic md5-hash train/val split
     (operators/llm/sampling.py hash_split — reproducible across engines
-    and partitionings, unlike rand())."""
+    and partitionings, unlike rand()).
+
+    Also gates the corpus-hygiene layer (operators/llm/dedup.py):
+    C4-style within-document line dedup (pinned by an md5 signature of
+    the deduped text) and corpus-level boilerplate 3-gram stats
+    (distinct-span counts + how many are shared by >= 2 documents)."""
     from fstd2pandas_spark.operators.llm import quality_score
+    from fstd2pandas_spark.operators.llm.dedup import (
+        boilerplate_span_stats, dedup_lines)
     from fstd2pandas_spark.operators.llm.sampling import hash_split
 
     docs = _load(spark, sf_dir, "documents")
-    return hash_split(quality_score(docs), val_pct=5).select(
+    enriched = boilerplate_span_stats(
+        dedup_lines(hash_split(quality_score(docs), val_pct=5)),
+        k=3, min_df=2,
+    ).withColumn("line_dedup_sig",
+                 F.substring(F.md5(F.col("line_deduped")), 1, 8))
+    return enriched.select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
-        "stop_ratio", "quality", "split",
+        "stop_ratio", "quality", "split", "line_dedup_sig",
+        "n_spans", "n_boilerplate_spans",
     ).orderBy("doc_id")
 
 
@@ -2103,7 +2116,21 @@ def _quality_sql() -> str:
                  t -> t IN ({stops}))) AS DOUBLE)
                  / greatest(len(string_split(lower(text), ' ')), 1), 6)
              AS stop_ratio
-    FROM documents)
+    FROM documents),
+  sp AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+                ELSE list_distinct(list_transform(
+                     generate_series(1, len(tk) - 2),
+                     j -> array_to_string(list_slice(tk, j, j + 2), ' ')))
+           END AS spans
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+          FROM documents)),
+  u AS (SELECT doc_id, unnest(spans) AS span FROM sp),
+  b AS (SELECT span FROM (SELECT span, count(*) AS c FROM u GROUP BY span)
+        WHERE c >= 2),
+  h AS (SELECT u.doc_id, count(*) AS nb
+        FROM u JOIN b USING (span) GROUP BY u.doc_id)
   SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stop_ratio,
          -- CASE instead of least(): DuckDB's least() on DECIMALs returns
          -- DOUBLE, which would reintroduce float tie-noise
@@ -2119,8 +2146,21 @@ def _quality_sql() -> str:
                     6) AS DOUBLE) AS quality,
          CASE WHEN CAST(concat('0x', substr(md5(concat('split1_',
                      CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 5
-              THEN 'val' ELSE 'train' END AS split
-  FROM q ORDER BY doc_id
+              THEN 'val' ELSE 'train' END AS split,
+         -- C4-style first-occurrence line dedup; DuckDB lambda index i
+         -- is 1-based (Spark's is 0-based), hence the i - 1
+         substr(md5(array_to_string(list_filter(
+             string_split(text, chr(10)),
+             (x, i) -> NOT list_contains(
+                 list_slice(string_split(text, chr(10)), 1, i - 1), x)),
+           chr(10))), 1, 8) AS line_dedup_sig,
+         CAST(len(sp.spans) AS BIGINT) AS n_spans,
+         CAST(coalesce(h.nb, 0) AS BIGINT) AS n_boilerplate_spans
+  FROM q
+  JOIN (SELECT doc_id, text FROM documents) d USING (doc_id)
+  JOIN sp USING (doc_id)
+  LEFT JOIN h USING (doc_id)
+  ORDER BY doc_id
 """
 
 

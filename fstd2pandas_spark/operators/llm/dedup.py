@@ -260,3 +260,68 @@ def multi_exact_dedup(df: DataFrame, text_col: str = "text",
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
         .select("content_hash", id_col, "n_copies", "kind")
     )
+
+
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                out_col: str = "line_deduped",
+                sep: str = "\n") -> DataFrame:
+    """C4-style within-document line dedup: drop every line that already
+    occurred earlier in the SAME document, keeping first occurrences in
+    order (Raffel et al. 2020 §2.2 removes repeated boilerplate lines).
+
+    Pure array expression — ``filter`` with the element index probing
+    the line-array prefix — so it stays a shuffle-free narrow map.
+    Quadratic in the per-document LINE count (not characters), which is
+    the right trade at corpus scale: no explode, no shuffle, no state.
+    """
+    lines = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        lines,
+        lambda x, i: ~F.exists(F.slice(lines, 1, i), lambda p: p == x),
+    )
+    return df.withColumn(out_col, F.array_join(kept, sep))
+
+
+def boilerplate_span_stats(df: DataFrame, k: int = 3, min_df: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level boilerplate detection: a token ``k``-gram is
+    boilerplate when it appears in >= ``min_df`` distinct documents;
+    each document gains ``n_spans`` (its distinct k-grams),
+    ``n_boilerplate_spans`` (how many of those are corpus-common) and
+    ``boilerplate_frac`` — the signal C4/RefinedWeb-style pipelines
+    threshold on to drop template pages.
+
+    Scale shape: one explode of per-doc DISTINCT spans (so the
+    span count per doc bounds the blow-up), one groupBy on the span for
+    document frequency, and a broadcast semi-join back.  The broadcast
+    is safe by construction: at document-frequency threshold t the
+    boilerplate set cannot exceed total-span-occurrences / t, i.e. it
+    shrinks as the threshold grows and is independent of corpus size
+    for fixed min_doc_frac-style thresholds.
+    """
+    spans_arr = F.array_distinct(shingles_col(tokens_col(F.col(text_col)), k))
+    spans = (
+        df.select(F.col(id_col), spans_arr.alias("_spans"))
+        .select(F.col(id_col), F.explode("_spans").alias("_span"))
+    )
+    boiler = (
+        spans.groupBy("_span").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_span")
+    )
+    hits = (
+        spans.join(F.broadcast(boiler), "_span", "leftsemi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_boilerplate_spans"))
+    )
+    return (
+        df.withColumn("n_spans", F.size(spans_arr).cast("long"))
+        .join(hits, id_col, "left")
+        .withColumn("n_boilerplate_spans",
+                    F.coalesce(F.col("n_boilerplate_spans"),
+                               F.lit(0)).cast("long"))
+        .withColumn("boilerplate_frac", F.round(
+            F.col("n_boilerplate_spans") /
+            F.greatest(F.col("n_spans"), F.lit(1)), 6))
+    )

@@ -562,3 +562,38 @@ def test_pii_scrub_and_urls(spark):
     assert out[3]["n_email"] + out[3]["n_ipv4"] + out[3]["n_phone"] == 0
     assert out[3]["redacted"] == out[3]["text"]
     assert out[3]["first_domain"] == "" and out[3]["blocked_domain"] is False
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    from fstd2pandas_spark.operators.llm.dedup import dedup_lines
+
+    rows = [
+        (0, "keep\nrepeat\nmiddle\nrepeat\nend\nrepeat"),
+        (1, "only one line"),
+        (2, "a\na\na"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["line_deduped"] for r in dedup_lines(df).collect()}
+    assert got[0] == "keep\nrepeat\nmiddle\nend"
+    assert got[1] == "only one line"
+    assert got[2] == "a"
+
+
+def test_boilerplate_span_stats(spark):
+    from fstd2pandas_spark.operators.llm.dedup import boilerplate_span_stats
+
+    rows = [
+        (0, "the quick brown fox jumps"),     # shares 'the quick brown'
+        (1, "the quick brown cat sleeps"),    #   and 'quick brown' is k=3
+        (2, "completely different words entirely"),
+        (3, "so"),                            # < k tokens: zero spans
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           boilerplate_span_stats(df, k=3, min_df=2).collect()}
+    # docs 0/1 share exactly one distinct 3-gram: 'the quick brown'
+    assert got[0]["n_spans"] == 3 and got[0]["n_boilerplate_spans"] == 1
+    assert got[1]["n_spans"] == 3 and got[1]["n_boilerplate_spans"] == 1
+    assert got[0]["boilerplate_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[2]["n_boilerplate_spans"] == 0
+    assert got[3]["n_spans"] == 0 and got[3]["boilerplate_frac"] == 0.0
