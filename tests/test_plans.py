@@ -144,3 +144,39 @@ def test_salted_join_equivalence(spark):
 
     plan = _plan(salted_join(li.hint("merge"), od, ["l_orderkey"], 8))
     assert "_salt" in plan.split("SortMergeJoin")[1].splitlines()[0]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_boilerplate_broadcasts_only_span_set(spark):
+    """The boilerplate span set (bounded by occurrences/min_df) must
+    broadcast; the corpus-scale doc-span side must NOT be a broadcast
+    build side. The per-doc stats join keys on doc_id, never on text."""
+    from fstd2pandas_spark.operators.llm.dedup import boilerplate_span_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = boilerplate_span_stats(docs, k=3, min_df=2)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_repetition_and_scrub_are_narrow_maps(spark):
+    """repetition_metrics(fold) and the scrub layer are pure projections:
+    no Exchange may appear in their plans (the whole point of the fold
+    variant — at 100 TB these run at scan speed)."""
+    from fstd2pandas_spark.operators.llm import repetition_metrics
+    from fstd2pandas_spark.operators.llm.scrub import (
+        pii_counts, redact_pii, url_metrics)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for out in (repetition_metrics(docs),
+                url_metrics(redact_pii(pii_counts(docs)))):
+        plan = _plan(out)
+        # the only allowed exchange is ensure_min_partitions' round-robin
+        # parallelism raise on the single-file fixture (a no-op at scale)
+        shuffles = [ln for ln in plan.splitlines()
+                    if "Exchange" in ln and "ReusedExchange" not in ln
+                    and "RoundRobinPartitioning" not in ln]
+        assert not shuffles, shuffles
