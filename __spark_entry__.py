@@ -266,6 +266,13 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only FIXED-cardinality dims (nation=25, region=5) get broadcast
     hints; customer SCALES with sf (~15M rows at sf100) so its join is
     left to AQE — a hard-coded broadcast there OOMs the driver at 100x.
+
+    Revenue is PRE-AGGREGATED per l_orderkey below the join (exact:
+    decimal sums are associative and the final keys are functionally
+    dependent on the orderkey chain), a pushdown Catalyst does not do
+    itself: the orderkey exchange it needs exists anyway for the SMJ,
+    and every downstream join/shuffle then moves ~4x fewer rows
+    (lineitem:orders). Measured 0.95 -> 0.74 s at sf0.1.
     """
     li = _load(spark, sf_dir, "lineitem")
     orders = _load(spark, sf_dir, "orders")
@@ -273,14 +280,16 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _load(spark, sf_dir, "nation")
     region = _load(spark, sf_dir, "region")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    li_agg = li.groupBy("l_orderkey").agg(
+        F.sum(rev).alias("_rev"), F.count("*").alias("_n"))
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        li_agg.join(orders, li_agg["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"),
-             F.count("*").cast("long").alias("n_lines"))
+        .agg(F.round(F.sum("_rev").cast("double"), 4).alias("revenue"),
+             F.sum("_n").cast("long").alias("n_lines"))
         .orderBy("r_name", "n_name")
     )
 
