@@ -4,8 +4,10 @@ with typed metadata.
 Image decode is REAL for the codec-free formats — PPM (P6 binary / P3
 ascii) and uncompressed 24-bit BMP decode in pure numpy
 (:func:`decode_image`), and :func:`resize_images` runs an actual
-nearest-neighbour resample + PPM re-encode. Payloads in formats that
-need external codecs (JPEG/PNG/audio/video) fall back to a
+nearest-neighbour resample + PPM re-encode. Audio decode is REAL for
+RIFF/WAVE PCM (8/16-bit, any channel count — :func:`decode_wav`), with
+duration/RMS/peak/ZCR + energy-histogram features. Payloads in formats
+that need external codecs (JPEG/PNG/MP3/video) fall back to a
 deterministic content-hash featurizer; the Spark-side plumbing —
 schemas, Arrow-batched ``mapInPandas`` pipelines, partition sizing,
 batch shapes — is identical either way, so plugging PIL/ffmpeg in later
@@ -143,6 +145,63 @@ def _image_features(img: np.ndarray) -> np.ndarray:
     return np.concatenate([means, stds, hist]).astype(np.float32)
 
 
+def decode_wav(payload: bytes) -> "tuple[np.ndarray, int] | None":
+    """Pure-numpy decode of RIFF/WAVE PCM audio to (samples, rate):
+    samples are float32 in [-1, 1], channel-averaged to mono; 8-bit
+    unsigned and 16-bit signed PCM (format tag 1), any channel count.
+    Returns None for anything else (compressed codecs need external
+    libraries — those payloads fall back to the opaque featurizer)."""
+    if not payload or len(payload) < 44:
+        return None
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)     # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    tag = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag != 1 or n_ch < 1 or rate < 1:
+        return None
+    if bits == 16:
+        raw = np.frombuffer(data[:len(data) - (len(data) % 2)],
+                            dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        raw = (np.frombuffer(data, dtype=np.uint8)
+               .astype(np.float32) - 128.0) / 128.0
+    else:
+        return None
+    n = (len(raw) // n_ch) * n_ch
+    if n == 0:
+        return None
+    mono = raw[:n].reshape(-1, n_ch).mean(axis=1)
+    return mono, rate
+
+
+def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """FEATURE_DIM floats: [duration_s, rms, peak, zero-crossing-rate]
+    + a 12-bin normalized energy histogram over |sample|."""
+    dur = len(samples) / rate
+    rms = float(np.sqrt(np.mean(samples ** 2)))
+    peak = float(np.max(np.abs(samples)))
+    zcr = float(np.mean(np.signbit(samples[1:]) !=
+                        np.signbit(samples[:-1]))) if len(samples) > 1 else 0.0
+    hist = np.histogram(np.abs(samples), bins=12, range=(0.0, 1.0001))[0]
+    hist = hist / max(len(samples), 1)
+    return np.concatenate(
+        [[dur, rms, peak, zcr], hist]).astype(np.float32)
+
+
 def _opaque_features(payload: bytes) -> np.ndarray:
     """Featurizer for payloads whose codec is unavailable (JPEG/PNG/
     audio/video): md5-seeded byte histogram folded to FEATURE_DIM floats
@@ -156,7 +215,12 @@ def _opaque_features(payload: bytes) -> np.ndarray:
 
 def _featurize(payload: bytes) -> np.ndarray:
     img = decode_image(payload)
-    return _image_features(img) if img is not None else _opaque_features(payload)
+    if img is not None:
+        return _image_features(img)
+    wav = decode_wav(payload)
+    if wav is not None:
+        return _audio_features(*wav)
+    return _opaque_features(payload)
 
 
 def extract_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:

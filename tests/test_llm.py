@@ -597,3 +597,51 @@ def test_boilerplate_span_stats(spark):
     assert got[0]["boilerplate_frac"] == pytest.approx(1 / 3, abs=1e-6)
     assert got[2]["n_boilerplate_spans"] == 0
     assert got[3]["n_spans"] == 0 and got[3]["boilerplate_frac"] == 0.0
+
+
+def _make_wav(rate=8000, freq=440.0, dur=0.25, bits=16, n_ch=1):
+    import struct
+
+    n = int(rate * dur)
+    t = np.arange(n) / rate
+    mono = 0.5 * np.sin(2 * np.pi * freq * t)
+    sig = np.repeat(mono[:, None], n_ch, axis=1).ravel()
+    if bits == 16:
+        data = (sig * 32767).astype("<i2").tobytes()
+    else:
+        data = ((sig * 127) + 128).astype(np.uint8).tobytes()
+    block = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, bits)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_wav_decode_and_features(spark):
+    from fstd2pandas_spark.operators.llm.multimodal import (
+        FEATURE_DIM, decode_wav, extract_features)
+
+    samples, rate = decode_wav(_make_wav())
+    assert rate == 8000 and len(samples) == 2000
+    assert abs(float(np.sqrt(np.mean(samples ** 2))) - 0.5 / np.sqrt(2)) < 0.01
+    # stereo 8-bit averages channels and rescales
+    s8, r8 = decode_wav(_make_wav(bits=8, n_ch=2))
+    assert r8 == 8000 and len(s8) == 2000 and np.max(np.abs(s8)) <= 1.0
+    assert decode_wav(b"NOTAWAV" + b"\0" * 64) is None
+
+    rows = [(0, "audio", None, None, None, 250, bytearray(_make_wav())),
+            (1, "audio", None, None, None, 250,
+             bytearray(_make_wav(bits=8, n_ch=2))),
+            (2, "audio", None, None, None, None, bytearray(b"\x01\x02"))]
+    from fstd2pandas_spark.operators.llm.multimodal import MEDIA_SCHEMA
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["asset_id"]: r["feature"]
+             for r in extract_features(df).collect()}
+    assert all(len(v) == FEATURE_DIM for v in feats.values())
+    # real audio features: duration 0.25 s, rms ~ 0.354
+    assert abs(feats[0][0] - 0.25) < 1e-6
+    assert abs(feats[0][1] - 0.3535) < 0.01
+    # same signal at different encodings lands close in feature space
+    assert abs(feats[0][1] - feats[1][1]) < 0.02
+    # undecodable payload still yields the deterministic opaque vector
+    assert max(feats[2]) <= 1.0
