@@ -1734,19 +1734,29 @@ _Q_EXACT_DEDUP_SQL = """
 """
 
 
+#: per-language keep fractions for the gated corpus-mix sampling
+_STRAT_FRACS = {"en": 1.0, "fr": 0.5, "de": 0.25, "es": 0.1, "zh": 0.75}
+
+
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID + benchmark decontamination (decontam.py
     contamination_overlap): docs sharing 3-gram shingles with the
     'benchmark' (here: docs 0-4) get flagged via a broadcast semi-join
-    of the benchmark shingle set."""
+    of the benchmark shingle set.
+
+    Also gates stratified corpus-mix sampling (sampling.py
+    stratified_hash_sample): a deterministic per-language keep flag."""
     from fstd2pandas_spark.operators.llm import language_id
     from fstd2pandas_spark.operators.llm.decontam import contamination_overlap
+    from fstd2pandas_spark.operators.llm.sampling import stratified_hash_sample
 
     docs = _load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") < 5)
-    flagged = contamination_overlap(language_id(docs), bench)
+    flagged = stratified_hash_sample(
+        contamination_overlap(language_id(docs), bench), _STRAT_FRACS)
     return flagged.select(
-        "doc_id", "lang", "lang_pred", "n_bench_shingles", "contaminated"
+        "doc_id", "lang", "lang_pred", "n_bench_shingles", "contaminated",
+        "sampled",
     ).orderBy("doc_id")
 
 
@@ -1764,6 +1774,11 @@ def _langid_sql() -> str:
     for lang in langs:
         expr = f"CASE WHEN {score[lang]} > ({best}) THEN '{lang}' ELSE ({expr}) END"
         best = f"greatest({best}, {score[lang]})"
+    strat_thr = "0"
+    for name in sorted(_STRAT_FRACS):
+        strat_thr = (f"CASE WHEN d.lang = '{name}' "
+                     f"THEN {int(round(_STRAT_FRACS[name] * 10000))} "
+                     f"ELSE {strat_thr} END")
     return f"""
   WITH sh AS (
     SELECT doc_id, shingle FROM (
@@ -1778,7 +1793,10 @@ def _langid_sql() -> str:
     FROM sh JOIN bsh USING (shingle) GROUP BY sh.doc_id)
   SELECT d.doc_id, d.lang, {expr} AS lang_pred,
          coalesce(h.n_bench_shingles, 0) AS n_bench_shingles,
-         coalesce(h.n_bench_shingles, 0) >= 1 AS contaminated
+         coalesce(h.n_bench_shingles, 0) >= 1 AS contaminated,
+         CAST(concat('0x', substr(md5(concat('strat1_',
+              CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
+           < {strat_thr} AS sampled
   FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
   ORDER BY d.doc_id"""
 

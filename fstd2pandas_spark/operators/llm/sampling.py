@@ -75,3 +75,35 @@ def token_pack(df: DataFrame, budget: int, tokens_col: str = "ws_tokens",
         out.withColumn("pack_id", F.floor(start / budget).cast("long"))
         .withColumn("pack_offset", (start % budget).cast("long"))
     )
+
+
+def stratified_hash_sample(df: DataFrame, fractions: "dict[str, float]",
+                           strata_col: str = "lang",
+                           id_col: str = "doc_id",
+                           default_frac: float = 0.0,
+                           seed: str = "strat1") -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-mixing step of a
+    training pipeline ("keep 100% of lang A, 10% of lang B, ...").
+
+    Adds a ``sampled`` boolean: true when the row's md5 bucket (keyed on
+    id + seed, NOT on the stratum, so changing one stratum's fraction
+    never reshuffles another's membership) falls below its stratum's
+    fraction. Strata missing from ``fractions`` use ``default_frac``.
+
+    Pure expression: the fractions table is a literal CASE (mixing
+    configs are dozens of entries), so this is a shuffle-free narrow map
+    at any corpus size; filter on ``sampled`` to materialize the mix.
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1]")
+    if not 0.0 <= default_frac <= 1.0:
+        raise ValueError("default_frac must be in [0, 1]")
+    # 10000 buckets -> basis-point resolution, exact integer thresholds
+    b = _hash_bucket(F.col(id_col), seed, 10000)
+    thr = F.lit(int(round(default_frac * 10000)))
+    for name in sorted(fractions):
+        thr = F.when(F.col(strata_col) == name,
+                     F.lit(int(round(fractions[name] * 10000)))
+                     ).otherwise(thr)
+    return df.withColumn("sampled", b < thr)

@@ -645,3 +645,32 @@ def test_wav_decode_and_features(spark):
     assert abs(feats[0][1] - feats[1][1]) < 0.02
     # undecodable payload still yields the deterministic opaque vector
     assert max(feats[2]) <= 1.0
+
+
+def test_stratified_hash_sample(spark, docs):
+    from fstd2pandas_spark.operators.llm.sampling import (
+        hash_sample, stratified_hash_sample)
+
+    fr = {"en": 1.0, "fr": 0.5, "de": 0.0}
+    out = stratified_hash_sample(docs, fr, strata_col="lang")
+    rates = {r["lang"]: r for r in out.groupBy("lang").agg(
+        F.avg(F.col("sampled").cast("double")).alias("rate")).collect()}
+    assert rates["en"]["rate"] == 1.0
+    assert rates["de"]["rate"] == 0.0
+    assert 0.2 < rates["fr"]["rate"] < 0.8
+    # determinism: membership is a pure function of (id, seed) — a
+    # repartitioned run picks the identical rows
+    a = {r["doc_id"] for r in out.filter("sampled").collect()}
+    b = {r["doc_id"] for r in
+         stratified_hash_sample(docs.repartition(7), fr, strata_col="lang")
+         .filter("sampled").collect()}
+    assert a == b
+    # changing one stratum's fraction never reshuffles another stratum
+    c = stratified_hash_sample(docs, {**fr, "fr": 0.9}, strata_col="lang")
+    kept_en_before = {r["doc_id"] for r in
+                      out.filter("sampled AND lang = 'en'").collect()}
+    kept_en_after = {r["doc_id"] for r in
+                     c.filter("sampled AND lang = 'en'").collect()}
+    assert kept_en_before == kept_en_after
+    with pytest.raises(ValueError):
+        stratified_hash_sample(docs, {"en": 1.5})
