@@ -2105,22 +2105,26 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Also gates the corpus-hygiene layer (operators/llm/dedup.py):
     C4-style within-document line dedup (pinned by an md5 signature of
     the deduped text) and corpus-level boilerplate 3-gram stats
-    (distinct-span counts + how many are shared by >= 2 documents)."""
+    (distinct-span counts + how many are shared by >= 2 documents),
+    plus the combined Gopher rule verdict (text.py gopher_filter) over
+    whichever metric columns are present."""
     from fstd2pandas_spark.operators.llm import quality_score
     from fstd2pandas_spark.operators.llm.dedup import (
         boilerplate_span_stats, dedup_lines)
     from fstd2pandas_spark.operators.llm.sampling import hash_split
+    from fstd2pandas_spark.operators.llm.text import gopher_filter
 
     docs = _load(spark, sf_dir, "documents")
     enriched = boilerplate_span_stats(
-        dedup_lines(hash_split(quality_score(docs), val_pct=5)),
+        dedup_lines(hash_split(gopher_filter(quality_score(docs)),
+                               val_pct=5)),
         k=3, min_df=2,
     ).withColumn("line_dedup_sig",
                  F.substring(F.md5(F.col("line_deduped")), 1, 8))
     return enriched.select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
         "stop_ratio", "quality", "split", "line_dedup_sig",
-        "n_spans", "n_boilerplate_spans",
+        "n_spans", "n_boilerplate_spans", "gopher_fails", "gopher_keep",
     ).orderBy("doc_id")
 
 
@@ -2182,7 +2186,14 @@ def _quality_sql() -> str:
                  list_slice(string_split(text, chr(10)), 1, i - 1), x)),
            chr(10))), 1, 8) AS line_dedup_sig,
          CAST(len(sp.spans) AS BIGINT) AS n_spans,
-         CAST(coalesce(h.nb, 0) AS BIGINT) AS n_boilerplate_spans
+         CAST(coalesce(h.nb, 0) AS BIGINT) AS n_boilerplate_spans,
+         CAST((CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+            + (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END)
+            + (CASE WHEN stop_ratio BETWEEN 0.02 AND 1.0 THEN 0 ELSE 1 END)
+           AS INT) AS gopher_fails,
+         ((n_tokens BETWEEN 50 AND 100000)
+          AND (mean_token_len BETWEEN 3.0 AND 10.0)
+          AND (stop_ratio BETWEEN 0.02 AND 1.0)) AS gopher_keep
   FROM q
   JOIN (SELECT doc_id, text FROM documents) d USING (doc_id)
   JOIN sp USING (doc_id)

@@ -25,7 +25,7 @@ engine-specific hash functions in any correctness-gated path.
 from fstd2pandas_spark.operators.llm.text import (
     tokens_col, shingles_col, token_hash_col,
     language_id, quality_score, token_counts, fingerprint, simhash,
-    repetition_metrics,
+    repetition_metrics, gopher_filter,
 )
 from fstd2pandas_spark.operators.llm.scrub import (
     pii_counts, redact_pii, url_metrics,
@@ -52,7 +52,8 @@ from fstd2pandas_spark.operators.llm.multimodal import (
 __all__ = [
     "tokens_col", "shingles_col", "token_hash_col", "language_id",
     "quality_score", "token_counts", "fingerprint", "simhash",
-    "repetition_metrics", "pii_counts", "redact_pii", "url_metrics",
+    "repetition_metrics", "gopher_filter",
+    "pii_counts", "redact_pii", "url_metrics",
     "exact_dedup", "multi_exact_dedup", "normalized_exact_dedup", "minhash_signature",
     "lsh_candidate_pairs", "ngram_jaccard_pairs", "simhash_buckets",
     "dedup_lines", "boilerplate_span_stats",

@@ -251,3 +251,42 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
           "THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END), "
           "cast(0 as bigint), (a, x) -> a + x)")
     return with_h.withColumn(out_col, F.expr(sh)).drop("_th")
+
+
+#: default Gopher-rule thresholds (Rae et al. 2021 §A1.1, adapted)
+GOPHER_RULES: dict[str, tuple[float, float]] = {
+    # metric -> (min, max) inclusive bounds; None handled by caller
+    "n_tokens": (50, 100000),
+    "mean_token_len": (3.0, 10.0),
+    "stop_ratio": (0.02, 1.0),
+    "dup_line_frac": (0.0, 0.30),
+    "dup_word_frac": (0.0, 0.60),
+    "top_bigram_frac": (0.0, 0.20),
+}
+
+
+def gopher_filter(df: DataFrame, rules: "dict | None" = None,
+                  out_col: str = "gopher_keep") -> DataFrame:
+    """Combined Gopher-style quality verdict over already-computed
+    metric columns (:func:`quality_score` + :func:`repetition_metrics`):
+    ``out_col`` is true iff every present metric is inside its
+    [min, max] bounds, and ``gopher_fails`` counts the violated rules
+    (the per-rule diagnostic pipelines log before dropping).
+
+    Pure boolean algebra over columns the upstream operators computed
+    in their single pass — adds no scan, no shuffle, no new subtree.
+    Metrics absent from the frame are skipped, so the verdict composes
+    with whichever metric subset the pipeline materialized.
+    """
+    rules = GOPHER_RULES if rules is None else rules
+    checks = []
+    for name, (lo, hi) in rules.items():
+        if name not in df.columns:
+            continue
+        c = F.col(name)
+        checks.append((c >= lo) & (c <= hi))
+    if not checks:
+        raise ValueError("no rule metric is present in the DataFrame")
+    fails = sum((F.when(~c, 1).otherwise(0) for c in checks), F.lit(0))
+    return (df.withColumn("gopher_fails", fails.cast("int"))
+            .withColumn(out_col, fails == 0))

@@ -674,3 +674,27 @@ def test_stratified_hash_sample(spark, docs):
     assert kept_en_before == kept_en_after
     with pytest.raises(ValueError):
         stratified_hash_sample(docs, {"en": 1.5})
+
+
+def test_gopher_filter_verdict(spark):
+    from fstd2pandas_spark.operators.llm import (
+        quality_score, repetition_metrics)
+    from fstd2pandas_spark.operators.llm.text import gopher_filter
+
+    good = " ".join(f"the word{i} and note{i}" for i in range(30))
+    rows = [(0, good),
+            (1, "too short"),                       # n_tokens < 50
+            (2, ("spam " * 60).strip())]            # top_bigram_frac = 1
+    df = repetition_metrics(quality_score(
+        spark.createDataFrame(rows, ["doc_id", "text"])))
+    got = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert got[0]["gopher_keep"] is True and got[0]["gopher_fails"] == 0
+    assert got[1]["gopher_keep"] is False and got[1]["gopher_fails"] >= 1
+    assert got[2]["gopher_keep"] is False  # repetition rules fire
+    # composes with a metric subset: only n_tokens present
+    sub = spark.createDataFrame([(0, 100), (1, 3)], ["doc_id", "n_tokens"])
+    out = {r["doc_id"]: r["gopher_keep"]
+           for r in gopher_filter(sub).collect()}
+    assert out == {0: True, 1: False}
+    with pytest.raises(ValueError):
+        gopher_filter(spark.createDataFrame([(1,)], ["x"]))
