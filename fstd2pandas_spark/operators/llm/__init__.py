@@ -33,7 +33,7 @@ from fstd2pandas_spark.operators.llm.scrub import (
 from fstd2pandas_spark.operators.llm.dedup import (
     exact_dedup, multi_exact_dedup, normalized_exact_dedup, minhash_signature,
     lsh_candidate_pairs, ngram_jaccard_pairs, simhash_buckets,
-    dedup_lines, boilerplate_span_stats,
+    dedup_lines, boilerplate_span_stats, simhash_hamming_pairs,
 )
 from fstd2pandas_spark.operators.llm.cluster import (
     neardup_components, canonical_docs,
@@ -56,7 +56,7 @@ __all__ = [
     "pii_counts", "redact_pii", "url_metrics",
     "exact_dedup", "multi_exact_dedup", "normalized_exact_dedup", "minhash_signature",
     "lsh_candidate_pairs", "ngram_jaccard_pairs", "simhash_buckets",
-    "dedup_lines", "boilerplate_span_stats",
+    "dedup_lines", "boilerplate_span_stats", "simhash_hamming_pairs",
     "neardup_components", "canonical_docs", "contamination_overlap",
     "hash_split", "hash_sample", "token_pack", "stratified_hash_sample",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "cosine_col", "embedding_neardup",

@@ -325,3 +325,52 @@ def boilerplate_span_stats(df: DataFrame, k: int = 3, min_df: int = 2,
             F.col("n_boilerplate_spans") /
             F.greatest(F.col("n_spans"), F.lit(1)), 6))
     )
+
+
+def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", bits: int = 16,
+                          max_hamming: int = 2) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius (Manku et al.
+    2007, public): exact-signature buckets (:func:`simhash_buckets`)
+    only catch IDENTICAL signatures; real near-dups differ in a few
+    bits.  Pigeonhole: split the ``bits`` into ``max_hamming + 1``
+    blocks — any pair within distance ``max_hamming`` agrees exactly on
+    at least one block — so candidates come from per-block equi-joins,
+    then an exact ``bit_count(xor)`` filter keeps true pairs.
+
+    Scale shape mirrors the MinHash-LSH join: one repartition on
+    (block, value) shared by both self-join sides (ReusedExchange), a
+    MERGE hint so the corpus-scale side never broadcasts, and the
+    number of join rows is bounded by block-collision counts, never
+    all-pairs.  Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    n_blocks = max_hamming + 1
+    if bits < n_blocks:
+        raise ValueError("need at least one bit per block")
+    size = -(-bits // n_blocks)          # ceil
+    sh = simhash(df, text_col, bits).select(id_col, "simhash")
+    block_structs = [
+        F.struct(
+            F.lit(i).alias("block"),
+            F.shiftright(F.col("simhash"), i * size)
+            .bitwiseAND(F.lit((1 << size) - 1)).alias("value"))
+        for i in range(n_blocks)
+    ]
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*block_structs)).alias("b"),
+    ).select(id_col, "simhash", "b.block", "b.value")
+    banded = banded.repartition("block", "value")
+    left = banded.select("block", "value", F.col(id_col).alias("doc_a"),
+                         F.col("simhash").alias("_sa"))
+    right = banded.select("block", "value", F.col(id_col).alias("doc_b"),
+                          F.col("simhash").alias("_sb"))
+    return (
+        left.hint("merge").join(right, ["block", "value"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -698,3 +698,23 @@ def test_gopher_filter_verdict(spark):
     assert out == {0: True, 1: False}
     with pytest.raises(ValueError):
         gopher_filter(spark.createDataFrame([(1,)], ["x"]))
+
+
+def test_simhash_hamming_pairs_match_bruteforce(spark, docs):
+    from fstd2pandas_spark.operators.llm import simhash
+    from fstd2pandas_spark.operators.llm.dedup import simhash_hamming_pairs
+
+    sub = docs.limit(60)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash(sub).select("doc_id", "simhash").collect()}
+    expected = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in simhash_hamming_pairs(sub, max_hamming=3).collect()}
+    assert got == expected
+    assert expected, "fixture should contain at least one near pair"
+    # radius > 0 finds pairs exact-signature bucketing cannot
+    assert any(h > 0 for (_, _, h) in got)
