@@ -1828,11 +1828,27 @@ def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature of the redacted text) and URL/domain extraction with a
     blocklist flag, over deterministically injected spans."""
     from fstd2pandas_spark.operators.llm import token_counts
-    from fstd2pandas_spark.operators.llm.sampling import token_pack
+    from fstd2pandas_spark.operators.llm.sampling import (
+        chunk_documents, token_pack)
     from fstd2pandas_spark.operators.llm.scrub import (
         pii_counts, redact_pii, url_metrics)
 
     docs = _load(spark, sf_dir, "documents")
+    # sliding-window chunking, summarized per doc so the roster row
+    # count stays 1:1 (chunk_sig pins every chunk's exact text)
+    chunks = chunk_documents(docs.select("doc_id", "text"),
+                             chunk_tokens=32, overlap=8)
+    chunk_summary = (
+        chunks.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_chunks"),
+             F.sort_array(F.collect_list(
+                 F.struct("chunk_id", "chunk_text"))).alias("_cl"))
+        .withColumn("chunk_sig", F.substring(F.md5(F.concat_ws(
+            "|", F.transform(F.col("_cl"), lambda s: s["chunk_text"]))),
+            1, 8))
+        .drop("_cl")
+    )
+    docs = docs.join(chunk_summary, "doc_id", "left")
     aug = docs.withColumn("_pii_text", F.expr(_PII_INJECT_SQL))
     scrubbed = url_metrics(
         redact_pii(pii_counts(aug, "_pii_text"), "_pii_text"),
@@ -1842,7 +1858,8 @@ def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_counts(scrubbed), budget=512, n_shards=8
     ).select("doc_id", "ws_tokens", "bpe_tokens", "shard", "pack_id",
              "pack_offset", "n_email", "n_ipv4", "n_phone", "redacted_sig",
-             "n_urls", "first_domain", "blocked_domain").orderBy("doc_id")
+             "n_urls", "first_domain", "blocked_domain", "n_chunks",
+             "chunk_sig").orderBy("doc_id")
 
 
 def _tokens_sql() -> str:
@@ -1867,7 +1884,11 @@ def _tokens_sql() -> str:
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
            CAST(CAST(concat('0x', substr(md5(concat('pack1_',
                 CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
-           {_PII_INJECT_SQL} AS p
+           {_PII_INJECT_SQL} AS p,
+           string_split(text, ' ') AS tkr,
+           CASE WHEN len(string_split(text, ' ')) <= 32 THEN 1
+                ELSE 1 + CAST(ceil((len(string_split(text, ' ')) - 32)
+                              / 24.0) AS INT) END AS nch
     FROM documents),
   p AS (
     SELECT *,
@@ -1885,7 +1906,12 @@ def _tokens_sql() -> str:
          coalesce(regexp_extract(p, {q(URL_DOMAIN_PATTERN)}, 1), '')
            AS first_domain,
          coalesce(regexp_extract(p, {q(URL_DOMAIN_PATTERN)}, 1), '')
-           = 'site0.example.org' AS blocked_domain
+           = 'site0.example.org' AS blocked_domain,
+         CAST(nch AS BIGINT) AS n_chunks,
+         substr(md5(array_to_string(list_transform(
+             generate_series(0, nch - 1),
+             i -> array_to_string(list_slice(tkr, i * 24 + 1, i * 24 + 32),
+                                  ' ')), '|')), 1, 8) AS chunk_sig
   FROM p ORDER BY doc_id
 """
 

@@ -41,6 +41,7 @@ from fstd2pandas_spark.operators.llm.cluster import (
 from fstd2pandas_spark.operators.llm.decontam import contamination_overlap
 from fstd2pandas_spark.operators.llm.sampling import (
     hash_split, hash_sample, token_pack, stratified_hash_sample,
+    chunk_documents,
 )
 from fstd2pandas_spark.operators.llm.similarity import (
     cosine_topk, lsh_ann_topk, ivf_ann_topk, cosine_col, embedding_neardup,
@@ -59,6 +60,7 @@ __all__ = [
     "dedup_lines", "boilerplate_span_stats", "simhash_hamming_pairs",
     "neardup_components", "canonical_docs", "contamination_overlap",
     "hash_split", "hash_sample", "token_pack", "stratified_hash_sample",
+    "chunk_documents",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "cosine_col", "embedding_neardup",
     "extract_features", "resize_images", "sample_video_frames",
 ]

@@ -107,3 +107,43 @@ def stratified_hash_sample(df: DataFrame, fractions: "dict[str, float]",
                      F.lit(int(round(fractions[name] * 10000)))
                      ).otherwise(thr)
     return df.withColumn("sampled", b < thr)
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
+                    overlap: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking — the standard long-document
+    preparation step before tokenization: windows of ``chunk_tokens``
+    whitespace tokens advancing by ``chunk_tokens - overlap``, so
+    consecutive chunks share ``overlap`` tokens of context.
+
+    ``n_chunks = 1 if n <= chunk else 1 + ceil((n - chunk) / stride)``
+    (every token is covered; the final window may be short).  Output:
+    one row per chunk with ``chunk_id`` (0-based), ``chunk_text`` and
+    ``chunk_n_tokens`` alongside the document's other columns.
+
+    Pure narrow map + Generate (explode): no shuffle at any corpus
+    size; the row blow-up is bounded by total-tokens / stride.
+    """
+    if chunk_tokens <= 0 or not 0 <= overlap < chunk_tokens:
+        raise ValueError("need chunk_tokens > overlap >= 0")
+    stride = chunk_tokens - overlap
+    tk = F.split(F.col(text_col), " ")
+    n = F.size(tk)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - chunk_tokens) / F.lit(stride)).cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.array_join(F.slice(tk, i * stride + 1, chunk_tokens), " ")
+            .alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).cast("int")
+            .alias("chunk_n_tokens"),
+        ),
+    )
+    return (
+        df.withColumn("_c", F.explode(chunks))
+        .select("*", "_c.chunk_id", "_c.chunk_text", "_c.chunk_n_tokens")
+        .drop("_c")
+    )

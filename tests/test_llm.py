@@ -718,3 +718,28 @@ def test_simhash_hamming_pairs_match_bruteforce(spark, docs):
     assert expected, "fixture should contain at least one near pair"
     # radius > 0 finds pairs exact-signature bucketing cannot
     assert any(h > 0 for (_, _, h) in got)
+
+
+def test_chunk_documents_windows(spark):
+    from fstd2pandas_spark.operators.llm.sampling import chunk_documents
+
+    rows = [(0, " ".join(f"t{i}" for i in range(100))),   # 100 tokens
+            (1, "short doc only")]                        # 3 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 100 tokens, stride 24: chunks start at 0,24,48,72 -> 4 chunks
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert len(c0) == 4
+    assert c0[0]["chunk_text"].split()[:2] == ["t0", "t1"]
+    assert c0[1]["chunk_text"].split()[0] == "t24"
+    # consecutive chunks share `overlap` tokens of context
+    assert c0[0]["chunk_text"].split()[-8:] == c0[1]["chunk_text"].split()[:8]
+    # final window is short but covers the tail
+    assert c0[3]["chunk_n_tokens"] == 100 - 72
+    assert c0[3]["chunk_text"].split()[-1] == "t99"
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_n_tokens"] == 3
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
