@@ -1899,8 +1899,10 @@ def _tokens_sql() -> str:
          CAST(strt // 512 AS BIGINT) AS pack_id,
          CAST(strt % 512 AS BIGINT) AS pack_offset,
          len(regexp_extract_all(p, {email})) AS n_email,
-         len(regexp_extract_all(p, {ipv4})) AS n_ipv4,
-         len(regexp_extract_all(p, {phone})) AS n_phone,
+         len(regexp_extract_all(regexp_replace(p, {email}, '<EMAIL>', 'g'),
+             {ipv4})) AS n_ipv4,
+         len(regexp_extract_all(regexp_replace(regexp_replace(p, {email},
+             '<EMAIL>', 'g'), {ipv4}, '<IPV4>', 'g'), {phone})) AS n_phone,
          substr(md5({redact}), 1, 8) AS redacted_sig,
          len(regexp_extract_all(p, {q(URL_PATTERN)})) AS n_urls,
          coalesce(regexp_extract(p, {q(URL_DOMAIN_PATTERN)}, 1), '')
@@ -2618,20 +2620,28 @@ def q_fst_latlon_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     uxy = _rec("^>", F.size(u_d), F.lit(1), ig1, ig2, F.lit("L"), zero,
                zero, zero, zero, grid, u_d).where(unat)
 
-    # '#' tiled grids (reference std_grid.py:74-109: Z-with-tile-offsets;
-    # ig3/ig4 carry the tile origin and do not change the axis expansion):
-    # the Z nations get a second grid with the same axis arrays under a
-    # fresh (ig1,ig2) pair, exercising the '#' arm end-to-end
+    # '#' tiled grids (reference std_grid.py:74-109 via rmn.readGrid:
+    # the record's ig3/ig4 are the 1-based tile origin within the FULL
+    # >>/^^ reference axes; grid.py slices the ni/nj tile from there).
+    # The Z nations get a second grid whose reference axes are PADDED
+    # (2 extra lon steps before, 1 extra lat step before) and a tile at
+    # origin (3, 2) — the slice reproduces the same tile values the
+    # oracle computes, and a missing/incorrect slice shifts every cell
+    # and fails the hash
     t_ig1 = (30000 + k).cast("int")
     t_ig2 = (700 + k).cast("int")
     grid_t = F.concat(t_ig1.cast("string"), t_ig2.cast("string"))
     t_d = _rec("TT", ni, nj, F.lit(0), F.lit(0), F.lit("#"), t_ig1, t_ig2,
-               F.lit(1), F.lit(1), grid_t,
+               F.lit(3), F.lit(2), grid_t,
                F.array_repeat(F.lit(0.0).cast("float"), ni * nj)).where(znat)
-    tx = _rec(">>", ni, F.lit(1), t_ig1, t_ig2, F.lit("L"), zero, zero,
-              zero, zero, grid_t, z_ax).where(znat)
-    ty = _rec("^^", F.lit(1), nj, t_ig1, t_ig2, F.lit("L"), zero, zero,
-              zero, zero, grid_t, z_ay).where(znat)
+    t_ax = F.transform(F.sequence(F.lit(0), ni + 3),
+                       lambda i: (lon0 + (i - 2) * dlon).cast("float"))
+    t_ay = F.transform(F.sequence(F.lit(0), nj + 2),
+                       lambda j: (lat0 + (j - 1) * dlat).cast("float"))
+    tx = _rec(">>", ni + 4, F.lit(1), t_ig1, t_ig2, F.lit("L"), zero, zero,
+              zero, zero, grid_t, t_ax).where(znat)
+    ty = _rec("^^", F.lit(1), nj + 3, t_ig1, t_ig2, F.lit("L"), zero, zero,
+              zero, zero, grid_t, t_ay).where(znat)
 
     recs = (data.unionByName(zx).unionByName(zy).unionByName(yx)
             .unionByName(yy).unionByName(uxy)

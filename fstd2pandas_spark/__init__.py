@@ -63,10 +63,9 @@ def __getattr__(name):
         "with_decoded_columns": ("functions.meta", "with_decoded_columns"),
         "drop_duplicates": ("operators.dedup", "drop_duplicates"),
         "csv_to_records": ("sources.csv_source", "read_csv_records"),
-        # full reference-named surface (add_columns, decode_ip123,
-        # get_lat_lon, to_cmc_xarray, ...) lives in compat.py
-        "compat": ("compat", None),
     }
+    # full reference-named surface (add_columns, decode_ip123,
+    # get_lat_lon, to_cmc_xarray, ...) lives in compat.py
     if name == "compat":
         import importlib
 

@@ -131,9 +131,23 @@ def add_columns(df: DataFrame, columns: "str | list[str]" = (
         "flags", "etiket", "unit", "dateo", "datev", "forecast_hour",
         "datyp", "ip_info")) -> DataFrame:
     """The reference's column-adder dispatcher (dataframe.py:582-629),
-    same subset keywords."""
+    same subset keywords.
+
+    When ``'ip_info'`` is requested, the single-select decode cascade
+    already produces every column the other adders would (etiket parse,
+    unit/description join, decoded dates, forecast_hour, datyp letter,
+    typvar flags), so those adders are skipped — running them first and
+    dropping their outputs would leave a dead stdvar broadcast join in
+    the plan that Catalyst cannot prune.
+    """
     if isinstance(columns, str):
         columns = [columns]
+    if "ip_info" in columns:
+        from fstd2pandas_spark.operators.vgrid import (
+            set_vertical_coordinate_type)
+
+        return set_vertical_coordinate_type(
+            with_decoded_columns(_replacing(df, _IP_INFO_COLS + ("vctype",))))
     if "etiket" in columns:
         df = add_parsed_etiket_columns(df)
     if "unit" in columns:
@@ -146,13 +160,7 @@ def add_columns(df: DataFrame, columns: "str | list[str]" = (
         df = add_forecast_hour_column(df)
     if "datyp" in columns:
         df = add_data_type_str_column(df)
-    if "ip_info" in columns:
-        from fstd2pandas_spark.operators.vgrid import (
-            set_vertical_coordinate_type)
-
-        df = set_vertical_coordinate_type(
-            with_decoded_columns(_replacing(df, _IP_INFO_COLS + ("vctype",))))
-    if "flags" in columns and "multiple_modifications" not in df.columns:
+    if "flags" in columns:
         df = add_flag_values(df)
     return df
 

@@ -160,8 +160,11 @@ def to_xarray(df: DataFrame, by_time: bool = False,
         cube = np.array([np.asarray(layer, dtype=np.float32).reshape(r.nj, r.ni)
                          for layer in r.cube])
         dim0 = "time" if by_time else "level"
-        name = (f"{r.nomvar}_{r.grid}" if by_time
-                else f"{r.nomvar}_{r.grid}_{r.datev}")
+        # the name must carry the FULL cube key: by_time groups are
+        # (grid, nomvar, ip1) — naming only nomvar_grid would let a
+        # multi-level variable's cubes overwrite each other in the dict
+        name = (f"{r.nomvar}_{r.grid}_{r.ip1}" if by_time
+                else f"{r.nomvar}_{r.grid}_{r.ip1_kind}_{r.datev}")
         arrays[name] = xr.DataArray(
             cube, dims=(dim0, "y", "x"),
             coords={dim0: list(r.axis)}, name=name,

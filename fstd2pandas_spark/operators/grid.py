@@ -326,8 +326,17 @@ def grid_lat_lon(df: DataFrame, keep_template_cols: bool = True) -> DataFrame:
         gauss = mapping[F.col("nj")]
 
     grtyp, ni, nj = F.col("grtyp"), F.col("ni"), F.col("nj")
-    axis_x = F.coalesce(_axis_lon(grtyp, ni, F.col("ig2")), F.col("_ax"))
-    axis_y = F.coalesce(_axis_lat(grtyp, nj, F.col("ig1"), gauss), F.col("_ay"))
+    # '#' = tiled Z (librmn ezscint semantics, reference std_grid.py:
+    # 74-109 via rmn.readGrid): the record's ig3/ig4 are the 1-based
+    # tile origin within the full >>/^^ reference axes, and the tile's
+    # axes are the ni/nj-long slices starting there (legacy records
+    # with ig3/ig4 = 0 mean origin 1)
+    tile_ax = F.slice(F.col("_ax"), F.greatest(F.col("ig3"), F.lit(1)), ni)
+    tile_ay = F.slice(F.col("_ay"), F.greatest(F.col("ig4"), F.lit(1)), nj)
+    axis_x = F.when(grtyp == "#", tile_ax).otherwise(
+        F.coalesce(_axis_lon(grtyp, ni, F.col("ig2")), F.col("_ax")))
+    axis_y = F.when(grtyp == "#", tile_ay).otherwise(
+        F.coalesce(_axis_lat(grtyp, nj, F.col("ig1"), gauss), F.col("_ay")))
     lat2d, lon2d = _expand_2d(axis_x, axis_y, ni, nj)
     n_lat, n_lon = _ps_latlon(ni, nj, south=False)
     s_lat, s_lon = _ps_latlon(ni, nj, south=True)

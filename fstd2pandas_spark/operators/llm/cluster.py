@@ -83,6 +83,15 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
                 f"label propagation still changing after "
                 f"{require_convergence_within} rounds; the pair graph's "
                 "diameter exceeds the caller's pinned unroll")
+    else:
+        # the for-loop exhausted max_iter while labels were STILL
+        # changing — a guard set at >= max_iter must fail loudly too,
+        # not hand back unconverged labels
+        if require_convergence_within is not None:
+            raise ConvergenceError(
+                f"label propagation did not converge within max_iter="
+                f"{max_iter} rounds (convergence guard "
+                f"{require_convergence_within} requested)")
     return labels
 
 

@@ -252,7 +252,12 @@ def multi_exact_dedup(df: DataFrame, text_col: str = "text",
                          F.when(F.length(n) > 0, F.md5(n))
                          .alias("content_hash")),
             ),
-            lambda s: s["content_hash"].isNotNull())).alias("kc"),
+            # keep the raw struct even when the hash is NULL (NULL-text
+            # docs form a NULL-hash group, matching exact_dedup and the
+            # oracle's GROUP BY md5(text)); only the norm ledger excludes
+            # empty/NULL-normalized docs by design
+            lambda s: s["content_hash"].isNotNull()
+            | (s["kind"] == "raw"))).alias("kc"),
     )
     return (
         pairs.groupBy(F.col("kc.kind").alias("kind"),
@@ -274,7 +279,11 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
     Quadratic in the per-document LINE count (not characters), which is
     the right trade at corpus scale: no explode, no shuffle, no state.
     """
-    lines = F.split(F.col(text_col), sep)
+    import re
+
+    # F.split takes a REGEX but array_join emits sep literally — escape
+    # so metacharacter separators ('.', '|') split/round-trip as typed
+    lines = F.split(F.col(text_col), re.escape(sep))
     kept = F.filter(
         lines,
         lambda x, i: ~F.exists(F.slice(lines, 1, i), lambda p: p == x),
@@ -347,13 +356,18 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     n_blocks = max_hamming + 1
     if bits < n_blocks:
         raise ValueError("need at least one bit per block")
-    size = -(-bits // n_blocks)          # ceil
+    # distribute bits EVENLY (floor + remainder): ceil sizing can push
+    # the last block past the bit width, where its value is 0 for every
+    # document and the per-block equi-join degenerates to all-pairs
+    base, rem = divmod(bits, n_blocks)
+    sizes = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    offsets = [sum(sizes[:i]) for i in range(n_blocks)]
     sh = simhash(df, text_col, bits).select(id_col, "simhash")
     block_structs = [
         F.struct(
             F.lit(i).alias("block"),
-            F.shiftright(F.col("simhash"), i * size)
-            .bitwiseAND(F.lit((1 << size) - 1)).alias("value"))
+            F.shiftright(F.col("simhash"), offsets[i])
+            .bitwiseAND(F.lit((1 << sizes[i]) - 1)).alias("value"))
         for i in range(n_blocks)
     ]
     banded = sh.select(

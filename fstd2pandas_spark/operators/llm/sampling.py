@@ -128,7 +128,9 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
     if chunk_tokens <= 0 or not 0 <= overlap < chunk_tokens:
         raise ValueError("need chunk_tokens > overlap >= 0")
     stride = chunk_tokens - overlap
-    tk = F.split(F.col(text_col), " ")
+    # NULL text must not silently DELETE the row (explode(NULL) drops
+    # it); treat as empty -> one empty chunk, keeping the op 1:1-safe
+    tk = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.size(tk)
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
         F.lit(1) + F.ceil((n - chunk_tokens) / F.lit(stride)).cast("int"))

@@ -40,14 +40,18 @@ URL_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
 def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``n_email`` / ``n_ipv4`` / ``n_phone`` match counts.
 
-    Counts use the same patterns as :func:`redact_pii`, so
-    ``n_email + n_ipv4 + n_phone == 0`` is the "clean document"
-    predicate a filter stage keys on.
+    Each pattern counts against the text with the EARLIER patterns
+    already replaced (the same cascade :func:`redact_pii` applies), so
+    a digit-run inside an email local-part is never double-counted as a
+    phone number and the counts agree exactly with what redaction
+    removes — ``n_email + n_ipv4 + n_phone == 0`` is the "clean
+    document" predicate a filter stage keys on.
     """
     out = df
+    col: Column = F.col(text_col)
     for name, pat in PII_PATTERNS.items():
-        out = out.withColumn(
-            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        out = out.withColumn(f"n_{name}", F.regexp_count(col, F.lit(pat)))
+        col = F.regexp_replace(col, pat, f"<{name.upper()}>")
     return out
 
 

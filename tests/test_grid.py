@@ -290,3 +290,36 @@ def test_tiled_grid_latlon_like_z(spark):
     np.testing.assert_allclose(got[("gt", "LO")], [100, 110] * 3)
     np.testing.assert_allclose(got[("gt", "LA")],
                                [-10, -10, 0, 0, 10, 10])
+
+
+def test_tiled_grid_slices_axis_at_tile_origin(spark):
+    """'#' records are tiles of the full >>/^^ reference axes: ig3/ig4
+    give the 1-based tile origin and the tile's lat/lon are the ni/nj
+    slices starting there (librmn ezscint semantics, reference
+    std_grid.py:74-109 via rmn.readGrid)."""
+    from fstd2pandas_spark.operators.grid import grid_lat_lon
+    from fstd2pandas_spark.schema import empty_record_table
+
+    full_lon = [float(10 + 2 * i) for i in range(8)]   # 8-wide reference
+    full_lat = [float(40 + 1 * j) for j in range(6)]   # 6-tall reference
+    base = dict(typvar="X", etiket="", nk=1, dateo=0, ip3=0, deet=0,
+                npas=0, datyp=5, nbits=32, datev=0)
+    rows = [
+        dict(base, nomvar="TT", ni=3, nj=2, ip1=1, ip2=0, grtyp="#",
+             ig1=111, ig2=222, ig3=4, ig4=3, grid="111222",
+             d=[0.0] * 6, path="", key=1),
+        dict(base, nomvar=">>", ni=8, nj=1, ip1=111, ip2=222, grtyp="L",
+             ig1=0, ig2=0, ig3=0, ig4=0, grid="111222",
+             d=full_lon, path="", key=2),
+        dict(base, nomvar="^^", ni=1, nj=6, ip1=111, ip2=222, grtyp="L",
+             ig1=0, ig2=0, ig3=0, ig4=0, grid="111222",
+             d=full_lat, path="", key=3),
+    ]
+    template = empty_record_table(spark, 1)
+    df = spark.createDataFrame(
+        [tuple(r.get(f.name) for f in template.schema.fields) for r in rows],
+        template.schema)
+    ll = {r["nomvar"]: r["d"] for r in grid_lat_lon(df).collect()}
+    # tile origin (ig3=4, ig4=3): lon slice [16,18,20], lat slice [42,43]
+    assert ll["LO"] == [16.0, 18.0, 20.0] * 2
+    assert ll["LA"] == [42.0] * 3 + [43.0] * 3

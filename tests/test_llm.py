@@ -743,3 +743,60 @@ def test_chunk_documents_windows(spark):
     assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_n_tokens"] == 3
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_review_fixes_nulls_and_edges(spark):
+    """Regression pack for the round-6 review findings."""
+    from fstd2pandas_spark.operators.llm.cluster import (
+        ConvergenceError, neardup_components)
+    from fstd2pandas_spark.operators.llm.dedup import (
+        dedup_lines, multi_exact_dedup, simhash_hamming_pairs)
+    from fstd2pandas_spark.operators.llm.sampling import chunk_documents
+    from fstd2pandas_spark.operators.llm.scrub import pii_counts
+
+    # NULL text: multi_exact_dedup keeps a raw NULL-hash group (parity
+    # with exact_dedup and the oracle's GROUP BY md5(text))
+    df = spark.createDataFrame(
+        [(0, "same"), (1, "same"), (2, None)], ["doc_id", "text"])
+    raw = {r["content_hash"]: r for r in
+           multi_exact_dedup(df).filter("kind = 'raw'").collect()}
+    assert None in raw and raw[None]["doc_id"] == 2
+    assert sum(r["n_copies"] for r in raw.values()) == 3
+
+    # NULL text: chunk_documents keeps the row as one empty chunk
+    ch = chunk_documents(df, chunk_tokens=4, overlap=1)
+    assert ch.filter("doc_id = 2").count() == 1
+
+    # counts agree with redaction: a digit-run inside an email
+    # local-part is not double-counted as a phone number
+    p = spark.createDataFrame(
+        [(0, "contact user199912345678@corp.example.com now")],
+        ["doc_id", "text"])
+    row = pii_counts(p).collect()[0]
+    assert row["n_email"] == 1 and row["n_phone"] == 0
+
+    # regex-metacharacter separators split literally and round-trip
+    d = spark.createDataFrame([(0, "a.b.a.c")], ["doc_id", "text"])
+    assert dedup_lines(d, sep=".").collect()[0]["line_deduped"] == "a.b.c"
+
+    # even block sizing: a guard-passing (bits, max_hamming) combo whose
+    # ceil sizing would push the last block past the bit width must
+    # still match brute force (no degenerate all-pairs block)
+    docs5 = spark.createDataFrame(
+        [(i, f"w{i} x{i} common tail tokens here") for i in range(12)],
+        ["doc_id", "text"])
+    from fstd2pandas_spark.operators.llm import simhash
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash(docs5).select("doc_id", "simhash").collect()}
+    expected = {(a, b) for a in sigs for b in sigs
+                if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 4}
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           simhash_hamming_pairs(docs5, bits=16, max_hamming=4).collect()}
+    assert got == expected
+
+    # convergence guard >= max_iter still fails loudly on a graph whose
+    # diameter exceeds max_iter (never silently return unconverged)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"])
+    with pytest.raises(ConvergenceError):
+        neardup_components(chain, max_iter=2, require_convergence_within=2)
