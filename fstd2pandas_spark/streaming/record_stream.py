@@ -158,3 +158,26 @@ def run_to_memory(stream_result: DataFrame, table_name: str,
         .start()
     )
     q.awaitTermination()
+
+
+def read_document_stream(spark: SparkSession, path: str,
+                         schema: "T.StructType | str" = (
+                             "doc_id long, text string, lang string, "
+                             "source string, n_chars long"),
+                         max_files_per_trigger: "int | None" = None
+                         ) -> DataFrame:
+    """Open a streaming documents table over a parquet drop-zone — the
+    ingestion front of a training-data pipeline: new crawl shards land
+    as files, and every narrow-map operator in ``operators/llm``
+    (language_id, quality_score, repetition_metrics, pii_counts/
+    redact_pii, token_counts, fingerprint, hash_split,
+    stratified_hash_sample, chunk_documents) applies to the stream
+    UNCHANGED — they are pure projections, legal in streaming plans.
+    Corpus-level operators (MinHash/LSH joins, boilerplate stats,
+    connected components) need cross-document state and stay batch:
+    run them on the accumulated sink, not the stream.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)

@@ -157,3 +157,33 @@ def test_fstrec_stream_incremental(spark, records, tmp_path):
         shutil.copy(f, zone + "/cycle2.fstrec")
     n2 = drain()
     assert n2 == records.count()
+
+
+def test_llm_narrow_maps_compose_with_streaming(spark, tmp_path):
+    """The per-document pipeline layer runs unchanged on a document
+    stream: drop two parquet shards, run language-ID + quality + PII +
+    split + chunk-count over readStream, and the drained sink equals
+    the same operators applied in batch."""
+    from fstd2pandas_spark.operators.llm import (
+        language_id, quality_score)
+    from fstd2pandas_spark.operators.llm.sampling import hash_split
+    from fstd2pandas_spark.operators.llm.scrub import pii_counts
+    from fstd2pandas_spark.streaming.record_stream import (
+        read_document_stream, run_to_memory)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    zone = str(tmp_path / "doczone")
+    for i, half in enumerate(docs.randomSplit([0.5, 0.5], seed=3)):
+        half.coalesce(1).write.mode("append").parquet(zone)
+
+    def pipe(df):
+        return hash_split(pii_counts(quality_score(language_id(df)))).select(
+            "doc_id", "lang_pred", "quality", "n_email", "split")
+
+    run_to_memory(pipe(read_document_stream(spark, zone)),
+                  "doc_stream_pipe")
+    got = spark.sql("SELECT * FROM doc_stream_pipe")
+    want = pipe(spark.read.parquet(zone))
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) == docs.count()
