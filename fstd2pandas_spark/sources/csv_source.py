@@ -75,9 +75,20 @@ def read_csv_records(spark: SparkSession, path: str,
         df.withColumn("_rows", rows2d)
         .withColumn("nj", F.size(F.col("_rows")).cast("int"))
         .withColumn("ni", F.size(F.element_at(F.col("_rows"), 1)).cast("int"))
-        .withColumn("d", F.flatten(F.col("_rows")))
-        .drop("_rows")
     )
+    # rectangularity: every ';'-row must have ni values, or len(d) !=
+    # ni*nj flows silently downstream (reference raises
+    # ArrayIsNotStableError, csv_reader.py:475-487). Eager like the
+    # reference — CSV ingest is the small-file path.
+    ragged = (
+        df.filter(F.exists("_rows", lambda r: F.size(r) != F.col("ni")))
+        .limit(1).count()
+    )
+    if ragged:
+        raise CsvReaderError(
+            "ragged 'd' array: every ';'-separated row must have the "
+            "same number of ','-separated values")
+    df = df.withColumn("d", F.flatten(F.col("_rows"))).drop("_rows")
     if encode_ip1 and has_level:
         df = df.withColumn(
             "ip1",

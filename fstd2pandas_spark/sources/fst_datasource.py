@@ -165,10 +165,27 @@ class _FstRecReaderBase(DataSourceReader):
         int64_cols = ("dateo", "datev")
         str_cols = ("nomvar", "typvar", "etiket", "grtyp")
 
+        # chunk by ROWS and by ELEMENT COUNT: Arrow list offsets are
+        # int32, so one batch must stay far below 2^31 total floats
+        # (2048 rows of ~1M-point operational grids would overflow the
+        # offsets and wrap negative); 64M floats = 256 MB values buffer
+        max_elems = 64 * 1024 * 1024
+        chunks: list[list] = []
+        cur, cur_elems = [], 0
+        for item in selected:
+            sz = int(item[1].ni) * int(item[1].nj) * int(item[1].nk)
+            if cur and (len(cur) >= self.batch_rows
+                        or cur_elems + sz > max_elems):
+                chunks.append(cur)
+                cur, cur_elems = [], 0
+            cur.append(item)
+            cur_elems += sz
+        if cur:
+            chunks.append(cur)
+
         f = open(path, "rb") if self.with_data else None
         try:
-            for start in range(0, len(selected), self.batch_rows):
-                chunk = selected[start:start + self.batch_rows]
+            for chunk in chunks:
                 n = len(chunk)
                 arrays: dict[str, pa.Array] = {}
                 for c in str_cols:
@@ -224,13 +241,23 @@ class _FstRecReaderBase(DataSourceReader):
 class FstRecReader(_FstRecReaderBase):
     """Default reader: header-directory filter pushdown (F1)."""
 
+    #: columns the header directory can actually evaluate — filters on
+    #: anything else (notably the payload column 'd') MUST be yielded
+    #: back, or Spark drops them assuming the source applied them
+    PUSHABLE = frozenset([
+        "nomvar", "typvar", "etiket", "ni", "nj", "nk", "dateo", "ip1",
+        "ip2", "ip3", "deet", "npas", "datyp", "nbits", "grtyp", "ig1",
+        "ig2", "ig3", "ig4", "datev", "grid", "path", "key",
+    ])
+
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Accept every supported metadata filter; Spark re-applies the
         rest (we keep unsupported ones by yielding them back)."""
         supported = (EqualTo, In, GreaterThan, GreaterThanOrEqual,
                      LessThan, LessThanOrEqual, IsNotNull)
         for f in filters:
-            if isinstance(f, supported) and len(f.attribute) == 1:
+            if (isinstance(f, supported) and len(f.attribute) == 1
+                    and f.attribute[0] in self.PUSHABLE):
                 self.filters.append(f)
             else:
                 yield f

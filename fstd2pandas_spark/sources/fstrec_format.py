@@ -48,13 +48,6 @@ _HEADER_STRUCT = struct.Struct(
 HEADER_SIZE = _HEADER_STRUCT.size
 _PREFIX = len(MAGIC) + 4
 
-COLUMNS = [
-    "nomvar", "typvar", "etiket", "ni", "nj", "nk", "dateo", "ip1", "ip2",
-    "ip3", "deet", "npas", "datyp", "nbits", "grtyp", "ig1", "ig2", "ig3",
-    "ig4", "datev",
-]
-
-
 @dataclass
 class RecordHeader:
     nomvar: str
@@ -92,7 +85,20 @@ def write_fstrec(path: str, records: "list[dict]") -> int:
     payloads = []
     offset = _PREFIX + HEADER_SIZE * len(records)
     for rec in records:
-        d = np.asarray(rec.get("d") if rec.get("d") is not None else [], dtype="<f4")
+        if rec.get("d") is None:
+            # a metadata-only frame (with_data=false read) must not be
+            # persisted as a dataless container that still claims
+            # ni x nj x nk — mirror write_xdf's validation
+            raise ValueError(
+                f"record {rec.get('nomvar')!r} has no data array 'd'; "
+                "metadata-only tables cannot be written as containers "
+                "(use update mode for metadata edits)")
+        d = np.asarray(rec["d"], dtype="<f4")
+        expect = int(rec["ni"]) * int(rec["nj"]) * int(rec.get("nk", 1))
+        if len(d) != expect:
+            raise ValueError(
+                f"record {rec.get('nomvar')!r}: len(d)={len(d)} != "
+                f"ni*nj*nk={expect}")
         headers += _HEADER_STRUCT.pack(
             _pad(rec["nomvar"], 4), _pad(rec["typvar"], 2),
             _pad(rec["etiket"], 12), _pad(rec.get("grtyp", "X"), 2),
@@ -160,17 +166,21 @@ def update_metadata(path: str, updates: "dict[int, dict]") -> int:
     extents are never touched; only header metadata fields change.
     Returns the number of edited records."""
     headers = read_directory(path)
+    # validate EVERYTHING before the first write so a bad key or field
+    # name cannot leave the file half-edited (all-or-nothing per file)
+    for key, fields in updates.items():
+        if not 1 <= key <= len(headers):
+            raise KeyError(f"record key {key} not in {path}")
+        for name in fields:
+            if name in ("offset", "n_floats", "d"):
+                raise ValueError(f"cannot update {name} in-place")
+            if not hasattr(headers[key - 1], name):
+                raise KeyError(f"unknown metadata field {name}")
     edited = 0
     with open(path, "r+b") as f:
         for key, fields in updates.items():
-            if not 1 <= key <= len(headers):
-                raise KeyError(f"record key {key} not in {path}")
             h = headers[key - 1]
             for name, value in fields.items():
-                if name in ("offset", "n_floats", "d"):
-                    raise ValueError(f"cannot update {name} in-place")
-                if not hasattr(h, name):
-                    raise KeyError(f"unknown metadata field {name}")
                 setattr(h, name, value)
             f.seek(_PREFIX + (key - 1) * HEADER_SIZE)
             f.write(_HEADER_STRUCT.pack(

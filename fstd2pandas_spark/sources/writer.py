@@ -79,8 +79,10 @@ def write_record_table(df: DataFrame, path: str, mode: str = "write",
     elif mode != "dump":
         raise WriterError(f"unknown mode {mode!r}; use write|dump|update")
     writer = df.write.format("fstrec").option("container", container)
-    if overwrite:
-        writer = writer.mode("overwrite")
+    # Python DataSource writers support only Append/Overwrite — the
+    # default ErrorIfExists mode raises UNSUPPORTED_DATA_SOURCE_SAVE_MODE
+    # even on a fresh path, so non-overwrite writes must be appends
+    writer = writer.mode("overwrite" if overwrite else "append")
     writer.save(path)
 
 
@@ -106,18 +108,33 @@ def _update(df: DataFrame, driver_threshold: int = 10_000) -> None:
     billion-record metadata edit never pins the driver. The scale path
     assumes executors see the container files (shared FS / object store
     — the same premise as any in-place edit)."""
-    from fstd2pandas_spark.sources.fstrec_format import update_metadata
+    from fstd2pandas_spark.sources.fstrec_format import (
+        maybe_fstrec, update_metadata)
 
     cols = [c for c in UPDATABLE if c in df.columns]
     if "path" not in df.columns or "key" not in df.columns:
         raise WriterError("update mode needs path and key columns")
     sel = df.select("path", "key", *cols)
+
+    def _check_paths(paths) -> None:
+        # the data source also READS real FST/XDF files, but in-place
+        # update is implemented for the fstrec layout only — fail fast
+        # on every target BEFORE any file is edited, not midway
+        bad = sorted(p for p in paths if not maybe_fstrec(p))
+        if bad:
+            raise WriterError(
+                f"update mode supports fstrec containers only; not "
+                f"fstrec: {bad[:3]}{'...' if len(bad) > 3 else ''}")
+
     if driver_threshold > 0:
         head = sel.limit(driver_threshold + 1).collect()
         if len(head) <= driver_threshold:
-            for p, updates in _group_updates(head, cols).items():
+            grouped = _group_updates(head, cols)
+            _check_paths(grouped)
+            for p, updates in grouped.items():
                 update_metadata(p, updates)
             return
+    _check_paths(r.path for r in sel.select("path").distinct().collect())
 
     def _apply(part) -> None:
         from fstd2pandas_spark.sources.fstrec_format import update_metadata

@@ -532,3 +532,66 @@ def test_update_mode_distributed_path(registered, records, tmp_path):
     d0 = sorted(tuple(r.d) for r in back.select("d").collect())
     d1 = sorted(tuple(r.d) for r in again.select("d").collect())
     assert d0 == d1
+
+
+def test_source_review_fixes(spark, tmp_path):
+    """Regression pack for the sources review findings."""
+    import pytest as _pt
+
+    from fstd2pandas_spark.sources import register, write_record_table
+    from fstd2pandas_spark.sources.csv_source import (
+        CsvReaderError, read_csv_records)
+    from fstd2pandas_spark.sources.fstrec_format import (
+        read_directory, update_metadata, write_fstrec)
+    from fstd2pandas_spark.sources.writer import WriterError
+    from fixtures import build_fst_records
+
+    register(spark)
+    rec = build_fst_records(spark)
+
+    # default (non-overwrite) write works: Python DataSource writers
+    # only support append/overwrite, so the default must be append
+    out = str(tmp_path / "plain")
+    write_record_table(rec, out, mode="dump")
+    assert spark.read.format("fstrec").load(out).count() == rec.count()
+
+    # filters on 'd' are NOT claimed by pushdown: with_data=false rows
+    # have d NULL, so 'd is not null' must return 0, not everything
+    meta_only = (spark.read.format("fstrec").option("with_data", "false")
+                 .load(out))
+    assert meta_only.filter("d is not null").count() == 0
+
+    # metadata-only frames cannot be written as containers
+    with _pt.raises(Exception, match="no data array"):
+        write_fstrec(str(tmp_path / "bad.fstrec"),
+                     [r.asDict() for r in meta_only.limit(2).collect()])
+
+    # len(d) must match ni*nj*nk
+    good = rec.limit(1).collect()[0].asDict()
+    good["d"] = list(good["d"]) + [1.0]
+    with _pt.raises(ValueError, match="ni\\*nj\\*nk"):
+        write_fstrec(str(tmp_path / "bad2.fstrec"), [good])
+
+    # update_metadata is all-or-nothing per file: a bad key in the
+    # batch must leave every header untouched
+    import glob
+    fpath = sorted(glob.glob(f"{out}/*.fstrec"))[0]
+    before = [h.etiket for h in read_directory(fpath)]
+    with _pt.raises(KeyError):
+        update_metadata(fpath, {1: {"etiket": "EDITED"},
+                                10**6: {"etiket": "X"}})
+    assert [h.etiket for h in read_directory(fpath)] == before
+
+    # update mode refuses non-fstrec targets BEFORE editing anything
+    df_edit = (spark.read.format("fstrec").load(out)
+               .withColumn("etiket", F.lit("NEWTAG"))
+               .withColumn("path", F.lit(str(tmp_path / "not_a_container"))))
+    (tmp_path / "not_a_container").write_bytes(b"JUNKDATA")
+    with _pt.raises(WriterError, match="fstrec containers only"):
+        write_record_table(df_edit, out, mode="update")
+
+    # ragged CSV arrays raise (ArrayIsNotStableError parity)
+    csv = tmp_path / "ragged.csv"
+    csv.write_text('nomvar,level,d\nTT,1.0,"1,2;3"\n')
+    with _pt.raises(CsvReaderError, match="ragged"):
+        read_csv_records(spark, str(csv))
