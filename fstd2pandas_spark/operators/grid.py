@@ -295,10 +295,21 @@ def grid_lat_lon(df: DataFrame, keep_template_cols: bool = True) -> DataFrame:
         logging.warning("X is an unsupported grid type! skipping its grids")
         no_meta = no_meta.filter(F.col("grtyp") != "X")
 
-    w = Window.partitionBy("grid").orderBy("nomvar", "ip1", "ip2", "ip3")
+    # one representative per GEOMETRY: for ordinary grids the grid id
+    # determines the geometry, but each '#' record is its own tile
+    # (ig3/ig4 origin + ni/nj extent), so '#' partitions additionally on
+    # the tile key — a multi-tile grid emits one LA/LO pair PER TILE
+    # instead of silently attributing the first tile's coordinates to
+    # every record of the grid
+    tile_key = F.when(
+        F.col("grtyp") == "#",
+        F.concat_ws("_", "ig3", "ig4", "ni", "nj")).otherwise(F.lit(""))
+    w = Window.partitionBy("grid", "_tile") \
+              .orderBy("nomvar", "ip1", "ip2", "ip3")
     rep = (
-        no_meta.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1).drop("_rn")
+        no_meta.withColumn("_tile", tile_key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn", "_tile")
     )
 
     # axis records: >> holds the lon axis (ni x 1), ^^ the lat axis
@@ -331,8 +342,15 @@ def grid_lat_lon(df: DataFrame, keep_template_cols: bool = True) -> DataFrame:
     # tile origin within the full >>/^^ reference axes, and the tile's
     # axes are the ni/nj-long slices starting there (legacy records
     # with ig3/ig4 = 0 mean origin 1)
-    tile_ax = F.slice(F.col("_ax"), F.greatest(F.col("ig3"), F.lit(1)), ni)
-    tile_ay = F.slice(F.col("_ay"), F.greatest(F.col("ig4"), F.lit(1)), nj)
+    # a tile overrunning its reference axis (corrupt/mismatched record)
+    # yields NULL axes -> NULL lat/lon for that row, instead of an ANSI
+    # INVALID_ARRAY_INDEX aborting the whole job in _expand_2d
+    o3 = F.greatest(F.col("ig3"), F.lit(1))
+    o4 = F.greatest(F.col("ig4"), F.lit(1))
+    tile_ax = F.when(o3 + ni - 1 <= F.size("_ax"),
+                     F.slice(F.col("_ax"), o3, ni))
+    tile_ay = F.when(o4 + nj - 1 <= F.size("_ay"),
+                     F.slice(F.col("_ay"), o4, nj))
     axis_x = F.when(grtyp == "#", tile_ax).otherwise(
         F.coalesce(_axis_lon(grtyp, ni, F.col("ig2")), F.col("_ax")))
     axis_y = F.when(grtyp == "#", tile_ay).otherwise(

@@ -15,7 +15,7 @@ All hashes are md5-derived (see llm/__init__ determinism contract).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fstd2pandas_spark.operators.llm.text import (
@@ -301,26 +301,24 @@ def boilerplate_span_stats(df: DataFrame, k: int = 3, min_df: int = 2,
     ``boilerplate_frac`` — the signal C4/RefinedWeb-style pipelines
     threshold on to drop template pages.
 
-    Scale shape: one explode of per-doc DISTINCT spans (so the
-    span count per doc bounds the blow-up), one groupBy on the span for
-    document frequency, and a broadcast semi-join back.  The broadcast
-    is safe by construction: at document-frequency threshold t the
-    boilerplate set cannot exceed total-span-occurrences / t, i.e. it
-    shrinks as the threshold grows and is independent of corpus size
-    for fixed min_doc_frac-style thresholds.
+    Scale shape: one explode of per-doc DISTINCT spans (so the span
+    count per doc bounds the blow-up), then document frequency via a
+    WINDOW over the span key and one groupBy back to the doc — the
+    exploded spans are scanned once (no duplicate tokenize/shingle
+    subtree) and nothing broadcasts: at min_df=2 the boilerplate set
+    grows linearly with the corpus (total-occurrences/min_df), so a
+    broadcast semi-join — the obvious alternative — is a driver-OOM
+    plan at the scale this module targets.
     """
     spans_arr = F.array_distinct(shingles_col(tokens_col(F.col(text_col)), k))
     spans = (
         df.select(F.col(id_col), spans_arr.alias("_spans"))
         .select(F.col(id_col), F.explode("_spans").alias("_span"))
     )
-    boiler = (
-        spans.groupBy("_span").agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") >= min_df)
-        .select("_span")
-    )
+    w = Window.partitionBy("_span")
     hits = (
-        spans.join(F.broadcast(boiler), "_span", "leftsemi")
+        spans.withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") >= min_df)
         .groupBy(id_col)
         .agg(F.count("*").alias("n_boilerplate_spans"))
     )
@@ -337,7 +335,7 @@ def boilerplate_span_stats(df: DataFrame, k: int = 3, min_df: int = 2,
 
 
 def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
-                          id_col: str = "doc_id", bits: int = 16,
+                          id_col: str = "doc_id", bits: int = 48,
                           max_hamming: int = 2) -> DataFrame:
     """SimHash near-dup pairs within a Hamming radius (Manku et al.
     2007, public): exact-signature buckets (:func:`simhash_buckets`)
@@ -350,8 +348,12 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     Scale shape mirrors the MinHash-LSH join: one repartition on
     (block, value) shared by both self-join sides (ReusedExchange), a
     MERGE hint so the corpus-scale side never broadcasts, and the
-    number of join rows is bounded by block-collision counts, never
-    all-pairs.  Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+    number of join rows is bounded by block-collision counts.  That
+    bound is only real when blocks are WIDE: the default is 48-bit
+    signatures (16-bit blocks at radius 2 — Manku et al. run 64-bit),
+    because narrow blocks (e.g. 16-bit sigs -> 5-bit blocks, 32 values)
+    collapse the join keyspace and degenerate toward all-pairs on a
+    large corpus.  Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
     n_blocks = max_hamming + 1
     if bits < n_blocks:

@@ -33,8 +33,9 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 URL_PATTERN = r"https?://[A-Za-z0-9._~:/?#\[\]@!$&'()*+,;=%-]+"
-#: host part of a URL (group 1)
-URL_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+#: host part of a URL (group 1); the optional userinfo ('user@host', a
+#: standard blocklist-evasion form) is skipped, not captured
+URL_DOMAIN_PATTERN = r"https?://(?:[^/@\s]*@)?([A-Za-z0-9.-]+)"
 
 
 def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -172,21 +172,34 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     n_lines = F.size(lines)
     n_dlines = F.size(F.array_distinct(lines))
 
+    # NULL-text contract (both methods): every metric is NULL — a doc
+    # whose text is unknown must not look like an empty-but-clean one
+    null_text = F.col(text_col).isNull()
+
     if method == "fold":
         # guard n < 2 explicitly: sequence(1, 0) counts DOWN in Spark
-        # ([1, 0]), it is not empty
+        # ([1, 0]), it is not empty. The bigram array materializes
+        # behind a projection boundary FIRST — HOF lambdas have no
+        # loop-invariant hoisting, so an inlined {bg} inside the
+        # distinct-transform would rebuild the whole array once per
+        # distinct bigram (see minhash_signature's comment)
         bg = (f"CASE WHEN size(split(lower({text_col}), ' ')) < 2 "
               f"THEN array() "
               f"ELSE transform(sequence(1, size(split(lower({text_col})"
               f", ' ')) - 1), j -> concat_ws(' ', "
               f"slice(split(lower({text_col}), ' '), j, 2))) END")
-        top = (f"CASE WHEN size({bg}) = 0 THEN 0 ELSE "
-               f"array_max(transform(array_distinct({bg}), "
-               f"b -> size(filter({bg}, x -> x = b)))) END")
+        top = ("CASE WHEN size(_bg) = 0 THEN 0 ELSE "
+               "array_max(transform(array_distinct(_bg), "
+               "b -> size(filter(_bg, x -> x = b)))) END")
         out = (
-            df.withColumn("top_bigram_count", F.expr(top).cast("long"))
-            .withColumn("n_bigrams",
-                        F.greatest(n_tok - 1, F.lit(0)).cast("long"))
+            df.withColumn("_bg", F.expr(bg))
+            .withColumn("top_bigram_count", F.expr(top).cast("long"))
+            # greatest() skips NULL inputs, so guard NULL text
+            # explicitly to keep the NULL-metric contract
+            .withColumn("n_bigrams", F.when(
+                ~null_text,
+                F.greatest(n_tok - 1, F.lit(0))).cast("long"))
+            .drop("_bg")
         )
     elif method == "explode":
         bg_counts = (
@@ -199,10 +212,11 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
         )
         out = (
             df.join(bg_counts, id_col, "left")
-            .withColumn("top_bigram_count",
-                        F.coalesce(F.col("top_bigram_count"), F.lit(0)))
-            .withColumn("n_bigrams",
-                        F.coalesce(F.col("n_bigrams"), F.lit(0)))
+            .withColumn("top_bigram_count", F.when(
+                ~null_text,
+                F.coalesce(F.col("top_bigram_count"), F.lit(0))))
+            .withColumn("n_bigrams", F.when(
+                ~null_text, F.coalesce(F.col("n_bigrams"), F.lit(0))))
         )
     else:
         raise ValueError(f"unknown method {method!r}")
@@ -284,7 +298,10 @@ def gopher_filter(df: DataFrame, rules: "dict | None" = None,
         if name not in df.columns:
             continue
         c = F.col(name)
-        checks.append((c >= lo) & (c <= hi))
+        # a NULL metric (e.g. NULL-text doc) FAILS its rule — three-
+        # valued logic would otherwise let empty documents pass every
+        # bound while real short docs are rejected
+        checks.append(F.coalesce((c >= lo) & (c <= hi), F.lit(False)))
     if not checks:
         raise ValueError("no rule metric is present in the DataFrame")
     fails = sum((F.when(~c, 1).otherwise(0) for c in checks), F.lit(0))

@@ -323,3 +323,46 @@ def test_tiled_grid_slices_axis_at_tile_origin(spark):
     # tile origin (ig3=4, ig4=3): lon slice [16,18,20], lat slice [42,43]
     assert ll["LO"] == [16.0, 18.0, 20.0] * 2
     assert ll["LA"] == [42.0] * 3 + [43.0] * 3
+
+
+def test_tiled_grid_multi_tile_and_overrun(spark):
+    """Each '#' record is its own tile: a grid with two tiles emits one
+    LA/LO pair per tile, and a tile overrunning the reference axis
+    yields NULL coordinates for that row instead of aborting the job."""
+    from fstd2pandas_spark.operators.grid import grid_lat_lon
+    from fstd2pandas_spark.schema import empty_record_table
+
+    full_lon = [float(10 + 2 * i) for i in range(8)]
+    full_lat = [float(40 + j) for j in range(6)]
+    base = dict(typvar="X", etiket="", nk=1, dateo=0, ip3=0, deet=0,
+                npas=0, datyp=5, nbits=32, datev=0)
+    rows = [
+        dict(base, nomvar="TT", ni=3, nj=2, ip1=1, ip2=0, grtyp="#",
+             ig1=111, ig2=222, ig3=1, ig4=1, grid="111222",
+             d=[0.0] * 6, path="", key=1),
+        dict(base, nomvar="TT", ni=3, nj=2, ip1=2, ip2=0, grtyp="#",
+             ig1=111, ig2=222, ig3=4, ig4=3, grid="111222",
+             d=[0.0] * 6, path="", key=2),
+        dict(base, nomvar="TT", ni=5, nj=2, ip1=3, ip2=0, grtyp="#",
+             ig1=111, ig2=222, ig3=7, ig4=1, grid="111222",   # overruns
+             d=[0.0] * 10, path="", key=3),
+        dict(base, nomvar=">>", ni=8, nj=1, ip1=111, ip2=222, grtyp="L",
+             ig1=0, ig2=0, ig3=0, ig4=0, grid="111222",
+             d=full_lon, path="", key=4),
+        dict(base, nomvar="^^", ni=1, nj=6, ip1=111, ip2=222, grtyp="L",
+             ig1=0, ig2=0, ig3=0, ig4=0, grid="111222",
+             d=full_lat, path="", key=5),
+    ]
+    template = empty_record_table(spark, 1)
+    df = spark.createDataFrame(
+        [tuple(r.get(f.name) for f in template.schema.fields) for r in rows],
+        template.schema)
+    out = grid_lat_lon(df)
+    los = {tuple(r["d"]) if r["d"] is not None else None
+           for r in out.filter("nomvar = 'LO'").collect()}
+    # one LO per tile: origin (1,1), origin (4,3), and the overrun tile
+    # as all-NULL cells (flagged, not a job abort)
+    assert (10.0, 12.0, 14.0) * 2 in los
+    assert (16.0, 18.0, 20.0) * 2 in los
+    assert any(v is not None and all(x is None for x in v) for v in los)
+    assert out.filter("nomvar = 'LO'").count() == 3

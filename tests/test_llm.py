@@ -713,7 +713,8 @@ def test_simhash_hamming_pairs_match_bruteforce(spark, docs):
         if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
     }
     got = {(r["doc_a"], r["doc_b"], r["hamming"])
-           for r in simhash_hamming_pairs(sub, max_hamming=3).collect()}
+           for r in simhash_hamming_pairs(sub, bits=16,
+                                          max_hamming=3).collect()}
     assert got == expected
     assert expected, "fixture should contain at least one near pair"
     # radius > 0 finds pairs exact-signature bucketing cannot
@@ -800,3 +801,35 @@ def test_review_fixes_nulls_and_edges(spark):
         [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"])
     with pytest.raises(ConvergenceError):
         neardup_components(chain, max_iter=2, require_convergence_within=2)
+
+
+def test_review2_null_contracts_and_scrub(spark):
+    """Second review pack: NULL-metric contracts and blocklist evasion."""
+    from fstd2pandas_spark.operators.llm import (
+        quality_score, repetition_metrics)
+    from fstd2pandas_spark.operators.llm.text import gopher_filter
+    from fstd2pandas_spark.operators.llm.scrub import url_metrics
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "a real document with several words here")],
+        ["doc_id", "text"])
+    # fold and explode agree on NULL text: every metric NULL
+    for method in ("fold", "explode"):
+        r = {x["doc_id"]: x for x in
+             repetition_metrics(df, method=method).collect()}
+        for c in ("top_bigram_count", "n_bigrams", "top_bigram_frac",
+                  "dup_word_frac"):
+            assert r[0][c] is None, (method, c)
+            assert r[1][c] is not None, (method, c)
+
+    # NULL metrics FAIL gopher rules (never pass as a clean empty doc)
+    g = {x["doc_id"]: x for x in
+         gopher_filter(quality_score(df)).collect()}
+    assert g[0]["gopher_keep"] is False and g[0]["gopher_fails"] >= 1
+
+    # userinfo-form URLs cannot evade the domain blocklist
+    u = spark.createDataFrame(
+        [(0, "see https://user@blocked.example.com/x")], ["doc_id", "text"])
+    row = url_metrics(u, blocklist=["blocked.example.com"]).collect()[0]
+    assert row["first_domain"] == "blocked.example.com"
+    assert row["blocked_domain"] is True
