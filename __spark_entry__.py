@@ -1814,6 +1814,8 @@ _PII_INJECT_SQL = """concat(text,
          || CAST(doc_id % 90 + 10 AS STRING) ELSE '' END,
     CASE WHEN doc_id % 5 = 0 THEN ' see https://site'
          || CAST(doc_id % 3 AS STRING) || '.example.org/p/'
+         || CAST(doc_id AS STRING) ELSE '' END,
+    CASE WHEN doc_id % 10 = 0 THEN ' and https://site0.example.org/m/'
          || CAST(doc_id AS STRING) ELSE '' END)"""
 
 
@@ -1907,8 +1909,8 @@ def _tokens_sql() -> str:
          len(regexp_extract_all(p, {q(URL_PATTERN)})) AS n_urls,
          coalesce(regexp_extract(p, {q(URL_DOMAIN_PATTERN)}, 1), '')
            AS first_domain,
-         coalesce(regexp_extract(p, {q(URL_DOMAIN_PATTERN)}, 1), '')
-           = 'site0.example.org' AS blocked_domain,
+         list_contains(regexp_extract_all(p, {q(URL_DOMAIN_PATTERN)}, 1),
+           'site0.example.org') AS blocked_domain,
          CAST(nch AS BIGINT) AS n_chunks,
          substr(md5(array_to_string(list_transform(
              generate_series(0, nch - 1),

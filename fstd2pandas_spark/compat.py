@@ -16,6 +16,8 @@ Two deliberate deviations, both scale-driven:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -122,8 +124,17 @@ def add_shape_column(df: DataFrame) -> DataFrame:
 def add_ip_info_columns(df: DataFrame) -> DataFrame:
     """The full ip-decode family: level/kind/pkind for ip1/2/3 plus
     surface/follow_topography/ascending/interval (reference
-    dataframe.py:500-579).  Delegates to the single-select decode
-    cascade, then prunes to what the reference's variant adds."""
+    dataframe.py:500-579).
+
+    Deliberate SUPERSET of the reference's variant: it delegates to the
+    single-select decode cascade (:func:`with_decoded_columns`), which
+    also adds/replaces unit, description, the decoded dates,
+    forecast_hour, data_type_str and the 8 typvar flags — pre-existing
+    columns of those names are replaced, matching every adder's
+    "replaces original column(s) if present" contract.  Pruning back to
+    just the ip family would leave a dead stdvar broadcast join in the
+    plan that Catalyst cannot remove, so the extra columns are kept;
+    select them away afterwards if they are unwanted."""
     return with_decoded_columns(_replacing(df, _IP_INFO_COLS))
 
 
@@ -131,7 +142,8 @@ def add_columns(df: DataFrame, columns: "str | list[str]" = (
         "flags", "etiket", "unit", "dateo", "datev", "forecast_hour",
         "datyp", "ip_info")) -> DataFrame:
     """The reference's column-adder dispatcher (dataframe.py:582-629),
-    same subset keywords.
+    same subset keywords.  Unknown keywords are skipped with a logged
+    warning, matching the reference's behavior.
 
     When ``'ip_info'`` is requested, the single-select decode cascade
     already produces every column the other adders would (etiket parse,
@@ -142,6 +154,11 @@ def add_columns(df: DataFrame, columns: "str | list[str]" = (
     """
     if isinstance(columns, str):
         columns = [columns]
+    known = {"flags", "etiket", "unit", "dateo", "datev", "forecast_hour",
+             "datyp", "ip_info"}
+    for unknown in [c for c in columns if c not in known]:
+        logging.getLogger(__name__).warning(
+            "add_columns: unknown column keyword %r ignored", unknown)
     if "ip_info" in columns:
         from fstd2pandas_spark.operators.vgrid import (
             set_vertical_coordinate_type)

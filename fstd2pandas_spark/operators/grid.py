@@ -16,8 +16,10 @@ lat/lon generation scales as a narrow map over grids:
 - ``L``  limited-area lat-lon from (lat0, lon0, dlat, dlon)
 - ``Z/#`` axes from the ``>>``/``^^`` records (grref ``L``), outer product
 - ``Y``  ``>>``/``^^`` already hold full 2-D lon/lat — passthrough
-- ``E/N/S/U`` (rotated / polar-stereographic / composite) are declared
-  but raise — the rotation/stereographic math is a follow-up.
+- ``E/N/S/U`` rotated lat-lon, polar stereographic (both poles) and
+  composite (Yin-Yang) — all implemented below (see the ``E`` and
+  ``N/S`` notes at the end of this docstring and ``U`` packing above);
+  only ``X`` is skipped with a warning, matching the reference.
 
 Array layout: row-major with ``i`` (the ni/longitude axis) fastest —
 ``flat[k]`` maps to ``i = k % ni``, ``j = k div ni`` (SURVEY §7.3b).
@@ -393,7 +395,13 @@ def is_global_grid(df: DataFrame, epsilon: float = 0.001,
     repeated longitude; Z global iff first lon == last lon (eps); L by
     dlon coverage arithmetic. Pass ``latlon`` (a prior
     :func:`grid_lat_lon` result) to reuse its plan instead of
-    recomputing the LA/LO expansion."""
+    recomputing the LA/LO expansion.
+
+    Exactly ONE row per (grid, grtyp): multi-tile ``#`` grids emit one
+    LO record per tile, so the per-row flags are folded with ``bool_or``
+    — callers joining the flags back on ``grid`` never fan out.  The
+    group is per-grid (a handful of rows), so the added exchange is
+    negligible next to the LA/LO expansion itself."""
     lo = (grid_lat_lon(df) if latlon is None else latlon).filter(
         F.col("nomvar") == "LO").select(
         "grid", "grtyp", "ni", "ig4", F.col("d").alias("_lon"))
@@ -427,6 +435,9 @@ def is_global_grid(df: DataFrame, epsilon: float = 0.001,
          .when(F.col("grtyp") == "Z", z_rep)
          .when(F.col("grtyp") == "L", l_rep)
          .otherwise(F.lit(False)).alias("repetition"),
+    ).groupBy("grid", "grtyp").agg(
+        F.bool_or("global_grid").alias("global_grid"),
+        F.bool_or("repetition").alias("repetition"),
     )
 
 

@@ -90,10 +90,16 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     """MinHash-LSH candidate pairs: documents sharing at least one band
     bucket. Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
 
-    rows-per-band r = num_hashes // bands; band hash = md5 of the joined
-    signature slice. The pair join runs per-bucket (equi-join), never
-    all-pairs.
+    rows-per-band r = num_hashes / bands (must divide evenly — a ragged
+    banding would silently drop the remainder hashes and weaken the
+    similarity threshold the (bands, r) pair encodes); band hash = md5
+    of the joined signature slice. The pair join runs per-bucket
+    (equi-join), never all-pairs.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a multiple of bands "
+            f"({bands}); a ragged banding drops remainder hashes")
     r = num_hashes // bands
     with_sig = minhash_signature(df, text_col, num_hashes, shingle_k)
     banded = with_sig.select(

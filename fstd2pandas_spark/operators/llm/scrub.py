@@ -59,8 +59,11 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def redact_pii(df: DataFrame, text_col: str = "text",
                out_col: str = "redacted") -> DataFrame:
     """Replace every PII span with a typed placeholder (``<EMAIL>``,
-    ``<IPV4>``, ``<PHONE>``), longest-pattern-first so composite spans
-    (an email whose local part looks numeric) resolve deterministically.
+    ``<IPV4>``, ``<PHONE>``), applied as a fixed cascade in
+    ``PII_PATTERNS`` insertion order (email, then ipv4, then phone) so
+    composite spans (an email whose local part looks numeric) resolve
+    deterministically — each later pattern sees the earlier patterns'
+    placeholders, never their raw text.
     """
     col: Column = F.col(text_col)
     for name, pat in PII_PATTERNS.items():
@@ -71,21 +74,30 @@ def redact_pii(df: DataFrame, text_col: str = "text",
 def url_metrics(df: DataFrame, text_col: str = "text",
                 blocklist: list[str] | None = None) -> DataFrame:
     """Add ``n_urls``, ``first_domain`` (host of the first URL, '' when
-    none) and — when ``blocklist`` is given — a ``blocked_domain`` flag.
+    none), ``all_domains`` (every URL host, in order) and — when
+    ``blocklist`` is given — a ``blocked_domain`` flag that is true if
+    ANY of the document's URL domains is blocklisted, not just the
+    first (a clean first URL must not shield a blocked second one).
 
-    The blocklist is a driver-side literal list (domain blocklists are
+    The blocklist is a driver-side literal array (domain blocklists are
     thousands of entries — constant next to the corpus), so the flag is
-    an ``isin`` that Catalyst compiles to a hash-set probe per row; no
-    join, no shuffle.  For multi-million-entry lists, broadcast-join a
-    domains table instead.
+    an ``arrays_overlap`` against a literal that Catalyst evaluates as
+    a per-row probe; no join, no shuffle.  For multi-million-entry
+    lists, broadcast-join a domains table instead.
     """
     out = (
         df.withColumn("n_urls",
                       F.regexp_count(F.col(text_col), F.lit(URL_PATTERN)))
         .withColumn("first_domain",
                     F.regexp_extract(F.col(text_col), URL_DOMAIN_PATTERN, 1))
+        .withColumn("all_domains",
+                    F.regexp_extract_all(F.col(text_col),
+                                         F.lit(URL_DOMAIN_PATTERN), 1))
     )
     if blocklist is not None:
         out = out.withColumn(
-            "blocked_domain", F.col("first_domain").isin(list(blocklist)))
+            "blocked_domain",
+            F.arrays_overlap(
+                F.col("all_domains"),
+                F.array(*[F.lit(d) for d in blocklist])))
     return out

@@ -269,7 +269,8 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
 
 #: default Gopher-rule thresholds (Rae et al. 2021 §A1.1, adapted)
 GOPHER_RULES: dict[str, tuple[float, float]] = {
-    # metric -> (min, max) inclusive bounds; None handled by caller
+    # metric -> (min, max) inclusive numeric bounds; both must be set
+    # (use +/-inf for one-sided rules, not None)
     "n_tokens": (50, 100000),
     "mean_token_len": (3.0, 10.0),
     "stop_ratio": (0.02, 1.0),

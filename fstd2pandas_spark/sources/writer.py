@@ -81,7 +81,18 @@ def write_record_table(df: DataFrame, path: str, mode: str = "write",
     writer = df.write.format("fstrec").option("container", container)
     # Python DataSource writers support only Append/Overwrite — the
     # default ErrorIfExists mode raises UNSUPPORTED_DATA_SOURCE_SAVE_MODE
-    # even on a fresh path, so non-overwrite writes must be appends
+    # even on a fresh path, so non-overwrite writes must use append mode.
+    # ErrorIfExists semantics are restored driver-side: an existing
+    # non-empty target errors instead of silently accumulating duplicate
+    # records across re-runs.
+    if not overwrite:
+        import os
+
+        if os.path.isdir(path) and any(
+                not e.startswith(("_", ".")) for e in os.listdir(path)):
+            raise WriterError(
+                f"target {path!r} already holds data; pass overwrite=True "
+                "to replace it")
     writer = writer.mode("overwrite" if overwrite else "append")
     writer.save(path)
 

@@ -366,3 +366,8 @@ def test_tiled_grid_multi_tile_and_overrun(spark):
     assert (16.0, 18.0, 20.0) * 2 in los
     assert any(v is not None and all(x is None for x in v) for v in los)
     assert out.filter("nomvar = 'LO'").count() == 3
+    # is_global_grid folds the per-tile rows: exactly ONE flag row per
+    # grid id, so callers joining flags on 'grid' never fan out
+    flags = is_global_grid(df, latlon=out).collect()
+    assert len(flags) == 1
+    assert (flags[0]["global_grid"], flags[0]["repetition"]) == (False, False)

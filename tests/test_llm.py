@@ -79,6 +79,9 @@ def test_lsh_candidates_catch_high_jaccard(docs):
         for r in lsh_candidate_pairs(docs, num_hashes=8, bands=4).collect()
     }
     assert true_pairs <= cand or not true_pairs
+    # ragged banding would silently drop remainder hashes — refuse it
+    with pytest.raises(ValueError, match="multiple of bands"):
+        lsh_candidate_pairs(docs, num_hashes=12, bands=5)
 
 
 def test_cosine_topk_matches_numpy(emb):
@@ -543,6 +546,8 @@ def test_pii_scrub_and_urls(spark):
         (1, "server 192.168.0.17 and 10.0.0.1 responded"),
         (2, "see https://docs.example.com/a/b and http://evil.example.net"),
         (3, "clean text with no sensitive spans"),
+        # clean FIRST url, blocked SECOND url — the flag must still fire
+        (4, "ok https://fine.example.org/x then https://docs.example.com/y"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r for r in url_metrics(
@@ -562,6 +567,11 @@ def test_pii_scrub_and_urls(spark):
     assert out[3]["n_email"] + out[3]["n_ipv4"] + out[3]["n_phone"] == 0
     assert out[3]["redacted"] == out[3]["text"]
     assert out[3]["first_domain"] == "" and out[3]["blocked_domain"] is False
+    assert out[3]["all_domains"] == []
+    # a clean first URL must not shield a blocked later one
+    assert out[4]["first_domain"] == "fine.example.org"
+    assert out[4]["all_domains"] == ["fine.example.org", "docs.example.com"]
+    assert out[4]["blocked_domain"] is True
 
 
 def test_dedup_lines_keeps_first_occurrence(spark):

@@ -555,6 +555,14 @@ def test_source_review_fixes(spark, tmp_path):
     write_record_table(rec, out, mode="dump")
     assert spark.read.format("fstrec").load(out).count() == rec.count()
 
+    # ...but ErrorIfExists semantics hold driver-side: a second
+    # non-overwrite write against the populated target must raise, not
+    # silently append duplicates; overwrite=True replaces it cleanly
+    with _pt.raises(WriterError, match="already holds data"):
+        write_record_table(rec, out, mode="dump")
+    write_record_table(rec, out, mode="dump", overwrite=True)
+    assert spark.read.format("fstrec").load(out).count() == rec.count()
+
     # filters on 'd' are NOT claimed by pushdown: with_data=false rows
     # have d NULL, so 'd is not null' must return 0, not everything
     meta_only = (spark.read.format("fstrec").option("with_data", "false")
