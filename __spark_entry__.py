@@ -2106,24 +2106,57 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash layer, both halves: exact-signature buckets (16-bit,
+    dedup.py simhash_buckets) as kind='bucket' rows, and Hamming-radius
+    near-dup pairs (48-bit signatures, Manku pigeonhole blocks +
+    bit_count(xor) filter, dedup.py simhash_hamming_pairs) as
+    kind='pair' rows.  Unified (kind, v1, v2, v3) schema:
+    bucket=(simhash, n_docs, min_doc), pair=(doc_a, doc_b, hamming)."""
     from fstd2pandas_spark.operators.llm import simhash_buckets
+    from fstd2pandas_spark.operators.llm.dedup import simhash_hamming_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    return simhash_buckets(docs).orderBy("simhash")
+    buckets = simhash_buckets(docs).select(
+        F.lit("bucket").alias("kind"),
+        F.col("simhash").cast("long").alias("v1"),
+        F.col("n_docs").cast("long").alias("v2"),
+        F.col("min_doc").cast("long").alias("v3"))
+    pairs = simhash_hamming_pairs(docs, bits=48, max_hamming=2).select(
+        F.lit("pair").alias("kind"),
+        F.col("doc_a").cast("long").alias("v1"),
+        F.col("doc_b").cast("long").alias("v2"),
+        F.col("hamming").cast("long").alias("v3"))
+    return buckets.unionByName(pairs).orderBy("kind", "v1", "v2")
 
 
-def _simhash_sql(bits: int = 16) -> str:
-    vote = lambda b: (  # noqa: E731
-        "list_sum(list_transform(string_split(lower(text), ' '), "
-        f"t -> ((CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) // {1 << b}) % 2) * 2 - 1))"
-    )
-    total = " + ".join(
-        f"(CASE WHEN {vote(b)} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
-    )
+def _simhash_sql(bits: int = 16, pair_bits: int = 48,
+                 max_hamming: int = 2) -> str:
+    # base hash = 15-hex (60-bit) md5 prefix, mirroring text.py simhash
+    def total(nbits: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_sum(list_transform(hs, "
+            f"h -> ((h // {1 << b}) % 2) * 2 - 1)) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b in range(nbits)
+        )
+
     return f"""
-  WITH sh AS (SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM documents)
-  SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc
-  FROM sh GROUP BY simhash ORDER BY simhash
+  WITH th AS (
+    SELECT doc_id, list_transform(string_split(lower(text), ' '),
+           t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+    FROM documents),
+  sh AS (SELECT doc_id, CAST({total(bits)} AS BIGINT) AS simhash FROM th),
+  shw AS (SELECT doc_id, CAST({total(pair_bits)} AS BIGINT) AS simhash
+          FROM th)
+  SELECT 'bucket' AS kind, simhash AS v1, count(*) AS v2,
+         min(doc_id) AS v3
+  FROM sh GROUP BY simhash
+  UNION ALL
+  SELECT 'pair' AS kind, a.doc_id AS v1, b.doc_id AS v2,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS v3
+  FROM shw a JOIN shw b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+  ORDER BY kind, v1, v2
 """
 
 
@@ -2268,15 +2301,33 @@ def _neardup_bucketed_sql(n_planes: int = 4, dim: int = 64,
 
 
 def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN top-k (kind='ann' rows) + the J-L signed random
+    projection (similarity.py random_projection) gated as kind='proj'
+    rows: each query vector's 8 projected float32 components, rounded
+    to 6 dp (the float32 cast is mirrored in the oracle so both engines
+    round the same 32-bit value; + 0.0 collapses IEEE -0.0)."""
     from fstd2pandas_spark.operators.llm import lsh_ann_topk
+    from fstd2pandas_spark.operators.llm.similarity import random_projection
 
     emb = _load(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(emb, k=5, n_planes=4, dim=64, n_queries=10).orderBy(
-        "query_id", "rank")
+    ann = lsh_ann_topk(emb, k=5, n_planes=4, dim=64, n_queries=10).select(
+        F.lit("ann").alias("kind"), "query_id", "neighbor_id", "cos", "rank")
+    proj = random_projection(
+        emb.filter(F.col("vec_id") < 10), out_dim=8, dim=64,
+    ).select(
+        F.lit("proj").alias("kind"),
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("embedding").alias("neighbor_id", "_c"),
+    ).withColumn(
+        "cos", F.round(F.col("_c").cast("double"), 6) + F.lit(0.0)
+    ).withColumn("rank", F.lit(-1)).drop("_c")
+    return ann.unionByName(proj).orderBy("kind", "query_id", "rank",
+                                         "neighbor_id")
 
 
 def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5,
-                 n_queries: int = 10) -> str:
+                 n_queries: int = 10, out_dim: int = 8) -> str:
+    inv = repr(1.0 / float(out_dim) ** 0.5)
     planes = " + ".join(
         f"""(CASE WHEN list_dot_product(v,
               list_transform(generate_series(0, {dim - 1}),
@@ -2290,8 +2341,20 @@ def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5,
   WITH e AS (SELECT vec_id,
                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
-  bucketed AS (SELECT vec_id, v, {planes} AS bucket FROM e)
-  SELECT query_id, neighbor_id, cos, rank FROM (
+  bucketed AS (SELECT vec_id, v, {planes} AS bucket FROM e),
+  proj AS (
+    SELECT 'proj' AS kind, e.vec_id AS query_id, o.o AS neighbor_id,
+           round(CAST(CAST(list_sum(list_transform(
+             generate_series(1, {dim}),
+             j -> v[j] * (CASE WHEN substr(md5(concat('proj1_',
+                    CAST(o.o AS VARCHAR), '_', CAST(j - 1 AS VARCHAR))), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+                  THEN 1.0 ELSE -1.0 END))) * {inv} AS FLOAT) AS DOUBLE),
+             6) + 0.0 AS cos,
+           -1 AS rank
+    FROM e, (SELECT unnest(generate_series(0, {out_dim - 1})) AS o) o
+    WHERE e.vec_id < {n_queries})
+  SELECT 'ann' AS kind, query_id, neighbor_id, cos, rank FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            round(list_cosine_similarity(q.v, c.v), 6) AS cos,
            row_number() OVER (PARTITION BY q.vec_id
@@ -2300,7 +2363,10 @@ def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5,
     FROM bucketed q JOIN bucketed c
       ON c.bucket = q.bucket AND c.vec_id != q.vec_id
     WHERE q.vec_id < {n_queries}) t
-  WHERE rank <= {k} ORDER BY query_id, rank
+  WHERE rank <= {k}
+  UNION ALL
+  SELECT kind, query_id, neighbor_id, cos, rank FROM proj
+  ORDER BY kind, query_id, rank, neighbor_id
 """
 
 

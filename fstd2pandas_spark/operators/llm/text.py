@@ -252,11 +252,20 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
     # Built as ONE SQL string — a wide expression assembled via the
     # Column DSL costs hundreds of py4j round-trips (~2 s of pure
     # driver-side build time); expr() parses it JVM-side in one call.
+    # The base hash takes 15 hex digits (60 bits, the widest md5 prefix
+    # that fits a signed bigint): an 8-digit (32-bit) base would leave
+    # bits 32+ of wider signatures constant-zero, which silently
+    # degenerates the pigeonhole blocks of
+    # :func:`~fstd2pandas_spark.operators.llm.dedup.simhash_hamming_pairs`
+    # covering those bits into an all-pairs join.
+    if bits > 60:
+        raise ValueError("simhash supports at most 60 bits "
+                         "(md5-prefix base hash)")
     df = ensure_min_partitions(df)
     with_h = df.withColumn(
         "_th",
         F.expr(f"transform(split(lower({text_col}), ' '), "
-               "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"),
+               "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"),
     )
     counts = (f"aggregate(_th, array_repeat(cast(0 as bigint), {bits}), "
               "(acc, h) -> transform(acc, (a, i) -> a + (shiftright(h, i) & 1)))")
