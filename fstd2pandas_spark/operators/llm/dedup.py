@@ -15,7 +15,7 @@ All hashes are md5-derived (see llm/__init__ determinism contract).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fstd2pandas_spark.operators.llm.text import (
@@ -299,7 +299,8 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
 
 def boilerplate_span_stats(df: DataFrame, k: int = 3, min_df: int = 2,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           max_doc_freq: "int | None" = None) -> DataFrame:
     """Corpus-level boilerplate detection: a token ``k``-gram is
     boilerplate when it appears in >= ``min_df`` distinct documents;
     each document gains ``n_spans`` (its distinct k-grams),
@@ -308,26 +309,58 @@ def boilerplate_span_stats(df: DataFrame, k: int = 3, min_df: int = 2,
     threshold on to drop template pages.
 
     Scale shape: one explode of per-doc DISTINCT spans (so the span
-    count per doc bounds the blow-up), then document frequency via a
-    WINDOW over the span key and one groupBy back to the doc — the
-    exploded spans are scanned once (no duplicate tokenize/shingle
-    subtree) and nothing broadcasts: at min_df=2 the boilerplate set
-    grows linearly with the corpus (total-occurrences/min_df), so a
+    count per doc bounds the blow-up), document frequency via
+    ``groupBy(_span).count()`` (map-side partial aggregation — a viral
+    span compresses to one row per map task BEFORE the shuffle), then a
+    per-span equi-join back onto the occurrences and one groupBy to the
+    doc.  The df table is NOT broadcast: at min_df=2 the boilerplate
+    set grows linearly with the corpus (total-occurrences/min_df), so a
     broadcast semi-join — the obvious alternative — is a driver-OOM
-    plan at the scale this module targets.
+    plan at the scale this module targets.  The join replaces the
+    earlier window-over-``_span`` formulation: a window must buffer a
+    hot span's every occurrence in ONE reducer, while the sort-merge
+    join streams the probe side and AQE can split a skewed partition.
+
+    ``max_doc_freq``: optional hot-key guard.  Spans seen in more than
+    ``max_doc_freq`` documents bypass the sort-merge path entirely via
+    a broadcast join — that set is small BY CONSTRUCTION (at most
+    total-occurrences / max_doc_freq spans), so the viral keys never
+    enter a shuffled join at all.  Counts are unchanged: an ultra-hot
+    span is still boilerplate (df >= min_df); only its execution route
+    differs.
     """
     spans_arr = F.array_distinct(shingles_col(tokens_col(F.col(text_col)), k))
     spans = (
         df.select(F.col(id_col), spans_arr.alias("_spans"))
         .select(F.col(id_col), F.explode("_spans").alias("_span"))
     )
-    w = Window.partitionBy("_span")
-    hits = (
-        spans.withColumn("_df", F.count("*").over(w))
-        .filter(F.col("_df") >= min_df)
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_boilerplate_spans"))
-    )
+    span_df = spans.groupBy("_span").agg(F.count("*").alias("_df"))
+    # merge hint on every span-keyed join: the df table is an aggregate
+    # whose pre-AQE size estimate can look broadcastable while the real
+    # set grows with the corpus (same rationale as the LSH join hints)
+    if max_doc_freq is None:
+        hits = (
+            spans.hint("merge")
+            .join(span_df.filter(F.col("_df") >= min_df)
+                  .select("_span"), "_span")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_boilerplate_spans"))
+        )
+    else:
+        if max_doc_freq < min_df:
+            raise ValueError("max_doc_freq must be >= min_df")
+        warm = span_df.filter((F.col("_df") >= min_df)
+                              & (F.col("_df") <= max_doc_freq)).select("_span")
+        hot = span_df.filter(F.col("_df") > max_doc_freq).select("_span")
+        hits = (
+            spans.hint("merge").join(warm, "_span")
+            .groupBy(id_col).agg(F.count("*").alias("_n"))
+            .unionByName(
+                spans.join(F.broadcast(hot), "_span")
+                .groupBy(id_col).agg(F.count("*").alias("_n")))
+            .groupBy(id_col)
+            .agg(F.sum("_n").alias("n_boilerplate_spans"))
+        )
     return (
         df.withColumn("n_spans", F.size(spans_arr).cast("long"))
         .join(hits, id_col, "left")

@@ -147,12 +147,16 @@ def test_salted_join_equivalence(spark):
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
-def test_boilerplate_single_pass_no_broadcast_of_spans(spark):
-    """Document frequency comes from a WINDOW over the exploded spans —
-    ONE pass over the corpus subtree, no join on the span key at all
-    (the boilerplate set grows linearly with the corpus at min_df=2, so
-    a broadcast semi-join there would be a driver-OOM plan at scale).
-    The only join left keys on doc_id."""
+def test_boilerplate_join_shape_and_hot_span_cap(spark):
+    """Document frequency comes from groupBy(_span).count() + a
+    merge-hinted sort-merge join back onto the occurrences — map-side
+    partial aggregation compresses a viral span BEFORE the shuffle, and
+    no window buffers a hot span's every occurrence in one reducer.
+    The span-df table must NOT broadcast (it grows linearly with the
+    corpus at min_df=2). With ``max_doc_freq`` set, ultra-hot spans
+    bypass the sort-merge path via an explicit broadcast of the tiny
+    hot-span set — and the COUNTS are identical either way (the cap
+    changes the execution route, never the semantics)."""
     from fstd2pandas_spark.operators.llm.dedup import boilerplate_span_stats
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -160,10 +164,25 @@ def test_boilerplate_single_pass_no_broadcast_of_spans(spark):
     df.collect()
     plan = _plan(df)
     assert "CartesianProduct" not in plan
-    assert plan.count("Window") >= 1
-    # no equi-join on the span key anywhere in the plan
-    assert "_span#" not in plan[plan.find("Join"):plan.find("Join") + 200] \
-        if "Join" in plan else True
+    assert "Window" not in plan
+    assert "SortMergeJoin" in plan
+
+    # skew fixture: one span viral across all docs (df=20, > cap), one
+    # warm span shared by exactly two docs (df=2, <= cap)
+    rows = [(i, "the common viral span "
+             + ("warmA warmB warmC" if i < 2 else f"u{i} v{i} w{i}"))
+            for i in range(20)]
+    synth = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = {r["doc_id"]: r["n_boilerplate_spans"]
+            for r in boilerplate_span_stats(synth, k=3, min_df=2).collect()}
+    capped_df = boilerplate_span_stats(synth, k=3, min_df=2, max_doc_freq=3)
+    capped = {r["doc_id"]: r["n_boilerplate_spans"]
+              for r in capped_df.collect()}
+    assert base == capped
+    assert any(v > 0 for v in base.values())
+    assert "BroadcastHashJoin" in _plan(capped_df)
+    with pytest.raises(ValueError, match="max_doc_freq"):
+        boilerplate_span_stats(synth, max_doc_freq=1, min_df=2)
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
