@@ -1,17 +1,21 @@
 from fstd2pandas_spark.streaming.record_stream import (
     DEDUP_KEYS,
     cycle_window_stats,
+    read_document_stream,
     read_record_stream,
     run_to_memory,
     running_extrema,
     streaming_drop_duplicates,
+    streaming_exact_dedup,
 )
 
 __all__ = [
     "DEDUP_KEYS",
     "cycle_window_stats",
+    "read_document_stream",
     "read_record_stream",
     "run_to_memory",
     "running_extrema",
     "streaming_drop_duplicates",
+    "streaming_exact_dedup",
 ]

@@ -181,3 +181,39 @@ def read_document_stream(spark: SparkSession, path: str,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(path)
+
+
+def streaming_exact_dedup(stream: DataFrame, text_col: str = "text",
+                          watermark: str = "1 hour",
+                          normalized: bool = False,
+                          event_time_col: str = "event_time") -> DataFrame:
+    """Streaming analog of ``exact_dedup`` — the dedup gate the ingest
+    front needs: the FIRST arrival of each content hash passes, every
+    re-arrival within the watermark horizon (re-crawled pages, replayed
+    shards, at-least-once delivery) is suppressed, and the per-hash
+    state self-expires with the watermark so it never grows beyond one
+    horizon of distinct content.
+
+    ``normalized=True`` keys on :func:`normalized_text_col` (case/
+    punctuation/whitespace-insensitive), matching the batch operator's
+    normalized ledger.  A NULL text hashes to NULL and NULL keys
+    compare equal in ``dropDuplicatesWithinWatermark``, so the stream
+    keeps one NULL-text document per horizon — stated here because the
+    batch operator has the same one-NULL-group contract.
+
+    If the stream has no ``event_time_col``, a processing-time column
+    is added (``current_timestamp()``): content dedup has no intrinsic
+    event time, arrival IS the meaningful clock.  State is partitioned
+    by the hash across executors — at 100 TB/day this scales with
+    executor count exactly like the batch hash-groupBy."""
+    from fstd2pandas_spark.operators.llm.dedup import normalized_text_col
+
+    key = (normalized_text_col(F.col(text_col)) if normalized
+           else F.col(text_col))
+    out = stream.withColumn("content_hash", F.md5(key))
+    if event_time_col not in out.columns:
+        out = out.withColumn(event_time_col, F.current_timestamp())
+    return (
+        out.withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

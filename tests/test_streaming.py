@@ -187,3 +187,36 @@ def test_llm_narrow_maps_compose_with_streaming(spark, tmp_path):
     g = sorted(map(tuple, got.collect()))
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(g) == docs.count()
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup over a drop-zone with DUPLICATE shards:
+    the drained sink holds exactly one row per content hash — the same
+    ledger the batch exact_dedup computes over the accumulated input —
+    no matter how many times a shard is replayed."""
+    from fstd2pandas_spark.operators.llm.dedup import exact_dedup
+    from fstd2pandas_spark.streaming.record_stream import (
+        read_document_stream, run_to_memory, streaming_exact_dedup)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(60))
+    zone = str(tmp_path / "dupzone")
+    docs.coalesce(1).write.mode("append").parquet(zone)
+    # replay: the same shard content lands twice more (at-least-once
+    # delivery / re-crawl), plus a half-shard of repeats
+    docs.coalesce(1).write.mode("append").parquet(zone)
+    docs.limit(25).coalesce(1).write.mode("append").parquet(zone)
+
+    stream = read_document_stream(spark, zone, max_files_per_trigger=1)
+    run_to_memory(streaming_exact_dedup(stream), "doc_stream_dedup")
+    got = spark.sql("SELECT content_hash, text FROM doc_stream_dedup")
+
+    batch = exact_dedup(spark.read.parquet(zone))
+    # one survivor per content hash (the input corpus may itself hold
+    # duplicate texts — batch exact_dedup is the ground truth)
+    assert got.count() == batch.count()
+    g_hashes = {r["content_hash"] for r in got.collect()}
+    b_hashes = {r["content_hash"] for r in batch.collect()}
+    assert g_hashes == b_hashes
+    # the survivor carries real payload: its text re-hashes to its key
+    assert got.filter(F.md5("text") != F.col("content_hash")).count() == 0
