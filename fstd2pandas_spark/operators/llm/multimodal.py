@@ -1,17 +1,20 @@
 """Multimodal-column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-Image decode is REAL for the codec-free formats — PPM (P6 binary / P3
-ascii) and uncompressed 24-bit BMP decode in pure numpy
-(:func:`decode_image`), and :func:`resize_images` runs an actual
-nearest-neighbour resample + PPM re-encode. Audio decode is REAL for
-RIFF/WAVE PCM (8/16-bit, any channel count — :func:`decode_wav`), with
-duration/RMS/peak/ZCR + energy-histogram features. Payloads in formats
-that need external codecs (JPEG/PNG/MP3/video) fall back to a
-deterministic content-hash featurizer; the Spark-side plumbing —
-schemas, Arrow-batched ``mapInPandas`` pipelines, partition sizing,
-batch shapes — is identical either way, so plugging PIL/ffmpeg in later
-changes one function.
+Image decode is REAL for every format whose spec needs no external
+codec: PPM (P6 binary / P3 ascii), uncompressed 24-bit BMP, and PNG —
+8-bit greyscale/RGB/grey+alpha/RGBA, non-interlaced, decoded with
+stdlib ``zlib`` + pure-numpy per-scanline unfiltering (all five PNG
+filter types; :func:`decode_image`) — and :func:`resize_images` runs an
+actual nearest-neighbour resample + PPM re-encode. Audio decode is REAL
+for RIFF/WAVE PCM (8/16-bit, any channel count — :func:`decode_wav`),
+with duration/RMS/peak/ZCR + energy-histogram features. Payloads in
+formats that need external codecs (JPEG/MP3/video, plus PNG's
+palette/16-bit/Adam7 variants) fall back to a deterministic
+content-hash featurizer; the Spark-side plumbing — schemas,
+Arrow-batched ``mapInPandas`` pipelines, partition sizing, batch shapes
+— is identical either way, so plugging PIL/ffmpeg in later changes one
+function.
 
 Pipeline shape at 100 TB: media rows are large (MBs), so
 ``spark.sql.files.maxPartitionBytes`` and Arrow's maxRecordsPerBatch bound
@@ -54,17 +57,23 @@ _FEATURE_SCHEMA = T.StructType([
 ])
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def decode_image(payload: bytes) -> "np.ndarray | None":
     """Pure-numpy decode of the codec-free raster formats to an
-    (h, w, 3) uint8 array: PPM P6 (binary) / P3 (ascii) and uncompressed
-    24-bit BMP. Returns None for anything else — callers fall back to
-    the opaque-payload featurizer."""
+    (h, w, 3) uint8 array: PPM P6 (binary) / P3 (ascii), uncompressed
+    24-bit BMP, and 8-bit non-interlaced PNG (the public spec: zlib
+    inflate + per-scanline unfiltering). Returns None for anything else
+    — callers fall back to the opaque-payload featurizer."""
     if not payload:
         return None
     if payload[:2] in (b"P6", b"P3"):
         return _decode_ppm(payload)
     if payload[:2] == b"BM" and len(payload) > 34:
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     return None
 
 
@@ -119,6 +128,83 @@ def _decode_bmp(payload: bytes) -> "np.ndarray | None":
     rows = np.frombuffer(payload, np.uint8, stride * h, off)
     img = rows.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)[..., ::-1]
     return img if top_down else img[::-1]
+
+
+def _decode_png(payload: bytes) -> "np.ndarray | None":
+    """8-bit non-interlaced PNG (RFC 2083): chunk walk -> IHDR + joined
+    IDAT -> zlib inflate -> per-scanline unfiltering (all five filter
+    types) -> (h, w, 3) uint8. Greyscale replicates to RGB; alpha is
+    dropped. Palette, 16-bit and Adam7-interlaced images return None
+    (the content-hash fallback) rather than a wrong decode."""
+    import zlib
+
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos:pos + 4], "big")
+        cid = payload[pos + 4:pos + 8]
+        if cid == b"IHDR":
+            ihdr = payload[pos + 8:pos + 8 + size]
+        elif cid == b"IDAT":
+            idat.append(payload[pos + 8:pos + 8 + size])
+        elif cid == b"IEND":
+            break
+        pos += 12 + size                      # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if (depth != 8 or channels is None or comp != 0 or filt != 0
+            or interlace != 0 or w <= 0 or h <= 0):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        row = np.frombuffer(raw, np.uint8, stride, base + 1)
+        if ftype == 0:                       # None
+            recon = row.copy()
+        elif ftype == 1:                     # Sub: per-lane running sum
+            lanes = row.reshape(w, channels).astype(np.uint64)
+            recon = (np.cumsum(lanes, axis=0) & 0xFF) \
+                .astype(np.uint8).reshape(stride)
+        elif ftype == 2:                     # Up (uint8 wraps mod 256)
+            recon = row + prev
+        elif ftype in (3, 4):                # Average / Paeth: sequential
+            recon = row.copy()
+            for i in range(stride):
+                a = int(recon[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[i - channels]) if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else \
+                        (b if pb <= pc else c)
+                recon[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            return None
+        img[y] = recon
+        prev = recon
+    px = img.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:                        # grey + alpha: drop alpha
+        return np.repeat(px[..., :1], 3, axis=2)
+    if channels == 4:                        # RGBA: drop alpha
+        return np.ascontiguousarray(px[..., :3])
+    return px
 
 
 def _encode_ppm(img: np.ndarray) -> bytes:
@@ -203,9 +289,10 @@ def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
 
 
 def _opaque_features(payload: bytes) -> np.ndarray:
-    """Featurizer for payloads whose codec is unavailable (JPEG/PNG/
-    audio/video): md5-seeded byte histogram folded to FEATURE_DIM floats
-    — deterministic, so pipelines stay testable without the codec."""
+    """Featurizer for payloads whose codec is unavailable (JPEG/MP3/
+    video, plus PNG's palette/16-bit/interlaced variants): md5-seeded
+    byte histogram folded to FEATURE_DIM floats — deterministic, so
+    pipelines stay testable without the codec."""
     if payload is None:
         payload = b""
     digest = hashlib.md5(payload).digest()

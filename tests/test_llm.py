@@ -302,6 +302,84 @@ def test_image_decode_and_features(spark):
     assert out[2].n_bytes == 12  # opaque fallback still deterministic
 
 
+def _png_bytes(img, ctype=2, filters=None, depth=8, interlace=0):
+    """Minimal spec-conformant PNG encoder for test fixtures: filter
+    type chosen per scanline so every unfilter path gets exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.reshape(h, w * ch)
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF))
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        f = filters[y] if filters else 0
+        row = flat[y].astype(np.int16)
+        enc = row.copy()
+        for i in range(w * ch):
+            a = int(row[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            else:
+                pred = 0
+            enc[i] = (int(row[i]) - pred) & 0xFF
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filters(spark):
+    """Real PNG decode: every scanline filter type unfilters to the
+    exact pixels the PPM path yields; RGBA drops alpha, greyscale
+    replicates; 16-bit / interlaced variants fall back to None."""
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.multimodal import (
+        _encode_ppm, decode_image)
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    # one scanline per filter type (0..4)
+    png = _png_bytes(img, ctype=2, filters=[0, 1, 2, 3, 4])
+    got = decode_image(png)
+    assert got is not None and np.array_equal(got, img)
+    # byte-exact parity with the PPM decode of the same pixels
+    assert np.array_equal(got, decode_image(_encode_ppm(img)))
+
+    rgba = np.dstack([img, rng.randint(0, 256, size=(5, 4), dtype=np.uint8)])
+    assert np.array_equal(
+        decode_image(_png_bytes(rgba, ctype=6, filters=[4, 3, 2, 1, 0])), img)
+
+    grey = img[..., 0].copy()
+    g = decode_image(_png_bytes(grey, ctype=0, filters=[0, 2, 1, 4, 3]))
+    assert np.array_equal(g, np.repeat(grey[..., None], 3, axis=2))
+
+    assert decode_image(_png_bytes(img, ctype=2, depth=16)) is None
+    assert decode_image(_png_bytes(img, ctype=2, interlace=1)) is None
+    assert decode_image(b"\x89PNG\r\n\x1a\n" + b"junk") is None
+
+
 def test_resize_images_real(spark):
     """Nearest-neighbour resize halves dims and re-encodes as PPM."""
     import numpy as np
