@@ -24,8 +24,21 @@ lat/lon generation scales as a narrow map over grids:
 Array layout: row-major with ``i`` (the ni/longitude axis) fastest —
 ``flat[k]`` maps to ``i = k % ni``, ``j = k div ni`` (SURVEY §7.3b).
 
-ig packing (engine convention, invertible; bit-parity with librmn
-cigaxg is future work and irrelevant to the synthetic container format):
+ig packing — ENGINE CONVENTION boundary (cf. the librmn-compression
+boundary, README): the float->ig packings below are this engine's own
+invertible fixed-point encodings, NOT bit-parity with librmn
+``cigaxg``/``cxgaig``. Parity cannot be VERIFIED in this build
+environment (no librmn, no rpnpy, no network copy of the Fortran
+source), and an unverifiable from-memory reimplementation would be a
+silent wrong-coordinates bug on real files — strictly worse than an
+explicit boundary. The packing is therefore isolated behind ONE
+encode/decode helper pair per grtyp (``l_grid_igs``/``l_lat0``-family,
+``ps_grid_igs``, ``e_grid_igs``): closing the gap against the public
+librmn source is a swap of those functions only, with the existing
+round-trip property tests (tests/test_grid.py) re-targeted at the
+published tables. Grids carrying explicit axis records (Z/#/Y/U — the
+dominant real-world layouts) bypass ig packing entirely and are
+unaffected. Current encodings:
 
 - ``L``:   ig1 = round((lat0+90)*100), ig2 = round((lon0+180)*100),
            ig3 = round(dlat*100), ig4 = round(dlon*100)

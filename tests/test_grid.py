@@ -36,6 +36,55 @@ def _latlon(spark, rows):
     return {(r.grid, r.nomvar): np.array(r.d) for r in out}
 
 
+def test_ig_packing_round_trip_property():
+    """Engine-convention ig packing is exactly invertible at its stated
+    fixed-point resolution (0.01 deg / 100 m) — the property a cigaxg
+    bit-parity swap must preserve (grid.py module docstring boundary)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fstd2pandas_spark.operators.grid import (
+        e_grid_igs, l_grid_igs, ps_grid_igs)
+
+    cent = st.integers(-9000, 9000).map(lambda c: c / 100.0)
+    loncent = st.integers(0, 35999).map(lambda c: c / 100.0)
+    step = st.integers(1, 1000).map(lambda c: c / 100.0)
+
+    @settings(max_examples=50, deadline=None)
+    @given(lat0=cent, lon0=st.integers(-18000, 17999).map(lambda c: c / 100.0),
+           dlat=step, dlon=step)
+    def l_round(lat0, lon0, dlat, dlon):
+        ig1, ig2, ig3, ig4 = l_grid_igs(lat0, lon0, dlat, dlon)
+        assert ig1 / 100.0 - 90.0 == pytest.approx(lat0, abs=1e-9)
+        assert ig2 / 100.0 - 180.0 == pytest.approx(lon0, abs=1e-9)
+        assert ig3 / 100.0 == pytest.approx(dlat, abs=1e-9)
+        assert ig4 / 100.0 == pytest.approx(dlon, abs=1e-9)
+
+    @settings(max_examples=50, deadline=None)
+    @given(pi=step, pj=step,
+           d60=st.integers(1, 10000).map(lambda c: c * 100.0),
+           dgrw=loncent)
+    def ps_round(pi, pj, d60, dgrw):
+        ig1, ig2, ig3, ig4 = ps_grid_igs(pi, pj, d60, dgrw)
+        assert ig1 / 100.0 == pytest.approx(pi, abs=1e-9)
+        assert ig2 / 100.0 == pytest.approx(pj, abs=1e-9)
+        assert ig3 * 100.0 == pytest.approx(d60, abs=1e-9)
+        assert ig4 / 100.0 == pytest.approx(dgrw, abs=1e-9)
+
+    @settings(max_examples=50, deadline=None)
+    @given(xlat1=cent, xlon1=loncent, xlat2=cent, xlon2=loncent)
+    def e_round(xlat1, xlon1, xlat2, xlon2):
+        ig1, ig2, ig3, ig4 = e_grid_igs(xlat1, xlon1, xlat2, xlon2)
+        assert ig1 / 100.0 - 90.0 == pytest.approx(xlat1, abs=1e-9)
+        assert ig2 / 100.0 == pytest.approx(xlon1, abs=1e-9)
+        assert ig3 / 100.0 - 90.0 == pytest.approx(xlat2, abs=1e-9)
+        assert ig4 / 100.0 == pytest.approx(xlon2, abs=1e-9)
+
+    l_round()
+    ps_round()
+    e_round()
+
+
 def test_l_grid_latlon(spark):
     igs = l_grid_igs(lat0=40.0, lon0=-80.0, dlat=2.0, dlon=3.0)
     got = _latlon(spark, [_rec(grtyp="L", ni=4, nj=3, ig=igs)])
