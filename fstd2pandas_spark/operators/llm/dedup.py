@@ -93,8 +93,20 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     rows-per-band r = num_hashes / bands (must divide evenly — a ragged
     banding would silently drop the remainder hashes and weaken the
     similarity threshold the (bands, r) pair encodes); band hash = md5
-    of the joined signature slice. The pair join runs per-bucket
-    (equi-join), never all-pairs.
+    of the joined signature slice.
+
+    Pair generation is a single-scan bucket aggregation, not a
+    self-join: group by (band, bucket) collecting the sorted member-id
+    array, then stream the i<j pairs out of each array with two chained
+    Generates (posexplode of ids, then explode of the strictly-later
+    slice). One exchange computes the signatures ONCE — the old
+    self-join needed a shared repartition + ReusedExchange plus two
+    sort-merge sorts to get the same guarantee. The nested Generate is
+    pipelined inside whole-stage codegen, so resident memory is O(max
+    bucket size) — a degenerate hot bucket streams its B^2/2 pairs
+    instead of materializing them in one row (and either way the
+    downstream n_bands aggregation sees the same B^2/2 rows; a bucket
+    that big means `bands`/`r` are mistuned, not that the plan broke).
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -121,21 +133,19 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    # repartition on the join key so both self-join sides share ONE
-    # exchange subtree (ReusedExchange): the signature pipeline computes
-    # once. The MERGE hint keeps the planner from broadcasting one side
-    # when stats look small — that would recompute the whole minhash
-    # subtree for the build side, and at corpus scale the build side IS
-    # the corpus (a driver-OOM plan).
-    banded = banded.repartition("band", "bucket")
-    left = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_a"))
-    right = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("doc_b"))
-    return (
-        left.hint("merge").join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_bands"))
-    )
+    # one shuffle on (band, bucket); sort_array makes the positional
+    # i<j pair enumeration below emit exactly the doc_a < doc_b pairs
+    # the banding defines, independent of arrival order
+    grouped = (banded.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    outer = grouped.select("ids", F.posexplode("ids").alias("_i", "doc_a"))
+    pairs = outer.select(
+        "doc_a",
+        F.explode(
+            F.expr("slice(ids, _i + 2, size(ids) - _i - 1)")).alias("doc_b"),
+    ).filter(F.col("doc_a") < F.col("doc_b"))  # strict: drop dup-id self-pairs
+    return pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_bands"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -384,14 +394,16 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     at least one block — so candidates come from per-block equi-joins,
     then an exact ``bit_count(xor)`` filter keeps true pairs.
 
-    Scale shape mirrors the MinHash-LSH join: one repartition on
-    (block, value) shared by both self-join sides (ReusedExchange), a
-    MERGE hint so the corpus-scale side never broadcasts, and the
-    number of join rows is bounded by block-collision counts.  That
-    bound is only real when blocks are WIDE: the default is 48-bit
+    Scale shape mirrors :func:`lsh_candidate_pairs`: ONE shuffle
+    grouping by (block, value) into a sorted (id, simhash) member
+    array, then two chained Generates stream the i<j candidate pairs
+    out of each array (pipelined in whole-stage codegen — resident
+    memory is O(max block-collision group), never O(group^2)), and the
+    number of candidate rows is bounded by block-collision counts.
+    That bound is only real when blocks are WIDE: the default is 48-bit
     signatures (16-bit blocks at radius 2 — Manku et al. run 64-bit),
     because narrow blocks (e.g. 16-bit sigs -> 5-bit blocks, 32 values)
-    collapse the join keyspace and degenerate toward all-pairs on a
+    collapse the block keyspace and degenerate toward all-pairs on a
     large corpus.  Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
     n_blocks = max_hamming + 1
@@ -415,17 +427,24 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*block_structs)).alias("b"),
     ).select(id_col, "simhash", "b.block", "b.value")
-    banded = banded.repartition("block", "value")
-    left = banded.select("block", "value", F.col(id_col).alias("doc_a"),
-                         F.col("simhash").alias("_sa"))
-    right = banded.select("block", "value", F.col(id_col).alias("doc_b"),
-                          F.col("simhash").alias("_sb"))
+    # sort_array over (id, simhash) structs orders by id first, so the
+    # positional i<j enumeration emits doc_a < doc_b directly
+    grouped = (banded.groupBy("block", "value")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.col(id_col).alias("i"),
+                            F.col("simhash").alias("s")))).alias("ms"))
+               .filter(F.size("ms") > 1))
+    outer = grouped.select("ms", F.posexplode("ms").alias("_i", "a"))
+    pairs = outer.select(
+        "a",
+        F.explode(
+            F.expr("slice(ms, _i + 2, size(ms) - _i - 1)")).alias("b"))
     return (
-        left.hint("merge").join(right, ["block", "value"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b",
-                F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-                .alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+        pairs.select(
+            F.col("a.i").alias("doc_a"), F.col("b.i").alias("doc_b"),
+            F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s")))
+            .alias("hamming"))
+        .filter((F.col("doc_a") < F.col("doc_b"))
+                & (F.col("hamming") <= max_hamming))
         .distinct()
     )

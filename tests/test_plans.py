@@ -43,23 +43,40 @@ def test_revenue_join_strategy(spark):
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
-def test_minhash_lsh_reuses_bucket_exchange(spark):
-    """The LSH bucket self-join must share ONE repartition exchange
-    (ReusedExchange), not rebuild the md5/shingle subtree per side — and
-    must never broadcast a side (the build side IS the corpus at scale).
-    AQE finalizes exchange reuse at runtime, so execute first and assert
-    on the final adaptive plan."""
+def test_minhash_lsh_single_scan_no_join(spark):
+    """LSH pair generation is a single-scan bucket aggregation: group by
+    (band, bucket), then stream i<j pairs out of the sorted member
+    array with two chained Generates. The plan must contain NO join of
+    any kind (the old design self-joined the banded rows) — the
+    signature subtree is computed once because there is only one scan."""
     import __spark_entry__ as e
 
-    for q in ("doc_minhash_lsh", "doc_ngram_jaccard"):
-        df = e.queries()[q](spark, SF_DIR)
-        df.collect()
-        plan = _plan(df)
-        assert "isFinalPlan=true" in plan, q
-        assert "ReusedExchange" in plan, q
-        assert "SortMergeJoin" in plan, q
-        assert "BroadcastHashJoin" not in plan, q
-        assert "CartesianProduct" not in plan, q
+    df = e.queries()["doc_minhash_lsh"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate") >= 2  # band explode + pair enumeration
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_ngram_jaccard_reuses_shingle_exchange(spark):
+    """The n-gram inverted-index self-join must share ONE repartition
+    exchange (ReusedExchange), not rebuild the shingle subtree per side
+    — and must never broadcast a side (the build side IS the corpus at
+    scale). AQE finalizes exchange reuse at runtime, so execute first
+    and assert on the final adaptive plan."""
+    import __spark_entry__ as e
+
+    df = e.queries()["doc_ngram_jaccard"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
