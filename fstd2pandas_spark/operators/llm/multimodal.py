@@ -1,20 +1,22 @@
 """Multimodal-column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-Image decode is REAL for every format whose spec needs no external
-codec: PPM (P6 binary / P3 ascii), uncompressed 24-bit BMP, and PNG —
-8-bit greyscale/RGB/grey+alpha/RGBA, non-interlaced, decoded with
-stdlib ``zlib`` + pure-numpy per-scanline unfiltering (all five PNG
-filter types; :func:`decode_image`) — and :func:`resize_images` runs an
-actual nearest-neighbour resample + PPM re-encode. Audio decode is REAL
-for RIFF/WAVE PCM (8/16-bit, any channel count — :func:`decode_wav`),
-with duration/RMS/peak/ZCR + energy-histogram features. Payloads in
-formats that need external codecs (JPEG/MP3/video, plus PNG's
-palette/16-bit/Adam7 variants) fall back to a deterministic
-content-hash featurizer; the Spark-side plumbing — schemas,
-Arrow-batched ``mapInPandas`` pipelines, partition sizing, batch shapes
-— is identical either way, so plugging PIL/ffmpeg in later changes one
-function.
+Image decode is REAL for every format whose public spec this repo
+implements without external codecs: PPM (P6 binary / P3 ascii),
+uncompressed 24-bit BMP, PNG — 8-bit greyscale/RGB/grey+alpha/RGBA,
+non-interlaced, stdlib ``zlib`` + pure-numpy per-scanline unfiltering
+(all five PNG filter types) — and baseline JPEG (sequential-DCT
+Huffman, any sampling, restart markers; ``jpeg.py``), all behind
+:func:`decode_image`; :func:`resize_images` runs an actual
+nearest-neighbour resample + PPM re-encode. Audio decode is REAL for
+RIFF/WAVE PCM (8/16-bit, any channel count — :func:`decode_wav`), with
+duration/RMS/peak/ZCR + energy-histogram features. Payloads in the
+remaining variants (progressive/arithmetic JPEG, PNG's
+palette/16-bit/Adam7, MP3, non-MJPEG video) fall back to a
+deterministic content-hash featurizer; the Spark-side plumbing —
+schemas, Arrow-batched ``mapInPandas`` pipelines, partition sizing,
+batch shapes — is identical either way, so plugging PIL/ffmpeg in
+later changes one function.
 
 Pipeline shape at 100 TB: media rows are large (MBs), so
 ``spark.sql.files.maxPartitionBytes`` and Arrow's maxRecordsPerBatch bound
@@ -61,11 +63,12 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_image(payload: bytes) -> "np.ndarray | None":
-    """Pure-numpy decode of the codec-free raster formats to an
+    """Pure-numpy decode of the self-implemented raster formats to an
     (h, w, 3) uint8 array: PPM P6 (binary) / P3 (ascii), uncompressed
-    24-bit BMP, and 8-bit non-interlaced PNG (the public spec: zlib
-    inflate + per-scanline unfiltering). Returns None for anything else
-    — callers fall back to the opaque-payload featurizer."""
+    24-bit BMP, 8-bit non-interlaced PNG (zlib inflate + per-scanline
+    unfiltering), and baseline JPEG (``jpeg.py``). Returns None for
+    anything else — callers fall back to the opaque-payload
+    featurizer."""
     if not payload:
         return None
     if payload[:2] in (b"P6", b"P3"):
@@ -74,6 +77,9 @@ def decode_image(payload: bytes) -> "np.ndarray | None":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from fstd2pandas_spark.operators.llm.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     return None
 
 
@@ -289,8 +295,9 @@ def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
 
 
 def _opaque_features(payload: bytes) -> np.ndarray:
-    """Featurizer for payloads whose codec is unavailable (JPEG/MP3/
-    video, plus PNG's palette/16-bit/interlaced variants): md5-seeded
+    """Featurizer for payloads whose codec is unavailable (progressive/
+    arithmetic JPEG, MP3, non-MJPEG video, plus PNG's palette/16-bit/
+    interlaced variants): md5-seeded
     byte histogram folded to FEATURE_DIM floats — deterministic, so
     pipelines stay testable without the codec."""
     if payload is None:

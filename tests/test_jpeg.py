@@ -1,0 +1,120 @@
+"""Baseline JPEG decoder tests: the library decoder against a minimal
+spec-conformant encoder (tests/_jpeg_ref.py) that builds its own
+canonical Huffman tables — so DHT parsing is exercised on fresh tables,
+not just known constants. No Spark needed: the decoder is the numpy
+kernel that mapInPandas batches over."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fstd2pandas_spark.operators.llm.jpeg import decode_jpeg
+from fstd2pandas_spark.operators.llm.multimodal import decode_image
+
+from _jpeg_ref import encode_jpeg
+
+
+def _smooth(h, w, seed=7):
+    """Low-frequency test image: JPEG with all-ones quant tables
+    reconstructs it to within DCT rounding."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    r = 96 + 64 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+    g = 128 + 32 * np.cos((xx + yy) / 29.0)
+    b = 64 + 48 * np.sin(yy / 13.0)
+    rng = np.random.default_rng(seed)
+    base = np.dstack([r, g, b]) + rng.normal(0, 2.0, (h, w, 3))
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+def test_444_near_lossless_roundtrip():
+    img = _smooth(40, 56)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out is not None and out.shape == img.shape
+    # all-ones quant: error budget is DCT+colour-transform rounding only
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 3
+    assert err.mean() < 1.0
+
+
+def test_nonmultiple_of_8_dims():
+    img = _smooth(29, 35)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == (29, 35, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_420_subsampled_grey_content_exact_chroma():
+    """Greyscale content in a 4:2:0 colour JPEG: constant chroma makes
+    the 2x2 box subsampling lossless, isolating the decoder's MCU walk
+    and upsampling from subsampling loss."""
+    g = _smooth(48, 64)[:, :, 0]
+    img = np.dstack([g, g, g])
+    out = decode_jpeg(encode_jpeg(img, subsample=True))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 3
+    # channels must stay (near-)equal: chroma planes were constant 128
+    assert np.abs(out[..., 0].astype(int) - out[..., 1].astype(int)).max() <= 2
+    assert np.abs(out[..., 1].astype(int) - out[..., 2].astype(int)).max() <= 2
+
+
+def test_420_odd_dims():
+    g = _smooth(37, 43)[:, :, 1]
+    img = np.dstack([g, g, g])
+    out = decode_jpeg(encode_jpeg(img, subsample=True))
+    assert out.shape == (37, 43, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_restart_markers_match_unrestarted():
+    img = _smooth(32, 48, seed=11)
+    plain = decode_jpeg(encode_jpeg(img))
+    restarted = decode_jpeg(encode_jpeg(img, restart_interval=3))
+    np.testing.assert_array_equal(plain, restarted)
+
+
+def test_quantized_lossy_and_16bit_dqt():
+    """Real quantization (including a >255 value forcing 16-bit DQT
+    precision): reconstruction is lossy but structurally faithful."""
+    img = _smooth(40, 40, seed=3)
+    q = np.full((8, 8), 16.0)
+    q[7, 7] = 300.0  # forces Pq=1 two-byte DQT entries
+    out = decode_jpeg(encode_jpeg(img, quant_y=q, quant_c=q))
+    assert out is not None and out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 12  # lossy, but nowhere near garbage
+    # smooth image + low-frequency-preserving table: means survive
+    assert abs(float(out.mean()) - float(img.mean())) < 4
+
+
+def test_greyscale_single_component():
+    g = _smooth(24, 24)[:, :, 2]
+    img = np.dstack([g, g, g])
+    out = decode_jpeg(encode_jpeg(img, greyscale=True))
+    assert out.shape == (24, 24, 3)
+    np.testing.assert_array_equal(out[..., 0], out[..., 1])
+    # greyscale JPEG carries Y only: compare against the encoder's Y
+    y = 0.299 * g + 0.587 * g + 0.114 * g
+    assert np.abs(out[..., 0].astype(float) - y).max() <= 3
+
+
+def test_unsupported_variants_return_none():
+    img = _smooth(16, 16)
+    payload = bytearray(encode_jpeg(img))
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    assert decode_jpeg(bytes(payload)) is None
+    # truncation mid-entropy
+    assert decode_jpeg(bytes(encode_jpeg(img))[:40]) in (None,)
+    # not a JPEG at all
+    assert decode_jpeg(b"\x00\x01\x02\x03") is None
+    assert decode_jpeg(None) is None
+
+
+def test_decode_image_dispatches_jpeg():
+    img = _smooth(16, 24)
+    out = decode_image(encode_jpeg(img))
+    assert out is not None and out.shape == (16, 24, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
