@@ -367,21 +367,93 @@ def resize_images(df: DataFrame, width: int, height: int,
     return df.mapInPandas(_run, schema=df.schema)
 
 
-def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """STUB: frame sampling — one output row per sampled frame. The
-    explode-shaped metadata computation (frame timestamps from
-    duration_ms) is real; frame decode is the stubbed part."""
-    frames = df.withColumn(
-        "frame_ts",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
-                F.lit(every_ms),
-            )
-        ),
-    )
-    return frames.withColumn(
-        "frame_payload",
-        F.lit(None).cast("binary"),  # a real build decodes here
-    )
+def parse_avi(payload: bytes) -> "tuple[float, list[bytes]] | None":
+    """Parse a RIFF AVI container (the public Microsoft RIFF/AVI spec):
+    returns (ms_per_frame, video frame payloads) — '##dc'/'##db'
+    chunks from the 'movi' list, frame timing from the 'avih' header's
+    dwMicroSecPerFrame. Returns None when the payload is not an AVI or
+    carries no video frames. MJPEG AVIs ('00dc' chunks holding baseline
+    JPEGs) decode end-to-end via :func:`decode_image`."""
+    import struct
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        return None
+    us_per_frame = 0
+    frames: list[bytes] = []
+
+    def walk(data: bytes) -> None:
+        nonlocal us_per_frame
+        i = 0
+        while i + 8 <= len(data):
+            cc = data[i:i + 4]
+            size = struct.unpack("<I", data[i + 4:i + 8])[0]
+            body = data[i + 8:i + 8 + size]
+            if cc == b"LIST":
+                walk(body[4:])  # skip the list-type fourcc
+            elif cc == b"avih" and size >= 4:
+                us_per_frame = struct.unpack("<I", body[:4])[0]
+            elif len(cc) == 4 and cc[2:4] in (b"dc", b"db"):
+                frames.append(bytes(body))
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+
+    try:
+        walk(payload[12:])
+    except struct.error:
+        return None
+    if not frames:
+        return None
+    return (us_per_frame / 1000.0 if us_per_frame else 1000.0 / 30.0,
+            frames)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000,
+                        batch_rows: int = 16) -> DataFrame:
+    """Frame sampling — one output row per sampled frame, timestamps
+    every `every_ms` ms. REAL for RIFF AVI payloads: the container is
+    parsed (:func:`parse_avi`), duration comes from the stream's own
+    frame count x frame time, and ``frame_payload`` holds the sampled
+    frame's bytes (a baseline JPEG for MJPEG — decodable end-to-end
+    with :func:`decode_image`). Non-AVI payloads keep the honest
+    metadata-only path: timestamps from the ``duration_ms`` column,
+    NULL ``frame_payload`` (decoding those needs an external codec).
+
+    The output drops the input ``payload`` column — re-emitting the
+    whole video once per sampled frame would multiply the corpus by
+    the frame count; downstream per-frame ops only need the frame.
+    Arrow-batched ``mapInPandas`` with a bounded working set, like the
+    other media kernels."""
+    out_fields = [f for f in df.schema.fields if f.name != "payload"]
+    schema = T.StructType(out_fields + [
+        T.StructField("frame_ts", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ])
+    meta_cols = [f.name for f in out_fields]
+
+    def _sample(duration_ms: int) -> range:
+        return range(0, max(int(duration_ms) - 1, 0) + 1, every_ms)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                rows = []
+                for _, row in chunk.iterrows():
+                    parsed = parse_avi(row["payload"])
+                    meta = {c: row[c] for c in meta_cols}
+                    if parsed is None:
+                        dur = row["duration_ms"]
+                        for ts in _sample(0 if pd.isna(dur) else dur):
+                            rows.append({**meta, "frame_ts": ts,
+                                         "frame_payload": None})
+                        continue
+                    ms_per_frame, frames = parsed
+                    dur = ms_per_frame * len(frames)
+                    for ts in _sample(dur):
+                        idx = min(int(ts / ms_per_frame), len(frames) - 1)
+                        rows.append({**meta, "frame_ts": ts,
+                                     "frame_payload": frames[idx]})
+                if rows:
+                    yield pd.DataFrame(rows, columns=schema.names)
+
+    return df.mapInPandas(_run, schema=schema)

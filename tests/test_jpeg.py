@@ -118,3 +118,81 @@ def test_decode_image_dispatches_jpeg():
     out = decode_image(encode_jpeg(img))
     assert out is not None and out.shape == (16, 24, 3)
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+# ---------------------------------------------------------------- AVI / MJPEG
+
+def _avi_bytes(frames, us_per_frame=500000):
+    """Minimal RIFF AVI: hdrl LIST with an avih header (frame timing),
+    movi LIST with one '00dc' chunk per frame."""
+    import struct
+
+    def chunk(cc, body):
+        return cc + struct.pack("<I", len(body)) + body + \
+            (b"\x00" if len(body) & 1 else b"")
+
+    def lst(list_type, body):
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack("<I", us_per_frame) + b"\x00" * 52
+    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_avi_roundtrip():
+    from fstd2pandas_spark.operators.llm.multimodal import parse_avi
+
+    srcs = [_smooth(16, 16, seed=s) for s in range(3)]
+    frames = [encode_jpeg(s) for s in srcs]
+    parsed = parse_avi(_avi_bytes(frames, us_per_frame=500000))
+    assert parsed is not None
+    ms_per_frame, got = parsed
+    assert ms_per_frame == 500.0
+    assert got == frames
+    assert parse_avi(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert parse_avi(b"garbage") is None
+    # AVI with no video chunks
+    assert parse_avi(_avi_bytes([])) is None
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from fstd2pandas_spark import get_spark
+    s = get_spark("test-jpeg", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+def test_sample_video_frames_mjpeg_end_to_end(spark):
+    """MJPEG AVI in a video column -> one row per sampled timestamp
+    with the real JPEG frame bytes, decodable by decode_image; a
+    non-AVI payload falls back to duration_ms metadata with NULL
+    frames."""
+    from fstd2pandas_spark.operators.llm.multimodal import (
+        decode_image, sample_video_frames)
+
+    srcs = [_smooth(16, 16, seed=s) for s in range(3)]
+    avi = _avi_bytes([encode_jpeg(s) for s in srcs], us_per_frame=500000)
+    df = spark.createDataFrame(
+        [(1, "video", "video/x-msvideo", None, None, None, bytearray(avi)),
+         (2, "video", None, None, None, 1500, bytearray(b"not a video"))],
+        "asset_id long, kind string, mime string, width int, height int, "
+        "duration_ms int, payload binary")
+    out = sample_video_frames(df, every_ms=500)
+    assert "payload" not in out.columns  # frames only, not the video again
+    rows = out.collect()
+
+    mine = sorted([r for r in rows if r.asset_id == 1],
+                  key=lambda r: r.frame_ts)
+    # 3 frames x 500 ms = 1500 ms duration -> ts 0/500/1000
+    assert [r.frame_ts for r in mine] == [0, 500, 1000]
+    for r, src in zip(mine, srcs):
+        img = decode_image(bytes(r.frame_payload))
+        assert img is not None
+        assert np.abs(img.astype(int) - src.astype(int)).max() <= 3
+
+    other = sorted([r for r in rows if r.asset_id == 2],
+                   key=lambda r: r.frame_ts)
+    assert [r.frame_ts for r in other] == [0, 500, 1000]
+    assert all(r.frame_payload is None for r in other)
