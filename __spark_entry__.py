@@ -2106,22 +2106,24 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash layer, both halves: exact-signature buckets (16-bit,
-    dedup.py simhash_buckets) as kind='bucket' rows, and Hamming-radius
-    near-dup pairs (48-bit signatures, Manku pigeonhole blocks +
-    bit_count(xor) filter, dedup.py simhash_hamming_pairs) as
-    kind='pair' rows.  Unified (kind, v1, v2, v3) schema:
+    """SimHash layer, both halves from ONE signature pass (dedup.py
+    simhash_report): exact-signature buckets (16 bits = pigeonhole
+    block 0 of the 48-bit signature, value-identical to
+    simhash_buckets) as kind='bucket' rows, and Hamming-radius near-dup
+    pairs (Manku pigeonhole blocks + bit_count(xor) filter) as
+    kind='pair' rows; the union's two branches share the one
+    groupBy(block, value) exchange. Unified (kind, v1, v2, v3) schema:
     bucket=(simhash, n_docs, min_doc), pair=(doc_a, doc_b, hamming)."""
-    from fstd2pandas_spark.operators.llm import simhash_buckets
-    from fstd2pandas_spark.operators.llm.dedup import simhash_hamming_pairs
+    from fstd2pandas_spark.operators.llm.dedup import simhash_report
 
     docs = _load(spark, sf_dir, "documents")
-    buckets = simhash_buckets(docs).select(
+    buckets, pairs_df = simhash_report(docs, bits=48, max_hamming=2)
+    buckets = buckets.select(
         F.lit("bucket").alias("kind"),
         F.col("simhash").cast("long").alias("v1"),
         F.col("n_docs").cast("long").alias("v2"),
         F.col("min_doc").cast("long").alias("v3"))
-    pairs = simhash_hamming_pairs(docs, bits=48, max_hamming=2).select(
+    pairs = pairs_df.select(
         F.lit("pair").alias("kind"),
         F.col("doc_a").cast("long").alias("v1"),
         F.col("doc_b").cast("long").alias("v2"),

@@ -406,6 +406,16 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     collapse the block keyspace and degenerate toward all-pairs on a
     large corpus.  Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
+    grouped, _ = _simhash_blocks_grouped(
+        df, text_col, id_col, bits, max_hamming)
+    return _pairs_from_grouped(grouped, max_hamming)
+
+
+def _simhash_blocks_grouped(df: DataFrame, text_col: str, id_col: str,
+                            bits: int, max_hamming: int):
+    """Shared pigeonhole machinery: ONE signature pass + ONE shuffle
+    grouping (block, value) into the sorted (id, simhash) member array.
+    Returns (grouped_df, block_sizes); callers filter/derive from it."""
     n_blocks = max_hamming + 1
     if bits < n_blocks:
         raise ValueError("need at least one bit per block")
@@ -429,12 +439,16 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     ).select(id_col, "simhash", "b.block", "b.value")
     # sort_array over (id, simhash) structs orders by id first, so the
     # positional i<j enumeration emits doc_a < doc_b directly
-    grouped = (banded.groupBy("block", "value")
-               .agg(F.sort_array(F.collect_list(
-                   F.struct(F.col(id_col).alias("i"),
-                            F.col("simhash").alias("s")))).alias("ms"))
-               .filter(F.size("ms") > 1))
-    outer = grouped.select("ms", F.posexplode("ms").alias("_i", "a"))
+    grouped = banded.groupBy("block", "value").agg(
+        F.sort_array(F.collect_list(
+            F.struct(F.col(id_col).alias("i"),
+                     F.col("simhash").alias("s")))).alias("ms"))
+    return grouped, sizes
+
+
+def _pairs_from_grouped(grouped: DataFrame, max_hamming: int) -> DataFrame:
+    outer = (grouped.filter(F.size("ms") > 1)
+             .select("ms", F.posexplode("ms").alias("_i", "a")))
     pairs = outer.select(
         "a",
         F.explode(
@@ -448,3 +462,28 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
                 & (F.col("hamming") <= max_hamming))
         .distinct()
     )
+
+
+def simhash_report(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", bits: int = 48,
+                   max_hamming: int = 2):
+    """Both SimHash dedup outputs from ONE signature pass: `(buckets,
+    pairs)` — buckets are exact-signature candidate groups over the
+    FIRST pigeonhole block (bits // (max_hamming+1) wide; with the
+    48-bit/radius-2 defaults that is exactly the 16-bit
+    :func:`simhash_buckets` signature, since bit i of a simhash does
+    not depend on the total width), pairs are the Hamming-radius
+    near-dups of :func:`simhash_hamming_pairs`.
+
+    Both frames branch AFTER the one groupBy(block, value) exchange,
+    so a query consuming both (e.g. in a union) re-uses the shuffle
+    files (AQE ReusedExchange) instead of walking the token arrays
+    twice — the signature fold is the dominant cost at corpus scale.
+    """
+    grouped, sizes = _simhash_blocks_grouped(
+        df, text_col, id_col, bits, max_hamming)
+    buckets = grouped.filter(F.col("block") == 0).select(
+        F.col("value").alias("simhash"),
+        F.size("ms").alias("n_docs"),
+        F.col("ms")[0]["i"].alias("min_doc"))
+    return buckets, _pairs_from_grouped(grouped, max_hamming)
