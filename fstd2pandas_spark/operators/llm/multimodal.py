@@ -3,16 +3,17 @@ with typed metadata.
 
 Image decode is REAL for every format whose public spec this repo
 implements without external codecs: PPM (P6 binary / P3 ascii),
-uncompressed 24-bit BMP, PNG — 8-bit greyscale/RGB/grey+alpha/RGBA,
-non-interlaced, stdlib ``zlib`` + pure-numpy per-scanline unfiltering
-(all five PNG filter types) — and baseline JPEG (sequential-DCT
-Huffman, any sampling, restart markers; ``jpeg.py``), all behind
+uncompressed 24-bit BMP, PNG — grey/RGB/grey+alpha/RGBA at depths
+8/16, palette + greyscale at 1/2/4/8, plain and Adam7-interlaced,
+stdlib ``zlib`` + pure-numpy per-scanline unfiltering (all five PNG
+filter types) — and baseline JPEG (sequential-DCT Huffman, any
+sampling, restart markers; ``jpeg.py``), all behind
 :func:`decode_image`; :func:`resize_images` runs an actual
 nearest-neighbour resample + PPM re-encode. Audio decode is REAL for
 RIFF/WAVE PCM (8/16-bit, any channel count — :func:`decode_wav`), with
 duration/RMS/peak/ZCR + energy-histogram features. Payloads in the
-remaining variants (progressive/arithmetic JPEG, PNG's
-palette/16-bit/Adam7, MP3, non-MJPEG video) fall back to a
+remaining variants (progressive/arithmetic JPEG, MP3, non-MJPEG
+video) fall back to a
 deterministic content-hash featurizer; the Spark-side plumbing —
 schemas, Arrow-batched ``mapInPandas`` pipelines, partition sizing,
 batch shapes — is identical either way, so plugging PIL/ffmpeg in
@@ -65,10 +66,10 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def decode_image(payload: bytes) -> "np.ndarray | None":
     """Pure-numpy decode of the self-implemented raster formats to an
     (h, w, 3) uint8 array: PPM P6 (binary) / P3 (ascii), uncompressed
-    24-bit BMP, 8-bit non-interlaced PNG (zlib inflate + per-scanline
-    unfiltering), and baseline JPEG (``jpeg.py``). Returns None for
-    anything else — callers fall back to the opaque-payload
-    featurizer."""
+    24-bit BMP, PNG (all spec depth/colour-type/interlace combinations
+    — see :func:`_decode_png`), and baseline JPEG (``jpeg.py``).
+    Returns None for anything else — callers fall back to the
+    opaque-payload featurizer."""
     if not payload:
         return None
     if payload[:2] in (b"P6", b"P3"):
@@ -136,64 +137,45 @@ def _decode_bmp(payload: bytes) -> "np.ndarray | None":
     return img if top_down else img[::-1]
 
 
-def _decode_png(payload: bytes) -> "np.ndarray | None":
-    """8-bit non-interlaced PNG (RFC 2083): chunk walk -> IHDR + joined
-    IDAT -> zlib inflate -> per-scanline unfiltering (all five filter
-    types) -> (h, w, 3) uint8. Greyscale replicates to RGB; alpha is
-    dropped. Palette, 16-bit and Adam7-interlaced images return None
-    (the content-hash fallback) rather than a wrong decode."""
-    import zlib
+#: Adam7 pass grids: (x_start, y_start, x_step, y_step) per RFC 2083 §2.6
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(payload):
-        size = int.from_bytes(payload[pos:pos + 4], "big")
-        cid = payload[pos + 4:pos + 8]
-        if cid == b"IHDR":
-            ihdr = payload[pos + 8:pos + 8 + size]
-        elif cid == b"IDAT":
-            idat.append(payload[pos + 8:pos + 8 + size])
-        elif cid == b"IEND":
-            break
-        pos += 12 + size                      # len + type + data + crc
-    if ihdr is None or len(ihdr) < 13 or not idat:
-        return None
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    depth, ctype, comp, filt, interlace = ihdr[8:13]
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if (depth != 8 or channels is None or comp != 0 or filt != 0
-            or interlace != 0 or w <= 0 or h <= 0):
-        return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
-        return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int,
+                  bpp: int) -> "tuple[np.ndarray, int] | None":
+    """Undo PNG per-scanline filtering for `h` scanlines of `stride`
+    bytes starting at `off` (each preceded by its filter-type byte);
+    returns (rows, bytes consumed). `bpp` is the filter's left-neighbour
+    byte offset (RFC 2083 §6: floor(depth*channels/8), min 1)."""
+    if len(raw) < off + h * (stride + 1):
         return None
     img = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        base = y * (stride + 1)
+        base = off + y * (stride + 1)
         ftype = raw[base]
         row = np.frombuffer(raw, np.uint8, stride, base + 1)
         if ftype == 0:                       # None
             recon = row.copy()
         elif ftype == 1:                     # Sub: per-lane running sum
-            lanes = row.reshape(w, channels).astype(np.uint64)
+            pad = (-stride) % bpp
+            lanes = np.concatenate(
+                [row, np.zeros(pad, np.uint8)]) \
+                .reshape(-1, bpp).astype(np.uint64)
             recon = (np.cumsum(lanes, axis=0) & 0xFF) \
-                .astype(np.uint8).reshape(stride)
+                .astype(np.uint8).reshape(-1)[:stride]
         elif ftype == 2:                     # Up (uint8 wraps mod 256)
             recon = row + prev
         elif ftype in (3, 4):                # Average / Paeth: sequential
             recon = row.copy()
             for i in range(stride):
-                a = int(recon[i - channels]) if i >= channels else 0
+                a = int(recon[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
                 if ftype == 3:
                     pred = (a + b) >> 1
                 else:
-                    c = int(prev[i - channels]) if i >= channels else 0
+                    c = int(prev[i - bpp]) if i >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else \
@@ -203,12 +185,116 @@ def _decode_png(payload: bytes) -> "np.ndarray | None":
             return None
         img[y] = recon
         prev = recon
-    px = img.reshape(h, w, channels)
+    return img, h * (stride + 1)
+
+
+def _png_samples(rows: np.ndarray, w: int, channels: int,
+                 depth: int, ctype: int) -> np.ndarray:
+    """Unfiltered scanline bytes -> (h, w, channels) uint8 samples.
+    16-bit downscales to the high byte; sub-byte depths unpack MSB
+    first and (for greyscale) rescale to full range; palette indices
+    pass through for the PLTE lookup."""
+    h = rows.shape[0]
+    if depth == 16:
+        px = rows.reshape(h, -1)[:, :w * channels * 2] \
+            .reshape(h, w * channels, 2)[..., 0]  # big-endian high byte
+        return px.reshape(h, w, channels)
+    if depth == 8:
+        return rows[:, :w * channels].reshape(h, w, channels)
+    bits = np.unpackbits(rows, axis=1)[:, :w * depth] \
+        .reshape(h, w, depth)
+    vals = np.zeros((h, w), dtype=np.uint8)
+    for b in range(depth):
+        vals = (vals << 1) | bits[..., b]
+    if ctype == 0:                           # grey: expand to 0..255
+        vals = (vals.astype(np.uint16) * 255 // ((1 << depth) - 1)) \
+            .astype(np.uint8)
+    return vals.reshape(h, w, 1)
+
+
+def _decode_png(payload: bytes) -> "np.ndarray | None":
+    """PNG (RFC 2083): chunk walk -> IHDR/PLTE + joined IDAT -> zlib
+    inflate -> per-scanline unfiltering (all five filter types) ->
+    (h, w, 3) uint8. Covers grey/RGB/grey+alpha/RGBA at depths 8 and
+    16 (high byte), palette and greyscale at depths 1/2/4/8, and both
+    interlace methods (none / Adam7 7-pass). Greyscale replicates to
+    RGB; alpha is dropped. Malformed or out-of-spec payloads return
+    None (the content-hash fallback) rather than a wrong decode."""
+    import zlib
+
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos:pos + 4], "big")
+        cid = payload[pos + 4:pos + 8]
+        if cid == b"IHDR":
+            ihdr = payload[pos + 8:pos + 8 + size]
+        elif cid == b"IDAT":
+            idat.append(payload[pos + 8:pos + 8 + size])
+        elif cid == b"PLTE":
+            plte = payload[pos + 8:pos + 8 + size]
+        elif cid == b"IEND":
+            break
+        pos += 12 + size                      # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if (channels is None or depth not in valid_depths[ctype]
+            or comp != 0 or filt != 0 or interlace not in (0, 1)
+            or w <= 0 or h <= 0):
+        return None
+    if ctype == 3 and (plte is None or len(plte) < 3):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+
+    bpp = max(1, channels * depth // 8)
+
+    def decode_region(off: int, rw: int, rh: int):
+        stride = (rw * channels * depth + 7) // 8
+        out = _png_unfilter(raw, off, rh, stride, bpp)
+        if out is None:
+            return None
+        rows, used = out
+        return _png_samples(rows, rw, channels, depth, ctype), used
+
+    if interlace == 0:
+        got = decode_region(0, w, h)
+        if got is None:
+            return None
+        px = got[0]
+    else:                                     # Adam7
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue                      # empty pass: no scanlines
+            got = decode_region(off, pw, ph)
+            if got is None:
+                return None
+            px[y0::dy, x0::dx] = got[0]
+            off += got[1]
+
+    if ctype == 3:                            # palette lookup
+        pal = np.frombuffer(plte, np.uint8)
+        pal = pal[:len(pal) - len(pal) % 3].reshape(-1, 3)
+        idx = px[..., 0]
+        if idx.max() >= len(pal):
+            return None
+        return pal[idx]
     if channels == 1:
         return np.repeat(px, 3, axis=2)
-    if channels == 2:                        # grey + alpha: drop alpha
+    if channels == 2:                         # grey + alpha: drop alpha
         return np.repeat(px[..., :1], 3, axis=2)
-    if channels == 4:                        # RGBA: drop alpha
+    if channels == 4:                         # RGBA: drop alpha
         return np.ascontiguousarray(px[..., :3])
     return px
 
@@ -296,8 +382,7 @@ def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
 
 def _opaque_features(payload: bytes) -> np.ndarray:
     """Featurizer for payloads whose codec is unavailable (progressive/
-    arithmetic JPEG, MP3, non-MJPEG video, plus PNG's palette/16-bit/
-    interlaced variants): md5-seeded
+    arithmetic JPEG, MP3, non-MJPEG video): md5-seeded
     byte histogram folded to FEATURE_DIM floats — deterministic, so
     pipelines stay testable without the codec."""
     if payload is None:

@@ -352,7 +352,8 @@ def _png_bytes(img, ctype=2, filters=None, depth=8, interlace=0):
 def test_png_decode_all_filters(spark):
     """Real PNG decode: every scanline filter type unfilters to the
     exact pixels the PPM path yields; RGBA drops alpha, greyscale
-    replicates; 16-bit / interlaced variants fall back to None."""
+    replicates; malformed payloads fall back to None (full palette/
+    16-bit/Adam7 coverage: tests/test_png_full.py)."""
     import numpy as np
 
     from fstd2pandas_spark.operators.llm.multimodal import (
@@ -375,8 +376,9 @@ def test_png_decode_all_filters(spark):
     g = decode_image(_png_bytes(grey, ctype=0, filters=[0, 2, 1, 4, 3]))
     assert np.array_equal(g, np.repeat(grey[..., None], 3, axis=2))
 
+    # a 16-bit header over 8-bit-sized data is truncated -> None
+    # (real 16-bit / Adam7 / palette coverage lives in test_png_full.py)
     assert decode_image(_png_bytes(img, ctype=2, depth=16)) is None
-    assert decode_image(_png_bytes(img, ctype=2, interlace=1)) is None
     assert decode_image(b"\x89PNG\r\n\x1a\n" + b"junk") is None
 
 
