@@ -130,7 +130,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
         return None
     try:
         return _decode(payload)
-    except (_UnsupportedJpeg, struct.error, IndexError, ValueError):
+    except (_UnsupportedJpeg, struct.error, IndexError, KeyError,
+            ValueError):
+        # KeyError: corrupted streams can reference undefined
+        # quant/Huffman table ids — malformed, not a crash
         return None
 
 
@@ -185,7 +188,10 @@ def _decode(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise _UnsupportedJpeg("bad sampling factors")
+                comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

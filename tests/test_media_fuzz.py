@@ -1,0 +1,92 @@
+"""Media-decoder robustness: at corpus scale a decoder that RAISES on
+one malformed payload fails the whole mapInPandas task (and with it the
+job); the contract is 'valid array or None, never an exception'.
+Hypothesis-fuzz every decoder with random bytes, truncations and
+single-byte corruptions of valid payloads — magic bytes preserved so
+the fuzz actually reaches the parser, not the sniffer."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from fstd2pandas_spark.operators.llm.jpeg import decode_jpeg
+from fstd2pandas_spark.operators.llm.multimodal import (
+    decode_image, decode_wav, parse_avi)
+
+from _jpeg_ref import encode_jpeg
+from _png_ref import encode_png
+
+
+def _img(seed):
+    return np.random.RandomState(seed).randint(
+        0, 256, size=(16, 16, 3)).astype(np.uint8)
+
+
+_VALID = {
+    "jpeg": encode_jpeg(_img(1)),
+    "png": encode_png(_img(2), ctype=2),
+    "png_adam7": encode_png(_img(3), ctype=2, interlace=1),
+}
+
+
+def _check_image_result(out):
+    assert out is None or (
+        isinstance(out, np.ndarray) and out.dtype == np.uint8
+        and out.ndim == 3 and out.shape[2] == 3)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_decode_image_never_raises_on_random_bytes(payload):
+    _check_image_result(decode_image(payload))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sampled_from(sorted(_VALID)), st.data())
+def test_decoders_survive_truncation(kind, data):
+    payload = _VALID[kind]
+    cut = data.draw(st.integers(min_value=0, max_value=len(payload)))
+    _check_image_result(decode_image(payload[:cut]))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.sampled_from(sorted(_VALID)), st.data())
+def test_decoders_survive_corruption(kind, data):
+    """Flip one byte anywhere past the magic: decode must still return
+    None or a well-formed array (bit rot, truncation mid-transfer and
+    adversarial inputs all look like this in a crawl)."""
+    payload = bytearray(_VALID[kind])
+    magic = 8 if kind.startswith("png") else 3
+    pos = data.draw(st.integers(min_value=magic,
+                                max_value=len(payload) - 1))
+    val = data.draw(st.integers(min_value=0, max_value=255))
+    payload[pos] = val
+    _check_image_result(decode_image(bytes(payload)))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_wav_and_avi_never_raise(payload):
+    for prefix in (b"", b"RIFF"):
+        p = prefix + payload
+        wav = decode_wav(p)
+        assert wav is None or (isinstance(wav[0], np.ndarray)
+                               and wav[1] > 0)
+        avi = parse_avi(p)
+        assert avi is None or (avi[0] > 0 and len(avi[1]) > 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_jpeg_corruption_direct(data):
+    """decode_jpeg itself (not just via dispatch): corrupt marker
+    lengths and entropy bytes."""
+    payload = bytearray(_VALID["jpeg"])
+    n_flips = data.draw(st.integers(min_value=1, max_value=4))
+    for _ in range(n_flips):
+        pos = data.draw(st.integers(min_value=2,
+                                    max_value=len(payload) - 1))
+        payload[pos] = data.draw(st.integers(min_value=0, max_value=255))
+    out = decode_jpeg(bytes(payload))
+    assert out is None or (out.dtype == np.uint8 and out.ndim == 3)
