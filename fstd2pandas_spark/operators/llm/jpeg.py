@@ -1,15 +1,27 @@
-"""Baseline JPEG (ITU-T T.81 / JFIF) decoder in pure numpy + stdlib.
+"""JPEG (ITU-T T.81 / JFIF) decoder in pure numpy + stdlib.
 
-Scope — the sequential-DCT Huffman baseline that dominates web-crawl
-images: 8-bit precision, SOF0/SOF1 frames, 1 (greyscale) or 3 (YCbCr)
-components, any integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...),
-restart markers, multi-segment DQT/DHT.  Everything here is from the
-public spec: marker structure and Huffman/DC-prediction/zigzag from
-T.81 Annex B/F, the YCbCr matrix from the JFIF spec.  Out-of-scope
-variants return ``None`` (progressive SOF2, arithmetic coding, 12-bit,
-4-component CMYK) so the caller can fall back to the content-hash
-featurizer instead of producing wrong pixels — the same honesty
-contract as the PNG decoder's palette/Adam7 fallback.
+Scope — the Huffman-coded DCT modes that dominate web-crawl images:
+sequential baseline (SOF0/SOF1) AND progressive (SOF2, spectral
+selection + successive approximation per Annex G), 8-bit precision,
+1 (greyscale) or 3 (YCbCr) components, any integer sampling factors
+(4:4:4, 4:2:2, 4:2:0, ...), restart markers, multi-segment DQT/DHT.
+Everything here is from the public spec: marker structure and
+Huffman/DC-prediction/zigzag from T.81 Annex B/F, the progressive
+scan semantics (EOB runs, +-1 refinement, correction bits) from Annex
+G, the YCbCr matrix from the JFIF spec.  Both modes share one
+coefficient-state architecture: scans accumulate into per-component
+zigzag coefficient grids; dequantize + IDCT + assembly run once at
+the end — baseline is simply the one-scan special case.  Out-of-scope
+variants return ``None`` (arithmetic coding, hierarchical, lossless,
+12-bit, 4-component CMYK) so the caller can fall back to the
+content-hash featurizer instead of producing wrong pixels.
+
+Validation note: no reference codec exists in this environment, so
+the progressive path is pinned by (a) an independent in-repo encoder
+implementing the Annex-G ENCODER procedures and (b) the invariant
+that progressive and baseline encodings of the same image share their
+quantized coefficients — the decoded pixels must match the baseline
+decode EXACTLY (tests/test_jpeg.py::test_progressive_*).
 
 Decode strategy: Huffman entropy decode is a sequential bit walk (pure
 Python over the de-stuffed byte array — inherently serial, bounded by
@@ -123,9 +135,10 @@ def _idct_blocks(blocks: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(payload: bytes) -> "np.ndarray | None":
-    """Decode a baseline JPEG to an (H, W, 3) uint8 RGB array, or
-    ``None`` when the payload is not a JPEG or uses an out-of-scope
-    variant (progressive / arithmetic / 12-bit / CMYK)."""
+    """Decode a sequential-baseline (SOF0/SOF1) or progressive (SOF2)
+    Huffman JPEG to an (H, W, 3) uint8 RGB array, or ``None`` when the
+    payload is not a JPEG or uses an out-of-scope variant (arithmetic
+    coding / hierarchical / lossless / 12-bit / CMYK)."""
     if payload is None or len(payload) < 4 or payload[:3] != b"\xff\xd8\xff":
         return None
     try:
@@ -137,10 +150,32 @@ def decode_jpeg(payload: bytes) -> "np.ndarray | None":
         return None
 
 
+class _Frame:
+    """Frame state shared by every scan: geometry + zigzag-indexed
+    int32 coefficient grids per component, sized to the padded
+    interleaved MCU grid (non-interleaved scans address the top-left
+    own-grid region)."""
+
+    def __init__(self, h, w, comps):
+        self.h, self.w, self.comps = h, w, comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        self.coefs = []
+        self.own = []  # (own_bh, own_bw) per component
+        for _, hi, vi, _ in comps:
+            self.coefs.append(np.zeros(
+                (self.mcus_y * vi, self.mcus_x * hi, 64), dtype=np.int32))
+            cw = -(-w * hi // self.hmax)   # ceil of scaled sample dims
+            ch = -(-h * vi // self.vmax)
+            self.own.append((-(-ch // 8), -(-cw // 8)))
+
+
 def _decode(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _Huff] = {}  # (class 0=DC/1=AC, id)
-    frame = None  # (H, W, [(comp_id, hi, vi, tq), ...])
+    frame: "_Frame | None" = None
     restart_interval = 0
     i = 2
     n = len(payload)
@@ -167,9 +202,7 @@ def _decode(payload: bytes) -> np.ndarray:
                 else:
                     vals = np.frombuffer(seg[p:p + 128], dtype=">u2")
                     p += 128
-                q = np.zeros(64, dtype=np.float64)
-                q[ZIGZAG] = vals.astype(np.float64)
-                qtables[tq] = q.reshape(8, 8)
+                qtables[tq] = vals.astype(np.float64)  # zigzag order
         elif marker == 0xC4:  # DHT: one or more tables per segment
             p = 0
             while p < len(seg):
@@ -179,7 +212,7 @@ def _decode(payload: bytes) -> np.ndarray:
                 symbols = seg[p + 17:p + 17 + nsym]
                 huff[(tc, th)] = _Huff(counts, symbols)
                 p += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise _UnsupportedJpeg("precision != 8")
@@ -192,45 +225,49 @@ def _decode(payload: bytes) -> np.ndarray:
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise _UnsupportedJpeg("bad sampling factors")
                 comps.append((cid, hi, vi, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = _Frame(h, w, comps)
+            frame.progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise _UnsupportedJpeg("non-baseline SOF")
+            raise _UnsupportedJpeg("non-sequential/progressive SOF")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS: entropy-coded data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise _UnsupportedJpeg("SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
+            scan_comps, scan_tables = [], {}
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c:3 + 2 * c]
-                scan_tables[cid] = (tt >> 4, tt & 0x0F)
+                idx = next((k for k, cp in enumerate(frame.comps)
+                            if cp[0] == cid), None)
+                if idx is None:
+                    raise _UnsupportedJpeg("scan of unknown component")
+                scan_comps.append(idx)
+                scan_tables[idx] = (tt >> 4, tt & 0x0F)
+            ss, se, ahl = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
             # entropy data runs to the next real marker (FF00 stuffing,
             # FFD0-D7 restarts stay inside)
             j = i
             while j < n - 1:
-                if payload[j] == 0xFF and payload[j + 1] not in (0x00,) \
+                if payload[j] == 0xFF and payload[j + 1] != 0x00 \
                         and not (0xD0 <= payload[j + 1] <= 0xD7):
                     break
                 j += 1
-            return _decode_scan(payload[i:j], frame, scan_tables,
-                                qtables, huff, restart_interval)
-    raise _UnsupportedJpeg("no scan")
+            _run_scan(payload[i:j], frame, scan_comps, scan_tables,
+                      huff, restart_interval, ss, se, ah, al)
+            i = j
+        # other segments (APPn, COM) are skipped
+    if frame is None:
+        raise _UnsupportedJpeg("no scan")
+    return _finish(frame, qtables)
 
 
-def _decode_scan(entropy: bytes, frame, scan_tables, qtables, huff,
-                 restart_interval: int) -> np.ndarray:
-    h, w, comps = frame
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    # split at restart markers: each interval restarts the bit phase
-    # and the DC predictors (T.81 F.2.1.3.1)
-    intervals = []
-    start = 0
-    j = 0
+def _split_restarts(entropy: bytes) -> list[_BitReader]:
+    """Split at RSTn markers: each interval restarts the bit phase, DC
+    predictors and EOB run (T.81 F.2.1.3.1)."""
+    intervals, start, j = [], 0, 0
     while j < len(entropy) - 1:
         if entropy[j] == 0xFF and 0xD0 <= entropy[j + 1] <= 0xD7:
             intervals.append(entropy[start:j])
@@ -239,68 +276,182 @@ def _decode_scan(entropy: bytes, frame, scan_tables, qtables, huff,
         else:
             j += 1
     intervals.append(entropy[start:])
-    readers = [_BitReader(seg.replace(b"\xff\x00", b"\xff"))
-               for seg in intervals]
+    return [_BitReader(seg.replace(b"\xff\x00", b"\xff"))
+            for seg in intervals]
 
-    n_mcus = mcus_x * mcus_y
-    per_interval = restart_interval if restart_interval else n_mcus
-    # coefficient blocks per component, decoded in MCU order
-    blocks: list[list[np.ndarray]] = [[] for _ in comps]
+
+def _run_scan(entropy, frame: _Frame, scan_comps, scan_tables, huff,
+              restart_interval, ss, se, ah, al) -> None:
+    """One entropy-coded scan into the frame's coefficient state.
+
+    Sequential baseline is the ss=0/se=63/ah=al=0 special case of the
+    general progressive machinery (T.81 G.2): DC-first decode plus
+    AC-first decode where the in-block EOB is an EOB-run of length 1.
+    """
+    if not (0 <= ss <= se <= 63 and al <= 13):
+        raise _UnsupportedJpeg("bad spectral selection")
+    if getattr(frame, "progressive", False):
+        # progressive scans are DC-only (0,0) or AC-only (ss >= 1);
+        # a full-band scan under SOF2 is malformed (T.81 G.1.1.1.1)
+        if ss == 0 and se != 0:
+            raise _UnsupportedJpeg("mixed DC/AC progressive scan")
+        if ss > 0 and len(scan_comps) != 1:
+            raise _UnsupportedJpeg("interleaved progressive AC scan")
+    interleaved = len(scan_comps) > 1
+    if interleaved and ss != 0:
+        raise _UnsupportedJpeg("interleaved AC scan")
+    readers = _split_restarts(entropy)
+
+    # unit walk: MCUs when interleaved, own-grid blocks otherwise
+    if interleaved:
+        n_units = frame.mcus_x * frame.mcus_y
+    else:
+        bh, bw = frame.own[scan_comps[0]]
+        n_units = bh * bw
+    per_interval = restart_interval if restart_interval else n_units
+
+    state = {"pred": dict.fromkeys(scan_comps, 0), "eobrun": 0}
     reader = readers[0]
-    pred = [0] * len(comps)
-    for mcu in range(n_mcus):
-        if mcu and restart_interval and mcu % per_interval == 0:
-            idx = mcu // per_interval
+    for u in range(n_units):
+        if u and restart_interval and u % per_interval == 0:
+            idx = u // per_interval
             if idx >= len(readers):
                 raise _UnsupportedJpeg("missing restart interval")
             reader = readers[idx]
-            pred = [0] * len(comps)
-        for ci, (cid, hi, vi, tq) in enumerate(comps):
-            dc_t = huff.get((0, scan_tables[cid][0]))
-            ac_t = huff.get((1, scan_tables[cid][1]))
-            if dc_t is None or ac_t is None:
-                raise _UnsupportedJpeg("missing Huffman table")
-            for _ in range(hi * vi):
-                zz = np.zeros(64, dtype=np.float64)
-                s = reader.decode(dc_t)
-                diff = _extend(reader.read_bits(s), s)
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.decode(ac_t)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:  # ZRL: 16 zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise _UnsupportedJpeg("AC index overrun")
-                    zz[k] = _extend(reader.read_bits(s), s)
-                    k += 1
-                blk = np.zeros(64, dtype=np.float64)
-                blk[ZIGZAG] = zz
-                blocks[ci].append(blk.reshape(8, 8) * qtables[tq])
-
-    # batched IDCT + plane assembly per component
-    planes = []
-    for ci, (cid, hi, vi, tq) in enumerate(comps):
-        arr = _idct_blocks(np.stack(blocks[ci])) + 128.0
-        plane = np.zeros((mcus_y * vi * 8, mcus_x * hi * 8))
-        b = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
+            state = {"pred": dict.fromkeys(scan_comps, 0), "eobrun": 0}
+        if interleaved:
+            my, mx = divmod(u, frame.mcus_x)
+            for ci in scan_comps:
+                _, hi, vi, _ = frame.comps[ci]
                 for v in range(vi):
                     for hh in range(hi):
-                        plane[(my * vi + v) * 8:(my * vi + v) * 8 + 8,
-                              (mx * hi + hh) * 8:(mx * hi + hh) * 8 + 8] \
-                            = arr[b]
-                        b += 1
+                        _decode_block(
+                            reader, frame.coefs[ci][my * vi + v,
+                                                    mx * hi + hh],
+                            ci, scan_tables, huff, state, ss, se, ah, al)
+        else:
+            ci = scan_comps[0]
+            by, bx = divmod(u, frame.own[ci][1])
+            _decode_block(reader, frame.coefs[ci][by, bx], ci,
+                          scan_tables, huff, state, ss, se, ah, al)
+
+
+def _decode_block(reader, coef, ci, scan_tables, huff, state,
+                  ss, se, ah, al) -> None:
+    """Decode one block's contribution for the current scan into its
+    zigzag-indexed coefficient vector."""
+    if ss == 0:                               # DC (first or refinement)
+        if ah == 0:
+            dc_t = huff.get((0, scan_tables[ci][0]))
+            if dc_t is None:
+                raise _UnsupportedJpeg("missing DC table")
+            s = reader.decode(dc_t)
+            if s > 15:
+                raise _UnsupportedJpeg("bad DC size")
+            diff = _extend(reader.read_bits(s), s)
+            state["pred"][ci] += diff
+            coef[0] = state["pred"][ci] << al
+        else:                                 # one correction bit
+            if reader.read_bit():
+                coef[0] |= (1 << al)
+        if se == 0:
+            return
+    first_k = max(ss, 1)
+    ac_t = huff.get((1, scan_tables[ci][1]))
+    if ac_t is None:
+        raise _UnsupportedJpeg("missing AC table")
+    if ah == 0:
+        _ac_first(reader, coef, ac_t, state, first_k, se, al)
+    else:
+        _ac_refine(reader, coef, ac_t, state, first_k, se, al)
+
+
+def _ac_first(reader, coef, ac_t, state, ss, se, al) -> None:
+    """T.81 G.2.2: history-free AC band decode with EOB runs."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:                       # ZRL
+                k += 16
+                continue
+            # EOBn: run of (1<<r)+bits blocks whose band ends here
+            state["eobrun"] = (1 << r) + reader.read_bits(r) - 1
+            return
+        k += r
+        if k > se:
+            raise _UnsupportedJpeg("AC index overrun")
+        coef[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, coef, ac_t, state, ss, se, al) -> None:
+    """T.81 G.1.2.3 successive-approximation AC refinement: newly
+    significant coefficients arrive as +-1 at bit `al`; already-
+    significant ones absorb one correction bit whenever the walk
+    passes them."""
+    def correct(k):
+        if reader.read_bit():
+            coef[k] += (1 << al) if coef[k] > 0 else -(1 << al)
+
+    if state["eobrun"] > 0:
+        for k in range(ss, se + 1):
+            if coef[k]:
+                correct(k)
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0 and r < 15:                 # EOBn
+            state["eobrun"] = (1 << r) + reader.read_bits(r) - 1
+            while k <= se:
+                if coef[k]:
+                    correct(k)
+                k += 1
+            return
+        if s == 0:                            # ZRL: 16 zero-history skips
+            newval = 0
+        elif s == 1:
+            newval = (1 << al) if reader.read_bit() else -(1 << al)
+        else:
+            raise _UnsupportedJpeg("refinement magnitude > 1")
+        while k <= se:
+            if coef[k]:
+                correct(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if newval and k <= se:
+            coef[k] = newval
+        k += 1
+
+
+def _finish(frame: _Frame, qtables) -> np.ndarray:
+    """Dequantize + batched IDCT + plane assembly + colour convert."""
+    h, w = frame.h, frame.w
+    planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(frame.comps):
+        if tq not in qtables:
+            raise _UnsupportedJpeg("missing quant table")
+        bh, bw = frame.coefs[ci].shape[:2]
+        zz = frame.coefs[ci].reshape(bh * bw, 64).astype(np.float64) \
+            * qtables[tq]                     # both in zigzag order
+        blocks = np.zeros((bh * bw, 64))
+        blocks[:, ZIGZAG] = zz
+        arr = _idct_blocks(blocks.reshape(-1, 8, 8)) + 128.0
+        plane = arr.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(bh * 8, bw * 8)
         # upsample to full resolution by pixel replication, then crop
-        plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
-                          hmax // hi, axis=1)
+        plane = np.repeat(np.repeat(plane, frame.vmax // vi, axis=0),
+                          frame.hmax // hi, axis=1)
         planes.append(plane[:h, :w])
 
     if len(planes) == 1:

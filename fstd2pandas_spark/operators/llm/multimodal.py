@@ -6,13 +6,13 @@ implements without external codecs: PPM (P6 binary / P3 ascii),
 uncompressed 24-bit BMP, PNG — grey/RGB/grey+alpha/RGBA at depths
 8/16, palette + greyscale at 1/2/4/8, plain and Adam7-interlaced,
 stdlib ``zlib`` + pure-numpy per-scanline unfiltering (all five PNG
-filter types) — and baseline JPEG (sequential-DCT Huffman, any
-sampling, restart markers; ``jpeg.py``), all behind
+filter types) — and JPEG, sequential baseline AND progressive
+(Huffman DCT, any sampling, restart markers; ``jpeg.py``), all behind
 :func:`decode_image`; :func:`resize_images` runs an actual
 nearest-neighbour resample + PPM re-encode. Audio decode is REAL for
 RIFF/WAVE PCM (8/16-bit, any channel count — :func:`decode_wav`), with
 duration/RMS/peak/ZCR + energy-histogram features. Payloads in the
-remaining variants (progressive/arithmetic JPEG, MP3, non-MJPEG
+remaining variants (arithmetic-coded JPEG, MP3, non-MJPEG
 video) fall back to a
 deterministic content-hash featurizer; the Spark-side plumbing —
 schemas, Arrow-batched ``mapInPandas`` pipelines, partition sizing,
@@ -67,7 +67,8 @@ def decode_image(payload: bytes) -> "np.ndarray | None":
     """Pure-numpy decode of the self-implemented raster formats to an
     (h, w, 3) uint8 array: PPM P6 (binary) / P3 (ascii), uncompressed
     24-bit BMP, PNG (all spec depth/colour-type/interlace combinations
-    — see :func:`_decode_png`), and baseline JPEG (``jpeg.py``).
+    — see :func:`_decode_png`), and baseline + progressive JPEG
+    (``jpeg.py``).
     Returns None for anything else — callers fall back to the
     opaque-payload featurizer."""
     if not payload:
@@ -381,8 +382,8 @@ def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
 
 
 def _opaque_features(payload: bytes) -> np.ndarray:
-    """Featurizer for payloads whose codec is unavailable (progressive/
-    arithmetic JPEG, MP3, non-MJPEG video): md5-seeded
+    """Featurizer for payloads whose codec is unavailable
+    (arithmetic-coded JPEG, MP3, non-MJPEG video): md5-seeded
     byte histogram folded to FEATURE_DIM floats — deterministic, so
     pipelines stay testable without the codec."""
     if payload is None:

@@ -102,12 +102,9 @@ def _plane_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return np.stack(blocks), pw // 8
 
 
-def encode_jpeg(img: np.ndarray, subsample: bool = False,
-                quant_y: "np.ndarray | None" = None,
-                quant_c: "np.ndarray | None" = None,
-                restart_interval: int = 0,
-                greyscale: bool = False) -> bytes:
-    """Encode (H, W, 3) uint8 RGB as a baseline JPEG."""
+def _prepare(img, subsample, quant_y, quant_c, greyscale):
+    """Shared front half of both encoders: colour transform, sampling,
+    per-component quantized block grids (padded to the MCU walk)."""
     h, w = img.shape[:2]
     f = img.astype(np.float64)
     r, g, b = f[..., 0], f[..., 1], f[..., 2]
@@ -157,6 +154,45 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False,
             grid = np.concatenate(
                 [grid, np.repeat(grid[:, -1:], need_w - bw, axis=1)], axis=1)
         per_comp.append(grid)
+    return h, w, comps, per_comp, hmax, vmax, mcus_x, mcus_y
+
+
+def _headers(h, w, comps, sof_marker=0xC0):
+    """SOI + DQT + SOF segments shared by both encoders."""
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    def dqt(tq, q):
+        zz = q.reshape(64)[ZIGZAG]
+        if q.max() > 255:
+            return bytes([0x10 | tq]) + b"".join(
+                struct.pack(">H", int(v)) for v in zz)
+        return bytes([tq]) + bytes(int(v) for v in zz)
+
+    seen_q = []
+    for _, _, q, _, _, tq in comps:
+        if tq not in seen_q:
+            seg(0xDB, dqt(tq, q))
+            seen_q.append(tq)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for ci, (_, _, _, hi, vi, tq) in enumerate(comps):
+        sof += bytes([ci + 1, (hi << 4) | vi, tq])
+    seg(sof_marker, sof)
+    return out, seg
+
+
+def encode_jpeg(img: np.ndarray, subsample: bool = False,
+                quant_y: "np.ndarray | None" = None,
+                quant_c: "np.ndarray | None" = None,
+                restart_interval: int = 0,
+                greyscale: bool = False) -> bytes:
+    """Encode (H, W, 3) uint8 RGB as a baseline JPEG."""
+    h, w, comps, per_comp, hmax, vmax, mcus_x, mcus_y = _prepare(
+        img, subsample, quant_y, quant_c, greyscale)
 
     # MCU-ordered symbol stream; restart intervals reset DC predictors
     def walk():
@@ -229,29 +265,7 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False,
     entropy += bw_.out
 
     # assemble segments
-    out = bytearray(b"\xff\xd8")
-
-    def seg(marker: int, body: bytes) -> None:
-        out.extend(bytes([0xFF, marker]))
-        out.extend(struct.pack(">H", len(body) + 2))
-        out.extend(body)
-
-    def dqt(tq: int, q: np.ndarray) -> bytes:
-        zz = q.reshape(64)[ZIGZAG]
-        if q.max() > 255:
-            return bytes([0x10 | tq]) + b"".join(
-                struct.pack(">H", int(v)) for v in zz)
-        return bytes([tq]) + bytes(int(v) for v in zz)
-
-    seen_q = []
-    for _, _, q, _, _, tq in comps:
-        if tq not in seen_q:
-            seg(0xDB, dqt(tq, q))
-            seen_q.append(tq)
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
-    for ci, (_, _, _, hi, vi, tq) in enumerate(comps):
-        sof += bytes([ci + 1, (hi << 4) | vi, tq])
-    seg(0xC0, sof)
+    out, seg = _headers(h, w, comps, 0xC0)
     for (cls, tid), (counts, symbols, _) in sorted(tables.items()):
         seg(0xC4, bytes([(cls << 4) | tid]) + counts + symbols)
     if restart_interval:
@@ -262,5 +276,202 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False,
     sos += bytes([0, 63, 0])
     seg(0xDA, sos)
     out.extend(entropy)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ------------------------------------------------------------- progressive
+
+def encode_jpeg_progressive(img: np.ndarray, al: int = 1,
+                            bands=((1, 5), (6, 63)),
+                            subsample: bool = False,
+                            quant_y: "np.ndarray | None" = None,
+                            quant_c: "np.ndarray | None" = None,
+                            greyscale: bool = False) -> bytes:
+    """Progressive (SOF2) encoder: spectral selection over `bands` and
+    `al` levels of successive approximation, per T.81 Annex G — DC
+    first interleaved at point transform `al`, DC refinement scans one
+    bit at a time, per-component AC first scans per band at `al`, then
+    per-component AC refinement scans (newly-significant +-1 symbols,
+    EOB runs carrying the buffered correction bits)."""
+    h, w, comps, per_comp, hmax, vmax, mcus_x, mcus_y = _prepare(
+        img, subsample, quant_y, quant_c, greyscale)
+    tid_of = [c[5] for c in comps]
+
+    # zigzag coefficient grid per component + own (non-interleaved) dims
+    zz_of = []
+    own = []
+    for ci, (_, _, _, hi, vi, tq) in enumerate(comps):
+        g = per_comp[ci]
+        zz_of.append(g.reshape(g.shape[0], g.shape[1], 64)[:, :, ZIGZAG])
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        own.append((-(-ch // 8), -(-cw // 8)))
+
+    def mcu_blocks():
+        """Interleaved DC walk: yields (ci, zigzag-coef-vector)."""
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (_, _, _, hi, vi, _) in enumerate(comps):
+                for v in range(vi):
+                    for hh in range(hi):
+                        yield ci, zz_of[ci][my * vi + v, mx * hi + hh]
+
+    def raster_blocks(ci):
+        """Non-interleaved walk over the component's OWN block grid."""
+        bh, bw = own[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                yield zz_of[ci][by, bx]
+
+    def dc_first_events(pt):
+        pred = [0] * len(comps)
+        for ci, zz in mcu_blocks():
+            v = int(zz[0]) >> pt              # arithmetic point transform
+            diff = v - pred[ci]
+            pred[ci] = v
+            s = _size_cat(diff)
+            yield ("sym", (0, tid_of[ci]), s)
+            yield ("bits", _value_bits(diff, s), s)
+
+    def dc_refine_events(pt):
+        for ci, zz in mcu_blocks():
+            yield ("bits", (int(zz[0]) >> pt) & 1, 1)
+
+    def ac_first_events(ci, lo, hi_, pt):
+        tid = (1, tid_of[ci])
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                yield ("sym", tid, r << 4)
+                yield ("bits", eobrun - (1 << r), r)
+                eobrun = 0
+
+        for zz in raster_blocks(ci):
+            vals = [int(v) // (1 << pt) if v >= 0
+                    else -((-int(v)) >> pt) for v in zz[lo:hi_ + 1]]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    yield from flush()
+                continue
+            yield from flush()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    yield ("sym", tid, 0xF0)
+                    run -= 16
+                s = _size_cat(v)
+                yield ("sym", tid, (run << 4) | s)
+                yield ("bits", _value_bits(v, s), s)
+                run = 0
+            if nz[-1] < hi_ - lo:
+                eobrun += 1
+        yield from flush()
+
+    def ac_refine_events(ci, lo, hi_, ah, pt):
+        tid = (1, tid_of[ci])
+        eobrun = 0
+        pending = []
+
+        def flush():
+            nonlocal eobrun, pending
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                yield ("sym", tid, r << 4)
+                yield ("bits", eobrun - (1 << r), r)
+                for b in pending:
+                    yield ("bits", b, 1)
+                pending = []
+                eobrun = 0
+
+        for zz in raster_blocks(ci):
+            band = [int(v) for v in zz[lo:hi_ + 1]]
+            prev = [abs(v) >> ah != 0 for v in band]
+            newly = [not p and ((abs(v) >> pt) & 1) == 1
+                     for p, v in zip(prev, band)]
+            corr = [(abs(v) >> pt) & 1 for v in band]
+            nks = [i for i, nw in enumerate(newly) if nw]
+            if not nks:
+                eobrun += 1
+                pending += [corr[i] for i, p in enumerate(prev) if p]
+                if eobrun == 0x7FFF:
+                    yield from flush()
+                continue
+            yield from flush()
+            k = 0
+            for nk in nks:
+                r = sum(1 for j in range(k, nk) if not prev[j])
+                while r > 15:
+                    yield ("sym", tid, 0xF0)      # ZRL: 16 history-zeros
+                    consumed = 0
+                    while consumed < 16:
+                        if prev[k]:
+                            yield ("bits", corr[k], 1)
+                        else:
+                            consumed += 1
+                        k += 1
+                    r -= 16
+                yield ("sym", tid, (r << 4) | 1)
+                yield ("bits", 1 if band[nk] > 0 else 0, 1)
+                for j in range(k, nk):
+                    if prev[j]:
+                        yield ("bits", corr[j], 1)
+                k = nk + 1
+            if k <= hi_ - lo:
+                eobrun += 1
+                pending += [corr[j] for j in range(k, hi_ - lo + 1)
+                            if prev[j]]
+        yield from flush()
+
+    # scan script: DC first, DC refinements, AC firsts, AC refinements
+    scans = [(dc_first_events(al), list(range(len(comps))), 0, 0, 0, al)]
+    for a in range(al - 1, -1, -1):
+        scans.append((dc_refine_events(a), list(range(len(comps))),
+                      0, 0, a + 1, a))
+    for lo, hi_ in bands:
+        for ci in range(len(comps)):
+            scans.append((ac_first_events(ci, lo, hi_, al), [ci],
+                          lo, hi_, 0, al))
+    for a in range(al - 1, -1, -1):
+        for lo, hi_ in bands:
+            for ci in range(len(comps)):
+                scans.append((ac_refine_events(ci, lo, hi_, a + 1, a),
+                              [ci], lo, hi_, a + 1, a))
+
+    out, seg = _headers(h, w, comps, 0xC2)
+    for events, scomps, ss, se, ah, pt in scans:
+        events = list(events)
+        freqs = {}
+        for ev in events:
+            if ev[0] == "sym":
+                freqs.setdefault(ev[1], {})[ev[2]] = \
+                    freqs.get(ev[1], {}).get(ev[2], 0) + 1
+        tables = {k: _canonical(v) for k, v in freqs.items()}
+        for (cls, tid), (counts, symbols, _) in sorted(tables.items()):
+            seg(0xC4, bytes([(cls << 4) | tid]) + counts + symbols)
+        bw_ = _BitWriter()
+        for ev in events:
+            if ev[0] == "sym":
+                code, ln = tables[ev[1]][2][ev[2]]
+                bw_.write(code, ln)
+            elif ev[2]:
+                bw_.write(ev[1], ev[2])
+        bw_.flush()
+        sos = bytes([len(scomps)])
+        for ci in scomps:
+            tq = tid_of[ci]
+            sos += bytes([ci + 1, (tq << 4) | tq])
+        sos += bytes([ss, se, (ah << 4) | pt])
+        seg(0xDA, sos)
+        out.extend(bw_.out)
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -102,9 +102,13 @@ def test_greyscale_single_component():
 def test_unsupported_variants_return_none():
     img = _smooth(16, 16)
     payload = bytearray(encode_jpeg(img))
-    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
     i = payload.find(b"\xff\xc0")
+    # SOF2 header over a baseline full-band scan: malformed progressive
+    # (a real progressive stream decodes — see test_progressive_*)
     payload[i + 1] = 0xC2
+    assert decode_jpeg(bytes(payload)) is None
+    # arithmetic-coded SOF9 is genuinely out of scope
+    payload[i + 1] = 0xC9
     assert decode_jpeg(bytes(payload)) is None
     # truncation mid-entropy
     assert decode_jpeg(bytes(encode_jpeg(img))[:40]) in (None,)
@@ -196,3 +200,59 @@ def test_sample_video_frames_mjpeg_end_to_end(spark):
                    key=lambda r: r.frame_ts)
     assert [r.frame_ts for r in other] == [0, 500, 1000]
     assert all(r.frame_payload is None for r in other)
+
+
+# ---------------------------------------------------------------- progressive
+
+def test_progressive_equals_baseline_444():
+    """Same quantized coefficients -> the progressive scan script must
+    reconstruct EXACTLY the baseline decode, pixel for pixel."""
+    from _jpeg_ref import encode_jpeg_progressive
+
+    img = _smooth(40, 56, seed=21)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert prog is not None
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_equals_baseline_420_quantized():
+    from _jpeg_ref import encode_jpeg_progressive
+
+    img = _smooth(37, 43, seed=22)
+    q = np.full((8, 8), 8.0)
+    base = decode_jpeg(encode_jpeg(img, subsample=True, quant_y=q,
+                                   quant_c=q))
+    prog = decode_jpeg(encode_jpeg_progressive(img, subsample=True,
+                                               quant_y=q, quant_c=q))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_two_refinement_levels():
+    from _jpeg_ref import encode_jpeg_progressive
+
+    img = _smooth(24, 32, seed=23)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(
+        img, al=2, bands=((1, 2), (3, 20), (21, 63))))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_spectral_only_no_refinement():
+    from _jpeg_ref import encode_jpeg_progressive
+
+    img = _smooth(29, 35, seed=24)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img, al=0,
+                                               bands=((1, 63),)))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_greyscale():
+    from _jpeg_ref import encode_jpeg_progressive
+
+    g = _smooth(21, 19)[:, :, 0]
+    img = np.dstack([g, g, g])
+    base = decode_jpeg(encode_jpeg(img, greyscale=True))
+    prog = decode_jpeg(encode_jpeg_progressive(img, greyscale=True))
+    np.testing.assert_array_equal(prog, base)

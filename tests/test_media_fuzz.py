@@ -14,7 +14,7 @@ from fstd2pandas_spark.operators.llm.jpeg import decode_jpeg
 from fstd2pandas_spark.operators.llm.multimodal import (
     decode_image, decode_wav, parse_avi)
 
-from _jpeg_ref import encode_jpeg
+from _jpeg_ref import encode_jpeg, encode_jpeg_progressive
 from _png_ref import encode_png
 
 
@@ -25,6 +25,7 @@ def _img(seed):
 
 _VALID = {
     "jpeg": encode_jpeg(_img(1)),
+    "jpeg_prog": encode_jpeg_progressive(_img(4)),
     "png": encode_png(_img(2), ctype=2),
     "png_adam7": encode_png(_img(3), ctype=2, interlace=1),
 }
