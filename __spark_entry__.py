@@ -2169,27 +2169,34 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Also gates the corpus-hygiene layer (operators/llm/dedup.py):
     C4-style within-document line dedup (pinned by an md5 signature of
-    the deduped text) and corpus-level boilerplate 3-gram stats
+    the deduped text), corpus-level boilerplate 3-gram stats
     (distinct-span counts + how many are shared by >= 2 documents),
-    plus the combined Gopher rule verdict (text.py gopher_filter) over
-    whichever metric columns are present."""
+    Lee et al. 2022 exact duplicated-substring spans (duplicate_spans:
+    corpus-wide 8-token window hashes, merged spans, cleaned-text md5
+    signature), plus the combined Gopher rule verdict (text.py
+    gopher_filter) over whichever metric columns are present."""
     from fstd2pandas_spark.operators.llm import quality_score
     from fstd2pandas_spark.operators.llm.dedup import (
-        boilerplate_span_stats, dedup_lines)
+        boilerplate_span_stats, dedup_lines, duplicate_spans)
     from fstd2pandas_spark.operators.llm.sampling import hash_split
     from fstd2pandas_spark.operators.llm.text import gopher_filter
 
     docs = _load(spark, sf_dir, "documents")
     enriched = boilerplate_span_stats(
-        dedup_lines(hash_split(gopher_filter(quality_score(docs)),
-                               val_pct=5)),
+        duplicate_spans(
+            dedup_lines(hash_split(gopher_filter(quality_score(docs)),
+                                   val_pct=5)),
+            k=8, min_count=2),
         k=3, min_df=2,
     ).withColumn("line_dedup_sig",
-                 F.substring(F.md5(F.col("line_deduped")), 1, 8))
+                 F.substring(F.md5(F.col("line_deduped")), 1, 8)) \
+     .withColumn("substr_sig",
+                 F.substring(F.md5(F.col("substr_cleaned")), 1, 8))
     return enriched.select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
         "stop_ratio", "quality", "split", "line_dedup_sig",
-        "n_spans", "n_boilerplate_spans", "gopher_fails", "gopher_keep",
+        "n_spans", "n_boilerplate_spans", "n_dup_spans", "n_dup_tokens",
+        "substr_sig", "gopher_fails", "gopher_keep",
     ).orderBy("doc_id")
 
 
@@ -2226,7 +2233,32 @@ def _quality_sql() -> str:
   b AS (SELECT span FROM (SELECT span, count(*) AS c FROM u GROUP BY span)
         WHERE c >= 2),
   h AS (SELECT u.doc_id, count(*) AS nb
-        FROM u JOIN b USING (span) GROUP BY u.doc_id)
+        FROM u JOIN b USING (span) GROUP BY u.doc_id),
+  -- Lee et al. exact duplicated-substring spans (k=8, min_count=2)
+  dtk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+  dw AS (SELECT doc_id, p - 1 AS pos,
+                md5(array_to_string(list_slice(t, p, p + 7), ' ')) AS dsh
+         FROM dtk, UNNEST(generate_series(1, len(t) - 7)) AS uu(p)
+         WHERE len(t) >= 8),
+  ddh AS (SELECT dsh FROM dw GROUP BY dsh HAVING count(*) >= 2),
+  ddp AS (SELECT dw.doc_id, dw.pos FROM dw JOIN ddh USING (dsh)),
+  dcov AS (SELECT DISTINCT doc_id, pos + j AS idx
+           FROM ddp, UNNEST(generate_series(0, 7)) AS g(j)),
+  disl AS (SELECT doc_id, idx,
+                  idx - row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY idx) AS grp
+           FROM dcov),
+  dspn AS (SELECT doc_id, count(DISTINCT grp) AS n_dup_spans,
+                  count(*) AS n_dup_tokens FROM disl GROUP BY doc_id),
+  dtok AS (SELECT doc_id, j AS idx, t[j + 1] AS tok
+           FROM dtk, UNNEST(generate_series(0, len(t) - 1)) AS s2(j)),
+  dkeep AS (SELECT dtok.doc_id, dtok.idx, dtok.tok
+            FROM dtok LEFT JOIN dcov ON dcov.doc_id = dtok.doc_id
+                                     AND dcov.idx = dtok.idx
+            WHERE dcov.idx IS NULL),
+  dcln AS (SELECT doc_id,
+                  coalesce(string_agg(tok, ' ' ORDER BY idx), '') AS cleaned
+           FROM dkeep GROUP BY doc_id)
   SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stop_ratio,
          -- CASE instead of least(): DuckDB's least() on DECIMALs returns
          -- DOUBLE, which would reintroduce float tie-noise
@@ -2252,6 +2284,9 @@ def _quality_sql() -> str:
            chr(10))), 1, 8) AS line_dedup_sig,
          CAST(len(sp.spans) AS BIGINT) AS n_spans,
          CAST(coalesce(h.nb, 0) AS BIGINT) AS n_boilerplate_spans,
+         CAST(coalesce(dspn.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         CAST(coalesce(dspn.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+         substr(md5(coalesce(dcln.cleaned, '')), 1, 8) AS substr_sig,
          CAST((CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
             + (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END)
             + (CASE WHEN stop_ratio BETWEEN 0.02 AND 1.0 THEN 0 ELSE 1 END)
@@ -2263,6 +2298,8 @@ def _quality_sql() -> str:
   JOIN (SELECT doc_id, text FROM documents) d USING (doc_id)
   JOIN sp USING (doc_id)
   LEFT JOIN h USING (doc_id)
+  LEFT JOIN dspn USING (doc_id)
+  LEFT JOIN dcln USING (doc_id)
   ORDER BY doc_id
 """
 

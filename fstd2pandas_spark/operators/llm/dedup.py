@@ -487,3 +487,76 @@ def simhash_report(df: DataFrame, text_col: str = "text",
         F.size("ms").alias("n_docs"),
         F.col("ms")[0]["i"].alias("min_doc"))
     return buckets, _pairs_from_grouped(grouped, max_hamming)
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8,
+                    min_count: int = 2, clean: bool = True) -> DataFrame:
+    """Exact duplicated-substring detection/removal in the style of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): every k-token window is hashed; windows whose hash occurs
+    >= `min_count` times across the WHOLE corpus (including within one
+    document) mark their k tokens as duplicated; overlapping marks
+    merge into maximal spans.
+
+    Adds: ``n_dup_spans`` (maximal duplicated spans), ``n_dup_tokens``
+    (tokens covered by any duplicated window) and, with ``clean=True``,
+    ``substr_cleaned`` — the lowercase text with duplicated spans cut
+    out (the Lee et al. removal step; whitespace-exact for the kept
+    tokens). NULL ``text_col`` yields NULL metrics.
+
+    Scale shape: ONE corpus-wide window explode (~n_tokens rows — the
+    inherent cost of substring-level dedup), a groupBy(hash) count with
+    map-side partial aggregation, a merge-hinted join back (output ==
+    occurrence rows of duplicated hashes: a viral boilerplate hash
+    cannot blow the join up the way a pair-join would, its occurrences
+    stream through one sort-merge group), and a per-document
+    aggregation bounded by document length. The span merge is a single
+    array fold over the sorted duplicate positions; span-list rebuild
+    per step makes it O(|positions| * |spans|) per document — bounded
+    by document size, never corpus size.
+    """
+    df = ensure_min_partitions(df)
+    with_t = df.withColumn("_tk", tokens_col(F.col(text_col)))
+    wh = F.when(
+        F.size("_tk") >= k,
+        F.expr(f"transform(sequence(0, size(_tk) - {k}), "
+               f"p -> md5(array_join(slice(_tk, p + 1, {k}), ' ')))"),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    wins = with_t.select(F.col(id_col), F.posexplode(wh).alias("_p", "_h"))
+    dup_h = (wins.groupBy("_h").agg(F.count("*").alias("_c"))
+             .filter(F.col("_c") >= min_count).select("_h"))
+    perdoc = (wins.hint("merge").join(dup_h, "_h")
+              .groupBy(id_col)
+              .agg(F.sort_array(F.collect_list("_p")).alias("_P")))
+    out = with_t.join(perdoc, id_col, "left")
+    # merge sorted window starts into maximal [s, e) spans: seed with a
+    # sentinel so the fold's CASE never probes an empty accumulator
+    spans = (
+        "slice(aggregate(_P, array(named_struct('s', -1, 'e', -1)), "
+        "(acc, p) -> CASE WHEN element_at(acc, -1).e >= p "
+        "THEN concat(slice(acc, 1, size(acc) - 1), "
+        "array(named_struct('s', element_at(acc, -1).s, "
+        f"'e', greatest(element_at(acc, -1).e, p + {k})))) "
+        f"ELSE concat(acc, array(named_struct('s', p, 'e', p + {k}))) "
+        "END), 2, 2147483647)"
+    )
+    out = out.withColumn(
+        "_spans", F.when(F.col(text_col).isNotNull(),
+                         F.coalesce(F.expr(spans),
+                                    F.expr("array()").cast(
+                                        "array<struct<s:int,e:int>>"))))
+    out = out.withColumn(
+        "n_dup_spans",
+        F.when(F.col(text_col).isNotNull(), F.size("_spans"))
+    ).withColumn(
+        "n_dup_tokens",
+        F.when(F.col(text_col).isNotNull(),
+               F.expr("aggregate(_spans, 0, (a, sp) -> a + sp.e - sp.s)")))
+    if clean:
+        out = out.withColumn(
+            "substr_cleaned",
+            F.when(F.col(text_col).isNotNull(), F.expr(
+                "array_join(filter(_tk, (t, i) -> NOT exists(_spans, "
+                "sp -> i >= sp.s AND i < sp.e)), ' ')")))
+    return out.drop("_tk", "_P", "_spans")

@@ -923,3 +923,52 @@ def test_review2_null_contracts_and_scrub(spark):
     row = url_metrics(u, blocklist=["blocked.example.com"]).collect()[0]
     assert row["first_domain"] == "blocked.example.com"
     assert row["blocked_domain"] is True
+
+
+def test_duplicate_spans_semantics(spark):
+    """Lee et al. substring dedup: corpus-wide k-token window hashes,
+    merged spans, span removal; within-document repeats count too."""
+    from fstd2pandas_spark.operators.llm.dedup import duplicate_spans
+
+    df = spark.createDataFrame([
+        (1, "a b c d e f g h X Y a b c d e f g h Z"),
+        (2, "unique words only here nothing repeats at all in this one"),
+        (3, "a b c d e f g h tail tail2 tail3"),
+        (4, None),
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in duplicate_spans(df, k=8).collect()}
+    # doc 1: the 8-gram repeats at pos 0 and 10 (in-doc) and in doc 3
+    assert (rows[1].n_dup_spans, rows[1].n_dup_tokens) == (2, 16)
+    assert rows[1].substr_cleaned == "x y z"  # lowercased kept tokens
+    assert (rows[2].n_dup_spans, rows[2].n_dup_tokens) == (0, 0)
+    assert rows[2].substr_cleaned == rows[2].text
+    assert (rows[3].n_dup_spans, rows[3].n_dup_tokens) == (1, 8)
+    assert rows[3].substr_cleaned == "tail tail2 tail3"
+    assert rows[4].n_dup_spans is None and rows[4].substr_cleaned is None
+    # overlapping windows merge into ONE maximal span
+    df2 = spark.createDataFrame([
+        (1, "p q r s t u v w x y tail1"),
+        (2, "p q r s t u v w x y tail2"),
+    ], "doc_id long, text string")
+    r2 = {r.doc_id: r for r in duplicate_spans(df2, k=8).collect()}
+    # 10 shared tokens -> 3 dup windows (pos 0,1,2) -> one span of 10
+    assert (r2[1].n_dup_spans, r2[1].n_dup_tokens) == (1, 10)
+    assert r2[1].substr_cleaned == "tail1"
+
+
+def test_duplicate_spans_viral_hash_no_blowup(spark):
+    """A boilerplate window shared by EVERY document is a semi-join,
+    not a pair-join: flagged rows == occurrence rows, so the output
+    stays linear in the corpus (no d^2 explosion on one reducer)."""
+    from fstd2pandas_spark.operators.llm.dedup import duplicate_spans
+
+    boiler = "this page is served by the example dot com network"
+    df = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} filler{i} words{i}") for i in range(60)],
+        "doc_id long, text string")
+    rows = duplicate_spans(df, k=8).collect()
+    assert len(rows) == 60                       # one row per doc, always
+    assert all(r.n_dup_tokens >= 8 for r in rows)
+    plan = duplicate_spans(df, k=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
