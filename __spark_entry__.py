@@ -405,20 +405,68 @@ _Q_CONDAGG_SQL = """
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window aggregation (batch twin of the streaming op)."""
+    """Tumbling-window aggregation (batch twin of the streaming op)
+    unioned with gap-based session windows (operators/sessions.py
+    sessionize — F.session_window, 30-minute gap; same expression runs
+    on the watermarked stream, tests/test_streaming.py). Unified
+    (kind, k1, k2, n, sum_value, dur_s): hour=(epoch hour, event_type,
+    count, sum, NULL), session=(epoch start, user_id, count, sum,
+    end-start seconds with end = last event + gap)."""
+    from fstd2pandas_spark.operators.sessions import sessionize
+
     ev = _load(spark, sf_dir, "events")
-    return (
+    hourly = (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
         .agg(F.count("*").cast("long").alias("n"),
              F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"))
-        .orderBy("hour", "event_type")
+        .select(F.lit("hour").alias("kind"),
+                F.unix_timestamp("hour").alias("k1"),
+                F.col("event_type").alias("k2"), "n", "sum_value",
+                F.lit(None).cast("long").alias("dur_s"))
     )
+    sessions = sessionize(ev, gap="30 minutes").select(
+        F.lit("session").alias("kind"),
+        F.unix_timestamp("session_start").alias("k1"),
+        F.col("user_id").cast("string").alias("k2"),
+        F.col("n_events").alias("n"), "sum_value",
+        (F.unix_timestamp("session_end")
+         - F.unix_timestamp("session_start")).alias("dur_s"))
+    return hourly.unionByName(sessions).orderBy("kind", "k1", "k2")
 
 
 _Q_EVENTS_SQL = """
-  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
-  FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+  WITH h AS (
+    SELECT 'hour' AS kind,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS k1,
+           event_type AS k2, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+           CAST(NULL AS BIGINT) AS dur_s
+    FROM events GROUP BY 2, 3),
+  brk AS (
+    SELECT user_id, ts, value,
+           -- Spark merges sessions when the gap is <= 30 min (windows
+           -- [t, t+gap) merge on overlap OR touch), so a new session
+           -- starts only on a STRICTLY larger gap
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS b
+    FROM events),
+  g AS (SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+        FROM brk),
+  s AS (
+    SELECT 'session' AS kind,
+           -- floor(), not CAST: Spark's unix_timestamp truncates
+           -- sub-second timestamps while a DuckDB BIGINT cast rounds
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS k1,
+           CAST(user_id AS VARCHAR) AS k2,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+           CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE))
+                - floor(epoch(min(ts))) AS BIGINT) AS dur_s
+    FROM g GROUP BY user_id, sid)
+  SELECT * FROM h UNION ALL SELECT * FROM s ORDER BY kind, k1, k2
 """
 
 

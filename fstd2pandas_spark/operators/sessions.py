@@ -1,0 +1,42 @@
+"""Session-window rollups (extension alongside SURVEY §2.10): gap-based
+sessions over an event stream, one expression for batch AND Structured
+Streaming.
+
+``F.session_window`` is the engine-native path: Catalyst merges
+overlapping [t, t+gap) windows per key (batch), and the streaming
+runtime keeps per-key session state that a watermark expires — the
+exact semantics a hand-rolled gaps-and-islands window would need a
+stateful shuffle to reproduce. Session boundary: a new session starts
+when an event arrives >= gap after the previous one (windows merge only
+on strict overlap).
+
+Scale shape: ONE shuffle on the session key (the groupBy); no global
+sort, no per-user collect. Skewed keys (one bot user with millions of
+events) stay inside Spark's aggregation machinery — state is one
+running (start, end, count, sum) per open session, not the event list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sessionize(df: DataFrame, ts_col: str = "ts",
+               key_col: str = "user_id", gap: str = "30 minutes",
+               value_col: str = "value") -> DataFrame:
+    """Per-key session stats: (key, session_start, session_end,
+    n_events, sum_value). ``session_end`` is Spark's definition — last
+    event + gap. Works unchanged on a watermarked stream (append mode
+    emits a session once the watermark passes its close)."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(w, F.col(key_col))
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.round(F.sum(F.col(value_col).cast("decimal(18,6)"))
+                     .cast("double"), 4).alias("sum_value"))
+        .select(F.col(key_col),
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events", "sum_value")
+    )

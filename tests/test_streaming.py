@@ -220,3 +220,35 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     assert g_hashes == b_hashes
     # the survivor carries real payload: its text re-hashes to its key
     assert got.filter(F.md5("text") != F.col("content_hash")).count() == 0
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Session windows on a watermarked event stream: after draining
+    with availableNow (complete mode — every session closed), the sink
+    equals the batch sessionize of the same events."""
+    import datetime as dt
+
+    from fstd2pandas_spark.operators.sessions import sessionize
+    from fstd2pandas_spark.streaming.record_stream import run_to_memory
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for u in range(5):
+        t = base + dt.timedelta(minutes=u)
+        for i in range(20):
+            # alternating small steps and > gap jumps => several sessions
+            t += dt.timedelta(minutes=(40 if i % 7 == 3 else 5))
+            rows.append((u * 100 + i, t, u, "e", float(i), ""))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    zone = str(tmp_path / "events_zone")
+    df.coalesce(2).write.parquet(zone)
+
+    stream = (spark.readStream.schema(df.schema).parquet(zone)
+              .withWatermark("ts", "1 minute"))
+    run_to_memory(sessionize(stream, gap="30 minutes"),
+                  "sess_sink", output_mode="complete")
+    got = {tuple(r) for r in spark.table("sess_sink").collect()}
+    want = {tuple(r) for r in sessionize(df, gap="30 minutes").collect()}
+    assert got == want and len(want) > 5
