@@ -2461,12 +2461,40 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with one Lloyd k-means refinement pass (similarity.py
     lloyd_refine): md5-seeded centroids -> per-cell member means via
     order-free quantized-integer sums, then inverted lists + nprobe
-    bucket joins. The oracle rebuilds the same refined index in SQL."""
+    bucket joins — kind='ann' rows. Plus the product-quantization layer
+    (similarity.py pq_train/pq_encode/pq_adc_topk, Jegou et al. 2011):
+    kind='pq' rows carry each vector's packed 32-bit code (m=8 x 4-bit
+    sub-codes from a deterministically trained codebook: md5(id)-ranked
+    data seeds + one quantized-integer Lloyd pass) and its
+    reconstruction cosine; kind='adc' rows are the asymmetric-distance
+    top-k over the codes. The oracle rebuilds codebook, codes and ADC
+    ranks in SQL."""
     from fstd2pandas_spark.operators.llm import ivf_ann_topk
+    from fstd2pandas_spark.operators.llm.similarity import (
+        cosine_col, pq_adc_topk, pq_encode, pq_reconstruct_col, pq_train)
 
     emb = _load(spark, sf_dir, "embeddings")
-    return ivf_ann_topk(emb, k=5, n_cells=8, nprobe=2, dim=64,
-                        n_queries=10, refine=1).orderBy("query_id", "rank")
+    ann = ivf_ann_topk(emb, k=5, n_cells=8, nprobe=2, dim=64,
+                       n_queries=10, refine=1).select(
+        F.lit("ann").alias("kind"), "query_id", "neighbor_id",
+        "cos", "rank")
+    cb = pq_train(emb, m=8, ksub=16, dim=64, iters=1)
+    coded = pq_encode(emb, m=8, ksub=16, dim=64, codebook=cb)
+    recon = pq_reconstruct_col(F.col("pq_codes"), 8, 16, 8, cb)
+    pq = coded.select(
+        F.lit("pq").alias("kind"),
+        F.col("vec_id").alias("query_id"),
+        F.col("pq_packed").alias("neighbor_id"),
+        F.round(cosine_col(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            recon), 6).alias("cos"),
+        F.lit(0).alias("rank"))
+    adc = pq_adc_topk(emb, k=5, m=8, ksub=16, dim=64, n_queries=10,
+                      codebook=cb).select(
+        F.lit("adc").alias("kind"), "query_id", "neighbor_id",
+        F.col("adc").alias("cos"), "rank")
+    return (ann.unionByName(pq).unionByName(adc)
+            .orderBy("kind", "query_id", "rank", "neighbor_id"))
 
 
 def _ann_ivf_sql(n_cells: int = 8, nprobe: int = 2, dim: int = 64,
@@ -2510,16 +2538,89 @@ def _ann_ivf_sql(n_cells: int = 8, nprobe: int = 2, dim: int = 64,
   cand AS (SELECT vec_id AS neighbor_id, v AS cv, c AS cell
            FROM sc WHERE rn = 1),
   probe AS (SELECT vec_id AS query_id, v AS qv, c AS cell
-            FROM sc WHERE vec_id < {n_queries} AND rn <= {nprobe})
-  SELECT query_id, neighbor_id, cos, rank FROM (
-    SELECT p.query_id, c.neighbor_id,
-           round(list_cosine_similarity(p.qv, c.cv), 6) AS cos,
-           row_number() OVER (PARTITION BY p.query_id
-                              ORDER BY round(list_cosine_similarity(p.qv, c.cv), 6) DESC,
-                                       c.neighbor_id ASC) AS rank
-    FROM probe p JOIN cand c ON c.cell = p.cell
-    WHERE c.neighbor_id != p.query_id) t
-  WHERE rank <= {k} ORDER BY query_id, rank
+            FROM sc WHERE vec_id < {n_queries} AND rn <= {nprobe}),
+  ann AS (
+    SELECT 'ann' AS kind, query_id, neighbor_id, cos, rank FROM (
+      SELECT p.query_id, c.neighbor_id,
+             round(list_cosine_similarity(p.qv, c.cv), 6) AS cos,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY round(list_cosine_similarity(p.qv, c.cv), 6) DESC,
+                                         c.neighbor_id ASC) AS rank
+      FROM probe p JOIN cand c ON c.cell = p.cell
+      WHERE c.neighbor_id != p.query_id) t
+    WHERE rank <= {k}),
+  -- product quantization (m=8 subspaces of 8 dims, ksub=16 codes):
+  -- codebook seeded from the 16 md5(id)-ranked vectors' subvectors,
+  -- one quantized-integer Lloyd pass, then per-subspace L2 argmin
+  sd AS (
+    SELECT v, row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+    FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+  cb0 AS (
+    SELECT s.sub, sd.c,
+           list_slice(sd.v, s.sub * 8 + 1, s.sub * 8 + 8) AS w
+    FROM sd, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+  sv0 AS (
+    SELECT e.vec_id, s.sub,
+           list_slice(e.v, s.sub * 8 + 1, s.sub * 8 + 8) AS sv
+    FROM e, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+  asg0 AS (
+    SELECT sv0.vec_id, sv0.sub, sv0.sv, cb0.c,
+           row_number() OVER (PARTITION BY sv0.vec_id, sv0.sub
+             ORDER BY list_dot_product(
+               list_transform(generate_series(1, 8),
+                              j -> sv0.sv[j] - cb0.w[j]),
+               list_transform(generate_series(1, 8),
+                              j -> sv0.sv[j] - cb0.w[j])) ASC,
+               cb0.c ASC) AS rn
+    FROM sv0 JOIN cb0 ON cb0.sub = sv0.sub),
+  lsum AS (
+    SELECT sub, c, u.j AS j, count(*) AS n,
+           sum(CAST(floor(sv[u.j] * 1048576.0) AS BIGINT)) AS s
+    FROM asg0, UNNEST(generate_series(1, 8)) u(j)
+    WHERE rn = 1 GROUP BY sub, c, u.j),
+  cbr AS (SELECT sub, c, list(CAST(s AS DOUBLE) / (n * 1048576.0)
+                              ORDER BY j) AS w
+          FROM lsum GROUP BY sub, c),
+  cb AS (SELECT cb0.sub, cb0.c, COALESCE(cbr.w, cb0.w) AS w
+         FROM cb0 LEFT JOIN cbr ON cbr.sub = cb0.sub AND cbr.c = cb0.c),
+  codes AS (
+    SELECT vec_id, sub, c FROM (
+      SELECT sv0.vec_id, sv0.sub, cb.c,
+             row_number() OVER (PARTITION BY sv0.vec_id, sv0.sub
+               ORDER BY list_dot_product(
+                 list_transform(generate_series(1, 8),
+                                j -> sv0.sv[j] - cb.w[j]),
+                 list_transform(generate_series(1, 8),
+                                j -> sv0.sv[j] - cb.w[j])) ASC,
+                 cb.c ASC) AS rn
+      FROM sv0 JOIN cb ON cb.sub = sv0.sub) t
+    WHERE rn = 1),
+  recon AS (
+    SELECT codes.vec_id,
+           flatten(list(cb.w ORDER BY codes.sub)) AS r,
+           sum(CAST(codes.c AS BIGINT) << (4 * codes.sub)) AS packed
+    FROM codes JOIN cb ON cb.sub = codes.sub AND cb.c = codes.c
+    GROUP BY codes.vec_id),
+  pq AS (
+    SELECT 'pq' AS kind, e.vec_id AS query_id,
+           recon.packed AS neighbor_id,
+           round(list_cosine_similarity(e.v, recon.r), 6) AS cos,
+           0 AS rank
+    FROM e JOIN recon ON recon.vec_id = e.vec_id),
+  adc AS (
+    SELECT 'adc' AS kind, query_id, neighbor_id, adc AS cos, rank FROM (
+      SELECT q.vec_id AS query_id, recon.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, recon.r), 6) AS adc,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.v, recon.r), 6) DESC,
+                        recon.vec_id ASC) AS rank
+      FROM (SELECT * FROM e WHERE vec_id < {n_queries}) q
+      JOIN recon ON recon.vec_id != q.vec_id) t
+    WHERE rank <= {k})
+  SELECT * FROM ann UNION ALL SELECT * FROM pq UNION ALL
+  SELECT * FROM adc
+  ORDER BY kind, query_id, rank, neighbor_id
 """
 
 

@@ -334,3 +334,184 @@ def random_projection(emb: DataFrame, out_dim: int, dim: int,
 
     return emb.withColumn(
         vec_col, F.array(*[_component(o) for o in range(out_dim)]))
+
+
+# ---------------------------------------------------------------- PQ / ADC
+
+def _pq_centroid(sub: int, c: int, d_sub: int,
+                 codebook=None) -> Column:
+    """PQ sub-centroid as a Column array: a trained literal when a
+    codebook is given (:func:`pq_train`), else the md5-seeded fallback
+    (same recipe as the IVF centroids): w[j] in [-1, 1) from
+    ``pq{sub}_{c}_{j}``."""
+    if codebook is not None:
+        return F.array(*[F.lit(float(w)) for w in codebook[sub][c]])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(d_sub - 1)),
+        lambda j: F.conv(
+            F.substring(F.md5(F.concat(
+                F.lit(f"pq{sub}_{c}_"), j.cast("string"))), 1, 4),
+            16, 10).cast("double") / 32768.0 - 1.0,
+    )
+
+
+def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16, dim: int = 64,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             iters: int = 1) -> list:
+    """Deterministic PQ codebook training: seed each subspace's ksub
+    centroids from the subvectors of the ksub md5(id)-ranked vectors
+    (a data-scale k-means seeding no engine can disagree on), then run
+    `iters` Lloyd passes with the same quantized-integer sums as
+    :func:`lloyd_refine` — one shuffle per pass covering ALL subspaces
+    at once (group key (sub, code)), collects bounded by m * ksub.
+    Returns codebook[m][ksub][d_sub] of python floats."""
+    d_sub = dim // m
+    seed_rows = (emb.select(F.col(id_col), F.col(vec_col))
+                 .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+                 .orderBy("_h", id_col).limit(ksub).collect())
+    if len(seed_rows) < ksub:
+        raise ValueError(f"need >= {ksub} vectors to train a codebook")
+    codebook = [[[float(seed_rows[c][vec_col][sub * d_sub + j])
+                  for j in range(d_sub)]
+                 for c in range(ksub)]
+                for sub in range(m)]
+    for _ in range(iters):
+        subs = emb.select(F.posexplode(F.array(*[
+            F.struct(
+                F.lit(sub).alias("sub"),
+                F.array_sort(F.array(*[
+                    F.struct(_l2(
+                        F.transform(F.slice(F.col(vec_col),
+                                            sub * d_sub + 1, d_sub),
+                                    lambda x: x.cast("double")),
+                        _pq_centroid(sub, c, d_sub, codebook)).alias("d"),
+                        F.lit(c).alias("c"))
+                    for c in range(ksub)]))[0]["c"].alias("code"),
+                F.slice(F.col(vec_col), sub * d_sub + 1, d_sub)
+                .alias("sv"))
+            for sub in range(m)])).alias("_i", "_e")
+        ).select("_e.sub", "_e.code", "_e.sv")
+        agg = subs.groupBy("sub", "code").agg(
+            F.count("*").alias("_n"),
+            *[F.sum(F.floor(F.element_at("sv", j + 1).cast("double")
+                            * _LLOYD_Q).cast("long")).alias(f"_s{j}")
+              for j in range(d_sub)])
+        rows = {(int(r["sub"]), int(r["code"])): r for r in agg.collect()}
+        codebook = [
+            [([float(rows[(sub, c)][f"_s{j}"])
+               / (rows[(sub, c)]["_n"] * _LLOYD_Q)
+               for j in range(d_sub)]
+              if (sub, c) in rows and rows[(sub, c)]["_n"] > 0
+              else codebook[sub][c])
+             for c in range(ksub)]
+            for sub in range(m)
+        ]
+    return codebook
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_codes_col(vec: Column, m: int, ksub: int, dim: int,
+                 codebook=None) -> Column:
+    """Product-quantization code array (Jegou et al. 2011, public):
+    split the vector into `m` subvectors of dim/m, each coded as the
+    index of its nearest (L2) sub-centroid — ties break toward the
+    lower code. A narrow map: m * ksub fixed-size distance folds."""
+    if dim % m:
+        raise ValueError(f"dim ({dim}) must be a multiple of m ({m})")
+    d_sub = dim // m
+    codes = []
+    for sub in range(m):
+        sv = F.transform(
+            F.slice(vec, sub * d_sub + 1, d_sub),
+            lambda x: x.cast("double"))
+        # argmin via ONE struct sort (ties -> lower code): a when-chain
+        # would reference the running best twice per step and grow the
+        # expression tree 2^ksub
+        entries = F.array(*[
+            F.struct(_l2(sv, _pq_centroid(sub, c, d_sub, codebook))
+                     .alias("d"),
+                     F.lit(c).alias("c"))
+            for c in range(ksub)
+        ])
+        codes.append(F.array_sort(entries)[0]["c"])
+    return F.array(*codes)
+
+
+def pq_encode(emb: DataFrame, m: int = 8, ksub: int = 16, dim: int = 64,
+              vec_col: str = "embedding", codebook=None) -> DataFrame:
+    """Add ``pq_codes`` (array of m ints) and ``pq_packed`` — the codes
+    packed little-endian into ONE long when m * log2(ksub) <= 63 (NULL
+    otherwise; use the array); at corpus scale the packed code is the
+    stored representation: m*log2(ksub) bits per vector instead of
+    dim * 32."""
+    bits = max(1, (ksub - 1).bit_length())
+    codes = pq_codes_col(F.col(vec_col), m, ksub, dim, codebook)
+    coded = emb.withColumn("pq_codes", codes)
+    if m * bits > 63:
+        return coded.withColumn("pq_packed",
+                                F.lit(None).cast("long"))
+    packed = None
+    for sub in range(m):
+        term = F.shiftleft(
+            F.element_at(F.col("pq_codes"), sub + 1).cast("long"),
+            sub * bits)
+        packed = term if packed is None else packed + term
+    return coded.withColumn("pq_packed", packed)
+
+
+def pq_reconstruct_col(codes: Column, m: int, ksub: int,
+                       d_sub: int, codebook=None) -> Column:
+    """Decode a PQ code array back to its approximate vector: the
+    concatenation of the coded sub-centroids."""
+    parts = []
+    for sub in range(m):
+        cents = F.array(*[_pq_centroid(sub, c, d_sub, codebook)
+                          for c in range(ksub)])
+        parts.append(F.element_at(
+            cents, F.element_at(codes, sub + 1) + 1))
+    return F.concat(*parts)
+
+
+def pq_adc_topk(emb: DataFrame, k: int = 5, m: int = 8, ksub: int = 16,
+                dim: int = 64, id_col: str = "vec_id",
+                vec_col: str = "embedding", n_queries: int = 10,
+                train_iters: int = 1, codebook=None) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (the FAISS IndexPQ
+    baseline): queries stay full-precision, the corpus is its codes;
+    score(q, x) = <q, reconstruct(codes_x)> = sum_j <q_j,
+    cent[j][code_j]>. The corpus side carries ONLY (id, codes) — m *
+    log2(ksub) bits per vector — and the query side broadcasts (it is
+    the small side by construction); compose with
+    :func:`ivf_cell_col` cell filters for IVF-PQ candidate
+    restriction at larger scale. Returns (query_id, neighbor_id, adc,
+    rank) with adc rounded to 6 dp and ranks dense per query."""
+    d_sub = dim // m
+    if codebook is None and train_iters > 0:
+        codebook = pq_train(emb, m, ksub, dim, vec_col, id_col,
+                            iters=train_iters)
+    coded = pq_encode(ensure_min_partitions(emb), m, ksub, dim, vec_col,
+                      codebook) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                pq_reconstruct_col(F.col("pq_codes"), m, ksub, d_sub,
+                                   codebook).alias("_recon"))
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        .alias("_qv"))
+    joined = coded.crossJoin(F.broadcast(q)) \
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    # ONE sequential 64-dim fold against the reconstruction (not a sum
+    # of per-subspace dots): same float grouping as the oracle's
+    # list_dot_product, so the 6-dp rank keys agree bitwise
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(_dot(F.col("_qv"), F.col("_recon")), 6).alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
