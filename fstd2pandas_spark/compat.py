@@ -529,8 +529,18 @@ def get_2d_lat_lon_arr(grid_params: dict, spark=None):
     from pyspark.sql import SparkSession
 
     spark = spark or SparkSession.getActiveSession()
-    base = _df_from_grid(spark, grid_params)
-    out = _grid_lat_lon(base)
+    g = grid_params
+    base = _df_from_grid(spark, g)
+    # grid_lat_lon emits LA/LO per DATA row on the grid — add a
+    # template field row tied to the same grid id as the axis records
+    tpl = create_empty_dataframe(
+        spark, 1, nomvar="XX", grtyp=g["grtyp"],
+        ni=int(g["ni"]), nj=int(g["nj"]),
+        ig1=int(g["ig1"]), ig2=int(g["ig2"]),
+        grid=f"{int(g['ig1'])}{int(g['ig2'])}",
+        d=[0.0] * (int(g["ni"]) * int(g["nj"])))
+    out = _grid_lat_lon(base.unionByName(
+        tpl.select(base.columns), allowMissingColumns=True))
     rows = {r.nomvar: r for r in out.collect()}
     la, lo = rows["LA"], rows["LO"]
     lat = np.asarray(la.d, dtype=np.float64).reshape(la.nj, la.ni)
@@ -746,8 +756,8 @@ def encode_ip2_and_ip3_as_time_interval(df):
     pair = _encoders.encoded_time_interval_ips(
         F.col("ip2_dec"), F.col("ip3_dec"))
     return (df.withColumn("_iv", pair)
-            .withColumn("ip2", F.col("_iv")[0])
-            .withColumn("ip3", F.col("_iv")[1]).drop("_iv"))
+            .withColumn("ip2", F.col("_iv.ip2"))
+            .withColumn("ip3", F.col("_iv.ip3")).drop("_iv"))
 
 
 # --------------------------------------------------------- lookup helpers
@@ -932,11 +942,15 @@ def delete_file(my_file: str) -> None:
 
 def maybeFST(filename) -> bool:
     """std_io.py:136 magic sniff: XDF standard files and this engine's
-    portable fstrec container both count."""
+    portable fstrec container both count; a directory written by the
+    distributed writer counts when any file inside sniffs true."""
     from fstd2pandas_spark.sources.fstrec_format import maybe_fstrec
     from fstd2pandas_spark.sources.xdf_format import maybe_xdf
 
     path = str(filename)
+    if _os.path.isdir(path):
+        return any(maybeFST(_os.path.join(path, f))
+                   for f in sorted(_os.listdir(path)))
     if not _os.path.isfile(path):
         return False
     return maybe_xdf(path) or maybe_fstrec(path)
@@ -989,17 +1003,34 @@ def parallel_get_dataframe_from_file(files, get_records_func=None,
 
 
 def get_data(path: str, key: int, cache=None):
-    """std_io.py get_data: one record's payload by (path, key)."""
+    """std_io.py get_data: one record's payload by (path, key). `path`
+    is normally the record row's own ``path`` column (a concrete file);
+    a writer-output directory is searched header-only."""
     from fstd2pandas_spark.sources import fstrec_format as FR
     from fstd2pandas_spark.sources import xdf_format as XF
 
+    if _os.path.isdir(path):
+        for f in sorted(_os.listdir(path)):
+            full = _os.path.join(path, f)
+            if maybeFST(full):
+                try:
+                    return get_data(full, key)
+                except KeyError:
+                    continue
+        raise KeyError(f"key {key} not found under {path}")
+    # record keys are 1-based directory positions (the data source's
+    # convention, fst_datasource.py:157)
     if FR.maybe_fstrec(path):
-        headers = {h.key: h for h in FR.read_directory(path)}
+        headers = FR.read_directory(path)
+        if not 1 <= int(key) <= len(headers):
+            raise KeyError(f"key {key} not in {path}")
         with open(path, "rb") as f:
-            return FR.read_payload(f, headers[int(key)])
-    headers = {h.key: h for h in XF.read_xdf_directory(path)}
+            return FR.read_payload(f, headers[int(key) - 1])
+    headers = XF.read_xdf_directory(path)
+    if not 1 <= int(key) <= len(headers):
+        raise KeyError(f"key {key} not in {path}")
     with open(path, "rb") as f:
-        return XF.read_xdf_payload(f, headers[int(key)])
+        return XF.read_xdf_payload(f, headers[int(key) - 1])
 
 
 def get_path_and_key_from_array(darr):

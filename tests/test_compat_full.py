@@ -178,3 +178,104 @@ def test_is_global_grid_scalar():
     assert ok is True and rep is True
     assert C.is_global_grid({"grtyp": "A"}, lon) == (True, False)
     assert C.is_global_grid({"grtyp": "B"}, lon) == (True, True)
+
+
+def test_file_roundtrip_helpers(spark, tmp_path):
+    """write_dataframe_record_to_file -> maybeFST / get_basic_dataframe /
+    get_dataframe_from_file / get_data / compute round-trip."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from fixtures import build_fst_records
+
+    df = build_fst_records(spark)
+    target = str(tmp_path / "out.fst")
+    C.write_dataframe_record_to_file(target, df, mode="dump")
+    assert C.maybeFST(target) is True
+    back = C.get_basic_dataframe(target, spark=spark)
+    assert back.count() == df.count()
+    q = C.get_dataframe_from_file(target, query="nomvar == 'TT'",
+                                  spark=spark)
+    assert q.count() > 0
+    assert {r.nomvar for r in q.select("nomvar").distinct()
+            .collect()} == {"TT"}
+    # point read by (path, key)
+    row = back.select("key", "ni", "nj", "nk").first()
+    payload = C.get_data(target, row.key)
+    assert payload.size == row.ni * row.nj * row.nk
+    # driver-side materialization drops path/key
+    pdf = C.compute(back.limit(5))
+    assert "path" not in pdf.columns and len(pdf) == 5
+    assert C.get_file_modification_time(target) is not None
+
+
+def test_grid_and_vgrid_helpers(spark):
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from fixtures import build_fst_records
+
+    df = build_fst_records(spark)
+    # one-grid frame -> definition params dict
+    one = df.filter(F.col("nomvar") == ">>").limit(1)
+    params = C.get_grid_definition_params(one)
+    assert set(params) >= {"grtyp", "ni", "nj", "ig1"}
+    # lat/lon arrays for an axis-record grid built from scratch
+    import numpy as np
+    g = dict(grtyp="Z", grref="L", ni=3, nj=2, ig1=77, ig2=88,
+             ig1ref=0, ig2ref=0, ig3ref=0, ig4ref=0,
+             ax=np.array([10.0, 20.0, 30.0]), ay=np.array([40.0, 50.0]))
+    (lat, lon), = C.get_2d_lat_lon_arr(g, spark=spark)
+    assert lat.shape == (2, 3) and lon.shape == (2, 3)
+    np.testing.assert_allclose(lon[0], [10.0, 20.0, 30.0])
+    np.testing.assert_allclose(lat[:, 0], [40.0, 50.0])
+    # vgrid descriptor -> one-row '!!'
+    tt = C.get_df_from_vgrid(
+        {"kind": 5, "version": 2,
+         "vtbl": [[93423264.0, 0.25, 100.0], [94423264.0, 0.5, 50.0]]},
+        ip1=11, ip2=22, spark=spark)
+    r = tt.first()
+    assert r.nomvar == "!!" and r.ig1 == 5002
+    # vctype classification of the data rows
+    vt = C.get_vertical_coord(df, C.select_meta(df),
+                              df.filter(F.col("nomvar") == "TT"))
+    assert vt  # a vctype string or list of them
+
+
+def test_meta_picker_wrappers(spark):
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from fixtures import build_fst_records
+
+    df = build_fst_records(spark)
+    no_meta = df.filter(~F.col("nomvar").isin(
+        ">>", "^^", "^>", "!!", "HY", "P0", "PT", "LA", "LO"))
+    hyb = C.get_hybrid_ips(df)
+    hy = C.get_hy_field(df, hyb)
+    assert {r.nomvar for r in hy.select("nomvar").distinct()
+            .collect()} <= {"HY"}
+    assert C.get_hy_field(df, []).count() == 0  # explicit empty list
+    p0 = C.get_p0_fields(df, no_meta, hyb, C.get_sigma_ips(df))
+    assert {r.nomvar for r in p0.select("nomvar").distinct()
+            .collect()} <= {"P0"}
+    pt = C.get_pt_fields(df, no_meta, C.get_sigma_ips(df))
+    assert {r.nomvar for r in pt.select("nomvar").distinct()
+            .collect()} <= {"PT"}
+    sp = C.get_specific_meta_field(
+        df, None, "HY", *[r[0] for r in
+                          df.filter(F.col("nomvar") == "HY")
+                          .select("grid").limit(1).collect()],
+        *[(r.dateo, r.deet, r.npas) for r in
+          df.filter(F.col("nomvar") == "HY").limit(1).collect()][0])
+    assert sp.count() >= 0  # filter path executes
+
+
+def test_encode_interval_and_timezone(spark):
+    df = spark.createDataFrame(
+        [(1, 6.0, 12.0)], "id long, ip2_dec double, ip3_dec double")
+    out = C.encode_ip2_and_ip3_as_time_interval(df).first()
+    assert out.ip2 > 32768 or out.ip2 >= 0  # encoded new-style ips
+    tdf = spark.createDataFrame(
+        [(1,)], "id long").withColumn(
+            "t", F.lit("2024-06-01 12:00:00").cast("timestamp"))
+    shifted = C.add_timezone_column(tdf, "t", "America/Montreal")
+    cols = [c for c in shifted.columns if c.startswith("t_")]
+    assert cols and shifted.select(cols[0]).first()[0] is not None
