@@ -221,3 +221,48 @@ def test_repetition_and_scrub_are_narrow_maps(spark):
                     if "Exchange" in ln and "ReusedExchange" not in ln
                     and "RoundRobinPartitioning" not in ln]
         assert not shuffles, shuffles
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_sessionize_single_exchange(spark):
+    """Session windows are ONE shuffle on the session key: no extra
+    exchange may creep in (a sort+window formulation would add one)."""
+    from fstd2pandas_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(sessionize(ev))
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange" in ln and "ReusedExchange" not in ln]
+    assert len(shuffles) == 1, shuffles
+    assert "SessionWindow" in plan or "session_window" in plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_duplicate_spans_join_strategy(spark):
+    """The window-hash join back onto occurrences must never broadcast
+    the corpus side (the occurrence set IS the corpus at scale) and
+    never degenerate to a cartesian product."""
+    from fstd2pandas_spark.operators.llm.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = duplicate_spans(docs, k=8)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan  # the merge-hinted semi-join back
+
+
+def test_pq_encode_shuffle_free(spark):
+    """With a trained codebook in hand, PQ encoding is a pure narrow
+    map — codes for 100 TB of vectors at scan speed, no exchange."""
+    from fstd2pandas_spark.operators.llm.similarity import pq_encode
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = [[[0.1 * (c + j) for j in range(8)] for c in range(16)]
+          for _ in range(8)]
+    plan = _plan(pq_encode(emb, m=8, ksub=16, dim=64, codebook=cb))
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange" in ln and "ReusedExchange" not in ln
+                and "RoundRobinPartitioning" not in ln]
+    assert not shuffles, shuffles
