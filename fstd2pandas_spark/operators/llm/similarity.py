@@ -515,3 +515,56 @@ def pq_adc_topk(emb: DataFrame, k: int = 5, m: int = 8, ksub: int = 16,
         F.col("adc").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivf_pq_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
+                nprobe: int = 2, m: int = 8, ksub: int = 16,
+                dim: int = 64, id_col: str = "vec_id",
+                vec_col: str = "embedding", n_queries: int = 10,
+                refine: int = 0, train_iters: int = 1,
+                codebook=None) -> DataFrame:
+    """Composed IVF-PQ (the FAISS IndexIVFPQ shape — the standard
+    billion-scale ANN design): the IVF inverted lists bound the
+    CANDIDATE count (each query probes its nprobe best cells; the join
+    is a per-cell equi-join, never all-pairs) and the PQ codes bound
+    the MEMORY (candidates carry m*log2(ksub)-bit codes, reconstructed
+    to score, instead of dim * 32-bit vectors). Scores are asymmetric
+    distances: one sequential dot of the full-precision query against
+    the code reconstruction. Returns (query_id, neighbor_id, adc,
+    rank)."""
+    emb = ensure_min_partitions(emb)
+    weights = (lloyd_refine(emb, n_cells, dim, vec_col, iters=refine)
+               if refine else None)
+    if codebook is None and train_iters > 0:
+        codebook = pq_train(emb, m, ksub, dim, vec_col, id_col,
+                            iters=train_iters)
+    d_sub = dim // m
+    cand = pq_encode(emb, m, ksub, dim, vec_col, codebook).select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_cell_col(F.col(vec_col), n_cells, dim, weights)
+        .alias("_cell"),
+        pq_reconstruct_col(F.col("pq_codes"), m, ksub, d_sub, codebook)
+        .alias("_recon"))
+    probe_scores = F.array(*[
+        F.struct(
+            (-_dot(F.col(vec_col), _centroid_col(c, dim, weights)))
+            .alias("neg"),
+            F.lit(c).alias("cell"))
+        for c in range(n_cells)
+    ])
+    q = (emb.filter(F.col(id_col) < n_queries)
+         .select(F.col(id_col).alias("query_id"),
+                 F.transform(F.col(vec_col),
+                             lambda x: x.cast("double")).alias("_qv"),
+                 F.explode(
+                     F.slice(F.array_sort(probe_scores), 1, nprobe)
+                     ["cell"]).alias("_cell")))
+    scored = (cand.join(F.broadcast(q), "_cell")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(_dot(F.col("_qv"), F.col("_recon")), 6)
+                      .alias("adc")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

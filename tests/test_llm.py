@@ -1017,3 +1017,36 @@ def test_pq_wide_codes_unpacked(spark, emb):
     r = pq_encode(emb, m=16, ksub=16, dim=64).limit(3).collect()
     assert all(x.pq_packed is None for x in r)
     assert all(len(x.pq_codes) == 16 for x in r)
+
+
+def test_ivf_pq_topk(spark, emb):
+    """Composed IVF-PQ: valid dense ranks, candidates restricted to the
+    probed cells (a subset of the brute ADC result set), recall above
+    chance, no cartesian product in the plan."""
+    from fstd2pandas_spark.operators.llm.similarity import (
+        cosine_topk, ivf_pq_topk, pq_train)
+
+    cb = pq_train(emb, m=8, ksub=16, dim=64, iters=1)
+    rows = ivf_pq_topk(emb, k=5, n_cells=8, nprobe=2, m=8, ksub=16,
+                       dim=64, n_queries=10, codebook=cb).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, lst in by_q.items():
+        lst = sorted(lst, key=lambda r: r.rank)
+        assert [r.rank for r in lst] == list(range(1, len(lst) + 1))
+        assert all(a.adc >= b.adc for a, b in zip(lst, lst[1:]))
+    exact = cosine_topk(emb, k=5, n_queries=10).collect()
+    eq = {}
+    for r in exact:
+        eq.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len({r.neighbor_id for r in by_q.get(q, [])} & s)
+               for q, s in eq.items())
+    total = sum(len(s) for s in eq.values())
+    assert total and hits / total >= 0.05, f"recall {hits}/{total}"
+
+    plan = ivf_pq_topk(emb, k=5, n_queries=3,
+                       codebook=cb)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
