@@ -6,8 +6,9 @@ implements without external codecs: PPM (P6 binary / P3 ascii),
 uncompressed 24-bit BMP, PNG — grey/RGB/grey+alpha/RGBA at depths
 8/16, palette + greyscale at 1/2/4/8, plain and Adam7-interlaced,
 stdlib ``zlib`` + pure-numpy per-scanline unfiltering (all five PNG
-filter types) — and JPEG, sequential baseline AND progressive
-(Huffman DCT, any sampling, restart markers; ``jpeg.py``), all behind
+filter types) — JPEG, sequential baseline AND progressive (Huffman
+DCT, any sampling, restart markers; ``jpeg.py``) — and GIF 87a/89a
+(LZW, interlacing, animation composition; ``gif.py``), all behind
 :func:`decode_image`; :func:`resize_images` runs an actual
 nearest-neighbour resample + PPM re-encode. Audio decode is REAL for
 RIFF/WAVE PCM (8/16-bit, any channel count — :func:`decode_wav`), with
@@ -67,8 +68,8 @@ def decode_image(payload: bytes) -> "np.ndarray | None":
     """Pure-numpy decode of the self-implemented raster formats to an
     (h, w, 3) uint8 array: PPM P6 (binary) / P3 (ascii), uncompressed
     24-bit BMP, PNG (all spec depth/colour-type/interlace combinations
-    — see :func:`_decode_png`), and baseline + progressive JPEG
-    (``jpeg.py``).
+    — see :func:`_decode_png`), baseline + progressive JPEG
+    (``jpeg.py``), and GIF (first frame; ``gif.py``).
     Returns None for anything else — callers fall back to the
     opaque-payload featurizer."""
     if not payload:
@@ -82,6 +83,9 @@ def decode_image(payload: bytes) -> "np.ndarray | None":
     if payload[:3] == b"\xff\xd8\xff":
         from fstd2pandas_spark.operators.llm.jpeg import decode_jpeg
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        from fstd2pandas_spark.operators.llm.gif import decode_gif
+        return decode_gif(payload)
     return None
 
 
@@ -520,25 +524,40 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
         return range(0, max(int(duration_ms) - 1, 0) + 1, every_ms)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fstd2pandas_spark.operators.llm.gif import parse_gif
+
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start:start + batch_rows]
                 rows = []
                 for _, row in chunk.iterrows():
-                    parsed = parse_avi(row["payload"])
                     meta = {c: row[c] for c in meta_cols}
-                    if parsed is None:
-                        dur = row["duration_ms"]
-                        for ts in _sample(0 if pd.isna(dur) else dur):
+                    parsed = parse_avi(row["payload"])
+                    if parsed is not None:
+                        ms_per_frame, frames = parsed
+                        dur = ms_per_frame * len(frames)
+                        for ts in _sample(dur):
+                            idx = min(int(ts / ms_per_frame),
+                                      len(frames) - 1)
                             rows.append({**meta, "frame_ts": ts,
-                                         "frame_payload": None})
+                                         "frame_payload": frames[idx]})
                         continue
-                    ms_per_frame, frames = parsed
-                    dur = ms_per_frame * len(frames)
-                    for ts in _sample(dur):
-                        idx = min(int(ts / ms_per_frame), len(frames) - 1)
+                    gif = parse_gif(row["payload"])
+                    if gif is not None:
+                        delays, gframes = gif
+                        ends = np.cumsum(delays)
+                        for ts in _sample(int(ends[-1])):
+                            idx = int(np.searchsorted(ends, ts,
+                                                      side="right"))
+                            idx = min(idx, len(gframes) - 1)
+                            rows.append({**meta, "frame_ts": ts,
+                                         "frame_payload":
+                                         _encode_ppm(gframes[idx])})
+                        continue
+                    dur = row["duration_ms"]
+                    for ts in _sample(0 if pd.isna(dur) else dur):
                         rows.append({**meta, "frame_ts": ts,
-                                     "frame_payload": frames[idx]})
+                                     "frame_payload": None})
                 if rows:
                     yield pd.DataFrame(rows, columns=schema.names)
 

@@ -14,6 +14,7 @@ from fstd2pandas_spark.operators.llm.jpeg import decode_jpeg
 from fstd2pandas_spark.operators.llm.multimodal import (
     decode_image, decode_wav, parse_avi)
 
+from _gif_ref import encode_gif
 from _jpeg_ref import encode_jpeg, encode_jpeg_progressive
 from _png_ref import encode_png
 
@@ -28,6 +29,10 @@ _VALID = {
     "jpeg_prog": encode_jpeg_progressive(_img(4)),
     "png": encode_png(_img(2), ctype=2),
     "png_adam7": encode_png(_img(3), ctype=2, interlace=1),
+    "gif": encode_gif(
+        [np.random.RandomState(5).randint(0, 8, size=(16, 16))],
+        np.random.RandomState(6).randint(0, 256, size=(8, 3))
+        .astype(np.uint8)),
 }
 
 
@@ -58,7 +63,7 @@ def test_decoders_survive_corruption(kind, data):
     None or a well-formed array (bit rot, truncation mid-transfer and
     adversarial inputs all look like this in a crawl)."""
     payload = bytearray(_VALID[kind])
-    magic = 8 if kind.startswith("png") else 3
+    magic = {"png": 8, "gif": 6}.get(kind.split("_")[0], 3)
     pos = data.draw(st.integers(min_value=magic,
                                 max_value=len(payload) - 1))
     val = data.draw(st.integers(min_value=0, max_value=255))
