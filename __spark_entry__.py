@@ -1793,18 +1793,31 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the benchmark shingle set.
 
     Also gates stratified corpus-mix sampling (sampling.py
-    stratified_hash_sample): a deterministic per-language keep flag."""
+    stratified_hash_sample): a deterministic per-language keep flag —
+    and the HTML stripper (ingest.py html_to_text_col): each doc is
+    wrapped in a deterministic HTML envelope (head/script/entities/
+    block tags) and html_sig pins the stripped text byte-for-byte."""
     from fstd2pandas_spark.operators.llm import language_id
     from fstd2pandas_spark.operators.llm.decontam import contamination_overlap
+    from fstd2pandas_spark.operators.llm.ingest import html_to_text_col
     from fstd2pandas_spark.operators.llm.sampling import stratified_hash_sample
 
     docs = _load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") < 5)
     flagged = stratified_hash_sample(
         contamination_overlap(language_id(docs), bench), _STRAT_FRACS)
+    html = F.concat(
+        F.lit("<html><head><title>t</title></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit(" &amp; more&nbsp;here</p>"
+              "<script>var x = 1 < 2;</script>"
+              "<!-- note --><div>tail</div></body></html>"))
+    flagged = flagged.withColumn(
+        "html_sig", F.substring(F.md5(html_to_text_col(html)), 1, 8))
     return flagged.select(
         "doc_id", "lang", "lang_pred", "n_bench_shingles", "contaminated",
-        "sampled",
+        "sampled", "html_sig",
     ).orderBy("doc_id")
 
 
@@ -1827,6 +1840,30 @@ def _langid_sql() -> str:
         strat_thr = (f"CASE WHEN d.lang = '{name}' "
                      f"THEN {int(round(_STRAT_FRACS[name] * 10000))} "
                      f"ELSE {strat_thr} END")
+    # html_to_text_col mirror: identical regex chain (Java∩RE2 subset,
+    # no backreferences), identical entity-replace order, 'g' everywhere
+    # (DuckDB replaces only the first match by default)
+    html = ("concat('<html><head><title>t</title></head><body><h1>Doc ', "
+            "CAST(d.doc_id AS VARCHAR), '</h1><p>', d.text, "
+            "' &amp; more&nbsp;here</p>"
+            "<script>var x = 1 < 2;</script>"
+            "<!-- note --><div>tail</div></body></html>')")
+    stripped = html
+    for pat, rep in (
+        ("(?s)<script[^>]*>.*?</script>", "' '"),
+        ("(?s)<style[^>]*>.*?</style>", "' '"),
+        ("(?s)<head[^>]*>.*?</head>", "' '"),
+        ("(?s)<!--.*?-->", "' '"),
+        ("</?(p|div|br|li|tr|h1|h2|h3|h4|h5|h6)[^>]*>", "chr(10)"),
+        ("<[^>]+>", "' '"),
+    ):
+        stripped = f"regexp_replace({stripped}, '{pat}', {rep}, 'g')"
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''")):
+        stripped = f"replace({stripped}, '{ent}', '{rep}')"
+    for pat, rep in (("[ \\t]+", "' '"), (" ?\\n ?", "chr(10)"),
+                     ("\\n{2,}", "chr(10)"), ("^\\s+|\\s+$", "''")):
+        stripped = f"regexp_replace({stripped}, '{pat}', {rep}, 'g')"
     return f"""
   WITH sh AS (
     SELECT doc_id, shingle FROM (
@@ -1844,7 +1881,8 @@ def _langid_sql() -> str:
          coalesce(h.n_bench_shingles, 0) >= 1 AS contaminated,
          CAST(concat('0x', substr(md5(concat('strat1_',
               CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
-           < {strat_thr} AS sampled
+           < {strat_thr} AS sampled,
+         substr(md5({stripped}), 1, 8) AS html_sig
   FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
   ORDER BY d.doc_id"""
 

@@ -1,0 +1,169 @@
+"""Web-crawl ingestion front: WARC archives -> documents table, and
+HTML -> text stripping as native Column expressions.
+
+WARC (ISO 28500, the Common Crawl container) is parsed per shard file:
+``spark.read.format("binaryFile")`` gives one row per archive, and an
+Arrow-batched ``mapInPandas`` walks the records (gzip members via
+stdlib zlib — WARC shards are per-record gzip members, so one pass
+inflates them sequentially). One task per shard is the right grain:
+WARC gzip is non-splittable, and crawl shards are sized (~1 GB) for
+exactly this layout; 100 TB of crawl = ~100k shard tasks.
+
+HTML stripping is a chain of ``regexp_replace`` Column expressions —
+JVM-side, whole-stage-codegen, no Python in the hot path — over the
+same Java-and-RE2-shared regex subset the scrub layer uses, so an SQL
+oracle can reproduce it verbatim.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_DOC_SCHEMA = T.StructType([
+    T.StructField("shard", T.StringType(), False),
+    T.StructField("record_id", T.StringType(), True),
+    T.StructField("warc_type", T.StringType(), True),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("warc_date", T.StringType(), True),
+    T.StructField("content_type", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+])
+
+
+def _inflate_members(payload: bytes) -> bytes:
+    """Concatenate all gzip members (WARC shards are one member per
+    record); plain payloads pass through."""
+    if payload[:2] != b"\x1f\x8b":
+        return payload
+    out = []
+    pos = 0
+    while pos < len(payload):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out.append(d.decompress(payload[pos:]))
+        except zlib.error:
+            break
+        consumed = len(payload) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(out)
+
+
+def _parse_warc(raw: bytes):
+    """Walk WARC records: version line, headers to CRLFCRLF, then
+    Content-Length payload bytes + CRLFCRLF separator."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # tolerate stray blank lines between records
+        while pos < n and raw[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if not raw[pos:pos + 5] == b"WARC/":
+            break
+        head_end = raw.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        headers = {}
+        for line in raw[pos:head_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("ascii", "replace")] = \
+                v.strip().decode("utf-8", "replace")
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            break
+        body = raw[head_end + 4:head_end + 4 + length]
+        yield headers, body
+        pos = head_end + 4 + length
+
+
+def _http_body(body: bytes) -> "tuple[str | None, bytes]":
+    """Split an application/http payload into (Content-Type, body)."""
+    if not body.startswith(b"HTTP/"):
+        return None, body
+    head_end = body.find(b"\r\n\r\n")
+    if head_end < 0:
+        return None, body
+    ctype = None
+    for line in body[:head_end].split(b"\r\n")[1:]:
+        k, _, v = line.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("ascii", "replace")
+    return ctype, body[head_end + 4:]
+
+
+def read_warc(spark: SparkSession, path: str,
+              warc_types: "tuple[str, ...]" = ("response", "conversion"),
+              ) -> DataFrame:
+    """WARC shard files -> one row per kept record: (shard, record_id,
+    warc_type, url, warc_date, content_type, text). ``response``
+    payloads have their HTTP envelope stripped; body bytes decode as
+    UTF-8 with replacement (crawls are full of mojibake — a decode
+    error must not kill the shard task)."""
+    binary = spark.read.format("binaryFile").load(path)
+    keep = {t.lower() for t in warc_types}
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                rows = []
+                raw = _inflate_members(bytes(row["content"]))
+                for headers, body in _parse_warc(raw):
+                    wtype = headers.get("warc-type", "").lower()
+                    if wtype not in keep:
+                        continue
+                    ctype, payload = _http_body(body)
+                    rows.append({
+                        "shard": row["path"],
+                        "record_id": headers.get("warc-record-id"),
+                        "warc_type": wtype,
+                        "url": headers.get("warc-target-uri"),
+                        "warc_date": headers.get("warc-date"),
+                        "content_type": ctype
+                        or headers.get("content-type"),
+                        "text": payload.decode("utf-8", "replace"),
+                    })
+                if rows:
+                    yield pd.DataFrame(rows, columns=WARC_DOC_SCHEMA.names)
+
+    return binary.select("path", "content").mapInPandas(
+        _run, schema=WARC_DOC_SCHEMA)
+
+
+def html_to_text_col(html: Column) -> Column:
+    """HTML -> visible text as pure Column expressions (Java∩RE2 regex
+    subset, mirrorable in an ANSI oracle): drop script/style/head
+    blocks and comments, break block-level tags to newlines, strip the
+    remaining tags, decode the common entities, collapse whitespace."""
+    # no backreferences: RE2 (the oracle's engine) has none — one
+    # pattern per container keeps the expressions in the shared subset
+    x = F.regexp_replace(html, r"(?s)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?s)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"(?s)<head[^>]*>.*?</head>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(
+        x, r"</?(p|div|br|li|tr|h1|h2|h3|h4|h5|h6)[^>]*>", "\n")
+    x = F.regexp_replace(x, r"<[^>]+>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+        x = F.replace(x, F.lit(ent), F.lit(rep))
+    x = F.regexp_replace(x, r"[ \t]+", " ")
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    x = F.regexp_replace(x, r"\n{2,}", "\n")
+    # trim() strips spaces only; newlines at the edges need the regex
+    return F.regexp_replace(x, r"^\s+|\s+$", "")
+
+
+def strip_html(df: DataFrame, html_col: str = "text",
+               out_col: str = "text") -> DataFrame:
+    """Column-level HTML stripping over a document frame — a
+    shuffle-free narrow map (scan speed at 100 TB)."""
+    return df.withColumn(out_col, html_to_text_col(F.col(html_col)))
