@@ -167,3 +167,51 @@ def strip_html(df: DataFrame, html_col: str = "text",
     """Column-level HTML stripping over a document frame — a
     shuffle-free narrow map (scan speed at 100 TB)."""
     return df.withColumn(out_col, html_to_text_col(F.col(html_col)))
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     warc_types: "tuple[str, ...]" = ("response",
+                                                      "conversion"),
+                     max_files_per_trigger: "int | None" = None
+                     ) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: crawl shards landing in a
+    drop zone become a document STREAM (``readStream`` over binary
+    files + the same mapInPandas parser — mapInPandas is
+    streaming-safe because each shard parses independently). Everything
+    per-document downstream (language id, quality, scrubbing,
+    html stripping, streaming exact dedup) applies unchanged."""
+    # binaryFile's fixed schema must be declared explicitly on a stream
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, "
+        "length long, content binary")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    binary = reader.load(path)
+    keep = {t.lower() for t in warc_types}
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                rows = []
+                raw = _inflate_members(bytes(row["content"]))
+                for headers, body in _parse_warc(raw):
+                    wtype = headers.get("warc-type", "").lower()
+                    if wtype not in keep:
+                        continue
+                    ctype, payload = _http_body(body)
+                    rows.append({
+                        "shard": row["path"],
+                        "record_id": headers.get("warc-record-id"),
+                        "warc_type": wtype,
+                        "url": headers.get("warc-target-uri"),
+                        "warc_date": headers.get("warc-date"),
+                        "content_type": ctype
+                        or headers.get("content-type"),
+                        "text": payload.decode("utf-8", "replace"),
+                    })
+                if rows:
+                    yield pd.DataFrame(rows, columns=WARC_DOC_SCHEMA.names)
+
+    return binary.select("path", "content").mapInPandas(
+        _run, schema=WARC_DOC_SCHEMA)

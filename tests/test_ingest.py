@@ -103,3 +103,23 @@ def test_html_to_text_col(spark):
     plan = df.select(html_to_text_col(F.col("h")))._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_read_warc_stream_matches_batch(spark, tmp_path):
+    """Streaming WARC ingest over a drop zone: the drained sink equals
+    the batch read of the same shards."""
+    from fstd2pandas_spark.operators.llm.ingest import read_warc_stream
+    from fstd2pandas_spark.streaming.record_stream import run_to_memory
+
+    zone = tmp_path / "warc_stream"
+    zone.mkdir()
+    (zone / "s0.warc").write_bytes(_shard(_records()))
+    (zone / "s1.warc.gz").write_bytes(
+        _shard(_records(), per_record_gzip=True))
+
+    run_to_memory(read_warc_stream(spark, str(zone)), "warc_sink")
+    got = {(r.shard, r.record_id, r.warc_type, r.url, r.text)
+           for r in spark.table("warc_sink").collect()}
+    want = {(r.shard, r.record_id, r.warc_type, r.url, r.text)
+            for r in read_warc(spark, str(zone)).collect()}
+    assert got == want and len(want) == 4
