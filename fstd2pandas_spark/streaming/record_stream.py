@@ -217,3 +217,40 @@ def streaming_exact_dedup(stream: DataFrame, text_col: str = "text",
         out.withWatermark(event_time_col, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def streaming_signature_dedup(stream: DataFrame, text_col: str = "text",
+                              watermark: str = "1 hour",
+                              num_hashes: int = 8, shingle_k: int = 3,
+                              event_time_col: str = "event_time"
+                              ) -> DataFrame:
+    """Near-exact streaming dedup one notch stronger than
+    :func:`streaming_exact_dedup`: the key is the document's full
+    MinHash signature (operators/llm/dedup.py minhash_signature — a
+    narrow map, so it runs on the stream unchanged), which collapses
+    reformattings that exact content hashing misses (word-preserving
+    edits keep the shingle set, and identical shingle sets give
+    identical signatures; near-identical sets still collide with
+    probability ~ jaccard^num_hashes).
+
+    Precision is tunable: higher ``num_hashes`` -> fewer false
+    collisions (a false collision DROPS a document, so the default
+    leans conservative).  This is deliberately NOT streaming LSH
+    banding: band-level dropDuplicates would OR across bands and drop
+    everything sharing ANY band — a recall tool for candidate
+    GENERATION, far too aggressive for a destructive filter.  State:
+    one signature per horizon, partitioned by the signature hash."""
+    from fstd2pandas_spark.operators.llm.dedup import minhash_signature
+
+    out = minhash_signature(stream, text_col, num_hashes, shingle_k)
+    out = out.withColumn(
+        "signature_hash",
+        F.md5(F.array_join(
+            F.transform(F.col("sig"), lambda x: x.cast("string")), "|")))
+    if event_time_col not in out.columns:
+        out = out.withColumn(event_time_col, F.current_timestamp())
+    return (
+        out.withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["signature_hash"])
+        .drop("sig")
+    )

@@ -252,3 +252,34 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.table("sess_sink").collect()}
     want = {tuple(r) for r in sessionize(df, gap="30 minutes").collect()}
     assert got == want and len(want) > 5
+
+
+def test_streaming_signature_dedup(spark, tmp_path):
+    """Signature-keyed streaming dedup: a reformatted copy (same words,
+    different case/punctuation-free spacing preserved at the shingle
+    level) is suppressed while genuinely different docs pass."""
+    from fstd2pandas_spark.operators.llm.dedup import minhash_signature
+    from fstd2pandas_spark.streaming.record_stream import (
+        run_to_memory, streaming_signature_dedup)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base),
+        (2, base),                      # exact duplicate -> suppressed
+        (3, "a totally different document with its own words here"),
+        (4, base.upper()),              # lowercased tokens -> same sig
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    zone = str(tmp_path / "sig_zone")
+    df.coalesce(1).write.parquet(zone)
+
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(zone)
+    run_to_memory(streaming_signature_dedup(stream), "sig_dedup_sink")
+    kept = {r.doc_id for r in spark.table("sig_dedup_sink").collect()}
+    # one of {1,2,4} (same signature group) plus 3
+    assert 3 in kept and len(kept) == 2
+    # sanity: the signature really is case-insensitive-identical
+    sigs = {r.doc_id: tuple(r.sig) for r in
+            minhash_signature(df).select("doc_id", "sig").collect()}
+    assert sigs[1] == sigs[2] == sigs[4] != sigs[3]
