@@ -34,6 +34,7 @@ from fstd2pandas_spark.operators.llm.dedup import (
     exact_dedup, multi_exact_dedup, normalized_exact_dedup, minhash_signature,
     lsh_candidate_pairs, ngram_jaccard_pairs, simhash_buckets,
     dedup_lines, boilerplate_span_stats, simhash_hamming_pairs,
+    simhash_report, duplicate_spans,
 )
 from fstd2pandas_spark.operators.llm.cluster import (
     neardup_components, canonical_docs,
@@ -45,6 +46,10 @@ from fstd2pandas_spark.operators.llm.sampling import (
 )
 from fstd2pandas_spark.operators.llm.similarity import (
     cosine_topk, lsh_ann_topk, ivf_ann_topk, cosine_col, embedding_neardup,
+    pq_train, pq_encode, pq_adc_topk, ivf_pq_topk, random_projection,
+)
+from fstd2pandas_spark.operators.llm.ingest import (
+    read_warc, read_warc_stream, strip_html, html_to_text_col,
 )
 from fstd2pandas_spark.operators.llm.multimodal import (
     extract_features, resize_images, sample_video_frames,
@@ -58,6 +63,10 @@ __all__ = [
     "exact_dedup", "multi_exact_dedup", "normalized_exact_dedup", "minhash_signature",
     "lsh_candidate_pairs", "ngram_jaccard_pairs", "simhash_buckets",
     "dedup_lines", "boilerplate_span_stats", "simhash_hamming_pairs",
+    "simhash_report", "duplicate_spans",
+    "pq_train", "pq_encode", "pq_adc_topk", "ivf_pq_topk",
+    "random_projection",
+    "read_warc", "read_warc_stream", "strip_html", "html_to_text_col",
     "neardup_components", "canonical_docs", "contamination_overlap",
     "hash_split", "hash_sample", "token_pack", "stratified_hash_sample",
     "chunk_documents",

@@ -1,14 +1,21 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, C4 line dedup, boilerplate span stats, and Lee-et-al exact
+duplicated-substring spans.
 
 Scale design:
 - exact dedup is a hash-groupBy (one shuffle on the content hash);
-- MinHash signatures are computed shuffle-free per document (higher-order
-  aggregates over the shingle array), LSH banding turns near-dup search
-  into an equi-join on (band_index, band_hash) — the classic
-  shingle -> minhash -> band -> bucket-join pipeline;
+- MinHash signatures are computed shuffle-free per document
+  (higher-order aggregates over the shingle array); LSH candidate
+  pairs come from ONE (band, bucket) aggregation whose sorted member
+  arrays stream their i<j pairs through chained Generates — no
+  self-join (see :func:`lsh_candidate_pairs`);
+- SimHash buckets and Hamming-radius pairs share one pigeonhole-block
+  aggregation the same way (:func:`simhash_report`);
 - n-gram Jaccard uses an inverted-index self-join on shingles with
-  pair aggregation (count intersection / union);
-- SimHash groups by the 16-bit signature (candidate buckets).
+  pair aggregation and a document-frequency hot-shingle cap;
+- duplicated-substring detection is a corpus-wide window-hash count
+  with a merge-hinted semi-join back (output == occurrences — a viral
+  hash cannot pair-explode; :func:`duplicate_spans`).
 
 All hashes are md5-derived (see llm/__init__ determinism contract).
 """

@@ -3,12 +3,23 @@
 - :func:`cosine_topk` — brute-force cosine top-k: query set x corpus with
   a window row_number. O(|Q| * N) but embarrassingly parallel; the
   correctness baseline.
-- :func:`lsh_ann_topk` — the scale path: random-hyperplane LSH with
-  md5-derived +-1 planes; vectors bucket by their sign pattern and top-k is
-  searched within the bucket only. Sublinear candidate sets at the cost of
-  recall; planes are deterministic so the oracle can reproduce them.
+- :func:`lsh_ann_topk` — random-hyperplane LSH with md5-derived +-1
+  planes; vectors bucket by their sign pattern and top-k is searched
+  within the bucket only. Sublinear candidates at the cost of recall.
+- :func:`ivf_ann_topk` / :func:`lloyd_refine` — IVF inverted lists
+  with deterministic (quantized-integer Lloyd) k-means centroids and
+  nprobe bucket probes.
+- :func:`pq_train` / :func:`pq_encode` / :func:`pq_adc_topk` — product
+  quantization (Jegou et al. 2011): m·log2(ksub)-bit codes per vector,
+  asymmetric-distance search against code reconstructions.
+- :func:`ivf_pq_topk` — the composed billion-scale shape (FAISS
+  IndexIVFPQ): IVF bounds candidates, PQ bounds candidate memory.
+- :func:`embedding_neardup` — cosine near-duplicate pairs, LSH-bucketed
+  by default; :func:`random_projection` — J-L dimensionality reduction.
 
-Dot products run through higher-order array functions (JVM, sequential
+Every index structure is deterministic (md5 seeds, data-ranked seeding,
+order-free quantized sums), so an SQL oracle rebuilds it exactly. Dot
+products run through higher-order array functions (JVM, sequential
 fold => bit-identical to the oracle's list_cosine_similarity).
 """
 
