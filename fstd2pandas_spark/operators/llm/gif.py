@@ -130,7 +130,8 @@ def _parse(payload: bytes):
         canvas[:, :] = gct[bg]
     frames = []
     delays = []
-    delay = 100  # GIF default when no GCE: treat as 1 s
+    DEFAULT_DELAY = 100  # ms assumed for frames without a GCE
+    delay = DEFAULT_DELAY
     transparent = None
     disposal = 0
 
@@ -211,8 +212,11 @@ def _parse(payload: bytes):
                 canvas[top:top + fh, left:left + fw] = bg_rgb
             elif disposal == 3:  # restore to previous
                 canvas = before
+            # a GCE applies only to the NEXT rendering block: reset
+            # delay too, or a GCE-less frame inherits its predecessor's
             transparent = None
             disposal = 0
+            delay = DEFAULT_DELAY
         else:
             raise _BadGif(f"unknown block 0x{block:02x}")
 

@@ -43,14 +43,15 @@ def _inflate_members(payload: bytes) -> bytes:
     if payload[:2] != b"\x1f\x8b":
         return payload
     out = []
-    pos = 0
-    while pos < len(payload):
+    view = memoryview(payload)  # slicing bytes would copy the whole
+    pos = 0                     # remaining shard PER MEMBER (quadratic)
+    while pos < len(view):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            out.append(d.decompress(payload[pos:]))
+            out.append(d.decompress(view[pos:]))
         except zlib.error:
             break
-        consumed = len(payload) - pos - len(d.unused_data)
+        consumed = len(view) - pos - len(d.unused_data)
         if consumed <= 0:
             break
         pos += consumed
@@ -100,16 +101,9 @@ def _http_body(body: bytes) -> "tuple[str | None, bytes]":
     return ctype, body[head_end + 4:]
 
 
-def read_warc(spark: SparkSession, path: str,
-              warc_types: "tuple[str, ...]" = ("response", "conversion"),
-              ) -> DataFrame:
-    """WARC shard files -> one row per kept record: (shard, record_id,
-    warc_type, url, warc_date, content_type, text). ``response``
-    payloads have their HTTP envelope stripped; body bytes decode as
-    UTF-8 with replacement (crawls are full of mojibake — a decode
-    error must not kill the shard task)."""
-    binary = spark.read.format("binaryFile").load(path)
-    keep = {t.lower() for t in warc_types}
+def _warc_runner(keep: set):
+    """The per-shard mapInPandas body shared by the batch and streaming
+    readers — ONE parser, so envelope fixes cannot silently diverge."""
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -134,8 +128,21 @@ def read_warc(spark: SparkSession, path: str,
                 if rows:
                     yield pd.DataFrame(rows, columns=WARC_DOC_SCHEMA.names)
 
+    return _run
+
+
+def read_warc(spark: SparkSession, path: str,
+              warc_types: "tuple[str, ...]" = ("response", "conversion"),
+              ) -> DataFrame:
+    """WARC shard files -> one row per kept record: (shard, record_id,
+    warc_type, url, warc_date, content_type, text). ``response``
+    payloads have their HTTP envelope stripped; body bytes decode as
+    UTF-8 with replacement (crawls are full of mojibake — a decode
+    error must not kill the shard task)."""
+    binary = spark.read.format("binaryFile").load(path)
+    keep = {t.lower() for t in warc_types}
     return binary.select("path", "content").mapInPandas(
-        _run, schema=WARC_DOC_SCHEMA)
+        _warc_runner(keep), schema=WARC_DOC_SCHEMA)
 
 
 def html_to_text_col(html: Column) -> Column:
@@ -189,29 +196,5 @@ def read_warc_stream(spark: SparkSession, path: str,
                                int(max_files_per_trigger))
     binary = reader.load(path)
     keep = {t.lower() for t in warc_types}
-
-    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                rows = []
-                raw = _inflate_members(bytes(row["content"]))
-                for headers, body in _parse_warc(raw):
-                    wtype = headers.get("warc-type", "").lower()
-                    if wtype not in keep:
-                        continue
-                    ctype, payload = _http_body(body)
-                    rows.append({
-                        "shard": row["path"],
-                        "record_id": headers.get("warc-record-id"),
-                        "warc_type": wtype,
-                        "url": headers.get("warc-target-uri"),
-                        "warc_date": headers.get("warc-date"),
-                        "content_type": ctype
-                        or headers.get("content-type"),
-                        "text": payload.decode("utf-8", "replace"),
-                    })
-                if rows:
-                    yield pd.DataFrame(rows, columns=WARC_DOC_SCHEMA.names)
-
     return binary.select("path", "content").mapInPandas(
-        _run, schema=WARC_DOC_SCHEMA)
+        _warc_runner(keep), schema=WARC_DOC_SCHEMA)

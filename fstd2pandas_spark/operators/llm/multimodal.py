@@ -498,7 +498,8 @@ def parse_avi(payload: bytes) -> "tuple[float, list[bytes]] | None":
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000,
-                        batch_rows: int = 16) -> DataFrame:
+                        batch_rows: int = 16,
+                        max_frames_per_asset: int = 10_000) -> DataFrame:
     """Frame sampling — one output row per sampled frame, timestamps
     every `every_ms` ms. REAL for RIFF AVI payloads: the container is
     parsed (:func:`parse_avi`), duration comes from the stream's own
@@ -521,7 +522,15 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
     meta_cols = [f.name for f in out_fields]
 
     def _sample(duration_ms: int) -> range:
-        return range(0, max(int(duration_ms) - 1, 0) + 1, every_ms)
+        """Timestamps every `every_ms` — HARD-capped at
+        `max_frames_per_asset`: container timing metadata is attacker/
+        corruption-controlled (a 10 KB AVI can claim hours per frame),
+        and an uncapped expansion buffers millions of frame rows in one
+        task. Truncation over OOM, same contract as the decoders'
+        None-over-crash."""
+        n = max(int(duration_ms) - 1, 0) // every_ms + 1
+        n = min(n, max_frames_per_asset)
+        return range(0, n * every_ms, every_ms)
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fstd2pandas_spark.operators.llm.gif import parse_gif

@@ -6,9 +6,10 @@ Streaming.
 overlapping [t, t+gap) windows per key (batch), and the streaming
 runtime keeps per-key session state that a watermark expires — the
 exact semantics a hand-rolled gaps-and-islands window would need a
-stateful shuffle to reproduce. Session boundary: a new session starts
-when an event arrives >= gap after the previous one (windows merge only
-on strict overlap).
+stateful shuffle to reproduce. Session boundary: windows merge when
+they overlap OR touch, so events exactly `gap` apart share a session —
+a new session starts only on a STRICTLY larger gap (pinned by the
+oracle mirror and the stream==batch test).
 
 Scale shape: ONE shuffle on the session key (the groupBy); no global
 sort, no per-user collect. Skewed keys (one bot user with millions of

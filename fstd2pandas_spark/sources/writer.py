@@ -86,15 +86,35 @@ def write_record_table(df: DataFrame, path: str, mode: str = "write",
     # non-empty target errors instead of silently accumulating duplicate
     # records across re-runs.
     if not overwrite:
-        import os
-
-        if os.path.isdir(path) and any(
-                not e.startswith(("_", ".")) for e in os.listdir(path)):
+        if _target_has_data(df, path):
             raise WriterError(
                 f"target {path!r} already holds data; pass overwrite=True "
                 "to replace it")
     writer = writer.mode("overwrite" if overwrite else "append")
     writer.save(path)
+
+
+def _target_has_data(df: DataFrame, path: str) -> bool:
+    """Existing-target probe behind the restored ErrorIfExists guard.
+    os.path alone would silently no-op for hdfs://-style URIs, so any
+    path with a scheme goes through the JVM Hadoop FileSystem (the same
+    resolution the write itself uses)."""
+    import os
+
+    if "://" not in path:
+        return os.path.isdir(path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(path))
+    jvm = df.sparkSession._jvm
+    jsc = df.sparkSession._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            return True
+    return False
 
 
 def _group_updates(rows, cols) -> "dict[str, dict[int, dict]]":

@@ -7,6 +7,7 @@ from fstd2pandas_spark.streaming.record_stream import (
     running_extrema,
     streaming_drop_duplicates,
     streaming_exact_dedup,
+    streaming_signature_dedup,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "running_extrema",
     "streaming_drop_duplicates",
     "streaming_exact_dedup",
+    "streaming_signature_dedup",
 ]

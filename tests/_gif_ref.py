@@ -106,13 +106,13 @@ def encode_gif(frames, palette, delays_cs=None, interlace=False,
     for fi, frame in enumerate(frames):
         fh, fw = frame.shape
         left, top = (offsets[fi] if offsets else (0, 0))
-        if delays_cs is not None or transparent is not None:
+        frame_delay = delays_cs[fi] if delays_cs is not None else None
+        if frame_delay is not None or transparent is not None:
             gce = bytearray([0x21, 0xF9, 4])
             disp = (disposals[fi] if disposals else 1) << 2
             tflag = 1 if transparent is not None else 0
             gce.append(disp | tflag)
-            delay = delays_cs[fi] if delays_cs else 0
-            gce += int(delay).to_bytes(2, "little")
+            gce += int(frame_delay or 0).to_bytes(2, "little")
             gce.append(transparent if transparent is not None else 0)
             gce.append(0)
             out += gce

@@ -122,3 +122,14 @@ def test_sample_video_frames_animated_gif(spark):
     for r, src in zip(rows, (f1, f2, f3)):
         img = decode_image(bytes(r.frame_payload))
         np.testing.assert_array_equal(img, pal[src])
+
+
+def test_gce_delay_applies_to_next_frame_only():
+    """A GCE governs only the next rendering block: a GCE-less second
+    frame gets the default delay, not the first frame's."""
+    pal = _pal(4, 19)
+    f1 = np.random.RandomState(20).randint(0, 4, size=(8, 8))
+    f2 = np.random.RandomState(21).randint(0, 4, size=(8, 8))
+    gif = encode_gif([f1, f2], pal, delays_cs=[50, None])
+    delays, frames = parse_gif(gif)
+    assert delays == [500, 100]  # second frame: the 100 ms default

@@ -1050,3 +1050,20 @@ def test_ivf_pq_topk(spark, emb):
                        codebook=cb)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_sample_video_frames_caps_malformed_timing(spark):
+    """Container timing is corruption-controlled: an absurd duration
+    must truncate at max_frames_per_asset instead of buffering millions
+    of rows in one task."""
+    from fstd2pandas_spark.operators.llm.multimodal import (
+        sample_video_frames)
+
+    df = spark.createDataFrame(
+        [(1, "video", None, None, None, 2_000_000_000,
+          bytearray(b"not a container"))],
+        "asset_id long, kind string, mime string, width int, "
+        "height int, duration_ms int, payload binary")
+    n = sample_video_frames(df, every_ms=1000,
+                            max_frames_per_asset=50).count()
+    assert n == 50

@@ -253,6 +253,7 @@ def test_duplicate_spans_join_strategy(spark):
     assert "SortMergeJoin" in plan  # the merge-hinted semi-join back
 
 
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
 def test_pq_encode_shuffle_free(spark):
     """With a trained codebook in hand, PQ encoding is a pure narrow
     map — codes for 100 TB of vectors at scan speed, no exchange."""
