@@ -2531,7 +2531,14 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       codebook=cb).select(
         F.lit("adc").alias("kind"), "query_id", "neighbor_id",
         F.col("adc").alias("cos"), "rank")
-    return (ann.unionByName(pq).unionByName(adc)
+    from fstd2pandas_spark.operators.llm.similarity import ivf_pq_topk
+
+    ivfpq = ivf_pq_topk(emb, k=5, n_cells=8, nprobe=2, m=8, ksub=16,
+                        dim=64, n_queries=10, refine=1,
+                        codebook=cb).select(
+        F.lit("ivfpq").alias("kind"), "query_id", "neighbor_id",
+        F.col("adc").alias("cos"), "rank")
+    return (ann.unionByName(pq).unionByName(adc).unionByName(ivfpq)
             .orderBy("kind", "query_id", "rank", "neighbor_id"))
 
 
@@ -2655,9 +2662,22 @@ def _ann_ivf_sql(n_cells: int = 8, nprobe: int = 2, dim: int = 64,
                         recon.vec_id ASC) AS rank
       FROM (SELECT * FROM e WHERE vec_id < {n_queries}) q
       JOIN recon ON recon.vec_id != q.vec_id) t
+    WHERE rank <= {k}),
+  -- composed IVF-PQ: candidates restricted to the probed (refined)
+  -- cells, scored by the same reconstruction dot
+  ivfpq AS (
+    SELECT 'ivfpq' AS kind, query_id, neighbor_id, adc AS cos, rank FROM (
+      SELECT p.query_id, c.neighbor_id,
+             round(list_dot_product(p.qv, recon.r), 6) AS adc,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY round(list_dot_product(p.qv, recon.r), 6) DESC,
+                        c.neighbor_id ASC) AS rank
+      FROM probe p
+      JOIN cand c ON c.cell = p.cell AND c.neighbor_id != p.query_id
+      JOIN recon ON recon.vec_id = c.neighbor_id) t
     WHERE rank <= {k})
   SELECT * FROM ann UNION ALL SELECT * FROM pq UNION ALL
-  SELECT * FROM adc
+  SELECT * FROM adc UNION ALL SELECT * FROM ivfpq
   ORDER BY kind, query_id, rank, neighbor_id
 """
 
