@@ -1942,12 +1942,25 @@ def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii(pii_counts(aug, "_pii_text"), "_pii_text"),
         "_pii_text", blocklist=["site0.example.org"],
     ).withColumn("redacted_sig", F.substring(F.md5(F.col("redacted")), 1, 8))
+    # URL canonicalization (scrub.py canonical_url_col) over a messy
+    # injected URL; the oracle derives the expected canonical form
+    # CONSTRUCTIVELY (plain string concat) — an independent check, not
+    # a regex mirror
+    from fstd2pandas_spark.operators.llm.scrub import canonical_url_col
+
+    messy = F.concat(
+        F.lit("HTTP://User@Track.Example"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".COM:80/P"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=x&id="), F.col("doc_id").cast("string"),
+        F.lit("#frag"))
+    scrubbed = scrubbed.withColumn("canon_url", canonical_url_col(messy))
     return token_pack(
         token_counts(scrubbed), budget=512, n_shards=8
     ).select("doc_id", "ws_tokens", "bpe_tokens", "shard", "pack_id",
              "pack_offset", "n_email", "n_ipv4", "n_phone", "redacted_sig",
-             "n_urls", "first_domain", "blocked_domain", "n_chunks",
-             "chunk_sig").orderBy("doc_id")
+             "n_urls", "first_domain", "blocked_domain", "canon_url",
+             "n_chunks", "chunk_sig").orderBy("doc_id")
 
 
 def _tokens_sql() -> str:
@@ -1997,6 +2010,11 @@ def _tokens_sql() -> str:
            AS first_domain,
          list_contains(regexp_extract_all(p, {q(URL_DOMAIN_PATTERN)}, 1),
            'site0.example.org') AS blocked_domain,
+         -- expected canonical URL, derived constructively (scheme+host
+         -- lowered, userinfo/default-port/fragment/tracking dropped)
+         concat('http://track.example', CAST(doc_id % 5 AS VARCHAR),
+                '.com/P', CAST(doc_id AS VARCHAR),
+                '?id=', CAST(doc_id AS VARCHAR)) AS canon_url,
          CAST(nch AS BIGINT) AS n_chunks,
          substr(md5(array_to_string(list_transform(
              generate_series(0, nch - 1),

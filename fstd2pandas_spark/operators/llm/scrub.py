@@ -101,3 +101,49 @@ def url_metrics(df: DataFrame, text_col: str = "text",
                 F.col("all_domains"),
                 F.array(*[F.lit(d) for d in blocklist])))
     return out
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonicalize a URL for crawl dedup (the common normalizations,
+    pure Column expressions in the same Java∩RE2 subset): lowercase the
+    scheme and host (path case is significant and kept), drop the
+    userinfo, drop default ports (:80 for http, :443 for https), drop
+    the fragment, drop common tracking query parameters (utm_*,
+    fbclid, gclid — removing an empty-ed '?' too), and collapse a
+    trailing '/' on a bare host. NULL stays NULL; a non-URL string
+    passes through these rules unchanged (they only rewrite matches).
+    """
+    u = F.regexp_replace(url, r"#.*$", "")                # fragment
+    # scheme+host lowercase: split once, rebuild. group 1 = scheme,
+    # 2 = userinfo (dropped), 3 = host[:port], 4 = rest
+    scheme = F.lower(F.regexp_extract(u, r"(?i)^(https?)://", 1))
+    host = F.lower(F.regexp_extract(
+        u, r"(?i)^https?://(?:[^/@?#\s]*@)?([^/?#\s]*)", 1))
+    rest = F.regexp_replace(
+        u, r"(?i)^https?://(?:[^/@?#\s]*@)?[^/?#\s]*", "")
+    host = F.regexp_replace(host, r":80$", "")
+    host = F.when(scheme == "https",
+                  F.regexp_replace(host, r":443$", "")).otherwise(host)
+    # strip tracking params (leading '?p=v&' / '&p=v' forms), then a
+    # dangling '?' or '&'
+    rest = F.regexp_replace(
+        rest, r"[?&](utm_[A-Za-z]+|fbclid|gclid)=[^&#]*", "?")
+    rest = F.regexp_replace(rest, r"\?[?&]+", "?")
+    rest = F.regexp_replace(rest, r"[?&]$", "")
+    rebuilt = F.concat(scheme, F.lit("://"), host,
+                       F.when(rest == "", F.lit("/")).otherwise(rest))
+    return F.when(url.isNull(), F.lit(None).cast("string")) \
+        .when(scheme == "", url).otherwise(rebuilt)
+
+
+def canonical_url_dedup(df: DataFrame, url_col: str = "url",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Crawl-level URL dedup: keep the lowest-id document per canonical
+    URL — the standard first-pass before any content dedup (re-crawls
+    and tracking-parameter variants collapse without touching text).
+    One shuffle on the canonical URL, same shape as exact_dedup."""
+    return (df.withColumn("canonical_url",
+                          canonical_url_col(F.col(url_col)))
+            .groupBy("canonical_url")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count("*").alias("n_copies")))

@@ -1067,3 +1067,27 @@ def test_sample_video_frames_caps_malformed_timing(spark):
     n = sample_video_frames(df, every_ms=1000,
                             max_frames_per_asset=50).count()
     assert n == 50
+
+
+def test_canonical_url_dedup(spark):
+    """Tracking-parameter and case variants of one URL collapse to one
+    canonical representative; distinct URLs stay apart."""
+    from fstd2pandas_spark.operators.llm.scrub import (
+        canonical_url_col, canonical_url_dedup)
+
+    df = spark.createDataFrame([
+        (1, "http://Example.com/a?utm_source=feed"),
+        (2, "HTTP://example.COM:80/a"),
+        (3, "http://example.com/a#section"),
+        (4, "http://example.com/b"),
+        (5, None),
+    ], "doc_id long, url string")
+    out = {r.canonical_url: (r.doc_id, r.n_copies)
+           for r in canonical_url_dedup(df).collect()}
+    assert out["http://example.com/a"] == (1, 3)
+    assert out["http://example.com/b"] == (4, 1)
+    assert out[None] == (5, 1)
+    # plan: canonicalization itself is a pure projection
+    plan = df.select(canonical_url_col(F.col("url")))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
