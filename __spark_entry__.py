@@ -749,15 +749,17 @@ def q_fst_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     The mask here derives from the data itself (qty > 25) so both engines
     construct identical pairs."""
     rec = records_from_lineitem(spark, sf_dir)
-    mask = F.transform("d", lambda x: F.when(x > 25.0, F.lit(1.0)).otherwise(F.lit(0.0)))
-    masked = F.zip_with(F.col("d"), mask, lambda v, m: F.when(m == 1.0, v))
-    # NULL elements -> sentinel so the cross-engine value hash is stable;
-    # posexplode to scalar cells (driver canonicalizer contract).
-    sent = F.transform(masked, lambda x: F.coalesce(x, F.lit(-999.0).cast("float")))
+    # mask -> zip_with-NULL -> sentinel fuses to ONE array walk (the
+    # mask is derived from the data, so "m == 1" is just "v > 25"); a
+    # second walk counts the masked cells. The library operator
+    # (operators/mask.py apply_mask) keeps the general zip_with form —
+    # there the mask is a SEPARATE record.
+    sent = F.transform("d", lambda x: F.when(x > 25.0, x)
+                       .otherwise(F.lit(-999.0).cast("float")))
     return (
         rec.select(
             "key",
-            F.size(F.filter(masked, lambda x: x.isNull())).alias("n_masked"),
+            F.size(F.filter("d", lambda x: ~(x > 25.0))).alias("n_masked"),
             F.posexplode(sent).alias("pos", "val"),
         )
         .withColumn("val", F.round(F.col("val").cast("double"), 4))
