@@ -7,8 +7,10 @@ uncompressed 24-bit BMP, PNG — grey/RGB/grey+alpha/RGBA at depths
 8/16, palette + greyscale at 1/2/4/8, plain and Adam7-interlaced,
 stdlib ``zlib`` + pure-numpy per-scanline unfiltering (all five PNG
 filter types) — JPEG, sequential baseline AND progressive (Huffman
-DCT, any sampling, restart markers; ``jpeg.py``) — and GIF 87a/89a
-(LZW, interlacing, animation composition; ``gif.py``), all behind
+DCT, any sampling, restart markers; ``jpeg.py``) — GIF 87a/89a
+(LZW, interlacing, animation composition; ``gif.py``) — and baseline
+TIFF (none/LZW/PackBits strips, horizontal predictor, grey/RGB/RGBA/
+palette; ``tiff.py``), all behind
 :func:`decode_image`; :func:`resize_images` runs an actual
 nearest-neighbour resample + PPM re-encode. Audio decode is REAL for
 RIFF/WAVE PCM (8/16-bit, any channel count — :func:`decode_wav`), with
@@ -69,7 +71,8 @@ def decode_image(payload: bytes) -> "np.ndarray | None":
     (h, w, 3) uint8 array: PPM P6 (binary) / P3 (ascii), uncompressed
     24-bit BMP, PNG (all spec depth/colour-type/interlace combinations
     — see :func:`_decode_png`), baseline + progressive JPEG
-    (``jpeg.py``), and GIF (first frame; ``gif.py``).
+    (``jpeg.py``), GIF (first frame; ``gif.py``), and baseline TIFF
+    (``tiff.py``).
     Returns None for anything else — callers fall back to the
     opaque-payload featurizer."""
     if not payload:
@@ -86,6 +89,9 @@ def decode_image(payload: bytes) -> "np.ndarray | None":
     if payload[:4] == b"GIF8":
         from fstd2pandas_spark.operators.llm.gif import decode_gif
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+        return decode_tiff(payload)
     return None
 
 

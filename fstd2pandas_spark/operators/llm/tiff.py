@@ -1,0 +1,198 @@
+"""Baseline TIFF 6.0 decoder in pure numpy + stdlib — the public spec:
+II/MM byte orders, IFD tag walk, strip-based images, 8-bit samples in
+greyscale / RGB / RGBA (alpha dropped) / palette photometrics, and the
+three codec-free compressions: none (1), LZW (5, MSB-first codes with
+the spec's early-change width rule + horizontal-differencing predictor)
+and PackBits (32773).
+
+Out-of-scope variants return ``None`` for the content-hash fallback
+(tiled layout, planar configuration 2, 16-bit samples, JPEG-in-TIFF,
+CCITT fax codings) — the same honesty contract as the other decoders.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class _BadTiff(Exception):
+    pass
+
+
+def _lzw_decode_tiff(data: bytes, max_out: int) -> bytes:
+    """TIFF-flavoured LZW (spec section 13): MSB-first bit packing,
+    9-bit initial codes, CLEAR=256/EOI=257, and the EARLY-CHANGE rule —
+    the code width bumps when the table reaches 2^width - 1 (one code
+    earlier than GIF's convention)."""
+    out = bytearray()
+    pos = 0
+    acc = 0
+    nbits = 0
+    width = 9
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    prev: "bytes | None" = None
+    n = len(data)
+    while len(out) < max_out:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 257:  # EOI
+            break
+        if code == 256:  # CLEAR
+            reset()
+            prev = None
+            continue
+        if code < len(table) and code not in (256, 257):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise _BadTiff("bad LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:max_out])
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n and len(out) < max_out:
+        b = data[pos]
+        pos += 1
+        if b < 128:                       # literal run of b+1 bytes
+            out += data[pos:pos + b + 1]
+            pos += b + 1
+        elif b > 128:                     # repeat next byte 257-b times
+            if pos < n:
+                out += bytes([data[pos]]) * (257 - b)
+                pos += 1
+        # b == 128: no-op
+    return bytes(out[:max_out])
+
+
+def decode_tiff(payload: bytes) -> "np.ndarray | None":
+    """Decode a baseline TIFF to (h, w, 3) uint8 RGB, or None."""
+    try:
+        return _decode(payload)
+    except (_BadTiff, struct.error, IndexError, ValueError):
+        return None
+
+
+def _decode(payload: bytes) -> "np.ndarray | None":
+    if payload is None or len(payload) < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        end = "<"
+    elif payload[:4] == b"MM\x00*":
+        end = ">"
+    else:
+        return None
+    ifd_off = struct.unpack(end + "I", payload[4:8])[0]
+    n_entries = struct.unpack(end + "H", payload[ifd_off:ifd_off + 2])[0]
+    tags: dict[int, tuple] = {}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(end + "HHI",
+                                        payload[e:e + 8])
+        if typ not in type_size:
+            continue
+        total = type_size[typ] * count
+        if total <= 4:
+            raw = payload[e + 8:e + 8 + total]
+        else:
+            off = struct.unpack(end + "I", payload[e + 8:e + 12])[0]
+            raw = payload[off:off + total]
+        if typ in type_fmt:
+            vals = struct.unpack(end + type_fmt[typ] * count, raw)
+        else:
+            vals = (raw,)
+        tags[tag] = vals
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w = one(256)
+    h = one(257)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, (8,) * spp)
+    planar = one(284, 1)
+    predictor = one(317, 1)
+    if w is None or h is None or photo is None:
+        return None
+    if 322 in tags or 323 in tags:        # tiled layout
+        raise _BadTiff("tiled TIFF")
+    if planar != 1 or any(b != 8 for b in bits):
+        raise _BadTiff("non-chunky or non-8-bit")
+    if comp not in (1, 5, 32773):
+        raise _BadTiff(f"compression {comp}")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise _BadTiff("missing strips")
+    rows_per_strip = one(278, h)
+
+    row_bytes = w * spp
+    parts = []
+    remaining_rows = h
+    for off, cnt in zip(offsets, counts):
+        strip_rows = min(rows_per_strip, remaining_rows)
+        remaining_rows -= strip_rows
+        raw = payload[off:off + cnt]
+        want = strip_rows * row_bytes
+        if comp == 1:
+            data = raw[:want]
+        elif comp == 5:
+            data = _lzw_decode_tiff(raw, want)
+        else:
+            data = _packbits_decode(raw, want)
+        if len(data) < want:
+            raise _BadTiff("short strip")
+        arr = np.frombuffer(data, np.uint8, want).reshape(
+            strip_rows, w, spp)
+        if predictor == 2:                # horizontal differencing
+            arr = np.cumsum(arr.astype(np.uint32), axis=1) \
+                .astype(np.uint8)
+        parts.append(arr)
+    px = np.concatenate(parts, axis=0)
+
+    if photo in (0, 1) and spp >= 1:      # grey (0 = white-is-zero)
+        g = px[..., 0]
+        if photo == 0:
+            g = 255 - g
+        return np.repeat(g[..., None], 3, axis=2)
+    if photo == 2 and spp >= 3:           # RGB / RGBA (alpha dropped)
+        return np.ascontiguousarray(px[..., :3])
+    if photo == 3:                        # palette: 16-bit colormap
+        cmap = tags.get(320)
+        if not cmap:
+            raise _BadTiff("palette without colormap")
+        cm = np.asarray(cmap, dtype=np.uint32)
+        if cm.size < 3 * 256:
+            raise _BadTiff("short colormap")
+        lut = (cm[:3 * 256].reshape(3, 256).T >> 8).astype(np.uint8)
+        return lut[px[..., 0]]
+    raise _BadTiff(f"photometric {photo}/spp {spp}")

@@ -1,0 +1,186 @@
+"""Minimal TIFF ENCODER — test scaffolding: little-endian baseline
+TIFF with none/LZW/PackBits compression, optional horizontal-predictor,
+grey / RGB / RGBA / palette photometrics, multi-strip layout."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)  # CLEAR
+    prefix = b""
+    for byte in data:
+        cand = prefix + bytes([byte])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix])
+        if next_code < 4094:
+            table[cand] = next_code
+            next_code += 1
+            # TIFF early change: one code earlier than GIF — mirrors
+            # the decoder's len(table) == 2^width - 1 rule (the decoder
+            # runs one table entry behind the encoder)
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prefix = bytes([byte])
+    if prefix:
+        emit(table[prefix])
+    emit(257)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += 1
+        while i < n and (i + 1 >= n or data[i] != data[i + 1]) \
+                and i - lit_start < 128:
+            i += 1
+        lit = data[lit_start:i]
+        out.append(len(lit) - 1)
+        out += lit
+    return bytes(out)
+
+
+def encode_tiff(img: np.ndarray, photometric: int = 2,
+                compression: int = 1, predictor: int = 1,
+                rows_per_strip: "int | None" = None,
+                palette: "np.ndarray | None" = None) -> bytes:
+    """img: (h, w) indices/grey for photometric 0/1/3, (h, w, ch) for
+    RGB(A). Little-endian, one IFD."""
+    if img.ndim == 2:
+        px = img[..., None]
+    else:
+        px = img
+    h, w, spp = px.shape
+    rows_per_strip = rows_per_strip or h
+
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        rows = px[y0:y0 + rows_per_strip].astype(np.uint8)
+        if predictor == 2:
+            # first column stays raw; the rest are left-differences
+            rows = np.diff(rows.astype(np.int16), axis=1,
+                           prepend=np.zeros((rows.shape[0], 1,
+                                             rows.shape[2]),
+                                            dtype=np.int16)) \
+                .astype(np.uint8)
+        raw = rows.tobytes()
+        if compression == 5:
+            strips.append(_lzw_encode_tiff(raw))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+
+    n_strips = len(strips)
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def entry(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [compression])
+    entry(262, 3, [photometric])
+    entry(277, 3, [spp])
+    entry(278, 4, [rows_per_strip])
+    entry(284, 3, [1])
+    if predictor != 1:
+        entry(317, 3, [predictor])
+    if palette is not None:
+        pal16 = np.zeros((3, 256), dtype=np.uint16)
+        pal16[:, :palette.shape[0]] = \
+            (palette.T.astype(np.uint16) << 8) | palette.T
+        entry(320, 3, list(pal16.reshape(-1)))
+
+    # layout: header(8) + IFD + extra-data area + strip bytes.
+    # Sizes are all computable up front (inline-vs-external is decided
+    # by count alone), so offsets resolve in one pass.
+    fmt = {1: "B", 3: "H", 4: "I"}
+    type_size = {1: 1, 3: 2, 4: 4}
+
+    def pack_vals(typ, vals):
+        return struct.pack("<" + fmt[typ] * len(vals), *vals)
+
+    counts = [len(st) for st in strips]
+    n_strips = len(strips)
+    all_entries = entries + [(273, 4, [0] * n_strips), (279, 4, counts)]
+    n_ifd = len(all_entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_ifd + 4
+
+    # first pass: compute the extra-area size
+    extra_size = 0
+    for tag, typ, vals in all_entries:
+        total = type_size[typ] * len(vals)
+        if total > 4:
+            extra_size += total
+    strips_base = data_off + extra_size
+    pos = strips_base
+    offsets = []
+    for st in strips:
+        offsets.append(pos)
+        pos += len(st)
+    all_entries = [(273, 4, offsets) if tag == 273 else (tag, typ, vals)
+                   for tag, typ, vals in all_entries]
+
+    # second pass: emit
+    extra = bytearray()
+    fields = []
+    for tag, typ, vals in sorted(all_entries):
+        raw = pack_vals(typ, vals)
+        if len(raw) <= 4:
+            fields.append((tag, typ, len(vals), raw.ljust(4, b"\x00")))
+        else:
+            fields.append((tag, typ, len(vals),
+                           struct.pack("<I", data_off + len(extra))))
+            extra += raw
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", len(fields))
+    for tag, typ, cnt, val in fields:
+        out += struct.pack("<HHI", tag, typ, cnt) + val
+    out += struct.pack("<I", 0)
+    out += extra
+    for st in strips:
+        out += st
+    return bytes(out)

@@ -17,6 +17,7 @@ from fstd2pandas_spark.operators.llm.multimodal import (
 from _gif_ref import encode_gif
 from _jpeg_ref import encode_jpeg, encode_jpeg_progressive
 from _png_ref import encode_png
+from _tiff_ref import encode_tiff
 
 
 def _img(seed):
@@ -33,6 +34,7 @@ _VALID = {
         [np.random.RandomState(5).randint(0, 8, size=(16, 16))],
         np.random.RandomState(6).randint(0, 256, size=(8, 3))
         .astype(np.uint8)),
+    "tiff": encode_tiff(_img(7), compression=5),
 }
 
 
@@ -63,7 +65,7 @@ def test_decoders_survive_corruption(kind, data):
     None or a well-formed array (bit rot, truncation mid-transfer and
     adversarial inputs all look like this in a crawl)."""
     payload = bytearray(_VALID[kind])
-    magic = {"png": 8, "gif": 6}.get(kind.split("_")[0], 3)
+    magic = {"png": 8, "gif": 6, "tiff": 4}.get(kind.split("_")[0], 3)
     pos = data.draw(st.integers(min_value=magic,
                                 max_value=len(payload) - 1))
     val = data.draw(st.integers(min_value=0, max_value=255))

@@ -1,0 +1,96 @@
+"""TIFF decoder tests against the in-repo encoder: byte orders, all
+three codec-free compressions (incl. TIFF-LZW's early-change width
+rule on noisy data), horizontal predictor, multi-strip layout, the
+four photometrics, and honest fallbacks."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+
+from _tiff_ref import encode_tiff
+
+
+def _img(seed, h=20, w=27, ch=3):
+    shape = (h, w, ch) if ch else (h, w)
+    return np.random.RandomState(seed).randint(0, 256, size=shape) \
+        .astype(np.uint8)
+
+
+def test_uncompressed_rgb():
+    img = _img(1)
+    got = decode_tiff(encode_tiff(img))
+    assert np.array_equal(got, img)
+
+
+def test_lzw_noisy_width_growth():
+    img = _img(2, h=90, w=97)
+    got = decode_tiff(encode_tiff(img, compression=5))
+    assert np.array_equal(got, img)
+
+
+def test_lzw_with_horizontal_predictor():
+    # smooth gradient: the predictor's natural prey
+    yy, xx = np.mgrid[0:40, 0:50]
+    img = np.dstack([(xx * 3) % 256, (yy * 5) % 256,
+                     ((xx + yy) * 2) % 256]).astype(np.uint8)
+    got = decode_tiff(encode_tiff(img, compression=5, predictor=2))
+    assert np.array_equal(got, img)
+
+
+def test_packbits_with_runs():
+    img = _img(3)
+    img[:, 5:15] = 77  # long runs for packbits
+    got = decode_tiff(encode_tiff(img, compression=32773))
+    assert np.array_equal(got, img)
+
+
+def test_multi_strip():
+    img = _img(4, h=33)
+    got = decode_tiff(encode_tiff(img, compression=5, rows_per_strip=7))
+    assert np.array_equal(got, img)
+
+
+def test_greyscale_both_polarities():
+    g = _img(5, ch=0)
+    got = decode_tiff(encode_tiff(g, photometric=1))
+    assert np.array_equal(got, np.repeat(g[..., None], 3, axis=2))
+    inv = decode_tiff(encode_tiff(g, photometric=0))
+    assert np.array_equal(inv, np.repeat((255 - g)[..., None], 3, axis=2))
+
+
+def test_rgba_drops_alpha():
+    img = _img(6, ch=4)
+    got = decode_tiff(encode_tiff(img))
+    assert np.array_equal(got, img[..., :3])
+
+
+def test_palette():
+    pal = _img(7, h=16, w=3, ch=0).reshape(16, 3)
+    idx = np.random.RandomState(8).randint(0, 16, size=(12, 14)) \
+        .astype(np.uint8)
+    got = decode_tiff(encode_tiff(idx, photometric=3, palette=pal))
+    assert np.array_equal(got, pal[idx])
+
+
+def test_malformed_returns_none():
+    img = _img(9)
+    t = encode_tiff(img, compression=5)
+    assert decode_tiff(t[:30]) is None
+    assert decode_tiff(b"II*\x00garbage") is None
+    assert decode_tiff(b"nope") is None
+    assert decode_tiff(None) is None
+    bad = bytearray(t)
+    for i in range(120, min(len(bad), 160)):
+        bad[i] ^= 0xAA
+    out = decode_tiff(bytes(bad))
+    assert out is None or (out.dtype == np.uint8 and out.ndim == 3)
+
+
+def test_decode_image_dispatches_tiff():
+    from fstd2pandas_spark.operators.llm.multimodal import decode_image
+
+    img = _img(10)
+    got = decode_image(encode_tiff(img, compression=32773))
+    assert np.array_equal(got, img)
