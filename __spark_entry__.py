@@ -1957,11 +1957,25 @@ def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("?utm_source=x&id="), F.col("doc_id").cast("string"),
         F.lit("#frag"))
     scrubbed = scrubbed.withColumn("canon_url", canonical_url_col(messy))
+    # distributed BPE training (operators/llm/bpe.py): 6 merges learned
+    # on the distinct-word table (argmax pair per round, lexicographic
+    # ties), then per-doc token counts under the trained merges; the
+    # oracle re-trains the same 6 rounds in unrolled SQL CTEs
+    from fstd2pandas_spark.operators.llm.bpe import (
+        bpe_token_counts, bpe_train)
+
+    merges, words = bpe_train(docs, n_merges=6)
+    bpe = bpe_token_counts(docs, merges, words)
+    vocab_sig = F.substring(F.md5(F.lit(
+        "|".join(f"{a} {b}" for a, b in merges))), 1, 8)
+    scrubbed = scrubbed.join(bpe, "doc_id", "left") \
+        .withColumn("bpe_vocab_sig", vocab_sig)
     return token_pack(
         token_counts(scrubbed), budget=512, n_shards=8
     ).select("doc_id", "ws_tokens", "bpe_tokens", "shard", "pack_id",
              "pack_offset", "n_email", "n_ipv4", "n_phone", "redacted_sig",
              "n_urls", "first_domain", "blocked_domain", "canon_url",
+             "bpe_real_tokens", "bpe_vocab_sig",
              "n_chunks", "chunk_sig").orderBy("doc_id")
 
 
@@ -1981,7 +1995,102 @@ def _tokens_sql() -> str:
         redact = (f"regexp_replace({redact}, {q(pat)}, "
                   f"'<{name.upper()}>', 'g')")
     return f"""
-  WITH t AS (
+  WITH bw0 AS (
+    SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, cnt FROM (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w)),
+  pr0 AS (
+    SELECT p, sum(cnt) AS c FROM (
+      SELECT cnt, unnest(CASE WHEN len(string_split(s, ' ')) < 2
+        THEN []::VARCHAR[]
+        ELSE list_transform(generate_series(1, len(string_split(s, ' ')) - 1),
+             i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i + 1])
+        END) AS p
+      FROM bw0) GROUP BY p),
+  tp0 AS (SELECT p FROM pr0 ORDER BY c DESC, p ASC LIMIT 1),
+  bw1 AS (
+    SELECT trim(replace(' ' || bw.s || ' ', ' ' || tp.p || ' ',
+                        ' ' || replace(tp.p, ' ', '') || ' ')) AS s, cnt
+    FROM bw0 bw, tp0 tp),
+  pr1 AS (
+    SELECT p, sum(cnt) AS c FROM (
+      SELECT cnt, unnest(CASE WHEN len(string_split(s, ' ')) < 2
+        THEN []::VARCHAR[]
+        ELSE list_transform(generate_series(1, len(string_split(s, ' ')) - 1),
+             i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i + 1])
+        END) AS p
+      FROM bw1) GROUP BY p),
+  tp1 AS (SELECT p FROM pr1 ORDER BY c DESC, p ASC LIMIT 1),
+  bw2 AS (
+    SELECT trim(replace(' ' || bw.s || ' ', ' ' || tp.p || ' ',
+                        ' ' || replace(tp.p, ' ', '') || ' ')) AS s, cnt
+    FROM bw1 bw, tp1 tp),
+  pr2 AS (
+    SELECT p, sum(cnt) AS c FROM (
+      SELECT cnt, unnest(CASE WHEN len(string_split(s, ' ')) < 2
+        THEN []::VARCHAR[]
+        ELSE list_transform(generate_series(1, len(string_split(s, ' ')) - 1),
+             i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i + 1])
+        END) AS p
+      FROM bw2) GROUP BY p),
+  tp2 AS (SELECT p FROM pr2 ORDER BY c DESC, p ASC LIMIT 1),
+  bw3 AS (
+    SELECT trim(replace(' ' || bw.s || ' ', ' ' || tp.p || ' ',
+                        ' ' || replace(tp.p, ' ', '') || ' ')) AS s, cnt
+    FROM bw2 bw, tp2 tp),
+  pr3 AS (
+    SELECT p, sum(cnt) AS c FROM (
+      SELECT cnt, unnest(CASE WHEN len(string_split(s, ' ')) < 2
+        THEN []::VARCHAR[]
+        ELSE list_transform(generate_series(1, len(string_split(s, ' ')) - 1),
+             i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i + 1])
+        END) AS p
+      FROM bw3) GROUP BY p),
+  tp3 AS (SELECT p FROM pr3 ORDER BY c DESC, p ASC LIMIT 1),
+  bw4 AS (
+    SELECT trim(replace(' ' || bw.s || ' ', ' ' || tp.p || ' ',
+                        ' ' || replace(tp.p, ' ', '') || ' ')) AS s, cnt
+    FROM bw3 bw, tp3 tp),
+  pr4 AS (
+    SELECT p, sum(cnt) AS c FROM (
+      SELECT cnt, unnest(CASE WHEN len(string_split(s, ' ')) < 2
+        THEN []::VARCHAR[]
+        ELSE list_transform(generate_series(1, len(string_split(s, ' ')) - 1),
+             i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i + 1])
+        END) AS p
+      FROM bw4) GROUP BY p),
+  tp4 AS (SELECT p FROM pr4 ORDER BY c DESC, p ASC LIMIT 1),
+  bw5 AS (
+    SELECT trim(replace(' ' || bw.s || ' ', ' ' || tp.p || ' ',
+                        ' ' || replace(tp.p, ' ', '') || ' ')) AS s, cnt
+    FROM bw4 bw, tp4 tp),
+  pr5 AS (
+    SELECT p, sum(cnt) AS c FROM (
+      SELECT cnt, unnest(CASE WHEN len(string_split(s, ' ')) < 2
+        THEN []::VARCHAR[]
+        ELSE list_transform(generate_series(1, len(string_split(s, ' ')) - 1),
+             i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i + 1])
+        END) AS p
+      FROM bw5) GROUP BY p),
+  tp5 AS (SELECT p FROM pr5 ORDER BY c DESC, p ASC LIMIT 1),
+  bw6 AS (
+    SELECT trim(replace(' ' || bw.s || ' ', ' ' || tp.p || ' ',
+                        ' ' || replace(tp.p, ' ', '') || ' ')) AS s, cnt
+    FROM bw5 bw, tp5 tp),
+  bvocab AS (
+    SELECT replace(s, ' ', '') AS w,
+           len(string_split(s, ' ')) AS n_sym
+    FROM bw6),
+  bpet AS (
+    SELECT doc_id,
+           CAST(sum(coalesce(v.n_sym, length(tw.w))) AS BIGINT)
+             AS bpe_real_tokens
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents) tw
+    LEFT JOIN bvocab v ON v.w = tw.w
+    WHERE tw.w <> '' GROUP BY doc_id),
+  t AS (
     SELECT doc_id,
            len(string_split(lower(text), ' ')) AS ws_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
@@ -2017,12 +2126,14 @@ def _tokens_sql() -> str:
          concat('http://track.example', CAST(doc_id % 5 AS VARCHAR),
                 '.com/P', CAST(doc_id AS VARCHAR),
                 '?id=', CAST(doc_id AS VARCHAR)) AS canon_url,
+         bpet.bpe_real_tokens,
+         substr(md5((SELECT p FROM tp0) || '|' || (SELECT p FROM tp1) || '|' || (SELECT p FROM tp2) || '|' || (SELECT p FROM tp3) || '|' || (SELECT p FROM tp4) || '|' || (SELECT p FROM tp5)), 1, 8) AS bpe_vocab_sig,
          CAST(nch AS BIGINT) AS n_chunks,
          substr(md5(array_to_string(list_transform(
              generate_series(0, nch - 1),
              i -> array_to_string(list_slice(tkr, i * 24 + 1, i * 24 + 32),
                                   ' ')), '|')), 1, 8) AS chunk_sig
-  FROM p ORDER BY doc_id
+  FROM p LEFT JOIN bpet USING (doc_id) ORDER BY doc_id
 """
 
 

@@ -51,6 +51,9 @@ from fstd2pandas_spark.operators.llm.similarity import (
 from fstd2pandas_spark.operators.llm.ingest import (
     read_warc, read_warc_stream, strip_html, html_to_text_col,
 )
+from fstd2pandas_spark.operators.llm.bpe import (
+    bpe_train, bpe_token_counts,
+)
 from fstd2pandas_spark.operators.llm.multimodal import (
     extract_features, resize_images, sample_video_frames,
 )
@@ -67,6 +70,7 @@ __all__ = [
     "pq_train", "pq_encode", "pq_adc_topk", "ivf_pq_topk",
     "random_projection",
     "read_warc", "read_warc_stream", "strip_html", "html_to_text_col",
+    "bpe_train", "bpe_token_counts",
     "neardup_components", "canonical_docs", "contamination_overlap",
     "hash_split", "hash_sample", "token_pack", "stratified_hash_sample",
     "chunk_documents",

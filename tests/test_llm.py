@@ -1091,3 +1091,40 @@ def test_canonical_url_dedup(spark):
     plan = df.select(canonical_url_col(F.col("url")))._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bpe_train_and_counts(spark):
+    """Distributed BPE: learns frequency-ordered merges (deterministic
+    lexicographic ties), merges apply left-to-right non-overlapping,
+    counts join through the trained vocabulary, OOV words fall back to
+    character counts, and the vocab join never broadcasts."""
+    from fstd2pandas_spark.operators.llm.bpe import (
+        apply_merges_col, bpe_token_counts, bpe_train)
+
+    df = spark.createDataFrame([
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new"),
+        (3, "low new lower newer"),
+    ], "doc_id long, text string")
+    merges, words = bpe_train(df, n_merges=6)
+    assert merges[0] == ("l", "o")      # most frequent first pair
+    assert ("lo", "w") in merges        # builds 'low' as one token
+    final = {r.s for r in words.collect()}
+    assert "low" in final and "new" in final
+    counts = {r.doc_id: r.bpe_real_tokens for r in
+              bpe_token_counts(df, merges, words).collect()}
+    assert counts == {1: 8, 2: 7, 3: 6}
+    # OOV fallback: unseen word counts its characters
+    other = spark.createDataFrame([(9, "zzzz low")],
+                                  "doc_id long, text string")
+    c9 = bpe_token_counts(other, merges, words).collect()[0]
+    assert c9.bpe_real_tokens == 4 + 1
+    # left-to-right non-overlap: 'a a a' under merge (a,a) -> 'aa a'
+    one = spark.createDataFrame([("a a a",)], "s string")
+    got = one.select(apply_merges_col(F.col("s"),
+                                      [("a", "a")]).alias("m")).first().m
+    assert got == "aa a"
+    # scale guard: the vocabulary side must not broadcast
+    plan = bpe_token_counts(df, merges, words)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SortMergeJoin" in plan and "CartesianProduct" not in plan
