@@ -322,6 +322,27 @@ def _resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[yi][:, xi]
 
 
+def _resize_bilinear(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Vectorized bilinear resample (align-corners=False pixel-center
+    convention): each output pixel interpolates its four source
+    neighbours — the quality default for feature extraction, where
+    nearest-neighbour aliasing distorts histograms."""
+    h, w = img.shape[:2]
+    fy = np.clip((np.arange(height) + 0.5) * h / height - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(width) + 0.5) * w / width - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    p = img.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def _image_features(img: np.ndarray) -> np.ndarray:
     """FEATURE_DIM floats from real pixels: per-channel means and stds
     (6) + a 10-bin normalized luma histogram."""
@@ -437,10 +458,16 @@ def extract_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int,
-                  batch_rows: int = 64) -> DataFrame:
-    """Nearest-neighbour resample of every decodable payload to
-    (width, height), re-encoded as PPM P6. Non-decodable payloads raise
-    — resizing bytes you can't decode is an error, not a no-op."""
+                  batch_rows: int = 64,
+                  method: str = "nearest") -> DataFrame:
+    """Resample every decodable payload to (width, height) — `method`
+    "nearest" (reference-parity default) or "bilinear" (the feature-
+    extraction quality choice) — re-encoded as PPM P6. Non-decodable
+    payloads raise — resizing bytes you can't decode is an error, not
+    a no-op."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resize method {method!r}")
+    kernel = _resize_nearest if method == "nearest" else _resize_bilinear
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -453,7 +480,7 @@ def resize_images(df: DataFrame, width: int, height: int,
                         raise ValueError(
                             f"asset {a}: payload is not a decodable "
                             "PPM/BMP image")
-                    out.append(_encode_ppm(_resize_nearest(img, width, height)))
+                    out.append(_encode_ppm(kernel(img, width, height)))
                 chunk["payload"] = out
                 chunk["mime"] = "image/x-portable-pixmap"
                 chunk["width"] = np.int32(width)

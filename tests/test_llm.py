@@ -1128,3 +1128,35 @@ def test_bpe_train_and_counts(spark):
     plan = bpe_token_counts(df, merges, words)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "SortMergeJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_resize_bilinear(spark):
+    """Bilinear resize: constant images stay exact, a 2x downscale of a
+    checkerboard averages toward grey (nearest would keep pure b/w),
+    and the Spark path round-trips through PPM."""
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.multimodal import (
+        _encode_ppm, _resize_bilinear, decode_image, resize_images)
+
+    const = np.full((8, 8, 3), 200, dtype=np.uint8)
+    assert np.array_equal(_resize_bilinear(const, 4, 4), const[:4, :4])
+    board = np.zeros((8, 8, 3), dtype=np.uint8)
+    board[::2, ::2] = 255
+    board[1::2, 1::2] = 255
+    down = _resize_bilinear(board, 4, 4).astype(int)
+    assert 100 <= down.mean() <= 155         # averaged, not sampled
+    up = _resize_bilinear(const, 16, 16)
+    assert up.shape == (16, 16, 3) and int(up.mean()) == 200
+
+    df = spark.createDataFrame(
+        [(1, "image", "image/x-portable-pixmap", 8, 8, None,
+          bytearray(_encode_ppm(board)))],
+        "asset_id long, kind string, mime string, width int, height int, "
+        "duration_ms int, payload binary")
+    row = resize_images(df, 4, 4, method="bilinear").collect()[0]
+    got = decode_image(bytes(row.payload))
+    np.testing.assert_array_equal(got, _resize_bilinear(board, 4, 4))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown resize method"):
+        resize_images(df, 4, 4, method="cubic")
