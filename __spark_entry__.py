@@ -415,22 +415,28 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fstd2pandas_spark.operators.sessions import sessionize
 
     ev = _load(spark, sf_dir, "events")
+    # semi-structured props: get_json_object (JVM JSON path) feeds both
+    # rollups — the json-extraction surface gated alongside the windows
+    ev = ev.withColumn(
+        "_k", F.get_json_object(F.col("props"), "$.k").cast("long"))
     hourly = (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
         .agg(F.count("*").cast("long").alias("n"),
-             F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"))
+             F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
+             F.sum("_k").cast("long").alias("sum_k"))
         .select(F.lit("hour").alias("kind"),
                 F.unix_timestamp("hour").alias("k1"),
                 F.col("event_type").alias("k2"), "n", "sum_value",
-                F.lit(None).cast("long").alias("dur_s"))
+                F.lit(None).cast("long").alias("dur_s"), "sum_k")
     )
-    sessions = sessionize(ev, gap="30 minutes").select(
+    sessions = sessionize(ev, gap="30 minutes",
+                          extra_sums={"sum_k": "_k"}).select(
         F.lit("session").alias("kind"),
         F.unix_timestamp("session_start").alias("k1"),
         F.col("user_id").cast("string").alias("k2"),
         F.col("n_events").alias("n"), "sum_value",
         (F.unix_timestamp("session_end")
-         - F.unix_timestamp("session_start")).alias("dur_s"))
+         - F.unix_timestamp("session_start")).alias("dur_s"), "sum_k")
     return hourly.unionByName(sessions).orderBy("kind", "k1", "k2")
 
 
@@ -440,10 +446,13 @@ _Q_EVENTS_SQL = """
            CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS k1,
            event_type AS k2, count(*) AS n,
            round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
-           CAST(NULL AS BIGINT) AS dur_s
+           CAST(NULL AS BIGINT) AS dur_s,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events GROUP BY 2, 3),
   brk AS (
     SELECT user_id, ts, value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk,
            -- Spark merges sessions when the gap is <= 30 min (windows
            -- [t, t+gap) merge on overlap OR touch), so a new session
            -- starts only on a STRICTLY larger gap
@@ -464,7 +473,8 @@ _Q_EVENTS_SQL = """
            count(*) AS n,
            round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
            CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE))
-                - floor(epoch(min(ts))) AS BIGINT) AS dur_s
+                - floor(epoch(min(ts))) AS BIGINT) AS dur_s,
+           CAST(sum(kk) AS BIGINT) AS sum_k
     FROM g GROUP BY user_id, sid)
   SELECT * FROM h UNION ALL SELECT * FROM s ORDER BY kind, k1, k2
 """

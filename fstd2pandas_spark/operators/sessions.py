@@ -25,19 +25,27 @@ from pyspark.sql import functions as F
 
 def sessionize(df: DataFrame, ts_col: str = "ts",
                key_col: str = "user_id", gap: str = "30 minutes",
-               value_col: str = "value") -> DataFrame:
+               value_col: str = "value",
+               extra_sums: "dict[str, str] | None" = None) -> DataFrame:
     """Per-key session stats: (key, session_start, session_end,
     n_events, sum_value). ``session_end`` is Spark's definition — last
-    event + gap. Works unchanged on a watermarked stream (append mode
-    emits a session once the watermark passes its close)."""
+    event + gap. ``extra_sums`` maps extra output columns to numeric
+    input columns summed per session (long). Works unchanged on a
+    watermarked stream (append mode emits a session once the watermark
+    passes its close)."""
     w = F.session_window(F.col(ts_col), gap)
+    aggs = [F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col(value_col).cast("decimal(18,6)"))
+                    .cast("double"), 4).alias("sum_value")]
+    extra = list((extra_sums or {}).items())
+    aggs += [F.sum(F.col(src)).cast("long").alias(name)
+             for name, src in extra]
     return (
         df.groupBy(w, F.col(key_col))
-        .agg(F.count("*").cast("long").alias("n_events"),
-             F.round(F.sum(F.col(value_col).cast("decimal(18,6)"))
-                     .cast("double"), 4).alias("sum_value"))
+        .agg(*aggs)
         .select(F.col(key_col),
                 F.col("session_window.start").alias("session_start"),
                 F.col("session_window.end").alias("session_end"),
-                "n_events", "sum_value")
+                "n_events", "sum_value",
+                *[name for name, _ in extra])
     )
