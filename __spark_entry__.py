@@ -2401,10 +2401,19 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lee et al. 2022 exact duplicated-substring spans (duplicate_spans:
     corpus-wide 8-token window hashes, merged spans, cleaned-text md5
     signature), plus the combined Gopher rule verdict (text.py
-    gopher_filter) over whichever metric columns are present."""
+    gopher_filter) over whichever metric columns are present.
+
+    Round 7 adds the CCNet-style LM quality filter (operators/llm/lm.py):
+    a word-bigram stupid-backoff model trained on the train split scores
+    EVERY document (val docs exercise the backoff path on genuinely
+    unseen bigrams); lm_q6 is the integer micro-log10-prob sum (order-
+    free across engines), lm_bucket the head/middle/tail verdict via
+    integer cross-multiplication — the oracle re-trains the same model
+    in SQL CTEs and must agree exactly."""
     from fstd2pandas_spark.operators.llm import quality_score
     from fstd2pandas_spark.operators.llm.dedup import (
         boilerplate_span_stats, dedup_lines, duplicate_spans)
+    from fstd2pandas_spark.operators.llm.lm import lm_perplexity, lm_train
     from fstd2pandas_spark.operators.llm.sampling import hash_split
     from fstd2pandas_spark.operators.llm.text import gopher_filter
 
@@ -2419,11 +2428,28 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.substring(F.md5(F.col("line_deduped")), 1, 8)) \
      .withColumn("substr_sig",
                  F.substring(F.md5(F.col("substr_cleaned")), 1, 8))
+    # train the LM on the lightweight split of the RAW docs (same
+    # hash_split keying as the enriched chain, so 'split' agrees) —
+    # training must not recompute the heavy enrichment plan above
+    train = hash_split(docs, val_pct=5).filter(F.col("split") == "train")
+    model, uni, n_tok = lm_train(train)
+    # score an augmented text: ' zqqx<id> the' appends one guaranteed-
+    # unseen token per doc, so ALL THREE scoring branches fire on every
+    # document — hit (c_bi/c_w1), backoff on a seen continuation
+    # (0.4*c('the')/N), and the Laplace floor (0.4*1/N for the unseen
+    # 'zqqx<id>') — the synthetic corpus alone never exercises backoff
+    enriched = enriched.withColumn(
+        "_lm_text",
+        F.concat(F.col("text"), F.lit(" zqqx"),
+                 F.col("doc_id").cast("string"), F.lit(" the")))
+    enriched = lm_perplexity(enriched, model, uni, n_tok,
+                             text_col="_lm_text")
     return enriched.select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
         "stop_ratio", "quality", "split", "line_dedup_sig",
         "n_spans", "n_boilerplate_spans", "n_dup_spans", "n_dup_tokens",
         "substr_sig", "gopher_fails", "gopher_keep",
+        "lm_bigrams", "lm_q6", "lm_bucket",
     ).orderBy("doc_id")
 
 
@@ -2485,7 +2511,55 @@ def _quality_sql() -> str:
             WHERE dcov.idx IS NULL),
   dcln AS (SELECT doc_id,
                   coalesce(string_agg(tok, ' ' ORDER BY idx), '') AS cleaned
-           FROM dkeep GROUP BY doc_id)
+           FROM dkeep GROUP BY doc_id),
+  -- CCNet-style bigram LM with stupid backoff: re-train on the train
+  -- split (same md5 keying), score every doc; q6 = round(log10(p)*1e6)
+  -- as BIGINT so the per-doc sum is order-free and engine-exact
+  ltw AS (SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '),
+                             t -> t <> '') AS tk
+          FROM documents
+          WHERE CAST(concat('0x', substr(md5(concat('split1_',
+                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 >= 5),
+  luni AS (SELECT w, count(*) AS c_uni
+           FROM (SELECT unnest(tk) AS w FROM ltw) GROUP BY w),
+  lbi AS (SELECT w1, w2, count(*) AS c_bi
+          FROM (SELECT tk[i] AS w1, tk[i + 1] AS w2
+                FROM ltw, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+                WHERE len(tk) >= 2)
+          GROUP BY w1, w2),
+  lmod AS (SELECT w1, w2, c_bi, c_uni AS c_w1
+           FROM lbi JOIN luni ON luni.w = lbi.w1),
+  ltot AS (SELECT CAST(sum(c_uni) AS BIGINT) AS n FROM luni),
+  -- score the augmented text (' zqqx<id> the' appended) so the hit,
+  -- backoff and Laplace-floor branches ALL fire on every document;
+  -- || (not concat()) so a NULL text stays NULL like Spark's concat
+  ldb AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+          FROM (SELECT doc_id,
+                       list_filter(string_split(
+                           lower(text || ' zqqx' ||
+                                 CAST(doc_id AS VARCHAR) || ' the'), ' '),
+                           t -> t <> '') AS tk
+                FROM documents),
+               UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+          WHERE len(tk) >= 2),
+  lsc AS (SELECT doc_id,
+                 CAST(round(log10(
+                   CASE WHEN c_bi IS NOT NULL
+                        THEN CAST(c_bi AS DOUBLE) / c_w1
+                        -- CAST: a bare 0.4 is DECIMAL(2,1) in DuckDB
+                        -- and 0.4*k would be decimal-exact where Spark
+                        -- computes double(0.4)*k — different value
+                        ELSE CAST(0.4 AS DOUBLE)
+                             * coalesce(lu2.c_uni, 1) / ltot.n END
+                 ) * 1000000, 0) AS BIGINT) AS q6
+          FROM ldb
+          LEFT JOIN lmod ON lmod.w1 = ldb.w1 AND lmod.w2 = ldb.w2
+          LEFT JOIN luni lu2 ON lu2.w = ldb.w2
+          CROSS JOIN ltot),
+  lagg AS (SELECT doc_id, CAST(sum(q6) AS BIGINT) AS lm_q6,
+                  count(*) AS lm_bigrams
+           FROM lsc GROUP BY doc_id)
   SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stop_ratio,
          -- CASE instead of least(): DuckDB's least() on DECIMALs returns
          -- DOUBLE, which would reintroduce float tie-noise
@@ -2520,13 +2594,20 @@ def _quality_sql() -> str:
            AS INT) AS gopher_fails,
          ((n_tokens BETWEEN 50 AND 100000)
           AND (mean_token_len BETWEEN 3.0 AND 10.0)
-          AND (stop_ratio BETWEEN 0.02 AND 1.0)) AS gopher_keep
+          AND (stop_ratio BETWEEN 0.02 AND 1.0)) AS gopher_keep,
+         CAST(coalesce(lagg.lm_bigrams, 0) AS BIGINT) AS lm_bigrams,
+         CAST(coalesce(lagg.lm_q6, 0) AS BIGINT) AS lm_q6,
+         CASE WHEN coalesce(lagg.lm_bigrams, 0) = 0 THEN 'empty'
+              WHEN lagg.lm_q6 >= -1200000 * lagg.lm_bigrams THEN 'head'
+              WHEN lagg.lm_q6 >= -2000000 * lagg.lm_bigrams THEN 'middle'
+              ELSE 'tail' END AS lm_bucket
   FROM q
   JOIN (SELECT doc_id, text FROM documents) d USING (doc_id)
   JOIN sp USING (doc_id)
   LEFT JOIN h USING (doc_id)
   LEFT JOIN dspn USING (doc_id)
   LEFT JOIN dcln USING (doc_id)
+  LEFT JOIN lagg USING (doc_id)
   ORDER BY doc_id
 """
 

@@ -12,6 +12,8 @@ DataFrame model:
 - :mod:`similarity` — brute-force cosine top-k, LSH-bucketed ANN, IVF
                       ANN with deterministic Lloyd k-means refinement
 - :mod:`decontam`   — benchmark shingle-overlap contamination flags
+- :mod:`lm`         — CCNet-style bigram-LM perplexity scoring with
+                      stupid backoff (head/middle/tail bucketing)
 - :mod:`sampling`   — deterministic hash split/sample + sequence packing
 - :mod:`multimodal` — binary columns with REAL pure-numpy PPM/BMP
                       decode/resize; content-hash fallback for formats
@@ -54,6 +56,9 @@ from fstd2pandas_spark.operators.llm.ingest import (
 from fstd2pandas_spark.operators.llm.bpe import (
     bpe_train, bpe_token_counts,
 )
+from fstd2pandas_spark.operators.llm.lm import (
+    lm_train, lm_perplexity,
+)
 from fstd2pandas_spark.operators.llm.multimodal import (
     extract_features, resize_images, sample_video_frames,
 )
@@ -71,6 +76,7 @@ __all__ = [
     "random_projection",
     "read_warc", "read_warc_stream", "strip_html", "html_to_text_col",
     "bpe_train", "bpe_token_counts",
+    "lm_train", "lm_perplexity",
     "neardup_components", "canonical_docs", "contamination_overlap",
     "hash_split", "hash_sample", "token_pack", "stratified_hash_sample",
     "chunk_documents",

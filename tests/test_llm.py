@@ -1160,3 +1160,69 @@ def test_resize_bilinear(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="unknown resize method"):
         resize_images(df, 4, 4, method="cubic")
+
+
+def test_lm_train_counts_and_score_exact(spark):
+    """Hand-computed stupid-backoff scores on a 2-doc training corpus:
+    hit path (c_bi/c_w1), backoff path (0.4*c(w2)/N), Laplace floor for
+    unseen continuations, and the empty/NULL contract."""
+    from fstd2pandas_spark.operators.llm.lm import lm_perplexity, lm_train
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "b c"), (4, "a z"),
+         (5, "x"), (6, None)],
+        "doc_id int, text string")
+    model, uni, n = lm_train(docs.filter("doc_id <= 2"))
+    assert n == 6
+    m = {(r.w1, r.w2): (r.c_bi, r.c_w1) for r in model.collect()}
+    assert m == {("a", "b"): (2, 3), ("b", "a"): (1, 2), ("a", "c"): (1, 3)}
+
+    out = {r.doc_id: r for r in
+           lm_perplexity(docs, model, uni, n).collect()}
+    # doc 1: 2*round(log10(2/3)*1e6) + round(log10(1/2)*1e6)
+    assert (out[1].lm_bigrams, out[1].lm_q6) == (3, -176091 * 2 - 301030)
+    assert (out[2].lm_bigrams, out[2].lm_q6) == (1, -477121)
+    # (b, c) unseen bigram -> 0.4 * c(c)/6; (a, z) unseen w2 -> 0.4 * 1/6
+    assert out[3].lm_q6 == out[4].lm_q6 == -1176091
+    assert out[5].lm_bucket == out[6].lm_bucket == "empty"
+    assert (out[5].lm_q6, out[5].lm_bigrams) == (0, 0)
+
+
+def test_lm_bucket_thresholds(spark):
+    """head/middle/tail via integer cross-multiplication against the
+    per-bigram average, with custom cutoffs."""
+    from fstd2pandas_spark.operators.llm.lm import lm_perplexity, lm_train
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "q r"), (3, "a c")],
+        "doc_id int, text string")
+    model, uni, n = lm_train(docs.filter("doc_id = 1"))
+    out = {r.doc_id: r.lm_bucket for r in lm_perplexity(
+        docs, model, uni, n, head_q6=-250000, middle_q6=-1000000,
+    ).collect()}
+    # doc 1 avg ~ log10(4/4 and 3/4 mix) > -0.25 -> head;
+    # doc 2 fully unseen (0.4/8 per bigram ~ -1.30) -> tail;
+    # doc 3 (a,c) unseen but a,c... c unseen too: 0.4*1/8 -> tail
+    assert out[1] == "head" and out[2] == "tail" and out[3] == "tail"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty corpus"):
+        lm_perplexity(docs, model, uni, 0)
+
+
+def test_lm_perplexity_corpus_properties(docs):
+    """Trained on the full corpus, every bigram is a hit: probs <= 1 so
+    lm_q6 <= 0, lm_bigrams == tokens-1 for space-separated text, and the
+    per-doc row count is preserved."""
+    from fstd2pandas_spark.operators.llm.lm import lm_perplexity, lm_train
+
+    model, uni, n = lm_train(docs)
+    out = lm_perplexity(docs, model, uni, n)
+    assert out.count() == docs.count()
+    assert out.filter(F.col("lm_q6") > 0).count() == 0
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    bad = out.filter(
+        F.col("lm_bigrams") !=
+        F.greatest(F.size(toks) - 1, F.lit(0))).count()
+    assert bad == 0
+    assert out.filter(~F.col("lm_bucket").isin(
+        "head", "middle", "tail", "empty")).count() == 0
