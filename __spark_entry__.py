@@ -1808,16 +1808,39 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratified_hash_sample): a deterministic per-language keep flag —
     and the HTML stripper (ingest.py html_to_text_col): each doc is
     wrapped in a deterministic HTML envelope (head/script/entities/
-    block tags) and html_sig pins the stripped text byte-for-byte."""
+    block tags) and html_sig pins the stripped text byte-for-byte.
+
+    Round 7 adds Okapi BM25 retrieval (operators/llm/retrieval.py):
+    every document's integer micro-unit BM25 score against a fixed
+    keyword query (bm25_q6/bm25_matched, 0 = no term matched) plus its
+    top-10 rank through the salted two-phase bm25_topk (bm25_rank,
+    0 = outside the top 10) — the oracle rebuilds postings, document
+    frequencies, corpus stats and the rank window in SQL."""
     from fstd2pandas_spark.operators.llm import language_id
     from fstd2pandas_spark.operators.llm.decontam import contamination_overlap
     from fstd2pandas_spark.operators.llm.ingest import html_to_text_col
+    from fstd2pandas_spark.operators.llm.retrieval import (
+        bm25_scores, bm25_topk)
     from fstd2pandas_spark.operators.llm.sampling import stratified_hash_sample
 
     docs = _load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") < 5)
     flagged = stratified_hash_sample(
         contamination_overlap(language_id(docs), bench), _STRAT_FRACS)
+    scores = bm25_scores(docs, {0: _BM25_QUERY}).select(
+        "doc_id", "bm25_q6", F.col("n_matched").alias("bm25_matched"))
+    topk = bm25_topk(docs, {0: _BM25_QUERY}, k=10, n_salts=4).select(
+        "doc_id", F.col("rank").alias("bm25_rank"))
+    flagged = (
+        flagged.join(scores, "doc_id", "left")
+        .join(topk, "doc_id", "left")
+        .withColumn("bm25_q6",
+                    F.coalesce(F.col("bm25_q6"), F.lit(0)).cast("long"))
+        .withColumn("bm25_matched",
+                    F.coalesce(F.col("bm25_matched"), F.lit(0)).cast("long"))
+        .withColumn("bm25_rank",
+                    F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("int"))
+    )
     html = F.concat(
         F.lit("<html><head><title>t</title></head><body><h1>Doc "),
         F.col("doc_id").cast("string"),
@@ -1829,8 +1852,12 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "html_sig", F.substring(F.md5(html_to_text_col(html)), 1, 8))
     return flagged.select(
         "doc_id", "lang", "lang_pred", "n_bench_shingles", "contaminated",
-        "sampled", "html_sig",
+        "sampled", "html_sig", "bm25_q6", "bm25_matched", "bm25_rank",
     ).orderBy("doc_id")
+
+
+#: fixed keyword query for the gated BM25 retrieval columns
+_BM25_QUERY = "the data model analysis"
 
 
 def _langid_sql() -> str:
@@ -1876,8 +1903,40 @@ def _langid_sql() -> str:
     for pat, rep in (("[ \\t]+", "' '"), (" ?\\n ?", "chr(10)"),
                      ("\\n{2,}", "chr(10)"), ("^\\s+|\\s+$", "''")):
         stripped = f"regexp_replace({stripped}, '{pat}', {rep}, 'g')"
+    # BM25 mirror: every double constant is repr() of the EXACT Python
+    # float the Spark operator uses, wrapped in CAST(.. AS DOUBLE) —
+    # bare decimal literals are DECIMAL in DuckDB, not double
+    from fstd2pandas_spark.operators.llm.retrieval import BM25_B, BM25_K1
+
+    terms = ", ".join(
+        repr(t) for t in dict.fromkeys(_BM25_QUERY.lower().split(" ")) if t)
+    k1 = f"CAST({BM25_K1!r} AS DOUBLE)"
+    k1p1 = f"CAST({BM25_K1 + 1.0!r} AS DOUBLE)"
+    omb = f"CAST({1.0 - BM25_B!r} AS DOUBLE)"
+    bb = f"CAST({BM25_B!r} AS DOUBLE)"
     return f"""
-  WITH sh AS (
+  WITH btk AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                      t -> t <> '') AS tk FROM documents),
+  bpost AS (SELECT doc_id, unnest(tk) AS term, len(tk) AS dl FROM btk),
+  btf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+          FROM bpost GROUP BY doc_id, term),
+  bqt AS (SELECT unnest([{terms}]) AS term),
+  bm AS (SELECT btf.* FROM btf JOIN bqt USING (term)),
+  bdf AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM bm GROUP BY term),
+  bst AS (SELECT count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS total_dl
+          FROM btk),
+  bsc AS (SELECT doc_id,
+            CAST(round(log10((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                 * ((tf * {k1p1})
+                    / (tf + {k1} * ({omb}
+                       + {bb} * dl / (CAST(total_dl AS DOUBLE) / n_docs))))
+                 * 1000000, 0) AS BIGINT) AS q6
+          FROM bm JOIN bdf USING (term) CROSS JOIN bst),
+  bagg AS (SELECT doc_id, CAST(sum(q6) AS BIGINT) AS bm25_q6,
+                  count(*) AS bm25_matched FROM bsc GROUP BY doc_id),
+  brnk AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_q6 DESC, doc_id)
+             AS r FROM bagg),
+  sh AS (
     SELECT doc_id, shingle FROM (
       SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       UNNEST(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
@@ -1894,8 +1953,14 @@ def _langid_sql() -> str:
          CAST(concat('0x', substr(md5(concat('strat1_',
               CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
            < {strat_thr} AS sampled,
-         substr(md5({stripped}), 1, 8) AS html_sig
+         substr(md5({stripped}), 1, 8) AS html_sig,
+         CAST(coalesce(bagg.bm25_q6, 0) AS BIGINT) AS bm25_q6,
+         CAST(coalesce(bagg.bm25_matched, 0) AS BIGINT) AS bm25_matched,
+         CAST(coalesce(CASE WHEN brnk.r <= 10 THEN brnk.r END, 0) AS INT)
+           AS bm25_rank
   FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+  LEFT JOIN bagg ON bagg.doc_id = d.doc_id
+  LEFT JOIN brnk ON brnk.doc_id = d.doc_id
   ORDER BY d.doc_id"""
 
 

@@ -14,6 +14,8 @@ DataFrame model:
 - :mod:`decontam`   — benchmark shingle-overlap contamination flags
 - :mod:`lm`         — CCNet-style bigram-LM perplexity scoring with
                       stupid backoff (head/middle/tail bucketing)
+- :mod:`retrieval`  — Okapi BM25 keyword retrieval (broadcast query
+                      terms, salted two-phase top-k)
 - :mod:`sampling`   — deterministic hash split/sample + sequence packing
 - :mod:`multimodal` — binary columns with REAL pure-numpy PPM/BMP
                       decode/resize; content-hash fallback for formats
@@ -59,6 +61,9 @@ from fstd2pandas_spark.operators.llm.bpe import (
 from fstd2pandas_spark.operators.llm.lm import (
     lm_train, lm_perplexity,
 )
+from fstd2pandas_spark.operators.llm.retrieval import (
+    bm25_scores, bm25_topk, doc_postings,
+)
 from fstd2pandas_spark.operators.llm.multimodal import (
     extract_features, resize_images, sample_video_frames,
 )
@@ -77,6 +82,7 @@ __all__ = [
     "read_warc", "read_warc_stream", "strip_html", "html_to_text_col",
     "bpe_train", "bpe_token_counts",
     "lm_train", "lm_perplexity",
+    "bm25_scores", "bm25_topk", "doc_postings",
     "neardup_components", "canonical_docs", "contamination_overlap",
     "hash_split", "hash_sample", "token_pack", "stratified_hash_sample",
     "chunk_documents",

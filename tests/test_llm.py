@@ -1226,3 +1226,62 @@ def test_lm_perplexity_corpus_properties(docs):
     assert bad == 0
     assert out.filter(~F.col("lm_bucket").isin(
         "head", "middle", "tail", "empty")).count() == 0
+
+
+def _bm25_py(tf, dl, df_t, n_docs, avgdl, k1=1.2, b=0.75):
+    """Reference reimplementation with the exact operand order the
+    operator uses — Python and JVM doubles agree bit-for-bit on the
+    same IEEE op sequence."""
+    import math
+    idf = math.log10((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+    tfn = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    v = idf * tfn * 1_000_000
+    # Spark round() is BigDecimal HALF_UP on the double's exact value
+    from decimal import Decimal, ROUND_HALF_UP
+    return int(Decimal(v).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def test_bm25_scores_hand_computed(spark):
+    from fstd2pandas_spark.operators.llm.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "cat sat mat"), (2, "cat cat dog"), (3, "fish")],
+        "doc_id int, text string")
+    out = {(r.query_id, r.doc_id): r for r in
+           bm25_scores(docs, {0: "cat fish"}).collect()}
+    avgdl = 7.0 / 3
+    cat1 = _bm25_py(1, 3, 2, 3, avgdl)
+    cat2 = _bm25_py(2, 3, 2, 3, avgdl)
+    fish3 = _bm25_py(1, 1, 1, 3, avgdl)
+    assert out[(0, 1)].bm25_q6 == cat1 and out[(0, 1)].n_matched == 1
+    assert out[(0, 2)].bm25_q6 == cat2
+    assert out[(0, 3)].bm25_q6 == fish3
+    assert (0, 3) in out and len(out) == 3   # d3 matches fish only
+
+
+def test_bm25_topk_salted_equals_unsalted(docs):
+    from fstd2pandas_spark.operators.llm.retrieval import bm25_topk
+
+    qs = {0: "the data model", 1: "analysis system"}
+    a = {(r.query_id, r.rank): r.doc_id for r in
+         bm25_topk(docs, qs, k=8, n_salts=1).collect()}
+    b = {(r.query_id, r.rank): r.doc_id for r in
+         bm25_topk(docs, qs, k=8, n_salts=16).collect()}
+    assert a == b and len(a) > 0
+    # dense 1..k ranks per query
+    for q in (0, 1):
+        ranks = sorted(r for (qq, r) in a if qq == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_bm25_topk_relevance(docs):
+    """Top-ranked docs must actually contain query terms, and a doc
+    stuffed with the query term should outrank a sparse mention."""
+    from fstd2pandas_spark.operators.llm.retrieval import bm25_topk
+
+    term = "data"
+    top = bm25_topk(docs, {0: term}, k=5).join(
+        docs.select("doc_id", "text"), "doc_id").collect()
+    assert len(top) > 0
+    for r in top:
+        assert term in r.text.lower().split()
