@@ -411,7 +411,17 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the watermarked stream, tests/test_streaming.py). Unified
     (kind, k1, k2, n, sum_value, dur_s): hour=(epoch hour, event_type,
     count, sum, NULL), session=(epoch start, user_id, count, sum,
-    end-start seconds with end = last event + gap)."""
+    end-start seconds with end = last event + gap).
+
+    Round 7 adds ordered-funnel analysis (operators/funnel.py): one
+    sorted-array fold per user walks view -> click -> purchase with
+    strictly-after semantics — kind='funnel' rows carry each entered
+    user's depth and first->last step duration, kind='fstep' rows the
+    per-step user counts (counts_from_steps reuses the SAME fold — one
+    events shuffle for both shapes). The oracle derives the funnel
+    INDEPENDENTLY as the classic k-pass sequential-min-join cascade."""
+    from fstd2pandas_spark.operators.funnel import (
+        counts_from_steps, funnel_steps)
     from fstd2pandas_spark.operators.sessions import sessionize
 
     ev = _load(spark, sf_dir, "events")
@@ -437,7 +447,32 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("n"), "sum_value",
         (F.unix_timestamp("session_end")
          - F.unix_timestamp("session_start")).alias("dur_s"), "sum_k")
-    return hourly.unionByName(sessions).orderBy("kind", "k1", "k2")
+    steps = ["view", "click", "purchase"]
+    # localCheckpoint: fuser and fstep are two consumers of the fold —
+    # without it each union branch re-scans events and refolds; the
+    # checkpointed result is users-sized (tiny next to the events)
+    fs = funnel_steps(ev, steps).localCheckpoint()
+    us = F.element_at(F.col("step_ts_us"), 1)
+    last = F.element_at(F.col("step_ts_us"), F.size("step_ts_us"))
+    fuser = fs.filter(F.col("depth") >= 1).select(
+        F.lit("funnel").alias("kind"),
+        F.floor(us / F.lit(1_000_000)).cast("long").alias("k1"),
+        F.col("user").cast("string").alias("k2"),
+        F.col("depth").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        (F.floor(last / F.lit(1_000_000))
+         - F.floor(us / F.lit(1_000_000))).cast("long").alias("dur_s"),
+        F.lit(None).cast("long").alias("sum_k"))
+    fstep = counts_from_steps(fs, steps).select(
+        F.lit("fstep").alias("kind"),
+        F.col("step_idx").cast("long").alias("k1"),
+        F.col("step_name").alias("k2"),
+        F.col("n_users").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.lit(None).cast("long").alias("dur_s"),
+        F.lit(None).cast("long").alias("sum_k"))
+    return (hourly.unionByName(sessions).unionByName(fuser)
+            .unionByName(fstep).orderBy("kind", "k1", "k2"))
 
 
 _Q_EVENTS_SQL = """
@@ -475,8 +510,48 @@ _Q_EVENTS_SQL = """
            CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE))
                 - floor(epoch(min(ts))) AS BIGINT) AS dur_s,
            CAST(sum(kk) AS BIGINT) AS sum_k
-    FROM g GROUP BY user_id, sid)
-  SELECT * FROM h UNION ALL SELECT * FROM s ORDER BY kind, k1, k2
+    FROM g GROUP BY user_id, sid),
+  -- funnel mirror: INDEPENDENT derivation as the classic sequential
+  -- min-join cascade (step i+1 = first event of its type strictly
+  -- after step i; the engine uses a per-user sorted-array fold). The
+  -- events table has no (user_id, ts) ties, so strictly-after on ts
+  -- alone is exact; the operator's event_id tie-break is pinned by a
+  -- pytest instead.
+  fv AS (SELECT user_id, min(ts) AS t1 FROM events
+         WHERE event_type = 'view' GROUP BY user_id),
+  fc AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+         JOIN fv USING (user_id)
+         WHERE e.event_type = 'click' AND e.ts > fv.t1 GROUP BY e.user_id),
+  fp AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+         JOIN fc USING (user_id)
+         WHERE e.event_type = 'purchase' AND e.ts > fc.t2
+         GROUP BY e.user_id),
+  fu AS (SELECT fv.user_id,
+                CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth,
+                t1, coalesce(t3, t2, t1) AS tl
+         FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id)),
+  fuser AS (SELECT 'funnel' AS kind,
+                   CAST(floor(epoch(t1)) AS BIGINT) AS k1,
+                   CAST(user_id AS VARCHAR) AS k2,
+                   CAST(depth AS BIGINT) AS n,
+                   CAST(NULL AS DOUBLE) AS sum_value,
+                   CAST(floor(epoch(tl)) - floor(epoch(t1)) AS BIGINT)
+                     AS dur_s,
+                   CAST(NULL AS BIGINT) AS sum_k
+            FROM fu),
+  fstep AS (SELECT 'fstep' AS kind, CAST(v.i AS BIGINT) AS k1,
+                   v.s AS k2,
+                   CAST((SELECT count(*) FROM fu WHERE fu.depth >= v.i)
+                        AS BIGINT) AS n,
+                   CAST(NULL AS DOUBLE) AS sum_value,
+                   CAST(NULL AS BIGINT) AS dur_s,
+                   CAST(NULL AS BIGINT) AS sum_k
+            FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+                 v(i, s))
+  SELECT * FROM h UNION ALL SELECT * FROM s
+  UNION ALL SELECT * FROM fuser UNION ALL SELECT * FROM fstep
+  ORDER BY kind, k1, k2
 """
 
 
@@ -2973,7 +3048,17 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing driven end-to-end: documents become opaque
     binary assets, features extracted via Arrow-batched mapInPandas
     (decode kernel stubbed, SURVEY extension). Feature floats are
-    byte/255 from the md5 digest, so integer projections are exact."""
+    byte/255 from the md5 digest, so integer projections are exact.
+
+    Round 7 adds kind='ppm' rows gating the REAL image decode path:
+    each doc becomes a genuine 4x4 PPM P6 payload whose 48 pixel bytes
+    are three chained md5 digests, decode_image + _image_features run
+    for real, and the oracle PREDICTS the decoded features numerically
+    from the same md5 bytes — per-channel pixel sums recovered exactly
+    from the float32 means, the full 10-bin luma histogram gated via a
+    weighted bin sum (luma = ((r*.299)+(g*.587))+(b*.114) left-assoc,
+    numpy-linspace bin edges interpolated as exact double literals). A
+    wrong decode, wrong luma math or wrong binning shifts an integer."""
     from fstd2pandas_spark.operators.llm import extract_features
 
     docs = _load(spark, sf_dir, "documents")
@@ -2990,17 +3075,59 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
     feats = extract_features(assets)
-    return feats.select(
+    base = feats.select(
         "asset_id", "kind", "n_bytes",
         F.round(F.element_at("feature", 1) * 255).cast("long").alias("f0"),
         F.round(F.element_at("feature", 16) * 255).cast("long").alias("f15"),
         F.round(
             F.aggregate("feature", F.lit(0.0), lambda a, x: a + x) * 255
         ).cast("long").alias("fsum"),
-    ).orderBy("asset_id")
+    )
+    # real 4x4 PPM payloads: header + 48 md5-derived pixel bytes
+    ppm_assets = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("ppm").alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(4).alias("width"), F.lit(4).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.concat(
+            F.encode(F.lit("P6\n4 4\n255\n"), "utf-8"),
+            F.unhex(F.md5(F.col("text"))),
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit("1")))),
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit("2")))),
+        ).alias("payload"),
+    )
+    pf = extract_features(ppm_assets)
+    # feature layout: [means(3), stds(3), luma hist(10)]; means recover
+    # channel sums (x 255*16), hist counts recover exactly (x 16)
+    ch_sum = sum(
+        F.round(F.element_at("feature", c) * 4080).cast("long")
+        for c in (1, 2, 3))
+    wbins = sum(
+        F.round(F.element_at("feature", 7 + b) * 16).cast("long")
+        * F.lit(b + 1) for b in range(10))
+    ppm = pf.select(
+        "asset_id", "kind", "n_bytes",
+        F.round(F.element_at("feature", 1) * 4080).cast("long").alias("f0"),
+        F.round(F.element_at("feature", 16) * 16).cast("long").alias("f15"),
+        (ch_sum + wbins).cast("long").alias("fsum"),
+    )
+    return base.unionByName(ppm).orderBy("asset_id", "kind")
 
 
-_Q_MM_SQL = """
+def _mm_sql() -> str:
+    # numpy-linspace luma-histogram bin edges: step = 255.0001/10 in
+    # float64, edge_k = k*step (each with one float64 multiply) —
+    # interpolated via repr() so DuckDB parses the exact same doubles
+    step = 255.0001 / 10
+    edge = [k * step for k in range(10)]
+    bin9 = f"CASE WHEN luma >= CAST({edge[9]!r} AS DOUBLE) THEN 1 ELSE 0 END"
+    # weighted bin sum: sum over pixels of (1 + #edges <= luma), which
+    # equals sum over bins of (bin_idx+1) * count — gates ALL 10 bins
+    widx = " + ".join(
+        f"(CASE WHEN luma >= CAST({edge[k]!r} AS DOUBLE) THEN 1 ELSE 0 END)"
+        for k in range(1, 10))
+    return f"""
   WITH h AS (
     SELECT doc_id AS asset_id,
            ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
@@ -3012,11 +3139,36 @@ _Q_MM_SQL = """
            list_transform(generate_series(0, 15),
              i -> CAST(concat('0x', substr(hex, 2 * i + 1, 2)) AS BIGINT))
              AS bytes
-    FROM h)
+    FROM h),
+  -- kind='ppm': PREDICT the real decoder's features from the same md5
+  -- bytes the Spark side encodes into a genuine 4x4 PPM payload
+  pm AS (SELECT doc_id AS asset_id,
+                concat(md5(text), md5(text || '1'), md5(text || '2')) AS hx
+         FROM documents WHERE text IS NOT NULL),
+  ppx AS (SELECT asset_id,
+                 CAST(concat('0x', substr(hx, 6 * i + 1, 2)) AS BIGINT) AS r,
+                 CAST(concat('0x', substr(hx, 6 * i + 3, 2)) AS BIGINT) AS g,
+                 CAST(concat('0x', substr(hx, 6 * i + 5, 2)) AS BIGINT) AS b
+          FROM pm, UNNEST(generate_series(0, 15)) t(i)),
+  plu AS (SELECT asset_id, r, g, b,
+                 r * CAST(0.299 AS DOUBLE) + g * CAST(0.587 AS DOUBLE)
+                   + b * CAST(0.114 AS DOUBLE) AS luma
+          FROM ppx),
+  pag AS (SELECT asset_id,
+                 CAST(sum(r) AS BIGINT) AS rs,
+                 CAST(sum(r) + sum(g) + sum(b) AS BIGINT) AS rgb,
+                 CAST(sum({bin9}) AS BIGINT) AS bin9,
+                 CAST(sum(1 + {widx}) AS BIGINT) AS wb
+          FROM plu GROUP BY asset_id)
   SELECT asset_id, kind, n_bytes,
          bytes[1] AS f0, bytes[16] AS f15,
          CAST(list_sum(bytes) AS BIGINT) AS fsum
-  FROM b ORDER BY asset_id
+  FROM b
+  UNION ALL
+  SELECT asset_id, 'ppm' AS kind, 59 AS n_bytes,
+         rs AS f0, bin9 AS f15, rgb + wb AS fsum
+  FROM pag
+  ORDER BY asset_id, kind
 """
 
 
@@ -4015,7 +4167,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup": _neardup_bucketed_sql(),
         "emb_ann_lsh": _ann_lsh_sql(),
         "emb_ann_ivf": _ann_ivf_sql(),
-        "mm_features": _Q_MM_SQL,
+        "mm_features": _mm_sql(),
         "fst_ip_info": _ip_info_sql(),
         "fst_write_roundtrip": _Q_WRITE_RT_SQL,
         "fst_csv_roundtrip": _Q_CSV_RT_SQL,

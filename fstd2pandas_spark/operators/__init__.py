@@ -32,6 +32,10 @@ from fstd2pandas_spark.operators.grid import (
     is_global_grid,
 )
 from fstd2pandas_spark.operators.cube import to_cube, to_xarray
+from fstd2pandas_spark.operators.sessions import sessionize
+from fstd2pandas_spark.operators.funnel import (
+    funnel_steps, funnel_counts, counts_from_steps,
+)
 
 __all__ = [
     "select_meta", "select_with_meta", "add_metadata_to_query_results",
@@ -41,4 +45,5 @@ __all__ = [
     "converter_columns", "apply_mask", "recover_mask", "quick_pressure",
     "df_from_grid", "grid_lat_lon", "grid_metadata_for", "is_global_grid",
     "to_cube", "to_xarray",
+    "sessionize", "funnel_steps", "funnel_counts", "counts_from_steps",
 ]

@@ -1,0 +1,98 @@
+"""Ordered-funnel analysis over event streams — the classic product
+analytics question: of the users who did step 1, how many went on to do
+step 2 strictly later, then step 3, ...
+
+``funnel_steps`` computes each user's progress through an ordered list
+of event types; ``funnel_counts`` rolls that into per-step user counts.
+
+Semantics (deterministic, tie-robust):
+
+- a user's events are walked in ``(ts, event_id)`` ascending order;
+- step i+1 completes at the FIRST event of its type strictly after the
+  event that completed step i (same-timestamp events resolve by
+  ``event_id`` — pinned by a tie test, though real event streams rarely
+  tie);
+- with ``within`` (seconds), steps 2..k only count within that horizon
+  of the step-1 event (the 'converted within 24h' variant).
+
+Scale design: one shuffle on the user key into a per-user sorted event
+array, then a single engine-native ``aggregate`` fold advancing a step
+pointer — no joins, no per-step passes, no Python. The per-user array
+is bounded by one user's activity (document the explode alternative if
+a synthetic key ever aggregates millions of events under one user);
+this is the same per-key working-set shape ``sessionize`` accepts. The
+equivalent k-pass formulation (min-ts per step with a join per level)
+multiplies scans by funnel depth — the fold reads the events once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(df: DataFrame, steps: "list[str]", ts_col: str = "ts",
+                 user_col: str = "user_id", type_col: str = "event_type",
+                 id_col: str = "event_id",
+                 within: "int | None" = None) -> DataFrame:
+    """Per-user funnel progress: (user, depth, step_ts_us) where
+    ``step_ts_us`` holds the unix-microsecond time of each completed
+    step (``size == depth``). Users with depth 0 are kept (they exist
+    in the events table but never did step 1).
+    """
+    if not steps:
+        raise ValueError("funnel_steps: need at least one step")
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = F.sort_array(F.collect_list(F.struct(
+        # cast: parquet TIMESTAMP_NTZ is not accepted by unix_micros;
+        # the session TZ is UTC so the NTZ -> TZ cast is deterministic
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+    )))
+
+    def advance(acc, e):
+        want = F.element_at(steps_arr, F.size(acc) + 1)
+        ok = (F.size(acc) < k) & (e["etype"] == want)
+        if within is not None:
+            horizon = e["ts_us"] <= F.element_at(acc, 1) \
+                + F.lit(int(within) * 1_000_000)
+            ok = ok & ((F.size(acc) == 0) | horizon)
+        return F.when(ok, F.concat(acc, F.array(e["ts_us"]))).otherwise(acc)
+
+    grouped = df.groupBy(F.col(user_col).alias("user")).agg(ev.alias("_ev"))
+    folded = F.aggregate(F.col("_ev"),
+                         F.array().cast("array<bigint>"), advance)
+    return (
+        grouped.withColumn("step_ts_us", folded).drop("_ev")
+        .withColumn("depth", F.size("step_ts_us"))
+    )
+
+
+def funnel_counts(df: DataFrame, steps: "list[str]", ts_col: str = "ts",
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  id_col: str = "event_id",
+                  within: "int | None" = None) -> DataFrame:
+    """Funnel rollup: one row per step — (step_idx, step_name,
+    n_users) with n_users = users whose depth reached that step.
+    The per-step counts come from ONE 1-row aggregate unpivoted with
+    ``stack`` — never k passes over the events.
+    """
+    per_user = funnel_steps(df, steps, ts_col, user_col, type_col,
+                            id_col, within)
+    return counts_from_steps(per_user, steps)
+
+
+def counts_from_steps(per_user: DataFrame,
+                      steps: "list[str]") -> DataFrame:
+    """The rollup half of :func:`funnel_counts`, over an existing
+    :func:`funnel_steps` result — callers that need BOTH per-user depth
+    and the rollup reuse one shuffle instead of refolding the events."""
+    aggs = [F.sum((F.col("depth") >= i + 1).cast("long")).alias(f"_s{i}")
+            for i in range(len(steps))]
+    one = per_user.agg(*aggs)
+    stack = ", ".join(
+        f"{i + 1}, '{s}', _s{i}" for i, s in enumerate(steps))
+    return one.selectExpr(
+        f"stack({len(steps)}, {stack}) AS (step_idx, step_name, n_users)")

@@ -349,7 +349,11 @@ def _image_features(img: np.ndarray) -> np.ndarray:
     px = img.reshape(-1, 3).astype(np.float64)
     means = px.mean(axis=0) / 255.0
     stds = px.std(axis=0) / 255.0
-    luma = px @ np.array([0.299, 0.587, 0.114])
+    # explicit elementwise form, NOT a BLAS matmul: ((r*c1)+(g*c2))+(b*c3)
+    # is the exact left-associated double sequence ANSI SQL evaluates, so
+    # the luma histogram is reproducible bit-for-bit by the oracle (a
+    # dgemv could reorder/fuse and flip a pixel across a bin edge)
+    luma = px[:, 0] * 0.299 + px[:, 1] * 0.587 + px[:, 2] * 0.114
     hist = np.histogram(luma, bins=10, range=(0.0, 255.0001))[0]
     hist = hist / max(len(luma), 1)
     return np.concatenate([means, stds, hist]).astype(np.float32)

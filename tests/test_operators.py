@@ -317,3 +317,81 @@ def test_vctype_and_cleanup_plan_shape(records):
     # repeats the shared profile subtree per consumer (~4 consumers x
     # ~5 nodes), so cap the count rather than pin it
     assert count_exchanges(cleaned) <= 25
+
+
+def _ev_rows(*rows):
+    """(event_id, ts_str, user_id, event_type) tuples -> DataFrame rows."""
+    import datetime as dt
+    return [(i, dt.datetime.fromisoformat(t), u, k, 1.0, None)
+            for (i, t, u, k) in rows]
+
+
+_EV_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def test_funnel_steps_ordering(spark):
+    """Step i+1 must occur strictly after step i in (ts, event_id)
+    order: an early click does not count, a later one does."""
+    from fstd2pandas_spark.operators.funnel import funnel_steps
+
+    df = spark.createDataFrame(_ev_rows(
+        (1, "2024-01-01T10:00", 1, "view"),
+        (2, "2024-01-01T10:05", 1, "click"),
+        (3, "2024-01-01T10:10", 1, "purchase"),
+        (4, "2024-01-01T09:00", 2, "click"),     # before the view
+        (5, "2024-01-01T09:30", 2, "view"),
+        (6, "2024-01-01T08:00", 3, "view"),
+        (7, "2024-01-01T08:00", 4, "purchase"),  # never does step 1
+    ), _EV_SCHEMA)
+    out = {r.user: (r.depth, r.step_ts_us) for r in
+           funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert out[1][0] == 3 and len(out[1][1]) == 3
+    assert out[2][0] == 1          # the early click never counts
+    assert out[3][0] == 1
+    assert out[4][0] == 0 and out[4][1] == []
+
+
+def test_funnel_tie_resolved_by_event_id(spark):
+    """Same-timestamp events advance in event_id order."""
+    from fstd2pandas_spark.operators.funnel import funnel_steps
+
+    df = spark.createDataFrame(_ev_rows(
+        (10, "2024-01-01T10:00", 1, "view"),
+        (11, "2024-01-01T10:00", 1, "click"),    # same ts, later id: counts
+        (20, "2024-01-01T10:00", 2, "click"),    # same ts, EARLIER id
+        (21, "2024-01-01T10:00", 2, "view"),
+    ), _EV_SCHEMA)
+    out = {r.user: r.depth for r in
+           funnel_steps(df, ["view", "click"]).collect()}
+    assert out[1] == 2 and out[2] == 1
+
+
+def test_funnel_within_horizon(spark):
+    from fstd2pandas_spark.operators.funnel import funnel_counts, funnel_steps
+
+    df = spark.createDataFrame(_ev_rows(
+        (1, "2024-01-01T10:00", 1, "view"),
+        (2, "2024-01-01T10:30", 1, "click"),     # 1800 s after view
+        (3, "2024-01-01T10:00", 2, "view"),
+        (4, "2024-01-01T12:00", 2, "click"),     # 7200 s after view
+    ), _EV_SCHEMA)
+    out = {r.user: r.depth for r in
+           funnel_steps(df, ["view", "click"], within=3600).collect()}
+    assert out[1] == 2 and out[2] == 1
+    counts = {r.step_idx: r.n_users for r in
+              funnel_counts(df, ["view", "click"], within=3600).collect()}
+    assert counts == {1: 2, 2: 1}
+
+
+def test_funnel_counts_monotone(spark, sf_dir):
+    """On the real events table the funnel is monotone non-increasing
+    and bounded by the distinct-user count."""
+    from fstd2pandas_spark.operators.funnel import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = {r.step_idx: r.n_users for r in funnel_counts(
+        ev, ["view", "click", "purchase"]).collect()}
+    n_users = ev.select("user_id").distinct().count()
+    assert rows[1] <= n_users and rows[1] >= rows[2] >= rows[3] >= 0
+    assert rows[1] > 0
