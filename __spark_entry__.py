@@ -3112,7 +3112,38 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 16) * 16).cast("long").alias("f15"),
         (ch_sum + wbins).cast("long").alias("fsum"),
     )
-    return base.unionByName(ppm).orderBy("asset_id", "kind")
+    # kind='wav': a genuine RIFF/WAVE 8-bit mono PCM payload (44-byte
+    # header + the SAME 48 md5 bytes as samples) runs decode_wav +
+    # _audio_features for real; the oracle predicts peak (x128), the
+    # zero-crossing count (x47) and the full 12-bin |sample| energy
+    # histogram (weighted bin sum, x48) from the byte values
+    wav_header = (
+        "52494646" "54000000" "57415645"            # RIFF, size 84, WAVE
+        "666d7420" "10000000" "0100" "0100"         # fmt , 16, PCM, mono
+        "401f0000" "401f0000" "0100" "0800"         # 8000 Hz, 8 bit
+        "64617461" "30000000")                      # data, 48 bytes
+    wav_assets = ppm_assets.select(
+        "asset_id", F.lit("wav").alias("kind"), "mime",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(6).alias("duration_ms"),
+        F.concat(F.unhex(F.lit(wav_header)),
+                 F.substring(F.col("payload"), 12, 48)).alias("payload"),
+    )
+    wf = extract_features(wav_assets)
+    # feature layout: [dur, rms, peak, zcr, energy hist(12)]
+    wwbins = sum(
+        F.round(F.element_at("feature", 5 + b) * 48).cast("long")
+        * F.lit(b + 1) for b in range(12))
+    wav = wf.select(
+        "asset_id", "kind", "n_bytes",
+        F.round(F.element_at("feature", 3) * 128).cast("long").alias("f0"),
+        F.round(F.element_at("feature", 16) * 48).cast("long").alias("f15"),
+        (F.round(F.element_at("feature", 4) * 47).cast("long")
+         + wwbins).cast("long").alias("fsum"),
+    )
+    return (base.unionByName(ppm).unionByName(wav)
+            .orderBy("asset_id", "kind"))
 
 
 def _mm_sql() -> str:
@@ -3127,6 +3158,15 @@ def _mm_sql() -> str:
     widx = " + ".join(
         f"(CASE WHEN luma >= CAST({edge[k]!r} AS DOUBLE) THEN 1 ELSE 0 END)"
         for k in range(1, 10))
+    # audio energy-histogram edges: 12 bins over |sample| in (0, 1.0001);
+    # |sample| = abs(byte-128)/128 exactly in both engines
+    wstep = 1.0001 / 12
+    wedge = [k * wstep for k in range(12)]
+    wbin11 = (f"CASE WHEN ax >= CAST({wedge[11]!r} AS DOUBLE) "
+              f"THEN 1 ELSE 0 END")
+    wwidx = " + ".join(
+        f"(CASE WHEN ax >= CAST({wedge[k]!r} AS DOUBLE) THEN 1 ELSE 0 END)"
+        for k in range(1, 12))
     return f"""
   WITH h AS (
     SELECT doc_id AS asset_id,
@@ -3159,7 +3199,25 @@ def _mm_sql() -> str:
                  CAST(sum(r) + sum(g) + sum(b) AS BIGINT) AS rgb,
                  CAST(sum({bin9}) AS BIGINT) AS bin9,
                  CAST(sum(1 + {widx}) AS BIGINT) AS wb
-          FROM plu GROUP BY asset_id)
+          FROM plu GROUP BY asset_id),
+  -- kind='wav': the same 48 md5 bytes as 8-bit PCM samples; sample
+  -- sign is (byte < 128), |sample| = abs(byte-128)/128
+  wsm AS (SELECT asset_id, i,
+                 CAST(concat('0x', substr(hx, 2 * i + 1, 2)) AS BIGINT) AS m
+          FROM pm, UNNEST(generate_series(0, 47)) t(i)),
+  wzp AS (SELECT asset_id, m,
+                 CAST(abs(m - 128) AS DOUBLE) / 128 AS ax,
+                 CASE WHEN (m < 128) !=
+                      (lead(m) OVER (PARTITION BY asset_id ORDER BY i)
+                       < 128)
+                      THEN 1 ELSE 0 END AS z
+          FROM wsm),
+  wag AS (SELECT asset_id,
+                 CAST(max(abs(m - 128)) AS BIGINT) AS peak128,
+                 CAST(sum(z) AS BIGINT) AS zc,
+                 CAST(sum({wbin11}) AS BIGINT) AS bin11,
+                 CAST(sum(1 + {wwidx}) AS BIGINT) AS wwb
+          FROM wzp GROUP BY asset_id)
   SELECT asset_id, kind, n_bytes,
          bytes[1] AS f0, bytes[16] AS f15,
          CAST(list_sum(bytes) AS BIGINT) AS fsum
@@ -3168,6 +3226,10 @@ def _mm_sql() -> str:
   SELECT asset_id, 'ppm' AS kind, 59 AS n_bytes,
          rs AS f0, bin9 AS f15, rgb + wb AS fsum
   FROM pag
+  UNION ALL
+  SELECT asset_id, 'wav' AS kind, 92 AS n_bytes,
+         peak128 AS f0, bin11 AS f15, zc + wwb AS fsum
+  FROM wag
   ORDER BY asset_id, kind
 """
 
