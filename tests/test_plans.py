@@ -267,3 +267,49 @@ def test_pq_encode_shuffle_free(spark):
                 if "Exchange" in ln and "ReusedExchange" not in ln
                 and "RoundRobinPartitioning" not in ln]
     assert not shuffles, shuffles
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_bm25_broadcasts_query_terms_only(spark):
+    """BM25: the query-term set broadcasts onto the postings (the only
+    broadcast joins besides the 1-row stats/df tables); the corpus-
+    scale postings side is never broadcast, and nothing is cartesian
+    except the deliberate 1-row stats crossJoin."""
+    from fstd2pandas_spark.operators.llm.retrieval import bm25_topk
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(bm25_topk(docs, {0: "the data"}, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the in-row tf fold means ONE Generate per postings consumer (the
+    # document-frequency branch recomputes the explode — map-side
+    # partial agg + broadcast-back is the skew-safe df design, a
+    # per-term window would pile every 'the' posting on one reducer);
+    # a per-term explode+groupBy(doc,term) formulation would add more
+    assert plan.count("Generate") == 2
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_lm_scoring_join_strategy(spark):
+    """LM scoring: the model/unigram lookups stay sort-merge joins
+    (merge-hinted — the vocabulary grows with the corpus, broadcasting
+    it would OOM the executors at scale) and nothing is cartesian."""
+    from fstd2pandas_spark.operators.llm.lm import lm_perplexity, lm_train
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    model, uni, n = lm_train(docs)
+    plan = _plan(lm_perplexity(docs, model, uni, n))
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_funnel_single_exchange(spark):
+    """The funnel fold is ONE user-key exchange over the events — the
+    k-pass min-join cascade formulation would add a join per step."""
+    from fstd2pandas_spark.operators.funnel import funnel_steps
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    plan = _plan(funnel_steps(ev, ["view", "click", "purchase"]))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
