@@ -3130,6 +3130,18 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.unhex(F.lit(wav_header)),
                  F.substring(F.col("payload"), 12, 48)).alias("payload"),
     )
+    # kind='dhash': perceptual difference-hash of the SAME decoded 4x4
+    # pixels (size=4 -> 16-bit hash); the oracle recomputes the hash
+    # arithmetically — nearest-resize index map + strict luma compares
+    from fstd2pandas_spark.operators.llm import image_dhash
+
+    dh = image_dhash(ppm_assets, size=4).select(
+        "asset_id", F.lit("dhash").alias("kind"),
+        F.lit(59).alias("n_bytes"),
+        F.col("dhash").alias("f0"),
+        F.bit_count("dhash").cast("long").alias("f15"),
+        (F.col("dhash") + F.bit_count("dhash")).cast("long").alias("fsum"),
+    )
     wf = extract_features(wav_assets)
     # feature layout: [dur, rms, peak, zcr, energy hist(12)]
     wwbins = sum(
@@ -3142,7 +3154,7 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.element_at("feature", 4) * 47).cast("long")
          + wwbins).cast("long").alias("fsum"),
     )
-    return (base.unionByName(ppm).unionByName(wav)
+    return (base.unionByName(ppm).unionByName(wav).unionByName(dh)
             .orderBy("asset_id", "kind"))
 
 
@@ -3160,6 +3172,20 @@ def _mm_sql() -> str:
         for k in range(1, 10))
     # audio energy-histogram edges: 12 bins over |sample| in (0, 1.0001);
     # |sample| = abs(byte-128)/128 exactly in both engines
+    # dHash mirror (size=4 over the 4x4 image): nearest-resize to
+    # (5, 4) via the integer (c*4)//5 index map, bit r*4+c set iff
+    # la[left] > la[right] strictly; c=0 compares a pixel with itself
+    # (always false under strict >) and is omitted
+    xi = [(c * 4) // 5 for c in range(5)]
+    dh_terms = []
+    for r in range(4):
+        for c in range(1, 4):
+            left = r * 4 + xi[c] + 1
+            right = r * 4 + xi[c + 1] + 1
+            dh_terms.append(
+                f"(CASE WHEN la[{left}] > la[{right}] "
+                f"THEN {1 << (r * 4 + c)} ELSE 0 END)")
+    dh_expr = " + ".join(dh_terms)
     wstep = 1.0001 / 12
     wedge = [k * wstep for k in range(12)]
     wbin11 = (f"CASE WHEN ax >= CAST({wedge[11]!r} AS DOUBLE) "
@@ -3185,12 +3211,12 @@ def _mm_sql() -> str:
   pm AS (SELECT doc_id AS asset_id,
                 concat(md5(text), md5(text || '1'), md5(text || '2')) AS hx
          FROM documents WHERE text IS NOT NULL),
-  ppx AS (SELECT asset_id,
+  ppx AS (SELECT asset_id, i,
                  CAST(concat('0x', substr(hx, 6 * i + 1, 2)) AS BIGINT) AS r,
                  CAST(concat('0x', substr(hx, 6 * i + 3, 2)) AS BIGINT) AS g,
                  CAST(concat('0x', substr(hx, 6 * i + 5, 2)) AS BIGINT) AS b
           FROM pm, UNNEST(generate_series(0, 15)) t(i)),
-  plu AS (SELECT asset_id, r, g, b,
+  plu AS (SELECT asset_id, i, r, g, b,
                  r * CAST(0.299 AS DOUBLE) + g * CAST(0.587 AS DOUBLE)
                    + b * CAST(0.114 AS DOUBLE) AS luma
           FROM ppx),
@@ -3230,6 +3256,13 @@ def _mm_sql() -> str:
   SELECT asset_id, 'wav' AS kind, 92 AS n_bytes,
          peak128 AS f0, bin11 AS f15, zc + wwb AS fsum
   FROM wag
+  UNION ALL
+  SELECT asset_id, 'dhash' AS kind, 59 AS n_bytes,
+         dh AS f0, CAST(bit_count(dh) AS BIGINT) AS f15,
+         CAST(dh + bit_count(dh) AS BIGINT) AS fsum
+  FROM (SELECT asset_id, CAST({dh_expr} AS BIGINT) AS dh
+        FROM (SELECT asset_id, array_agg(luma ORDER BY i) AS la
+              FROM plu GROUP BY asset_id))
   ORDER BY asset_id, kind
 """
 

@@ -66,7 +66,9 @@ from fstd2pandas_spark.operators.llm.retrieval import (
 )
 from fstd2pandas_spark.operators.llm.multimodal import (
     extract_features, resize_images, sample_video_frames,
+    image_dhash,
 )
+from fstd2pandas_spark.operators.llm.dedup import signature_hamming_pairs
 
 __all__ = [
     "tokens_col", "shingles_col", "token_hash_col", "language_id",
@@ -88,4 +90,5 @@ __all__ = [
     "chunk_documents",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "cosine_col", "embedding_neardup",
     "extract_features", "resize_images", "sample_video_frames",
+    "image_dhash", "signature_hamming_pairs",
 ]

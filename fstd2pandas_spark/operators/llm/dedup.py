@@ -423,6 +423,29 @@ def _simhash_blocks_grouped(df: DataFrame, text_col: str, id_col: str,
     """Shared pigeonhole machinery: ONE signature pass + ONE shuffle
     grouping (block, value) into the sorted (id, simhash) member array.
     Returns (grouped_df, block_sizes); callers filter/derive from it."""
+    sh = simhash(df, text_col, bits).select(id_col, "simhash")
+    return _signature_blocks_grouped(sh, "simhash", id_col, bits,
+                                     max_hamming)
+
+
+def signature_hamming_pairs(df: DataFrame, sig_col: str,
+                            id_col: str = "doc_id", bits: int = 64,
+                            max_hamming: int = 2) -> DataFrame:
+    """Hamming-radius pairs over ANY integer bit-signature column —
+    the :func:`simhash_hamming_pairs` pigeonhole join generalized to
+    precomputed signatures (perceptual image dHashes, audio
+    fingerprints, projection sign vectors). Same scale shape: one
+    (block, value) shuffle, chained-Generate i<j pair streaming, exact
+    ``bit_count(xor)`` filter. Returns (doc_a, doc_b, hamming)."""
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   F.col(sig_col).cast("long").alias("simhash"))
+    grouped, _ = _signature_blocks_grouped(sh, "simhash", "doc_id", bits,
+                                           max_hamming)
+    return _pairs_from_grouped(grouped, max_hamming)
+
+
+def _signature_blocks_grouped(sh: DataFrame, sig_col: str, id_col: str,
+                              bits: int, max_hamming: int):
     n_blocks = max_hamming + 1
     if bits < n_blocks:
         raise ValueError("need at least one bit per block")
@@ -432,24 +455,23 @@ def _simhash_blocks_grouped(df: DataFrame, text_col: str, id_col: str,
     base, rem = divmod(bits, n_blocks)
     sizes = [base + (1 if i < rem else 0) for i in range(n_blocks)]
     offsets = [sum(sizes[:i]) for i in range(n_blocks)]
-    sh = simhash(df, text_col, bits).select(id_col, "simhash")
     block_structs = [
         F.struct(
             F.lit(i).alias("block"),
-            F.shiftright(F.col("simhash"), offsets[i])
+            F.shiftright(F.col(sig_col), offsets[i])
             .bitwiseAND(F.lit((1 << sizes[i]) - 1)).alias("value"))
         for i in range(n_blocks)
     ]
     banded = sh.select(
-        F.col(id_col), F.col("simhash"),
+        F.col(id_col), F.col(sig_col),
         F.explode(F.array(*block_structs)).alias("b"),
-    ).select(id_col, "simhash", "b.block", "b.value")
-    # sort_array over (id, simhash) structs orders by id first, so the
+    ).select(id_col, sig_col, "b.block", "b.value")
+    # sort_array over (id, signature) structs orders by id first, so the
     # positional i<j enumeration emits doc_a < doc_b directly
     grouped = banded.groupBy("block", "value").agg(
         F.sort_array(F.collect_list(
             F.struct(F.col(id_col).alias("i"),
-                     F.col("simhash").alias("s")))).alias("ms"))
+                     F.col(sig_col).alias("s")))).alias("ms"))
     return grouped, sizes
 
 

@@ -461,6 +461,62 @@ def extract_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
     return ensure_min_partitions(df).mapInPandas(_run, schema=_FEATURE_SCHEMA)
 
 
+def dhash_bits(img: np.ndarray, size: int = 8) -> "int | None":
+    """Difference-hash perceptual fingerprint (public dHash algorithm):
+    luma -> nearest-resize to (size+1, size) -> bit r*size+c set iff
+    grey[r][c] > grey[r][c+1] strictly. Luma uses the explicit
+    left-associated form (see _image_features) and the resize the
+    integer ``(j*src)//dst`` index map, so the hash is reproducible
+    arithmetically by the oracle. size=8 gives the standard 64-bit
+    hash, returned as a signed two's-complement int64."""
+    px = img.astype(np.float64)
+    luma = px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
+    h, w = luma.shape
+    yi = (np.arange(size) * h) // size
+    xi = (np.arange(size + 1) * w) // (size + 1)
+    g = luma[yi][:, xi]
+    bits = g[:, :-1] > g[:, 1:]
+    v = 0
+    for b, on in enumerate(bits.reshape(-1)):
+        if on:
+            v |= 1 << b
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def image_dhash(df: DataFrame, size: int = 8, batch_rows: int = 64,
+                payload_col: str = "payload",
+                id_col: str = "asset_id") -> DataFrame:
+    """Perceptual dHash per decodable payload: (id, dhash, decoded).
+    Non-decodable payloads yield dhash NULL / decoded false — never an
+    exception (the fuzz contract all decoders share). Feed the result
+    to ``dedup.signature_hamming_pairs`` for near-duplicate IMAGE pairs
+    at corpus scale (the pigeonhole block join — one shuffle)."""
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+    ])
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                hashes = []
+                for p in chunk[payload_col]:
+                    img = decode_image(p)
+                    hashes.append(None if img is None
+                                  else dhash_bits(img, size))
+                yield pd.DataFrame({
+                    "asset_id": chunk[id_col].values,
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                    "decoded": [h is not None for h in hashes],
+                })
+
+    return ensure_min_partitions(df).mapInPandas(_run, schema=out_schema)
+
+
 def resize_images(df: DataFrame, width: int, height: int,
                   batch_rows: int = 64,
                   method: str = "nearest") -> DataFrame:

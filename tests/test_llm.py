@@ -1285,3 +1285,57 @@ def test_bm25_topk_relevance(docs):
     assert len(top) > 0
     for r in top:
         assert term in r.text.lower().split()
+
+
+def test_image_dhash_known_values(spark):
+    """Constant image -> 0 (no strict inequality); strictly decreasing
+    rows -> every bit set (-1 in two's complement at 64 bits);
+    undecodable payload -> NULL + decoded=false."""
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.multimodal import (
+        _encode_ppm, dhash_bits, image_dhash)
+
+    const = np.full((16, 16, 3), 77, dtype=np.uint8)
+    assert dhash_bits(const, 8) == 0
+    dec = np.zeros((16, 18, 3), dtype=np.uint8)
+    dec[:, :, :] = (np.arange(18)[None, :, None][::1] * 0)  # fill below
+    for c in range(18):
+        dec[:, c, :] = 255 - c * 14
+    assert dhash_bits(dec, 8) == -1
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_ppm(const))),
+         (2, bytearray(_encode_ppm(dec))),
+         (3, bytearray(b"not an image"))],
+        "asset_id long, payload binary")
+    out = {r.asset_id: (r.dhash, r.decoded)
+           for r in image_dhash(df, size=8).collect()}
+    assert out[1] == (0, True)
+    assert out[2] == (-1, True)
+    assert out[3][0] is None and out[3][1] is False
+
+
+def test_signature_hamming_pairs_bruteforce(spark):
+    """The generic pigeonhole pair join over precomputed signatures
+    equals the brute-force O(N^2) pair set."""
+    import itertools
+    import random
+
+    from fstd2pandas_spark.operators.llm.dedup import signature_hamming_pairs
+
+    rng = random.Random(7)
+    sigs = {i: rng.getrandbits(24) for i in range(60)}
+    # plant near-dups
+    sigs[60] = sigs[0] ^ 0b1
+    sigs[61] = sigs[0] ^ 0b11
+    sigs[62] = sigs[5] ^ (1 << 20)
+    df = spark.createDataFrame(list(sigs.items()), "vid long, sig long")
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in signature_hamming_pairs(
+        df, "sig", id_col="vid", bits=24, max_hamming=2).collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        if h <= 2:
+            want.add((a, b, h))
+    assert got == want and len(want) >= 3
