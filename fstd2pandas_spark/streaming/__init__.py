@@ -7,6 +7,7 @@ from fstd2pandas_spark.streaming.record_stream import (
     running_extrema,
     streaming_drop_duplicates,
     streaming_exact_dedup,
+    streaming_funnel,
     streaming_signature_dedup,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "running_extrema",
     "streaming_drop_duplicates",
     "streaming_exact_dedup",
+    "streaming_funnel",
     "streaming_signature_dedup",
 ]

@@ -254,3 +254,76 @@ def streaming_signature_dedup(stream: DataFrame, text_col: str = "text",
         .dropDuplicatesWithinWatermark(["signature_hash"])
         .drop("sig")
     )
+
+
+_FUNNEL_OUT_SCHEMA = T.StructType([
+    T.StructField("user", T.LongType(), False),
+    T.StructField("depth", T.IntegerType(), False),
+    T.StructField("first_step_us", T.LongType(), True),
+    T.StructField("last_step_us", T.LongType(), True),
+])
+
+_FUNNEL_STATE_SCHEMA = T.StructType([
+    T.StructField("depth", T.IntegerType(), False),
+    T.StructField("first_us", T.LongType(), True),
+    T.StructField("last_us", T.LongType(), True),
+    T.StructField("last_eid", T.LongType(), True),
+])
+
+
+def streaming_funnel(stream: DataFrame, steps: "list[str]",
+                     ts_col: str = "ts", user_col: str = "user_id",
+                     type_col: str = "event_type",
+                     id_col: str = "event_id") -> DataFrame:
+    """Streaming analog of ``operators.funnel.funnel_steps``: per-user
+    funnel progress maintained as keyed state (``applyInPandasWithState``),
+    one updated (user, depth, first/last step time) row per user per
+    micro-batch touching that user.
+
+    State is four scalars per user — depth, first/last accepted step
+    time, tie-break event id — partitioned by user across executors;
+    it does NOT buffer events.  The price of that bound is an ordering
+    contract: within a micro-batch events are sorted by (ts, event_id)
+    before folding (exact), but an event arriving in a LATER micro-batch
+    with a timestamp before the last accepted step cannot retroactively
+    advance the funnel — the stream is exact when each user's events
+    arrive non-decreasing across micro-batches (per-shard log shipping),
+    an approximation under arbitrary replay.  The batch operator over
+    the accumulated sink remains the ground truth, the same honest
+    split documented for the corpus-level document operators."""
+    k = len(steps)
+    if k == 0:
+        raise ValueError("streaming_funnel: need at least one step")
+
+    def _update(key, pdfs, state: GroupState):
+        depth, first_us, last_us, last_eid = (
+            state.get if state.exists else (0, None, -1, -1))
+        ev = pd.concat(list(pdfs), ignore_index=True)
+        ev = ev.assign(
+            _us=ev[ts_col].astype("datetime64[ns]").astype("int64") // 1000,
+        ).sort_values(["_us", id_col])
+        for us, eid, et in zip(ev["_us"], ev[id_col], ev[type_col]):
+            us, eid = int(us), int(eid)
+            if depth >= k or et != steps[depth]:
+                continue
+            if depth > 0 and (us, eid) <= (last_us, last_eid):
+                continue
+            depth += 1
+            if first_us is None:
+                first_us = us
+            last_us, last_eid = us, eid
+        state.update((depth, first_us, last_us, last_eid))
+        yield pd.DataFrame({
+            "user": [key[0]], "depth": [depth],
+            "first_step_us": pd.array([first_us], dtype="Int64"),
+            "last_step_us": pd.array(
+                [last_us if depth > 0 else None], dtype="Int64"),
+        })
+
+    return (
+        stream.select(user_col, ts_col, id_col, type_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            _update, _FUNNEL_OUT_SCHEMA, _FUNNEL_STATE_SCHEMA,
+            "update", GroupStateTimeout.NoTimeout)
+    )

@@ -283,3 +283,46 @@ def test_streaming_signature_dedup(spark, tmp_path):
     sigs = {r.doc_id: tuple(r.sig) for r in
             minhash_signature(df).select("doc_id", "sig").collect()}
     assert sigs[1] == sigs[2] == sigs[4] != sigs[3]
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Stateful streaming funnel over time-ordered shards: the final
+    per-user state after draining equals the batch funnel_steps over
+    the accumulated events (the exactness contract: per-user arrival
+    non-decreasing across micro-batches)."""
+    from fstd2pandas_spark.operators.funnel import funnel_steps
+    from fstd2pandas_spark.streaming.record_stream import (
+        run_to_memory, streaming_funnel)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # split at a global time boundary so each user's events arrive in
+    # non-decreasing order across the two shards
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = ev.agg(F.expr(
+        "percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)")).first()[0]
+    a = ev.filter(us <= cut)
+    b = ev.filter(us > cut)
+    zone = str(tmp_path / "evzone")
+    a.coalesce(1).write.parquet(zone + "/part=00")
+    b.coalesce(1).write.parquet(zone + "/part=01")
+
+    steps = ["view", "click", "purchase"]
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(zone + "/part=*"))
+    run_to_memory(streaming_funnel(stream, steps), "funnel_sink",
+                  output_mode="update")
+    # last update per user is the final state
+    got = spark.sql("""
+        SELECT user, depth, first_step_us, last_step_us FROM (
+          SELECT *, row_number() OVER (PARTITION BY user ORDER BY rn DESC) r
+          FROM (SELECT *, monotonically_increasing_id() AS rn
+                FROM funnel_sink)) WHERE r = 1""")
+    gm = {r.user: (r.depth, r.first_step_us, r.last_step_us)
+          for r in got.collect()}
+    bm = {r.user: (r.depth,
+                   r.step_ts_us[0] if r.depth else None,
+                   r.step_ts_us[-1] if r.depth else None)
+          for r in funnel_steps(ev, steps).collect()}
+    assert set(gm) == set(bm)
+    assert gm == bm
