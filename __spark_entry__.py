@@ -3142,6 +3142,23 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count("dhash").cast("long").alias("f15"),
         (F.col("dhash") + F.bit_count("dhash")).cast("long").alias("fsum"),
     )
+    # kind='spec': short-window DFT power spectrum of the SAME wav
+    # samples (8 bins over 48 samples) — the sequential scalar fold in
+    # spectrum_powers is the exact op sequence the oracle's list_reduce
+    # evaluates, so powers quantized to milli-units match bit-for-bit
+    from fstd2pandas_spark.operators.llm import audio_spectrum
+
+    spq = sum(
+        F.round(F.element_at("powers", k) * 1000, 0).cast("long")
+        for k in range(1, 9))
+    spec = audio_spectrum(wav_assets, n_samples=48, n_bins=8).select(
+        "asset_id", F.lit("spec").alias("kind"),
+        F.lit(92).alias("n_bytes"),
+        F.col("dom_bin").cast("long").alias("f0"),
+        F.round(F.element_at("powers", F.col("dom_bin")) * 1000, 0)
+        .cast("long").alias("f15"),
+        spq.cast("long").alias("fsum"),
+    )
     wf = extract_features(wav_assets)
     # feature layout: [dur, rms, peak, zcr, energy hist(12)]
     wwbins = sum(
@@ -3155,7 +3172,7 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
          + wwbins).cast("long").alias("fsum"),
     )
     return (base.unionByName(ppm).unionByName(wav).unionByName(dh)
-            .orderBy("asset_id", "kind"))
+            .unionByName(spec).orderBy("asset_id", "kind"))
 
 
 def _mm_sql() -> str:
@@ -3186,6 +3203,20 @@ def _mm_sql() -> str:
                 f"(CASE WHEN la[{left}] > la[{right}] "
                 f"THEN {1 << (r * 4 + c)} ELSE 0 END)")
     dh_expr = " + ".join(dh_terms)
+    # DFT mirror: per bin k the power is a LEFT-FOLD sum (list_reduce)
+    # of x[n]*cos / x[n]*sin terms in n order — the exact double op
+    # sequence spectrum_powers' sequential scalar loop executes
+    def _fold(fn: str, k: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list_transform(generate_series(0, 47), n -> "
+            f"xa[n + 1] * {fn}((2 * pi()) * ({k} * n) / 48))), "
+            "(a, b) -> a + b)")
+
+    spw = ", ".join(
+        f"({_fold('cos', k)} * {_fold('cos', k)} "
+        f"+ {_fold('sin', k)} * {_fold('sin', k)})"
+        for k in range(1, 9))
     wstep = 1.0001 / 12
     wedge = [k * wstep for k in range(12)]
     wbin11 = (f"CASE WHEN ax >= CAST({wedge[11]!r} AS DOUBLE) "
@@ -3263,6 +3294,17 @@ def _mm_sql() -> str:
   FROM (SELECT asset_id, CAST({dh_expr} AS BIGINT) AS dh
         FROM (SELECT asset_id, array_agg(luma ORDER BY i) AS la
               FROM plu GROUP BY asset_id))
+  UNION ALL
+  SELECT asset_id, 'spec' AS kind, 92 AS n_bytes,
+         CAST(list_indexof(pw, list_max(pw)) AS BIGINT) AS f0,
+         CAST(round(list_max(pw) * 1000, 0) AS BIGINT) AS f15,
+         CAST(list_sum(list_transform(pw,
+              p -> CAST(round(p * 1000, 0) AS BIGINT))) AS BIGINT) AS fsum
+  FROM (SELECT asset_id, [{spw}] AS pw
+        FROM (SELECT asset_id,
+                     array_agg(CAST(m - 128 AS DOUBLE) / 128 ORDER BY i)
+                       AS xa
+              FROM wsm GROUP BY asset_id))
   ORDER BY asset_id, kind
 """
 

@@ -66,7 +66,7 @@ from fstd2pandas_spark.operators.llm.retrieval import (
 )
 from fstd2pandas_spark.operators.llm.multimodal import (
     extract_features, resize_images, sample_video_frames,
-    image_dhash,
+    image_dhash, audio_spectrum,
 )
 from fstd2pandas_spark.operators.llm.dedup import signature_hamming_pairs
 
@@ -90,5 +90,5 @@ __all__ = [
     "chunk_documents",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "cosine_col", "embedding_neardup",
     "extract_features", "resize_images", "sample_video_frames",
-    "image_dhash", "signature_hamming_pairs",
+    "image_dhash", "audio_spectrum", "signature_hamming_pairs",
 ]

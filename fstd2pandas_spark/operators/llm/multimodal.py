@@ -517,6 +517,77 @@ def image_dhash(df: DataFrame, size: int = 8, batch_rows: int = 64,
     return ensure_min_partitions(df).mapInPandas(_run, schema=out_schema)
 
 
+def spectrum_powers(samples: np.ndarray, n_samples: int = 48,
+                    n_bins: int = 8) -> "list[float]":
+    """Short-window DFT power spectrum: for bin k = 1..n_bins,
+    power_k = (sum x[n] cos(2*pi*k*n/N))^2 + (sum x[n] sin(...))^2
+    over the first N = n_samples samples.
+
+    Deliberately a SEQUENTIAL scalar fold with ``math.cos/sin`` (the
+    platform libm), not numpy SIMD or an FFT: the left-to-right double
+    accumulation is the exact op sequence an ANSI-SQL ``list_reduce``
+    evaluates, so the oracle reproduces every power bit-for-bit. The
+    cost is O(N * n_bins) per payload — fingerprint-sized windows, not
+    whole tracks; batch FFT is the right tool once a consumer needs
+    full spectrograms (and would need a weaker, tolerance-based gate).
+    """
+    import math
+
+    xs = [float(v) for v in samples[:n_samples]]
+    powers = []
+    for k in range(1, n_bins + 1):
+        sc = ss = 0.0
+        for n, x in enumerate(xs):
+            ang = (2.0 * math.pi) * (k * n) / n_samples
+            sc += x * math.cos(ang)
+            ss += x * math.sin(ang)
+        powers.append(sc * sc + ss * ss)
+    return powers
+
+
+def audio_spectrum(df: DataFrame, n_samples: int = 48, n_bins: int = 8,
+                   batch_rows: int = 64, payload_col: str = "payload",
+                   id_col: str = "asset_id") -> DataFrame:
+    """Frequency-domain audio features per decodable WAV payload:
+    (id, powers array<double>, dom_bin, decoded). ``dom_bin`` is the
+    1-based bin of maximum power (ties -> lowest bin) — the dominant
+    pitch class, the building block of audio fingerprinting. Payloads
+    that are not PCM WAV yield NULLs, never an exception."""
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("powers", T.ArrayType(T.DoubleType()), True),
+        T.StructField("dom_bin", T.IntegerType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+    ])
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start:start + batch_rows]
+                pw, dom = [], []
+                for p in chunk[payload_col]:
+                    wav = decode_wav(p)
+                    if wav is None:
+                        pw.append(None)
+                        dom.append(None)
+                        continue
+                    powers = spectrum_powers(wav[0], n_samples, n_bins)
+                    best = 0
+                    for i in range(1, len(powers)):
+                        if powers[i] > powers[best]:
+                            best = i
+                    pw.append(powers)
+                    dom.append(best + 1)
+                yield pd.DataFrame({
+                    "asset_id": chunk[id_col].values,
+                    "powers": pw,
+                    "dom_bin": pd.array(dom, dtype="Int32"),
+                    "decoded": [p is not None for p in pw],
+                })
+
+    return ensure_min_partitions(df).mapInPandas(_run, schema=out_schema)
+
+
 def resize_images(df: DataFrame, width: int, height: int,
                   batch_rows: int = 64,
                   method: str = "nearest") -> DataFrame:

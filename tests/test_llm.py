@@ -1339,3 +1339,41 @@ def test_signature_hamming_pairs_bruteforce(spark):
         if h <= 2:
             want.add((a, b, h))
     assert got == want and len(want) >= 3
+
+
+def test_audio_spectrum_dominant_bin(spark):
+    """A pure sine at exactly k cycles per 48-sample window puts all
+    DFT power in bin k; non-WAV payloads yield NULLs."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.multimodal import (
+        audio_spectrum, spectrum_powers)
+
+    def sine_wav(k, n=48):
+        # 8-bit unsigned PCM, one byte per sample
+        samples = bytes(
+            min(255, max(0, int(round(128 + 100 * math.sin(
+                2 * math.pi * k * i / n))))) for i in range(n))
+        return (b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                        8000, 1, 8)
+                + b"data" + struct.pack("<I", n) + samples)
+
+    # direct kernel check: bin 3 sine -> bin 3 dominates by an order
+    x = np.array([math.sin(2 * math.pi * 3 * i / 48)
+                  for i in range(48)])
+    pw = spectrum_powers(x, 48, 8)
+    assert max(pw) == pw[2] and pw[2] > 10 * max(
+        p for i, p in enumerate(pw) if i != 2)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(sine_wav(2))), (2, bytearray(sine_wav(5))),
+         (3, bytearray(b"not audio"))],
+        "asset_id long, payload binary")
+    out = {r.asset_id: (r.dom_bin, r.decoded)
+           for r in audio_spectrum(df).collect()}
+    assert out[1] == (2, True) and out[2] == (5, True)
+    assert out[3] == (None, False)
