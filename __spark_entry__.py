@@ -424,10 +424,10 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts_from_steps, funnel_steps)
     from fstd2pandas_spark.operators.sessions import sessionize
 
-    ev = _load(spark, sf_dir, "events")
+    ev_raw = _load(spark, sf_dir, "events")
     # semi-structured props: get_json_object (JVM JSON path) feeds both
     # rollups — the json-extraction surface gated alongside the windows
-    ev = ev.withColumn(
+    ev = ev_raw.withColumn(
         "_k", F.get_json_object(F.col("props"), "$.k").cast("long"))
     hourly = (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
@@ -448,10 +448,14 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("session_end")
          - F.unix_timestamp("session_start")).alias("dur_s"), "sum_k")
     steps = ["view", "click", "purchase"]
+    # from ev_raw, NOT ev: the funnel/cohort branches don't consume _k,
+    # and building them on the post-withColumn frame drags the JSON
+    # parse of every props value into branches that never read it
+    # (measured ~0.3 s per branch at sf0.1)
     # localCheckpoint: fuser and fstep are two consumers of the fold —
     # without it each union branch re-scans events and refolds; the
     # checkpointed result is users-sized (tiny next to the events)
-    fs = funnel_steps(ev, steps).localCheckpoint()
+    fs = funnel_steps(ev_raw, steps).localCheckpoint()
     us = F.element_at(F.col("step_ts_us"), 1)
     last = F.element_at(F.col("step_ts_us"), F.size("step_ts_us"))
     fuser = fs.filter(F.col("depth") >= 1).select(
@@ -471,8 +475,21 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("sum_value"),
         F.lit(None).cast("long").alias("dur_s"),
         F.lit(None).cast("long").alias("sum_k"))
+    # weekly retention cohorts (operators/funnel.py retention_cohorts):
+    # kind='cohort' rows keyed (cohort week epoch, offset-in-weeks)
+    from fstd2pandas_spark.operators.funnel import retention_cohorts
+
+    cohorts = retention_cohorts(ev_raw).select(
+        F.lit("cohort").alias("kind"),
+        F.unix_timestamp("cohort").alias("k1"),
+        F.col("period_offset").cast("string").alias("k2"),
+        F.col("n_users").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.col("period_offset").alias("dur_s"),
+        F.lit(None).cast("long").alias("sum_k"))
     return (hourly.unionByName(sessions).unionByName(fuser)
-            .unionByName(fstep).orderBy("kind", "k1", "k2"))
+            .unionByName(fstep).unionByName(cohorts)
+            .orderBy("kind", "k1", "k2"))
 
 
 _Q_EVENTS_SQL = """
@@ -548,9 +565,25 @@ _Q_EVENTS_SQL = """
                    CAST(NULL AS BIGINT) AS dur_s,
                    CAST(NULL AS BIGINT) AS sum_k
             FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
-                 v(i, s))
+                 v(i, s)),
+  -- weekly retention cohorts (cohort = user's first-activity week)
+  rcp AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+          FROM events),
+  rcf AS (SELECT user_id, min(p) AS cohort FROM rcp GROUP BY user_id),
+  rcg AS (SELECT 'cohort' AS kind,
+                 CAST(floor(epoch(cohort)) AS BIGINT) AS k1,
+                 CAST(CAST(floor(date_diff('day', cohort, p) / 7)
+                      AS BIGINT) AS VARCHAR) AS k2,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+                 CAST(NULL AS DOUBLE) AS sum_value,
+                 CAST(floor(date_diff('day', cohort, p) / 7) AS BIGINT)
+                   AS dur_s,
+                 CAST(NULL AS BIGINT) AS sum_k
+          FROM rcp JOIN rcf USING (user_id)
+          GROUP BY cohort, floor(date_diff('day', cohort, p) / 7))
   SELECT * FROM h UNION ALL SELECT * FROM s
   UNION ALL SELECT * FROM fuser UNION ALL SELECT * FROM fstep
+  UNION ALL SELECT * FROM rcg
   ORDER BY kind, k1, k2
 """
 

@@ -34,7 +34,7 @@ from fstd2pandas_spark.operators.grid import (
 from fstd2pandas_spark.operators.cube import to_cube, to_xarray
 from fstd2pandas_spark.operators.sessions import sessionize
 from fstd2pandas_spark.operators.funnel import (
-    funnel_steps, funnel_counts, counts_from_steps,
+    funnel_steps, funnel_counts, counts_from_steps, retention_cohorts,
 )
 
 __all__ = [
@@ -46,4 +46,5 @@ __all__ = [
     "df_from_grid", "grid_lat_lon", "grid_metadata_for", "is_global_grid",
     "to_cube", "to_xarray",
     "sessionize", "funnel_steps", "funnel_counts", "counts_from_steps",
+    "retention_cohorts",
 ]

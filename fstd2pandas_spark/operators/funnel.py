@@ -96,3 +96,39 @@ def counts_from_steps(per_user: DataFrame,
         f"{i + 1}, '{s}', _s{i}" for i, s in enumerate(steps))
     return one.selectExpr(
         f"stack({len(steps)}, {stack}) AS (step_idx, step_name, n_users)")
+
+
+def retention_cohorts(df: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id",
+                      period: str = "week") -> DataFrame:
+    """Cohort retention — the other classic product-analytics rollup:
+    users grouped by their first-activity period (the cohort), counted
+    in every later period they return: (cohort, period_offset,
+    n_users) with offset in periods since the cohort period.
+
+    Shape: TWO shuffles total and no join — one user-key aggregation
+    computes first-activity AND the distinct active-period set together
+    (collect_set, map-side combined; bounded by periods-per-user, i.e.
+    product lifetime, not activity volume), then the exploded
+    (cohort, offset) rows count with a plain count(*) — each user
+    contributes each period at most once by construction, so no
+    count-distinct expand. All exact integer/date arithmetic —
+    oracle-friendly. The distinct+self-join formulation costs two more
+    shuffles and a join and returns the same rows."""
+    days = {"week": 7, "day": 1}
+    if period not in days:
+        raise ValueError(f"unsupported period {period!r}")
+    p = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
+    per_user = (
+        df.select(F.col(user_col).alias("user"), p.alias("p"))
+        .groupBy("user")
+        .agg(F.min("p").alias("cohort"), F.collect_set("p").alias("_ps"))
+    )
+    return (
+        per_user.select("cohort", F.explode("_ps").alias("p"))
+        .groupBy("cohort",
+                 (F.floor(F.datediff(F.col("p"), F.col("cohort"))
+                          / days[period])).cast("long")
+                 .alias("period_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )

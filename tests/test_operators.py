@@ -395,3 +395,30 @@ def test_funnel_counts_monotone(spark, sf_dir):
     n_users = ev.select("user_id").distinct().count()
     assert rows[1] <= n_users and rows[1] >= rows[2] >= rows[3] >= 0
     assert rows[1] > 0
+
+
+def test_retention_cohorts(spark, sf_dir):
+    """Offset-0 of every cohort counts the whole cohort; total offset-0
+    users equals distinct users; offsets are non-negative."""
+    from fstd2pandas_spark.operators.funnel import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rc = retention_cohorts(ev).collect()
+    assert all(r.period_offset >= 0 for r in rc)
+    zero = sum(r.n_users for r in rc if r.period_offset == 0)
+    assert zero == ev.select("user_id").distinct().count()
+    # retention at offset k never exceeds the cohort size
+    size = {r.cohort: r.n_users for r in rc if r.period_offset == 0}
+    assert all(r.n_users <= size[r.cohort] for r in rc)
+
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "view", 1.0, None),   # Mon w0
+         (2, dt.datetime(2024, 1, 9), 1, "view", 1.0, None),   # w1
+         (3, dt.datetime(2024, 1, 16), 1, "view", 1.0, None),  # w2
+         (4, dt.datetime(2024, 1, 10), 2, "view", 1.0, None)],  # w1 cohort
+        _EV_SCHEMA)
+    got = {(str(r.cohort.date()), r.period_offset): r.n_users
+           for r in retention_cohorts(df).collect()}
+    assert got == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
+                   ("2024-01-01", 2): 1, ("2024-01-08", 0): 1}
