@@ -267,6 +267,25 @@ def _decode_png(payload: bytes) -> "np.ndarray | None":
 
     bpp = max(1, channels * depth // 8)
 
+    # corruption guard (hypothesis-found): a forged IHDR can declare
+    # billions of rows while shipping a few bytes of IDAT — the Adam7
+    # branch allocates (h, w, channels) BEFORE any per-region length
+    # check, so validate the whole filtered-stream size first
+    def _stride(rw: int) -> int:
+        return (rw * channels * depth + 7) // 8
+
+    if interlace == 0:
+        expected = h * (1 + _stride(w))
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (1 + _stride(pw))
+    if len(raw) < expected:
+        return None
+
     def decode_region(off: int, rw: int, rh: int):
         stride = (rw * channels * depth + 7) // 8
         out = _png_unfilter(raw, off, rh, stride, bpp)

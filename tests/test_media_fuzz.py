@@ -98,3 +98,25 @@ def test_jpeg_corruption_direct(data):
         payload[pos] = data.draw(st.integers(min_value=0, max_value=255))
     out = decode_jpeg(bytes(payload))
     assert out is None or (out.dtype == np.uint8 and out.ndim == 3)
+
+
+def test_png_forged_dims_rejected_without_allocation():
+    """A forged IHDR declaring ~2.8e9 rows with a few IDAT bytes must
+    return None fast instead of allocating (h, w, channels) — the
+    hypothesis-found Adam7 DoS (2818572304 x 16 needed 126 GiB)."""
+    import struct
+    import zlib
+
+    from fstd2pandas_spark.operators.llm.multimodal import decode_image
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    for interlace in (0, 1):
+        ihdr = struct.pack(">IIBBBBB", 16, 2818572304, 8, 2, 0, 0,
+                           interlace)
+        payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+                   + chunk(b"IEND", b""))
+        assert decode_image(payload) is None
