@@ -2610,13 +2610,20 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unseen token per doc, so ALL THREE scoring branches fire on every
     # document — hit (c_bi/c_w1), backoff on a seen continuation
     # (0.4*c('the')/N), and the Laplace floor (0.4*1/N for the unseen
-    # 'zqqx<id>') — the synthetic corpus alone never exercises backoff
-    enriched = enriched.withColumn(
-        "_lm_text",
-        F.concat(F.col("text"), F.lit(" zqqx"),
-                 F.col("doc_id").cast("string"), F.lit(" the")))
-    enriched = lm_perplexity(enriched, model, uni, n_tok,
-                             text_col="_lm_text")
+    # 'zqqx<id>') — the synthetic corpus alone never exercises backoff.
+    # Scored from the RAW docs, not the enriched frame: threading
+    # `enriched` through lm_perplexity would drag the whole corpus-join
+    # enrichment lineage into the scoring subtree a second time
+    scored = lm_perplexity(
+        docs.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" zqqx"),
+                     F.col("doc_id").cast("string"), F.lit(" the"))
+            .alias("_lm_text")),
+        model, uni, n_tok, text_col="_lm_text")
+    enriched = enriched.join(
+        scored.select("doc_id", "lm_bigrams", "lm_q6", "lm_bucket"),
+        "doc_id", "left")
     return enriched.select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
         "stop_ratio", "quality", "split", "line_dedup_sig",

@@ -88,14 +88,23 @@ def counts_from_steps(per_user: DataFrame,
                       steps: "list[str]") -> DataFrame:
     """The rollup half of :func:`funnel_counts`, over an existing
     :func:`funnel_steps` result — callers that need BOTH per-user depth
-    and the rollup reuse one shuffle instead of refolding the events."""
-    aggs = [F.sum((F.col("depth") >= i + 1).cast("long")).alias(f"_s{i}")
+    and the rollup reuse one shuffle instead of refolding the events.
+
+    Built from Column expressions, not interpolated SQL (step names are
+    arbitrary caller strings — quotes must not break the plan), and
+    sums coalesce to 0 so an empty events slice yields zero counts,
+    matching the oracle's ``count(*)`` semantics."""
+    aggs = [F.coalesce(F.sum((F.col("depth") >= i + 1).cast("long")),
+                       F.lit(0).cast("long")).alias(f"_s{i}")
             for i in range(len(steps))]
     one = per_user.agg(*aggs)
-    stack = ", ".join(
-        f"{i + 1}, '{s}', _s{i}" for i, s in enumerate(steps))
-    return one.selectExpr(
-        f"stack({len(steps)}, {stack}) AS (step_idx, step_name, n_users)")
+    rows = F.array(*[
+        F.struct(F.lit(i + 1).alias("step_idx"),
+                 F.lit(s).alias("step_name"),
+                 F.col(f"_s{i}").alias("n_users"))
+        for i, s in enumerate(steps)])
+    return (one.select(F.explode(rows).alias("r"))
+            .select("r.step_idx", "r.step_name", "r.n_users"))
 
 
 def retention_cohorts(df: DataFrame, ts_col: str = "ts",

@@ -437,8 +437,13 @@ def signature_hamming_pairs(df: DataFrame, sig_col: str,
     fingerprints, projection sign vectors). Same scale shape: one
     (block, value) shuffle, chained-Generate i<j pair streaming, exact
     ``bit_count(xor)`` filter. Returns (doc_a, doc_b, hamming)."""
-    sh = df.select(F.col(id_col).alias("doc_id"),
-                   F.col(sig_col).cast("long").alias("simhash"))
+    # NULL signatures (e.g. image_dhash's undecodable payloads) would
+    # all land in the same (block, NULL) groups — one giant member
+    # array per block whose pairs bit_count(NULL) discards anyway;
+    # drop them before banding
+    sh = df.filter(F.col(sig_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(sig_col).cast("long").alias("simhash"))
     grouped, _ = _signature_blocks_grouped(sh, "simhash", "doc_id", bits,
                                            max_hamming)
     return _pairs_from_grouped(grouped, max_hamming)

@@ -55,6 +55,12 @@ MEDIA_SCHEMA = T.StructType([
 
 FEATURE_DIM = 16
 
+#: hard envelope for a PNG's filtered pixel stream (256 MiB ≈ a
+#: 9000x9000 RGBA image) — crawl-feature decoding has no business
+#: materializing more, and the cap is what makes forged-dimension /
+#: deflate-bomb payloads cheap to reject
+MAX_PNG_FILTERED_BYTES = 1 << 28
+
 _FEATURE_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType(), False),
     T.StructField("kind", T.StringType(), False),
@@ -260,17 +266,17 @@ def _decode_png(payload: bytes) -> "np.ndarray | None":
         return None
     if ctype == 3 and (plte is None or len(plte) < 3):
         return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
-        return None
 
     bpp = max(1, channels * depth // 8)
 
-    # corruption guard (hypothesis-found): a forged IHDR can declare
-    # billions of rows while shipping a few bytes of IDAT — the Adam7
-    # branch allocates (h, w, channels) BEFORE any per-region length
-    # check, so validate the whole filtered-stream size first
+    # corruption guards (hypothesis- and review-found): a forged IHDR
+    # can declare billions of rows while shipping a few bytes of IDAT —
+    # the Adam7 branch allocates (h, w, channels) BEFORE any per-region
+    # length check — and a deflate BOMB can legitimately inflate to the
+    # forged size. Derive the expected filtered-stream size from the
+    # header first, refuse out-of-envelope images outright, and cap the
+    # decompression at that bound so neither path materializes more
+    # than the envelope allows.
     def _stride(rw: int) -> int:
         return (rw * channels * depth + 7) // 8
 
@@ -283,6 +289,12 @@ def _decode_png(payload: bytes) -> "np.ndarray | None":
             ph = (h - y0 + dy - 1) // dy
             if pw > 0 and ph > 0:
                 expected += ph * (1 + _stride(pw))
+    if expected > MAX_PNG_FILTERED_BYTES:
+        return None
+    try:
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected)
+    except zlib.error:
+        return None
     if len(raw) < expected:
         return None
 
@@ -512,6 +524,9 @@ def image_dhash(df: DataFrame, size: int = 8, batch_rows: int = 64,
     exception (the fuzz contract all decoders share). Feed the result
     to ``dedup.signature_hamming_pairs`` for near-duplicate IMAGE pairs
     at corpus scale (the pigeonhole block join — one shuffle)."""
+    if not 1 <= size <= 8:
+        # size^2 bits must fit the signed-int64 return; 9 would be 81
+        raise ValueError(f"image_dhash: size must be 1..8, got {size}")
     out_schema = T.StructType([
         T.StructField("asset_id", T.LongType(), False),
         T.StructField("dhash", T.LongType(), True),

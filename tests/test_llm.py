@@ -1299,7 +1299,6 @@ def test_image_dhash_known_values(spark):
     const = np.full((16, 16, 3), 77, dtype=np.uint8)
     assert dhash_bits(const, 8) == 0
     dec = np.zeros((16, 18, 3), dtype=np.uint8)
-    dec[:, :, :] = (np.arange(18)[None, :, None][::1] * 0)  # fill below
     for c in range(18):
         dec[:, c, :] = 255 - c * 14
     assert dhash_bits(dec, 8) == -1
@@ -1377,3 +1376,56 @@ def test_audio_spectrum_dominant_bin(spark):
            for r in audio_spectrum(df).collect()}
     assert out[1] == (2, True) and out[2] == (5, True)
     assert out[3] == (None, False)
+
+
+def test_image_dhash_size_validated(spark):
+    from fstd2pandas_spark.operators.llm.multimodal import image_dhash
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))],
+                               "asset_id long, payload binary")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="size must be 1..8"):
+        image_dhash(df, size=9)
+
+
+def test_signature_hamming_pairs_ignores_nulls(spark):
+    """NULL signatures (undecodable payloads) must not form a giant
+    (block, NULL) collision group — they are dropped before banding."""
+    from fstd2pandas_spark.operators.llm.dedup import signature_hamming_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0b1010), (2, 0b1011)] + [(i, None) for i in range(10, 40)],
+        "vid long, sig long")
+    got = {(r.doc_a, r.doc_b) for r in signature_hamming_pairs(
+        df, "sig", id_col="vid", bits=4, max_hamming=1).collect()}
+    assert got == {(1, 2)}
+
+
+def test_png_deflate_bomb_rejected():
+    """A deflate stream inflating far past the IHDR envelope is cut at
+    the expected size (no bomb materialization), and an image whose
+    ENVELOPE itself exceeds the hard cap is rejected outright."""
+    import struct
+    import zlib
+
+    from fstd2pandas_spark.operators.llm.multimodal import decode_image
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    # 2x2 RGB image whose IDAT inflates to ~1 MiB of zeros: decode must
+    # not materialize the bomb; the first 2 rows decode fine (all-zero
+    # filter bytes) so the image itself still decodes
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (1 << 20))
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    img = decode_image(payload)
+    assert img is not None and img.shape == (2, 2, 3)
+
+    # envelope over the hard cap (dims alone): rejected before inflate
+    ihdr = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 2, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    assert decode_image(payload) is None
