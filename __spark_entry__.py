@@ -3046,7 +3046,7 @@ def _ann_ivf_sql(n_cells: int = 8, nprobe: int = 2, dim: int = 64,
   recon AS (
     SELECT codes.vec_id,
            flatten(list(cb.w ORDER BY codes.sub)) AS r,
-           sum(CAST(codes.c AS BIGINT) << (4 * codes.sub)) AS packed
+           CAST(sum(CAST(codes.c AS BIGINT) << (4 * codes.sub)) AS BIGINT) AS packed
     FROM codes JOIN cb ON cb.sub = codes.sub AND cb.c = codes.c
     GROUP BY codes.vec_id),
   pq AS (

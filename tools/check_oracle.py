@@ -20,6 +20,48 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class used for the strictness check.
+
+    The driver's canonicalizer hashes raw cell values, so an int64 123
+    on one side and a float64 123.0 on the other hash-differ even when
+    numerically equal (the DuckDB HUGEINT trap: SUM(BIGINT) -> HUGEINT
+    -> pandas float64). Width differences within a class (int32 vs
+    int64) hash identically, so only the class matters.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "other"
+
+
+def dtype_divergences(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Columns whose dtype CLASS differs between the Spark and oracle
+    frames — these hash-fail in the driver gate even if values match."""
+    out = []
+    for c in sdf.columns:
+        if c not in odf.columns:
+            continue
+        ks, ko = dtype_kind(sdf[c]), dtype_kind(odf[c])
+        if ks != ko:
+            # float-with-NaN is how pandas represents nullable ints from
+            # either engine; a genuine divergence is int-vs-float with NO
+            # nulls on the float side (a nullable int would be float on
+            # BOTH sides or carry NaN).
+            pair = {ks, ko}
+            if pair == {"int", "float"}:
+                fs = sdf[c] if ks == "float" else odf[c]
+                if fs.isna().any():
+                    continue
+            out.append(f"{c}: spark={ks}({sdf[c].dtype}) oracle={ko}({odf[c].dtype})")
+    return out
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -100,6 +142,12 @@ def main() -> int:
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append(name)
             print(f"FAIL {name}: cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+            continue
+        div = dtype_divergences(sdf, odf)
+        if div:
+            failures.append(name)
+            print(f"FAIL {name}: dtype divergence (driver hash would fail): "
+                  + "; ".join(div))
             continue
         a, b = normalize(sdf), normalize(odf)
         try:
