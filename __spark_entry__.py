@@ -2506,29 +2506,22 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash layer, both halves from ONE signature pass (dedup.py
-    simhash_report): exact-signature buckets (16 bits = pigeonhole
+    """SimHash layer, both halves from ONE fused plan (dedup.py
+    simhash_report_rows): exact-signature buckets (16 bits = pigeonhole
     block 0 of the 48-bit signature, value-identical to
     simhash_buckets) as kind='bucket' rows, and Hamming-radius near-dup
     pairs (Manku pigeonhole blocks + bit_count(xor) filter) as
-    kind='pair' rows; the union's two branches share the one
-    groupBy(block, value) exchange. Unified (kind, v1, v2, v3) schema:
-    bucket=(simhash, n_docs, min_doc), pair=(doc_a, doc_b, hamming)."""
-    from fstd2pandas_spark.operators.llm.dedup import simhash_report
+    kind='pair' rows. There is no branch to share: one explode chain
+    over the single groupBy(block, value) fold emits both kinds, so the
+    signature fold — the dominant cost at corpus scale — appears
+    exactly once in the plan (locked by tests/test_plans.py). Unified
+    (kind, v1, v2, v3) schema: bucket=(simhash, n_docs, min_doc),
+    pair=(doc_a, doc_b, hamming)."""
+    from fstd2pandas_spark.operators.llm.dedup import simhash_report_rows
 
     docs = _load(spark, sf_dir, "documents")
-    buckets, pairs_df = simhash_report(docs, bits=48, max_hamming=2)
-    buckets = buckets.select(
-        F.lit("bucket").alias("kind"),
-        F.col("simhash").cast("long").alias("v1"),
-        F.col("n_docs").cast("long").alias("v2"),
-        F.col("min_doc").cast("long").alias("v3"))
-    pairs = pairs_df.select(
-        F.lit("pair").alias("kind"),
-        F.col("doc_a").cast("long").alias("v1"),
-        F.col("doc_b").cast("long").alias("v2"),
-        F.col("hamming").cast("long").alias("v3"))
-    return buckets.unionByName(pairs).orderBy("kind", "v1", "v2")
+    return (simhash_report_rows(docs, bits=48, max_hamming=2)
+            .orderBy("kind", "v1", "v2"))
 
 
 def _simhash_sql(bits: int = 16, pair_bits: int = 48,

@@ -413,9 +413,9 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     collapse the block keyspace and degenerate toward all-pairs on a
     large corpus.  Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
-    grouped, _ = _simhash_blocks_grouped(
+    grouped, sizes = _simhash_blocks_grouped(
         df, text_col, id_col, bits, max_hamming)
-    return _pairs_from_grouped(grouped, max_hamming)
+    return _pairs_from_grouped(grouped, max_hamming, sizes)
 
 
 def _simhash_blocks_grouped(df: DataFrame, text_col: str, id_col: str,
@@ -444,9 +444,9 @@ def signature_hamming_pairs(df: DataFrame, sig_col: str,
     sh = df.filter(F.col(sig_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.col(sig_col).cast("long").alias("simhash"))
-    grouped, _ = _signature_blocks_grouped(sh, "simhash", "doc_id", bits,
-                                           max_hamming)
-    return _pairs_from_grouped(grouped, max_hamming)
+    grouped, sizes = _signature_blocks_grouped(sh, "simhash", "doc_id",
+                                               bits, max_hamming)
+    return _pairs_from_grouped(grouped, max_hamming, sizes)
 
 
 def _signature_blocks_grouped(sh: DataFrame, sig_col: str, id_col: str,
@@ -480,21 +480,44 @@ def _signature_blocks_grouped(sh: DataFrame, sig_col: str, id_col: str,
     return grouped, sizes
 
 
-def _pairs_from_grouped(grouped: DataFrame, max_hamming: int) -> DataFrame:
+def _pairs_from_grouped(grouped: DataFrame, max_hamming: int,
+                        sizes: "list[int]") -> DataFrame:
+    """Stream i<j pairs out of the per-(block, value) member arrays.
+
+    A pair within the Hamming radius can collide in SEVERAL blocks; the
+    naive dedup is a ``.distinct()`` — a full extra shuffle over the
+    pair stream.  Instead each pair is emitted ONLY from its MINIMAL
+    agreeing block: since both full signatures ride along in the member
+    structs, "the pair also agrees on some earlier block j < block" is
+    a pure bit-arithmetic predicate, so the dedup costs a few codegen'd
+    comparisons per candidate and the pair stream stays narrow (no
+    post-fold shuffle at all).  `sizes` are the per-block bit widths
+    from :func:`_signature_blocks_grouped`.
+    """
+    offsets = [sum(sizes[:i]) for i in range(len(sizes))]
+
+    def blk(col: str, j: int):
+        return (F.shiftright(F.col(col), offsets[j])
+                .bitwiseAND(F.lit((1 << sizes[j]) - 1)))
+
     outer = (grouped.filter(F.size("ms") > 1)
-             .select("ms", F.posexplode("ms").alias("_i", "a")))
+             .select("block", "ms", F.posexplode("ms").alias("_i", "a")))
     pairs = outer.select(
-        "a",
+        "block", "a",
         F.explode(
             F.expr("slice(ms, _i + 2, size(ms) - _i - 1)")).alias("b"))
+    minimal_block = F.lit(True)
+    for j in range(len(sizes) - 1):
+        minimal_block = minimal_block & (
+            (F.col("block") <= F.lit(j)) | (blk("a.s", j) != blk("b.s", j)))
     return (
-        pairs.select(
+        pairs.filter(minimal_block)
+        .select(
             F.col("a.i").alias("doc_a"), F.col("b.i").alias("doc_b"),
             F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s")))
             .alias("hamming"))
         .filter((F.col("doc_a") < F.col("doc_b"))
                 & (F.col("hamming") <= max_hamming))
-        .distinct()
     )
 
 
@@ -509,18 +532,102 @@ def simhash_report(df: DataFrame, text_col: str = "text",
     not depend on the total width), pairs are the Hamming-radius
     near-dups of :func:`simhash_hamming_pairs`.
 
-    Both frames branch AFTER the one groupBy(block, value) exchange,
-    so a query consuming both (e.g. in a union) re-uses the shuffle
-    files (AQE ReusedExchange) instead of walking the token arrays
-    twice — the signature fold is the dominant cost at corpus scale.
+    The signature fold (token-array walk + groupBy(block, value)) is
+    the dominant cost at corpus scale, so it must run ONCE for both
+    outputs. Branching two lazy frames off the grouped plan is NOT
+    enough: Catalyst pushes the buckets branch's ``block == 0`` filter
+    BELOW the aggregation, so the two exchange subtrees differ and
+    nothing is reused — the fold runs twice (observed in round 7's
+    physical plans: two full scans, two folds). The grouped frame is
+    therefore materialized with an eager ``localCheckpoint`` — the
+    established shared-consumer pattern here (funnel_steps,
+    neardup_components) — and both branches scan the checkpointed
+    blocks. Only rows a consumer can use are checkpointed: pairs read
+    nothing but multi-member groups and buckets read only block 0, so
+    the narrow post-agg filter ``block == 0 OR size(ms) > 1`` drops the
+    dominant population (singleton groups of blocks 1..n) before the
+    checkpoint write — at 48-bit signatures that is ~2/3 of the rows.
     """
     grouped, sizes = _simhash_blocks_grouped(
         df, text_col, id_col, bits, max_hamming)
+    grouped = grouped.filter(
+        (F.col("block") == 0) | (F.size("ms") > 1)
+    ).localCheckpoint(eager=True)
     buckets = grouped.filter(F.col("block") == 0).select(
         F.col("value").alias("simhash"),
         F.size("ms").alias("n_docs"),
         F.col("ms")[0]["i"].alias("min_doc"))
-    return buckets, _pairs_from_grouped(grouped, max_hamming)
+    return buckets, _pairs_from_grouped(grouped, max_hamming, sizes)
+
+
+def simhash_report_rows(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", bits: int = 48,
+                        max_hamming: int = 2) -> DataFrame:
+    """Fused single-plan SimHash report: the bucket AND pair rows of
+    :func:`simhash_report` as ONE row-typed frame — kind='bucket' rows
+    (v1=simhash, v2=n_docs, v3=min_doc; block-0 groups) and kind='pair'
+    rows (v1=doc_a, v2=doc_b, v3=hamming).
+
+    Where :func:`simhash_report` materializes the grouped fold with a
+    localCheckpoint so its two output frames don't each recompute it,
+    this variant has NO branch to share: one explode chain over the
+    grouped frame emits a bucket head per block-0 group plus the i<j
+    pair seeds per multi-member group, and a second Generate streams
+    each seed's strictly-later slice exactly like
+    :func:`_pairs_from_grouped` — so the plan is scan -> fold ->
+    Generate -> Generate, the signature fold appears ONCE, and no
+    checkpoint job or rescan exists at all. Per-row resident memory
+    stays O(member-array), never O(group^2): seeds carry only an index,
+    the slice is taken inside the second Generate. Pair dedup is the
+    minimal-agreeing-block predicate (bit arithmetic, no distinct).
+    """
+    grouped, sizes = _simhash_blocks_grouped(
+        df, text_col, id_col, bits, max_hamming)
+    offsets = [sum(sizes[:i]) for i in range(len(sizes))]
+    # heads for block-0 groups + pair seeds (member index 0..m-2) for
+    # multi-member groups; groups that are neither vanish in the explode
+    # empty arrays are spelled as filters/slices of same-typed arrays so
+    # the element struct type tracks the id column's type exactly
+    e_arr = (
+        "concat("
+        "filter(array(named_struct('k', 0, 'i', -1)), x -> block = 0), "
+        "IF(size(ms) > 1, transform(sequence(0, size(ms) - 2), "
+        "   x -> named_struct('k', 1, 'i', cast(x as int))), "
+        "   filter(array(named_struct('k', 1, 'i', -1)), x -> false)))"
+    )
+    ex1 = grouped.select(
+        "block", "value", "ms", F.explode(F.expr(e_arr)).alias("e"))
+    ex2 = ex1.select(
+        "block", "value", "ms", "e",
+        F.explode_outer(F.expr(
+            "IF(e.k = 1, slice(ms, e.i + 2, size(ms) - e.i - 1), "
+            "slice(ms, 1, 0))")).alias("b"),
+        # head rows never read `a`; the guarded index keeps element_at
+        # in-bounds (ms is non-empty by construction)
+        F.expr("element_at(ms, IF(e.k = 1, e.i + 1, 1))").alias("a"))
+    minimal_block = F.lit(True)
+    for j in range(len(sizes) - 1):
+        mask = (1 << sizes[j]) - 1
+        minimal_block = minimal_block & (
+            (F.col("block") <= F.lit(j))
+            | (F.shiftright(F.col("a.s"), offsets[j]).bitwiseAND(F.lit(mask))
+               != F.shiftright(F.col("b.s"), offsets[j]).bitwiseAND(F.lit(mask))))
+    hamming = F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s")))
+    return (
+        ex2.filter(
+            (F.col("e.k") == 0)
+            | (F.col("b").isNotNull() & (F.col("a.i") < F.col("b.i"))
+               & (hamming <= max_hamming) & minimal_block))
+        .select(
+            F.when(F.col("e.k") == 0, F.lit("bucket"))
+            .otherwise(F.lit("pair")).alias("kind"),
+            F.when(F.col("e.k") == 0, F.col("value"))
+            .otherwise(F.col("a.i")).cast("long").alias("v1"),
+            F.when(F.col("e.k") == 0, F.size("ms"))
+            .otherwise(F.col("b.i")).cast("long").alias("v2"),
+            F.when(F.col("e.k") == 0, F.col("ms")[0]["i"])
+            .otherwise(hamming).cast("long").alias("v3"))
+    )
 
 
 def duplicate_spans(df: DataFrame, text_col: str = "text",

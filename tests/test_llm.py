@@ -811,6 +811,31 @@ def test_simhash_hamming_pairs_match_bruteforce(spark, docs):
     assert any(h > 0 for (_, _, h) in got)
 
 
+def test_simhash_report_rows_match_two_frame_report(spark, docs):
+    """The fused single-plan report (simhash_report_rows) must emit
+    exactly the union of the two-frame simhash_report's buckets and
+    pairs — including the minimal-agreeing-block pair dedup replacing
+    the old distinct."""
+    from pyspark.sql import functions as F
+    from fstd2pandas_spark.operators.llm.dedup import (
+        simhash_report, simhash_report_rows,
+    )
+
+    sub = docs.limit(80)
+    b, p = simhash_report(sub, bits=48, max_hamming=3)
+    expected = sorted(
+        [("bucket", r["simhash"], r["n_docs"], r["min_doc"])
+         for r in b.collect()]
+        + [("pair", r["doc_a"], r["doc_b"], r["hamming"])
+           for r in p.collect()]
+    )
+    got = sorted((r["kind"], r["v1"], r["v2"], r["v3"])
+                 for r in simhash_report_rows(sub, bits=48,
+                                              max_hamming=3).collect())
+    assert got == expected
+    assert any(k == "pair" for k, *_ in got), "fixture needs a near pair"
+
+
 def test_chunk_documents_windows(spark):
     from fstd2pandas_spark.operators.llm.sampling import chunk_documents
 

@@ -313,3 +313,28 @@ def test_funnel_single_exchange(spark):
     plan = _plan(funnel_steps(ev, ["view", "click", "purchase"]))
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_simhash_report_shares_one_signature_fold(spark):
+    """The round-7 regression: lazily branching buckets/pairs off the
+    grouped frame let Catalyst push the buckets filter below the
+    aggregation, splitting the exchange subtrees — the signature fold
+    (the dominant cost at corpus scale) ran TWICE. q_doc_simhash now
+    uses the fused simhash_report_rows (one explode chain emits both
+    bucket and pair rows), so the plan must contain exactly ONE fold
+    subtree: one collect_list aggregation, one parquet scan, and no
+    distinct/extra exchange for pair dedup (the minimal-agreeing-block
+    predicate replaces it)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["doc_simhash"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("collect_list") == 2  # partial + final of ONE agg
+    assert plan.count("Scan parquet") == 1
+    # exchanges: repartition (parallelism), the fold's hash exchange,
+    # the final orderBy range exchange — and nothing else (no distinct)
+    assert plan.count("Exchange") <= 3
+    # the two-frame simhash_report keeps its localCheckpoint sharing;
+    # its buckets/pairs must still agree with the fused rows (pinned in
+    # tests/test_llm.py) — here we only lock the fused plan shape
