@@ -56,9 +56,18 @@ def funnel_steps(df: DataFrame, steps: "list[str]", ts_col: str = "ts",
         want = F.element_at(steps_arr, F.size(acc) + 1)
         ok = (F.size(acc) < k) & (e["etype"] == want)
         if within is not None:
-            horizon = e["ts_us"] <= F.element_at(acc, 1) \
-                + F.lit(int(within) * 1_000_000)
-            ok = ok & ((F.size(acc) == 0) | horizon)
+            # CASE guard: when acc is empty the (size == 0) disjunct
+            # decides, but BOTH operands of | are evaluated — an
+            # unguarded element_at(acc, 1) works only because non-ANSI
+            # Spark returns NULL out of bounds; under
+            # spark.sql.ansi.enabled=true it throws INVALID_ARRAY_INDEX.
+            # CaseWhen evaluates only the matched branch, so the lookup
+            # never fires on an empty accumulator.
+            bound = F.when(
+                F.size(acc) > 0,
+                F.element_at(acc, 1) + F.lit(int(within) * 1_000_000)
+            ).otherwise(e["ts_us"])
+            ok = ok & ((F.size(acc) == 0) | (e["ts_us"] <= bound))
         return F.when(ok, F.concat(acc, F.array(e["ts_us"]))).otherwise(acc)
 
     grouped = df.groupBy(F.col(user_col).alias("user")).agg(ev.alias("_ev"))

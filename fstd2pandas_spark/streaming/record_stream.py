@@ -299,8 +299,15 @@ def streaming_funnel(stream: DataFrame, steps: "list[str]",
         depth, first_us, last_us, last_eid = (
             state.get if state.exists else (0, None, -1, -1))
         ev = pd.concat(list(pdfs), ignore_index=True)
+        # applyInPandasWithState currently delivers session-naive
+        # timestamps, but pandas 2.x raises on .astype('datetime64[ns]')
+        # for a tz-aware column — normalize defensively so the operator
+        # survives Arrow/pandas timestamp-configuration changes
+        ts = pd.to_datetime(ev[ts_col])
+        if getattr(ts.dt, "tz", None) is not None:
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
         ev = ev.assign(
-            _us=ev[ts_col].astype("datetime64[ns]").astype("int64") // 1000,
+            _us=ts.astype("datetime64[ns]").astype("int64") // 1000,
         ).sort_values(["_us", id_col])
         for us, eid, et in zip(ev["_us"], ev[id_col], ev[type_col]):
             us, eid = int(us), int(eid)

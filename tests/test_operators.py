@@ -384,6 +384,27 @@ def test_funnel_within_horizon(spark):
     assert counts == {1: 2, 2: 1}
 
 
+def test_funnel_within_ansi_mode(spark):
+    """The within-horizon fold must not index an empty accumulator:
+    both operands of | are evaluated, so an unguarded element_at(acc, 1)
+    throws INVALID_ARRAY_INDEX under spark.sql.ansi.enabled=true (the
+    CASE guard evaluates only the matched branch)."""
+    from fstd2pandas_spark.operators.funnel import funnel_steps
+
+    df = spark.createDataFrame(_ev_rows(
+        (1, "2024-01-01T10:00", 1, "view"),
+        (2, "2024-01-01T10:30", 1, "click"),
+        (3, "2024-01-01T09:00", 2, "click"),     # never matches step 1
+    ), _EV_SCHEMA)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = {r.user: r.depth for r in
+               funnel_steps(df, ["view", "click"], within=3600).collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert out == {1: 2, 2: 0}
+
+
 def test_funnel_counts_monotone(spark, sf_dir):
     """On the real events table the funnel is monotone non-increasing
     and bounded by the distinct-user count."""
