@@ -3167,13 +3167,34 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pixels (size=4 -> 16-bit hash); the oracle recomputes the hash
     # arithmetically — nearest-resize index map + strict luma compares
     from fstd2pandas_spark.operators.llm import image_dhash
+    from fstd2pandas_spark.operators.llm.dedup import (
+        signature_hamming_pairs)
 
-    dh = image_dhash(ppm_assets, size=4).select(
+    # eager checkpoint: the dhash frame feeds BOTH the per-asset rows
+    # and the dpair banding below — without it each union branch would
+    # re-run the Python decode kernel
+    dhf = image_dhash(ppm_assets, size=4).select(
+        "asset_id", "dhash").localCheckpoint(eager=True)
+    dh = dhf.select(
         "asset_id", F.lit("dhash").alias("kind"),
         F.lit(59).alias("n_bytes"),
         F.col("dhash").alias("f0"),
         F.bit_count("dhash").cast("long").alias("f15"),
         (F.col("dhash") + F.bit_count("dhash")).cast("long").alias("fsum"),
+    )
+    # kind='dpair': the OUTPUT pairs of signature_hamming_pairs over
+    # the same 16-bit dHashes (pigeonhole blocks + minimal-block dedup)
+    # gated against a brute-force SQL pair join on the recomputed
+    # hashes — radius 2 over 16 bits
+    dpair = signature_hamming_pairs(
+        dhf, "dhash", id_col="asset_id", bits=16, max_hamming=2).select(
+        F.col("doc_a").alias("asset_id"),
+        F.lit("dpair").alias("kind"),
+        F.lit(4).alias("n_bytes"),
+        F.col("doc_b").alias("f0"),
+        F.col("hamming").cast("long").alias("f15"),
+        (F.col("doc_a") + F.col("doc_b") + F.col("hamming"))
+        .cast("long").alias("fsum"),
     )
     # kind='spec': short-window DFT power spectrum of the SAME wav
     # samples (8 bins over 48 samples) — the sequential scalar fold in
@@ -3205,7 +3226,8 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
          + wwbins).cast("long").alias("fsum"),
     )
     return (base.unionByName(ppm).unionByName(wav).unionByName(dh)
-            .unionByName(spec).orderBy("asset_id", "kind"))
+            .unionByName(dpair).unionByName(spec)
+            .orderBy("asset_id", "kind", "f0"))
 
 
 def _mm_sql() -> str:
@@ -3307,7 +3329,10 @@ def _mm_sql() -> str:
                  CAST(sum(z) AS BIGINT) AS zc,
                  CAST(sum({wbin11}) AS BIGINT) AS bin11,
                  CAST(sum(1 + {wwidx}) AS BIGINT) AS wwb
-          FROM wzp GROUP BY asset_id)
+          FROM wzp GROUP BY asset_id),
+  dha AS (SELECT asset_id, CAST({dh_expr} AS BIGINT) AS dh
+          FROM (SELECT asset_id, array_agg(luma ORDER BY i) AS la
+                FROM plu GROUP BY asset_id))
   SELECT asset_id, kind, n_bytes,
          bytes[1] AS f0, bytes[16] AS f15,
          CAST(list_sum(bytes) AS BIGINT) AS fsum
@@ -3324,9 +3349,18 @@ def _mm_sql() -> str:
   SELECT asset_id, 'dhash' AS kind, 59 AS n_bytes,
          dh AS f0, CAST(bit_count(dh) AS BIGINT) AS f15,
          CAST(dh + bit_count(dh) AS BIGINT) AS fsum
-  FROM (SELECT asset_id, CAST({dh_expr} AS BIGINT) AS dh
-        FROM (SELECT asset_id, array_agg(luma ORDER BY i) AS la
-              FROM plu GROUP BY asset_id))
+  FROM dha
+  UNION ALL
+  -- kind='dpair': brute-force Hamming-radius pair join on the SAME
+  -- recomputed 16-bit hashes — the constructive mirror of the engine's
+  -- pigeonhole signature_hamming_pairs output (radius 2)
+  SELECT a.asset_id AS asset_id, 'dpair' AS kind, 4 AS n_bytes,
+         b.asset_id AS f0,
+         CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS f15,
+         CAST(a.asset_id + b.asset_id + bit_count(xor(a.dh, b.dh))
+              AS BIGINT) AS fsum
+  FROM dha a JOIN dha b
+    ON a.asset_id < b.asset_id AND bit_count(xor(a.dh, b.dh)) <= 2
   UNION ALL
   SELECT asset_id, 'spec' AS kind, 92 AS n_bytes,
          CAST(list_indexof(pw, list_max(pw)) AS BIGINT) AS f0,
@@ -3338,7 +3372,7 @@ def _mm_sql() -> str:
                      array_agg(CAST(m - 128 AS DOUBLE) / 128 ORDER BY i)
                        AS xa
               FROM wsm GROUP BY asset_id))
-  ORDER BY asset_id, kind
+  ORDER BY asset_id, kind, f0
 """
 
 
