@@ -1958,10 +1958,61 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
               "<!-- note --><div>tail</div></body></html>"))
     flagged = flagged.withColumn(
         "html_sig", F.substring(F.md5(html_to_text_col(html)), 1, 8))
+    # WARC ingestion gated end-to-end (ingest.py read_warc): a REAL
+    # gzip WARC shard is constructed from the first 50 documents
+    # (driver-side, bounded) — per record a gzip member holding WARC
+    # envelope + HTTP response + HTML body — then read_warc's
+    # binaryFile + mapInPandas parser runs for real, and warc_sig pins
+    # every parsed envelope field AND the payload byte-for-byte; the
+    # oracle predicts the signature constructively from the same rows
+    flagged = flagged.join(
+        _warc_sigs(spark, docs), "doc_id", "left").withColumn(
+        "warc_sig", F.coalesce(F.col("warc_sig"), F.lit("-")))
     return flagged.select(
         "doc_id", "lang", "lang_pred", "n_bench_shingles", "contaminated",
-        "sampled", "html_sig", "bm25_q6", "bm25_matched", "bm25_rank",
+        "sampled", "html_sig", "warc_sig", "bm25_q6", "bm25_matched",
+        "bm25_rank",
     ).orderBy("doc_id")
+
+
+def _warc_sigs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Build the deterministic in-repo WARC shard for q_doc_langid and
+    parse it back with the production reader. One ~50-record shard:
+    the collect is bounded by the fixed record count, never the corpus."""
+    import gzip
+    import tempfile
+
+    from fstd2pandas_spark.operators.llm.ingest import read_warc
+
+    rows = sorted(
+        (r["doc_id"], r["text"]) for r in
+        docs.filter((F.col("doc_id") < 50) & F.col("text").isNotNull())
+        .select("doc_id", "text").collect())
+    members = []
+    for doc_id, text in rows:
+        body = f"<html><body><p>{text}</p></body></html>".encode()
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Length: " + str(len(body)).encode()
+                + b"\r\n\r\n" + body)
+        head = (f"WARC/1.0\r\n"
+                f"WARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n"
+                f"WARC-Target-URI: http://example.com/{doc_id}\r\n"
+                f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                f"Content-Type: application/http\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n").encode()
+        members.append(gzip.compress(head + http + b"\r\n\r\n"))
+    tmp = tempfile.mkdtemp(prefix="warc_gate_")
+    with open(os.path.join(tmp, "shard-00000.warc.gz"), "wb") as f:
+        f.write(b"".join(members))
+    warc = read_warc(spark, tmp)
+    return warc.select(
+        F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
+        .cast("long").alias("doc_id"),
+        F.substring(
+            F.md5(F.concat_ws(
+                "|", "record_id", "url", "warc_date", "content_type",
+                "text")), 1, 8).alias("warc_sig"))
 
 
 #: fixed keyword query for the gated BM25 retrieval columns
@@ -2062,6 +2113,13 @@ def _langid_sql() -> str:
               CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
            < {strat_thr} AS sampled,
          substr(md5({stripped}), 1, 8) AS html_sig,
+         CASE WHEN d.doc_id < 50 AND d.text IS NOT NULL
+              THEN substr(md5(concat(
+                   '<urn:doc:', CAST(d.doc_id AS VARCHAR), '>',
+                   '|http://example.com/', CAST(d.doc_id AS VARCHAR),
+                   '|2024-01-01T00:00:00Z|text/html|',
+                   '<html><body><p>', d.text, '</p></body></html>')), 1, 8)
+              ELSE '-' END AS warc_sig,
          CAST(coalesce(bagg.bm25_q6, 0) AS BIGINT) AS bm25_q6,
          CAST(coalesce(bagg.bm25_matched, 0) AS BIGINT) AS bm25_matched,
          CAST(coalesce(CASE WHEN brnk.r <= 10 THEN brnk.r END, 0) AS INT)
