@@ -3462,13 +3462,82 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_ev_{uuid.uuid4().hex[:8]}"
     run_to_memory(agg, name, output_mode="complete")
-    return spark.table(name).orderBy("hour", "event_type")
+    hourly = spark.table(name).select(
+        F.lit("hour").alias("kind"),
+        F.unix_timestamp("hour").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n"), F.col("sum_value"),
+        F.lit(None).cast("long").alias("dur_s"))
+
+    # kind='sfunnel': the STATEFUL streaming funnel
+    # (streaming/record_stream.py streaming_funnel,
+    # applyInPandasWithState) drained over the same stream. The
+    # availableNow drain of the single events file is one micro-batch,
+    # so the operator's ordering contract (per-user non-decreasing
+    # arrival across micro-batches) holds trivially and the final state
+    # is EXACT — the oracle derives it independently as the classic
+    # sequential-min-join funnel cascade, the same derivation that
+    # gates the batch fold in events_hourly.
+    from fstd2pandas_spark.streaming.record_stream import streaming_funnel
+
+    fstream = _fix_event_ts(
+        spark.readStream.schema(schema)
+        .parquet(os.path.join(sf_dir, "events*.parquet"))
+    )
+    fname = f"stream_fn_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        streaming_funnel(fstream, ["view", "click", "purchase"]),
+        fname, output_mode="update")
+    # last update per user is the final state (robust to multi-batch
+    # splits of the drop zone, though the single-file drain has one)
+    final = spark.sql(f"""
+        SELECT user, depth, first_step_us, last_step_us FROM (
+          SELECT *, row_number() OVER (PARTITION BY user ORDER BY rn DESC) r
+          FROM (SELECT *, monotonically_increasing_id() AS rn
+                FROM {fname})) WHERE r = 1""")
+    funnel = final.filter(F.col("depth") >= 1).select(
+        F.lit("sfunnel").alias("kind"),
+        F.floor(F.col("first_step_us") / F.lit(1_000_000))
+        .cast("long").alias("k1"),
+        F.col("user").cast("string").alias("k2"),
+        F.col("depth").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        (F.floor(F.col("last_step_us") / F.lit(1_000_000))
+         - F.floor(F.col("first_step_us") / F.lit(1_000_000)))
+        .cast("long").alias("dur_s"))
+    return hourly.unionByName(funnel).orderBy("kind", "k1", "k2")
 
 
 _Q_STREAM_EVENTS_SQL = """
-  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
-  FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+  WITH fv AS (SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+  fc AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+         JOIN fv USING (user_id)
+         WHERE e.event_type = 'click' AND e.ts > fv.t1 GROUP BY e.user_id),
+  fp AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+         JOIN fc USING (user_id)
+         WHERE e.event_type = 'purchase' AND e.ts > fc.t2
+         GROUP BY e.user_id),
+  fu AS (SELECT fv.user_id,
+                CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth,
+                t1, coalesce(t3, t2, t1) AS tl
+         FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id))
+  SELECT 'hour' AS kind,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS k1,
+         event_type AS k2, count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+         CAST(NULL AS BIGINT) AS dur_s
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'sfunnel' AS kind,
+         CAST(floor(epoch(t1)) AS BIGINT) AS k1,
+         CAST(user_id AS VARCHAR) AS k2,
+         CAST(depth AS BIGINT) AS n,
+         CAST(NULL AS DOUBLE) AS sum_value,
+         CAST(floor(epoch(tl)) - floor(epoch(t1)) AS BIGINT) AS dur_s
+  FROM fu
+  ORDER BY kind, k1, k2
 """
 
 
