@@ -421,7 +421,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events shuffle for both shapes). The oracle derives the funnel
     INDEPENDENTLY as the classic k-pass sequential-min-join cascade."""
     from fstd2pandas_spark.operators.funnel import (
-        counts_from_steps, funnel_steps)
+        cohorts_from_report, counts_from_steps, user_activity_report)
     from fstd2pandas_spark.operators.sessions import sessionize
 
     ev_raw = _load(spark, sf_dir, "events")
@@ -451,11 +451,12 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from ev_raw, NOT ev: the funnel/cohort branches don't consume _k,
     # and building them on the post-withColumn frame drags the JSON
     # parse of every props value into branches that never read it
-    # (measured ~0.3 s per branch at sf0.1)
-    # localCheckpoint: fuser and fstep are two consumers of the fold —
-    # without it each union branch re-scans events and refolds; the
-    # checkpointed result is users-sized (tiny next to the events)
-    fs = funnel_steps(ev_raw, steps).localCheckpoint()
+    # (measured ~0.3 s per branch at sf0.1).
+    # user_activity_report fuses the funnel fold AND the cohort inputs
+    # into ONE user-key shuffle (round 7 shipped them as two separate
+    # events aggregations); the users-sized result is localCheckpointed
+    # because THREE consumers read it (fuser, fstep, cohorts)
+    fs = user_activity_report(ev_raw, steps).localCheckpoint()
     us = F.element_at(F.col("step_ts_us"), 1)
     last = F.element_at(F.col("step_ts_us"), F.size("step_ts_us"))
     fuser = fs.filter(F.col("depth") >= 1).select(
@@ -475,11 +476,9 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("sum_value"),
         F.lit(None).cast("long").alias("dur_s"),
         F.lit(None).cast("long").alias("sum_k"))
-    # weekly retention cohorts (operators/funnel.py retention_cohorts):
+    # weekly retention cohorts from the SAME user shuffle:
     # kind='cohort' rows keyed (cohort week epoch, offset-in-weeks)
-    from fstd2pandas_spark.operators.funnel import retention_cohorts
-
-    cohorts = retention_cohorts(ev_raw).select(
+    cohorts = cohorts_from_report(fs).select(
         F.lit("cohort").alias("kind"),
         F.unix_timestamp("cohort").alias("k1"),
         F.col("period_offset").cast("string").alias("k2"),

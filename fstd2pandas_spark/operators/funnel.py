@@ -40,8 +40,21 @@ def funnel_steps(df: DataFrame, steps: "list[str]", ts_col: str = "ts",
     step (``size == depth``). Users with depth 0 are kept (they exist
     in the events table but never did step 1).
     """
+    ev, folded = _funnel_fold(steps, ts_col, type_col, id_col, within)
+    grouped = df.groupBy(F.col(user_col).alias("user")).agg(ev.alias("_ev"))
+    return (
+        grouped.withColumn("step_ts_us", folded).drop("_ev")
+        .withColumn("depth", F.size("step_ts_us"))
+    )
+
+
+def _funnel_fold(steps: "list[str]", ts_col: str, type_col: str,
+                 id_col: str, within: "int | None"):
+    """The shared fold machinery: (sorted-events aggregate expression,
+    fold-over-'_ev' Column) used by :func:`funnel_steps` and
+    :func:`user_activity_report`."""
     if not steps:
-        raise ValueError("funnel_steps: need at least one step")
+        raise ValueError("funnel: need at least one step")
     k = len(steps)
     steps_arr = F.array(*[F.lit(s) for s in steps])
     ev = F.sort_array(F.collect_list(F.struct(
@@ -70,12 +83,63 @@ def funnel_steps(df: DataFrame, steps: "list[str]", ts_col: str = "ts",
             ok = ok & ((F.size(acc) == 0) | (e["ts_us"] <= bound))
         return F.when(ok, F.concat(acc, F.array(e["ts_us"]))).otherwise(acc)
 
-    grouped = df.groupBy(F.col(user_col).alias("user")).agg(ev.alias("_ev"))
     folded = F.aggregate(F.col("_ev"),
                          F.array().cast("array<bigint>"), advance)
+    return ev, folded
+
+
+#: period name -> length in days for the cohort helpers
+_PERIOD_DAYS = {"week": 7, "day": 1}
+
+
+def user_activity_report(df: DataFrame, steps: "list[str]",
+                         ts_col: str = "ts", user_col: str = "user_id",
+                         type_col: str = "event_type",
+                         id_col: str = "event_id",
+                         within: "int | None" = None,
+                         period: str = "week") -> DataFrame:
+    """Funnel progress AND retention-cohort inputs from ONE user-key
+    shuffle: (user, step_ts_us, depth, cohort, periods).
+
+    A pipeline that wants both :func:`funnel_steps` and
+    :func:`retention_cohorts` would otherwise shuffle the events table
+    by user twice — at fact-table scale the dominant cost. Here one
+    ``groupBy(user)`` computes the sorted-event fold input, the
+    first-activity period (min) and the distinct active-period set
+    (collect_set, bounded by product lifetime in periods) together; the
+    fold runs in the same projection. Feed the (users-sized) result to
+    :func:`counts_from_steps` and :func:`cohorts_from_report` — with a
+    ``localCheckpoint`` if more than one consumer reads it.
+    """
+    if period not in _PERIOD_DAYS:
+        raise ValueError(f"unsupported period {period!r}")
+    p = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
+    ev, folded = _funnel_fold(steps, ts_col, type_col, id_col, within)
+    grouped = df.groupBy(F.col(user_col).alias("user")).agg(
+        ev.alias("_ev"),
+        F.min(p).alias("cohort"),
+        F.collect_set(p).alias("periods"))
     return (
         grouped.withColumn("step_ts_us", folded).drop("_ev")
         .withColumn("depth", F.size("step_ts_us"))
+    )
+
+
+def cohorts_from_report(report: DataFrame,
+                        period: str = "week") -> DataFrame:
+    """The rollup half of :func:`retention_cohorts`, over an existing
+    per-user (cohort, periods) frame — :func:`user_activity_report`
+    consumers reuse the one user shuffle instead of re-aggregating the
+    events. Returns (cohort, period_offset, n_users)."""
+    if period not in _PERIOD_DAYS:
+        raise ValueError(f"unsupported period {period!r}")
+    return (
+        report.select("cohort", F.explode("periods").alias("p"))
+        .groupBy("cohort",
+                 (F.floor(F.datediff(F.col("p"), F.col("cohort"))
+                          / _PERIOD_DAYS[period])).cast("long")
+                 .alias("period_offset"))
+        .agg(F.count("*").alias("n_users"))
     )
 
 
@@ -133,20 +197,12 @@ def retention_cohorts(df: DataFrame, ts_col: str = "ts",
     count-distinct expand. All exact integer/date arithmetic —
     oracle-friendly. The distinct+self-join formulation costs two more
     shuffles and a join and returns the same rows."""
-    days = {"week": 7, "day": 1}
-    if period not in days:
+    if period not in _PERIOD_DAYS:
         raise ValueError(f"unsupported period {period!r}")
     p = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
     per_user = (
         df.select(F.col(user_col).alias("user"), p.alias("p"))
         .groupBy("user")
-        .agg(F.min("p").alias("cohort"), F.collect_set("p").alias("_ps"))
+        .agg(F.min("p").alias("cohort"), F.collect_set("p").alias("periods"))
     )
-    return (
-        per_user.select("cohort", F.explode("_ps").alias("p"))
-        .groupBy("cohort",
-                 (F.floor(F.datediff(F.col("p"), F.col("cohort"))
-                          / days[period])).cast("long")
-                 .alias("period_offset"))
-        .agg(F.count("*").alias("n_users"))
-    )
+    return cohorts_from_report(per_user, period)

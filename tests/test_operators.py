@@ -405,6 +405,29 @@ def test_funnel_within_ansi_mode(spark):
     assert out == {1: 2, 2: 0}
 
 
+def test_user_activity_report_matches_separate_ops(spark, sf_dir):
+    """The fused one-shuffle report must agree with funnel_steps AND
+    retention_cohorts computed separately."""
+    from fstd2pandas_spark.operators.funnel import (
+        cohorts_from_report, funnel_steps, retention_cohorts,
+        user_activity_report,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    steps = ["view", "click", "purchase"]
+    rep = user_activity_report(ev, steps)
+    got_f = {r.user: (r.depth, tuple(r.step_ts_us))
+             for r in rep.collect()}
+    exp_f = {r.user: (r.depth, tuple(r.step_ts_us))
+             for r in funnel_steps(ev, steps).collect()}
+    assert got_f == exp_f
+    got_c = {(r.cohort, r.period_offset): r.n_users
+             for r in cohorts_from_report(rep).collect()}
+    exp_c = {(r.cohort, r.period_offset): r.n_users
+             for r in retention_cohorts(ev).collect()}
+    assert got_c == exp_c and got_c
+
+
 def test_funnel_counts_monotone(spark, sf_dir):
     """On the real events table the funnel is monotone non-increasing
     and bounded by the distinct-user count."""
