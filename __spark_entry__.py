@@ -1967,10 +1967,21 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = flagged.join(
         _warc_sigs(spark, docs), "doc_id", "left").withColumn(
         "warc_sig", F.coalesce(F.col("warc_sig"), F.lit("-")))
+    # round 8: temperature-based corpus mixing (sampling.py
+    # temperature_mix_sample, the T5/LLaMA size^alpha rule) — per-source
+    # counts from the RAW docs (sources-sized agg, broadcast back), keep
+    # decision a narrow md5-bucket map; alpha=0.5 so the threshold math
+    # is IEEE-sqrt-exact and the oracle gates membership bit-for-bit
+    from fstd2pandas_spark.operators.llm.sampling import (
+        temperature_mix_sample)
+
+    tm = temperature_mix_sample(docs.select("doc_id", "source")).select(
+        "doc_id", "temp_thr", "temp_sampled")
+    flagged = flagged.join(tm, "doc_id", "left")
     return flagged.select(
         "doc_id", "lang", "lang_pred", "n_bench_shingles", "contaminated",
-        "sampled", "html_sig", "warc_sig", "bm25_q6", "bm25_matched",
-        "bm25_rank",
+        "sampled", "temp_thr", "temp_sampled", "html_sig", "warc_sig",
+        "bm25_q6", "bm25_matched", "bm25_rank",
     ).orderBy("doc_id")
 
 
@@ -2102,6 +2113,12 @@ def _langid_sql() -> str:
                        j -> array_to_string(list_slice(t, j, j + 2), ' '))) END)
       AS u(shingle)),
   bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
+  tcs AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+  tmn AS (SELECT min(n) AS nmin FROM tcs),
+  tth AS (SELECT source,
+                 CAST(round(10000 * sqrt(CAST(nmin AS DOUBLE) / n), 0)
+                      AS BIGINT) AS temp_thr
+          FROM tcs CROSS JOIN tmn),
   hits AS (
     SELECT sh.doc_id, count(*) AS n_bench_shingles
     FROM sh JOIN bsh USING (shingle) GROUP BY sh.doc_id)
@@ -2112,6 +2129,10 @@ def _langid_sql() -> str:
               CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
            < {strat_thr} AS sampled,
          substr(md5({stripped}), 1, 8) AS html_sig,
+         tth.temp_thr,
+         (CAST(concat('0x', substr(md5(concat('temp1_',
+               CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000)
+           < tth.temp_thr AS temp_sampled,
          CASE WHEN d.doc_id < 50 AND d.text IS NOT NULL
               THEN substr(md5(concat(
                    '<urn:doc:', CAST(d.doc_id AS VARCHAR), '>',
@@ -2124,6 +2145,7 @@ def _langid_sql() -> str:
          CAST(coalesce(CASE WHEN brnk.r <= 10 THEN brnk.r END, 0) AS INT)
            AS bm25_rank
   FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+  LEFT JOIN tth ON tth.source = d.source
   LEFT JOIN bagg ON bagg.doc_id = d.doc_id
   LEFT JOIN brnk ON brnk.doc_id = d.doc_id
   ORDER BY d.doc_id"""
@@ -2674,12 +2696,20 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = enriched.join(
         scored.select("doc_id", "lm_bigrams", "lm_q6", "lm_bucket"),
         "doc_id", "left")
+    # round 8: fastText-style hashed linear quality classifier
+    # (operators/llm/classifier.py) — hashing-trick buckets + integer
+    # micro-unit weights summed in one shuffle-free fold; the oracle
+    # recomputes bucket and weight per token from the same md5s
+    from fstd2pandas_spark.operators.llm.classifier import (
+        linear_text_classifier)
+
+    enriched = linear_text_classifier(enriched, dim=1024)
     return enriched.select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
         "stop_ratio", "quality", "split", "line_dedup_sig",
         "n_spans", "n_boilerplate_spans", "n_dup_spans", "n_dup_tokens",
         "substr_sig", "gopher_fails", "gopher_keep",
-        "lm_bigrams", "lm_q6", "lm_bucket",
+        "lm_bigrams", "lm_q6", "lm_bucket", "clf_score", "clf_keep",
     ).orderBy("doc_id")
 
 
@@ -2830,7 +2860,23 @@ def _quality_sql() -> str:
          CASE WHEN coalesce(lagg.lm_bigrams, 0) = 0 THEN 'empty'
               WHEN lagg.lm_q6 >= -1200000 * lagg.lm_bigrams THEN 'head'
               WHEN lagg.lm_q6 >= -2000000 * lagg.lm_bigrams THEN 'middle'
-              ELSE 'tail' END AS lm_bucket
+              ELSE 'tail' END AS lm_bucket,
+         -- hashed linear classifier: bucket = md5-hash(token) % 1024,
+         -- weight = md5-hash('w' || bucket) % 2001 - 1000; CAST the
+         -- list_sum (HUGEINT) back to BIGINT
+         coalesce(CAST(list_sum(list_transform(
+             list_filter(string_split(lower(d.text), ' '), t -> t <> ''),
+             t -> (CAST(concat('0x', substr(md5(concat('w',
+                      CAST(CAST(concat('0x', substr(md5(t), 1, 8))
+                           AS BIGINT) % 1024 AS VARCHAR))), 1, 8))
+                   AS BIGINT) % 2001) - 1000)) AS BIGINT), 0) AS clf_score,
+         coalesce(CAST(list_sum(list_transform(
+             list_filter(string_split(lower(d.text), ' '), t -> t <> ''),
+             t -> (CAST(concat('0x', substr(md5(concat('w',
+                      CAST(CAST(concat('0x', substr(md5(t), 1, 8))
+                           AS BIGINT) % 1024 AS VARCHAR))), 1, 8))
+                   AS BIGINT) % 2001) - 1000)) AS BIGINT), 0) > 0
+           AS clf_keep
   FROM q
   JOIN (SELECT doc_id, text FROM documents) d USING (doc_id)
   JOIN sp USING (doc_id)

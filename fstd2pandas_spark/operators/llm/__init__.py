@@ -46,7 +46,10 @@ from fstd2pandas_spark.operators.llm.cluster import (
 from fstd2pandas_spark.operators.llm.decontam import contamination_overlap
 from fstd2pandas_spark.operators.llm.sampling import (
     hash_split, hash_sample, token_pack, stratified_hash_sample,
-    chunk_documents,
+    chunk_documents, temperature_mix_sample,
+)
+from fstd2pandas_spark.operators.llm.classifier import (
+    linear_text_classifier, token_bucket_col,
 )
 from fstd2pandas_spark.operators.llm.similarity import (
     cosine_topk, lsh_ann_topk, ivf_ann_topk, cosine_col, embedding_neardup,
@@ -68,7 +71,9 @@ from fstd2pandas_spark.operators.llm.multimodal import (
     extract_features, resize_images, sample_video_frames,
     image_dhash, audio_spectrum,
 )
-from fstd2pandas_spark.operators.llm.dedup import signature_hamming_pairs
+from fstd2pandas_spark.operators.llm.dedup import (
+    signature_hamming_pairs, simhash_report_rows,
+)
 
 __all__ = [
     "tokens_col", "shingles_col", "token_hash_col", "language_id",
@@ -91,4 +96,6 @@ __all__ = [
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "cosine_col", "embedding_neardup",
     "extract_features", "resize_images", "sample_video_frames",
     "image_dhash", "audio_spectrum", "signature_hamming_pairs",
+    "simhash_report_rows", "temperature_mix_sample",
+    "linear_text_classifier", "token_bucket_col",
 ]

@@ -109,6 +109,55 @@ def stratified_hash_sample(df: DataFrame, fractions: "dict[str, float]",
     return df.withColumn("sampled", b < thr)
 
 
+def temperature_mix_sample(df: DataFrame, alpha: float = 0.5,
+                           source_col: str = "source",
+                           id_col: str = "doc_id",
+                           seed: str = "temp1") -> DataFrame:
+    """Temperature-based corpus mixing — the T5/LLaMA multi-source
+    sampling rule: source ``s`` with ``n_s`` documents is sampled
+    proportional to ``n_s^alpha`` (``alpha < 1`` up-weights small
+    sources), realized as a per-document keep fraction
+    ``f_s = (n_s / n_min)^(alpha - 1)`` so the smallest source keeps
+    100% and expected kept counts are proportional to ``n_s^alpha``.
+    Adds ``temp_thr`` (the source's basis-point threshold) and
+    ``temp_sampled`` (deterministic md5-bucket keep, same keying
+    discipline as :func:`stratified_hash_sample`).
+
+    Scale shape: one sources-sized count aggregation (map-side
+    combined), thresholds broadcast back onto the corpus, keep decision
+    a narrow map — no corpus-sized shuffle.
+
+    Cross-engine exactness: at the default ``alpha = 0.5`` the fraction
+    is ``sqrt(n_min / n_s)`` — IEEE sqrt and division are correctly
+    rounded in every engine, so the basis-point threshold is
+    bit-identical and an SQL oracle gates membership exactly. Other
+    alphas go through ``pow`` (documented 1-ulp cross-engine caveat,
+    only observable when a threshold lands within ~1e-12 of a
+    half-basis-point boundary)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    counts = df.groupBy(F.col(source_col).alias("_src")).agg(
+        F.count("*").alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    if alpha == 0.5:
+        frac = F.sqrt(F.col("_nmin").cast("double") / F.col("_n"))
+    else:
+        frac = F.pow(F.col("_n").cast("double") / F.col("_nmin"),
+                     F.lit(float(alpha) - 1.0))
+    thr = (
+        counts.crossJoin(F.broadcast(nmin))
+        .select("_src",
+                F.round(F.lit(10000) * frac, 0).cast("long")
+                .alias("temp_thr"))
+    )
+    b = _hash_bucket(F.col(id_col), seed, 10000)
+    return (
+        df.join(F.broadcast(thr), df[source_col] == thr["_src"], "left")
+        .drop("_src")
+        .withColumn("temp_sampled", b < F.col("temp_thr"))
+    )
+
+
 def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
                     overlap: int = 64, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

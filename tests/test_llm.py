@@ -1454,3 +1454,67 @@ def test_png_deflate_bomb_rejected():
     payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
     assert decode_image(payload) is None
+
+
+def test_linear_text_classifier_known_values(spark):
+    """Hand-computed micro-unit scores with the md5 pseudo-weights, the
+    trained-weights path, and NULL-text handling."""
+    import hashlib
+
+    from fstd2pandas_spark.operators.llm.classifier import (
+        linear_text_classifier)
+
+    def bucket(tok, dim):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+
+    def w(b):
+        return int(hashlib.md5(f"w{b}".encode()).hexdigest()[:8],
+                   16) % 2001 - 1000
+
+    rows = [(0, "alpha beta beta"), (1, ""), (2, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["clf_score"], r["clf_keep"])
+           for r in linear_text_classifier(df, dim=64, bias=7).collect()}
+    exp0 = 7 + w(bucket("alpha", 64)) + 2 * w(bucket("beta", 64))
+    assert out[0] == (exp0, exp0 > 0)
+    assert out[1] == (7, True) and out[2] == (7, True)
+    # trained weights: bucket -> its own index as weight
+    weights = list(range(64))
+    out2 = {r["doc_id"]: r["clf_score"] for r in linear_text_classifier(
+        df, dim=64, weights=weights).collect()}
+    assert out2[0] == bucket("alpha", 64) + 2 * bucket("beta", 64)
+    with pytest.raises(ValueError):
+        linear_text_classifier(df, dim=64, weights=[1, 2, 3])
+
+
+def test_linear_text_classifier_is_narrow_map(spark, docs):
+    """The classifier must add NO shuffle — it scores at scan speed."""
+    from fstd2pandas_spark.operators.llm.classifier import (
+        linear_text_classifier)
+
+    plan = (linear_text_classifier(docs.select("doc_id", "text"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_temperature_mix_sample(spark):
+    """alpha=0.5 thresholds: smallest source keeps 100%, a 4x source
+    keeps sqrt(1/4) = 50% in expectation; membership is the documented
+    md5 bucket rule."""
+    import hashlib
+
+    from fstd2pandas_spark.operators.llm.sampling import (
+        temperature_mix_sample)
+
+    rows = ([(i, "big") for i in range(400)]
+            + [(1000 + i, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mix_sample(df, alpha=0.5).collect()
+    thr = {r["source"]: r["temp_thr"] for r in out}
+    assert thr == {"small": 10000, "big": 5000}
+    for r in out:
+        b = int(hashlib.md5(f"temp1_{r['doc_id']}".encode())
+                .hexdigest()[:8], 16) % 10000
+        assert r["temp_sampled"] == (b < thr[r["source"]])
+    with pytest.raises(ValueError):
+        temperature_mix_sample(df, alpha=0.0)
