@@ -2012,9 +2012,24 @@ def _warc_sigs(spark: SparkSession, docs: DataFrame) -> DataFrame:
                 f"Content-Type: application/http\r\n"
                 f"Content-Length: {len(http)}\r\n\r\n").encode()
         members.append(gzip.compress(head + http + b"\r\n\r\n"))
-    tmp = tempfile.mkdtemp(prefix="warc_gate_")
-    with open(os.path.join(tmp, "shard-00000.warc.gz"), "wb") as f:
-        f.write(b"".join(members))
+    shard_bytes = b"".join(members)
+    # content-addressed cache dir: repeated query builds (bench min-of-3,
+    # check_oracle, plan dumps) reuse ONE shard instead of leaking a
+    # tempdir per call; the md5 key makes a testdata change a new path.
+    # Local-filesystem path by design: this gate runs on local[...] —
+    # on a real cluster the shard would go to a DFS path executors share
+    # (binaryFile reads driver-local paths only in local mode).
+    import hashlib
+
+    digest = hashlib.md5(shard_bytes).hexdigest()[:16]
+    tmp = os.path.join(tempfile.gettempdir(), f"fstd2pandas_warc_{digest}")
+    shard = os.path.join(tmp, "shard-00000.warc.gz")
+    if not os.path.exists(shard):
+        os.makedirs(tmp, exist_ok=True)
+        part = shard + f".{os.getpid()}.part"
+        with open(part, "wb") as f:
+            f.write(shard_bytes)
+        os.replace(part, shard)  # atomic: concurrent builders race safely
     warc = read_warc(spark, tmp)
     return warc.select(
         F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
@@ -2819,7 +2834,20 @@ def _quality_sql() -> str:
           CROSS JOIN ltot),
   lagg AS (SELECT doc_id, CAST(sum(q6) AS BIGINT) AS lm_q6,
                   count(*) AS lm_bigrams
-           FROM lsc GROUP BY doc_id)
+           FROM lsc GROUP BY doc_id),
+  -- hashed linear classifier: bucket = md5-hash(token) % 1024, weight
+  -- = md5-hash('w' || bucket) % 2001 - 1000; list_sum is HUGEINT so
+  -- CAST back to BIGINT; ONE definition — clf_keep derives from it
+  clf AS (
+    SELECT doc_id,
+           coalesce(CAST(list_sum(list_transform(
+               list_filter(string_split(lower(text), ' '), t -> t <> ''),
+               t -> (CAST(concat('0x', substr(md5(concat('w',
+                        CAST(CAST(concat('0x', substr(md5(t), 1, 8))
+                             AS BIGINT) % 1024 AS VARCHAR))), 1, 8))
+                     AS BIGINT) % 2001) - 1000)) AS BIGINT), 0)
+             AS clf_score
+    FROM documents)
   SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stop_ratio,
          -- CASE instead of least(): DuckDB's least() on DECIMALs returns
          -- DOUBLE, which would reintroduce float tie-noise
@@ -2861,22 +2889,8 @@ def _quality_sql() -> str:
               WHEN lagg.lm_q6 >= -1200000 * lagg.lm_bigrams THEN 'head'
               WHEN lagg.lm_q6 >= -2000000 * lagg.lm_bigrams THEN 'middle'
               ELSE 'tail' END AS lm_bucket,
-         -- hashed linear classifier: bucket = md5-hash(token) % 1024,
-         -- weight = md5-hash('w' || bucket) % 2001 - 1000; CAST the
-         -- list_sum (HUGEINT) back to BIGINT
-         coalesce(CAST(list_sum(list_transform(
-             list_filter(string_split(lower(d.text), ' '), t -> t <> ''),
-             t -> (CAST(concat('0x', substr(md5(concat('w',
-                      CAST(CAST(concat('0x', substr(md5(t), 1, 8))
-                           AS BIGINT) % 1024 AS VARCHAR))), 1, 8))
-                   AS BIGINT) % 2001) - 1000)) AS BIGINT), 0) AS clf_score,
-         coalesce(CAST(list_sum(list_transform(
-             list_filter(string_split(lower(d.text), ' '), t -> t <> ''),
-             t -> (CAST(concat('0x', substr(md5(concat('w',
-                      CAST(CAST(concat('0x', substr(md5(t), 1, 8))
-                           AS BIGINT) % 1024 AS VARCHAR))), 1, 8))
-                   AS BIGINT) % 2001) - 1000)) AS BIGINT), 0) > 0
-           AS clf_keep
+         clf.clf_score,
+         clf.clf_score > 0 AS clf_keep
   FROM q
   JOIN (SELECT doc_id, text FROM documents) d USING (doc_id)
   JOIN sp USING (doc_id)
@@ -2884,6 +2898,7 @@ def _quality_sql() -> str:
   LEFT JOIN dspn USING (doc_id)
   LEFT JOIN dcln USING (doc_id)
   LEFT JOIN lagg USING (doc_id)
+  JOIN clf USING (doc_id)
   ORDER BY doc_id
 """
 
@@ -3288,7 +3303,12 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kind='dpair': the OUTPUT pairs of signature_hamming_pairs over
     # the same 16-bit dHashes (pigeonhole blocks + minimal-block dedup)
     # gated against a brute-force SQL pair join on the recomputed
-    # hashes — radius 2 over 16 bits
+    # hashes — radius 2 over 16 bits. Verification-width caveat: 16-bit
+    # signatures give ~5-bit pigeonhole blocks, a keyspace that
+    # degenerates toward all-pairs on a large corpus (the operator's
+    # own docstring warns about this); the gate runs at the dHash's
+    # natural width for oracle verifiability, production perceptual
+    # dedup uses the operator's 64-bit default where the bound is real
     dpair = signature_hamming_pairs(
         dhf, "dhash", id_col="asset_id", bits=16, max_hamming=2).select(
         F.col("doc_a").alias("asset_id"),
@@ -3533,13 +3553,17 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_to_memory(
         streaming_funnel(fstream, ["view", "click", "purchase"]),
         fname, output_mode="update")
-    # last update per user is the final state (robust to multi-batch
-    # splits of the drop zone, though the single-file drain has one)
-    final = spark.sql(f"""
-        SELECT user, depth, first_step_us, last_step_us FROM (
-          SELECT *, row_number() OVER (PARTITION BY user ORDER BY rn DESC) r
-          FROM (SELECT *, monotonically_increasing_id() AS rn
-                FROM {fname})) WHERE r = 1""")
+    # final state per user: depth is monotone across updates and every
+    # update row AT max depth carries identical times, so max over the
+    # (depth, last, first) struct is exact with NO row-ordering
+    # assumption (a monotonically_increasing_id/row_number derivation
+    # would lean on the memory sink preserving batch commit order — an
+    # undocumented behavior)
+    final = (
+        spark.table(fname).groupBy("user")
+        .agg(F.max(F.struct("depth", "last_step_us", "first_step_us"))
+             .alias("m"))
+        .select("user", "m.depth", "m.first_step_us", "m.last_step_us"))
     funnel = final.filter(F.col("depth") >= 1).select(
         F.lit("sfunnel").alias("kind"),
         F.floor(F.col("first_step_us") / F.lit(1_000_000))

@@ -122,22 +122,31 @@ def user_activity_report(df: DataFrame, steps: "list[str]",
     return (
         grouped.withColumn("step_ts_us", folded).drop("_ev")
         .withColumn("depth", F.size("step_ts_us"))
+        # the period rides WITH the report so cohorts_from_report can
+        # never be applied with a mismatched period length
+        .withColumn("_period_days",
+                    F.lit(_PERIOD_DAYS[period]).cast("int"))
     )
 
 
-def cohorts_from_report(report: DataFrame,
-                        period: str = "week") -> DataFrame:
+def cohorts_from_report(report: DataFrame) -> DataFrame:
     """The rollup half of :func:`retention_cohorts`, over an existing
-    per-user (cohort, periods) frame — :func:`user_activity_report`
-    consumers reuse the one user shuffle instead of re-aggregating the
-    events. Returns (cohort, period_offset, n_users)."""
-    if period not in _PERIOD_DAYS:
-        raise ValueError(f"unsupported period {period!r}")
+    per-user (cohort, periods, _period_days) frame —
+    :func:`user_activity_report` consumers reuse the one user shuffle
+    instead of re-aggregating the events. The period length comes from
+    the report's own ``_period_days`` column (stamped by the producer),
+    so a caller cannot silently divide week-truncated periods by a
+    day-sized offset. Returns (cohort, period_offset, n_users)."""
+    if "_period_days" not in report.columns:
+        raise ValueError(
+            "cohorts_from_report: report lacks _period_days — build it "
+            "with user_activity_report/retention_cohorts")
     return (
-        report.select("cohort", F.explode("periods").alias("p"))
+        report.select("cohort", "_period_days",
+                      F.explode("periods").alias("p"))
         .groupBy("cohort",
                  (F.floor(F.datediff(F.col("p"), F.col("cohort"))
-                          / _PERIOD_DAYS[period])).cast("long")
+                          / F.col("_period_days"))).cast("long")
                  .alias("period_offset"))
         .agg(F.count("*").alias("n_users"))
     )
@@ -204,5 +213,7 @@ def retention_cohorts(df: DataFrame, ts_col: str = "ts",
         df.select(F.col(user_col).alias("user"), p.alias("p"))
         .groupBy("user")
         .agg(F.min("p").alias("cohort"), F.collect_set("p").alias("periods"))
+        .withColumn("_period_days",
+                    F.lit(_PERIOD_DAYS[period]).cast("int"))
     )
-    return cohorts_from_report(per_user, period)
+    return cohorts_from_report(per_user)

@@ -480,6 +480,25 @@ def _signature_blocks_grouped(sh: DataFrame, sig_col: str, id_col: str,
     return grouped, sizes
 
 
+def _minimal_block_pred(sizes: "list[int]", block_col: str,
+                        a_sig: str, b_sig: str) -> Column:
+    """True iff `block_col` is the FIRST pigeonhole block on which the
+    two signatures agree — the pure-bit-arithmetic cross-block pair
+    dedup shared by :func:`_pairs_from_grouped` and
+    :func:`simhash_report_rows` (one definition, two consumers: a mask
+    or offset change cannot desynchronize them)."""
+    offsets = [sum(sizes[:i]) for i in range(len(sizes))]
+    pred = F.lit(True)
+    for j in range(len(sizes) - 1):
+        mask = (1 << sizes[j]) - 1
+        pred = pred & (
+            (F.col(block_col) <= F.lit(j))
+            | (F.shiftright(F.col(a_sig), offsets[j]).bitwiseAND(F.lit(mask))
+               != F.shiftright(F.col(b_sig), offsets[j])
+               .bitwiseAND(F.lit(mask))))
+    return pred
+
+
 def _pairs_from_grouped(grouped: DataFrame, max_hamming: int,
                         sizes: "list[int]") -> DataFrame:
     """Stream i<j pairs out of the per-(block, value) member arrays.
@@ -494,22 +513,13 @@ def _pairs_from_grouped(grouped: DataFrame, max_hamming: int,
     post-fold shuffle at all).  `sizes` are the per-block bit widths
     from :func:`_signature_blocks_grouped`.
     """
-    offsets = [sum(sizes[:i]) for i in range(len(sizes))]
-
-    def blk(col: str, j: int):
-        return (F.shiftright(F.col(col), offsets[j])
-                .bitwiseAND(F.lit((1 << sizes[j]) - 1)))
-
     outer = (grouped.filter(F.size("ms") > 1)
              .select("block", "ms", F.posexplode("ms").alias("_i", "a")))
     pairs = outer.select(
         "block", "a",
         F.explode(
             F.expr("slice(ms, _i + 2, size(ms) - _i - 1)")).alias("b"))
-    minimal_block = F.lit(True)
-    for j in range(len(sizes) - 1):
-        minimal_block = minimal_block & (
-            (F.col("block") <= F.lit(j)) | (blk("a.s", j) != blk("b.s", j)))
+    minimal_block = _minimal_block_pred(sizes, "block", "a.s", "b.s")
     return (
         pairs.filter(minimal_block)
         .select(
@@ -583,7 +593,6 @@ def simhash_report_rows(df: DataFrame, text_col: str = "text",
     """
     grouped, sizes = _simhash_blocks_grouped(
         df, text_col, id_col, bits, max_hamming)
-    offsets = [sum(sizes[:i]) for i in range(len(sizes))]
     # heads for block-0 groups + pair seeds (member index 0..m-2) for
     # multi-member groups; groups that are neither vanish in the explode
     # empty arrays are spelled as filters/slices of same-typed arrays so
@@ -605,13 +614,7 @@ def simhash_report_rows(df: DataFrame, text_col: str = "text",
         # head rows never read `a`; the guarded index keeps element_at
         # in-bounds (ms is non-empty by construction)
         F.expr("element_at(ms, IF(e.k = 1, e.i + 1, 1))").alias("a"))
-    minimal_block = F.lit(True)
-    for j in range(len(sizes) - 1):
-        mask = (1 << sizes[j]) - 1
-        minimal_block = minimal_block & (
-            (F.col("block") <= F.lit(j))
-            | (F.shiftright(F.col("a.s"), offsets[j]).bitwiseAND(F.lit(mask))
-               != F.shiftright(F.col("b.s"), offsets[j]).bitwiseAND(F.lit(mask))))
+    minimal_block = _minimal_block_pred(sizes, "block", "a.s", "b.s")
     hamming = F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s")))
     return (
         ex2.filter(
