@@ -1518,3 +1518,51 @@ def test_temperature_mix_sample(spark):
         assert r["temp_sampled"] == (b < thr[r["source"]])
     with pytest.raises(ValueError):
         temperature_mix_sample(df, alpha=0.0)
+
+
+def test_minimal_block_dedup_is_exactly_once_property():
+    """Pure-Python property pin of the minimal-agreeing-block predicate
+    that replaced the pairs .distinct(): for random signature sets,
+    every Hamming<=r pair is emitted from EXACTLY one (block, value)
+    collision group — the first block where the signatures agree — and
+    pairs beyond the radius from none that survive the hamming filter.
+    Mirrors _signature_blocks_grouped's floor+remainder block sizing."""
+    import random
+
+    from hypothesis import given, settings, strategies as st
+
+    bits, max_h = 48, 2
+    n_blocks = max_h + 1
+    base, rem = divmod(bits, n_blocks)
+    sizes = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    offsets = [sum(sizes[:i]) for i in range(n_blocks)]
+
+    def blk(s, j):
+        return (s >> offsets[j]) & ((1 << sizes[j]) - 1)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(0, (1 << bits) - 1), min_size=2,
+                    max_size=12, unique=True))
+    def run(sigs):
+        emitted = {}
+        for j in range(n_blocks):
+            groups = {}
+            for i, s in enumerate(sigs):
+                groups.setdefault(blk(s, j), []).append((i, s))
+            for members in groups.values():
+                for x in range(len(members)):
+                    for y in range(x + 1, len(members)):
+                        (ia, sa), (ib, sb) = members[x], members[y]
+                        ham = bin(sa ^ sb).count("1")
+                        # the predicate: all earlier blocks differ
+                        minimal = all(blk(sa, k) != blk(sb, k)
+                                      for k in range(j))
+                        if minimal and ham <= max_h:
+                            emitted[(ia, ib)] = emitted.get((ia, ib), 0) + 1
+        want = {(a, b) for a in range(len(sigs))
+                for b in range(a + 1, len(sigs))
+                if bin(sigs[a] ^ sigs[b]).count("1") <= max_h}
+        assert set(emitted) == want
+        assert all(v == 1 for v in emitted.values())
+
+    run()
