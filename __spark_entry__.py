@@ -3336,6 +3336,29 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("f15"),
         spq.cast("long").alias("fsum"),
     )
+    # kind='rsz': resize_images end-to-end — decode the 4x4 PPM,
+    # nearest-resample to 2x2 (index map (k*4)//2 selects source pixels
+    # (0,0),(0,2),(2,0),(2,2) = flat 0/2/8/10), re-encode as PPM, and
+    # run the feature extractor on the RESIZED payload; the oracle
+    # predicts channel sums and the luma histogram from exactly those
+    # four md5 bytes per channel. n_bytes pins the re-encoded payload
+    # length ('P6\n' + '2 2\n' + '255\n' = 11 header bytes, + 12
+    # pixel bytes = 23).
+    from fstd2pandas_spark.operators.llm import resize_images
+
+    rf = extract_features(resize_images(ppm_assets, 2, 2))
+    rz_ch = sum(
+        F.round(F.element_at("feature", c) * 1020).cast("long")
+        for c in (1, 2, 3))
+    rz_wbins = sum(
+        F.round(F.element_at("feature", 7 + b) * 4).cast("long")
+        * F.lit(b + 1) for b in range(10))
+    rsz = rf.select(
+        "asset_id", F.lit("rsz").alias("kind"), "n_bytes",
+        F.round(F.element_at("feature", 1) * 1020).cast("long").alias("f0"),
+        F.round(F.element_at("feature", 16) * 4).cast("long").alias("f15"),
+        (rz_ch + rz_wbins).cast("long").alias("fsum"),
+    )
     wf = extract_features(wav_assets)
     # feature layout: [dur, rms, peak, zcr, energy hist(12)]
     wwbins = sum(
@@ -3349,7 +3372,7 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
          + wwbins).cast("long").alias("fsum"),
     )
     return (base.unionByName(ppm).unionByName(wav).unionByName(dh)
-            .unionByName(dpair).unionByName(spec)
+            .unionByName(dpair).unionByName(spec).unionByName(rsz)
             .orderBy("asset_id", "kind", "f0"))
 
 
@@ -3455,7 +3478,13 @@ def _mm_sql() -> str:
           FROM wzp GROUP BY asset_id),
   dha AS (SELECT asset_id, CAST({dh_expr} AS BIGINT) AS dh
           FROM (SELECT asset_id, array_agg(luma ORDER BY i) AS la
-                FROM plu GROUP BY asset_id))
+                FROM plu GROUP BY asset_id)),
+  rag AS (SELECT asset_id,
+                 CAST(sum(r) AS BIGINT) AS rs,
+                 CAST(sum(r) + sum(g) + sum(b) AS BIGINT) AS rgb,
+                 CAST(sum({bin9}) AS BIGINT) AS bin9,
+                 CAST(sum(1 + {widx}) AS BIGINT) AS wb
+          FROM plu WHERE i IN (0, 2, 8, 10) GROUP BY asset_id)
   SELECT asset_id, kind, n_bytes,
          bytes[1] AS f0, bytes[16] AS f15,
          CAST(list_sum(bytes) AS BIGINT) AS fsum
@@ -3484,6 +3513,10 @@ def _mm_sql() -> str:
               AS BIGINT) AS fsum
   FROM dha a JOIN dha b
     ON a.asset_id < b.asset_id AND bit_count(xor(a.dh, b.dh)) <= 2
+  UNION ALL
+  SELECT asset_id, 'rsz' AS kind, 23 AS n_bytes,
+         rs AS f0, bin9 AS f15, rgb + wb AS fsum
+  FROM rag
   UNION ALL
   SELECT asset_id, 'spec' AS kind, 92 AS n_bytes,
          CAST(list_indexof(pw, list_max(pw)) AS BIGINT) AS f0,
