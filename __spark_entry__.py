@@ -3359,6 +3359,53 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 16) * 4).cast("long").alias("f15"),
         (rz_ch + rz_wbins).cast("long").alias("fsum"),
     )
+    # kind='vid': sample_video_frames end-to-end — each doc becomes a
+    # REAL RIFF/AVI container (avih dwMicroSecPerFrame = 400000 us ->
+    # 400 ms/frame; n = 2 + doc_id % 3 '00dc' frame chunks, each a 1x1
+    # PPM whose pixel is 3 md5-derived bytes), the production parser
+    # walks the chunks, duration = n * 400 ms drives the 1000-ms
+    # sampling grid, and each emitted frame row is pinned: f0 =
+    # frame_ts, f15/fsum = the sampled frame's pixel bytes (frame index
+    # min(floor(ts/400), n-1) — the oracle predicts which md5 the
+    # sampler must have picked), n_bytes = the 14-byte frame payload
+    from fstd2pandas_spark.operators.llm import sample_video_frames
+
+    avi_prefix = ("52494646" "00000000" "41564920"   # RIFF ???? 'AVI '
+                  "61766968" "04000000" "801a0600")  # avih, 4, 400000us
+    frame_hdr = "30306463" "0e000000"                # '00dc', size 14
+    ppm1 = "50360a31 20310a32 35350a".replace(" ", "")  # 'P6\n1 1\n255\n'
+    n_col = (F.lit(2) + (F.col("doc_id") % 3)).cast("int")
+
+    def _avi_chunk(k: int):
+        return F.when(n_col > k, F.concat(
+            F.unhex(F.lit(frame_hdr + ppm1)),
+            F.unhex(F.substring(
+                F.md5(F.concat(F.col("text"), F.lit(f"v{k}"))), 1, 6)),
+        )).otherwise(F.lit(b""))
+
+    vid_assets = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.concat(F.unhex(F.lit(avi_prefix)),
+                 *[_avi_chunk(k) for k in range(4)]).alias("payload"),
+    )
+    sv = sample_video_frames(vid_assets, every_ms=1000)
+    hexp = F.hex("frame_payload")
+
+    def _hb(pos: int):
+        return F.conv(F.substring(hexp, pos, 2), 16, 10).cast("long")
+
+    vid = sv.select(
+        "asset_id", F.lit("vid").alias("kind"),
+        F.length("frame_payload").cast("long").alias("n_bytes"),
+        F.col("frame_ts").cast("long").alias("f0"),
+        _hb(23).alias("f15"),
+        (_hb(23) + _hb(25) + _hb(27)).cast("long").alias("fsum"),
+    )
     wf = extract_features(wav_assets)
     # feature layout: [dur, rms, peak, zcr, energy hist(12)]
     wwbins = sum(
@@ -3373,7 +3420,7 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (base.unionByName(ppm).unionByName(wav).unionByName(dh)
             .unionByName(dpair).unionByName(spec).unionByName(rsz)
-            .orderBy("asset_id", "kind", "f0"))
+            .unionByName(vid).orderBy("asset_id", "kind", "f0"))
 
 
 def _mm_sql() -> str:
@@ -3513,6 +3560,24 @@ def _mm_sql() -> str:
               AS BIGINT) AS fsum
   FROM dha a JOIN dha b
     ON a.asset_id < b.asset_id AND bit_count(xor(a.dh, b.dh)) <= 2
+  UNION ALL
+  SELECT asset_id, 'vid' AS kind, 14 AS n_bytes,
+         CAST(ts AS BIGINT) AS f0, b1 AS f15,
+         CAST(b1 + b2 + b3 AS BIGINT) AS fsum
+  FROM (
+    SELECT asset_id, ts,
+           CAST(concat('0x', substr(fh, 1, 2)) AS BIGINT) AS b1,
+           CAST(concat('0x', substr(fh, 3, 2)) AS BIGINT) AS b2,
+           CAST(concat('0x', substr(fh, 5, 2)) AS BIGINT) AS b3
+    FROM (
+      SELECT vn.asset_id, t.ts,
+             md5(vn.text || 'v' || CAST(least(CAST(floor(t.ts / 400.0)
+                  AS INT), vn.n - 1) AS VARCHAR)) AS fh
+      FROM (SELECT doc_id AS asset_id, text,
+                   2 + CAST(doc_id % 3 AS INT) AS n
+            FROM documents WHERE text IS NOT NULL) vn,
+           UNNEST([0, 1000]) t(ts)
+      WHERE t.ts < vn.n * 400))
   UNION ALL
   SELECT asset_id, 'rsz' AS kind, 23 AS n_bytes,
          rs AS f0, bin9 AS f15, rgb + wb AS fsum
