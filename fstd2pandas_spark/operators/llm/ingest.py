@@ -37,19 +37,42 @@ WARC_DOC_SCHEMA = T.StructType([
 ])
 
 
-def _inflate_members(payload: bytes) -> bytes:
+#: hard ceiling on a shard's total inflated size. Crawl shards are
+#: ~1 GiB compressed with bounded ratios; a hostile member (gzip bomb:
+#: kilobytes inflating to tens of GiB) must truncate, not OOM the task —
+#: the decoders' truncation-over-crash contract (cf. the PNG deflate
+#: envelope cap and sample_video_frames' frame cap).
+MAX_INFLATED_BYTES = 4 << 30
+
+
+def _inflate_members(payload: bytes,
+                     max_bytes: int = MAX_INFLATED_BYTES) -> bytes:
     """Concatenate all gzip members (WARC shards are one member per
-    record); plain payloads pass through."""
+    record); plain payloads pass through. Total inflated output is
+    capped at ``max_bytes`` — decompression stops at the cap (records
+    already inflated still parse), it does not raise."""
     if payload[:2] != b"\x1f\x8b":
         return payload
     out = []
+    total = 0
     view = memoryview(payload)  # slicing bytes would copy the whole
     pos = 0                     # remaining shard PER MEMBER (quadratic)
     while pos < len(view):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            out.append(d.decompress(view[pos:]))
+            # max_length bounds THIS call's output: a bomb member can
+            # only ever materialize the remaining budget, never its
+            # claimed size
+            chunk = d.decompress(view[pos:], max_bytes - total + 1)
         except zlib.error:
+            break
+        if total + len(chunk) > max_bytes:
+            out.append(chunk[:max_bytes - total])
+            break
+        out.append(chunk)
+        total += len(chunk)
+        if d.unconsumed_tail:
+            # member not fully inflated within budget — stop here
             break
         consumed = len(view) - pos - len(d.unused_data)
         if consumed <= 0:

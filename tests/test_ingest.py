@@ -123,3 +123,55 @@ def test_read_warc_stream_matches_batch(spark, tmp_path):
     want = {(r.shard, r.record_id, r.warc_type, r.url, r.text)
             for r in read_warc(spark, str(zone)).collect()}
     assert got == want and len(want) == 4
+
+
+def test_inflate_members_gzip_bomb_capped():
+    """A hostile gzip member claiming gigabytes must truncate at the
+    cap instead of materializing the bomb (truncation-over-OOM, the
+    shared decoder contract); well-formed records before the bomb
+    still parse."""
+    import gzip
+
+    from fstd2pandas_spark.operators.llm.ingest import _inflate_members
+
+    good = gzip.compress(b"WARC/1.0\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+    bomb = gzip.compress(b"\x00" * (1 << 22))  # 4 MiB of zeros, ~4 KiB gz
+    payload = good + bomb
+    out = _inflate_members(payload, max_bytes=1 << 16)  # 64 KiB budget
+    assert len(out) <= (1 << 16)
+    assert out.startswith(b"WARC/1.0")
+    # un-capped result for comparison: the full 4 MiB member
+    full = _inflate_members(payload)
+    assert len(full) > (1 << 22)
+
+
+def test_warc_runner_never_raises_on_fuzz():
+    """Random and mutated shard bytes must never raise out of the
+    per-shard parser (a corrupt crawl shard cannot kill its task)."""
+    import gzip
+    import random
+
+    import pandas as pd
+
+    from fstd2pandas_spark.operators.llm.ingest import _warc_runner
+
+    rng = random.Random(0xC0FFEE)
+    run = _warc_runner({"response", "conversion"})
+    valid = gzip.compress(
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 5\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\nhi"[:5] + b"\r\n\r\n")
+    cases = [b"", b"\x1f\x8b", b"\x1f\x8b" + bytes(rng.randrange(256) for _ in range(64)),
+             b"WARC/1.0\r\nContent-Length: banana\r\n\r\n",
+             b"WARC/1.0\r\n no colon here \r\n\r\n"]
+    for _ in range(40):
+        b = bytearray(valid)
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        cases.append(bytes(b))
+    for _ in range(40):
+        cases.append(bytes(rng.randrange(256)
+                           for _ in range(rng.randrange(0, 200))))
+    for payload in cases:
+        pdf = pd.DataFrame({"path": ["shard"], "content": [payload]})
+        for out in run(iter([pdf])):   # must not raise
+            assert list(out.columns)[0] == "shard"
