@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from fstd2pandas_spark.operators.llm._limits import MAX_DECODE_BYTES
+
 #: 4-pass interlace row schedule (GIF spec appendix E)
 _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
@@ -124,6 +126,10 @@ def _parse(payload: bytes):
         pos += 3 * n
     if w <= 0 or h <= 0:
         return None
+    # forged-dims guard BEFORE allocation: the 16-bit logical-screen
+    # fields allow a 20-byte header to claim a ~13 GiB canvas
+    if h * w * 3 > MAX_DECODE_BYTES:
+        return None
 
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
     if gct is not None and bg < len(gct):
@@ -204,6 +210,11 @@ def _parse(payload: bytes):
                                   canvas[top:top + fh, left:left + fw],
                                   region)
             canvas[top:top + fh, left:left + fw] = region
+            # cumulative-frames cap: a long animation of a large canvas
+            # multiplies the budget per frame — truncate the frame list
+            # (already-decoded frames stay valid), never OOM
+            if (len(frames) + 1) * canvas.nbytes > MAX_DECODE_BYTES:
+                break
             frames.append(canvas.copy())
             delays.append(delay)
             if disposal == 2:  # restore to background

@@ -44,6 +44,8 @@ import struct
 
 import numpy as np
 
+from fstd2pandas_spark.operators.llm._limits import MAX_DECODE_BYTES
+
 #: T.81 Figure A.6 zig-zag ordering of the 64 DCT coefficients
 ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -164,6 +166,12 @@ class _Frame:
         self.mcus_y = -(-h // (8 * self.vmax))
         self.coefs = []
         self.own = []  # (own_bh, own_bw) per component
+        # forged-SOF guard BEFORE allocation: 16-bit dims allow a
+        # header to demand ~17 GiB of coefficient planes per component
+        total = sum((self.mcus_y * vi) * (self.mcus_x * hi) * 64 * 4
+                    for _, hi, vi, _ in comps)
+        if total > MAX_DECODE_BYTES:
+            raise _UnsupportedJpeg("SOF dimensions exceed decode budget")
         for _, hi, vi, _ in comps:
             self.coefs.append(np.zeros(
                 (self.mcus_y * vi, self.mcus_x * hi, 64), dtype=np.int32))

@@ -55,11 +55,11 @@ MEDIA_SCHEMA = T.StructType([
 
 FEATURE_DIM = 16
 
-#: hard envelope for a PNG's filtered pixel stream (256 MiB ≈ a
-#: 9000x9000 RGBA image) — crawl-feature decoding has no business
-#: materializing more, and the cap is what makes forged-dimension /
-#: deflate-bomb payloads cheap to reject
-MAX_PNG_FILTERED_BYTES = 1 << 28
+from fstd2pandas_spark.operators.llm._limits import MAX_DECODE_BYTES
+
+#: hard envelope for a PNG's filtered pixel stream — the shared decode
+#: budget (see _limits.py); name kept for the existing PNG guard/tests
+MAX_PNG_FILTERED_BYTES = MAX_DECODE_BYTES
 
 _FEATURE_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType(), False),

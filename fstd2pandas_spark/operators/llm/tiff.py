@@ -16,6 +16,8 @@ import struct
 
 import numpy as np
 
+from fstd2pandas_spark.operators.llm._limits import MAX_DECODE_BYTES
+
 
 class _BadTiff(Exception):
     pass
@@ -154,6 +156,12 @@ def _decode(payload: bytes) -> "np.ndarray | None":
     if not offsets or not counts or len(offsets) != len(counts):
         raise _BadTiff("missing strips")
     rows_per_strip = one(278, h)
+    # forged-IFD guard BEFORE any strip materializes: 32-bit dims tags
+    # allow a small file to demand terabytes, and an LZW-bomb strip can
+    # legitimately inflate far beyond its compressed bytes toward the
+    # claimed strip size
+    if h * w * spp > MAX_DECODE_BYTES:
+        raise _BadTiff("dimensions exceed decode budget")
 
     row_bytes = w * spp
     parts = []

@@ -120,3 +120,60 @@ def test_png_forged_dims_rejected_without_allocation():
                    + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
                    + chunk(b"IEND", b""))
         assert decode_image(payload) is None
+
+
+def test_forged_dims_rejected_cheaply_all_decoders():
+    """A tiny payload whose header claims a multi-GiB output must be
+    rejected/truncated BEFORE allocation in every dimensioned decoder
+    (GIF logical screen, JPEG SOF, TIFF IFD) — the shared
+    MAX_DECODE_BYTES budget. None-over-OOM, the media-kernel contract."""
+    import struct
+
+    from fstd2pandas_spark.operators.llm.gif import decode_gif, parse_gif
+    from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+
+    # GIF: 65535 x 65535 logical screen (~12.9 GiB canvas)
+    gif = b"GIF89a" + struct.pack("<HH", 65535, 65535) + b"\x00\x00\x00"
+    assert decode_gif(gif + b";") is None
+    assert parse_gif(gif + b";") is None
+
+    # JPEG: SOF0 claiming 65535 x 65535, 3 components
+    jpg = (b"\xff\xd8\xff" + b"\xc0" + struct.pack(">H", 17) + b"\x08"
+           + struct.pack(">HH", 65535, 65535) + b"\x03"
+           + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+           + b"\xff\xd9")
+    assert decode_image(jpg) is None
+
+    # TIFF: II header, IFD claiming 1e6 x 1e6 RGB
+    def entry(tag, typ, val):
+        return struct.pack("<HHI", tag, typ, 1) + struct.pack("<I", val)
+    ifd = b"".join([
+        entry(256, 4, 1_000_000), entry(257, 4, 1_000_000),
+        entry(259, 3, 1), entry(262, 3, 2), entry(277, 3, 3),
+        entry(273, 4, 8), entry(279, 4, 4),
+    ])
+    tif = (b"II*\x00" + struct.pack("<I", 16) + b"\x00" * 8
+           + struct.pack("<H", 7) + ifd + struct.pack("<I", 0))
+    assert decode_tiff(tif) is None
+
+
+def test_gif_animation_cumulative_frames_capped(monkeypatch):
+    """A long animation of a large canvas truncates the frame list at
+    the cumulative budget instead of materializing every frame."""
+    import fstd2pandas_spark.operators.llm.gif as gifmod
+    from fstd2pandas_spark.operators.llm.gif import parse_gif
+
+    from _gif_ref import encode_gif
+
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0],
+                        [0, 0, 255]], dtype=np.uint8)
+    frames = [np.full((8, 8), seed % 4, dtype=np.uint8)
+              for seed in range(6)]
+    payload = encode_gif(frames, palette)
+    full = parse_gif(payload)
+    assert full is not None and len(full[1]) == 6
+    # budget that only fits two 8x8 frames (192 bytes each)
+    monkeypatch.setattr(gifmod, "MAX_DECODE_BYTES", 2 * 8 * 8 * 3)
+    capped = parse_gif(payload)
+    assert capped is not None and len(capped[1]) == 2
+    np.testing.assert_array_equal(capped[1][0], full[1][0])
