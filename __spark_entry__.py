@@ -2904,13 +2904,38 @@ def _quality_sql() -> str:
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The gated default is the LSH-bucketed scale path (n_planes=4):
-    per-bucket equi-join over ONE repartitioned subtree, no all-pairs."""
+    """kind='lsh': the LSH-bucketed near-dup scale path (n_planes=4,
+    per-bucket equi-join over ONE repartitioned subtree, no all-pairs).
+
+    kind='sem' (round 8): SemDeDup (similarity.py semantic_dedup,
+    Abbas et al. 2023) gated end-to-end — the embeddings table is
+    augmented with EXACT clones (ids +1e6 for vec_id < 20, +2e6 for
+    vec_id < 10, forming 10 three-member and 10 two-member duplicate
+    groups; exact copies make the cosine ~1.0 against a measured 0.60
+    max random pairwise cosine, so the threshold decision has no float
+    boundary), k-means cells are Lloyd-refined on the cloned base, and
+    every id's (cell, keep/dup_of) verdict is pinned: vec_b =
+    dup_of (-1 when kept), cos = the assigned cell. The oracle
+    re-trains the same cells in SQL (the emb_ann_ivf centroid CTEs) and
+    derives components from the clone cliques."""
     from fstd2pandas_spark.operators.llm import embedding_neardup
+    from fstd2pandas_spark.operators.llm.similarity import semantic_dedup
 
     emb = _load(spark, sf_dir, "embeddings")
-    return embedding_neardup(emb, threshold=0.4, n_planes=4).orderBy(
-        "vec_a", "vec_b")
+    lsh = embedding_neardup(emb, threshold=0.4, n_planes=4).select(
+        F.lit("lsh").alias("kind"), "vec_a", "vec_b", "cos")
+    ev = emb.select("vec_id", "embedding")
+    base = (ev
+            .unionByName(ev.filter(F.col("vec_id") < 20).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"))
+            .unionByName(ev.filter(F.col("vec_id") < 10).select(
+                (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")))
+    sem = semantic_dedup(base, threshold=0.999, n_cells=8, dim=64).select(
+        F.lit("sem").alias("kind"),
+        F.col("id").cast("long").alias("vec_a"),
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("vec_b"),
+        F.col("cell").cast("double").alias("cos"))
+    return lsh.unionByName(sem).orderBy("kind", "vec_a", "vec_b")
 
 
 def _neardup_bucketed_sql(n_planes: int = 4, dim: int = 64,
@@ -2928,13 +2953,67 @@ def _neardup_bucketed_sql(n_planes: int = 4, dim: int = 64,
   WITH e AS (SELECT vec_id,
                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
-  bucketed AS (SELECT vec_id, v, {planes} AS bucket FROM e)
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  bucketed AS (SELECT vec_id, v, {planes} AS bucket FROM e),
+  -- SemDeDup mirror: the cloned base, Lloyd-refined cells (the
+  -- emb_ann_ivf centroid CTEs over eb), within-cell >= 0.999 pairs,
+  -- components from the clone cliques (each duplicate group is a
+  -- clique, so one min-neighbor round is the converged labeling)
+  eb AS (SELECT vec_id, v FROM e
+         UNION ALL SELECT vec_id + 1000000, v FROM e WHERE vec_id < 20
+         UNION ALL SELECT vec_id + 2000000, v FROM e WHERE vec_id < 10),
+  scents0 AS (
+    SELECT c.c AS c,
+           list_transform(generate_series(0, 63),
+             j -> CAST(concat('0x', substr(md5(concat('ivf',
+                    CAST(c.c AS VARCHAR), '_', CAST(j AS VARCHAR))), 1, 4))
+                  AS BIGINT) / 32768.0 - 1.0) AS w
+    FROM (SELECT unnest(generate_series(0, 7)) AS c) c),
+  ssc0 AS (
+    SELECT eb.vec_id, eb.v, scents0.c,
+           row_number() OVER (PARTITION BY eb.vec_id
+                              ORDER BY list_dot_product(eb.v, scents0.w)
+                                       DESC, scents0.c ASC) AS rn
+    FROM eb, scents0),
+  sa0 AS (SELECT vec_id, v, c AS cell FROM ssc0 WHERE rn = 1),
+  scx AS (
+    SELECT cell, u.j AS j, count(*) AS n,
+           sum(CAST(floor(v[u.j] * 1048576.0) AS BIGINT)) AS s
+    FROM sa0, UNNEST(generate_series(1, 64)) u(j)
+    GROUP BY cell, u.j),
+  scr AS (SELECT cell, list(CAST(s AS DOUBLE) / (n * 1048576.0)
+                            ORDER BY j) AS w
+          FROM scx GROUP BY cell),
+  scents AS (SELECT c0.c AS c, COALESCE(scr.w, c0.w) AS w
+             FROM scents0 c0 LEFT JOIN scr ON scr.cell = c0.c),
+  ssc AS (
+    SELECT eb.vec_id, eb.v, scents.c,
+           row_number() OVER (PARTITION BY eb.vec_id
+                              ORDER BY list_dot_product(eb.v, scents.w)
+                                       DESC, scents.c ASC) AS rn
+    FROM eb, scents),
+  sasg AS (SELECT vec_id, v, c AS cell FROM ssc WHERE rn = 1),
+  spr AS (SELECT a.vec_id AS na, b.vec_id AS nb
+          FROM sasg a JOIN sasg b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.v, b.v)
+                >= CAST(0.999 AS DOUBLE)),
+  sed AS (SELECT na AS node, nb AS peer FROM spr
+          UNION ALL SELECT nb, na FROM spr),
+  scomp AS (SELECT node, least(node, min(peer)) AS comp
+            FROM sed GROUP BY node)
+  SELECT 'lsh' AS kind, a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(list_cosine_similarity(a.v, b.v), 6) AS cos
   FROM bucketed a JOIN bucketed b
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id
   WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
-  ORDER BY vec_a, vec_b
+  UNION ALL
+  SELECT 'sem' AS kind, sasg.vec_id AS vec_a,
+         CAST(CASE WHEN scomp.comp IS NOT NULL
+                    AND scomp.comp <> sasg.vec_id
+              THEN scomp.comp ELSE -1 END AS BIGINT) AS vec_b,
+         CAST(sasg.cell AS DOUBLE) AS cos
+  FROM sasg LEFT JOIN scomp ON scomp.node = sasg.vec_id
+  ORDER BY kind, vec_a, vec_b
 """
 
 

@@ -54,6 +54,7 @@ from fstd2pandas_spark.operators.llm.classifier import (
 from fstd2pandas_spark.operators.llm.similarity import (
     cosine_topk, lsh_ann_topk, ivf_ann_topk, cosine_col, embedding_neardup,
     pq_train, pq_encode, pq_adc_topk, ivf_pq_topk, random_projection,
+    semantic_dedup,
 )
 from fstd2pandas_spark.operators.llm.ingest import (
     read_warc, read_warc_stream, strip_html, html_to_text_col,
@@ -97,5 +98,5 @@ __all__ = [
     "extract_features", "resize_images", "sample_video_frames",
     "image_dhash", "audio_spectrum", "signature_hamming_pairs",
     "simhash_report_rows", "temperature_mix_sample",
-    "linear_text_classifier", "token_bucket_col",
+    "linear_text_classifier", "token_bucket_col", "semantic_dedup",
 ]

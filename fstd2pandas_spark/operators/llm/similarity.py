@@ -579,3 +579,63 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
         F.col("adc").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
+                   n_cells: int = 8, dim: int = 64,
+                   train_iters: int = 1, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): embedding-level semantic
+    deduplication — k-means-cluster the embeddings, treat
+    within-cluster pairs with cosine >= ``threshold`` as semantic
+    duplicates, connect them into groups, and keep ONE representative
+    per group (the minimum id — deterministic; the paper's
+    farthest-from-centroid policy is a representative swap on the same
+    machinery). Returns (id, cell, keep, dup_of): ``dup_of`` is the
+    kept representative's id on dropped rows, NULL on kept rows.
+
+    Scale shape — the SemDeDup insight is that candidate pairs only
+    need to exist WITHIN a cluster (cross-cluster near-identical pairs
+    are rare and ignorable), so this is never corpus-quadratic:
+    1. centroids via :func:`lloyd_refine` (one shuffle per iteration,
+       n_cells-bounded collect, oracle-exact integer sums);
+    2. one (cell) shuffle into sorted member arrays, i<j pairs
+       streamed by the same chained-Generate pattern as the LSH /
+       simhash paths (resident memory O(cell population), pairs
+       filtered by the exact cosine before leaving codegen);
+    3. duplicate groups via :func:`neardup_components` min-label
+       propagation (bounded rounds, checkpointed).
+    Per-cell cost is (corpus/n_cells)^2 — n_cells is the knob that
+    trades recall for cost, exactly as in the paper.
+    """
+    from fstd2pandas_spark.operators.llm.cluster import neardup_components
+
+    w = lloyd_refine(emb, n_cells, dim, vec_col, iters=train_iters)
+    assigned = ensure_min_partitions(emb).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        ivf_cell_col(F.col(vec_col), n_cells, dim, w).alias("cell"))
+    grouped = (assigned.groupBy("cell")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.col("id").alias("i"),
+                            F.col("v").alias("v")))).alias("ms"))
+               .filter(F.size("ms") > 1))
+    outer = grouped.select(
+        "cell", "ms", F.posexplode("ms").alias("_i", "a"))
+    pairs = (outer.select(
+        "a",
+        F.explode(F.expr("slice(ms, _i + 2, size(ms) - _i - 1)"))
+        .alias("b"))
+        .filter(cosine_col(F.col("a.v"), F.col("b.v"))
+                >= F.lit(float(threshold)))
+        .select(F.col("a.i").alias("doc_a"), F.col("b.i").alias("doc_b")))
+    comp = neardup_components(pairs)
+    return (
+        assigned.hint("merge")
+        .join(comp, assigned["id"] == comp["node"], "left")
+        .select(
+            "id", "cell",
+            (F.col("component").isNull()
+             | (F.col("component") == F.col("id"))).alias("keep"),
+            F.when(F.col("component") != F.col("id"), F.col("component"))
+            .alias("dup_of"))
+    )

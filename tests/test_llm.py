@@ -1566,3 +1566,44 @@ def test_minimal_block_dedup_is_exactly_once_property():
         assert all(v == 1 for v in emitted.values())
 
     run()
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup: two near-identical groups collapse to one kept
+    representative each (min id), distinct vectors survive, and a
+    near-duplicate pair split across DIFFERENT cells is (by design) not
+    deduped — the paper's within-cluster trade-off."""
+    import math
+
+    from fstd2pandas_spark.operators.llm.similarity import semantic_dedup
+
+    dim = 8
+
+    def unit(axis, eps=0.0, eps_axis=1):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[eps_axis] += eps
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [
+        (0, unit(0)), (1, unit(0, 0.01)), (2, unit(0, 0.02)),  # group A
+        (10, unit(2)), (11, unit(2, 0.01, 3)),                 # group B
+        (20, unit(4)),                                         # singleton
+        (30, unit(6)), (31, [-x for x in unit(6)]),            # opposites
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["id"]: r for r in semantic_dedup(
+        df, threshold=0.95, n_cells=4, dim=dim).collect()}
+    assert out[0]["keep"] and out[0]["dup_of"] is None
+    assert not out[1]["keep"] and out[1]["dup_of"] == 0
+    assert not out[2]["keep"] and out[2]["dup_of"] == 0
+    assert out[10]["keep"] and not out[11]["keep"] \
+        and out[11]["dup_of"] == 10
+    assert out[20]["keep"]
+    # opposite vectors: cosine -1, never duplicates
+    assert out[30]["keep"] and out[31]["keep"]
+    # every duplicate's representative is kept
+    for r in out.values():
+        if r["dup_of"] is not None:
+            assert out[r["dup_of"]]["keep"]
