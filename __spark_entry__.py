@@ -1969,13 +1969,23 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "warc_sig", F.coalesce(F.col("warc_sig"), F.lit("-")))
     # round 8: temperature-based corpus mixing (sampling.py
     # temperature_mix_sample, the T5/LLaMA size^alpha rule) — per-source
-    # counts from the RAW docs (sources-sized agg, broadcast back), keep
-    # decision a narrow md5-bucket map; alpha=0.5 so the threshold math
-    # is IEEE-sqrt-exact and the oracle gates membership bit-for-bit
+    # counts (sources-sized agg, broadcast back), keep decision a
+    # narrow md5-bucket map; alpha=0.5 so the threshold math is
+    # IEEE-sqrt-exact and the oracle gates membership bit-for-bit.
+    # The synthetic sources are perfectly balanced (every thr would be
+    # 10000 — a vacuous gate), so a skewed stratum is derived first:
+    # src0 alone ('rare', 1x), src1-3 ('mid', 3x), the rest ('big',
+    # 16x) — thresholds 10000 / round(10000*sqrt(1/3)) / 2500, and
+    # both keep outcomes fire
     from fstd2pandas_spark.operators.llm.sampling import (
         temperature_mix_sample)
 
-    tm = temperature_mix_sample(docs.select("doc_id", "source")).select(
+    mix = docs.select(
+        "doc_id",
+        F.when(F.col("source") == "src0", "rare")
+        .when(F.col("source").isin("src1", "src2", "src3"), "mid")
+        .otherwise("big").alias("mix_src"))
+    tm = temperature_mix_sample(mix, source_col="mix_src").select(
         "doc_id", "temp_thr", "temp_sampled")
     flagged = flagged.join(tm, "doc_id", "left")
     return flagged.select(
@@ -2128,9 +2138,14 @@ def _langid_sql() -> str:
                        j -> array_to_string(list_slice(t, j, j + 2), ' '))) END)
       AS u(shingle)),
   bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 5),
-  tcs AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+  tms AS (SELECT doc_id,
+                 CASE WHEN source = 'src0' THEN 'rare'
+                      WHEN source IN ('src1', 'src2', 'src3') THEN 'mid'
+                      ELSE 'big' END AS mix_src
+          FROM documents),
+  tcs AS (SELECT mix_src, count(*) AS n FROM tms GROUP BY mix_src),
   tmn AS (SELECT min(n) AS nmin FROM tcs),
-  tth AS (SELECT source,
+  tth AS (SELECT mix_src,
                  CAST(round(10000 * sqrt(CAST(nmin AS DOUBLE) / n), 0)
                       AS BIGINT) AS temp_thr
           FROM tcs CROSS JOIN tmn),
@@ -2160,7 +2175,8 @@ def _langid_sql() -> str:
          CAST(coalesce(CASE WHEN brnk.r <= 10 THEN brnk.r END, 0) AS INT)
            AS bm25_rank
   FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
-  LEFT JOIN tth ON tth.source = d.source
+  LEFT JOIN tms ON tms.doc_id = d.doc_id
+  LEFT JOIN tth ON tth.mix_src = tms.mix_src
   LEFT JOIN bagg ON bagg.doc_id = d.doc_id
   LEFT JOIN brnk ON brnk.doc_id = d.doc_id
   ORDER BY d.doc_id"""
