@@ -3743,8 +3743,14 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(sf_dir, "events*.parquet"))
     )
     fname = f"stream_fn_{uuid.uuid4().hex[:8]}"
+    # within=86400 s: without a horizon every sf0.01 user completes all
+    # three steps (13+ events per type per user) and the depth-1/2
+    # oracle branches would be vacuous; the 24 h horizon spreads the
+    # gate across depths 1/2/3 AND exercises the streaming operator's
+    # within path (round 8 batch-parity addition)
     run_to_memory(
-        streaming_funnel(fstream, ["view", "click", "purchase"]),
+        streaming_funnel(fstream, ["view", "click", "purchase"],
+                         within=86400),
         fname, output_mode="update")
     # final state per user: depth is monotone across updates and every
     # update row AT max depth carries identical times, so max over the
@@ -3775,10 +3781,13 @@ _Q_STREAM_EVENTS_SQL = """
               WHERE event_type = 'view' GROUP BY user_id),
   fc AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
          JOIN fv USING (user_id)
-         WHERE e.event_type = 'click' AND e.ts > fv.t1 GROUP BY e.user_id),
+         WHERE e.event_type = 'click' AND e.ts > fv.t1
+           AND e.ts <= fv.t1 + INTERVAL 86400 SECOND
+         GROUP BY e.user_id),
   fp AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-         JOIN fc USING (user_id)
+         JOIN fc USING (user_id) JOIN fv USING (user_id)
          WHERE e.event_type = 'purchase' AND e.ts > fc.t2
+           AND e.ts <= fv.t1 + INTERVAL 86400 SECOND
          GROUP BY e.user_id),
   fu AS (SELECT fv.user_id,
                 CASE WHEN t3 IS NOT NULL THEN 3

@@ -274,14 +274,17 @@ _FUNNEL_STATE_SCHEMA = T.StructType([
 def streaming_funnel(stream: DataFrame, steps: "list[str]",
                      ts_col: str = "ts", user_col: str = "user_id",
                      type_col: str = "event_type",
-                     id_col: str = "event_id") -> DataFrame:
+                     id_col: str = "event_id",
+                     within: "int | None" = None) -> DataFrame:
     """Streaming analog of ``operators.funnel.funnel_steps``: per-user
     funnel progress maintained as keyed state (``applyInPandasWithState``),
     one updated (user, depth, first/last step time) row per user per
     micro-batch touching that user.
 
-    State is four scalars per user — depth, first/last accepted step
-    time, tie-break event id — partitioned by user across executors;
+    ``within`` (seconds) mirrors the batch operator's optional horizon:
+    steps 2..k only count within that window of the accepted step-1
+    event. State is four scalars per user — depth, first/last accepted
+    step time, tie-break event id — partitioned by user across executors;
     it does NOT buffer events.  The price of that bound is an ordering
     contract: within a micro-batch events are sorted by (ts, event_id)
     before folding (exact), but an event arriving in a LATER micro-batch
@@ -294,6 +297,7 @@ def streaming_funnel(stream: DataFrame, steps: "list[str]",
     k = len(steps)
     if k == 0:
         raise ValueError("streaming_funnel: need at least one step")
+    within_us = None if within is None else int(within) * 1_000_000
 
     def _update(key, pdfs, state: GroupState):
         depth, first_us, last_us, last_eid = (
@@ -314,6 +318,11 @@ def streaming_funnel(stream: DataFrame, steps: "list[str]",
             if depth >= k or et != steps[depth]:
                 continue
             if depth > 0 and (us, eid) <= (last_us, last_eid):
+                continue
+            # within-horizon: steps 2..k only count inside the window
+            # anchored at the step-1 event — the batch fold's bound
+            if (within_us is not None and depth > 0
+                    and us > first_us + within_us):
                 continue
             depth += 1
             if first_us is None:

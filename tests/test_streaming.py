@@ -326,3 +326,33 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
           for r in funnel_steps(ev, steps).collect()}
     assert set(gm) == set(bm)
     assert gm == bm
+
+
+def test_streaming_funnel_within_matches_batch(spark, tmp_path):
+    """The round-8 within-horizon addition: drained streaming funnel
+    with a horizon equals batch funnel_steps with the same horizon."""
+    from pyspark.sql import functions as F
+    from fstd2pandas_spark.operators.funnel import funnel_steps
+    from fstd2pandas_spark.streaming.record_stream import (
+        run_to_memory, streaming_funnel)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    zone = str(tmp_path / "evzone_w")
+    ev.coalesce(1).write.parquet(zone + "/part=00")
+    steps = ["view", "click", "purchase"]
+    stream = (spark.readStream.schema(ev.schema).parquet(zone + "/part=*"))
+    run_to_memory(streaming_funnel(stream, steps, within=86400),
+                  "funnel_w_sink", output_mode="update")
+    got = {r.user: (r.depth, r.first_step_us, r.last_step_us)
+           for r in spark.table("funnel_w_sink").groupBy("user").agg(
+               F.max(F.struct("depth", "last_step_us", "first_step_us"))
+               .alias("m")).select(
+               "user", "m.depth", "m.first_step_us",
+               "m.last_step_us").collect()}
+    bm = {r.user: (r.depth,
+                   r.step_ts_us[0] if r.depth else None,
+                   r.step_ts_us[-1] if r.depth else None)
+          for r in funnel_steps(ev, steps, within=86400).collect()}
+    assert got == bm
+    depths = {d for d, _, _ in got.values()}
+    assert len(depths) >= 2, "horizon should vary depths"
