@@ -456,7 +456,12 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into ONE user-key shuffle (round 7 shipped them as two separate
     # events aggregations); the users-sized result is localCheckpointed
     # because THREE consumers read it (fuser, fstep, cohorts)
-    fs = user_activity_report(ev_raw, steps).localCheckpoint()
+    # within=86400: without a horizon every sf0.01 user completes all
+    # three steps and the oracle's depth-1/2 CASE branches are vacuous
+    # (the class the round-6 LM gate was caught on); the 24 h horizon
+    # spreads depths to 90/46/14 and exercises the fold's within path
+    fs = user_activity_report(ev_raw, steps,
+                              within=86400).localCheckpoint()
     us = F.element_at(F.col("step_ts_us"), 1)
     last = F.element_at(F.col("step_ts_us"), F.size("step_ts_us"))
     fuser = fs.filter(F.col("depth") >= 1).select(
@@ -537,10 +542,13 @@ _Q_EVENTS_SQL = """
          WHERE event_type = 'view' GROUP BY user_id),
   fc AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
          JOIN fv USING (user_id)
-         WHERE e.event_type = 'click' AND e.ts > fv.t1 GROUP BY e.user_id),
+         WHERE e.event_type = 'click' AND e.ts > fv.t1
+           AND e.ts <= fv.t1 + INTERVAL 86400 SECOND
+         GROUP BY e.user_id),
   fp AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-         JOIN fc USING (user_id)
+         JOIN fc USING (user_id) JOIN fv USING (user_id)
          WHERE e.event_type = 'purchase' AND e.ts > fc.t2
+           AND e.ts <= fv.t1 + INTERVAL 86400 SECOND
          GROUP BY e.user_id),
   fu AS (SELECT fv.user_id,
                 CASE WHEN t3 IS NOT NULL THEN 3
