@@ -225,7 +225,20 @@ _Q_FILTER_SQL = """
 def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4-style semi/anti joins in one gated query: orders having at
     least one high-qty line ('semi' rows) plus customers with no orders
-    ('anti' rows)."""
+    ('anti' rows).
+
+    Round 8 adds the two temporal joins Spark lacks as primitives
+    (operators/temporal.py): 'asof' rows — every purchase event joined
+    to the same user's most recent view at-or-before it via the
+    union-and-window-fill as-of join (ONE key exchange, no join
+    operator; the oracle is DuckDB's NATIVE ASOF JOIN, a fully
+    independent derivation) — and 'range' rows — every error event
+    placed into the containing >= 3-event session via the bin-bucketed
+    range join (interval explode to hour bins + equi-join + exact
+    range filter; the oracle is a plain BETWEEN join over the
+    gaps-and-islands session rebuild). info carries the matched view
+    id / session-start epoch, '-' when unmatched — both branches fire
+    at sf0.01 (1826/155 asof, 12/2002 range)."""
     orders = _load(spark, sf_dir, "orders")
     li = _load(spark, sf_dir, "lineitem")
     cust = _load(spark, sf_dir, "customer")
@@ -242,10 +255,53 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c_custkey").cast("bigint").alias("join_key"),
                 F.col("c_name").alias("info"))
     )
-    return semi.unionByName(anti).orderBy("side", "join_key")
+    from fstd2pandas_spark.operators.sessions import sessionize
+    from fstd2pandas_spark.operators.temporal import asof_join, range_join
+
+    ev = _load(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"))
+    asof = asof_join(purch, views, right_cols=["view_id"]).select(
+        F.lit("asof").alias("side"),
+        F.col("event_id").cast("bigint").alias("join_key"),
+        F.coalesce(F.col("asof_view_id").cast("string"),
+                   F.lit("-")).alias("info"))
+    iv = sessionize(ev).filter(F.col("n_events") >= 3).select(
+        F.col("user_id").alias("uid"),
+        F.col("session_start").alias("start"),
+        F.col("session_end").alias("end"))
+    errors = ev.filter(F.col("event_type") == "error")         .withColumnRenamed("user_id", "uid")
+    hits = range_join(errors, iv, by="uid").select(
+        F.col("event_id").alias("_eid"),
+        F.floor(F.unix_micros(F.col("start").cast("timestamp"))
+                / F.lit(1_000_000)).cast("long").alias("_sstart"))
+    rng = errors.join(hits, errors["event_id"] == hits["_eid"], "left")         .select(
+            F.lit("range").alias("side"),
+            F.col("event_id").cast("bigint").alias("join_key"),
+            F.coalesce(F.col("_sstart").cast("string"),
+                       F.lit("-")).alias("info"))
+    return (semi.unionByName(anti).unionByName(asof).unionByName(rng)
+            .orderBy("side", "join_key"))
 
 
 _Q_SEMI_ANTI_SQL = """
+  WITH sbrk AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS b
+    FROM events),
+  sg AS (SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+         FROM sbrk),
+  sess AS (SELECT user_id, min(ts) AS t1,
+                  max(ts) + INTERVAL 30 MINUTE AS tend,
+                  count(*) AS n
+           FROM sg GROUP BY user_id, sid)
   SELECT 'semi' AS side, CAST(o_orderkey AS BIGINT) AS join_key,
          o_orderstatus AS info
   FROM orders
@@ -256,6 +312,24 @@ _Q_SEMI_ANTI_SQL = """
          c_name AS info
   FROM customer
   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  UNION ALL
+  -- as-of mirror: DuckDB's NATIVE ASOF JOIN — an independent
+  -- implementation of the same semantics as the engine's
+  -- union-and-window-fill (inclusive at equal timestamps)
+  SELECT 'asof' AS side, CAST(p.event_id AS BIGINT) AS join_key,
+         coalesce(CAST(v.event_id AS VARCHAR), '-') AS info
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+  UNION ALL
+  -- range mirror: plain BETWEEN join over the gaps-and-islands
+  -- session rebuild (engine side uses the bin-bucketed equi-join)
+  SELECT 'range' AS side, CAST(e.event_id AS BIGINT) AS join_key,
+         coalesce(CAST(CAST(floor(epoch(s.t1)) AS BIGINT) AS VARCHAR),
+                  '-') AS info
+  FROM (SELECT * FROM events WHERE event_type = 'error') e
+  LEFT JOIN (SELECT * FROM sess WHERE n >= 3) s
+    ON s.user_id = e.user_id AND e.ts >= s.t1 AND e.ts <= s.tend
   ORDER BY side, join_key
 """
 

@@ -1,0 +1,152 @@
+"""Temporal joins Spark lacks as primitives: as-of join and range join.
+
+Both are classic time-series/observability operators (pandas
+``merge_asof``, kdb ``aj``, DuckDB ``ASOF JOIN``, the Databricks range
+join optimization) re-expressed in Spark's execution model:
+
+- :func:`asof_join` is the union-and-window-fill formulation — tag both
+  inputs, sort each key's rows once, and carry the latest right-side
+  payload forward with ``last(ignorenulls)``. ONE shuffle on the key,
+  NO join operator at all: at fact-table scale this beats any
+  join-based formulation because the right side is never re-scanned
+  per left row and nothing can explode — each left row emits exactly
+  one output row.
+- :func:`range_join` is the bin-bucketed equi-join — intervals explode
+  into the fixed-width time bins they cover, points carry their single
+  bin, and the exact range predicate filters after a plain (key, bin)
+  equi-join. Spark alone would plan point-in-interval as
+  BroadcastNestedLoopJoin (quadratic); the bins turn it into a
+  shuffle/merge join whose fan-out is bounded by interval length /
+  bin width (guarded: a hostile open-ended interval raises instead of
+  exploding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by: str = "user_id", right_on: "str | None" = None,
+              direction: str = "backward",
+              tolerance: "int | None" = None,
+              right_cols: "list[str] | None" = None,
+              prefix: str = "asof_") -> DataFrame:
+    """For every left row, attach the closest right row of the same
+    ``by`` key at-or-before its time (``direction='backward'``; at or
+    after for ``'forward'``), optionally within ``tolerance`` seconds.
+
+    Output = every left row + ``{prefix}<col>`` for each of
+    ``right_cols`` + ``{prefix}ts_us`` (the matched right time,
+    microseconds) — NULL when no right row qualifies. Equal timestamps
+    match (inclusive, like pandas merge_asof); several right rows on
+    the exact same timestamp resolve to the LAST in (ts, right row
+    order) — deterministic when right has a tie-break column in
+    ``right_cols`` order, and real event streams rarely tie.
+
+    Plan shape: union the tagged inputs, ONE window over (by) ordered
+    by (time, side) carrying the right payload forward with
+    last(ignorenulls) — one exchange, one per-key sort, no join, one
+    output row per left row. This is the at-scale formulation: a
+    join-based as-of needs an inequality join (nested-loop) or a
+    per-left-row aggregation; here the right side is read once and
+    merged in sorted order, exactly the kdb/pandas merge-asof plan
+    distributed by key.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in (by, right_on or on)]
+    r_on = right_on or on
+    us_l = F.unix_micros(F.col(on).cast("timestamp"))
+    us_r = F.unix_micros(F.col(r_on).cast("timestamp"))
+
+    payload = F.struct(
+        us_r.alias("_ts_us"),
+        *[F.col(c).alias(c) for c in right_cols]).alias("_pay")
+    r = right.select(F.col(by).alias("_k"), us_r.alias("_us"),
+                     F.lit(0).alias("_side"), payload)
+    l = left.select(
+        F.col(by).alias("_k"), us_l.alias("_us"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_row"))
+    r = r.withColumn("_row", F.lit(None).cast(l.schema["_row"].dataType))
+    u = l.select("_k", "_us", "_side", "_pay", "_row").unionByName(
+        r.select("_k", "_us", "_side", "_pay", "_row"))
+
+    # backward: ascending time, right rows (side 0) BEFORE left rows at
+    # the same timestamp so equal times match; forward mirrors it
+    if direction == "backward":
+        w = (Window.partitionBy("_k")
+             .orderBy(F.col("_us").asc(), F.col("_side").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        w = (Window.partitionBy("_k")
+             .orderBy(F.col("_us").desc(), F.col("_side").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    matched = F.last("_pay", ignorenulls=True).over(w)
+    out = (u.withColumn("_m", matched)
+           .filter(F.col("_side") == 1))
+    if tolerance is not None:
+        gap = (F.col("_us") - F.col("_m._ts_us")) if direction == "backward" \
+            else (F.col("_m._ts_us") - F.col("_us"))
+        out = out.withColumn(
+            "_m", F.when(gap <= int(tolerance) * 1_000_000, F.col("_m")))
+    return out.select(
+        *[F.col(f"_row.{c}").alias(c) for c in left.columns],
+        F.col("_m._ts_us").alias(f"{prefix}ts_us"),
+        *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in right_cols])
+
+
+#: ceiling on bins per interval — an open-ended/hostile interval must
+#: raise loudly, not explode the build side by a million rows
+MAX_BINS_PER_INTERVAL = 10_000
+
+
+def range_join(points: DataFrame, intervals: DataFrame, on: str = "ts",
+               start_col: str = "start", end_col: str = "end",
+               by: "str | None" = None,
+               bin_width: int = 3600) -> DataFrame:
+    """All (point, interval) matches with ``start <= point.ts <= end``
+    (and equal ``by`` keys when given) — the point-in-interval join.
+
+    Plan shape: each interval explodes into the ``bin_width``-second
+    time bins it covers (fan-out = duration / bin_width, capped at
+    ``MAX_BINS_PER_INTERVAL`` with a loud error); each point carries
+    its single bin; a plain equi-join on (by, bin) + the exact range
+    filter finishes. A point lies in exactly one bin, so a matching
+    pair meets exactly once — no post-join dedup. Without the bins
+    Spark plans this predicate as BroadcastNestedLoopJoin; with them
+    it is an ordinary shuffle join sized by real overlap density.
+    Output = point columns + interval columns (caller disambiguates
+    names beforehand).
+    """
+    wus = int(bin_width) * 1_000_000
+    p_us = F.unix_micros(F.col(on).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    n_bins = (F.floor(e_us / wus) - F.floor(s_us / wus) + 1)
+    iv = intervals.withColumn("_nb", n_bins)
+    # loud guard, not silent truncation
+    bad = f"interval spans more than {MAX_BINS_PER_INTERVAL} bins"
+    iv = iv.withColumn(
+        "_bin",
+        F.explode(F.when(
+            F.col("_nb") <= MAX_BINS_PER_INTERVAL,
+            F.sequence(F.floor(s_us / wus), F.floor(e_us / wus)))
+            .otherwise(F.raise_error(F.lit(bad)))))
+    pt = points.withColumn("_bin", F.floor(p_us / wus))
+    cond = [pt["_bin"] == iv["_bin"]]
+    if by is not None:
+        cond.append(pt[by] == iv[by])
+    joined = pt.join(iv, cond, "inner").filter(
+        (p_us >= s_us) & (p_us <= e_us))
+    drop = [pt["_bin"], iv["_bin"], iv["_nb"]] + \
+        ([iv[by]] if by is not None else [])
+    out = joined
+    for c in drop:
+        out = out.drop(c)
+    return out

@@ -466,3 +466,110 @@ def test_retention_cohorts(spark, sf_dir):
            for r in retention_cohorts(df).collect()}
     assert got == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
                    ("2024-01-01", 2): 1, ("2024-01-08", 0): 1}
+
+
+def test_asof_join_known_values(spark):
+    """Hand-computed backward/forward/tolerance as-of matches."""
+    from fstd2pandas_spark.operators.temporal import asof_join
+
+    L = spark.createDataFrame(
+        [(1, "2024-01-01T10:00:00", 100),
+         (1, "2024-01-01T12:00:00", 101),
+         (2, "2024-01-01T10:30:00", 102),
+         (3, "2024-01-01T09:00:00", 103)],   # key with no right rows
+        ["user_id", "ts", "lid"]).withColumn("ts", F.col("ts").cast("timestamp"))
+    R = spark.createDataFrame(
+        [(1, "2024-01-01T09:30:00", 7),
+         (1, "2024-01-01T11:00:00", 8),
+         (2, "2024-01-01T10:30:00", 9)],     # exact-equal timestamp
+        ["user_id", "ts", "rid"]).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    back = {r["lid"]: r["asof_rid"] for r in
+            asof_join(L, R, right_cols=["rid"]).collect()}
+    assert back == {100: 7, 101: 8, 102: 9, 103: None}
+
+    fwd = {r["lid"]: r["asof_rid"] for r in
+           asof_join(L, R, direction="forward",
+                     right_cols=["rid"]).collect()}
+    assert fwd == {100: 8, 101: None, 102: 9, 103: None}
+
+    tol = {r["lid"]: r["asof_rid"] for r in
+           asof_join(L, R, tolerance=1800, right_cols=["rid"]).collect()}
+    assert tol == {100: 7, 101: None, 102: 9, 103: None}  # 101: gap 1 h
+
+
+def test_asof_join_single_exchange_no_join(spark):
+    """The at-scale property: one key exchange, no join operator."""
+    from fstd2pandas_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    L = ev.filter(F.col("event_type") == "purchase")
+    R = ev.filter(F.col("event_type") == "view") \
+          .select("user_id", "ts", F.col("event_id").alias("view_id"))
+    plan = asof_join(L, R, right_cols=["view_id"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_range_join_known_values_and_guard(spark):
+    """Hand-computed point-in-interval matches; boundary inclusivity;
+    the hostile-interval guard raises."""
+    import pytest as _pytest
+
+    from fstd2pandas_spark.operators.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01T10:00:00", 0),
+         (1, "2024-01-01T11:30:00", 1),
+         (1, "2024-01-01T13:00:00", 2),
+         (2, "2024-01-01T10:00:00", 3)],
+        ["user_id", "ts", "pid"]).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01T10:00:00", "2024-01-01T11:30:00", "a"),
+         (1, "2024-01-01T12:59:00", "2024-01-01T14:00:00", "b"),
+         (2, "2024-01-01T11:00:00", "2024-01-01T12:00:00", "c")],
+        ["user_id", "start", "end", "label"]) \
+        .withColumn("start", F.col("start").cast("timestamp")) \
+        .withColumn("end", F.col("end").cast("timestamp")).drop("user_id") \
+        .withColumn("user_id", F.lit(None))
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01T10:00:00", "2024-01-01T11:30:00", "a"),
+         (1, "2024-01-01T12:59:00", "2024-01-01T14:00:00", "b"),
+         (2, "2024-01-01T11:00:00", "2024-01-01T12:00:00", "c")],
+        ["uid", "start", "end", "label"]) \
+        .withColumn("start", F.col("start").cast("timestamp")) \
+        .withColumn("end", F.col("end").cast("timestamp"))
+    got = {(r["pid"], r["label"]) for r in range_join(
+        pts.withColumnRenamed("user_id", "uid"), iv,
+        by="uid", bin_width=3600).collect()}
+    # pid0 at start boundary of a; pid1 at END boundary of a (inclusive);
+    # pid2 inside b; pid3 before c -> no match
+    assert got == {(0, "a"), (1, "a"), (2, "b")}
+
+    hostile = spark.createDataFrame(
+        [(1, "2024-01-01T00:00:00", "2030-01-01T00:00:00", "x")],
+        ["uid", "start", "end", "label"]) \
+        .withColumn("start", F.col("start").cast("timestamp")) \
+        .withColumn("end", F.col("end").cast("timestamp"))
+    with _pytest.raises(Exception, match="bins"):
+        range_join(pts.withColumnRenamed("user_id", "uid"), hostile,
+                   by="uid", bin_width=60).collect()
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """Without the bins Spark plans point-in-interval as
+    BroadcastNestedLoopJoin; the operator must produce an equi-join."""
+    from fstd2pandas_spark.operators.temporal import range_join
+    from fstd2pandas_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    iv = sessionize(ev).select(
+        F.col("user_id").alias("uid"),
+        F.col("session_start").alias("start"),
+        F.col("session_end").alias("end"))
+    pts = ev.filter(F.col("event_type") == "error") \
+            .withColumnRenamed("user_id", "uid")
+    plan = range_join(pts, iv, by="uid") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
