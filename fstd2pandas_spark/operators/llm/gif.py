@@ -171,6 +171,12 @@ def _parse(payload: bytes):
             fh = int.from_bytes(payload[pos + 6:pos + 8], "little")
             iflags = payload[pos + 8]
             pos += 9
+            # frame-bounds guard BEFORE the LZW decode: a forged
+            # descriptor claiming up to 65535x65535 would otherwise
+            # drive _lzw_decode toward a 4.3e9-pixel output bound while
+            # the canvas check below only runs after decoding
+            if fw <= 0 or fh <= 0 or top + fh > h or left + fw > w:
+                raise _BadGif("frame exceeds canvas")
             table = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
@@ -200,8 +206,6 @@ def _parse(payload: bytes):
                         ordered[r] = grid[src]
                         src += 1
                 grid = ordered
-            if top + fh > h or left + fw > w:
-                raise _BadGif("frame exceeds canvas")
             before = canvas.copy()
             region = table[grid]
             if transparent is not None:

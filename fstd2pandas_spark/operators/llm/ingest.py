@@ -67,13 +67,13 @@ def _inflate_members(payload: bytes,
         except zlib.error:
             break
         if total + len(chunk) > max_bytes:
+            # the max_length bound above means a capped member yields
+            # exactly budget+1 bytes — trim to the budget and stop;
+            # records already inflated stay parseable
             out.append(chunk[:max_bytes - total])
             break
         out.append(chunk)
         total += len(chunk)
-        if d.unconsumed_tail:
-            # member not fully inflated within budget — stop here
-            break
         consumed = len(view) - pos - len(d.unused_data)
         if consumed <= 0:
             break

@@ -670,23 +670,25 @@ def parse_avi(payload: bytes) -> "tuple[float, list[bytes]] | None":
     us_per_frame = 0
     frames: list[bytes] = []
 
-    def walk(data: bytes) -> None:
-        nonlocal us_per_frame
-        i = 0
-        while i + 8 <= len(data):
-            cc = data[i:i + 4]
-            size = struct.unpack("<I", data[i + 4:i + 8])[0]
-            body = data[i + 8:i + 8 + size]
-            if cc == b"LIST":
-                walk(body[4:])  # skip the list-type fourcc
-            elif cc == b"avih" and size >= 4:
-                us_per_frame = struct.unpack("<I", body[:4])[0]
-            elif len(cc) == 4 and cc[2:4] in (b"dc", b"db"):
-                frames.append(bytes(body))
-            i += 8 + size + (size & 1)  # chunks are word-aligned
-
+    # explicit work stack, not recursion: a hostile payload of deeply
+    # nested LIST chunks must not RecursionError out of the never-raise
+    # media contract (a 60 KB shard can nest thousands deep)
     try:
-        walk(payload[12:])
+        stack = [payload[12:]]
+        while stack:
+            data = stack.pop()
+            i = 0
+            while i + 8 <= len(data):
+                cc = data[i:i + 4]
+                size = struct.unpack("<I", data[i + 4:i + 8])[0]
+                body = data[i + 8:i + 8 + size]
+                if cc == b"LIST":
+                    stack.append(body[4:])  # skip the list-type fourcc
+                elif cc == b"avih" and size >= 4:
+                    us_per_frame = struct.unpack("<I", body[:4])[0]
+                elif len(cc) == 4 and cc[2:4] in (b"dc", b"db"):
+                    frames.append(bytes(body))
+                i += 8 + size + (size & 1)  # chunks are word-aligned
     except struct.error:
         return None
     if not frames:

@@ -120,11 +120,19 @@ def _decode(payload: bytes) -> "np.ndarray | None":
         if typ not in type_size:
             continue
         total = type_size[typ] * count
+        # forged-count guard BEFORE building the unpack format string:
+        # count is attacker-controlled 32-bit, and `fmt_char * count`
+        # materializes a multi-GiB string (uncatchable MemoryError)
+        # long before any data-length check could reject the entry
+        if total > len(payload):
+            raise _BadTiff("tag value count exceeds file size")
         if total <= 4:
             raw = payload[e + 8:e + 8 + total]
         else:
             off = struct.unpack(end + "I", payload[e + 8:e + 12])[0]
             raw = payload[off:off + total]
+        if len(raw) < total:
+            raise _BadTiff("truncated tag values")
         if typ in type_fmt:
             vals = struct.unpack(end + type_fmt[typ] * count, raw)
         else:

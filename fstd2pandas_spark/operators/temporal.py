@@ -130,14 +130,22 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str = "ts",
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
     n_bins = (F.floor(e_us / wus) - F.floor(s_us / wus) + 1)
     iv = intervals.withColumn("_nb", n_bins)
-    # loud guard, not silent truncation
+    # three-way gate: valid intervals explode; oversized intervals
+    # raise LOUDLY (silent truncation would under-report matches);
+    # inverted (end < start, _nb < 1) or NULL-bounded intervals match
+    # NOTHING (empty explode drops the row) — without the lower bound,
+    # Spark's sequence(start, stop) defaults to step -1 for start >
+    # stop and a swapped-column interval explodes into millions of
+    # DESCENDING bins, the exact blowup the cap exists to prevent
     bad = f"interval spans more than {MAX_BINS_PER_INTERVAL} bins"
     iv = iv.withColumn(
         "_bin",
-        F.explode(F.when(
-            F.col("_nb") <= MAX_BINS_PER_INTERVAL,
-            F.sequence(F.floor(s_us / wus), F.floor(e_us / wus)))
-            .otherwise(F.raise_error(F.lit(bad)))))
+        F.explode(
+            F.when(F.col("_nb").between(1, MAX_BINS_PER_INTERVAL),
+                   F.sequence(F.floor(s_us / wus), F.floor(e_us / wus)))
+            .when(F.col("_nb") > MAX_BINS_PER_INTERVAL,
+                  F.raise_error(F.lit(bad)))
+            .otherwise(F.array().cast("array<bigint>"))))
     pt = points.withColumn("_bin", F.floor(p_us / wus))
     cond = [pt["_bin"] == iv["_bin"]]
     if by is not None:

@@ -177,3 +177,59 @@ def test_gif_animation_cumulative_frames_capped(monkeypatch):
     capped = parse_gif(payload)
     assert capped is not None and len(capped[1]) == 2
     np.testing.assert_array_equal(capped[1][0], full[1][0])
+
+
+def test_tiff_forged_tag_count_rejected_before_format_string():
+    """A 34-byte TIFF claiming a 100M-value tag must be rejected before
+    struct builds the multi-GiB format string (uncatchable MemoryError
+    at 0xFFFFFFFF)."""
+    import struct
+    import time
+
+    from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+
+    def entry(tag, typ, count, val):
+        return struct.pack("<HHI", tag, typ, count) + struct.pack("<I", val)
+
+    for count in (100_000_000, 0xFFFFFFFF):
+        tif = (b"II*\x00" + struct.pack("<I", 8)
+               + struct.pack("<H", 1) + entry(256, 4, count, 8)
+               + struct.pack("<I", 0))
+        t0 = time.perf_counter()
+        assert decode_tiff(tif) is None
+        assert time.perf_counter() - t0 < 0.5
+
+
+def test_gif_forged_frame_dims_rejected_before_lzw():
+    """A GIF whose logical screen passes the canvas cap but whose frame
+    descriptor claims 65535x65535 must reject BEFORE the LZW decode
+    materializes toward 4.3e9 pixels."""
+    import struct
+    import time
+
+    from fstd2pandas_spark.operators.llm.gif import decode_gif
+
+    hdr = (b"GIF89a" + struct.pack("<HH", 4, 4) + b"\xf0\x00\x00"
+           + b"\x00\x00\x00" + b"\xff\xff\xff")          # 2-color GCT
+    desc = (b"\x2c" + struct.pack("<HHHH", 0, 0, 65535, 65535) + b"\x00")
+    lzw = b"\x02" + b"\xfe" + b"\x00" * 254 + b"\x00" + b";"
+    t0 = time.perf_counter()
+    assert decode_gif(hdr + desc + lzw) is None
+    assert time.perf_counter() - t0 < 0.5
+
+
+def test_parse_avi_deep_list_nesting_no_recursion_error():
+    """Thousands of nested LIST chunks (60 KB) must not RecursionError
+    out of the never-raise contract — the walk is an explicit stack."""
+    import struct
+
+    from fstd2pandas_spark.operators.llm.multimodal import parse_avi
+
+    depth = 5000
+    inner = b"00dc" + struct.pack("<I", 2) + b"hi"
+    body = inner
+    for _ in range(depth):
+        body = b"LIST" + struct.pack("<I", len(body) + 4) + b"movi" + body
+    payload = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    out = parse_avi(payload)
+    assert out is not None and out[1] == [b"hi"]

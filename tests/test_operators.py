@@ -529,14 +529,6 @@ def test_range_join_known_values_and_guard(spark):
         [(1, "2024-01-01T10:00:00", "2024-01-01T11:30:00", "a"),
          (1, "2024-01-01T12:59:00", "2024-01-01T14:00:00", "b"),
          (2, "2024-01-01T11:00:00", "2024-01-01T12:00:00", "c")],
-        ["user_id", "start", "end", "label"]) \
-        .withColumn("start", F.col("start").cast("timestamp")) \
-        .withColumn("end", F.col("end").cast("timestamp")).drop("user_id") \
-        .withColumn("user_id", F.lit(None))
-    iv = spark.createDataFrame(
-        [(1, "2024-01-01T10:00:00", "2024-01-01T11:30:00", "a"),
-         (1, "2024-01-01T12:59:00", "2024-01-01T14:00:00", "b"),
-         (2, "2024-01-01T11:00:00", "2024-01-01T12:00:00", "c")],
         ["uid", "start", "end", "label"]) \
         .withColumn("start", F.col("start").cast("timestamp")) \
         .withColumn("end", F.col("end").cast("timestamp"))
@@ -555,6 +547,18 @@ def test_range_join_known_values_and_guard(spark):
     with _pytest.raises(Exception, match="bins"):
         range_join(pts.withColumnRenamed("user_id", "uid"), hostile,
                    by="uid", bin_width=60).collect()
+
+    # inverted (end < start) and NULL-bounded intervals match NOTHING —
+    # without the lower-bound gate Spark's sequence() steps -1 and a
+    # swapped-column interval explodes into millions of descending bins
+    broken = spark.createDataFrame(
+        [(1, "2024-01-01T12:00:00", "2024-01-01T10:00:00", "inv"),
+         (1, None, "2024-01-01T10:00:00", "null_s")],
+        ["uid", "start", "end", "label"]) \
+        .withColumn("start", F.col("start").cast("timestamp")) \
+        .withColumn("end", F.col("end").cast("timestamp"))
+    assert range_join(pts.withColumnRenamed("user_id", "uid"), broken,
+                      by="uid", bin_width=60).count() == 0
 
 
 def test_range_join_is_equi_join_not_nested_loop(spark):
