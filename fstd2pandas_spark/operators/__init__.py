@@ -35,7 +35,9 @@ from fstd2pandas_spark.operators.cube import to_cube, to_xarray
 from fstd2pandas_spark.operators.sessions import sessionize
 from fstd2pandas_spark.operators.funnel import (
     funnel_steps, funnel_counts, counts_from_steps, retention_cohorts,
+    user_activity_report, cohorts_from_report,
 )
+from fstd2pandas_spark.operators.temporal import asof_join, range_join
 
 __all__ = [
     "select_meta", "select_with_meta", "add_metadata_to_query_results",
@@ -46,5 +48,6 @@ __all__ = [
     "df_from_grid", "grid_lat_lon", "grid_metadata_for", "is_global_grid",
     "to_cube", "to_xarray",
     "sessionize", "funnel_steps", "funnel_counts", "counts_from_steps",
-    "retention_cohorts",
+    "retention_cohorts", "user_activity_report", "cohorts_from_report",
+    "asof_join", "range_join",
 ]
