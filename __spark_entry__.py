@@ -204,19 +204,38 @@ _Q_PRICING_SQL = """
 
 
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F6: predicate + projection pushdown to the parquet scan."""
+    """F1/F6: predicate + projection pushdown to the parquet scan.
+
+    Round 8 adds ``zkey`` — the Morton key of (l_partkey, l_suppkey)
+    from the Z-order clustering layout helper (plans/zorder.py,
+    the Delta OPTIMIZE ZORDER BY / Iceberg sort-order machinery): pure
+    integer bit interleaving, mirrored term-for-term in the oracle, so
+    the key every clustered write would sort by is value-gated."""
+    from fstd2pandas_spark.plans.zorder import zorder_key
+
     li = _load(spark, sf_dir, "lineitem")
     return (
         li.filter((F.col("l_discount") >= 0.05) & (F.col("l_quantity") < 10))
         .select("l_orderkey", "l_linenumber",
-                F.round(F.col("l_extendedprice").cast("decimal(18,2)").cast("double"), 2).alias("price"))
+                F.round(F.col("l_extendedprice").cast("decimal(18,2)").cast("double"), 2).alias("price"),
+                zorder_key(["l_partkey", "l_suppkey"]).alias("zkey"))
         .orderBy("l_orderkey", "l_linenumber")
     )
 
 
-_Q_FILTER_SQL = """
+def _zkey_sql(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB mirror of plans/zorder.py zorder_key for two columns."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} & 65535) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((({b} & 65535) >> {i}) & 1) << {2 * i + 1}")
+    return "CAST(" + " + ".join(f"({t})" for t in terms) + " AS BIGINT)"
+
+
+_Q_FILTER_SQL = f"""
   SELECT l_orderkey, l_linenumber,
-         round(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS price
+         round(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS price,
+         {_zkey_sql("l_partkey", "l_suppkey")} AS zkey
   FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10
   ORDER BY l_orderkey, l_linenumber
 """

@@ -1,0 +1,67 @@
+"""Z-order (Morton) clustering — the multi-dimensional data-skipping
+layout (Delta ``OPTIMIZE ZORDER BY``, Iceberg sort orders, the classic
+Morton-curve literature).
+
+A table range-partitioned and sorted on ONE column skips files well for
+predicates on that column and not at all for others; interleaving the
+bits of several quantized columns into one Morton key gives every
+participating column locality, so parquet min/max pruning works for
+predicates on ANY of them. At 100 TB this is a WRITE-SIDE layout
+decision: pay one global sort at ingest, then every mixed-predicate
+scan reads a fraction of the files forever after.
+
+The key is a pure integer Column expression (bit arithmetic only — an
+SQL oracle reproduces it exactly); :func:`zorder_repartition` applies
+the layout with one range-partitioned sort, the exact plan a cluster
+write wants (`repartitionByRange` + file split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits per dimension — 16 keeps d <= 3 keys inside a signed 64-bit int
+DEFAULT_BITS = 16
+
+
+def zorder_key(cols: "list[Column | str]",
+               bits: int = DEFAULT_BITS) -> Column:
+    """Morton key interleaving the low ``bits`` bits of each column
+    (values are masked, so callers quantize wider domains first —
+    e.g. ``F.floor(x / step)`` or a rank bucket). Bit ``i`` of column
+    ``d`` lands at position ``i * n_dims + d``; total width
+    ``bits * n_dims`` must fit a signed 64-bit integer."""
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key: need at least one column")
+    if bits * n > 63:
+        raise ValueError(
+            f"{bits} bits x {n} dims = {bits * n} exceeds a signed int64")
+    parts = []
+    for d, c in enumerate(cols):
+        col = F.col(c) if isinstance(c, str) else c
+        v = col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for i in range(bits):
+            parts.append(
+                F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)),
+                            i * n + d))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def zorder_repartition(df: DataFrame, cols: "list[str]",
+                       num_partitions: "int | None" = None,
+                       bits: int = DEFAULT_BITS,
+                       key_col: str = "_zorder") -> DataFrame:
+    """Cluster the frame on the Morton key of ``cols``: ONE
+    range-partition exchange + per-partition sort (the global-sort
+    write layout), key column dropped from the result. Each output
+    file then covers a compact hyper-rectangle of the key space, so
+    min/max pruning serves predicates on any participating column."""
+    keyed = df.withColumn(key_col, zorder_key(cols, bits))
+    part = (keyed.repartitionByRange(num_partitions, key_col)
+            if num_partitions else keyed.repartitionByRange(key_col))
+    return part.sortWithinPartitions(key_col).drop(key_col)

@@ -345,3 +345,60 @@ def test_simhash_report_shares_one_signature_fold(spark):
     # the two-frame simhash_report keeps its localCheckpoint sharing;
     # its buckets/pairs must still agree with the fused rows (pinned in
     # tests/test_llm.py) — here we only lock the fused plan shape
+
+
+def test_zorder_key_known_values(spark):
+    """Hand-computed Morton interleave + domain mask + width guard."""
+    import pytest as _pytest
+
+    from fstd2pandas_spark.plans.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(0b1010, 0b0110), (0, 0), (1, 1), ((1 << 20) + 3, 2)],
+        ["a", "b"])
+    got = [r["z"] for r in
+           df.select(zorder_key(["a", "b"], bits=4).alias("z")).collect()]
+
+    def morton(a, b, bits=4):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+    assert got == [morton(0b1010, 0b0110), 0, morton(1, 1),
+                   morton(3, 2)]  # wide value masked to low bits
+    with _pytest.raises(ValueError):
+        zorder_key(["a", "b", "a", "b"], bits=16)  # 64 > 63
+    with _pytest.raises(ValueError):
+        zorder_key([])
+
+
+def test_zorder_repartition_clusters_locality(spark):
+    """The layout property data skipping relies on: after z-order
+    clustering, each partition's (a, b) ranges are compact — the max
+    per-partition bounding-box area is far below the unclustered
+    layout's (which spans the whole domain in every partition)."""
+    import itertools
+
+    from fstd2pandas_spark.plans.zorder import zorder_repartition
+
+    rows = [(a, b) for a, b in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(rows, ["a", "b"]).repartition(16)
+
+    def max_box_area(frame):
+        parts = frame.rdd.glom().collect()
+        areas = []
+        for p in parts:
+            if not p:
+                continue
+            xs = [r["a"] for r in p]
+            ys = [r["b"] for r in p]
+            areas.append((max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1))
+        return max(areas)
+
+    clustered = zorder_repartition(df, ["a", "b"], num_partitions=16,
+                                   bits=6)
+    assert max_box_area(clustered) <= 64 * 64 // 4
+    assert max_box_area(df) > 64 * 64 // 2       # unclustered baseline
+    assert clustered.count() == 64 * 64
+    assert "_zorder" not in clustered.columns
