@@ -295,7 +295,7 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("_eid"),
         F.floor(F.unix_micros(F.col("start").cast("timestamp"))
                 / F.lit(1_000_000)).cast("long").alias("_sstart"))
-    rng = errors.join(hits, errors["event_id"] == hits["_eid"], "left")         .select(
+    rng = errors.hint("merge").join(hits, errors["event_id"] == hits["_eid"], "left")         .select(
             F.lit("range").alias("side"),
             F.col("event_id").cast("bigint").alias("join_key"),
             F.coalesce(F.col("_sstart").cast("string"),
