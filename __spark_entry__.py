@@ -204,38 +204,19 @@ _Q_PRICING_SQL = """
 
 
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F6: predicate + projection pushdown to the parquet scan.
-
-    Round 8 adds ``zkey`` — the Morton key of (l_partkey, l_suppkey)
-    from the Z-order clustering layout helper (plans/zorder.py,
-    the Delta OPTIMIZE ZORDER BY / Iceberg sort-order machinery): pure
-    integer bit interleaving, mirrored term-for-term in the oracle, so
-    the key every clustered write would sort by is value-gated."""
-    from fstd2pandas_spark.plans.zorder import zorder_key
-
+    """F1/F6: predicate + projection pushdown to the parquet scan."""
     li = _load(spark, sf_dir, "lineitem")
     return (
         li.filter((F.col("l_discount") >= 0.05) & (F.col("l_quantity") < 10))
         .select("l_orderkey", "l_linenumber",
-                F.round(F.col("l_extendedprice").cast("decimal(18,2)").cast("double"), 2).alias("price"),
-                zorder_key(["l_partkey", "l_suppkey"]).alias("zkey"))
+                F.round(F.col("l_extendedprice").cast("decimal(18,2)").cast("double"), 2).alias("price"))
         .orderBy("l_orderkey", "l_linenumber")
     )
 
 
-def _zkey_sql(a: str, b: str, bits: int = 16) -> str:
-    """DuckDB mirror of plans/zorder.py zorder_key for two columns."""
-    terms = []
-    for i in range(bits):
-        terms.append(f"((({a} & 65535) >> {i}) & 1) << {2 * i}")
-        terms.append(f"((({b} & 65535) >> {i}) & 1) << {2 * i + 1}")
-    return "CAST(" + " + ".join(f"({t})" for t in terms) + " AS BIGINT)"
-
-
-_Q_FILTER_SQL = f"""
+_Q_FILTER_SQL = """
   SELECT l_orderkey, l_linenumber,
-         round(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS price,
-         {_zkey_sql("l_partkey", "l_suppkey")} AS zkey
+         round(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS price
   FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10
   ORDER BY l_orderkey, l_linenumber
 """
@@ -447,21 +428,45 @@ _Q_DEDUP_SQL = """
 
 
 def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 set ops: UNION ALL of two disjoint selections + dedupe count."""
+    """§2.7 set ops: UNION ALL of two disjoint selections + dedupe count.
+
+    Round 8 adds ``zkey`` — the Morton key of (l_partkey, l_suppkey)
+    from the Z-order clustering layout helper (plans/zorder.py, the
+    Delta OPTIMIZE ZORDER BY / Iceberg sort-order machinery): pure
+    integer bit interleaving, mirrored term-for-term in the oracle, so
+    the key every clustered write would sort by is value-gated."""
+    from fstd2pandas_spark.plans.zorder import zorder_key
+
     li = _load(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_linenumber")
-    b = li.filter(F.col("l_quantity") >= 49).select("l_orderkey", "l_linenumber")
+    zk = zorder_key(["l_partkey", "l_suppkey"]).alias("zkey")
+    a = (li.filter(F.col("l_returnflag") == "R")
+         .select("l_orderkey", "l_linenumber", zk))
+    b = (li.filter(F.col("l_quantity") >= 49)
+         .select("l_orderkey", "l_linenumber", zk))
     return (
         a.unionByName(b).distinct()
         .orderBy("l_orderkey", "l_linenumber")
     )
 
 
-_Q_UNION_SQL = """
-  SELECT DISTINCT l_orderkey, l_linenumber FROM (
-    SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+def _zkey_sql(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB mirror of plans/zorder.py zorder_key for two columns."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} & 65535) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((({b} & 65535) >> {i}) & 1) << {2 * i + 1}")
+    return "CAST(" + " + ".join(f"({t})" for t in terms) + " AS BIGINT)"
+
+
+_Q_UNION_SQL = f"""
+  SELECT DISTINCT l_orderkey, l_linenumber, zkey FROM (
+    SELECT l_orderkey, l_linenumber,
+           {_zkey_sql("l_partkey", "l_suppkey")} AS zkey
+    FROM lineitem WHERE l_returnflag = 'R'
     UNION ALL
-    SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity >= 49) t
+    SELECT l_orderkey, l_linenumber,
+           {_zkey_sql("l_partkey", "l_suppkey")} AS zkey
+    FROM lineitem WHERE l_quantity >= 49) t
   ORDER BY l_orderkey, l_linenumber
 """
 
