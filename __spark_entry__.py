@@ -3826,12 +3826,37 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_ev_{uuid.uuid4().hex[:8]}"
     run_to_memory(agg, name, output_mode="complete")
-    hourly = spark.table(name).select(
-        F.lit("hour").alias("kind"),
+    sink = spark.table(name).select(
         F.unix_timestamp("hour").alias("k1"),
         F.col("event_type").alias("k2"),
-        F.col("n"), F.col("sum_value"),
+        F.col("n"), F.col("sum_value"))
+    hourly = sink.select(
+        F.lit("hour").alias("kind"), "k1", "k2", "n", "sum_value",
         F.lit(None).cast("long").alias("dur_s"))
+
+    # kind='day'/'week': the hypertable continuous-aggregate pattern —
+    # coarser grains are served by RE-AGGREGATING the maintained hour
+    # aggregate (the streaming sink), never by rescanning the fact
+    # stream; at 100 TB the day rollup reads hours-sized input. Grain
+    # keys are pure integer epoch arithmetic (UTC; week anchored
+    # Monday: epoch day 0 is a Thursday, hence the +4), and the rolled
+    # sum quantizes the 4-dp hour sums to integer micro-units so the
+    # re-aggregation is summation-order-free and the single final
+    # division is bit-identical across engines.
+    def _grain_rows(kind: str, grain_k1):
+        s4 = F.sum(F.round(F.col("sum_value") * 10000, 0).cast("long"))
+        return (sink.groupBy(grain_k1.alias("k1"), F.col("k2"))
+                .agg(F.sum("n").cast("long").alias("n"),
+                     (s4.cast("double") / 10000).alias("sum_value"))
+                .select(F.lit(kind).alias("kind"), "k1", "k2", "n",
+                        "sum_value",
+                        F.lit(None).cast("long").alias("dur_s")))
+
+    day_k1 = F.col("k1") - F.col("k1") % 86400
+    week_k1 = day_k1 - ((F.floor(F.col("k1") / 86400) + 4) % 7) * 86400
+    hourly = (hourly
+              .unionByName(_grain_rows("day", day_k1))
+              .unionByName(_grain_rows("week", week_k1)))
 
     # kind='sfunnel': the STATEFUL streaming funnel
     # (streaming/record_stream.py streaming_funnel,
@@ -3883,7 +3908,12 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_STREAM_EVENTS_SQL = """
-  WITH fv AS (SELECT user_id, min(ts) AS t1 FROM events
+  WITH h8 AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS k1,
+                     event_type AS k2, count(*) AS n,
+                     round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                                AS DOUBLE), 4) AS sv
+              FROM events GROUP BY 1, 2),
+  fv AS (SELECT user_id, min(ts) AS t1 FROM events
               WHERE event_type = 'view' GROUP BY user_id),
   fc AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
          JOIN fv USING (user_id)
@@ -3900,12 +3930,28 @@ _Q_STREAM_EVENTS_SQL = """
                      WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth,
                 t1, coalesce(t3, t2, t1) AS tl
          FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id))
-  SELECT 'hour' AS kind,
-         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS k1,
-         event_type AS k2, count(*) AS n,
-         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
+  SELECT 'hour' AS kind, k1, k2, n, sv AS sum_value,
          CAST(NULL AS BIGINT) AS dur_s
-  FROM events GROUP BY 2, 3
+  FROM h8
+  UNION ALL
+  -- hypertable rollup mirror: day/week re-aggregated FROM the hour
+  -- aggregate via order-free integer micro-unit sums
+  SELECT 'day' AS kind, k1 - k1 % 86400 AS k1, k2,
+         CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(CAST(round(sv * 10000, 0) AS BIGINT)) AS DOUBLE)
+           / 10000 AS sum_value,
+         CAST(NULL AS BIGINT) AS dur_s
+  FROM h8 GROUP BY 2, 3
+  UNION ALL
+  SELECT 'week' AS kind,
+         (k1 - k1 % 86400)
+           - ((CAST(floor(k1 / 86400) AS BIGINT) + 4) % 7) * 86400 AS k1,
+         k2,
+         CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(CAST(round(sv * 10000, 0) AS BIGINT)) AS DOUBLE)
+           / 10000 AS sum_value,
+         CAST(NULL AS BIGINT) AS dur_s
+  FROM h8 GROUP BY 2, 3
   UNION ALL
   SELECT 'sfunnel' AS kind,
          CAST(floor(epoch(t1)) AS BIGINT) AS k1,
