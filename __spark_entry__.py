@@ -3988,21 +3988,52 @@ def q_stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_to_memory(running_extrema(stream), name, output_mode="update")
     # update-mode sink holds one row per key per micro-batch; the final
     # state is the monotone envelope of the updates
-    return (
+    ext = (
         spark.table(name)
         .groupBy("nomvar")
         .agg(F.max("n_seen").alias("n_seen"),
              F.round(F.min("running_min"), 6).alias("running_min"),
              F.round(F.max("running_max"), 6).alias("running_max"))
-        .orderBy("nomvar")
     )
+    # round 8: Count-Min sketch (operators/sketch.py) gated alongside —
+    # cms_est is each key's estimate from a deliberately NARROW (4x2)
+    # sketch so collisions make it non-trivial: 3 of the 5 event types
+    # overcount and 2 estimate exactly at sf0.01. The md5 buckets and
+    # integer counters are engine-deterministic, so the oracle rebuilds
+    # the exact counter matrix and estimates.
+    from fstd2pandas_spark.operators.sketch import (
+        countmin_counters, countmin_estimate)
+
+    evb = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    cnt = countmin_counters(evb, "event_type", width=4, depth=2)
+    est = countmin_estimate(
+        cnt, evb.select("event_type").distinct(), "event_type",
+        width=4, depth=2).withColumnRenamed("event_type", "nomvar")
+    return (ext.join(est, "nomvar", "left").orderBy("nomvar"))
 
 
 _Q_STREAM_EXTREMA_SQL = """
-  SELECT event_type AS nomvar, count(*) AS n_seen,
-         round(min(value), 6) AS running_min,
-         round(max(value), 6) AS running_max
-  FROM events GROUP BY 1 ORDER BY nomvar
+  WITH cms AS (
+    SELECT d.d,
+           CAST(concat('0x', substr(md5(concat('cms', CAST(d.d AS VARCHAR),
+                '_', event_type)), 1, 8)) AS BIGINT) % 4 AS bucket,
+           count(*) AS c
+    FROM events, (SELECT unnest([0, 1]) AS d) d
+    GROUP BY 1, 2),
+  cest AS (
+    SELECT t.event_type,
+           CAST(min(cms.c) AS BIGINT) AS cms_est
+    FROM (SELECT DISTINCT event_type FROM events) t
+    JOIN cms ON cms.bucket =
+         CAST(concat('0x', substr(md5(concat('cms', CAST(cms.d AS VARCHAR),
+              '_', t.event_type)), 1, 8)) AS BIGINT) % 4
+    GROUP BY 1)
+  SELECT e.event_type AS nomvar, count(*) AS n_seen,
+         round(min(e.value), 6) AS running_min,
+         round(max(e.value), 6) AS running_max,
+         any_value(cest.cms_est) AS cms_est
+  FROM events e JOIN cest ON cest.event_type = e.event_type
+  GROUP BY 1 ORDER BY nomvar
 """
 
 

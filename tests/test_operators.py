@@ -577,3 +577,49 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     plan = range_join(pts, iv, by="uid") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_countmin_sketch_properties(spark):
+    """Count-Min: estimates are exact without collisions, overcount
+    (never undercount) with them, and merged sketches equal the sketch
+    of the union — all deterministic integer arithmetic."""
+    import hashlib
+
+    from fstd2pandas_spark.operators.sketch import (
+        countmin_counters, countmin_estimate, merge_counters)
+
+    rows = [(f"k{i % 7}",) for i in range(70)]   # 7 keys x 10 each
+    df = spark.createDataFrame(rows, ["k"])
+    keys = df.distinct()
+
+    # wide sketch: no collisions possible to matter -> exact
+    c_wide = countmin_counters(df, "k", width=1024, depth=3)
+    est = {r["k"]: r["cms_est"] for r in countmin_estimate(
+        c_wide, keys, "k", width=1024, depth=3).collect()}
+    assert est == {f"k{i}": 10 for i in range(7)}
+
+    # narrow sketch: overcount-only
+    c_narrow = countmin_counters(df, "k", width=2, depth=2)
+    est2 = {r["k"]: r["cms_est"] for r in countmin_estimate(
+        c_narrow, keys, "k", width=2, depth=2).collect()}
+    assert all(v >= 10 for v in est2.values())
+    assert any(v > 10 for v in est2.values())    # collisions DID occur
+
+    # determinism vs a hand computation of one cell
+    def bucket(v, d, width):
+        return int(hashlib.md5(f"cms{d}_{v}".encode())
+                   .hexdigest()[:8], 16) % width
+    cell = {(r["d"], r["bucket"]): r["c"] for r in c_narrow.collect()}
+    exp = {}
+    for i in range(7):
+        for d in range(2):
+            key = (d, bucket(f"k{i}", d, 2))
+            exp[key] = exp.get(key, 0) + 10
+    assert cell == exp
+
+    # mergeability: sketch(a) + sketch(b) == sketch(a union b)
+    a, b = df.limit(30), spark.createDataFrame(rows[30:], ["k"])
+    merged = {(r["d"], r["bucket"]): r["c"] for r in merge_counters(
+        countmin_counters(a, "k", width=2, depth=2),
+        countmin_counters(b, "k", width=2, depth=2)).collect()}
+    assert merged == cell
