@@ -38,6 +38,9 @@ from fstd2pandas_spark.operators.funnel import (
     user_activity_report, cohorts_from_report,
 )
 from fstd2pandas_spark.operators.temporal import asof_join, range_join
+from fstd2pandas_spark.operators.sketch import (
+    countmin_counters, countmin_estimate, merge_counters,
+)
 
 __all__ = [
     "select_meta", "select_with_meta", "add_metadata_to_query_results",
@@ -50,4 +53,5 @@ __all__ = [
     "sessionize", "funnel_steps", "funnel_counts", "counts_from_steps",
     "retention_cohorts", "user_activity_report", "cohorts_from_report",
     "asof_join", "range_join",
+    "countmin_counters", "countmin_estimate", "merge_counters",
 ]
