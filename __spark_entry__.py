@@ -452,9 +452,13 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zkey_sql(a: str, b: str, bits: int = 16) -> str:
     """DuckDB mirror of plans/zorder.py zorder_key for two columns."""
     terms = []
+    ca, cb = f"CAST({a} AS BIGINT)", f"CAST({b} AS BIGINT)"
     for i in range(bits):
-        terms.append(f"((({a} & 65535) >> {i}) & 1) << {2 * i}")
-        terms.append(f"((({b} & 65535) >> {i}) & 1) << {2 * i + 1}")
+        # the inner BIGINT cast mirrors zorder_key exactly: on an INT32
+        # column the raw shift would stay INTEGER in DuckDB and
+        # `1 << 31` raises Overflow in left shift
+        terms.append(f"((({ca} & 65535) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((({cb} & 65535) >> {i}) & 1) << {2 * i + 1}")
     return "CAST(" + " + ".join(f"({t})" for t in terms) + " AS BIGINT)"
 
 
@@ -3853,7 +3857,9 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(None).cast("long").alias("dur_s")))
 
     day_k1 = F.col("k1") - F.col("k1") % 86400
-    week_k1 = day_k1 - ((F.floor(F.col("k1") / 86400) + 4) % 7) * 86400
+    # epoch day 0 is a Thursday (weekday 3 counting Monday=0), so days
+    # since the Monday anchor = (epoch_day + 3) % 7
+    week_k1 = day_k1 - ((F.floor(F.col("k1") / 86400) + 3) % 7) * 86400
     hourly = (hourly
               .unionByName(_grain_rows("day", day_k1))
               .unionByName(_grain_rows("week", week_k1)))
@@ -3945,7 +3951,7 @@ _Q_STREAM_EVENTS_SQL = """
   UNION ALL
   SELECT 'week' AS kind,
          (k1 - k1 % 86400)
-           - ((CAST(floor(k1 / 86400) AS BIGINT) + 4) % 7) * 86400 AS k1,
+           - ((CAST(floor(k1 / 86400) AS BIGINT) + 3) % 7) * 86400 AS k1,
          k2,
          CAST(sum(n) AS BIGINT) AS n,
          CAST(sum(CAST(round(sv * 10000, 0) AS BIGINT)) AS DOUBLE)
@@ -4004,7 +4010,7 @@ def q_stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fstd2pandas_spark.operators.sketch import (
         countmin_counters, countmin_estimate)
 
-    evb = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    evb = _load(spark, sf_dir, "events")
     cnt = countmin_counters(evb, "event_type", width=4, depth=2)
     est = countmin_estimate(
         cnt, evb.select("event_type").distinct(), "event_type",

@@ -15,6 +15,11 @@ sketch libraries are not): bucket hashes are md5-derived
 summation-order-free and bit-identical on any engine, partitioning, or
 merge order. An SQL oracle rebuilds the exact counter matrix and the
 exact estimates.
+
+NULL keys are excluded on BOTH build and estimate (a NULL has no md5
+bucket; silently routing it through NULL cells would undercount to 0 —
+a contract violation — and DuckDB's NULL-skipping concat() could not
+mirror it anyway).
 """
 
 from __future__ import annotations
@@ -31,11 +36,23 @@ def cms_bucket_col(value: Column, d: int, width: int) -> Column:
         16, 10).cast("long") % width)
 
 
+def _banded(key: Column, width: int, depth: int) -> Column:
+    """The shared (d, bucket) banding array — ONE definition for build
+    and estimate, so the two sides cannot silently desynchronize (a
+    hash-salt edit applied to one would zero every estimate)."""
+    return F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 cms_bucket_col(key, d, width).alias("bucket"))
+        for d in range(depth)])
+
+
 def countmin_counters(df: DataFrame, key_col: str, width: int = 1024,
                       depth: int = 4,
                       weight_col: "str | None" = None) -> DataFrame:
-    """Build the sketch: (d, bucket, c) rows — the non-zero cells of
-    the depth x width counter matrix. ONE aggregation, map-side
+    """Build the sketch: (d, bucket, c, width, depth) rows — the
+    non-zero cells of the depth x width counter matrix, with the
+    parameters riding along so consumers can validate they estimate
+    against the matrix they think they do. ONE aggregation, map-side
     combined, output bounded by depth*width regardless of key
     cardinality. ``weight_col`` counts weighted occurrences (e.g.
     bytes per URL) instead of rows."""
@@ -43,38 +60,49 @@ def countmin_counters(df: DataFrame, key_col: str, width: int = 1024,
         raise ValueError("depth and width must be >= 1")
     w = (F.col(weight_col).cast("long") if weight_col
          else F.lit(1).cast("long"))
-    rows = df.select(
-        F.explode(F.array(*[
-            F.struct(F.lit(d).alias("d"),
-                     cms_bucket_col(F.col(key_col), d, width)
-                     .alias("bucket"))
-            for d in range(depth)])).alias("db"),
-        w.alias("_w"))
+    rows = (df.filter(F.col(key_col).isNotNull())
+            .select(F.explode(_banded(F.col(key_col), width, depth))
+                    .alias("db"), w.alias("_w")))
     return (rows.groupBy("db.d", "db.bucket")
-            .agg(F.sum("_w").alias("c")))
+            .agg(F.sum("_w").alias("c"))
+            .withColumn("width", F.lit(int(width)))
+            .withColumn("depth", F.lit(int(depth))))
 
 
 def merge_counters(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two sketches built with the same (width, depth): cells add
     — the property that lets per-day / per-stream sketches combine
-    without touching raw data."""
-    return (a.unionByName(b).groupBy("d", "bucket")
+    without touching raw data. Parameter columns must agree (grouping
+    on them makes a mismatched merge produce disjoint cells rather
+    than silently mixed ones; validate with the estimate-side check)."""
+    return (a.unionByName(b).groupBy("d", "bucket", "width", "depth")
             .agg(F.sum("c").alias("c")))
 
 
 def countmin_estimate(counters: DataFrame, keys: DataFrame,
                       key_col: str, width: int, depth: int) -> DataFrame:
-    """Estimated count for every row of ``keys``: min over the depth
-    rows of the key's counter cells (missing cells are 0). The counter
-    side is depth*width-bounded, so it broadcasts; the keys side
-    streams — estimating a billion keys is a narrow broadcast join."""
-    banded = keys.select(
-        F.col(key_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(d).alias("d"),
-                     cms_bucket_col(F.col(key_col), d, width)
-                     .alias("bucket"))
-            for d in range(depth)])).alias("db"))
+    """Estimated count for every DISTINCT non-NULL key in ``keys``:
+    min over the depth rows of the key's counter cells (missing cells
+    are 0). The counter side is depth*width-bounded, so it broadcasts;
+    the keys side streams — estimating a billion keys is a narrow
+    broadcast join.
+
+    (width, depth) must match the sketch; the counters' own parameter
+    columns are checked (bounded .first() — the frame is at most
+    depth*width rows) so a mismatch fails loudly instead of silently
+    estimating 0 for every key (an undercount, the one thing a
+    Count-Min must never do)."""
+    head = counters.select("width", "depth").first()
+    if head is not None and (head["width"] != width
+                             or head["depth"] != depth):
+        raise ValueError(
+            f"sketch was built with (width={head['width']}, "
+            f"depth={head['depth']}), estimate called with "
+            f"({width}, {depth})")
+    banded = (keys.filter(F.col(key_col).isNotNull())
+              .select(F.col(key_col),
+                      F.explode(_banded(F.col(key_col), width, depth))
+                      .alias("db")))
     joined = banded.join(
         F.broadcast(counters),
         (banded["db.d"] == counters["d"])

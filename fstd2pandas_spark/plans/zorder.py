@@ -35,6 +35,8 @@ def zorder_key(cols: "list[str]",
     n = len(cols)
     if n == 0:
         raise ValueError("zorder_key: need at least one column")
+    if bits < 1:
+        raise ValueError("zorder_key: bits must be >= 1")
     if bits * n > 63:
         raise ValueError(
             f"{bits} bits x {n} dims = {bits * n} exceeds a signed int64")
@@ -66,7 +68,12 @@ def zorder_repartition(df: DataFrame, cols: "list[str]",
     write layout), key column dropped from the result. Each output
     file then covers a compact hyper-rectangle of the key space, so
     min/max pruning serves predicates on any participating column."""
+    if key_col in df.columns:
+        raise ValueError(
+            f"zorder_repartition: column {key_col!r} already exists — "
+            "withColumn would silently destroy it; pass a free key_col")
     keyed = df.withColumn(key_col, zorder_key(cols, bits))
     part = (keyed.repartitionByRange(num_partitions, key_col)
-            if num_partitions else keyed.repartitionByRange(key_col))
+            if num_partitions is not None
+            else keyed.repartitionByRange(key_col))
     return part.sortWithinPartitions(key_col).drop(key_col)

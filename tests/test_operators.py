@@ -623,3 +623,39 @@ def test_countmin_sketch_properties(spark):
         countmin_counters(a, "k", width=2, depth=2),
         countmin_counters(b, "k", width=2, depth=2)).collect()}
     assert merged == cell
+
+
+def test_countmin_null_keys_and_param_mismatch(spark):
+    """NULL keys are excluded on build AND estimate (routing them
+    through NULL cells would undercount to 0), and estimating with
+    mismatched (width, depth) fails loudly instead of silently
+    returning 0 for every key."""
+    import pytest as _pytest
+
+    from fstd2pandas_spark.operators.sketch import (
+        countmin_counters, countmin_estimate)
+
+    df = spark.createDataFrame([("a",), ("a",), (None,), (None,)],
+                               ["k"])
+    cnt = countmin_counters(df, "k", width=16, depth=2)
+    assert all(r["bucket"] is not None for r in cnt.collect())
+    est = {r["k"]: r["cms_est"] for r in countmin_estimate(
+        cnt, df.distinct(), "k", width=16, depth=2).collect()}
+    assert est == {"a": 2}  # NULL key row dropped, not estimated as 0
+    with _pytest.raises(ValueError, match="width=16"):
+        countmin_estimate(cnt, df, "k", width=4, depth=2)
+
+
+def test_zorder_guards(spark):
+    """bits >= 1 guard, existing-key_col protection, explicit
+    num_partitions=0 rejection path."""
+    import pytest as _pytest
+
+    from fstd2pandas_spark.plans.zorder import (
+        zorder_key, zorder_repartition)
+
+    df = spark.createDataFrame([(1, 2, 3)], ["a", "b", "_zorder"])
+    with _pytest.raises(ValueError, match="bits"):
+        zorder_key(["a"], bits=0)
+    with _pytest.raises(ValueError, match="already exists"):
+        zorder_repartition(df, ["a", "b"])
