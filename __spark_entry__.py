@@ -4015,7 +4015,16 @@ def q_stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = countmin_estimate(
         cnt, evb.select("event_type").distinct(), "event_type",
         width=4, depth=2).withColumnRenamed("event_type", "nomvar")
-    return (ext.join(est, "nomvar", "left").orderBy("nomvar"))
+    # lc_occ: the linear-counting cardinality sketch (sketch.py) over
+    # each type's event ids — the occupied-bucket count is the
+    # deterministic integer half of the distinct estimate (the ln step
+    # is driver-side and stays out of the cross-engine contract)
+    from fstd2pandas_spark.operators.sketch import linear_count_occupied
+
+    lc = (linear_count_occupied(evb, "event_id", ["event_type"], m=4096)
+          .select(F.col("event_type").alias("nomvar"), "lc_occ"))
+    return (ext.join(est, "nomvar", "left")
+            .join(lc, "nomvar", "left").orderBy("nomvar"))
 
 
 _Q_STREAM_EXTREMA_SQL = """
@@ -4037,8 +4046,16 @@ _Q_STREAM_EXTREMA_SQL = """
   SELECT e.event_type AS nomvar, count(*) AS n_seen,
          round(min(e.value), 6) AS running_min,
          round(max(e.value), 6) AS running_max,
-         any_value(cest.cms_est) AS cms_est
+         any_value(cest.cms_est) AS cms_est,
+         any_value(lcc.lc_occ) AS lc_occ
   FROM events e JOIN cest ON cest.event_type = e.event_type
+  JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS lc_occ
+        FROM (SELECT DISTINCT event_type,
+                     CAST(concat('0x', substr(md5(concat('lc_',
+                          CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                       % 4096 AS b
+              FROM events)
+        GROUP BY 1) lcc ON lcc.event_type = e.event_type
   GROUP BY 1 ORDER BY nomvar
 """
 

@@ -40,6 +40,7 @@ from fstd2pandas_spark.operators.funnel import (
 from fstd2pandas_spark.operators.temporal import asof_join, range_join
 from fstd2pandas_spark.operators.sketch import (
     countmin_counters, countmin_estimate, merge_counters,
+    linear_count_occupied, linear_count_estimate,
 )
 
 __all__ = [
@@ -54,4 +55,5 @@ __all__ = [
     "retention_cohorts", "user_activity_report", "cohorts_from_report",
     "asof_join", "range_join",
     "countmin_counters", "countmin_estimate", "merge_counters",
+    "linear_count_occupied", "linear_count_estimate",
 ]

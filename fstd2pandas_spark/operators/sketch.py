@@ -110,3 +110,45 @@ def countmin_estimate(counters: DataFrame, keys: DataFrame,
     return (joined.groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
                  .cast("long").alias("cms_est")))
+
+
+def linear_count_occupied(df: DataFrame, key_col: str,
+                          group_cols: "list[str] | None" = None,
+                          m: int = 1024) -> DataFrame:
+    """Linear-counting cardinality sketch (Whang et al. 1990 — the
+    small-cardinality regime HyperLogLog implementations fall back
+    to): hash every key into one of ``m`` buckets and count the
+    OCCUPIED buckets ``z_occ`` per group. The distinct-count estimate
+    is ``-m * ln(1 - z_occ/m)``; callers apply it driver-side
+    (:func:`linear_count_estimate`) — the gated/deterministic part is
+    the integer ``z_occ`` itself (md5 buckets + distinct, bit-identical
+    on any engine; ``ln`` is the one float step and stays OUT of the
+    cross-engine contract).
+
+    Scale shape: one distinct over (group, bucket) — at most m rows
+    per group survive the map-side partial — then a count per group;
+    the state is m-bounded however many distinct keys exist. NULL keys
+    are excluded (no md5 bucket)."""
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    gcols = list(group_cols or [])
+    b = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("lc_"), F.col(key_col).cast("string"))),
+        1, 8), 16, 10).cast("long") % m)
+    return (df.filter(F.col(key_col).isNotNull())
+            .select(*gcols, b.alias("_b"))
+            .distinct()
+            .groupBy(*gcols)
+            .agg(F.count("*").cast("long").alias("lc_occ"))
+            .withColumn("lc_m", F.lit(int(m))))
+
+
+def linear_count_estimate(z_occ: int, m: int) -> float:
+    """The driver-side estimate for an occupied-bucket count: the
+    classic -m * ln(1 - z/m); z == m (saturated) returns infinity —
+    resize m, the sketch is out of its regime."""
+    import math
+
+    if z_occ >= m:
+        return float("inf")
+    return -m * math.log(1.0 - z_occ / m)

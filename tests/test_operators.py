@@ -659,3 +659,30 @@ def test_zorder_guards(spark):
         zorder_key(["a"], bits=0)
     with _pytest.raises(ValueError, match="already exists"):
         zorder_repartition(df, ["a", "b"])
+
+
+def test_linear_count_sketch(spark):
+    """Occupied-bucket counts: exact at tiny cardinality (no
+    collisions), bounded by m, NULL keys excluded, per-group split,
+    and the driver-side estimator recovers small cardinalities."""
+    import hashlib
+
+    from fstd2pandas_spark.operators.sketch import (
+        linear_count_estimate, linear_count_occupied)
+
+    rows = ([("g1", f"u{i}") for i in range(20) for _ in range(3)]
+            + [("g2", "u0")] + [("g2", None)])
+    df = spark.createDataFrame(rows, ["g", "u"])
+    out = {r["g"]: (r["lc_occ"], r["lc_m"]) for r in
+           linear_count_occupied(df, "u", ["g"], m=4096).collect()}
+
+    def bucket(v, m):
+        return int(hashlib.md5(f"lc_{v}".encode()).hexdigest()[:8],
+                   16) % m
+    assert out["g1"] == (len({bucket(f"u{i}", 4096)
+                              for i in range(20)}), 4096)
+    assert out["g2"] == (1, 4096)  # NULL excluded
+    # estimator: 20 keys in 4096 buckets -> estimate within ~1 of 20
+    est = linear_count_estimate(out["g1"][0], 4096)
+    assert abs(est - 20) < 1.5
+    assert linear_count_estimate(8, 8) == float("inf")
