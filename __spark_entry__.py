@@ -3843,7 +3843,7 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate (the streaming sink), never by rescanning the fact
     # stream; at 100 TB the day rollup reads hours-sized input. Grain
     # keys are pure integer epoch arithmetic (UTC; week anchored
-    # Monday: epoch day 0 is a Thursday, hence the +4), and the rolled
+    # Monday: epoch day 0 is a Thursday, hence the +3), and the rolled
     # sum quantizes the 4-dp hour sums to integer micro-units so the
     # re-aggregation is summation-order-free and the single final
     # division is bit-identical across engines.
