@@ -1,13 +1,15 @@
 """Baseline TIFF 6.0 decoder in pure numpy + stdlib — the public spec:
-II/MM byte orders, IFD tag walk, strip-based images, 8-bit samples in
-greyscale / RGB / RGBA (alpha dropped) / palette photometrics, and the
-three codec-free compressions: none (1), LZW (5, MSB-first codes with
-the spec's early-change width rule + horizontal-differencing predictor)
+II/MM byte orders, IFD tag walk, STRIP and TILED layouts (tiles are
+the GeoTIFF norm: row-major full tiles, zero-padded edges assembled
+clipped, per-tile predictor restart), 8-bit samples in greyscale / RGB
+/ RGBA (alpha dropped) / palette photometrics, and the three
+codec-free compressions: none (1), LZW (5, MSB-first codes with the
+spec's early-change width rule + horizontal-differencing predictor)
 and PackBits (32773).
 
 Out-of-scope variants return ``None`` for the content-hash fallback
-(tiled layout, planar configuration 2, 16-bit samples, JPEG-in-TIFF,
-CCITT fax codings) — the same honesty contract as the other decoders.
+(planar configuration 2, 16-bit samples, JPEG-in-TIFF, CCITT fax
+codings) — the same honesty contract as the other decoders.
 """
 
 from __future__ import annotations
@@ -153,32 +155,20 @@ def _decode(payload: bytes) -> "np.ndarray | None":
     predictor = one(317, 1)
     if w is None or h is None or photo is None:
         return None
-    if 322 in tags or 323 in tags:        # tiled layout
-        raise _BadTiff("tiled TIFF")
     if planar != 1 or any(b != 8 for b in bits):
         raise _BadTiff("non-chunky or non-8-bit")
     if comp not in (1, 5, 32773):
         raise _BadTiff(f"compression {comp}")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise _BadTiff("missing strips")
-    rows_per_strip = one(278, h)
-    # forged-IFD guard BEFORE any strip materializes: 32-bit dims tags
-    # allow a small file to demand terabytes, and an LZW-bomb strip can
+    # forged-IFD guard BEFORE any chunk materializes: 32-bit dims tags
+    # allow a small file to demand terabytes, and an LZW-bomb chunk can
     # legitimately inflate far beyond its compressed bytes toward the
-    # claimed strip size
+    # claimed chunk size
     if h * w * spp > MAX_DECODE_BYTES:
         raise _BadTiff("dimensions exceed decode budget")
 
-    row_bytes = w * spp
-    parts = []
-    remaining_rows = h
-    for off, cnt in zip(offsets, counts):
-        strip_rows = min(rows_per_strip, remaining_rows)
-        remaining_rows -= strip_rows
+    def chunk(off, cnt, want):
+        """One decompressed strip/tile, exactly `want` bytes."""
         raw = payload[off:off + cnt]
-        want = strip_rows * row_bytes
         if comp == 1:
             data = raw[:want]
         elif comp == 5:
@@ -186,14 +176,61 @@ def _decode(payload: bytes) -> "np.ndarray | None":
         else:
             data = _packbits_decode(raw, want)
         if len(data) < want:
-            raise _BadTiff("short strip")
-        arr = np.frombuffer(data, np.uint8, want).reshape(
-            strip_rows, w, spp)
-        if predictor == 2:                # horizontal differencing
-            arr = np.cumsum(arr.astype(np.uint32), axis=1) \
-                .astype(np.uint8)
-        parts.append(arr)
-    px = np.concatenate(parts, axis=0)
+            raise _BadTiff("short chunk")
+        return data
+
+    if 322 in tags or 323 in tags:
+        # tiled layout (the GeoTIFF norm): full tw x th tiles in
+        # row-major tile order, edge tiles padded — assemble clipped.
+        # Each tile decompresses independently; the horizontal
+        # predictor restarts per tile row, exactly the strip rule
+        # applied to the tile's own width.
+        tw, th = one(322), one(323)
+        toffs, tcnts = tags.get(324), tags.get(325)
+        if not tw or not th or tw < 1 or th < 1:
+            raise _BadTiff("bad tile dimensions")
+        if not toffs or not tcnts or len(toffs) != len(tcnts):
+            raise _BadTiff("missing tiles")
+        across = -(-w // tw)
+        down = -(-h // th)
+        if len(toffs) < across * down:
+            raise _BadTiff("short tile table")
+        if th * tw * spp > MAX_DECODE_BYTES:
+            raise _BadTiff("tile exceeds decode budget")
+        px = np.zeros((h, w, spp), dtype=np.uint8)
+        want = th * tw * spp
+        for idx in range(across * down):
+            data = chunk(toffs[idx], tcnts[idx], want)
+            arr = np.frombuffer(data, np.uint8, want).reshape(
+                th, tw, spp)
+            if predictor == 2:
+                arr = np.cumsum(arr.astype(np.uint32), axis=1) \
+                    .astype(np.uint8)
+            ty, tx = divmod(idx, across)
+            y0, x0 = ty * th, tx * tw
+            ch_, cw_ = min(th, h - y0), min(tw, w - x0)
+            px[y0:y0 + ch_, x0:x0 + cw_] = arr[:ch_, :cw_]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise _BadTiff("missing strips")
+        rows_per_strip = one(278, h)
+        row_bytes = w * spp
+        parts = []
+        remaining_rows = h
+        for off, cnt in zip(offsets, counts):
+            strip_rows = min(rows_per_strip, remaining_rows)
+            remaining_rows -= strip_rows
+            want = strip_rows * row_bytes
+            data = chunk(off, cnt, want)
+            arr = np.frombuffer(data, np.uint8, want).reshape(
+                strip_rows, w, spp)
+            if predictor == 2:            # horizontal differencing
+                arr = np.cumsum(arr.astype(np.uint32), axis=1) \
+                    .astype(np.uint8)
+            parts.append(arr)
+        px = np.concatenate(parts, axis=0)
 
     if photo in (0, 1) and spp >= 1:      # grey (0 = white-is-zero)
         g = px[..., 0]

@@ -83,9 +83,12 @@ def _packbits_encode(data: bytes) -> bytes:
 def encode_tiff(img: np.ndarray, photometric: int = 2,
                 compression: int = 1, predictor: int = 1,
                 rows_per_strip: "int | None" = None,
-                palette: "np.ndarray | None" = None) -> bytes:
+                palette: "np.ndarray | None" = None,
+                tile: "tuple[int, int] | None" = None) -> bytes:
     """img: (h, w) indices/grey for photometric 0/1/3, (h, w, ch) for
-    RGB(A). Little-endian, one IFD."""
+    RGB(A). Little-endian, one IFD. ``tile=(tw, th)`` writes the tiled
+    layout (tags 322/323/324/325, row-major full tiles, zero-padded
+    edges) instead of strips."""
     if img.ndim == 2:
         px = img[..., None]
     else:
@@ -93,23 +96,35 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
     h, w, spp = px.shape
     rows_per_strip = rows_per_strip or h
 
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        rows = px[y0:y0 + rows_per_strip].astype(np.uint8)
-        if predictor == 2:
-            # first column stays raw; the rest are left-differences
-            rows = np.diff(rows.astype(np.int16), axis=1,
-                           prepend=np.zeros((rows.shape[0], 1,
-                                             rows.shape[2]),
-                                            dtype=np.int16)) \
-                .astype(np.uint8)
-        raw = rows.tobytes()
+    def _pack(raw):
         if compression == 5:
-            strips.append(_lzw_encode_tiff(raw))
-        elif compression == 32773:
-            strips.append(_packbits_encode(raw))
-        else:
-            strips.append(raw)
+            return _lzw_encode_tiff(raw)
+        if compression == 32773:
+            return _packbits_encode(raw)
+        return raw
+
+    def _pred(block):
+        if predictor != 2:
+            return block
+        # first column stays raw; the rest are left-differences
+        return np.diff(block.astype(np.int16), axis=1,
+                       prepend=np.zeros((block.shape[0], 1,
+                                         block.shape[2]),
+                                        dtype=np.int16)).astype(np.uint8)
+
+    strips = []
+    if tile is not None:
+        tw, th = tile
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                t = np.zeros((th, tw, spp), dtype=np.uint8)
+                blk = px[y0:y0 + th, x0:x0 + tw].astype(np.uint8)
+                t[:blk.shape[0], :blk.shape[1]] = blk
+                strips.append(_pack(_pred(t).tobytes()))
+    else:
+        for y0 in range(0, h, rows_per_strip):
+            rows = px[y0:y0 + rows_per_strip].astype(np.uint8)
+            strips.append(_pack(_pred(rows).tobytes()))
 
     n_strips = len(strips)
     entries = []  # (tag, type, count, value_or_bytes)
@@ -123,7 +138,11 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
     entry(259, 3, [compression])
     entry(262, 3, [photometric])
     entry(277, 3, [spp])
-    entry(278, 4, [rows_per_strip])
+    if tile is not None:
+        entry(322, 4, [tile[0]])
+        entry(323, 4, [tile[1]])
+    else:
+        entry(278, 4, [rows_per_strip])
     entry(284, 3, [1])
     if predictor != 1:
         entry(317, 3, [predictor])
@@ -144,7 +163,9 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
 
     counts = [len(st) for st in strips]
     n_strips = len(strips)
-    all_entries = entries + [(273, 4, [0] * n_strips), (279, 4, counts)]
+    off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
+    all_entries = entries + [(off_tag, 4, [0] * n_strips),
+                             (cnt_tag, 4, counts)]
     n_ifd = len(all_entries)
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * n_ifd + 4
@@ -161,7 +182,8 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
     for st in strips:
         offsets.append(pos)
         pos += len(st)
-    all_entries = [(273, 4, offsets) if tag == 273 else (tag, typ, vals)
+    all_entries = [(off_tag, 4, offsets) if tag == off_tag
+                   else (tag, typ, vals)
                    for tag, typ, vals in all_entries]
 
     # second pass: emit

@@ -94,3 +94,53 @@ def test_decode_image_dispatches_tiff():
     img = _img(10)
     got = decode_image(encode_tiff(img, compression=32773))
     assert np.array_equal(got, img)
+
+
+def test_tiled_tiff_roundtrip_all_codecs():
+    """Tiled layout (the GeoTIFF norm): none/LZW/PackBits tiles, with
+    and without the horizontal predictor, including edge tiles clipped
+    from zero-padded full tiles on non-multiple dimensions."""
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+    from _tiff_ref import encode_tiff
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 11, 3), dtype=np.uint8)  # 13x11: edges
+    for comp in (1, 5, 32773):
+        for pred in (1, 2):
+            payload = encode_tiff(img, compression=comp, predictor=pred,
+                                  tile=(8, 8))
+            out = decode_tiff(payload)
+            assert out is not None, (comp, pred)
+            np.testing.assert_array_equal(out, img)
+    # tile exactly divides: 16x8 tiles over 16x16
+    img2 = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_tiff(encode_tiff(img2, compression=5, tile=(16, 8))), img2)
+    # grey tiled
+    g = rng.integers(0, 256, (10, 10), dtype=np.uint8)
+    exp = np.repeat(g[..., None], 3, axis=2)
+    np.testing.assert_array_equal(
+        decode_tiff(encode_tiff(g, photometric=1, tile=(4, 4))), exp)
+
+
+def test_tiled_tiff_guards():
+    """Forged tile dims and short tile tables reject cleanly."""
+    import struct
+
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+    from _tiff_ref import encode_tiff
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    payload = bytearray(encode_tiff(img, tile=(4, 4)))
+    # find the TileWidth (322) entry and forge a huge tile
+    n = struct.unpack("<H", payload[8:10])[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        tag = struct.unpack("<H", payload[e:e + 2])[0]
+        if tag == 322:
+            payload[e + 8:e + 12] = struct.pack("<I", 2_000_000_000)
+    assert decode_tiff(bytes(payload)) is None
