@@ -1,15 +1,17 @@
 """Baseline TIFF 6.0 decoder in pure numpy + stdlib — the public spec:
 II/MM byte orders, IFD tag walk, STRIP and TILED layouts (tiles are
 the GeoTIFF norm: row-major full tiles, zero-padded edges assembled
-clipped, per-tile predictor restart), 8-bit samples in greyscale / RGB
-/ RGBA (alpha dropped) / palette photometrics, and the three
-codec-free compressions: none (1), LZW (5, MSB-first codes with the
-spec's early-change width rule + horizontal-differencing predictor)
-and PackBits (32773).
+clipped, per-tile predictor restart), 8- and 16-bit samples (16-bit
+downscales to the high byte with the predictor applied at sample
+width — the PNG depth-16 policy) in greyscale / RGB / RGBA (alpha
+dropped) / palette photometrics, and the three codec-free
+compressions: none (1), LZW (5, MSB-first codes with the spec's
+early-change width rule + horizontal-differencing predictor) and
+PackBits (32773).
 
 Out-of-scope variants return ``None`` for the content-hash fallback
-(planar configuration 2, 16-bit samples, JPEG-in-TIFF, CCITT fax
-codings) — the same honesty contract as the other decoders.
+(planar configuration 2, JPEG-in-TIFF, CCITT fax codings) — the same
+honesty contract as the other decoders.
 """
 
 from __future__ import annotations
@@ -155,16 +157,40 @@ def _decode(payload: bytes) -> "np.ndarray | None":
     predictor = one(317, 1)
     if w is None or h is None or photo is None:
         return None
-    if planar != 1 or any(b != 8 for b in bits):
-        raise _BadTiff("non-chunky or non-8-bit")
+    if planar != 1 or any(b != bits[0] for b in bits) \
+            or bits[0] not in (8, 16):
+        raise _BadTiff("non-chunky or unsupported bit depth")
+    bps = bits[0] // 8   # bytes per sample (16-bit downscales, PNG-style)
     if comp not in (1, 5, 32773):
         raise _BadTiff(f"compression {comp}")
     # forged-IFD guard BEFORE any chunk materializes: 32-bit dims tags
     # allow a small file to demand terabytes, and an LZW-bomb chunk can
     # legitimately inflate far beyond its compressed bytes toward the
     # claimed chunk size
-    if h * w * spp > MAX_DECODE_BYTES:
+    if h * w * spp * bps > MAX_DECODE_BYTES:
         raise _BadTiff("dimensions exceed decode budget")
+
+    def samples(data, nrows, ncols):
+        """Decoded chunk bytes -> (nrows, ncols, spp) uint8: 16-bit
+        samples apply the predictor at sample width (per spec) then
+        downscale to the high byte — the same policy as the PNG
+        decoder's depth-16 path."""
+        if bps == 1:
+            arr = np.frombuffer(data, np.uint8,
+                                nrows * ncols * spp).reshape(
+                nrows, ncols, spp)
+            if predictor == 2:            # horizontal differencing
+                arr = np.cumsum(arr.astype(np.uint32), axis=1) \
+                    .astype(np.uint8)
+            return arr
+        dt = np.dtype(np.uint16).newbyteorder(
+            "<" if end == "<" else ">")
+        arr = np.frombuffer(data, dt, nrows * ncols * spp).reshape(
+            nrows, ncols, spp)
+        if predictor == 2:
+            arr = (np.cumsum(arr.astype(np.uint32), axis=1)
+                   & 0xFFFF).astype(np.uint16)
+        return (arr >> 8).astype(np.uint8)
 
     def chunk(off, cnt, want):
         """One decompressed strip/tile, exactly `want` bytes."""
@@ -195,17 +221,13 @@ def _decode(payload: bytes) -> "np.ndarray | None":
         down = -(-h // th)
         if len(toffs) < across * down:
             raise _BadTiff("short tile table")
-        if th * tw * spp > MAX_DECODE_BYTES:
+        if th * tw * spp * bps > MAX_DECODE_BYTES:
             raise _BadTiff("tile exceeds decode budget")
         px = np.zeros((h, w, spp), dtype=np.uint8)
-        want = th * tw * spp
+        want = th * tw * spp * bps
         for idx in range(across * down):
             data = chunk(toffs[idx], tcnts[idx], want)
-            arr = np.frombuffer(data, np.uint8, want).reshape(
-                th, tw, spp)
-            if predictor == 2:
-                arr = np.cumsum(arr.astype(np.uint32), axis=1) \
-                    .astype(np.uint8)
+            arr = samples(data, th, tw)
             ty, tx = divmod(idx, across)
             y0, x0 = ty * th, tx * tw
             ch_, cw_ = min(th, h - y0), min(tw, w - x0)
@@ -216,7 +238,7 @@ def _decode(payload: bytes) -> "np.ndarray | None":
         if not offsets or not counts or len(offsets) != len(counts):
             raise _BadTiff("missing strips")
         rows_per_strip = one(278, h)
-        row_bytes = w * spp
+        row_bytes = w * spp * bps
         parts = []
         remaining_rows = h
         for off, cnt in zip(offsets, counts):
@@ -224,12 +246,7 @@ def _decode(payload: bytes) -> "np.ndarray | None":
             remaining_rows -= strip_rows
             want = strip_rows * row_bytes
             data = chunk(off, cnt, want)
-            arr = np.frombuffer(data, np.uint8, want).reshape(
-                strip_rows, w, spp)
-            if predictor == 2:            # horizontal differencing
-                arr = np.cumsum(arr.astype(np.uint32), axis=1) \
-                    .astype(np.uint8)
-            parts.append(arr)
+            parts.append(samples(data, strip_rows, w))
         px = np.concatenate(parts, axis=0)
 
     if photo in (0, 1) and spp >= 1:      # grey (0 = white-is-zero)

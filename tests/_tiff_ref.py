@@ -84,7 +84,8 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
                 compression: int = 1, predictor: int = 1,
                 rows_per_strip: "int | None" = None,
                 palette: "np.ndarray | None" = None,
-                tile: "tuple[int, int] | None" = None) -> bytes:
+                tile: "tuple[int, int] | None" = None,
+                bit_depth: int = 8) -> bytes:
     """img: (h, w) indices/grey for photometric 0/1/3, (h, w, ch) for
     RGB(A). Little-endian, one IFD. ``tile=(tw, th)`` writes the tiled
     layout (tags 322/323/324/325, row-major full tiles, zero-padded
@@ -103,27 +104,31 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
             return _packbits_encode(raw)
         return raw
 
+    sdtype = np.uint8 if bit_depth == 8 else np.dtype("<u2")
+    wdtype = np.int16 if bit_depth == 8 else np.int32
+
     def _pred(block):
         if predictor != 2:
             return block
-        # first column stays raw; the rest are left-differences
-        return np.diff(block.astype(np.int16), axis=1,
+        # first column stays raw; the rest are left-differences at
+        # SAMPLE width (16-bit predictor differences 16-bit values)
+        return np.diff(block.astype(wdtype), axis=1,
                        prepend=np.zeros((block.shape[0], 1,
                                          block.shape[2]),
-                                        dtype=np.int16)).astype(np.uint8)
+                                        dtype=wdtype)).astype(sdtype)
 
     strips = []
     if tile is not None:
         tw, th = tile
         for y0 in range(0, h, th):
             for x0 in range(0, w, tw):
-                t = np.zeros((th, tw, spp), dtype=np.uint8)
-                blk = px[y0:y0 + th, x0:x0 + tw].astype(np.uint8)
+                t = np.zeros((th, tw, spp), dtype=sdtype)
+                blk = px[y0:y0 + th, x0:x0 + tw].astype(sdtype)
                 t[:blk.shape[0], :blk.shape[1]] = blk
                 strips.append(_pack(_pred(t).tobytes()))
     else:
         for y0 in range(0, h, rows_per_strip):
-            rows = px[y0:y0 + rows_per_strip].astype(np.uint8)
+            rows = px[y0:y0 + rows_per_strip].astype(sdtype)
             strips.append(_pack(_pred(rows).tobytes()))
 
     n_strips = len(strips)
@@ -134,7 +139,7 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
 
     entry(256, 4, [w])
     entry(257, 4, [h])
-    entry(258, 3, [8] * spp)
+    entry(258, 3, [bit_depth] * spp)
     entry(259, 3, [compression])
     entry(262, 3, [photometric])
     entry(277, 3, [spp])

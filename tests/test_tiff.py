@@ -144,3 +144,31 @@ def test_tiled_tiff_guards():
         if tag == 322:
             payload[e + 8:e + 12] = struct.pack("<I", 2_000_000_000)
     assert decode_tiff(bytes(payload)) is None
+
+
+def test_16bit_tiff_strip_and_tiled():
+    """16-bit samples decode via the high byte (the PNG depth-16
+    policy), with the predictor applied at sample width, in both strip
+    and tiled layouts and all three codecs."""
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+    from _tiff_ref import encode_tiff
+
+    rng = np.random.default_rng(11)
+    img16 = rng.integers(0, 65536, (9, 7, 3), dtype=np.uint16)
+    exp = (img16 >> 8).astype(np.uint8)
+    for comp in (1, 5, 32773):
+        for pred in (1, 2):
+            got = decode_tiff(encode_tiff(img16, compression=comp,
+                                          predictor=pred, bit_depth=16))
+            assert got is not None, (comp, pred)
+            np.testing.assert_array_equal(got, exp)
+    got_t = decode_tiff(encode_tiff(img16, compression=5, predictor=2,
+                                    tile=(4, 4), bit_depth=16))
+    np.testing.assert_array_equal(got_t, exp)
+    # 16-bit grey
+    g16 = rng.integers(0, 65536, (6, 5), dtype=np.uint16)
+    expg = np.repeat((g16 >> 8).astype(np.uint8)[..., None], 3, axis=2)
+    np.testing.assert_array_equal(
+        decode_tiff(encode_tiff(g16, photometric=1, bit_depth=16)), expg)
