@@ -9,9 +9,13 @@ compressions: none (1), LZW (5, MSB-first codes with the spec's
 early-change width rule + horizontal-differencing predictor) and
 PackBits (32773).
 
+Compression 7 (new-style JPEG-in-TIFF, TTN2) decodes each strip/tile
+through the real JPEG decoder, splicing the optional JPEGTables (347)
+abbreviated stream ahead of each chunk's scan.
+
 Out-of-scope variants return ``None`` for the content-hash fallback
-(planar configuration 2, JPEG-in-TIFF, CCITT fax codings) — the same
-honesty contract as the other decoders.
+(planar configuration 2, old-style JPEG (6), CCITT fax codings) — the
+same honesty contract as the other decoders.
 """
 
 from __future__ import annotations
@@ -115,7 +119,7 @@ def _decode(payload: bytes) -> "np.ndarray | None":
     ifd_off = struct.unpack(end + "I", payload[4:8])[0]
     n_entries = struct.unpack(end + "H", payload[ifd_off:ifd_off + 2])[0]
     tags: dict[int, tuple] = {}
-    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
     type_fmt = {1: "B", 3: "H", 4: "I"}
     for i in range(n_entries):
         e = ifd_off + 2 + 12 * i
@@ -161,7 +165,7 @@ def _decode(payload: bytes) -> "np.ndarray | None":
             or bits[0] not in (8, 16):
         raise _BadTiff("non-chunky or unsupported bit depth")
     bps = bits[0] // 8   # bytes per sample (16-bit downscales, PNG-style)
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 32773, 7):
         raise _BadTiff(f"compression {comp}")
     # forged-IFD guard BEFORE any chunk materializes: 32-bit dims tags
     # allow a small file to demand terabytes, and an LZW-bomb chunk can
@@ -169,6 +173,63 @@ def _decode(payload: bytes) -> "np.ndarray | None":
     # claimed chunk size
     if h * w * spp * bps > MAX_DECODE_BYTES:
         raise _BadTiff("dimensions exceed decode budget")
+
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TTN2): each strip/tile is a JPEG
+        # stream; an optional JPEGTables tag (347) holds an abbreviated
+        # tables-only stream (SOI..tables..EOI) spliced ahead of each
+        # chunk's scan (chunk keeps its own SOI dropped). decode_jpeg
+        # already performs the YCbCr->RGB conversion, so the photometric
+        # switch below is bypassed and the assembled RGB returns as-is.
+        from fstd2pandas_spark.operators.llm.jpeg import decode_jpeg
+
+        jt = tags.get(347)
+        tables = jt[0] if jt else None
+
+        def jchunk(off, cnt, nrows, ncols):
+            raw = bytes(payload[off:off + cnt])
+            if tables is not None and len(tables) >= 4 \
+                    and raw[:2] == b"\xff\xd8":
+                raw = bytes(tables[:-2]) + raw[2:]
+            img = decode_jpeg(raw)
+            if img is None or img.shape[0] < min(nrows, 1) \
+                    or img.shape[1] < min(ncols, 1):
+                raise _BadTiff("bad JPEG chunk")
+            return img
+
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        if 322 in tags or 323 in tags:
+            tw, th = one(322), one(323)
+            toffs, tcnts = tags.get(324), tags.get(325)
+            if not tw or not th or tw < 1 or th < 1:
+                raise _BadTiff("bad tile dimensions")
+            if not toffs or not tcnts or len(toffs) != len(tcnts):
+                raise _BadTiff("missing tiles")
+            across, down = -(-w // tw), -(-h // th)
+            if len(toffs) < across * down:
+                raise _BadTiff("short tile table")
+            for idx in range(across * down):
+                img = jchunk(toffs[idx], tcnts[idx], th, tw)
+                ty, tx = divmod(idx, across)
+                y0, x0 = ty * th, tx * tw
+                ch_, cw_ = min(th, h - y0), min(tw, w - x0)
+                px[y0:y0 + ch_, x0:x0 + cw_] = img[:ch_, :cw_]
+        else:
+            offsets = tags.get(273)
+            counts = tags.get(279)
+            if not offsets or not counts \
+                    or len(offsets) != len(counts):
+                raise _BadTiff("missing strips")
+            rows_per_strip = one(278, h)
+            y0 = 0
+            for off, cnt in zip(offsets, counts):
+                rows = min(rows_per_strip, h - y0)
+                if rows <= 0:
+                    break
+                img = jchunk(off, cnt, rows, w)
+                px[y0:y0 + rows] = img[:rows, :w]
+                y0 += rows
+        return px
 
     def samples(data, nrows, ncols):
         """Decoded chunk bytes -> (nrows, ncols, spp) uint8: 16-bit

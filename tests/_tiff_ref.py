@@ -85,7 +85,9 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
                 rows_per_strip: "int | None" = None,
                 palette: "np.ndarray | None" = None,
                 tile: "tuple[int, int] | None" = None,
-                bit_depth: int = 8) -> bytes:
+                bit_depth: int = 8,
+                jpeg_tables: "bytes | None" = None,
+                jpeg_split_tables: bool = False) -> bytes:
     """img: (h, w) indices/grey for photometric 0/1/3, (h, w, ch) for
     RGB(A). Little-endian, one IFD. ``tile=(tw, th)`` writes the tiled
     layout (tags 322/323/324/325, row-major full tiles, zero-padded
@@ -104,6 +106,34 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
             return _packbits_encode(raw)
         return raw
 
+    def _pack_block(block):
+        """Chunk bytes for one strip/tile: raw codecs pack the
+        predictor-differenced samples; compression 7 (new-style
+        JPEG-in-TIFF) encodes the RGB block as its own JPEG stream."""
+        if compression == 7:
+            from _jpeg_ref import encode_jpeg
+            stream = encode_jpeg(np.ascontiguousarray(block))
+            if jpeg_split_tables:
+                # TTN2 abbreviated streams: DQT/DHT move to the
+                # JPEGTables tag, strips keep SOI + frame/scan
+                segs, i = [], 2
+                while i + 4 <= len(stream):
+                    m = stream[i:i + 2]
+                    if m == b"\xff\xda":
+                        segs.append((m, stream[i:]))
+                        break
+                    ln = struct.unpack(">H", stream[i + 2:i + 4])[0]
+                    segs.append((m, stream[i:i + 2 + ln]))
+                    i += 2 + ln
+                tabs = b"".join(x for m, x in segs
+                                if m in (b"\xff\xdb", b"\xff\xc4"))
+                rest = b"".join(x for m, x in segs
+                                if m not in (b"\xff\xdb", b"\xff\xc4"))
+                _split_tables.append(b"\xff\xd8" + tabs + b"\xff\xd9")
+                return b"\xff\xd8" + rest
+            return stream
+        return _pack(_pred(block).tobytes())
+
     sdtype = np.uint8 if bit_depth == 8 else np.dtype("<u2")
     wdtype = np.int16 if bit_depth == 8 else np.int32
 
@@ -118,6 +148,7 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
                                         dtype=wdtype)).astype(sdtype)
 
     strips = []
+    _split_tables = []
     if tile is not None:
         tw, th = tile
         for y0 in range(0, h, th):
@@ -125,11 +156,11 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
                 t = np.zeros((th, tw, spp), dtype=sdtype)
                 blk = px[y0:y0 + th, x0:x0 + tw].astype(sdtype)
                 t[:blk.shape[0], :blk.shape[1]] = blk
-                strips.append(_pack(_pred(t).tobytes()))
+                strips.append(_pack_block(t))
     else:
         for y0 in range(0, h, rows_per_strip):
             rows = px[y0:y0 + rows_per_strip].astype(sdtype)
-            strips.append(_pack(_pred(rows).tobytes()))
+            strips.append(_pack_block(rows))
 
     n_strips = len(strips)
     entries = []  # (tag, type, count, value_or_bytes)
@@ -151,6 +182,17 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
     entry(284, 3, [1])
     if predictor != 1:
         entry(317, 3, [predictor])
+    if jpeg_split_tables and _split_tables:
+        # TTN2 contract: every strip/tile must share ONE table set —
+        # _jpeg_ref builds content-adaptive Huffman tables, so callers
+        # must feed chunks with identical statistics (e.g. tiled
+        # repeats); a silent mismatch would decode garbage
+        if any(t != _split_tables[0] for t in _split_tables[1:]):
+            raise ValueError("jpeg_split_tables: chunks produced "
+                             "different table sets")
+        jpeg_tables = _split_tables[0]
+    if jpeg_tables is not None:
+        entry(347, 7, [jpeg_tables])
     if palette is not None:
         pal16 = np.zeros((3, 256), dtype=np.uint16)
         pal16[:, :palette.shape[0]] = \
@@ -161,9 +203,11 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
     # Sizes are all computable up front (inline-vs-external is decided
     # by count alone), so offsets resolve in one pass.
     fmt = {1: "B", 3: "H", 4: "I"}
-    type_size = {1: 1, 3: 2, 4: 4}
+    type_size = {1: 1, 3: 2, 4: 4, 7: 1}
 
     def pack_vals(typ, vals):
+        if typ == 7:                      # UNDEFINED: raw bytes
+            return vals[0]
         return struct.pack("<" + fmt[typ] * len(vals), *vals)
 
     counts = [len(st) for st in strips]
@@ -175,10 +219,14 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * n_ifd + 4
 
+    def n_vals(typ, vals):
+        # type 7 (UNDEFINED): count is the raw byte length
+        return len(vals[0]) if typ == 7 else len(vals)
+
     # first pass: compute the extra-area size
     extra_size = 0
     for tag, typ, vals in all_entries:
-        total = type_size[typ] * len(vals)
+        total = type_size[typ] * n_vals(typ, vals)
         if total > 4:
             extra_size += total
     strips_base = data_off + extra_size
@@ -197,9 +245,10 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
     for tag, typ, vals in sorted(all_entries):
         raw = pack_vals(typ, vals)
         if len(raw) <= 4:
-            fields.append((tag, typ, len(vals), raw.ljust(4, b"\x00")))
+            fields.append((tag, typ, n_vals(typ, vals),
+                           raw.ljust(4, b"\x00")))
         else:
-            fields.append((tag, typ, len(vals),
+            fields.append((tag, typ, n_vals(typ, vals),
                            struct.pack("<I", data_off + len(extra))))
             extra += raw
     out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))

@@ -172,3 +172,94 @@ def test_16bit_tiff_strip_and_tiled():
     expg = np.repeat((g16 >> 8).astype(np.uint8)[..., None], 3, axis=2)
     np.testing.assert_array_equal(
         decode_tiff(encode_tiff(g16, photometric=1, bit_depth=16)), expg)
+
+
+def test_jpeg_in_tiff_strip_tiled_and_tables():
+    """Compression 7 (new-style JPEG-in-TIFF, TTN2): per-strip and
+    per-tile JPEG streams decode through the real JPEG decoder (lossy
+    — tolerance gate), and the JPEGTables (347) abbreviated-stream
+    splice path reconstructs the same pixels as the full streams."""
+    import struct
+
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+    from _tiff_ref import encode_tiff
+
+    # smooth gradient: JPEG-friendly content keeps the loss small
+    y, x = np.mgrid[0:16, 0:16]
+    img = np.stack([(y * 8 + 32), (x * 8 + 16),
+                    ((x + y) * 4 + 64)], axis=-1).astype(np.uint8)
+
+    full_strip = decode_tiff(encode_tiff(img, compression=7,
+                                         rows_per_strip=8))
+    assert full_strip is not None
+    assert np.abs(full_strip.astype(int) - img.astype(int)).max() <= 16
+
+    tiled = decode_tiff(encode_tiff(img, compression=7, tile=(8, 8)))
+    assert tiled is not None
+    assert np.abs(tiled.astype(int) - img.astype(int)).max() <= 16
+
+    # JPEGTables variant by segment surgery: pull DQT/DHT out of each
+    # strip stream into an abbreviated tables stream (SOI+segs+EOI)
+    payload = bytearray(encode_tiff(img, compression=7,
+                                    rows_per_strip=16))
+
+    def segments(stream):
+        segs, i = [], 2
+        while i + 4 <= len(stream):
+            marker = stream[i:i + 2]
+            if marker == b"\xff\xda":   # SOS: rest is entropy data
+                segs.append((marker, stream[i:]))
+                break
+            ln = struct.unpack(">H", stream[i + 2:i + 4])[0]
+            segs.append((marker, stream[i:i + 2 + ln]))
+            i += 2 + ln
+        return segs
+
+    # locate the single strip's stream inside the file
+    soi = bytes(payload).index(b"\xff\xd8\xff")
+    stream = bytes(payload[soi:])
+    segs = segments(stream)
+    tables = b"".join(s for m, s in segs if m in (b"\xff\xdb", b"\xff\xc4"))
+    rest = b"".join(s for m, s in segs if m not in (b"\xff\xdb", b"\xff\xc4"))
+    abbrev_strip = b"\xff\xd8" + rest
+    jpegtables = b"\xff\xd8" + tables + b"\xff\xd9"
+    from _tiff_ref import encode_tiff as _et  # rebuild with the pieces
+
+    # hand-assemble: easiest is re-encoding via the library under test
+    # is not possible, so append the tables tag by rewriting the file:
+    # encode a fresh TIFF whose strip is the abbreviated stream and
+    # whose IFD carries tag 347. Reuse encode_tiff's layout by patching
+    # the single strip bytes is brittle; instead decode the merged
+    # stream directly to pin the splice semantics the decoder uses.
+    from fstd2pandas_spark.operators.llm.jpeg import decode_jpeg
+
+    merged = jpegtables[:-2] + abbrev_strip[2:]
+    direct = decode_jpeg(stream)
+    via_tables = decode_jpeg(merged)
+    assert via_tables is not None
+    np.testing.assert_array_equal(via_tables, direct)
+
+
+def test_jpeg_in_tiff_jpegtables_tag():
+    """The tag-347 splice path end-to-end: abbreviated per-strip
+    streams (DQT/DHT moved to JPEGTables) decode identically to the
+    full-stream variant through decode_tiff itself."""
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+    from _tiff_ref import encode_tiff
+
+    # all four tiles identical content: TTN2's JPEGTables contract is
+    # that every strip/tile shares ONE table set, and the reference
+    # encoder's Huffman tables are content-adaptive
+    y, x = np.mgrid[0:8, 0:8]
+    block = np.stack([(y * 8 + 32), (x * 8 + 16),
+                      ((x + y) * 4 + 64)], axis=-1).astype(np.uint8)
+    img = np.tile(block, (2, 2, 1))
+    full = decode_tiff(encode_tiff(img, compression=7, tile=(8, 8)))
+    split = decode_tiff(encode_tiff(img, compression=7, tile=(8, 8),
+                                    jpeg_split_tables=True))
+    assert split is not None
+    np.testing.assert_array_equal(split, full)
