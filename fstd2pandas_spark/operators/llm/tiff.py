@@ -13,9 +13,12 @@ Compression 7 (new-style JPEG-in-TIFF, TTN2) decodes each strip/tile
 through the real JPEG decoder, splicing the optional JPEGTables (347)
 abbreviated stream ahead of each chunk's scan.
 
+Planar configuration 2 (per-component strip planes) reassembles and
+stacks channels.
+
 Out-of-scope variants return ``None`` for the content-hash fallback
-(planar configuration 2, old-style JPEG (6), CCITT fax codings) — the
-same honesty contract as the other decoders.
+(planar tiled/JPEG combinations, old-style JPEG (6), CCITT fax
+codings) — the same honesty contract as the other decoders.
 """
 
 from __future__ import annotations
@@ -161,9 +164,9 @@ def _decode(payload: bytes) -> "np.ndarray | None":
     predictor = one(317, 1)
     if w is None or h is None or photo is None:
         return None
-    if planar != 1 or any(b != bits[0] for b in bits) \
+    if planar not in (1, 2) or any(b != bits[0] for b in bits) \
             or bits[0] not in (8, 16):
-        raise _BadTiff("non-chunky or unsupported bit depth")
+        raise _BadTiff("unsupported planar config or bit depth")
     bps = bits[0] // 8   # bytes per sample (16-bit downscales, PNG-style)
     if comp not in (1, 5, 32773, 7):
         raise _BadTiff(f"compression {comp}")
@@ -175,6 +178,8 @@ def _decode(payload: bytes) -> "np.ndarray | None":
         raise _BadTiff("dimensions exceed decode budget")
 
     if comp == 7:
+        if planar != 1:
+            raise _BadTiff("planar JPEG-in-TIFF")
         # new-style JPEG-in-TIFF (TTN2): each strip/tile is a JPEG
         # stream; an optional JPEGTables tag (347) holds an abbreviated
         # tables-only stream (SOI..tables..EOI) spliced ahead of each
@@ -231,23 +236,23 @@ def _decode(payload: bytes) -> "np.ndarray | None":
                 y0 += rows
         return px
 
-    def samples(data, nrows, ncols):
-        """Decoded chunk bytes -> (nrows, ncols, spp) uint8: 16-bit
+    def _samples(data, nrows, ncols, nchan):
+        """Decoded chunk bytes -> (nrows, ncols, nchan) uint8: 16-bit
         samples apply the predictor at sample width (per spec) then
         downscale to the high byte — the same policy as the PNG
         decoder's depth-16 path."""
         if bps == 1:
             arr = np.frombuffer(data, np.uint8,
-                                nrows * ncols * spp).reshape(
-                nrows, ncols, spp)
+                                nrows * ncols * nchan).reshape(
+                nrows, ncols, nchan)
             if predictor == 2:            # horizontal differencing
                 arr = np.cumsum(arr.astype(np.uint32), axis=1) \
                     .astype(np.uint8)
             return arr
         dt = np.dtype(np.uint16).newbyteorder(
             "<" if end == "<" else ">")
-        arr = np.frombuffer(data, dt, nrows * ncols * spp).reshape(
-            nrows, ncols, spp)
+        arr = np.frombuffer(data, dt, nrows * ncols * nchan).reshape(
+            nrows, ncols, nchan)
         if predictor == 2:
             arr = (np.cumsum(arr.astype(np.uint32), axis=1)
                    & 0xFFFF).astype(np.uint16)
@@ -267,6 +272,8 @@ def _decode(payload: bytes) -> "np.ndarray | None":
         return data
 
     if 322 in tags or 323 in tags:
+        if planar != 1:
+            raise _BadTiff("planar tiled TIFF")
         # tiled layout (the GeoTIFF norm): full tw x th tiles in
         # row-major tile order, edge tiles padded — assemble clipped.
         # Each tile decompresses independently; the horizontal
@@ -288,7 +295,7 @@ def _decode(payload: bytes) -> "np.ndarray | None":
         want = th * tw * spp * bps
         for idx in range(across * down):
             data = chunk(toffs[idx], tcnts[idx], want)
-            arr = samples(data, th, tw)
+            arr = _samples(data, th, tw, spp)
             ty, tx = divmod(idx, across)
             y0, x0 = ty * th, tx * tw
             ch_, cw_ = min(th, h - y0), min(tw, w - x0)
@@ -299,16 +306,28 @@ def _decode(payload: bytes) -> "np.ndarray | None":
         if not offsets or not counts or len(offsets) != len(counts):
             raise _BadTiff("missing strips")
         rows_per_strip = one(278, h)
-        row_bytes = w * spp * bps
-        parts = []
-        remaining_rows = h
-        for off, cnt in zip(offsets, counts):
-            strip_rows = min(rows_per_strip, remaining_rows)
-            remaining_rows -= strip_rows
-            want = strip_rows * row_bytes
-            data = chunk(off, cnt, want)
-            parts.append(samples(data, strip_rows, w))
-        px = np.concatenate(parts, axis=0)
+        # planar config 2: the strip table holds each component's
+        # strips consecutively (all of channel 0, then channel 1, ...),
+        # one sample per pixel per chunk; planes assemble then stack
+        spp_eff = 1 if planar == 2 else spp
+        per_plane = -(-h // rows_per_strip)
+        n_planes = spp if planar == 2 else 1
+        if planar == 2 and len(offsets) < per_plane * spp:
+            raise _BadTiff("short planar strip table")
+        planes = []
+        for pl in range(n_planes):
+            parts = []
+            remaining_rows = h
+            for i in range(per_plane if planar == 2 else len(offsets)):
+                idx = pl * per_plane + i
+                strip_rows = min(rows_per_strip, remaining_rows)
+                remaining_rows -= strip_rows
+                want = strip_rows * w * spp_eff * bps
+                data = chunk(offsets[idx], counts[idx], want)
+                parts.append(_samples(data, strip_rows, w, spp_eff))
+            planes.append(np.concatenate(parts, axis=0))
+        px = planes[0] if n_planes == 1 else np.concatenate(
+            planes, axis=2)
 
     if photo in (0, 1) and spp >= 1:      # grey (0 = white-is-zero)
         g = px[..., 0]

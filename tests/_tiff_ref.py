@@ -84,6 +84,7 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
                 compression: int = 1, predictor: int = 1,
                 rows_per_strip: "int | None" = None,
                 palette: "np.ndarray | None" = None,
+                planar: int = 1,
                 tile: "tuple[int, int] | None" = None,
                 bit_depth: int = 8,
                 jpeg_tables: "bytes | None" = None,
@@ -157,6 +158,13 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
                 blk = px[y0:y0 + th, x0:x0 + tw].astype(sdtype)
                 t[:blk.shape[0], :blk.shape[1]] = blk
                 strips.append(_pack_block(t))
+    elif planar == 2:
+        # per-component planes: all of channel 0's strips, then 1, ...
+        for c in range(spp):
+            for y0 in range(0, h, rows_per_strip):
+                rows = px[y0:y0 + rows_per_strip, :, c:c + 1] \
+                    .astype(sdtype)
+                strips.append(_pack_block(rows))
     else:
         for y0 in range(0, h, rows_per_strip):
             rows = px[y0:y0 + rows_per_strip].astype(sdtype)
@@ -179,7 +187,7 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
         entry(323, 4, [tile[1]])
     else:
         entry(278, 4, [rows_per_strip])
-    entry(284, 3, [1])
+    entry(284, 3, [planar])
     if predictor != 1:
         entry(317, 3, [predictor])
     if jpeg_split_tables and _split_tables:

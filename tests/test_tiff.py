@@ -263,3 +263,27 @@ def test_jpeg_in_tiff_jpegtables_tag():
                                     jpeg_split_tables=True))
     assert split is not None
     np.testing.assert_array_equal(split, full)
+
+
+def test_planar_configuration_2_strips():
+    """Planar config 2: per-component strip planes (all of channel 0,
+    then 1, ...) reassemble exactly, across codecs, predictor, 16-bit,
+    and multi-strip splits."""
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+    from _tiff_ref import encode_tiff
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    for comp in (1, 5, 32773):
+        for pred in (1, 2):
+            got = decode_tiff(encode_tiff(img, compression=comp,
+                                          predictor=pred, planar=2,
+                                          rows_per_strip=4))
+            assert got is not None, (comp, pred)
+            np.testing.assert_array_equal(got, img)
+    img16 = rng.integers(0, 65536, (6, 5, 3), dtype=np.uint16)
+    got16 = decode_tiff(encode_tiff(img16, compression=5, planar=2,
+                                    bit_depth=16, rows_per_strip=2))
+    np.testing.assert_array_equal(got16, (img16 >> 8).astype(np.uint8))
