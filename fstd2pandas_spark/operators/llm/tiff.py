@@ -306,6 +306,8 @@ def _decode(payload: bytes) -> "np.ndarray | None":
         if not offsets or not counts or len(offsets) != len(counts):
             raise _BadTiff("missing strips")
         rows_per_strip = one(278, h)
+        if not rows_per_strip or rows_per_strip < 1:
+            raise _BadTiff("bad rows_per_strip")
         # planar config 2: the strip table holds each component's
         # strips consecutively (all of channel 0, then channel 1, ...),
         # one sample per pixel per chunk; planes assemble then stack

@@ -287,3 +287,24 @@ def test_planar_configuration_2_strips():
     got16 = decode_tiff(encode_tiff(img16, compression=5, planar=2,
                                     bit_depth=16, rows_per_strip=2))
     np.testing.assert_array_equal(got16, (img16 >> 8).astype(np.uint8))
+
+
+def test_forged_rows_per_strip_zero_returns_none():
+    """rows_per_strip=0 (forged) must reject cleanly — the planar
+    strip-count ceil division would otherwise ZeroDivisionError out of
+    the never-raise contract."""
+    import struct
+
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+    from _tiff_ref import encode_tiff
+
+    payload = bytearray(encode_tiff(np.zeros((8, 8, 3), dtype=np.uint8),
+                                    rows_per_strip=4))
+    n = struct.unpack("<H", payload[8:10])[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack("<H", payload[e:e + 2])[0] == 278:
+            payload[e + 8:e + 12] = struct.pack("<I", 0)
+    assert decode_tiff(bytes(payload)) is None
