@@ -180,6 +180,11 @@ def _decode(payload: bytes) -> "np.ndarray | None":
     if comp == 7:
         if planar != 1:
             raise _BadTiff("planar JPEG-in-TIFF")
+        # the JPEG path always materializes h*w*3 uint8 regardless of
+        # the declared sample layout — budget against that, not the
+        # header's spp*bps (a forged spp=1 would pass at 1/3 weight)
+        if h * w * 3 > MAX_DECODE_BYTES:
+            raise _BadTiff("dimensions exceed decode budget")
         # new-style JPEG-in-TIFF (TTN2): each strip/tile is a JPEG
         # stream; an optional JPEGTables tag (347) holds an abbreviated
         # tables-only stream (SOI..tables..EOI) spliced ahead of each
@@ -197,8 +202,10 @@ def _decode(payload: bytes) -> "np.ndarray | None":
                     and raw[:2] == b"\xff\xd8":
                 raw = bytes(tables[:-2]) + raw[2:]
             img = decode_jpeg(raw)
-            if img is None or img.shape[0] < min(nrows, 1) \
-                    or img.shape[1] < min(ncols, 1):
+            # a chunk must COVER its strip/tile (JPEG MCU padding may
+            # make it larger, never smaller)
+            if img is None or img.shape[0] < nrows \
+                    or img.shape[1] < ncols:
                 raise _BadTiff("bad JPEG chunk")
             return img
 
@@ -226,6 +233,10 @@ def _decode(payload: bytes) -> "np.ndarray | None":
                     or len(offsets) != len(counts):
                 raise _BadTiff("missing strips")
             rows_per_strip = one(278, h)
+            if not rows_per_strip or rows_per_strip < 1:
+                raise _BadTiff("bad rows_per_strip")
+            if len(offsets) < -(-h // rows_per_strip):
+                raise _BadTiff("short strip table")
             y0 = 0
             for off, cnt in zip(offsets, counts):
                 rows = min(rows_per_strip, h - y0)

@@ -88,16 +88,25 @@ def countmin_estimate(counters: DataFrame, keys: DataFrame,
     broadcast join.
 
     (width, depth) must match the sketch; the counters' own parameter
-    columns are checked (bounded .first() — the frame is at most
-    depth*width rows) so a mismatch fails loudly instead of silently
-    estimating 0 for every key (an undercount, the one thing a
-    Count-Min must never do)."""
-    head = counters.select("width", "depth").first()
-    if head is not None and (head["width"] != width
-                             or head["depth"] != depth):
+    columns are checked via a bounded distinct (the frame is at most
+    depth*width rows per parameterization) so a mismatch fails loudly
+    instead of silently estimating 0 for every key (an undercount, the
+    one thing a Count-Min must never do). A mismatched merge_counters
+    leaves DISJOINT (width, depth) groups coexisting in one frame — a
+    single-row peek could land on the matching group and let min-over-
+    depth mix cells from two parameterizations (an undercount), so the
+    check demands exactly ONE distinct parameter pair."""
+    params = [tuple(r) for r in
+              counters.select("width", "depth").distinct().collect()]
+    if len(params) > 1:
         raise ValueError(
-            f"sketch was built with (width={head['width']}, "
-            f"depth={head['depth']}), estimate called with "
+            f"counters frame mixes {len(params)} (width, depth) "
+            f"parameterizations {sorted(params)} — merge_counters of "
+            "mismatched sketches is not estimable")
+    if params and params[0] != (width, depth):
+        raise ValueError(
+            f"sketch was built with (width={params[0][0]}, "
+            f"depth={params[0][1]}), estimate called with "
             f"({width}, {depth})")
     banded = (keys.filter(F.col(key_col).isNotNull())
               .select(F.col(key_col),

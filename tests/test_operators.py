@@ -646,6 +646,26 @@ def test_countmin_null_keys_and_param_mismatch(spark):
         countmin_estimate(cnt, df, "k", width=4, depth=2)
 
 
+def test_countmin_mixed_parameterization_merge_rejected(spark):
+    """merge_counters of mismatched sketches leaves disjoint
+    (width, depth) groups in one frame; estimating over it must raise
+    for EITHER parameter pair — min-over-depth mixing cells from two
+    parameterizations undercounts, violating the overcount-only
+    contract (a single-row param peek could pass by arrival order)."""
+    import pytest as _pytest
+
+    from fstd2pandas_spark.operators.sketch import (
+        countmin_counters, countmin_estimate, merge_counters)
+
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], ["k"])
+    mixed = merge_counters(countmin_counters(df, "k", width=16, depth=2),
+                           countmin_counters(df, "k", width=8, depth=3))
+    for w_, d_ in ((16, 2), (8, 3)):
+        with _pytest.raises(ValueError, match="parameterizations"):
+            countmin_estimate(mixed, df.distinct(), "k",
+                              width=w_, depth=d_)
+
+
 def test_zorder_guards(spark):
     """bits >= 1 guard, existing-key_col protection, explicit
     num_partitions=0 rejection path."""

@@ -308,3 +308,69 @@ def test_forged_rows_per_strip_zero_returns_none():
         if struct.unpack("<H", payload[e:e + 2])[0] == 278:
             payload[e + 8:e + 12] = struct.pack("<I", 0)
     assert decode_tiff(bytes(payload)) is None
+
+def _forge_tag(payload: bytes, tag: int, value: int) -> bytes:
+    """Overwrite an inline IFD tag value in a little-endian one-IFD
+    TIFF (test fixture surgery for hostile-header regression tests)."""
+    import struct
+
+    buf = bytearray(payload)
+    ifd = struct.unpack("<I", buf[4:8])[0]
+    n = struct.unpack("<H", buf[ifd:ifd + 2])[0]
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack("<H", buf[e:e + 2])[0] == tag:
+            buf[e + 8:e + 12] = struct.pack("<I", value)
+    return bytes(buf)
+
+
+def test_jpeg_in_tiff_forged_strip_headers_return_none():
+    """Compression-7 strip path mirrors the baseline strip guards:
+    rows_per_strip=0 must reject (not fabricate an all-zero image),
+    and a strip table too short to cover h rows must reject (not leave
+    trailing rows silently zero)."""
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+    from _tiff_ref import encode_tiff
+
+    rng = np.random.default_rng(31)
+    img = np.tile(rng.integers(0, 256, (1, 1, 3), dtype=np.uint8),
+                  (8, 8, 1))
+    payload = encode_tiff(img, compression=7, rows_per_strip=4)
+    assert decode_tiff(payload) is not None          # fixture sane
+    assert decode_tiff(_forge_tag(payload, 278, 0)) is None
+    # 1-strip encode forged to claim 2-row strips -> table covers only
+    # 4 of 8 rows
+    one_strip = encode_tiff(img, compression=7)
+    assert decode_tiff(_forge_tag(one_strip, 278, 2)) is None
+
+
+def test_jpeg_in_tiff_undersized_chunk_rejected():
+    """A JPEG chunk smaller than its strip must fail the coverage
+    check (4-row JPEGs forged to claim 8-row strips)."""
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+    from _tiff_ref import encode_tiff
+
+    img = np.tile(np.array([[[10, 200, 30]]], dtype=np.uint8), (8, 8, 1))
+    payload = encode_tiff(img, compression=7, rows_per_strip=4)
+    assert decode_tiff(_forge_tag(payload, 278, 8)) is None
+
+
+def test_jpeg_in_tiff_budget_uses_materialized_rgb(monkeypatch):
+    """The comp-7 decode budget must weigh the h*w*3 uint8 the JPEG
+    path actually materializes, not the header's declared spp*bps — a
+    forged spp=1 header must not pass at 1/3 weight."""
+    import numpy as np
+
+    import fstd2pandas_spark.operators.llm.tiff as tiffmod
+    from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+    from _tiff_ref import encode_tiff
+
+    img = np.tile(np.array([[[10, 200, 30]]], dtype=np.uint8), (8, 8, 1))
+    payload = _forge_tag(encode_tiff(img, compression=7), 277, 1)
+    # 8*8*1 = 64 passes the general spp*bps check; 8*8*3 = 192 must trip
+    monkeypatch.setattr(tiffmod, "MAX_DECODE_BYTES", 128)
+    assert decode_tiff(payload) is None
