@@ -31,6 +31,39 @@ from fstd2pandas_spark.operators.llm.text import (
 from fstd2pandas_spark.plans.partitioning import ensure_min_partitions
 
 
+#: ceiling on members per collision group (LSH bucket, signature
+#: pigeonhole block, SemDeDup cell) — the range_join
+#: MAX_BINS_PER_INTERVAL precedent applied to the collect_list group
+#: paths: one degenerate hot group (mistuned bands/r, a cosine-
+#: degenerate corpus of constant embeddings) must raise LOUDLY instead
+#: of building a giant single-row member array and streaming B^2/2
+#: pairs through one task. 10k members already means ~5e7 candidate
+#: pairs from ONE group; raise the module constant deliberately if a
+#: corpus genuinely needs more.
+MAX_GROUP_MEMBERS = 10_000
+
+
+def require_group_within(cnt: Column, what: str,
+                         cap: "int | None" = None) -> Column:
+    """Boolean guard column for a group-size ceiling: True below the
+    cap, in-plan ``raise_error`` above it — silent truncation would
+    under-report duplicates, the one thing a dedup must not do. Use as
+    a ``.filter(...)`` predicate right where the group size first
+    becomes known (after the fold for narrow id arrays; BEFORE the fold
+    via a window count when members carry whole vectors)."""
+    cap = MAX_GROUP_MEMBERS if cap is None else cap
+    msg = F.concat(
+        F.lit(f"{what} has "), cnt.cast("string"),
+        F.lit(f" members, above MAX_GROUP_MEMBERS={cap} — a hot "
+              "collision group this size means the banding/cell knobs "
+              "are mistuned for this corpus (or it needs exact-dedup "
+              "first); raise fstd2pandas_spark.operators.llm.dedup."
+              "MAX_GROUP_MEMBERS deliberately if the B^2/2 pair "
+              "fan-out is intended"))
+    return F.when(cnt <= F.lit(int(cap)), F.lit(True)) \
+            .otherwise(F.raise_error(msg).cast("boolean"))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id document per exact content hash (md5)."""
@@ -142,9 +175,12 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
 
     # one shuffle on (band, bucket); sort_array makes the positional
     # i<j pair enumeration below emit exactly the doc_a < doc_b pairs
-    # the banding defines, independent of arrival order
+    # the banding defines, independent of arrival order. Member arrays
+    # are narrow (ids only), so the size ceiling checks AFTER the fold
+    # — the raise is about the B^2/2 pair fan-out, not array memory
     grouped = (banded.groupBy("band", "bucket")
                .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+               .filter(require_group_within(F.size("ids"), "LSH bucket"))
                .filter(F.size("ids") > 1))
     outer = grouped.select("ids", F.posexplode("ids").alias("_i", "doc_a"))
     pairs = outer.select(
@@ -472,11 +508,15 @@ def _signature_blocks_grouped(sh: DataFrame, sig_col: str, id_col: str,
         F.explode(F.array(*block_structs)).alias("b"),
     ).select(id_col, sig_col, "b.block", "b.value")
     # sort_array over (id, signature) structs orders by id first, so the
-    # positional i<j enumeration emits doc_a < doc_b directly
+    # positional i<j enumeration emits doc_a < doc_b directly; member
+    # structs are narrow (id + long signature), so the group-size
+    # ceiling checks AFTER the fold
     grouped = banded.groupBy("block", "value").agg(
         F.sort_array(F.collect_list(
             F.struct(F.col(id_col).alias("i"),
                      F.col(sig_col).alias("s")))).alias("ms"))
+    grouped = grouped.filter(
+        require_group_within(F.size("ms"), "signature pigeonhole block"))
     return grouped, sizes
 
 

@@ -609,12 +609,25 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
     trades recall for cost, exactly as in the paper.
     """
     from fstd2pandas_spark.operators.llm.cluster import neardup_components
+    from fstd2pandas_spark.operators.llm.dedup import require_group_within
 
     w = lloyd_refine(emb, n_cells, dim, vec_col, iters=train_iters)
     assigned = ensure_min_partitions(emb).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         ivf_cell_col(F.col(vec_col), n_cells, dim, w).alias("cell"))
-    grouped = (assigned.groupBy("cell")
+    # cell members carry the FULL vector (dim floats each), so the
+    # group-size ceiling must hold BEFORE the fold ever buffers a hot
+    # cell (a cosine-degenerate corpus — many zero/constant embeddings
+    # — collapses into one cell): a whole-partition window count over
+    # the same hashpartitioning(cell) the aggregation needs raises
+    # in-plan while rows are still narrow, and the exchange is reused
+    # by the fold (one shuffle total, plan-locked in tests)
+    cell_n = F.count(F.lit(1)).over(Window.partitionBy("cell"))
+    guarded = (assigned
+               .withColumn("_cn", cell_n)
+               .filter(require_group_within(F.col("_cn"), "SemDeDup cell"))
+               .drop("_cn"))
+    grouped = (guarded.groupBy("cell")
                .agg(F.sort_array(F.collect_list(
                    F.struct(F.col("id").alias("i"),
                             F.col("v").alias("v")))).alias("ms"))

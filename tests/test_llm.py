@@ -1607,3 +1607,42 @@ def test_semantic_dedup(spark):
     for r in out.values():
         if r["dup_of"] is not None:
             assert out[r["dup_of"]]["keep"]
+
+def test_collision_group_size_ceiling_raises(spark, monkeypatch):
+    """One degenerate hot collision group (identical docs / identical
+    signatures / identical embeddings) must raise the MAX_GROUP_MEMBERS
+    guard loudly instead of building a giant single-row member array
+    and streaming B^2/2 pairs — range_join's MAX_BINS_PER_INTERVAL
+    precedent applied to every collect_list group path."""
+    import fstd2pandas_spark.operators.llm.dedup as dedupmod
+    from fstd2pandas_spark.operators.llm.dedup import (
+        lsh_candidate_pairs, signature_hamming_pairs)
+    from fstd2pandas_spark.operators.llm.similarity import semantic_dedup
+
+    monkeypatch.setattr(dedupmod, "MAX_GROUP_MEMBERS", 5)
+
+    hot_docs = spark.createDataFrame(
+        [(i, "the same document text repeated verbatim") for i in range(10)],
+        ["doc_id", "text"])
+    with pytest.raises(Exception, match="MAX_GROUP_MEMBERS"):
+        lsh_candidate_pairs(hot_docs, num_hashes=8, bands=4).collect()
+
+    hot_sigs = spark.createDataFrame([(i, 0b1010) for i in range(10)],
+                                     "vid long, sig long")
+    with pytest.raises(Exception, match="MAX_GROUP_MEMBERS"):
+        signature_hamming_pairs(hot_sigs, "sig", id_col="vid",
+                                bits=24).collect()
+
+    hot_emb = spark.createDataFrame(
+        [(i, [1.0] + [0.0] * 7) for i in range(10)],
+        ["vec_id", "embedding"])
+    with pytest.raises(Exception, match="MAX_GROUP_MEMBERS"):
+        semantic_dedup(hot_emb, n_cells=2, dim=8).collect()
+
+    # below the ceiling everything still flows (the guard predicate is
+    # True, not a row filter)
+    monkeypatch.setattr(dedupmod, "MAX_GROUP_MEMBERS", 10_000)
+    assert lsh_candidate_pairs(hot_docs, num_hashes=8,
+                               bands=4).count() == 45
+    assert semantic_dedup(hot_emb, n_cells=2,
+                          dim=8).filter("keep").count() == 1

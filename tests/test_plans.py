@@ -402,3 +402,34 @@ def test_zorder_repartition_clusters_locality(spark):
     assert max_box_area(df) > 64 * 64 // 2       # unclustered baseline
     assert clustered.count() == 64 * 64
     assert "_zorder" not in clustered.columns
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_pre_fold_window_guard_reuses_aggregation_exchange(spark):
+    """The SemDeDup cell-size guard counts members with a whole-
+    partition window over the SAME hashpartitioning(cell) the
+    collect_list fold needs — the guard must cost zero extra shuffles
+    (the fold's aggregate sees its required distribution already
+    satisfied). Pins the Spark behavior semantic_dedup's guard relies
+    on: window(partitionBy k) -> filter -> groupBy(k) = ONE exchange."""
+    from pyspark.sql import Window
+
+    from fstd2pandas_spark.operators.llm.dedup import require_group_within
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        (F.col("vec_id") % 7).alias("cell"), "vec_id", "embedding")
+    n = F.count(F.lit(1)).over(Window.partitionBy("cell"))
+    guarded = (emb.withColumn("_cn", n)
+               .filter(require_group_within(F.col("_cn"), "cell"))
+               .drop("_cn"))
+    folded = guarded.groupBy("cell").agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "embedding")))
+        .alias("ms"))
+    folded.collect()
+    # an executed adaptive dump appends an "== Initial Plan ==" section
+    # that would double-count the exchange — grade the final plan only
+    plan = _plan(folded).split("== Initial Plan ==")[0]
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange" in ln and "ReusedExchange" not in ln
+                and "RoundRobinPartitioning" not in ln]
+    assert len(shuffles) == 1, shuffles
+    assert "Window" in plan  # the guard count actually rides the plan
