@@ -267,6 +267,35 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("bigint").alias("join_key"),
         F.coalesce(F.col("asof_view_id").cast("string"),
                    F.lit("-")).alias("info"))
+    # round 9 gates the remaining asof branches: 'asoff' = forward
+    # direction (DuckDB ASOF mirrors it by swapping the inequality;
+    # 1865 matched / 116 unmatched at sf0.01), 'asoft' = backward with
+    # a 1800 s tolerance (nearest-then-null, the pandas merge_asof
+    # rule; 1806 within / 20 nulled / 155 unmatched), and 'asofe' =
+    # ties by construction (views hour-truncated, so several right
+    # rows share the matched key+timestamp; 17 tie-groups fire) —
+    # resolved to the MAXIMAL right payload, mirrored independently by
+    # a LATERAL ORDER BY hts DESC, event_id DESC LIMIT 1
+    asoff = asof_join(purch, views, direction="forward",
+                      right_cols=["view_id"]).select(
+        F.lit("asoff").alias("side"),
+        F.col("event_id").cast("bigint").alias("join_key"),
+        F.coalesce(F.col("asof_view_id").cast("string"),
+                   F.lit("-")).alias("info"))
+    asoft = asof_join(purch, views, tolerance=1800,
+                      right_cols=["view_id"]).select(
+        F.lit("asoft").alias("side"),
+        F.col("event_id").cast("bigint").alias("join_key"),
+        F.coalesce(F.col("asof_view_id").cast("string"),
+                   F.lit("-")).alias("info"))
+    hviews = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("ts"),
+        F.col("event_id").alias("view_id"))
+    asofe = asof_join(purch, hviews, right_cols=["view_id"]).select(
+        F.lit("asofe").alias("side"),
+        F.col("event_id").cast("bigint").alias("join_key"),
+        F.coalesce(F.col("asof_view_id").cast("string"),
+                   F.lit("-")).alias("info"))
     iv = sessionize(ev).filter(F.col("n_events") >= 3).select(
         F.col("user_id").alias("uid"),
         F.col("session_start").alias("start"),
@@ -281,7 +310,8 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").cast("bigint").alias("join_key"),
             F.coalesce(F.col("_sstart").cast("string"),
                        F.lit("-")).alias("info"))
-    return (semi.unionByName(anti).unionByName(asof).unionByName(rng)
+    return (semi.unionByName(anti).unionByName(asof).unionByName(asoff)
+            .unionByName(asoft).unionByName(asofe).unionByName(rng)
             .orderBy("side", "join_key"))
 
 
@@ -321,6 +351,37 @@ _Q_SEMI_ANTI_SQL = """
   FROM (SELECT * FROM events WHERE event_type = 'purchase') p
   ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
     ON p.user_id = v.user_id AND p.ts >= v.ts
+  UNION ALL
+  -- forward mirror: the same native ASOF with the inequality swapped
+  SELECT 'asoff' AS side, CAST(p.event_id AS BIGINT) AS join_key,
+         coalesce(CAST(v.event_id AS VARCHAR), '-') AS info
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND p.ts <= v.ts
+  UNION ALL
+  -- tolerance mirror: nearest-then-null (the pandas merge_asof rule)
+  -- as a CASE over the matched gap, not a WHERE (which would drop
+  -- the unmatched '-' rows)
+  SELECT 'asoft' AS side, CAST(p.event_id AS BIGINT) AS join_key,
+         coalesce(CASE WHEN epoch(p.ts - v.ts) <= 1800
+                       THEN CAST(v.event_id AS VARCHAR) END, '-') AS info
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+  UNION ALL
+  -- tie mirror: hour-truncated view times create several right rows
+  -- on the matched (key, timestamp); the engine resolves to the
+  -- MAXIMAL right payload, independently re-derived here as an
+  -- explicit LATERAL max-ts-then-max-id pick (no ASOF involved)
+  SELECT 'asofe' AS side, CAST(p.event_id AS BIGINT) AS join_key,
+         coalesce(CAST(m.vid AS VARCHAR), '-') AS info
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN LATERAL (
+    SELECT v.event_id AS vid
+    FROM (SELECT user_id, date_trunc('hour', ts) AS hts, event_id
+          FROM events WHERE event_type = 'view') v
+    WHERE v.user_id = p.user_id AND v.hts <= p.ts
+    ORDER BY v.hts DESC, v.event_id DESC LIMIT 1) m ON true
   UNION ALL
   -- range mirror: plain BETWEEN join over the gaps-and-islands
   -- session rebuild (engine side uses the bin-bucketed equi-join)

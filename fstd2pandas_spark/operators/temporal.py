@@ -41,9 +41,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     ``right_cols`` + ``{prefix}ts_us`` (the matched right time,
     microseconds) — NULL when no right row qualifies. Equal timestamps
     match (inclusive, like pandas merge_asof); several right rows on
-    the exact same timestamp resolve to the LAST in (ts, right row
-    order) — deterministic when right has a tie-break column in
-    ``right_cols`` order, and real event streams rarely tie.
+    the exact same key and timestamp resolve to the MAXIMAL right
+    payload in ``right_cols`` tuple order — the payload struct rides
+    the window ordering, so the carried row never depends on partition
+    arrival order (``right_cols`` must therefore be orderable types;
+    they are comparable by definition for ties to be resolvable at
+    all).
 
     Plan shape: union the tagged inputs, ONE window over (by) ordered
     by (time, side) carrying the right payload forward with
@@ -78,14 +81,21 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         r.select("_k", "_us", "_side", "_pay", "_row"))
 
     # backward: ascending time, right rows (side 0) BEFORE left rows at
-    # the same timestamp so equal times match; forward mirrors it
+    # the same timestamp so equal times match; forward mirrors it.
+    # _pay asc as the final key makes last(ignorenulls) pick the
+    # MAXIMAL payload among same-(key, ts) right rows — deterministic
+    # tie resolution instead of partition arrival order (left rows'
+    # NULL _pay sorts first and only ever ties with other left rows,
+    # which carry no payload to choose between)
     if direction == "backward":
         w = (Window.partitionBy("_k")
-             .orderBy(F.col("_us").asc(), F.col("_side").asc())
+             .orderBy(F.col("_us").asc(), F.col("_side").asc(),
+                      F.col("_pay").asc())
              .rowsBetween(Window.unboundedPreceding, 0))
     else:
         w = (Window.partitionBy("_k")
-             .orderBy(F.col("_us").desc(), F.col("_side").asc())
+             .orderBy(F.col("_us").desc(), F.col("_side").asc(),
+                      F.col("_pay").asc())
              .rowsBetween(Window.unboundedPreceding, 0))
     matched = F.last("_pay", ignorenulls=True).over(w)
     out = (u.withColumn("_m", matched)

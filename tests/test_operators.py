@@ -498,6 +498,29 @@ def test_asof_join_known_values(spark):
     assert tol == {100: 7, 101: None, 102: 9, 103: None}  # 101: gap 1 h
 
 
+def test_asof_join_tie_resolution_deterministic(spark):
+    """Several right rows on the SAME key and timestamp must resolve
+    to the MAXIMAL right payload (right_cols tuple order) regardless
+    of partition arrival order — the payload struct rides the window
+    ordering, so no carried row depends on how the shuffle lands."""
+    from fstd2pandas_spark.operators.temporal import asof_join
+
+    L = spark.createDataFrame(
+        [(1, "2024-01-01T12:00:00", 100)], ["user_id", "ts", "lid"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tied = [(1, "2024-01-01T10:00:00", rid) for rid in (5, 9, 2, 7)]
+    for order in (tied, tied[::-1], tied[2:] + tied[:2]):
+        R = spark.createDataFrame(
+            order, ["user_id", "ts", "rid"]
+        ).withColumn("ts", F.col("ts").cast("timestamp")).repartition(7)
+        back = asof_join(L, R, right_cols=["rid"]).collect()
+        assert [r["asof_rid"] for r in back] == [9], order
+        fwd = asof_join(L.withColumn("ts", F.expr(
+            "ts - INTERVAL 4 HOURS")), R, direction="forward",
+            right_cols=["rid"]).collect()
+        assert [r["asof_rid"] for r in fwd] == [9], order
+
+
 def test_asof_join_single_exchange_no_join(spark):
     """The at-scale property: one key exchange, no join operator."""
     from fstd2pandas_spark.operators.temporal import asof_join
