@@ -4084,8 +4084,34 @@ def q_stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lc = (linear_count_occupied(evb, "event_id", ["event_type"], m=4096)
           .select(F.col("event_type").alias("nomvar"), "lc_occ"))
+    # round 9 completes the sketch toolkit: cms_hh flags heavy hitters
+    # at threshold 3000 over the SAME narrow sketch (3 true / 2 false
+    # at sf0.01 — both outcomes fire; CMS overcounting means no false
+    # negatives by construction), and hll_nreg / hll_sumrank /
+    # hll_maxrank summarize each type's per-event-id HyperLogLog
+    # register table at p=6 (integer md5-derived registers, the float
+    # estimate stays driver-side; sumrank differs per type, so a wrong
+    # bucket mod or rank formula shifts the hash)
+    from fstd2pandas_spark.operators.sketch import (
+        countmin_heavy_hitters, hll_registers)
+
+    hh = (countmin_heavy_hitters(
+        cnt, evb.select("event_type").distinct(), "event_type",
+        width=4, depth=2, threshold=3000)
+        .select(F.col("event_type").alias("nomvar"),
+                F.lit(True).alias("cms_hh")))
+    hr = (hll_registers(evb, "event_id", ["event_type"], p=6)
+          .groupBy("event_type")
+          .agg(F.count("*").cast("long").alias("hll_nreg"),
+               F.sum("max_rank").cast("long").alias("hll_sumrank"),
+               F.max("max_rank").cast("long").alias("hll_maxrank"))
+          .withColumnRenamed("event_type", "nomvar"))
     return (ext.join(est, "nomvar", "left")
-            .join(lc, "nomvar", "left").orderBy("nomvar"))
+            .join(lc, "nomvar", "left")
+            .join(hh, "nomvar", "left")
+            .withColumn("cms_hh", F.coalesce(F.col("cms_hh"),
+                                             F.lit(False)))
+            .join(hr, "nomvar", "left").orderBy("nomvar"))
 
 
 _Q_STREAM_EXTREMA_SQL = """
@@ -4108,7 +4134,11 @@ _Q_STREAM_EXTREMA_SQL = """
          round(min(e.value), 6) AS running_min,
          round(max(e.value), 6) AS running_max,
          any_value(cest.cms_est) AS cms_est,
-         any_value(lcc.lc_occ) AS lc_occ
+         any_value(lcc.lc_occ) AS lc_occ,
+         any_value(cest.cms_est) >= 3000 AS cms_hh,
+         any_value(hreg.hll_nreg) AS hll_nreg,
+         any_value(hreg.hll_sumrank) AS hll_sumrank,
+         any_value(hreg.hll_maxrank) AS hll_maxrank
   FROM events e JOIN cest ON cest.event_type = e.event_type
   JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS lc_occ
         FROM (SELECT DISTINCT event_type,
@@ -4117,6 +4147,27 @@ _Q_STREAM_EXTREMA_SQL = """
                        % 4096 AS b
               FROM events)
         GROUP BY 1) lcc ON lcc.event_type = e.event_type
+  -- HyperLogLog register table per type (p=6, m=64): reg = first 32
+  -- md5 bits mod 64, rank = 33 - minimal-binary length of the next 32
+  -- bits (bin() is minimal-width in DuckDB exactly like Spark's
+  -- conv(x,10,2); both give '0' length 1, overridden to rank 33)
+  JOIN (SELECT event_type,
+               CAST(count(*) AS BIGINT) AS hll_nreg,
+               CAST(sum(mr) AS BIGINT) AS hll_sumrank,
+               CAST(max(mr) AS BIGINT) AS hll_maxrank
+        FROM (SELECT event_type,
+                     CAST(concat('0x', substr(md5(concat('hll_',
+                          CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                       % 64 AS reg,
+                     max(CASE WHEN CAST(concat('0x', substr(md5(concat(
+                              'hll_', CAST(event_id AS VARCHAR))), 9, 8))
+                              AS BIGINT) = 0 THEN 33
+                         ELSE 33 - length(bin(CAST(concat('0x',
+                              substr(md5(concat('hll_',
+                              CAST(event_id AS VARCHAR))), 9, 8))
+                              AS BIGINT))) END) AS mr
+              FROM events GROUP BY 1, 2)
+        GROUP BY 1) hreg ON hreg.event_type = e.event_type
   GROUP BY 1 ORDER BY nomvar
 """
 

@@ -40,6 +40,7 @@ from fstd2pandas_spark.operators.funnel import (
 from fstd2pandas_spark.operators.temporal import asof_join, range_join
 from fstd2pandas_spark.operators.sketch import (
     countmin_counters, countmin_estimate, merge_counters,
+    countmin_heavy_hitters, hll_registers, hll_estimate,
     linear_count_occupied, linear_count_estimate,
 )
 
@@ -55,5 +56,6 @@ __all__ = [
     "retention_cohorts", "user_activity_report", "cohorts_from_report",
     "asof_join", "range_join",
     "countmin_counters", "countmin_estimate", "merge_counters",
+    "countmin_heavy_hitters", "hll_registers", "hll_estimate",
     "linear_count_occupied", "linear_count_estimate",
 ]

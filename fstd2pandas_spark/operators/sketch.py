@@ -121,6 +121,93 @@ def countmin_estimate(counters: DataFrame, keys: DataFrame,
                  .cast("long").alias("cms_est")))
 
 
+def countmin_heavy_hitters(counters: DataFrame, keys: DataFrame,
+                           key_col: str, width: int, depth: int,
+                           threshold: int) -> DataFrame:
+    """Candidate keys whose estimated count >= ``threshold``. Because a
+    Count-Min only ever OVERcounts, this never misses a true heavy
+    hitter — no false negatives by construction; false positives are
+    bounded by the sketch's collision error (shrink with ``width``).
+    Same scale shape as the estimate: broadcast counters, streaming
+    candidate side — finding heavy hitters among a billion candidate
+    keys is one narrow broadcast join plus a filter."""
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    return (countmin_estimate(counters, keys, key_col, width, depth)
+            .filter(F.col("cms_est") >= int(threshold)))
+
+
+def hll_registers(df: DataFrame, key_col: str,
+                  group_cols: "list[str] | None" = None,
+                  p: int = 10) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007): hash every
+    non-NULL key, route it to one of ``m = 2**p`` registers by the
+    first 32 md5 bits, and keep per register the MAX of
+    (leading zeros of the next 32 bits) + 1. Returns (reg, max_rank,
+    hll_p) — at most m rows however many distinct keys exist.
+
+    Like :func:`linear_count_occupied`, the gated/deterministic part
+    is the integer register table itself: md5-derived buckets and a
+    max over integer ranks are summation-order-free and bit-identical
+    on any engine or partitioning (rank = 33 - length of the minimal
+    binary string of the 32-bit value, an integer/string expression
+    DuckDB mirrors with ``bin()``), and register tables from
+    disjoint corpora merge by plain ``GREATEST`` per register. The
+    float estimate stays driver-side (:func:`hll_estimate`). One
+    map-side-combinable aggregation, kilobytes of state —
+    ``group_cols`` gives a register table per group (per-day /
+    per-source cardinalities), m-bounded per group like
+    :func:`linear_count_occupied`."""
+    if p < 4 or p > 18:
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    gcols = list(group_cols or [])
+    h = F.md5(F.concat(F.lit("hll_"), F.col(key_col).cast("string")))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rank = (F.when(h2 == 0, F.lit(33))
+            .otherwise(F.lit(33) - F.length(F.conv(h2, 10, 2)))
+            .cast("int"))
+    return (df.filter(F.col(key_col).isNotNull())
+            .select(*gcols, (h1 % m).alias("reg"), rank.alias("_r"))
+            .groupBy(*gcols, "reg")
+            .agg(F.max("_r").alias("max_rank"))
+            .withColumn("hll_p", F.lit(int(p))))
+
+
+def hll_estimate(registers: "list[tuple[int, int]]", p: int) -> float:
+    """Driver-side HLL cardinality estimate from (reg, max_rank) rows
+    (absent registers count as 0): the classic alpha_m * m^2 /
+    sum(2^-M_j) with the small-range linear-counting fallback and the
+    32-bit large-range correction — the float arithmetic stays OUT of
+    the cross-engine contract, exactly like
+    :func:`linear_count_estimate`."""
+    import math
+
+    m = 1 << p
+    ranks = [0] * m
+    for reg, r in registers:
+        if not 0 <= reg < m:
+            raise ValueError(f"register {reg} out of range for p={p}")
+        ranks[reg] = max(ranks[reg], r)
+    if m >= 128:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    est = alpha * m * m / sum(2.0 ** -r for r in ranks)
+    if est <= 2.5 * m:
+        zeros = ranks.count(0)
+        if zeros:
+            return m * math.log(m / zeros)
+    if est > (1 << 32) / 30.0:
+        return -(1 << 32) * math.log(1.0 - est / (1 << 32))
+    return est
+
+
 def linear_count_occupied(df: DataFrame, key_col: str,
                           group_cols: "list[str] | None" = None,
                           m: int = 1024) -> DataFrame:

@@ -729,3 +729,90 @@ def test_linear_count_sketch(spark):
     est = linear_count_estimate(out["g1"][0], 4096)
     assert abs(est - 20) < 1.5
     assert linear_count_estimate(8, 8) == float("inf")
+
+def test_hll_registers_hand_computed(spark):
+    """HLL register rows equal a direct Python md5 re-derivation
+    (reg = first 32 md5 bits mod m, rank = leading zeros of the next
+    32 bits + 1, max per register), and merged register tables equal
+    the table of the union via GREATEST."""
+    import hashlib
+
+    from fstd2pandas_spark.operators.sketch import hll_registers
+
+    keys = [f"key{i}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    p, m = 6, 64
+    got = {r["reg"]: r["max_rank"]
+           for r in hll_registers(df, "k", p=p).collect()}
+
+    exp = {}
+    for k in keys:
+        hx = hashlib.md5(f"hll_{k}".encode()).hexdigest()
+        reg = int(hx[:8], 16) % m
+        h2 = int(hx[8:16], 16)
+        rank = 33 if h2 == 0 else 33 - len(bin(h2)[2:])
+        exp[reg] = max(exp.get(reg, 0), rank)
+    assert got == exp
+
+    a = hll_registers(df.limit(80), "k", p=p)
+    b = hll_registers(
+        spark.createDataFrame([(k,) for k in keys[80:]], ["k"]), "k", p=p)
+    merged = {r["reg"]: r["mr"] for r in
+              a.unionByName(b).groupBy("reg")
+              .agg(F.max("max_rank").alias("mr")).collect()}
+    assert merged == exp
+
+
+def test_hll_estimate_accuracy_and_guards(spark):
+    """The driver-side estimate lands within the published ~1.04/sqrt(m)
+    error band (x4 slack), the small-range linear-counting fallback
+    fires for tiny cardinalities, and hostile register ids raise."""
+    import pytest as _pytest
+
+    from fstd2pandas_spark.operators.sketch import (
+        hll_estimate, hll_registers)
+
+    n, p = 5000, 10
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)], ["k"])
+    regs = [(r["reg"], r["max_rank"])
+            for r in hll_registers(df, "k", p=p).collect()]
+    est = hll_estimate(regs, p)
+    assert abs(est - n) / n < 4 * 1.04 / (1 << p) ** 0.5
+
+    # small range: 3 distinct keys in 1024 registers -> exact-ish
+    small = spark.createDataFrame([("a",), ("b",), ("c",), ("a",)], ["k"])
+    sregs = [(r["reg"], r["max_rank"])
+             for r in hll_registers(small, "k", p=p).collect()]
+    assert round(hll_estimate(sregs, p)) == 3
+
+    with _pytest.raises(ValueError, match="out of range"):
+        hll_estimate([(1 << p, 5)], p)
+    with _pytest.raises(ValueError, match="p must be"):
+        hll_registers(df, "k", p=2)
+
+
+def test_countmin_heavy_hitters_no_false_negatives(spark):
+    """Every true heavy hitter survives (CMS overcounts only — no
+    false negatives by construction), even in a deliberately narrow
+    sketch; the exact-count keys below threshold may false-positive
+    but never the reverse."""
+    import pytest as _pytest
+
+    from fstd2pandas_spark.operators.sketch import (
+        countmin_counters, countmin_heavy_hitters)
+
+    rows = ([("hot",)] * 50 + [("warm",)] * 20
+            + [(f"cold{i}",) for i in range(30)])
+    df = spark.createDataFrame(rows, ["k"])
+    cnt = countmin_counters(df, "k", width=8, depth=2)
+    hh = {r["k"] for r in countmin_heavy_hitters(
+        cnt, df.distinct(), "k", width=8, depth=2,
+        threshold=20).collect()}
+    assert {"hot", "warm"} <= hh
+    wide = countmin_counters(df, "k", width=1024, depth=3)
+    hh_wide = {r["k"] for r in countmin_heavy_hitters(
+        wide, df.distinct(), "k", width=1024, depth=3,
+        threshold=20).collect()}
+    assert hh_wide == {"hot", "warm"}
+    with _pytest.raises(ValueError, match="threshold"):
+        countmin_heavy_hitters(cnt, df, "k", 8, 2, 0)
