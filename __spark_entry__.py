@@ -4856,7 +4856,7 @@ def q_fst_xdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d0, n0 in _XDF_CASES:
         dt = F.when((F.col("datyp") == d0) & (F.col("nbits") == n0),
                     F.lit(field_dtype(d0, n0))).otherwise(dt)
-    return (
+    data_rows = (
         back.select(
             *_RT_META_COLS,
             F.posexplode("d").alias("pos", "val"),
@@ -4864,8 +4864,26 @@ def q_fst_xdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("val", F.round(F.col("val").cast("double"), 4))
         .withColumn("dtype_str", dt)
         .withColumn("magic_ok", F.lit(magic_ok))
-        .orderBy("ip3", "pos")
+        .withColumn("kind", F.lit("data"))
     )
+    # S3 end-to-end: the lazy metadata-only scan (with_data=false) —
+    # the reader never opens the payload stream, `d` comes back NULL,
+    # and every header column still hashes against the identity
+    # construction (a directory-parse bug in the payload-skipping path
+    # has nowhere to hide); the no-payload-read plan/IO assertion
+    # lives in tests/test_sources.py
+    meta_back = (spark.read.format("fstrec")
+                 .option("with_data", "false").load(out_dir))
+    meta_rows = (
+        meta_back.select(*_RT_META_COLS)
+        .withColumn("pos", F.lit(-1))
+        .withColumn("val", F.lit(None).cast("double"))
+        .withColumn("dtype_str", dt)
+        .withColumn("magic_ok", F.lit(magic_ok))
+        .withColumn("kind", F.lit("meta"))
+    )
+    return (data_rows.unionByName(meta_rows)
+            .orderBy("kind", "ip3", "pos"))
 
 
 # datev stamps end in 0-7, so raw = (datev//10)*8 + datev%10 is exact and
@@ -4883,9 +4901,22 @@ _Q_XDF_RT_SQL = f"""
          ig1, ig2, ig3, ig4, datev,
          u.i - 1 AS pos, round(CAST(d[u.i] AS DOUBLE), 4) AS val,
          ([{", ".join(_xdf_dtype_sql())}])[CAST(ip3 % {len(_XDF_CASES)} AS INT) + 1] AS dtype_str,
-         TRUE AS magic_ok
+         TRUE AS magic_ok, 'data' AS kind
   FROM s, UNNEST(generate_series(1, len(d))) u(i)
-  ORDER BY ip3, pos
+  UNION ALL
+  -- S3 mirror: the metadata-only lazy scan — one row per record,
+  -- every header column, no payload cell
+  SELECT nomvar, typvar, etiket, ni, nj, nk,
+         (raw_o // 8) * 10 + raw_o % 8 AS dateo,
+         ip1, ip2, ip3, deet, npas,
+         ([{", ".join(str(d) for d, _ in _XDF_CASES)}])[CAST(ip3 % {len(_XDF_CASES)} AS INT) + 1] AS datyp,
+         ([{", ".join(str(n) for _, n in _XDF_CASES)}])[CAST(ip3 % {len(_XDF_CASES)} AS INT) + 1] AS nbits, grtyp,
+         ig1, ig2, ig3, ig4, datev,
+         -1 AS pos, CAST(NULL AS DOUBLE) AS val,
+         ([{", ".join(_xdf_dtype_sql())}])[CAST(ip3 % {len(_XDF_CASES)} AS INT) + 1] AS dtype_str,
+         TRUE AS magic_ok, 'meta' AS kind
+  FROM s
+  ORDER BY kind, ip3, pos
 """
 
 
