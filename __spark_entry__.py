@@ -3971,7 +3971,86 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("last_step_us") / F.lit(1_000_000))
          - F.floor(F.col("first_step_us") / F.lit(1_000_000)))
         .cast("long").alias("dur_s"))
-    return hourly.unionByName(funnel).orderBy("kind", "k1", "k2")
+    # kind='sdedup'/'sgdedup' (round 9): the streaming ingest dedup
+    # gates (record_stream.py streaming_exact_dedup /
+    # streaming_signature_dedup) drained over a 3-shard document
+    # drop zone built to make suppression REAL: originals + re-crawled
+    # copies (same text, shifted ids — exact dedup suppresses) +
+    # ASCII-uppercased variants (translate(), a pure codepoint map
+    # both engines agree on; different md5 so exact dedup KEEPS them,
+    # identical lowercased tokens so signature dedup COLLAPSES them).
+    # The gated rows are survivor-deterministic: per content hash the
+    # survivors share text (k1 = n_chars, n = 1), per signature hash
+    # only the batch-rederived group size (k1, 1..5 at sf0.01) and the
+    # survivor count ride — which member survives is arrival-order
+    # and stays out of the contract.
+    from fstd2pandas_spark.operators.llm.dedup import minhash_signature
+    from fstd2pandas_spark.streaming.record_stream import (
+        streaming_exact_dedup, streaming_signature_dedup)
+
+    _UP = ("abcdefghijklmnopqrstuvwxyz",
+           "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    zone = (docs
+            .unionByName(docs.filter(F.col("doc_id") % 5 == 0)
+                         .withColumn("doc_id", F.col("doc_id") + 10000))
+            .unionByName(docs.filter(F.col("doc_id") % 7 == 0)
+                         .withColumn("doc_id", F.col("doc_id") + 20000)
+                         .withColumn("text", F.translate("text", *_UP))))
+    zone_dir = os.path.join(
+        _TMP_ROOT,
+        f"doczone_{os.path.basename(os.path.normpath(sf_dir))}")
+    zone.coalesce(1).write.mode("overwrite").parquet(zone_dir)
+    dschema = spark.read.parquet(zone_dir).schema
+
+    ename = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    run_to_memory(streaming_exact_dedup(
+        spark.readStream.schema(dschema).parquet(zone_dir)), ename)
+    sded = (spark.table(ename).groupBy("content_hash")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("n_chars").cast("long").alias("k1"))
+            .select(F.lit("sdedup").alias("kind"), "k1",
+                    F.col("content_hash").alias("k2"), "n",
+                    F.lit(None).cast("double").alias("sum_value"),
+                    F.lit(None).cast("long").alias("dur_s")))
+
+    gname = f"stream_sg_{uuid.uuid4().hex[:8]}"
+    run_to_memory(streaming_signature_dedup(
+        spark.readStream.schema(dschema).parquet(zone_dir)), gname)
+    # batch re-derivation of each signature's zone group size: if the
+    # stream-side signatures diverged from the batch operator, the
+    # join misses and k1 goes NULL — a hash mismatch
+    gsize = (minhash_signature(spark.read.parquet(zone_dir), "text", 8, 3)
+             .withColumn("signature_hash", F.md5(F.array_join(
+                 F.transform(F.col("sig"),
+                             lambda x: x.cast("string")), "|")))
+             .groupBy("signature_hash")
+             .agg(F.count("*").cast("long").alias("k1")))
+    sgd = (spark.table(gname).groupBy("signature_hash")
+           .agg(F.count("*").cast("long").alias("n"))
+           .join(gsize, "signature_hash", "left")
+           .select(F.lit("sgdedup").alias("kind"), "k1",
+                   F.col("signature_hash").alias("k2"), "n",
+                   F.lit(None).cast("double").alias("sum_value"),
+                   F.lit(None).cast("long").alias("dur_s")))
+    return (hourly.unionByName(funnel).unionByName(sded)
+            .unionByName(sgd).orderBy("kind", "k1", "k2"))
+
+
+def _zone_sig_terms(num_hashes: int = 8) -> str:
+    """DuckDB minhash signature terms over the `sh` shingle array —
+    shared by the sgdedup mirror (same affine family as _minhash_sql)."""
+    from fstd2pandas_spark.operators.llm.dedup import (
+        MINHASH_AS, MINHASH_BS, MINHASH_P,
+    )
+
+    return ", ".join(
+        "coalesce(list_min(list_transform(sh, s -> "
+        f"({MINHASH_AS[i]} * CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)"
+        f" + {MINHASH_BS[i]}) % {MINHASH_P})), {MINHASH_P})"
+        for i in range(num_hashes)
+    )
 
 
 _Q_STREAM_EVENTS_SQL = """
@@ -3996,7 +4075,32 @@ _Q_STREAM_EVENTS_SQL = """
                 CASE WHEN t3 IS NOT NULL THEN 3
                      WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth,
                 t1, coalesce(t3, t2, t1) AS tl
-         FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id))
+         FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id)),
+  -- streaming-dedup drop zone mirror: originals + re-crawled copies
+  -- (same text) + ASCII-uppercased variants (translate: the pure
+  -- codepoint map, engine-identical unlike locale upper())
+  zone AS (
+    SELECT doc_id, text, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 10000, text, n_chars FROM documents
+    WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 20000,
+           translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ'), n_chars
+    FROM documents WHERE doc_id % 7 = 0),
+  ztoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM zone),
+  zshing AS (
+    SELECT doc_id, CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                        ELSE list_transform(generate_series(1, len(t) - 2),
+                             j -> array_to_string(list_slice(t, j, j + 2),
+                                                  ' ')) END AS sh
+    FROM ztoks),
+  zsigs AS (SELECT doc_id, [__ZONE_SIG_TERMS__] AS sig FROM zshing),
+  zsh AS (SELECT doc_id,
+                 md5(array_to_string(list_transform(sig,
+                     x -> CAST(x AS VARCHAR)), '|')) AS sighash
+          FROM zsigs)
   SELECT 'hour' AS kind, k1, k2, n, sv AS sum_value,
          CAST(NULL AS BIGINT) AS dur_s
   FROM h8
@@ -4027,8 +4131,24 @@ _Q_STREAM_EVENTS_SQL = """
          CAST(NULL AS DOUBLE) AS sum_value,
          CAST(floor(epoch(tl)) - floor(epoch(t1)) AS BIGINT) AS dur_s
   FROM fu
+  UNION ALL
+  -- streaming exact dedup: exactly ONE survivor per content hash;
+  -- survivors of a hash share text, so n_chars is deterministic
+  SELECT 'sdedup' AS kind, CAST(min(n_chars) AS BIGINT) AS k1,
+         md5(text) AS k2, CAST(1 AS BIGINT) AS n,
+         CAST(NULL AS DOUBLE) AS sum_value,
+         CAST(NULL AS BIGINT) AS dur_s
+  FROM zone GROUP BY md5(text)
+  UNION ALL
+  -- streaming signature dedup: ONE survivor per minhash signature,
+  -- k1 = the zone group size that signature collapsed (1..5)
+  SELECT 'sgdedup' AS kind, CAST(count(*) AS BIGINT) AS k1,
+         sighash AS k2, CAST(1 AS BIGINT) AS n,
+         CAST(NULL AS DOUBLE) AS sum_value,
+         CAST(NULL AS BIGINT) AS dur_s
+  FROM zsh GROUP BY sighash
   ORDER BY kind, k1, k2
-"""
+""".replace("__ZONE_SIG_TERMS__", _zone_sig_terms())
 
 
 def q_stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
