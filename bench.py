@@ -36,6 +36,45 @@ HEADLINE = [
 ]
 
 
+def _calibration(spark) -> dict:
+    """Fixed-work probes emitted alongside the headline numbers so
+    cross-round comparisons can normalize for HOST drift (round 8
+    measured identical-code totals moving 5.90 -> 7.59 s over one day
+    with all in-VM probes normal): a chained-md5 pure-Python loop
+    (driver CPU) and a constant 4M-row JVM md5 aggregation over a
+    fixed 8-partition range (executor CPU + codegen path, no IO).
+    Work is constant by construction — any movement in these numbers
+    is the host, not the code."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    def probe(salt: int):
+        # fresh plan per run with a salt literal: re-collecting the
+        # SAME DataFrame object reuses its executed result stage in
+        # Spark 4 (measured: flat timings at 4x the rows), which would
+        # turn the probe into a no-op. The salt only changes md5
+        # inputs, not the amount of work.
+        return (spark.range(0, 4_000_000, 1, 8)
+                .select(F.sum(F.conv(F.substring(F.md5(
+                    F.concat(F.lit(str(salt)), F.col("id").cast("string"))),
+                    1, 4), 16, 10).cast("long")).alias("s")))
+
+    probe(0).collect()                   # prime codegen for the shape
+    best_py = best_jvm = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        h = b"calib"
+        for _ in range(200_000):
+            h = hashlib.md5(h).digest()
+        best_py = min(best_py, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        probe(i + 1).collect()
+        best_jvm = min(best_jvm, time.perf_counter() - t0)
+    return {"py_md5_sec": round(best_py, 3),
+            "jvm_md5_sec": round(best_jvm, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -75,6 +114,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "calib": _calibration(spark),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
