@@ -16,9 +16,14 @@ abbreviated stream ahead of each chunk's scan.
 Planar configuration 2 (per-component strip planes) reassembles and
 stacks channels.
 
+CCITT fax codings decode for real through
+:mod:`fstd2pandas_spark.operators.llm.ccitt` (compression 2 = Modified
+Huffman RLE, 3 = T.4 G3 1-D/2-D with EOLs and the byte-aligned
+option, 4 = T.6 G4 MMR), strip and tiled layouts, FillOrder 2.
+
 Out-of-scope variants return ``None`` for the content-hash fallback
-(planar tiled/JPEG combinations, old-style JPEG (6), CCITT fax
-codings) — the same honesty contract as the other decoders.
+(planar tiled/JPEG combinations, old-style JPEG (6), T.4/T.6
+uncompressed mode) — the same honesty contract as the other decoders.
 """
 
 from __future__ import annotations
@@ -164,6 +169,17 @@ def _decode(payload: bytes) -> "np.ndarray | None":
     predictor = one(317, 1)
     if w is None or h is None or photo is None:
         return None
+    if comp in (2, 3, 4):
+        # CCITT fax codings (T.4 MH / G3 / T.6 G4): bilevel only —
+        # BitsPerSample defaults to 1 for these and the spec requires
+        # it; the dedicated branch below bypasses the byte-oriented
+        # sample machinery entirely
+        eff_bits = tags.get(258, (1,))
+        if planar != 1 or spp != 1 or any(b != 1 for b in eff_bits):
+            raise _BadTiff("CCITT requires bilevel planar-1")
+        if h * w > MAX_DECODE_BYTES:
+            raise _BadTiff("dimensions exceed decode budget")
+        return _decode_ccitt_layout(payload, tags, one, h, w, comp, photo)
     if planar not in (1, 2) or any(b != bits[0] for b in bits) \
             or bits[0] not in (8, 16):
         raise _BadTiff("unsupported planar config or bit depth")
@@ -342,6 +358,70 @@ def _decode(payload: bytes) -> "np.ndarray | None":
         px = planes[0] if n_planes == 1 else np.concatenate(
             planes, axis=2)
 
+    return _apply_photometric(px, photo, spp, tags)
+
+
+def _decode_ccitt_layout(payload, tags, one, h, w, comp, photo):
+    """Strip/tiled CCITT assembly (compressions 2/3/4): each chunk is
+    an independently coded fax block decoded by
+    :mod:`fstd2pandas_spark.operators.llm.ccitt`; rows come back as
+    0=white / 1=black bits, scaled to 8-bit before the photometric
+    switch (white-is-zero renders white as 255 like any grey image)."""
+    from fstd2pandas_spark.operators.llm.ccitt import (
+        _BadCcitt, decode_ccitt)
+
+    t4o = one(292, 0)
+    t6o = one(293, 0)
+    fill = one(266, 1)
+
+    def block(off, cnt, nrows, ncols):
+        try:
+            return decode_ccitt(bytes(payload[off:off + cnt]), ncols,
+                                nrows, comp, t4o, t6o, fill)
+        except _BadCcitt as exc:
+            raise _BadTiff(f"CCITT: {exc}")
+
+    if 322 in tags or 323 in tags:
+        tw, th = one(322), one(323)
+        toffs, tcnts = tags.get(324), tags.get(325)
+        if not tw or not th or tw < 1 or th < 1:
+            raise _BadTiff("bad tile dimensions")
+        if not toffs or not tcnts or len(toffs) != len(tcnts):
+            raise _BadTiff("missing tiles")
+        across, down = -(-w // tw), -(-h // th)
+        if len(toffs) < across * down:
+            raise _BadTiff("short tile table")
+        bitsimg = np.zeros((h, w), dtype=np.uint8)
+        for idx in range(across * down):
+            arr = block(toffs[idx], tcnts[idx], th, tw)
+            ty, tx = divmod(idx, across)
+            y0, x0 = ty * th, tx * tw
+            ch_, cw_ = min(th, h - y0), min(tw, w - x0)
+            bitsimg[y0:y0 + ch_, x0:x0 + cw_] = arr[:ch_, :cw_]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise _BadTiff("missing strips")
+        rows_per_strip = one(278, h)
+        if not rows_per_strip or rows_per_strip < 1:
+            raise _BadTiff("bad rows_per_strip")
+        if len(offsets) < -(-h // rows_per_strip):
+            raise _BadTiff("short strip table")
+        parts = []
+        y0 = 0
+        for off, cnt in zip(offsets, counts):
+            rows = min(rows_per_strip, h - y0)
+            if rows <= 0:
+                break
+            parts.append(block(off, cnt, rows, w))
+            y0 += rows
+        bitsimg = np.concatenate(parts, axis=0)
+    px = (bitsimg * np.uint8(255))[..., None]
+    return _apply_photometric(px, photo, 1, tags)
+
+
+def _apply_photometric(px, photo, spp, tags):
     if photo in (0, 1) and spp >= 1:      # grey (0 = white-is-zero)
         g = px[..., 0]
         if photo == 0:

@@ -88,7 +88,9 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
                 tile: "tuple[int, int] | None" = None,
                 bit_depth: int = 8,
                 jpeg_tables: "bytes | None" = None,
-                jpeg_split_tables: bool = False) -> bytes:
+                jpeg_split_tables: bool = False,
+                t4_options: int = 0,
+                fill_order: int = 1) -> bytes:
     """img: (h, w) indices/grey for photometric 0/1/3, (h, w, ch) for
     RGB(A). Little-endian, one IFD. ``tile=(tw, th)`` writes the tiled
     layout (tags 322/323/324/325, row-major full tiles, zero-padded
@@ -111,6 +113,15 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
         """Chunk bytes for one strip/tile: raw codecs pack the
         predictor-differenced samples; compression 7 (new-style
         JPEG-in-TIFF) encodes the RGB block as its own JPEG stream."""
+        if compression in (2, 3, 4):
+            # CCITT fax: block is (rows, cols, 1) of 0/1 bits
+            from _ccitt_ref import encode_ccitt
+            data = encode_ccitt(block[:, :, 0].astype(np.uint8),
+                                compression, t4_options)
+            if fill_order == 2:          # LSB-first files: reverse bits
+                data = data.translate(bytes(
+                    int(f"{i:08b}"[::-1], 2) for i in range(256)))
+            return data
         if compression == 7:
             from _jpeg_ref import encode_jpeg
             stream = encode_jpeg(np.ascontiguousarray(block))
@@ -135,7 +146,7 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
             return stream
         return _pack(_pred(block).tobytes())
 
-    sdtype = np.uint8 if bit_depth == 8 else np.dtype("<u2")
+    sdtype = np.uint8 if bit_depth in (1, 8) else np.dtype("<u2")
     wdtype = np.int16 if bit_depth == 8 else np.int32
 
     def _pred(block):
@@ -190,6 +201,10 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
     entry(284, 3, [planar])
     if predictor != 1:
         entry(317, 3, [predictor])
+    if compression == 3 and t4_options:
+        entry(292, 4, [t4_options])
+    if fill_order == 2:
+        entry(266, 3, [2])
     if jpeg_split_tables and _split_tables:
         # TTN2 contract: every strip/tile must share ONE table set —
         # _jpeg_ref builds content-adaptive Huffman tables, so callers
