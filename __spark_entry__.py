@@ -4226,12 +4226,40 @@ def q_stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.sum("max_rank").cast("long").alias("hll_sumrank"),
                F.max("max_rank").cast("long").alias("hll_maxrank"))
           .withColumnRenamed("event_type", "nomvar"))
+    # round 9: the Bloom filter (sketch.py bloom_bits /
+    # bloom_might_contain — the decontamination primitive: broadcast
+    # m-bounded bit table, streaming probe side). Build set = purchase
+    # users with id % 7 == 0 (~21 at sf0.01); candidates = each type's
+    # users with >= 14 events of it, so per-type pools differ; m=128
+    # forces real false positives (maybe > true for every type:
+    # 14/10, 22/13, 18/10, 19/12, 10/4) while no member ever slips
+    # through — the oracle rebuilds the exact bit set and counts.
+    from fstd2pandas_spark.operators.sketch import (
+        bloom_bits, bloom_might_contain)
+
+    pu = (evb.filter((F.col("event_type") == "purchase")
+                     & (F.col("user_id") % 7 == 0))
+          .select("user_id").distinct())
+    bl = bloom_bits(pu, "user_id", m=128, k=3)
+    cand = (evb.groupBy("event_type", "user_id")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") >= 14).select("event_type", "user_id"))
+    flags = bloom_might_contain(bl, cand.select("user_id"), "user_id",
+                                m=128, k=3)
+    bb = (cand.join(flags, "user_id")
+          .groupBy("event_type")
+          .agg(F.sum(F.col("might_contain").cast("long"))
+               .alias("bloom_maybe"),
+               F.sum((F.col("user_id") % 7 == 0).cast("long"))
+               .alias("bloom_true"))
+          .withColumnRenamed("event_type", "nomvar"))
     return (ext.join(est, "nomvar", "left")
             .join(lc, "nomvar", "left")
             .join(hh, "nomvar", "left")
             .withColumn("cms_hh", F.coalesce(F.col("cms_hh"),
                                              F.lit(False)))
-            .join(hr, "nomvar", "left").orderBy("nomvar"))
+            .join(hr, "nomvar", "left")
+            .join(bb, "nomvar", "left").orderBy("nomvar"))
 
 
 _Q_STREAM_EXTREMA_SQL = """
@@ -4258,7 +4286,9 @@ _Q_STREAM_EXTREMA_SQL = """
          any_value(cest.cms_est) >= 3000 AS cms_hh,
          any_value(hreg.hll_nreg) AS hll_nreg,
          any_value(hreg.hll_sumrank) AS hll_sumrank,
-         any_value(hreg.hll_maxrank) AS hll_maxrank
+         any_value(hreg.hll_maxrank) AS hll_maxrank,
+         any_value(blm.bloom_maybe) AS bloom_maybe,
+         any_value(blm.bloom_true) AS bloom_true
   FROM events e JOIN cest ON cest.event_type = e.event_type
   JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS lc_occ
         FROM (SELECT DISTINCT event_type,
@@ -4288,6 +4318,34 @@ _Q_STREAM_EXTREMA_SQL = """
                               AS BIGINT))) END) AS mr
               FROM events GROUP BY 1, 2)
         GROUP BY 1) hreg ON hreg.event_type = e.event_type
+  -- Bloom mirror: exact bit-set rebuild (build set = purchase users
+  -- with id % 7 = 0, m=128 k=3), probed over each type's >= 14-event
+  -- users; bloom_maybe counts all-3-positions-set candidates,
+  -- bloom_true the actual build-set members (maybe >= true always)
+  JOIN (WITH bl AS (
+          SELECT DISTINCT CAST(concat('0x', substr(md5(concat('bloom',
+                 j, '_', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                 % 128 AS bit
+          FROM (SELECT DISTINCT user_id FROM events
+                WHERE event_type = 'purchase' AND user_id % 7 = 0),
+               (SELECT unnest([0, 1, 2]) AS j) jj),
+        cand AS (SELECT event_type, user_id FROM events
+                 GROUP BY 1, 2 HAVING count(*) >= 14),
+        probe AS (
+          SELECT c.event_type, c.user_id,
+                 count(*) FILTER (WHERE
+                   CAST(concat('0x', substr(md5(concat('bloom', jj.j,
+                        '_', CAST(c.user_id AS VARCHAR))), 1, 8))
+                        AS BIGINT) % 128 IN (SELECT bit FROM bl))
+                   AS hits
+          FROM cand c, (SELECT unnest([0, 1, 2]) AS j) jj
+          GROUP BY 1, 2)
+        SELECT event_type,
+               CAST(count(*) FILTER (WHERE hits >= 3) AS BIGINT)
+                 AS bloom_maybe,
+               CAST(count(*) FILTER (WHERE user_id % 7 = 0) AS BIGINT)
+                 AS bloom_true
+        FROM probe GROUP BY 1) blm ON blm.event_type = e.event_type
   GROUP BY 1 ORDER BY nomvar
 """
 

@@ -41,6 +41,7 @@ from fstd2pandas_spark.operators.temporal import asof_join, range_join
 from fstd2pandas_spark.operators.sketch import (
     countmin_counters, countmin_estimate, merge_counters,
     countmin_heavy_hitters, hll_registers, hll_estimate,
+    bloom_bits, bloom_might_contain,
     linear_count_occupied, linear_count_estimate,
 )
 
@@ -57,5 +58,6 @@ __all__ = [
     "asof_join", "range_join",
     "countmin_counters", "countmin_estimate", "merge_counters",
     "countmin_heavy_hitters", "hll_registers", "hll_estimate",
+    "bloom_bits", "bloom_might_contain",
     "linear_count_occupied", "linear_count_estimate",
 ]

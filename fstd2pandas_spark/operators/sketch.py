@@ -208,6 +208,77 @@ def hll_estimate(registers: "list[tuple[int, int]]", p: int) -> float:
     return est
 
 
+def bloom_bits(df: DataFrame, key_col: str, m: int = 8192,
+               k: int = 4) -> DataFrame:
+    """Bloom filter (Bloom 1970) as its SET-bit table: each non-NULL
+    key sets ``k`` md5-derived positions (salt ``bloom{j}_``) in an
+    ``m``-bit space; the filter is the distinct (bit) rows — at most m
+    of them however many keys went in. Filters over disjoint corpora
+    merge by plain union+distinct.
+
+    This is the decontamination primitive at 100 TB: build the filter
+    over the benchmark/test set once (m-bounded kilobytes), broadcast
+    it, and probe a billion training documents with a narrow join —
+    no false negatives by construction (a contaminated doc can never
+    slip through), false positives at the classic (1-e^{-kn/m})^k
+    rate, tunable by m. Deterministic integers end to end: an SQL
+    oracle rebuilds the exact bit set."""
+    if m < 1 or k < 1:
+        raise ValueError("m and k must be >= 1")
+    pos = F.array(*[
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"bloom{j}_"),
+                           F.col(key_col).cast("string"))), 1, 8),
+            16, 10).cast("long") % m)
+        for j in range(k)])
+    return (df.filter(F.col(key_col).isNotNull())
+            .select(F.explode(pos).alias("bit"))
+            .distinct()
+            .withColumn("bloom_m", F.lit(int(m)))
+            .withColumn("bloom_k", F.lit(int(k))))
+
+
+def bloom_might_contain(bits: DataFrame, keys: DataFrame, key_col: str,
+                        m: int, k: int) -> DataFrame:
+    """``might_contain`` per distinct non-NULL key in ``keys``: true
+    iff ALL k of the key's positions are set. The bit table is
+    m-bounded so it broadcasts; the key side streams — probing any
+    number of candidates is one narrow broadcast join plus a count.
+    (m, k) must match the build; the table's own parameter columns
+    are validated like :func:`countmin_estimate` (a mismatch would
+    silently probe the wrong positions and report false negatives —
+    the one thing a Bloom filter must never do)."""
+    params = [tuple(r) for r in
+              bits.select("bloom_m", "bloom_k").distinct().collect()]
+    if len(params) > 1:
+        raise ValueError(
+            f"bit table mixes {len(params)} (m, k) parameterizations "
+            f"{sorted(params)}")
+    if params and params[0] != (m, k):
+        raise ValueError(
+            f"filter was built with (m={params[0][0]}, "
+            f"k={params[0][1]}), probed with ({m}, {k})")
+    pos = F.array(*[
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"bloom{j}_"),
+                           F.col(key_col).cast("string"))), 1, 8),
+            16, 10).cast("long") % m)
+        for j in range(k)])
+    # distinct BEFORE banding: a key probed twice with k-1 set
+    # positions would otherwise accumulate 2(k-1) >= k hits and flip
+    # to a false positive in the count check
+    keys_d = (keys.filter(F.col(key_col).isNotNull())
+              .select(key_col).distinct())
+    banded = keys_d.select(F.col(key_col), F.explode(pos).alias("bit"))
+    joined = banded.join(F.broadcast(bits.select("bit")), "bit",
+                         "left_semi") \
+        .groupBy(key_col).agg(F.count("*").alias("_hits"))
+    return (keys_d.join(joined, key_col, "left")
+            .select(F.col(key_col),
+                    (F.coalesce(F.col("_hits"), F.lit(0)) >= k)
+                    .alias("might_contain")))
+
+
 def linear_count_occupied(df: DataFrame, key_col: str,
                           group_cols: "list[str] | None" = None,
                           m: int = 1024) -> DataFrame:

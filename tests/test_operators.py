@@ -816,3 +816,58 @@ def test_countmin_heavy_hitters_no_false_negatives(spark):
     assert hh_wide == {"hot", "warm"}
     with _pytest.raises(ValueError, match="threshold"):
         countmin_heavy_hitters(cnt, df, "k", 8, 2, 0)
+
+def test_bloom_filter_membership(spark):
+    """Bloom filter: set members are ALWAYS flagged (no false
+    negatives by construction), a tiny m forces false positives but
+    never the reverse, bit positions equal a direct md5 re-derivation,
+    filters merge by union+distinct, and parameter mismatches raise."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from fstd2pandas_spark.operators.sketch import (
+        bloom_bits, bloom_might_contain)
+
+    members = [f"doc{i}" for i in range(40)]
+    others = [f"other{i}" for i in range(200)]
+    mdf = spark.createDataFrame([(x,) for x in members], ["k"])
+    bits = bloom_bits(mdf, "k", m=64, k=3)
+
+    # hand re-derivation of the bit set
+    exp_bits = set()
+    for x in members:
+        for j in range(3):
+            exp_bits.add(int(hashlib.md5(
+                f"bloom{j}_{x}".encode()).hexdigest()[:8], 16) % 64)
+    assert {r["bit"] for r in bits.collect()} == exp_bits
+
+    probe = spark.createDataFrame(
+        [(x,) for x in members + others + [None]], ["k"])
+    got = {r["k"]: r["might_contain"] for r in bloom_might_contain(
+        bits, probe, "k", m=64, k=3).collect()}
+    assert all(got[x] for x in members)          # no false negatives
+    assert any(got[x] for x in others)           # tiny m: FPs exist
+    assert not all(got[x] for x in others)       # ... but not everything
+    assert None not in got                       # NULL keys excluded
+
+    # duplicate probes must not inflate the hit count into a flip
+    dup = spark.createDataFrame([("other0",), ("other0",)], ["k"])
+    one = {r["k"]: r["might_contain"]
+           for r in bloom_might_contain(bits, dup, "k", 64, 3).collect()}
+    assert one == {"other0": got["other0"]}
+
+    # merge = union+distinct equals the filter of the union
+    a = bloom_bits(mdf.limit(20), "k", m=64, k=3)
+    b = bloom_bits(spark.createDataFrame(
+        [(x,) for x in members[20:]], ["k"]), "k", m=64, k=3)
+    merged = {r["bit"] for r in
+              a.unionByName(b).select("bit", "bloom_m", "bloom_k")
+              .distinct().collect()}
+    assert merged == exp_bits
+
+    with _pytest.raises(ValueError, match="m=64"):
+        bloom_might_contain(bits, probe, "k", m=32, k=3)
+    mixed = a.unionByName(bloom_bits(mdf, "k", m=32, k=2))
+    with _pytest.raises(ValueError, match="parameterizations"):
+        bloom_might_contain(mixed, probe, "k", m=64, k=3)
