@@ -288,6 +288,17 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("bigint").alias("join_key"),
         F.coalesce(F.col("asof_view_id").cast("string"),
                    F.lit("-")).alias("info"))
+    # 'asofn' (round 9): direction='nearest' + 1800 s tolerance —
+    # closest view either side, prior-on-tie (pandas rule), nulled
+    # past the absolute-gap bound (40 matched / 1941 '-' at sf0.01 —
+    # both outcomes fire); oracle is an ASOF-free LATERAL min-abs-gap
+    # pick in integer microseconds
+    asofn = asof_join(purch, views, direction="nearest",
+                      tolerance=1800, right_cols=["view_id"]).select(
+        F.lit("asofn").alias("side"),
+        F.col("event_id").cast("bigint").alias("join_key"),
+        F.coalesce(F.col("asof_view_id").cast("string"),
+                   F.lit("-")).alias("info"))
     hviews = ev.filter(F.col("event_type") == "view").select(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("ts"),
         F.col("event_id").alias("view_id"))
@@ -311,8 +322,8 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_sstart").cast("string"),
                        F.lit("-")).alias("info"))
     return (semi.unionByName(anti).unionByName(asof).unionByName(asoff)
-            .unionByName(asoft).unionByName(asofe).unionByName(rng)
-            .orderBy("side", "join_key"))
+            .unionByName(asoft).unionByName(asofe).unionByName(asofn)
+            .unionByName(rng).orderBy("side", "join_key"))
 
 
 _Q_SEMI_ANTI_SQL = """
@@ -382,6 +393,21 @@ _Q_SEMI_ANTI_SQL = """
           FROM events WHERE event_type = 'view') v
     WHERE v.user_id = p.user_id AND v.hts <= p.ts
     ORDER BY v.hts DESC, v.event_id DESC LIMIT 1) m ON true
+  UNION ALL
+  -- nearest mirror: ASOF-free LATERAL pick by minimal absolute gap
+  -- in integer microseconds, prior wins exact ties, tolerance as a
+  -- CASE over the chosen gap (the pandas pick-then-filter rule)
+  SELECT 'asofn' AS side, CAST(p.event_id AS BIGINT) AS join_key,
+         coalesce(CASE WHEN m.gap <= 1800 * 1000000
+                       THEN CAST(m.vid AS VARCHAR) END, '-') AS info
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN LATERAL (
+    SELECT v.event_id AS vid,
+           abs(epoch_us(p.ts) - epoch_us(v.ts)) AS gap
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    WHERE v.user_id = p.user_id
+    ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)) ASC,
+             (v.ts <= p.ts) DESC, v.event_id LIMIT 1) m ON true
   UNION ALL
   -- range mirror: plain BETWEEN join over the gaps-and-islands
   -- session rebuild (engine side uses the bin-bucketed equi-join)

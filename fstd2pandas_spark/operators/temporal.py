@@ -35,7 +35,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               prefix: str = "asof_") -> DataFrame:
     """For every left row, attach the closest right row of the same
     ``by`` key at-or-before its time (``direction='backward'``; at or
-    after for ``'forward'``), optionally within ``tolerance`` seconds.
+    after for ``'forward'``; closest in either direction with
+    prior-on-tie for ``'nearest'``, the pandas merge_asof rule),
+    optionally within ``tolerance`` seconds.
 
     Output = every left row + ``{prefix}<col>`` for each of
     ``right_cols`` + ``{prefix}ts_us`` (the matched right time,
@@ -57,7 +59,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     merged in sorted order, exactly the kdb/pandas merge-asof plan
     distributed by key.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns
@@ -87,22 +89,54 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     # tie resolution instead of partition arrival order (left rows'
     # NULL _pay sorts first and only ever ties with other left rows,
     # which carry no payload to choose between)
-    if direction == "backward":
-        w = (Window.partitionBy("_k")
-             .orderBy(F.col("_us").asc(), F.col("_side").asc(),
-                      F.col("_pay").asc())
-             .rowsBetween(Window.unboundedPreceding, 0))
+    if direction == "nearest":
+        # ONE ascending sort serves BOTH sides: the backward fill runs
+        # over (unboundedPreceding, current) and the forward peek over
+        # (current, unboundedFollowing) — same partitioning, same
+        # ordering, so Spark plans one exchange and one sort. Same-ts
+        # right rows sort before the left row, land on the backward
+        # side at gap 0, and win every tie (pandas' prior-on-tie
+        # rule); future-side payload ties resolve to the MINIMAL
+        # payload (first over _pay asc) where the past side resolves
+        # to the maximal — both deterministic.
+        wb = (Window.partitionBy("_k")
+              .orderBy(F.col("_us").asc(), F.col("_side").asc(),
+                       F.col("_pay").asc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+        wf = (Window.partitionBy("_k")
+              .orderBy(F.col("_us").asc(), F.col("_side").asc(),
+                       F.col("_pay").asc())
+              .rowsBetween(0, Window.unboundedFollowing))
+        back = F.last("_pay", ignorenulls=True).over(wb)
+        fwd = F.first("_pay", ignorenulls=True).over(wf)
+        out = (u.withColumn("_b", back).withColumn("_f", fwd)
+               .filter(F.col("_side") == 1))
+        gb = F.col("_us") - F.col("_b._ts_us")
+        gf = F.col("_f._ts_us") - F.col("_us")
+        out = out.withColumn(
+            "_m",
+            F.when(F.col("_b").isNull(), F.col("_f"))
+            .when(F.col("_f").isNull(), F.col("_b"))
+            .when(gb <= gf, F.col("_b")).otherwise(F.col("_f")))
     else:
-        w = (Window.partitionBy("_k")
-             .orderBy(F.col("_us").desc(), F.col("_side").asc(),
-                      F.col("_pay").asc())
-             .rowsBetween(Window.unboundedPreceding, 0))
-    matched = F.last("_pay", ignorenulls=True).over(w)
-    out = (u.withColumn("_m", matched)
-           .filter(F.col("_side") == 1))
+        if direction == "backward":
+            w = (Window.partitionBy("_k")
+                 .orderBy(F.col("_us").asc(), F.col("_side").asc(),
+                          F.col("_pay").asc())
+                 .rowsBetween(Window.unboundedPreceding, 0))
+        else:
+            w = (Window.partitionBy("_k")
+                 .orderBy(F.col("_us").desc(), F.col("_side").asc(),
+                          F.col("_pay").asc())
+                 .rowsBetween(Window.unboundedPreceding, 0))
+        matched = F.last("_pay", ignorenulls=True).over(w)
+        out = (u.withColumn("_m", matched)
+               .filter(F.col("_side") == 1))
     if tolerance is not None:
-        gap = (F.col("_us") - F.col("_m._ts_us")) if direction == "backward" \
-            else (F.col("_m._ts_us") - F.col("_us"))
+        gap = {"backward": F.col("_us") - F.col("_m._ts_us"),
+               "forward": F.col("_m._ts_us") - F.col("_us"),
+               "nearest": F.abs(F.col("_us") - F.col("_m._ts_us")),
+               }[direction]
         out = out.withColumn(
             "_m", F.when(gap <= int(tolerance) * 1_000_000, F.col("_m")))
     return out.select(

@@ -871,3 +871,45 @@ def test_bloom_filter_membership(spark):
     mixed = a.unionByName(bloom_bits(mdf, "k", m=32, k=2))
     with _pytest.raises(ValueError, match="parameterizations"):
         bloom_might_contain(mixed, probe, "k", m=64, k=3)
+
+def test_asof_join_nearest(spark):
+    """direction='nearest': closest right row in either direction,
+    prior wins exact-gap ties (the pandas merge_asof rule), tolerance
+    bounds the absolute gap, and the plan keeps the one-exchange /
+    no-join shape (both window frames share one sort)."""
+    from fstd2pandas_spark.operators.temporal import asof_join
+
+    L = spark.createDataFrame(
+        [(1, "2024-01-01T10:00:00", 100),   # nearer future (09:50 vs 10:05)
+         (1, "2024-01-01T11:59:00", 101),   # nearer past (11:55 vs 13:00)
+         (1, "2024-01-01T12:00:00", 102),   # exact tie 5 min both -> prior
+         (2, "2024-01-01T10:00:00", 103),   # only future rows exist
+         (3, "2024-01-01T10:00:00", 104)],  # no right rows at all
+        ["user_id", "ts", "lid"]).withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    R = spark.createDataFrame(
+        [(1, "2024-01-01T09:50:00", 7),
+         (1, "2024-01-01T10:05:00", 8),
+         (1, "2024-01-01T11:55:00", 9),
+         (1, "2024-01-01T12:05:00", 10),
+         (1, "2024-01-01T13:00:00", 11),
+         (2, "2024-01-01T10:30:00", 12)],
+        ["user_id", "ts", "rid"]).withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+
+    near = {r["lid"]: r["asof_rid"] for r in asof_join(
+        L, R, direction="nearest", right_cols=["rid"]).collect()}
+    assert near == {100: 8, 101: 9, 102: 9, 103: 12, 104: None}
+
+    tol = {r["lid"]: r["asof_rid"] for r in asof_join(
+        L, R, direction="nearest", tolerance=240,
+        right_cols=["rid"]).collect()}
+    # 4-minute tolerance: 100 (5 min to 10:05) and 101 (4 min to
+    # 11:55) -> only 101 and 103's 30-min gap dies too
+    assert tol == {100: None, 101: 9, 102: None, 103: None, 104: None}
+
+    plan = asof_join(L, R, direction="nearest", right_cols=["rid"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("Sort") == 1      # both frames share one sort
