@@ -21,9 +21,15 @@ CCITT fax codings decode for real through
 Huffman RLE, 3 = T.4 G3 1-D/2-D with EOLs and the byte-aligned
 option, 4 = T.6 G4 MMR), strip and tiled layouts, FillOrder 2.
 
+Compression 6 (old-style JPEG, deprecated) decodes the common
+real-world shape: one complete interchange stream at
+JPEGInterchangeFormat (513/514) through the real JPEG decoder.
+
 Out-of-scope variants return ``None`` for the content-hash fallback
-(planar tiled/JPEG combinations, old-style JPEG (6), T.4/T.6
-uncompressed mode) — the same honesty contract as the other decoders.
+(planar tiled/JPEG combinations, comp-6's tag-soup variant that
+rebuilds scans from tags 517-521 — mainstream writers never produced
+it correctly, the reason TTN2 exists — and T.4/T.6 uncompressed
+mode) — the same honesty contract as the other decoders.
 """
 
 from __future__ import annotations
@@ -184,6 +190,27 @@ def _decode(payload: bytes) -> "np.ndarray | None":
             or bits[0] not in (8, 16):
         raise _BadTiff("unsupported planar config or bit depth")
     bps = bits[0] // 8   # bytes per sample (16-bit downscales, PNG-style)
+    if comp == 6:
+        # old-style JPEG-in-TIFF (compression 6, deprecated by TTN2):
+        # the overwhelmingly common real-world shape stores ONE
+        # complete interchange-format JPEG stream at
+        # JPEGInterchangeFormat (513) / ...Length (514) — decode that
+        # directly. The tag-soup variant (per-strip scans rebuilt
+        # from JPEGQTables/DC/ACTables 517-521) stays an honest
+        # fallback: mainstream writers never produced it correctly
+        # (the reason TTN2 exists).
+        off6, len6 = one(513), one(514)
+        if not off6 or not len6:
+            raise _BadTiff("old-style JPEG without interchange stream")
+        if h * w * 3 > MAX_DECODE_BYTES:
+            raise _BadTiff("dimensions exceed decode budget")
+        from fstd2pandas_spark.operators.llm.jpeg import decode_jpeg
+
+        img = decode_jpeg(bytes(payload[off6:off6 + len6]))
+        if img is None or img.shape[0] < h or img.shape[1] < w:
+            raise _BadTiff("bad old-style JPEG stream")
+        # decode_jpeg already returns RGB; clip MCU padding
+        return np.ascontiguousarray(img[:h, :w])
     if comp not in (1, 5, 32773, 7):
         raise _BadTiff(f"compression {comp}")
     # forged-IFD guard BEFORE any chunk materializes: 32-bit dims tags

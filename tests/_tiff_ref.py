@@ -122,6 +122,11 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
                 data = data.translate(bytes(
                     int(f"{i:08b}"[::-1], 2) for i in range(256)))
             return data
+        if compression == 6:
+            # old-style JPEG: one complete interchange stream, pointed
+            # at by tags 513/514 (set after offsets resolve)
+            from _jpeg_ref import encode_jpeg
+            return encode_jpeg(np.ascontiguousarray(block))
         if compression == 7:
             from _jpeg_ref import encode_jpeg
             stream = encode_jpeg(np.ascontiguousarray(block))
@@ -205,6 +210,10 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
         entry(292, 4, [t4_options])
     if fill_order == 2:
         entry(266, 3, [2])
+    if compression == 6:
+        # placeholders; rewritten to strip 0's resolved offset below
+        entry(513, 4, [0])
+        entry(514, 4, [0])
     if jpeg_split_tables and _split_tables:
         # TTN2 contract: every strip/tile must share ONE table set —
         # _jpeg_ref builds content-adaptive Huffman tables, so callers
@@ -258,9 +267,16 @@ def encode_tiff(img: np.ndarray, photometric: int = 2,
     for st in strips:
         offsets.append(pos)
         pos += len(st)
-    all_entries = [(off_tag, 4, offsets) if tag == off_tag
-                   else (tag, typ, vals)
-                   for tag, typ, vals in all_entries]
+    def _resolve(tag, typ, vals):
+        if tag == off_tag:
+            return (tag, typ, offsets)
+        if compression == 6 and tag == 513:
+            return (tag, typ, [offsets[0]])
+        if compression == 6 and tag == 514:
+            return (tag, typ, [counts[0]])
+        return (tag, typ, vals)
+
+    all_entries = [_resolve(*e) for e in all_entries]
 
     # second pass: emit
     extra = bytearray()

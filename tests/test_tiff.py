@@ -374,3 +374,40 @@ def test_jpeg_in_tiff_budget_uses_materialized_rgb(monkeypatch):
     # 8*8*1 = 64 passes the general spp*bps check; 8*8*3 = 192 must trip
     monkeypatch.setattr(tiffmod, "MAX_DECODE_BYTES", 128)
     assert decode_tiff(payload) is None
+
+def test_old_style_jpeg_interchange_stream():
+    """Compression 6 (old-style JPEG): the common real-world shape —
+    one complete interchange JPEG at tags 513/514 — decodes through
+    the real JPEG decoder; a comp-6 file WITHOUT the interchange tags
+    (the tag-soup variant) stays the honest None fallback, as does a
+    stream whose image underfills the declared dims."""
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.tiff import decode_tiff
+    from _tiff_ref import encode_tiff
+
+    block = np.zeros((8, 8, 3), dtype=np.uint8)
+    block[:, :, 0] = 200
+    block[:4, :, 2] = 90
+    img = np.tile(block, (2, 2, 1))
+    got = decode_tiff(encode_tiff(img, compression=6))
+    assert got is not None and got.shape == (16, 16, 3)
+    assert abs(int(got[0, 0, 0]) - 200) <= 12   # lossy tolerance
+    # strip the interchange tags -> honest fallback
+    import struct
+
+    payload = bytearray(encode_tiff(img, compression=6))
+    ifd = struct.unpack("<I", payload[4:8])[0]
+    n = struct.unpack("<H", payload[ifd:ifd + 2])[0]
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack("<H", payload[e:e + 2])[0] in (513, 514):
+            payload[e:e + 2] = struct.pack("<H", 60000)  # unknown tag
+    assert decode_tiff(bytes(payload)) is None
+    # forged dims larger than the stream -> coverage check fails
+    payload = bytearray(encode_tiff(img, compression=6))
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack("<H", payload[e:e + 2])[0] == 257:
+            payload[e + 8:e + 12] = struct.pack("<I", 64)
+    assert decode_tiff(bytes(payload)) is None
