@@ -307,6 +307,24 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("bigint").alias("join_key"),
         F.coalesce(F.col("asof_view_id").cast("string"),
                    F.lit("-")).alias("info"))
+    # 'prank' (round 9): integer-unit PageRank (operators/graph.py —
+    # one shuffle per iteration, checkpointed lineage, 1-row dangling
+    # aggregate) over the supplier -> customer ships-to graph
+    # (distinct (l_suppkey, o_custkey); customers offset by 1e6 out of
+    # the supplier id space). All-integer recurrence, 5 iterations —
+    # the oracle UNROLLS the same recurrence in SQL, so an iterative
+    # algorithm is value-gated end to end. Customers are all dangling
+    # (no out-edges), so the dangling-mass path is exercised for real.
+    from fstd2pandas_spark.operators.graph import pagerank
+
+    pedges = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+              .select(F.col("l_suppkey").cast("long").alias("src"),
+                      (F.lit(1_000_000)
+                       + F.col("o_custkey").cast("long")).alias("dst")))
+    prank = pagerank(pedges, iters=5).select(
+        F.lit("prank").alias("side"),
+        F.col("node").cast("bigint").alias("join_key"),
+        F.col("r").cast("string").alias("info"))
     iv = sessionize(ev).filter(F.col("n_events") >= 3).select(
         F.col("user_id").alias("uid"),
         F.col("session_start").alias("start"),
@@ -323,7 +341,8 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit("-")).alias("info"))
     return (semi.unionByName(anti).unionByName(asof).unionByName(asoff)
             .unionByName(asoft).unionByName(asofe).unionByName(asofn)
-            .unionByName(rng).orderBy("side", "join_key"))
+            .unionByName(prank).unionByName(rng)
+            .orderBy("side", "join_key"))
 
 
 _Q_SEMI_ANTI_SQL = """
@@ -342,7 +361,11 @@ _Q_SEMI_ANTI_SQL = """
   sess AS (SELECT user_id, min(ts) AS t1,
                   max(ts) + INTERVAL 30 MINUTE AS tend,
                   count(*) AS n
-           FROM sg GROUP BY user_id, sid)
+           FROM sg GROUP BY user_id, sid),
+  -- integer PageRank mirror: the same recurrence UNROLLED per
+  -- iteration (teleport + damped contributions + uniformly
+  -- redistributed dangling mass, all floor divisions)
+__PRANK_CTES__
   SELECT 'semi' AS side, CAST(o_orderkey AS BIGINT) AS join_key,
          o_orderstatus AS info
   FROM orders
@@ -409,6 +432,9 @@ _Q_SEMI_ANTI_SQL = """
     ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)) ASC,
              (v.ts <= p.ts) DESC, v.event_id LIMIT 1) m ON true
   UNION ALL
+  SELECT 'prank' AS side, node AS join_key, CAST(r AS VARCHAR) AS info
+  FROM __PRANK_LAST__
+  UNION ALL
   -- range mirror: plain BETWEEN join over the gaps-and-islands
   -- session rebuild (engine side uses the bin-bucketed equi-join)
   SELECT 'range' AS side, CAST(e.event_id AS BIGINT) AS join_key,
@@ -419,6 +445,45 @@ _Q_SEMI_ANTI_SQL = """
     ON s.user_id = e.user_id AND e.ts >= s.t1 AND e.ts <= s.tend
   ORDER BY side, join_key
 """
+
+
+def _pagerank_ctes(iters: int = 5, scale: int = 10 ** 9,
+                   num: int = 85, den: int = 100) -> str:
+    """Unrolled integer-PageRank CTE chain mirroring
+    operators/graph.py pagerank over the supplier -> customer graph."""
+    parts = [
+        "  pe AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,"
+        " CAST(1000000 + o_custkey AS BIGINT) AS dst"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey),",
+        "  pn AS (SELECT src AS node FROM pe UNION SELECT dst FROM pe),",
+        "  pod AS (SELECT src, count(*) AS deg FROM pe GROUP BY 1),",
+        "  pnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pn),",
+        f"  pr0 AS (SELECT node, {scale} // n AS r FROM pn, pnn),",
+    ]
+    # CAST the literal: DuckDB keeps small literals INT32 and
+    # 1000000000 * 15 overflows in INT32 multiplication
+    tele = (f"(CAST({scale} AS BIGINT) * {den - num})"
+            f" // ({den} * pnn.n)")
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        parts += [
+            f"  pd{i} AS (SELECT coalesce(sum(r), 0) AS d FROM {p}"
+            f" WHERE node NOT IN (SELECT src FROM pod)),",
+            f"  pc{i} AS (SELECT pe.dst AS node, sum({p}.r // pod.deg)"
+            f" AS c FROM pe JOIN pod USING (src)"
+            f" JOIN {p} ON {p}.node = pe.src GROUP BY 1),",
+            f"  pr{i} AS (SELECT pn.node, {tele}"
+            f" + ({num} * (coalesce(pc{i}.c, 0) + pd{i}.d // pnn.n))"
+            f" // {den} AS r"
+            f" FROM pn CROSS JOIN pnn CROSS JOIN pd{i}"
+            f" LEFT JOIN pc{i} ON pc{i}.node = pn.node),",
+        ]
+    return "\n".join(parts).rstrip(",") + ""
+
+
+_Q_SEMI_ANTI_SQL = _Q_SEMI_ANTI_SQL \
+    .replace("__PRANK_CTES__", _pagerank_ctes().rstrip(",")) \
+    .replace("__PRANK_LAST__", "pr5")
 
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:

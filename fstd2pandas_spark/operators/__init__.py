@@ -38,6 +38,7 @@ from fstd2pandas_spark.operators.funnel import (
     user_activity_report, cohorts_from_report,
 )
 from fstd2pandas_spark.operators.temporal import asof_join, range_join
+from fstd2pandas_spark.operators.graph import pagerank
 from fstd2pandas_spark.operators.sketch import (
     countmin_counters, countmin_estimate, merge_counters,
     countmin_heavy_hitters, hll_registers, hll_estimate,
@@ -55,7 +56,7 @@ __all__ = [
     "to_cube", "to_xarray",
     "sessionize", "funnel_steps", "funnel_counts", "counts_from_steps",
     "retention_cohorts", "user_activity_report", "cohorts_from_report",
-    "asof_join", "range_join",
+    "asof_join", "range_join", "pagerank",
     "countmin_counters", "countmin_estimate", "merge_counters",
     "countmin_heavy_hitters", "hll_registers", "hll_estimate",
     "bloom_bits", "bloom_might_contain",

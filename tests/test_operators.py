@@ -913,3 +913,45 @@ def test_asof_join_nearest(spark):
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
     assert plan.count("Sort") == 1      # both frames share one sort
+
+def test_pagerank_integer_recurrence(spark):
+    """pagerank equals a pure-Python replica of the integer
+    recurrence exactly (the determinism contract an iterative float
+    algorithm cannot give), handles dangling nodes by uniform
+    redistribution, dedupes edges, and guards hostile parameters."""
+    import pytest as _pytest
+
+    from fstd2pandas_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5), (3, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["r"] for r in pagerank(df, iters=5).collect()}
+
+    SCALE, NUM, DEN = 10 ** 9, 85, 100
+    es = set(edges)
+    nodes = sorted({u for e in es for u in e})
+    n = len(nodes)
+    out = {}
+    for u, _v in es:
+        out[u] = out.get(u, 0) + 1
+    tele = (SCALE * (DEN - NUM)) // (DEN * n)
+    r = {u: SCALE // n for u in nodes}
+    for _ in range(5):
+        c = {u: 0 for u in nodes}
+        for u, v in es:
+            c[v] += r[u] // out[u]
+        d = sum(r[u] for u in nodes if u not in out) // n
+        r = {u: tele + (NUM * (c[u] + d)) // DEN for u in nodes}
+    assert got == r
+    # the sink of the chain graph outranks its feeders
+    assert got[3] == max(got.values())
+
+    with _pytest.raises(ValueError, match="iters"):
+        pagerank(df, iters=0)
+    with _pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping_num=100)
+    # NULL endpoints are dropped, not NULL-keyed
+    dfn = spark.createDataFrame([(1, 2), (None, 3), (2, None)],
+                                "src long, dst long")
+    got2 = {r["node"] for r in pagerank(dfn, iters=1).collect()}
+    assert got2 == {1, 2}
