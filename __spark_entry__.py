@@ -321,7 +321,7 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("l_suppkey").cast("long").alias("src"),
                       (F.lit(1_000_000)
                        + F.col("o_custkey").cast("long")).alias("dst")))
-    prank = pagerank(pedges, iters=5).select(
+    prank = pagerank(pedges, iters=_PRANK_ITERS).select(
         F.lit("prank").alias("side"),
         F.col("node").cast("bigint").alias("join_key"),
         F.col("r").cast("string").alias("info"))
@@ -447,7 +447,13 @@ __PRANK_CTES__
 """
 
 
-def _pagerank_ctes(iters: int = 5, scale: int = 10 ** 9,
+#: ONE constant couples the engine call, the oracle's unrolled CTE
+#: depth, and the final-CTE splice — drifting any of the three apart
+#: would compare different iteration counts
+_PRANK_ITERS = 5
+
+
+def _pagerank_ctes(iters: int, scale: int = 10 ** 9,
                    num: int = 85, den: int = 100) -> str:
     """Unrolled integer-PageRank CTE chain mirroring
     operators/graph.py pagerank over the supplier -> customer graph."""
@@ -478,12 +484,12 @@ def _pagerank_ctes(iters: int = 5, scale: int = 10 ** 9,
             f" FROM pn CROSS JOIN pnn CROSS JOIN pd{i}"
             f" LEFT JOIN pc{i} ON pc{i}.node = pn.node),",
         ]
-    return "\n".join(parts).rstrip(",") + ""
+    return "\n".join(parts).rstrip(",")
 
 
 _Q_SEMI_ANTI_SQL = _Q_SEMI_ANTI_SQL \
-    .replace("__PRANK_CTES__", _pagerank_ctes().rstrip(",")) \
-    .replace("__PRANK_LAST__", "pr5")
+    .replace("__PRANK_CTES__", _pagerank_ctes(_PRANK_ITERS)) \
+    .replace("__PRANK_LAST__", f"pr{_PRANK_ITERS}")
 
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:

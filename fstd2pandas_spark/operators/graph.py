@@ -30,6 +30,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a superseded localCheckpoint's storage. PySpark exposes no
+    public unpersist for local checkpoints — ``df.rdd.unpersist()``
+    derives a NEW rdd and frees nothing (verified empirically against
+    ``getPersistentRDDs``) — but a checkpointed frame's analyzed plan
+    is a ``LogicalRDD`` holding the cached rdd directly. Best-effort
+    by design (internal API): a failure costs memory, never
+    correctness."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = 5, damping_num: int = 85,
              damping_den: int = 100, scale: int = 10 ** 9) -> DataFrame:
@@ -50,6 +64,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         raise ValueError("iters must be >= 1")
     if not (0 < damping_num < damping_den):
         raise ValueError("need 0 < damping_num < damping_den")
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
     e = (edges.select(F.col(src).cast("long").alias("src"),
                       F.col(dst).cast("long").alias("dst"))
          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -60,6 +76,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("r", F.lit(0).cast("long"))
+    if scale < n:
+        # scale // n == 0 would zero every rank silently from
+        # iteration 1 — refuse, matching the sketch parameter contract
+        raise ValueError(
+            f"scale ({scale}) must be >= node count ({n}) or every "
+            "integer rank floors to 0")
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ed = e.join(outdeg, "src").localCheckpoint()   # reused per iteration
     dangling = (nodes.join(outdeg.withColumnRenamed("src", "node"),
@@ -68,6 +90,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         // (damping_den * n)
     ranks = nodes.select("node",
                          F.lit(scale // n).cast("long").alias("r"))
+    prev = None
     for _ in range(iters):
         contrib = (ed.join(ranks, ed["src"] == ranks["node"])
                    .select(F.col("dst"),
@@ -88,4 +111,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                                    f"div {int(damping_den)}"))
                          .cast("long").alias("r"))
                  .localCheckpoint())
+        # localCheckpoint is eager, so the superseded snapshot can be
+        # released immediately — without this, k iterations pin k full
+        # N-row rank snapshots in block-manager storage until GC
+        if prev is not None:
+            _release_checkpoint(prev)
+        prev = ranks
     return ranks

@@ -955,3 +955,26 @@ def test_pagerank_integer_recurrence(spark):
                                 "src long, dst long")
     got2 = {r["node"] for r in pagerank(dfn, iters=1).collect()}
     assert got2 == {1, 2}
+
+def test_pagerank_releases_superseded_checkpoints(spark):
+    """Each iteration's localCheckpoint must release the previous
+    snapshot's storage (PySpark has no public unpersist for local
+    checkpoints; the LogicalRDD path is verified here) — k iterations
+    must not pin k rank snapshots."""
+    from fstd2pandas_spark.operators.graph import pagerank
+
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(200)], ["src", "dst"])
+    pagerank(df, iters=6).collect()
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    # nodes + ed + dangling + final ranks may stay; the 5 superseded
+    # per-iteration snapshots must NOT
+    assert after - before <= 4, (before, after)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="scale"):
+        pagerank(df, scale=0)
+    with _pytest.raises(ValueError, match="node count"):
+        pagerank(df, scale=10)
