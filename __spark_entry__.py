@@ -419,7 +419,13 @@ __PRANK_CTES__
   UNION ALL
   -- nearest mirror: ASOF-free LATERAL pick by minimal absolute gap
   -- in integer microseconds, prior wins exact ties, tolerance as a
-  -- CASE over the chosen gap (the pandas pick-then-filter rule)
+  -- CASE over the chosen gap (the pandas pick-then-filter rule);
+  -- same-(key, ts) payload ties mirror the engine's window algebra:
+  -- backward-side ties resolve to the MAXIMAL payload (last over
+  -- _pay asc), forward-side ties to the MINIMAL (first over _pay
+  -- asc) — hence the side-dependent event_id sign in the ordering
+  -- (no such tie exists in the test data at any SF, but the mirror
+  -- must not depend on that)
   SELECT 'asofn' AS side, CAST(p.event_id AS BIGINT) AS join_key,
          coalesce(CASE WHEN m.gap <= 1800 * 1000000
                        THEN CAST(m.vid AS VARCHAR) END, '-') AS info
@@ -430,7 +436,9 @@ __PRANK_CTES__
     FROM (SELECT * FROM events WHERE event_type = 'view') v
     WHERE v.user_id = p.user_id
     ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)) ASC,
-             (v.ts <= p.ts) DESC, v.event_id LIMIT 1) m ON true
+             (v.ts <= p.ts) DESC,
+             CASE WHEN v.ts <= p.ts THEN -v.event_id
+                  ELSE v.event_id END ASC LIMIT 1) m ON true
   UNION ALL
   SELECT 'prank' AS side, node AS join_key, CAST(r AS VARCHAR) AS info
   FROM __PRANK_LAST__
@@ -4343,12 +4351,18 @@ def q_stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("_n") >= 14).select("event_type", "user_id"))
     flags = bloom_might_contain(bl, cand.select("user_id"), "user_id",
                                 m=128, k=3)
+    # bloom_true counts candidates ACTUALLY in the build set (a
+    # broadcast of the ~m-bounded pu) — a %7 shortcut would also count
+    # %7 users with no purchases, which might_contain may legitimately
+    # reject, silently voiding the documented maybe >= true invariant
     bb = (cand.join(flags, "user_id")
+          .join(F.broadcast(pu.withColumn("_mem", F.lit(True))),
+                "user_id", "left")
           .groupBy("event_type")
           .agg(F.sum(F.col("might_contain").cast("long"))
                .alias("bloom_maybe"),
-               F.sum((F.col("user_id") % 7 == 0).cast("long"))
-               .alias("bloom_true"))
+               F.sum(F.coalesce(F.col("_mem"), F.lit(False))
+                     .cast("long")).alias("bloom_true"))
           .withColumnRenamed("event_type", "nomvar"))
     return (ext.join(est, "nomvar", "left")
             .join(lc, "nomvar", "left")
@@ -4418,14 +4432,19 @@ _Q_STREAM_EXTREMA_SQL = """
   -- Bloom mirror: exact bit-set rebuild (build set = purchase users
   -- with id % 7 = 0, m=128 k=3), probed over each type's >= 14-event
   -- users; bloom_maybe counts all-3-positions-set candidates,
-  -- bloom_true the actual build-set members (maybe >= true always)
-  JOIN (WITH bl AS (
+  -- bloom_true the actual build-set members (maybe >= true always —
+  -- true by construction only because membership is checked against
+  -- the build set itself, not the %7 proxy). LEFT join mirrors the
+  -- engine: a type with no >= 14-event candidate keeps its row with
+  -- NULL bloom columns instead of vanishing
+  LEFT JOIN (WITH mem AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase' AND user_id % 7 = 0),
+        bl AS (
           SELECT DISTINCT CAST(concat('0x', substr(md5(concat('bloom',
                  j, '_', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
                  % 128 AS bit
-          FROM (SELECT DISTINCT user_id FROM events
-                WHERE event_type = 'purchase' AND user_id % 7 = 0),
-               (SELECT unnest([0, 1, 2]) AS j) jj),
+          FROM mem, (SELECT unnest([0, 1, 2]) AS j) jj),
         cand AS (SELECT event_type, user_id FROM events
                  GROUP BY 1, 2 HAVING count(*) >= 14),
         probe AS (
@@ -4440,7 +4459,8 @@ _Q_STREAM_EXTREMA_SQL = """
         SELECT event_type,
                CAST(count(*) FILTER (WHERE hits >= 3) AS BIGINT)
                  AS bloom_maybe,
-               CAST(count(*) FILTER (WHERE user_id % 7 = 0) AS BIGINT)
+               CAST(count(*) FILTER (WHERE user_id IN
+                    (SELECT user_id FROM mem)) AS BIGINT)
                  AS bloom_true
         FROM probe GROUP BY 1) blm ON blm.event_type = e.event_type
   GROUP BY 1 ORDER BY nomvar

@@ -418,6 +418,11 @@ def _decode_ccitt_layout(payload, tags, one, h, w, comp, photo):
         across, down = -(-w // tw), -(-h // th)
         if len(toffs) < across * down:
             raise _BadTiff("short tile table")
+        # forged tile dims can dwarf the (already budget-checked) h*w:
+        # each tile materializes th*tw bytes regardless of the image
+        # area it lands on — same guard as the baseline tiled path
+        if th * tw > MAX_DECODE_BYTES:
+            raise _BadTiff("tile exceeds decode budget")
         bitsimg = np.zeros((h, w), dtype=np.uint8)
         for idx in range(across * down):
             arr = block(toffs[idx], tcnts[idx], th, tw)

@@ -208,6 +208,20 @@ def hll_estimate(registers: "list[tuple[int, int]]", p: int) -> float:
     return est
 
 
+def _bloom_positions(key_col: str, m: int, k: int):
+    """The k md5-derived bit positions of a key — ONE definition
+    shared by build and probe, because a salt/slice/width drift
+    between the two sides would silently break the filter's
+    no-false-negative contract (the probe would look at positions the
+    build never set)."""
+    return F.array(*[
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"bloom{j}_"),
+                           F.col(key_col).cast("string"))), 1, 8),
+            16, 10).cast("long") % m)
+        for j in range(k)])
+
+
 def bloom_bits(df: DataFrame, key_col: str, m: int = 8192,
                k: int = 4) -> DataFrame:
     """Bloom filter (Bloom 1970) as its SET-bit table: each non-NULL
@@ -225,12 +239,7 @@ def bloom_bits(df: DataFrame, key_col: str, m: int = 8192,
     oracle rebuilds the exact bit set."""
     if m < 1 or k < 1:
         raise ValueError("m and k must be >= 1")
-    pos = F.array(*[
-        (F.conv(F.substring(
-            F.md5(F.concat(F.lit(f"bloom{j}_"),
-                           F.col(key_col).cast("string"))), 1, 8),
-            16, 10).cast("long") % m)
-        for j in range(k)])
+    pos = _bloom_positions(key_col, m, k)
     return (df.filter(F.col(key_col).isNotNull())
             .select(F.explode(pos).alias("bit"))
             .distinct()
@@ -258,12 +267,7 @@ def bloom_might_contain(bits: DataFrame, keys: DataFrame, key_col: str,
         raise ValueError(
             f"filter was built with (m={params[0][0]}, "
             f"k={params[0][1]}), probed with ({m}, {k})")
-    pos = F.array(*[
-        (F.conv(F.substring(
-            F.md5(F.concat(F.lit(f"bloom{j}_"),
-                           F.col(key_col).cast("string"))), 1, 8),
-            16, 10).cast("long") % m)
-        for j in range(k)])
+    pos = _bloom_positions(key_col, m, k)
     # distinct BEFORE banding: a key probed twice with k-1 set
     # positions would otherwise accumulate 2(k-1) >= k hits and flip
     # to a false positive in the count check

@@ -125,6 +125,26 @@ def test_ccitt_hostile_inputs_return_none():
     assert decode_tiff(bytes(buf)) is None
 
 
+def test_ccitt_tiled_forged_tile_dims_rejected():
+    """A forged TileLength dwarfing the (budget-checked) image area
+    must hit the per-tile decode budget, not start materializing a
+    2**30-row tile — the same forged-dims class every other tiled
+    layout guards against."""
+    import struct
+
+    img = _fax_like(seed=11, h=16, w=16)
+    p = encode_tiff(img, photometric=0, compression=4, bit_depth=1,
+                    tile=(16, 16))
+    buf = bytearray(p)
+    ifd = struct.unpack("<I", buf[4:8])[0]
+    n = struct.unpack("<H", buf[ifd:ifd + 2])[0]
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack("<H", buf[e:e + 2])[0] == 323:  # TileLength
+            buf[e + 8:e + 12] = struct.pack("<I", 1 << 30)
+    assert decode_tiff(bytes(buf)) is None
+
+
 def test_t4_table_spot_codewords_and_prefix_property():
     """Pin famous T.4 codewords straight from the published tables
     (white 0 = 00110101, white 1 = 000111, white 64 = 11011, white
