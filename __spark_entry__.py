@@ -4364,13 +4364,43 @@ def q_stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.sum(F.coalesce(F.col("_mem"), F.lit(False))
                      .cast("long")).alias("bloom_true"))
           .withColumnRenamed("event_type", "nomvar"))
+    # round 9: per-type k-mins MinHash signatures over the SAME >= 14-
+    # event candidate pools (sketch.py kmins_minima / kmins_agreement —
+    # bounded k longs per group, mergeable by LEAST): km_summin folds
+    # all 16 integer minima into one order-free sum (any wrong salt,
+    # slice or min shifts it), km_agree_purch is the signature-
+    # agreement count with the purchase pool — the MinHash Jaccard
+    # estimate of cross-type user overlap (4/6/16/9/2 at sf0.01 —
+    # varied, purchase trivially self-agrees at k=16)
+    from fstd2pandas_spark.operators.sketch import (
+        kmins_agreement, kmins_minima)
+
+    km = kmins_minima(cand, "user_id", ["event_type"], k=16)
+    ks = (km.groupBy("event_type")
+          .agg(F.sum("min_hv").cast("long").alias("km_summin"))
+          .withColumnRenamed("event_type", "nomvar"))
+    agp = (kmins_agreement(km, "event_type", k=16)
+           .filter((F.col("ga") == "purchase")
+                   | (F.col("gb") == "purchase"))
+           .select(F.when(F.col("ga") == "purchase", F.col("gb"))
+                   .otherwise(F.col("ga")).alias("nomvar"),
+                   F.col("agree").alias("km_agree_purch")))
     return (ext.join(est, "nomvar", "left")
             .join(lc, "nomvar", "left")
             .join(hh, "nomvar", "left")
             .withColumn("cms_hh", F.coalesce(F.col("cms_hh"),
                                              F.lit(False)))
             .join(hr, "nomvar", "left")
-            .join(bb, "nomvar", "left").orderBy("nomvar"))
+            .join(bb, "nomvar", "left")
+            .join(ks, "nomvar", "left")
+            .join(agp, "nomvar", "left")
+            .withColumn(
+                "km_agree_purch",
+                F.when((F.col("nomvar") == "purchase")
+                       & F.col("km_summin").isNotNull(),
+                       F.lit(16).cast("long"))
+                .otherwise(F.col("km_agree_purch")))
+            .orderBy("nomvar"))
 
 
 _Q_STREAM_EXTREMA_SQL = """
@@ -4399,7 +4429,9 @@ _Q_STREAM_EXTREMA_SQL = """
          any_value(hreg.hll_sumrank) AS hll_sumrank,
          any_value(hreg.hll_maxrank) AS hll_maxrank,
          any_value(blm.bloom_maybe) AS bloom_maybe,
-         any_value(blm.bloom_true) AS bloom_true
+         any_value(blm.bloom_true) AS bloom_true,
+         any_value(km.km_summin) AS km_summin,
+         any_value(km.km_agree_purch) AS km_agree_purch
   FROM events e JOIN cest ON cest.event_type = e.event_type
   JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS lc_occ
         FROM (SELECT DISTINCT event_type,
@@ -4463,6 +4495,28 @@ _Q_STREAM_EXTREMA_SQL = """
                     (SELECT user_id FROM mem)) AS BIGINT)
                  AS bloom_true
         FROM probe GROUP BY 1) blm ON blm.event_type = e.event_type
+  -- k-mins mirror: exact 60-bit signature rebuild per >= 14-event
+  -- pool; km_summin folds the 16 minima order-free, km_agree_purch
+  -- self-joins against the purchase signature (purchase = 16 = k by
+  -- self-agreement, matching the engine's literal)
+  LEFT JOIN (WITH candk AS (
+          SELECT event_type, user_id FROM events
+          GROUP BY 1, 2 HAVING count(*) >= 14),
+        mins AS (
+          SELECT event_type, jj.j,
+                 min(CAST(concat('0x', substr(md5(concat('kmins', jj.j,
+                     '_', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT))
+                   AS mh
+          FROM candk, (SELECT unnest(range(16)) AS j) jj
+          GROUP BY 1, 2)
+        SELECT t.event_type,
+               CAST(sum(t.mh) AS BIGINT) AS km_summin,
+               CAST(count(*) FILTER (WHERE t.mh = p.mh) AS BIGINT)
+                 AS km_agree_purch
+        FROM mins t
+        JOIN (SELECT j, mh FROM mins WHERE event_type = 'purchase') p
+          USING (j)
+        GROUP BY 1) km ON km.event_type = e.event_type
   GROUP BY 1 ORDER BY nomvar
 """
 

@@ -44,6 +44,7 @@ from fstd2pandas_spark.operators.sketch import (
     countmin_heavy_hitters, hll_registers, hll_estimate,
     bloom_bits, bloom_might_contain,
     linear_count_occupied, linear_count_estimate,
+    kmins_minima, kmins_merge, kmins_agreement, kmins_estimate,
 )
 
 __all__ = [
@@ -61,4 +62,5 @@ __all__ = [
     "countmin_heavy_hitters", "hll_registers", "hll_estimate",
     "bloom_bits", "bloom_might_contain",
     "linear_count_occupied", "linear_count_estimate",
+    "kmins_minima", "kmins_merge", "kmins_agreement", "kmins_estimate",
 ]

@@ -323,3 +323,121 @@ def linear_count_estimate(z_occ: int, m: int) -> float:
     if z_occ >= m:
         return float("inf")
     return -m * math.log(1.0 - z_occ / m)
+
+
+def kmins_minima(df: DataFrame, key_col: str,
+                 group_cols: "list[str] | None" = None,
+                 k: int = 16) -> DataFrame:
+    """k-mins MinHash signature per group (Cohen 1997; Broder 1997):
+    component ``j`` holds the MIN over the group's non-NULL keys of a
+    60-bit md5-derived hash salted with ``j`` — returns
+    ``(*group_cols, j, min_hv, kmins_k)``, exactly k rows per group
+    however many distinct keys exist.
+
+    Why k-mins and not bottom-k (the k smallest of ONE hash): bottom-k
+    per group is a top-k maintenance problem — NOT a map-side
+    combinable aggregate in Spark without buffering — while k-mins is
+    ONE aggregation of k independent MINs: per-partition partials
+    collapse to k longs per group before any shuffle, and signatures
+    from disjoint corpora merge by elementwise LEAST
+    (:func:`kmins_merge`). That is the sketch property that matters at
+    100 TB: per-source/day signatures computed once, merged and
+    compared without touching the raw keys again.
+
+    What the signature buys beyond the cardinality sketches above:
+    the agreement fraction of two groups' signatures estimates the
+    JACCARD SIMILARITY of their key sets (:func:`kmins_agreement` —
+    component j agrees iff both sets' j-th min is achieved by a
+    shared key, which happens with probability |A∩B|/|A∪B|), so
+    cross-corpus overlap matrices (user overlap between event types,
+    vocabulary overlap between sources) come from k·G rows of state.
+    Distinct counts fall out driver-side (:func:`kmins_estimate`).
+
+    Determinism contract: integer md5-derived minima — bit-identical
+    on any engine, partitioning or merge order; an SQL oracle rebuilds
+    the exact signature. The k-fold row explosion happens on a narrow
+    ``(group, j, hash)`` projection and collapses in the partial
+    aggregate, never on wide rows."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    gcols = list(group_cols or [])
+    comps = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 (F.conv(F.substring(
+                     F.md5(F.concat(F.lit(f"kmins{j}_"),
+                                    F.col(key_col).cast("string"))),
+                     1, 15), 16, 10).cast("long")).alias("hv"))
+        for j in range(k)])
+    salted = (df.filter(F.col(key_col).isNotNull())
+              .select(*gcols, F.explode(comps).alias("c")))
+    return (salted.groupBy(*gcols, F.col("c.j").alias("j"))
+            .agg(F.min("c.hv").alias("min_hv"))
+            .withColumn("kmins_k", F.lit(int(k))))
+
+
+def _kmins_check_k(minima: DataFrame, k: int, what: str) -> None:
+    """Validate a minima table carries exactly ONE k parameterization
+    matching the caller's — the bounded-distinct contract shared with
+    :func:`countmin_estimate` / :func:`bloom_might_contain` (mixing k
+    would silently compare component j of different sketch families)."""
+    params = [r[0] for r in
+              minima.select("kmins_k").distinct().collect()]
+    if len(params) > 1:
+        raise ValueError(
+            f"{what}: minima mix {len(params)} k parameterizations "
+            f"{sorted(params)}")
+    if params and params[0] != k:
+        raise ValueError(
+            f"{what}: signature was built with k={params[0]}, "
+            f"called with k={k}")
+
+
+def kmins_merge(a: DataFrame, b: DataFrame, group_cols: "list[str]",
+                k: int) -> DataFrame:
+    """Merge two signature tables: elementwise LEAST per (group, j) —
+    the merged signature is EXACTLY the signature of the union of the
+    two key sets (min distributes over union), the property that lets
+    per-shard signatures roll up without re-reading keys. Groups
+    present on one side only pass through unchanged."""
+    _kmins_check_k(a, k, "kmins_merge")
+    _kmins_check_k(b, k, "kmins_merge")
+    return (a.unionByName(b)
+            .groupBy(*group_cols, "j")
+            .agg(F.min("min_hv").alias("min_hv"))
+            .withColumn("kmins_k", F.lit(int(k))))
+
+
+def kmins_agreement(minima: DataFrame, group_col: str,
+                    k: int) -> DataFrame:
+    """Pairwise signature agreement between every pair of groups:
+    ``(ga, gb, agree)`` for ga < gb, where ``agree`` counts components
+    whose minima coincide — ``agree / k`` is the classic MinHash
+    estimate of Jaccard(A, B). The minima table is k·G-bounded, so the
+    self-join broadcasts; the integer count keeps the float ratio out
+    of the cross-engine contract."""
+    _kmins_check_k(minima, k, "kmins_agreement")
+    a = minima.select(F.col(group_col).alias("ga"), "j",
+                      F.col("min_hv").alias("ha"))
+    b = minima.select(F.col(group_col).alias("gb"), "j",
+                      F.col("min_hv").alias("hb"))
+    return (a.join(F.broadcast(b), "j")
+            .filter(F.col("ga") < F.col("gb"))
+            .groupBy("ga", "gb")
+            .agg(F.sum((F.col("ha") == F.col("hb")).cast("long"))
+                 .alias("agree"))
+            .orderBy("ga", "gb"))
+
+
+def kmins_estimate(minima_rows: "list[int]", k: int) -> float:
+    """Driver-side distinct-count estimate from a group's k minima:
+    each min_j is distributed like M / (n + 1) over the 60-bit space
+    M = 2**60, so n̂ = k·M / Σ min_j − 1 (the k-mins estimator —
+    averaging the per-component scale estimates). Float math stays out
+    of the cross-engine contract like :func:`hll_estimate`; an empty
+    key set (no minima) estimates 0."""
+    if len(minima_rows) > k:
+        raise ValueError(f"{len(minima_rows)} minima for k={k}")
+    if not minima_rows:
+        return 0.0
+    M = float(1 << 60)
+    return k * M / sum(minima_rows) - 1.0

@@ -978,3 +978,83 @@ def test_pagerank_releases_superseded_checkpoints(spark):
         pagerank(df, scale=0)
     with _pytest.raises(ValueError, match="node count"):
         pagerank(df, scale=10)
+
+
+def test_kmins_signature_hand_computed_and_merge(spark):
+    """k-mins minima equal a direct Python md5 re-derivation (60-bit
+    hash per salt j, min per group/component), a merged signature
+    equals the signature of the union (min distributes over union),
+    NULL keys are excluded, and the k-parameterization guards fire."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from fstd2pandas_spark.operators.sketch import (
+        kmins_estimate, kmins_merge, kmins_minima)
+
+    def h60(j, key):
+        return int(hashlib.md5(
+            f"kmins{j}_{key}".encode()).hexdigest()[:15], 16)
+
+    rows = ([("a", f"k{i}") for i in range(40)]
+            + [("b", f"k{i}") for i in range(20, 60)]
+            + [("a", None)])
+    df = spark.createDataFrame(rows, ["g", "k"])
+    k = 8
+    got = {(r["g"], r["j"]): r["min_hv"]
+           for r in kmins_minima(df, "k", ["g"], k=k).collect()}
+    exp = {}
+    for g, key in rows:
+        if key is None:
+            continue
+        for j in range(k):
+            c = (g, j)
+            exp[c] = min(exp.get(c, 1 << 62), h60(j, key))
+    assert got == exp
+
+    # merge == signature of the union, including a one-side-only group
+    a = kmins_minima(df.filter(F.col("g") == "a"), "k", ["g"], k=k)
+    b = kmins_minima(df.filter(F.col("g") == "b"), "k", ["g"], k=k)
+    merged = {(r["g"], r["j"]): r["min_hv"]
+              for r in kmins_merge(a, b, ["g"], k=k).collect()}
+    assert merged == exp
+
+    with _pytest.raises(ValueError, match="k="):
+        kmins_merge(a, kmins_minima(df, "k", ["g"], k=4), ["g"], k=k)
+    with _pytest.raises(ValueError, match="k must be"):
+        kmins_minima(df, "k", ["g"], k=0)
+
+    # driver-side estimate: within 3x sqrt-k relative error of truth
+    n = 500
+    big = spark.createDataFrame([(f"u{i}",) for i in range(n)], ["k"])
+    mins = [r["min_hv"]
+            for r in kmins_minima(big, "k", k=32).collect()]
+    est = kmins_estimate(mins, 32)
+    assert abs(est - n) / n < 3 / 32 ** 0.5
+    assert kmins_estimate([], 32) == 0.0
+    with _pytest.raises(ValueError, match="minima for k"):
+        kmins_estimate([1, 2], 1)
+
+
+def test_kmins_agreement_estimates_jaccard(spark):
+    """Agreement counts: identical key sets agree on every component,
+    disjoint sets agree on none (md5 60-bit collisions aside), and a
+    50%-overlap pair lands near k * J = k/3; pairs are emitted once
+    with ga < gb."""
+    from fstd2pandas_spark.operators.sketch import (
+        kmins_agreement, kmins_minima)
+
+    k = 64
+    rows = ([("s1", f"k{i}") for i in range(100)]
+            + [("s2", f"k{i}") for i in range(100)]       # identical
+            + [("s3", f"d{i}") for i in range(100)]       # disjoint
+            + [("s4", f"k{i}") for i in range(50, 150)])  # J = 1/3
+    df = spark.createDataFrame(rows, ["g", "k"])
+    m = kmins_minima(df, "k", ["g"], k=k)
+    ag = {(r["ga"], r["gb"]): r["agree"]
+          for r in kmins_agreement(m, "g", k=k).collect()}
+    assert len(ag) == 6 and all(a < b for a, b in ag)
+    assert ag[("s1", "s2")] == k
+    assert ag[("s1", "s3")] == 0
+    j13 = ag[("s1", "s4")] / k
+    assert abs(j13 - 1 / 3) < 3 * ((1 / 3) * (2 / 3) / k) ** 0.5
