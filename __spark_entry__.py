@@ -4030,6 +4030,28 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
               .unionByName(_grain_rows("day", day_k1))
               .unionByName(_grain_rows("week", week_k1)))
 
+    # kind='gset' (round 9): the multi-level OLAP ROLLUP surface —
+    # Catalyst's native Expand-based grouping sets (df.rollup +
+    # grouping_id: (day, type) / (day) / grand total in ONE pass over
+    # the hours-sized sink, no per-level rescan). k1=-1 / k2='*' mark
+    # rolled-up keys, dur_s carries grouping_id (0/1/3 — Spark and
+    # DuckDB GROUPING share the first-column-is-MSB convention,
+    # probed), sums quantize to micro-units first so every level is
+    # summation-order-free.
+    gs = (sink.select(day_k1.alias("d"), F.col("k2"), F.col("n"),
+                      F.round(F.col("sum_value") * 10000, 0)
+                      .cast("long").alias("s4"))
+          .rollup("d", "k2")
+          .agg(F.sum("n").cast("long").alias("n"),
+               (F.sum("s4").cast("double") / 10000).alias("sum_value"),
+               F.grouping_id().cast("long").alias("gid"))
+          .select(F.lit("gset").alias("kind"),
+                  F.coalesce(F.col("d"), F.lit(-1)).cast("long")
+                  .alias("k1"),
+                  F.coalesce(F.col("k2"), F.lit("*")).alias("k2"),
+                  "n", "sum_value", F.col("gid").alias("dur_s")))
+    hourly = hourly.unionByName(gs)
+
     # kind='sfunnel': the STATEFUL streaming funnel
     # (streaming/record_stream.py streaming_funnel,
     # applyInPandasWithState) drained over the same stream. The
@@ -4228,6 +4250,18 @@ _Q_STREAM_EVENTS_SQL = """
            / 10000 AS sum_value,
          CAST(NULL AS BIGINT) AS dur_s
   FROM h8 GROUP BY 2, 3
+  UNION ALL
+  -- ROLLUP mirror: native GROUP BY ROLLUP over the same quantized
+  -- day projection; GROUPING(d, k2) rides in dur_s (0/1/3)
+  SELECT 'gset' AS kind,
+         coalesce(d, -1) AS k1,
+         coalesce(k2, '*') AS k2,
+         CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(s4) AS DOUBLE) / 10000 AS sum_value,
+         CAST(GROUPING(d, k2) AS BIGINT) AS dur_s
+  FROM (SELECT k1 - k1 % 86400 AS d, k2, n,
+               CAST(round(sv * 10000, 0) AS BIGINT) AS s4 FROM h8) t
+  GROUP BY ROLLUP(d, k2)
   UNION ALL
   SELECT 'sfunnel' AS kind,
          CAST(floor(epoch(t1)) AS BIGINT) AS k1,
