@@ -3011,12 +3011,31 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         linear_text_classifier)
 
     enriched = linear_text_classifier(enriched, dim=1024)
+    # round 9: exact per-language discrete quantile thresholds
+    # (operators/quantiles.py quantile_flags — nearest-rank
+    # max(1, ceil(q*n)), the definition DuckDB's quantile_disc
+    # natively implements, so the oracle is an INDEPENDENT native
+    # derivation, not a formula mirror): ntok_q25/50/75 ride every
+    # row, ntok_below_med is the drop-the-bottom-half-per-language
+    # decision. Computed from a fresh lightweight quality_score(docs)
+    # projection so the threshold subtree does not re-drag the heavy
+    # enrichment lineage (the lm_train precedent above).
+    from fstd2pandas_spark.operators.quantiles import quantile_flags
+
+    nt = quality_score(docs).select("doc_id", "lang", "n_tokens")
+    qf = quantile_flags(nt, "n_tokens", "lang").select(
+        "doc_id", F.col("q25").cast("long").alias("ntok_q25"),
+        F.col("q50").cast("long").alias("ntok_q50"),
+        F.col("q75").cast("long").alias("ntok_q75"),
+        F.col("below_med").alias("ntok_below_med"))
+    enriched = enriched.join(qf, "doc_id", "left")
     return enriched.select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
         "stop_ratio", "quality", "split", "line_dedup_sig",
         "n_spans", "n_boilerplate_spans", "n_dup_spans", "n_dup_tokens",
         "substr_sig", "gopher_fails", "gopher_keep",
         "lm_bigrams", "lm_q6", "lm_bucket", "clf_score", "clf_keep",
+        "ntok_q25", "ntok_q50", "ntok_q75", "ntok_below_med",
     ).orderBy("doc_id")
 
 
@@ -3139,7 +3158,17 @@ def _quality_sql() -> str:
                              AS BIGINT) % 1024 AS VARCHAR))), 1, 8))
                      AS BIGINT) % 2001) - 1000)) AS BIGINT), 0)
              AS clf_score
-    FROM documents)
+    FROM documents),
+  -- per-language nearest-rank quantiles via DuckDB's NATIVE
+  -- quantile_disc — an independent implementation of the same
+  -- definition the engine's window-rank operator computes
+  nqq AS (
+    SELECT d2.lang,
+           CAST(quantile_disc(q2.n_tokens, 0.25) AS BIGINT) AS ntok_q25,
+           CAST(quantile_disc(q2.n_tokens, 0.5) AS BIGINT) AS ntok_q50,
+           CAST(quantile_disc(q2.n_tokens, 0.75) AS BIGINT) AS ntok_q75
+    FROM q q2 JOIN documents d2 USING (doc_id)
+    GROUP BY d2.lang)
   SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stop_ratio,
          -- CASE instead of least(): DuckDB's least() on DECIMALs returns
          -- DOUBLE, which would reintroduce float tie-noise
@@ -3182,15 +3211,18 @@ def _quality_sql() -> str:
               WHEN lagg.lm_q6 >= -2000000 * lagg.lm_bigrams THEN 'middle'
               ELSE 'tail' END AS lm_bucket,
          clf.clf_score,
-         clf.clf_score > 0 AS clf_keep
+         clf.clf_score > 0 AS clf_keep,
+         nqq.ntok_q25, nqq.ntok_q50, nqq.ntok_q75,
+         q.n_tokens < nqq.ntok_q50 AS ntok_below_med
   FROM q
-  JOIN (SELECT doc_id, text FROM documents) d USING (doc_id)
+  JOIN (SELECT doc_id, text, lang FROM documents) d USING (doc_id)
   JOIN sp USING (doc_id)
   LEFT JOIN h USING (doc_id)
   LEFT JOIN dspn USING (doc_id)
   LEFT JOIN dcln USING (doc_id)
   LEFT JOIN lagg USING (doc_id)
   JOIN clf USING (doc_id)
+  LEFT JOIN nqq ON nqq.lang = d.lang
   ORDER BY doc_id
 """
 

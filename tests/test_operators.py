@@ -1058,3 +1058,68 @@ def test_kmins_agreement_estimates_jaccard(spark):
     assert ag[("s1", "s3")] == 0
     j13 = ag[("s1", "s4")] / k
     assert abs(j13 - 1 / 3) < 3 * ((1 / 3) * (2 / 3) / k) ** 0.5
+
+
+def test_group_quantiles_disc_matches_duckdb_native(spark):
+    """The window-rank implementation equals DuckDB's NATIVE
+    quantile_disc (an independent derivation of the nearest-rank
+    definition) across group sizes 1..40 with duplicates, including
+    q=0/1 endpoints; NULL values are excluded; guards fire."""
+    import duckdb
+    import pytest as _pytest
+
+    from fstd2pandas_spark.operators.quantiles import group_quantiles_disc
+
+    import random
+    rng = random.Random(7)
+    rows = []
+    for g in range(12):
+        n = g * 3 + 1  # sizes 1..34
+        for _ in range(n):
+            rows.append((f"g{g}", rng.randrange(0, 20)))  # heavy ties
+    rows.append(("g0", None))
+    df = spark.createDataFrame(rows, ["g", "v"])
+    qs = (0.0, 0.25, 0.5, 0.75, 1.0)
+    got = {(r["g"], r["q"]): r["value"]
+           for r in group_quantiles_disc(df, "v", ["g"], qs).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, v INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [r for r in rows if r[1] is not None])
+    exp = {}
+    for q in qs:
+        for g, v in con.execute(
+                f"SELECT g, quantile_disc(v, {q}) FROM t GROUP BY g"
+                ).fetchall():
+            exp[(g, q)] = v
+    assert got == exp
+
+    with _pytest.raises(ValueError, match="outside"):
+        group_quantiles_disc(df, "v", ["g"], (1.5,))
+    with _pytest.raises(ValueError, match="non-empty"):
+        group_quantiles_disc(df, "v", ["g"], ())
+
+
+def test_quantile_flags_thresholds_and_below_median(spark):
+    """Thresholds pivot back onto the rows (q25/q50/q75 per group),
+    below_med compares strictly against the group median, and 0.5
+    must be among the requested quantiles."""
+    import pytest as _pytest
+
+    from fstd2pandas_spark.operators.quantiles import quantile_flags
+
+    rows = ([("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8]]
+            + [("b", v) for v in [10, 20, 30]])
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = quantile_flags(df, "v", "g").collect()
+    a = {r["v"]: r for r in out if r["g"] == "a"}
+    # n=8: ranks ceil(.25*8)=2, ceil(.5*8)=4, ceil(.75*8)=6
+    assert (a[1]["q25"], a[1]["q50"], a[1]["q75"]) == (2, 4, 6)
+    assert a[3]["below_med"] and not a[4]["below_med"]
+    b = {r["v"]: r for r in out if r["g"] == "b"}
+    # n=3: ranks 1, 2, 3
+    assert (b[10]["q25"], b[10]["q50"], b[10]["q75"]) == (10, 20, 30)
+    assert b[10]["below_med"] and not b[20]["below_med"]
+    with _pytest.raises(ValueError, match="0.5"):
+        quantile_flags(df, "v", "g", qs=(0.25, 0.75))
