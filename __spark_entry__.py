@@ -3821,9 +3821,55 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.element_at("feature", 4) * 47).cast("long")
          + wwbins).cast("long").alias("fsum"),
     )
+    # kind='mp3' (round 9): the MPEG audio frame-header walk end-to-
+    # end (operators/llm/mp3.py) — each doc becomes a REAL CBR MP3: 3
+    # MPEG1 Layer III 44100 Hz frames at a doc-dependent bitrate
+    # (headers fffb90c0/fffba0c0/fffbb0c0 -> 128/160/192 kbps, frame
+    # lengths 144*kbps*1000//44100 = 417/522/626), bodies md5-derived,
+    # and doc_id % 5 == 0 docs get a leading 30-byte ID3v2 container
+    # so the syncsafe skip runs in the production kernel. The oracle
+    # predicts every field from the same construction: f0 = n_frames
+    # (3), f15 = kbps_sum (384/480/576), fsum = exact duration
+    # 3*1152*1e6 // 44100 = 78367 us.
+    from fstd2pandas_spark.operators.llm.mp3 import mp3_metadata
+
+    mp3_hdr = F.element_at(
+        F.array(F.lit("fffb90c0"), F.lit("fffba0c0"), F.lit("fffbb0c0")),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    mp3_flen = F.element_at(
+        F.array(F.lit(417), F.lit(522), F.lit(626)),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    mp3_body = F.concat(*[
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit(f"m{i}"))))
+        for i in range(40)])                      # 640 >= max body 622
+    mp3_frame = F.concat(F.unhex(mp3_hdr),
+                         F.substring(mp3_body, F.lit(1), mp3_flen - 4))
+    mp3_id3 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.unhex(F.lit("49443304000000000014")),  # ID3v2, sz 20
+                 F.unhex(F.md5(F.col("text"))),
+                 F.unhex(F.substring(
+                     F.md5(F.concat(F.col("text"), F.lit("z"))), 1, 8)))
+        ).otherwise(F.lit(b""))
+    mp3_assets = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(mp3_id3, mp3_frame, mp3_frame, mp3_frame)
+        .alias("payload"))
+    aid_flen = F.element_at(
+        F.array(F.lit(417), F.lit(522), F.lit(626)),
+        (F.col("asset_id") % 3 + 1).cast("int"))
+    mp3 = mp3_metadata(mp3_assets).select(
+        "asset_id", F.lit("mp3").alias("kind"),
+        (F.when(F.col("asset_id") % 5 == 0, 30).otherwise(0)
+         + 3 * aid_flen).cast("long").alias("n_bytes"),
+        F.col("mp3_frames").alias("f0"),
+        F.col("mp3_kbps_sum").alias("f15"),
+        F.col("mp3_dur_us").alias("fsum"),
+    )
     return (base.unionByName(ppm).unionByName(wav).unionByName(dh)
             .unionByName(dpair).unionByName(spec).unionByName(rsz)
-            .unionByName(vid).orderBy("asset_id", "kind", "f0"))
+            .unionByName(vid).unionByName(mp3)
+            .orderBy("asset_id", "kind", "f0"))
 
 
 def _mm_sql() -> str:
@@ -3996,6 +4042,21 @@ def _mm_sql() -> str:
                      array_agg(CAST(m - 128 AS DOUBLE) / 128 ORDER BY i)
                        AS xa
               FROM wsm GROUP BY asset_id))
+  UNION ALL
+  -- mp3 mirror: the frame walk's fields predicted from the CBR
+  -- construction — 3 frames at the doc-dependent bitrate, exact
+  -- integer duration 3*1152*1e6 // 44100, n_bytes = optional 30-byte
+  -- ID3v2 + 3 * frame length
+  SELECT doc_id AS asset_id, 'mp3' AS kind,
+         CAST((CASE WHEN doc_id % 5 = 0 THEN 30 ELSE 0 END)
+              + 3 * ([417, 522, 626][CAST(doc_id % 3 AS INT) + 1])
+              AS BIGINT) AS n_bytes,
+         CAST(3 AS BIGINT) AS f0,
+         CAST(3 * ([128, 160, 192][CAST(doc_id % 3 AS INT) + 1])
+              AS BIGINT) AS f15,
+         CAST(3 * 1152 * CAST(1000000 AS BIGINT) // 44100 AS BIGINT)
+           AS fsum
+  FROM documents WHERE text IS NOT NULL
   ORDER BY asset_id, kind, f0
 """
 

@@ -72,6 +72,7 @@ from fstd2pandas_spark.operators.llm.multimodal import (
     extract_features, resize_images, sample_video_frames,
     image_dhash, audio_spectrum,
 )
+from fstd2pandas_spark.operators.llm.mp3 import mp3_metadata, parse_mp3
 from fstd2pandas_spark.operators.llm.dedup import (
     signature_hamming_pairs, simhash_report_rows,
 )
@@ -96,7 +97,8 @@ __all__ = [
     "chunk_documents",
     "cosine_topk", "lsh_ann_topk", "ivf_ann_topk", "cosine_col", "embedding_neardup",
     "extract_features", "resize_images", "sample_video_frames",
-    "image_dhash", "audio_spectrum", "signature_hamming_pairs",
+    "image_dhash", "audio_spectrum", "mp3_metadata", "parse_mp3",
+    "signature_hamming_pairs",
     "simhash_report_rows", "temperature_mix_sample",
     "linear_text_classifier", "token_bucket_col", "semantic_dedup",
 ]
