@@ -645,10 +645,24 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 per-group existence flags via conditional aggregation + JSON
     property extraction from the events ``props`` column (Spark
     get_json_object; the oracle mirrors the value by regex — mechanisms
-    may differ, values must not)."""
+    may differ, values must not).
+
+    Round 9 adds per-user OLS value-trend fitting
+    (operators/linfit.py group_linfit — drift detection as ONE
+    map-side-combinable aggregation): x = epoch hours centered per
+    user (the overflow-taming idiom: the centering window shares the
+    aggregation's user_id exchange), y = centi-quantized value; the
+    five sums and both polynomials are exact DECIMAL(38,0) integers,
+    so the rounded slope/intercept are bit-identical to the oracle's
+    HUGEINT rebuild. Every sf0.01 user spans multiple hours, so the
+    den = 0 vertical branch cannot fire in the gate data — it is
+    pinned by the unit test instead (tests/test_operators.py group
+    'c')."""
+    from fstd2pandas_spark.operators.linfit import group_linfit
+
     ev = _load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return (
+    agg = (
         ev.groupBy("user_id")
         .agg(
             F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("has_purchase"),
@@ -657,18 +671,64 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(k).cast("long").alias("sum_k"),
             F.max(k).cast("long").alias("max_k"),
         )
-        .orderBy("user_id")
     )
+    wmin = Window.partitionBy("user_id")
+    pts = (ev.filter(F.col("value").isNotNull())
+           .select("user_id",
+                   F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+                   .alias("_h"),
+                   F.round(F.col("value") * 100, 0).cast("long")
+                   .alias("_cv"))
+           .withColumn("_x", (F.col("_h")
+                              - F.min("_h").over(wmin)).cast("long")))
+    fit = group_linfit(pts, "_x", "_cv", ["user_id"]).select(
+        "user_id",
+        (F.round(F.col("slope"), 6) + F.lit(0.0)).alias("trend_slope"),
+        (F.round(F.col("intercept"), 6) + F.lit(0.0))
+        .alias("trend_icept"))
+    return agg.join(fit, "user_id", "left").orderBy("user_id")
 
 
 _Q_CONDAGG_SQL = """
-  SELECT user_id,
-         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
-         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
-         count(*) AS n_events,
-         CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-         CAST(max(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
-  FROM events GROUP BY user_id ORDER BY user_id
+  WITH ca AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+           max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+           count(*) AS n_events,
+           CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY user_id),
+  -- OLS trend mirror: exact integer sums (DuckDB's BIGINT sums are
+  -- HUGEINT = the engine's DECIMAL(38,0)); the only float steps are
+  -- the final correctly-rounded casts and one IEEE division, mirrored
+  -- in the engine's exact operation order
+  fx AS (
+    SELECT user_id,
+           h - min(h) OVER (PARTITION BY user_id) AS x, cv
+    FROM (SELECT user_id,
+                 CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cv
+          FROM events WHERE value IS NOT NULL)),
+  ols AS (
+    SELECT user_id, count(*) AS n, sum(x) AS sx, sum(cv) AS sy,
+           sum(x * cv) AS sxy, sum(x * x) AS sxx
+    FROM fx GROUP BY user_id),
+  trend AS (
+    SELECT user_id,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0
+           END AS trend_slope,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             round((CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE), 6) + 0.0
+           END AS trend_icept
+    FROM ols)
+  SELECT ca.*, trend.trend_slope, trend.trend_icept
+  FROM ca LEFT JOIN trend USING (user_id) ORDER BY user_id
 """
 
 

@@ -42,6 +42,7 @@ from fstd2pandas_spark.operators.graph import pagerank
 from fstd2pandas_spark.operators.quantiles import (
     group_quantiles_disc, quantile_flags,
 )
+from fstd2pandas_spark.operators.linfit import group_linfit
 from fstd2pandas_spark.operators.sketch import (
     countmin_counters, countmin_estimate, merge_counters,
     countmin_heavy_hitters, hll_registers, hll_estimate,
@@ -66,5 +67,5 @@ __all__ = [
     "bloom_bits", "bloom_might_contain",
     "linear_count_occupied", "linear_count_estimate",
     "kmins_minima", "kmins_merge", "kmins_agreement", "kmins_estimate",
-    "group_quantiles_disc", "quantile_flags",
+    "group_quantiles_disc", "quantile_flags", "group_linfit",
 ]

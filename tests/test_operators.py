@@ -1123,3 +1123,45 @@ def test_quantile_flags_thresholds_and_below_median(spark):
     assert b[10]["below_med"] and not b[20]["below_med"]
     with _pytest.raises(ValueError, match="0.5"):
         quantile_flags(df, "v", "g", qs=(0.25, 0.75))
+
+
+def test_group_linfit_exact_and_guards(spark):
+    """Slope/intercept equal the exact-fraction OLS on integer points
+    (bit-compare against Python Fraction -> float), NULL points are
+    excluded, constant-x groups fit NULL, and float columns raise."""
+    from fractions import Fraction
+
+    import pytest as _pytest
+
+    from fstd2pandas_spark.operators.linfit import group_linfit
+
+    import random
+    rng = random.Random(11)
+    pts = {"a": [(x, 2 * x + 1) for x in range(5)],          # exact line
+           "b": [(rng.randrange(0, 500), rng.randrange(-10**6, 10**6))
+                 for _ in range(40)],
+           "c": [(7, 1), (7, 5), (7, 9)]}                    # vertical
+    rows = [(g, x, y) for g, ps in pts.items() for x, y in ps]
+    rows.append(("a", None, 5))
+    rows.append(("a", 5, None))
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in group_linfit(df, "x", "y", ["g"]).collect()}
+
+    assert got["a"]["n"] == 5
+    assert got["a"]["slope"] == 2.0 and got["a"]["intercept"] == 1.0
+    assert got["c"]["slope"] is None and got["c"]["intercept"] is None
+
+    n = len(pts["b"])
+    sx = sum(x for x, _ in pts["b"]); sy = sum(y for _, y in pts["b"])
+    sxy = sum(x * y for x, y in pts["b"])
+    sxx = sum(x * x for x, _ in pts["b"])
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    slope = float(num) / float(den)
+    assert got["b"]["slope"] == slope
+    assert got["b"]["intercept"] == (float(sy) - slope * float(sx)) / float(n)
+    # sanity vs the true least-squares fraction
+    assert abs(got["b"]["slope"] - Fraction(num, den)) < 1e-9
+
+    with _pytest.raises(ValueError, match="integer column"):
+        group_linfit(df.withColumn("x", F.col("x").cast("double")),
+                     "x", "y", ["g"])
