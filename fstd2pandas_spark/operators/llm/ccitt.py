@@ -33,6 +33,15 @@ Scale note: this runs inside the Arrow-batched multimodal kernel
 (mapInPandas) like the other codecs — per-document work, no shuffle
 interaction; a corrupt stream raises before materializing more than
 the declared (rows x width) bits.
+
+Uncompressed mode (t4_options/t6_options bit 1) stays a deliberate
+loud raise, adjudicated like the librmn pack streams (round 8): the
+mode's entry code and literal codes are well known, but the exact
+trailing-zero exit-code family is not reproducible from material
+available here, and no mainstream writer has ever emitted the mode
+(libtiff's own encoder never sets it) — a from-memory implementation
+would claim compatibility nothing could test. The raise maps to the
+honest None fallback, never garbage.
 """
 
 from __future__ import annotations
