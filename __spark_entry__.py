@@ -3422,8 +3422,34 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "cos", F.round(F.col("_c").cast("double"), 6) + F.lit(0.0)
     ).withColumn("rank", F.lit(-1)).drop("_c")
-    return ann.unionByName(proj).orderBy("kind", "query_id", "rank",
-                                         "neighbor_id")
+    # round 9: kind='dim' — per-dimension corpus health stats
+    # (similarity.py embedding_dim_stats: ONE posexplode + ONE
+    # map-side-combinable agg, 64 rows at any corpus size; cos carries
+    # the micro-unit sum scaled back, rank the positive count) and
+    # kind='q8' — symmetric int8 vector quantization (int8_quantize:
+    # the 4x storage format; cos = the per-vector scale, rank = each
+    # clamped code, oracle rebuilds both from the same doubles)
+    from fstd2pandas_spark.operators.llm.similarity import (
+        embedding_dim_stats, int8_quantize)
+
+    ds = embedding_dim_stats(emb).select(
+        F.lit("dim").alias("kind"),
+        F.lit(-1).cast("long").alias("query_id"),
+        F.col("j").cast("long").alias("neighbor_id"),
+        (F.col("sum_q6").cast("double") / F.lit(1e6)).alias("cos"),
+        F.col("n_pos").cast("int").alias("rank"))
+    q8 = int8_quantize(emb.filter(F.col("vec_id") < 10)).select(
+        F.lit("q8").alias("kind"),
+        F.col("vec_id").alias("query_id"),
+        F.col("q8_scale"),
+        F.posexplode("q8_codes").alias("neighbor_id", "_c"),
+    ).select(
+        "kind", "query_id",
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        (F.round(F.col("q8_scale"), 6) + F.lit(0.0)).alias("cos"),
+        F.col("_c").cast("int").alias("rank"))
+    return (ann.unionByName(proj).unionByName(ds).unionByName(q8)
+            .orderBy("kind", "query_id", "rank", "neighbor_id"))
 
 
 def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5,
@@ -3467,6 +3493,29 @@ def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5,
   WHERE rank <= {k}
   UNION ALL
   SELECT kind, query_id, neighbor_id, cos, rank FROM proj
+  UNION ALL
+  -- per-dimension health mirror: micro-unit sums + positive counts
+  SELECT 'dim' AS kind, CAST(-1 AS BIGINT) AS query_id,
+         CAST(jj.j - 1 AS BIGINT) AS neighbor_id,
+         CAST(sum(CAST(round(v[jj.j] * 1000000, 0) AS BIGINT))
+              AS DOUBLE) / 1000000 AS cos,
+         CAST(count(*) FILTER (WHERE v[jj.j] > 0) AS INT) AS rank
+  FROM e, (SELECT unnest(generate_series(1, {dim})) AS j) jj
+  GROUP BY jj.j
+  UNION ALL
+  -- int8 quantization mirror: scale = max|x|/127, codes =
+  -- clamp(round(x/scale)); the all-zero vector keeps code 0
+  SELECT 'q8' AS kind, s.vec_id AS query_id,
+         CAST(o.o AS BIGINT) AS neighbor_id,
+         round(s.scale, 6) + 0.0 AS cos,
+         CAST(CASE WHEN s.scale = 0 THEN 0
+              ELSE greatest(-127, least(127,
+                   CAST(round(s.v[o.o + 1] / s.scale, 0) AS INT))) END
+              AS INT) AS rank
+  FROM (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM e WHERE vec_id < {n_queries}) s,
+       (SELECT unnest(generate_series(0, {dim - 1})) AS o) o
   ORDER BY kind, query_id, rank, neighbor_id
 """
 

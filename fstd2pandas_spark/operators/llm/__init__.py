@@ -54,6 +54,7 @@ from fstd2pandas_spark.operators.llm.classifier import (
 from fstd2pandas_spark.operators.llm.similarity import (
     cosine_topk, lsh_ann_topk, ivf_ann_topk, cosine_col, embedding_neardup,
     pq_train, pq_encode, pq_adc_topk, ivf_pq_topk, random_projection,
+    embedding_dim_stats, int8_quantize,
     semantic_dedup,
 )
 from fstd2pandas_spark.operators.llm.ingest import (
@@ -87,7 +88,7 @@ __all__ = [
     "dedup_lines", "boilerplate_span_stats", "simhash_hamming_pairs",
     "simhash_report", "duplicate_spans",
     "pq_train", "pq_encode", "pq_adc_topk", "ivf_pq_topk",
-    "random_projection",
+    "random_projection", "embedding_dim_stats", "int8_quantize",
     "read_warc", "read_warc_stream", "strip_html", "html_to_text_col",
     "bpe_train", "bpe_token_counts",
     "lm_train", "lm_perplexity",

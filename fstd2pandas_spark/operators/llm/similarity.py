@@ -347,6 +347,63 @@ def random_projection(emb: DataFrame, out_dim: int, dim: int,
         vec_col, F.array(*[_component(o) for o in range(out_dim)]))
 
 
+def embedding_dim_stats(emb: DataFrame,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-DIMENSION corpus health stats — the embedding-table sanity
+    scan every ML-data pipeline runs before indexing: a dead dimension
+    (n_zero == n, or min_x == max_x) means a broken encoder head; a
+    per-dimension sum drifting between snapshots means the embedding
+    model changed under the pipeline. Returns ``(j, n, sum_q6, min_x,
+    max_x, n_zero, n_pos)`` — one row per dimension however large the
+    corpus.
+
+    ONE posexplode into narrow (j, x) rows + ONE map-side-combinable
+    aggregation keyed on the (tiny) dimension index; sums are integer
+    micro-units (round(x * 1e6) summed as longs — summation-order-free
+    and bit-identical on any engine/partitioning, the repo-wide
+    contract), min/max/zero/positive counts are exact comparisons on
+    the float32 values."""
+    xd = F.col("x").cast("double")
+    return (emb.select(F.posexplode(vec_col).alias("j", "x"))
+            .groupBy("j")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.round(xd * 1e6, 0).cast("long"))
+                 .cast("long").alias("sum_q6"),
+                 F.min(xd).alias("min_x"),
+                 F.max(xd).alias("max_x"),
+                 F.sum((F.col("x") == 0).cast("long"))
+                 .cast("long").alias("n_zero"),
+                 F.sum((xd > 0).cast("long"))
+                 .cast("long").alias("n_pos")))
+
+
+def int8_quantize(emb: DataFrame,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transport
+    format vector stores actually ship (4x smaller than float32, ~1%
+    recall cost): ``scale = max|x| / 127``, ``code_i = clamp(round(x_i
+    / scale), -127, 127)``; an all-zero vector gets scale 0 and
+    all-zero codes rather than a division blow-up. Dequantization is
+    ``code * scale``. Adds ``q8_scale`` (double) and ``q8_codes``
+    (array<int>) next to the original column.
+
+    A narrow shuffle-free per-row map. Deterministic: both the scale
+    division and the rounding operate on identical IEEE doubles on any
+    engine, so codes are bit-stable — an SQL oracle rebuilds them."""
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    scale = maxabs / F.lit(127.0)
+    codes = F.when(
+        maxabs == 0,
+        F.transform(xs, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(xs, lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(x / scale, 0).cast("int")))))
+    return (emb.withColumn("q8_scale", scale)
+            .withColumn("q8_codes", codes))
+
+
 # ---------------------------------------------------------------- PQ / ADC
 
 def _pq_centroid(sub: int, c: int, d_sub: int,

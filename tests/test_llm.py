@@ -1646,3 +1646,55 @@ def test_collision_group_size_ceiling_raises(spark, monkeypatch):
                                bands=4).count() == 45
     assert semantic_dedup(hot_emb, n_cells=2,
                           dim=8).filter("keep").count() == 1
+
+
+def test_embedding_dim_stats_hand_computed(spark):
+    """Per-dimension stats equal a direct Python re-derivation on a
+    tiny corpus, including exact-zero and positive counts and the
+    micro-unit sum; a dead dimension shows n_zero == n."""
+    from fstd2pandas_spark.operators.llm.similarity import (
+        embedding_dim_stats)
+
+    vecs = [[1.5, 0.0, -2.25], [0.5, 0.0, 3.0], [-1.0, 0.0, 0.125]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    got = {r["j"]: r for r in embedding_dim_stats(df).collect()}
+    for j in range(3):
+        col = [v[j] for v in vecs]
+        assert got[j]["n"] == 3
+        assert got[j]["sum_q6"] == sum(round(x * 1e6) for x in col)
+        assert got[j]["min_x"] == min(col) and got[j]["max_x"] == max(col)
+        assert got[j]["n_zero"] == sum(1 for x in col if x == 0)
+        assert got[j]["n_pos"] == sum(1 for x in col if x > 0)
+    assert got[1]["n_zero"] == 3          # dead dimension detected
+
+
+def test_int8_quantize_roundtrip_and_edge_cases(spark):
+    """Codes equal clamp(round(x / (max|x|/127))), the all-zero vector
+    quantizes to scale 0 with zero codes (no division blow-up), and
+    dequantized values land within scale/2 of the originals."""
+    from fstd2pandas_spark.operators.llm.similarity import int8_quantize
+
+    vecs = [[1.0, -0.5, 0.25, 0.0],
+            [0.0, 0.0, 0.0, 0.0],
+            [-3.0, 3.0, 1.5, -0.75]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in int8_quantize(df).collect()}
+    for i, v in enumerate(vecs):
+        m = max(abs(x) for x in v)
+        if m == 0:
+            assert got[i]["q8_scale"] == 0.0
+            assert got[i]["q8_codes"] == [0, 0, 0, 0]
+            continue
+        scale = m / 127.0
+        exp = [max(-127, min(127, round(x / scale))) for x in v]
+        # Python round is half-even; Spark round is half-away — only
+        # compare where no .5 tie is involved (these fixtures have none)
+        assert got[i]["q8_codes"] == exp
+        assert got[i]["q8_scale"] == scale
+        for c, x in zip(got[i]["q8_codes"], v):
+            assert abs(c * scale - x) <= scale / 2 + 1e-12
+        assert max(map(abs, got[i]["q8_codes"])) == 127
