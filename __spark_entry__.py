@@ -549,25 +549,44 @@ _Q_REVENUE_SQL = """
 
 
 def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4: top-3 orders by totalprice per customer (rank window)."""
+    """W4: top-3 orders by totalprice per customer (rank window).
+
+    Round 9 widens the gated window surface over the SAME window spec
+    — lag / lead / first_value / ntile(4) all share (o_custkey,
+    totalprice desc, orderkey) ordering, so Catalyst evaluates every
+    function in the ONE existing Window node: no extra exchange, no
+    extra sort (the headline bench cost is the same shuffle). The
+    oracle runs DuckDB's native window functions — an independent
+    implementation of each frame semantics."""
     orders = _load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
         orders.withColumn("rank", F.row_number().over(w))
+        .withColumn("prev_ok", F.lag("o_orderkey").over(w))
+        .withColumn("next_ok", F.lead("o_orderkey").over(w))
+        .withColumn("top_ok", F.first("o_orderkey").over(w))
+        .withColumn("nt4", F.ntile(4).over(w))
         .filter(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", "rank")
+        .select("o_custkey", "o_orderkey", "rank",
+                "prev_ok", "next_ok", "top_ok", "nt4")
         .orderBy("o_custkey", "rank")
     )
 
 
 _Q_TOPK_SQL = """
-  SELECT o_custkey, o_orderkey, rank FROM (
+  SELECT o_custkey, o_orderkey, rank, prev_ok, next_ok, top_ok, nt4
+  FROM (
     SELECT o_custkey, o_orderkey,
-           row_number() OVER (PARTITION BY o_custkey
-                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
-    FROM orders) t
+           row_number() OVER w AS rank,
+           lag(o_orderkey) OVER w AS prev_ok,
+           lead(o_orderkey) OVER w AS next_ok,
+           first_value(o_orderkey) OVER w AS top_ok,
+           ntile(4) OVER w AS nt4
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)) t
   WHERE rank <= 3
   ORDER BY o_custkey, rank
 """

@@ -433,3 +433,18 @@ def test_pre_fold_window_guard_reuses_aggregation_exchange(spark):
                 and "RoundRobinPartitioning" not in ln]
     assert len(shuffles) == 1, shuffles
     assert "Window" in plan  # the guard count actually rides the plan
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
+def test_window_surface_shares_one_window_node(spark):
+    """The widened window_topk surface (row_number + lag + lead +
+    first_value + ntile) shares ONE window spec, so Catalyst must
+    evaluate all five in a single Window node over a single hash
+    exchange — a second Window or a third Exchange means the spec
+    drifted and the headline query now pays an extra sort/shuffle."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["window_topk"](spark, SF_DIR))
+    assert plan.count("Window") == 1
+    # hash exchange for the window + range exchange for the final sort
+    assert plan.count("Exchange") == 2
