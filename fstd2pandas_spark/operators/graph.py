@@ -22,12 +22,45 @@ At 100 TB: the per-iteration shuffle is keyed by ``dst`` — skew on a
 celebrity node is an AQE skew-join case, and the dangling aggregate is
 a 1-row driver scalar per iteration (bounded by construction, the same
 contract as the sketch parameter checks).
+
+Exchange count per round — MEASURED, not asserted (plan-locked in
+tests/test_plans.py): the checkpointed sides are co-partitioned (edges
+by ``src``, nodes/ranks by ``node``, same explicit partition count),
+and a checkpoint's ``LogicalRDD`` carries its plan's
+outputPartitioning — captured at CREATION time, so the partitioning is
+only known when the checkpoint was built with AQE off (an adaptive
+plan's final partitioning is unresolved at capture). With AQE OFF at
+build and use, the rank-update job is then exactly ONE exchange per
+round (the dst-keyed contribution aggregation — both joins are
+zero-shuffle against co-partitioned checkpoints; measured). With AQE
+ON (this engine's default), ``EnsureRequirements`` inside
+``AdaptiveSparkPlanExec`` re-shuffles the join inputs: a round costs
+FOUR bounded exchanges (measured: ranks→node and ed→src for the
+contribution join, the dst-keyed aggregation, nodes→node for the
+update join). Per-round shuffle volume is O(E + V) either way — the
+co-partitioning is a strict win where honored and one build-time
+exchange where not.
+
+Fault tolerance: ``localCheckpoint`` (the default) stores blocks on
+executors WITHOUT lineage — on a real cluster, losing an executor
+mid-iteration loses rank blocks unrecoverably and fails the job. For
+long chains on preemptible fleets pass ``checkpoint_dir`` to use
+RELIABLE checkpoints (HDFS/object-store files survive executor loss)
+at the cost of one write+read of V rows per round; superseded reliable
+checkpoint files are cleaned by Spark's ContextCleaner only when
+``spark.cleaner.referenceTracking.cleanCheckpoints=true``, else they
+persist until the directory is removed.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+_release_warned = False
 
 
 def _release_checkpoint(df: DataFrame) -> None:
@@ -37,16 +70,50 @@ def _release_checkpoint(df: DataFrame) -> None:
     ``getPersistentRDDs``) — but a checkpointed frame's analyzed plan
     is a ``LogicalRDD`` holding the cached rdd directly. Best-effort
     by design (internal API): a failure costs memory, never
-    correctness."""
+    correctness — but it must not fail SILENTLY, or a Spark-internal
+    change would quietly reinstate the k-pinned-snapshot growth this
+    exists to prevent; log once per process on the first failure."""
+    global _release_warned
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception as exc:
+        if not _release_warned:
+            _release_warned = True
+            _log.warning(
+                "pagerank: releasing a superseded localCheckpoint "
+                "failed (%s: %s) — superseded rank snapshots will stay "
+                "in block-manager storage until context GC; the "
+                "internal LogicalRDD access path likely changed in "
+                "this Spark version", type(exc).__name__, exc)
+
+
+def _next_ranks(nodes: DataFrame, ed: DataFrame, ranks: DataFrame,
+                teleport: int, damping_num: int, damping_den: int,
+                d_share: int) -> DataFrame:
+    """One PageRank round as a DataFrame (un-checkpointed): per-edge
+    integer shares grouped by destination, then the damped update on
+    every node. Split out so tests/test_plans.py can plan-lock the
+    per-iteration exchange count against exactly the production
+    plan — the module docstring's shuffle claims are MEASURED here."""
+    contrib = (ed.join(ranks, ed["src"] == ranks["node"])
+               .select(F.col("dst"),
+                       F.expr("r div deg").alias("_sh"))
+               .groupBy("dst").agg(F.sum("_sh").alias("_c")))
+    return (nodes.join(contrib, nodes["node"] == contrib["dst"],
+                       "left")
+            .select(F.col("node"),
+                    (F.lit(int(teleport))
+                     + F.expr(f"({int(damping_num)} * "
+                              f"(coalesce(_c, CAST(0 AS BIGINT)) "
+                              f"+ {int(d_share)})) "
+                              f"div {int(damping_den)}"))
+                    .cast("long").alias("r")))
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = 5, damping_num: int = 85,
-             damping_den: int = 100, scale: int = 10 ** 9) -> DataFrame:
+             damping_den: int = 100, scale: int = 10 ** 9,
+             checkpoint_dir: "str | None" = None) -> DataFrame:
     """Integer-unit PageRank over the DISTINCT (src, dst) edge set.
 
     Returns (node, r) where ``r`` is the rank in ``1/scale`` units;
@@ -59,6 +126,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     outdeg[u]`` and ``D`` the summed rank of dangling nodes (no
     out-edges), redistributed uniformly — the standard dangling-mass
     treatment, floored to integers.
+
+    ``checkpoint_dir``: when given, per-iteration state uses RELIABLE
+    checkpoints written under this directory (``sparkContext.
+    setCheckpointDir`` is called with it) and survives executor loss;
+    the default ``localCheckpoint`` is faster but NOT fault-tolerant —
+    see the module docstring for both trade-offs.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -66,13 +139,27 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         raise ValueError("need 0 < damping_num < damping_den")
     if scale < 1:
         raise ValueError("scale must be >= 1")
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (df.checkpoint(eager=True) if checkpoint_dir is not None
+                else df.localCheckpoint())
+
+    # explicit partition count so every checkpointed side shares ONE
+    # hashpartitioning (an AQE-coalesced count would differ side to
+    # side and defeat the co-location; user-numbered repartition is
+    # exempt from coalescing)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = (edges.select(F.col(src).cast("long").alias("src"),
                       F.col(dst).cast("long").alias("dst"))
          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
          .distinct())
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint())
+             .distinct().repartition(nparts, F.col("node")))
+    nodes = _ckpt(nodes)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("r", F.lit(0).cast("long"))
@@ -83,38 +170,32 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             f"scale ({scale}) must be >= node count ({n}) or every "
             "integer rank floors to 0")
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = e.join(outdeg, "src").localCheckpoint()   # reused per iteration
-    dangling = (nodes.join(outdeg.withColumnRenamed("src", "node"),
-                           "node", "left_anti").localCheckpoint())
+    # build side co-partitioned by src: the per-iteration src-side
+    # join is then exchange-free wherever LogicalRDD partitioning is
+    # honored (AQE off / classic planner)
+    ed = _ckpt(e.join(outdeg, "src").repartition(nparts, F.col("src")))
+    dangling = _ckpt(
+        nodes.join(outdeg.withColumnRenamed("src", "node"),
+                   "node", "left_anti")
+        .repartition(nparts, F.col("node")))
     teleport = (scale * (damping_den - damping_num)) \
         // (damping_den * n)
     ranks = nodes.select("node",
                          F.lit(scale // n).cast("long").alias("r"))
     prev = None
     for _ in range(iters):
-        contrib = (ed.join(ranks, ed["src"] == ranks["node"])
-                   .select(F.col("dst"),
-                           F.expr("r div deg").alias("_sh"))
-                   .groupBy("dst").agg(F.sum("_sh").alias("_c")))
         # dangling mass: ONE scalar per iteration (bounded driver
         # round-trip — the redistribute-uniformly constant)
         d_total = (dangling.join(ranks, "node")
                    .agg(F.sum("r").alias("s")).first()["s"]) or 0
-        d_share = int(d_total) // n
-        ranks = (nodes.join(contrib, nodes["node"] == contrib["dst"],
-                            "left")
-                 .select(F.col("node"),
-                         (F.lit(int(teleport))
-                          + F.expr(f"({int(damping_num)} * "
-                                   f"(coalesce(_c, CAST(0 AS BIGINT)) "
-                                   f"+ {int(d_share)})) "
-                                   f"div {int(damping_den)}"))
-                         .cast("long").alias("r"))
-                 .localCheckpoint())
-        # localCheckpoint is eager, so the superseded snapshot can be
+        ranks = _next_ranks(nodes, ed, ranks, teleport, damping_num,
+                            damping_den, int(d_total) // n)
+        ranks = _ckpt(ranks)
+        # checkpoints here are eager, so the superseded snapshot can be
         # released immediately — without this, k iterations pin k full
         # N-row rank snapshots in block-manager storage until GC
-        if prev is not None:
+        # (reliable-checkpoint files are ContextCleaner's job instead)
+        if prev is not None and checkpoint_dir is None:
             _release_checkpoint(prev)
         prev = ranks
     return ranks

@@ -12,11 +12,23 @@ This module makes that bit-deterministic across engines the same way
 the sketch toolkit does: inputs are INTEGER columns (callers quantize
 — epoch hours, micro-units), the five sums and both polynomials are
 computed in DECIMAL(38,0) (exact 128-bit integer arithmetic, matching
-DuckDB's HUGEINT sums; 38 digits of headroom means no silent BIGINT
-wraparound), and the only float steps are the final two
+DuckDB's HUGEINT sums), and the only float steps are the final two
 correctly-rounded integer→double casts and one IEEE division — the
 same value on every engine, partitioning and summation order. A
 constant-x group (denominator 0) yields NULL, never a fake slope.
+
+DECIMAL(38,0) is exact only WITHIN 38 digits. Under ANSI mode (the
+Spark 4 default, and this engine's sessions) an overflowing sum or
+product raises natively — but under ``spark.sql.ansi.enabled=false``
+it becomes NULL (where DuckDB's HUGEINT raises) and ``F.sum`` SKIPS
+NULLs, silently dropping the point. Loudness must not depend on a
+config flag, so both silent paths are closed in-plan: a per-row
+|x|,|y| < 1e18 bound (``MAX_ABS_INPUT``, keeps every product under
+1e36 so a per-row NULL is impossible) and a post-aggregation NULL
+check on every sum and both polynomials (with bounded non-NULL
+inputs, a NULL there can ONLY be overflow → raise). An overflowed
+group can therefore never be confused with the constant-x NULL
+contract, on any engine configuration.
 
 Scale shape: ONE map-side-combinable aggregation, five numbers of
 state per group; a billion groups stream through one shuffle on the
@@ -32,6 +44,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
+
+#: per-row input-magnitude ceiling. Under non-ANSI Spark a
+#: DECIMAL(38,0) product that exceeds 38 digits becomes NULL and
+#: ``F.sum`` silently SKIPS it — a point would quietly drop out of the
+#: fit. Bounding |x|,|y| below 1e18 keeps every per-row product x*y /
+#: x*x under 1e36 (2 digits of slack inside 38), so a per-row NULL is
+#: impossible by construction; sum- and polynomial-level overflow is
+#: then caught LOUDLY by the post-aggregation guard (NULL sum with
+#: n > 0 can only mean decimal overflow). The MAX_GROUP_MEMBERS
+#: precedent: refuse, never silently degrade.
+MAX_ABS_INPUT = 10 ** 18
+
+
+def _guarded_dec(col: str) -> F.Column:
+    """Integer column → DECIMAL(38,0), raising in-plan above the
+    magnitude contract instead of letting products silently NULL."""
+    c = F.col(col).cast(_DEC)
+    msg = F.concat(
+        F.lit(f"group_linfit: |{col}| = "), F.abs(c).cast("string"),
+        F.lit(f" >= MAX_ABS_INPUT={MAX_ABS_INPUT} — products this "
+              "size can overflow DECIMAL(38,0) to NULL and silently "
+              "drop the point from the fit; rescale the quantization "
+              "(the units of the fit are the caller's contract)"))
+    return F.when(F.abs(c) < F.lit(MAX_ABS_INPUT).cast(_DEC), c) \
+            .otherwise(F.raise_error(msg).cast(_DEC))
+
+
+def _no_overflow(val: F.Column, what: str) -> F.Column:
+    """Post-aggregation guard: with non-NULL bounded inputs, a NULL
+    decimal sum/polynomial can ONLY mean 38-digit overflow — raise
+    loudly so an overflowed group is never confusable with the
+    documented constant-x NULL-slope contract (den == 0 is a real
+    zero there, not a NULL)."""
+    return F.when(val.isNotNull(), val).otherwise(
+        F.raise_error(F.lit(
+            f"group_linfit: {what} overflowed DECIMAL(38,0) for a "
+            "group (exact integer state exceeded 38 digits) — "
+            "rescale the input quantization or center x per group"
+        )).cast(_DEC))
 
 
 def group_linfit(df: DataFrame, x_col: str, y_col: str,
@@ -51,8 +102,8 @@ def group_linfit(df: DataFrame, x_col: str, y_col: str,
                 "explicitly; implicit float sums would be "
                 "summation-order-dependent")
     gcols = list(group_cols or [])
-    x = F.col(x_col).cast(_DEC)
-    y = F.col(y_col).cast(_DEC)
+    x = _guarded_dec(x_col)
+    y = _guarded_dec(y_col)
     pts = df.filter(F.col(x_col).isNotNull()
                     & F.col(y_col).isNotNull())
     agg = (pts.groupBy(*gcols)
@@ -61,10 +112,18 @@ def group_linfit(df: DataFrame, x_col: str, y_col: str,
                 F.sum(y).cast(_DEC).alias("_sy"),
                 F.sum((x * y).cast(_DEC)).cast(_DEC).alias("_sxy"),
                 F.sum((x * x).cast(_DEC)).cast(_DEC).alias("_sxx")))
-    num = (F.col("_n") * F.col("_sxy")
-           - F.col("_sx") * F.col("_sy")).cast(_DEC)
-    den = (F.col("_n") * F.col("_sxx")
-           - F.col("_sx") * F.col("_sx")).cast(_DEC)
+    agg = agg.select(
+        *gcols, "_n",
+        _no_overflow(F.col("_sx"), "sum(x)").alias("_sx"),
+        _no_overflow(F.col("_sy"), "sum(y)").alias("_sy"),
+        _no_overflow(F.col("_sxy"), "sum(x*y)").alias("_sxy"),
+        _no_overflow(F.col("_sxx"), "sum(x*x)").alias("_sxx"))
+    num = _no_overflow(
+        (F.col("_n") * F.col("_sxy")
+         - F.col("_sx") * F.col("_sy")).cast(_DEC), "n*Sxy - Sx*Sy")
+    den = _no_overflow(
+        (F.col("_n") * F.col("_sxx")
+         - F.col("_sx") * F.col("_sx")).cast(_DEC), "n*Sxx - Sx^2")
     slope = F.when(
         den != 0, num.cast("double") / den.cast("double"))
     # intercept = (Σy − slope·Σx) / n, with the same exact-integer

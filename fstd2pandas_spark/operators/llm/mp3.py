@@ -80,10 +80,18 @@ def _header(b: bytes, off: int):
 
 
 def _skip_id3v2(b: bytes) -> int:
-    """Offset past a leading ID3v2 container (syncsafe 28-bit size)."""
+    """Offset past a leading ID3v2 container (syncsafe 28-bit size).
+    The syncsafe size counts the extended header + frames + padding
+    but NOT the 10-byte header, and NOT the 10-byte footer either —
+    when the flags byte advertises one (ID3v2.4 §3.1, bit 0x10) the
+    skip must add it, or the walk lands 10 bytes short of the first
+    frame and leans on the sync scan instead of the documented
+    syncsafe skip."""
     if len(b) >= 10 and b[:3] == b"ID3":
         sz = ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
               | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
+        if b[5] & 0x10:
+            sz += 10
         return 10 + sz
     return 0
 

@@ -49,18 +49,31 @@ def group_quantiles_disc(df: DataFrame, value_col: str,
     gcols = list(group_cols or [])
     w = Window.partitionBy(*gcols).orderBy(F.col("value").asc())
     wn = Window.partitionBy(*gcols)
+    # row_number() is IntegerType by definition, so a group is hard-
+    # bounded at 2^31-1 rows; past that the rank itself would be
+    # meaningless. Guard LOUDLY (the sketch parameter-check precedent)
+    # instead of letting a non-ANSI int cast wrap the target rank, and
+    # compute the target rank in LONG so the comparison never narrows.
+    n_raw = F.count("*").over(wn)
+    n_guarded = F.when(n_raw <= F.lit(2 ** 31 - 1), n_raw).otherwise(
+        F.raise_error(F.concat(
+            F.lit("group_quantiles_disc: a group has "),
+            n_raw.cast("string"),
+            F.lit(" rows, above INT_MAX — row_number() ranks are "
+                  "32-bit; split the stratum or pre-aggregate"))
+        ).cast("long"))
     ranked = (df.filter(F.col(value_col).isNotNull())
               .select(*gcols, F.col(value_col).alias("value"))
               .withColumn("_rn", F.row_number().over(w))
-              .withColumn("_n", F.count("*").over(wn)))
+              .withColumn("_n", n_guarded))
     qarr = F.array(*[F.lit(q) for q in qlist])
     return (ranked
             .select(*gcols, "value", "_rn", "_n",
                     F.explode(qarr).alias("q"))
-            .filter(F.col("_rn")
-                    == F.greatest(F.lit(1),
+            .filter(F.col("_rn").cast("long")
+                    == F.greatest(F.lit(1).cast("long"),
                                   F.ceil(F.col("q") * F.col("_n"))
-                                  .cast("int")))
+                                  .cast("long")))
             .select(*gcols, "q", "value"))
 
 
@@ -73,7 +86,16 @@ def quantile_flags(df: DataFrame, value_col: str, group_col: str,
     (``q25``/``q50``/``q75`` for the defaults, label = round(q*100))
     plus ``below_med`` (value < the 0.5 threshold; requires 0.5 in
     ``qs``). The thresholds table is G·|qs|-bounded, so the join back
-    onto a corpus of any size broadcasts."""
+    onto a corpus of any size broadcasts.
+
+    CARDINALITY CONTRACT: the forced ``F.broadcast`` assumes the
+    number of distinct groups G is broadcast-small (strata like
+    language/source — tens to thousands). A group column with
+    unbounded cardinality (e.g. doc_id) makes the pivoted table
+    corpus-sized and the forced broadcast would exhaust the driver
+    rather than degrade to a shuffle join — pick a real stratum
+    column, or call ``group_quantiles_disc`` and join without the
+    broadcast hint so AQE chooses."""
     if 0.5 not in [float(q) for q in qs]:
         raise ValueError("quantile_flags needs 0.5 in qs for below_med")
     th = group_quantiles_disc(df, value_col, [group_col], qs)

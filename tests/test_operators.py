@@ -980,6 +980,28 @@ def test_pagerank_releases_superseded_checkpoints(spark):
         pagerank(df, scale=10)
 
 
+def test_pagerank_reliable_checkpoint_same_ranks(spark, tmp_path):
+    """checkpoint_dir switches per-iteration state to RELIABLE
+    checkpoints (fault-tolerant on a real cluster): files appear under
+    the directory and the integer ranks are bit-identical to the
+    localCheckpoint path — the determinism contract is independent of
+    the checkpoint mechanism."""
+    import os
+
+    from fstd2pandas_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(200)], ["src", "dst"])
+    local = {r["node"]: r["r"] for r in pagerank(df, iters=3).collect()}
+    ckdir = str(tmp_path / "pr_ckpt")
+    reliable = {r["node"]: r["r"]
+                for r in pagerank(df, iters=3,
+                                  checkpoint_dir=ckdir).collect()}
+    assert reliable == local
+    found = [f for _root, _d, files in os.walk(ckdir) for f in files]
+    assert found, "no reliable checkpoint files written"
+
+
 def test_kmins_signature_hand_computed_and_merge(spark):
     """k-mins minima equal a direct Python md5 re-derivation (60-bit
     hash per salt j, min per group/component), a merged signature
@@ -1165,3 +1187,55 @@ def test_group_linfit_exact_and_guards(spark):
     with _pytest.raises(ValueError, match="integer column"):
         group_linfit(df.withColumn("x", F.col("x").cast("double")),
                      "x", "y", ["g"])
+
+
+def test_group_linfit_overflow_raises_loudly(spark):
+    """DECIMAL(38,0) overflow can never silently NULL a point out of
+    the fit, REGARDLESS of the ANSI setting: 1e18+-scale inputs raise
+    at the per-row magnitude guard; inputs that pass it but overflow a
+    38-digit SUM or polynomial raise natively under ANSI (Spark 4
+    default) and at the post-aggregation guard under non-ANSI — where
+    the sum would otherwise silently skip NULLed points and return a
+    NULL slope confusable with the constant-x contract."""
+    import pytest as _pytest
+
+    from fstd2pandas_spark.operators.linfit import group_linfit
+
+    # (a) per-row magnitude: |x| >= 1e18 (9.2e18 = near-bigint-max)
+    big = spark.createDataFrame(
+        [("g", 9_200_000_000_000_000_000, 1), ("g", 1, 2)],
+        "g string, x long, y long")
+    with _pytest.raises(Exception, match="MAX_ABS_INPUT"):
+        group_linfit(big, "x", "y", ["g"]).collect()
+
+    # (b) every input under the per-row bound, but 101 products of
+    # ~1e36 overflow the 38-digit sum(x*x)
+    v = 999_999_999_999_999_999
+    sum_of = spark.createDataFrame([("g", v, i) for i in range(101)],
+                                   "g string, x long, y long")
+    # (c) sums fit but the n*Sxy polynomial exceeds 38 digits
+    poly_of = spark.createDataFrame(
+        [("g", 500_000_000_000_000_000 + i, 500_000_000_000_000_000)
+         for i in range(20)], "g string, x long, y long")
+    for df in (sum_of, poly_of):
+        with _pytest.raises(
+                Exception,
+                match="ARITHMETIC_OVERFLOW|NUMERIC_VALUE_OUT_OF_RANGE"
+                      "|overflowed DECIMAL"):
+            group_linfit(df, "x", "y", ["g"]).collect()
+    # the non-ANSI silent-NULL path is the one the guard exists for
+    ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        for df in (sum_of, poly_of):
+            with _pytest.raises(Exception, match="overflowed DECIMAL"):
+                group_linfit(df, "x", "y", ["g"]).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi0)
+
+    # (d) values just below the bound on a SMALL group still fit fine
+    ok = spark.createDataFrame(
+        [("g", 0, -v), ("g", 1, v)], "g string, x long, y long")
+    row = group_linfit(ok, "x", "y", ["g"]).collect()[0]
+    assert row["slope"] == float(2 * v)
+    assert row["intercept"] == float(-v)

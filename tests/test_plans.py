@@ -448,3 +448,66 @@ def test_window_surface_shares_one_window_node(spark):
     assert plan.count("Window") == 1
     # hash exchange for the window + range exchange for the final sort
     assert plan.count("Exchange") == 2
+
+
+def test_pagerank_iteration_exchange_count_measured(spark):
+    """The graph.py module docstring's per-round shuffle claims,
+    MEASURED against the production `_next_ranks` plan over
+    co-partitioned checkpoints (never asserted from memory):
+
+    - AQE off: exactly ONE shuffle exchange per round (the dst-keyed
+      contribution aggregation) — both joins run exchange-free against
+      the checkpointed hashpartitioning.
+    - AQE on (engine default): EnsureRequirements inside
+      AdaptiveSparkPlanExec does not honor LogicalRDD partitioning;
+      the round is still BOUNDED at four hash exchanges.
+
+    Broadcast is disabled so tiny test frames plan the same SMJ shape
+    the operator has at scale. The checkpoints are built under each
+    mode being measured — a checkpoint captures its plan's
+    outputPartitioning at CREATION time, and an adaptive plan's is
+    unknown, so co-location requires AQE off at build AND use."""
+    from fstd2pandas_spark.operators.graph import _next_ranks
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _build():
+        e = spark.createDataFrame(
+            [(i % 37, (i * 7) % 41) for i in range(500)],
+            "src long, dst long").distinct()
+        nodes = (e.select(F.col("src").alias("node"))
+                 .unionByName(e.select(F.col("dst").alias("node")))
+                 .distinct().repartition(nparts, F.col("node"))
+                 .localCheckpoint())
+        outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        ed = (e.join(outdeg, "src").repartition(nparts, F.col("src"))
+              .localCheckpoint())
+        return nodes, ed, nodes.select(
+            "node", F.lit(100).cast("long").alias("r"))
+
+    def _shuffles(plan: str) -> list:
+        final = plan.split("== Initial Plan ==")[0]
+        return [ln for ln in final.splitlines()
+                if "Exchange hashpartitioning" in ln
+                and "ReusedExchange" not in ln]
+
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    bc0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        nodes, ed, ranks = _build()
+        off = _shuffles(_plan(_next_ranks(nodes, ed, ranks,
+                                          3, 85, 100, 0)))
+        assert len(off) == 1, off
+        assert "dst" in off[0]   # and it IS the dst-keyed contrib agg
+
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        nodes, ed, ranks = _build()
+        nxt = _next_ranks(nodes, ed, ranks, 3, 85, 100, 0)
+        nxt.collect()
+        on = _shuffles(_plan(nxt))
+        assert 1 <= len(on) <= 4, on
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc0)
