@@ -2258,6 +2258,10 @@ _Q_EXACT_DEDUP_SQL = """
 
 #: per-language keep fractions for the gated corpus-mix sampling
 _STRAT_FRACS = {"en": 1.0, "fr": 0.5, "de": 0.25, "es": 0.1, "zh": 0.75}
+#: per-language reservoir size for the stratified_reservoir_sample
+#: gate — every lang has 60+ docs at both SFs (probed), so kept
+#: (rank 1..7) and unkept (0) both fire in every stratum
+_RESV_K = 7
 
 
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2343,10 +2347,25 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     tm = temperature_mix_sample(mix, source_col="mix_src").select(
         "doc_id", "temp_thr", "temp_sampled")
     flagged = flagged.join(tm, "doc_id", "left")
+    # round 10: deterministic stratified RESERVOIR sampling (sampling.py
+    # stratified_reservoir_sample — fixed-k per stratum, md5 priority,
+    # salted two-phase top-k): resv_rank is the document's 1..7 rank
+    # inside its language's 7-document reservoir, 0 outside it. The
+    # oracle mirrors with a SINGLE per-stratum window, independently
+    # verifying the two-phase pruning is lossless.
+    from fstd2pandas_spark.operators.llm.sampling import (
+        stratified_reservoir_sample)
+
+    resv = stratified_reservoir_sample(
+        docs, _RESV_K, strata_col="lang", n_salts=4).select(
+        "doc_id", "resv_rank")
+    flagged = flagged.join(resv, "doc_id", "left").withColumn(
+        "resv_rank",
+        F.coalesce(F.col("resv_rank"), F.lit(0)).cast("int"))
     return flagged.select(
         "doc_id", "lang", "lang_pred", "n_bench_shingles", "contaminated",
         "sampled", "temp_thr", "temp_sampled", "html_sig", "warc_sig",
-        "bm25_q6", "bm25_matched", "bm25_rank",
+        "bm25_q6", "bm25_matched", "bm25_rank", "resv_rank",
     ).orderBy("doc_id")
 
 
@@ -2506,7 +2525,11 @@ def _langid_sql() -> str:
           FROM tcs CROSS JOIN tmn),
   hits AS (
     SELECT sh.doc_id, count(*) AS n_bench_shingles
-    FROM sh JOIN bsh USING (shingle) GROUP BY sh.doc_id)
+    FROM sh JOIN bsh USING (shingle) GROUP BY sh.doc_id),
+  rsv AS (SELECT doc_id, row_number() OVER (PARTITION BY lang
+            ORDER BY md5(concat('resv1_', CAST(doc_id AS VARCHAR))),
+                     doc_id) AS rr
+          FROM documents)
   SELECT d.doc_id, d.lang, {expr} AS lang_pred,
          coalesce(h.n_bench_shingles, 0) AS n_bench_shingles,
          coalesce(h.n_bench_shingles, 0) >= 1 AS contaminated,
@@ -2528,12 +2551,15 @@ def _langid_sql() -> str:
          CAST(coalesce(bagg.bm25_q6, 0) AS BIGINT) AS bm25_q6,
          CAST(coalesce(bagg.bm25_matched, 0) AS BIGINT) AS bm25_matched,
          CAST(coalesce(CASE WHEN brnk.r <= 10 THEN brnk.r END, 0) AS INT)
-           AS bm25_rank
+           AS bm25_rank,
+         CAST(coalesce(CASE WHEN rsv.rr <= {_RESV_K} THEN rsv.rr END, 0)
+              AS INT) AS resv_rank
   FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
   LEFT JOIN tms ON tms.doc_id = d.doc_id
   LEFT JOIN tth ON tth.mix_src = tms.mix_src
   LEFT JOIN bagg ON bagg.doc_id = d.doc_id
   LEFT JOIN brnk ON brnk.doc_id = d.doc_id
+  LEFT JOIN rsv ON rsv.doc_id = d.doc_id
   ORDER BY d.doc_id"""
 
 

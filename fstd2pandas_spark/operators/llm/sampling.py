@@ -109,6 +109,52 @@ def stratified_hash_sample(df: DataFrame, fractions: "dict[str, float]",
     return df.withColumn("sampled", b < thr)
 
 
+def stratified_reservoir_sample(df: DataFrame, k: int,
+                                strata_col: str = "lang",
+                                id_col: str = "doc_id",
+                                seed: str = "resv1",
+                                n_salts: int = 16) -> DataFrame:
+    """Per-stratum FIXED-k subsample — the "exactly 10k docs per
+    language" staple that fraction-based sampling cannot give (a
+    fraction keeps a binomially-noisy count). Deterministic reservoir:
+    instead of ``rand()``-reservoir semantics (run- and
+    partitioning-dependent), every row's reservoir priority is
+    ``md5(seed_id)`` and the stratum keeps the k smallest — a pure
+    function of the data, identical on every engine and re-run, and
+    SQL-mirrorable (one ORDER BY md5 window). A stratum with fewer
+    than k rows keeps all of them.
+
+    Returns the kept rows with ``resv_rank`` (1..k within the stratum,
+    ascending priority; ties broken by id — total order even if ids
+    collide). Scale shape is the salted two-phase top-k of
+    ``bm25_topk``: rank first within (stratum, salt) — each partial
+    window sorts ~1/n_salts of the stratum, so one giant stratum is
+    n_salts bounded sorts, not one — then the final per-stratum window
+    ranks <= k * n_salts survivors. The two phases are provably
+    lossless (each stratum's global top-k survives its salt's top-k),
+    which the oracle verifies by mirroring with a SINGLE window.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    rk = F.md5(F.concat(F.lit(f"{seed}_"),
+                        F.col(id_col).cast("string")))
+    salt = (F.conv(F.substring(rk, 9, 8), 16, 10).cast("long")
+            % n_salts)
+    order = [F.col("_rk").asc(), F.col(id_col).asc()]
+    partial = Window.partitionBy(strata_col, "_salt").orderBy(*order)
+    final = Window.partitionBy(strata_col).orderBy(*order)
+    return (df.withColumn("_rk", rk).withColumn("_salt", salt)
+            .withColumn("_pr", F.row_number().over(partial))
+            .filter(F.col("_pr") <= k)
+            .withColumn("resv_rank", F.row_number().over(final))
+            .filter(F.col("resv_rank") <= k)
+            .drop("_rk", "_salt", "_pr"))
+
+
 def temperature_mix_sample(df: DataFrame, alpha: float = 0.5,
                            source_col: str = "source",
                            id_col: str = "doc_id",

@@ -766,6 +766,58 @@ def test_stratified_hash_sample(spark, docs):
         stratified_hash_sample(docs, {"en": 1.5})
 
 
+def test_stratified_reservoir_sample_exact_topk(spark, docs):
+    """The kept set per stratum is EXACTLY the k smallest
+    md5(seed_id) priorities (hand-recomputed with hashlib), ranks are
+    1..k ascending, a stratum smaller than k keeps all rows, the
+    two-phase salted plan equals a single-phase run for any n_salts,
+    and membership survives repartitioning."""
+    import hashlib
+
+    from fstd2pandas_spark.operators.llm.sampling import (
+        stratified_reservoir_sample)
+
+    K = 5
+    out = stratified_reservoir_sample(docs, K, strata_col="lang")
+    got = {(r["lang"], r["doc_id"]): r["resv_rank"] for r in
+           out.select("lang", "doc_id", "resv_rank").collect()}
+
+    rows = docs.select("lang", "doc_id").collect()
+    by_lang = {}
+    for r in rows:
+        pri = hashlib.md5(f"resv1_{r['doc_id']}".encode()).hexdigest()
+        by_lang.setdefault(r["lang"], []).append((pri, r["doc_id"]))
+    want = {}
+    for lang, ps in by_lang.items():
+        for i, (_pri, did) in enumerate(sorted(ps)[:K], start=1):
+            want[(lang, did)] = i
+    assert got == want
+
+    # stratum smaller than k keeps everything, ranked 1..n
+    tiny = spark.createDataFrame(
+        [("a", i) for i in range(3)] + [("b", i) for i in range(10, 22)],
+        "lang string, doc_id long")
+    t = stratified_reservoir_sample(tiny, 5, strata_col="lang")
+    cnt = {r["lang"]: r["n"] for r in
+           t.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert cnt == {"a": 3, "b": 5}
+
+    # two-phase pruning is lossless for any salt count, and
+    # partitioning-independent
+    for ns in (1, 3, 64):
+        alt = {(r["lang"], r["doc_id"]): r["resv_rank"] for r in
+               stratified_reservoir_sample(
+                   docs.repartition(7), K, strata_col="lang",
+                   n_salts=ns)
+               .select("lang", "doc_id", "resv_rank").collect()}
+        assert alt == want, ns
+
+    with pytest.raises(ValueError, match="k must"):
+        stratified_reservoir_sample(docs, 0)
+    with pytest.raises(ValueError, match="n_salts"):
+        stratified_reservoir_sample(docs, 5, n_salts=0)
+
+
 def test_gopher_filter_verdict(spark):
     from fstd2pandas_spark.operators.llm import (
         quality_score, repetition_metrics)
