@@ -4408,8 +4408,69 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("signature_hash").alias("k2"), "n",
                    F.lit(None).cast("double").alias("sum_value"),
                    F.lit(None).cast("long").alias("dur_s")))
+    # kind='late' (round 10): the watermark LATE-DATA DROP, pinned by
+    # the oracle — the one Structured Streaming semantic the drained
+    # gates above cannot show (a single availableNow micro-batch runs
+    # at watermark 1970; nothing is ever late). A 3-file drop zone
+    # forces three micro-batches (maxFilesPerTrigger=1, file order =
+    # controlled mtimes). Critical measured semantic: the late-event
+    # filter uses the watermark committed at the END of the PREVIOUS
+    # batch — it LAGS the eviction watermark in query progress by one
+    # batch (verified via numRowsDroppedByWatermark: a replay in batch
+    # 1 is NOT dropped, the same replay in batch 2 is). Hence:
+    #   batch 0: OLD slice (first two hours) + FRESH slice (the final
+    #            hour) — establishes max event time;
+    #   batch 1: FRESH only — advances the committed watermark to
+    #            max_ts - 1h without carrying anything late;
+    #   batch 2: OLD + FRESH — OLD is provably DROPPED, FRESH kept.
+    # Expected final counts: OLD hours = base (2x would mean the drop
+    # failed), final hour = 3x base. The 1-hour delay makes the
+    # verdict identical under a row-level (ts < wm) or window-level
+    # (window.end <= wm) drop rule: fresh rows have ts >=
+    # date_trunc(hour, max_ts) >= wm, old windows end ~28 days before.
+    import glob
+    import shutil
+
+    ev = _load(spark, sf_dir, "events").select("ts", "event_type")
+    bounds = ev.agg(F.min("ts").alias("t0"),
+                    F.date_trunc("hour", F.max("ts")).alias("fh")).first()
+    old = ev.filter(
+        F.col("ts") < F.lit(bounds["t0"]) + F.expr("INTERVAL 2 HOURS"))
+    fresh = ev.filter(
+        F.date_trunc("hour", F.col("ts")) == F.lit(bounds["fh"]))
+    lzone = os.path.join(
+        _TMP_ROOT,
+        f"latezone_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(lzone, ignore_errors=True)
+    os.makedirs(lzone, exist_ok=True)
+    for i, bdf in enumerate((old.unionByName(fresh), fresh,
+                             old.unionByName(fresh))):
+        tmp = f"{lzone}_tmp"
+        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(lzone, f"batch_{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+                    dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    lschema = spark.read.parquet(lzone).schema
+    lagg = (spark.readStream.schema(lschema)
+            .option("maxFilesPerTrigger", "1").parquet(lzone)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+            .agg(F.count("*").cast("long").alias("n")))
+    lname = f"stream_lt_{uuid.uuid4().hex[:8]}"
+    run_to_memory(lagg, lname, output_mode="update")
+    # update mode emits one row per updated key per batch; counts only
+    # grow, so the final value per key is the max over its updates
+    late = (spark.table(lname)
+            .groupBy(F.unix_timestamp("window.start").alias("k1"),
+                     F.col("event_type").alias("k2"))
+            .agg(F.max("n").cast("long").alias("n"))
+            .select(F.lit("late").alias("kind"), "k1", "k2", "n",
+                    F.lit(None).cast("double").alias("sum_value"),
+                    F.lit(None).cast("long").alias("dur_s")))
     return (hourly.unionByName(funnel).unionByName(sded)
-            .unionByName(sgd).orderBy("kind", "k1", "k2"))
+            .unionByName(sgd).unionByName(late)
+            .orderBy("kind", "k1", "k2"))
 
 
 def _zone_sig_terms(num_hashes: int = 8) -> str:
@@ -4428,7 +4489,9 @@ def _zone_sig_terms(num_hashes: int = 8) -> str:
 
 
 _Q_STREAM_EVENTS_SQL = """
-  WITH h8 AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS k1,
+  WITH ltb AS (SELECT min(ts) + INTERVAL 2 HOUR AS t2,
+                      date_trunc('hour', max(ts)) AS fh FROM events),
+  h8 AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS k1,
                      event_type AS k2, count(*) AS n,
                      round(CAST(sum(CAST(value AS DECIMAL(18,6)))
                                 AS DOUBLE), 4) AS sv
@@ -4533,6 +4596,21 @@ _Q_STREAM_EVENTS_SQL = """
          CAST(NULL AS DOUBLE) AS sum_value,
          CAST(NULL AS BIGINT) AS dur_s
   FROM zsh GROUP BY sighash
+  UNION ALL
+  -- watermark late-data drop: the 3-batch replay zone (OLD+FRESH /
+  -- FRESH / OLD+FRESH) must land OLD hours at base count (the batch-2
+  -- replay is dropped by the 1-hour watermark) and the final hour at
+  -- 3x base (kept in all three batches)
+  SELECT 'late' AS kind,
+         CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS k1,
+         e.event_type AS k2,
+         CAST(count(*) * max(CASE WHEN date_trunc('hour', e.ts) = ltb.fh
+                                  THEN 3 ELSE 1 END) AS BIGINT) AS n,
+         CAST(NULL AS DOUBLE) AS sum_value,
+         CAST(NULL AS BIGINT) AS dur_s
+  FROM events e, ltb
+  WHERE e.ts < ltb.t2 OR date_trunc('hour', e.ts) = ltb.fh
+  GROUP BY date_trunc('hour', e.ts), e.event_type
   ORDER BY kind, k1, k2
 """.replace("__ZONE_SIG_TERMS__", _zone_sig_terms())
 

@@ -791,6 +791,31 @@ def test_hll_estimate_accuracy_and_guards(spark):
         hll_registers(df, "k", p=2)
 
 
+@pytest.mark.parametrize("p,decades", [
+    (10, (5_000, 50_000, 500_000)),
+    (12, (15_000, 150_000, 1_500_000)),
+])
+def test_hll_error_band_large_p_three_decades(spark, p, decades):
+    """Insurance that the p=6 gate isn't masking a rank-derivation bug
+    only visible at scale: at p=10 and p=12 the estimate must sit
+    inside the published 1.04/sqrt(m) standard error band (x3) across
+    three cardinality decades. The register table is a deterministic
+    function of md5, so this is a fixed-outcome check, not a flaky
+    statistical one — a bucket-routing or leading-zero-rank slip moves
+    the estimate far outside the band at every decade."""
+    from fstd2pandas_spark.operators.sketch import (
+        hll_estimate, hll_registers)
+
+    se = 1.04 / (1 << p) ** 0.5
+    for n in decades:
+        df = spark.range(n).select(
+            F.concat(F.lit("key_"), F.col("id")).alias("k"))
+        regs = [(r["reg"], r["max_rank"])
+                for r in hll_registers(df, "k", p=p).collect()]
+        est = hll_estimate(regs, p)
+        assert abs(est - n) / n < 3 * se, (p, n, est)
+
+
 def test_countmin_heavy_hitters_no_false_negatives(spark):
     """Every true heavy hitter survives (CMS overcounts only — no
     false negatives by construction), even in a deliberately narrow

@@ -356,3 +356,63 @@ def test_streaming_funnel_within_matches_batch(spark, tmp_path):
     assert got == bm
     depths = {d for d, _, _ in got.values()}
     assert len(depths) >= 2, "horizon should vary depths"
+
+
+def test_watermark_late_drop_lags_one_batch(spark, tmp_path):
+    """Pins the Structured Streaming semantic the stream_events_hourly
+    kind='late' gate is built on: the LATE-EVENT filter uses the
+    watermark committed at the END of the previous batch — one batch
+    BEHIND the eviction watermark shown in query progress. So a replay
+    arriving in the batch right after the watermark-establishing data
+    is NOT yet dropped, while the same replay one batch later IS.
+    Shape mirrors the gate: batch 0 = OLD+FRESH, batch 1 = FRESH,
+    batch 2 = OLD+FRESH -> OLD hours stay at base count, the fresh
+    hour reaches 3x."""
+    import glob
+    import os
+    import shutil
+
+    rows_old = [("a", "2024-01-01 00:10:00"), ("a", "2024-01-01 00:20:00"),
+                ("b", "2024-01-01 01:40:00")]
+    rows_fresh = [("a", "2024-01-05 04:15:00"), ("b", "2024-01-05 04:45:00")]
+
+    def _df(rows):
+        return spark.createDataFrame(rows, "k string, tss string").select(
+            "k", F.col("tss").cast("timestamp").alias("ts"))
+
+    zone = str(tmp_path / "latezone")
+    os.makedirs(zone)
+    batches = (_df(rows_old + rows_fresh), _df(rows_fresh),
+               _df(rows_old + rows_fresh))
+    for i, bdf in enumerate(batches):
+        tmp = str(tmp_path / f"b{i}")
+        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(zone, f"batch_{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    agg = (spark.readStream.schema("k string, ts timestamp")
+           .option("maxFilesPerTrigger", "1").parquet(zone)
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour"), "k")
+           .agg(F.count("*").alias("n")))
+    name = f"late_pin_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(q.recentProgress) == 3   # mtime order forced 3 batches
+    final = {(str(r["h"]), r["k"]): r["n"] for r in
+             spark.table(name)
+             .groupBy(F.col("window.start").alias("h"), "k")
+             .agg(F.max("n").alias("n")).collect()}
+    assert final == {
+        ("2024-01-01 00:00:00", "a"): 2,   # batch-2 replay DROPPED
+        ("2024-01-01 01:00:00", "b"): 1,   # batch-2 replay DROPPED
+        ("2024-01-05 04:00:00", "a"): 3,   # kept in batches 0/1/2
+        ("2024-01-05 04:00:00", "b"): 3,
+    }
+    # the drop happened in batch 2, not batch 1 (the one-batch lag)
+    dropped = [op["numRowsDroppedByWatermark"]
+               for p in sorted(q.recentProgress, key=lambda p: p["batchId"])
+               for op in p["stateOperators"]]
+    assert dropped[0] == 0 and dropped[1] == 0 and dropped[2] >= 1
