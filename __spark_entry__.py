@@ -4020,10 +4020,167 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mp3_kbps_sum").alias("f15"),
         F.col("mp3_dur_us").alias("fsum"),
     )
+    # kind='fax' (round 10): CCITT G3/G4 fax decode gated END-TO-END
+    # (operators/llm/ccitt.py + tiff.py compressions 2/4) — the
+    # constructed-payload precedent (ppm/wav/avi/mp3) applied to the
+    # last pytest-only codec. 40 bounded bilevel TIFFs are built
+    # driver-side (the _warc_sigs precedent): each 64x8 image's run
+    # structure derives from md5('fax'+doc_id) bytes — even ids encode
+    # as Modified Huffman RLE (compression 2, per-row varying
+    # [white w1 | black b | white rest] runs, byte-aligned lines), odd
+    # ids as G4 MMR (compression 4) with +-1 row-start shifts so the
+    # vertical modes V0/VR1/VL1/VR2/VL2 are exercised on REAL payloads
+    # (b >= 3 > max shift delta keeps pass mode out by construction).
+    # The production kernels (decode_image -> decode_tiff -> ccitt,
+    # extract_features, image_dhash) then run unmodified, and the
+    # oracle predicts EVERY column arithmetically from the same md5
+    # bytes: f0 = total black pixels (recovered exactly from the
+    # float32 channel mean — 0/255 pixels make mean*512 integral),
+    # f15 = the 16-bit dHash (run boundaries sampled at the
+    # (c*64)//5 / (r*8)//4 resize grid), fsum = the top luma-histogram
+    # bin count (= white pixels), and n_bytes = the TRUE encoded TIFF
+    # length via the published T.4 code-LENGTH tables (per-row
+    # ceil(bits/8) for MH; the H+V mode bit count + EOFB for G4; 134
+    # container bytes for this fixed one-IFD layout). The encoder is
+    # the tests' independent-mode-selection builder; the length
+    # arithmetic, black counts and dhash bits are derived from the RUN
+    # CONSTRUCTION, not from decoding, so a decoder slip on any row
+    # moves an integer.
+    import hashlib as _hl
+    import sys as _sys
+
+    import numpy as _np
+
+    _tests_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tests")
+    if _tests_dir not in _sys.path:
+        _sys.path.append(_tests_dir)
+    from _tiff_ref import encode_tiff as _enc_tiff
+
+    fax_rows = []
+    for did in range(_FAX_DOCS):
+        hb = _hl.md5(f"fax{did}".encode()).digest()
+        if did % 2 == 0:
+            comp = 2
+            runs = [(1 + hb[2 * r] % 20, 1 + hb[2 * r + 1] % 30)
+                    for r in range(8)]
+        else:
+            comp = 4
+            w10, bk = 2 + hb[0] % 19, 3 + hb[1] % 27
+            runs = [(w10 + ((hb[7 + r] % 3) - 1 if r else 0), bk)
+                    for r in range(8)]
+        img = _np.zeros((8, 64), dtype=_np.uint8)
+        for r, (w1, bb) in enumerate(runs):
+            img[r, w1:w1 + bb] = 1
+        fax_rows.append((did, bytearray(_enc_tiff(
+            img, photometric=0, compression=comp, bit_depth=1))))
+    fax_assets = spark.createDataFrame(
+        fax_rows, "asset_id long, payload binary").withColumn(
+        "kind", F.lit("fax"))
+    ffeat = extract_features(fax_assets)
+    fdh = image_dhash(fax_assets, size=4).select("asset_id", "dhash")
+    fax = ffeat.join(fdh, "asset_id").select(
+        "asset_id", F.lit("fax").alias("kind"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        (F.lit(512) - F.round(F.element_at("feature", 1) * 512))
+        .cast("long").alias("f0"),
+        F.col("dhash").cast("long").alias("f15"),
+        F.round(F.element_at("feature", 16) * 512).cast("long")
+        .alias("fsum"))
     return (base.unionByName(ppm).unionByName(wav).unionByName(dh)
             .unionByName(dpair).unionByName(spec).unionByName(rsz)
-            .unionByName(vid).unionByName(mp3)
+            .unionByName(vid).unionByName(mp3).unionByName(fax)
             .orderBy("asset_id", "kind", "f0"))
+
+
+#: bounded fax-asset count for the kind='fax' CCITT gate (the WARC-50
+#: precedent); doc_id 0..39 exist at every SF
+_FAX_DOCS = 40
+
+
+def _fax_sql_ctes() -> str:
+    """CTEs deriving each fax asset's run structure from the same
+    md5('fax'+id) bytes the Spark-side builder uses: hb = the 16
+    digest bytes (1-indexed), w1s/bs = the 8 per-row [white w1 |
+    black b | white rest] runs (MH: both vary per row; G4: constant
+    black run, +-1 row-start shifts)."""
+    return f"""fx AS (
+    SELECT i AS asset_id, i % 2 = 0 AS is_mh,
+           list_transform(generate_series(0, 15), j ->
+             CAST(concat('0x', substr(md5(concat('fax',
+                  CAST(i AS VARCHAR))), 2 * j + 1, 2)) AS INT)) AS hb
+    FROM range({_FAX_DOCS}) t(i)),
+  fxr AS (
+    SELECT asset_id, is_mh,
+           CASE WHEN is_mh
+             THEN list_transform(generate_series(0, 7),
+                                 r -> 1 + hb[2 * r + 1] % 20)
+             ELSE list_transform(generate_series(0, 7),
+                                 r -> 2 + hb[1] % 19 +
+                                      CASE WHEN r = 0 THEN 0
+                                           ELSE hb[8 + r] % 3 - 1 END)
+           END AS w1s,
+           CASE WHEN is_mh
+             THEN list_transform(generate_series(0, 7),
+                                 r -> 1 + hb[2 * r + 2] % 30)
+             ELSE list_transform(generate_series(0, 7),
+                                 r -> 3 + hb[2] % 27)
+           END AS bs
+    FROM fx),"""
+
+
+def _fax_sql_block() -> str:
+    """The kind='fax' mirror: every column rebuilt arithmetically from
+    the run construction — n_bytes via the published T.4 code-LENGTH
+    tables (transcribed from the SAME published standard the decoder
+    tables come from; a length slip breaks the byte count), f0/fsum
+    from the run sums, f15 from the dHash resize-grid comparisons."""
+    from fstd2pandas_spark.operators.llm.ccitt import (
+        _BLACK_CODES, _EXT_CODES, _WHITE_CODES)
+
+    wl = {r: len(b) for r, b in _WHITE_CODES + _EXT_CODES}
+    bl = {r: len(b) for r, b in _BLACK_CODES + _EXT_CODES}
+    wl_list = "[" + ", ".join(str(wl[r]) for r in range(64)) + "]"
+    bl_list = "[" + ", ".join(str(bl[r]) for r in range(64)) + "]"
+    # dHash(size=4) over the 64x8 bilevel image: sampled rows
+    # (r*8)//4, columns (c*64)//5; bit set iff left pixel white AND
+    # right pixel black (255 > 0 is the only strict-> case)
+    yi = [(r * 8) // 4 for r in range(4)]
+    xi = [(c * 64) // 5 for c in range(5)]
+
+    def blk(row: int, col: int) -> str:
+        return (f"(w1s[{row + 1}] <= {col} AND "
+                f"{col} < w1s[{row + 1}] + bs[{row + 1}])")
+
+    dh_expr = " + ".join(
+        f"(CASE WHEN NOT {blk(yi[r], xi[c])} AND {blk(yi[r], xi[c + 1])} "
+        f"THEN {1 << (r * 4 + c)} ELSE 0 END)"
+        for r in range(4) for c in range(4))
+    nblack = "list_reduce(bs, (a, x) -> a + x)"
+    return f"""
+  UNION ALL
+  -- fax mirror: MH rows are byte-aligned (per-row ceil/8), G4 is one
+  -- bit stream: H mode (3) + white + black codes + V0 for row 1, then
+  -- per row 2*Vlen(delta)+1 (V0=1, V1=3, V2=6 bits), + 24-bit EOFB;
+  -- 134 = the fixed one-IFD container size of the test builder
+  SELECT asset_id, 'fax' AS kind,
+         CAST(134 + CASE WHEN is_mh THEN
+             list_reduce(list_prepend(0, list_transform(
+               generate_series(0, 7),
+               r -> ({wl_list}[w1s[r + 1] + 1] + {bl_list}[bs[r + 1] + 1]
+                     + {wl_list}[64 - w1s[r + 1] - bs[r + 1] + 1] + 7)
+                    // 8)), (a, x) -> a + x)
+           ELSE (3 + {wl_list}[w1s[1] + 1] + {bl_list}[bs[1] + 1] + 1
+                 + list_reduce(list_prepend(0, list_transform(
+                     generate_series(1, 7),
+                     r -> 2 * (CASE abs(w1s[r + 1] - w1s[r])
+                               WHEN 0 THEN 1 WHEN 1 THEN 3
+                               ELSE 6 END) + 1)), (a, x) -> a + x)
+                 + 24 + 7) // 8 END AS BIGINT) AS n_bytes,
+         CAST({nblack} AS BIGINT) AS f0,
+         CAST({dh_expr} AS BIGINT) AS f15,
+         CAST(512 - {nblack} AS BIGINT) AS fsum
+  FROM fxr"""
 
 
 def _mm_sql() -> str:
@@ -4076,7 +4233,8 @@ def _mm_sql() -> str:
         f"(CASE WHEN ax >= CAST({wedge[k]!r} AS DOUBLE) THEN 1 ELSE 0 END)"
         for k in range(1, 12))
     return f"""
-  WITH h AS (
+  WITH {_fax_sql_ctes()}
+  h AS (
     SELECT doc_id AS asset_id,
            ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
            octet_length(encode(text)) AS n_bytes,
@@ -4211,6 +4369,7 @@ def _mm_sql() -> str:
          CAST(3 * 1152 * CAST(1000000 AS BIGINT) // 44100 AS BIGINT)
            AS fsum
   FROM documents WHERE text IS NOT NULL
+  {_fax_sql_block()}
   ORDER BY asset_id, kind, f0
 """
 
