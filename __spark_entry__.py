@@ -4047,15 +4047,10 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CONSTRUCTION, not from decoding, so a decoder slip on any row
     # moves an integer.
     import hashlib as _hl
-    import sys as _sys
 
     import numpy as _np
 
-    _tests_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "tests")
-    if _tests_dir not in _sys.path:
-        _sys.path.append(_tests_dir)
-    from _tiff_ref import encode_tiff as _enc_tiff
+    _enc_tiff = _load_test_tiff_encoder()
 
     fax_rows = []
     for did in range(_FAX_DOCS):
@@ -4096,6 +4091,31 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bounded fax-asset count for the kind='fax' CCITT gate (the WARC-50
 #: precedent); doc_id 0..39 exist at every SF
 _FAX_DOCS = 40
+
+
+def _load_test_tiff_encoder():
+    """Load the tests' independent TIFF/CCITT builder by explicit file
+    path (importlib spec — NO sys.path mutation, so test-dir module
+    names can never shadow later imports in this process). The gate
+    deliberately encodes with the TEST encoder and decodes with the
+    PRODUCTION kernels; the oracle's predictions come from the run
+    construction, independent of both."""
+    import importlib.util
+    import sys as _sys
+
+    tests_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests")
+    for mod in ("_ccitt_ref", "_tiff_ref"):   # dependency order: the
+        # tiff builder lazily does `from _ccitt_ref import ...`, which
+        # resolves via sys.modules once the first spec-load registers it
+        if mod in _sys.modules:
+            continue
+        path = os.path.join(tests_dir, f"{mod}.py")
+        spec = importlib.util.spec_from_file_location(mod, path)
+        m = importlib.util.module_from_spec(spec)
+        _sys.modules[mod] = m
+        spec.loader.exec_module(m)
+    return _sys.modules["_tiff_ref"].encode_tiff
 
 
 def _fax_sql_ctes() -> str:
@@ -4582,10 +4602,16 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   batch 1: FRESH only — advances the committed watermark to
     #            max_ts - 1h without carrying anything late;
     #   batch 2: OLD + FRESH — OLD is provably DROPPED, FRESH kept.
-    # Expected final counts: OLD hours = base (2x would mean the drop
-    # failed), final hour = 3x base. The 1-hour delay makes the
-    # verdict identical under a row-level (ts < wm) or window-level
-    # (window.end <= wm) drop rule: fresh rows have ts >=
+    # Expected: OLD hours at base count, final hour at 3x. The count
+    # alone cannot distinguish a broken late filter whose state
+    # EVICTION still works (the batch-2 OLD replay would then
+    # re-aggregate against emptied state and emit base again), so the
+    # gate also pins the per-key UPDATE-ROW COUNT in dur_s: OLD
+    # windows must produce exactly ONE sink row (batch 0 only — a
+    # second row means the replay reached the aggregation), the final
+    # hour exactly THREE. The 1-hour delay makes the drop verdict
+    # identical under a row-level (ts < wm) or window-level
+    # (window.end <= wm) rule: fresh rows have ts >=
     # date_trunc(hour, max_ts) >= wm, old windows end ~28 days before.
     import glob
     import shutil
@@ -4602,14 +4628,19 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"latezone_{os.path.basename(os.path.normpath(sf_dir))}")
     shutil.rmtree(lzone, ignore_errors=True)
     os.makedirs(lzone, exist_ok=True)
-    for i, bdf in enumerate((old.unionByName(fresh), fresh,
-                             old.unionByName(fresh))):
-        tmp = f"{lzone}_tmp"
+    tmp = f"{lzone}_tmp"
+    for i, bdf in enumerate((old.unionByName(fresh), fresh)):
         bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
         dst = os.path.join(lzone, f"batch_{i}.parquet")
         shutil.copy(glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
                     dst)
         os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    # batch 2 is byte-identical input to batch 0 (the replay) — a file
+    # copy under a later mtime, not a second Spark write
+    b2 = os.path.join(lzone, "batch_2.parquet")
+    shutil.copy(os.path.join(lzone, "batch_0.parquet"), b2)
+    os.utime(b2, (1_700_000_200,) * 2)
+    shutil.rmtree(tmp, ignore_errors=True)
     lschema = spark.read.parquet(lzone).schema
     lagg = (spark.readStream.schema(lschema)
             .option("maxFilesPerTrigger", "1").parquet(lzone)
@@ -4619,14 +4650,17 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     lname = f"stream_lt_{uuid.uuid4().hex[:8]}"
     run_to_memory(lagg, lname, output_mode="update")
     # update mode emits one row per updated key per batch; counts only
-    # grow, so the final value per key is the max over its updates
+    # grow, so the final value per key is the max over its updates —
+    # and the NUMBER of update rows is the per-key batch-reach count
+    # the drop gate pins (see the block comment above)
     late = (spark.table(lname)
             .groupBy(F.unix_timestamp("window.start").alias("k1"),
                      F.col("event_type").alias("k2"))
-            .agg(F.max("n").cast("long").alias("n"))
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.count("*").cast("long").alias("n_upd"))
             .select(F.lit("late").alias("kind"), "k1", "k2", "n",
                     F.lit(None).cast("double").alias("sum_value"),
-                    F.lit(None).cast("long").alias("dur_s")))
+                    F.col("n_upd").alias("dur_s")))
     return (hourly.unionByName(funnel).unionByName(sded)
             .unionByName(sgd).unionByName(late)
             .orderBy("kind", "k1", "k2"))
@@ -4757,16 +4791,19 @@ _Q_STREAM_EVENTS_SQL = """
   FROM zsh GROUP BY sighash
   UNION ALL
   -- watermark late-data drop: the 3-batch replay zone (OLD+FRESH /
-  -- FRESH / OLD+FRESH) must land OLD hours at base count (the batch-2
-  -- replay is dropped by the 1-hour watermark) and the final hour at
-  -- 3x base (kept in all three batches)
+  -- FRESH / OLD+FRESH) must land OLD hours at base count AND exactly
+  -- ONE sink update row (dur_s — a second row means the batch-2
+  -- replay reached the aggregation, i.e. the late filter broke even
+  -- if eviction masked the count), the final hour at 3x base with
+  -- THREE update rows
   SELECT 'late' AS kind,
          CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) AS k1,
          e.event_type AS k2,
          CAST(count(*) * max(CASE WHEN date_trunc('hour', e.ts) = ltb.fh
                                   THEN 3 ELSE 1 END) AS BIGINT) AS n,
          CAST(NULL AS DOUBLE) AS sum_value,
-         CAST(NULL AS BIGINT) AS dur_s
+         CAST(max(CASE WHEN date_trunc('hour', e.ts) = ltb.fh
+                       THEN 3 ELSE 1 END) AS BIGINT) AS dur_s
   FROM events e, ltb
   WHERE e.ts < ltb.t2 OR date_trunc('hour', e.ts) = ltb.fh
   GROUP BY date_trunc('hour', e.ts), e.event_type

@@ -150,16 +150,26 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # explicit partition count so every checkpointed side shares ONE
     # hashpartitioning (an AQE-coalesced count would differ side to
     # side and defeat the co-location; user-numbered repartition is
-    # exempt from coalescing)
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # exempt from coalescing). Some platforms set the conf to a
+    # non-numeric value (e.g. 'auto') — degrade to key-only
+    # repartitioning there instead of failing the call; co-location
+    # is an optimization, never a correctness requirement.
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = None
+
+    def _copart(df: DataFrame, key: str) -> DataFrame:
+        return (df.repartition(nparts, F.col(key)) if nparts
+                else df.repartition(F.col(key)))
     e = (edges.select(F.col(src).cast("long").alias("src"),
                       F.col(dst).cast("long").alias("dst"))
          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
          .distinct())
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct().repartition(nparts, F.col("node")))
-    nodes = _ckpt(nodes)
+    nodes = _ckpt(_copart(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct(), "node"))
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("r", F.lit(0).cast("long"))
@@ -173,11 +183,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # build side co-partitioned by src: the per-iteration src-side
     # join is then exchange-free wherever LogicalRDD partitioning is
     # honored (AQE off / classic planner)
-    ed = _ckpt(e.join(outdeg, "src").repartition(nparts, F.col("src")))
-    dangling = _ckpt(
+    ed = _ckpt(_copart(e.join(outdeg, "src"), "src"))
+    dangling = _ckpt(_copart(
         nodes.join(outdeg.withColumnRenamed("src", "node"),
-                   "node", "left_anti")
-        .repartition(nparts, F.col("node")))
+                   "node", "left_anti"), "node"))
     teleport = (scale * (damping_den - damping_num)) \
         // (damping_den * n)
     ranks = nodes.select("node",

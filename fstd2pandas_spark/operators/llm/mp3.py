@@ -90,7 +90,10 @@ def _skip_id3v2(b: bytes) -> int:
     if len(b) >= 10 and b[:3] == b"ID3":
         sz = ((b[6] & 0x7F) << 21 | (b[7] & 0x7F) << 14
               | (b[8] & 0x7F) << 7 | (b[9] & 0x7F))
-        if b[5] & 0x10:
+        # footers exist only in v2.4 — bit 4 is undefined in v2.2/2.3
+        # flags, so honoring it there would over-skip into the first
+        # frame on tags with garbage flag bytes
+        if b[3] == 4 and b[5] & 0x10:
             sz += 10
         return 10 + sz
     return 0

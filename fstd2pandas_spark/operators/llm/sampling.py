@@ -125,8 +125,14 @@ def stratified_reservoir_sample(df: DataFrame, k: int,
     than k rows keeps all of them.
 
     Returns the kept rows with ``resv_rank`` (1..k within the stratum,
-    ascending priority; ties broken by id — total order even if ids
-    collide). Scale shape is the salted two-phase top-k of
+    ascending priority, ties broken by id). Rows with a NULL id are
+    EXCLUDED — a NULL identity has no deterministic priority (and
+    Spark sorts NULL first where the SQL mirror sorts it last, a
+    cross-engine trap). Ids should be unique per stratum (the doc_id
+    contract): the kept ID SET is deterministic regardless, but if an
+    id occurs on several rows, which physical row represents it at the
+    cutoff is arrival-dependent. Scale shape is the salted two-phase
+    top-k of
     ``bm25_topk``: rank first within (stratum, salt) — each partial
     window sorts ~1/n_salts of the stratum, so one giant stratum is
     n_salts bounded sorts, not one — then the final per-stratum window
@@ -147,7 +153,8 @@ def stratified_reservoir_sample(df: DataFrame, k: int,
     order = [F.col("_rk").asc(), F.col(id_col).asc()]
     partial = Window.partitionBy(strata_col, "_salt").orderBy(*order)
     final = Window.partitionBy(strata_col).orderBy(*order)
-    return (df.withColumn("_rk", rk).withColumn("_salt", salt)
+    return (df.filter(F.col(id_col).isNotNull())
+            .withColumn("_rk", rk).withColumn("_salt", salt)
             .withColumn("_pr", F.row_number().over(partial))
             .filter(F.col("_pr") <= k)
             .withColumn("resv_rank", F.row_number().over(final))

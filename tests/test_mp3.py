@@ -96,6 +96,11 @@ def test_id3v2_footer_flag_lands_skip_on_first_frame():
     # without the footer flag, the size alone is the whole skip
     assert _skip_id3v2(b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20])
                        + bytes(20)) == 30
+    # bit 4 is UNDEFINED in v2.3 flags (no footer exists there): a
+    # garbage flags byte must not over-skip 10 bytes into frame 1
+    v23 = b"ID3\x03\x00\x10" + bytes([0, 0, 0, 20]) + bytes(20)
+    assert _skip_id3v2(v23) == 30
+    assert parse_mp3(v23 + _frame() * 2)["n_frames"] == 2
 
 
 def test_vbr_mixed_bitrates_and_xing_tag():
