@@ -2362,10 +2362,27 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = flagged.join(resv, "doc_id", "left").withColumn(
         "resv_rank",
         F.coalesce(F.col("resv_rank"), F.lit(0)).cast("int"))
+    # ... and its WEIGHTED sibling (weighted_reservoir_sample — the
+    # lottery-ticket rule: w md5 tickets per id, priority = best
+    # ticket, exact string compares so no pow/ln 1-ulp rank flips):
+    # weight = doc_id % 4 + 1 (all four weights fire in every
+    # stratum), k=7 per language; the oracle rebuilds the ticket
+    # minima with a single list_min + window
+    from fstd2pandas_spark.operators.llm.sampling import (
+        weighted_reservoir_sample)
+
+    wres = weighted_reservoir_sample(
+        docs.select("doc_id", "lang",
+                    (F.col("doc_id") % 4 + 1).cast("int").alias("_w")),
+        _RESV_K, "_w", strata_col="lang", n_salts=4).select(
+        "doc_id", "wresv_rank")
+    flagged = flagged.join(wres, "doc_id", "left").withColumn(
+        "wresv_rank",
+        F.coalesce(F.col("wresv_rank"), F.lit(0)).cast("int"))
     return flagged.select(
         "doc_id", "lang", "lang_pred", "n_bench_shingles", "contaminated",
         "sampled", "temp_thr", "temp_sampled", "html_sig", "warc_sig",
-        "bm25_q6", "bm25_matched", "bm25_rank", "resv_rank",
+        "bm25_q6", "bm25_matched", "bm25_rank", "resv_rank", "wresv_rank",
     ).orderBy("doc_id")
 
 
@@ -2529,6 +2546,13 @@ def _langid_sql() -> str:
   rsv AS (SELECT doc_id, row_number() OVER (PARTITION BY lang
             ORDER BY md5(concat('resv1_', CAST(doc_id AS VARCHAR))),
                      doc_id) AS rr
+          FROM documents),
+  wrv AS (SELECT doc_id, row_number() OVER (PARTITION BY lang
+            ORDER BY list_min(list_transform(
+                       generate_series(1, CAST(doc_id % 4 + 1 AS INT)),
+                       c -> md5(concat('wres1_', CAST(doc_id AS VARCHAR),
+                                       '_', CAST(c AS VARCHAR))))),
+                     doc_id) AS rr
           FROM documents)
   SELECT d.doc_id, d.lang, {expr} AS lang_pred,
          coalesce(h.n_bench_shingles, 0) AS n_bench_shingles,
@@ -2553,13 +2577,16 @@ def _langid_sql() -> str:
          CAST(coalesce(CASE WHEN brnk.r <= 10 THEN brnk.r END, 0) AS INT)
            AS bm25_rank,
          CAST(coalesce(CASE WHEN rsv.rr <= {_RESV_K} THEN rsv.rr END, 0)
-              AS INT) AS resv_rank
+              AS INT) AS resv_rank,
+         CAST(coalesce(CASE WHEN wrv.rr <= {_RESV_K} THEN wrv.rr END, 0)
+              AS INT) AS wresv_rank
   FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
   LEFT JOIN tms ON tms.doc_id = d.doc_id
   LEFT JOIN tth ON tth.mix_src = tms.mix_src
   LEFT JOIN bagg ON bagg.doc_id = d.doc_id
   LEFT JOIN brnk ON brnk.doc_id = d.doc_id
   LEFT JOIN rsv ON rsv.doc_id = d.doc_id
+  LEFT JOIN wrv ON wrv.doc_id = d.doc_id
   ORDER BY d.doc_id"""
 
 

@@ -47,6 +47,7 @@ from fstd2pandas_spark.operators.llm.decontam import contamination_overlap
 from fstd2pandas_spark.operators.llm.sampling import (
     hash_split, hash_sample, token_pack, stratified_hash_sample,
     chunk_documents, temperature_mix_sample, stratified_reservoir_sample,
+    weighted_reservoir_sample,
 )
 from fstd2pandas_spark.operators.llm.classifier import (
     linear_text_classifier, token_bucket_col,
@@ -101,6 +102,6 @@ __all__ = [
     "image_dhash", "audio_spectrum", "mp3_metadata", "parse_mp3",
     "signature_hamming_pairs",
     "simhash_report_rows", "temperature_mix_sample",
-    "stratified_reservoir_sample",
+    "stratified_reservoir_sample", "weighted_reservoir_sample",
     "linear_text_classifier", "token_bucket_col", "semantic_dedup",
 ]

@@ -162,6 +162,83 @@ def stratified_reservoir_sample(df: DataFrame, k: int,
             .drop("_rk", "_salt", "_pr"))
 
 
+#: ticket ceiling for weighted_reservoir_sample — per-row work and the
+#: per-row ticket array are O(weight); a mis-quantized weight column
+#: (micro-units instead of small integers) must raise LOUDLY instead
+#: of building million-element arrays per row (the MAX_GROUP_MEMBERS
+#: precedent). Raise deliberately if coarse weights genuinely need it.
+MAX_SAMPLE_WEIGHT = 1024
+
+
+def weighted_reservoir_sample(df: DataFrame, k: int, weight_col: str,
+                              strata_col: "str | None" = None,
+                              id_col: str = "doc_id",
+                              seed: str = "wres1",
+                              n_salts: int = 16) -> DataFrame:
+    """Fixed-k WEIGHTED subsample ("prefer high-quality documents, but
+    keep exactly k") — deterministic by the lottery-ticket rule: each
+    unit of a row's INTEGER weight buys one independent md5 ticket
+    (``md5(seed_id_c)`` for copy c), the row's priority is its BEST
+    (minimum) ticket, and the k smallest priorities win. More tickets
+    → stochastically smaller minimum → weight-proportional selection
+    pressure, with every comparison an exact string compare — no
+    ``pow``/``ln`` priority keys, whose 1-ulp cross-engine drift could
+    flip a rank (the reason A-ES/Efraimidis keys are not gate-safe
+    here). A pure function of the data: identical on every engine,
+    re-run and partitioning, and SQL-mirrorable.
+
+    Weights are the CALLER's quantization contract (like
+    :func:`~fstd2pandas_spark.operators.linfit.group_linfit` inputs):
+    integer column, ``1 <= w <= MAX_SAMPLE_WEIGHT`` enforced by an
+    in-plan raise — per-row work is O(weight), so micro-unit weights
+    must rescale, not silently explode. NULL-weight and NULL-id rows
+    are excluded (no tickets / no identity). ``strata_col=None``
+    samples globally; otherwise k per stratum. Returns kept rows with
+    ``wresv_rank`` (1..k, ascending priority, ties by id). Scale shape
+    = the salted two-phase top-k of :func:`stratified_reservoir_sample`
+    over a shuffle-free narrow ticket map."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    t = dict(df.dtypes).get(weight_col)
+    if t not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"{weight_col} must be an integer column (got {t}) — "
+            "weight quantization is the caller's contract")
+    w = F.col(weight_col)
+    bad = F.concat(
+        F.lit(f"weighted_reservoir_sample: weight {weight_col} = "),
+        w.cast("string"),
+        F.lit(f" outside [1, MAX_SAMPLE_WEIGHT={MAX_SAMPLE_WEIGHT}] — "
+              "per-row work is O(weight); rescale the quantization or "
+              "raise fstd2pandas_spark.operators.llm.sampling."
+              "MAX_SAMPLE_WEIGHT deliberately"))
+    w_ok = F.when((w >= 1) & (w <= F.lit(MAX_SAMPLE_WEIGHT)), w) \
+            .otherwise(F.raise_error(bad).cast(t))
+    pri = F.array_min(F.transform(
+        F.sequence(F.lit(1), w_ok.cast("int")),
+        lambda c: F.md5(F.concat(F.lit(f"{seed}_"),
+                                 F.col(id_col).cast("string"),
+                                 F.lit("_"), c.cast("string")))))
+    salt = (F.conv(F.substring(F.col("_rk"), 9, 8), 16, 10)
+            .cast("long") % n_salts)
+    gcols = [strata_col] if strata_col else []
+    order = [F.col("_rk").asc(), F.col(id_col).asc()]
+    partial = Window.partitionBy(*gcols, "_salt").orderBy(*order)
+    final = Window.partitionBy(*gcols).orderBy(*order)
+    return (df.filter(F.col(id_col).isNotNull()
+                      & F.col(weight_col).isNotNull())
+            .withColumn("_rk", pri).withColumn("_salt", salt)
+            .withColumn("_pr", F.row_number().over(partial))
+            .filter(F.col("_pr") <= k)
+            .withColumn("wresv_rank", F.row_number().over(final))
+            .filter(F.col("wresv_rank") <= k)
+            .drop("_rk", "_salt", "_pr"))
+
+
 def temperature_mix_sample(df: DataFrame, alpha: float = 0.5,
                            source_col: str = "source",
                            id_col: str = "doc_id",

@@ -818,6 +818,79 @@ def test_stratified_reservoir_sample_exact_topk(spark, docs):
         stratified_reservoir_sample(docs, 5, n_salts=0)
 
 
+def test_weighted_reservoir_sample_lottery_exact(spark, docs):
+    """The kept set is EXACTLY the k smallest best-ticket priorities
+    (min over w md5 tickets per id — hand-recomputed with hashlib),
+    weight bias is real (weight-4 ids dominate weight-1 ids at the
+    same k), NULL weights/ids are excluded, two-phase equals
+    single-phase for any n_salts, and out-of-contract weights raise
+    in-plan."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from fstd2pandas_spark.operators.llm.sampling import (
+        weighted_reservoir_sample)
+
+    K = 10
+    wdf = docs.select("doc_id", "lang",
+                      (F.col("doc_id") % 4 + 1).cast("int").alias("w"))
+    got = {r["doc_id"]: r["wresv_rank"] for r in
+           weighted_reservoir_sample(wdf, K, "w")
+           .select("doc_id", "wresv_rank").collect()}
+
+    rows = wdf.select("doc_id", "w").collect()
+    pris = sorted(
+        (min(hashlib.md5(f"wres1_{r['doc_id']}_{c}".encode())
+             .hexdigest() for c in range(1, r["w"] + 1)), r["doc_id"])
+        for r in rows)
+    want = {did: i for i, (_p, did) in enumerate(pris[:K], start=1)}
+    assert got == want
+
+    # weight bias: among ids 0..499 give half weight 8, half weight 1;
+    # the top-40 should be dominated by the heavy half
+    bias = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 8).otherwise(1)
+        .cast("int").alias("w"))
+    kept = [r["doc_id"] for r in
+            weighted_reservoir_sample(bias, 40, "w").collect()]
+    heavy = sum(1 for d in kept if d % 2 == 0)
+    assert heavy > 28   # E[heavy] ~ 8/9 * 40 ~ 35; fixed outcome
+
+    # per-stratum + n_salts invariance + repartition stability
+    strat = {(r["lang"], r["doc_id"]): r["wresv_rank"] for r in
+             weighted_reservoir_sample(wdf, 3, "w", strata_col="lang")
+             .collect()}
+    for ns in (1, 64):
+        alt = {(r["lang"], r["doc_id"]): r["wresv_rank"] for r in
+               weighted_reservoir_sample(
+                   wdf.repartition(7), 3, "w", strata_col="lang",
+                   n_salts=ns).collect()}
+        assert alt == strat, ns
+
+    # NULL weight / NULL id rows are excluded, not NULL-ranked
+    nw = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 3), (4, 1)],
+        "doc_id long, w int")
+    kept_ids = {r["doc_id"] for r in
+                weighted_reservoir_sample(nw, 10, "w").collect()}
+    assert kept_ids == {1, 4}
+
+    with _pytest.raises(Exception, match="MAX_SAMPLE_WEIGHT"):
+        weighted_reservoir_sample(
+            spark.createDataFrame([(1, 0)], "doc_id long, w int"),
+            5, "w").collect()
+    with _pytest.raises(Exception, match="MAX_SAMPLE_WEIGHT"):
+        weighted_reservoir_sample(
+            spark.createDataFrame([(1, 2000)], "doc_id long, w int"),
+            5, "w").collect()
+    with _pytest.raises(ValueError, match="integer column"):
+        weighted_reservoir_sample(
+            spark.createDataFrame([(1, 1.5)], "doc_id long, w double"),
+            5, "w")
+
+
 def test_gopher_filter_verdict(spark):
     from fstd2pandas_spark.operators.llm import (
         quality_score, repetition_metrics)
