@@ -179,3 +179,64 @@ def test_t4_table_spot_codewords_and_prefix_property():
                                                   for k in range(1, 28)]
     assert [r for r, _ in C._EXT_CODES] == [1792 + 64 * k
                                             for k in range(13)]
+
+
+def test_fax_gate_construction_matches_production_decode():
+    """Pins the mm_features kind='fax' gate end-to-end in pytest: the
+    md5-derived run construction, the test-encoder payload, the
+    production decode, and the oracle's arithmetic predictions
+    (n_black, 16-bit dHash, total TIFF byte length via the T.4
+    code-length tables) must all agree — the same contract the
+    driver gate checks, pinned here so a table or encoder drift
+    fails fast without a full oracle run."""
+    import hashlib
+
+    import numpy as np
+
+    from fstd2pandas_spark.operators.llm.ccitt import (
+        _BLACK_CODES, _EXT_CODES, _WHITE_CODES)
+    from fstd2pandas_spark.operators.llm.multimodal import (
+        decode_image, dhash_bits)
+    from _tiff_ref import encode_tiff
+
+    WL = {r: len(b) for r, b in _WHITE_CODES + _EXT_CODES}
+    BL = {r: len(b) for r, b in _BLACK_CODES + _EXT_CODES}
+    VL = {0: 1, 1: 3, 2: 6}
+    for did in range(8):
+        hb = hashlib.md5(f"fax{did}".encode()).digest()
+        if did % 2 == 0:
+            comp = 2
+            runs = [(1 + hb[2 * r] % 20, 1 + hb[2 * r + 1] % 30)
+                    for r in range(8)]
+        else:
+            comp = 4
+            w10, bk = 2 + hb[0] % 19, 3 + hb[1] % 27
+            runs = [(w10 + ((hb[7 + r] % 3) - 1 if r else 0), bk)
+                    for r in range(8)]
+        img = np.zeros((8, 64), dtype=np.uint8)
+        for r, (w1, bb) in enumerate(runs):
+            img[r, w1:w1 + bb] = 1
+        tiff = encode_tiff(img, photometric=0, compression=comp,
+                           bit_depth=1)
+        dec = decode_image(tiff)
+        assert dec is not None and dec.shape == (8, 64, 3)
+        assert int((dec[..., 0] == 0).sum()) == sum(b for _w, b in runs)
+        yi = [(r * 8) // 4 for r in range(4)]
+        xi = [(c * 64) // 5 for c in range(5)]
+        v = 0
+        for r in range(4):
+            w1, bb = runs[yi[r]]
+            for c in range(4):
+                if not (w1 <= xi[c] < w1 + bb) \
+                        and w1 <= xi[c + 1] < w1 + bb:
+                    v |= 1 << (r * 4 + c)
+        assert dhash_bits(dec, size=4) == v
+        if comp == 2:
+            chunk = sum((WL[w1] + BL[b] + WL[64 - w1 - b] + 7) // 8
+                        for w1, b in runs)
+        else:
+            bits = 3 + WL[runs[0][0]] + BL[runs[0][1]] + 1 + 24
+            bits += sum(2 * VL[abs(runs[r][0] - runs[r - 1][0])] + 1
+                        for r in range(1, 8))
+            chunk = (bits + 7) // 8
+        assert len(tiff) == 134 + chunk
