@@ -4141,7 +4141,14 @@ def _load_test_tiff_encoder():
         spec = importlib.util.spec_from_file_location(mod, path)
         m = importlib.util.module_from_spec(spec)
         _sys.modules[mod] = m
-        spec.loader.exec_module(m)
+        try:
+            spec.loader.exec_module(m)
+        except BaseException:
+            # never leave a half-initialized module registered — a
+            # retry in this long-lived driver would silently reuse it
+            # and fail later with a misleading AttributeError
+            _sys.modules.pop(mod, None)
+            raise
     return _sys.modules["_tiff_ref"].encode_tiff
 
 

@@ -109,6 +109,34 @@ def stratified_hash_sample(df: DataFrame, fractions: "dict[str, float]",
     return df.withColumn("sampled", b < thr)
 
 
+def _salted_topk(df: DataFrame, k: int, pri, gcols: list,
+                 id_col: str, n_salts: int, rank_name: str) -> DataFrame:
+    """The shared salted two-phase top-k scaffold of BOTH reservoir
+    samplers (one definition so a fix to the salt derivation, ordering
+    or pruning can never drift between them): priority column ``pri``
+    ascending with id tie-break, phase 1 ranks within (group, md5-salt)
+    and keeps k per slice, phase 2 ranks the <= k*n_salts survivors per
+    group — provably lossless (each group's global top-k survives its
+    salt's top-k)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    salt = (F.conv(F.substring(F.col("_rk"), 9, 8), 16, 10)
+            .cast("long") % n_salts)
+    order = [F.col("_rk").asc(), F.col(id_col).asc()]
+    partial = Window.partitionBy(*gcols, "_salt").orderBy(*order)
+    final = Window.partitionBy(*gcols).orderBy(*order)
+    return (df.withColumn("_rk", pri).withColumn("_salt", salt)
+            .withColumn("_pr", F.row_number().over(partial))
+            .filter(F.col("_pr") <= k)
+            .withColumn(rank_name, F.row_number().over(final))
+            .filter(F.col(rank_name) <= k)
+            .drop("_rk", "_salt", "_pr"))
+
+
 def stratified_reservoir_sample(df: DataFrame, k: int,
                                 strata_col: str = "lang",
                                 id_col: str = "doc_id",
@@ -140,26 +168,11 @@ def stratified_reservoir_sample(df: DataFrame, k: int,
     lossless (each stratum's global top-k survives its salt's top-k),
     which the oracle verifies by mirroring with a SINGLE window.
     """
-    from pyspark.sql import Window
-
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    if n_salts < 1:
-        raise ValueError("n_salts must be >= 1")
     rk = F.md5(F.concat(F.lit(f"{seed}_"),
                         F.col(id_col).cast("string")))
-    salt = (F.conv(F.substring(rk, 9, 8), 16, 10).cast("long")
-            % n_salts)
-    order = [F.col("_rk").asc(), F.col(id_col).asc()]
-    partial = Window.partitionBy(strata_col, "_salt").orderBy(*order)
-    final = Window.partitionBy(strata_col).orderBy(*order)
-    return (df.filter(F.col(id_col).isNotNull())
-            .withColumn("_rk", rk).withColumn("_salt", salt)
-            .withColumn("_pr", F.row_number().over(partial))
-            .filter(F.col("_pr") <= k)
-            .withColumn("resv_rank", F.row_number().over(final))
-            .filter(F.col("resv_rank") <= k)
-            .drop("_rk", "_salt", "_pr"))
+    return _salted_topk(df.filter(F.col(id_col).isNotNull()),
+                        k, rk, [strata_col], id_col, n_salts,
+                        "resv_rank")
 
 
 #: ticket ceiling for weighted_reservoir_sample — per-row work and the
@@ -197,12 +210,8 @@ def weighted_reservoir_sample(df: DataFrame, k: int, weight_col: str,
     ``wresv_rank`` (1..k, ascending priority, ties by id). Scale shape
     = the salted two-phase top-k of :func:`stratified_reservoir_sample`
     over a shuffle-free narrow ticket map."""
-    from pyspark.sql import Window
-
     if k < 1:
         raise ValueError("k must be >= 1")
-    if n_salts < 1:
-        raise ValueError("n_salts must be >= 1")
     t = dict(df.dtypes).get(weight_col)
     if t not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(
@@ -223,20 +232,11 @@ def weighted_reservoir_sample(df: DataFrame, k: int, weight_col: str,
         lambda c: F.md5(F.concat(F.lit(f"{seed}_"),
                                  F.col(id_col).cast("string"),
                                  F.lit("_"), c.cast("string")))))
-    salt = (F.conv(F.substring(F.col("_rk"), 9, 8), 16, 10)
-            .cast("long") % n_salts)
-    gcols = [strata_col] if strata_col else []
-    order = [F.col("_rk").asc(), F.col(id_col).asc()]
-    partial = Window.partitionBy(*gcols, "_salt").orderBy(*order)
-    final = Window.partitionBy(*gcols).orderBy(*order)
-    return (df.filter(F.col(id_col).isNotNull()
-                      & F.col(weight_col).isNotNull())
-            .withColumn("_rk", pri).withColumn("_salt", salt)
-            .withColumn("_pr", F.row_number().over(partial))
-            .filter(F.col("_pr") <= k)
-            .withColumn("wresv_rank", F.row_number().over(final))
-            .filter(F.col("wresv_rank") <= k)
-            .drop("_rk", "_salt", "_pr"))
+    return _salted_topk(
+        df.filter(F.col(id_col).isNotNull()
+                  & F.col(weight_col).isNotNull()),
+        k, pri, [strata_col] if strata_col else [], id_col, n_salts,
+        "wresv_rank")
 
 
 def temperature_mix_sample(df: DataFrame, alpha: float = 0.5,
