@@ -150,7 +150,9 @@ def stratified_reservoir_sample(df: DataFrame, k: int,
     ``md5(seed_id)`` and the stratum keeps the k smallest — a pure
     function of the data, identical on every engine and re-run, and
     SQL-mirrorable (one ORDER BY md5 window). A stratum with fewer
-    than k rows keeps all of them.
+    than k rows keeps all of them. This is also the per-DOMAIN cap
+    primitive ("at most N documents per host"): stratify on the
+    canonical domain and k is the cap.
 
     Returns the kept rows with ``resv_rank`` (1..k within the stratum,
     ascending priority, ties broken by id). Rows with a NULL id are

@@ -511,3 +511,32 @@ def test_pagerank_iteration_exchange_count_measured(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe0)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc0)
+
+
+def test_reservoir_samplers_two_phase_plan_shape(spark):
+    """Plan lock for the _salted_topk scaffold: each reservoir sampler
+    is exactly TWO hash exchanges (the (stratum, salt) partial window,
+    then the stratum final window) — the priority/ticket derivation is
+    a shuffle-free narrow map, and the weighted sampler's per-unit
+    ticket array adds no exchange and no Python UDF."""
+    from fstd2pandas_spark.operators.llm.sampling import (
+        stratified_reservoir_sample, weighted_reservoir_sample)
+
+    df = spark.createDataFrame(
+        [(i, f"l{i % 3}", i % 4 + 1) for i in range(100)],
+        "doc_id long, lang string, w int").withColumn(
+        "w", F.col("w").cast("int"))
+    for out in (stratified_reservoir_sample(df, 5, strata_col="lang"),
+                weighted_reservoir_sample(df, 5, "w",
+                                          strata_col="lang")):
+        out.collect()
+        plan = _plan(out).split("== Initial Plan ==")[0]
+        ex = [ln for ln in plan.splitlines()
+              if "Exchange hashpartitioning" in ln
+              and "ReusedExchange" not in ln]
+        assert len(ex) == 2, ex
+        wnodes = [ln for ln in plan.splitlines()
+                  if ln.lstrip("+- *(0123456789)").startswith("Window [")]
+        assert len(wnodes) == 2, wnodes
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
