@@ -705,7 +705,19 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("slope"), 6) + F.lit(0.0)).alias("trend_slope"),
         (F.round(F.col("intercept"), 6) + F.lit(0.0))
         .alias("trend_icept"))
-    return agg.join(fit, "user_id", "left").orderBy("user_id")
+    # round 10: partition-level content fingerprints
+    # (plans/snapshot.py partition_fingerprints — the incremental-
+    # processing primitive): per-user (n, fp_a, fp_b) over the
+    # (event_id, event_type) content, two order-free 32-bit md5 slice
+    # sums — three longs of combinable state per partition; the oracle
+    # rebuilds the identical sums (HUGEINT cast back)
+    from fstd2pandas_spark.plans.snapshot import partition_fingerprints
+
+    fps = partition_fingerprints(
+        ev, ["user_id"], ["event_id", "event_type"]).select(
+        "user_id", "fp_a", "fp_b")
+    return (agg.join(fit, "user_id", "left")
+            .join(fps, "user_id", "left").orderBy("user_id"))
 
 
 _Q_CONDAGG_SQL = """
@@ -745,9 +757,22 @@ _Q_CONDAGG_SQL = """
                       * CAST(sx AS DOUBLE))
                    / CAST(n AS DOUBLE), 6) + 0.0
            END AS trend_icept
-    FROM ols)
-  SELECT ca.*, trend.trend_slope, trend.trend_icept
-  FROM ca LEFT JOIN trend USING (user_id) ORDER BY user_id
+    FROM ols),
+  fpr AS (
+    SELECT user_id,
+           CAST(sum(CAST(concat('0x', substr(h, 1, 8)) AS BIGINT))
+                AS BIGINT) AS fp_a,
+           CAST(sum(CAST(concat('0x', substr(h, 9, 8)) AS BIGINT))
+                AS BIGINT) AS fp_b
+    FROM (SELECT user_id,
+                 md5(concat('snap1', chr(31),
+                            coalesce(CAST(event_id AS VARCHAR), ''),
+                            chr(31), coalesce(event_type, ''))) AS h
+          FROM events)
+    GROUP BY user_id)
+  SELECT ca.*, trend.trend_slope, trend.trend_icept, fpr.fp_a, fpr.fp_b
+  FROM ca LEFT JOIN trend USING (user_id)
+  LEFT JOIN fpr USING (user_id) ORDER BY user_id
 """
 
 

@@ -1,3 +1,7 @@
+from fstd2pandas_spark.plans.snapshot import (
+    changed_partitions,
+    partition_fingerprints,
+)
 from fstd2pandas_spark.plans.checks import (
     assert_broadcast_join,
     assert_no_cartesian,
@@ -9,6 +13,8 @@ from fstd2pandas_spark.plans.checks import (
 )
 
 __all__ = [
+    "changed_partitions",
+    "partition_fingerprints",
     "assert_broadcast_join",
     "assert_no_cartesian",
     "assert_pushed_filters",

@@ -1264,3 +1264,52 @@ def test_group_linfit_overflow_raises_loudly(spark):
     row = group_linfit(ok, "x", "y", ["g"]).collect()[0]
     assert row["slope"] == float(2 * v)
     assert row["intercept"] == float(-v)
+
+
+def test_partition_fingerprints_and_snapshot_diff(spark):
+    """Fingerprints equal a hashlib re-derivation (sum of two 32-bit
+    md5 slices), are invariant to row order/partitioning, NULL content
+    hashes as empty-at-position, and changed_partitions classifies
+    new/changed/deleted exactly — unchanged partitions emit no row."""
+    import hashlib
+
+    from fstd2pandas_spark.plans.snapshot import (
+        changed_partitions, partition_fingerprints)
+
+    rows = [("s1", 1, "a"), ("s1", 2, "b"), ("s2", 3, None),
+            ("s3", 4, "d"), ("s3", 5, "e"), ("s3", 6, "f")]
+    df = spark.createDataFrame(rows, "src string, id long, t string")
+    fp = {r["src"]: (r["n_rows"], r["fp_a"], r["fp_b"]) for r in
+          partition_fingerprints(df, ["src"], ["id", "t"]).collect()}
+
+    want = {}
+    for src, i, t in rows:
+        h = hashlib.md5(
+            f"snap1\x1f{i}\x1f{t if t is not None else ''}"
+            .encode()).hexdigest()
+        n, a, b = want.get(src, (0, 0, 0))
+        want[src] = (n + 1, a + int(h[:8], 16), b + int(h[8:16], 16))
+    assert fp == want
+
+    # order/partitioning invariance
+    fp2 = {r["src"]: (r["n_rows"], r["fp_a"], r["fp_b"]) for r in
+           partition_fingerprints(
+               df.orderBy(F.desc("id")).repartition(7),
+               ["src"], ["id", "t"]).collect()}
+    assert fp2 == fp
+
+    # diff: s1 unchanged, s2 rewritten in place (same count, new
+    # content), s3 deleted, s4 new
+    rows2 = [("s1", 1, "a"), ("s1", 2, "b"), ("s2", 3, "X"),
+             ("s4", 9, "z")]
+    cur = partition_fingerprints(
+        spark.createDataFrame(rows2, "src string, id long, t string"),
+        ["src"], ["id", "t"])
+    prev = partition_fingerprints(df, ["src"], ["id", "t"])
+    got = {r["src"]: r["status"]
+           for r in changed_partitions(cur, prev, ["src"]).collect()}
+    assert got == {"s2": "changed", "s3": "deleted", "s4": "new"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        partition_fingerprints(df, [], ["id"])
