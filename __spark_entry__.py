@@ -711,13 +711,33 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (event_id, event_type) content, two order-free 32-bit md5 slice
     # sums — three longs of combinable state per partition; the oracle
     # rebuilds the identical sums (HUGEINT cast back)
-    from fstd2pandas_spark.plans.snapshot import partition_fingerprints
+    from fstd2pandas_spark.plans.snapshot import (
+        changed_partitions, partition_fingerprints)
 
     fps = partition_fingerprints(
         ev, ["user_id"], ["event_id", "event_type"]).select(
         "user_id", "fp_a", "fp_b")
+    # round 11: the snapshot DIFF gated too (the operator's actual
+    # product — new/changed/deleted classification, null-safe keys).
+    # Two in-plan event slices simulate consecutive snapshot runs:
+    # the CURRENT corpus drops users ≡1 (mod 10) → 'deleted'; the
+    # PREVIOUS one lacked users ≡0 → 'new' and was missing the
+    # event_id ≡0 (mod 7) rows of users ≡5 → 'changed'; everyone
+    # else is unchanged → NULL fp_status (no diff row). All four
+    # classes fire at both SFs (probed); the oracle rebuilds both
+    # snapshots' slice sums and the FULL OUTER diff in SQL.
+    u10 = F.col("user_id") % 10
+    cur_s = partition_fingerprints(
+        ev.filter(u10 != 1), ["user_id"], ["event_id", "event_type"])
+    prv_s = partition_fingerprints(
+        ev.filter((u10 != 0)
+                  & ~((u10 == 5) & (F.col("event_id") % 7 == 0))),
+        ["user_id"], ["event_id", "event_type"])
+    diff = (changed_partitions(cur_s, prv_s, ["user_id"])
+            .withColumnRenamed("status", "fp_status"))
     return (agg.join(fit, "user_id", "left")
-            .join(fps, "user_id", "left").orderBy("user_id"))
+            .join(fps, "user_id", "left")
+            .join(diff, "user_id", "left").orderBy("user_id"))
 
 
 _Q_CONDAGG_SQL = """
@@ -758,21 +778,50 @@ _Q_CONDAGG_SQL = """
                    / CAST(n AS DOUBLE), 6) + 0.0
            END AS trend_icept
     FROM ols),
-  fpr AS (
-    SELECT user_id,
-           CAST(sum(CAST(concat('0x', substr(h, 1, 8)) AS BIGINT))
-                AS BIGINT) AS fp_a,
-           CAST(sum(CAST(concat('0x', substr(h, 9, 8)) AS BIGINT))
-                AS BIGINT) AS fp_b
-    FROM (SELECT user_id,
+  rh AS (
+    SELECT user_id, event_id,
+           CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) AS ha,
+           CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) AS hb
+    FROM (SELECT user_id, event_id,
+                 -- NULL sentinel chr(0)||'null' mirrors the engine's
+                 -- NUL-prefixed sentinel (NULL must differ from '')
                  md5(concat('snap1', chr(31),
-                            coalesce(CAST(event_id AS VARCHAR), ''),
-                            chr(31), coalesce(event_type, ''))) AS h
-          FROM events)
-    GROUP BY user_id)
-  SELECT ca.*, trend.trend_slope, trend.trend_icept, fpr.fp_a, fpr.fp_b
+                            coalesce(CAST(event_id AS VARCHAR),
+                                     chr(0) || 'null'),
+                            chr(31),
+                            coalesce(event_type,
+                                     chr(0) || 'null'))) AS h
+          FROM events)),
+  fpr AS (
+    SELECT user_id, CAST(sum(ha) AS BIGINT) AS fp_a,
+           CAST(sum(hb) AS BIGINT) AS fp_b
+    FROM rh GROUP BY user_id),
+  -- snapshot-diff mirror: two event slices as consecutive snapshot
+  -- runs (current drops users ≡1 mod 10; previous lacked users ≡0 and
+  -- the event_id ≡0 mod 7 rows of users ≡5), full-outer diff of the
+  -- per-user (n, slice sums) — new / deleted / changed, else no row
+  snapc AS (
+    SELECT user_id, count(*) AS n, sum(ha) AS a, sum(hb) AS b
+    FROM rh WHERE user_id % 10 <> 1 GROUP BY user_id),
+  snapp AS (
+    SELECT user_id, count(*) AS n, sum(ha) AS a, sum(hb) AS b
+    FROM rh WHERE user_id % 10 <> 0
+      AND NOT (user_id % 10 = 5 AND event_id % 7 = 0)
+    GROUP BY user_id),
+  fdiff AS (
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           CASE WHEN p.user_id IS NULL THEN 'new'
+                WHEN c.user_id IS NULL THEN 'deleted'
+                WHEN c.n <> p.n OR c.a <> p.a OR c.b <> p.b
+                  THEN 'changed' END AS fp_status
+    FROM snapc c FULL OUTER JOIN snapp p ON c.user_id = p.user_id)
+  SELECT ca.*, trend.trend_slope, trend.trend_icept, fpr.fp_a, fpr.fp_b,
+         fdiff.fp_status
   FROM ca LEFT JOIN trend USING (user_id)
-  LEFT JOIN fpr USING (user_id) ORDER BY user_id
+  LEFT JOIN fpr USING (user_id)
+  LEFT JOIN (SELECT user_id, fp_status FROM fdiff
+             WHERE fp_status IS NOT NULL) fdiff USING (user_id)
+  ORDER BY user_id
 """
 
 

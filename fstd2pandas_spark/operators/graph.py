@@ -54,37 +54,12 @@ persist until the directory is removed.
 
 from __future__ import annotations
 
-import logging
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_log = logging.getLogger(__name__)
-_release_warned = False
-
-
-def _release_checkpoint(df: DataFrame) -> None:
-    """Free a superseded localCheckpoint's storage. PySpark exposes no
-    public unpersist for local checkpoints — ``df.rdd.unpersist()``
-    derives a NEW rdd and frees nothing (verified empirically against
-    ``getPersistentRDDs``) — but a checkpointed frame's analyzed plan
-    is a ``LogicalRDD`` holding the cached rdd directly. Best-effort
-    by design (internal API): a failure costs memory, never
-    correctness — but it must not fail SILENTLY, or a Spark-internal
-    change would quietly reinstate the k-pinned-snapshot growth this
-    exists to prevent; log once per process on the first failure."""
-    global _release_warned
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception as exc:
-        if not _release_warned:
-            _release_warned = True
-            _log.warning(
-                "pagerank: releasing a superseded localCheckpoint "
-                "failed (%s: %s) — superseded rank snapshots will stay "
-                "in block-manager storage until context GC; the "
-                "internal LogicalRDD access path likely changed in "
-                "this Spark version", type(exc).__name__, exc)
+from fstd2pandas_spark.operators.iterative import (
+    make_checkpointer, release_checkpoint as _release_checkpoint,
+)
 
 
 def _next_ranks(nodes: DataFrame, ed: DataFrame, ranks: DataFrame,
@@ -140,12 +115,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     if scale < 1:
         raise ValueError("scale must be >= 1")
     spark = edges.sparkSession
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        return (df.checkpoint(eager=True) if checkpoint_dir is not None
-                else df.localCheckpoint())
+    # shared with neardup_components — operators/iterative.py is the
+    # ONE home of the release + reliable-checkpoint machinery
+    _ckpt = make_checkpointer(spark, checkpoint_dir)
 
     # explicit partition count so every checkpointed side shares ONE
     # hashpartitioning (an AQE-coalesced count would differ side to

@@ -9,15 +9,24 @@ duplicate family, so 2-3 rounds typically suffice.
 
 Spark shape per round: one equi-join (edges x labels) + one groupBy min
 — both shuffle on the node id and co-partition after the first round.
-Lineage is truncated with ``localCheckpoint`` every round (the standard
+Lineage is truncated with an eager checkpoint every round (the standard
 iterative-algorithm idiom: without it the plan doubles per iteration),
-and convergence is detected with a bounded count action.
+and convergence is detected with a bounded count action. The checkpoint
+machinery — superseded-snapshot release so k rounds never pin k V-row
+label snapshots, and the ``checkpoint_dir`` RELIABLE option for
+preemptible fleets — is the shared
+:mod:`~fstd2pandas_spark.operators.iterative` home, one definition with
+PageRank so a hardening fix can never miss one of the two loops.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from fstd2pandas_spark.operators.iterative import (
+    make_checkpointer, release_checkpoint,
+)
 
 
 class ConvergenceError(RuntimeError):
@@ -28,6 +37,7 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
                        id_b: str = "doc_b", max_iter: int = 20,
                        checkpoint: bool = True,
                        require_convergence_within: "int | None" = None,
+                       checkpoint_dir: "str | None" = None,
                        ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = min
     node id reachable through the pair graph. ``max_iter`` bounds the
@@ -38,7 +48,16 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
     labels are still changing after N rounds — used by callers whose
     expected output is pinned to an N-round unroll (the gated oracle),
     so a graph-shape change fails loudly instead of silently diverging
-    from the pinned expectation."""
+    from the pinned expectation.
+
+    ``checkpoint_dir``: per-round label state uses RELIABLE checkpoints
+    under this directory (survives executor loss — the preemptible-
+    fleet mode); the default eager ``localCheckpoint`` is faster but
+    not fault-tolerant. Each round's superseded local snapshot is
+    RELEASED as soon as the convergence check has read it, so a k-round
+    propagation holds at most two label snapshots in block-manager
+    storage, never k (shared machinery: operators/iterative.py)."""
+    _ckpt = make_checkpointer(pairs.sparkSession, checkpoint_dir)
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -46,8 +65,8 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
     labels = edges.select(F.col("src").alias("node")).distinct() \
                   .withColumn("component", F.col("node"))
     if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
-        labels = labels.localCheckpoint(eager=True)
+        edges = _ckpt(edges)
+        labels = _ckpt(labels)
     # MERGE hints throughout: the label and edge tables are both
     # pair-graph-scale (millions of rows on a real corpus), so a
     # stats-driven broadcast of either side is a scale hazard
@@ -67,13 +86,20 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
             )
         )
         if checkpoint:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = _ckpt(nxt)
         changed = (
             nxt.alias("n").hint("merge").join(labels.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1).count()
         )
+        prev = labels
         labels = nxt
+        # the convergence check above was prev's LAST reader — release
+        # its snapshot now (checkpoints are eager, nxt is materialized)
+        # so k rounds never pin k label snapshots; reliable-checkpoint
+        # files are ContextCleaner's job instead
+        if checkpoint and checkpoint_dir is None:
+            release_checkpoint(prev)
         if changed == 0:
             break
         changing_rounds += 1
@@ -92,6 +118,10 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
                 f"label propagation did not converge within max_iter="
                 f"{max_iter} rounds (convergence guard "
                 f"{require_convergence_within} requested)")
+    # the returned labels frame is itself a checkpoint — the symmetrized
+    # edge snapshot has no further reader and can be released too
+    if checkpoint and checkpoint_dir is None:
+        release_checkpoint(edges)
     return labels
 
 

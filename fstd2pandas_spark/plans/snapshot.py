@@ -23,12 +23,18 @@ because float-to-string formatting is engine-specific.
 Scale shape: ONE map-side-combinable aggregation over the partition
 key — three longs of state per partition; the diff join is
 partitions-sized on both sides. Sum overflow headroom: two 32-bit
-slices (< 2^32) summed over up to ~2^31 rows per partition stay
-within int64; a partition beyond two billion rows is mis-partitioned
-long before the fingerprint wraps.
+slices (< 2^32) summed over up to 2^31 rows per partition stay within
+int64 ((2^32 - 1) * 2^31 < 2^63 - 1); beyond that the sum could wrap
+SILENTLY under non-ANSI Spark (diverging from DuckDB's HUGEINT), so
+the row count carries a config-independent in-plan raise at
+:data:`MAX_PARTITION_ROWS` — the loud-guard convention of
+``group_linfit``/``group_quantiles_disc``; a partition beyond two
+billion rows is mis-partitioned long before the fingerprint wraps.
 """
 
 from __future__ import annotations
+
+import functools
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -37,6 +43,20 @@ from pyspark.sql import functions as F
 #: ("a","bc") hash differently
 _SEP = "\x1f"
 
+#: NULL content sentinel. A NULL must hash differently from the empty
+#: string (a row flipping a column between NULL and '' is a real
+#: change), and no string cast of real content can collide with it:
+#: a leading NUL byte never appears in a cast of the allowed content
+#: types. DuckDB mirror: ``coalesce(CAST(c AS VARCHAR), chr(0) ||
+#: 'null')`` — chr(0) round-trips md5 identically in both engines
+#: (verified against Python hashlib in tests).
+_NULL = "\x00null"
+
+#: fingerprint-sum headroom bound (see the module docstring): above
+#: 2^31 rows the int64 slice sums lose their no-wrap guarantee, and a
+#: non-ANSI wrap would be SILENT — refuse loudly instead.
+MAX_PARTITION_ROWS = 2 ** 31
+
 
 def partition_fingerprints(df: DataFrame, part_cols: "list[str]",
                            content_cols: "list[str]",
@@ -44,18 +64,31 @@ def partition_fingerprints(df: DataFrame, part_cols: "list[str]",
     """``(*part_cols, n_rows, fp_a, fp_b)``: per-partition row count
     plus two order-free 64-bit content fingerprint sums (independent
     32-bit md5 slices — a collision must fool both). NULL content
-    values hash as the empty string (position still separated, so a
-    NULL is distinct from absence but identical across engines)."""
+    values hash as a NUL-byte sentinel: distinct from the empty
+    string AND from absence (position still separated), identical
+    across engines. A partition with more than
+    :data:`MAX_PARTITION_ROWS` rows raises in-plan — past that the
+    sums could wrap silently under non-ANSI configs."""
     if not part_cols or not content_cols:
         raise ValueError("need at least one partition and content column")
     h = F.md5(F.concat_ws(
         _SEP, F.lit(seed),
-        *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+        *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
           for c in content_cols]))
     a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    n = F.count("*").cast("long")
+    bad = F.concat(
+        F.lit("partition_fingerprints: a partition holds "),
+        n.cast("string"),
+        F.lit(f" rows > MAX_PARTITION_ROWS={MAX_PARTITION_ROWS} — the "
+              "int64 slice sums lose their no-wrap headroom and a "
+              "non-ANSI overflow would be silent; repartition the "
+              "corpus on a finer key"))
+    n_ok = (F.when(n <= F.lit(MAX_PARTITION_ROWS), n)
+            .otherwise(F.raise_error(bad).cast("long")))
     return (df.groupBy(*part_cols)
-            .agg(F.count("*").cast("long").alias("n_rows"),
+            .agg(n_ok.alias("n_rows"),
                  F.sum(a).cast("long").alias("fp_a"),
                  F.sum(b).cast("long").alias("fp_b")))
 
@@ -67,17 +100,28 @@ def changed_partitions(current: DataFrame, previous: DataFrame,
     work, with ``status`` 'new' (absent from the previous snapshot),
     'changed' (any of n_rows/fp_a/fp_b moved) or 'deleted' (absent
     from the current one). Unchanged partitions — the overwhelming
-    majority of a steady-state corpus — produce no row. Both inputs
-    are partitions-sized, so this join is trivial at any corpus
-    size."""
+    majority of a steady-state corpus — produce no row. Keys join
+    NULL-SAFELY (``<=>``): a NULL partition key — the real-world
+    ``__HIVE_DEFAULT_PARTITION__`` — compares like any other value
+    instead of matching nothing and misreporting an unchanged
+    partition as new+deleted every run. Both inputs are
+    partitions-sized, so this join is trivial at any corpus size."""
     cur = current.select(
-        *part_cols, F.struct("n_rows", "fp_a", "fp_b").alias("_cur"))
+        *[F.col(c).alias(f"_c{i}") for i, c in enumerate(part_cols)],
+        F.struct("n_rows", "fp_a", "fp_b").alias("_cur"))
     prv = previous.select(
-        *part_cols, F.struct("n_rows", "fp_a", "fp_b").alias("_prv"))
-    j = cur.join(prv, part_cols, "full_outer")
+        *[F.col(c).alias(f"_p{i}") for i, c in enumerate(part_cols)],
+        F.struct("n_rows", "fp_a", "fp_b").alias("_prv"))
+    cond = functools.reduce(
+        lambda x, y: x & y,
+        [F.col(f"_c{i}").eqNullSafe(F.col(f"_p{i}"))
+         for i in range(len(part_cols))])
+    j = cur.join(prv, cond, "full_outer")
     status = (F.when(F.col("_prv").isNull(), F.lit("new"))
               .when(F.col("_cur").isNull(), F.lit("deleted"))
               .when(F.col("_cur") != F.col("_prv"), F.lit("changed")))
     return (j.withColumn("status", status)
             .filter(F.col("status").isNotNull())
-            .select(*part_cols, "status"))
+            .select(*[F.coalesce(F.col(f"_c{i}"), F.col(f"_p{i}"))
+                      .alias(c) for i, c in enumerate(part_cols)],
+                    "status"))

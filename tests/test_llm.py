@@ -588,6 +588,48 @@ def test_neardup_convergence_guard(spark):
     assert got == {n: 0 for n in range(4)}
 
 
+def test_neardup_releases_superseded_checkpoints(spark):
+    """Each propagation round must release the previous label
+    snapshot's storage (the shared operators/iterative.py machinery —
+    the pagerank storage test's twin): a long chain needing many
+    rounds must not pin one label snapshot per round."""
+    from fstd2pandas_spark.operators.llm.cluster import neardup_components
+
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    chain = spark.createDataFrame([(a, a + 1) for a in range(24)],
+                                  "doc_a int, doc_b int")
+    # a 25-chain needs well over 5 min-label rounds to converge
+    neardup_components(chain).collect()
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    # only the final labels snapshot may remain pinned (edges and every
+    # superseded label frame are released); allow one slot of slack for
+    # lazy GC of unrelated state
+    assert after - before <= 2, (before, after)
+
+
+def test_neardup_reliable_checkpoint_same_components(spark, tmp_path):
+    """checkpoint_dir switches label state to RELIABLE checkpoints
+    (fault-tolerant on a real cluster): files appear under the
+    directory and the components are identical to the localCheckpoint
+    path — determinism is independent of the checkpoint mechanism."""
+    import os
+
+    from fstd2pandas_spark.operators.llm.cluster import neardup_components
+
+    chain = spark.createDataFrame([(a, a + 1) for a in range(8)],
+                                  "doc_a int, doc_b int")
+    local = {r.node: r.component
+             for r in neardup_components(chain).collect()}
+    ckdir = str(tmp_path / "cc_ckpt")
+    reliable = {r.node: r.component
+                for r in neardup_components(
+                    chain, checkpoint_dir=ckdir).collect()}
+    assert reliable == local == {n: 0 for n in range(9)}
+    found = [f for _root, _d, files in os.walk(ckdir) for f in files]
+    assert found, "no reliable checkpoint files written"
+
+
 def test_repetition_metrics_fold_and_explode(spark):
     from fstd2pandas_spark.operators.llm import repetition_metrics
 

@@ -1269,8 +1269,10 @@ def test_group_linfit_overflow_raises_loudly(spark):
 def test_partition_fingerprints_and_snapshot_diff(spark):
     """Fingerprints equal a hashlib re-derivation (sum of two 32-bit
     md5 slices), are invariant to row order/partitioning, NULL content
-    hashes as empty-at-position, and changed_partitions classifies
-    new/changed/deleted exactly — unchanged partitions emit no row."""
+    hashes as the NUL-byte sentinel — distinct from the empty string —
+    and changed_partitions classifies new/changed/deleted exactly,
+    null-safely on the partition key; unchanged partitions emit no
+    row."""
     import hashlib
 
     from fstd2pandas_spark.plans.snapshot import (
@@ -1285,11 +1287,23 @@ def test_partition_fingerprints_and_snapshot_diff(spark):
     want = {}
     for src, i, t in rows:
         h = hashlib.md5(
-            f"snap1\x1f{i}\x1f{t if t is not None else ''}"
+            f"snap1\x1f{i}\x1f{t if t is not None else chr(0) + 'null'}"
             .encode()).hexdigest()
         n, a, b = want.get(src, (0, 0, 0))
         want[src] = (n + 1, a + int(h[:8], 16), b + int(h[8:16], 16))
     assert fp == want
+
+    # NULL vs empty string is a DETECTABLE change (the sentinel's job)
+    fp_null = partition_fingerprints(
+        spark.createDataFrame([("s", 1, None)],
+                              "src string, id long, t string"),
+        ["src"], ["id", "t"]).collect()[0]
+    fp_empty = partition_fingerprints(
+        spark.createDataFrame([("s", 1, "")],
+                              "src string, id long, t string"),
+        ["src"], ["id", "t"]).collect()[0]
+    assert (fp_null["fp_a"], fp_null["fp_b"]) \
+        != (fp_empty["fp_a"], fp_empty["fp_b"])
 
     # order/partitioning invariance
     fp2 = {r["src"]: (r["n_rows"], r["fp_a"], r["fp_b"]) for r in
@@ -1313,3 +1327,51 @@ def test_partition_fingerprints_and_snapshot_diff(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="at least one"):
         partition_fingerprints(df, [], ["id"])
+
+
+def test_snapshot_diff_null_partition_key(spark):
+    """A NULL partition key (the __HIVE_DEFAULT_PARTITION__ case) must
+    compare like any other key value: unchanged → NO row (not the
+    new+deleted pair a non-null-safe join would fabricate every run),
+    changed → exactly one 'changed' row carrying the NULL key."""
+    from fstd2pandas_spark.plans.snapshot import (
+        changed_partitions, partition_fingerprints)
+
+    schema = "src string, id long, t string"
+    base = spark.createDataFrame(
+        [(None, 1, "a"), (None, 2, "b"), ("s1", 3, "c")], schema)
+    prev = partition_fingerprints(base, ["src"], ["id", "t"])
+
+    # unchanged NULL-key partition: the diff must be EMPTY
+    same = partition_fingerprints(
+        spark.createDataFrame(
+            [(None, 2, "b"), (None, 1, "a"), ("s1", 3, "c")], schema),
+        ["src"], ["id", "t"])
+    assert changed_partitions(same, prev, ["src"]).count() == 0
+
+    # changed NULL-key partition: one 'changed' row, key still NULL
+    moved = partition_fingerprints(
+        spark.createDataFrame(
+            [(None, 1, "a"), (None, 2, "XX"), ("s1", 3, "c")], schema),
+        ["src"], ["id", "t"])
+    got = changed_partitions(moved, prev, ["src"]).collect()
+    assert len(got) == 1
+    assert got[0]["src"] is None and got[0]["status"] == "changed"
+
+
+def test_partition_fingerprints_rowcount_guard(spark, monkeypatch):
+    """Above MAX_PARTITION_ROWS the int64 slice sums lose their
+    no-wrap headroom and a non-ANSI overflow would be silent — the
+    count column must raise in-plan, config-independently (bound
+    shrunk for the test; the guard reads the module global at call
+    time)."""
+    import fstd2pandas_spark.plans.snapshot as snap
+
+    df = spark.createDataFrame(
+        [("s", i, "x") for i in range(5)], "src string, id long, t string")
+    monkeypatch.setattr(snap, "MAX_PARTITION_ROWS", 4)
+    with pytest.raises(Exception, match="MAX_PARTITION_ROWS"):
+        snap.partition_fingerprints(df, ["src"], ["id", "t"]).collect()
+    monkeypatch.setattr(snap, "MAX_PARTITION_ROWS", 5)
+    assert snap.partition_fingerprints(
+        df, ["src"], ["id", "t"]).collect()[0]["n_rows"] == 5
