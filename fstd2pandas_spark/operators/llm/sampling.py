@@ -117,13 +117,22 @@ def _salted_topk(df: DataFrame, k: int, pri, gcols: list,
     ascending with id tie-break, phase 1 ranks within (group, md5-salt)
     and keeps k per slice, phase 2 ranks the <= k*n_salts survivors per
     group — provably lossless (each group's global top-k survives its
-    salt's top-k)."""
+    salt's top-k). The three scratch names and the rank output are
+    RESERVED on the input: overwriting a caller column of the same
+    name would silently destroy its data, so a clash fails loudly."""
     from pyspark.sql import Window
 
     if k < 1:
         raise ValueError("k must be >= 1")
     if n_salts < 1:
         raise ValueError("n_salts must be >= 1")
+    clash = sorted({"_rk", "_salt", "_pr", rank_name} & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"reservoir sampling reserves column name(s) {clash} for "
+            "internal state / the rank output — the input DataFrame "
+            "already has them and they would be silently overwritten "
+            "and dropped; rename the caller columns first")
     salt = (F.conv(F.substring(F.col("_rk"), 9, 8), 16, 10)
             .cast("long") % n_salts)
     order = [F.col("_rk").asc(), F.col(id_col).asc()]
@@ -209,9 +218,15 @@ def weighted_reservoir_sample(df: DataFrame, k: int, weight_col: str,
     must rescale, not silently explode. NULL-weight and NULL-id rows
     are excluded (no tickets / no identity). ``strata_col=None``
     samples globally; otherwise k per stratum. Returns kept rows with
-    ``wresv_rank`` (1..k, ascending priority, ties by id). Scale shape
-    = the salted two-phase top-k of :func:`stratified_reservoir_sample`
-    over a shuffle-free narrow ticket map."""
+    ``wresv_rank`` (1..k, ascending priority, ties by id); a stratum
+    with fewer than k eligible rows keeps all of them. Tie economics:
+    one ROW's tickets can never tie each other (distinct ``_c``
+    suffixes hash distinct strings), and two different rows' best
+    tickets tie only on a full md5 collision (~2^-128) — in that
+    measure-zero event the deterministic id tie-break still yields one
+    stable order. Scale shape = the salted two-phase top-k of
+    :func:`stratified_reservoir_sample` over a shuffle-free narrow
+    ticket map."""
     if k < 1:
         raise ValueError("k must be >= 1")
     t = dict(df.dtypes).get(weight_col)

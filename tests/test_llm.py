@@ -919,6 +919,26 @@ def test_weighted_reservoir_sample_lottery_exact(spark, docs):
                 weighted_reservoir_sample(nw, 10, "w").collect()}
     assert kept_ids == {1, 4}
 
+    # a stratum SMALLER than k keeps all its rows with dense 1..n
+    # ranks (k > n must not drop or NULL-rank anything)
+    small = spark.createDataFrame(
+        [(1, "a", 4), (2, "a", 1), (3, "b", 2)],
+        "doc_id long, lang string, w int")
+    got_small = {(r["lang"], r["doc_id"]): r["wresv_rank"]
+                 for r in weighted_reservoir_sample(
+                     small, 7, "w", strata_col="lang").collect()}
+    assert set(got_small) == {("a", 1), ("a", 2), ("b", 3)}
+    assert sorted(v for (s, _), v in got_small.items() if s == "a") \
+        == [1, 2]
+    assert got_small[("b", 3)] == 1
+
+    # reserved scratch/rank names on the INPUT fail loudly instead of
+    # silently overwriting caller data (shared _salted_topk guard)
+    for bad_col in ("_rk", "_salt", "_pr", "wresv_rank"):
+        clash_df = wdf.withColumn(bad_col, F.lit(1))
+        with _pytest.raises(ValueError, match="reserve"):
+            weighted_reservoir_sample(clash_df, 3, "w")
+
     with _pytest.raises(Exception, match="MAX_SAMPLE_WEIGHT"):
         weighted_reservoir_sample(
             spark.createDataFrame([(1, 0)], "doc_id long, w int"),
