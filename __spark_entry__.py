@@ -4509,7 +4509,8 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup, so the oracle fully gates the streaming path too."""
     import uuid
 
-    from fstd2pandas_spark.streaming import run_to_memory
+    from fstd2pandas_spark.streaming import (
+        run_to_memory, streaming_interval_join)
 
     # same ts normalization as _load, applied to the stream
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -4769,8 +4770,64 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("late").alias("kind"), "k1", "k2", "n",
                     F.lit(None).cast("double").alias("sum_value"),
                     F.col("n_upd").alias("dur_s")))
+    # kind='sjoin' (round 11): the watermarked STREAM-STREAM inner
+    # join (streaming_interval_join) — the last substantive Structured
+    # Streaming surface (aggregation/dedup/funnel/watermark-drop are
+    # gated above). Attribution join: each view matched with the same
+    # user's purchases within [ts, ts + 4 hours]. The zone construction
+    # FORCES every match cross-batch (views land in batch 0 while the
+    # purchase source contributes only an empty schema file; purchases
+    # land in batch 1), so the emitted rows prove the buffered join
+    # state works — a broken buffer emits nothing and every n collapses.
+    # The min-watermark policy keeps batch-1 purchases from being
+    # late-dropped (the right node saw no batch-0 data, so the global
+    # watermark is still epoch 0); pinned in tests/test_streaming.py.
+    evj = _load(spark, sf_dir, "events").select("user_id", "ts",
+                                                "event_type")
+    views = evj.filter(F.col("event_type") == "view").drop("event_type")
+    purch = (evj.filter(F.col("event_type") == "purchase")
+             .drop("event_type"))
+    sjzone_v = os.path.join(
+        _TMP_ROOT,
+        f"sjzone_v_{os.path.basename(os.path.normpath(sf_dir))}")
+    sjzone_p = os.path.join(
+        _TMP_ROOT,
+        f"sjzone_p_{os.path.basename(os.path.normpath(sf_dir))}")
+    for zdir, parts in ((sjzone_v, ((0, views),)),
+                        (sjzone_p, ((0, purch.limit(0)), (1, purch)))):
+        shutil.rmtree(zdir, ignore_errors=True)
+        os.makedirs(zdir, exist_ok=True)
+        ztmp = f"{zdir}_tmp"
+        for i, bdf in parts:
+            bdf.coalesce(1).write.mode("overwrite").parquet(ztmp)
+            dst = os.path.join(zdir, f"batch_{i}.parquet")
+            shutil.copy(
+                glob.glob(os.path.join(ztmp, "part-*.parquet"))[0], dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        shutil.rmtree(ztmp, ignore_errors=True)
+    sjschema = spark.read.parquet(sjzone_v).schema
+    sj = streaming_interval_join(
+        spark.readStream.schema(sjschema)
+        .option("maxFilesPerTrigger", "1").parquet(sjzone_v),
+        spark.readStream.schema(sjschema)
+        .option("maxFilesPerTrigger", "1").parquet(sjzone_p),
+        on="user_id", left_time="ts", right_time="ts",
+        max_delay="4 hours")
+    sjname = f"stream_sj_{uuid.uuid4().hex[:8]}"
+    run_to_memory(sj, sjname)
+    sjoin = (spark.table(sjname)
+             .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts"))
+                      .alias("k1"),
+                      F.col("user_id").cast("string").alias("k2"))
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.sum(F.unix_timestamp("r_ts")
+                        - F.unix_timestamp("ts"))
+                  .cast("long").alias("dur_s"))
+             .select(F.lit("sjoin").alias("kind"), "k1", "k2", "n",
+                     F.lit(None).cast("double").alias("sum_value"),
+                     "dur_s"))
     return (hourly.unionByName(funnel).unionByName(sded)
-            .unionByName(sgd).unionByName(late)
+            .unionByName(sgd).unionByName(late).unionByName(sjoin)
             .orderBy("kind", "k1", "k2"))
 
 
@@ -4915,6 +4972,25 @@ _Q_STREAM_EVENTS_SQL = """
   FROM events e, ltb
   WHERE e.ts < ltb.t2 OR date_trunc('hour', e.ts) = ltb.fh
   GROUP BY date_trunc('hour', e.ts), e.event_type
+  UNION ALL
+  -- stream-stream interval join mirror: every (view, same-user
+  -- purchase within [ts, ts + 4h]) pair, grouped per (view hour,
+  -- user); dur_s = summed view->purchase delays in whole seconds.
+  -- The streaming side forced every pair CROSS-BATCH, so these
+  -- counts certify the buffered join state end-to-end
+  SELECT 'sjoin' AS kind,
+         CAST(epoch(date_trunc('hour', v.ts)) AS BIGINT) AS k1,
+         CAST(v.user_id AS VARCHAR) AS k2,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(NULL AS DOUBLE) AS sum_value,
+         CAST(sum(floor(epoch(p.ts)) - floor(epoch(v.ts)))
+              AS BIGINT) AS dur_s
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  JOIN (SELECT user_id, ts FROM events
+        WHERE event_type = 'purchase') p
+    ON v.user_id = p.user_id
+   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
+  GROUP BY date_trunc('hour', v.ts), v.user_id
   ORDER BY kind, k1, k2
 """.replace("__ZONE_SIG_TERMS__", _zone_sig_terms())
 

@@ -8,6 +8,7 @@ from fstd2pandas_spark.streaming.record_stream import (
     streaming_drop_duplicates,
     streaming_exact_dedup,
     streaming_funnel,
+    streaming_interval_join,
     streaming_signature_dedup,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "streaming_drop_duplicates",
     "streaming_exact_dedup",
     "streaming_funnel",
+    "streaming_interval_join",
     "streaming_signature_dedup",
 ]

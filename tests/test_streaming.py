@@ -416,3 +416,63 @@ def test_watermark_late_drop_lags_one_batch(spark, tmp_path):
                for p in sorted(q.recentProgress, key=lambda p: p["batchId"])
                for op in p["stateOperators"]]
     assert dropped[0] == 0 and dropped[1] == 0 and dropped[2] >= 1
+
+
+def test_streaming_interval_join_cross_batch(spark, tmp_path):
+    """Stream-stream inner join buffers the left side in join state
+    across micro-batches: views arrive in batch 0 (the right source
+    contributes only an empty schema file), purchases in batch 1 —
+    EVERY match is therefore cross-batch, proving the state machinery
+    end-to-end; condition bounds match to [ts, ts + 1 hour]. Also pins
+    the min-watermark policy protecting the construction: the right
+    side's batch-0 silence keeps the global watermark at epoch 0, so
+    batch-1 purchases (older than the left max) are NOT late-dropped."""
+    import glob
+    import os
+    import shutil
+
+    from fstd2pandas_spark.streaming import (
+        run_to_memory, streaming_interval_join)
+
+    def _df(rows):
+        return spark.createDataFrame(rows, "user_id long, tss string") \
+            .select("user_id", F.col("tss").cast("timestamp").alias("ts"))
+
+    views = _df([(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"),
+                 (2, "2024-01-01 10:30:00")])
+    purch = _df([(1, "2024-01-01 10:30:00"),   # view1 + 30 min -> match
+                 (1, "2024-01-01 13:30:00"),   # 1.5 h after view2 -> no
+                 (2, "2024-01-01 10:15:00"),   # BEFORE the view -> no
+                 (2, "2024-01-01 11:00:00"),   # view3 + 30 min -> match
+                 (3, "2024-01-01 11:00:00")])  # no view at all
+    empty = _df([])
+
+    lzone, rzone = str(tmp_path / "vz"), str(tmp_path / "pz")
+    os.makedirs(lzone); os.makedirs(rzone)
+    for zone, fname, bdf, mt in ((lzone, "b0", views, 0),
+                                 (rzone, "b0", empty, 0),
+                                 (rzone, "b1", purch, 100)):
+        tmp = str(tmp_path / f"w_{os.path.basename(zone)}_{fname}")
+        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        parts = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        assert parts, "empty write must still produce a schema file"
+        dst = os.path.join(zone, f"{fname}.parquet")
+        shutil.copy(parts[0], dst)
+        os.utime(dst, (1_700_000_000 + mt,) * 2)
+
+    schema = "user_id long, ts timestamp"
+    left = (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(lzone))
+    right = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", "1").parquet(rzone))
+    joined = streaming_interval_join(left, right, on="user_id",
+                                     max_delay="1 hour")
+    name = f"sjoin_pin_{uuid.uuid4().hex[:8]}"
+    run_to_memory(joined, name)
+
+    got = {(r["user_id"], str(r["ts"]), str(r["r_ts"]))
+           for r in spark.table(name).collect()}
+    assert got == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:30:00"),
+        (2, "2024-01-01 10:30:00", "2024-01-01 11:00:00"),
+    }
