@@ -4722,7 +4722,6 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical under a row-level (ts < wm) or window-level
     # (window.end <= wm) rule: fresh rows have ts >=
     # date_trunc(hour, max_ts) >= wm, old windows end ~28 days before.
-    import glob
     import shutil
 
     ev = _load(spark, sf_dir, "events").select("ts", "event_type")
@@ -4732,24 +4731,16 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts") < F.lit(bounds["t0"]) + F.expr("INTERVAL 2 HOURS"))
     fresh = ev.filter(
         F.date_trunc("hour", F.col("ts")) == F.lit(bounds["fh"]))
-    lzone = os.path.join(
-        _TMP_ROOT,
-        f"latezone_{os.path.basename(os.path.normpath(sf_dir))}")
-    shutil.rmtree(lzone, ignore_errors=True)
-    os.makedirs(lzone, exist_ok=True)
-    tmp = f"{lzone}_tmp"
-    for i, bdf in enumerate((old.unionByName(fresh), fresh)):
-        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
-        dst = os.path.join(lzone, f"batch_{i}.parquet")
-        shutil.copy(glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
-                    dst)
-        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    lzone = _write_drop_zone(
+        os.path.join(
+            _TMP_ROOT,
+            f"latezone_{os.path.basename(os.path.normpath(sf_dir))}"),
+        [(0, old.unionByName(fresh)), (1, fresh)])
     # batch 2 is byte-identical input to batch 0 (the replay) — a file
     # copy under a later mtime, not a second Spark write
     b2 = os.path.join(lzone, "batch_2.parquet")
     shutil.copy(os.path.join(lzone, "batch_0.parquet"), b2)
     os.utime(b2, (1_700_000_200,) * 2)
-    shutil.rmtree(tmp, ignore_errors=True)
     lschema = spark.read.parquet(lzone).schema
     lagg = (spark.readStream.schema(lschema)
             .option("maxFilesPerTrigger", "1").parquet(lzone)
@@ -4787,24 +4778,12 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = evj.filter(F.col("event_type") == "view").drop("event_type")
     purch = (evj.filter(F.col("event_type") == "purchase")
              .drop("event_type"))
-    sjzone_v = os.path.join(
-        _TMP_ROOT,
-        f"sjzone_v_{os.path.basename(os.path.normpath(sf_dir))}")
-    sjzone_p = os.path.join(
-        _TMP_ROOT,
-        f"sjzone_p_{os.path.basename(os.path.normpath(sf_dir))}")
-    for zdir, parts in ((sjzone_v, ((0, views),)),
-                        (sjzone_p, ((0, purch.limit(0)), (1, purch)))):
-        shutil.rmtree(zdir, ignore_errors=True)
-        os.makedirs(zdir, exist_ok=True)
-        ztmp = f"{zdir}_tmp"
-        for i, bdf in parts:
-            bdf.coalesce(1).write.mode("overwrite").parquet(ztmp)
-            dst = os.path.join(zdir, f"batch_{i}.parquet")
-            shutil.copy(
-                glob.glob(os.path.join(ztmp, "part-*.parquet"))[0], dst)
-            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
-        shutil.rmtree(ztmp, ignore_errors=True)
+    sfx = os.path.basename(os.path.normpath(sf_dir))
+    sjzone_v = _write_drop_zone(
+        os.path.join(_TMP_ROOT, f"sjzone_v_{sfx}"), [(0, views)])
+    sjzone_p = _write_drop_zone(
+        os.path.join(_TMP_ROOT, f"sjzone_p_{sfx}"),
+        [(0, purch.limit(0)), (1, purch)])
     sjschema = spark.read.parquet(sjzone_v).schema
     sj = streaming_interval_join(
         spark.readStream.schema(sjschema)
@@ -5745,6 +5724,29 @@ def _ip_info_sql() -> str:
 # ---------------------------------------------------------------------------
 
 _TMP_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp")
+
+
+def _write_drop_zone(zdir: str, parts) -> str:
+    """(Re)build a streaming file-source drop zone: each ``(i, df)`` in
+    ``parts`` lands as ``batch_i.parquet`` with a controlled mtime
+    (base + i*100) so ``maxFilesPerTrigger=1`` replays the batches in
+    exactly that order. ONE definition for every multi-batch gate (the
+    late-drop and stream-stream-join zones) — a fix to the zone
+    mechanics cannot fork between them."""
+    import glob
+    import shutil
+
+    shutil.rmtree(zdir, ignore_errors=True)
+    os.makedirs(zdir, exist_ok=True)
+    tmp = f"{zdir}_tmp"
+    for i, bdf in parts:
+        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(zdir, f"batch_{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+                    dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return zdir
 
 #: columns every sink round-trip projects back out (order = RECORD_SCHEMA)
 _RT_META_COLS = ["nomvar", "typvar", "etiket", "ni", "nj", "nk", "dateo",

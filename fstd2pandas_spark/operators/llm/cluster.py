@@ -57,6 +57,16 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
     RELEASED as soon as the convergence check has read it, so a k-round
     propagation holds at most two label snapshots in block-manager
     storage, never k (shared machinery: operators/iterative.py)."""
+    if checkpoint_dir is not None and not checkpoint:
+        # the caller asked for fault-tolerant reliable checkpoints AND
+        # for no checkpointing at all — honoring either half silently
+        # betrays the other (and would mutate the context's global
+        # checkpoint dir for nothing); refuse the contradiction
+        raise ValueError(
+            "checkpoint_dir requires checkpoint=True — with "
+            "checkpoint=False nothing is ever checkpointed, so the "
+            "reliable fault-tolerant mode the directory requests "
+            "cannot exist")
     _ckpt = make_checkpointer(pairs.sparkSession, checkpoint_dir)
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(
@@ -71,57 +81,67 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
     # pair-graph-scale (millions of rows on a real corpus), so a
     # stats-driven broadcast of either side is a scale hazard
     changing_rounds = 0
-    for _ in range(max_iter):
-        neigh = (
-            edges.hint("merge").join(labels, edges.dst == labels.node)
-            .groupBy("src").agg(F.min("component").alias("_nmin"))
-        )
-        nxt = (
-            labels.hint("merge").join(neigh, labels.node == neigh.src, "left")
-            .select(
-                "node",
-                F.least(F.col("component"),
-                        F.coalesce(F.col("_nmin"), F.col("component")))
-                .alias("component"),
+    converged = False
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                edges.hint("merge").join(labels, edges.dst == labels.node)
+                .groupBy("src").agg(F.min("component").alias("_nmin"))
             )
-        )
-        if checkpoint:
-            nxt = _ckpt(nxt)
-        changed = (
-            nxt.alias("n").hint("merge").join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1).count()
-        )
-        prev = labels
-        labels = nxt
-        # the convergence check above was prev's LAST reader — release
-        # its snapshot now (checkpoints are eager, nxt is materialized)
-        # so k rounds never pin k label snapshots; reliable-checkpoint
-        # files are ContextCleaner's job instead
+            nxt = (
+                labels.hint("merge")
+                .join(neigh, labels.node == neigh.src, "left")
+                .select(
+                    "node",
+                    F.least(F.col("component"),
+                            F.coalesce(F.col("_nmin"), F.col("component")))
+                    .alias("component"),
+                )
+            )
+            if checkpoint:
+                nxt = _ckpt(nxt)
+            changed = (
+                nxt.alias("n").hint("merge").join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1).count()
+            )
+            prev = labels
+            labels = nxt
+            # the convergence check above was prev's LAST reader —
+            # release its snapshot now (checkpoints are eager, nxt is
+            # materialized) so k rounds never pin k label snapshots;
+            # reliable-checkpoint files are ContextCleaner's job instead
+            if checkpoint and checkpoint_dir is None:
+                release_checkpoint(prev)
+            if changed == 0:
+                converged = True
+                break
+            changing_rounds += 1
+            if (require_convergence_within is not None
+                    and changing_rounds > require_convergence_within):
+                raise ConvergenceError(
+                    f"label propagation still changing after "
+                    f"{require_convergence_within} rounds; the pair "
+                    "graph's diameter exceeds the caller's pinned unroll")
+        else:
+            # the for-loop exhausted max_iter while labels were STILL
+            # changing — a guard set at >= max_iter must fail loudly
+            # too, not hand back unconverged labels
+            if require_convergence_within is not None:
+                raise ConvergenceError(
+                    f"label propagation did not converge within "
+                    f"max_iter={max_iter} rounds (convergence guard "
+                    f"{require_convergence_within} requested)")
+            converged = True
+    finally:
+        # the raise paths must not leak storage either: the edge
+        # snapshot has no reader past this function, and on failure the
+        # last label snapshot is unreachable to the caller too — a
+        # retried call would otherwise pin graph-scale state per attempt
         if checkpoint and checkpoint_dir is None:
-            release_checkpoint(prev)
-        if changed == 0:
-            break
-        changing_rounds += 1
-        if (require_convergence_within is not None
-                and changing_rounds > require_convergence_within):
-            raise ConvergenceError(
-                f"label propagation still changing after "
-                f"{require_convergence_within} rounds; the pair graph's "
-                "diameter exceeds the caller's pinned unroll")
-    else:
-        # the for-loop exhausted max_iter while labels were STILL
-        # changing — a guard set at >= max_iter must fail loudly too,
-        # not hand back unconverged labels
-        if require_convergence_within is not None:
-            raise ConvergenceError(
-                f"label propagation did not converge within max_iter="
-                f"{max_iter} rounds (convergence guard "
-                f"{require_convergence_within} requested)")
-    # the returned labels frame is itself a checkpoint — the symmetrized
-    # edge snapshot has no further reader and can be released too
-    if checkpoint and checkpoint_dir is None:
-        release_checkpoint(edges)
+            release_checkpoint(edges)
+            if not converged:
+                release_checkpoint(labels)
     return labels
 
 

@@ -106,6 +106,10 @@ def changed_partitions(current: DataFrame, previous: DataFrame,
     instead of matching nothing and misreporting an unchanged
     partition as new+deleted every run. Both inputs are
     partitions-sized, so this join is trivial at any corpus size."""
+    if not part_cols:
+        raise ValueError(
+            "need at least one partition column (the sibling "
+            "partition_fingerprints contract)")
     cur = current.select(
         *[F.col(c).alias(f"_c{i}") for i, c in enumerate(part_cols)],
         F.struct("n_rows", "fp_a", "fp_b").alias("_cur"))

@@ -111,12 +111,30 @@ def streaming_interval_join(left: DataFrame, right: DataFrame,
 
     Every ``right`` column is renamed with ``right_prefix`` first, so
     the result schema is unambiguous: all left columns plus
-    ``{prefix}*`` right columns. Inner semantics only — stream-stream
+    ``{prefix}*`` right columns — enforced, not just promised: an
+    empty prefix or a left column that already carries a prefixed
+    right name fails loudly here instead of surfacing as an
+    AMBIGUOUS_REFERENCE deep in analysis (the ``_salted_topk``
+    reserved-name discipline). Inner semantics only — stream-stream
     outer joins additionally delay emission to the watermark; this
     engine's outer needs are served batch-side."""
-    r = right
-    for c in right.columns:
-        r = r.withColumnRenamed(c, right_prefix + c)
+    if not right_prefix:
+        raise ValueError(
+            "right_prefix must be non-empty — without it the join's "
+            "two sides share every common column name and the result "
+            "schema is ambiguous")
+    clash = sorted(set(left.columns)
+                   & {right_prefix + c for c in right.columns})
+    if clash:
+        raise ValueError(
+            f"left stream already carries column(s) {clash} that "
+            "collide with the prefixed right columns — the join "
+            "condition and result schema would be ambiguous; pick a "
+            "different right_prefix")
+    # ONE Project for the whole rename (a withColumnRenamed loop
+    # stacks N nested projections)
+    r = right.select(*[F.col(c).alias(right_prefix + c)
+                       for c in right.columns])
     lw = left.withWatermark(left_time, left_watermark)
     rw = r.withWatermark(right_prefix + right_time, right_watermark)
     rt = F.col(right_prefix + right_time)

@@ -629,6 +629,11 @@ def test_neardup_reliable_checkpoint_same_components(spark, tmp_path):
     found = [f for _root, _d, files in os.walk(ckdir) for f in files]
     assert found, "no reliable checkpoint files written"
 
+    # checkpoint_dir with checkpoint=False is a contradiction (the
+    # reliable mode cannot exist without checkpointing) — refuse
+    with pytest.raises(ValueError, match="checkpoint=True"):
+        neardup_components(chain, checkpoint=False, checkpoint_dir=ckdir)
+
 
 def test_repetition_metrics_fold_and_explode(spark):
     from fstd2pandas_spark.operators.llm import repetition_metrics

@@ -476,3 +476,14 @@ def test_streaming_interval_join_cross_batch(spark, tmp_path):
         (1, "2024-01-01 10:00:00", "2024-01-01 10:30:00"),
         (2, "2024-01-01 10:30:00", "2024-01-01 11:00:00"),
     }
+
+    # prefix-collision and empty-prefix guards fire at call time, not
+    # as an AMBIGUOUS_REFERENCE deep in analysis
+    lstat = spark.readStream.schema("user_id long, ts timestamp, r_ts timestamp").parquet(lzone)
+    rstat = spark.readStream.schema(schema).parquet(rzone)
+    with pytest.raises(ValueError, match="collide"):
+        streaming_interval_join(lstat, rstat, on="user_id")
+    with pytest.raises(ValueError, match="non-empty"):
+        streaming_interval_join(
+            spark.readStream.schema(schema).parquet(lzone), rstat,
+            on="user_id", right_prefix="")
