@@ -735,9 +735,86 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"], ["event_id", "event_type"])
     diff = (changed_partitions(cur_s, prv_s, ["user_id"])
             .withColumnRenamed("status", "fp_status"))
+    # round 11: the mergeable equi-width histogram sketch
+    # (operators/sketch.py histogram_sketch/quantile — the numeric-
+    # profiling primitive: nbins+2 longs of map-side-combinable state
+    # per user, vector-addition mergeable). Per-user value profile over
+    # [0.5, 256.5) x 8 bins (step 32; under/overflow both non-vacuous
+    # at both SFs — probed), h_hist pins the full counter vector as a
+    # string and hq50/hq90 the interpolated quantile estimates; the
+    # oracle rebuilds the counts and the identical IEEE interpolation
+    # cascade in SQL. The n=0 NULL-estimate branch cannot fire here
+    # (every user has in-range rows) — pinned by the unit test instead.
+    from fstd2pandas_spark.operators.sketch import (
+        histogram_quantile, histogram_sketch)
+
+    hsk = histogram_sketch(ev, "value", 0.5, 256.5, 8, ["user_id"])
+    hsk = histogram_quantile(hsk, 0.5, 0.5, 256.5, 8, out_col="hq50")
+    hsk = histogram_quantile(hsk, 0.9, 0.5, 256.5, 8, out_col="hq90")
+    hcols = hsk.select(
+        "user_id",
+        (F.round("hq50", 6) + F.lit(0.0)).alias("hq50"),
+        (F.round("hq90", 6) + F.lit(0.0)).alias("hq90"),
+        F.concat_ws(
+            "|", F.col("n_under").cast("string"),
+            F.concat_ws(",", F.transform(
+                "hist", lambda x: x.cast("string"))),
+            F.col("n_over").cast("string")).alias("h_hist"))
     return (agg.join(fit, "user_id", "left")
             .join(fps, "user_id", "left")
-            .join(diff, "user_id", "left").orderBy("user_id"))
+            .join(diff, "user_id", "left")
+            .join(hcols, "user_id", "left").orderBy("user_id"))
+
+
+def _hist_ctes() -> str:
+    """DuckDB mirror of the per-user histogram sketch + quantile
+    cascade (8 bins over [0.5, 256.5), step 32): conditional counts,
+    running cums, integer target ranks, and the identical IEEE
+    interpolation ``lo + step * (i + (t - cum_before)/c_i)`` with every
+    constant CAST AS DOUBLE (bare decimals are DECIMAL in DuckDB)."""
+    lo, step, nb = "CAST(0.5 AS DOUBLE)", "CAST(32.0 AS DOUBLE)", 8
+    counts = ",\n           ".join(
+        f"count(*) FILTER (b = {i}) AS c{i}" for i in range(nb))
+    cums = ",\n           ".join(
+        "c0" + "".join(f" + c{j}" for j in range(1, i + 1)) + f" AS m{i}"
+        for i in range(nb))
+
+    def cascade(tcol: str) -> str:
+        parts = [f"CASE WHEN m{nb - 1} = 0 THEN NULL"]
+        for i in range(nb):
+            before = f"m{i - 1}" if i > 0 else "CAST(0 AS BIGINT)"
+            parts.append(
+                f"WHEN {tcol} <= m{i} THEN {lo} + {step} * "
+                f"(CAST({i} AS DOUBLE) + (CAST({tcol} - {before} "
+                f"AS DOUBLE) / CAST(c{i} AS DOUBLE)))")
+        return " ".join(parts) + " END"
+
+    return f"""
+  hbin AS (
+    SELECT user_id, value,
+           CASE WHEN value >= {lo} AND value < CAST(256.5 AS DOUBLE)
+                THEN least(CAST(floor((value - {lo}) / {step}) AS INT),
+                           {nb - 1}) END AS b
+    FROM events),
+  hsk AS (
+    SELECT user_id,
+           count(*) FILTER (value < {lo}) AS n_under,
+           count(*) FILTER (value >= CAST(256.5 AS DOUBLE)) AS n_over,
+           {counts}
+    FROM hbin GROUP BY user_id),
+  hcm AS (
+    SELECT *, {cums}
+    FROM hsk),
+  hq AS (
+    SELECT user_id,
+           round({cascade(f"CAST(ceil(CAST(0.5 AS DOUBLE) * m{nb - 1}) AS BIGINT)")}, 6)
+             + 0.0 AS hq50,
+           round({cascade(f"CAST(ceil(CAST(0.9 AS DOUBLE) * m{nb - 1}) AS BIGINT)")}, 6)
+             + 0.0 AS hq90,
+           concat_ws('|', n_under,
+                     concat_ws(',', {", ".join(f"c{i}" for i in range(nb))}),
+                     n_over) AS h_hist
+    FROM hcm)"""
 
 
 _Q_CONDAGG_SQL = """
@@ -814,15 +891,16 @@ _Q_CONDAGG_SQL = """
                 WHEN c.user_id IS NULL THEN 'deleted'
                 WHEN c.n <> p.n OR c.a <> p.a OR c.b <> p.b
                   THEN 'changed' END AS fp_status
-    FROM snapc c FULL OUTER JOIN snapp p ON c.user_id = p.user_id)
+    FROM snapc c FULL OUTER JOIN snapp p ON c.user_id = p.user_id),__HIST_CTES__
   SELECT ca.*, trend.trend_slope, trend.trend_icept, fpr.fp_a, fpr.fp_b,
-         fdiff.fp_status
+         fdiff.fp_status, hq.hq50, hq.hq90, hq.h_hist
   FROM ca LEFT JOIN trend USING (user_id)
   LEFT JOIN fpr USING (user_id)
   LEFT JOIN (SELECT user_id, fp_status FROM fdiff
              WHERE fp_status IS NOT NULL) fdiff USING (user_id)
+  LEFT JOIN hq USING (user_id)
   ORDER BY user_id
-"""
+""".replace("__HIST_CTES__", _hist_ctes())
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

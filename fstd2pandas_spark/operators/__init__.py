@@ -49,6 +49,7 @@ from fstd2pandas_spark.operators.sketch import (
     bloom_bits, bloom_might_contain,
     linear_count_occupied, linear_count_estimate,
     kmins_minima, kmins_merge, kmins_agreement, kmins_estimate,
+    histogram_sketch, histogram_merge, histogram_quantile,
 )
 
 __all__ = [
@@ -67,5 +68,6 @@ __all__ = [
     "bloom_bits", "bloom_might_contain",
     "linear_count_occupied", "linear_count_estimate",
     "kmins_minima", "kmins_merge", "kmins_agreement", "kmins_estimate",
+    "histogram_sketch", "histogram_merge", "histogram_quantile",
     "group_quantiles_disc", "quantile_flags", "group_linfit",
 ]

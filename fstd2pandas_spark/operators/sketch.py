@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def cms_bucket_col(value: Column, d: int, width: int) -> Column:
@@ -441,3 +442,138 @@ def kmins_estimate(minima_rows: "list[int]", k: int) -> float:
         return 0.0
     M = float(1 << 60)
     return k * M / sum(minima_rows) - 1.0
+
+
+#: bin-count ceiling for histogram_sketch: state per group is
+#: nbins + 2 longs and the quantile cascade is an nbins-branch CASE —
+#: both costs are the caller's to pay deliberately, not by accident of
+#: a mis-set parameter (the MAX_SAMPLE_WEIGHT precedent).
+MAX_HIST_BINS = 256
+
+
+def histogram_sketch(df: DataFrame, value_col: str, lo: float,
+                     hi: float, nbins: int,
+                     group_cols: "list[str] | None" = None,
+                     ) -> DataFrame:
+    """Per-group equi-width histogram — the mergeable numeric-profiling
+    sketch (value distributions, drift monitoring, approximate
+    quantiles) completing the toolkit next to CMS/HLL/Bloom/k-mins.
+
+    At 100 TB an exact quantile needs a per-group sort
+    (:func:`~fstd2pandas_spark.operators.quantiles.group_quantiles_disc`);
+    a histogram needs ONE map-side-combinable aggregation into
+    ``nbins + 2`` integer counters per group — fixed state at any
+    corpus size — and histograms from different partitions, days or
+    streams MERGE by plain vector addition
+    (:func:`histogram_merge`), the same re-aggregation contract as the
+    hypertable rollup.
+
+    Determinism contract: bin assignment is
+    ``least(floor((x - lo) / step), nbins - 1)`` on IEEE doubles —
+    floor, subtraction and division are correctly rounded in every
+    engine, and the clamp closes the one FP edge (an x just below
+    ``hi`` whose scaled value rounds up to exactly ``nbins``) on both
+    sides of the oracle identically. Counters are integer sums:
+    order-free, partition-free, engine-free.
+
+    Returns ``(*group_cols, n_under, n_over, hist)`` with ``hist`` an
+    ``array<long>`` of ``nbins`` in-range counts; NULL values are
+    excluded (a NULL has no bin — the CMS contract)."""
+    if not nbins >= 1:
+        raise ValueError("nbins must be >= 1")
+    if nbins > MAX_HIST_BINS:
+        raise ValueError(
+            f"nbins={nbins} > MAX_HIST_BINS={MAX_HIST_BINS} — per-group "
+            "state and the quantile CASE cascade are O(nbins); raise "
+            "the ceiling deliberately if a finer profile is worth it")
+    if not (lo < hi):
+        raise ValueError("need lo < hi")
+    step = (hi - lo) / nbins
+    v = F.col(value_col).cast("double")
+    b = F.least(F.floor((v - F.lit(float(lo))) / F.lit(float(step)))
+                .cast("int"), F.lit(nbins - 1))
+    in_range = v.isNotNull() & (v >= float(lo)) & (v < float(hi))
+    bin_ = F.when(in_range, b)
+    gcols = list(group_cols or [])
+    agg = (df.groupBy(*gcols) if gcols else df.groupBy()).agg(
+        F.sum(F.when(v.isNotNull() & (v < float(lo)), 1).otherwise(0))
+        .cast("long").alias("n_under"),
+        F.sum(F.when(v >= float(hi), 1).otherwise(0))
+        .cast("long").alias("n_over"),
+        *[F.sum(F.when(bin_ == i, 1).otherwise(0)).cast("long")
+          .alias(f"_c{i}") for i in range(nbins)])
+    return agg.select(*gcols, "n_under", "n_over",
+                      F.array(*[F.col(f"_c{i}") for i in range(nbins)])
+                      .alias("hist"))
+
+
+def histogram_merge(sketches: DataFrame,
+                    group_cols: "list[str]") -> DataFrame:
+    """Re-aggregate sketches to a coarser grouping by vector addition —
+    the mergeability that makes the histogram a sketch (per-day
+    profiles roll into per-week ones without touching the facts).
+    One posexplode + one integer aggregation; the per-group
+    collect_list is bounded at ``nbins`` elements by construction."""
+    binned = (sketches
+              .select(*group_cols, F.posexplode("hist")
+                      .alias("_i", "_c"))
+              .groupBy(*group_cols, "_i")
+              .agg(F.sum("_c").cast("long").alias("_c"))
+              .groupBy(*group_cols)
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("_i", "_c"))),
+                  lambda s: s["_c"]).alias("hist")))
+    flows = (sketches.groupBy(*group_cols)
+             .agg(F.sum("n_under").cast("long").alias("n_under"),
+                  F.sum("n_over").cast("long").alias("n_over")))
+    return flows.join(binned, group_cols).select(
+        *group_cols, "n_under", "n_over", "hist")
+
+
+def histogram_quantile(sketches: DataFrame, q: float, lo: float,
+                       hi: float, nbins: int,
+                       out_col: str = "hq") -> DataFrame:
+    """Quantile ESTIMATE from the sketch alone: with ``n`` in-range
+    rows and integer target rank ``t = ceil(q * n)``, find the first
+    bin whose cumulative count reaches ``t`` and interpolate
+    ``lo + step * (b + (t - cum_before) / c_b)`` — the classic
+    histogram quantile, resolution ``step``. Every branch of the CASE
+    cascade and the one division are identical IEEE double ops in the
+    SQL mirror. NULL when the group has no in-range rows. ``lo``,
+    ``hi``, ``nbins`` are the BUILD parameters — the caller's contract,
+    checked in-plan against the array length."""
+    if not (0.0 < q <= 1.0):
+        raise ValueError("q must be in (0, 1]")
+    if not nbins >= 1:
+        raise ValueError("nbins must be >= 1")
+    if not (lo < hi):
+        raise ValueError("need lo < hi")
+    step = (hi - lo) / nbins
+    bad = F.concat(
+        F.lit("histogram_quantile: sketch has "),
+        F.size("hist").cast("string"),
+        F.lit(f" bins but nbins={nbins} was claimed — the estimate "
+              "would silently use the wrong bin width"))
+    checked = F.when(F.size("hist") == nbins, F.col("hist")) \
+               .otherwise(F.raise_error(bad)
+                          .cast(T.ArrayType(T.LongType())))
+    n = F.aggregate(checked, F.lit(0).cast("long"), lambda a, x: a + x)
+    t = F.ceil(F.lit(float(q)) * n).cast("long")
+    cums = []
+    acc = F.lit(0).cast("long")
+    for i in range(nbins):
+        acc = acc + F.element_at("hist", i + 1)
+        cums.append(acc)
+    est = F.lit(None).cast("double")
+    # build the cascade innermost-last so the FIRST bin reaching t wins
+    for i in range(nbins - 1, -1, -1):
+        before = cums[i - 1] if i > 0 else F.lit(0).cast("long")
+        interp = (F.lit(float(lo))
+                  + F.lit(float(step))
+                  * (F.lit(float(i))
+                     + (t - before).cast("double")
+                     / F.element_at("hist", i + 1).cast("double")))
+        est = F.when(t <= cums[i], interp).otherwise(est)
+    return sketches.withColumn(out_col,
+                               F.when(n > 0, est)
+                               .otherwise(F.lit(None).cast("double")))

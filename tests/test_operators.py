@@ -1375,3 +1375,73 @@ def test_partition_fingerprints_rowcount_guard(spark, monkeypatch):
     monkeypatch.setattr(snap, "MAX_PARTITION_ROWS", 5)
     assert snap.partition_fingerprints(
         df, ["src"], ["id", "t"]).collect()[0]["n_rows"] == 5
+
+
+def test_histogram_sketch_exact_and_quantile(spark):
+    """Counts equal a pure-Python rebuild (same least/floor clamp),
+    merge equals a direct coarser build EXACTLY, the quantile estimate
+    matches the hand-interpolated formula, and the guards fire."""
+    import math
+
+    from fstd2pandas_spark.operators.sketch import (
+        histogram_merge, histogram_quantile, histogram_sketch)
+
+    lo, hi, nb = 0.0, 8.0, 4          # step 2.0
+    rows = [("a", "d1", -1.0), ("a", "d1", 0.0), ("a", "d1", 1.9),
+            ("a", "d1", 2.0), ("a", "d2", 7.99), ("a", "d2", 8.0),
+            ("a", "d2", 9.5), ("a", "d2", None), ("b", "d1", 3.0),
+            ("b", "d1", 3.5), ("b", "d1", 5.0)]
+    df = spark.createDataFrame(rows, "g string, day string, x double")
+
+    def ref(vals):
+        under = sum(1 for v in vals if v is not None and v < lo)
+        over = sum(1 for v in vals if v is not None and v >= hi)
+        hist = [0] * nb
+        for v in vals:
+            if v is not None and lo <= v < hi:
+                hist[min(int(math.floor((v - lo) / 2.0)), nb - 1)] += 1
+        return under, over, hist
+
+    sk = histogram_sketch(df, "x", lo, hi, nb, ["g", "day"])
+    got = {(r["g"], r["day"]): (r["n_under"], r["n_over"],
+                                list(r["hist"]))
+           for r in sk.collect()}
+    for (g, d) in {("a", "d1"), ("a", "d2"), ("b", "d1")}:
+        vals = [x for gg, dd, x in rows if (gg, dd) == (g, d)]
+        assert got[(g, d)] == ref(vals), (g, d)
+
+    # merge to per-g equals a direct per-g build, exactly
+    merged = {r["g"]: (r["n_under"], r["n_over"], list(r["hist"]))
+              for r in histogram_merge(sk, ["g"]).collect()}
+    direct = {r["g"]: (r["n_under"], r["n_over"], list(r["hist"]))
+              for r in histogram_sketch(df, "x", lo, hi, nb,
+                                        ["g"]).collect()}
+    assert merged == direct
+
+    # quantile: group b (3.0, 3.5, 5.0) -> hist [0, 2, 1, 0], n=3;
+    # q=0.5 -> t=2 -> bin 1 (cums [0,2,3]) -> 0 + 2*(1 + (2-0)/2) =
+    # 4.0; q=1.0 -> t=3 -> bin 2 -> 2*(2 + (3-2)/1) = 6.0
+    hq = {r["g"]: r["hq"] for r in histogram_quantile(
+        histogram_sketch(df, "x", lo, hi, nb, ["g"]),
+        0.5, lo, hi, nb).collect()}
+    assert hq["b"] == 4.0
+    hq1 = {r["g"]: r["hq"] for r in histogram_quantile(
+        histogram_sketch(df, "x", lo, hi, nb, ["g"]),
+        1.0, lo, hi, nb).collect()}
+    assert hq1["b"] == 6.0
+
+    # no in-range rows -> NULL estimate, not NaN
+    only_out = spark.createDataFrame([("z", -5.0), ("z", 99.0)],
+                                     "g string, x double")
+    r0 = histogram_quantile(
+        histogram_sketch(only_out, "x", lo, hi, nb, ["g"]),
+        0.5, lo, hi, nb).collect()[0]
+    assert r0["hq"] is None and r0["n_under"] == 1 and r0["n_over"] == 1
+
+    # guards: bin ceiling, inverted bounds, claimed-nbins mismatch
+    with pytest.raises(ValueError, match="MAX_HIST_BINS"):
+        histogram_sketch(df, "x", lo, hi, 10_000, ["g"])
+    with pytest.raises(ValueError, match="lo < hi"):
+        histogram_sketch(df, "x", 5.0, 5.0, 4, ["g"])
+    with pytest.raises(Exception, match="claimed"):
+        histogram_quantile(sk, 0.5, lo, hi, nb + 1).collect()
