@@ -540,3 +540,53 @@ def test_reservoir_samplers_two_phase_plan_shape(spark):
         assert len(wnodes) == 2, wnodes
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_equi_join_plan(spark):
+    """Scale lock for the null-safe diff: Spark must rewrite the
+    eqNullSafe keys into (coalesce, isnull) EQUI-join keys — a
+    fallback to BroadcastNestedLoopJoin/CartesianProduct would turn
+    the partitions-sized diff into a cartesian at scale. No Python
+    eval nodes anywhere in the snapshot path."""
+    from fstd2pandas_spark.plans.snapshot import (
+        changed_partitions, partition_fingerprints)
+
+    df = spark.createDataFrame(
+        [("a", 1, "x"), (None, 2, "y"), ("b", 3, "z")],
+        "src string, id long, t string")
+    cur = partition_fingerprints(df, ["src"], ["id", "t"])
+    prv = partition_fingerprints(df.filter("id <> 3"), ["src"],
+                                 ["id", "t"])
+    out = changed_partitions(cur, prv, ["src"])
+    out.collect()
+    plan = _plan(out)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_histogram_sketch_single_exchange_plan(spark):
+    """Plan lock: the histogram sketch is ONE hash exchange (the
+    group-key aggregation, map-side combined — HashAggregate appears
+    below AND above the exchange) and no Python eval; the quantile
+    cascade adds no exchange at all."""
+    from fstd2pandas_spark.operators.sketch import (
+        histogram_quantile, histogram_sketch)
+
+    df = spark.createDataFrame(
+        [(f"u{i % 7}", float(i % 50)) for i in range(300)],
+        "g string, x double")
+    out = histogram_quantile(
+        histogram_sketch(df, "x", 0.0, 40.0, 8, ["g"]),
+        0.5, 0.0, 40.0, 8)
+    out.collect()
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    ex = [ln for ln in plan.splitlines()
+          if "Exchange hashpartitioning" in ln
+          and "ReusedExchange" not in ln]
+    assert len(ex) == 1, ex
+    aggs = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert len(aggs) >= 2, aggs   # partial + final = map-side combine
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
