@@ -748,6 +748,42 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fstd2pandas_spark.operators.sketch import (
         histogram_quantile, histogram_sketch)
 
+    # round 11: incremental aggregate refresh (plans/incremental.py —
+    # the other half of the snapshot story: patch a partials table
+    # from a changed_partitions diff instead of re-aggregating the
+    # world). Two day-keyed corpus versions: the CURRENT drops days
+    # ≡5 (mod 7) → those read 'deleted'; the PREVIOUS lacked days ≡3
+    # → 'new'; days ≡2 carry shifted values in the previous version →
+    # 'changed' with UNCHANGED row counts (the fingerprint's job);
+    # 13+ other days are untouched → the keep path carries them. The
+    # refreshed partials reduce to per-user (inc_n, inc_sum) over the
+    # current corpus, and the ORACLE computes that aggregate DIRECTLY
+    # — any keep/rebuild/drop slip moves a value. All four statuses
+    # fire at both SFs (day residues 0-6 all populated — probed).
+    from fstd2pandas_spark.plans.incremental import (
+        incremental_refresh, partial_aggregates, reduce_partials)
+
+    evd = ev.select(
+        "user_id", "event_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+        .alias("_day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("_cv"))
+    d7 = F.col("_day") % 7
+    cur_e = evd.filter(d7 != 5)
+    prv_e = evd.filter(d7 != 3).withColumn(
+        "_cv",
+        F.col("_cv") + F.when(d7 == 2, F.lit(7)).otherwise(F.lit(0)))
+    idiff = changed_partitions(
+        partition_fingerprints(cur_e, ["_day"], ["event_id", "_cv"]),
+        partition_fingerprints(prv_e, ["_day"], ["event_id", "_cv"]),
+        ["_day"])
+    old_p = partial_aggregates(prv_e, ["_day"], ["user_id"], ["_cv"])
+    inc = reduce_partials(
+        incremental_refresh(cur_e, old_p, idiff, ["_day"],
+                            ["user_id"], ["_cv"]),
+        ["user_id"], ["_cv"]).select(
+        "user_id", F.col("n_rows").alias("inc_n"),
+        F.col("sum__cv").alias("inc_sum"))
     hsk = histogram_sketch(ev, "value", 0.5, 256.5, 8, ["user_id"])
     hsk = histogram_quantile(hsk, 0.5, 0.5, 256.5, 8, out_col="hq50")
     hsk = histogram_quantile(hsk, 0.9, 0.5, 256.5, 8, out_col="hq90")
@@ -763,7 +799,8 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.join(fit, "user_id", "left")
             .join(fps, "user_id", "left")
             .join(diff, "user_id", "left")
-            .join(hcols, "user_id", "left").orderBy("user_id"))
+            .join(hcols, "user_id", "left")
+            .join(inc, "user_id", "left").orderBy("user_id"))
 
 
 def _hist_ctes() -> str:
@@ -891,14 +928,28 @@ _Q_CONDAGG_SQL = """
                 WHEN c.user_id IS NULL THEN 'deleted'
                 WHEN c.n <> p.n OR c.a <> p.a OR c.b <> p.b
                   THEN 'changed' END AS fp_status
-    FROM snapc c FULL OUTER JOIN snapp p ON c.user_id = p.user_id),__HIST_CTES__
+    FROM snapc c FULL OUTER JOIN snapp p ON c.user_id = p.user_id),__HIST_CTES__,
+  -- incremental-refresh mirror: the ENGINE patches a partials table
+  -- from a snapshot diff (keep/rebuild/drop); the oracle computes the
+  -- same per-user aggregate DIRECTLY over the current corpus (days
+  -- ≢5 mod 7) — ground truth, not a mechanism mirror: any stale or
+  -- missed partial moves a value
+  inc AS (
+    SELECT user_id, count(*) AS inc_n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS inc_sum
+    FROM events
+    WHERE CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 <> 5
+    GROUP BY user_id)
   SELECT ca.*, trend.trend_slope, trend.trend_icept, fpr.fp_a, fpr.fp_b,
-         fdiff.fp_status, hq.hq50, hq.hq90, hq.h_hist
+         fdiff.fp_status, hq.hq50, hq.hq90, hq.h_hist,
+         inc.inc_n, inc.inc_sum
   FROM ca LEFT JOIN trend USING (user_id)
   LEFT JOIN fpr USING (user_id)
   LEFT JOIN (SELECT user_id, fp_status FROM fdiff
              WHERE fp_status IS NOT NULL) fdiff USING (user_id)
   LEFT JOIN hq USING (user_id)
+  LEFT JOIN inc USING (user_id)
   ORDER BY user_id
 """.replace("__HIST_CTES__", _hist_ctes())
 

@@ -2,6 +2,11 @@ from fstd2pandas_spark.plans.snapshot import (
     changed_partitions,
     partition_fingerprints,
 )
+from fstd2pandas_spark.plans.incremental import (
+    incremental_refresh,
+    partial_aggregates,
+    reduce_partials,
+)
 from fstd2pandas_spark.plans.checks import (
     assert_broadcast_join,
     assert_no_cartesian,
@@ -15,6 +20,9 @@ from fstd2pandas_spark.plans.checks import (
 __all__ = [
     "changed_partitions",
     "partition_fingerprints",
+    "incremental_refresh",
+    "partial_aggregates",
+    "reduce_partials",
     "assert_broadcast_join",
     "assert_no_cartesian",
     "assert_pushed_filters",

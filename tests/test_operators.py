@@ -1377,6 +1377,93 @@ def test_partition_fingerprints_rowcount_guard(spark, monkeypatch):
         df, ["src"], ["id", "t"]).collect()[0]["n_rows"] == 5
 
 
+def test_incremental_refresh_exact(spark):
+    """The refreshed partials table is EXACTLY partial_aggregates over
+    the current corpus — keep (unchanged, incl. a NULL partition key),
+    rebuild (changed + new), drop (deleted) all exercised — the final
+    reduce equals a direct aggregation, the broadcast-semi fallback
+    (prune_limit=0) agrees with the literal path, and the guards
+    fire."""
+    from fstd2pandas_spark.plans.incremental import (
+        incremental_refresh, partial_aggregates, reduce_partials)
+    from fstd2pandas_spark.plans.snapshot import (
+        changed_partitions, partition_fingerprints)
+
+    schema = "day string, u long, v long"
+    # prv: d1 (will stay), NULL day (stays), d2 (will change),
+    #      d3 (will be deleted)
+    prv = spark.createDataFrame(
+        [("d1", 1, 10), ("d1", 2, 20), (None, 1, 5),
+         ("d2", 1, 7), ("d2", 2, 8), ("d3", 9, 99)], schema)
+    # cur: d2 content moved (same row count — only the fingerprint
+    # sees it), d3 gone, d4 new
+    cur = spark.createDataFrame(
+        [("d1", 1, 10), ("d1", 2, 20), (None, 1, 5),
+         ("d2", 1, 7), ("d2", 2, 80), ("d4", 2, 4)], schema)
+
+    old_p = partial_aggregates(prv, ["day"], ["u"], ["v"])
+    diff = changed_partitions(
+        partition_fingerprints(cur, ["day"], ["u", "v"]),
+        partition_fingerprints(prv, ["day"], ["u", "v"]), ["day"])
+    assert {r["day"]: r["status"] for r in diff.collect()} == \
+        {"d2": "changed", "d3": "deleted", "d4": "new"}
+
+    want = {tuple(r) for r in
+            partial_aggregates(cur, ["day"], ["u"], ["v"]).collect()}
+    got = incremental_refresh(cur, old_p, diff, ["day"], ["u"], ["v"])
+    assert {tuple(r) for r in got.collect()} == want
+    # the broadcast-semi fallback path must agree bit-for-bit
+    got0 = incremental_refresh(cur, old_p, diff, ["day"], ["u"], ["v"],
+                               prune_limit=0)
+    assert {tuple(r) for r in got0.collect()} == want
+
+    # final reduce == direct aggregation over the current corpus
+    direct = {(r["u"], r["n_rows"], r["sum_v"]) for r in
+              cur.groupBy("u").agg(
+                  F.count("*").cast("long").alias("n_rows"),
+                  F.sum("v").cast("long").alias("sum_v")).collect()}
+    red = {tuple(r) for r in
+           reduce_partials(got, ["u"], ["v"]).collect()}
+    assert red == direct
+
+    # a NULL partition key that CHANGES is rebuilt, not duplicated
+    cur2 = spark.createDataFrame(
+        [("d1", 1, 10), ("d1", 2, 20), (None, 1, 6)], schema)
+    prv2 = spark.createDataFrame(
+        [("d1", 1, 10), ("d1", 2, 20), (None, 1, 5)], schema)
+    d2 = changed_partitions(
+        partition_fingerprints(cur2, ["day"], ["u", "v"]),
+        partition_fingerprints(prv2, ["day"], ["u", "v"]), ["day"])
+    out2 = incremental_refresh(
+        cur2, partial_aggregates(prv2, ["day"], ["u"], ["v"]),
+        d2, ["day"], ["u"], ["v"])
+    assert {tuple(r) for r in out2.collect()} == {
+        tuple(r) for r in
+        partial_aggregates(cur2, ["day"], ["u"], ["v"]).collect()}
+
+    # guards: non-integer metric, reserved names, missing status,
+    # per-value magnitude (in-plan, config-independent)
+    fdf = spark.createDataFrame([("d", 1, 1.5)],
+                                "day string, u long, v double")
+    with pytest.raises(ValueError, match="integer column"):
+        partial_aggregates(fdf, ["day"], ["u"], ["v"])
+    ndf = spark.createDataFrame([("d", 1, 2)],
+                                "day string, n_rows long, v long")
+    with pytest.raises(ValueError, match="collide"):
+        partial_aggregates(ndf, ["day"], ["n_rows"], ["v"])
+    with pytest.raises(ValueError, match="status"):
+        incremental_refresh(cur, old_p, diff.drop("status"),
+                            ["day"], ["u"], ["v"])
+    import fstd2pandas_spark.plans.incremental as inc
+    big = spark.createDataFrame([("d", 1, 2 ** 31 + 1)], schema)
+    with pytest.raises(Exception, match="MAX_SUM_ABS"):
+        partial_aggregates(big, ["day"], ["u"], ["v"]).collect()
+    clash = spark.createDataFrame([("d", 1, 2, 3)],
+                                  "day string, u long, v long, _d0 long")
+    with pytest.raises(ValueError, match="internal join-key"):
+        incremental_refresh(clash, old_p, diff, ["day"], ["u"], ["v"])
+
+
 def test_histogram_sketch_exact_and_quantile(spark):
     """Counts equal a pure-Python rebuild (same least/floor clamp),
     merge equals a direct coarser build EXACTLY, the quantile estimate

@@ -566,6 +566,55 @@ def test_snapshot_diff_equi_join_plan(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_incremental_refresh_prunes_scan(spark, tmp_path):
+    """The 100 TB claim of incremental_refresh, verified in the plan:
+    with few changed keys the rebuild filter is LITERAL, so the
+    hive-partitioned parquet scan of the current corpus carries a
+    PartitionFilters entry and reads ONLY the touched directories —
+    unchanged data is never read. The fallback (prune_limit=0) swaps
+    in a broadcast semi join: still no NestedLoop/Cartesian, no
+    Python eval anywhere."""
+    from fstd2pandas_spark.plans.incremental import (
+        incremental_refresh, partial_aggregates)
+    from fstd2pandas_spark.plans.snapshot import (
+        changed_partitions, partition_fingerprints)
+
+    rows = [(f"d{i % 5}", i % 3, i) for i in range(60)]
+    prv = spark.createDataFrame(rows, "day string, u long, v long")
+    cur_rows = [(d, u, v + (100 if d == "d2" else 0))
+                for d, u, v in rows if d != "d4"] + [("d9", 1, 7)]
+    spark.createDataFrame(cur_rows, "day string, u long, v long") \
+        .write.partitionBy("day").parquet(str(tmp_path / "cur"))
+    cur = spark.read.parquet(str(tmp_path / "cur"))
+
+    diff = changed_partitions(
+        partition_fingerprints(cur, ["day"], ["u", "v"]),
+        partition_fingerprints(prv, ["day"], ["u", "v"]), ["day"])
+    old_p = partial_aggregates(prv, ["day"], ["u"], ["v"])
+    out = incremental_refresh(cur, old_p, diff, ["day"], ["u"], ["v"])
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in
+        partial_aggregates(cur, ["day"], ["u"], ["v"]).collect()}
+
+    plan = _plan(out)
+    # the rebuild scan must be statically partition-pruned: the scan
+    # node carries the literal day values in PartitionFilters
+    pf = [ln for ln in plan.splitlines()
+          if "PartitionFilters" in ln and "d2" in ln and "d9" in ln]
+    assert pf, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+    out0 = incremental_refresh(cur, old_p, diff, ["day"], ["u"],
+                               ["v"], prune_limit=0)
+    out0.collect()
+    plan0 = _plan(out0)
+    assert "NestedLoop" not in plan0 and "Cartesian" not in plan0, plan0
+    assert "BatchEvalPython" not in plan0
+    assert "ArrowEvalPython" not in plan0
+
+
 def test_histogram_sketch_single_exchange_plan(spark):
     """Plan lock: the histogram sketch is ONE hash exchange (the
     group-key aggregation, map-side combined — HashAggregate appears
