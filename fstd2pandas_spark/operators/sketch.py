@@ -512,22 +512,27 @@ def histogram_merge(sketches: DataFrame,
     """Re-aggregate sketches to a coarser grouping by vector addition —
     the mergeability that makes the histogram a sketch (per-day
     profiles roll into per-week ones without touching the facts).
-    One posexplode + one integer aggregation; the per-group
-    collect_list is bounded at ``nbins`` elements by construction."""
-    binned = (sketches
-              .select(*group_cols, F.posexplode("hist")
-                      .alias("_i", "_c"))
-              .groupBy(*group_cols, "_i")
-              .agg(F.sum("_c").cast("long").alias("_c"))
-              .groupBy(*group_cols)
-              .agg(F.transform(
-                  F.array_sort(F.collect_list(F.struct("_i", "_c"))),
-                  lambda s: s["_c"]).alias("hist")))
-    flows = (sketches.groupBy(*group_cols)
-             .agg(F.sum("n_under").cast("long").alias("n_under"),
-                  F.sum("n_over").cast("long").alias("n_over")))
-    return flows.join(binned, group_cols).select(
-        *group_cols, "n_under", "n_over", "hist")
+    One posexplode + two chained integer aggregations — NO join, so a
+    NULL group-key value merges like any other key (groupBy keeps NULL
+    keys where an equi-join would silently drop them): the under/over
+    flows ride on each sketch's ``_i == 0`` exploded row and are
+    summed alongside that bin. The per-group collect_list is bounded
+    at ``nbins`` elements by construction."""
+    ex = sketches.select(*group_cols, "n_under", "n_over",
+                         F.posexplode("hist").alias("_i", "_c"))
+    per_bin = (ex.groupBy(*group_cols, "_i")
+               .agg(F.sum("_c").cast("long").alias("_c"),
+                    F.sum(F.when(F.col("_i") == 0, F.col("n_under")))
+                    .alias("_u"),
+                    F.sum(F.when(F.col("_i") == 0, F.col("n_over")))
+                    .alias("_o")))
+    return (per_bin.groupBy(*group_cols)
+            .agg(F.max("_u").cast("long").alias("n_under"),
+                 F.max("_o").cast("long").alias("n_over"),
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("_i", "_c"))),
+                     lambda s: s["_c"]).alias("hist"))
+            .select(*group_cols, "n_under", "n_over", "hist"))
 
 
 def histogram_quantile(sketches: DataFrame, q: float, lo: float,
@@ -554,9 +559,14 @@ def histogram_quantile(sketches: DataFrame, q: float, lo: float,
         F.size("hist").cast("string"),
         F.lit(f" bins but nbins={nbins} was claimed — the estimate "
               "would silently use the wrong bin width"))
-    checked = F.when(F.size("hist") == nbins, F.col("hist")) \
+    # a NULL hist row (e.g. sketches outer-joined to a group roster)
+    # propagates a NULL estimate — only a PRESENT array of the wrong
+    # length is a caller error worth dying for
+    checked = (F.when(F.col("hist").isNull(),
+                      F.lit(None).cast(T.ArrayType(T.LongType())))
+               .when(F.size("hist") == nbins, F.col("hist"))
                .otherwise(F.raise_error(bad)
-                          .cast(T.ArrayType(T.LongType())))
+                          .cast(T.ArrayType(T.LongType()))))
     n = F.aggregate(checked, F.lit(0).cast("long"), lambda a, x: a + x)
     t = F.ceil(F.lit(float(q)) * n).cast("long")
     cums = []

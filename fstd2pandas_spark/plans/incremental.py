@@ -69,11 +69,14 @@ MAX_GROUP_ROWS = 2 ** 31
 _INT_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
-def _guarded_count(what: str) -> Column:
-    """``count(*)`` with the loud no-wrap bound (see module docstring)."""
-    n = F.count("*").cast("long")
+def _guarded_count(what: str, n: "Column | None" = None,
+                   verb: str = "holds") -> Column:
+    """Row count with the loud no-wrap bound (see module docstring) —
+    one definition serving both the per-partial build and the final
+    reduce, so a bound or message change can never miss one."""
+    n = (F.count("*") if n is None else n).cast("long")
     bad = F.concat(
-        F.lit(f"{what}: a group holds "), n.cast("string"),
+        F.lit(f"{what}: a group {verb} "), n.cast("string"),
         F.lit(f" rows > MAX_GROUP_ROWS={MAX_GROUP_ROWS} — the int64 "
               "sums lose their no-wrap headroom and a non-ANSI "
               "overflow would be silent; aggregate on a finer key"))
@@ -94,11 +97,17 @@ def _check_int_cols(df: DataFrame, sum_cols: "list[str]") -> None:
 def _guarded_sum(c: str) -> Column:
     v = F.col(c).cast("long")
     bad = F.concat(
-        F.lit(f"partial_aggregates: |{c}| = "),
-        F.abs(v).cast("string"),
-        F.lit(f" exceeds MAX_SUM_ABS={MAX_SUM_ABS} — the partial sum "
-              "could wrap int64 silently; rescale the quantization"))
-    v_ok = (F.when(v.isNull() | (F.abs(v) <= F.lit(MAX_SUM_ABS)), v)
+        F.lit(f"partial_aggregates: {c} = "),
+        v.cast("string"),
+        F.lit(f" exceeds MAX_SUM_ABS={MAX_SUM_ABS} in magnitude — the "
+              "partial sum could wrap int64 silently; rescale the "
+              "quantization"))
+    # two-sided compare, NOT abs(): non-ANSI abs(Long.MIN_VALUE) wraps
+    # to Long.MIN_VALUE itself, which would slip under the bound — the
+    # exact silent overflow this guard exists to prevent
+    v_ok = (F.when(v.isNull()
+                   | ((v >= F.lit(-MAX_SUM_ABS)) & (v <= F.lit(MAX_SUM_ABS))),
+                   v)
             .otherwise(F.raise_error(bad).cast("long")))
     return F.sum(v_ok).cast("long").alias(f"sum_{c}")
 
@@ -168,7 +177,15 @@ def incremental_refresh(current: DataFrame, old_partials: DataFrame,
             f"input columns {sorted(clash)} collide with "
             "incremental_refresh's internal join-key names — rename "
             "them first (the _salted_topk reserved-name convention)")
-    dkeys = diff.select(*part_cols, "status")
+    # materialize the partitions-sized diff ONCE: its lineage usually
+    # runs two full fingerprint scans of the facts, and three
+    # consumers read it below (the touched-key take, the keep anti
+    # join, the fallback semi join) — without the cut each would
+    # re-run those scans, defeating the "only fact-table scan is the
+    # pruned rebuild" contract. localCheckpoint is the right tool for
+    # a kilobytes-sized frame (callers on preemptible fleets can
+    # df.checkpoint the diff reliably before passing it in).
+    dkeys = diff.select(*part_cols, "status").localCheckpoint(eager=True)
     # keep: untouched partitions — ANY diff status invalidates the
     # old partial ('new' matches nothing in old_partials anyway).
     # Renamed-key frames keep the null-safe conditions unambiguous
@@ -213,15 +230,8 @@ def reduce_partials(partials: DataFrame, group_cols: "list[str]",
     sum inside int64 by construction)."""
     if not group_cols:
         raise ValueError("need at least one group column")
-    n = F.sum("n_rows").cast("long")
-    bad = F.concat(
-        F.lit("reduce_partials: a group totals "), n.cast("string"),
-        F.lit(f" rows > MAX_GROUP_ROWS={MAX_GROUP_ROWS} — the summed "
-              "metrics lose their no-wrap headroom; aggregate on a "
-              "finer key"))
-    n_ok = (F.when(n <= F.lit(MAX_GROUP_ROWS), n)
-            .otherwise(F.raise_error(bad).cast("long")))
     return partials.groupBy(*group_cols).agg(
-        n_ok.alias("n_rows"),
+        _guarded_count("reduce_partials", n=F.sum("n_rows"),
+                       verb="totals").alias("n_rows"),
         *[F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
           for c in sum_cols])

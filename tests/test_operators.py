@@ -1458,6 +1458,12 @@ def test_incremental_refresh_exact(spark):
     big = spark.createDataFrame([("d", 1, 2 ** 31 + 1)], schema)
     with pytest.raises(Exception, match="MAX_SUM_ABS"):
         partial_aggregates(big, ["day"], ["u"], ["v"]).collect()
+    # Long.MIN_VALUE must ALSO raise: non-ANSI abs() wraps it onto
+    # itself, so an abs()-based guard would wave through the exact
+    # silent overflow the guard exists to catch
+    lmin = spark.createDataFrame([("d", 1, -(2 ** 63))], schema)
+    with pytest.raises(Exception, match="MAX_SUM_ABS"):
+        partial_aggregates(lmin, ["day"], ["u"], ["v"]).collect()
     clash = spark.createDataFrame([("d", 1, 2, 3)],
                                   "day string, u long, v long, _d0 long")
     with pytest.raises(ValueError, match="internal join-key"):
@@ -1532,3 +1538,24 @@ def test_histogram_sketch_exact_and_quantile(spark):
         histogram_sketch(df, "x", 5.0, 5.0, 4, ["g"])
     with pytest.raises(Exception, match="claimed"):
         histogram_quantile(sk, 0.5, lo, hi, nb + 1).collect()
+
+    # a NULL group-key value merges like any other key (no equi-join
+    # that would silently drop it): merge == direct build still
+    ndf = spark.createDataFrame(
+        [(None, "d1", 1.0), (None, "d2", 3.0), ("b", "d1", 5.0)],
+        "g string, day string, x double")
+    nsk = histogram_sketch(ndf, "x", lo, hi, nb, ["g", "day"])
+    nmerged = {r["g"]: (r["n_under"], r["n_over"], list(r["hist"]))
+               for r in histogram_merge(nsk, ["g"]).collect()}
+    ndirect = {r["g"]: (r["n_under"], r["n_over"], list(r["hist"]))
+               for r in histogram_sketch(ndf, "x", lo, hi, nb,
+                                         ["g"]).collect()}
+    assert None in nmerged and nmerged == ndirect
+
+    # a NULL hist row (outer-joined roster) -> NULL estimate, no raise
+    roster = spark.createDataFrame([("b",), ("missing",)], "g string")
+    outer = roster.join(histogram_sketch(df, "x", lo, hi, nb, ["g"]),
+                        "g", "left")
+    oq = {r["g"]: r["hq"] for r in
+          histogram_quantile(outer, 0.5, lo, hi, nb).collect()}
+    assert oq["b"] == 4.0 and oq["missing"] is None
