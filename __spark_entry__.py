@@ -594,20 +594,83 @@ _Q_TOPK_SQL = """
 
 def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: dropDuplicates semantics — distinct on a key subset with a
-    deterministic representative (min orderkey per group)."""
+    deterministic representative (min orderkey per group).
+
+    Round 11 adds the CDC MERGE gate (plans/merge.py merge_upsert —
+    Delta-style MERGE INTO as plain DataFrame ops): an in-plan change
+    batch against the orders table exercises every MERGE path —
+    orderkeys ≡3 (mod 10) receive TWO versions (+5.00 then +10.00; the
+    resolved table must carry the version-2 price, so a broken
+    latest-wins moves every ≡3 group's cents), ≡7 are tombstoned, ≡1
+    spawn inserts at key+10^12 with +5.00, everyone else passes
+    through. m_n/m_cents aggregate the MERGED table per group, and the
+    ORACLE computes the post-merge table ARITHMETICALLY from the same
+    construction (ground truth, not a mechanism mirror): any stale
+    version, surviving tombstone, lost insert or dropped pass-through
+    row moves an integer."""
+    from fstd2pandas_spark.plans.merge import merge_upsert
+
     orders = _load(spark, sf_dir, "orders")
-    return (
+    base = (
         orders.groupBy("o_custkey", "o_orderstatus", "o_orderpriority")
         .agg(F.min("o_orderkey").alias("o_orderkey"),
              F.count("*").cast("long").alias("n_dups"))
-        .orderBy("o_custkey", "o_orderstatus", "o_orderpriority")
     )
+    tgt = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"))
+    k10 = F.col("o_orderkey") % 10
+
+    def _batch(flt, dcents, ver, dele, key_off=0):
+        out = tgt.filter(flt)
+        if key_off:
+            out = out.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(key_off))
+        return (out.withColumn("cents", F.col("cents") + F.lit(dcents))
+                .withColumn("_v", F.lit(ver).cast("long"))
+                .withColumn("_del", F.lit(dele)))
+
+    src = (_batch(k10 == 3, 500, 1, False)
+           .unionByName(_batch(k10 == 3, 1000, 2, False))
+           .unionByName(_batch(k10 == 7, 0, 1, True))
+           .unionByName(_batch(k10 == 1, 500, 1, False, 10 ** 12)))
+    merged = merge_upsert(tgt, src, ["o_orderkey"],
+                          version_col="_v", delete_col="_del")
+    mg = merged.groupBy(
+        "o_custkey", "o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("m_n"),
+        F.sum("cents").cast("long").alias("m_cents"))
+    return (base.join(
+        mg, ["o_custkey", "o_orderstatus", "o_orderpriority"], "left")
+        .orderBy("o_custkey", "o_orderstatus", "o_orderpriority"))
 
 
 _Q_DEDUP_SQL = """
-  SELECT o_custkey, o_orderstatus, o_orderpriority,
-         min(o_orderkey) AS o_orderkey, count(*) AS n_dups
-  FROM orders GROUP BY o_custkey, o_orderstatus, o_orderpriority
+  WITH base AS (
+    SELECT o_custkey, o_orderstatus, o_orderpriority,
+           min(o_orderkey) AS o_orderkey, count(*) AS n_dups
+    FROM orders GROUP BY o_custkey, o_orderstatus, o_orderpriority),
+  -- MERGE mirror: the post-merge table computed ARITHMETICALLY from
+  -- the CDC construction (keys ≡7 mod 10 deleted, ≡3 at the
+  -- version-2 price, ≡1 duplicated as key+10^12 inserts at +5.00)
+  m AS (
+    SELECT o_custkey, o_orderstatus, o_orderpriority,
+           count(*) AS m_n, CAST(sum(cents) AS BIGINT) AS m_cents
+    FROM (
+      SELECT o_custkey, o_orderstatus, o_orderpriority,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               + CASE WHEN o_orderkey % 10 = 3 THEN 1000 ELSE 0 END
+               AS cents
+      FROM orders WHERE o_orderkey % 10 <> 7
+      UNION ALL
+      SELECT o_custkey, o_orderstatus, o_orderpriority,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) + 500
+               AS cents
+      FROM orders WHERE o_orderkey % 10 = 1) t
+    GROUP BY o_custkey, o_orderstatus, o_orderpriority)
+  SELECT base.*, m.m_n, m.m_cents
+  FROM base LEFT JOIN m USING (o_custkey, o_orderstatus, o_orderpriority)
   ORDER BY o_custkey, o_orderstatus, o_orderpriority
 """
 

@@ -7,6 +7,7 @@ from fstd2pandas_spark.plans.incremental import (
     partial_aggregates,
     reduce_partials,
 )
+from fstd2pandas_spark.plans.merge import merge_upsert
 from fstd2pandas_spark.plans.checks import (
     assert_broadcast_join,
     assert_no_cartesian,
@@ -21,6 +22,7 @@ __all__ = [
     "changed_partitions",
     "partition_fingerprints",
     "incremental_refresh",
+    "merge_upsert",
     "partial_aggregates",
     "reduce_partials",
     "assert_broadcast_join",

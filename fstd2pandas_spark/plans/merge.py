@@ -1,0 +1,113 @@
+"""CDC MERGE / upsert — apply a change batch to a key-addressed table.
+
+The write-side companion of :mod:`~fstd2pandas_spark.plans.snapshot` /
+:mod:`~fstd2pandas_spark.plans.incremental`: those decide WHAT to
+reprocess; this applies a change-data-capture batch (upserts +
+tombstones, possibly several versions of one key) to a base table —
+the Delta/Iceberg ``MERGE INTO`` semantics expressed as plain
+DataFrame ops, so the result is an ordinary frame any sink can write.
+
+Semantics (deterministic by construction):
+
+1. The source batch is resolved to ONE row per key, latest-wins by
+   ``version_col`` (a monotone CDC sequence — LSN, binlog offset,
+   ingest version). Two source rows sharing (key, max version) are
+   AMBIGUOUS and raise in-plan — row_number tie-breaking would pick a
+   physical row nondeterministically, the exact wrongness the
+   engine's bit-determinism contract forbids. Without ``version_col``
+   the batch must be key-unique (raised otherwise, same reason).
+2. A resolved row with ``delete_col`` true is a tombstone: the key
+   disappears from the output.
+3. A matched key takes the source payload ENTIRELY (a NULL in the
+   source is "set NULL", the SQL MERGE rule — matching on a presence
+   flag, never on value non-nullness); an unmatched source key is an
+   insert; an untouched target row passes through.
+
+Scale shape: ONE window over the CDC batch (batch-sized, one
+exchange) and ONE null-safe full-outer key join. A broadcast-hash
+full outer does not exist in Spark, so the target-side key exchange
+is the irreducible cost of a key-addressed rewrite — Delta's MERGE
+pays the same shuffle; a bucketed target (plans/bucketing.py) makes
+it exchange-free, and AQE coalesces the usually-tiny CDC side.
+Key skew is the generic salting problem (plans/salting.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PREFIX = "_mrg_"
+
+
+def merge_upsert(target: DataFrame, source: DataFrame,
+                 keys: "list[str]", version_col: "str | None" = None,
+                 delete_col: "str | None" = None) -> DataFrame:
+    """MERGE ``source`` (a CDC batch) into ``target``; returns the new
+    table with the target's column order. See the module docstring
+    for the exact update/insert/delete/latest-wins contract."""
+    if not keys:
+        raise ValueError("need at least one key column")
+    clash = sorted(c for c in set(target.columns) | set(source.columns)
+                   if c.startswith(_PREFIX))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with merge_upsert's "
+            f"internal '{_PREFIX}*' names — rename them first")
+    meta = {c for c in (version_col, delete_col) if c}
+    if set(target.columns) != set(source.columns) - meta:
+        raise ValueError(
+            "source payload columns must equal the target schema "
+            f"(target {sorted(target.columns)} vs source-minus-meta "
+            f"{sorted(set(source.columns) - meta)}) — MERGE replaces "
+            "whole rows; project both sides first")
+
+    # resolve the batch to one row per key, latest-wins; ties and
+    # (without a version) duplicate keys raise IN-PLAN — an ambiguous
+    # batch must never silently pick a physical row. Both windows
+    # share the key partitioning: one exchange over the batch.
+    wk = Window.partitionBy(*keys)
+    if version_col is not None:
+        rk = F.rank().over(wk.orderBy(F.col(version_col).desc()))
+        why = "two source rows share (key, max version)"
+    else:
+        rk = F.lit(1)
+        why = "the batch has duplicate keys and no version_col"
+    bad = F.concat(
+        F.lit(f"merge_upsert: ambiguous CDC batch — {why} for key ("),
+        F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+        F.lit(")"))
+    dup = F.sum(F.when(F.col("_mrg_rk") == 1, 1).otherwise(0)).over(wk)
+    resolved = (source
+                .withColumn("_mrg_rk", rk)
+                .withColumn("_mrg_dup", dup)
+                .filter(F.col("_mrg_rk") == 1))
+
+    payload = [c for c in target.columns if c not in keys]
+    # the ambiguity raise rides the always-selected presence flag —
+    # on a guard-only column Catalyst would prune it away with the
+    # column (the plan-lock lesson: a loud guard must be load-bearing)
+    src = resolved.select(
+        *[F.col(k).alias(f"_mrg_k_{k}") for k in keys],
+        *[F.col(c).alias(f"_mrg_v_{c}") for c in payload],
+        (F.col(delete_col) if delete_col else F.lit(False))
+        .alias("_mrg_del"),
+        F.when(F.col("_mrg_dup") == 1, F.lit(True))
+        .otherwise(F.raise_error(bad).cast("boolean"))
+        .alias("_mrg_src"))
+    cond = functools.reduce(
+        lambda x, y: x & y,
+        [F.col(k).eqNullSafe(F.col(f"_mrg_k_{k}")) for k in keys])
+    j = target.withColumn("_mrg_tgt", F.lit(True)) \
+              .join(src, cond, "full_outer")
+    hit = F.col("_mrg_src").isNotNull()
+    out = (j.filter(~(hit & F.col("_mrg_del")))
+           .select(
+               *[F.when(F.col("_mrg_tgt").isNotNull(), F.col(k))
+                 .otherwise(F.col(f"_mrg_k_{k}")).alias(k)
+                 for k in keys],
+               *[F.when(hit, F.col(f"_mrg_v_{c}"))
+                 .otherwise(F.col(c)).alias(c) for c in payload]))
+    return out.select(*target.columns)

@@ -1470,6 +1470,62 @@ def test_incremental_refresh_exact(spark):
         incremental_refresh(clash, old_p, diff, ["day"], ["u"], ["v"])
 
 
+def test_merge_upsert_semantics(spark):
+    """Exact SQL-MERGE semantics: latest-wins by version across a
+    multi-version batch, set-NULL updates (presence flag, not value
+    non-nullness), tombstone deletes, inserts, NULL-key rows matching
+    null-safely, pass-through untouched rows; ambiguous batches —
+    (key, max version) ties or versionless duplicate keys — raise
+    in-plan, and the schema/reserved-name guards fire."""
+    from fstd2pandas_spark.plans.merge import merge_upsert
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (None, "n", 40)],
+        "k long, s string, v long")
+    src = spark.createDataFrame(
+        [(1, "a1", 11, 1, False),     # superseded by version 2
+         (1, "a2", None, 2, False),   # winner: set-NULL update
+         (2, None, 99, 1, True),      # tombstone
+         (9, "i", 90, 1, False),      # insert
+         (None, "N", 44, 1, False)],  # NULL-key update (null-safe)
+        "k long, s string, v long, ver long, del boolean")
+    out = {(r["k"], r["s"], r["v"]) for r in merge_upsert(
+        tgt, src, ["k"], version_col="ver",
+        delete_col="del").collect()}
+    assert out == {(1, "a2", None), (3, "c", 30), (9, "i", 90),
+                   (None, "N", 44)}
+
+    # no version column: a key-unique batch applies, duplicates raise
+    src1 = spark.createDataFrame([(3, "c9", 33, False)],
+                                 "k long, s string, v long, del boolean")
+    out1 = {(r["k"], r["s"], r["v"]) for r in merge_upsert(
+        tgt, src1, ["k"], delete_col="del").collect()}
+    assert (3, "c9", 33) in out1 and len(out1) == 4
+    dup = spark.createDataFrame(
+        [(3, "x", 1, False), (3, "y", 2, False)],
+        "k long, s string, v long, del boolean")
+    with pytest.raises(Exception, match="duplicate keys"):
+        merge_upsert(tgt, dup, ["k"], delete_col="del").collect()
+    tie = spark.createDataFrame(
+        [(3, "x", 1, 5, False), (3, "y", 2, 5, False)],
+        "k long, s string, v long, ver long, del boolean")
+    with pytest.raises(Exception, match="max version"):
+        merge_upsert(tgt, tie, ["k"], version_col="ver",
+                     delete_col="del").collect()
+
+    # guards: schema mismatch, reserved prefix, empty keys
+    with pytest.raises(ValueError, match="payload columns"):
+        merge_upsert(tgt, src.drop("s"), ["k"],
+                     version_col="ver", delete_col="del")
+    bad = spark.createDataFrame([(1, "a", 10, 7)],
+                                "k long, s string, v long, _mrg_x long")
+    with pytest.raises(ValueError, match="_mrg_"):
+        merge_upsert(bad, src, ["k"], version_col="ver",
+                     delete_col="del")
+    with pytest.raises(ValueError, match="key column"):
+        merge_upsert(tgt, src, [], version_col="ver")
+
+
 def test_histogram_sketch_exact_and_quantile(spark):
     """Counts equal a pure-Python rebuild (same least/floor clamp),
     merge equals a direct coarser build EXACTLY, the quantile estimate

@@ -615,6 +615,37 @@ def test_incremental_refresh_prunes_scan(spark, tmp_path):
     assert "ArrowEvalPython" not in plan0
 
 
+def test_merge_upsert_plan(spark):
+    """Scale lock for MERGE: the null-safe key join must rewrite to an
+    EQUI join (SortMergeJoin/ShuffledHashJoin — a NestedLoop would be
+    a cartesian against the full target at scale), the CDC batch gets
+    exactly ONE window (latest-wins + ambiguity count share the key
+    partitioning), and no Python eval anywhere."""
+    from fstd2pandas_spark.plans.merge import merge_upsert
+
+    tgt = spark.createDataFrame(
+        [(i, f"s{i}", i * 10) for i in range(50)] + [(None, "n", 1)],
+        "k long, s string, v long")
+    src = spark.createDataFrame(
+        [(3, "u", 33, 2, False), (3, "old", 31, 1, False),
+         (7, None, 0, 1, True), (999, "i", 9, 1, False)],
+        "k long, s string, v long, ver long, del boolean")
+    out = merge_upsert(tgt, src, ["k"], version_col="ver",
+                       delete_col="del")
+    out.collect()
+    plan = _plan(out)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    wnodes = [ln for ln in
+              plan.split("== Initial Plan ==")[0].splitlines()
+              if ln.lstrip("+- *(0123456789):").startswith("Window [")]
+    assert len(wnodes) == 2, wnodes   # rank + ambiguity count, both
+    # over the same key partitioning (one batch exchange, no sort
+    # between them beyond the rank's own)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_histogram_sketch_single_exchange_plan(spark):
     """Plan lock: the histogram sketch is ONE hash exchange (the
     group-key aggregation, map-side combined — HashAggregate appears
