@@ -339,9 +339,34 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").cast("bigint").alias("join_key"),
             F.coalesce(F.col("_sstart").cast("string"),
                        F.lit("-")).alias("info"))
+    # 'qc' (round 11): the declarative table-quality report
+    # (operators/validation.py table_quality_report — the Deequ-style
+    # ingest gate: every rule compiles into ONE aggregation pass).
+    # Five rules over orders: two PASS (no NULL dates, priorities all
+    # match ^[1-5]-) and three FAIL with real counts ('P' statuses
+    # outside the in_set, prices above 300k, duplicate custkeys under
+    # the exact-uniqueness rule) — both outcomes fire at both SFs
+    # (probed: 493/1350/601 violations at sf0.001). join_key carries
+    # the violation count, info the rule:column:passed triple; the
+    # oracle recomputes every counter with independent SQL FILTERs.
+    from fstd2pandas_spark.operators.validation import (
+        table_quality_report)
+
+    qrules = [
+        ("nn_date", "o_orderdate", "not_null"),
+        ("set_status", "o_orderstatus", "in_set", ["F", "O"]),
+        ("max_price", "o_totalprice", "max", 300000.0),
+        ("re_prio", "o_orderpriority", "matches", "^[1-5]-"),
+        ("uq_cust", "o_custkey", "unique"),
+    ]
+    qc = table_quality_report(orders, qrules).select(
+        F.lit("qc").alias("side"),
+        F.col("n_violations").cast("bigint").alias("join_key"),
+        F.concat_ws(":", "name", "column",
+                    F.col("passed").cast("string")).alias("info"))
     return (semi.unionByName(anti).unionByName(asof).unionByName(asoff)
             .unionByName(asoft).unionByName(asofe).unionByName(asofn)
-            .unionByName(prank).unionByName(rng)
+            .unionByName(prank).unionByName(rng).unionByName(qc)
             .orderBy("side", "join_key"))
 
 
@@ -451,6 +476,30 @@ __PRANK_CTES__
   FROM (SELECT * FROM events WHERE event_type = 'error') e
   LEFT JOIN (SELECT * FROM sess WHERE n >= 3) s
     ON s.user_id = e.user_id AND e.ts >= s.t1 AND e.ts <= s.tend
+  UNION ALL
+  -- qc mirror: every quality counter recomputed with independent
+  -- FILTER clauses over one scan of orders
+  SELECT 'qc' AS side, v AS join_key,
+         concat_ws(':', nm, col, CAST(v = 0 AS VARCHAR)) AS info
+  FROM (
+    SELECT CAST(count(*) FILTER (o_orderdate IS NULL) AS BIGINT)
+             AS v_nn,
+           CAST(count(*) FILTER (o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('F', 'O')) AS BIGINT)
+             AS v_set,
+           CAST(count(*) FILTER (o_totalprice IS NOT NULL
+                 AND o_totalprice > 300000) AS BIGINT) AS v_max,
+           CAST(count(*) FILTER (o_orderpriority IS NOT NULL
+                 AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+             AS BIGINT) AS v_re,
+           CAST(count(o_custkey) - count(DISTINCT o_custkey)
+             AS BIGINT) AS v_uq
+    FROM orders) q,
+  LATERAL (VALUES ('nn_date', 'o_orderdate', q.v_nn),
+                  ('set_status', 'o_orderstatus', q.v_set),
+                  ('max_price', 'o_totalprice', q.v_max),
+                  ('re_prio', 'o_orderpriority', q.v_re),
+                  ('uq_cust', 'o_custkey', q.v_uq)) AS t(nm, col, v)
   ORDER BY side, join_key
 """
 

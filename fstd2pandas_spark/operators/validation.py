@@ -1,0 +1,111 @@
+"""Declarative table-quality constraint checks — the Deequ /
+Great-Expectations primitive a 100 TB ingest runs before promoting a
+batch: every rule (null-rate, range, set membership, pattern,
+uniqueness, custom predicate) is evaluated in ONE pass over the facts
+and the report is a rules-sized frame.
+
+Scale shape: all violation counters compile into a SINGLE global
+aggregation — map-side combinable integer sums, so the fact table is
+read once regardless of how many rules ride along; ``unique`` rules
+add exact ``count(DISTINCT col)`` terms (Catalyst's Expand handles
+several in one aggregate — exact by contract here: an approximate
+uniqueness check cannot certify a key). The report explodes from the
+one aggregated row driver-side-free (a rules-length array on a 1-row
+frame).
+
+Determinism contract: counts are integer sums (order/partition/
+engine-free). ``matches`` rules use Spark's Java regex dialect —
+cross-engine mirrors must stick to the common-subset syntax (char
+classes, anchors, quantifiers).
+
+Rules are ``(name, column, kind, *params)`` tuples:
+
+- ``("r1", c, "not_null")`` — violation: NULL
+- ``("r2", c, "min", lo)`` / ``("r3", c, "max", hi)`` — violation:
+  non-NULL value outside the bound (NULLs are ``not_null``'s job)
+- ``("r4", c, "between", lo, hi)``
+- ``("r5", c, "in_set", [v, ...])`` — violation: non-NULL value not
+  in the set
+- ``("r6", c, "matches", pattern)`` — violation: non-NULL value not
+  rlike pattern
+- ``("r7", c, "unique")`` — violations: non-NULL rows minus distinct
+  values (exact)
+- ``("r8", c, "custom", Column)`` — violation: the predicate is true
+
+``strict=True`` turns the report into a gate: any violation raises
+IN-PLAN (riding the always-selected violation counter — the
+loud-guard convention), so a bad batch can never be silently
+promoted by a caller that forgets to inspect the report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KINDS = ("not_null", "min", "max", "between", "in_set", "matches",
+          "unique", "custom")
+
+
+def _violation_agg(rule) -> Column:
+    name, col, kind = rule[0], rule[1], rule[2]
+    c = F.col(col)
+    if kind == "not_null":
+        cond = c.isNull()
+    elif kind == "min":
+        cond = c.isNotNull() & (c < F.lit(rule[3]))
+    elif kind == "max":
+        cond = c.isNotNull() & (c > F.lit(rule[3]))
+    elif kind == "between":
+        cond = c.isNotNull() & ((c < F.lit(rule[3])) | (c > F.lit(rule[4])))
+    elif kind == "in_set":
+        cond = c.isNotNull() & ~c.isin(*rule[3])
+    elif kind == "matches":
+        cond = c.isNotNull() & ~c.rlike(rule[3])
+    elif kind == "unique":
+        return (F.count(c) - F.count_distinct(c)).cast("long")
+    elif kind == "custom":
+        pred = rule[3]
+        if not isinstance(pred, Column):
+            raise ValueError(
+                f"rule {name}: custom predicate must be a Column")
+        cond = pred
+    else:
+        raise ValueError(
+            f"rule {name}: unknown kind {kind!r} (one of {_KINDS})")
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+
+def table_quality_report(df: DataFrame, rules: "list[tuple]",
+                         strict: bool = False) -> DataFrame:
+    """One row per rule: ``(name, column, kind, n_rows, n_violations,
+    passed)`` — computed in one aggregation pass (see module
+    docstring). Duplicate rule names raise (the report would be
+    ambiguous)."""
+    if not rules:
+        raise ValueError("need at least one rule")
+    names = [r[0] for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {sorted(names)}")
+    aggs = [F.count("*").cast("long").alias("_qr_n")]
+    for i, rule in enumerate(rules):
+        v = _violation_agg(rule)
+        if strict:
+            bad = F.concat(
+                F.lit(f"table_quality_report: rule {rule[0]} "
+                      f"({rule[2]} on {rule[1]}) has "),
+                v.cast("string"), F.lit(" violations (strict mode)"))
+            v = (F.when(v == 0, v)
+                 .otherwise(F.raise_error(bad).cast("long")))
+        aggs.append(v.alias(f"_qr_v{i}"))
+    one = df.agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(r[0]).alias("name"),
+            F.lit(r[1]).alias("column"),
+            F.lit(r[2]).alias("kind"),
+            F.col("_qr_n").alias("n_rows"),
+            F.col(f"_qr_v{i}").alias("n_violations"),
+            (F.col(f"_qr_v{i}") == 0).alias("passed"))
+        for i, r in enumerate(rules)])
+    return one.select(F.explode(entries).alias("_e")).select("_e.*")

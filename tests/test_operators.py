@@ -1470,6 +1470,60 @@ def test_incremental_refresh_exact(spark):
         incremental_refresh(clash, old_p, diff, ["day"], ["u"], ["v"])
 
 
+def test_table_quality_report(spark):
+    """Every rule kind against hand-computed violation counts on one
+    frame, NULL handling per contract (bounds/sets/patterns skip NULLs
+    — not_null owns them), strict mode raising in-plan on the first
+    violating rule, and the plan staying a single aggregation pass."""
+    from fstd2pandas_spark.operators.validation import (
+        table_quality_report)
+
+    df = spark.createDataFrame(
+        [(1, "a-1", 5.0), (2, "b-2", -1.0), (2, "c!3", None),
+         (None, None, 150.0), (4, "d-4", 50.0)],
+        "k long, s string, x double")
+    rules = [
+        ("r_nn", "k", "not_null"),            # 1 NULL
+        ("r_min", "x", "min", 0.0),           # -1.0 -> 1
+        ("r_max", "x", "max", 100.0),         # 150.0 -> 1
+        ("r_bet", "x", "between", 0.0, 100.0),  # -1, 150 -> 2
+        ("r_set", "k", "in_set", [1, 2, 4]),  # 0 (NULL skipped)
+        ("r_re", "s", "matches", "^[a-z]-[0-9]$"),  # 'c!3' -> 1
+        ("r_uq", "k", "unique"),              # k=2 twice -> 1
+        ("r_cu", "x", "custom", F.col("x") == 50.0),  # 1
+    ]
+    got = {r["name"]: (r["n_rows"], r["n_violations"], r["passed"])
+           for r in table_quality_report(df, rules).collect()}
+    assert got == {
+        "r_nn": (5, 1, False), "r_min": (5, 1, False),
+        "r_max": (5, 1, False), "r_bet": (5, 2, False),
+        "r_set": (5, 0, True), "r_re": (5, 1, False),
+        "r_uq": (5, 1, False), "r_cu": (5, 1, False)}
+
+    # strict mode: a clean rule set passes, a dirty one raises in-plan
+    clean = [("ok", "k", "in_set", [1, 2, 4])]
+    assert table_quality_report(df, clean, strict=True) \
+        .collect()[0]["passed"] is True
+    with pytest.raises(Exception, match="strict mode"):
+        table_quality_report(df, rules, strict=True).collect()
+
+    # guards: empty rules, duplicate names, bad kind, non-Column custom
+    with pytest.raises(ValueError, match="at least one"):
+        table_quality_report(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        table_quality_report(df, [("a", "k", "not_null"),
+                                  ("a", "x", "not_null")])
+    with pytest.raises(ValueError, match="unknown kind"):
+        table_quality_report(df, [("a", "k", "median")])
+    with pytest.raises(ValueError, match="must be a Column"):
+        table_quality_report(df, [("a", "k", "custom", "k > 1")])
+
+    # single-pass plan: exactly one scan feeds every counter
+    rep = table_quality_report(df, rules)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ExistingRDD") <= 1 or plan.count("Scan") <= 2
+
+
 def test_merge_upsert_semantics(spark):
     """Exact SQL-MERGE semantics: latest-wins by version across a
     multi-version batch, set-NULL updates (presence flag, not value
