@@ -364,9 +364,31 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").cast("bigint").alias("join_key"),
         F.concat_ws(":", "name", "column",
                     F.col("passed").cast("string")).alias("info"))
+    # 'skew' (round 11): the key-skew diagnosis
+    # (plans/salting.py key_skew_report — what an operator reads
+    # before choosing n_salts). The raw tables are deliberately
+    # balanced, so a skewed key is CONSTRUCTED (the
+    # temperature_mix_sample lesson): users ≡0 (mod 4) collapse into
+    # one 'hot' key (~25% share) over a long singleton-ish tail —
+    # rank 1 is the hot key, ranks 2-5 the heaviest per-user keys
+    # with ties broken by key string ascending in both engines.
+    # Exact counts, integer-division ppm, top-5 truncation all gated.
+    from fstd2pandas_spark.plans.salting import key_skew_report
+
+    skdf = ev.select(
+        F.when(F.col("user_id") % 4 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("u"),
+                            F.col("user_id").cast("string")))
+        .alias("skey"))
+    skew = key_skew_report(skdf, ["skey"], top_k=5).select(
+        F.lit("skew").alias("side"),
+        F.col("n_rows").cast("bigint").alias("join_key"),
+        F.concat_ws(":", F.col("rank").cast("string"), "skey",
+                    F.col("share_ppm").cast("string")).alias("info"))
     return (semi.unionByName(anti).unionByName(asof).unionByName(asoff)
             .unionByName(asoft).unionByName(asofe).unionByName(asofn)
             .unionByName(prank).unionByName(rng).unionByName(qc)
+            .unionByName(skew)
             .orderBy("side", "join_key"))
 
 
@@ -500,6 +522,23 @@ __PRANK_CTES__
                   ('max_price', 'o_totalprice', q.v_max),
                   ('re_prio', 'o_orderpriority', q.v_re),
                   ('uq_cust', 'o_custkey', q.v_uq)) AS t(nm, col, v)
+  UNION ALL
+  -- skew mirror: counts + integer-div ppm + deterministic tie rank
+  -- over the same constructed hot-key projection
+  SELECT 'skew' AS side, CAST(n AS BIGINT) AS join_key,
+         concat_ws(':', CAST(rank AS VARCHAR), skey,
+                   CAST(ppm AS VARCHAR)) AS info
+  FROM (
+    SELECT skey, n, (n * 1000000) // total AS ppm,
+           row_number() OVER (ORDER BY n DESC, skey ASC) AS rank
+    FROM (SELECT skey, count(*) AS n,
+                 sum(count(*)) OVER () AS total
+          FROM (SELECT CASE WHEN user_id % 4 = 0 THEN 'hot'
+                            ELSE 'u' || CAST(user_id AS VARCHAR)
+                       END AS skey
+                FROM events) sk
+          GROUP BY skey) c) r
+  WHERE rank <= 5
   ORDER BY side, join_key
 """
 

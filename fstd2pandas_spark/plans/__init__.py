@@ -8,6 +8,7 @@ from fstd2pandas_spark.plans.incremental import (
     reduce_partials,
 )
 from fstd2pandas_spark.plans.merge import merge_upsert
+from fstd2pandas_spark.plans.salting import key_skew_report, salted_join
 from fstd2pandas_spark.plans.checks import (
     assert_broadcast_join,
     assert_no_cartesian,
@@ -22,7 +23,9 @@ __all__ = [
     "changed_partitions",
     "partition_fingerprints",
     "incremental_refresh",
+    "key_skew_report",
     "merge_upsert",
+    "salted_join",
     "partial_aggregates",
     "reduce_partials",
     "assert_broadcast_join",

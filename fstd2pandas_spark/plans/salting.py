@@ -46,3 +46,63 @@ def salted_join(big: DataFrame, other: DataFrame, on: "list[str]",
         .join(replicated(other, n_salts), [*on, SALT_COL], how)
         .drop(SALT_COL)
     )
+
+
+#: top-k ceiling for key_skew_report — the final rank window runs on a
+#: single partition of k rows by construction, so k is bounded loudly
+#: (the MAX_HIST_BINS convention), not by accident of a typo'd argument.
+MAX_SKEW_TOPK = 10_000
+
+
+def key_skew_report(df: DataFrame, key_cols: "list[str]",
+                    top_k: int = 20) -> DataFrame:
+    """The "which keys need salting" diagnosis: the ``top_k`` heaviest
+    key values with exact counts, parts-per-million share and a
+    deterministic rank — what a 100 TB operator reads before deciding
+    ``n_salts`` (or whether AQE's split already suffices).
+
+    Scale shape: ONE map-side-combinable count aggregation (keys-sized
+    output), a 1-row total broadcast (the nmin crossJoin pattern),
+    then ``orderBy().limit()`` over the KEYS-sized frame only — the
+    facts are never sorted. Catalyst plans that as a distributed
+    range sort with the LocalLimit pushed below the single-partition
+    merge, so the merge sees at most ``top_k x partitions`` rows
+    (verified in the unit test; TakeOrderedAndProject only applies to
+    terminal limits). The final rank window runs on the k surviving
+    rows only. share_ppm is exact integer division (``n * 1e6 div
+    total``) — no float, engine-free; ties rank by the key columns
+    ascending, so the report is bit-deterministic."""
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    if not (1 <= top_k <= MAX_SKEW_TOPK):
+        raise ValueError(
+            f"top_k={top_k} outside [1, MAX_SKEW_TOPK={MAX_SKEW_TOPK}] "
+            "— the final rank window is a single partition of top_k "
+            "rows; raise the ceiling deliberately if a wider report "
+            "is worth it")
+    from pyspark.sql import Window
+
+    cnt = (df.groupBy(*key_cols)
+           .agg(F.count("*").cast("long").alias("n_rows")))
+    tot = cnt.agg(F.sum("n_rows").cast("long").alias("_skw_total"))
+    order = [F.col("n_rows").desc()] + [F.col(c).asc_nulls_last()
+                                        for c in key_cols]
+    top = (cnt.crossJoin(F.broadcast(tot))
+           .orderBy(*order).limit(top_k))
+    w = Window.orderBy(*order)
+    # loud no-wrap bound on the ppm numerator (the MAX_GROUP_ROWS
+    # convention): n_rows * 1e6 must stay inside int64
+    lim = (2 ** 63 - 1) // 1_000_000
+    bad = F.concat(
+        F.lit("key_skew_report: a key holds "),
+        F.col("n_rows").cast("string"),
+        F.lit(f" rows > {lim} — the ppm numerator would wrap int64"))
+    n_ok = (F.when(F.col("n_rows") <= F.lit(lim), F.col("n_rows"))
+            .otherwise(F.raise_error(bad).cast("long")))
+    return (top
+            .withColumn("n_rows", n_ok)
+            .withColumn("share_ppm",
+                        F.expr("(n_rows * 1000000L) div _skw_total")
+                        .cast("long"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .select(*key_cols, "n_rows", "share_ppm", "rank"))

@@ -1470,6 +1470,41 @@ def test_incremental_refresh_exact(spark):
         incremental_refresh(clash, old_p, diff, ["day"], ["u"], ["v"])
 
 
+def test_key_skew_report(spark):
+    """Exact counts, integer-div ppm shares, deterministic tie ranks
+    (count desc then key asc), top-k truncation, NULL keys counted as
+    a real group, and the guards; the top-k must compile to
+    TakeOrderedAndProject — never a global sort."""
+    from fstd2pandas_spark.plans.salting import key_skew_report
+
+    rows = (["a"] * 6 + ["b"] * 3 + ["c"] * 3 + [None] * 2 + ["d"])
+    df = spark.createDataFrame([(k,) for k in rows], "k string")
+    got = [(r["k"], r["n_rows"], r["share_ppm"], r["rank"])
+           for r in key_skew_report(df, ["k"], top_k=4)
+           .orderBy("rank").collect()]
+    # 15 rows total: a=6 (400000 ppm), b=c=3 (200000, tie -> b then c),
+    # NULL=2 (133333)
+    assert got == [("a", 6, 400000, 1), ("b", 3, 200000, 2),
+                   ("c", 3, 200000, 3), (None, 2, 133333, 4)]
+
+    with pytest.raises(ValueError, match="key column"):
+        key_skew_report(df, [])
+    with pytest.raises(ValueError, match="MAX_SKEW_TOPK"):
+        key_skew_report(df, ["k"], top_k=10_001)
+
+    # scale lock: the facts are aggregated BEFORE any sort (the only
+    # global sort consumes the keys-sized count frame) and LocalLimit
+    # bounds what reaches the single-partition merge to k rows per
+    # range partition
+    out = key_skew_report(df, ["k"], top_k=4)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    init = plan.split("== Initial Plan ==")[-1]
+    assert "LocalLimit 4" in init, init
+    gsorts = [ln for ln in init.splitlines() if "], true, 0" in ln]
+    assert len(gsorts) == 1 and "n_rows" in gsorts[0], init
+
+
 def test_table_quality_report(spark):
     """Every rule kind against hand-computed violation counts on one
     frame, NULL handling per contract (bounds/sets/patterns skip NULLs
