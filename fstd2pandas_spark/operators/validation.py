@@ -73,7 +73,11 @@ def _violation_agg(rule) -> Column:
     else:
         raise ValueError(
             f"rule {name}: unknown kind {kind!r} (one of {_KINDS})")
-    return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    # coalesce: SUM over an EMPTY table is NULL — an empty batch is a
+    # routine, clean case for a promotion gate, not a violation (and
+    # strict mode must not raise on it)
+    return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)),
+                      F.lit(0)).cast("long")
 
 
 def table_quality_report(df: DataFrame, rules: "list[tuple]",

@@ -92,8 +92,11 @@ def merge_upsert(target: DataFrame, source: DataFrame,
     src = resolved.select(
         *[F.col(k).alias(f"_mrg_k_{k}") for k in keys],
         *[F.col(c).alias(f"_mrg_v_{c}") for c in payload],
-        (F.col(delete_col) if delete_col else F.lit(False))
-        .alias("_mrg_del"),
+        # NULL tombstone flag means NOT deleted (the docstring
+        # contract) — uncoalesced it would three-valued-logic the row
+        # out of the post-join filter entirely
+        (F.coalesce(F.col(delete_col), F.lit(False)) if delete_col
+         else F.lit(False)).alias("_mrg_del"),
         F.when(F.col("_mrg_dup") == 1, F.lit(True))
         .otherwise(F.raise_error(bad).cast("boolean"))
         .alias("_mrg_src"))

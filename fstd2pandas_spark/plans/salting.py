@@ -74,6 +74,13 @@ def key_skew_report(df: DataFrame, key_cols: "list[str]",
     ascending, so the report is bit-deterministic."""
     if not key_cols:
         raise ValueError("need at least one key column")
+    reserved = {"n_rows", "share_ppm", "rank", "_skw_total"}
+    clash = reserved & set(key_cols)
+    if clash:
+        raise ValueError(
+            f"key columns {sorted(clash)} collide with the report's "
+            "output names — rename them first (the merge_upsert "
+            "reserved-name convention)")
     if not (1 <= top_k <= MAX_SKEW_TOPK):
         raise ValueError(
             f"top_k={top_k} outside [1, MAX_SKEW_TOPK={MAX_SKEW_TOPK}] "

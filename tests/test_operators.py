@@ -1473,8 +1473,10 @@ def test_incremental_refresh_exact(spark):
 def test_key_skew_report(spark):
     """Exact counts, integer-div ppm shares, deterministic tie ranks
     (count desc then key asc), top-k truncation, NULL keys counted as
-    a real group, and the guards; the top-k must compile to
-    TakeOrderedAndProject — never a global sort."""
+    a real group, and the guards; plan lock = the LOCKED shape (one
+    range sort over the keys-sized count frame with LocalLimit pushed
+    below the single-partition merge — TakeOrderedAndProject never
+    applies to non-terminal limits, so don't chase it)."""
     from fstd2pandas_spark.plans.salting import key_skew_report
 
     rows = (["a"] * 6 + ["b"] * 3 + ["c"] * 3 + [None] * 2 + ["d"])
@@ -1491,6 +1493,8 @@ def test_key_skew_report(spark):
         key_skew_report(df, [])
     with pytest.raises(ValueError, match="MAX_SKEW_TOPK"):
         key_skew_report(df, ["k"], top_k=10_001)
+    with pytest.raises(ValueError, match="output names"):
+        key_skew_report(df.withColumnRenamed("k", "rank"), ["rank"])
 
     # scale lock: the facts are aggregated BEFORE any sort (the only
     # global sort consumes the keys-sized count frame) and LocalLimit
@@ -1553,10 +1557,20 @@ def test_table_quality_report(spark):
     with pytest.raises(ValueError, match="must be a Column"):
         table_quality_report(df, [("a", "k", "custom", "k > 1")])
 
-    # single-pass plan: exactly one scan feeds every counter
+    # an EMPTY batch is clean: zero violations, passed, and strict
+    # mode must NOT raise (SUM over no rows is NULL — coalesced)
+    empty = df.filter(F.lit(False))
+    erep = table_quality_report(empty, rules, strict=True).collect()
+    assert all(r["n_violations"] == 0 and r["passed"] is True
+               and r["n_rows"] == 0 for r in erep)
+
+    # single-pass plan: EXACTLY one scan of the facts feeds every
+    # counter (a rules-split regression would add a second scan)
     rep = table_quality_report(df, rules)
+    rep.collect()
     plan = rep._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ExistingRDD") <= 1 or plan.count("Scan") <= 2
+    init = plan.split("== Initial Plan ==")[-1]
+    assert init.count("Scan ExistingRDD") == 1, init
 
 
 def test_merge_upsert_semantics(spark):
@@ -1583,6 +1597,15 @@ def test_merge_upsert_semantics(spark):
         delete_col="del").collect()}
     assert out == {(1, "a2", None), (3, "c", 30), (9, "i", 90),
                    (None, "N", 44)}
+
+    # a NULL tombstone flag means NOT deleted (the contract) — the
+    # row must apply as a normal upsert, not vanish via 3VL
+    srcn = spark.createDataFrame([(3, "cN", 35, 1, None)],
+                                 "k long, s string, v long, ver long, del boolean")
+    outn = {(r["k"], r["s"], r["v"]) for r in merge_upsert(
+        tgt, srcn, ["k"], version_col="ver",
+        delete_col="del").collect()}
+    assert (3, "cN", 35) in outn and len(outn) == 4
 
     # no version column: a key-unique batch applies, duplicates raise
     src1 = spark.createDataFrame([(3, "c9", 33, False)],
