@@ -1573,6 +1573,58 @@ def test_table_quality_report(spark):
     assert init.count("Scan ExistingRDD") == 1, init
 
 
+def test_merge_upsert_randomized_model(spark):
+    """Property-style check against an independent Python reference
+    model: 40 seeded-random scenarios (random key overlap, multi-
+    version batches with unique versions, tombstones incl. NULL flags,
+    NULL keys and NULL payloads) packed into ONE merge via a
+    (scenario, k) compound key — exercising the multi-column key path
+    — must reproduce the model's final table exactly."""
+    import random
+
+    from fstd2pandas_spark.plans.merge import merge_upsert
+
+    rng = random.Random(11)
+    tgt_rows, src_rows, expect = [], [], set()
+    for sc in range(40):
+        keys = [None if rng.random() < 0.15 else k for k in
+                rng.sample(range(8), rng.randint(1, 6))]
+        tgt = {k: (f"t{sc}_{k}", rng.randint(0, 99)
+                   if rng.random() < 0.9 else None) for k in keys}
+        for k, (s, v) in tgt.items():
+            tgt_rows.append((sc, k, s, v))
+        src = {}
+        for k in list(tgt) + [10, 11]:
+            if rng.random() < 0.6:
+                vers = rng.sample(range(10), rng.randint(1, 3))
+                src[k] = [(f"s{sc}_{k}_{ver}",
+                           rng.randint(0, 99)
+                           if rng.random() < 0.85 else None,
+                           ver,
+                           rng.choice([True, False, None]))
+                          for ver in vers]
+                for s, v, ver, dele in src[k]:
+                    src_rows.append((sc, k, s, v, ver, dele))
+        for k in set(tgt) | set(src):
+            if k in src:
+                s, v, _, dele = max(src[k], key=lambda r: r[2])
+                if dele is not True:
+                    expect.add((sc, k, s, v))
+            else:
+                s, v = tgt[k]
+                expect.add((sc, k, s, v))
+
+    t = spark.createDataFrame(tgt_rows,
+                              "sc long, k long, s string, v long")
+    s = spark.createDataFrame(
+        src_rows, "sc long, k long, s string, v long, ver long, "
+                  "del boolean")
+    got = {(r["sc"], r["k"], r["s"], r["v"]) for r in merge_upsert(
+        t, s, ["sc", "k"], version_col="ver",
+        delete_col="del").collect()}
+    assert got == expect
+
+
 def test_merge_upsert_semantics(spark):
     """Exact SQL-MERGE semantics: latest-wins by version across a
     multi-version batch, set-NULL updates (presence flag, not value
