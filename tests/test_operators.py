@@ -1573,6 +1573,63 @@ def test_table_quality_report(spark):
     assert init.count("Scan ExistingRDD") == 1, init
 
 
+def test_incremental_refresh_randomized_model(spark):
+    """Property-style check: 25 seeded-random corpus mutations
+    (partitions added, dropped, value-edited, row-count-edited,
+    untouched — incl. a NULL partition key) — for each, the refreshed
+    partials from the previous corpus + diff must equal
+    partial_aggregates over the current corpus EXACTLY, on both the
+    literal-pruned and the semi-join fallback path (one Spark job per
+    path over all scenarios via a compound (scenario, day) partition
+    key)."""
+    import random
+
+    from fstd2pandas_spark.plans.incremental import (
+        incremental_refresh, partial_aggregates)
+    from fstd2pandas_spark.plans.snapshot import (
+        changed_partitions, partition_fingerprints)
+
+    rng = random.Random(7)
+    prv_rows, cur_rows = [], []
+    for sc in range(25):
+        days = [None if rng.random() < 0.1 else d for d in
+                rng.sample(range(6), rng.randint(2, 5))]
+        for d in set(days):
+            n = rng.randint(1, 4)
+            rows = [(sc, d, rng.randint(0, 2),
+                     rng.randint(-50, 50)) for _ in range(n)]
+            fate = rng.choice(["keep", "changed", "deleted", "resize"])
+            if fate != "new":
+                prv_rows.extend(rows)
+            if fate == "keep":
+                cur_rows.extend(rows)
+            elif fate == "changed":
+                cur_rows.extend((s, dd, u, v + 1) for s, dd, u, v in rows)
+            elif fate == "resize":
+                cur_rows.extend(rows + [(sc, d, 9, 9)])
+            # 'deleted': absent from cur
+        # a brand-new partition in cur only
+        if rng.random() < 0.7:
+            cur_rows.append((sc, 97, rng.randint(0, 2),
+                             rng.randint(-50, 50)))
+
+    schema = "sc long, day long, u long, v long"
+    prv = spark.createDataFrame(prv_rows, schema)
+    cur = spark.createDataFrame(cur_rows, schema)
+    pc = ["sc", "day"]
+    diff = changed_partitions(
+        partition_fingerprints(cur, pc, ["u", "v"]),
+        partition_fingerprints(prv, pc, ["u", "v"]), pc)
+    old_p = partial_aggregates(prv, pc, ["u"], ["v"])
+    want = {tuple(r) for r in
+            partial_aggregates(cur, pc, ["u"], ["v"]).collect()}
+    for lim in (10_000, 0):     # literal-pruned path, then fallback
+        got = {tuple(r) for r in incremental_refresh(
+            cur, old_p, diff, pc, ["u"], ["v"],
+            prune_limit=lim).collect()}
+        assert got == want, f"prune_limit={lim}"
+
+
 def test_merge_upsert_randomized_model(spark):
     """Property-style check against an independent Python reference
     model: 40 seeded-random scenarios (random key overlap, multi-
