@@ -11,11 +11,14 @@ Semantics (deterministic by construction):
 
 1. The source batch is resolved to ONE row per key, latest-wins by
    ``version_col`` (a monotone CDC sequence — LSN, binlog offset,
-   ingest version). Two source rows sharing (key, max version) are
-   AMBIGUOUS and raise in-plan — row_number tie-breaking would pick a
-   physical row nondeterministically, the exact wrongness the
-   engine's bit-determinism contract forbids. Without ``version_col``
-   the batch must be key-unique (raised otherwise, same reason).
+   ingest version). EXACT duplicate rows collapse first — an
+   at-least-once delivery replaying the same change is idempotent,
+   not an error. After that, two source rows sharing (key, max
+   version) genuinely DIVERGE and raise in-plan — row_number
+   tie-breaking would pick a physical row nondeterministically, the
+   exact wrongness the engine's bit-determinism contract forbids.
+   Without ``version_col`` the deduplicated batch must be key-unique
+   (raised otherwise, same reason).
 2. A resolved row with ``delete_col`` true is a tombstone: the key
    disappears from the output.
 3. A matched key takes the source payload ENTIRELY (a NULL in the
@@ -64,6 +67,11 @@ def merge_upsert(target: DataFrame, source: DataFrame,
             f"{sorted(set(source.columns) - meta)}) — MERGE replaces "
             "whole rows; project both sides first")
 
+    # at-least-once CDC delivery replays IDENTICAL rows routinely —
+    # exact duplicates are idempotent and collapse first (one
+    # batch-sized exchange); only genuine divergence (same key + max
+    # version, different payload) is ambiguous and raises below.
+    source = source.dropDuplicates()
     # resolve the batch to one row per key, latest-wins; ties and
     # (without a version) duplicate keys raise IN-PLAN — an ambiguous
     # batch must never silently pick a physical row. Both windows

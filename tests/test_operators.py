@@ -1733,6 +1733,22 @@ def test_merge_upsert_semantics(spark):
     with pytest.raises(Exception, match="max version"):
         merge_upsert(tgt, tie, ["k"], version_col="ver",
                      delete_col="del").collect()
+    # at-least-once replay: EXACT duplicate rows are idempotent, not
+    # ambiguous — they collapse and the merge applies cleanly (both
+    # with and without a version column)
+    replay = spark.createDataFrame(
+        [(3, "r", 77, 5, False), (3, "r", 77, 5, False)],
+        "k long, s string, v long, ver long, del boolean")
+    outr = {(r["k"], r["s"], r["v"]) for r in merge_upsert(
+        tgt, replay, ["k"], version_col="ver",
+        delete_col="del").collect()}
+    assert (3, "r", 77) in outr and len(outr) == 4
+    replay_nv = spark.createDataFrame(
+        [(3, "r", 78, False), (3, "r", 78, False)],
+        "k long, s string, v long, del boolean")
+    assert (3, "r", 78) in {(r["k"], r["s"], r["v"]) for r in
+                            merge_upsert(tgt, replay_nv, ["k"],
+                                         delete_col="del").collect()}
 
     # guards: schema mismatch, reserved prefix, empty keys
     with pytest.raises(ValueError, match="payload columns"):
