@@ -1441,6 +1441,17 @@ def test_incremental_refresh_exact(spark):
         tuple(r) for r in
         partial_aggregates(cur2, ["day"], ["u"], ["v"]).collect()}
 
+    # bootstrap: first run — empty previous partials, every partition
+    # 'new' in the diff — must equal a from-scratch build
+    empty_p = partial_aggregates(prv.filter(F.lit(False)),
+                                 ["day"], ["u"], ["v"])
+    d0 = changed_partitions(
+        partition_fingerprints(cur, ["day"], ["u", "v"]),
+        partition_fingerprints(prv.filter(F.lit(False)),
+                               ["day"], ["u", "v"]), ["day"])
+    boot = incremental_refresh(cur, empty_p, d0, ["day"], ["u"], ["v"])
+    assert {tuple(r) for r in boot.collect()} == want
+
     # guards: non-integer metric, reserved names, missing status,
     # per-value magnitude (in-plan, config-independent)
     fdf = spark.createDataFrame([("d", 1, 1.5)],
