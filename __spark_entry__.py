@@ -935,7 +935,17 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"], ["_cv"]).select(
         "user_id", F.col("n_rows").alias("inc_n"),
         F.col("sum__cv").alias("inc_sum"))
-    hsk = histogram_sketch(ev, "value", 0.5, 256.5, 8, ["user_id"])
+    # histogram_merge gated too: fine per-(user, event_type) sketches
+    # roll up to per-user by vector addition — a broken merge (lost
+    # NULL keys, mis-ordered bins, dropped flows) moves h_hist itself,
+    # because the gate column is built from the MERGED sketch while
+    # the oracle counts the corpus directly.
+    from fstd2pandas_spark.operators.sketch import histogram_merge
+
+    hsk = histogram_merge(
+        histogram_sketch(ev, "value", 0.5, 256.5, 8,
+                         ["user_id", "event_type"]),
+        ["user_id"])
     hsk = histogram_quantile(hsk, 0.5, 0.5, 256.5, 8, out_col="hq50")
     hsk = histogram_quantile(hsk, 0.9, 0.5, 256.5, 8, out_col="hq90")
     hcols = hsk.select(
