@@ -729,9 +729,34 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderstatus", "o_orderpriority").agg(
         F.count("*").cast("long").alias("m_n"),
         F.sum("cents").cast("long").alias("m_cents"))
-    return (base.join(
-        mg, ["o_custkey", "o_orderstatus", "o_orderpriority"], "left")
-        .orderBy("o_custkey", "o_orderstatus", "o_orderpriority"))
+    # round 11: SCD Type-2 history maintenance gated on the SAME CDC
+    # construction plus a NO-OP class (plans/merge.py scd2_apply):
+    # keys ≡9 (mod 10) arrive with IDENTICAL payloads — change
+    # detection must not grow history for them, and s2_hn counts
+    # EVERY history row per group (base + one new version per ≡3 key
+    # + one insert per ≡1 key), so a broken no-op, a missed close or
+    # a duplicate append moves an integer; s2_closed pins the closed
+    # set exactly (≡3 superseded + ≡7 tombstoned). The oracle derives
+    # both counts arithmetically from the construction.
+    from fstd2pandas_spark.plans.merge import scd2_apply
+
+    hist = (tgt.withColumn("valid_from", F.lit(0).cast("long"))
+            .withColumn("valid_to", F.lit(None).cast("long")))
+    sbatch = (_batch(k10 == 3, 500, 1, False)
+              .unionByName(_batch(k10 == 3, 1000, 2, False))
+              .unionByName(_batch(k10 == 7, 0, 1, True))
+              .unionByName(_batch(k10 == 1, 500, 1, False, 10 ** 12))
+              .unionByName(_batch(k10 == 9, 0, 1, False)))
+    s2 = scd2_apply(hist, sbatch, ["o_orderkey"], "_v",
+                    delete_col="_del")
+    s2g = s2.groupBy(
+        "o_custkey", "o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("long").alias("s2_hn"),
+        F.sum(F.when(F.col("valid_to").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("s2_closed"))
+    gcols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    return (base.join(mg, gcols, "left").join(s2g, gcols, "left")
+            .orderBy(*gcols))
 
 
 _Q_DEDUP_SQL = """
@@ -756,9 +781,23 @@ _Q_DEDUP_SQL = """
              CAST(round(o_totalprice * 100, 0) AS BIGINT) + 500
                AS cents
       FROM orders WHERE o_orderkey % 10 = 1) t
+    GROUP BY o_custkey, o_orderstatus, o_orderpriority),
+  -- SCD2 mirror: per-group history size = base rows + one appended
+  -- version per ≡3 key + one insert per ≡1 key (≡9 no-ops by change
+  -- detection, ≡7 closes without appending); closed = ≡3 + ≡7
+  s2 AS (
+    SELECT o_custkey, o_orderstatus, o_orderpriority,
+           CAST(count(*)
+                + count(*) FILTER (o_orderkey % 10 = 3)
+                + count(*) FILTER (o_orderkey % 10 = 1)
+             AS BIGINT) AS s2_hn,
+           CAST(count(*) FILTER (o_orderkey % 10 IN (3, 7))
+             AS BIGINT) AS s2_closed
+    FROM orders
     GROUP BY o_custkey, o_orderstatus, o_orderpriority)
-  SELECT base.*, m.m_n, m.m_cents
+  SELECT base.*, m.m_n, m.m_cents, s2.s2_hn, s2.s2_closed
   FROM base LEFT JOIN m USING (o_custkey, o_orderstatus, o_orderpriority)
+  LEFT JOIN s2 USING (o_custkey, o_orderstatus, o_orderpriority)
   ORDER BY o_custkey, o_orderstatus, o_orderpriority
 """
 

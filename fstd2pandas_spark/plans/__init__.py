@@ -7,7 +7,7 @@ from fstd2pandas_spark.plans.incremental import (
     partial_aggregates,
     reduce_partials,
 )
-from fstd2pandas_spark.plans.merge import merge_upsert
+from fstd2pandas_spark.plans.merge import merge_upsert, scd2_apply
 from fstd2pandas_spark.plans.salting import key_skew_report, salted_join
 from fstd2pandas_spark.plans.checks import (
     assert_broadcast_join,
@@ -28,6 +28,7 @@ __all__ = [
     "salted_join",
     "partial_aggregates",
     "reduce_partials",
+    "scd2_apply",
     "assert_broadcast_join",
     "assert_no_cartesian",
     "assert_pushed_filters",

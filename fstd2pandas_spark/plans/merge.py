@@ -45,6 +45,38 @@ from pyspark.sql import functions as F
 _PREFIX = "_mrg_"
 
 
+def _resolve_latest(source: DataFrame, keys: "list[str]",
+                    version_col: "str | None", who: str):
+    """Shared CDC batch resolution (merge_upsert + scd2_apply — one
+    definition, the _salted_topk precedent): collapse exact duplicates
+    (at-least-once replays are idempotent), keep the max-version row
+    per key, and return ``(resolved, bad)`` where ``resolved`` carries
+    ``_mrg_dup`` (the count of surviving max-version rows) and ``bad``
+    is the ambiguity error message — each caller folds the
+    ``_mrg_dup == 1`` guard into one of its own ALWAYS-SELECTED
+    columns (a guard-only column would be pruned away with the
+    column). Both windows share the key partitioning: one exchange
+    over the batch."""
+    source = source.dropDuplicates()
+    wk = Window.partitionBy(*keys)
+    if version_col is not None:
+        rk = F.rank().over(wk.orderBy(F.col(version_col).desc()))
+        why = "two source rows share (key, max version)"
+    else:
+        rk = F.lit(1)
+        why = "the batch has duplicate keys and no version_col"
+    bad = F.concat(
+        F.lit(f"{who}: ambiguous CDC batch — {why} for key ("),
+        F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+        F.lit(")"))
+    dup = F.sum(F.when(F.col("_mrg_rk") == 1, 1).otherwise(0)).over(wk)
+    resolved = (source
+                .withColumn("_mrg_rk", rk)
+                .withColumn("_mrg_dup", dup)
+                .filter(F.col("_mrg_rk") == 1))
+    return resolved, bad
+
+
 def merge_upsert(target: DataFrame, source: DataFrame,
                  keys: "list[str]", version_col: "str | None" = None,
                  delete_col: "str | None" = None) -> DataFrame:
@@ -67,31 +99,8 @@ def merge_upsert(target: DataFrame, source: DataFrame,
             f"{sorted(set(source.columns) - meta)}) — MERGE replaces "
             "whole rows; project both sides first")
 
-    # at-least-once CDC delivery replays IDENTICAL rows routinely —
-    # exact duplicates are idempotent and collapse first (one
-    # batch-sized exchange); only genuine divergence (same key + max
-    # version, different payload) is ambiguous and raises below.
-    source = source.dropDuplicates()
-    # resolve the batch to one row per key, latest-wins; ties and
-    # (without a version) duplicate keys raise IN-PLAN — an ambiguous
-    # batch must never silently pick a physical row. Both windows
-    # share the key partitioning: one exchange over the batch.
-    wk = Window.partitionBy(*keys)
-    if version_col is not None:
-        rk = F.rank().over(wk.orderBy(F.col(version_col).desc()))
-        why = "two source rows share (key, max version)"
-    else:
-        rk = F.lit(1)
-        why = "the batch has duplicate keys and no version_col"
-    bad = F.concat(
-        F.lit(f"merge_upsert: ambiguous CDC batch — {why} for key ("),
-        F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
-        F.lit(")"))
-    dup = F.sum(F.when(F.col("_mrg_rk") == 1, 1).otherwise(0)).over(wk)
-    resolved = (source
-                .withColumn("_mrg_rk", rk)
-                .withColumn("_mrg_dup", dup)
-                .filter(F.col("_mrg_rk") == 1))
+    resolved, bad = _resolve_latest(source, keys, version_col,
+                                    "merge_upsert")
 
     payload = [c for c in target.columns if c not in keys]
     # the ambiguity raise rides the always-selected presence flag —
@@ -122,3 +131,113 @@ def merge_upsert(target: DataFrame, source: DataFrame,
                *[F.when(hit, F.col(f"_mrg_v_{c}"))
                  .otherwise(F.col(c)).alias(c) for c in payload]))
     return out.select(*target.columns)
+
+
+def scd2_apply(history: DataFrame, batch: DataFrame,
+               keys: "list[str]", version_col: str,
+               valid_from: str = "valid_from",
+               valid_to: str = "valid_to",
+               delete_col: "str | None" = None) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 maintenance — the versioned
+    dimension table every warehouse keeps: instead of overwriting a
+    changed row (MERGE), close the current version (``valid_to`` =
+    the batch version) and append the new one open-ended
+    (``valid_from`` = version, ``valid_to`` NULL), preserving full
+    history for as-of joins.
+
+    Semantics (deterministic; the batch resolves through the same
+    latest-wins machinery as :func:`merge_upsert`):
+
+    - matched key, payload IDENTICAL (null-safe column compare):
+      NO-OP — change detection keeps an idempotent feed from growing
+      history on every run, the property that makes daily full
+      re-extracts cheap;
+    - matched key, payload differs: close current + append new open
+      version;
+    - matched key, tombstone (``delete_col`` true): close current,
+      append nothing;
+    - new key (not a tombstone): append open version;
+    - tombstone for an absent key: no-op;
+    - already-closed history rows always pass through untouched.
+
+    History corruption is LOUD: closing a row with a batch version
+    not strictly greater than its ``valid_from`` raises in-plan
+    (riding the emitted ``valid_to`` — load-bearing, never pruned):
+    an out-of-order batch must not fabricate a non-monotone interval.
+
+    Scale shape: closed rows never join (a filter splits them off —
+    at steady state they are the bulk of the table); one batch window
+    + one null-safe full-outer key join against the CURRENT slice
+    only, then a two-branch union. Same shuffle bill as MERGE."""
+    if not keys:
+        raise ValueError("need at least one key column")
+    clash = sorted(c for c in set(history.columns) | set(batch.columns)
+                   if c.startswith(_PREFIX))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with scd2_apply's "
+            f"internal '{_PREFIX}*' names — rename them first")
+    for c in (valid_from, valid_to):
+        if c not in history.columns:
+            raise ValueError(f"history lacks the {c} column")
+    payload = [c for c in history.columns
+               if c not in keys and c not in (valid_from, valid_to)]
+    meta = {c for c in (version_col, delete_col) if c}
+    if set(keys) | set(payload) != set(batch.columns) - meta:
+        raise ValueError(
+            "batch payload columns must equal the history schema "
+            f"minus {valid_from}/{valid_to} (history-derived "
+            f"{sorted(set(keys) | set(payload))} vs batch-minus-meta "
+            f"{sorted(set(batch.columns) - meta)})")
+
+    resolved, bad = _resolve_latest(batch, keys, version_col,
+                                    "scd2_apply")
+    src = resolved.select(
+        *[F.col(k).alias(f"_mrg_k_{k}") for k in keys],
+        *[F.col(c).alias(f"_mrg_v_{c}") for c in payload],
+        F.col(version_col).cast("long").alias("_mrg_ver"),
+        (F.coalesce(F.col(delete_col), F.lit(False)) if delete_col
+         else F.lit(False)).alias("_mrg_del"),
+        F.when(F.col("_mrg_dup") == 1, F.lit(True))
+        .otherwise(F.raise_error(bad).cast("boolean"))
+        .alias("_mrg_src"))
+
+    closed = history.filter(F.col(valid_to).isNotNull())
+    current = history.filter(F.col(valid_to).isNull()) \
+                     .withColumn("_mrg_tgt", F.lit(True))
+    cond = functools.reduce(
+        lambda x, y: x & y,
+        [F.col(k).eqNullSafe(F.col(f"_mrg_k_{k}")) for k in keys])
+    j = current.join(src, cond, "full_outer")
+    hit = F.col("_mrg_src").isNotNull()
+    present = F.col("_mrg_tgt").isNotNull()
+    same = functools.reduce(
+        lambda x, y: x & y,
+        [F.col(c).eqNullSafe(F.col(f"_mrg_v_{c}")) for c in payload]) \
+        if payload else F.lit(True)
+    closing = hit & present & (~same | F.col("_mrg_del"))
+    mono_bad = F.concat(
+        F.lit("scd2_apply: batch version "),
+        F.col("_mrg_ver").cast("string"),
+        F.lit(f" is not greater than the open row's {valid_from} "),
+        F.col(valid_from).cast("string"),
+        F.lit(" — an out-of-order batch would fabricate a "
+              "non-monotone validity interval"))
+    close_ver = (F.when(F.col("_mrg_ver") > F.col(valid_from),
+                        F.col("_mrg_ver"))
+                 .otherwise(F.raise_error(mono_bad).cast("long")))
+    kept = (j.filter(present)
+            .select(*keys, *payload, F.col(valid_from),
+                    F.when(closing, close_ver)
+                    .otherwise(F.lit(None).cast("long"))
+                    .alias(valid_to)))
+    appended = (j.filter(hit & ~F.col("_mrg_del")
+                         & (~present | ~same))
+                .select(*[F.col(f"_mrg_k_{k}").alias(k) for k in keys],
+                        *[F.col(f"_mrg_v_{c}").alias(c)
+                          for c in payload],
+                        F.col("_mrg_ver").alias(valid_from),
+                        F.lit(None).cast("long").alias(valid_to)))
+    return (closed.select(*history.columns)
+            .unionByName(kept.select(*history.columns))
+            .unionByName(appended.select(*history.columns)))

@@ -1641,6 +1641,73 @@ def test_incremental_refresh_randomized_model(spark):
         assert got == want, f"prune_limit={lim}"
 
 
+def test_scd2_apply_semantics(spark):
+    """Every SCD2 path on one frame: identical-payload NO-OP (change
+    detection — an idempotent re-extract must not grow history),
+    changed payload closes current + appends open, tombstone closes
+    without appending, new key appends, absent-key tombstone no-ops,
+    closed rows pass through untouched, NULL keys match null-safely;
+    the monotonic-version raise and the schema guards fire; and a
+    second identical apply is a fixpoint."""
+    from fstd2pandas_spark.plans.merge import scd2_apply
+
+    hist_schema = ("k long, s string, valid_from long, valid_to long")
+    hist = spark.createDataFrame(
+        [(1, "a", 0, None), (1, "a0", -5, 0),   # k=1: closed + open
+         (2, "b", 0, None), (3, "c", 0, None),
+         (4, "d", 0, None), (None, "n", 0, None)], hist_schema)
+    batch = spark.createDataFrame(
+        [(1, "a", 7, False),      # identical payload -> NO-OP
+         (2, "B", 7, False),      # changed -> close + append
+         (3, "c", 7, True),       # tombstone -> close only
+         (9, "i", 7, False),      # new key -> append
+         (8, "x", 7, True),       # tombstone for absent key -> no-op
+         (None, "N", 7, None)],   # NULL key changed, NULL del flag
+        "k long, s string, ver long, del boolean")
+    out = {tuple(r) for r in scd2_apply(
+        hist, batch, ["k"], "ver", delete_col="del").collect()}
+    assert out == {
+        (1, "a0", -5, 0), (1, "a", 0, None),          # untouched
+        (2, "b", 0, 7), (2, "B", 7, None),            # versioned
+        (3, "c", 0, 7),                               # tombstoned
+        (4, "d", 0, None),                            # unmatched
+        (9, "i", 7, None),                            # inserted
+        (None, "n", 0, 7), (None, "N", 7, None)}      # null-safe key
+
+    # fixpoint: replaying the same batch against the NEW history only
+    # re-closes nothing (identical payloads no-op; tombstoned /
+    # closed rows have no open version to close except k=3 which is
+    # gone from the current slice)
+    hist2 = spark.createDataFrame(sorted(out, key=str), hist_schema)
+    batch2 = batch.filter(F.col("ver").isNotNull())
+    out2 = {tuple(r) for r in scd2_apply(
+        hist2, batch2.withColumn("ver", F.lit(8)),
+        ["k"], "ver", delete_col="del").collect()}
+    # only the k=9/2/None identical payloads no-op; k=3 tombstone
+    # no-ops (no open row); nothing new appended except... nothing
+    assert out2 == out
+
+    # monotonic guard: closing with ver <= valid_from raises
+    stale = spark.createDataFrame([(2, "Z", 0, False)],
+                                  "k long, s string, ver long, del boolean")
+    with pytest.raises(Exception, match="non-monotone"):
+        scd2_apply(hist, stale, ["k"], "ver",
+                   delete_col="del").collect()
+
+    # guards: missing validity column, payload mismatch, ambiguity
+    with pytest.raises(ValueError, match="lacks the valid_to"):
+        scd2_apply(hist.drop("valid_to"), batch, ["k"], "ver")
+    with pytest.raises(ValueError, match="payload columns"):
+        scd2_apply(hist, batch.drop("s"), ["k"], "ver",
+                   delete_col="del")
+    tie = spark.createDataFrame(
+        [(2, "p", 5, False), (2, "q", 5, False)],
+        "k long, s string, ver long, del boolean")
+    with pytest.raises(Exception, match="max version"):
+        scd2_apply(hist, tie, ["k"], "ver",
+                   delete_col="del").collect()
+
+
 def test_merge_upsert_randomized_model(spark):
     """Property-style check against an independent Python reference
     model: 40 seeded-random scenarios (random key overlap, multi-
