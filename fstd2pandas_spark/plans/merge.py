@@ -226,18 +226,24 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
     close_ver = (F.when(F.col("_mrg_ver") > F.col(valid_from),
                         F.col("_mrg_ver"))
                  .otherwise(F.raise_error(mono_bad).cast("long")))
-    kept = (j.filter(present)
-            .select(*keys, *payload, F.col(valid_from),
-                    F.when(closing, close_ver)
-                    .otherwise(F.lit(None).cast("long"))
-                    .alias(valid_to)))
-    appended = (j.filter(hit & ~F.col("_mrg_del")
-                         & (~present | ~same))
-                .select(*[F.col(f"_mrg_k_{k}").alias(k) for k in keys],
-                        *[F.col(f"_mrg_v_{c}").alias(c)
-                          for c in payload],
-                        F.col("_mrg_ver").alias(valid_from),
-                        F.lit(None).cast("long").alias(valid_to)))
+    # BOTH output rows (the kept/closed current row and the appended
+    # new version) come out of ONE pass over the join via an exploded
+    # struct pair — two filtered branches would re-evaluate the whole
+    # batch-resolution + join subtree once each
+    kept_s = F.when(present, F.struct(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(c) for c in payload],
+        F.col(valid_from).cast("long").alias(valid_from),
+        F.when(closing, close_ver).otherwise(F.lit(None).cast("long"))
+        .alias(valid_to)))
+    app_s = F.when(hit & ~F.col("_mrg_del") & (~present | ~same),
+                   F.struct(
+        *[F.col(f"_mrg_k_{k}").alias(k) for k in keys],
+        *[F.col(f"_mrg_v_{c}").alias(c) for c in payload],
+        F.col("_mrg_ver").alias(valid_from),
+        F.lit(None).cast("long").alias(valid_to)))
+    rows = (j.select(F.explode(F.array(kept_s, app_s)).alias("_mrg_r"))
+            .filter(F.col("_mrg_r").isNotNull())
+            .select("_mrg_r.*"))
     return (closed.select(*history.columns)
-            .unionByName(kept.select(*history.columns))
-            .unionByName(appended.select(*history.columns)))
+            .unionByName(rows.select(*history.columns)))

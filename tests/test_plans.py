@@ -646,6 +646,33 @@ def test_merge_upsert_plan(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_scd2_apply_plan(spark):
+    """Scale lock for SCD2: the null-safe current-slice join rewrites
+    to an EQUI join (no NestedLoop/Cartesian), the batch resolution
+    keeps its two shared-partitioning Window nodes, and no Python
+    eval; the closed-history branch is a plain filtered scan feeding
+    the union — it never reaches the join."""
+    from fstd2pandas_spark.plans.merge import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(i, f"s{i}", 0, None if i % 3 else -1) for i in range(40)],
+        "k long, s string, valid_from long, valid_to long")
+    batch = spark.createDataFrame(
+        [(1, "u", 5, False), (1, "u0", 4, False), (99, "i", 5, False)],
+        "k long, s string, ver long, del boolean")
+    out = scd2_apply(hist, batch, ["k"], "ver", delete_col="del")
+    out.collect()
+    plan = _plan(out)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    wnodes = [ln for ln in
+              plan.split("== Initial Plan ==")[0].splitlines()
+              if ln.lstrip("+- *(0123456789):").startswith("Window [")]
+    assert len(wnodes) == 2, wnodes
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_histogram_sketch_single_exchange_plan(spark):
     """Plan lock: the histogram sketch is ONE hash exchange (the
     group-key aggregation, map-side combined — HashAggregate appears
