@@ -742,11 +742,7 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist = (tgt.withColumn("valid_from", F.lit(0).cast("long"))
             .withColumn("valid_to", F.lit(None).cast("long")))
-    sbatch = (_batch(k10 == 3, 500, 1, False)
-              .unionByName(_batch(k10 == 3, 1000, 2, False))
-              .unionByName(_batch(k10 == 7, 0, 1, True))
-              .unionByName(_batch(k10 == 1, 500, 1, False, 10 ** 12))
-              .unionByName(_batch(k10 == 9, 0, 1, False)))
+    sbatch = src.unionByName(_batch(k10 == 9, 0, 1, False))
     s2 = scd2_apply(hist, sbatch, ["o_orderkey"], "_v",
                     delete_col="_del")
     s2g = s2.groupBy(

@@ -137,7 +137,8 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
                keys: "list[str]", version_col: str,
                valid_from: str = "valid_from",
                valid_to: str = "valid_to",
-               delete_col: "str | None" = None) -> DataFrame:
+               delete_col: "str | None" = None,
+               check_reinserts: bool = False) -> DataFrame:
     """Slowly-Changing-Dimension Type 2 maintenance — the versioned
     dimension table every warehouse keeps: instead of overwriting a
     changed row (MERGE), close the current version (``valid_to`` =
@@ -164,11 +165,30 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
     not strictly greater than its ``valid_from`` raises in-plan
     (riding the emitted ``valid_to`` — load-bearing, never pruned):
     an out-of-order batch must not fabricate a non-monotone interval.
+    A NULL batch version raises on the same guard (it would append an
+    open row whose interval start is undefined and wedge every later
+    close). A key holding TWO open rows — a corrupt current slice,
+    e.g. a prior partial write — raises before the join instead of
+    silently doubling history on every apply. ``version_col``,
+    ``valid_from`` and ``valid_to`` must be integer columns (raised
+    otherwise — the group_linfit contract: a silent long cast would
+    truncate fractional versions and de-sync the monotone guard from
+    the rank order; timestamp clocks quantize to epoch units first).
+
+    One hazard is documented, not guarded by default: RE-INSERTING a
+    previously tombstoned key with a version at or below the
+    tombstone's close version would fabricate an interval overlapping
+    closed history. Guarding it needs a scan of the CLOSED slice —
+    the bulk of the table at steady state — every apply, so it is
+    opt-in: ``check_reinserts=True`` aggregates max(valid_to) per
+    closed key (one map-side-combinable agg, keys-sized result,
+    broadcast back) and raises on a stale re-insert.
 
     Scale shape: closed rows never join (a filter splits them off —
     at steady state they are the bulk of the table); one batch window
     + one null-safe full-outer key join against the CURRENT slice
-    only, then a two-branch union. Same shuffle bill as MERGE."""
+    only, then a union — both output rows of a matched key come from
+    ONE pass over the join (exploded struct pair)."""
     if not keys:
         raise ValueError("need at least one key column")
     clash = sorted(c for c in set(history.columns) | set(batch.columns)
@@ -190,12 +210,34 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
             f"{sorted(set(keys) | set(payload))} vs batch-minus-meta "
             f"{sorted(set(batch.columns) - meta)})")
 
+    int_types = ("tinyint", "smallint", "int", "bigint")
+    for df_, c in ((batch, version_col), (history, valid_from),
+                   (history, valid_to)):
+        t = dict(df_.dtypes).get(c)
+        if t not in int_types:
+            raise ValueError(
+                f"{c} must be an integer column (got {t}) — a silent "
+                "long cast would truncate fractional versions and "
+                "de-sync the monotone guard from the latest-wins rank "
+                "order; quantize timestamp clocks to epoch units "
+                "first (the group_linfit contract)")
+
     resolved, bad = _resolve_latest(batch, keys, version_col,
                                     "scd2_apply")
+    # a NULL version has no interval start — raise here (load-bearing:
+    # _mrg_ver feeds both emitted validity columns)
+    ver_bad = F.concat(
+        F.lit("scd2_apply: NULL batch version for key ("),
+        F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+        F.lit(") — an open row with an undefined interval start would "
+              "wedge every later close"))
     src = resolved.select(
         *[F.col(k).alias(f"_mrg_k_{k}") for k in keys],
         *[F.col(c).alias(f"_mrg_v_{c}") for c in payload],
-        F.col(version_col).cast("long").alias("_mrg_ver"),
+        F.when(F.col(version_col).isNotNull(),
+               F.col(version_col).cast("long"))
+        .otherwise(F.raise_error(ver_bad).cast("long"))
+        .alias("_mrg_ver"),
         (F.coalesce(F.col(delete_col), F.lit(False)) if delete_col
          else F.lit(False)).alias("_mrg_del"),
         F.when(F.col("_mrg_dup") == 1, F.lit(True))
@@ -203,8 +245,45 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
         .alias("_mrg_src"))
 
     closed = history.filter(F.col(valid_to).isNotNull())
-    current = history.filter(F.col(valid_to).isNull()) \
-                     .withColumn("_mrg_tgt", F.lit(True))
+    # a corrupt current slice (two open rows for one key) would be
+    # silently AMPLIFIED by the join — raise instead, riding the
+    # always-selected _mrg_tgt marker
+    n_open = F.count("*").over(Window.partitionBy(*keys))
+    open_bad = F.concat(
+        F.lit("scd2_apply: history holds "), n_open.cast("string"),
+        F.lit(" OPEN rows for key ("),
+        F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+        F.lit(") — a corrupt current slice would double on every "
+              "apply; repair history first"))
+    current = (history.filter(F.col(valid_to).isNull())
+               .withColumn("_mrg_tgt",
+                           F.when(n_open == 1, F.lit(True))
+                           .otherwise(F.raise_error(open_bad)
+                                      .cast("boolean"))))
+    if check_reinserts:
+        tomb = (closed.groupBy(*keys)
+                .agg(F.max(F.col(valid_to)).cast("long")
+                     .alias("_mrg_tv")))
+        tv = tomb.select(
+            *[F.col(k).alias(f"_mrg_t_{k}") for k in keys], "_mrg_tv")
+        tcond = functools.reduce(
+            lambda x, y: x & y,
+            [F.col(f"_mrg_k_{k}").eqNullSafe(F.col(f"_mrg_t_{k}"))
+             for k in keys])
+        re_bad = F.concat(
+            F.lit("scd2_apply: batch version "),
+            F.col("_mrg_ver").cast("string"),
+            F.lit(" re-inserts a key whose history was closed at "),
+            F.col("_mrg_tv").cast("string"),
+            F.lit(" — the open interval would overlap closed history"))
+        src = (src.join(F.broadcast(tv), tcond, "left")
+               .withColumn(
+                   "_mrg_ver",
+                   F.when(F.col("_mrg_tv").isNull()
+                          | (F.col("_mrg_ver") > F.col("_mrg_tv")),
+                          F.col("_mrg_ver"))
+                   .otherwise(F.raise_error(re_bad).cast("long")))
+               .drop(*[f"_mrg_t_{k}" for k in keys], "_mrg_tv"))
     cond = functools.reduce(
         lambda x, y: x & y,
         [F.col(k).eqNullSafe(F.col(f"_mrg_k_{k}")) for k in keys])
@@ -245,5 +324,10 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
     rows = (j.select(F.explode(F.array(kept_s, app_s)).alias("_mrg_r"))
             .filter(F.col("_mrg_r").isNotNull())
             .select("_mrg_r.*"))
-    return (closed.select(*history.columns)
+    # output validity columns are BIGINT regardless of the (integer)
+    # input width — the pass-through branch normalizes to match
+    closed_n = (closed
+                .withColumn(valid_from, F.col(valid_from).cast("long"))
+                .withColumn(valid_to, F.col(valid_to).cast("long")))
+    return (closed_n.select(*history.columns)
             .unionByName(rows.select(*history.columns)))

@@ -1679,9 +1679,8 @@ def test_scd2_apply_semantics(spark):
     # closed rows have no open version to close except k=3 which is
     # gone from the current slice)
     hist2 = spark.createDataFrame(sorted(out, key=str), hist_schema)
-    batch2 = batch.filter(F.col("ver").isNotNull())
     out2 = {tuple(r) for r in scd2_apply(
-        hist2, batch2.withColumn("ver", F.lit(8)),
+        hist2, batch.withColumn("ver", F.lit(8).cast("long")),
         ["k"], "ver", delete_col="del").collect()}
     # only the k=9/2/None identical payloads no-op; k=3 tombstone
     # no-ops (no open row); nothing new appended except... nothing
@@ -1706,6 +1705,54 @@ def test_scd2_apply_semantics(spark):
     with pytest.raises(Exception, match="max version"):
         scd2_apply(hist, tie, ["k"], "ver",
                    delete_col="del").collect()
+
+    # NULL batch version raises loudly (an open row with an undefined
+    # interval start would silently wedge every later close)
+    nullver = spark.createDataFrame(
+        [(77, "nv", None, False)],
+        "k long, s string, ver long, del boolean")
+    with pytest.raises(Exception, match="NULL batch version"):
+        scd2_apply(hist, nullver, ["k"], "ver",
+                   delete_col="del").collect()
+
+    # non-integer version / validity columns raise at build time
+    with pytest.raises(ValueError, match="integer column"):
+        scd2_apply(hist, batch.withColumn("ver", F.col("ver") * 1.5),
+                   ["k"], "ver", delete_col="del")
+    with pytest.raises(ValueError, match="integer column"):
+        scd2_apply(hist.withColumn("valid_from",
+                                   F.col("valid_from") * 1.0),
+                   batch, ["k"], "ver", delete_col="del")
+
+    # a corrupt current slice (two OPEN rows for one key) raises
+    # instead of silently doubling history
+    dup_open = hist.unionByName(spark.createDataFrame(
+        [(2, "b2", 3, None)], hist_schema))
+    with pytest.raises(Exception, match="OPEN rows"):
+        scd2_apply(dup_open, batch, ["k"], "ver",
+                   delete_col="del").collect()
+
+    # opt-in re-insert check: a version at or below a closed key's
+    # tombstone raises; a later version passes
+    closed_hist = spark.createDataFrame(
+        [(5, "z", 0, 10)], hist_schema)
+    stale_ins = spark.createDataFrame(
+        [(5, "z2", 4, False)],
+        "k long, s string, ver long, del boolean")
+    with pytest.raises(Exception, match="re-inserts"):
+        scd2_apply(closed_hist, stale_ins, ["k"], "ver",
+                   delete_col="del", check_reinserts=True).collect()
+    ok_ins = {tuple(r) for r in scd2_apply(
+        closed_hist,
+        spark.createDataFrame([(5, "z2", 11, False)],
+                              "k long, s string, ver long, del boolean"),
+        ["k"], "ver", delete_col="del",
+        check_reinserts=True).collect()}
+    assert ok_ins == {(5, "z", 0, 10), (5, "z2", 11, None)}
+    # default mode documents (not guards) the hazard: same stale
+    # insert passes without the opt-in scan of closed history
+    assert scd2_apply(closed_hist, stale_ins, ["k"], "ver",
+                      delete_col="del").count() == 2
 
 
 def test_merge_upsert_randomized_model(spark):

@@ -648,10 +648,11 @@ def test_merge_upsert_plan(spark):
 
 def test_scd2_apply_plan(spark):
     """Scale lock for SCD2: the null-safe current-slice join rewrites
-    to an EQUI join (no NestedLoop/Cartesian), the batch resolution
-    keeps its two shared-partitioning Window nodes, and no Python
-    eval; the closed-history branch is a plain filtered scan feeding
-    the union — it never reaches the join."""
+    to an EQUI join (no NestedLoop/Cartesian), exactly THREE Window
+    nodes (two shared-partitioning batch-resolution windows + the
+    current-slice open-count corruption guard), and no Python eval;
+    the closed-history branch is a plain filtered scan feeding the
+    union — it never reaches the join."""
     from fstd2pandas_spark.plans.merge import scd2_apply
 
     hist = spark.createDataFrame(
@@ -668,7 +669,7 @@ def test_scd2_apply_plan(spark):
     wnodes = [ln for ln in
               plan.split("== Initial Plan ==")[0].splitlines()
               if ln.lstrip("+- *(0123456789):").startswith("Window [")]
-    assert len(wnodes) == 2, wnodes
+    assert len(wnodes) == 3, wnodes
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
 
