@@ -750,9 +750,29 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("s2_hn"),
         F.sum(F.when(F.col("valid_to").isNotNull(), 1).otherwise(0))
         .cast("long").alias("s2_closed"))
+    # round 11: the point-in-time lookup the history exists FOR
+    # (plans/merge.py scd2_lookup): every original key probed at
+    # t=1 (before the ≡3 keys' version 2 opened — must resolve to
+    # the OLD cents; ≡7 keys sit past their tombstone and resolve
+    # NULL) and t=9 (the ≡3 keys at the NEW +1000 cents); per-group
+    # sums pin the interval arithmetic, and the oracle derives both
+    # from the construction directly.
+    from fstd2pandas_spark.plans.merge import scd2_lookup
+
+    probes = tgt.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        F.explode(F.array(F.lit(1).cast("long"),
+                          F.lit(9).cast("long"))).alias("pt"))
+    pit = scd2_lookup(probes, s2, ["o_orderkey"], "pt")
+    pitg = pit.groupBy(
+        "o_custkey", "o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.when(F.col("pt") == 1, F.col("dim_cents")))
+        .cast("long").alias("pit1_cents"),
+        F.sum(F.when(F.col("pt") == 9, F.col("dim_cents")))
+        .cast("long").alias("pit9_cents"))
     gcols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
     return (base.join(mg, gcols, "left").join(s2g, gcols, "left")
-            .orderBy(*gcols))
+            .join(pitg, gcols, "left").orderBy(*gcols))
 
 
 _Q_DEDUP_SQL = """
@@ -790,10 +810,27 @@ _Q_DEDUP_SQL = """
            CAST(count(*) FILTER (o_orderkey % 10 IN (3, 7))
              AS BIGINT) AS s2_closed
     FROM orders
+    GROUP BY o_custkey, o_orderstatus, o_orderpriority),
+  -- point-in-time mirror: at t=1 every non-tombstoned key reads its
+  -- ORIGINAL cents (the ≡3 version 2 only opens at t=2); at t=9 the
+  -- ≡3 keys read +1000; ≡7 keys are past their tombstone -> NULL
+  pit AS (
+    SELECT o_custkey, o_orderstatus, o_orderpriority,
+           CAST(sum(CASE WHEN o_orderkey % 10 <> 7
+                    THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                    END) AS BIGINT) AS pit1_cents,
+           CAST(sum(CASE WHEN o_orderkey % 10 <> 7
+                    THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                         + CASE WHEN o_orderkey % 10 = 3
+                                THEN 1000 ELSE 0 END
+                    END) AS BIGINT) AS pit9_cents
+    FROM orders
     GROUP BY o_custkey, o_orderstatus, o_orderpriority)
-  SELECT base.*, m.m_n, m.m_cents, s2.s2_hn, s2.s2_closed
+  SELECT base.*, m.m_n, m.m_cents, s2.s2_hn, s2.s2_closed,
+         pit.pit1_cents, pit.pit9_cents
   FROM base LEFT JOIN m USING (o_custkey, o_orderstatus, o_orderpriority)
   LEFT JOIN s2 USING (o_custkey, o_orderstatus, o_orderpriority)
+  LEFT JOIN pit USING (o_custkey, o_orderstatus, o_orderpriority)
   ORDER BY o_custkey, o_orderstatus, o_orderpriority
 """
 

@@ -7,7 +7,11 @@ from fstd2pandas_spark.plans.incremental import (
     partial_aggregates,
     reduce_partials,
 )
-from fstd2pandas_spark.plans.merge import merge_upsert, scd2_apply
+from fstd2pandas_spark.plans.merge import (
+    merge_upsert,
+    scd2_apply,
+    scd2_lookup,
+)
 from fstd2pandas_spark.plans.salting import key_skew_report, salted_join
 from fstd2pandas_spark.plans.checks import (
     assert_broadcast_join,
@@ -29,6 +33,7 @@ __all__ = [
     "partial_aggregates",
     "reduce_partials",
     "scd2_apply",
+    "scd2_lookup",
     "assert_broadcast_join",
     "assert_no_cartesian",
     "assert_pushed_filters",

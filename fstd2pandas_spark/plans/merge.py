@@ -331,3 +331,66 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
                 .withColumn(valid_to, F.col(valid_to).cast("long")))
     return (closed_n.select(*history.columns)
             .unionByName(rows.select(*history.columns)))
+
+
+def scd2_lookup(facts: DataFrame, history: DataFrame,
+                keys: "list[str]", at: str,
+                valid_from: str = "valid_from",
+                valid_to: str = "valid_to",
+                prefix: str = "dim_") -> DataFrame:
+    """Point-in-time dimension enrichment — the join SCD2 history
+    exists FOR: attach to each fact row the history version that was
+    valid at the fact's own time, ``valid_from <= at < valid_to``
+    (NULL ``valid_to`` = still open). Facts with no valid version at
+    their time keep NULL dimension columns (left join — a fact before
+    the key first appeared, or inside a tombstone gap, is a real
+    analytical outcome, not an error).
+
+    The SCD2 invariant (non-overlapping intervals per key —
+    :func:`scd2_apply` maintains it loudly) guarantees AT MOST ONE
+    match per fact, so the join cannot fan out. History payload and
+    validity columns arrive under ``prefix`` to keep the fact schema
+    collision-free.
+
+    ``at`` must be an integer column in the same version units as the
+    history clock (the scd2_apply contract). Scale shape: ONE
+    null-safe equi-join on the keys with the interval as a residual
+    join condition — Catalyst plans a SortMergeJoin keyed on the
+    equi part (locked in tests), never an interval cross-product; at
+    100 TB the fact side shuffles once on the keys, the
+    dimensions-sized history rides the same exchange, and a skewed
+    dimension key is the generic salting problem."""
+    if not keys:
+        raise ValueError("need at least one key column")
+    t = dict(facts.dtypes).get(at)
+    if t not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"{at} must be an integer column (got {t}) — the history "
+            "clock contract of scd2_apply; quantize timestamps to "
+            "epoch units first")
+    for c in (valid_from, valid_to):
+        if c not in history.columns:
+            raise ValueError(f"history lacks the {c} column")
+    clash = sorted(c for c in set(facts.columns) | set(history.columns)
+                   if c.startswith(_PREFIX))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with scd2_lookup's "
+            f"internal '{_PREFIX}*' names — rename them first")
+    dim_cols = [c for c in history.columns if c not in keys]
+    out_names = {prefix + c for c in dim_cols}
+    bad_out = sorted(out_names & set(facts.columns))
+    if bad_out:
+        raise ValueError(
+            f"prefixed dimension columns {bad_out} collide with fact "
+            "columns — pick another prefix")
+    h = history.select(
+        *[F.col(k).alias(f"_mrg_k_{k}") for k in keys],
+        *[F.col(c).alias(prefix + c) for c in dim_cols])
+    keq = functools.reduce(
+        lambda x, y: x & y,
+        [F.col(k).eqNullSafe(F.col(f"_mrg_k_{k}")) for k in keys])
+    vf, vt = F.col(prefix + valid_from), F.col(prefix + valid_to)
+    cond = keq & (vf <= F.col(at)) & (vt.isNull() | (F.col(at) < vt))
+    return (facts.join(h, cond, "left")
+            .drop(*[f"_mrg_k_{k}" for k in keys]))

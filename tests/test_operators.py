@@ -1755,6 +1755,51 @@ def test_scd2_apply_semantics(spark):
                       delete_col="del").count() == 2
 
 
+def test_scd2_lookup_point_in_time(spark):
+    """Point-in-time enrichment against a versioned history: each
+    fact resolves to the single version whose interval contains its
+    time — before-first-version and tombstone-gap facts get NULLs,
+    open versions match onward, NULL keys match null-safely; the
+    guards fire; and the join plans as an equi SortMergeJoin (no
+    interval cross-product)."""
+    from fstd2pandas_spark.plans.merge import scd2_lookup
+
+    hist = spark.createDataFrame(
+        [(1, "v1", 0, 5), (1, "v2", 5, None),   # versioned key
+         (2, "x", 0, 3),                        # tombstoned at 3
+         (None, "n", 2, None)],                 # NULL key
+        "k long, s string, valid_from long, valid_to long")
+    facts = spark.createDataFrame(
+        [(100, 1, 0), (101, 1, 4), (102, 1, 5), (103, 1, 99),
+         (104, 2, 2), (105, 2, 3),              # in / after tombstone
+         (106, None, 1), (107, None, 2),        # NULL key pre/post
+         (108, 9, 1)],                          # unknown key
+        "fid long, k long, t long")
+    got = {r["fid"]: r["dim_s"] for r in scd2_lookup(
+        facts, hist, ["k"], "t").collect()}
+    assert got == {100: "v1", 101: "v1", 102: "v2", 103: "v2",
+                   104: "x", 105: None, 106: None, 107: "n",
+                   108: None}
+    # exactly one output row per fact (the interval invariant means
+    # the left join cannot fan out)
+    assert scd2_lookup(facts, hist, ["k"], "t").count() == 9
+
+    with pytest.raises(ValueError, match="integer column"):
+        scd2_lookup(facts.withColumn("t", F.col("t") * 1.0),
+                    hist, ["k"], "t")
+    with pytest.raises(ValueError, match="lacks the valid_to"):
+        scd2_lookup(facts, hist.drop("valid_to"), ["k"], "t")
+    with pytest.raises(ValueError, match="collide with fact"):
+        scd2_lookup(facts.withColumn("dim_s", F.lit("c")),
+                    hist, ["k"], "t")
+
+    out = scd2_lookup(facts, hist, ["k"], "t")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
 def test_merge_upsert_randomized_model(spark):
     """Property-style check against an independent Python reference
     model: 40 seeded-random scenarios (random key overlap, multi-
