@@ -92,6 +92,24 @@ def test_full_maintenance_cycle(spark, tmp_path):
         table_quality_report(broken, [("uq", "k", "unique")],
                              strict=True).collect()
 
+    # ---- dimension history: SCD2 the serving table's first two
+    # states, then point-in-time-join facts against it
+    from fstd2pandas_spark.plans.merge import scd2_apply, scd2_lookup
+
+    h0 = (serving.withColumn("valid_from", F.lit(0).cast("long"))
+          .withColumn("valid_to", F.lit(None).cast("long")))
+    dbatch = cdc.withColumnRenamed("ver", "_v") \
+        .withColumn("_v", F.lit(5).cast("long"))
+    h1 = scd2_apply(h0, dbatch, ["k"], "_v", delete_col="del")
+    fct = spark.createDataFrame([(0, 2), (0, 7), (1, 7), (5000, 7)],
+                                "k long, t long")
+    pit = {(r["k"], r["t"]): r["dim_total"] for r in
+           scd2_lookup(fct, h1, ["k"], "t").collect()}
+    assert pit[(0, 2)] == base[0][1]       # pre-change version
+    assert pit[(0, 7)] == 999              # post-change version
+    assert pit[(1, 7)] is None             # tombstoned at 5
+    assert pit[(5000, 7)] == 42            # inserted at 5
+
     # ---- plan the next run: skew diagnosis over the new corpus
     skew = key_skew_report(c2.select("day"), ["day"], top_k=2) \
         .orderBy("rank").collect()
