@@ -44,6 +44,40 @@ from pyspark.sql import functions as F
 
 _PREFIX = "_mrg_"
 
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _guard_prefix(cols, who: str) -> None:
+    """One definition of the reserved-namespace check (third copy was
+    drifting — the _resolve_latest precedent)."""
+    clash = sorted(c for c in cols if c.startswith(_PREFIX))
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with {who}'s internal "
+            f"'{_PREFIX}*' names — rename them first")
+
+
+def _require_int(df: DataFrame, c: str, who: str) -> None:
+    """One definition of the integer-clock enforcement: a silent long
+    cast would truncate fractional versions (de-syncing guards from
+    the latest-wins rank order) and cross-cast strings to NULL;
+    quantize timestamp clocks to epoch units first (the group_linfit
+    contract)."""
+    t = dict(df.dtypes).get(c)
+    if t not in _INT_TYPES:
+        raise ValueError(
+            f"{who}: {c} must be an integer column (got {t}) — "
+            "quantize timestamp/float clocks to integer epoch units "
+            "first; a silent cast would truncate or NULL values")
+
+
+def _key_eq(keys: "list[str]"):
+    """Null-safe equality between bare key columns and their
+    ``_mrg_k_`` aliases — the one join-condition builder."""
+    return functools.reduce(
+        lambda x, y: x & y,
+        [F.col(k).eqNullSafe(F.col(f"_mrg_k_{k}")) for k in keys])
+
 
 def _resolve_latest(source: DataFrame, keys: "list[str]",
                     version_col: "str | None", who: str):
@@ -85,12 +119,8 @@ def merge_upsert(target: DataFrame, source: DataFrame,
     for the exact update/insert/delete/latest-wins contract."""
     if not keys:
         raise ValueError("need at least one key column")
-    clash = sorted(c for c in set(target.columns) | set(source.columns)
-                   if c.startswith(_PREFIX))
-    if clash:
-        raise ValueError(
-            f"input columns {clash} collide with merge_upsert's "
-            f"internal '{_PREFIX}*' names — rename them first")
+    _guard_prefix(set(target.columns) | set(source.columns),
+                  "merge_upsert")
     meta = {c for c in (version_col, delete_col) if c}
     if set(target.columns) != set(source.columns) - meta:
         raise ValueError(
@@ -117,11 +147,8 @@ def merge_upsert(target: DataFrame, source: DataFrame,
         F.when(F.col("_mrg_dup") == 1, F.lit(True))
         .otherwise(F.raise_error(bad).cast("boolean"))
         .alias("_mrg_src"))
-    cond = functools.reduce(
-        lambda x, y: x & y,
-        [F.col(k).eqNullSafe(F.col(f"_mrg_k_{k}")) for k in keys])
     j = target.withColumn("_mrg_tgt", F.lit(True)) \
-              .join(src, cond, "full_outer")
+              .join(src, _key_eq(keys), "full_outer")
     hit = F.col("_mrg_src").isNotNull()
     out = (j.filter(~(hit & F.col("_mrg_del")))
            .select(
@@ -191,12 +218,8 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
     ONE pass over the join (exploded struct pair)."""
     if not keys:
         raise ValueError("need at least one key column")
-    clash = sorted(c for c in set(history.columns) | set(batch.columns)
-                   if c.startswith(_PREFIX))
-    if clash:
-        raise ValueError(
-            f"input columns {clash} collide with scd2_apply's "
-            f"internal '{_PREFIX}*' names — rename them first")
+    _guard_prefix(set(history.columns) | set(batch.columns),
+                  "scd2_apply")
     for c in (valid_from, valid_to):
         if c not in history.columns:
             raise ValueError(f"history lacks the {c} column")
@@ -210,17 +233,9 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
             f"{sorted(set(keys) | set(payload))} vs batch-minus-meta "
             f"{sorted(set(batch.columns) - meta)})")
 
-    int_types = ("tinyint", "smallint", "int", "bigint")
     for df_, c in ((batch, version_col), (history, valid_from),
                    (history, valid_to)):
-        t = dict(df_.dtypes).get(c)
-        if t not in int_types:
-            raise ValueError(
-                f"{c} must be an integer column (got {t}) — a silent "
-                "long cast would truncate fractional versions and "
-                "de-sync the monotone guard from the latest-wins rank "
-                "order; quantize timestamp clocks to epoch units "
-                "first (the group_linfit contract)")
+        _require_int(df_, c, "scd2_apply")
 
     resolved, bad = _resolve_latest(batch, keys, version_col,
                                     "scd2_apply")
@@ -284,10 +299,7 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
                           F.col("_mrg_ver"))
                    .otherwise(F.raise_error(re_bad).cast("long")))
                .drop(*[f"_mrg_t_{k}" for k in keys], "_mrg_tv"))
-    cond = functools.reduce(
-        lambda x, y: x & y,
-        [F.col(k).eqNullSafe(F.col(f"_mrg_k_{k}")) for k in keys])
-    j = current.join(src, cond, "full_outer")
+    j = current.join(src, _key_eq(keys), "full_outer")
     hit = F.col("_mrg_src").isNotNull()
     present = F.col("_mrg_tgt").isNotNull()
     same = functools.reduce(
@@ -362,21 +374,21 @@ def scd2_lookup(facts: DataFrame, history: DataFrame,
     dimension key is the generic salting problem."""
     if not keys:
         raise ValueError("need at least one key column")
-    t = dict(facts.dtypes).get(at)
-    if t not in ("tinyint", "smallint", "int", "bigint"):
-        raise ValueError(
-            f"{at} must be an integer column (got {t}) — the history "
-            "clock contract of scd2_apply; quantize timestamps to "
-            "epoch units first")
+    _require_int(facts, at, "scd2_lookup")
     for c in (valid_from, valid_to):
         if c not in history.columns:
             raise ValueError(f"history lacks the {c} column")
-    clash = sorted(c for c in set(facts.columns) | set(history.columns)
-                   if c.startswith(_PREFIX))
-    if clash:
+        # hand-built histories must honor the integer clock too — a
+        # non-integer validity column would silently cross-cast and
+        # exclude (or NULL-match) every row
+        _require_int(history, c, "scd2_lookup")
+    _guard_prefix(set(facts.columns) | set(history.columns),
+                  "scd2_lookup")
+    if prefix.startswith(_PREFIX):
         raise ValueError(
-            f"input columns {clash} collide with scd2_lookup's "
-            f"internal '{_PREFIX}*' names — rename them first")
+            f"prefix {prefix!r} enters the internal '{_PREFIX}*' "
+            "namespace — a prefixed dimension could silently shadow a "
+            "join-key alias; pick another prefix")
     dim_cols = [c for c in history.columns if c not in keys]
     out_names = {prefix + c for c in dim_cols}
     bad_out = sorted(out_names & set(facts.columns))
@@ -387,10 +399,18 @@ def scd2_lookup(facts: DataFrame, history: DataFrame,
     h = history.select(
         *[F.col(k).alias(f"_mrg_k_{k}") for k in keys],
         *[F.col(c).alias(prefix + c) for c in dim_cols])
-    keq = functools.reduce(
-        lambda x, y: x & y,
-        [F.col(k).eqNullSafe(F.col(f"_mrg_k_{k}")) for k in keys])
+    # a NULL fact clock is a data-quality problem, not a "before the
+    # key existed" outcome — raise loudly (riding the pass-through at
+    # column) instead of silently resolving NULL dimensions
+    at_bad = F.concat(
+        F.lit(f"scd2_lookup: NULL {at} value — a fact without a clock "
+              "cannot be point-in-time joined; repair or filter the "
+              "facts first"))
+    facts = facts.withColumn(
+        at, F.when(F.col(at).isNotNull(), F.col(at))
+        .otherwise(F.raise_error(at_bad).cast(dict(facts.dtypes)[at])))
     vf, vt = F.col(prefix + valid_from), F.col(prefix + valid_to)
-    cond = keq & (vf <= F.col(at)) & (vt.isNull() | (F.col(at) < vt))
+    cond = (_key_eq(keys) & (vf <= F.col(at))
+            & (vt.isNull() | (F.col(at) < vt)))
     return (facts.join(h, cond, "left")
             .drop(*[f"_mrg_k_{k}" for k in keys]))

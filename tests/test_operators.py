@@ -1792,6 +1792,22 @@ def test_scd2_lookup_point_in_time(spark):
     with pytest.raises(ValueError, match="collide with fact"):
         scd2_lookup(facts.withColumn("dim_s", F.lit("c")),
                     hist, ["k"], "t")
+    # a prefix entering the internal namespace could shadow a join-key
+    # alias and silently drop a dimension — rejected at build time
+    with pytest.raises(ValueError, match="namespace"):
+        scd2_lookup(facts, hist, ["k"], "t", prefix="_mrg_")
+    # hand-built histories must honor the integer clock too
+    with pytest.raises(ValueError, match="integer column"):
+        scd2_lookup(facts,
+                    hist.withColumn("valid_from",
+                                    F.col("valid_from") * 1.0),
+                    ["k"], "t")
+    # a NULL fact clock is a data-quality problem, not a silent
+    # NULL-dimensions outcome
+    nullt = spark.createDataFrame([(200, 1, None)],
+                                  "fid long, k long, t long")
+    with pytest.raises(Exception, match="NULL t value"):
+        scd2_lookup(nullt, hist, ["k"], "t").collect()
 
     out = scd2_lookup(facts, hist, ["k"], "t")
     out.collect()
