@@ -3597,6 +3597,33 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q75").cast("long").alias("ntok_q75"),
         F.col("below_med").alias("ntok_below_med"))
     enriched = enriched.join(qf, "doc_id", "left")
+    # round 11: per-STRATUM quality rules (operators/validation.py
+    # grouped_quality_report — "every language must satisfy X", one
+    # aggregation pass): min n_tokens >= 40 fails in EVERY language
+    # with per-language counts (15-78 — value-rich), max n_tokens <=
+    # 97 SPLITS the languages (zh passes / others fail at sf0.001;
+    # en/es/zh pass / de/fr fail at sf0.01 — both outcomes fire at
+    # both SFs, probed). Each doc carries its language's verdicts;
+    # the oracle recomputes both per-language counters directly.
+    from fstd2pandas_spark.operators.validation import (
+        grouped_quality_report)
+
+    gq = grouped_quality_report(
+        nt, ["lang"],
+        [("min_ntok", "n_tokens", "min", 40),
+         ("max_ntok", "n_tokens", "max", 97)])
+    gl = gq.groupBy("lang").agg(
+        F.max(F.when(F.col("name") == "min_ntok",
+                     F.col("n_violations"))).cast("long")
+        .alias("gq_ntok_viol"),
+        F.max(F.when(F.col("name") == "max_ntok",
+                     F.col("passed").cast("int"))).cast("int")
+        .alias("_gqp"))
+    gqd = (nt.select("doc_id", "lang")
+           .join(gl, "lang")
+           .select("doc_id", "gq_ntok_viol",
+                   (F.col("_gqp") == 1).alias("gq_max_pass")))
+    enriched = enriched.join(gqd, "doc_id", "left")
     return enriched.select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
         "stop_ratio", "quality", "split", "line_dedup_sig",
@@ -3604,6 +3631,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "substr_sig", "gopher_fails", "gopher_keep",
         "lm_bigrams", "lm_q6", "lm_bucket", "clf_score", "clf_keep",
         "ntok_q25", "ntok_q50", "ntok_q75", "ntok_below_med",
+        "gq_ntok_viol", "gq_max_pass",
     ).orderBy("doc_id")
 
 
@@ -3736,7 +3764,16 @@ def _quality_sql() -> str:
            CAST(quantile_disc(q2.n_tokens, 0.5) AS BIGINT) AS ntok_q50,
            CAST(quantile_disc(q2.n_tokens, 0.75) AS BIGINT) AS ntok_q75
     FROM q q2 JOIN documents d2 USING (doc_id)
-    GROUP BY d2.lang)
+    GROUP BY d2.lang),
+  -- per-stratum quality-rule mirror: each language's min/max token
+  -- counters recomputed with independent FILTERs
+  gql AS (
+    SELECT d3.lang,
+           CAST(count(*) FILTER (q3.n_tokens < 40) AS BIGINT)
+             AS gq_ntok_viol,
+           count(*) FILTER (q3.n_tokens > 97) = 0 AS gq_max_pass
+    FROM q q3 JOIN documents d3 USING (doc_id)
+    GROUP BY d3.lang)
   SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stop_ratio,
          -- CASE instead of least(): DuckDB's least() on DECIMALs returns
          -- DOUBLE, which would reintroduce float tie-noise
@@ -3781,7 +3818,8 @@ def _quality_sql() -> str:
          clf.clf_score,
          clf.clf_score > 0 AS clf_keep,
          nqq.ntok_q25, nqq.ntok_q50, nqq.ntok_q75,
-         q.n_tokens < nqq.ntok_q50 AS ntok_below_med
+         q.n_tokens < nqq.ntok_q50 AS ntok_below_med,
+         gql.gq_ntok_viol, gql.gq_max_pass
   FROM q
   JOIN (SELECT doc_id, text, lang FROM documents) d USING (doc_id)
   JOIN sp USING (doc_id)
@@ -3791,6 +3829,7 @@ def _quality_sql() -> str:
   LEFT JOIN lagg USING (doc_id)
   JOIN clf USING (doc_id)
   LEFT JOIN nqq ON nqq.lang = d.lang
+  LEFT JOIN gql ON gql.lang = d.lang
   ORDER BY doc_id
 """
 

@@ -51,7 +51,10 @@ from fstd2pandas_spark.operators.sketch import (
     kmins_minima, kmins_merge, kmins_agreement, kmins_estimate,
     histogram_sketch, histogram_merge, histogram_quantile,
 )
-from fstd2pandas_spark.operators.validation import table_quality_report
+from fstd2pandas_spark.operators.validation import (
+    grouped_quality_report,
+    table_quality_report,
+)
 
 __all__ = [
     "select_meta", "select_with_meta", "add_metadata_to_query_results",
@@ -71,5 +74,5 @@ __all__ = [
     "kmins_minima", "kmins_merge", "kmins_agreement", "kmins_estimate",
     "histogram_sketch", "histogram_merge", "histogram_quantile",
     "group_quantiles_disc", "quantile_flags", "group_linfit",
-    "table_quality_report",
+    "table_quality_report", "grouped_quality_report",
 ]

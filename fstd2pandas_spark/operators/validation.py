@@ -86,6 +86,36 @@ def table_quality_report(df: DataFrame, rules: "list[tuple]",
     passed)`` — computed in one aggregation pass (see module
     docstring). Duplicate rule names raise (the report would be
     ambiguous)."""
+    return _report(df, [], rules, strict, "table_quality_report")
+
+
+def grouped_quality_report(df: DataFrame, group_cols: "list[str]",
+                           rules: "list[tuple]",
+                           strict: bool = False) -> DataFrame:
+    """Per-GROUP constraint checks — the stratified Deequ pattern a
+    corpus pipeline runs per language / domain / source shard ("every
+    stratum must satisfy X", not just the table as a whole): one row
+    per ``(*group_cols, rule)``, still computed in ONE aggregation
+    pass over the facts (groups-x-rules-sized output). ``strict=True``
+    raises on the FIRST group violating any rule — a bad stratum must
+    not be silently promoted with the good ones."""
+    if not group_cols:
+        raise ValueError(
+            "need at least one group column (table_quality_report is "
+            "the ungrouped form)")
+    reserved = {"name", "column", "kind", "n_rows", "n_violations",
+                "passed"}
+    clash = reserved & set(group_cols)
+    if clash:
+        raise ValueError(
+            f"group columns {sorted(clash)} collide with the report's "
+            "output names — rename them first")
+    return _report(df, group_cols, rules, strict,
+                   "grouped_quality_report")
+
+
+def _report(df: DataFrame, group_cols: "list[str]",
+            rules: "list[tuple]", strict: bool, who: str) -> DataFrame:
     if not rules:
         raise ValueError("need at least one rule")
     names = [r[0] for r in rules]
@@ -96,13 +126,14 @@ def table_quality_report(df: DataFrame, rules: "list[tuple]",
         v = _violation_agg(rule)
         if strict:
             bad = F.concat(
-                F.lit(f"table_quality_report: rule {rule[0]} "
+                F.lit(f"{who}: rule {rule[0]} "
                       f"({rule[2]} on {rule[1]}) has "),
                 v.cast("string"), F.lit(" violations (strict mode)"))
             v = (F.when(v == 0, v)
                  .otherwise(F.raise_error(bad).cast("long")))
         aggs.append(v.alias(f"_qr_v{i}"))
-    one = df.agg(*aggs)
+    one = (df.groupBy(*group_cols) if group_cols else df.groupBy()) \
+        .agg(*aggs)
     entries = F.array(*[
         F.struct(
             F.lit(r[0]).alias("name"),
@@ -112,4 +143,5 @@ def table_quality_report(df: DataFrame, rules: "list[tuple]",
             F.col(f"_qr_v{i}").alias("n_violations"),
             (F.col(f"_qr_v{i}") == 0).alias("passed"))
         for i, r in enumerate(rules)])
-    return one.select(F.explode(entries).alias("_e")).select("_e.*")
+    return (one.select(*group_cols, F.explode(entries).alias("_e"))
+            .select(*group_cols, "_e.*"))

@@ -1868,6 +1868,49 @@ def test_merge_upsert_randomized_model(spark):
     assert got == expect
 
 
+def test_grouped_quality_report(spark):
+    """Per-group rules: violation counts computed within each stratum
+    (incl. a NULL group key), strict mode raising on the first bad
+    stratum while clean strata pass, the single-pass plan, and the
+    guards."""
+    from fstd2pandas_spark.operators.validation import (
+        grouped_quality_report)
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), ("b", 5), ("b", 6),
+         (None, 9)],
+        "g string, v long")
+    rules = [("nn", "v", "not_null"), ("mx", "v", "max", 5)]
+    got = {(r["g"], r["name"]): (r["n_rows"], r["n_violations"],
+                                 r["passed"])
+           for r in grouped_quality_report(df, ["g"], rules).collect()}
+    assert got == {
+        ("a", "nn"): (3, 1, False), ("a", "mx"): (3, 0, True),
+        ("b", "nn"): (2, 0, True), ("b", "mx"): (2, 1, False),
+        (None, "nn"): (1, 0, True), (None, "mx"): (1, 1, False)}
+
+    # strict: a clean stratum-wide rule set passes, any bad one raises
+    clean = grouped_quality_report(
+        df.filter("v IS NOT NULL AND v <= 5"), ["g"],
+        [("nn", "v", "not_null")], strict=True).collect()
+    assert all(r["passed"] for r in clean)
+    with pytest.raises(Exception, match="strict mode"):
+        grouped_quality_report(df, ["g"], rules, strict=True).collect()
+
+    with pytest.raises(ValueError, match="group column"):
+        grouped_quality_report(df, [], rules)
+    with pytest.raises(ValueError, match="output names"):
+        grouped_quality_report(df.withColumnRenamed("g", "passed"),
+                               ["passed"], rules)
+
+    # still a single pass over the facts
+    rep = grouped_quality_report(df, ["g"], rules)
+    rep.collect()
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.split("== Initial Plan ==")[-1] \
+        .count("Scan ExistingRDD") == 1
+
+
 def test_merge_upsert_semantics(spark):
     """Exact SQL-MERGE semantics: latest-wins by version across a
     multi-version batch, set-NULL updates (presence flag, not value
