@@ -110,6 +110,15 @@ def grouped_quality_report(df: DataFrame, group_cols: "list[str]",
         raise ValueError(
             f"group columns {sorted(clash)} collide with the report's "
             "output names — rename them first")
+    # the internal aggregation aliases are reserved too — a group
+    # column named _qr_n would die with an opaque ambiguous-reference
+    # AnalysisException deep in analysis instead of this message (the
+    # _mrg_* prefix-guard convention)
+    qr_clash = sorted(c for c in group_cols if c.startswith("_qr_"))
+    if qr_clash:
+        raise ValueError(
+            f"group columns {qr_clash} collide with the report's "
+            "internal '_qr_*' aggregation names — rename them first")
     return _report(df, group_cols, rules, strict,
                    "grouped_quality_report")
 
@@ -122,13 +131,26 @@ def _report(df: DataFrame, group_cols: "list[str]",
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names: {sorted(names)}")
     aggs = [F.count("*").cast("long").alias("_qr_n")]
+    # the strict raise must NAME the offending stratum — on a
+    # 200-language corpus "rule max_ntok has 3 violations" without
+    # the group-key values forces a non-strict re-run to find out
+    # which; the group columns are in scope at aggregation time
+    # (they are the grouping keys), so they ride into the message.
+    # Each value coalesces to the literal 'NULL' — concat_ws would
+    # silently SKIP a NULL group key and misreport the stratum.
+    stratum = ([F.lit(" in stratum ("),
+                F.concat_ws(", ", *[
+                    F.coalesce(F.col(g).cast("string"), F.lit("NULL"))
+                    for g in group_cols]),
+                F.lit(")")] if group_cols else [])
     for i, rule in enumerate(rules):
         v = _violation_agg(rule)
         if strict:
             bad = F.concat(
                 F.lit(f"{who}: rule {rule[0]} "
                       f"({rule[2]} on {rule[1]}) has "),
-                v.cast("string"), F.lit(" violations (strict mode)"))
+                v.cast("string"), F.lit(" violations"), *stratum,
+                F.lit(" (strict mode)"))
             v = (F.when(v == 0, v)
                  .otherwise(F.raise_error(bad).cast("long")))
         aggs.append(v.alias(f"_qr_v{i}"))

@@ -116,7 +116,11 @@ def merge_upsert(target: DataFrame, source: DataFrame,
                  delete_col: "str | None" = None) -> DataFrame:
     """MERGE ``source`` (a CDC batch) into ``target``; returns the new
     table with the target's column order. See the module docstring
-    for the exact update/insert/delete/latest-wins contract."""
+    for the exact update/insert/delete/latest-wins contract. A
+    resolved row whose ``version_col`` is NULL raises in-plan (it can
+    only win resolution when the key carries no non-NULL version at
+    all — an undefined CDC sequence position must not be applied
+    silently; the scd2_apply mirror)."""
     if not keys:
         raise ValueError("need at least one key column")
     _guard_prefix(set(target.columns) | set(source.columns),
@@ -133,6 +137,18 @@ def merge_upsert(target: DataFrame, source: DataFrame,
                                     "merge_upsert")
 
     payload = [c for c in target.columns if c not in keys]
+    # a resolved row whose version is NULL has an UNDEFINED CDC
+    # sequence position (rank desc orders NULLS LAST, so it can only
+    # win when the key carries no non-NULL version at all) — raise
+    # in-plan instead of silently applying it, mirroring scd2_apply's
+    # NULL-version guard; rides the same always-selected flag
+    ver_null = (F.col(version_col).isNull() if version_col
+                else F.lit(False))
+    ver_bad = F.concat(
+        F.lit("merge_upsert: NULL version for key ("),
+        F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+        F.lit(") — an undefined CDC sequence position cannot be "
+              "latest-wins resolved; repair the batch first"))
     # the ambiguity raise rides the always-selected presence flag —
     # on a guard-only column Catalyst would prune it away with the
     # column (the plan-lock lesson: a loud guard must be load-bearing)
@@ -144,8 +160,10 @@ def merge_upsert(target: DataFrame, source: DataFrame,
         # out of the post-join filter entirely
         (F.coalesce(F.col(delete_col), F.lit(False)) if delete_col
          else F.lit(False)).alias("_mrg_del"),
-        F.when(F.col("_mrg_dup") == 1, F.lit(True))
-        .otherwise(F.raise_error(bad).cast("boolean"))
+        F.when(F.col("_mrg_dup") != 1,
+               F.raise_error(bad).cast("boolean"))
+        .when(ver_null, F.raise_error(ver_bad).cast("boolean"))
+        .otherwise(F.lit(True))
         .alias("_mrg_src"))
     j = target.withColumn("_mrg_tgt", F.lit(True)) \
               .join(src, _key_eq(keys), "full_outer")
@@ -208,8 +226,12 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
     closed history. Guarding it needs a scan of the CLOSED slice —
     the bulk of the table at steady state — every apply, so it is
     opt-in: ``check_reinserts=True`` aggregates max(valid_to) per
-    closed key (one map-side-combinable agg, keys-sized result,
-    broadcast back) and raises on a stale re-insert.
+    GENUINELY tombstoned key — closed keys are anti-joined against
+    the current slice's keys first (both frames keys-sized), because
+    a supersede also closes a row and an idempotent replay of the
+    batch that created the current open version must stay a no-op —
+    then the keys-sized result broadcasts back and a stale re-insert
+    raises.
 
     Scale shape: closed rows never join (a filter splits them off —
     at steady state they are the bulk of the table); one batch window
@@ -276,9 +298,24 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
                            .otherwise(F.raise_error(open_bad)
                                       .cast("boolean"))))
     if check_reinserts:
+        # the guard must only fire for keys with NO currently-open
+        # row: max(valid_to) over ALL closed rows cannot distinguish
+        # a tombstone close from a SUPERSEDE close, so without the
+        # anti-join an idempotent replay of the batch that created
+        # the current open version (ver == last close version) would
+        # raise spuriously and break the documented fixpoint
+        # contract. Both frames are keys-sized, so the anti-join is
+        # trivial at any history size.
+        open_keys = (history.filter(F.col(valid_to).isNull())
+                     .select(*[F.col(k).alias(f"_mrg_o_{k}")
+                               for k in keys]))
+        ocond = functools.reduce(
+            lambda x, y: x & y,
+            [F.col(k).eqNullSafe(F.col(f"_mrg_o_{k}")) for k in keys])
         tomb = (closed.groupBy(*keys)
                 .agg(F.max(F.col(valid_to)).cast("long")
-                     .alias("_mrg_tv")))
+                     .alias("_mrg_tv"))
+                .join(open_keys, ocond, "left_anti"))
         tv = tomb.select(
             *[F.col(k).alias(f"_mrg_t_{k}") for k in keys], "_mrg_tv")
         tcond = functools.reduce(

@@ -1754,6 +1754,22 @@ def test_scd2_apply_semantics(spark):
     assert scd2_apply(closed_hist, stale_ins, ["k"], "ver",
                       delete_col="del").count() == 2
 
+    # the r11 false positive: a key with normal SUPERSEDE history
+    # (v1 closed at 2, v2 open from 2) replaying its CURRENT state
+    # (ver == the last close version, identical payload) is the
+    # documented no-op fixpoint — check_reinserts must NOT mistake
+    # the supersede close for a tombstone and raise; only keys with
+    # no open row are guarded
+    sup_hist = spark.createDataFrame(
+        [(6, "v1", 0, 2), (6, "v2", 2, None)], hist_schema)
+    replay_cur = spark.createDataFrame(
+        [(6, "v2", 2, False)],
+        "k long, s string, ver long, del boolean")
+    fixp = {tuple(r) for r in scd2_apply(
+        sup_hist, replay_cur, ["k"], "ver", delete_col="del",
+        check_reinserts=True).collect()}
+    assert fixp == {(6, "v1", 0, 2), (6, "v2", 2, None)}
+
 
 def test_scd2_lookup_point_in_time(spark):
     """Point-in-time enrichment against a versioned history: each
@@ -1897,11 +1913,33 @@ def test_grouped_quality_report(spark):
     with pytest.raises(Exception, match="strict mode"):
         grouped_quality_report(df, ["g"], rules, strict=True).collect()
 
+    # the strict raise NAMES the offending stratum (r11 finding #2):
+    # the group-key values ride into the in-plan message, with a NULL
+    # group key spelled out as the literal 'NULL' (concat_ws would
+    # silently skip it and misreport the stratum)
+    with pytest.raises(Exception, match=r"in stratum \(b\)"):
+        grouped_quality_report(df.filter("g = 'b'"), ["g"], rules,
+                               strict=True).collect()
+    with pytest.raises(Exception, match=r"in stratum \(NULL\)"):
+        grouped_quality_report(df.filter("g IS NULL"), ["g"], rules,
+                               strict=True).collect()
+    # ungrouped strict keeps the stratum-free message shape
+    from fstd2pandas_spark.operators.validation import (
+        table_quality_report)
+    with pytest.raises(Exception, match=r"violations \(strict mode\)"):
+        table_quality_report(df, rules, strict=True).collect()
+
     with pytest.raises(ValueError, match="group column"):
         grouped_quality_report(df, [], rules)
     with pytest.raises(ValueError, match="output names"):
         grouped_quality_report(df.withColumnRenamed("g", "passed"),
                                ["passed"], rules)
+    # a group column entering the internal _qr_* namespace gets the
+    # crisp reserved-name ValueError, not an opaque
+    # ambiguous-reference AnalysisException (r11 finding #3)
+    with pytest.raises(ValueError, match="_qr_"):
+        grouped_quality_report(df.withColumnRenamed("g", "_qr_n"),
+                               ["_qr_n"], rules)
 
     # still a single pass over the facts
     rep = grouped_quality_report(df, ["g"], rules)
@@ -1977,6 +2015,23 @@ def test_merge_upsert_semantics(spark):
         "k long, s string, v long, del boolean")
     assert (3, "r", 78) in {(r["k"], r["s"], r["v"]) for r in
                             merge_upsert(tgt, replay_nv, ["k"],
+                                         delete_col="del").collect()}
+
+    # a key whose only rows carry a NULL version would win resolution
+    # with an undefined CDC position — raises in-plan (the scd2
+    # mirror); a NULL version LOSING to a non-NULL one is fine
+    nullv = spark.createDataFrame(
+        [(3, "nv", 1, None, False)],
+        "k long, s string, v long, ver long, del boolean")
+    with pytest.raises(Exception, match="NULL version"):
+        merge_upsert(tgt, nullv, ["k"], version_col="ver",
+                     delete_col="del").collect()
+    mixv = spark.createDataFrame(
+        [(3, "nv", 1, None, False), (3, "ok", 2, 5, False)],
+        "k long, s string, v long, ver long, del boolean")
+    assert (3, "ok", 2) in {(r["k"], r["s"], r["v"]) for r in
+                            merge_upsert(tgt, mixv, ["k"],
+                                         version_col="ver",
                                          delete_col="del").collect()}
 
     # guards: schema mismatch, reserved prefix, empty keys
