@@ -30,9 +30,14 @@ Scale shape: ONE window over the CDC batch (batch-sized, one
 exchange) and ONE null-safe full-outer key join. A broadcast-hash
 full outer does not exist in Spark, so the target-side key exchange
 is the irreducible cost of a key-addressed rewrite — Delta's MERGE
-pays the same shuffle; a bucketed target (plans/bucketing.py) makes
-it exchange-free, and AQE coalesces the usually-tiny CDC side.
-Key skew is the generic salting problem (plans/salting.py).
+pays the same shuffle; a target bucketed on the keys
+(plans/bucketing.py) joined with ``keys_not_null=True`` makes the
+target side exchange-free (plan-locked) — the DEFAULT null-safe
+``<=>`` join extracts to ``(coalesce(k, default), isnull(k))`` join
+keys, which no bucket layout on bare ``k`` satisfies, so without the
+flag even a bucketed target re-shuffles (measured). AQE coalesces
+the usually-tiny CDC side. Key skew is the generic salting problem
+(plans/salting.py).
 """
 
 from __future__ import annotations
@@ -71,12 +76,34 @@ def _require_int(df: DataFrame, c: str, who: str) -> None:
             "first; a silent cast would truncate or NULL values")
 
 
-def _key_eq(keys: "list[str]"):
-    """Null-safe equality between bare key columns and their
-    ``_mrg_k_`` aliases — the one join-condition builder."""
-    return functools.reduce(
-        lambda x, y: x & y,
-        [F.col(k).eqNullSafe(F.col(f"_mrg_k_{k}")) for k in keys])
+def _key_eq(keys: "list[str]", null_safe: bool = True):
+    """Equality between bare key columns and their ``_mrg_k_``
+    aliases — the one join-condition builder. Null-safe by default;
+    plain ``==`` under ``keys_not_null`` (see merge_upsert: ``<=>``
+    extracts to ``(coalesce(k, default), isnull(k))`` join keys,
+    which no bucket/partition layout on bare ``k`` can satisfy, so
+    the null-safe form always re-shuffles a bucketed target)."""
+    if null_safe:
+        pairs = [F.col(k).eqNullSafe(F.col(f"_mrg_k_{k}"))
+                 for k in keys]
+    else:
+        pairs = [F.col(k) == F.col(f"_mrg_k_{k}") for k in keys]
+    return functools.reduce(lambda x, y: x & y, pairs)
+
+
+def _null_key_guard(keys: "list[str]", cols, who: str, side: str):
+    """In-plan raise when any key column is NULL under
+    ``keys_not_null=True`` — a NULL key never matches a plain
+    equi-join, so the row would silently split into an orphan
+    pass-through + a spurious insert instead of matching."""
+    any_null = functools.reduce(
+        lambda x, y: x | y, [c.isNull() for c in cols])
+    bad = F.lit(
+        f"{who}: NULL key in the {side} under keys_not_null=True — "
+        "a NULL key never matches a plain equi-join and the row "
+        "would silently mis-merge; use keys_not_null=False or "
+        "repair the keys")
+    return any_null, bad
 
 
 def _resolve_latest(source: DataFrame, keys: "list[str]",
@@ -113,14 +140,27 @@ def _resolve_latest(source: DataFrame, keys: "list[str]",
 
 def merge_upsert(target: DataFrame, source: DataFrame,
                  keys: "list[str]", version_col: "str | None" = None,
-                 delete_col: "str | None" = None) -> DataFrame:
+                 delete_col: "str | None" = None,
+                 keys_not_null: bool = False) -> DataFrame:
     """MERGE ``source`` (a CDC batch) into ``target``; returns the new
     table with the target's column order. See the module docstring
     for the exact update/insert/delete/latest-wins contract. A
     resolved row whose ``version_col`` is NULL raises in-plan (it can
     only win resolution when the key carries no non-NULL version at
     all — an undefined CDC sequence position must not be applied
-    silently; the scd2_apply mirror)."""
+    silently; the scd2_apply mirror).
+
+    ``keys_not_null=True`` is the bucketed-target fast path: the
+    default null-safe ``<=>`` join extracts to ``(coalesce(k,
+    default), isnull(k))`` join keys — an EXPRESSION no bucket layout
+    on bare ``k`` can satisfy, so the target always re-shuffles
+    (measured; the plan lock in tests/test_plans.py pins both
+    shapes). With the flag, the join keys are the bare key columns,
+    a target bucketed on them (plans/bucketing.py) joins with ZERO
+    target-side exchange — only the tiny CDC side shuffles into the
+    bucket layout — and a NULL key on either side raises in-plan
+    (riding the always-selected presence flags) instead of silently
+    mis-merging as orphan + spurious insert."""
     if not keys:
         raise ValueError("need at least one key column")
     _guard_prefix(set(target.columns) | set(source.columns),
@@ -152,6 +192,16 @@ def merge_upsert(target: DataFrame, source: DataFrame,
     # the ambiguity raise rides the always-selected presence flag —
     # on a guard-only column Catalyst would prune it away with the
     # column (the plan-lock lesson: a loud guard must be load-bearing)
+    if keys_not_null:
+        snull, s_bad = _null_key_guard(
+            keys, [F.col(k) for k in keys], "merge_upsert", "source")
+        tnull, t_bad = _null_key_guard(
+            keys, [F.col(k) for k in keys], "merge_upsert", "target")
+        tgt_flag = (F.when(tnull, F.raise_error(t_bad).cast("boolean"))
+                    .otherwise(F.lit(True)))
+    else:
+        snull, s_bad = F.lit(False), F.lit("")
+        tgt_flag = F.lit(True)
     src = resolved.select(
         *[F.col(k).alias(f"_mrg_k_{k}") for k in keys],
         *[F.col(c).alias(f"_mrg_v_{c}") for c in payload],
@@ -163,10 +213,12 @@ def merge_upsert(target: DataFrame, source: DataFrame,
         F.when(F.col("_mrg_dup") != 1,
                F.raise_error(bad).cast("boolean"))
         .when(ver_null, F.raise_error(ver_bad).cast("boolean"))
+        .when(snull, F.raise_error(s_bad).cast("boolean"))
         .otherwise(F.lit(True))
         .alias("_mrg_src"))
-    j = target.withColumn("_mrg_tgt", F.lit(True)) \
-              .join(src, _key_eq(keys), "full_outer")
+    j = target.withColumn("_mrg_tgt", tgt_flag) \
+              .join(src, _key_eq(keys, null_safe=not keys_not_null),
+                    "full_outer")
     hit = F.col("_mrg_src").isNotNull()
     out = (j.filter(~(hit & F.col("_mrg_del")))
            .select(
@@ -231,7 +283,9 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
     a supersede also closes a row and an idempotent replay of the
     batch that created the current open version must stay a no-op —
     then the keys-sized result broadcasts back and a stale re-insert
-    raises.
+    raises. Tombstone rows are exempt (a delete re-inserts nothing,
+    and replaying the batch that tombstoned the key must stay a
+    fixpoint too).
 
     Scale shape: closed rows never join (a filter splits them off —
     at steady state they are the bulk of the table); one batch window
@@ -328,11 +382,16 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
             F.lit(" re-inserts a key whose history was closed at "),
             F.col("_mrg_tv").cast("string"),
             F.lit(" — the open interval would overlap closed history"))
+        # a TOMBSTONE row is exempt: it re-inserts nothing (a delete
+        # for an already-closed key is the documented absent-key
+        # no-op), and replaying the batch that tombstoned the key
+        # (ver == the close version) must stay a fixpoint
         src = (src.join(F.broadcast(tv), tcond, "left")
                .withColumn(
                    "_mrg_ver",
                    F.when(F.col("_mrg_tv").isNull()
-                          | (F.col("_mrg_ver") > F.col("_mrg_tv")),
+                          | (F.col("_mrg_ver") > F.col("_mrg_tv"))
+                          | F.col("_mrg_del"),
                           F.col("_mrg_ver"))
                    .otherwise(F.raise_error(re_bad).cast("long")))
                .drop(*[f"_mrg_t_{k}" for k in keys], "_mrg_tv"))

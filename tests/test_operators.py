@@ -1770,6 +1770,17 @@ def test_scd2_apply_semantics(spark):
         check_reinserts=True).collect()}
     assert fixp == {(6, "v1", 0, 2), (6, "v2", 2, None)}
 
+    # ...and a TOMBSTONE replay (a delete for the already-tombstoned
+    # key at ver == the close version) re-inserts nothing: exempt
+    # from the guard, stays the documented absent-key no-op fixpoint
+    tomb_replay = spark.createDataFrame(
+        [(5, "z", 10, True)],
+        "k long, s string, ver long, del boolean")
+    fixp_t = {tuple(r) for r in scd2_apply(
+        closed_hist, tomb_replay, ["k"], "ver", delete_col="del",
+        check_reinserts=True).collect()}
+    assert fixp_t == {(5, "z", 0, 10)}
+
 
 def test_scd2_lookup_point_in_time(spark):
     """Point-in-time enrichment against a versioned history: each
@@ -1882,6 +1893,113 @@ def test_merge_upsert_randomized_model(spark):
         t, s, ["sc", "k"], version_col="ver",
         delete_col="del").collect()}
     assert got == expect
+
+
+def test_scd2_apply_randomized_model(spark):
+    """Property-style check against an independent Python interval
+    model — the coverage whose absence let the r11 check_reinserts
+    false positive through: 30 seeded scenarios packed into ONE
+    frame via a (scenario, k) compound key, each applying THREE
+    sequential batches (random mix of inserts, payload changes,
+    exact replays of the current state, tombstones, post-tombstone
+    re-inserts, absent-key tombstones, NULL keys/payloads/delete
+    flags, and within-batch multi-version rows resolved latest-wins)
+    starting from an EMPTY history. The full final history must
+    equal the model's — with check_reinserts OFF and ON (versions
+    are strictly increasing across batches, so every re-insert in
+    the generated stream is legitimate and the guard must stay
+    silent)."""
+    import random
+
+    from fstd2pandas_spark.plans.merge import scd2_apply
+
+    rng = random.Random(12)
+    n_batches = 3
+    batches = [[] for _ in range(n_batches)]
+    # model state: (sc, k) -> list of [s, v, vf, vt]
+    model = {}
+
+    def model_open(kk):
+        rows = model.get(kk, [])
+        op = [r for r in rows if r[3] is None]
+        return op[0] if op else None
+
+    for sc in range(30):
+        keys = [None] + list(range(5))
+        for b in range(n_batches):
+            base = 10 * (b + 1)
+            # generate this scenario's slice of batch b against the
+            # model's CURRENT state (so "replay" really replays the
+            # pre-batch open row, incl. one opened two batches ago)
+            brows = []
+            for k in keys:
+                if rng.random() >= 0.55:
+                    continue
+                cur = model_open((sc, k))
+                roll = rng.random()
+                ver = base + rng.randint(0, 1)
+                if roll < 0.2:
+                    # tombstone (on an open key: close; on an absent
+                    # or already-tombstoned key: no-op)
+                    brows.append((sc, k, f"d{sc}_{b}", 0, ver, True))
+                elif roll < 0.4 and cur is not None:
+                    # exact replay of the current open state — the
+                    # idempotent no-op class (incl. ver == vf, the
+                    # r11 false-positive shape once closed history
+                    # exists underneath)
+                    brows.append((sc, k, cur[0], cur[1],
+                                  rng.choice([cur[2], ver]),
+                                  rng.choice([False, None])))
+                else:
+                    s = (None if rng.random() < 0.1
+                         else f"s{sc}_{k}_{b}_{rng.randint(0, 9)}")
+                    v = (None if rng.random() < 0.15
+                         else rng.randint(0, 99))
+                    brows.append((sc, k, s, v, ver, False))
+                    if rng.random() < 0.25:
+                        # second row, distinct higher version —
+                        # latest-wins resolution must pick it
+                        brows.append((sc, k, f"w{sc}_{k}_{b}",
+                                      rng.randint(0, 99),
+                                      ver + 2, False))
+            batches[b].extend(brows)
+            # drive the model on batch b: latest-wins resolution,
+            # then the SCD2 transition per winner
+            winners = {}
+            for _, k, s, v, ver, dele in brows:
+                w = winners.get(k)
+                if w is None or ver > w[2]:
+                    winners[k] = (s, v, ver, dele)
+            for k, (s, v, ver, dele) in winners.items():
+                kk = (sc, k)
+                cur = model_open(kk)
+                if dele is True:
+                    if cur is not None:
+                        cur[3] = ver
+                elif cur is None:
+                    model.setdefault(kk, []).append([s, v, ver, None])
+                elif (cur[0], cur[1]) != (s, v):
+                    cur[3] = ver
+                    model[kk].append([s, v, ver, None])
+
+    expect = {(sc, k, r[0], r[1], r[2], r[3])
+              for (sc, k), rows in model.items() for r in rows}
+
+    hist_schema = ("sc long, k long, s string, v long, "
+                   "valid_from long, valid_to long")
+    for check in (False, True):
+        hist = spark.createDataFrame([], hist_schema)
+        for b in range(n_batches):
+            bdf = spark.createDataFrame(
+                batches[b],
+                "sc long, k long, s string, v long, ver long, "
+                "del boolean")
+            hist = scd2_apply(hist, bdf, ["sc", "k"], "ver",
+                              delete_col="del", check_reinserts=check)
+            # materialize between batches — each apply feeds the next
+            hist = spark.createDataFrame(hist.collect(), hist_schema)
+        got = {tuple(r) for r in hist.collect()}
+        assert got == expect, f"check_reinserts={check}"
 
 
 def test_grouped_quality_report(spark):

@@ -646,6 +646,91 @@ def test_merge_upsert_plan(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_merge_upsert_bucketed_target_exchange_free(spark, tmp_path):
+    """The module docstring's bucketed-MERGE claim, pinned (r11 order
+    item #3): the DEFAULT null-safe join extracts to ``(coalesce(k,
+    default), isnull(k))`` join keys — an expression no bucket layout
+    on bare ``k`` satisfies, so even a bucketed target re-shuffles
+    (4 exchanges, coalesce-wrapped keys). With ``keys_not_null=True``
+    the join keys are the bare columns and the bucketed target joins
+    with ZERO target-side exchanges — only the CDC side shuffles into
+    the bucket layout (2 exchanges total: batch dedup + the key
+    window reused by the join). AQE off, broadcast off — the
+    pagerank-lock precedent. NULL-key guards raise on either side."""
+    from fstd2pandas_spark.plans.bucketing import (
+        read_bucketed, write_bucketed)
+    from fstd2pandas_spark.plans.merge import merge_upsert
+
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    bc0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    tgt = spark.range(200).selectExpr(
+        "id as k", "cast(id as string) as s", "id * 10 as v")
+    src = spark.createDataFrame(
+        [(3, "u", 33, 2, False), (999, "i", 9, 1, False)],
+        "k long, s string, v long, ver long, del boolean")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # bucket count must MATCH spark.sql.shuffle.partitions for
+        # EnsureRequirements to serve the join from the bucket layout
+        # instead of re-shuffling both sides to the session default —
+        # at 100 TB this is the same sizing rule the module docstring
+        # gives (bucket count ~ cluster parallelism)
+        nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_bucketed(tgt, "t_mrg_b", ["k"], nb,
+                       path=str(tmp_path / "t"))
+        t = read_bucketed(spark, "t_mrg_b")
+
+        def _exchanges(df):
+            df.collect()
+            final = _plan(df).split("== Initial Plan ==")[0]
+            return [ln for ln in final.splitlines()
+                    if "Exchange hashpartitioning" in ln
+                    and "ReusedExchange" not in ln]
+
+        # default null-safe: the bucket layout cannot serve the
+        # coalesce/isnull join keys — the TARGET side re-shuffles
+        ex_ns = _exchanges(merge_upsert(t, src, ["k"],
+                                        version_col="ver",
+                                        delete_col="del"))
+        assert len(ex_ns) == 4, ex_ns
+        assert any("coalesce(" in ln for ln in ex_ns), ex_ns
+
+        # keys_not_null: bare-key join, zero target-side exchanges
+        out = merge_upsert(t, src, ["k"], version_col="ver",
+                           delete_col="del", keys_not_null=True)
+        ex_nn = _exchanges(out)
+        assert len(ex_nn) == 2, ex_nn
+        assert not any("coalesce(" in ln for ln in ex_nn), ex_nn
+        final = _plan(out).split("== Initial Plan ==")[0]
+        smj = [ln for ln in final.splitlines() if "SortMergeJoin" in ln]
+        assert smj and "coalesce" not in smj[0], smj
+
+        # and the fast path returns exactly the null-safe result on
+        # NULL-free keys
+        ref = {tuple(r) for r in merge_upsert(
+            t, src, ["k"], version_col="ver",
+            delete_col="del").collect()}
+        assert {tuple(r) for r in out.collect()} == ref
+
+        # NULL-key guards: either side raises in-plan
+        srcn = spark.createDataFrame(
+            [(None, "u", 33, 2, False)],
+            "k long, s string, v long, ver long, del boolean")
+        with pytest.raises(Exception, match="NULL key in the source"):
+            merge_upsert(t, srcn, ["k"], version_col="ver",
+                         delete_col="del", keys_not_null=True).collect()
+        tgtn = tgt.unionByName(spark.createDataFrame(
+            [(None, "n", 0)], "k long, s string, v long"))
+        with pytest.raises(Exception, match="NULL key in the target"):
+            merge_upsert(tgtn, src, ["k"], version_col="ver",
+                         delete_col="del", keys_not_null=True).collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc0)
+        spark.sql("DROP TABLE IF EXISTS t_mrg_b")
+
+
 def test_scd2_apply_plan(spark):
     """Scale lock for SCD2: the null-safe current-slice join rewrites
     to an EQUI join (no NestedLoop/Cartesian), exactly THREE Window
