@@ -12,6 +12,10 @@ from fstd2pandas_spark.plans.merge import (
     scd2_apply,
     scd2_lookup,
 )
+from fstd2pandas_spark.plans.compaction import (
+    compact_partitions,
+    compaction_plan,
+)
 from fstd2pandas_spark.plans.salting import key_skew_report, salted_join
 from fstd2pandas_spark.plans.checks import (
     assert_broadcast_join,
@@ -25,6 +29,8 @@ from fstd2pandas_spark.plans.checks import (
 
 __all__ = [
     "changed_partitions",
+    "compact_partitions",
+    "compaction_plan",
     "partition_fingerprints",
     "incremental_refresh",
     "key_skew_report",

@@ -1,0 +1,278 @@
+"""Small-file compaction — the OPTIMIZE primitive that closes the
+maintenance loop: fingerprint → diff → refresh → MERGE → quality
+gates manage CONTENT, but every MERGE/refresh rewrite and every
+streaming micro-batch leaves small-file debris behind, and at 100 TB
+a partition fragmented into thousands of kilobyte files turns each
+scan into a listing + open-file storm. This module bin-packs the
+fragmented partitions of a hive-partitioned parquet dataset back to
+a target file size — and NEVER changes content (the invariant the
+test gates with :func:`~fstd2pandas_spark.plans.snapshot.
+partition_fingerprints`: the snapshot module is compaction's own
+oracle).
+
+Scale shape:
+
+- The PLAN is pure metadata-plane work: one driver-side filesystem
+  listing (the same plane Delta's OPTIMIZE and Iceberg's rewrite
+  action operate on), partitions-x-files-sized, no data read.
+- The REWRITE is ONE Spark job over the touched partitions only: a
+  literal partition-pruned scan (the incremental_refresh convention —
+  the filter references only partition columns, so it lands in
+  ``PartitionFilters`` and untouched partitions are never opened),
+  one hash exchange on the partition columns (each partition's rows
+  converge on exactly one task), and ``maxRecordsPerFile`` splits the
+  output at the target size. Untouched partitions are not read, not
+  written, not moved.
+- The SWAP is a bounded driver loop over the touched partitions
+  (``max_partitions`` raises loudly past the cap — the prune_limit
+  convention): per partition, the old directory is renamed to a
+  dot-prefixed sibling (invisible to Spark/Hadoop listings at any
+  level), the new directory renamed in, the hidden one deleted.
+  Renames are O(1) metadata ops on HDFS/posix (copies on S3A — a
+  table format with a transaction log is the right tool there).
+
+Honesty about atomicity: plain parquet has no transaction log, so a
+crash between the two renames leaves that ONE partition temporarily
+absent (its data intact under the hidden ``.compact-old-*`` name —
+recovery is a rename back). No crash window can produce duplicate or
+torn content, which is the failure mode that silently corrupts
+results; Delta/Iceberg buy full atomicity with their logs.
+
+Determinism contract: row order WITHIN the rewritten files follows
+shuffle arrival and is not reproducible, but the row MULTISET per
+partition is bit-identical — which is exactly what the order-free
+fingerprint sums certify (``verify=True`` recomputes them in-process
+and raises on any drift before declaring success).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: hive's spelling of a NULL partition value in directory names
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+#: swap-loop ceiling (the MAX_PRUNE_PARTITIONS convention): a
+#: compaction touching more partitions than this should be split into
+#: windows by the caller, not silently serialized through one driver.
+MAX_COMPACT_PARTITIONS = 10_000
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _is_hidden(name: str) -> bool:
+    return name.startswith(".") or name.startswith("_")
+
+
+def _list_partitions(spark: SparkSession, path: str,
+                     part_cols: "list[str]") -> "list[dict]":
+    """Walk the hive layout ``path/col1=v1/.../colN=vN/files`` and
+    return one entry per leaf partition: the relative directory, the
+    decoded partition values (HIVE_NULL -> None), file count and
+    total bytes. Raises if the layout does not match ``part_cols``."""
+    from urllib.parse import unquote
+
+    fs, root = _fs(spark, path)
+    jvm = spark._jvm
+
+    def walk(jdir, rel: str, vals: tuple, depth: int):
+        entries = []
+        col = part_cols[depth]
+        for st in fs.listStatus(jdir):
+            name = st.getPath().getName()
+            if _is_hidden(name):
+                continue
+            if not st.isDirectory() or "=" not in name:
+                raise ValueError(
+                    f"compaction: {rel or '.'} contains {name!r} "
+                    f"where a {col}=<value> partition directory was "
+                    f"expected — the dataset is not hive-partitioned "
+                    f"on {part_cols}")
+            c, raw = name.split("=", 1)
+            if c != col:
+                raise ValueError(
+                    f"compaction: directory {name!r} under "
+                    f"{rel or '.'} does not match partition column "
+                    f"{col!r} (layout order must equal part_cols)")
+            v = None if raw == HIVE_NULL else unquote(raw)
+            nrel = f"{rel}/{name}" if rel else name
+            sub = st.getPath()
+            if depth + 1 < len(part_cols):
+                entries.extend(walk(sub, nrel, vals + (v,), depth + 1))
+            else:
+                files = [f for f in fs.listStatus(sub)
+                         if f.isFile()
+                         and not _is_hidden(f.getPath().getName())]
+                entries.append({
+                    "rel": nrel,
+                    "values": vals + (v,),
+                    "n_files": len(files),
+                    "bytes": sum(f.getLen() for f in files)})
+        return entries
+
+    del jvm
+    return walk(root, "", (), 0)
+
+
+def compaction_plan(spark: SparkSession, path: str,
+                    part_cols: "list[str]",
+                    target_bytes: int) -> "list[dict]":
+    """One dict per leaf partition: ``rel`` (directory relative to
+    ``path``), ``values`` (decoded partition values, None for the
+    hive NULL partition), ``n_files``, ``bytes``, ``n_ideal``
+    (``ceil(bytes / target_bytes)``, min 1) and ``needs`` (more files
+    than ideal — the partitions :func:`compact_partitions` would
+    rewrite). Pure metadata-plane: one filesystem listing, no data
+    read."""
+    if not part_cols:
+        raise ValueError("need at least one partition column")
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    plan = _list_partitions(spark, path, part_cols)
+    for e in plan:
+        e["n_ideal"] = max(1, math.ceil(e["bytes"] / target_bytes))
+        e["needs"] = e["n_files"] > e["n_ideal"]
+    return plan
+
+
+def _touch_filter(part_cols: "list[str]", dtypes: dict,
+                  touched: "list[dict]"):
+    """Literal partition filter over the touched partitions — typed
+    literals (``cast('3' as bigint)`` constant-folds) compared
+    null-safely so the filter stays a pure partition predicate that
+    Catalyst turns into PartitionFilters (the incremental_refresh
+    lesson)."""
+    def one(e):
+        terms = [
+            F.col(c).eqNullSafe(
+                F.lit(v).cast(dtypes[c]) if v is not None
+                else F.lit(None).cast(dtypes[c]))
+            for c, v in zip(part_cols, e["values"])]
+        return functools.reduce(lambda x, y: x & y, terms)
+
+    return functools.reduce(lambda x, y: x | y, [one(e) for e in touched])
+
+
+def compact_partitions(spark: SparkSession, path: str,
+                       part_cols: "list[str]", target_bytes: int,
+                       order_by: "list[str] | None" = None,
+                       max_partitions: int = MAX_COMPACT_PARTITIONS,
+                       verify: bool = False) -> dict:
+    """Rewrite every fragmented partition of the dataset at ``path``
+    into ~``target_bytes`` files (see the module docstring for the
+    plan/rewrite/swap shape and the atomicity contract); returns
+    ``{"compacted": [rel, ...], "files_before": n, "files_after": n,
+    "max_records": m, "n_rows": r}``. ``order_by`` sorts rows within
+    each rewritten partition before splitting (the OPTIMIZE ZORDER
+    idiom — pass a ``zorder_key`` projection for multi-dimensional
+    clustering), improving min/max pruning for later scans.
+    ``verify=True`` recomputes the order-free partition fingerprints
+    of the touched slice after the swap and raises if compaction
+    changed ANY content — the never-changes-content invariant,
+    self-checked."""
+    plan = compaction_plan(spark, path, part_cols, target_bytes)
+    touched = [e for e in plan if e["needs"]]
+    stats = {"compacted": [e["rel"] for e in touched],
+             "files_before": sum(e["n_files"] for e in touched),
+             "files_after": 0, "max_records": 0, "n_rows": 0}
+    if not touched:
+        return stats
+    if len(touched) > max_partitions:
+        raise ValueError(
+            f"compaction touches {len(touched)} partitions > "
+            f"max_partitions={max_partitions} — split the job into "
+            "windows (e.g. by a partition-prefix filter) instead of "
+            "serializing one giant swap loop through the driver")
+
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    for c in part_cols:
+        if c not in dtypes:
+            raise ValueError(f"partition column {c} not in the "
+                             f"dataset schema {sorted(dtypes)}")
+    bad_order = [c for c in (order_by or []) if c not in dtypes]
+    if bad_order:
+        raise ValueError(f"order_by columns {bad_order} not in the "
+                         "dataset schema")
+    pruned = df.filter(_touch_filter(part_cols, dtypes, touched))
+    content_cols = [c for c in df.columns if c not in part_cols]
+
+    if verify:
+        from fstd2pandas_spark.plans.snapshot import (
+            partition_fingerprints)
+        before = {tuple(r) for r in partition_fingerprints(
+            pruned, part_cols, content_cols).collect()}
+
+    # ONE row-count job over the pruned slice converts the byte
+    # target into the row cap maxRecordsPerFile understands (parquet
+    # listings know bytes, not rows)
+    n_rows = pruned.count()
+    sum_bytes = sum(e["bytes"] for e in touched)
+    avg_row = max(1, sum_bytes // max(1, n_rows))
+    max_records = max(1, target_bytes // avg_row)
+    stats["max_records"] = max_records
+    stats["n_rows"] = n_rows
+
+    # each partition's rows converge on exactly ONE task (hash on the
+    # partition columns), so a partition under max_records becomes
+    # exactly one file; order_by clusters rows before the split
+    w = pruned.repartition(*[F.col(c) for c in part_cols])
+    if order_by:
+        w = w.sortWithinPartitions(*part_cols, *order_by)
+    tmp = f"{path.rstrip('/')}.compact-{uuid.uuid4().hex[:12]}"
+    (w.write.option("maxRecordsPerFile", max_records)
+      .partitionBy(*part_cols).mode("overwrite").parquet(tmp))
+
+    fs, _root = _fs(spark, path)
+    jvm = spark._jvm
+    JPath = jvm.org.apache.hadoop.fs.Path
+    try:
+        for e in touched:
+            old = JPath(f"{path.rstrip('/')}/{e['rel']}")
+            new = JPath(f"{tmp}/{e['rel']}")
+            parent = old.getParent()
+            hidden = JPath(parent, f".compact-old-{uuid.uuid4().hex[:12]}")
+            if not fs.rename(old, hidden):
+                raise IOError(f"compaction: rename {old} -> {hidden} "
+                              "failed")
+            if fs.exists(new):
+                if not fs.rename(new, old):
+                    # put the original back before dying — no crash
+                    # window with data invisible AND recoverable-only
+                    fs.rename(hidden, old)
+                    raise IOError(f"compaction: rename {new} -> {old} "
+                                  "failed (original restored)")
+            # a touched partition whose files held ZERO rows writes no
+            # output directory: removing the empty files IS the
+            # content-preserving compaction of that partition
+            fs.delete(hidden, True)
+    finally:
+        fs.delete(JPath(tmp), True)
+
+    if verify:
+        after_df = spark.read.parquet(path).filter(
+            _touch_filter(part_cols, dtypes, touched))
+        after = {tuple(r) for r in partition_fingerprints(
+            after_df, part_cols, content_cols).collect()}
+        if before != after:
+            raise AssertionError(
+                "compaction changed content: partition fingerprints "
+                f"diverged for "
+                f"{sorted(set(map(str, before ^ after)))[:4]} — the "
+                "never-changes-content invariant is broken; the "
+                "dataset may have been written concurrently")
+
+    re_plan = _list_partitions(spark, path, part_cols)
+    by_rel = {e["rel"]: e for e in re_plan}
+    stats["files_after"] = sum(
+        by_rel[r]["n_files"] for r in stats["compacted"] if r in by_rel)
+    return stats

@@ -646,6 +646,110 @@ def test_merge_upsert_plan(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_compaction_never_changes_content(spark, tmp_path):
+    """plans/compaction.py: fragmented partitions (incl. the hive
+    NULL partition) bin-pack to the target size — one file when the
+    target swallows the partition, ceil(rows / max_records) files
+    under a smaller target, order_by clustering rows within files —
+    while the full dataset's order-free fingerprints are bit-identical
+    before and after (snapshot.py is compaction's own oracle) and an
+    already-compact partition is neither read nor touched (same file,
+    same mtime). The rewrite scan is partition-pruned (the literal
+    filter lands in PartitionFilters)."""
+    from fstd2pandas_spark.plans.compaction import (
+        _touch_filter, compact_partitions, compaction_plan)
+    from fstd2pandas_spark.plans.snapshot import partition_fingerprints
+
+    path = str(tmp_path / "ds")
+    rows = [(d, i, i * 7 % 101) for d in (0, 1) for i in range(120)]
+    rows += [(None, i, i * 3 % 17) for i in range(40)]
+    df = spark.createDataFrame(rows, "day int, u long, v long")
+    # round-robin fragmentation: every task holds rows of every day
+    df.repartition(24).write.partitionBy("day").parquet(path)
+    # an already-compact partition, appended as a single file
+    spark.createDataFrame([(2, i, i) for i in range(30)],
+                          "day int, u long, v long") \
+        .coalesce(1).write.partitionBy("day").mode("append").parquet(path)
+
+    plan0 = compaction_plan(spark, path, ["day"], 1 << 30)
+    by_rel0 = {e["rel"]: e for e in plan0}
+    assert by_rel0["day=0"]["n_files"] == 24
+    assert by_rel0["day=__HIVE_DEFAULT_PARTITION__"]["values"] == (None,)
+    assert by_rel0["day=2"]["n_files"] == 1
+    assert by_rel0["day=2"]["needs"] is False
+    assert by_rel0["day=0"]["needs"] is True
+
+    def fp():
+        return {tuple(r) for r in partition_fingerprints(
+            spark.read.parquet(path), ["day"], ["u", "v"]).collect()}
+
+    def day2_file(fs_spark):
+        import os as _os
+        d2 = _os.path.join(path, "day=2")
+        return {(f, _os.path.getmtime(_os.path.join(d2, f)))
+                for f in _os.listdir(d2) if not f.startswith(("_", "."))}
+
+    before, d2_before = fp(), day2_file(spark)
+
+    # the rewrite scan is a pure partition predicate -> PartitionFilters
+    touched = [e for e in plan0 if e["needs"]]
+    probe = spark.read.parquet(path)
+    probe_f = probe.filter(
+        _touch_filter(["day"], dict(probe.dtypes), touched))
+    pplan = probe_f._jdf.queryExecution().executedPlan().toString()
+    assert any("PartitionFilters" in ln and "day" in ln
+               for ln in pplan.splitlines()), pplan
+
+    # big target: every fragmented partition becomes exactly ONE file
+    stats = compact_partitions(spark, path, ["day"], 1 << 30,
+                               verify=True)
+    assert sorted(stats["compacted"]) == [
+        "day=0", "day=1", "day=__HIVE_DEFAULT_PARTITION__"]
+    assert stats["files_before"] == 72 and stats["files_after"] == 3
+    plan1 = compaction_plan(spark, path, ["day"], 1 << 30)
+    assert all(e["n_files"] == 1 for e in plan1), plan1
+    assert fp() == before
+    assert day2_file(spark) == d2_before   # untouched, not rewritten
+
+    # re-fragment and compact to a SMALL target with order_by: file
+    # count per partition is ceil(rows / max_records) and every
+    # file's rows arrive v-sorted (the OPTIMIZE ZORDER idiom)
+    spark.read.parquet(path).repartition(24) \
+        .write.partitionBy("day").mode("overwrite").parquet(path)
+    sum_b = sum(e["bytes"] for e in compaction_plan(
+        spark, path, ["day"], 1 << 30))
+    target = max(1, (sum_b // 390) * 40)   # ~40 rows per file
+    stats2 = compact_partitions(spark, path, ["day"], target,
+                                order_by=["v"], verify=True)
+    assert fp() == before   # content invariant across both passes
+    mr = stats2["max_records"]
+    assert mr >= 1
+    import math as _math
+    plan2 = {e["rel"]: e for e in compaction_plan(
+        spark, path, ["day"], 1 << 30)}
+    for rel, nrows in [("day=0", 120), ("day=1", 120),
+                       ("day=__HIVE_DEFAULT_PARTITION__", 40)]:
+        if rel in stats2["compacted"]:
+            assert plan2[rel]["n_files"] == _math.ceil(nrows / mr), \
+                (rel, mr, plan2[rel])
+    # per-file ordering
+    got = (spark.read.parquet(path).filter("day = 0")
+           .select(F.input_file_name().alias("f"), "v").toPandas())
+    for _f, grp in got.groupby("f"):
+        assert list(grp["v"]) == sorted(grp["v"]), _f
+
+    # guards
+    with pytest.raises(ValueError, match="target_bytes"):
+        compaction_plan(spark, path, ["day"], 0)
+    with pytest.raises(ValueError, match="max_partitions"):
+        compact_partitions(spark, path, ["day"], 1 << 30,
+                           max_partitions=1)
+    flat = str(tmp_path / "flat")
+    spark.range(5).write.parquet(flat)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compaction_plan(spark, flat, ["day"], 1 << 20)
+
+
 def test_merge_upsert_bucketed_target_exchange_free(spark, tmp_path):
     """The module docstring's bucketed-MERGE claim, pinned (r11 order
     item #3): the DEFAULT null-safe join extracts to ``(coalesce(k,
