@@ -1131,12 +1131,17 @@ _Q_CONDAGG_SQL = """
            CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) AS hb
     FROM (SELECT user_id, event_id,
                  -- NULL sentinel chr(0)||'null' mirrors the engine's
-                 -- NUL-prefixed sentinel (NULL must differ from '')
+                 -- NUL-prefixed sentinel (NULL must differ from '');
+                 -- NUL bytes in REAL content double-escape first so a
+                 -- string literally holding the sentinel cannot alias
+                 -- NULL (identity on this NUL-free corpus)
                  md5(concat('snap1', chr(31),
-                            coalesce(CAST(event_id AS VARCHAR),
+                            coalesce(replace(CAST(event_id AS VARCHAR),
+                                             chr(0), chr(0) || chr(0)),
                                      chr(0) || 'null'),
                             chr(31),
-                            coalesce(event_type,
+                            coalesce(replace(event_type,
+                                             chr(0), chr(0) || chr(0)),
                                      chr(0) || 'null'))) AS h
           FROM events)),
   fpr AS (

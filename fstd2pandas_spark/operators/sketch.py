@@ -517,9 +517,22 @@ def histogram_merge(sketches: DataFrame,
     keys where an equi-join would silently drop them): the under/over
     flows ride on each sketch's ``_i == 0`` exploded row and are
     summed alongside that bin. The per-group collect_list is bounded
-    at ``nbins`` elements by construction."""
+    at ``nbins`` elements by construction. A NULL ``hist`` raises
+    in-plan: posexplode of a NULL array emits NO rows, so the group
+    would otherwise VANISH from the merged output together with its
+    under/overflow counts — a merge input must be a real sketch;
+    outer-joined rosters (which :func:`histogram_quantile` supports)
+    belong downstream of the merge."""
+    nul = F.lit(
+        "histogram_merge: NULL hist — a merge input must be a real "
+        "sketch (the group would silently vanish from the merge); "
+        "attach outer-joined rosters AFTER merging, where "
+        "histogram_quantile handles their NULL sketches")
+    checked = (F.when(F.col("hist").isNotNull(), F.col("hist"))
+               .otherwise(F.raise_error(nul)
+                          .cast(T.ArrayType(T.LongType()))))
     ex = sketches.select(*group_cols, "n_under", "n_over",
-                         F.posexplode("hist").alias("_i", "_c"))
+                         F.posexplode(checked).alias("_i", "_c"))
     per_bin = (ex.groupBy(*group_cols, "_i")
                .agg(F.sum("_c").cast("long").alias("_c"),
                     F.sum(F.when(F.col("_i") == 0, F.col("n_under")))

@@ -45,11 +45,15 @@ _SEP = "\x1f"
 
 #: NULL content sentinel. A NULL must hash differently from the empty
 #: string (a row flipping a column between NULL and '' is a real
-#: change), and no string cast of real content can collide with it:
-#: a leading NUL byte never appears in a cast of the allowed content
-#: types. DuckDB mirror: ``coalesce(CAST(c AS VARCHAR), chr(0) ||
-#: 'null')`` — chr(0) round-trips md5 identically in both engines
-#: (verified against Python hashlib in tests).
+#: change), and no real value may ALIAS it: NUL bytes in content are
+#: escaped by doubling before the sentinel is applied, so a string
+#: column literally holding '\\x00null' (possible for arbitrary string
+#: content, unlike casts of the numeric/date types) hashes as
+#: '\\x00\\x00null' — distinct from NULL's single-NUL sentinel, whose
+#: leading NUL can never survive the doubling. DuckDB mirror:
+#: ``coalesce(replace(CAST(c AS VARCHAR), chr(0), chr(0) || chr(0)),
+#: chr(0) || 'null')`` — chr(0) round-trips replace+md5 identically in
+#: both engines (verified against Python hashlib in tests).
 _NULL = "\x00null"
 
 #: fingerprint-sum headroom bound (see the module docstring): above
@@ -73,7 +77,9 @@ def partition_fingerprints(df: DataFrame, part_cols: "list[str]",
         raise ValueError("need at least one partition and content column")
     h = F.md5(F.concat_ws(
         _SEP, F.lit(seed),
-        *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+        *[F.coalesce(F.replace(F.col(c).cast("string"),
+                               F.lit("\x00"), F.lit("\x00\x00")),
+                     F.lit(_NULL))
           for c in content_cols]))
     a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")

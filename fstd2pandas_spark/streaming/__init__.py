@@ -1,3 +1,7 @@
+from fstd2pandas_spark.streaming.cdc_sink import (
+    apply_cdc_stream,
+    read_cdc_table,
+)
 from fstd2pandas_spark.streaming.record_stream import (
     DEDUP_KEYS,
     cycle_window_stats,
@@ -14,6 +18,8 @@ from fstd2pandas_spark.streaming.record_stream import (
 
 __all__ = [
     "DEDUP_KEYS",
+    "apply_cdc_stream",
+    "read_cdc_table",
     "cycle_window_stats",
     "read_document_stream",
     "read_record_stream",

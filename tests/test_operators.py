@@ -1286,12 +1286,30 @@ def test_partition_fingerprints_and_snapshot_diff(spark):
 
     want = {}
     for src, i, t in rows:
+        body = (t.replace("\x00", "\x00\x00") if t is not None
+                else chr(0) + "null")
         h = hashlib.md5(
-            f"snap1\x1f{i}\x1f{t if t is not None else chr(0) + 'null'}"
-            .encode()).hexdigest()
+            f"snap1\x1f{i}\x1f{body}".encode()).hexdigest()
         n, a, b = want.get(src, (0, 0, 0))
         want[src] = (n + 1, a + int(h[:8], 16), b + int(h[8:16], 16))
     assert fp == want
+
+    # a string column literally holding the NUL sentinel '\\x00null'
+    # must NOT alias NULL (the r11 advice): NUL bytes in real content
+    # double-escape before the sentinel applies
+    fp_alias = partition_fingerprints(
+        spark.createDataFrame([("s", 1, "\x00null")],
+                              "src string, id long, t string"),
+        ["src"], ["id", "t"]).collect()[0]
+    fp_isnull = partition_fingerprints(
+        spark.createDataFrame([("s", 1, None)],
+                              "src string, id long, t string"),
+        ["src"], ["id", "t"]).collect()[0]
+    assert (fp_alias["fp_a"], fp_alias["fp_b"]) \
+        != (fp_isnull["fp_a"], fp_isnull["fp_b"])
+    ha = hashlib.md5(
+        ("snap1\x1f1\x1f" + "\x00\x00null").encode()).hexdigest()
+    assert fp_alias["fp_a"] == int(ha[:8], 16)   # the escaped form
 
     # NULL vs empty string is a DETECTABLE change (the sentinel's job)
     fp_null = partition_fingerprints(
@@ -1843,6 +1861,47 @@ def test_scd2_lookup_point_in_time(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
+def test_scd2_lookup_agrees_with_asof_join(spark):
+    """Two independent in-repo time-travel implementations check each
+    other (the r11 order item #7): on a CONTIGUOUS history (every
+    close version equals the next open version — scd2_apply builds
+    exactly that from payload-change batches, no tombstones), the
+    interval join scd2_lookup and the union+window asof_join
+    (independently oracle-gated against DuckDB's native ASOF) must
+    resolve every fact to the SAME version — boundary times included
+    (both give the NEW version at an exact boundary: vf <= at vs
+    inclusive backward match), and facts before a key's first version
+    resolve NULL in both."""
+    from fstd2pandas_spark.operators.temporal import asof_join
+    from fstd2pandas_spark.plans.merge import scd2_apply, scd2_lookup
+
+    hist_schema = ("k long, s string, valid_from long, valid_to long")
+    hist = spark.createDataFrame([], hist_schema)
+    for ver in (10, 20, 30):
+        batch = spark.createDataFrame(
+            [(k, f"v{ver}_{k}", ver, False) for k in range(10)],
+            "k long, s string, ver long, del boolean")
+        hist = spark.createDataFrame(
+            scd2_apply(hist, batch, ["k"], "ver",
+                       delete_col="del").collect(), hist_schema)
+
+    facts = spark.createDataFrame(
+        [(k, at) for k in range(10)
+         for at in (5, 10, 15, 20, 25, 30, 35)],
+        "k long, at long")
+    via_lookup = {(r["k"], r["at"]): r["dim_s"] for r in scd2_lookup(
+        facts, hist, ["k"], "at").collect()}
+    via_asof = {(r["k"], r["at"]): r["asof_s"] for r in asof_join(
+        facts, hist.select("k", "valid_from", "s"), on="at",
+        right_on="valid_from", by="k", right_cols=["s"]).collect()}
+    assert len(via_lookup) == 70 and via_lookup == via_asof
+    # spot-pin the semantics both must share
+    assert via_lookup[(0, 5)] is None          # before first version
+    assert via_lookup[(0, 10)] == "v10_0"      # boundary -> NEW version
+    assert via_lookup[(0, 20)] == "v20_0"
+    assert via_lookup[(0, 35)] == "v30_0"      # open row
+
+
 def test_merge_upsert_randomized_model(spark):
     """Property-style check against an independent Python reference
     model: 40 seeded-random scenarios (random key overlap, multi-
@@ -2254,3 +2313,8 @@ def test_histogram_sketch_exact_and_quantile(spark):
     oq = {r["g"]: r["hq"] for r in
           histogram_quantile(outer, 0.5, lo, hi, nb).collect()}
     assert oq["b"] == 4.0 and oq["missing"] is None
+
+    # ...but a NULL hist entering a MERGE raises in-plan instead of
+    # silently vanishing the group (posexplode of NULL emits no rows)
+    with pytest.raises(Exception, match="NULL hist"):
+        histogram_merge(outer, ["g"]).collect()

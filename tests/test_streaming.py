@@ -487,3 +487,82 @@ def test_streaming_interval_join_cross_batch(spark, tmp_path):
         streaming_interval_join(
             spark.readStream.schema(schema).parquet(lzone), rstat,
             on="user_id", right_prefix="")
+
+
+def test_apply_cdc_stream_multibatch_and_replay(spark, tmp_path):
+    """The streaming CDC sink (streaming/cdc_sink.py): three CDC
+    micro-batches (forced by per-file mtimes + maxFilesPerTrigger=1)
+    sequentially maintain a serving table via merge_upsert under the
+    generation commit protocol — insert, within-batch latest-wins
+    update, tombstone, post-tombstone re-insert, NULL keys, exact
+    duplicate rows — and a FULL at-least-once replay (fresh
+    checkpoint, same drop zone, whole zone in one batch) converges to
+    the identical table. GC bounds the committed generations at
+    keep_generations; read_cdc_table is None before the first
+    commit."""
+    import glob
+    import os
+    import shutil
+
+    from fstd2pandas_spark.streaming import (apply_cdc_stream,
+                                             read_cdc_table)
+
+    root = str(tmp_path / "serving")
+    zone = str(tmp_path / "cdczone")
+    os.makedirs(zone)
+    assert read_cdc_table(spark, root) is None
+
+    schema = "k long, s string, v long, ver long, del boolean"
+    b0 = [(1, "a", 10, 1, False), (2, "b", 20, 1, False),
+          (3, "c", 30, 1, False), (4, "d", 40, 1, False),
+          (None, "n", 0, 1, False)]
+    b1 = [(2, "b2", 21, 2, False), (2, "b3", 22, 3, False),
+          (3, "x", 0, 3, True), (5, "e", 50, 3, False),
+          (None, "n2", 1, 3, False)]
+    b2 = [(5, "z", 0, 4, True), (3, "c2", 31, 5, False),
+          (1, "a", 10, 1, False), (1, "a", 10, 1, False)]
+    for i, rows in enumerate((b0, b1, b2)):
+        stage = str(tmp_path / f"cdc_b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        dst = os.path.join(zone, f"batch_{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+                    dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    expected = {(1, "a", 10), (2, "b3", 22), (3, "c2", 31),
+                (4, "d", 40), (None, "n2", 1)}
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(zone))
+    q = apply_cdc_stream(stream, root, ["k"], version_col="ver",
+                         delete_col="del",
+                         checkpoint_dir=str(tmp_path / "cp1"))
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3   # one batch per file
+    assert {tuple(r) for r in
+            read_cdc_table(spark, root).collect()} == expected
+
+    # GC: at most keep_generations committed generations survive
+    gens = [d for d in os.listdir(root) if d.startswith("gen-")]
+    assert 1 <= len(gens) <= 2, gens
+
+    # at-least-once replay: fresh checkpoint, the whole zone
+    # re-delivered (one batch) onto the already-final table — the
+    # merge must converge to the identical state, and the new
+    # generation must be the VISIBLE one (numbering survives the
+    # checkpoint reset)
+    head_before = sorted(gens)[-1]
+    replay = spark.readStream.schema(schema).parquet(zone)
+    q2 = apply_cdc_stream(replay, root, ["k"], version_col="ver",
+                          delete_col="del",
+                          checkpoint_dir=str(tmp_path / "cp2"))
+    q2.awaitTermination()
+    assert {tuple(r) for r in
+            read_cdc_table(spark, root).collect()} == expected
+    head_after = sorted(d for d in os.listdir(root)
+                        if d.startswith("gen-"))[-1]
+    assert head_after > head_before
+
+    with pytest.raises(ValueError, match="keep_generations"):
+        apply_cdc_stream(replay, root, ["k"], keep_generations=0)
