@@ -54,6 +54,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fstd2pandas_spark.fsutil import hadoop_fs, jpath
+from fstd2pandas_spark.plans.incremental import balanced_any
+
 #: hive's spelling of a NULL partition value in directory names
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -61,12 +64,6 @@ HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: compaction touching more partitions than this should be split into
 #: windows by the caller, not silently serialized through one driver.
 MAX_COMPACT_PARTITIONS = 10_000
-
-
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
 def _is_hidden(name: str) -> bool:
@@ -81,8 +78,7 @@ def _list_partitions(spark: SparkSession, path: str,
     total bytes. Raises if the layout does not match ``part_cols``."""
     from urllib.parse import unquote
 
-    fs, root = _fs(spark, path)
-    jvm = spark._jvm
+    fs, root = hadoop_fs(spark, path)
 
     def walk(jdir, rel: str, vals: tuple, depth: int):
         entries = []
@@ -119,7 +115,6 @@ def _list_partitions(spark: SparkSession, path: str,
                     "bytes": sum(f.getLen() for f in files)})
         return entries
 
-    del jvm
     return walk(root, "", (), 0)
 
 
@@ -150,7 +145,8 @@ def _touch_filter(part_cols: "list[str]", dtypes: dict,
     literals (``cast('3' as bigint)`` constant-folds) compared
     null-safely so the filter stays a pure partition predicate that
     Catalyst turns into PartitionFilters (the incremental_refresh
-    lesson)."""
+    lesson). Balanced OR tree: a left-deep chain over thousands of
+    touched partitions would blow Catalyst's analysis stack."""
     def one(e):
         terms = [
             F.col(c).eqNullSafe(
@@ -159,7 +155,7 @@ def _touch_filter(part_cols: "list[str]", dtypes: dict,
             for c, v in zip(part_cols, e["values"])]
         return functools.reduce(lambda x, y: x & y, terms)
 
-    return functools.reduce(lambda x, y: x | y, [one(e) for e in touched])
+    return balanced_any([one(e) for e in touched])
 
 
 def compact_partitions(spark: SparkSession, path: str,

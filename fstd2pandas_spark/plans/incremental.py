@@ -148,7 +148,22 @@ def _literal_touch_filter(part_cols: "list[str]",
                  else (F.col(c) == F.lit(row[c])) for c in part_cols]
         return functools.reduce(lambda x, y: x & y, terms)
 
-    return functools.reduce(lambda x, y: x | y, [one(r) for r in rows])
+    return balanced_any([one(r) for r in rows])
+
+
+def balanced_any(terms: list):
+    """OR of Column terms as a BALANCED tree. ``functools.reduce``
+    builds a left-deep chain whose depth equals ``len(terms)`` —
+    Catalyst's recursive analysis stack-overflows on ten-thousand-deep
+    chains long before the MAX_PRUNE_PARTITIONS cap; log-depth keeps
+    identical semantics (incl. NULL three-valued logic) at any cap.
+    Shared with plans/compaction.py (one definition)."""
+    if not terms:
+        raise ValueError("balanced_any: need at least one term")
+    if len(terms) == 1:
+        return terms[0]
+    mid = len(terms) // 2
+    return balanced_any(terms[:mid]) | balanced_any(terms[mid:])
 
 
 def incremental_refresh(current: DataFrame, old_partials: DataFrame,
