@@ -771,8 +771,57 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("pt") == 9, F.col("dim_cents")))
         .cast("long").alias("pit9_cents"))
     gcols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    # round 13: small-file compaction (plans/compaction.py
+    # compact_partitions — the OPTIMIZE primitive) gated by CONTENT
+    # INVARIANCE: the cents table, hive-partitioned on pk =
+    # o_orderkey % 4, is written FRAGMENTED (two append passes split
+    # by floor(o_orderkey/4) % 2 — every (pk, half) cell is populated
+    # at all SFs, probed, so every partition lands >= 2 files), then
+    # compacted to ONE file per partition (huge byte target,
+    # order_by clustering on the ZORDER path) and read BACK.
+    # cp_n/cp_fpa/cp_fpb are order-free per-group content fingerprints
+    # of the POST-compaction table which the oracle derives from raw
+    # orders — any duplicated, dropped or altered row moves an integer
+    # sum; cp_files rides as a constant column (post-compaction file
+    # count == partition count, oracle: count(DISTINCT o_orderkey%4)).
+    # Driver-side loud checks pin the rest: compaction actually
+    # rewrote (files strictly shrank, all 4 partitions touched) and
+    # verify=True re-fingerprints in-process.
+    import shutil
+
+    from fstd2pandas_spark.plans.compaction import compact_partitions
+    from fstd2pandas_spark.plans.snapshot import partition_fingerprints
+
+    comp_dir = os.path.join(
+        _TMP_ROOT,
+        f"compact_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(comp_dir, ignore_errors=True)
+    frag = tgt.withColumn("pk", (F.col("o_orderkey") % 4).cast("long"))
+    half = (F.floor(F.col("o_orderkey") / 4) % 2 == 0)
+    for part in (frag.filter(half), frag.filter(~half)):
+        part.write.partitionBy("pk").mode("append").parquet(comp_dir)
+    stats = compact_partitions(spark, comp_dir, ["pk"], 1 << 30,
+                               order_by=["o_orderkey"], verify=True)
+    if sorted(stats["compacted"]) != [f"pk={i}" for i in range(4)]:
+        raise AssertionError(
+            "compaction gate: expected all 4 pk partitions fragmented, "
+            f"got {stats['compacted']}")
+    if stats["files_before"] <= stats["files_after"]:
+        raise AssertionError(
+            f"compaction gate vacuous: {stats['files_before']} files "
+            f"before vs {stats['files_after']} after")
+    cpg = (partition_fingerprints(
+               spark.read.parquet(comp_dir),
+               gcols, ["o_orderkey", "cents", "pk"])
+           .select(*gcols,
+                   F.col("n_rows").alias("cp_n"),
+                   F.col("fp_a").alias("cp_fpa"),
+                   F.col("fp_b").alias("cp_fpb"))
+           .withColumn("cp_files",
+                       F.lit(int(stats["files_after"])).cast("long")))
     return (base.join(mg, gcols, "left").join(s2g, gcols, "left")
-            .join(pitg, gcols, "left").orderBy(*gcols))
+            .join(pitg, gcols, "left").join(cpg, gcols, "left")
+            .orderBy(*gcols))
 
 
 _Q_DEDUP_SQL = """
@@ -825,12 +874,40 @@ _Q_DEDUP_SQL = """
                                 THEN 1000 ELSE 0 END
                     END) AS BIGINT) AS pit9_cents
     FROM orders
-    GROUP BY o_custkey, o_orderstatus, o_orderpriority)
+    GROUP BY o_custkey, o_orderstatus, o_orderpriority),
+  -- compaction mirror: the engine fragments, compacts and re-reads a
+  -- hive-partitioned copy of the cents table; content invariance
+  -- means the oracle derives the post-compaction fingerprints from
+  -- raw orders directly (snap1-seeded md5 slice sums, the snapshot
+  -- convention; all three content columns are non-NULL integers so
+  -- the NUL-escape/NULL-sentinel arms are identity and elided).
+  -- cp_files: one file per partition after compaction.
+  cpr AS (
+    SELECT o_custkey, o_orderstatus, o_orderpriority,
+           CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) AS ha,
+           CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) AS hb
+    FROM (SELECT o_custkey, o_orderstatus, o_orderpriority,
+                 md5(concat('snap1', chr(31),
+                     CAST(o_orderkey AS VARCHAR), chr(31),
+                     CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), chr(31),
+                     CAST(o_orderkey % 4 AS VARCHAR))) AS h
+          FROM orders)),
+  cp AS (
+    SELECT o_custkey, o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cp_n,
+           CAST(sum(ha) AS BIGINT) AS cp_fpa,
+           CAST(sum(hb) AS BIGINT) AS cp_fpb,
+           (SELECT CAST(count(DISTINCT o_orderkey % 4) AS BIGINT)
+            FROM orders) AS cp_files
+    FROM cpr GROUP BY o_custkey, o_orderstatus, o_orderpriority)
   SELECT base.*, m.m_n, m.m_cents, s2.s2_hn, s2.s2_closed,
-         pit.pit1_cents, pit.pit9_cents
+         pit.pit1_cents, pit.pit9_cents,
+         cp.cp_n, cp.cp_fpa, cp.cp_fpb, cp.cp_files
   FROM base LEFT JOIN m USING (o_custkey, o_orderstatus, o_orderpriority)
   LEFT JOIN s2 USING (o_custkey, o_orderstatus, o_orderpriority)
   LEFT JOIN pit USING (o_custkey, o_orderstatus, o_orderpriority)
+  LEFT JOIN cp USING (o_custkey, o_orderstatus, o_orderpriority)
   ORDER BY o_custkey, o_orderstatus, o_orderpriority
 """
 

@@ -23,7 +23,6 @@ from fstd2pandas_spark.schema import (
     DATYP_DICT,
     KIND_DICT,
     FOLLOW_TOPOGRAPHY_KINDS,
-    GRID_META_NOMVARS,
 )
 from fstd2pandas_spark.functions.codecs import (
     decode_ip_kind,

@@ -38,7 +38,6 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from fstd2pandas_spark.plans.partitioning import ensure_min_partitions
 

@@ -32,7 +32,7 @@ records (quick_pressure.py:79-83); the original data rows are not echoed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fstd2pandas_spark.schema import META_NOMVARS

@@ -51,7 +51,7 @@ import functools
 import math
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from fstd2pandas_spark.fsutil import hadoop_fs, jpath
@@ -158,6 +158,20 @@ def _touch_filter(part_cols: "list[str]", dtypes: dict,
     return balanced_any([one(e) for e in touched])
 
 
+def _rewrite_frame(pruned, part_cols: "list[str]",
+                   order_by: "list[str] | None"):
+    """The rewrite plan over the pruned slice — ONE hash exchange on
+    the partition columns (each partition's rows converge on exactly
+    one task, so a partition under ``maxRecordsPerFile`` becomes
+    exactly one file); ``order_by`` clusters rows WITHIN the task
+    (``sortWithinPartitions`` — local sort, no extra exchange).
+    Extracted so the plan-lock test pins the operator's real shape."""
+    w = pruned.repartition(*[F.col(c) for c in part_cols])
+    if order_by:
+        w = w.sortWithinPartitions(*part_cols, *order_by)
+    return w
+
+
 def compact_partitions(spark: SparkSession, path: str,
                        part_cols: "list[str]", target_bytes: int,
                        order_by: "list[str] | None" = None,
@@ -218,25 +232,19 @@ def compact_partitions(spark: SparkSession, path: str,
     stats["max_records"] = max_records
     stats["n_rows"] = n_rows
 
-    # each partition's rows converge on exactly ONE task (hash on the
-    # partition columns), so a partition under max_records becomes
-    # exactly one file; order_by clusters rows before the split
-    w = pruned.repartition(*[F.col(c) for c in part_cols])
-    if order_by:
-        w = w.sortWithinPartitions(*part_cols, *order_by)
+    w = _rewrite_frame(pruned, part_cols, order_by)
     tmp = f"{path.rstrip('/')}.compact-{uuid.uuid4().hex[:12]}"
     (w.write.option("maxRecordsPerFile", max_records)
       .partitionBy(*part_cols).mode("overwrite").parquet(tmp))
 
-    fs, _root = _fs(spark, path)
-    jvm = spark._jvm
-    JPath = jvm.org.apache.hadoop.fs.Path
+    fs, _root = hadoop_fs(spark, path)
     try:
         for e in touched:
-            old = JPath(f"{path.rstrip('/')}/{e['rel']}")
-            new = JPath(f"{tmp}/{e['rel']}")
+            old = jpath(spark, f"{path.rstrip('/')}/{e['rel']}")
+            new = jpath(spark, f"{tmp}/{e['rel']}")
             parent = old.getParent()
-            hidden = JPath(parent, f".compact-old-{uuid.uuid4().hex[:12]}")
+            hidden = jpath(spark, str(parent),
+                           f".compact-old-{uuid.uuid4().hex[:12]}")
             if not fs.rename(old, hidden):
                 raise IOError(f"compaction: rename {old} -> {hidden} "
                               "failed")
@@ -252,7 +260,7 @@ def compact_partitions(spark: SparkSession, path: str,
             # content-preserving compaction of that partition
             fs.delete(hidden, True)
     finally:
-        fs.delete(JPath(tmp), True)
+        fs.delete(jpath(spark, tmp), True)
 
     if verify:
         after_df = spark.read.parquet(path).filter(

@@ -104,10 +104,9 @@ def _target_has_data(df: DataFrame, path: str) -> bool:
     if "://" not in path:
         return os.path.isdir(path) and any(
             not e.startswith(("_", ".")) for e in os.listdir(path))
-    jvm = df.sparkSession._jvm
-    jsc = df.sparkSession._jsc
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    from fstd2pandas_spark.fsutil import hadoop_fs
+
+    fs, hpath = hadoop_fs(df.sparkSession, path)
     if not fs.exists(hpath):
         return False
     for st in fs.listStatus(hpath):

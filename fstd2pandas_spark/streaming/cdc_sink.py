@@ -51,25 +51,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from fstd2pandas_spark.fsutil import hadoop_fs, jpath
 from fstd2pandas_spark.plans.merge import merge_upsert
 
 _GEN_PREFIX = "gen-"
 
 
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-
 def _committed_generations(spark: SparkSession,
                            table_root: str) -> "list[tuple[int, str]]":
-    """Sorted (batch_id, path) of generations carrying ``_SUCCESS``."""
-    fs, root = _fs(spark, table_root)
+    """Sorted (batch_id, path) of generations carrying ``_SUCCESS``.
+
+    Paths are FULLY QUALIFIED (``str(Path)`` keeps scheme+authority —
+    the fsutil contract): a ``toUri().getPath()``-stripped
+    ``s3a://bucket/serving/gen-...`` would silently resolve against
+    the cluster's default filesystem when handed back to
+    ``spark.read`` or the GC's delete."""
+    fs, root = hadoop_fs(spark, table_root)
     if not fs.exists(root):
         return []
-    jvm = spark._jvm
-    JPath = jvm.org.apache.hadoop.fs.Path
     gens = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
@@ -79,8 +78,8 @@ def _committed_generations(spark: SparkSession,
             bid = int(name[len(_GEN_PREFIX):])
         except ValueError:
             continue
-        if fs.exists(JPath(st.getPath(), "_SUCCESS")):
-            gens.append((bid, str(st.getPath().toUri().getPath())))
+        if fs.exists(jpath(spark, str(st.getPath()), "_SUCCESS")):
+            gens.append((bid, str(st.getPath())))
     return sorted(gens)
 
 
@@ -141,10 +140,9 @@ def apply_cdc_stream(cdc_stream: DataFrame, table_root: str,
         # GC: drop everything older than the keep window — bounded by
         # the generation listing (never the data)
         gens = _committed_generations(spark, root)
-        fs, _ = _fs(spark, root)
-        JPath = spark._jvm.org.apache.hadoop.fs.Path
+        fs, _ = hadoop_fs(spark, root)
         for _bid, p in gens[:-keep_generations]:
-            fs.delete(JPath(p), True)
+            fs.delete(jpath(spark, p), True)
 
     writer = cdc_stream.writeStream.foreachBatch(_apply)
     if checkpoint_dir is not None:

@@ -115,3 +115,32 @@ def test_full_maintenance_cycle(spark, tmp_path):
         .orderBy("rank").collect()
     assert [(r["day"], r["n_rows"], r["rank"]) for r in skew] == \
         [("d0", 20, 1), ("d1", 20, 2)]   # tie broken by key ascending
+
+    # ---- compact: the cycle's refresh rewrites and MERGE batches
+    # leave small-file debris behind (simulated here by landing the
+    # v2 corpus in three append passes — each pass drops its own
+    # files into every partition); OPTIMIZE bin-packs the fragmented
+    # partitions back to one file each while the order-free
+    # fingerprints certify content invariance, so the NEXT cycle's
+    # diff sees no phantom changes from the layout rewrite.
+    from fstd2pandas_spark.plans.compaction import (
+        compact_partitions, compaction_plan)
+
+    fact = str(tmp_path / "fact")
+    for m in range(3):
+        c2.filter(F.col("k") % 3 == m).write \
+            .partitionBy("day").mode("append").parquet(fact)
+    pre_snap = partition_fingerprints(
+        spark.read.parquet(fact), ["day"], ["k", "v"]).localCheckpoint()
+    plan0 = compaction_plan(spark, fact, ["day"], 1 << 30)
+    assert sorted(e["rel"] for e in plan0) == \
+        ["day=d0", "day=d1", "day=d2", "day=d9"]
+    assert all(e["n_files"] >= 2 and e["needs"] for e in plan0)
+    stats = compact_partitions(spark, fact, ["day"], 1 << 30,
+                               verify=True)
+    assert stats["files_after"] == 4 < stats["files_before"]
+    assert all(e["n_files"] == 1 for e in
+               compaction_plan(spark, fact, ["day"], 1 << 30))
+    post_snap = partition_fingerprints(
+        spark.read.parquet(fact), ["day"], ["k", "v"])
+    assert changed_partitions(post_snap, pre_snap, ["day"]).count() == 0

@@ -750,6 +750,58 @@ def test_compaction_never_changes_content(spark, tmp_path):
         compaction_plan(spark, flat, ["day"], 1 << 20)
 
 
+def test_compaction_rewrite_plan_lock(spark, tmp_path):
+    """Exchange-count lock for the compaction rewrite (the pagerank/
+    merge precedent, AQE off): the module docstring's 'one hash
+    exchange on the partition columns' claim, pinned on the REAL code
+    path (_rewrite_frame is what compact_partitions writes). The
+    pruned scan keeps the literal predicate in PartitionFilters (no
+    data-side Filter work), order_by adds a LOCAL Sort only — no
+    second exchange — and nothing evaluates Python."""
+    from fstd2pandas_spark.plans.compaction import (
+        _rewrite_frame, _touch_filter, compaction_plan)
+
+    path = str(tmp_path / "ds")
+    rows = [(d, i, (i * 13) % 97) for d in (0, 1, 2) for i in range(80)]
+    df = spark.createDataFrame(rows, "day int, u long, v long")
+    df.repartition(8).write.partitionBy("day").parquet(path)
+
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = compaction_plan(spark, path, ["day"], 1 << 30)
+        touched = [e for e in plan if e["needs"]]
+        assert len(touched) == 3
+        base = spark.read.parquet(path)
+        pruned = base.filter(
+            _touch_filter(["day"], dict(base.dtypes), touched))
+        w = _rewrite_frame(pruned, ["day"], order_by=["v"])
+        w.collect()
+        final = _plan(w).split("== Initial Plan ==")[0]
+        ex = [ln for ln in final.splitlines()
+              if "Exchange" in ln and "ReusedExchange" not in ln]
+        assert len(ex) == 1 and "hashpartitioning(day" in ex[0], ex
+        sorts = [ln for ln in final.splitlines() if "Sort [" in ln]
+        # "], false," is the plan's spelling of global=false: a LOCAL
+        # per-task sort — a global one would need a range exchange
+        assert len(sorts) == 1 and "], false," in sorts[0], sorts
+        assert any("PartitionFilters" in ln and "day" in ln
+                   for ln in final.splitlines()), final
+        assert "BatchEvalPython" not in final
+        assert "ArrowEvalPython" not in final
+
+        # without order_by: the exchange alone, no Sort node at all
+        w2 = _rewrite_frame(pruned, ["day"], order_by=None)
+        w2.collect()
+        final2 = _plan(w2).split("== Initial Plan ==")[0]
+        assert not [ln for ln in final2.splitlines() if "Sort [" in ln]
+        ex2 = [ln for ln in final2.splitlines()
+               if "Exchange" in ln and "ReusedExchange" not in ln]
+        assert len(ex2) == 1, ex2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+
+
 def test_merge_upsert_bucketed_target_exchange_free(spark, tmp_path):
     """The module docstring's bucketed-MERGE claim, pinned (r11 order
     item #3): the DEFAULT null-safe join extracts to ``(coalesce(k,

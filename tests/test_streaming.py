@@ -566,3 +566,107 @@ def test_apply_cdc_stream_multibatch_and_replay(spark, tmp_path):
 
     with pytest.raises(ValueError, match="keep_generations"):
         apply_cdc_stream(replay, root, ["k"], keep_generations=0)
+
+
+def test_cdc_generation_paths_keep_scheme(spark, tmp_path):
+    """The fsutil contract, pinned on the CDC sink (r12 What's-wrong
+    #2): generation paths handed back to readers/GC must stay FULLY
+    QUALIFIED — ``toUri().getPath()`` strips scheme+authority, and a
+    stripped ``s3a://bucket/serving/gen-...`` silently resolves
+    against the cluster's default filesystem (a different table at
+    worst). Simulated with an explicit ``file:`` root: the committed
+    generation listing and the read path must keep the scheme."""
+    from fstd2pandas_spark.streaming.cdc_sink import (
+        _committed_generations, read_cdc_table)
+
+    local_root = tmp_path / "serving"
+    gen = local_root / "gen-00000000000000000007"
+    spark.createDataFrame([(1, "a")], "k long, s string") \
+        .coalesce(1).write.parquet(str(gen))   # writes _SUCCESS
+    # an UNcommitted sibling (no _SUCCESS) must stay invisible
+    torn = local_root / "gen-00000000000000000008"
+    torn.mkdir()
+    (torn / "part-zzz.parquet").write_bytes(b"torn")
+
+    root_uri = f"file:{local_root}"
+    gens = _committed_generations(spark, root_uri)
+    assert [g[0] for g in gens] == [7]
+    assert gens[0][1].startswith("file:"), gens[0][1]
+    assert gens[0][1].endswith("gen-00000000000000000007")
+    got = read_cdc_table(spark, root_uri)
+    assert [tuple(r) for r in got.collect()] == [(1, "a")]
+
+
+def test_streaming_ingest_then_compaction(spark, tmp_path):
+    """Streaming → compaction, chained (r12 order item #6): a
+    multi-batch file-source ingest appends micro-batches to a
+    hive-partitioned fact table through foreachBatch — EXACTLY the
+    small-file debris case compaction exists for (each batch leaves
+    its own files in every partition it touches; foreachBatch, not the
+    parquet streaming sink, because compaction's renames would
+    invalidate that sink's _spark_metadata log). Compaction then
+    rewrites the fragmented partitions while the serving reads stay
+    identical: order-free fingerprints match pre/post, and the next
+    incremental cycle's snapshot diff sees NO phantom changes."""
+    import glob
+    import os
+    import shutil
+
+    from fstd2pandas_spark.plans.compaction import (
+        compact_partitions, compaction_plan)
+    from fstd2pandas_spark.plans.snapshot import (
+        changed_partitions, partition_fingerprints)
+
+    fact = str(tmp_path / "fact")
+    zone = str(tmp_path / "zone")
+    os.makedirs(zone)
+    schema = "day long, u long, v long"
+    batches = [
+        [(d, 10 * i + d, (7 * i + d) % 50) for d in (0, 1) for i in range(6)],
+        [(d, 1000 + 10 * i + d, i % 9) for d in (1, 2) for i in range(6)],
+        [(d, 2000 + 10 * i + d, i) for d in (0, 2) for i in range(6)],
+    ]
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"ing_b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        dst = os.path.join(zone, f"batch_{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+                    dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    def _ingest(batch_df, _bid):
+        batch_df.write.mode("append").partitionBy("day").parquet(fact)
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", "1").parquet(zone)
+         .writeStream.foreachBatch(_ingest)
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    plan0 = {e["rel"]: e for e in
+             compaction_plan(spark, fact, ["day"], 1 << 30)}
+    # every day partition was hit by two of the three batches
+    assert sorted(plan0) == ["day=0", "day=1", "day=2"]
+    assert all(e["n_files"] >= 2 and e["needs"] for e in plan0.values())
+
+    def snap():
+        return partition_fingerprints(
+            spark.read.parquet(fact), ["day"], ["u", "v"])
+
+    def serving():
+        return {tuple(r) for r in
+                spark.read.parquet(fact).groupBy("day")
+                .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+                .collect()}
+
+    before_fp = snap().localCheckpoint()
+    before_serving = serving()
+    stats = compact_partitions(spark, fact, ["day"], 1 << 30,
+                               verify=True)
+    assert sorted(stats["compacted"]) == ["day=0", "day=1", "day=2"]
+    assert stats["files_before"] >= 6 and stats["files_after"] == 3
+    assert serving() == before_serving
+    # the next incremental cycle sees no phantom changes
+    assert changed_partitions(snap(), before_fp, ["day"]).count() == 0
