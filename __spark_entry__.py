@@ -810,6 +810,17 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"compaction gate vacuous: {stats['files_before']} files "
             f"before vs {stats['files_after']} after")
+    if stats["files_after"] != 4:
+        # the oracle's cp_files = count(DISTINCT pk) assumes ONE file
+        # per compacted partition; maxRecordsPerFile only splits a
+        # partition past ~1<<30 bytes (SF in the hundreds for this
+        # table). Raise HERE with the cause spelled out rather than
+        # surfacing as an opaque hash mismatch.
+        raise AssertionError(
+            f"compaction gate: expected one file per pk partition (4), "
+            f"got {stats['files_after']} — a partition outgrew the "
+            "1<<30-byte target and split; raise target_bytes for this "
+            "gate corpus")
     cpg = (partition_fingerprints(
                spark.read.parquet(comp_dir),
                gcols, ["o_orderkey", "cents", "pk"])

@@ -15,6 +15,7 @@ from fstd2pandas_spark.plans.merge import (
 from fstd2pandas_spark.plans.compaction import (
     compact_partitions,
     compaction_plan,
+    recover_compaction,
 )
 from fstd2pandas_spark.plans.salting import key_skew_report, salted_join
 from fstd2pandas_spark.plans.checks import (
@@ -31,6 +32,7 @@ __all__ = [
     "changed_partitions",
     "compact_partitions",
     "compaction_plan",
+    "recover_compaction",
     "partition_fingerprints",
     "incremental_refresh",
     "key_skew_report",

@@ -37,6 +37,14 @@ absent (its data intact under the hidden ``.compact-old-*`` name —
 recovery is a rename back). No crash window can produce duplicate or
 torn content, which is the failure mode that silently corrupts
 results; Delta/Iceberg buy full atomicity with their logs.
+:func:`recover_compaction` repairs every reachable crash state
+mechanically: the hidden name ENCODES the original leaf directory
+(``.compact-old-<hex>-<leaf>``), so a hidden dir whose target is
+missing is restored by rename and one whose target exists is a
+superseded pre-swap copy and is deleted; crashed rewrite temp dirs
+are swept last. :func:`compact_partitions` refuses to start while
+such debris exists (run recovery first) — that single-writer
+handshake is what keeps every crash state decidable.
 
 Determinism contract: row order WITHIN the rewritten files follows
 shuffle arrival and is not reproducible, but the row MULTISET per
@@ -189,6 +197,12 @@ def compact_partitions(spark: SparkSession, path: str,
     of the touched slice after the swap and raises if compaction
     changed ANY content — the never-changes-content invariant,
     self-checked."""
+    if _debris(spark, path, part_cols):
+        raise RuntimeError(
+            "compaction: crash debris present under "
+            f"{path} (.compact-old-* or a .compact-* rewrite temp dir) "
+            "— run recover_compaction first; starting a new run on top "
+            "of debris would make the crash states ambiguous")
     plan = compaction_plan(spark, path, part_cols, target_bytes)
     touched = [e for e in plan if e["needs"]]
     stats = {"compacted": [e["rel"] for e in touched],
@@ -243,8 +257,11 @@ def compact_partitions(spark: SparkSession, path: str,
             old = jpath(spark, f"{path.rstrip('/')}/{e['rel']}")
             new = jpath(spark, f"{tmp}/{e['rel']}")
             parent = old.getParent()
+            # the hidden name ENCODES the original leaf so a crash
+            # state is mechanically decidable (recover_compaction)
+            leaf = e["rel"].rsplit("/", 1)[-1]
             hidden = jpath(spark, str(parent),
-                           f".compact-old-{uuid.uuid4().hex[:12]}")
+                           f".compact-old-{uuid.uuid4().hex[:12]}-{leaf}")
             if not fs.rename(old, hidden):
                 raise IOError(f"compaction: rename {old} -> {hidden} "
                               "failed")
@@ -279,4 +296,100 @@ def compact_partitions(spark: SparkSession, path: str,
     by_rel = {e["rel"]: e for e in re_plan}
     stats["files_after"] = sum(
         by_rel[r]["n_files"] for r in stats["compacted"] if r in by_rel)
+    return stats
+
+
+_HIDDEN_PREFIX = ".compact-old-"
+
+
+def _walk_debris(spark: SparkSession, path: str,
+                 part_cols: "list[str]"):
+    """``(tmp_dirs, hidden_dirs)``: crashed rewrite temp dirs
+    (``<path>.compact-*`` root siblings) and ``.compact-old-*`` dirs
+    at every partition-parent level. Metadata-plane only."""
+    fs, root = hadoop_fs(spark, path)
+    base = root.getName()
+    tmps = []
+    for st in fs.listStatus(root.getParent()):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(f"{base}.compact-"):
+            tmps.append(st.getPath())
+    hiddens = []
+
+    def walk(jdir, depth: int):
+        for st in fs.listStatus(jdir):
+            name = st.getPath().getName()
+            if not st.isDirectory():
+                continue
+            if name.startswith(_HIDDEN_PREFIX):
+                hiddens.append(st.getPath())
+            elif not _is_hidden(name) and depth + 1 < len(part_cols):
+                walk(st.getPath(), depth + 1)
+
+    if fs.exists(root):
+        walk(root, 0)
+    return tmps, hiddens
+
+
+def _debris(spark: SparkSession, path: str,
+            part_cols: "list[str]") -> bool:
+    fs, root = hadoop_fs(spark, path)
+    if not fs.exists(root):
+        return False
+    tmps, hiddens = _walk_debris(spark, path, part_cols)
+    return bool(tmps or hiddens)
+
+
+def recover_compaction(spark: SparkSession, path: str,
+                       part_cols: "list[str]") -> dict:
+    """Repair the debris a crashed :func:`compact_partitions` run can
+    leave behind; returns ``{"restored": [rel, ...],
+    "stale_removed": n, "tmp_removed": n}``. Safe to run anytime no
+    compaction is ACTIVE on ``path`` (the same single-writer premise
+    as compaction itself); a clean dataset is a no-op.
+
+    Every crash state is decidable because the hidden name encodes the
+    original leaf (``.compact-old-<hex>-<leaf>``):
+
+    - hidden dir whose sibling ``<leaf>`` is MISSING — the crash hit
+      between the two swap renames; the hidden dir IS the original
+      partition: rename it back (content fully restored);
+    - hidden dir whose sibling ``<leaf>`` EXISTS — the crash hit after
+      the new directory was swapped in but before cleanup; the hidden
+      dir is the superseded pre-compaction copy (same content, old
+      layout): delete it;
+    - ``<path>.compact-*`` rewrite temp dirs — output of a crashed
+      run; every original is in place or restored above, so the temp
+      content is redundant: delete LAST (after restores, so a crash
+      during recovery itself never reduces the number of copies).
+
+    The pre-flight debris check in :func:`compact_partitions` is what
+    makes this exhaustive: a new run never starts on top of old
+    debris, so at most one crashed run's state is ever on disk."""
+    fs, root = hadoop_fs(spark, path)
+    if not fs.exists(root):
+        raise ValueError(f"recover_compaction: {path} does not exist")
+    stats = {"restored": [], "stale_removed": 0, "tmp_removed": 0}
+    tmps, hiddens = _walk_debris(spark, path, part_cols)
+    for h in hiddens:
+        tail = h.getName()[len(_HIDDEN_PREFIX):]
+        parts = tail.split("-", 1)
+        if len(parts) != 2 or not parts[1]:
+            raise ValueError(
+                f"recover_compaction: cannot decode {h} — not written "
+                "by this module's swap loop; refusing to touch it")
+        leaf = parts[1]
+        target = jpath(spark, str(h.getParent()), leaf)
+        if fs.exists(target):
+            fs.delete(h, True)
+            stats["stale_removed"] += 1
+        else:
+            if not fs.rename(h, target):
+                raise IOError(
+                    f"recover_compaction: rename {h} -> {target} "
+                    "failed")
+            stats["restored"].append(leaf)
+    for t in tmps:
+        fs.delete(t, True)
+        stats["tmp_removed"] += 1
     return stats

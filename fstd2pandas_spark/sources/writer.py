@@ -98,10 +98,15 @@ def _target_has_data(df: DataFrame, path: str) -> bool:
     """Existing-target probe behind the restored ErrorIfExists guard.
     os.path alone would silently no-op for hdfs://-style URIs, so any
     path with a scheme goes through the JVM Hadoop FileSystem (the same
-    resolution the write itself uses)."""
+    resolution the write itself uses). Scheme detection matches the
+    URI grammar, not a literal '://': Hadoop accepts SINGLE-slash
+    forms like ``file:/data/tbl``, and sending those down the os.path
+    branch would return False on an existing table — silently
+    disabling the duplicate-accumulation guard."""
     import os
+    import re
 
-    if "://" not in path:
+    if re.match(r"[A-Za-z][A-Za-z0-9+.-]*:", path) is None:
         return os.path.isdir(path) and any(
             not e.startswith(("_", ".")) for e in os.listdir(path))
     from fstd2pandas_spark.fsutil import hadoop_fs

@@ -1,6 +1,7 @@
 from fstd2pandas_spark.streaming.cdc_sink import (
     apply_cdc_stream,
     read_cdc_table,
+    vacuum_generations,
 )
 from fstd2pandas_spark.streaming.record_stream import (
     DEDUP_KEYS,
@@ -20,6 +21,7 @@ __all__ = [
     "DEDUP_KEYS",
     "apply_cdc_stream",
     "read_cdc_table",
+    "vacuum_generations",
     "cycle_window_stats",
     "read_document_stream",
     "read_record_stream",

@@ -83,6 +83,46 @@ def _committed_generations(spark: SparkSession,
     return sorted(gens)
 
 
+def vacuum_generations(spark: SparkSession, table_root: str,
+                       quiesced: bool = False) -> "list[str]":
+    """Delete dead UNCOMMITTED generation directories (no ``_SUCCESS``)
+    and return their names. Committed generations are never touched —
+    the sink's own GC owns those.
+
+    Two safety tiers (the Delta VACUUM contract, made explicit):
+
+    - ``seq <= committed head``: always safe. The allocator only ever
+      writes ``head + 1``, so an uncommitted directory at or below the
+      head can never gain a marker — it is debris from a crash whose
+      replay committed the same number (overwrite re-creates the dir,
+      so a lingering one means the crash state itself was abandoned).
+    - ``seq > committed head``: possibly an IN-FLIGHT write; deleted
+      only with ``quiesced=True``, the caller's assertion that no
+      writer is running against this table (an abandoned stream's last
+      torn write is the real-world case)."""
+    fs, root = hadoop_fs(spark, table_root)
+    if not fs.exists(root):
+        return []
+    committed = {bid for bid, _ in
+                 _committed_generations(spark, table_root)}
+    head = max(committed) if committed else -1
+    removed = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(_GEN_PREFIX)):
+            continue
+        try:
+            bid = int(name[len(_GEN_PREFIX):])
+        except ValueError:
+            continue
+        if bid in committed:
+            continue
+        if bid <= head or quiesced:
+            fs.delete(st.getPath(), True)
+            removed.append(name)
+    return sorted(removed)
+
+
 def read_cdc_table(spark: SparkSession, table_root: str,
                    ) -> "DataFrame | None":
     """The current committed state of a table maintained by

@@ -141,8 +141,14 @@ def _annotation_strings(tree: ast.AST) -> "set[str]":
     strs: list[str] = []
 
     def take(a):
-        if isinstance(a, ast.Constant) and isinstance(a.value, str):
-            strs.append(a.value)
+        # walk the WHOLE annotation expression: partially-quoted forms
+        # like Optional["Column"] nest the string constant below the
+        # top-level node
+        if a is None:
+            return
+        for n in ast.walk(a):
+            if isinstance(n, ast.Constant) and isinstance(n.value, str):
+                strs.append(n.value)
 
     for n in ast.walk(tree):
         if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef)):
@@ -270,6 +276,12 @@ def f(x):
 _CLEAN_TRICKY = '''
 """Scoping constructs that must NOT false-positive."""
 import math
+from typing import Optional
+from pyspark.sql import Column
+
+def annotated(x: Optional["Column"]) -> "list[Column]":
+    return [x]
+
 
 def outer(a, *args, k=1, **kw):
     total = [v * k for v in args if v > a]

@@ -563,6 +563,17 @@ def test_source_review_fixes(spark, tmp_path):
     write_record_table(rec, out, mode="dump", overwrite=True)
     assert spark.read.format("fstrec").load(out).count() == rec.count()
 
+    # the guard must also see SCHEME-qualified spellings of the same
+    # target — Hadoop accepts single-slash URIs (file:/x), and a
+    # literal '://' test would route them to the os.path branch, which
+    # returns False and silently re-enables duplicate accumulation
+    from fstd2pandas_spark.sources.writer import _target_has_data
+    assert _target_has_data(rec, f"file:{out}")
+    assert _target_has_data(rec, f"file://{out}")
+    assert not _target_has_data(rec, f"file:{tmp_path}/absent")
+    with _pt.raises(WriterError, match="already holds data"):
+        write_record_table(rec, f"file:{out}", mode="dump")
+
     # filters on 'd' are NOT claimed by pushdown: with_data=false rows
     # have d NULL, so 'd is not null' must return 0, not everything
     meta_only = (spark.read.format("fstrec").option("with_data", "false")

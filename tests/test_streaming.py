@@ -597,6 +597,50 @@ def test_cdc_generation_paths_keep_scheme(spark, tmp_path):
     assert [tuple(r) for r in got.collect()] == [(1, "a")]
 
 
+def test_vacuum_generations_tiers(spark, tmp_path):
+    """vacuum_generations deletes dead UNCOMMITTED generations under
+    the two-tier safety rule: seq <= committed head is always safe
+    (the allocator only writes head+1, so such a directory can never
+    gain a _SUCCESS), seq > head may be an in-flight write and falls
+    only to quiesced=True. Committed generations are never touched and
+    the visible table is unchanged throughout."""
+    import os
+
+    from fstd2pandas_spark.streaming import (read_cdc_table,
+                                             vacuum_generations)
+
+    root = tmp_path / "serving"
+    for seq, val in ((5, "old"), (6, "cur")):
+        spark.createDataFrame([(seq, val)], "k long, s string") \
+            .coalesce(1).write.parquet(str(root / f"gen-{seq:020d}"))
+    # dead: uncommitted at/below the head (crash whose replay
+    # committed the same number elsewhere, then was abandoned)
+    dead = root / "gen-00000000000000000004"
+    dead.mkdir()
+    (dead / "part-torn.parquet").write_bytes(b"torn")
+    # possibly in-flight: uncommitted ABOVE the head
+    inflight = root / "gen-00000000000000000007"
+    inflight.mkdir()
+    (inflight / "part-wip.parquet").write_bytes(b"wip")
+    # strip the marker from neither committed gen — they stay
+    assert (root / "gen-00000000000000000006" / "_SUCCESS").exists()
+
+    # empty/absent root: no-op
+    assert vacuum_generations(spark, str(tmp_path / "nope")) == []
+
+    removed = vacuum_generations(spark, str(root))
+    assert removed == ["gen-00000000000000000004"]
+    assert inflight.exists()           # above head, not quiesced
+    removed2 = vacuum_generations(spark, str(root), quiesced=True)
+    assert removed2 == ["gen-00000000000000000007"]
+    gens_left = sorted(d for d in os.listdir(root)
+                       if d.startswith("gen-"))
+    assert gens_left == ["gen-00000000000000000005",
+                         "gen-00000000000000000006"]
+    assert [tuple(r) for r in
+            read_cdc_table(spark, str(root)).collect()] == [(6, "cur")]
+
+
 def test_streaming_ingest_then_compaction(spark, tmp_path):
     """Streaming → compaction, chained (r12 order item #6): a
     multi-batch file-source ingest appends micro-batches to a
