@@ -73,17 +73,31 @@ HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: windows by the caller, not silently serialized through one driver.
 MAX_COMPACT_PARTITIONS = 10_000
 
+#: hidden-dir prefix the swap loop renames originals to; the rest of
+#: the name is ``<12 hex>-<original leaf>`` so recovery is decidable
+_HIDDEN_PREFIX = ".compact-old-"
+
+#: rewrite temp dirs are EXACTLY ``<base>.compact-<12 hex>`` — both
+#: the pre-flight debris check and the recovery sweep match this full
+#: format, so a user's ``table.compact-backup`` sibling is never
+#: mistaken for ours (and never deleted)
+_TMP_SUFFIX_RE = r"\.compact-[0-9a-f]{12}$"
+
 
 def _is_hidden(name: str) -> bool:
     return name.startswith(".") or name.startswith("_")
 
 
 def _list_partitions(spark: SparkSession, path: str,
-                     part_cols: "list[str]") -> "list[dict]":
+                     part_cols: "list[str]",
+                     debris_out: "list | None" = None) -> "list[dict]":
     """Walk the hive layout ``path/col1=v1/.../colN=vN/files`` and
     return one entry per leaf partition: the relative directory, the
     decoded partition values (HIVE_NULL -> None), file count and
-    total bytes. Raises if the layout does not match ``part_cols``."""
+    total bytes. Raises if the layout does not match ``part_cols``.
+    ``debris_out`` (if given) collects the relative paths of
+    ``.compact-old-*`` crash-debris dirs seen DURING the same walk —
+    debris detection costs no extra listing."""
     from urllib.parse import unquote
 
     fs, root = hadoop_fs(spark, path)
@@ -94,6 +108,9 @@ def _list_partitions(spark: SparkSession, path: str,
         for st in fs.listStatus(jdir):
             name = st.getPath().getName()
             if _is_hidden(name):
+                if (debris_out is not None and st.isDirectory()
+                        and name.startswith(_HIDDEN_PREFIX)):
+                    debris_out.append(f"{rel}/{name}" if rel else name)
                 continue
             if not st.isDirectory() or "=" not in name:
                 raise ValueError(
@@ -128,19 +145,21 @@ def _list_partitions(spark: SparkSession, path: str,
 
 def compaction_plan(spark: SparkSession, path: str,
                     part_cols: "list[str]",
-                    target_bytes: int) -> "list[dict]":
+                    target_bytes: int,
+                    debris_out: "list | None" = None) -> "list[dict]":
     """One dict per leaf partition: ``rel`` (directory relative to
     ``path``), ``values`` (decoded partition values, None for the
     hive NULL partition), ``n_files``, ``bytes``, ``n_ideal``
     (``ceil(bytes / target_bytes)``, min 1) and ``needs`` (more files
     than ideal — the partitions :func:`compact_partitions` would
     rewrite). Pure metadata-plane: one filesystem listing, no data
-    read."""
+    read (``debris_out`` piggybacks on it — see
+    :func:`_list_partitions`)."""
     if not part_cols:
         raise ValueError("need at least one partition column")
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
-    plan = _list_partitions(spark, path, part_cols)
+    plan = _list_partitions(spark, path, part_cols, debris_out)
     for e in plan:
         e["n_ideal"] = max(1, math.ceil(e["bytes"] / target_bytes))
         e["needs"] = e["n_files"] > e["n_ideal"]
@@ -197,13 +216,16 @@ def compact_partitions(spark: SparkSession, path: str,
     of the touched slice after the swap and raises if compaction
     changed ANY content — the never-changes-content invariant,
     self-checked."""
-    if _debris(spark, path, part_cols):
+    debris: "list[str]" = []
+    plan = compaction_plan(spark, path, part_cols, target_bytes,
+                           debris_out=debris)
+    debris.extend(t.getName() for t in _tmp_dirs(spark, path))
+    if debris:
         raise RuntimeError(
             "compaction: crash debris present under "
-            f"{path} (.compact-old-* or a .compact-* rewrite temp dir) "
-            "— run recover_compaction first; starting a new run on top "
-            "of debris would make the crash states ambiguous")
-    plan = compaction_plan(spark, path, part_cols, target_bytes)
+            f"{path} ({debris[:4]}) — run recover_compaction first; "
+            "starting a new run on top of debris would make the crash "
+            "states ambiguous")
     touched = [e for e in plan if e["needs"]]
     stats = {"compacted": [e["rel"] for e in touched],
              "files_before": sum(e["n_files"] for e in touched),
@@ -299,45 +321,45 @@ def compact_partitions(spark: SparkSession, path: str,
     return stats
 
 
-_HIDDEN_PREFIX = ".compact-old-"
+def _tmp_dirs(spark: SparkSession, path: str):
+    """Crashed rewrite temp dirs: root SIBLINGS matching the exact
+    ``<base>.compact-<12 hex>`` format the rewrite writes — one
+    non-recursive listing; look-alike names (a user's
+    ``table.compact-backup``) are not ours and are never touched."""
+    import re
 
-
-def _walk_debris(spark: SparkSession, path: str,
-                 part_cols: "list[str]"):
-    """``(tmp_dirs, hidden_dirs)``: crashed rewrite temp dirs
-    (``<path>.compact-*`` root siblings) and ``.compact-old-*`` dirs
-    at every partition-parent level. Metadata-plane only."""
     fs, root = hadoop_fs(spark, path)
     base = root.getName()
-    tmps = []
+    pat = re.compile(re.escape(base) + _TMP_SUFFIX_RE)
+    out = []
     for st in fs.listStatus(root.getParent()):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith(f"{base}.compact-"):
-            tmps.append(st.getPath())
+        if st.isDirectory() and pat.fullmatch(name):
+            out.append(st.getPath())
+    return out
+
+
+def _hidden_dirs(spark: SparkSession, path: str,
+                 part_cols: "list[str]"):
+    """``(jpath, parent_rel)`` for every ``.compact-old-*`` dir at any
+    partition-parent level — the recovery-side walk (the hot path,
+    compact_partitions, piggybacks on its plan walk instead)."""
+    fs, root = hadoop_fs(spark, path)
     hiddens = []
 
-    def walk(jdir, depth: int):
+    def walk(jdir, rel: str, depth: int):
         for st in fs.listStatus(jdir):
             name = st.getPath().getName()
             if not st.isDirectory():
                 continue
             if name.startswith(_HIDDEN_PREFIX):
-                hiddens.append(st.getPath())
+                hiddens.append((st.getPath(), rel))
             elif not _is_hidden(name) and depth + 1 < len(part_cols):
-                walk(st.getPath(), depth + 1)
+                walk(st.getPath(), f"{rel}/{name}" if rel else name,
+                     depth + 1)
 
-    if fs.exists(root):
-        walk(root, 0)
-    return tmps, hiddens
-
-
-def _debris(spark: SparkSession, path: str,
-            part_cols: "list[str]") -> bool:
-    fs, root = hadoop_fs(spark, path)
-    if not fs.exists(root):
-        return False
-    tmps, hiddens = _walk_debris(spark, path, part_cols)
-    return bool(tmps or hiddens)
+    walk(root, "", 0)
+    return hiddens
 
 
 def recover_compaction(spark: SparkSession, path: str,
@@ -370,16 +392,21 @@ def recover_compaction(spark: SparkSession, path: str,
     if not fs.exists(root):
         raise ValueError(f"recover_compaction: {path} does not exist")
     stats = {"restored": [], "stale_removed": 0, "tmp_removed": 0}
-    tmps, hiddens = _walk_debris(spark, path, part_cols)
-    for h in hiddens:
+    for h, parent_rel in _hidden_dirs(spark, path, part_cols):
         tail = h.getName()[len(_HIDDEN_PREFIX):]
         parts = tail.split("-", 1)
         if len(parts) != 2 or not parts[1]:
             raise ValueError(
-                f"recover_compaction: cannot decode {h} — not written "
-                "by this module's swap loop; refusing to touch it")
+                f"recover_compaction: cannot decode {h} — the "
+                "pre-recovery release named hidden dirs "
+                ".compact-old-<hex> without the original leaf, and "
+                "other tools may collide with the prefix; identify "
+                "the partition from the dir's parquet content and "
+                "rename it back (or delete it if its partition "
+                "exists) manually — refusing to guess")
         leaf = parts[1]
         target = jpath(spark, str(h.getParent()), leaf)
+        rel = f"{parent_rel}/{leaf}" if parent_rel else leaf
         if fs.exists(target):
             fs.delete(h, True)
             stats["stale_removed"] += 1
@@ -388,8 +415,8 @@ def recover_compaction(spark: SparkSession, path: str,
                 raise IOError(
                     f"recover_compaction: rename {h} -> {target} "
                     "failed")
-            stats["restored"].append(leaf)
-    for t in tmps:
+            stats["restored"].append(rel)
+    for t in _tmp_dirs(spark, path):
         fs.delete(t, True)
         stats["tmp_removed"] += 1
     return stats

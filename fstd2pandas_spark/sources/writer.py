@@ -102,11 +102,15 @@ def _target_has_data(df: DataFrame, path: str) -> bool:
     URI grammar, not a literal '://': Hadoop accepts SINGLE-slash
     forms like ``file:/data/tbl``, and sending those down the os.path
     branch would return False on an existing table — silently
-    disabling the duplicate-accumulation guard."""
+    disabling the duplicate-accumulation guard. The colon must be
+    followed by '/' (every hierarchical URI is) so a legal relative
+    directory like ``out:v2/tbl`` or a Windows ``C:\\data`` spelling
+    still takes the local branch instead of crashing in
+    ``getFileSystem`` on a bogus scheme."""
     import os
     import re
 
-    if re.match(r"[A-Za-z][A-Za-z0-9+.-]*:", path) is None:
+    if re.match(r"[A-Za-z][A-Za-z0-9+.-]*:/", path) is None:
         return os.path.isdir(path) and any(
             not e.startswith(("_", ".")) for e in os.listdir(path))
     from fstd2pandas_spark.fsutil import hadoop_fs

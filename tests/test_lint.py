@@ -140,15 +140,39 @@ def _annotation_strings(tree: ast.AST) -> "set[str]":
 
     strs: list[str] = []
 
+    def _tip(node) -> str:
+        # rightmost identifier of a Name/Attribute chain
+        if isinstance(node, ast.Attribute):
+            return node.attr
+        return node.id if isinstance(node, ast.Name) else ""
+
     def take(a):
-        # walk the WHOLE annotation expression: partially-quoted forms
-        # like Optional["Column"] nest the string constant below the
-        # top-level node
+        # walk the WHOLE annotation expression (partially-quoted forms
+        # like Optional["Column"] nest the string below the top node),
+        # but do NOT harvest VALUE strings: Literal["math"] and
+        # Annotated metadata strings are data, not type references —
+        # counting them as uses would silence the unused-import check
+        # for a same-named import
         if a is None:
             return
-        for n in ast.walk(a):
-            if isinstance(n, ast.Constant) and isinstance(n.value, str):
-                strs.append(n.value)
+        stack = [a]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, ast.Constant):
+                if isinstance(n.value, str):
+                    strs.append(n.value)
+            elif isinstance(n, ast.Subscript) and \
+                    _tip(n.value) == "Literal":
+                stack.append(n.value)       # the Literal head only
+            elif isinstance(n, ast.Subscript) and \
+                    _tip(n.value) == "Annotated":
+                stack.append(n.value)
+                if isinstance(n.slice, ast.Tuple) and n.slice.elts:
+                    stack.append(n.slice.elts[0])   # the type, not
+                else:                               # the metadata
+                    stack.append(n.slice)
+            else:
+                stack.extend(ast.iter_child_nodes(n))
 
     for n in ast.walk(tree):
         if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef)):
@@ -276,11 +300,12 @@ def f(x):
 _CLEAN_TRICKY = '''
 """Scoping constructs that must NOT false-positive."""
 import math
-from typing import Optional
-from pyspark.sql import Column
+from typing import Annotated, Optional
+from pyspark.sql import Column, DataFrame
 
-def annotated(x: Optional["Column"]) -> "list[Column]":
-    return [x]
+def annotated(x: Optional["Column"],
+              y: Annotated["DataFrame", "metadata"]) -> "list[Column]":
+    return [x, y]
 
 
 def outer(a, *args, k=1, **kw):
@@ -312,6 +337,24 @@ def test_checker_catches_injected_dangling_name():
 
 def test_checker_catches_injected_unused_import():
     assert unused_imports(_INJECTED_UNUSED) == ["uuid (line 3)"]
+
+
+_INJECTED_LITERAL_SHADOW = '''
+import math
+import uuid
+from typing import Annotated, Literal
+
+def f(mode: Literal["math"],
+      note: Annotated[int, "uuid of the source"]) -> int:
+    return mode is not None and note
+'''
+
+
+def test_checker_not_fooled_by_literal_value_strings():
+    # Literal["math"] / Annotated metadata are DATA strings, not type
+    # references — they must not mark same-named imports as used
+    assert unused_imports(_INJECTED_LITERAL_SHADOW) == [
+        "math (line 2)", "uuid (line 3)"]
 
 
 def test_checker_clean_on_tricky_scoping():

@@ -861,11 +861,24 @@ def test_compaction_crash_recovery(spark, tmp_path):
     compact_partitions(spark, path, ["day"], 1 << 30, verify=True)
     assert fp() == before
 
-    # an undecodable hidden dir (not this module's format) is refused
+    # an undecodable hidden dir (the pre-recovery release's format, or
+    # another tool colliding with the prefix) is refused, never guessed
     os.makedirs(os.path.join(path, ".compact-old-noleaf"))
-    with pytest.raises(ValueError, match="refusing to touch"):
+    with pytest.raises(ValueError, match="refusing to guess"):
         recover_compaction(spark, path, ["day"])
     os.rmdir(os.path.join(path, ".compact-old-noleaf"))
+
+    # a look-alike root sibling is NOT ours: neither pre-flight nor
+    # recovery may touch it (the 12-hex format is the signature)
+    backup = f"{path}.compact-backup"
+    os.makedirs(backup)
+    with open(os.path.join(backup, "precious.txt"), "w") as f:
+        f.write("user data")
+    assert recover_compaction(spark, path, ["day"]) == {
+        "restored": [], "stale_removed": 0, "tmp_removed": 0}
+    assert os.path.exists(os.path.join(backup, "precious.txt"))
+    compact_partitions(spark, path, ["day"], 1 << 30)   # no raise
+    assert os.path.exists(os.path.join(backup, "precious.txt"))
 
     with pytest.raises(ValueError, match="does not exist"):
         recover_compaction(spark, str(tmp_path / "absent"), ["day"])
