@@ -884,6 +884,54 @@ def test_compaction_crash_recovery(spark, tmp_path):
         recover_compaction(spark, str(tmp_path / "absent"), ["day"])
 
 
+def test_compaction_and_recovery_multilevel(spark, tmp_path):
+    """Two-level hive partitioning end-to-end: compaction swaps leaf
+    dirs under their intermediate parents (hidden siblings live at
+    level 1, not the root), and recovery reports the FULL partition
+    rel (a=1/b=2 — bare leaves are ambiguous across parents, the
+    review-pass contract fix)."""
+    import os
+    import shutil
+
+    from fstd2pandas_spark.plans.compaction import (
+        compact_partitions, compaction_plan, recover_compaction)
+    from fstd2pandas_spark.plans.snapshot import partition_fingerprints
+
+    path = str(tmp_path / "ds")
+    rows = [(a, b, i, (i * 3 + a + b) % 31)
+            for a in (0, 1) for b in (2, 3) for i in range(40)]
+    spark.createDataFrame(rows, "a int, b int, u long, v long") \
+        .repartition(6).write.partitionBy("a", "b").parquet(path)
+
+    def fp():
+        return {tuple(r) for r in partition_fingerprints(
+            spark.read.parquet(path), ["a", "b"], ["u", "v"]).collect()}
+
+    before = fp()
+    stats = compact_partitions(spark, path, ["a", "b"], 1 << 30,
+                               verify=True)
+    assert sorted(stats["compacted"]) == [
+        "a=0/b=2", "a=0/b=3", "a=1/b=2", "a=1/b=3"]
+    assert stats["files_after"] == 4
+    assert fp() == before
+    plan = compaction_plan(spark, path, ["a", "b"], 1 << 30)
+    assert all(e["n_files"] == 1 for e in plan)
+
+    # crash states at BOTH leaf parents, same leaf name b=2 in each —
+    # recovery must disambiguate via the parent rel
+    os.rename(os.path.join(path, "a=1", "b=2"),
+              os.path.join(path, "a=1", ".compact-old-cccccccccccc-b=2"))
+    shutil.copytree(
+        os.path.join(path, "a=0", "b=2"),
+        os.path.join(path, "a=0", ".compact-old-dddddddddddd-b=2"))
+    with pytest.raises(RuntimeError, match="recover_compaction first"):
+        compact_partitions(spark, path, ["a", "b"], 1 << 30)
+    rstats = recover_compaction(spark, path, ["a", "b"])
+    assert rstats == {"restored": ["a=1/b=2"], "stale_removed": 1,
+                      "tmp_removed": 0}
+    assert fp() == before
+
+
 def test_merge_upsert_bucketed_target_exchange_free(spark, tmp_path):
     """The module docstring's bucketed-MERGE claim, pinned (r11 order
     item #3): the DEFAULT null-safe join extracts to ``(coalesce(k,
