@@ -141,7 +141,8 @@ def _resolve_latest(source: DataFrame, keys: "list[str]",
 def merge_upsert(target: DataFrame, source: DataFrame,
                  keys: "list[str]", version_col: "str | None" = None,
                  delete_col: "str | None" = None,
-                 keys_not_null: bool = False) -> DataFrame:
+                 keys_not_null: bool = False,
+                 new_columns: str = "error") -> DataFrame:
     """MERGE ``source`` (a CDC batch) into ``target``; returns the new
     table with the target's column order. See the module docstring
     for the exact update/insert/delete/latest-wins contract. A
@@ -160,18 +161,48 @@ def merge_upsert(target: DataFrame, source: DataFrame,
     target-side exchange — only the tiny CDC side shuffles into the
     bucket layout — and a NULL key on either side raises in-plan
     (riding the always-selected presence flags) instead of silently
-    mis-merging as orphan + spurious insert."""
+    mis-merging as orphan + spurious insert.
+
+    ``new_columns`` is the schema-evolution knob (the Delta
+    ``mergeSchema``/autoMerge semantics, opt-in): ``"error"`` (the
+    default) refuses ANY drift loudly; ``"add"`` lets the source
+    carry EXTRA payload columns — the target schema GAINS them
+    (appended after the existing columns, in source order, with the
+    source's types) and every target row the batch does not touch
+    reads NULL there, exactly what a column that did not exist when
+    the row was written means. Source columns MISSING from the target
+    stay an error under either mode: MERGE replaces whole rows, so a
+    value for an unsupplied column cannot be fabricated — project the
+    target first if a column is being dropped."""
     if not keys:
         raise ValueError("need at least one key column")
+    if new_columns not in ("error", "add"):
+        raise ValueError(
+            f"new_columns must be 'error' or 'add', got {new_columns!r}")
     _guard_prefix(set(target.columns) | set(source.columns),
                   "merge_upsert")
     meta = {c for c in (version_col, delete_col) if c}
+    if new_columns == "add":
+        missing = set(target.columns) - (set(source.columns) - meta)
+        if missing:
+            raise ValueError(
+                "source payload lacks target columns "
+                f"{sorted(missing)} — MERGE replaces whole rows, so a "
+                "value for an unsupplied column cannot be fabricated; "
+                "new_columns='add' only ADDS source columns, it never "
+                "drops target ones (project the target first)")
+        extra = [c for c in source.columns
+                 if c not in meta and c not in set(target.columns)]
+        for c in extra:
+            target = target.withColumn(
+                c, F.lit(None).cast(source.schema[c].dataType))
     if set(target.columns) != set(source.columns) - meta:
         raise ValueError(
             "source payload columns must equal the target schema "
             f"(target {sorted(target.columns)} vs source-minus-meta "
             f"{sorted(set(source.columns) - meta)}) — MERGE replaces "
-            "whole rows; project both sides first")
+            "whole rows; project both sides first (or pass "
+            "new_columns='add' to let the schema evolve)")
 
     resolved, bad = _resolve_latest(source, keys, version_col,
                                     "merge_upsert")

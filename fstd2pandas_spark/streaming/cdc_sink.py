@@ -142,7 +142,8 @@ def apply_cdc_stream(cdc_stream: DataFrame, table_root: str,
                      checkpoint_dir: "str | None" = None,
                      keys_not_null: bool = False,
                      keep_generations: int = 2,
-                     available_now: bool = True):
+                     available_now: bool = True,
+                     new_columns: str = "error"):
     """Start the CDC sink: every micro-batch of ``cdc_stream`` is
     MERGEd (:func:`merge_upsert` semantics — latest-wins by
     ``version_col``, tombstones via ``delete_col``, whole-row
@@ -154,7 +155,13 @@ def apply_cdc_stream(cdc_stream: DataFrame, table_root: str,
     ``version_col``/``delete_col``; the first batch bootstraps the
     table from empty. ``available_now=True`` (the default) drains the
     source and stops — the deterministic-replay mode the tests use;
-    pass False for a continuously-running sink."""
+    pass False for a continuously-running sink. ``new_columns='add'``
+    forwards merge_upsert's schema evolution: a committed table whose
+    schema predates a column gains it on the next merge (old rows
+    NULL) — the normal life of a long-running CDC pipeline. The
+    stream's OWN schema is fixed at start by Structured Streaming;
+    evolution covers the serving table lagging the stream (restart
+    the query to pick up a wider source)."""
     if keep_generations < 1:
         raise ValueError("keep_generations must be >= 1")
     meta = {c for c in (version_col, delete_col) if c}
@@ -174,7 +181,8 @@ def apply_cdc_stream(cdc_stream: DataFrame, table_root: str,
         merged = merge_upsert(target, batch_df, keys,
                               version_col=version_col,
                               delete_col=delete_col,
-                              keys_not_null=keys_not_null)
+                              keys_not_null=keys_not_null,
+                              new_columns=new_columns)
         gen = f"{root}/{_GEN_PREFIX}{seq:020d}"
         merged.write.mode("overwrite").parquet(gen)
         # GC: drop everything older than the keep window — bounded by

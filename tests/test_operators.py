@@ -2126,6 +2126,57 @@ def test_grouped_quality_report(spark):
         .count("Scan ExistingRDD") == 1
 
 
+def test_merge_upsert_schema_evolution(spark):
+    """new_columns='add' (the Delta mergeSchema semantics, opt-in):
+    extra source payload columns are APPENDED to the target schema
+    with the source's types; rows the batch does not touch read NULL
+    there (what a column that did not exist when the row was written
+    means), updates and inserts take the source values, tombstones
+    still delete. Equivalent by construction to manually widening the
+    target first (pinned). Source columns MISSING from the target stay
+    an error under either mode (whole-row replacement cannot fabricate
+    values), the default mode still refuses extra columns loudly, and
+    a bogus mode string is rejected at call time."""
+    from fstd2pandas_spark.plans.merge import merge_upsert
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, s string, v long")
+    src = spark.createDataFrame(
+        [(1, "a2", 11, 0.5, 2, False),    # update carries the new col
+         (2, None, 0, None, 2, True),     # tombstone
+         (9, "i", 90, 0.9, 1, False)],    # insert carries the new col
+        "k long, s string, v long, score double, ver long, del boolean")
+
+    out = merge_upsert(tgt, src, ["k"], version_col="ver",
+                       delete_col="del", new_columns="add")
+    assert out.columns == ["k", "s", "v", "score"]   # appended last
+    assert dict(out.dtypes)["score"] == "double"     # source's type
+    rows = {r["k"]: (r["s"], r["v"], r["score"]) for r in out.collect()}
+    assert rows == {1: ("a2", 11, 0.5),   # updated, new col set
+                    3: ("c", 30, None),   # untouched, new col NULL
+                    9: ("i", 90, 0.9)}    # inserted; 2 tombstoned
+
+    # equivalence: evolution == manually widening the target first
+    manual = merge_upsert(
+        tgt.withColumn("score", F.lit(None).cast("double")),
+        src, ["k"], version_col="ver", delete_col="del")
+    assert {tuple(r) for r in manual.collect()} == \
+        {tuple(r) for r in out.collect()}
+
+    # the default mode still refuses drift loudly
+    with pytest.raises(ValueError, match="payload columns"):
+        merge_upsert(tgt, src, ["k"], version_col="ver",
+                     delete_col="del")
+    # dropping a target column is never evolution
+    with pytest.raises(ValueError, match="lacks target columns"):
+        merge_upsert(tgt, src.drop("v"), ["k"], version_col="ver",
+                     delete_col="del", new_columns="add")
+    with pytest.raises(ValueError, match="new_columns"):
+        merge_upsert(tgt, src, ["k"], version_col="ver",
+                     delete_col="del", new_columns="merge")
+
+
 def test_merge_upsert_semantics(spark):
     """Exact SQL-MERGE semantics: latest-wins by version across a
     multi-version batch, set-NULL updates (presence flag, not value

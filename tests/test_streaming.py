@@ -597,6 +597,73 @@ def test_cdc_generation_paths_keep_scheme(spark, tmp_path):
     assert [tuple(r) for r in got.collect()] == [(1, "a")]
 
 
+def test_cdc_sink_schema_evolution(spark, tmp_path):
+    """The long-running-pipeline case new_columns='add' exists for: a
+    serving table committed under an OLD schema gains the column a
+    later (restarted, wider) CDC stream carries — rows from the old
+    era read NULL there, merged/inserted rows carry values, and the
+    key-merge semantics are untouched. The narrow first run pins that
+    evolution is opt-in per query."""
+    import glob
+    import os
+    import shutil
+
+    from fstd2pandas_spark.streaming import (apply_cdc_stream,
+                                             read_cdc_table)
+
+    root = str(tmp_path / "serving")
+
+    def drop(zone, rows, schema, mtime):
+        os.makedirs(zone, exist_ok=True)
+        stage = str(tmp_path / f"stage_{os.path.basename(zone)}")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        dst = os.path.join(zone, "b.parquet")
+        shutil.copy(glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+                    dst)
+        os.utime(dst, (mtime,) * 2)
+
+    narrow = "k long, s string, ver long, del boolean"
+    z1 = str(tmp_path / "z1")
+    drop(z1, [(1, "a", 1, False), (2, "b", 1, False)], narrow,
+         1_700_000_000)
+    q1 = apply_cdc_stream(
+        spark.readStream.schema(narrow).parquet(z1), root, ["k"],
+        version_col="ver", delete_col="del",
+        checkpoint_dir=str(tmp_path / "cp1"))
+    q1.awaitTermination()
+    assert read_cdc_table(spark, root).columns == ["k", "s"]
+
+    # the pipeline restarts with a WIDER source — the committed table
+    # lags the stream, which is exactly what evolution covers
+    wide = "k long, s string, score double, ver long, del boolean"
+    z2 = str(tmp_path / "z2")
+    drop(z2, [(2, "b2", 0.5, 2, False), (3, "c", 0.7, 2, False)],
+         wide, 1_700_000_100)
+    q2 = apply_cdc_stream(
+        spark.readStream.schema(wide).parquet(z2), root, ["k"],
+        version_col="ver", delete_col="del",
+        checkpoint_dir=str(tmp_path / "cp2"), new_columns="add")
+    q2.awaitTermination()
+    got = read_cdc_table(spark, root)
+    assert got.columns == ["k", "s", "score"]
+    assert {tuple(r) for r in got.collect()} == {
+        (1, "a", None),       # pre-evolution row: NULL in the new col
+        (2, "b2", 0.5),       # updated by the wide batch
+        (3, "c", 0.7)}        # inserted by the wide batch
+
+    # without the opt-in, the same drift fails the micro-batch loudly
+    z3 = str(tmp_path / "z3")
+    wider = wide.replace("score double", "score double, extra long")
+    drop(z3, [(4, "d", 0.1, 9, 3, False)], wider, 1_700_000_200)
+    q3 = apply_cdc_stream(
+        spark.readStream.schema(wider).parquet(z3), root, ["k"],
+        version_col="ver", delete_col="del",
+        checkpoint_dir=str(tmp_path / "cp3"))
+    with pytest.raises(Exception, match="payload columns"):
+        q3.awaitTermination()
+
+
 def test_vacuum_generations_tiers(spark, tmp_path):
     """vacuum_generations deletes dead UNCOMMITTED generations under
     the two-tier safety rule: seq <= committed head is always safe
