@@ -830,9 +830,33 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("fp_b").alias("cp_fpb"))
            .withColumn("cp_files",
                        F.lit(int(stats["files_after"])).cast("long")))
-    return (base.join(mg, gcols, "left").join(s2g, gcols, "left")
-            .join(pitg, gcols, "left").join(cpg, gcols, "left")
-            .orderBy(*gcols))
+    # round 13: the row-level change feed (plans/merge.py change_feed
+    # — the Delta CDF read, computed by snapshot diff instead of a
+    # transaction log): diffing the PRE-merge table against the
+    # POST-merge one must recover EXACTLY the CDC batch's effects.
+    # Per group: cf_ins counts inserts (the ≡1 keys' +10^12 rows),
+    # cf_del deletes (≡7 tombstones), cf_upd update-postimages (≡3
+    # keys whose cents moved by the version-2 +1000); every other key
+    # must emit NOTHING, so a spurious or missed change moves a count.
+    # The oracle derives all three arithmetically from the
+    # construction; groups untouched by the batch read 0.
+    from fstd2pandas_spark.plans.merge import change_feed
+
+    feed = change_feed(tgt, merged, ["o_orderkey"])
+    cfg = feed.groupBy(*gcols).agg(
+        F.sum(F.when(F.col("_change_type") == "insert", 1)
+              .otherwise(0)).cast("long").alias("cf_ins"),
+        F.sum(F.when(F.col("_change_type") == "delete", 1)
+              .otherwise(0)).cast("long").alias("cf_del"),
+        F.sum(F.when(F.col("_change_type") == "update_postimage", 1)
+              .otherwise(0)).cast("long").alias("cf_upd"))
+    res = (base.join(mg, gcols, "left").join(s2g, gcols, "left")
+           .join(pitg, gcols, "left").join(cpg, gcols, "left")
+           .join(cfg, gcols, "left"))
+    for c in ("cf_ins", "cf_del", "cf_upd"):
+        res = res.withColumn(
+            c, F.coalesce(F.col(c), F.lit(0).cast("long")))
+    return res.orderBy(*gcols)
 
 
 _Q_DEDUP_SQL = """
@@ -911,14 +935,28 @@ _Q_DEDUP_SQL = """
            CAST(sum(hb) AS BIGINT) AS cp_fpb,
            (SELECT CAST(count(DISTINCT o_orderkey % 4) AS BIGINT)
             FROM orders) AS cp_files
-    FROM cpr GROUP BY o_custkey, o_orderstatus, o_orderpriority)
+    FROM cpr GROUP BY o_custkey, o_orderstatus, o_orderpriority),
+  -- change-feed mirror: diffing pre- vs post-merge recovers exactly
+  -- the CDC construction — ≡1 inserted (key+10^12), ≡7 tombstoned,
+  -- ≡3 updated (+1000 cents at version 2); everything else silent
+  cf AS (
+    SELECT o_custkey, o_orderstatus, o_orderpriority,
+           CAST(count(*) FILTER (o_orderkey % 10 = 1) AS BIGINT)
+             AS cf_ins,
+           CAST(count(*) FILTER (o_orderkey % 10 = 7) AS BIGINT)
+             AS cf_del,
+           CAST(count(*) FILTER (o_orderkey % 10 = 3) AS BIGINT)
+             AS cf_upd
+    FROM orders GROUP BY o_custkey, o_orderstatus, o_orderpriority)
   SELECT base.*, m.m_n, m.m_cents, s2.s2_hn, s2.s2_closed,
          pit.pit1_cents, pit.pit9_cents,
-         cp.cp_n, cp.cp_fpa, cp.cp_fpb, cp.cp_files
+         cp.cp_n, cp.cp_fpa, cp.cp_fpb, cp.cp_files,
+         cf.cf_ins, cf.cf_del, cf.cf_upd
   FROM base LEFT JOIN m USING (o_custkey, o_orderstatus, o_orderpriority)
   LEFT JOIN s2 USING (o_custkey, o_orderstatus, o_orderpriority)
   LEFT JOIN pit USING (o_custkey, o_orderstatus, o_orderpriority)
   LEFT JOIN cp USING (o_custkey, o_orderstatus, o_orderpriority)
+  LEFT JOIN cf USING (o_custkey, o_orderstatus, o_orderpriority)
   ORDER BY o_custkey, o_orderstatus, o_orderpriority
 """
 

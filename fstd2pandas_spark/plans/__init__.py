@@ -8,6 +8,7 @@ from fstd2pandas_spark.plans.incremental import (
     reduce_partials,
 )
 from fstd2pandas_spark.plans.merge import (
+    change_feed,
     merge_upsert,
     scd2_apply,
     scd2_lookup,
@@ -36,6 +37,7 @@ __all__ = [
     "partition_fingerprints",
     "incremental_refresh",
     "key_skew_report",
+    "change_feed",
     "merge_upsert",
     "salted_join",
     "partial_aggregates",

@@ -266,7 +266,8 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
                valid_from: str = "valid_from",
                valid_to: str = "valid_to",
                delete_col: "str | None" = None,
-               check_reinserts: bool = False) -> DataFrame:
+               check_reinserts: bool = False,
+               new_columns: str = "error") -> DataFrame:
     """Slowly-Changing-Dimension Type 2 maintenance — the versioned
     dimension table every warehouse keeps: instead of overwriting a
     changed row (MERGE), close the current version (``valid_to`` =
@@ -322,23 +323,52 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
     at steady state they are the bulk of the table); one batch window
     + one null-safe full-outer key join against the CURRENT slice
     only, then a union — both output rows of a matched key come from
-    ONE pass over the join (exploded struct pair)."""
+    ONE pass over the join (exploded struct pair).
+
+    ``new_columns='add'`` is the same opt-in schema evolution as
+    :func:`merge_upsert`: extra batch payload columns are appended to
+    the history schema (batch types; every existing row — open AND
+    closed history — reads NULL there). Change detection composes
+    naturally: a batch row whose only difference is a non-NULL value
+    in the new column closes and appends, one that is NULL there
+    no-ops. Batch columns missing from the history payload stay an
+    error under either mode."""
     if not keys:
         raise ValueError("need at least one key column")
+    if new_columns not in ("error", "add"):
+        raise ValueError(
+            f"new_columns must be 'error' or 'add', got {new_columns!r}")
     _guard_prefix(set(history.columns) | set(batch.columns),
                   "scd2_apply")
     for c in (valid_from, valid_to):
         if c not in history.columns:
             raise ValueError(f"history lacks the {c} column")
+    meta = {c for c in (version_col, delete_col) if c}
+    if new_columns == "add":
+        hist_payload = (set(history.columns)
+                        - {valid_from, valid_to})
+        missing = hist_payload - (set(batch.columns) - meta)
+        if missing:
+            raise ValueError(
+                "batch payload lacks history columns "
+                f"{sorted(missing)} — SCD2 appends whole versions, so "
+                "a value for an unsupplied column cannot be "
+                "fabricated; new_columns='add' only ADDS batch "
+                "columns, it never drops history ones")
+        extra = [c for c in batch.columns
+                 if c not in meta and c not in set(history.columns)]
+        for c in extra:
+            history = history.withColumn(
+                c, F.lit(None).cast(batch.schema[c].dataType))
     payload = [c for c in history.columns
                if c not in keys and c not in (valid_from, valid_to)]
-    meta = {c for c in (version_col, delete_col) if c}
     if set(keys) | set(payload) != set(batch.columns) - meta:
         raise ValueError(
             "batch payload columns must equal the history schema "
             f"minus {valid_from}/{valid_to} (history-derived "
             f"{sorted(set(keys) | set(payload))} vs batch-minus-meta "
-            f"{sorted(set(batch.columns) - meta)})")
+            f"{sorted(set(batch.columns) - meta)}) — or pass "
+            "new_columns='add' to let the schema evolve")
 
     for df_, c in ((batch, version_col), (history, valid_from),
                    (history, valid_to)):
@@ -541,3 +571,80 @@ def scd2_lookup(facts: DataFrame, history: DataFrame,
             & (vt.isNull() | (F.col(at) < vt)))
     return (facts.join(h, cond, "left")
             .drop(*[f"_mrg_k_{k}" for k in keys]))
+
+
+def change_feed(old: DataFrame, new: DataFrame,
+                keys: "list[str]") -> DataFrame:
+    """Row-level change feed between two snapshots of a key-addressed
+    table — the Delta Change-Data-Feed READ, computed by diff instead
+    of a transaction log: ``(*columns, _change_type)`` with one
+    ``insert`` row (post image) per key only in ``new``, one
+    ``delete`` row (pre image) per key only in ``old``, and an
+    ``update_preimage``/``update_postimage`` PAIR per key whose
+    payload differs null-safely (the Delta CDF row contract);
+    unchanged keys emit nothing. Downstream consumers replay the feed
+    idempotently through :func:`merge_upsert`.
+
+    Schemas may differ by ADDED columns (the ``new_columns='add'``
+    evolution path): each side is widened with the other's missing
+    columns as NULL before comparing, so a pre-evolution row whose
+    only difference is NULL-vs-NULL in a new column is correctly
+    unchanged.
+
+    Scale shape: one null-safe full-outer key join between the two
+    snapshots — for the CDC serving tables this feeds on, both sides
+    are keys-sized; for fact-scale tables, co-partition or bucket both
+    snapshots on the keys first (the merge_upsert sizing rule). Both
+    key NULL-safety and the struct payload compare are engine-native
+    (no Python eval)."""
+    if not keys:
+        raise ValueError("need at least one key column")
+    _guard_prefix(set(old.columns) | set(new.columns), "change_feed")
+    if "_change_type" in set(old.columns) | set(new.columns):
+        raise ValueError(
+            "_change_type is the feed's own output column — rename it "
+            "on the input first")
+    for k in keys:
+        if k not in old.columns or k not in new.columns:
+            raise ValueError(f"key column {k} missing from a snapshot")
+    # evolution alignment: widen each side with the other's additions
+    for c in [c for c in new.columns if c not in set(old.columns)]:
+        old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    for c in [c for c in old.columns if c not in set(new.columns)]:
+        new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
+    cols = old.columns  # both sides now share this set
+    payload = [c for c in cols if c not in keys]
+
+    o = old.select(
+        *[F.col(k).alias(f"_mrg_k_{k}") for k in keys],
+        *[F.col(c).alias(f"_mrg_v_{c}") for c in payload],
+        F.lit(True).alias("_mrg_op"))
+    n = new.withColumn("_mrg_np", F.lit(True))
+    j = n.join(o, _key_eq(keys), "full_outer")
+
+    def row(tag: str, key_side: str, val_side: str):
+        return F.struct(
+            F.lit(tag).alias("_change_type"),
+            *[(F.col(k) if key_side == "new"
+               else F.col(f"_mrg_k_{k}")).alias(k) for k in keys],
+            *[(F.col(c) if val_side == "new"
+               else F.col(f"_mrg_v_{c}")).alias(c) for c in payload])
+
+    has_old = F.col("_mrg_op").isNotNull()
+    has_new = F.col("_mrg_np").isNotNull()
+    if payload:
+        differs = ~F.struct(*[F.col(f"_mrg_v_{c}") for c in payload]) \
+            .eqNullSafe(F.struct(*[F.col(c) for c in payload]))
+    else:
+        differs = F.lit(False)  # keys-only table: presence is identity
+    # the unchanged-key branch is an EMPTY array of the real element
+    # type (slice of a never-kept row — explode then emits nothing);
+    # a bare F.array() would type-conflict with the struct branches
+    arr = (F.when(~has_old, F.array(row("insert", "new", "new")))
+           .when(~has_new, F.array(row("delete", "old", "old")))
+           .when(differs, F.array(row("update_preimage", "new", "old"),
+                                  row("update_postimage", "new", "new")))
+           .otherwise(F.slice(F.array(row("insert", "new", "new")), 1, 0)))
+    return (j.select(F.explode(arr).alias("_mrg_row"))
+            .select("_mrg_row.*")
+            .select(*keys, *payload, "_change_type"))

@@ -1,5 +1,6 @@
 from fstd2pandas_spark.streaming.cdc_sink import (
     apply_cdc_stream,
+    cdc_changes,
     read_cdc_table,
     vacuum_generations,
 )
@@ -20,6 +21,7 @@ from fstd2pandas_spark.streaming.record_stream import (
 __all__ = [
     "DEDUP_KEYS",
     "apply_cdc_stream",
+    "cdc_changes",
     "read_cdc_table",
     "vacuum_generations",
     "cycle_window_stats",

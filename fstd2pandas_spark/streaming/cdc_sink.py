@@ -124,15 +124,48 @@ def vacuum_generations(spark: SparkSession, table_root: str,
 
 
 def read_cdc_table(spark: SparkSession, table_root: str,
+                   generation: "int | None" = None,
                    ) -> "DataFrame | None":
-    """The current committed state of a table maintained by
-    :func:`apply_cdc_stream` — the highest-numbered ``_SUCCESS``-marked
-    generation; None before the first commit (callers bootstrapping a
-    pipeline treat that as an empty table)."""
+    """The committed state of a table maintained by
+    :func:`apply_cdc_stream`: the highest-numbered ``_SUCCESS``-marked
+    generation, or — ``generation=N`` — that specific committed one
+    (time travel, bounded by the sink's ``keep_generations`` retention
+    window; a vacuumed or never-committed number raises with the
+    retained set). None before the first commit (callers bootstrapping
+    a pipeline treat that as an empty table)."""
     gens = _committed_generations(spark, table_root)
-    if not gens:
-        return None
-    return spark.read.parquet(gens[-1][1])
+    if generation is None:
+        if not gens:
+            return None
+        return spark.read.parquet(gens[-1][1])
+    by = dict(gens)
+    if generation not in by:
+        raise ValueError(
+            f"generation {generation} is not committed under "
+            f"{table_root} — retained: {sorted(by)} (the sink GCs past "
+            "keep_generations; raise it for longer time travel)")
+    return spark.read.parquet(by[generation])
+
+
+def cdc_changes(spark: SparkSession, table_root: str,
+                keys: "list[str]", from_generation: int,
+                to_generation: "int | None" = None) -> DataFrame:
+    """Row-level change feed between two committed generations of the
+    serving table — the Delta Change-Data-Feed read, computed by
+    snapshot diff (:func:`~fstd2pandas_spark.plans.merge.change_feed`)
+    instead of a transaction log: what a downstream consumer must
+    apply to move from ``from_generation`` to ``to_generation``
+    (default: the current head). Both snapshots are serving-table
+    sized, so the diff join is cheap at any corpus size; retention is
+    the sink's ``keep_generations`` window."""
+    from fstd2pandas_spark.plans.merge import change_feed
+
+    old = read_cdc_table(spark, table_root, generation=from_generation)
+    new = read_cdc_table(spark, table_root, generation=to_generation)
+    if new is None:
+        raise ValueError(
+            f"no committed generations under {table_root}")
+    return change_feed(old, new, keys)
 
 
 def apply_cdc_stream(cdc_stream: DataFrame, table_root: str,

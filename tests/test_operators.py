@@ -2126,6 +2126,122 @@ def test_grouped_quality_report(spark):
         .count("Scan ExistingRDD") == 1
 
 
+def test_scd2_apply_schema_evolution(spark):
+    """scd2_apply(new_columns='add'): the history schema gains the
+    batch's extra column (batch type; every existing row — open AND
+    closed — reads NULL). Change detection composes: a batch row whose
+    ONLY difference is a non-NULL value in the new column closes and
+    appends; one that is NULL there no-ops. Dropping history columns
+    stays an error; the default mode refuses drift and points at the
+    knob."""
+    from fstd2pandas_spark.plans.merge import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(1, "a", 0, 5),        # closed version
+         (1, "a2", 5, None),    # open version
+         (2, "b", 0, None)],    # open, will no-op
+        "k long, s string, valid_from long, valid_to long")
+    batch = spark.createDataFrame(
+        [(1, "a2", 0.9, 7, False),   # same s, NEW col set -> closes
+         (2, "b", None, 7, False)],  # identical incl. NULL -> no-op
+        "k long, s string, score double, _v long, del boolean")
+
+    out = scd2_apply(hist, batch, ["k"], "_v", delete_col="del",
+                     new_columns="add")
+    assert set(out.columns) == {"k", "s", "score",
+                                "valid_from", "valid_to"}
+    got = {(r["k"], r["s"], r["score"], r["valid_from"], r["valid_to"])
+           for r in out.collect()}
+    assert got == {
+        (1, "a", None, 0, 5),     # closed history: new col NULL
+        (1, "a2", None, 5, 7),    # closed BY the batch (score moved)
+        (1, "a2", 0.9, 7, None),  # the new open version
+        (2, "b", None, 0, None)}  # no-op: NULL == NULL, untouched
+
+    with pytest.raises(ValueError, match="lacks history columns"):
+        scd2_apply(hist, batch.drop("s"), ["k"], "_v",
+                   delete_col="del", new_columns="add")
+    with pytest.raises(ValueError, match="new_columns='add'"):
+        scd2_apply(hist, batch, ["k"], "_v", delete_col="del")
+    with pytest.raises(ValueError, match="new_columns must be"):
+        scd2_apply(hist, batch, ["k"], "_v", delete_col="del",
+                   new_columns="auto")
+
+
+def test_change_feed(spark):
+    """plans/merge.py change_feed — the Delta CDF read computed by
+    snapshot diff: insert (post image), delete (pre image),
+    update_preimage/update_postimage PAIR when the payload differs
+    null-safely; unchanged keys (including NULL-key rows and
+    NULL-vs-NULL payload cells) emit NOTHING. Evolution-aligned: a
+    column only one side has compares as NULL on the other, so a
+    pre-evolution row is unchanged. Round-trip: applying the feed's
+    post-images + deletes through merge_upsert reproduces `new`."""
+    from fstd2pandas_spark.plans.merge import change_feed, merge_upsert
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (None, "n", 40),
+         (5, "e", 50)],
+        "k long, s string, v long")
+    new = spark.createDataFrame(
+        [(1, "a", 10),          # unchanged
+         (2, "b", 22),          # NULL -> value: update
+         (4, "d", 44),          # insert
+         (None, "n", 40),       # NULL key, unchanged
+         (5, None, 50)],        # value -> NULL: update; 3 deleted
+        "k long, s string, v long")
+    feed = change_feed(old, new, ["k"])
+    assert feed.columns == ["k", "s", "v", "_change_type"]
+    got = {(r["k"], r["s"], r["v"], r["_change_type"])
+           for r in feed.collect()}
+    assert got == {
+        (2, "b", None, "update_preimage"),
+        (2, "b", 22, "update_postimage"),
+        (4, "d", 44, "insert"),
+        (3, "c", 30, "delete"),
+        (5, "e", 50, "update_preimage"),
+        (5, None, 50, "update_postimage")}
+
+    # round-trip: feed applied to `old` lands exactly on `new`
+    post = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")) \
+        .select("k", "s", "v").withColumn("_del", F.lit(False))
+    dels = feed.filter(F.col("_change_type") == "delete") \
+        .select("k", "s", "v").withColumn("_del", F.lit(True))
+    replayed = merge_upsert(old, post.unionByName(dels), ["k"],
+                            delete_col="_del")
+    assert {tuple(r) for r in replayed.collect()} == \
+        {tuple(r) for r in new.collect()}
+
+    # evolution alignment: `new` carries an extra column; a row whose
+    # values are otherwise identical and NULL there is unchanged
+    new2 = spark.createDataFrame(
+        [(1, "a", 10, None), (3, "c", 30, 0.5)],
+        "k long, s string, v long, score double")
+    old2 = spark.createDataFrame(
+        [(1, "a", 10), (3, "c", 30)], "k long, s string, v long")
+    f2 = {(r["k"], r["_change_type"], r["score"])
+          for r in change_feed(old2, new2, ["k"]).collect()}
+    assert f2 == {(3, "update_preimage", None),
+                  (3, "update_postimage", 0.5)}
+
+    # keys-only table: presence IS identity — inserts/deletes only
+    ko = change_feed(
+        spark.createDataFrame([(1,), (2,)], "k long"),
+        spark.createDataFrame([(2,), (3,)], "k long"), ["k"])
+    assert {(r["k"], r["_change_type"]) for r in ko.collect()} == \
+        {(1, "delete"), (3, "insert")}
+
+    # guards
+    with pytest.raises(ValueError, match="_change_type"):
+        change_feed(old.withColumn("_change_type", F.lit("x")),
+                    new.withColumn("_change_type", F.lit("x")), ["k"])
+    with pytest.raises(ValueError, match="missing from a snapshot"):
+        change_feed(old, new, ["nope"])
+    with pytest.raises(ValueError, match="at least one key"):
+        change_feed(old, new, [])
+
+
 def test_merge_upsert_schema_evolution(spark):
     """new_columns='add' (the Delta mergeSchema semantics, opt-in):
     extra source payload columns are APPENDED to the target schema

@@ -564,6 +564,25 @@ def test_apply_cdc_stream_multibatch_and_replay(spark, tmp_path):
                         if d.startswith("gen-"))[-1]
     assert head_after > head_before
 
+    # time travel: both retained generations readable by number; the
+    # replay generation's CONTENT equals the pre-replay head, so the
+    # change feed between them is EMPTY — idempotent replay, certified
+    # at the row level (the Delta CDF read, log-free)
+    from fstd2pandas_spark.streaming import cdc_changes
+
+    retained = sorted(int(d[len("gen-"):]) for d in os.listdir(root)
+                      if d.startswith("gen-"))
+    assert len(retained) == 2          # keep_generations default
+    for g in retained:
+        assert {tuple(r) for r in read_cdc_table(
+            spark, root, generation=g).collect()} == expected
+    assert cdc_changes(spark, root, ["k"],
+                       retained[0], retained[1]).count() == 0
+    assert cdc_changes(spark, root, ["k"], retained[0]).count() == 0
+    # a GC'd generation is out of the retention window — loud
+    with pytest.raises(ValueError, match="retained"):
+        read_cdc_table(spark, root, generation=0)
+
     with pytest.raises(ValueError, match="keep_generations"):
         apply_cdc_stream(replay, root, ["k"], keep_generations=0)
 
@@ -651,6 +670,21 @@ def test_cdc_sink_schema_evolution(spark, tmp_path):
         (1, "a", None),       # pre-evolution row: NULL in the new col
         (2, "b2", 0.5),       # updated by the wide batch
         (3, "c", 0.7)}        # inserted by the wide batch
+
+    # change feed ACROSS the evolution boundary: the narrow generation
+    # aligns with NULL in the new column, so the untouched key is
+    # correctly unchanged while the update/insert surface exactly
+    from fstd2pandas_spark.streaming import cdc_changes
+
+    gens = sorted(int(d[len("gen-"):]) for d in os.listdir(root)
+                  if d.startswith("gen-"))
+    feed = {(r["k"], r["s"], r["score"], r["_change_type"])
+            for r in cdc_changes(spark, root, ["k"],
+                                 gens[0], gens[1]).collect()}
+    assert feed == {
+        (2, "b", None, "update_preimage"),
+        (2, "b2", 0.5, "update_postimage"),
+        (3, "c", 0.7, "insert")}
 
     # without the opt-in, the same drift fails the micro-batch loudly
     z3 = str(tmp_path / "z3")
