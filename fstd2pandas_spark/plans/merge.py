@@ -106,6 +106,18 @@ def _null_key_guard(keys: "list[str]", cols, who: str, side: str):
     return any_null, bad
 
 
+def _widen(df: DataFrame, ref: DataFrame,
+           skip: "set[str] | frozenset" = frozenset()) -> DataFrame:
+    """One definition of the schema-evolution NULL-widen (the third
+    copy was forming — the _guard_prefix precedent): append ``ref``'s
+    columns missing from ``df`` as typed NULLs, in ``ref`` order."""
+    have = set(df.columns)
+    for c in ref.columns:
+        if c not in have and c not in skip:
+            df = df.withColumn(c, F.lit(None).cast(ref.schema[c].dataType))
+    return df
+
+
 def _resolve_latest(source: DataFrame, keys: "list[str]",
                     version_col: "str | None", who: str):
     """Shared CDC batch resolution (merge_upsert + scd2_apply — one
@@ -191,11 +203,7 @@ def merge_upsert(target: DataFrame, source: DataFrame,
                 "value for an unsupplied column cannot be fabricated; "
                 "new_columns='add' only ADDS source columns, it never "
                 "drops target ones (project the target first)")
-        extra = [c for c in source.columns
-                 if c not in meta and c not in set(target.columns)]
-        for c in extra:
-            target = target.withColumn(
-                c, F.lit(None).cast(source.schema[c].dataType))
+        target = _widen(target, source, skip=meta)
     if set(target.columns) != set(source.columns) - meta:
         raise ValueError(
             "source payload columns must equal the target schema "
@@ -355,11 +363,7 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
                 "a value for an unsupplied column cannot be "
                 "fabricated; new_columns='add' only ADDS batch "
                 "columns, it never drops history ones")
-        extra = [c for c in batch.columns
-                 if c not in meta and c not in set(history.columns)]
-        for c in extra:
-            history = history.withColumn(
-                c, F.lit(None).cast(batch.schema[c].dataType))
+        history = _widen(history, batch, skip=meta)
     payload = [c for c in history.columns
                if c not in keys and c not in (valid_from, valid_to)]
     if set(keys) | set(payload) != set(batch.columns) - meta:
@@ -585,15 +589,25 @@ def change_feed(old: DataFrame, new: DataFrame,
     unchanged keys emit nothing. Downstream consumers replay the feed
     idempotently through :func:`merge_upsert`.
 
-    Schemas may differ by ADDED columns (the ``new_columns='add'``
-    evolution path): each side is widened with the other's missing
-    columns as NULL before comparing, so a pre-evolution row whose
-    only difference is NULL-vs-NULL in a new column is correctly
-    unchanged.
+    Schemas may differ by ADDED columns in ``new`` (the
+    ``new_columns='add'`` evolution path): ``old`` is widened with
+    the additions as NULL before comparing, so a pre-evolution row
+    whose only difference is NULL-vs-NULL in a new column is
+    correctly unchanged. Columns PRESENT in ``old`` but missing from
+    ``new`` raise — a dropped column would fabricate a phantom
+    set-NULL update pair for every row, and the sibling operators'
+    contract is that dropping is never evolution (it also catches
+    swapped old/new arguments across an evolution boundary).
+
+    Both snapshots must be key-unique — the merge_upsert/scd2 output
+    contract. A duplicate key would fan out through the join into a
+    silently wrong feed, so it raises IN-PLAN (riding the presence
+    flags every classification branch reads).
 
     Scale shape: one null-safe full-outer key join between the two
-    snapshots — for the CDC serving tables this feeds on, both sides
-    are keys-sized; for fact-scale tables, co-partition or bucket both
+    snapshots, plus one key window per side for the uniqueness guard
+    — for the CDC serving tables this feeds on, both sides are
+    keys-sized; for fact-scale tables, co-partition or bucket both
     snapshots on the keys first (the merge_upsert sizing rule). Both
     key NULL-safety and the struct payload compare are engine-native
     (no Python eval)."""
@@ -607,19 +621,35 @@ def change_feed(old: DataFrame, new: DataFrame,
     for k in keys:
         if k not in old.columns or k not in new.columns:
             raise ValueError(f"key column {k} missing from a snapshot")
-    # evolution alignment: widen each side with the other's additions
-    for c in [c for c in new.columns if c not in set(old.columns)]:
-        old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
-    for c in [c for c in old.columns if c not in set(new.columns)]:
-        new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
-    cols = old.columns  # both sides now share this set
-    payload = [c for c in cols if c not in keys]
+    dropped = sorted(set(old.columns) - set(new.columns))
+    if dropped:
+        raise ValueError(
+            f"columns {dropped} exist in the old snapshot but not the "
+            "new one — a dropped column would fabricate a phantom "
+            "set-NULL update for every row (dropping is never "
+            "evolution; project the old snapshot first, and check the "
+            "snapshots are not swapped)")
+    # evolution alignment: old gains new's additions as typed NULLs
+    old = _widen(old, new)
+    payload = [c for c in new.columns if c not in keys]
+
+    def uniq_flag(side: str):
+        cnt = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        bad = F.concat(
+            F.lit(f"change_feed: duplicate key in the {side} snapshot "
+                  "("),
+            F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+            F.lit(") — snapshots must be key-unique (the merge_upsert/"
+                  "scd2 output contract); a duplicate would fan out "
+                  "through the diff join into a wrong feed"))
+        return (F.when(cnt > 1, F.raise_error(bad).cast("boolean"))
+                .otherwise(F.lit(True)))
 
     o = old.select(
         *[F.col(k).alias(f"_mrg_k_{k}") for k in keys],
         *[F.col(c).alias(f"_mrg_v_{c}") for c in payload],
-        F.lit(True).alias("_mrg_op"))
-    n = new.withColumn("_mrg_np", F.lit(True))
+        uniq_flag("old").alias("_mrg_op"))
+    n = new.withColumn("_mrg_np", uniq_flag("new"))
     j = n.join(o, _key_eq(keys), "full_outer")
 
     def row(tag: str, key_side: str, val_side: str):

@@ -157,15 +157,33 @@ def cdc_changes(spark: SparkSession, table_root: str,
     apply to move from ``from_generation`` to ``to_generation``
     (default: the current head). Both snapshots are serving-table
     sized, so the diff join is cheap at any corpus size; retention is
-    the sink's ``keep_generations`` window."""
+    the sink's ``keep_generations`` window. ONE directory listing
+    resolves both generations — besides halving the object-store LIST
+    round-trips, it pins the pair to a single consistent snapshot of
+    the table (two listings could straddle a commit)."""
     from fstd2pandas_spark.plans.merge import change_feed
 
-    old = read_cdc_table(spark, table_root, generation=from_generation)
-    new = read_cdc_table(spark, table_root, generation=to_generation)
-    if new is None:
+    if not isinstance(from_generation, int) or \
+            isinstance(from_generation, bool):
+        raise ValueError(
+            "from_generation must be a committed generation number — "
+            f"got {from_generation!r}; passing None would silently "
+            "diff the head against itself (an always-empty feed)")
+    gens = dict(_committed_generations(spark, table_root))
+    if not gens:
         raise ValueError(
             f"no committed generations under {table_root}")
-    return change_feed(old, new, keys)
+    head = max(gens)
+    if to_generation is None:
+        to_generation = head
+    for g in (from_generation, to_generation):
+        if g not in gens:
+            raise ValueError(
+                f"generation {g} is not committed under {table_root} "
+                f"— retained: {sorted(gens)} (the sink GCs past "
+                "keep_generations; raise it for longer time travel)")
+    return change_feed(spark.read.parquet(gens[from_generation]),
+                       spark.read.parquet(gens[to_generation]), keys)
 
 
 def apply_cdc_stream(cdc_stream: DataFrame, table_root: str,

@@ -2240,6 +2240,21 @@ def test_change_feed(spark):
         change_feed(old, new, ["nope"])
     with pytest.raises(ValueError, match="at least one key"):
         change_feed(old, new, [])
+    # dropping a column is never evolution — it would fabricate a
+    # phantom set-NULL update pair for EVERY row (also catches swapped
+    # old/new arguments across an evolution boundary)
+    with pytest.raises(ValueError, match="dropped column"):
+        change_feed(old, new.drop("v"), ["k"])
+    with pytest.raises(ValueError, match="dropped column"):
+        change_feed(new2, old2, ["k"])   # swapped evolution pair
+    # duplicate keys would fan out through the diff join into a
+    # silently wrong feed — in-plan raise on either side
+    dup = old.unionByName(
+        spark.createDataFrame([(1, "zz", 99)], "k long, s string, v long"))
+    with pytest.raises(Exception, match="duplicate key in the old"):
+        change_feed(dup, new, ["k"]).collect()
+    with pytest.raises(Exception, match="duplicate key in the new"):
+        change_feed(old, dup, ["k"]).collect()
 
 
 def test_merge_upsert_schema_evolution(spark):

@@ -1017,6 +1017,36 @@ def test_merge_upsert_bucketed_target_exchange_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_mrg_b")
 
 
+def test_change_feed_plan(spark):
+    """Scale lock for the change feed: ONE full-outer SortMergeJoin on
+    the null-safe key extraction, the entire classification (insert/
+    delete/update pair/silent) fused into a single Generate(explode)
+    over engine-native struct compares, and exactly TWO Window nodes —
+    the per-side key-uniqueness guards (a duplicate key would fan out
+    through the join into a silently wrong feed) — no NestedLoop/
+    Cartesian, no Python eval, no second join."""
+    from fstd2pandas_spark.plans.merge import change_feed
+
+    old = spark.range(200).selectExpr(
+        "id as k", "cast(id as string) s", "id * 2 v")
+    new = spark.range(100, 300).selectExpr(
+        "id as k", "cast(id as string) s", "id * 3 v")
+    f = change_feed(old, new, ["k"])
+    f.collect()
+    final = _plan(f).split("== Initial Plan ==")[0]
+    smj = [ln for ln in final.splitlines() if "SortMergeJoin" in ln]
+    assert len(smj) == 1 and "FullOuter" in smj[0], smj
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "BatchEvalPython" not in final
+    assert "ArrowEvalPython" not in final
+    gens = [ln for ln in final.splitlines() if "Generate explode" in ln]
+    assert len(gens) == 1, gens
+    wins = [ln for ln in final.splitlines()
+            if ln.lstrip("+- *(0123456789):").startswith("Window [")]
+    assert len(wins) == 2, wins   # the two uniqueness guards
+
+
 def test_scd2_apply_plan(spark):
     """Scale lock for SCD2: the null-safe current-slice join rewrites
     to an EQUI join (no NestedLoop/Cartesian), exactly THREE Window

@@ -582,6 +582,11 @@ def test_apply_cdc_stream_multibatch_and_replay(spark, tmp_path):
     # a GC'd generation is out of the retention window — loud
     with pytest.raises(ValueError, match="retained"):
         read_cdc_table(spark, root, generation=0)
+    with pytest.raises(ValueError, match="retained"):
+        cdc_changes(spark, root, ["k"], 0)
+    # from_generation=None would silently diff head vs head — loud
+    with pytest.raises(ValueError, match="head against itself"):
+        cdc_changes(spark, root, ["k"], None)
 
     with pytest.raises(ValueError, match="keep_generations"):
         apply_cdc_stream(replay, root, ["k"], keep_generations=0)
