@@ -92,6 +92,27 @@ def test_full_maintenance_cycle(spark, tmp_path):
         table_quality_report(broken, [("uq", "k", "unique")],
                              strict=True).collect()
 
+    # ---- audit the promotion: the row-level change feed between the
+    # pre- and post-MERGE serving states must recover EXACTLY the CDC
+    # batch's effects (the Delta CDF read, log-free), and replaying
+    # its post-images + deletes through merge_upsert lands back on the
+    # served table — the downstream-consumer contract
+    from fstd2pandas_spark.plans.merge import change_feed
+
+    feed = change_feed(serving, served, ["k"])
+    by_type: dict = {}
+    for r in feed.collect():
+        by_type.setdefault(r["_change_type"], set()).add(r["k"])
+    assert by_type == {"update_preimage": {0}, "update_postimage": {0},
+                       "insert": {5000}, "delete": {1}}
+    replay_src = (feed.filter(F.col("_change_type") != "update_preimage")
+                  .withColumn("_del",
+                              F.col("_change_type") == "delete")
+                  .drop("_change_type"))
+    assert {tuple(r) for r in merge_upsert(
+        serving, replay_src, ["k"], delete_col="_del").collect()} == \
+        {tuple(r) for r in served.collect()}
+
     # ---- dimension history: SCD2 the serving table's first two
     # states, then point-in-time-join facts against it
     from fstd2pandas_spark.plans.merge import scd2_apply, scd2_lookup
