@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import functools
 import math
+import re
 import uuid
 
 from pyspark.sql import SparkSession
@@ -82,6 +83,11 @@ _HIDDEN_PREFIX = ".compact-old-"
 #: format, so a user's ``table.compact-backup`` sibling is never
 #: mistaken for ours (and never deleted)
 _TMP_SUFFIX_RE = r"\.compact-[0-9a-f]{12}$"
+
+#: Spark's bucket-id file-name marker: ``part-...-<uuid>_00003.c000...``
+#: — the ``_NNNNN`` between the task uuid and the writer's ``.cNNN``
+#: suffix encodes which bucket the file holds
+_BUCKET_FILE_RE = re.compile(r"_\d{5}\.c\d{3}")
 
 
 def _is_hidden(name: str) -> bool:
@@ -137,7 +143,13 @@ def _list_partitions(spark: SparkSession, path: str,
                     "rel": nrel,
                     "values": vals + (v,),
                     "n_files": len(files),
-                    "bytes": sum(f.getLen() for f in files)})
+                    "bytes": sum(f.getLen() for f in files),
+                    # Spark bucket files carry `_NNNNN` (the bucket
+                    # id) before the `.cNNN` writer suffix — a layout
+                    # compaction MUST NOT touch (see compact_partitions)
+                    "bucketed": any(
+                        _BUCKET_FILE_RE.search(f.getPath().getName())
+                        for f in files)})
         return entries
 
     return walk(root, "", (), 0)
@@ -216,6 +228,15 @@ def compact_partitions(spark: SparkSession, path: str,
     of the touched slice after the swap and raises if compaction
     changed ANY content — the never-changes-content invariant,
     self-checked."""
+    fs0, _root0 = hadoop_fs(spark, path)
+    if fs0.exists(jpath(spark, f"{path.rstrip('/')}/_spark_metadata")):
+        raise RuntimeError(
+            "compaction: _spark_metadata transaction log present — "
+            f"{path} is a Structured Streaming parquet-sink output, "
+            "whose readers list files through the LOG, not the "
+            "directory; compaction's renames would leave them reading "
+            "deleted files. Ingest through foreachBatch (see "
+            "streaming/cdc_sink.py) if the table must be compactable")
     debris: "list[str]" = []
     plan = compaction_plan(spark, path, part_cols, target_bytes,
                            debris_out=debris)
@@ -226,6 +247,15 @@ def compact_partitions(spark: SparkSession, path: str,
             f"{path} ({debris[:4]}) — run recover_compaction first; "
             "starting a new run on top of debris would make the crash "
             "states ambiguous")
+    bucketed = sorted(e["rel"] for e in plan if e["bucketed"])
+    if bucketed:
+        raise RuntimeError(
+            "compaction: bucket-id file names (part-*_NNNNN.cNNN) "
+            f"under {bucketed[:4]} — this is a BUCKETED table layout; "
+            "rewriting its files would silently break the "
+            "bucket-to-file contract that exchange-free joins "
+            "(plans/bucketing.py read_bucketed) rely on. Re-bucket "
+            "through write_bucketed instead")
     touched = [e for e in plan if e["needs"]]
     stats = {"compacted": [e["rel"] for e in touched],
              "files_before": sum(e["n_files"] for e in touched),
@@ -326,8 +356,6 @@ def _tmp_dirs(spark: SparkSession, path: str):
     ``<base>.compact-<12 hex>`` format the rewrite writes — one
     non-recursive listing; look-alike names (a user's
     ``table.compact-backup``) are not ours and are never touched."""
-    import re
-
     fs, root = hadoop_fs(spark, path)
     base = root.getName()
     pat = re.compile(re.escape(base) + _TMP_SUFFIX_RE)

@@ -884,6 +884,47 @@ def test_compaction_crash_recovery(spark, tmp_path):
         recover_compaction(spark, str(tmp_path / "absent"), ["day"])
 
 
+def test_compaction_refuses_foreign_layouts(spark, tmp_path):
+    """Two layouts whose files compaction must never rewrite, refused
+    loudly: (a) a BUCKETED table — the `_NNNNN.cNNN` bucket-id file
+    names encode the bucket-to-file contract exchange-free joins rely
+    on, and a rewrite would silently void it; (b) a Structured
+    Streaming parquet-sink output — its readers list files through the
+    _spark_metadata LOG, so post-rename they would read deleted
+    files."""
+    import os
+    import shutil
+
+    from fstd2pandas_spark.plans.compaction import (
+        compact_partitions, compaction_plan)
+
+    path = str(tmp_path / "ds")
+    rows = [(d, i) for d in (0, 1) for i in range(30)]
+    spark.createDataFrame(rows, "day int, u long") \
+        .repartition(4).write.partitionBy("day").parquet(path)
+
+    # (a) plant a bucket-id-named file (what saveAsTable bucketBy
+    # writes) inside one partition
+    d0 = os.path.join(path, "day=0")
+    victim = next(f for f in os.listdir(d0) if f.endswith(".parquet"))
+    shutil.move(os.path.join(d0, victim),
+                os.path.join(d0, "part-00000-feedbead_00003.c000"
+                                 ".snappy.parquet"))
+    plan = {e["rel"]: e["bucketed"]
+            for e in compaction_plan(spark, path, ["day"], 1 << 30)}
+    assert plan == {"day=0": True, "day=1": False}
+    with pytest.raises(RuntimeError, match="BUCKETED table layout"):
+        compact_partitions(spark, path, ["day"], 1 << 30)
+
+    # (b) a streaming-sink transaction log at the root
+    path2 = str(tmp_path / "sink")
+    spark.createDataFrame(rows, "day int, u long") \
+        .write.partitionBy("day").parquet(path2)
+    os.makedirs(os.path.join(path2, "_spark_metadata"))
+    with pytest.raises(RuntimeError, match="_spark_metadata"):
+        compact_partitions(spark, path2, ["day"], 1 << 30)
+
+
 def test_compaction_and_recovery_multilevel(spark, tmp_path):
     """Two-level hive partitioning end-to-end: compaction swaps leaf
     dirs under their intermediate parents (hidden siblings live at
