@@ -2257,6 +2257,67 @@ def test_change_feed(spark):
         change_feed(old, dup, ["k"]).collect()
 
 
+def test_change_feed_randomized_model(spark):
+    """Seeded randomized reference-model test (the merge/scd2 model
+    convention): 40 scenarios of key-unique snapshot pairs — inserts,
+    deletes, value changes, NULL<->value transitions in either
+    direction, NULL keys, identical rows — packed into ONE frame via
+    compound (scenario, key) keys and diffed in ONE change_feed call;
+    the full feed must equal an independent Python dict-diff, and
+    replaying every scenario's feed through merge_upsert must land on
+    its `new` snapshot exactly."""
+    import random
+
+    from fstd2pandas_spark.plans.merge import change_feed, merge_upsert
+
+    rng = random.Random(20260815)
+    olds, news, expect = [], [], set()
+    for sc in range(40):
+        keys = list(range(rng.randint(0, 8))) + [None]
+        old = {k: (rng.choice(["a", "b", None]),
+                   rng.choice([1, 2, None])) for k in keys
+               if rng.random() < 0.8}
+        new = {}
+        for k in keys:
+            r = rng.random()
+            if r < 0.35:              # keep identical if present
+                if k in old:
+                    new[k] = old[k]
+            elif r < 0.75:            # (re)write possibly-changed
+                new[k] = (rng.choice(["a", "b", "c", None]),
+                          rng.choice([1, 2, 3, None]))
+            # else: absent from new (delete if it was in old)
+        olds += [(sc, k, s, v) for k, (s, v) in old.items()]
+        news += [(sc, k, s, v) for k, (s, v) in new.items()]
+        for k in set(old) | set(new):
+            if k in old and k not in new:
+                expect.add((sc, k, *old[k], "delete"))
+            elif k in new and k not in old:
+                expect.add((sc, k, *new[k], "insert"))
+            elif old[k] != new[k]:
+                expect.add((sc, k, *old[k], "update_preimage"))
+                expect.add((sc, k, *new[k], "update_postimage"))
+
+    schema = "sc long, k long, s string, v long"
+    feed = change_feed(spark.createDataFrame(olds, schema),
+                       spark.createDataFrame(news, schema),
+                       ["sc", "k"])
+    got = {(r["sc"], r["k"], r["s"], r["v"], r["_change_type"])
+           for r in feed.collect()}
+    assert got == expect
+
+    # replay closes the loop: feed applied to old == new, per scenario
+    # (one merge over the packed frame, compound keys keep scenarios
+    # independent)
+    replay_src = (feed.filter(
+        F.col("_change_type") != "update_preimage")
+        .withColumn("_del", F.col("_change_type") == "delete")
+        .drop("_change_type"))
+    replayed = merge_upsert(spark.createDataFrame(olds, schema),
+                            replay_src, ["sc", "k"], delete_col="_del")
+    assert {tuple(r) for r in replayed.collect()} == set(news)
+
+
 def test_merge_upsert_schema_evolution(spark):
     """new_columns='add' (the Delta mergeSchema semantics, opt-in):
     extra source payload columns are APPENDED to the target schema
