@@ -86,8 +86,11 @@ _TMP_SUFFIX_RE = r"\.compact-[0-9a-f]{12}$"
 
 #: Spark's bucket-id file-name marker: ``part-...-<uuid>_00003.c000...``
 #: — the ``_NNNNN`` between the task uuid and the writer's ``.cNNN``
-#: suffix encodes which bucket the file holds
-_BUCKET_FILE_RE = re.compile(r"_\d{5}\.c\d{3}")
+#: suffix encodes which bucket the file holds. ANCHORED to the full
+#: writer shape (part- prefix, extension dot after cNNN) so an
+#: externally-named file that merely contains ``_00042.c001``
+#: somewhere does not falsely brick compaction of the dataset.
+_BUCKET_FILE_RE = re.compile(r"^part-.*_\d{5}\.c\d{3}\.")
 
 
 def _is_hidden(name: str) -> bool:
@@ -114,6 +117,23 @@ def _list_partitions(spark: SparkSession, path: str,
         for st in fs.listStatus(jdir):
             name = st.getPath().getName()
             if _is_hidden(name):
+                if depth == 0 and name == "_spark_metadata" \
+                        and st.isDirectory():
+                    # the sink hazard is detected at the same altitude
+                    # as the bucket one: in the shared plan walk, so
+                    # compaction_plan refuses too — a caller driving
+                    # its own rewrite off the plan would otherwise
+                    # strand the sink's log-driven readers on deleted
+                    # files
+                    raise RuntimeError(
+                        "compaction: _spark_metadata transaction log "
+                        f"present — {path} is a Structured Streaming "
+                        "parquet-sink output, whose readers list "
+                        "files through the LOG, not the directory; "
+                        "rewriting/renaming its files would leave "
+                        "them reading deleted files. Ingest through "
+                        "foreachBatch (see streaming/cdc_sink.py) if "
+                        "the table must be compactable")
                 if (debris_out is not None and st.isDirectory()
                         and name.startswith(_HIDDEN_PREFIX)):
                     debris_out.append(f"{rel}/{name}" if rel else name)
@@ -162,9 +182,15 @@ def compaction_plan(spark: SparkSession, path: str,
     """One dict per leaf partition: ``rel`` (directory relative to
     ``path``), ``values`` (decoded partition values, None for the
     hive NULL partition), ``n_files``, ``bytes``, ``n_ideal``
-    (``ceil(bytes / target_bytes)``, min 1) and ``needs`` (more files
+    (``ceil(bytes / target_bytes)``, min 1), ``needs`` (more files
     than ideal — the partitions :func:`compact_partitions` would
-    rewrite). Pure metadata-plane: one filesystem listing, no data
+    rewrite) and ``bucketed`` (Spark bucket-id file names detected —
+    :func:`compact_partitions` REFUSES such a plan, because rewriting
+    a bucketed layout voids the bucket-to-file contract; ``needs`` is
+    moot for it). A Structured Streaming parquet-sink output
+    (``_spark_metadata`` log) raises during the walk itself — its
+    readers list files through the log, so no plan over it is safe to
+    execute. Pure metadata-plane: one filesystem listing, no data
     read (``debris_out`` piggybacks on it — see
     :func:`_list_partitions`)."""
     if not part_cols:
@@ -228,15 +254,6 @@ def compact_partitions(spark: SparkSession, path: str,
     of the touched slice after the swap and raises if compaction
     changed ANY content — the never-changes-content invariant,
     self-checked."""
-    fs0, _root0 = hadoop_fs(spark, path)
-    if fs0.exists(jpath(spark, f"{path.rstrip('/')}/_spark_metadata")):
-        raise RuntimeError(
-            "compaction: _spark_metadata transaction log present — "
-            f"{path} is a Structured Streaming parquet-sink output, "
-            "whose readers list files through the LOG, not the "
-            "directory; compaction's renames would leave them reading "
-            "deleted files. Ingest through foreachBatch (see "
-            "streaming/cdc_sink.py) if the table must be compactable")
     debris: "list[str]" = []
     plan = compaction_plan(spark, path, part_cols, target_bytes,
                            debris_out=debris)

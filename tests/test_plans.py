@@ -904,23 +904,33 @@ def test_compaction_refuses_foreign_layouts(spark, tmp_path):
         .repartition(4).write.partitionBy("day").parquet(path)
 
     # (a) plant a bucket-id-named file (what saveAsTable bucketBy
-    # writes) inside one partition
-    d0 = os.path.join(path, "day=0")
+    # writes) inside one partition, and a LOOK-ALIKE external file
+    # (contains _NNNNN.cNNN but is not Spark writer naming) in the
+    # other — the anchored regex must flag only the real one, not
+    # permanently brick compaction over a stray vendor file
+    d0, d1 = os.path.join(path, "day=0"), os.path.join(path, "day=1")
     victim = next(f for f in os.listdir(d0) if f.endswith(".parquet"))
     shutil.move(os.path.join(d0, victim),
                 os.path.join(d0, "part-00000-feedbead_00003.c000"
                                  ".snappy.parquet"))
+    victim1 = next(f for f in os.listdir(d1) if f.endswith(".parquet"))
+    shutil.move(os.path.join(d1, victim1),
+                os.path.join(d1, "export_00042.c001.parquet"))
     plan = {e["rel"]: e["bucketed"]
             for e in compaction_plan(spark, path, ["day"], 1 << 30)}
     assert plan == {"day=0": True, "day=1": False}
     with pytest.raises(RuntimeError, match="BUCKETED table layout"):
         compact_partitions(spark, path, ["day"], 1 << 30)
 
-    # (b) a streaming-sink transaction log at the root
+    # (b) a streaming-sink transaction log at the root refuses BOTH
+    # entry points — a caller driving its own rewrite off the plan
+    # must not get a usable plan either
     path2 = str(tmp_path / "sink")
     spark.createDataFrame(rows, "day int, u long") \
         .write.partitionBy("day").parquet(path2)
     os.makedirs(os.path.join(path2, "_spark_metadata"))
+    with pytest.raises(RuntimeError, match="_spark_metadata"):
+        compaction_plan(spark, path2, ["day"], 1 << 30)
     with pytest.raises(RuntimeError, match="_spark_metadata"):
         compact_partitions(spark, path2, ["day"], 1 << 30)
 
