@@ -57,15 +57,18 @@ from fstd2pandas_spark.plans.merge import merge_upsert
 _GEN_PREFIX = "gen-"
 
 
-def _committed_generations(spark: SparkSession,
-                           table_root: str) -> "list[tuple[int, str]]":
-    """Sorted (batch_id, path) of generations carrying ``_SUCCESS``.
+def _list_generations(spark: SparkSession, table_root: str,
+                      ) -> "list[tuple[int, str, bool]]":
+    """ONE definition of the generation-directory listing (the
+    _widen/third-copy precedent): sorted ``(seq, path, committed)``
+    for every ``gen-*`` directory, committed = ``_SUCCESS`` present.
+    One LIST of the root + one exists() per generation.
 
     Paths are FULLY QUALIFIED (``str(Path)`` keeps scheme+authority —
     the fsutil contract): a ``toUri().getPath()``-stripped
     ``s3a://bucket/serving/gen-...`` would silently resolve against
     the cluster's default filesystem when handed back to
-    ``spark.read`` or the GC's delete."""
+    ``spark.read`` or a delete."""
     fs, root = hadoop_fs(spark, table_root)
     if not fs.exists(root):
         return []
@@ -78,9 +81,29 @@ def _committed_generations(spark: SparkSession,
             bid = int(name[len(_GEN_PREFIX):])
         except ValueError:
             continue
-        if fs.exists(jpath(spark, str(st.getPath()), "_SUCCESS")):
-            gens.append((bid, str(st.getPath())))
+        ok = fs.exists(jpath(spark, str(st.getPath()), "_SUCCESS"))
+        gens.append((bid, str(st.getPath()), ok))
     return sorted(gens)
+
+
+def _committed_generations(spark: SparkSession,
+                           table_root: str) -> "list[tuple[int, str]]":
+    """Sorted (batch_id, path) of generations carrying ``_SUCCESS``."""
+    return [(b, p) for b, p, ok in _list_generations(spark, table_root)
+            if ok]
+
+
+def _require_gen(name: str, value, allow_none: bool = True):
+    """Generation parameters must be real ints: a bool slips through
+    dict lookups via bool-int equality (``False == 0`` would silently
+    time-travel to generation 0), and ``None`` where a number is
+    required silently degrades to head-vs-head."""
+    if value is None and allow_none:
+        return
+    if not isinstance(value, int) or isinstance(value, bool):
+        raise ValueError(
+            f"{name} must be a committed generation number (int), "
+            f"got {value!r}")
 
 
 def vacuum_generations(spark: SparkSession, table_root: str,
@@ -99,27 +122,22 @@ def vacuum_generations(spark: SparkSession, table_root: str,
     - ``seq > committed head``: possibly an IN-FLIGHT write; deleted
       only with ``quiesced=True``, the caller's assertion that no
       writer is running against this table (an abandoned stream's last
-      torn write is the real-world case)."""
-    fs, root = hadoop_fs(spark, table_root)
-    if not fs.exists(root):
+      torn write is the real-world case).
+
+    ONE listing drives both the committed view and the sweep — a
+    second listing could straddle a commit and misclassify it."""
+    gens = _list_generations(spark, table_root)
+    if not gens:
         return []
-    committed = {bid for bid, _ in
-                 _committed_generations(spark, table_root)}
-    head = max(committed) if committed else -1
+    fs, _root = hadoop_fs(spark, table_root)
+    head = max((b for b, _p, ok in gens if ok), default=-1)
     removed = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if not (st.isDirectory() and name.startswith(_GEN_PREFIX)):
-            continue
-        try:
-            bid = int(name[len(_GEN_PREFIX):])
-        except ValueError:
-            continue
-        if bid in committed:
+    for bid, p, ok in gens:
+        if ok:
             continue
         if bid <= head or quiesced:
-            fs.delete(st.getPath(), True)
-            removed.append(name)
+            fs.delete(jpath(spark, p), True)
+            removed.append(p.rsplit("/", 1)[-1])
     return sorted(removed)
 
 
@@ -133,6 +151,7 @@ def read_cdc_table(spark: SparkSession, table_root: str,
     window; a vacuumed or never-committed number raises with the
     retained set). None before the first commit (callers bootstrapping
     a pipeline treat that as an empty table)."""
+    _require_gen("generation", generation)
     gens = _committed_generations(spark, table_root)
     if generation is None:
         if not gens:
@@ -163,12 +182,13 @@ def cdc_changes(spark: SparkSession, table_root: str,
     the table (two listings could straddle a commit)."""
     from fstd2pandas_spark.plans.merge import change_feed
 
-    if not isinstance(from_generation, int) or \
-            isinstance(from_generation, bool):
+    if from_generation is None:
         raise ValueError(
             "from_generation must be a committed generation number — "
-            f"got {from_generation!r}; passing None would silently "
-            "diff the head against itself (an always-empty feed)")
+            "got None; that would silently diff the head against "
+            "itself (an always-empty feed)")
+    _require_gen("from_generation", from_generation, allow_none=False)
+    _require_gen("to_generation", to_generation)
     gens = dict(_committed_generations(spark, table_root))
     if not gens:
         raise ValueError(
@@ -182,6 +202,12 @@ def cdc_changes(spark: SparkSession, table_root: str,
                 f"generation {g} is not committed under {table_root} "
                 f"— retained: {sorted(gens)} (the sink GCs past "
                 "keep_generations; raise it for longer time travel)")
+    if from_generation > to_generation:
+        raise ValueError(
+            f"from_generation {from_generation} > to_generation "
+            f"{to_generation} — an inverted range would emit a feed "
+            "that moves consumers BACKWARD (the Delta CDF start<=end "
+            "rule); swap the arguments if a reverse diff is intended")
     return change_feed(spark.read.parquet(gens[from_generation]),
                        spark.read.parquet(gens[to_generation]), keys)
 
@@ -215,11 +241,39 @@ def apply_cdc_stream(cdc_stream: DataFrame, table_root: str,
     the query to pick up a wider source)."""
     if keep_generations < 1:
         raise ValueError("keep_generations must be >= 1")
+    if not available_now and checkpoint_dir is None:
+        raise ValueError(
+            "a continuous sink (available_now=False) needs a "
+            "checkpoint_dir: without recoverable offsets every restart "
+            "replays the whole source, and the replay's intermediate "
+            "generations visibly REGRESS the table (and feed phantom "
+            "backward changes to cdc_changes consumers) until it "
+            "catches up")
+    # eager schema validation: inside foreachBatch these would only
+    # surface as an ASYNC failure on the first micro-batch — invisible
+    # to a fire-and-forget continuous caller that never awaits
+    cols = set(cdc_stream.columns)
+    missing = [c for c in (*keys, version_col, delete_col)
+               if c is not None and c not in cols]
+    if missing:
+        raise ValueError(
+            f"columns {missing} not in the CDC stream schema "
+            f"{sorted(cols)}")
     meta = {c for c in (version_col, delete_col) if c}
+    overlap = sorted(meta & set(keys))
+    if overlap:
+        raise ValueError(
+            f"version_col/delete_col {overlap} cannot also be key "
+            "columns — the payload projection would drop the key")
     payload = [c for c in cdc_stream.columns if c not in meta]
     root = table_root.rstrip("/")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # a no-op batch must not rewrite the whole table into a
+            # fresh generation (full-table I/O) nor burn a retention
+            # slot on an identical copy
+            return
         spark = batch_df.sparkSession
         gens0 = _committed_generations(spark, root)
         if gens0:
@@ -236,9 +290,22 @@ def apply_cdc_stream(cdc_stream: DataFrame, table_root: str,
                               new_columns=new_columns)
         gen = f"{root}/{_GEN_PREFIX}{seq:020d}"
         merged.write.mode("overwrite").parquet(gen)
-        # GC: drop everything older than the keep window — bounded by
-        # the generation listing (never the data)
+        # ONE post-write listing serves two duties: (1) commit
+        # visibility — on a cluster with _SUCCESS markers disabled
+        # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false,
+        # common on object stores) every merge would otherwise be
+        # silently INVISIBLE, each batch re-bootstrapping from empty
+        # while the stream reports success; (2) the GC window.
         gens = _committed_generations(spark, root)
+        if seq not in {b for b, _p in gens}:
+            raise IOError(
+                f"CDC sink: generation {seq} was written but is not "
+                f"visible under {root} — no _SUCCESS marker appeared "
+                "(is mapreduce.fileoutputcommitter."
+                "marksuccessfuljobs=false on this cluster?). The "
+                "commit protocol gates visibility on the marker; "
+                "without it every batch would silently re-bootstrap "
+                "from an empty table")
         fs, _ = hadoop_fs(spark, root)
         for _bid, p in gens[:-keep_generations]:
             fs.delete(jpath(spark, p), True)

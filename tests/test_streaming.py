@@ -587,9 +587,51 @@ def test_apply_cdc_stream_multibatch_and_replay(spark, tmp_path):
     # from_generation=None would silently diff head vs head — loud
     with pytest.raises(ValueError, match="head against itself"):
         cdc_changes(spark, root, ["k"], None)
+    # bools slip through dict lookups via bool-int equality — loud on
+    # every generation parameter, not just from_generation
+    with pytest.raises(ValueError, match="generation number"):
+        read_cdc_table(spark, root, generation=False)
+    with pytest.raises(ValueError, match="generation number"):
+        cdc_changes(spark, root, ["k"], retained[0],
+                    to_generation=True)
+    # an inverted range would move consumers BACKWARD (Delta's
+    # start<=end rule)
+    with pytest.raises(ValueError, match="BACKWARD"):
+        cdc_changes(spark, root, ["k"], retained[1], retained[0])
 
     with pytest.raises(ValueError, match="keep_generations"):
         apply_cdc_stream(replay, root, ["k"], keep_generations=0)
+    # misconfigurations must fail AT START, not asynchronously inside
+    # the first micro-batch (a fire-and-forget continuous caller never
+    # sees foreachBatch exceptions)
+    with pytest.raises(ValueError, match="not in the CDC stream"):
+        apply_cdc_stream(replay, root, ["K"], version_col="ver")
+    with pytest.raises(ValueError, match="not in the CDC stream"):
+        apply_cdc_stream(replay, root, ["k"], version_col="vrsn")
+    with pytest.raises(ValueError, match="cannot also be key"):
+        apply_cdc_stream(replay, root, ["k"], version_col="k")
+    with pytest.raises(ValueError, match="needs a\\s+checkpoint"):
+        apply_cdc_stream(replay, root, ["k"], available_now=False)
+
+    # an EMPTY micro-batch is a no-op: it must not rewrite the table
+    # into a fresh generation nor burn a retention slot
+    empty_zone = str(tmp_path / "emptyzone")
+    os.makedirs(empty_zone)
+    spark.createDataFrame([], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp_path / "empty_stage"))
+    shutil.copy(
+        glob.glob(os.path.join(str(tmp_path / "empty_stage"),
+                               "part-*.parquet"))[0],
+        os.path.join(empty_zone, "b.parquet"))
+    head_pre = sorted(d for d in os.listdir(root)
+                      if d.startswith("gen-"))
+    qe = apply_cdc_stream(
+        spark.readStream.schema(schema).parquet(empty_zone), root,
+        ["k"], version_col="ver", delete_col="del",
+        checkpoint_dir=str(tmp_path / "cp_empty"))
+    qe.awaitTermination()
+    assert sorted(d for d in os.listdir(root)
+                  if d.startswith("gen-")) == head_pre
 
 
 def test_cdc_generation_paths_keep_scheme(spark, tmp_path):
