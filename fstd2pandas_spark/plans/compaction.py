@@ -299,21 +299,83 @@ def compact_partitions(spark: SparkSession, path: str,
     pruned = df.filter(_touch_filter(part_cols, dtypes, touched))
     content_cols = [c for c in df.columns if c not in part_cols]
 
+    # --- canonical-name safety, computed BEFORE anything is renamed.
+    # The swap assumes the rewrite lands each touched partition's rows
+    # at tmp/<rel>, which holds only when the decoded directory values
+    # ROUND-TRIP the writer's canonical string form: `x=3` on a double
+    # column is rewritten as `x=3.0`, and treating the missing
+    # tmp/x=3 as "zero rows" would DELETE the original. One
+    # entries-sized LOCAL job computes the canonical values; two dirs
+    # decoding to one canonical partition (x=3 plus x=3.0, or two
+    # escapings of one value) can never swap safely and abort here.
+    nv = len(part_cols)
+    canon_rows = (spark.createDataFrame(
+        [(e["rel"], *[v for v in e["values"]]) for e in touched],
+        ", ".join(["rel string"] + [f"v{i} string" for i in range(nv)]))
+        .select("rel", *[F.col(f"v{i}").cast(dtypes[c]).cast("string")
+                         .alias(f"v{i}")
+                         for i, c in enumerate(part_cols)])
+        .collect())
+    canon_by_rel = {r["rel"]: tuple(r[f"v{i}"] for i in range(nv))
+                    for r in canon_rows}
+    seen_canon: dict = {}
+    for e in touched:
+        key = canon_by_rel[e["rel"]]
+        if key in seen_canon:
+            raise RuntimeError(
+                f"compaction: partitions {seen_canon[key]!r} and "
+                f"{e['rel']!r} decode to the SAME canonical partition "
+                f"values {key} — the rewrite would merge them into one "
+                "directory and the swap would delete an original; "
+                "normalize the layout first (nothing was modified)")
+        seen_canon[key] = e["rel"]
+
+    # per-partition row counts in canonical key space: ONE job over
+    # the pruned slice. Under verify=True the fingerprints job carries
+    # n_rows already, so it serves both duties (no separate count).
     if verify:
         from fstd2pandas_spark.plans.snapshot import (
             partition_fingerprints)
-        before = {tuple(r) for r in partition_fingerprints(
-            pruned, part_cols, content_cols).collect()}
 
-    # ONE row-count job over the pruned slice converts the byte
-    # target into the row cap maxRecordsPerFile understands (parquet
-    # listings know bytes, not rows)
-    n_rows = pruned.count()
-    sum_bytes = sum(e["bytes"] for e in touched)
-    avg_row = max(1, sum_bytes // max(1, n_rows))
-    max_records = max(1, target_bytes // avg_row)
+        def _fp_stats():
+            fp = partition_fingerprints(
+                spark.read.parquet(path).filter(
+                    _touch_filter(part_cols, dtypes, touched)),
+                part_cols, content_cols)
+            return fp.select(
+                *[F.col(c).cast("string").alias(f"v{i}")
+                  for i, c in enumerate(part_cols)],
+                "n_rows", "fp_a", "fp_b").collect()
+
+        stat_rows = _fp_stats()
+        before = {tuple(r) for r in stat_rows}
+        counts = {tuple(r[f"v{i}"] for i in range(nv)): r["n_rows"]
+                  for r in stat_rows}
+    else:
+        alias = "n"
+        while alias in part_cols:
+            alias += "_"
+        cnt_rows = (pruned.groupBy(*part_cols)
+                    .agg(F.count("*").cast("long").alias(alias))
+                    .select(*[F.col(c).cast("string").alias(f"v{i}")
+                              for i, c in enumerate(part_cols)],
+                            alias).collect())
+        counts = {tuple(r[f"v{i}"] for i in range(nv)): r[alias]
+                  for r in cnt_rows}
+    rows_p = {e["rel"]: counts.get(canon_by_rel[e["rel"]], 0)
+              for e in touched}
+    stats["n_rows"] = sum(rows_p.values())
+
+    # convergence-safe split: max_records is the smallest cap keeping
+    # EVERY partition's file count within its own n_ideal — a single
+    # global bytes-per-row average would leave small-row partitions
+    # over-split under row-width skew and re-flagged (and re-rewritten)
+    # on every later run, never converging. Wide-row partitions may
+    # overshoot the byte target instead, bounded by their n_ideal.
+    max_records = max(
+        [1] + [math.ceil(rows_p[e["rel"]] / e["n_ideal"])
+               for e in touched if rows_p[e["rel"]] > 0])
     stats["max_records"] = max_records
-    stats["n_rows"] = n_rows
 
     w = _rewrite_frame(pruned, part_cols, order_by)
     tmp = f"{path.rstrip('/')}.compact-{uuid.uuid4().hex[:12]}"
@@ -321,6 +383,30 @@ def compact_partitions(spark: SparkSession, path: str,
       .partitionBy(*part_cols).mode("overwrite").parquet(tmp))
 
     fs, _root = hadoop_fs(spark, path)
+    tmp_jp = jpath(spark, tmp)
+    # --- pre-swap structural check (still nothing renamed): every
+    # directory the writer produced must be a touched rel, and a
+    # touched rel may be absent ONLY if it genuinely held zero rows —
+    # any other shape means the writer re-canonicalized a name and a
+    # blind swap would lose data. Failure here deletes tmp and leaves
+    # the dataset byte-identical.
+    written = (set() if not fs.exists(tmp_jp) else
+               {e2["rel"] for e2 in
+                _list_partitions(spark, tmp, part_cols)})
+    extra = sorted(written - {e["rel"] for e in touched})
+    missing_with_rows = sorted(
+        e["rel"] for e in touched
+        if e["rel"] not in written and rows_p[e["rel"]] > 0)
+    if extra or missing_with_rows:
+        fs.delete(tmp_jp, True)
+        raise RuntimeError(
+            "compaction: the rewrite's output directories do not "
+            f"match the touched partitions (unexpected {extra[:4]}, "
+            f"missing-with-rows {missing_with_rows[:4]}) — the "
+            "directory names do not round-trip the writer's canonical "
+            "form and a blind swap would lose data; nothing was "
+            "modified (temp output removed)")
+
     try:
         for e in touched:
             old = jpath(spark, f"{path.rstrip('/')}/{e['rel']}")
@@ -336,23 +422,29 @@ def compact_partitions(spark: SparkSession, path: str,
                               "failed")
             if fs.exists(new):
                 if not fs.rename(new, old):
-                    # put the original back before dying — no crash
-                    # window with data invisible AND recoverable-only
-                    fs.rename(hidden, old)
-                    raise IOError(f"compaction: rename {new} -> {old} "
-                                  "failed (original restored)")
-            # a touched partition whose files held ZERO rows writes no
-            # output directory: removing the empty files IS the
+                    # put the original back before dying — and say
+                    # HONESTLY whether that worked: a false "restored"
+                    # would stop the operator from running recovery
+                    # while the partition is invisible
+                    if fs.rename(hidden, old):
+                        raise IOError(
+                            f"compaction: rename {new} -> {old} "
+                            "failed (original restored)")
+                    raise IOError(
+                        f"compaction: rename {new} -> {old} failed "
+                        f"AND the restore failed — partition "
+                        f"{e['rel']} is currently only under "
+                        f"{hidden}; run recover_compaction")
+            # a touched partition whose files held ZERO rows (verified
+            # against the per-partition counts above) writes no output
+            # directory: removing the empty files IS the
             # content-preserving compaction of that partition
             fs.delete(hidden, True)
     finally:
-        fs.delete(jpath(spark, tmp), True)
+        fs.delete(tmp_jp, True)
 
     if verify:
-        after_df = spark.read.parquet(path).filter(
-            _touch_filter(part_cols, dtypes, touched))
-        after = {tuple(r) for r in partition_fingerprints(
-            after_df, part_cols, content_cols).collect()}
+        after = {tuple(r) for r in _fp_stats()}
         if before != after:
             raise AssertionError(
                 "compaction changed content: partition fingerprints "
@@ -361,10 +453,20 @@ def compact_partitions(spark: SparkSession, path: str,
                 "never-changes-content invariant is broken; the "
                 "dataset may have been written concurrently")
 
-    re_plan = _list_partitions(spark, path, part_cols)
-    by_rel = {e["rel"]: e for e in re_plan}
-    stats["files_after"] = sum(
-        by_rel[r]["n_files"] for r in stats["compacted"] if r in by_rel)
+    # files_after via TARGETED listings of the compacted partitions
+    # only — a full re-walk of the dataset would both contradict the
+    # metadata-plane cost model and turn unrelated concurrent junk
+    # anywhere in the tree into a post-success exception
+    base_dir = path.rstrip("/")
+    n_after = 0
+    for rel in stats["compacted"]:
+        d = jpath(spark, f"{base_dir}/{rel}")
+        if fs.exists(d):
+            n_after += sum(
+                1 for st in fs.listStatus(d)
+                if st.isFile()
+                and not _is_hidden(st.getPath().getName()))
+    stats["files_after"] = n_after
     return stats
 
 
@@ -440,7 +542,12 @@ def recover_compaction(spark: SparkSession, path: str,
     for h, parent_rel in _hidden_dirs(spark, path, part_cols):
         tail = h.getName()[len(_HIDDEN_PREFIX):]
         parts = tail.split("-", 1)
-        if len(parts) != 2 or not parts[1]:
+        # the hex token is the SIGNATURE (the exact-format rule the
+        # tmp sweep already follows): `.compact-old-my-backup` would
+        # otherwise decode as hex='my', leaf='backup' and get renamed
+        # or deleted — a user's look-alike dir destroyed
+        if len(parts) != 2 or not parts[1] or \
+                not re.fullmatch(r"[0-9a-f]{12}", parts[0]):
             raise ValueError(
                 f"recover_compaction: cannot decode {h} — the "
                 "pre-recovery release named hidden dirs "

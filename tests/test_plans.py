@@ -867,6 +867,17 @@ def test_compaction_crash_recovery(spark, tmp_path):
     with pytest.raises(ValueError, match="refusing to guess"):
         recover_compaction(spark, path, ["day"])
     os.rmdir(os.path.join(path, ".compact-old-noleaf"))
+    # a look-alike WITH a dash must be refused too — without the
+    # 12-hex signature check it would decode as hex='my',
+    # leaf='backup' and get renamed or deleted (user data destroyed)
+    keep = os.path.join(path, ".compact-old-my-backup")
+    os.makedirs(keep)
+    with open(os.path.join(keep, "precious.txt"), "w") as f:
+        f.write("user data")
+    with pytest.raises(ValueError, match="refusing to guess"):
+        recover_compaction(spark, path, ["day"])
+    assert os.path.exists(os.path.join(keep, "precious.txt"))
+    shutil.rmtree(keep)
 
     # a look-alike root sibling is NOT ours: neither pre-flight nor
     # recovery may touch it (the 12-hex format is the signature)
@@ -933,6 +944,110 @@ def test_compaction_refuses_foreign_layouts(spark, tmp_path):
         compaction_plan(spark, path2, ["day"], 1 << 30)
     with pytest.raises(RuntimeError, match="_spark_metadata"):
         compact_partitions(spark, path2, ["day"], 1 << 30)
+
+
+def test_compaction_canonical_name_safety(spark, tmp_path):
+    """The silent-data-loss class the pre-swap checks exist for:
+    directory names that do not round-trip the writer's canonical
+    string form. `x=3` on a DOUBLE column is rewritten as `x=3.0`, so
+    a blind swap would treat the missing tmp/x=3 as 'zero rows' and
+    delete the original. The structural check aborts BEFORE any
+    rename (dataset byte-identical, temp removed), and two
+    directories decoding to ONE canonical partition abort even
+    earlier. A genuinely zero-row partition still compacts (its empty
+    files are removed — verified against real per-partition counts,
+    not directory absence)."""
+    import os
+    import shutil
+
+    from fstd2pandas_spark.plans.compaction import compact_partitions
+    from fstd2pandas_spark.plans.snapshot import partition_fingerprints
+
+    path = str(tmp_path / "ds")
+    rows = [(x, i, i * 3 % 17) for x in (3.5, 4.5) for i in range(40)]
+    spark.createDataFrame(rows, "x double, u long, v long") \
+        .repartition(4).write.partitionBy("x").parquet(path)
+    # a non-canonical spelling of x=3.0, holding REAL rows (copied
+    # files re-read under the dir's own partition value)
+    d_bad = os.path.join(path, "x=3")
+    os.makedirs(d_bad)
+    src_dir = os.path.join(path, "x=3.5")
+    for i, f in enumerate(sorted(os.listdir(src_dir))):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src_dir, f),
+                        os.path.join(d_bad, f"copy{i}.parquet"))
+    assert len(os.listdir(d_bad)) >= 2   # fragmented -> touched
+
+    def fp():
+        return {tuple(r) for r in partition_fingerprints(
+            spark.read.parquet(path), ["x"], ["u", "v"]).collect()}
+
+    before = fp()
+    with pytest.raises(RuntimeError, match="round-trip"):
+        compact_partitions(spark, path, ["x"], 1 << 30)
+    assert fp() == before                      # nothing was modified
+    assert not [e for e in os.listdir(str(tmp_path))
+                if e.startswith("ds.compact-")]   # temp removed
+
+    # two spellings of ONE canonical partition abort before the write
+    d30 = os.path.join(path, "x=3.0")
+    os.makedirs(d30)
+    shutil.copy(os.path.join(src_dir, sorted(
+        f for f in os.listdir(src_dir) if f.endswith(".parquet"))[0]),
+        os.path.join(d30, "a.parquet"))
+    shutil.copy(os.path.join(src_dir, sorted(
+        f for f in os.listdir(src_dir) if f.endswith(".parquet"))[0]),
+        os.path.join(d30, "b.parquet"))
+    before_c = fp()
+    with pytest.raises(RuntimeError, match="SAME canonical"):
+        compact_partitions(spark, path, ["x"], 1 << 30)
+    assert fp() == before_c            # abort happened pre-write
+    shutil.rmtree(d_bad)
+    shutil.rmtree(d30)
+
+    # canonical layout compacts fine, and a genuinely ZERO-ROW
+    # fragmented partition is compacted by removing its empty files
+    empty = os.path.join(path, "x=9.0")
+    os.makedirs(empty)
+    e1 = spark.createDataFrame([], "u long, v long")
+    e1.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "estage"))
+    import glob as _glob
+    for i in range(2):
+        shutil.copy(_glob.glob(str(tmp_path / "estage" / "part-*"))[0],
+                    os.path.join(empty, f"e{i}.parquet"))
+    before2 = fp()
+    stats = compact_partitions(spark, path, ["x"], 1 << 30,
+                               verify=True)
+    assert "x=9.0" in stats["compacted"]
+    assert fp() == before2
+    assert not os.path.exists(empty)   # empty files removed entirely
+
+
+def test_compaction_converges_under_row_width_skew(spark, tmp_path):
+    """max_records derives from per-partition counts so that EVERY
+    partition lands within its own n_ideal: with one global
+    bytes-per-row average, a small-row partition next to a wide-row
+    one is over-split, re-flagged by the next plan, and re-rewritten
+    on every run forever. Done = one compaction, then the next plan
+    shows needs=False everywhere."""
+    from fstd2pandas_spark.plans.compaction import (
+        compact_partitions, compaction_plan)
+
+    path = str(tmp_path / "ds")
+    wide = [(0, i, "x" * 2000) for i in range(300)]
+    narrow = [(1, i, "y") for i in range(300)]
+    spark.createDataFrame(wide + narrow, "g int, u long, s string") \
+        .repartition(8).write.partitionBy("g").parquet(path)
+    plan0 = compaction_plan(spark, path, ["g"], 1 << 30)
+    target = max(e["bytes"] for e in plan0) // 3   # ~3 files for wide
+    stats = compact_partitions(spark, path, ["g"], target)
+    assert stats["files_before"] > stats["files_after"]
+    plan1 = compaction_plan(spark, path, ["g"], target)
+    assert all(not e["needs"] for e in plan1), plan1
+    # idempotence: a second run touches nothing
+    stats2 = compact_partitions(spark, path, ["g"], target)
+    assert stats2["compacted"] == []
 
 
 def test_compaction_and_recovery_multilevel(spark, tmp_path):
