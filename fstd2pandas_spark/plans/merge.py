@@ -76,19 +76,65 @@ def _require_int(df: DataFrame, c: str, who: str) -> None:
             "first; a silent cast would truncate or NULL values")
 
 
-def _key_eq(keys: "list[str]", null_safe: bool = True):
-    """Equality between bare key columns and their ``_mrg_k_``
-    aliases — the one join-condition builder. Null-safe by default;
-    plain ``==`` under ``keys_not_null`` (see merge_upsert: ``<=>``
-    extracts to ``(coalesce(k, default), isnull(k))`` join keys,
-    which no bucket/partition layout on bare ``k`` can satisfy, so
-    the null-safe form always re-shuffles a bucketed target)."""
+def _key_eq(keys: "list[str]", null_safe: bool = True,
+            left_prefix: str = "", right_prefix: str = "_mrg_k_"):
+    """Equality between (possibly prefixed) key-column aliases — the
+    ONE join-condition builder, prefix-parameterized so the
+    check_reinserts anti-join/broadcast conditions use it too instead
+    of hand-rolled copies. Null-safe by default; plain ``==`` under
+    ``keys_not_null`` (see merge_upsert: ``<=>`` extracts to
+    ``(coalesce(k, default), isnull(k))`` join keys, which no
+    bucket/partition layout on bare ``k`` can satisfy, so the
+    null-safe form always re-shuffles a bucketed target)."""
     if null_safe:
-        pairs = [F.col(k).eqNullSafe(F.col(f"_mrg_k_{k}"))
+        pairs = [F.col(f"{left_prefix}{k}")
+                 .eqNullSafe(F.col(f"{right_prefix}{k}"))
                  for k in keys]
     else:
-        pairs = [F.col(k) == F.col(f"_mrg_k_{k}") for k in keys]
+        pairs = [F.col(f"{left_prefix}{k}") == F.col(f"{right_prefix}{k}")
+                 for k in keys]
     return functools.reduce(lambda x, y: x & y, pairs)
+
+
+def _key_repr(keys: "list[str]"):
+    """Key values for in-plan error messages, NULLs spelled as the
+    literal 'NULL' — ``concat_ws`` SKIPS NULL components, so a
+    composite key (NULL, 2) would render indistinguishably from
+    (2, NULL) and a single NULL key as '()' (the
+    grouped_quality_report precedent, validation.py)."""
+    return F.concat_ws(", ", *[
+        F.coalesce(F.col(k).cast("string"), F.lit("NULL"))
+        for k in keys])
+
+
+def _require_cols(df: DataFrame, cols, who: str, side: str) -> None:
+    """Crisp fail-at-call for misspelled column names — without this
+    a typo'd key or version column dies as an opaque
+    AnalysisException deep inside the join/window construction."""
+    have = set(df.columns)
+    missing = [c for c in cols if c is not None and c not in have]
+    if missing:
+        raise ValueError(
+            f"{who}: columns {missing} not in the {side} schema "
+            f"{sorted(have)}")
+
+
+#: types whose ordering matches CDC-sequence intent; STRING is the
+#: trap — '9' > '10' lexicographically, so a stale row would WIN
+#: latest-wins resolution silently
+_VERSION_TYPE_PREFIXES = ("tinyint", "smallint", "int", "bigint",
+                          "float", "double", "decimal", "date",
+                          "timestamp")
+
+
+def _require_version_type(df: DataFrame, c: str, who: str) -> None:
+    t = dict(df.dtypes).get(c, "")
+    if not t.startswith(_VERSION_TYPE_PREFIXES):
+        raise ValueError(
+            f"{who}: version_col {c} has type {t} — latest-wins needs "
+            "a numerically/temporally ordered type; a STRING version "
+            "orders lexicographically ('9' > '10') and would silently "
+            "apply stale rows. Cast the column first")
 
 
 def _null_key_guard(keys: "list[str]", cols, who: str, side: str):
@@ -140,7 +186,7 @@ def _resolve_latest(source: DataFrame, keys: "list[str]",
         why = "the batch has duplicate keys and no version_col"
     bad = F.concat(
         F.lit(f"{who}: ambiguous CDC batch — {why} for key ("),
-        F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+        _key_repr(keys),
         F.lit(")"))
     dup = F.sum(F.when(F.col("_mrg_rk") == 1, 1).otherwise(0)).over(wk)
     resolved = (source
@@ -154,7 +200,8 @@ def merge_upsert(target: DataFrame, source: DataFrame,
                  keys: "list[str]", version_col: "str | None" = None,
                  delete_col: "str | None" = None,
                  keys_not_null: bool = False,
-                 new_columns: str = "error") -> DataFrame:
+                 new_columns: str = "error",
+                 check_target_unique: bool = False) -> DataFrame:
     """MERGE ``source`` (a CDC batch) into ``target``; returns the new
     table with the target's column order. See the module docstring
     for the exact update/insert/delete/latest-wins contract. A
@@ -185,7 +232,16 @@ def merge_upsert(target: DataFrame, source: DataFrame,
     the row was written means. Source columns MISSING from the target
     stay an error under either mode: MERGE replaces whole rows, so a
     value for an unsupplied column cannot be fabricated — project the
-    target first if a column is being dropped."""
+    target first if a column is being dropped.
+
+    ``check_target_unique=True`` is the ADOPTION-path guard: a target
+    not built by this suite may hold duplicate keys, which fan out
+    through the merge join and get AMPLIFIED on every batch; the
+    opt-in window raises in-plan naming the key. Opt-in because it
+    costs one bare-key exchange over the BULK side under the default
+    null-safe join (a bucketed target under ``keys_not_null`` serves
+    it from the layout); tables maintained by this merge are
+    key-unique by construction."""
     if not keys:
         raise ValueError("need at least one key column")
     if new_columns not in ("error", "add"):
@@ -193,6 +249,11 @@ def merge_upsert(target: DataFrame, source: DataFrame,
             f"new_columns must be 'error' or 'add', got {new_columns!r}")
     _guard_prefix(set(target.columns) | set(source.columns),
                   "merge_upsert")
+    _require_cols(target, keys, "merge_upsert", "target")
+    _require_cols(source, [*keys, version_col, delete_col],
+                  "merge_upsert", "source")
+    if version_col is not None:
+        _require_version_type(source, version_col, "merge_upsert")
     meta = {c for c in (version_col, delete_col) if c}
     if new_columns == "add":
         missing = set(target.columns) - (set(source.columns) - meta)
@@ -225,7 +286,7 @@ def merge_upsert(target: DataFrame, source: DataFrame,
                 else F.lit(False))
     ver_bad = F.concat(
         F.lit("merge_upsert: NULL version for key ("),
-        F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+        _key_repr(keys),
         F.lit(") — an undefined CDC sequence position cannot be "
               "latest-wins resolved; repair the batch first"))
     # the ambiguity raise rides the always-selected presence flag —
@@ -241,6 +302,24 @@ def merge_upsert(target: DataFrame, source: DataFrame,
     else:
         snull, s_bad = F.lit(False), F.lit("")
         tgt_flag = F.lit(True)
+    if check_target_unique:
+        # the ADOPTION-path guard: a pre-existing duplicate-key target
+        # fans out through the merge join and every batch AMPLIFIES
+        # the duplicates (the scd2 open-slice hazard, target-side).
+        # Opt-in because the count window costs one bare-key exchange
+        # over the BULK side under the default null-safe join (whose
+        # own join keys are coalesce/isnull extractions); under
+        # keys_not_null + a bucketed target the layout serves it.
+        n_t = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        t_dup = F.concat(
+            F.lit("merge_upsert: target holds "), n_t.cast("string"),
+            F.lit(" rows for key ("), _key_repr(keys),
+            F.lit(") — a duplicate-key target fans out through the "
+                  "merge join and every batch amplifies it; dedupe "
+                  "the target first"))
+        tgt_flag = (F.when(n_t > 1,
+                           F.raise_error(t_dup).cast("boolean"))
+                    .otherwise(tgt_flag))
     src = resolved.select(
         *[F.col(k).alias(f"_mrg_k_{k}") for k in keys],
         *[F.col(c).alias(f"_mrg_v_{c}") for c in payload],
@@ -351,6 +430,9 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
     for c in (valid_from, valid_to):
         if c not in history.columns:
             raise ValueError(f"history lacks the {c} column")
+    _require_cols(history, keys, "scd2_apply", "history")
+    _require_cols(batch, [*keys, version_col, delete_col],
+                  "scd2_apply", "batch")
     meta = {c for c in (version_col, delete_col) if c}
     if new_columns == "add":
         hist_payload = (set(history.columns)
@@ -384,7 +466,7 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
     # _mrg_ver feeds both emitted validity columns)
     ver_bad = F.concat(
         F.lit("scd2_apply: NULL batch version for key ("),
-        F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+        _key_repr(keys),
         F.lit(") — an open row with an undefined interval start would "
               "wedge every later close"))
     src = resolved.select(
@@ -408,7 +490,7 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
     open_bad = F.concat(
         F.lit("scd2_apply: history holds "), n_open.cast("string"),
         F.lit(" OPEN rows for key ("),
-        F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+        _key_repr(keys),
         F.lit(") — a corrupt current slice would double on every "
               "apply; repair history first"))
     current = (history.filter(F.col(valid_to).isNull())
@@ -428,19 +510,16 @@ def scd2_apply(history: DataFrame, batch: DataFrame,
         open_keys = (history.filter(F.col(valid_to).isNull())
                      .select(*[F.col(k).alias(f"_mrg_o_{k}")
                                for k in keys]))
-        ocond = functools.reduce(
-            lambda x, y: x & y,
-            [F.col(k).eqNullSafe(F.col(f"_mrg_o_{k}")) for k in keys])
         tomb = (closed.groupBy(*keys)
                 .agg(F.max(F.col(valid_to)).cast("long")
                      .alias("_mrg_tv"))
-                .join(open_keys, ocond, "left_anti"))
+                .join(open_keys,
+                      _key_eq(keys, right_prefix="_mrg_o_"),
+                      "left_anti"))
         tv = tomb.select(
             *[F.col(k).alias(f"_mrg_t_{k}") for k in keys], "_mrg_tv")
-        tcond = functools.reduce(
-            lambda x, y: x & y,
-            [F.col(f"_mrg_k_{k}").eqNullSafe(F.col(f"_mrg_t_{k}"))
-             for k in keys])
+        tcond = _key_eq(keys, left_prefix="_mrg_k_",
+                        right_prefix="_mrg_t_")
         re_bad = F.concat(
             F.lit("scd2_apply: batch version "),
             F.col("_mrg_ver").cast("string"),
@@ -521,8 +600,14 @@ def scd2_lookup(facts: DataFrame, history: DataFrame,
 
     The SCD2 invariant (non-overlapping intervals per key —
     :func:`scd2_apply` maintains it loudly) guarantees AT MOST ONE
-    match per fact, so the join cannot fan out. History payload and
-    validity columns arrive under ``prefix`` to keep the fact schema
+    match per fact, so the join cannot fan out — and because
+    HAND-BUILT histories do not come with that guarantee, the
+    invariant is checked IN-PLAN here too: overlapping intervals (or
+    an open row that is not the key's last version) raise instead of
+    silently DUPLICATING every fact that hits the overlap and
+    double-counting downstream measures. The check is one window over
+    the dimensions-sized history. History payload and validity
+    columns arrive under ``prefix`` to keep the fact schema
     collision-free.
 
     ``at`` must be an integer column in the same version units as the
@@ -535,6 +620,8 @@ def scd2_lookup(facts: DataFrame, history: DataFrame,
     dimension key is the generic salting problem."""
     if not keys:
         raise ValueError("need at least one key column")
+    _require_cols(facts, [*keys, at], "scd2_lookup", "facts")
+    _require_cols(history, keys, "scd2_lookup", "history")
     _require_int(facts, at, "scd2_lookup")
     for c in (valid_from, valid_to):
         if c not in history.columns:
@@ -557,6 +644,29 @@ def scd2_lookup(facts: DataFrame, history: DataFrame,
         raise ValueError(
             f"prefixed dimension columns {bad_out} collide with fact "
             "columns — pick another prefix")
+    # the no-fan-out invariant, enforced on ANY input: within a key
+    # (ordered by valid_from) every version's valid_to must reach at
+    # most the next version's valid_from, and only the LAST version
+    # may be open — an overlap would duplicate matching facts. Rides
+    # the emitted valid_from (always selected with the dimensions).
+    wk = Window.partitionBy(*keys).orderBy(F.col(valid_from))
+    nxt = F.lead(F.col(valid_from)).over(wk)
+    overlap = (nxt.isNotNull()
+               & (F.col(valid_to).isNull() | (F.col(valid_to) > nxt)))
+    ov_bad = F.concat(
+        F.lit("scd2_lookup: history intervals OVERLAP for key ("),
+        _key_repr(keys),
+        F.lit(") — version at "), F.col(valid_from).cast("string"),
+        F.lit(" is still valid when the next one opens at "),
+        nxt.cast("string"),
+        F.lit("; an overlap would silently duplicate every matching "
+              "fact — repair the history (scd2_apply maintains the "
+              "invariant; hand-built histories must too)"))
+    history = history.withColumn(
+        valid_from,
+        F.when(overlap, F.raise_error(ov_bad)
+               .cast(dict(history.dtypes)[valid_from]))
+        .otherwise(F.col(valid_from)))
     h = history.select(
         *[F.col(k).alias(f"_mrg_k_{k}") for k in keys],
         *[F.col(c).alias(prefix + c) for c in dim_cols])
@@ -638,7 +748,7 @@ def change_feed(old: DataFrame, new: DataFrame,
         bad = F.concat(
             F.lit(f"change_feed: duplicate key in the {side} snapshot "
                   "("),
-            F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+            _key_repr(keys),
             F.lit(") — snapshots must be key-unique (the merge_upsert/"
                   "scd2 output contract); a duplicate would fan out "
                   "through the diff join into a wrong feed"))

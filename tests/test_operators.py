@@ -2126,6 +2126,97 @@ def test_grouped_quality_report(spark):
         .count("Scan ExistingRDD") == 1
 
 
+def test_merge_family_adoption_guards(spark):
+    """The guards a table NOT built by this suite needs (the review's
+    adoption-path class): (a) a STRING version column orders
+    lexicographically ('9' > '10'), so latest-wins would silently
+    apply STALE rows — refused at call time; (b) a duplicate-key
+    target fans out through the merge join and every batch amplifies
+    it — check_target_unique=True raises in-plan naming the key;
+    (c) a hand-built SCD2 history with OVERLAPPING intervals would
+    silently duplicate every matching fact in scd2_lookup — raises
+    in-plan; (d) misspelled key/version/delete columns fail as crisp
+    ValueErrors at call time, not opaque AnalysisExceptions deep in
+    the plan; (e) composite-key error messages spell NULL key parts
+    as 'NULL' instead of concat_ws silently dropping them."""
+    from fstd2pandas_spark.plans.merge import (merge_upsert,
+                                               scd2_lookup)
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, s string, v long")
+
+    # (a) string version refused (the '9' > '10' trap)
+    s_str = spark.createDataFrame(
+        [(1, "x", 1, "9", False), (1, "y", 2, "10", False)],
+        "k long, s string, v long, ver string, del boolean")
+    with pytest.raises(ValueError, match="lexicographically"):
+        merge_upsert(tgt, s_str, ["k"], version_col="ver",
+                     delete_col="del")
+    # timestamps are a legitimately ordered clock and stay allowed
+    s_ts = spark.sql("""
+        SELECT CAST(1 AS LONG) k, 'x' s, CAST(9 AS LONG) v,
+               TIMESTAMP'2024-01-02 00:00:00' ver, false del""")
+    out = merge_upsert(tgt, s_ts, ["k"], version_col="ver",
+                       delete_col="del")
+    assert {(r["k"], r["v"]) for r in out.collect()} == {(1, 9), (2, 20)}
+
+    # (b) duplicate-key target amplification, refused in-plan
+    dup_tgt = tgt.unionByName(spark.createDataFrame(
+        [(1, "a2", 11)], "k long, s string, v long"))
+    src = spark.createDataFrame(
+        [(1, "u", 99, 1, False)],
+        "k long, s string, v long, ver long, del boolean")
+    with pytest.raises(Exception, match="amplifies"):
+        merge_upsert(dup_tgt, src, ["k"], version_col="ver",
+                     delete_col="del",
+                     check_target_unique=True).collect()
+    # default stays lean (no guard, documented) and the unique target
+    # passes WITH the guard
+    assert merge_upsert(tgt, src, ["k"], version_col="ver",
+                        delete_col="del",
+                        check_target_unique=True).count() == 2
+
+    # (c) overlapping hand-built history duplicates facts — refused
+    hist_bad = spark.createDataFrame(
+        [(1, "v1", 1, 10),        # [1, 10) ...
+         (1, "v2", 5, None)],     # ... but v2 opens at 5: overlap
+        "k long, s string, valid_from long, valid_to long")
+    facts = spark.createDataFrame([(1, 7)], "k long, t long")
+    with pytest.raises(Exception, match="OVERLAP"):
+        scd2_lookup(facts, hist_bad, ["k"], "t").collect()
+    # an open row that is not the last version is the same corruption
+    hist_bad2 = spark.createDataFrame(
+        [(1, "v1", 1, None), (1, "v2", 5, None)],
+        "k long, s string, valid_from long, valid_to long")
+    with pytest.raises(Exception, match="OVERLAP"):
+        scd2_lookup(facts, hist_bad2, ["k"], "t").collect()
+    # contiguous + gap histories still pass
+    hist_ok = spark.createDataFrame(
+        [(1, "v1", 1, 5), (1, "v2", 7, None)],
+        "k long, s string, valid_from long, valid_to long")
+    got = scd2_lookup(facts, hist_ok, ["k"], "t").collect()
+    assert [r["dim_s"] for r in got] == ["v2"]
+
+    # (d) crisp fail-at-call on misspelled columns
+    with pytest.raises(ValueError, match="not in the source"):
+        merge_upsert(tgt, src, ["k"], version_col="vrsn")
+    with pytest.raises(ValueError, match="not in the target"):
+        merge_upsert(tgt.drop("k").withColumnRenamed("s", "kk"),
+                     src, ["k"], version_col="ver")
+    with pytest.raises(ValueError, match="not in the facts"):
+        scd2_lookup(facts, hist_ok, ["k"], "ts")
+
+    # (e) NULL key parts spelled literally in the in-plan messages
+    tie = spark.createDataFrame(
+        [(None, 2, "x", 1, 5, False), (None, 2, "y", 2, 5, False)],
+        "a long, b long, s string, v long, ver long, del boolean")
+    t2 = spark.createDataFrame([(None, 2, "o", 0)],
+                               "a long, b long, s string, v long")
+    with pytest.raises(Exception, match=r"NULL, 2"):
+        merge_upsert(t2, tie, ["a", "b"], version_col="ver",
+                     delete_col="del").collect()
+
+
 def test_scd2_apply_schema_evolution(spark):
     """scd2_apply(new_columns='add'): the history schema gains the
     batch's extra column (batch type; every existing row — open AND
