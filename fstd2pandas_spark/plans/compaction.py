@@ -476,10 +476,19 @@ def _tmp_dirs(spark: SparkSession, path: str):
     non-recursive listing; look-alike names (a user's
     ``table.compact-backup``) are not ours and are never touched."""
     fs, root = hadoop_fs(spark, path)
+    parent = root.getParent()
+    if parent is None:
+        # Path('file:///').getParent() is null — listStatus(None)
+        # would die as an opaque Py4J NPE deep in the JVM
+        raise ValueError(
+            f"compaction: dataset path {path!r} is a filesystem/bucket "
+            "root — temp-dir siblings (and the rewrite's own "
+            "<base>.compact-* temp output) cannot exist there; place "
+            "the dataset in a directory")
     base = root.getName()
     pat = re.compile(re.escape(base) + _TMP_SUFFIX_RE)
     out = []
-    for st in fs.listStatus(root.getParent()):
+    for st in fs.listStatus(parent):
         name = st.getPath().getName()
         if st.isDirectory() and pat.fullmatch(name):
             out.append(st.getPath())

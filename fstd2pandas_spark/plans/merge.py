@@ -281,14 +281,26 @@ def merge_upsert(target: DataFrame, source: DataFrame,
     # sequence position (rank desc orders NULLS LAST, so it can only
     # win when the key carries no non-NULL version at all) — raise
     # in-plan instead of silently applying it, mirroring scd2_apply's
-    # NULL-version guard; rides the same always-selected flag
+    # NULL-version guard; rides the same always-selected flag. A
+    # floating-point version's NaN is the SIBLING trap: Spark orders
+    # NaN GREATER than every number, so a NaN version silently WINS
+    # latest-wins resolution (the string trap's smaller sibling —
+    # '9' > '10' is refused at call time, NaN is caught here on the
+    # same load-bearing flag)
     ver_null = (F.col(version_col).isNull() if version_col
                 else F.lit(False))
+    ver_word = "NULL"
+    if version_col is not None and dict(source.dtypes)[
+            version_col].startswith(("float", "double")):
+        ver_null = ver_null | F.isnan(F.col(version_col))
+        ver_word = "NULL/NaN"
     ver_bad = F.concat(
-        F.lit("merge_upsert: NULL version for key ("),
+        F.lit(f"merge_upsert: {ver_word} version for key ("),
         _key_repr(keys),
         F.lit(") — an undefined CDC sequence position cannot be "
-              "latest-wins resolved; repair the batch first"))
+              "latest-wins resolved (a NaN version orders GREATER "
+              "than every number and would silently win); repair the "
+              "batch first"))
     # the ambiguity raise rides the always-selected presence flag —
     # on a guard-only column Catalyst would prune it away with the
     # column (the plan-lock lesson: a loud guard must be load-bearing)
@@ -649,7 +661,12 @@ def scd2_lookup(facts: DataFrame, history: DataFrame,
     # most the next version's valid_from, and only the LAST version
     # may be open — an overlap would duplicate matching facts. Rides
     # the emitted valid_from (always selected with the dimensions).
-    wk = Window.partitionBy(*keys).orderBy(F.col(valid_from))
+    # valid_to is a deterministic TIEBREAKER: two versions sharing a
+    # valid_from are themselves an overlap, and without the tiebreak
+    # lead() is nondeterministic about WHICH row raises (the reported
+    # interval pair would vary run to run).
+    wk = Window.partitionBy(*keys).orderBy(F.col(valid_from),
+                                           F.col(valid_to))
     nxt = F.lead(F.col(valid_from)).over(wk)
     overlap = (nxt.isNotNull()
                & (F.col(valid_to).isNull() | (F.col(valid_to) > nxt)))

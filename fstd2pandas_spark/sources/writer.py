@@ -106,11 +106,15 @@ def _target_has_data(df: DataFrame, path: str) -> bool:
     followed by '/' (every hierarchical URI is) so a legal relative
     directory like ``out:v2/tbl`` or a Windows ``C:\\data`` spelling
     still takes the local branch instead of crashing in
-    ``getFileSystem`` on a bogus scheme."""
+    ``getFileSystem`` on a bogus scheme — and the scheme needs TWO+
+    characters, because a single letter before ':/' is a Windows
+    drive path in its forward-slash spelling (``C:/data``), which
+    Hadoop would reject as 'No FileSystem for scheme: C' (no real
+    Hadoop filesystem scheme is one letter)."""
     import os
     import re
 
-    if re.match(r"[A-Za-z][A-Za-z0-9+.-]*:/", path) is None:
+    if re.match(r"[A-Za-z][A-Za-z0-9+.-]+:/", path) is None:
         return os.path.isdir(path) and any(
             not e.startswith(("_", ".")) for e in os.listdir(path))
     from fstd2pandas_spark.fsutil import hadoop_fs

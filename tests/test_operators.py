@@ -2216,6 +2216,36 @@ def test_merge_family_adoption_guards(spark):
         merge_upsert(t2, tie, ["a", "b"], version_col="ver",
                      delete_col="del").collect()
 
+    # (f) a floating-point NaN version orders GREATER than every
+    # number in Spark, so it would silently WIN latest-wins — the
+    # in-plan guard catches it on the same load-bearing flag as NULL
+    s_nan = spark.createDataFrame(
+        [(1, "x", 1, float("nan"), False), (1, "y", 2, 1.0, False)],
+        "k long, s string, v long, ver double, del boolean")
+    with pytest.raises(Exception, match="NaN"):
+        merge_upsert(tgt, s_nan, ["k"], version_col="ver",
+                     delete_col="del").collect()
+    # ...while a well-formed double clock stays allowed (epoch
+    # seconds are a legitimate CDC sequence)
+    s_f = spark.createDataFrame(
+        [(1, "x", 7, 1.5, False), (1, "y", 9, 2.5, False)],
+        "k long, s string, v long, ver double, del boolean")
+    out_f = merge_upsert(tgt, s_f, ["k"], version_col="ver",
+                         delete_col="del")
+    assert {(r["k"], r["v"]) for r in out_f.collect()} \
+        == {(1, 9), (2, 20)}
+
+    # (g) two history versions SHARING a valid_from: the overlap
+    # window's (valid_from, valid_to) tiebreak makes the reported
+    # interval pair deterministic — the row with the smaller valid_to
+    # sees the duplicate start as its successor
+    hist_tie = spark.createDataFrame(
+        [(1, "v1", 5, 8), (1, "v2", 5, None)],
+        "k long, s string, valid_from long, valid_to long")
+    with pytest.raises(Exception,
+                       match=r"version at 5.*opens at 5"):
+        scd2_lookup(facts, hist_tie, ["k"], "t").collect()
+
 
 def test_scd2_apply_schema_evolution(spark):
     """scd2_apply(new_columns='add'): the history schema gains the

@@ -946,6 +946,18 @@ def test_compaction_refuses_foreign_layouts(spark, tmp_path):
         compact_partitions(spark, path2, ["day"], 1 << 30)
 
 
+def test_compaction_refuses_filesystem_root(spark):
+    """A dataset AT a filesystem/bucket root has no parent directory:
+    temp-dir siblings (and the rewrite's own <base>.compact-* output)
+    cannot exist there. Path.getParent() is null, so without the
+    guard the temp-dir sweep would die as an opaque Py4J NPE inside
+    listStatus(None)."""
+    from fstd2pandas_spark.plans.compaction import _tmp_dirs
+
+    with pytest.raises(ValueError, match="filesystem/bucket root"):
+        _tmp_dirs(spark, "file:///")
+
+
 def test_compaction_canonical_name_safety(spark, tmp_path):
     """The silent-data-loss class the pre-swap checks exist for:
     directory names that do not round-trip the writer's canonical

@@ -571,6 +571,10 @@ def test_source_review_fixes(spark, tmp_path):
     assert _target_has_data(rec, f"file:{out}")
     assert _target_has_data(rec, f"file://{out}")
     assert not _target_has_data(rec, f"file:{tmp_path}/absent")
+    # a forward-slash Windows drive path is NOT a URI scheme: a
+    # 1-letter "scheme" must take the os.path branch instead of dying
+    # in getFileSystem as 'No FileSystem for scheme: C'
+    assert not _target_has_data(rec, "C:/no-such-drive/tbl")
     with _pt.raises(WriterError, match="already holds data"):
         write_record_table(rec, f"file:{out}", mode="dump")
 
