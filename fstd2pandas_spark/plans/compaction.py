@@ -28,8 +28,10 @@ Scale shape:
   convention): per partition, the old directory is renamed to a
   dot-prefixed sibling (invisible to Spark/Hadoop listings at any
   level), the new directory renamed in, the hidden one deleted.
-  Renames are O(1) metadata ops on HDFS/posix (copies on S3A — a
-  table format with a transaction log is the right tool there).
+  Renames are O(1) metadata ops on HDFS/posix; a flat-namespace
+  object store (s3a/gs/...) turns them into data COPIES, so such
+  paths are REFUSED unless ``allow_nonatomic_rename=True`` (a table
+  format with a transaction log is the right tool there).
 
 Honesty about atomicity: plain parquet has no transaction log, so a
 crash between the two renames leaves that ONE partition temporarily
@@ -63,7 +65,7 @@ import uuid
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from fstd2pandas_spark.fsutil import hadoop_fs, jpath
+from fstd2pandas_spark.fsutil import delete_checked, hadoop_fs, jpath
 from fstd2pandas_spark.plans.incremental import balanced_any
 
 #: hive's spelling of a NULL partition value in directory names
@@ -91,6 +93,44 @@ _TMP_SUFFIX_RE = r"\.compact-[0-9a-f]{12}$"
 #: externally-named file that merely contains ``_00042.c001``
 #: somewhere does not falsely brick compaction of the dataset.
 _BUCKET_FILE_RE = re.compile(r"^part-.*_\d{5}\.c\d{3}\.")
+
+
+#: filesystems whose "rename" is a server-side COPY + delete of every
+#: object, not an O(1) metadata op: the flat-namespace object stores.
+#: abfs/abfss are NOT here — ADLS Gen2's hierarchical namespace has
+#: real atomic directory renames.
+_FLAT_NAMESPACE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "oss", "wasb", "wasbs", "swift", "cos"})
+
+
+def _fs_scheme(fs) -> "str | None":
+    """The resolved filesystem's URI scheme (seam for tests — a fake
+    s3a filesystem cannot be registered in a local JVM cheaply)."""
+    return fs.getUri().getScheme()
+
+
+def _require_atomic_rename(fs, path: str, allow: bool,
+                           who: str) -> None:
+    """The swap protocol's honesty check: on a flat-namespace object
+    store every ``rename`` is a COPY of all data + delete, so the
+    documented O(1)-metadata crash window between the two swap renames
+    becomes O(partition bytes) of copy time — at 100 TB that is
+    minutes per partition during which the partition is absent, and a
+    mid-copy crash leaves a PARTIAL hidden dir recovery would restore
+    verbatim. Refuse unless the caller opts in; a table format with a
+    transaction log (Delta/Iceberg) is the right tool there."""
+    scheme = _fs_scheme(fs)
+    if not allow and scheme and scheme.lower() in \
+            _FLAT_NAMESPACE_SCHEMES:
+        raise RuntimeError(
+            f"{who}: {path} resolves to the flat-namespace object "
+            f"store scheme {scheme!r}, where rename is a COPY of "
+            "every byte + delete — the swap's documented O(1) crash "
+            "window becomes O(data) copy time and a mid-copy crash "
+            "leaves PARTIAL hidden dirs. Pass "
+            "allow_nonatomic_rename=True to proceed anyway, or use a "
+            "table format with a transaction log (Delta/Iceberg) for "
+            "object-store tables")
 
 
 def _is_hidden(name: str) -> bool:
@@ -241,7 +281,8 @@ def compact_partitions(spark: SparkSession, path: str,
                        part_cols: "list[str]", target_bytes: int,
                        order_by: "list[str] | None" = None,
                        max_partitions: int = MAX_COMPACT_PARTITIONS,
-                       verify: bool = False) -> dict:
+                       verify: bool = False,
+                       allow_nonatomic_rename: bool = False) -> dict:
     """Rewrite every fragmented partition of the dataset at ``path``
     into ~``target_bytes`` files (see the module docstring for the
     plan/rewrite/swap shape and the atomicity contract); returns
@@ -253,7 +294,13 @@ def compact_partitions(spark: SparkSession, path: str,
     ``verify=True`` recomputes the order-free partition fingerprints
     of the touched slice after the swap and raises if compaction
     changed ANY content — the never-changes-content invariant,
-    self-checked."""
+    self-checked. A flat-namespace object-store path (s3a/gs/...)
+    is REFUSED unless ``allow_nonatomic_rename=True`` — there the
+    swap's renames are data copies, not metadata ops (see
+    :func:`_require_atomic_rename`)."""
+    fs, _root = hadoop_fs(spark, path)
+    _require_atomic_rename(fs, path, allow_nonatomic_rename,
+                           "compact_partitions")
     debris: "list[str]" = []
     plan = compaction_plan(spark, path, part_cols, target_bytes,
                            debris_out=debris)
@@ -382,7 +429,6 @@ def compact_partitions(spark: SparkSession, path: str,
     (w.write.option("maxRecordsPerFile", max_records)
       .partitionBy(*part_cols).mode("overwrite").parquet(tmp))
 
-    fs, _root = hadoop_fs(spark, path)
     tmp_jp = jpath(spark, tmp)
     # --- pre-swap structural check (still nothing renamed): every
     # directory the writer produced must be a touched rel, and a
@@ -398,7 +444,7 @@ def compact_partitions(spark: SparkSession, path: str,
         e["rel"] for e in touched
         if e["rel"] not in written and rows_p[e["rel"]] > 0)
     if extra or missing_with_rows:
-        fs.delete(tmp_jp, True)
+        delete_checked(fs, tmp_jp, what="rewrite temp dir")
         raise RuntimeError(
             "compaction: the rewrite's output directories do not "
             f"match the touched partitions (unexpected {extra[:4]}, "
@@ -439,9 +485,10 @@ def compact_partitions(spark: SparkSession, path: str,
             # against the per-partition counts above) writes no output
             # directory: removing the empty files IS the
             # content-preserving compaction of that partition
-            fs.delete(hidden, True)
+            delete_checked(fs, hidden,
+                           what="superseded pre-swap partition copy")
     finally:
-        fs.delete(tmp_jp, True)
+        delete_checked(fs, tmp_jp, what="rewrite temp dir")
 
     if verify:
         after = {tuple(r) for r in _fp_stats()}
@@ -519,7 +566,8 @@ def _hidden_dirs(spark: SparkSession, path: str,
 
 
 def recover_compaction(spark: SparkSession, path: str,
-                       part_cols: "list[str]") -> dict:
+                       part_cols: "list[str]",
+                       allow_nonatomic_rename: bool = False) -> dict:
     """Repair the debris a crashed :func:`compact_partitions` run can
     leave behind; returns ``{"restored": [rel, ...],
     "stale_removed": n, "tmp_removed": n}``. Safe to run anytime no
@@ -543,10 +591,15 @@ def recover_compaction(spark: SparkSession, path: str,
 
     The pre-flight debris check in :func:`compact_partitions` is what
     makes this exhaustive: a new run never starts on top of old
-    debris, so at most one crashed run's state is ever on disk."""
+    debris, so at most one crashed run's state is ever on disk.
+    ``allow_nonatomic_rename`` mirrors :func:`compact_partitions` —
+    debris on an object store can only exist if a run was forced
+    there, and its recovery renames are copies too."""
     fs, root = hadoop_fs(spark, path)
     if not fs.exists(root):
         raise ValueError(f"recover_compaction: {path} does not exist")
+    _require_atomic_rename(fs, path, allow_nonatomic_rename,
+                           "recover_compaction")
     stats = {"restored": [], "stale_removed": 0, "tmp_removed": 0}
     for h, parent_rel in _hidden_dirs(spark, path, part_cols):
         tail = h.getName()[len(_HIDDEN_PREFIX):]
@@ -569,7 +622,8 @@ def recover_compaction(spark: SparkSession, path: str,
         target = jpath(spark, str(h.getParent()), leaf)
         rel = f"{parent_rel}/{leaf}" if parent_rel else leaf
         if fs.exists(target):
-            fs.delete(h, True)
+            delete_checked(fs, h,
+                           what="superseded pre-swap partition copy")
             stats["stale_removed"] += 1
         else:
             if not fs.rename(h, target):
@@ -578,6 +632,6 @@ def recover_compaction(spark: SparkSession, path: str,
                     "failed")
             stats["restored"].append(rel)
     for t in _tmp_dirs(spark, path):
-        fs.delete(t, True)
+        delete_checked(fs, t, what="rewrite temp dir")
         stats["tmp_removed"] += 1
     return stats

@@ -51,7 +51,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from fstd2pandas_spark.fsutil import hadoop_fs, jpath
+from fstd2pandas_spark.fsutil import delete_checked, hadoop_fs, jpath
 from fstd2pandas_spark.plans.merge import merge_upsert
 
 _GEN_PREFIX = "gen-"
@@ -136,7 +136,8 @@ def vacuum_generations(spark: SparkSession, table_root: str,
         if ok:
             continue
         if bid <= head or quiesced:
-            fs.delete(jpath(spark, p), True)
+            delete_checked(fs, jpath(spark, p),
+                           what="uncommitted generation")
             removed.append(p.rsplit("/", 1)[-1])
     return sorted(removed)
 
@@ -308,7 +309,8 @@ def apply_cdc_stream(cdc_stream: DataFrame, table_root: str,
                 "from an empty table")
         fs, _ = hadoop_fs(spark, root)
         for _bid, p in gens[:-keep_generations]:
-            fs.delete(jpath(spark, p), True)
+            delete_checked(fs, jpath(spark, p),
+                           what="expired generation")
 
     writer = cdc_stream.writeStream.foreachBatch(_apply)
     if checkpoint_dir is not None:

@@ -958,6 +958,72 @@ def test_compaction_refuses_filesystem_root(spark):
         _tmp_dirs(spark, "file:///")
 
 
+def test_compaction_object_store_rename_honesty(spark, tmp_path,
+                                                monkeypatch):
+    """On a flat-namespace object store every rename is a COPY of all
+    data + delete: the swap's documented O(1) crash window becomes
+    O(partition bytes) and a mid-copy crash leaves PARTIAL hidden
+    dirs. Both entry points refuse such schemes unless the caller
+    opts in with allow_nonatomic_rename=True (scheme detection is
+    seamed through _fs_scheme — a real s3a filesystem cannot be
+    registered in a local JVM)."""
+    import fstd2pandas_spark.plans.compaction as comp
+
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(d, i) for d in (0, 1) for i in range(40)], "day int, u long")
+    for h in (0, 1):
+        df.filter(F.col("u") % 2 == h).write.partitionBy("day") \
+          .mode("append").parquet(path)
+
+    monkeypatch.setattr(comp, "_fs_scheme", lambda fs: "s3a")
+    with pytest.raises(RuntimeError, match="flat-namespace"):
+        comp.compact_partitions(spark, path, ["day"], 1 << 30)
+    with pytest.raises(RuntimeError, match="flat-namespace"):
+        comp.recover_compaction(spark, path, ["day"])
+    # the opt-in knob proceeds (the fs underneath is local, so the
+    # swap itself works) and content invariance still holds
+    stats = comp.compact_partitions(spark, path, ["day"], 1 << 30,
+                                    allow_nonatomic_rename=True,
+                                    verify=True)
+    assert sorted(stats["compacted"]) == ["day=0", "day=1"]
+    assert stats["files_after"] == 2
+    # the real local scheme never trips the guard
+    monkeypatch.undo()
+    rec = comp.recover_compaction(spark, path, ["day"])
+    assert rec == {"restored": [], "stale_removed": 0,
+                   "tmp_removed": 0}
+
+
+def test_delete_checked_warns_on_false(caplog):
+    """fs.delete signals failure by RETURNING False — ignored, the
+    leftover debris costs the operator a confused round-trip on the
+    next run. delete_checked warns naming the path, but stays silent
+    for the benign already-absent False."""
+    import logging
+
+    from fstd2pandas_spark.fsutil import delete_checked
+
+    class FS:
+        def __init__(self, deleted, exists):
+            self._d, self._e = deleted, exists
+
+        def delete(self, p, r):
+            return self._d
+
+        def exists(self, p):
+            return self._e
+
+    with caplog.at_level(logging.WARNING,
+                         logger="fstd2pandas_spark.fsutil"):
+        assert delete_checked(FS(True, False), "p1")
+        assert delete_checked(FS(False, False), "p2")
+        assert not caplog.records
+        assert not delete_checked(FS(False, True), "p3",
+                                  what="hidden dir")
+    assert any("hidden dir" in r.getMessage() for r in caplog.records)
+
+
 def test_compaction_canonical_name_safety(spark, tmp_path):
     """The silent-data-loss class the pre-swap checks exist for:
     directory names that do not round-trip the writer's canonical
