@@ -31,6 +31,147 @@ def jpath(spark: SparkSession, *parts: str):
     return spark._jvm.org.apache.hadoop.fs.Path(*parts)
 
 
+#: lease-file name, shared by every maintenance-plane writer on a
+#: dataset/table root (dot-prefixed: parquet readers and the
+#: compaction plan walk both skip hidden names)
+LEASE_FILE = ".maintenance-lock"
+
+
+class LeaseHeldError(RuntimeError):
+    """Another maintenance run holds the single-writer lease."""
+
+
+def _read_lease(spark: SparkSession, fs, lock):
+    """Best-effort ``(payload, age_sec)`` of an existing lease file.
+    AGE comes from the filesystem's modification time (robust against
+    torn/unreadable content — a breaker must never be blocked by a
+    corrupt lock); payload is the informational owner record, ``{}``
+    when unreadable, ``(None, None)`` when the file vanished."""
+    import json
+    import time
+
+    try:
+        st = fs.getFileStatus(lock)
+    except Exception:
+        return None, None
+    age = max(0.0, time.time() - st.getModificationTime() / 1000.0)
+    try:
+        stream = fs.open(lock)
+        try:
+            txt = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(txt), age
+    except Exception:
+        return {}, age
+
+
+def maintenance_lease(spark: SparkSession, root: str, who: str,
+                      ttl_sec: float = 3600.0,
+                      break_lease: bool = False):
+    """Single-writer lease on a dataset/table root — the enforcement
+    of the premise compaction, recovery and the CDC sink previously
+    only DOCUMENTED: two concurrent ``compact_partitions`` runs pass
+    each other's pre-flight debris checks before either's hidden dirs
+    appear and then interleave renames; two CDC sinks allocate the
+    same generation. Use as a context manager::
+
+        with maintenance_lease(spark, path, "compact_partitions"):
+            ...  # the critical section
+
+    Acquisition is ``FileSystem.create(lock, overwrite=false)`` —
+    atomic create-exclusive on HDFS and posix (on a flat-namespace
+    object store create-exclusive is best-effort; those paths are
+    already behind ``allow_nonatomic_rename``). The lock file carries
+    ``{owner, host, pid, ts, token}`` so a refusal NAMES the holder.
+
+    A held lease raises :class:`LeaseHeldError`. A STALE lease (age >
+    ``ttl_sec`` by the filesystem's own modification time — immune to
+    torn content) is broken only under explicit ``break_lease=True``,
+    never automatically: staleness is a heuristic, and the caller is
+    asserting the holder is dead. Breaking a FRESH lease is refused
+    even with the flag — that would stomp a live writer. Release
+    deletes only OUR token's file: if a breaker replaced the lease
+    mid-run, release leaves theirs and WARNS that two runs may have
+    interleaved."""
+    import contextlib
+    import json
+    import os
+    import socket
+    import time
+    import uuid
+
+    fs, _r = hadoop_fs(spark, root)
+    lock = jpath(spark, f"{root.rstrip('/')}/{LEASE_FILE}")
+    token = uuid.uuid4().hex
+    payload = json.dumps({
+        "owner": who, "host": socket.gethostname(),
+        "pid": os.getpid(), "ts": time.time(), "token": token})
+
+    def _try_create() -> bool:
+        try:
+            out = fs.create(lock, False)
+        except Exception as e:
+            if "exist" in str(e).lower():
+                return False
+            raise
+        try:
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    @contextlib.contextmanager
+    def _ctx():
+        if not _try_create():
+            info, age = _read_lease(spark, fs, lock)
+            owner = (info or {}).get("owner", "<unreadable>")
+            host = (info or {}).get("host", "?")
+            pid = (info or {}).get("pid", "?")
+            stale = age is not None and age > ttl_sec
+            if info is not None and not (break_lease and stale):
+                hint = (
+                    "it is STALE (age > ttl_sec); pass "
+                    "break_lease=True if the holder is known dead"
+                    if stale else
+                    "it is FRESH — wait for the holder (break_lease "
+                    "only breaks leases older than ttl_sec)")
+                raise LeaseHeldError(
+                    f"{who}: {root} is locked by {owner} "
+                    f"(host={host}, pid={pid}, age={age:.0f}s, "
+                    f"ttl={ttl_sec:.0f}s) — a concurrent maintenance "
+                    f"run owns this table; {hint}")
+            # stale + break_lease (or the file vanished between the
+            # create and the read): take over, once — losing the
+            # re-acquire race to another breaker is a refusal
+            delete_checked(fs, lock, what="stale maintenance lease")
+            if not _try_create():
+                raise LeaseHeldError(
+                    f"{who}: lost the lease re-acquire race on {root} "
+                    "after breaking a stale lock — another breaker "
+                    "took over; retry later")
+        try:
+            yield
+        finally:
+            cur, _age = _read_lease(spark, fs, lock)
+            if cur is None:
+                _log.warning(
+                    "maintenance lease on %s vanished mid-run — a "
+                    "concurrent breaker may have run; check for "
+                    "interleaved writes", root)
+            elif cur.get("token") == token:
+                delete_checked(fs, lock, what="maintenance lease")
+            else:
+                _log.warning(
+                    "maintenance lease on %s was REPLACED mid-run "
+                    "(now held by %r) — leaving it; two maintenance "
+                    "runs may have interleaved",
+                    root, cur.get("owner"))
+
+    return _ctx()
+
+
 def delete_checked(fs, jp, recursive: bool = True,
                    what: str = "path") -> bool:
     """``fs.delete`` signals failure by RETURNING False, not raising —

@@ -65,7 +65,8 @@ import uuid
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from fstd2pandas_spark.fsutil import delete_checked, hadoop_fs, jpath
+from fstd2pandas_spark.fsutil import (delete_checked, hadoop_fs,
+                                      jpath, maintenance_lease)
 from fstd2pandas_spark.plans.incremental import balanced_any
 
 #: hive's spelling of a NULL partition value in directory names
@@ -282,7 +283,9 @@ def compact_partitions(spark: SparkSession, path: str,
                        order_by: "list[str] | None" = None,
                        max_partitions: int = MAX_COMPACT_PARTITIONS,
                        verify: bool = False,
-                       allow_nonatomic_rename: bool = False) -> dict:
+                       allow_nonatomic_rename: bool = False,
+                       break_lease: bool = False,
+                       lease_ttl_sec: float = 3600.0) -> dict:
     """Rewrite every fragmented partition of the dataset at ``path``
     into ~``target_bytes`` files (see the module docstring for the
     plan/rewrite/swap shape and the atomicity contract); returns
@@ -297,10 +300,37 @@ def compact_partitions(spark: SparkSession, path: str,
     self-checked. A flat-namespace object-store path (s3a/gs/...)
     is REFUSED unless ``allow_nonatomic_rename=True`` — there the
     swap's renames are data copies, not metadata ops (see
-    :func:`_require_atomic_rename`)."""
+    :func:`_require_atomic_rename`).
+
+    The whole run holds the single-writer maintenance lease on
+    ``path`` (:func:`~fstd2pandas_spark.fsutil.maintenance_lease` —
+    the enforcement of the premise earlier releases only documented:
+    two concurrent runs pass each other's debris checks before either
+    run's hidden dirs appear, then interleave renames). A held lease
+    raises naming the owner; a HARD-KILLED run's stale lease (age >
+    ``lease_ttl_sec``) is broken only under explicit
+    ``break_lease=True`` (a normally-failing run releases its lease
+    in a finally, so this is the kill -9 path only)."""
     fs, _root = hadoop_fs(spark, path)
+    if not fs.exists(_root):
+        # checked BEFORE the lease: the lock file's creation makes
+        # parent dirs, which would turn a typo'd path into a silently
+        # "empty dataset, nothing to compact" success
+        raise ValueError(f"compact_partitions: {path} does not exist")
     _require_atomic_rename(fs, path, allow_nonatomic_rename,
                            "compact_partitions")
+    with maintenance_lease(spark, path, "compact_partitions",
+                           ttl_sec=lease_ttl_sec,
+                           break_lease=break_lease):
+        return _compact_locked(spark, path, part_cols, target_bytes,
+                               order_by, max_partitions, verify, fs)
+
+
+def _compact_locked(spark: SparkSession, path: str,
+                    part_cols: "list[str]", target_bytes: int,
+                    order_by: "list[str] | None",
+                    max_partitions: int, verify: bool, fs) -> dict:
+    """The body of :func:`compact_partitions`, run under the lease."""
     debris: "list[str]" = []
     plan = compaction_plan(spark, path, part_cols, target_bytes,
                            debris_out=debris)
@@ -567,7 +597,9 @@ def _hidden_dirs(spark: SparkSession, path: str,
 
 def recover_compaction(spark: SparkSession, path: str,
                        part_cols: "list[str]",
-                       allow_nonatomic_rename: bool = False) -> dict:
+                       allow_nonatomic_rename: bool = False,
+                       break_lease: bool = False,
+                       lease_ttl_sec: float = 3600.0) -> dict:
     """Repair the debris a crashed :func:`compact_partitions` run can
     leave behind; returns ``{"restored": [rel, ...],
     "stale_removed": n, "tmp_removed": n}``. Safe to run anytime no
@@ -594,12 +626,28 @@ def recover_compaction(spark: SparkSession, path: str,
     debris, so at most one crashed run's state is ever on disk.
     ``allow_nonatomic_rename`` mirrors :func:`compact_partitions` —
     debris on an object store can only exist if a run was forced
-    there, and its recovery renames are copies too."""
+    there, and its recovery renames are copies too.
+
+    Recovery holds the same single-writer lease as compaction — "no
+    compaction is ACTIVE" is now enforced, not assumed. The usual
+    crash that NEEDS recovery is a hard kill, which also leaves the
+    crashed run's lease behind: pass ``break_lease=True`` (once the
+    lease is older than ``lease_ttl_sec``) to take it over along with
+    the debris."""
     fs, root = hadoop_fs(spark, path)
     if not fs.exists(root):
         raise ValueError(f"recover_compaction: {path} does not exist")
     _require_atomic_rename(fs, path, allow_nonatomic_rename,
                            "recover_compaction")
+    with maintenance_lease(spark, path, "recover_compaction",
+                           ttl_sec=lease_ttl_sec,
+                           break_lease=break_lease):
+        return _recover_locked(spark, path, part_cols, fs)
+
+
+def _recover_locked(spark: SparkSession, path: str,
+                    part_cols: "list[str]", fs) -> dict:
+    """The body of :func:`recover_compaction`, run under the lease."""
     stats = {"restored": [], "stale_removed": 0, "tmp_removed": 0}
     for h, parent_rel in _hidden_dirs(spark, path, part_cols):
         tail = h.getName()[len(_HIDDEN_PREFIX):]

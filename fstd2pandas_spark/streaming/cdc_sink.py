@@ -51,7 +51,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from fstd2pandas_spark.fsutil import delete_checked, hadoop_fs, jpath
+from fstd2pandas_spark.fsutil import (delete_checked, hadoop_fs,
+                                      jpath, maintenance_lease)
 from fstd2pandas_spark.plans.merge import merge_upsert
 
 _GEN_PREFIX = "gen-"
@@ -221,7 +222,9 @@ def apply_cdc_stream(cdc_stream: DataFrame, table_root: str,
                      keys_not_null: bool = False,
                      keep_generations: int = 2,
                      available_now: bool = True,
-                     new_columns: str = "error"):
+                     new_columns: str = "error",
+                     break_lease: bool = False,
+                     lease_ttl_sec: float = 3600.0):
     """Start the CDC sink: every micro-batch of ``cdc_stream`` is
     MERGEd (:func:`merge_upsert` semantics — latest-wins by
     ``version_col``, tombstones via ``delete_col``, whole-row
@@ -239,7 +242,17 @@ def apply_cdc_stream(cdc_stream: DataFrame, table_root: str,
     NULL) — the normal life of a long-running CDC pipeline. The
     stream's OWN schema is fixed at start by Structured Streaming;
     evolution covers the serving table lagging the stream (restart
-    the query to pick up a wider source)."""
+    the query to pick up a wider source).
+
+    Each micro-batch holds the single-writer maintenance lease on
+    ``table_root`` for its read-head → merge → write → GC critical
+    section (:func:`~fstd2pandas_spark.fsutil.maintenance_lease`):
+    two concurrent sinks on one table would otherwise read the same
+    head and allocate the SAME generation, one silently overwriting
+    the other's merge. A held lease fails the batch naming the owner
+    (and the query with it — at-least-once redelivers the batch); a
+    hard-killed run's stale lease (age > ``lease_ttl_sec``) is broken
+    only under explicit ``break_lease=True``."""
     if keep_generations < 1:
         raise ValueError("keep_generations must be >= 1")
     if not available_now and checkpoint_dir is None:
@@ -276,6 +289,12 @@ def apply_cdc_stream(cdc_stream: DataFrame, table_root: str,
             # slot on an identical copy
             return
         spark = batch_df.sparkSession
+        with maintenance_lease(spark, root, "apply_cdc_stream",
+                               ttl_sec=lease_ttl_sec,
+                               break_lease=break_lease):
+            _merge_batch(spark, batch_df)
+
+    def _merge_batch(spark: SparkSession, batch_df: DataFrame) -> None:
         gens0 = _committed_generations(spark, root)
         if gens0:
             target = spark.read.parquet(gens0[-1][1])

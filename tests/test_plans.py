@@ -995,6 +995,102 @@ def test_compaction_object_store_rename_honesty(spark, tmp_path,
                    "tmp_removed": 0}
 
 
+def test_maintenance_lease_single_writer(spark, tmp_path):
+    """fsutil.maintenance_lease — the single-writer premise, ENFORCED
+    (r13 What's-missing #3): atomic create-exclusive lock file, held
+    lease refused naming the owner, release in a finally, stale lease
+    (age > ttl by fs mtime) broken ONLY under explicit
+    break_lease=True, fresh lease never broken even with the flag."""
+    import json
+    import os
+    import time
+
+    from fstd2pandas_spark.fsutil import (LeaseHeldError,
+                                          maintenance_lease)
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    lock = os.path.join(root, ".maintenance-lock")
+
+    with maintenance_lease(spark, root, "run-a"):
+        assert os.path.exists(lock)
+        payload = json.load(open(lock))
+        assert payload["owner"] == "run-a" and payload["pid"]
+        # a second writer refuses, NAMING the holder
+        with pytest.raises(LeaseHeldError, match="locked by run-a"):
+            with maintenance_lease(spark, root, "run-b"):
+                pass
+    assert not os.path.exists(lock)
+
+    # release happens in a finally — a failing body still unlocks
+    with pytest.raises(RuntimeError, match="boom"):
+        with maintenance_lease(spark, root, "run-a"):
+            raise RuntimeError("boom")
+    assert not os.path.exists(lock)
+
+    # a hard-killed run's leftover lock: STALE only past ttl
+    with open(lock, "w") as f:
+        f.write(json.dumps({"owner": "dead-run", "token": "x"}))
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    # stale but no opt-in -> refuse, pointing at the knob
+    with pytest.raises(LeaseHeldError, match="break_lease"):
+        with maintenance_lease(spark, root, "run-b", ttl_sec=3600):
+            pass
+    # FRESH + break_lease -> still refused (a live writer)
+    os.utime(lock, None)
+    with pytest.raises(LeaseHeldError, match="FRESH"):
+        with maintenance_lease(spark, root, "run-b", ttl_sec=3600,
+                               break_lease=True):
+            pass
+    # stale + break_lease -> taken over, then released
+    os.utime(lock, (old, old))
+    with maintenance_lease(spark, root, "run-b", ttl_sec=3600,
+                           break_lease=True):
+        assert json.load(open(lock))["owner"] == "run-b"
+    assert not os.path.exists(lock)
+
+
+def test_compaction_and_recovery_hold_the_lease(spark, tmp_path):
+    """compact_partitions and recover_compaction REFUSE to run while
+    another maintenance run's lease is held on the dataset (the
+    documented single-writer handshake, now enforced), clean up their
+    own lease on success, and a typo'd path stays loud (the lock
+    file's parent-dir creation must not fabricate an empty dataset)."""
+    import os
+
+    from fstd2pandas_spark.fsutil import (LeaseHeldError,
+                                          maintenance_lease)
+    from fstd2pandas_spark.plans.compaction import (
+        compact_partitions, recover_compaction)
+
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(d, i) for d in (0, 1) for i in range(40)], "day int, u long")
+    for h in (0, 1):
+        df.filter(F.col("u") % 2 == h).write.partitionBy("day") \
+          .mode("append").parquet(path)
+
+    with maintenance_lease(spark, path, "other-run"):
+        with pytest.raises(LeaseHeldError, match="locked by other-run"):
+            compact_partitions(spark, path, ["day"], 1 << 30)
+        with pytest.raises(LeaseHeldError, match="locked by other-run"):
+            recover_compaction(spark, path, ["day"])
+
+    # after release both run, and neither leaves its lease behind
+    stats = compact_partitions(spark, path, ["day"], 1 << 30,
+                               verify=True)
+    assert sorted(stats["compacted"]) == ["day=0", "day=1"]
+    assert not os.path.exists(os.path.join(path, ".maintenance-lock"))
+    recover_compaction(spark, path, ["day"])
+    assert not os.path.exists(os.path.join(path, ".maintenance-lock"))
+
+    with pytest.raises(ValueError, match="does not exist"):
+        compact_partitions(spark, str(tmp_path / "nope"), ["day"],
+                           1 << 30)
+    assert not os.path.exists(str(tmp_path / "nope"))
+
+
 def test_delete_checked_warns_on_false(caplog):
     """fs.delete signals failure by RETURNING False — ignored, the
     leftover debris costs the operator a confused round-trip on the

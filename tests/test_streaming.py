@@ -745,6 +745,57 @@ def test_cdc_sink_schema_evolution(spark, tmp_path):
         q3.awaitTermination()
 
 
+def test_cdc_sink_holds_the_lease(spark, tmp_path):
+    """Each CDC micro-batch holds the single-writer maintenance lease
+    on the table root: two concurrent sinks would read the same
+    committed head and allocate the SAME generation, one silently
+    overwriting the other's merge. A held lease fails the batch (and
+    the query) naming the owner; after release the same zone applies
+    cleanly and the sink leaves no lock behind."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.errors import StreamingQueryException
+
+    from fstd2pandas_spark.fsutil import maintenance_lease
+    from fstd2pandas_spark.streaming import (apply_cdc_stream,
+                                             read_cdc_table)
+
+    root = str(tmp_path / "serving")
+    zone = str(tmp_path / "zone")
+    os.makedirs(zone)
+    schema = "k long, s string, ver long, del boolean"
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame([(1, "a", 1, False), (2, "b", 1, False)],
+                          schema).coalesce(1) \
+        .write.mode("overwrite").parquet(stage)
+    shutil.copy(glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+                os.path.join(zone, "b0.parquet"))
+
+    with maintenance_lease(spark, root, "rival-sink"):
+        q = apply_cdc_stream(
+            spark.readStream.schema(schema).parquet(zone), root,
+            ["k"], version_col="ver", delete_col="del",
+            checkpoint_dir=str(tmp_path / "cp_locked"))
+        with pytest.raises(StreamingQueryException,
+                           match="locked by rival-sink"):
+            q.awaitTermination()
+        # the failed batch committed nothing
+        assert read_cdc_table(spark, root) is None
+
+    # lease released: a fresh run applies the batch and unlocks
+    q2 = apply_cdc_stream(
+        spark.readStream.schema(schema).parquet(zone), root,
+        ["k"], version_col="ver", delete_col="del",
+        checkpoint_dir=str(tmp_path / "cp_ok"))
+    q2.awaitTermination()
+    assert {tuple(r) for r in
+            read_cdc_table(spark, root).collect()} \
+        == {(1, "a"), (2, "b")}
+    assert not os.path.exists(os.path.join(root, ".maintenance-lock"))
+
+
 def test_vacuum_generations_tiers(spark, tmp_path):
     """vacuum_generations deletes dead UNCOMMITTED generations under
     the two-tier safety rule: seq <= committed head is always safe
