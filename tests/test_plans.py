@@ -1091,6 +1091,93 @@ def test_compaction_and_recovery_hold_the_lease(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "nope"))
 
 
+def test_recover_compaction_crash_point_sweep(spark, tmp_path):
+    """The exhaustiveness claim behind recover_compaction, made
+    EMPIRICAL (r13 order #3): instead of three hand-pinned crash
+    states, a wrapped filesystem kills the swap before its k-th
+    MUTATING op (rename/delete) for EVERY k up to the clean run's op
+    count. After each simulated crash, recovery must restore a
+    dataset whose partition fingerprints are IDENTICAL to the
+    original, leave zero debris (proved by a full compact_partitions
+    running clean afterwards), and that compaction must again be
+    content-invariant."""
+    import shutil
+
+    from fstd2pandas_spark.plans.compaction import (
+        _compact_locked, compact_partitions, recover_compaction)
+    from fstd2pandas_spark.plans.snapshot import partition_fingerprints
+
+    class SimCrash(Exception):
+        pass
+
+    class CrashFS:
+        """Proxies a JVM FileSystem; raises BEFORE the k-th mutating
+        op — the crash windows are the GAPS between mutations."""
+
+        def __init__(self, real, kill_before):
+            self._real, self._kill = real, kill_before
+            self.ops = 0
+
+        def _tick(self):
+            if self._kill is not None and self.ops >= self._kill:
+                raise SimCrash(f"simulated crash before op {self.ops}")
+            self.ops += 1
+
+        def rename(self, a, b):
+            self._tick()
+            return self._real.rename(a, b)
+
+        def delete(self, p, r=True):
+            self._tick()
+            return self._real.delete(p, r)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    from fstd2pandas_spark.fsutil import hadoop_fs
+
+    path = str(tmp_path / "ds")
+    rows = [(d, i, f"s{i}") for d in (0, 1) for i in range(30)]
+
+    def build():
+        shutil.rmtree(path, ignore_errors=True)
+        df = spark.createDataFrame(rows, "day int, u long, s string")
+        for h in (0, 1):
+            df.filter(F.col("u") % 2 == h).write.partitionBy("day") \
+              .mode("append").parquet(path)
+
+    def fps():
+        return {tuple(r) for r in partition_fingerprints(
+            spark.read.parquet(path), ["day"],
+            ["u", "s"]).collect()}
+
+    build()
+    expected = fps()
+
+    # clean pass with a counting (never-killing) wrapper: n mutating
+    # ops = the number of crash windows to sweep
+    fs, _root = hadoop_fs(spark, path)
+    counter = CrashFS(fs, None)
+    _compact_locked(spark, path, ["day"], 1 << 30, None, 100, False,
+                    counter)
+    n_ops = counter.ops
+    # 2 partitions x (old->hidden, new->old, delete hidden) + the
+    # finally's temp delete
+    assert n_ops == 7, n_ops
+
+    for k in range(n_ops):
+        build()
+        with pytest.raises(SimCrash):
+            _compact_locked(spark, path, ["day"], 1 << 30, None, 100,
+                            False, CrashFS(fs, k))
+        recover_compaction(spark, path, ["day"])
+        assert fps() == expected, f"content drift after crash at {k}"
+        # zero debris left: a full (lease-taking, debris-checking)
+        # compaction runs clean and is itself content-invariant
+        compact_partitions(spark, path, ["day"], 1 << 30, verify=True)
+        assert fps() == expected, f"post-recompact drift at {k}"
+
+
 def test_delete_checked_warns_on_false(caplog):
     """fs.delete signals failure by RETURNING False — ignored, the
     leftover debris costs the operator a confused round-trip on the
