@@ -80,36 +80,64 @@ def maintenance_lease(spark: SparkSession, root: str, who: str,
         with maintenance_lease(spark, path, "compact_partitions"):
             ...  # the critical section
 
-    Acquisition is ``FileSystem.create(lock, overwrite=false)`` —
-    atomic create-exclusive on HDFS and posix (on a flat-namespace
-    object store create-exclusive is best-effort; those paths are
-    already behind ``allow_nonatomic_rename``). The lock file carries
-    ``{owner, host, pid, ts, token}`` so a refusal NAMES the holder.
+    Acquisition is create-exclusive: ``os.open(O_CREAT|O_EXCL)`` on
+    the local scheme (Hadoop's RawLocalFileSystem ``create(overwrite=
+    false)`` is a NON-atomic exists-check + open — two simultaneous
+    creates both succeed, one truncating the other),
+    ``FileSystem.create(lock, overwrite=false)`` elsewhere (atomic on
+    HDFS; best-effort on a flat-namespace object store — those paths
+    are already behind ``allow_nonatomic_rename``). The lock file
+    carries ``{owner, host, pid, ts, token}`` so a refusal NAMES the
+    holder.
 
     A held lease raises :class:`LeaseHeldError`. A STALE lease (age >
     ``ttl_sec`` by the filesystem's own modification time — immune to
     torn content) is broken only under explicit ``break_lease=True``,
     never automatically: staleness is a heuristic, and the caller is
     asserting the holder is dead. Breaking a FRESH lease is refused
-    even with the flag — that would stomp a live writer. Release
-    deletes only OUR token's file: if a breaker replaced the lease
-    mid-run, release leaves theirs and WARNS that two runs may have
-    interleaved."""
+    even with the flag — that would stomp a live writer. The break
+    itself is an atomic RENAME of the stale lock to a breaker-unique
+    name: of N concurrent breakers exactly one rename succeeds, so a
+    breaker can never delete a RIVAL breaker's freshly-created lock
+    (the delete-then-create race). While held, a daemon heartbeat
+    refreshes the lock's mtime every ``ttl_sec / 4`` so a LIVE run
+    longer than ``ttl_sec`` never reads as stale. Release deletes
+    only OUR token's file: a lock that reads as a different token is
+    left behind with a WARNING that two runs may have interleaved; a
+    lock that exists but cannot be READ (transient I/O) is also left
+    behind — deleting a possible rival's lock risks the concurrency
+    the lease exists to prevent — with a warning telling the operator
+    how to clear it if it turns out to be ours."""
     import contextlib
     import json
     import os
     import socket
+    import threading
     import time
     import uuid
 
     fs, _r = hadoop_fs(spark, root)
-    lock = jpath(spark, f"{root.rstrip('/')}/{LEASE_FILE}")
+    base = root.rstrip("/")
+    lock = jpath(spark, f"{base}/{LEASE_FILE}")
     token = uuid.uuid4().hex
     payload = json.dumps({
         "owner": who, "host": socket.gethostname(),
         "pid": os.getpid(), "ts": time.time(), "token": token})
+    local = (fs.getUri().getScheme() or "file") == "file"
 
     def _try_create() -> bool:
+        if local:
+            p = lock.toUri().getPath()
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            try:
+                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            try:
+                os.write(fd, payload.encode("utf-8"))
+            finally:
+                os.close(fd)
+            return True
         try:
             out = fs.create(lock, False)
         except Exception as e:
@@ -122,39 +150,84 @@ def maintenance_lease(spark: SparkSession, root: str, who: str,
             out.close()
         return True
 
+    def _break_stale() -> bool:
+        """Rename-first takeover: only one of N concurrent breakers
+        wins the rename, and the losers' _try_create then fails
+        against the winner's fresh lock instead of deleting it."""
+        broken = jpath(spark, f"{base}/{LEASE_FILE}.broken-{token}")
+        try:
+            ok = fs.rename(lock, broken)
+        except Exception:
+            ok = False
+        if ok:
+            delete_checked(fs, broken,
+                           what="broken stale maintenance lease")
+        return ok
+
     @contextlib.contextmanager
     def _ctx():
         if not _try_create():
             info, age = _read_lease(spark, fs, lock)
-            owner = (info or {}).get("owner", "<unreadable>")
-            host = (info or {}).get("host", "?")
-            pid = (info or {}).get("pid", "?")
-            stale = age is not None and age > ttl_sec
-            if info is not None and not (break_lease and stale):
-                hint = (
-                    "it is STALE (age > ttl_sec); pass "
-                    "break_lease=True if the holder is known dead"
-                    if stale else
-                    "it is FRESH — wait for the holder (break_lease "
-                    "only breaks leases older than ttl_sec)")
-                raise LeaseHeldError(
-                    f"{who}: {root} is locked by {owner} "
-                    f"(host={host}, pid={pid}, age={age:.0f}s, "
-                    f"ttl={ttl_sec:.0f}s) — a concurrent maintenance "
-                    f"run owns this table; {hint}")
-            # stale + break_lease (or the file vanished between the
-            # create and the read): take over, once — losing the
-            # re-acquire race to another breaker is a refusal
-            delete_checked(fs, lock, what="stale maintenance lease")
-            if not _try_create():
-                raise LeaseHeldError(
-                    f"{who}: lost the lease re-acquire race on {root} "
-                    "after breaking a stale lock — another breaker "
-                    "took over; retry later")
+            if info is None:
+                # vanished between the create and the read — the
+                # holder released; one clean retry
+                if not _try_create():
+                    raise LeaseHeldError(
+                        f"{who}: lease on {root} is contended (it "
+                        "vanished and immediately re-appeared); "
+                        "retry later")
+            else:
+                owner = info.get("owner", "<unreadable>")
+                host = info.get("host", "?")
+                pid = info.get("pid", "?")
+                stale = age is not None and age > ttl_sec
+                if not (break_lease and stale):
+                    hint = (
+                        "it is STALE (age > ttl_sec); pass "
+                        "break_lease=True if the holder is known dead"
+                        if stale else
+                        "it is FRESH — wait for the holder "
+                        "(break_lease only breaks leases older than "
+                        "ttl_sec)")
+                    raise LeaseHeldError(
+                        f"{who}: {root} is locked by {owner} "
+                        f"(host={host}, pid={pid}, age={age:.0f}s, "
+                        f"ttl={ttl_sec:.0f}s) — a concurrent "
+                        f"maintenance run owns this table; {hint}")
+                if not _break_stale() or not _try_create():
+                    raise LeaseHeldError(
+                        f"{who}: lost the lease takeover race on "
+                        f"{root} — another breaker got there first; "
+                        "retry later")
+        # heartbeat: a LIVE holder must never age into breakability —
+        # a >ttl compaction broken mid-swap by recovery automation is
+        # exactly the interleaving the lease prevents
+        stop = threading.Event()
+
+        def _beat():
+            while not stop.wait(max(1.0, ttl_sec / 4)):
+                try:
+                    fs.setTimes(lock, int(time.time() * 1000), -1)
+                except Exception as e:
+                    _log.warning(
+                        "maintenance-lease heartbeat on %s failed: "
+                        "%s — the lease may age into breakability",
+                        root, e)
+
+        beat = threading.Thread(target=_beat, daemon=True,
+                                name="maintenance-lease-heartbeat")
+        beat.start()
         try:
             yield
         finally:
-            cur, _age = _read_lease(spark, fs, lock)
+            stop.set()
+            beat.join(timeout=5)
+            cur = None
+            for _ in range(3):
+                cur, _age = _read_lease(spark, fs, lock)
+                if cur is None or cur.get("token"):
+                    break  # gone, or readable with a token
+                time.sleep(0.2)
             if cur is None:
                 _log.warning(
                     "maintenance lease on %s vanished mid-run — a "
@@ -162,6 +235,15 @@ def maintenance_lease(spark: SparkSession, root: str, who: str,
                     "interleaved writes", root)
             elif cur.get("token") == token:
                 delete_checked(fs, lock, what="maintenance lease")
+            elif not cur.get("token"):
+                _log.warning(
+                    "maintenance lease on %s exists but could not be "
+                    "READ to verify ownership — leaving it (deleting "
+                    "a possible rival's lock risks concurrent "
+                    "writers); if no other maintenance run is "
+                    "active, it is this run's and can be deleted "
+                    "manually or broken with break_lease=True once "
+                    "stale", root)
             else:
                 _log.warning(
                     "maintenance lease on %s was REPLACED mid-run "

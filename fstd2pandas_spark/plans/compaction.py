@@ -99,9 +99,14 @@ _BUCKET_FILE_RE = re.compile(r"^part-.*_\d{5}\.c\d{3}\.")
 #: filesystems whose "rename" is a server-side COPY + delete of every
 #: object, not an O(1) metadata op: the flat-namespace object stores.
 #: abfs/abfss are NOT here — ADLS Gen2's hierarchical namespace has
-#: real atomic directory renames.
+#: real atomic directory renames. A blocklist is necessarily
+#: incomplete (any vendor can register a new scheme); it covers the
+#: Hadoop ecosystem's published object-store connectors, and the
+#: module docstring documents the rename contract a new scheme must
+#: meet.
 _FLAT_NAMESPACE_SCHEMES = frozenset(
-    {"s3", "s3a", "s3n", "gs", "oss", "wasb", "wasbs", "swift", "cos"})
+    {"s3", "s3a", "s3n", "gs", "oss", "wasb", "wasbs", "swift",
+     "cos", "cosn", "obs"})
 
 
 def _fs_scheme(fs) -> "str | None":
@@ -670,9 +675,13 @@ def _recover_locked(spark: SparkSession, path: str,
         target = jpath(spark, str(h.getParent()), leaf)
         rel = f"{parent_rel}/{leaf}" if parent_rel else leaf
         if fs.exists(target):
-            delete_checked(fs, h,
-                           what="superseded pre-swap partition copy")
-            stats["stale_removed"] += 1
+            # counted only when the delete actually happened — a
+            # False return (path still present) must not report a
+            # clean table the next run then refuses on
+            if delete_checked(fs, h,
+                              what="superseded pre-swap partition "
+                                   "copy"):
+                stats["stale_removed"] += 1
         else:
             if not fs.rename(h, target):
                 raise IOError(
@@ -680,6 +689,6 @@ def _recover_locked(spark: SparkSession, path: str,
                     "failed")
             stats["restored"].append(rel)
     for t in _tmp_dirs(spark, path):
-        delete_checked(fs, t, what="rewrite temp dir")
-        stats["tmp_removed"] += 1
+        if delete_checked(fs, t, what="rewrite temp dir"):
+            stats["tmp_removed"] += 1
     return stats

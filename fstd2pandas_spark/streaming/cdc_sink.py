@@ -137,9 +137,11 @@ def vacuum_generations(spark: SparkSession, table_root: str,
         if ok:
             continue
         if bid <= head or quiesced:
-            delete_checked(fs, jpath(spark, p),
-                           what="uncommitted generation")
-            removed.append(p.rsplit("/", 1)[-1])
+            # reported only if the delete actually happened — the
+            # caller trusts this list as "now clean"
+            if delete_checked(fs, jpath(spark, p),
+                              what="uncommitted generation"):
+                removed.append(p.rsplit("/", 1)[-1])
     return sorted(removed)
 
 

@@ -1043,12 +1043,70 @@ def test_maintenance_lease_single_writer(spark, tmp_path):
         with maintenance_lease(spark, root, "run-b", ttl_sec=3600,
                                break_lease=True):
             pass
-    # stale + break_lease -> taken over, then released
+    # stale + break_lease -> taken over (rename-first, so a rival
+    # breaker can never delete OUR fresh lock), then released with no
+    # .broken-* residue
     os.utime(lock, (old, old))
     with maintenance_lease(spark, root, "run-b", ttl_sec=3600,
                            break_lease=True):
         assert json.load(open(lock))["owner"] == "run-b"
     assert not os.path.exists(lock)
+    assert not [e for e in os.listdir(root) if "broken" in e]
+
+
+def test_maintenance_lease_atomicity_and_heartbeat(spark, tmp_path):
+    """The two liveness review findings, pinned: (a) acquisition on
+    the local scheme is os.O_EXCL — Hadoop's RawLocalFileSystem
+    create(overwrite=false) is a non-atomic exists+open, so 8 threads
+    racing one fresh root must produce EXACTLY one holder; (b) a held
+    lease heartbeats its mtime, so a LIVE run longer than ttl_sec
+    never ages into breakability."""
+    import os
+    import threading
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from fstd2pandas_spark.fsutil import (LeaseHeldError,
+                                          maintenance_lease)
+
+    root = str(tmp_path / "race")
+    os.makedirs(root)
+    state = {"winners": 0, "losers": 0}
+    mu = threading.Lock()
+    start = threading.Barrier(8)
+    losers_done = threading.Event()
+
+    def attempt(i):
+        start.wait()
+        try:
+            with maintenance_lease(spark, root, f"t{i}"):
+                with mu:
+                    state["winners"] += 1
+                # hold until every loser has lost: a second "winner"
+                # (the non-atomic-create bug) would leave losers at 6
+                # and time out here, failing the count below
+                losers_done.wait(timeout=15)
+        except LeaseHeldError:
+            with mu:
+                state["losers"] += 1
+                if state["losers"] == 7:
+                    losers_done.set()
+
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(attempt, range(8)))
+    assert state == {"winners": 1, "losers": 7}
+
+    # heartbeat: mtime advances while held (beat interval is
+    # max(1s, ttl/4)); afterwards the lock is gone as usual
+    root2 = str(tmp_path / "hb")
+    os.makedirs(root2)
+    lock2 = os.path.join(root2, ".maintenance-lock")
+    with maintenance_lease(spark, root2, "hb", ttl_sec=2.0):
+        m0 = os.path.getmtime(lock2)
+        time.sleep(2.5)
+        m1 = os.path.getmtime(lock2)
+    assert m1 > m0
+    assert not os.path.exists(lock2)
 
 
 def test_compaction_and_recovery_hold_the_lease(spark, tmp_path):
