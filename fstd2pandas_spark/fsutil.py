@@ -36,6 +36,24 @@ def jpath(spark: SparkSession, *parts: str):
 #: compaction plan walk both skip hidden names)
 LEASE_FILE = ".maintenance-lock"
 
+#: filesystems whose namespace is FLAT (object stores): rename is a
+#: server-side copy + delete, and create-exclusive is a best-effort
+#: HEAD-then-PUT. Compaction REFUSES these for its rename-based swap
+#: (plans/compaction.py); the lease only WARNS — the CDC sink's
+#: generation protocol is rename-free by design and works there, but
+#: its lease is advisory, not watertight. abfs/abfss are absent:
+#: ADLS Gen2's hierarchical namespace has real atomic renames.
+#: Necessarily incomplete — any vendor can register a new scheme.
+FLAT_NAMESPACE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "oss", "wasb", "wasbs", "swift",
+     "cos", "cosn", "obs"})
+
+
+def fs_scheme(fs) -> "str | None":
+    """The resolved filesystem's URI scheme (seam for tests — a real
+    s3a filesystem cannot be registered in a local JVM cheaply)."""
+    return fs.getUri().getScheme()
+
 
 class LeaseHeldError(RuntimeError):
     """Another maintenance run holds the single-writer lease."""
@@ -107,7 +125,19 @@ def maintenance_lease(spark: SparkSession, root: str, who: str,
     lock that exists but cannot be READ (transient I/O) is also left
     behind — deleting a possible rival's lock risks the concurrency
     the lease exists to prevent — with a warning telling the operator
-    how to clear it if it turns out to be ours."""
+    how to clear it if it turns out to be ours.
+
+    Clock domains: staleness compares the READER's ``time.time()``
+    against the filesystem's stamped mtime (creation stamp is the
+    server's on HDFS, the holder's client clock after the first
+    heartbeat). Host/server clock skew therefore eats into the ttl
+    margin — size ``ttl_sec`` well above the fleet's worst skew
+    (``ttl_sec < 5`` is refused outright: the heartbeat interval
+    ``max(1s, ttl/4)`` must stay clearly inside the ttl). On a
+    flat-namespace object store, create-exclusive itself is a
+    best-effort HEAD-then-PUT — the lease WARNS there and becomes
+    advisory; compaction's rename swap separately refuses those
+    schemes."""
     import contextlib
     import json
     import os
@@ -116,6 +146,12 @@ def maintenance_lease(spark: SparkSession, root: str, who: str,
     import time
     import uuid
 
+    if ttl_sec < 5:
+        raise ValueError(
+            f"ttl_sec={ttl_sec!r} — below 5s the heartbeat interval "
+            "max(1s, ttl/4) no longer stays clearly inside the ttl, "
+            "so a LIVE lease would periodically age into breakability "
+            "between beats")
     fs, _r = hadoop_fs(spark, root)
     base = root.rstrip("/")
     lock = jpath(spark, f"{base}/{LEASE_FILE}")
@@ -123,7 +159,16 @@ def maintenance_lease(spark: SparkSession, root: str, who: str,
     payload = json.dumps({
         "owner": who, "host": socket.gethostname(),
         "pid": os.getpid(), "ts": time.time(), "token": token})
-    local = (fs.getUri().getScheme() or "file") == "file"
+    scheme = (fs_scheme(fs) or "file").lower()
+    local = scheme == "file"
+    if scheme in FLAT_NAMESPACE_SCHEMES:
+        _log.warning(
+            "maintenance lease on %s: %r is a flat-namespace object "
+            "store where create-exclusive is a best-effort "
+            "HEAD-then-PUT — the lease reduces but cannot ELIMINATE "
+            "the concurrent-writer window; coordinate writers "
+            "externally (or use a transaction-log table format)",
+            root, scheme)
 
     def _try_create() -> bool:
         if local:
@@ -141,7 +186,13 @@ def maintenance_lease(spark: SparkSession, root: str, who: str,
         try:
             out = fs.create(lock, False)
         except Exception as e:
-            if "exist" in str(e).lower():
+            # held-lease detection must match the CONTENTION failure
+            # only: 'The specified bucket does not exist' contains
+            # 'exist' too, and misclassifying it sends the operator
+            # chasing a phantom concurrent run instead of the typo
+            msg = str(e)
+            if "FileAlreadyExistsException" in msg or \
+                    "already exists" in msg.lower():
                 return False
             raise
         try:
@@ -150,19 +201,43 @@ def maintenance_lease(spark: SparkSession, root: str, who: str,
             out.close()
         return True
 
-    def _break_stale() -> bool:
-        """Rename-first takeover: only one of N concurrent breakers
-        wins the rename, and the losers' _try_create then fails
-        against the winner's fresh lock instead of deleting it."""
+    def _break_stale(expected_token, _observed_age) -> bool:
+        """Rename-first takeover with an identity check: rename is by
+        PATH, so a slow second breaker could otherwise rename the
+        FIRST breaker's freshly re-created lock (the TOCTOU one step
+        after the delete-then-create race). After winning the rename,
+        verify the renamed file IS the stale incarnation we judged —
+        same token, or (unreadable stale lock) still stale by its own
+        mtime; a fresh rival's lock is renamed BACK and the takeover
+        lost."""
         broken = jpath(spark, f"{base}/{LEASE_FILE}.broken-{token}")
         try:
             ok = fs.rename(lock, broken)
         except Exception:
             ok = False
-        if ok:
-            delete_checked(fs, broken,
-                           what="broken stale maintenance lease")
-        return ok
+        if not ok:
+            return False
+        b_info, b_age = _read_lease(spark, fs, broken)
+        same_stale = b_info is not None and (
+            (expected_token is not None
+             and b_info.get("token") == expected_token)
+            or (expected_token is None
+                and b_age is not None and b_age > ttl_sec))
+        if not same_stale:
+            try:
+                restored = fs.rename(broken, lock)
+            except Exception:
+                restored = False
+            if not restored:
+                _log.warning(
+                    "lease takeover on %s renamed a lock that was "
+                    "NOT the stale one and could not put it back — "
+                    "the rightful holder's lock is at %s; restore it "
+                    "manually", root, broken)
+            return False
+        delete_checked(fs, broken,
+                       what="broken stale maintenance lease")
+        return True
 
     @contextlib.contextmanager
     def _ctx():
@@ -194,7 +269,8 @@ def maintenance_lease(spark: SparkSession, root: str, who: str,
                         f"(host={host}, pid={pid}, age={age:.0f}s, "
                         f"ttl={ttl_sec:.0f}s) — a concurrent "
                         f"maintenance run owns this table; {hint}")
-                if not _break_stale() or not _try_create():
+                if not _break_stale(info.get("token"), age) \
+                        or not _try_create():
                     raise LeaseHeldError(
                         f"{who}: lost the lease takeover race on "
                         f"{root} — another breaker got there first; "

@@ -65,8 +65,10 @@ import uuid
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from fstd2pandas_spark.fsutil import (delete_checked, hadoop_fs,
-                                      jpath, maintenance_lease)
+from fstd2pandas_spark.fsutil import (FLAT_NAMESPACE_SCHEMES,
+                                      delete_checked, fs_scheme,
+                                      hadoop_fs, jpath,
+                                      maintenance_lease)
 from fstd2pandas_spark.plans.incremental import balanced_any
 
 #: hive's spelling of a NULL partition value in directory names
@@ -96,23 +98,12 @@ _TMP_SUFFIX_RE = r"\.compact-[0-9a-f]{12}$"
 _BUCKET_FILE_RE = re.compile(r"^part-.*_\d{5}\.c\d{3}\.")
 
 
-#: filesystems whose "rename" is a server-side COPY + delete of every
-#: object, not an O(1) metadata op: the flat-namespace object stores.
-#: abfs/abfss are NOT here — ADLS Gen2's hierarchical namespace has
-#: real atomic directory renames. A blocklist is necessarily
-#: incomplete (any vendor can register a new scheme); it covers the
-#: Hadoop ecosystem's published object-store connectors, and the
-#: module docstring documents the rename contract a new scheme must
-#: meet.
-_FLAT_NAMESPACE_SCHEMES = frozenset(
-    {"s3", "s3a", "s3n", "gs", "oss", "wasb", "wasbs", "swift",
-     "cos", "cosn", "obs"})
-
-
-def _fs_scheme(fs) -> "str | None":
-    """The resolved filesystem's URI scheme (seam for tests — a fake
-    s3a filesystem cannot be registered in a local JVM cheaply)."""
-    return fs.getUri().getScheme()
+#: ONE definition of the flat-namespace scheme set and the scheme
+#: probe lives in fsutil (the lease warns on the same property this
+#: module refuses on); the module-level aliases keep this file's
+#: refusal independently monkeypatchable in tests.
+_FLAT_NAMESPACE_SCHEMES = FLAT_NAMESPACE_SCHEMES
+_fs_scheme = fs_scheme
 
 
 def _require_atomic_rename(fs, path: str, allow: bool,

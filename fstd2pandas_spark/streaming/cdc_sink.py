@@ -254,7 +254,11 @@ def apply_cdc_stream(cdc_stream: DataFrame, table_root: str,
     the other's merge. A held lease fails the batch naming the owner
     (and the query with it — at-least-once redelivers the batch); a
     hard-killed run's stale lease (age > ``lease_ttl_sec``) is broken
-    only under explicit ``break_lease=True``."""
+    only under explicit ``break_lease=True``. Honesty on object
+    stores: the generation protocol itself is rename-free and works
+    on a flat namespace, but there create-exclusive is best-effort,
+    so the lease is ADVISORY (it warns at acquisition) — coordinate
+    concurrent sinks externally on s3a/gs/... roots."""
     if keep_generations < 1:
         raise ValueError("keep_generations must be >= 1")
     if not available_now and checkpoint_dir is None:

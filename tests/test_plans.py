@@ -1101,12 +1101,100 @@ def test_maintenance_lease_atomicity_and_heartbeat(spark, tmp_path):
     root2 = str(tmp_path / "hb")
     os.makedirs(root2)
     lock2 = os.path.join(root2, ".maintenance-lock")
-    with maintenance_lease(spark, root2, "hb", ttl_sec=2.0):
+    with maintenance_lease(spark, root2, "hb", ttl_sec=5.0):
         m0 = os.path.getmtime(lock2)
-        time.sleep(2.5)
+        time.sleep(2.8)
         m1 = os.path.getmtime(lock2)
     assert m1 > m0
     assert not os.path.exists(lock2)
+
+    # a ttl below the heartbeat-safety floor is refused (a live lease
+    # would periodically age into breakability between beats)
+    with pytest.raises(ValueError, match="ttl_sec"):
+        with maintenance_lease(spark, root2, "hb", ttl_sec=2.0):
+            pass
+
+
+def test_maintenance_lease_flat_namespace_warns(spark, tmp_path,
+                                                monkeypatch, caplog):
+    """On a flat-namespace object store create-exclusive is a
+    best-effort HEAD-then-PUT: the lease still works but is ADVISORY,
+    and must SAY so at acquisition instead of promising the
+    single-writer guarantee it cannot deliver there."""
+    import logging
+    import os
+
+    import fstd2pandas_spark.fsutil as fsu
+
+    root = str(tmp_path / "obj")
+    os.makedirs(root)
+    monkeypatch.setattr(fsu, "fs_scheme", lambda fs: "s3a")
+    with caplog.at_level(logging.WARNING,
+                         logger="fstd2pandas_spark.fsutil"):
+        with fsu.maintenance_lease(spark, root, "sink"):
+            pass
+    assert any("flat-namespace" in r.getMessage()
+               for r in caplog.records)
+    assert not os.path.exists(os.path.join(root, ".maintenance-lock"))
+
+
+def test_maintenance_lease_takeover_identity(spark, tmp_path):
+    """The takeover TOCTOU, pinned: rename is by PATH, so a slow
+    second breaker could rename the first breaker's freshly
+    re-created lock. _break_stale verifies the renamed file IS the
+    stale incarnation it judged (token match; mtime staleness for an
+    unreadable lock) and renames a fresh rival's lock BACK."""
+    import json
+    import os
+    import time
+
+    import fstd2pandas_spark.fsutil as fsu
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    lock = os.path.join(root, ".maintenance-lock")
+
+    # a FRESH rival lock whose content claims a DIFFERENT token than
+    # the stale one the breaker observed: simulate the race by
+    # patching _read_lease's first call (the stale judgment) to
+    # report a stale, different-token lease while the REAL file is a
+    # rival's fresh lock
+    with open(lock, "w") as f:
+        f.write(json.dumps({"owner": "rival", "token": "rivaltok"}))
+    real_read = fsu._read_lease
+    calls = {"n": 0}
+
+    def fake_read(spark_, fs_, lock_):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the breaker's stale observation (pre-race)
+            return {"owner": "dead", "token": "deadtok"}, 10_000.0
+        return real_read(spark_, fs_, lock_)
+
+    import pytest as _pt
+    try:
+        fsu._read_lease = fake_read
+        with _pt.raises(fsu.LeaseHeldError, match="takeover race"):
+            with fsu.maintenance_lease(spark, root, "b",
+                                       ttl_sec=3600.0,
+                                       break_lease=True):
+                pass
+    finally:
+        fsu._read_lease = real_read
+    # the rival's lock was renamed BACK, not consumed
+    assert json.load(open(lock))["token"] == "rivaltok"
+    assert not [e for e in os.listdir(root) if "broken" in e]
+
+    # ...and a genuinely stale UNREADABLE lock is still breakable:
+    # identity falls back to the renamed file's own mtime staleness
+    with open(lock, "w") as f:
+        f.write("torn{")
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    with fsu.maintenance_lease(spark, root, "b", ttl_sec=3600.0,
+                               break_lease=True):
+        assert json.load(open(lock))["owner"] == "b"
+    assert not os.path.exists(lock)
 
 
 def test_compaction_and_recovery_hold_the_lease(spark, tmp_path):
@@ -1234,6 +1322,49 @@ def test_recover_compaction_crash_point_sweep(spark, tmp_path):
         # compaction runs clean and is itself content-invariant
         compact_partitions(spark, path, ["day"], 1 << 30, verify=True)
         assert fps() == expected, f"post-recompact drift at {k}"
+
+    # second sweep: Hadoop rename/delete signal failure by RETURNING
+    # False (quota, permissions, concurrent mutation) — a different
+    # failure mode from a crash, exercising the swap's restore branch
+    # and the warn-and-continue delete paths. (1, 2) is the
+    # restore-also-failed state: rename(new->old) fails AND the
+    # rename-back fails, leaving the partition only under its hidden
+    # name — the message points at recover_compaction, which must
+    # restore it.
+    class FalseFS:
+        def __init__(self, real, false_at):
+            self._real, self._false = real, set(false_at)
+            self.ops = 0
+
+        def _hit(self):
+            k = self.ops
+            self.ops += 1
+            return k in self._false
+
+        def rename(self, a, b):
+            if self._hit():
+                return False
+            return self._real.rename(a, b)
+
+        def delete(self, p, r=True):
+            if self._hit():
+                return False
+            return self._real.delete(p, r)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    for case in [(k,) for k in range(n_ops)] + [(1, 2)]:
+        build()
+        try:
+            _compact_locked(spark, path, ["day"], 1 << 30, None, 100,
+                            False, FalseFS(fs, case))
+        except IOError:
+            pass  # failed-rename paths raise; failed deletes warn
+        recover_compaction(spark, path, ["day"])
+        assert fps() == expected, f"content drift, False at {case}"
+        compact_partitions(spark, path, ["day"], 1 << 30, verify=True)
+        assert fps() == expected, f"post-recompact drift at {case}"
 
 
 def test_delete_checked_warns_on_false(caplog):
