@@ -855,6 +855,42 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("fp_b").alias("cp_fpb"))
            .withColumn("cp_files",
                        F.lit(int(stats["files_after"])).cast("long")))
+    # round 14: partition expiry (plans/compaction.py
+    # expire_partitions — the retention/TTL/GDPR primitive: whole
+    # matching partitions disappear atomically via the compaction
+    # rename protocol, NO data read, cost independent of table bytes)
+    # gated by the KEPT side's content invariance: a second
+    # hive-partitioned copy (the smaller o_orderkey % 64 < 8 slice —
+    # all 4 pk cells populated at every SF, probed: 48/470/4688 rows
+    # per cell) loses pk ∈ {1, 2} to a metadata-plane expiry, and
+    # xp_n/xp_fpa/xp_fpb fingerprint what REMAINS (the oracle derives
+    # them from raw orders with the pk filter — an expired partition
+    # leaking back, a half-deleted one, or a KEPT partition touched
+    # all move an integer); xp_parts rides the expired count.
+    from fstd2pandas_spark.plans.compaction import expire_partitions
+
+    exp_dir = os.path.join(
+        _TMP_ROOT,
+        f"expire_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(exp_dir, ignore_errors=True)
+    (tgt.filter((F.col("o_orderkey") % 64) < 8)
+        .withColumn("pk", (F.col("o_orderkey") % 4).cast("long"))
+        .coalesce(1).write.partitionBy("pk").parquet(exp_dir))
+    xstats = expire_partitions(spark, exp_dir, ["pk"],
+                               lambda v: v["pk"] in ("1", "2"))
+    if sorted(xstats["expired"]) != ["pk=1", "pk=2"]:
+        raise AssertionError(
+            "expiry gate: expected [pk=1, pk=2] expired, got "
+            f"{xstats['expired']}")
+    xpg = (partition_fingerprints(
+               spark.read.parquet(exp_dir),
+               gcols, ["o_orderkey", "cents", "pk"])
+           .select(*gcols,
+                   F.col("n_rows").alias("xp_n"),
+                   F.col("fp_a").alias("xp_fpa"),
+                   F.col("fp_b").alias("xp_fpb"))
+           .withColumn("xp_parts",
+                       F.lit(len(xstats["expired"])).cast("long")))
     # round 14: the CDC GENERATION plumbing (streaming/cdc_sink.py
     # read_cdc_table(generation=N) time travel + cdc_changes), put
     # under the oracle (r13 order #2 — the diff ENGINE change_feed is
@@ -949,13 +985,15 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = (base.join(mg, gcols, "left").join(s2g, gcols, "left")
            .join(pitg, gcols, "left").join(cpg, gcols, "left")
            .join(cfg, gcols, "left").join(g0g, gcols, "left")
-           .join(gcg, gcols, "left"))
-    # slice-scoped gates (cp_*, gn0/gc0/gc_*) and the diff gates
-    # (cf_*) read NULL for groups their corpus misses — coalesce to 0
-    # on BOTH sides (the engine NULL-from-left-join vs oracle-0 trap)
+           .join(gcg, gcols, "left").join(xpg, gcols, "left"))
+    # slice-scoped gates (cp_*, xp_*, gn0/gc0/gc_*) and the diff
+    # gates (cf_*) read NULL for groups their corpus misses —
+    # coalesce to 0 on BOTH sides (the engine NULL-from-left-join vs
+    # oracle-0 trap)
     for c in ("cf_ins", "cf_del", "cf_upd",
               "cp_n", "cp_fpa", "cp_fpb", "cp_files",
-              "gn0", "gc0", "gc_ins", "gc_del", "gc_upd"):
+              "gn0", "gc0", "gc_ins", "gc_del", "gc_upd",
+              "xp_n", "xp_fpa", "xp_fpb", "xp_parts"):
         res = res.withColumn(
             c, F.coalesce(F.col(c), F.lit(0).cast("long")))
     return res.orderBy(*gcols)
@@ -1041,6 +1079,29 @@ _Q_DEDUP_SQL = """
            (SELECT CAST(count(DISTINCT o_orderkey % 4) AS BIGINT)
             FROM orders WHERE o_orderkey % 32 < 8) AS cp_files
     FROM cpr GROUP BY o_custkey, o_orderstatus, o_orderpriority),
+  -- expiry mirror (round 14): the engine writes the o_orderkey % 64
+  -- < 8 slice hive-partitioned on pk, expires pk IN (1, 2) as a
+  -- metadata-plane op, and fingerprints what REMAINS — the oracle
+  -- derives those fingerprints from raw orders with the pk filter
+  xpr AS (
+    SELECT o_custkey, o_orderstatus, o_orderpriority,
+           CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) AS ha,
+           CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) AS hb
+    FROM (SELECT o_custkey, o_orderstatus, o_orderpriority,
+                 md5(concat('snap1', chr(31),
+                     CAST(o_orderkey AS VARCHAR), chr(31),
+                     CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), chr(31),
+                     CAST(o_orderkey % 4 AS VARCHAR))) AS h
+          FROM orders
+          WHERE o_orderkey % 64 < 8 AND o_orderkey % 4 IN (0, 3))),
+  xp AS (
+    SELECT o_custkey, o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS xp_n,
+           CAST(sum(ha) AS BIGINT) AS xp_fpa,
+           CAST(sum(hb) AS BIGINT) AS xp_fpb,
+           CAST(2 AS BIGINT) AS xp_parts
+    FROM xpr GROUP BY o_custkey, o_orderstatus, o_orderpriority),
   -- generation mirror (round 14): gen-0 is the slice's PRE-merge
   -- rows (time travel must see original cents), and
   -- cdc_changes(0 -> head) recovers the CDC construction on the
@@ -1085,7 +1146,11 @@ _Q_DEDUP_SQL = """
          COALESCE(g0.gc0, 0) AS gc0,
          COALESCE(gc.gc_ins, 0) AS gc_ins,
          COALESCE(gc.gc_del, 0) AS gc_del,
-         COALESCE(gc.gc_upd, 0) AS gc_upd
+         COALESCE(gc.gc_upd, 0) AS gc_upd,
+         COALESCE(xp.xp_n, 0) AS xp_n,
+         COALESCE(xp.xp_fpa, 0) AS xp_fpa,
+         COALESCE(xp.xp_fpb, 0) AS xp_fpb,
+         COALESCE(xp.xp_parts, 0) AS xp_parts
   FROM base LEFT JOIN m USING (o_custkey, o_orderstatus, o_orderpriority)
   LEFT JOIN s2 USING (o_custkey, o_orderstatus, o_orderpriority)
   LEFT JOIN pit USING (o_custkey, o_orderstatus, o_orderpriority)
@@ -1093,6 +1158,7 @@ _Q_DEDUP_SQL = """
   LEFT JOIN cf USING (o_custkey, o_orderstatus, o_orderpriority)
   LEFT JOIN g0 USING (o_custkey, o_orderstatus, o_orderpriority)
   LEFT JOIN gc USING (o_custkey, o_orderstatus, o_orderpriority)
+  LEFT JOIN xp USING (o_custkey, o_orderstatus, o_orderpriority)
   ORDER BY o_custkey, o_orderstatus, o_orderpriority
 """
 

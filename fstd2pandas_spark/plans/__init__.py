@@ -16,6 +16,7 @@ from fstd2pandas_spark.plans.merge import (
 from fstd2pandas_spark.plans.compaction import (
     compact_partitions,
     compaction_plan,
+    expire_partitions,
     recover_compaction,
 )
 from fstd2pandas_spark.plans.salting import key_skew_report, salted_join
@@ -33,6 +34,7 @@ __all__ = [
     "changed_partitions",
     "compact_partitions",
     "compaction_plan",
+    "expire_partitions",
     "recover_compaction",
     "partition_fingerprints",
     "incremental_refresh",

@@ -83,6 +83,13 @@ MAX_COMPACT_PARTITIONS = 10_000
 #: the name is ``<12 hex>-<original leaf>`` so recovery is decidable
 _HIDDEN_PREFIX = ".compact-old-"
 
+#: hidden-dir prefix :func:`expire_partitions` renames condemned
+#: partitions to before deleting them — distinct from
+#: ``.compact-old-`` because the RECOVERY action differs: an expired
+#: copy is always deleted (the rename IS the expiry commit), never
+#: restored (that would resurrect data the caller asked to remove)
+_EXP_PREFIX = ".compact-exp-"
+
 #: rewrite temp dirs are EXACTLY ``<base>.compact-<12 hex>`` — both
 #: the pre-flight debris check and the recovery sweep match this full
 #: format, so a user's ``table.compact-backup`` sibling is never
@@ -172,7 +179,8 @@ def _list_partitions(spark: SparkSession, path: str,
                         "foreachBatch (see streaming/cdc_sink.py) if "
                         "the table must be compactable")
                 if (debris_out is not None and st.isDirectory()
-                        and name.startswith(_HIDDEN_PREFIX)):
+                        and name.startswith((_HIDDEN_PREFIX,
+                                             _EXP_PREFIX))):
                     debris_out.append(f"{rel}/{name}" if rel else name)
                 continue
             if not st.isDirectory() or "=" not in name:
@@ -543,6 +551,87 @@ def _compact_locked(spark: SparkSession, path: str,
     return stats
 
 
+def expire_partitions(spark: SparkSession, path: str,
+                      part_cols: "list[str]", predicate,
+                      max_partitions: int = MAX_COMPACT_PARTITIONS,
+                      allow_nonatomic_rename: bool = False,
+                      break_lease: bool = False,
+                      lease_ttl_sec: float = 3600.0) -> dict:
+    """Delete WHOLE partitions whose decoded values match
+    ``predicate`` — the retention/TTL/GDPR-expiry primitive (Delta's
+    partition-boundary ``DELETE WHERE`` / Iceberg's
+    ``expire``+``remove_orphan_files`` use case) as a pure
+    METADATA-plane op: one plan walk lists the partitions, NO data is
+    ever read or rewritten, and the job cost is independent of the
+    table's byte size — exactly what dropping yesterday's raw tier
+    from a 100 TB hive layout must cost.
+
+    ``predicate`` is a driver-side callable ``dict -> bool`` over
+    ``{col: value}`` with values in the directory's decoded STRING
+    form (``None`` for the hive NULL partition) — cast inside the
+    predicate; ISO dates compare correctly as strings. Each matching
+    partition disappears ATOMICALLY via the compaction swap's rename
+    protocol: rename to a hidden ``.compact-exp-<12hex>-<leaf>``
+    sibling (readers see the partition entirely or not at all — a
+    direct recursive delete would expose PARTIAL data to concurrent
+    scans mid-delete and after a crash), then delete the condemned
+    copy. The rename IS the commit: a crash between the two steps
+    leaves only hidden debris that :func:`recover_compaction` always
+    DELETES (never restores — that would resurrect data the caller
+    asked removed) and that :func:`compact_partitions` /
+    :func:`expire_partitions` refuse to start on. Returns
+    ``{"expired": [rel, ...], "files_removed": n,
+    "bytes_removed": n}``.
+
+    Same operational contract as compaction: the whole run holds the
+    single-writer maintenance lease, and flat-namespace object-store
+    schemes are refused unless ``allow_nonatomic_rename=True`` (the
+    atomic-disappearance rename is a data COPY there)."""
+    fs, root = hadoop_fs(spark, path)
+    if not fs.exists(root):
+        raise ValueError(f"expire_partitions: {path} does not exist")
+    _require_atomic_rename(fs, path, allow_nonatomic_rename,
+                           "expire_partitions")
+    with maintenance_lease(spark, path, "expire_partitions",
+                           ttl_sec=lease_ttl_sec,
+                           break_lease=break_lease):
+        debris: "list[str]" = []
+        entries = _list_partitions(spark, path, part_cols, debris)
+        debris.extend(t.getName() for t in _tmp_dirs(spark, path))
+        if debris:
+            raise RuntimeError(
+                "expire_partitions: crash debris present under "
+                f"{path} ({debris[:4]}) — run recover_compaction "
+                "first; starting on top of debris would make the "
+                "crash states ambiguous")
+        doomed = [e for e in entries
+                  if predicate(dict(zip(part_cols, e["values"])))]
+        if len(doomed) > max_partitions:
+            raise ValueError(
+                f"expiry matches {len(doomed)} partitions > "
+                f"max_partitions={max_partitions} — split the job "
+                "into windows instead of serializing one giant "
+                "driver loop")
+        stats = {"expired": [e["rel"] for e in doomed],
+                 "files_removed": sum(e["n_files"] for e in doomed),
+                 "bytes_removed": sum(e["bytes"] for e in doomed)}
+        base_dir = path.rstrip("/")
+        for e in doomed:
+            old = jpath(spark, f"{base_dir}/{e['rel']}")
+            leaf = e["rel"].rsplit("/", 1)[-1]
+            hidden = jpath(
+                spark, str(old.getParent()),
+                f"{_EXP_PREFIX}{uuid.uuid4().hex[:12]}-{leaf}")
+            if not fs.rename(old, hidden):
+                raise IOError(
+                    f"expire_partitions: rename {old} -> {hidden} "
+                    "failed — this partition is NOT expired; already-"
+                    "renamed partitions are; re-run after fixing the "
+                    "filesystem error")
+            delete_checked(fs, hidden, what="expired partition copy")
+        return stats
+
+
 def _tmp_dirs(spark: SparkSession, path: str):
     """Crashed rewrite temp dirs: root SIBLINGS matching the exact
     ``<base>.compact-<12 hex>`` format the rewrite writes — one
@@ -570,9 +659,10 @@ def _tmp_dirs(spark: SparkSession, path: str):
 
 def _hidden_dirs(spark: SparkSession, path: str,
                  part_cols: "list[str]"):
-    """``(jpath, parent_rel)`` for every ``.compact-old-*`` dir at any
-    partition-parent level — the recovery-side walk (the hot path,
-    compact_partitions, piggybacks on its plan walk instead)."""
+    """``(jpath, parent_rel)`` for every ``.compact-old-*`` /
+    ``.compact-exp-*`` dir at any partition-parent level — the
+    recovery-side walk (the hot path, compact_partitions, piggybacks
+    on its plan walk instead)."""
     fs, root = hadoop_fs(spark, path)
     hiddens = []
 
@@ -581,7 +671,7 @@ def _hidden_dirs(spark: SparkSession, path: str,
             name = st.getPath().getName()
             if not st.isDirectory():
                 continue
-            if name.startswith(_HIDDEN_PREFIX):
+            if name.startswith((_HIDDEN_PREFIX, _EXP_PREFIX)):
                 hiddens.append((st.getPath(), rel))
             elif not _is_hidden(name) and depth + 1 < len(part_cols):
                 walk(st.getPath(), f"{rel}/{name}" if rel else name,
@@ -644,9 +734,13 @@ def recover_compaction(spark: SparkSession, path: str,
 def _recover_locked(spark: SparkSession, path: str,
                     part_cols: "list[str]", fs) -> dict:
     """The body of :func:`recover_compaction`, run under the lease."""
-    stats = {"restored": [], "stale_removed": 0, "tmp_removed": 0}
+    stats = {"restored": [], "stale_removed": 0, "tmp_removed": 0,
+             "expired_removed": 0}
     for h, parent_rel in _hidden_dirs(spark, path, part_cols):
-        tail = h.getName()[len(_HIDDEN_PREFIX):]
+        name = h.getName()
+        prefix = (_EXP_PREFIX if name.startswith(_EXP_PREFIX)
+                  else _HIDDEN_PREFIX)
+        tail = name[len(prefix):]
         parts = tail.split("-", 1)
         # the hex token is the SIGNATURE (the exact-format rule the
         # tmp sweep already follows): `.compact-old-my-backup` would
@@ -656,12 +750,20 @@ def _recover_locked(spark: SparkSession, path: str,
                 not re.fullmatch(r"[0-9a-f]{12}", parts[0]):
             raise ValueError(
                 f"recover_compaction: cannot decode {h} — the "
-                "pre-recovery release named hidden dirs "
-                ".compact-old-<hex> without the original leaf, and "
+                f"pre-recovery release named hidden dirs "
+                f"{prefix}<hex> without the original leaf, and "
                 "other tools may collide with the prefix; identify "
                 "the partition from the dir's parquet content and "
                 "rename it back (or delete it if its partition "
                 "exists) manually — refusing to guess")
+        if prefix == _EXP_PREFIX:
+            # a condemned expired partition is ALWAYS deleted, never
+            # restored: the rename was the expiry's commit point, and
+            # restoring would resurrect data the caller asked removed
+            if delete_checked(fs, h,
+                              what="condemned expired partition"):
+                stats["expired_removed"] += 1
+            continue
         leaf = parts[1]
         target = jpath(spark, str(h.getParent()), leaf)
         rel = f"{parent_rel}/{leaf}" if parent_rel else leaf

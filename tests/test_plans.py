@@ -850,14 +850,15 @@ def test_compaction_crash_recovery(spark, tmp_path):
 
     stats = recover_compaction(spark, path, ["day"])
     assert stats == {"restored": ["day=1"], "stale_removed": 1,
-                     "tmp_removed": 1}
+                     "tmp_removed": 1, "expired_removed": 0}
     assert fp() == before            # content fully restored
     assert not os.path.exists(tmp_dir)
     assert not [e for e in os.listdir(path) if e.startswith(".compact")]
 
     # clean dataset: recovery is a no-op and compaction runs again
     assert recover_compaction(spark, path, ["day"]) == {
-        "restored": [], "stale_removed": 0, "tmp_removed": 0}
+        "restored": [], "stale_removed": 0, "tmp_removed": 0,
+        "expired_removed": 0}
     compact_partitions(spark, path, ["day"], 1 << 30, verify=True)
     assert fp() == before
 
@@ -886,7 +887,8 @@ def test_compaction_crash_recovery(spark, tmp_path):
     with open(os.path.join(backup, "precious.txt"), "w") as f:
         f.write("user data")
     assert recover_compaction(spark, path, ["day"]) == {
-        "restored": [], "stale_removed": 0, "tmp_removed": 0}
+        "restored": [], "stale_removed": 0, "tmp_removed": 0,
+        "expired_removed": 0}
     assert os.path.exists(os.path.join(backup, "precious.txt"))
     compact_partitions(spark, path, ["day"], 1 << 30)   # no raise
     assert os.path.exists(os.path.join(backup, "precious.txt"))
@@ -992,7 +994,7 @@ def test_compaction_object_store_rename_honesty(spark, tmp_path,
     monkeypatch.undo()
     rec = comp.recover_compaction(spark, path, ["day"])
     assert rec == {"restored": [], "stale_removed": 0,
-                   "tmp_removed": 0}
+                   "tmp_removed": 0, "expired_removed": 0}
 
 
 def test_maintenance_lease_single_writer(spark, tmp_path):
@@ -1367,6 +1369,104 @@ def test_recover_compaction_crash_point_sweep(spark, tmp_path):
         assert fps() == expected, f"post-recompact drift at {case}"
 
 
+def test_expire_partitions(spark, tmp_path, monkeypatch):
+    """expire_partitions — retention/TTL expiry as a pure
+    metadata-plane op: matching partitions (incl. the hive NULL one)
+    disappear atomically via the rename-then-delete protocol, kept
+    partitions are byte-identical, NO data is read, and stats count
+    exactly the removed files/bytes. Crash debris (`.compact-exp-*`)
+    blocks new runs, is always DELETED by recovery (never restored —
+    the rename was the commit), and look-alike names without the
+    12-hex signature are refused. The operator shares compaction's
+    lease and flat-namespace contracts."""
+    import os
+
+    import fstd2pandas_spark.plans.compaction as comp
+    from fstd2pandas_spark.fsutil import (LeaseHeldError,
+                                          maintenance_lease)
+    from fstd2pandas_spark.plans.snapshot import partition_fingerprints
+
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(d, i, f"s{i}") for d in (0, 1, 2, None) for i in range(20)],
+        "day int, u long, s string")
+    df.coalesce(2).write.partitionBy("day").parquet(path)
+
+    def fps():
+        return {tuple(r) for r in partition_fingerprints(
+            spark.read.parquet(path), ["day"], ["u", "s"]).collect()}
+
+    kept_before = {t for t in fps() if t[0] in (0, None)}
+
+    # values arrive as decoded STRINGS (None for the NULL partition)
+    stats = comp.expire_partitions(
+        spark, path, ["day"], lambda v: v["day"] in ("1", "2"))
+    assert sorted(stats["expired"]) == ["day=1", "day=2"]
+    assert stats["files_removed"] >= 2 and stats["bytes_removed"] > 0
+    assert fps() == kept_before
+    assert not [e for e in os.listdir(path)
+                if e.startswith(".compact")]
+
+    # the hive NULL partition is addressable as None
+    stats2 = comp.expire_partitions(
+        spark, path, ["day"], lambda v: v["day"] is None)
+    assert stats2["expired"] == ["day=__HIVE_DEFAULT_PARTITION__"]
+    assert fps() == {t for t in kept_before if t[0] == 0}
+
+    # nothing matches -> clean no-op
+    assert comp.expire_partitions(
+        spark, path, ["day"], lambda v: False) == {
+        "expired": [], "files_removed": 0, "bytes_removed": 0}
+
+    # crash window: a .compact-exp-* dir (rename done, delete not) is
+    # debris — both maintenance entry points refuse, recovery DELETES
+    # it (resurrecting expired data is never correct), and the table
+    # is untouched
+    exp_debris = os.path.join(path, ".compact-exp-abcdef123456-day=9")
+    os.makedirs(exp_debris)
+    with open(os.path.join(exp_debris, "f.parquet"), "w") as f:
+        f.write("condemned")
+    with pytest.raises(RuntimeError, match="crash debris"):
+        comp.expire_partitions(spark, path, ["day"], lambda v: False)
+    with pytest.raises(RuntimeError, match="crash debris"):
+        comp.compact_partitions(spark, path, ["day"], 1 << 30)
+    rec = comp.recover_compaction(spark, path, ["day"])
+    assert rec == {"restored": [], "stale_removed": 0,
+                   "tmp_removed": 0, "expired_removed": 1}
+    assert not os.path.exists(exp_debris)
+    assert fps() == {t for t in kept_before if t[0] == 0}
+
+    # look-alike without the 12-hex signature: refuse to guess
+    look = os.path.join(path, ".compact-exp-my-backup")
+    os.makedirs(look)
+    with pytest.raises(ValueError, match="refusing to guess"):
+        comp.recover_compaction(spark, path, ["day"])
+    os.rmdir(look)
+
+    # lease + flat-namespace contracts match compaction's
+    with maintenance_lease(spark, path, "rival"):
+        with pytest.raises(LeaseHeldError, match="locked by rival"):
+            comp.expire_partitions(spark, path, ["day"],
+                                   lambda v: False)
+    monkeypatch.setattr(comp, "_fs_scheme", lambda fs: "gs")
+    with pytest.raises(RuntimeError, match="flat-namespace"):
+        comp.expire_partitions(spark, path, ["day"], lambda v: False)
+    monkeypatch.undo()
+
+    # multilevel layout: expire one leaf, the sibling stays
+    path2 = str(tmp_path / "ml")
+    spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 20), (2, 2, 30)], "a int, b int, v long")\
+        .coalesce(1).write.partitionBy("a", "b").parquet(path2)
+    st = comp.expire_partitions(
+        spark, path2, ["a", "b"],
+        lambda v: v["a"] == "1" and v["b"] == "3")
+    assert st["expired"] == ["a=1/b=3"]
+    assert {tuple(r) for r in
+            spark.read.parquet(path2).select("v", "a", "b")
+            .collect()} == {(10, 1, 2), (30, 2, 2)}
+
+
 def test_delete_checked_warns_on_false(caplog):
     """fs.delete signals failure by RETURNING False — ignored, the
     leftover debris costs the operator a confused round-trip on the
@@ -1544,7 +1644,7 @@ def test_compaction_and_recovery_multilevel(spark, tmp_path):
         compact_partitions(spark, path, ["a", "b"], 1 << 30)
     rstats = recover_compaction(spark, path, ["a", "b"])
     assert rstats == {"restored": ["a=1/b=2"], "stale_removed": 1,
-                      "tmp_removed": 0}
+                      "tmp_removed": 0, "expired_removed": 0}
     assert fp() == before
 
 
