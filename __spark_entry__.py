@@ -798,8 +798,7 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count == partition count for groups IN the slice, 0 for groups
     # the slice misses — the cf_* coalesce convention). Driver-side
     # loud checks pin the rest: compaction actually rewrote (files
-    # strictly shrank, all 4 partitions touched) and verify=True
-    # re-fingerprints in-process.
+    # strictly shrank, all 4 partitions touched).
     import shutil
 
     from fstd2pandas_spark.plans.compaction import compact_partitions
