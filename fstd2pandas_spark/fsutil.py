@@ -59,6 +59,13 @@ class LeaseHeldError(RuntimeError):
     """Another maintenance run holds the single-writer lease."""
 
 
+#: (root, scheme) pairs whose flat-namespace advisory warning already
+#: fired this process — the lease is acquired per micro-batch by the
+#: CDC sink, and the honesty warning must not flood a continuous
+#: stream's driver log
+_flat_warned: "set[tuple[str, str]]" = set()
+
+
 def _read_lease(spark: SparkSession, fs, lock):
     """Best-effort ``(payload, age_sec)`` of an existing lease file.
     AGE comes from the filesystem's modification time (robust against
@@ -161,7 +168,12 @@ def maintenance_lease(spark: SparkSession, root: str, who: str,
         "pid": os.getpid(), "ts": time.time(), "token": token})
     scheme = (fs_scheme(fs) or "file").lower()
     local = scheme == "file"
-    if scheme in FLAT_NAMESPACE_SCHEMES:
+    if scheme in FLAT_NAMESPACE_SCHEMES and \
+            (root, scheme) not in _flat_warned:
+        # once per (root, scheme): the CDC sink acquires the lease
+        # per micro-batch, and a continuous object-store stream would
+        # otherwise re-log this every few seconds forever
+        _flat_warned.add((root, scheme))
         _log.warning(
             "maintenance lease on %s: %r is a flat-namespace object "
             "store where create-exclusive is a best-effort "

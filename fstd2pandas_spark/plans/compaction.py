@@ -149,8 +149,9 @@ def _list_partitions(spark: SparkSession, path: str,
     decoded partition values (HIVE_NULL -> None), file count and
     total bytes. Raises if the layout does not match ``part_cols``.
     ``debris_out`` (if given) collects the relative paths of
-    ``.compact-old-*`` crash-debris dirs seen DURING the same walk —
-    debris detection costs no extra listing."""
+    ``.compact-old-*`` / ``.compact-exp-*`` crash-debris dirs seen
+    DURING the same walk — debris detection costs no extra
+    listing."""
     from urllib.parse import unquote
 
     fs, root = hadoop_fs(spark, path)
@@ -330,6 +331,21 @@ def compact_partitions(spark: SparkSession, path: str,
                                order_by, max_partitions, verify, fs)
 
 
+def _refuse_on_debris(spark: SparkSession, path: str,
+                      debris: "list[str]", who: str) -> None:
+    """ONE definition of the debris refusal (the _widen third-copy
+    rule): extends ``debris`` (the plan walk's findings) with crashed
+    rewrite temp dirs and raises if anything is present — a new run on
+    top of old debris would make the crash states ambiguous."""
+    debris.extend(t.getName() for t in _tmp_dirs(spark, path))
+    if debris:
+        raise RuntimeError(
+            f"{who}: crash debris present under "
+            f"{path} ({debris[:4]}) — run recover_compaction first; "
+            "starting a new run on top of debris would make the crash "
+            "states ambiguous")
+
+
 def _compact_locked(spark: SparkSession, path: str,
                     part_cols: "list[str]", target_bytes: int,
                     order_by: "list[str] | None",
@@ -338,13 +354,7 @@ def _compact_locked(spark: SparkSession, path: str,
     debris: "list[str]" = []
     plan = compaction_plan(spark, path, part_cols, target_bytes,
                            debris_out=debris)
-    debris.extend(t.getName() for t in _tmp_dirs(spark, path))
-    if debris:
-        raise RuntimeError(
-            "compaction: crash debris present under "
-            f"{path} ({debris[:4]}) — run recover_compaction first; "
-            "starting a new run on top of debris would make the crash "
-            "states ambiguous")
+    _refuse_on_debris(spark, path, debris, "compaction")
     bucketed = sorted(e["rel"] for e in plan if e["bucketed"])
     if bucketed:
         raise RuntimeError(
@@ -585,8 +595,14 @@ def expire_partitions(spark: SparkSession, path: str,
 
     Same operational contract as compaction: the whole run holds the
     single-writer maintenance lease, and flat-namespace object-store
-    schemes are refused unless ``allow_nonatomic_rename=True`` (the
-    atomic-disappearance rename is a data COPY there)."""
+    schemes are refused unless ``allow_nonatomic_rename=True``. Under
+    that opt-in the all-or-nothing claim is VOID there: the rename is
+    a per-object copy + delete, so a mid-copy crash leaves a
+    HALF-expired partition whose live remainder reads as normal data,
+    and recovery deletes only the hidden half — re-run
+    expire_partitions with the same predicate to finish the job."""
+    if not part_cols:
+        raise ValueError("need at least one partition column")
     fs, root = hadoop_fs(spark, path)
     if not fs.exists(root):
         raise ValueError(f"expire_partitions: {path} does not exist")
@@ -597,13 +613,7 @@ def expire_partitions(spark: SparkSession, path: str,
                            break_lease=break_lease):
         debris: "list[str]" = []
         entries = _list_partitions(spark, path, part_cols, debris)
-        debris.extend(t.getName() for t in _tmp_dirs(spark, path))
-        if debris:
-            raise RuntimeError(
-                "expire_partitions: crash debris present under "
-                f"{path} ({debris[:4]}) — run recover_compaction "
-                "first; starting on top of debris would make the "
-                "crash states ambiguous")
+        _refuse_on_debris(spark, path, debris, "expire_partitions")
         doomed = [e for e in entries
                   if predicate(dict(zip(part_cols, e["values"])))]
         if len(doomed) > max_partitions:
@@ -686,14 +696,20 @@ def recover_compaction(spark: SparkSession, path: str,
                        allow_nonatomic_rename: bool = False,
                        break_lease: bool = False,
                        lease_ttl_sec: float = 3600.0) -> dict:
-    """Repair the debris a crashed :func:`compact_partitions` run can
-    leave behind; returns ``{"restored": [rel, ...],
-    "stale_removed": n, "tmp_removed": n}``. Safe to run anytime no
-    compaction is ACTIVE on ``path`` (the same single-writer premise
-    as compaction itself); a clean dataset is a no-op.
+    """Repair the debris a crashed :func:`compact_partitions` or
+    :func:`expire_partitions` run can leave behind; returns
+    ``{"restored": [rel, ...], "stale_removed": n, "tmp_removed": n,
+    "expired_removed": n}``. Safe to run anytime no maintenance run
+    is ACTIVE on ``path`` — enforced by the shared lease; a clean
+    dataset is a no-op.
 
     Every crash state is decidable because the hidden name encodes the
-    original leaf (``.compact-old-<hex>-<leaf>``):
+    original leaf (``.compact-old-<hex>-<leaf>`` /
+    ``.compact-exp-<hex>-<leaf>``):
+
+    - ``.compact-exp-*`` dir (a crashed expiry) — ALWAYS deleted,
+      never restored: the rename was the expiry's commit point, and
+      restoring would resurrect data the caller asked removed;
 
     - hidden dir whose sibling ``<leaf>`` is MISSING — the crash hit
       between the two swap renames; the hidden dir IS the original
@@ -748,14 +764,24 @@ def _recover_locked(spark: SparkSession, path: str,
         # or deleted — a user's look-alike dir destroyed
         if len(parts) != 2 or not parts[1] or \
                 not re.fullmatch(r"[0-9a-f]{12}", parts[0]):
+            # the manual advice DIFFERS by prefix: an undecodable
+            # .compact-exp-* dir holds data the caller asked REMOVED
+            # — telling the operator to 'rename it back' would be a
+            # retention/GDPR violation, not a recovery
+            advice = (
+                "verify it holds only data that was meant to be "
+                "expired and delete it manually — NEVER rename it "
+                "back (that would resurrect removed data)"
+                if prefix == _EXP_PREFIX else
+                "identify the partition from the dir's parquet "
+                "content and rename it back (or delete it if its "
+                "partition exists) manually")
             raise ValueError(
                 f"recover_compaction: cannot decode {h} — the "
                 f"pre-recovery release named hidden dirs "
                 f"{prefix}<hex> without the original leaf, and "
-                "other tools may collide with the prefix; identify "
-                "the partition from the dir's parquet content and "
-                "rename it back (or delete it if its partition "
-                "exists) manually — refusing to guess")
+                f"other tools may collide with the prefix; {advice} "
+                "— refusing to guess")
         if prefix == _EXP_PREFIX:
             # a condemned expired partition is ALWAYS deleted, never
             # restored: the rename was the expiry's commit point, and

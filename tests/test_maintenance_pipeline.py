@@ -162,6 +162,28 @@ def test_full_maintenance_cycle(spark, tmp_path):
     assert stats["files_after"] == 4 < stats["files_before"]
     assert all(e["n_files"] == 1 for e in
                compaction_plan(spark, fact, ["day"], 1 << 30))
+    # checkpointed: the expiry below DELETES files this lazy scan's
+    # captured listing references — the snapshot must be pinned to
+    # the pre-expiry state it claims to be
     post_snap = partition_fingerprints(
-        spark.read.parquet(fact), ["day"], ["k", "v"])
+        spark.read.parquet(fact), ["day"], ["k", "v"]).localCheckpoint()
     assert changed_partitions(post_snap, pre_snap, ["day"]).count() == 0
+
+    # ---- expire: retention drops the oldest day as a metadata-plane
+    # op, and the NEXT cycle's diff must report exactly that partition
+    # as 'deleted' — the signal downstream incremental consumers
+    # (refresh, partial-aggregate maintenance) react to by dropping
+    # their partials for it, closing the retention loop end to end.
+    from fstd2pandas_spark.plans.compaction import expire_partitions
+
+    est = expire_partitions(spark, fact, ["day"],
+                            lambda v: v["day"] == "d0")
+    assert est["expired"] == ["day=d0"] and est["files_removed"] == 1
+    exp_snap = partition_fingerprints(
+        spark.read.parquet(fact), ["day"], ["k", "v"])
+    exp_diff = changed_partitions(exp_snap, post_snap, ["day"])
+    assert [(r["day"], r["status"]) for r in exp_diff.collect()] == \
+        [("d0", "deleted")]
+    # the surviving partitions are byte-identical and still compact
+    assert all(e["n_files"] == 1 for e in
+               compaction_plan(spark, fact, ["day"], 1 << 30))

@@ -1135,8 +1135,12 @@ def test_maintenance_lease_flat_namespace_warns(spark, tmp_path,
                          logger="fstd2pandas_spark.fsutil"):
         with fsu.maintenance_lease(spark, root, "sink"):
             pass
-    assert any("flat-namespace" in r.getMessage()
-               for r in caplog.records)
+        # once per (root, scheme): the CDC sink re-acquires per
+        # micro-batch and must not flood a continuous stream's log
+        with fsu.maintenance_lease(spark, root, "sink"):
+            pass
+    assert sum("flat-namespace" in r.getMessage()
+               for r in caplog.records) == 1
     assert not os.path.exists(os.path.join(root, ".maintenance-lock"))
 
 
