@@ -1459,16 +1459,21 @@ _Q_CONDAGG_SQL = """
     FROM (SELECT user_id, event_id,
                  -- NULL sentinel chr(0)||'null' mirrors the engine's
                  -- NUL-prefixed sentinel (NULL must differ from '');
-                 -- NUL bytes in REAL content double-escape first so a
-                 -- string literally holding the sentinel cannot alias
-                 -- NULL (identity on this NUL-free corpus)
+                 -- NUL bytes in REAL content double-escape first and
+                 -- the chr(31) separator escapes as chr(0)||chr(31)
+                 -- (so a value holding a literal separator cannot
+                 -- alias a column boundary) — both identity on this
+                 -- NUL/sep-free corpus
                  md5(concat('snap1', chr(31),
-                            coalesce(replace(CAST(event_id AS VARCHAR),
-                                             chr(0), chr(0) || chr(0)),
+                            coalesce(replace(replace(
+                                       CAST(event_id AS VARCHAR),
+                                       chr(0), chr(0) || chr(0)),
+                                       chr(31), chr(0) || chr(31)),
                                      chr(0) || 'null'),
                             chr(31),
-                            coalesce(replace(event_type,
-                                             chr(0), chr(0) || chr(0)),
+                            coalesce(replace(replace(event_type,
+                                       chr(0), chr(0) || chr(0)),
+                                       chr(31), chr(0) || chr(31)),
                                      chr(0) || 'null'))) AS h
           FROM events)),
   fpr AS (

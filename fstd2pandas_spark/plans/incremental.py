@@ -94,6 +94,33 @@ def _check_int_cols(df: DataFrame, sum_cols: "list[str]") -> None:
                 "summation-order-dependent (the group_linfit contract)")
 
 
+def _check_partials_schema(partials: DataFrame, key_cols: "list[str]",
+                           sum_cols: "list[str]", who: str) -> None:
+    """Crisp fail-at-call validation of a partials-table input — the
+    adoption-path guard class: a hand-built/drifted partials table
+    with a DOUBLE ``sum_<c>`` column would silently float-widen the
+    whole refreshed table through ``unionByName`` (breaking the
+    integer determinism contract with no error), and a missing column
+    dies as an opaque AnalysisException deep in the plan."""
+    have = dict(partials.dtypes)
+    state = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
+    missing = [c for c in [*key_cols, *state] if c not in have]
+    if missing:
+        raise ValueError(
+            f"{who}: columns {missing} not in the partials schema "
+            f"{sorted(have)} — partials tables come from "
+            "partial_aggregates (or must match its layout)")
+    drifted = [f"{c}: {have[c]}" for c in state
+               if have[c] not in _INT_TYPES]
+    if drifted:
+        raise ValueError(
+            f"{who}: partials state columns must be integers, got "
+            f"{drifted} — a float column would make the refreshed "
+            "table summation-order-dependent (unionByName silently "
+            "widens long vs double to double); rebuild the partials "
+            "via partial_aggregates")
+
+
 def _guarded_sum(c: str) -> Column:
     v = F.col(c).cast("long")
     bad = F.concat(
@@ -171,7 +198,7 @@ def incremental_refresh(current: DataFrame, old_partials: DataFrame,
                         group_cols: "list[str]",
                         sum_cols: "list[str]",
                         prune_limit: int = MAX_PRUNE_PARTITIONS,
-                        ) -> DataFrame:
+                        check_unique: bool = False) -> DataFrame:
     """Patch a partials table from a
     :func:`~fstd2pandas_spark.plans.snapshot.changed_partitions` diff:
     keep the partials of untouched partitions (null-safe anti join on
@@ -180,10 +207,33 @@ def incremental_refresh(current: DataFrame, old_partials: DataFrame,
     touched-key set fits ``prune_limit``, broadcast-semi-joined past
     it), drop deleted ones. The result is bit-identical to
     ``partial_aggregates(current, ...)`` — that equivalence is the
-    correctness oracle — while reading only changed partitions."""
+    correctness oracle — while reading only changed partitions.
+
+    A diff row whose status is not new/changed/deleted is REFUSED
+    (it would silently fall between 'drop the old partial' and
+    'rebuild', deleting that partition's data from the partials).
+    ``check_unique=True`` is the ADOPTION-path guard (the
+    ``check_target_unique`` sibling): a hand-built partials table
+    holding duplicate (partition, group) rows passes the keep
+    anti-join untouched and double-counts every reduce — the opt-in
+    window raises in-plan naming the key; partials built by
+    :func:`partial_aggregates` are unique by construction."""
     if "status" not in diff.columns:
         raise ValueError("diff must come from changed_partitions "
                          "(missing the status column)")
+    # fail-at-call BEFORE the eager diff materialization below — its
+    # lineage usually runs two full fingerprint scans of the facts,
+    # and a typo'd column must not cost a terabyte scan first
+    _require = [c for c in [*part_cols, *group_cols, *sum_cols]
+                if c not in current.columns]
+    if _require:
+        raise ValueError(
+            f"incremental_refresh: columns {_require} not in the "
+            f"current corpus schema {sorted(current.columns)}")
+    _check_int_cols(current, sum_cols)
+    _check_partials_schema(old_partials,
+                           [*part_cols, *group_cols], sum_cols,
+                           "incremental_refresh")
     internal = {f"_d{i}" for i in range(len(part_cols))} | \
                {f"_t{i}" for i in range(len(part_cols))}
     clash = internal & (set(current.columns) | set(old_partials.columns))
@@ -192,6 +242,25 @@ def incremental_refresh(current: DataFrame, old_partials: DataFrame,
             f"input columns {sorted(clash)} collide with "
             "incremental_refresh's internal join-key names — rename "
             "them first (the _salted_topk reserved-name convention)")
+    if check_unique:
+        from pyspark.sql import Window
+
+        wdup = Window.partitionBy(*part_cols, *group_cols)
+        dup_bad = F.concat(
+            F.lit("incremental_refresh: old_partials holds duplicate "
+                  "(partition, group) rows for ("),
+            F.concat_ws(", ", *[
+                F.coalesce(F.col(k).cast("string"), F.lit("NULL"))
+                for k in [*part_cols, *group_cols]]),
+            F.lit(") — an adopted/hand-built partials table "
+                  "double-counts every untouched partition on each "
+                  "reduce; deduplicate or rebuild it first"))
+        # rides n_rows (always selected into keep) — a guard-only
+        # column would be pruned away with the column
+        old_partials = old_partials.withColumn(
+            "n_rows",
+            F.when(F.count("*").over(wdup) == 1, F.col("n_rows"))
+            .otherwise(F.raise_error(dup_bad).cast("long")))
     # materialize the partitions-sized diff ONCE: its lineage usually
     # runs two full fingerprint scans of the facts, and three
     # consumers read it below (the touched-key take, the keep anti
@@ -201,6 +270,21 @@ def incremental_refresh(current: DataFrame, old_partials: DataFrame,
     # a kilobytes-sized frame (callers on preemptible fleets can
     # df.checkpoint the diff reliably before passing it in).
     dkeys = diff.select(*part_cols, "status").localCheckpoint(eager=True)
+    # a status outside the changed_partitions vocabulary would fall
+    # BETWEEN 'drop the old partial' (anykeys matches every status)
+    # and 'rebuild' (touched filters new/changed) — silently deleting
+    # that partition's data from the partials; refuse instead. One
+    # tiny job on the kilobytes-sized checkpointed frame.
+    bad_status = [r["status"] for r in
+                  dkeys.filter(~F.col("status").isin(
+                      "new", "changed", "deleted"))
+                  .select("status").distinct().take(4)]
+    if bad_status:
+        raise ValueError(
+            f"incremental_refresh: diff carries unknown status values "
+            f"{bad_status} — only new/changed/deleted (the "
+            "changed_partitions vocabulary) are applicable; anything "
+            "else would silently DELETE that partition's partials")
     # keep: untouched partitions — ANY diff status invalidates the
     # old partial ('new' matches nothing in old_partials anyway).
     # Renamed-key frames keep the null-safe conditions unambiguous
@@ -239,14 +323,43 @@ def incremental_refresh(current: DataFrame, old_partials: DataFrame,
 def reduce_partials(partials: DataFrame, group_cols: "list[str]",
                     sum_cols: "list[str]") -> DataFrame:
     """Final aggregate from the partials alone — vector addition over
-    ``group_cols``, never touching facts. The total row count re-checks
-    the :data:`MAX_GROUP_ROWS` no-wrap bound (with per-value magnitude
-    already bounded at build time, a total under 2^31 rows keeps every
-    sum inside int64 by construction)."""
+    ``group_cols``, never touching facts. The no-wrap guarantee holds
+    for HAND-BUILT partials too, not just partial_aggregates output:
+    each partial row must carry ``0 <= n_rows <= MAX_GROUP_ROWS`` and
+    ``|sum_<c>| <= n_rows * MAX_SUM_ABS`` (raised in-plan riding the
+    summed columns — what a legitimate build can produce), which
+    bounds every total by ``MAX_GROUP_ROWS * MAX_SUM_ABS = 2^62``
+    once the total row count re-checks :data:`MAX_GROUP_ROWS`."""
     if not group_cols:
         raise ValueError("need at least one group column")
+    _check_partials_schema(partials, group_cols, sum_cols,
+                           "reduce_partials")
+    nr = F.col("n_rows").cast("long")
+    n_bad = F.concat(
+        F.lit("reduce_partials: a partial row carries n_rows = "),
+        F.coalesce(nr.cast("string"), F.lit("NULL")),
+        F.lit(f" outside [0, MAX_GROUP_ROWS={MAX_GROUP_ROWS}] — a "
+              "hand-built partials row voids the no-wrap bound; "
+              "rebuild via partial_aggregates"))
+    nr_ok = (F.when((nr >= 0) & (nr <= F.lit(MAX_GROUP_ROWS)), nr)
+             .otherwise(F.raise_error(n_bad).cast("long")))
+
+    def s_ok(c: str) -> Column:
+        v = F.col(f"sum_{c}").cast("long")
+        cap = nr_ok * F.lit(MAX_SUM_ABS)
+        bad = F.concat(
+            F.lit(f"reduce_partials: sum_{c} = "), v.cast("string"),
+            F.lit(" exceeds its partial's n_rows * MAX_SUM_ABS "
+                  "envelope — no legitimate build can produce it, and "
+                  "a hand-built value this large could wrap the total "
+                  "silently under non-ANSI configs; rebuild via "
+                  "partial_aggregates"))
+        return (F.sum(F.when(v.isNull() | ((v >= -cap) & (v <= cap)),
+                             v)
+                      .otherwise(F.raise_error(bad).cast("long")))
+                .cast("long").alias(f"sum_{c}"))
+
     return partials.groupBy(*group_cols).agg(
-        _guarded_count("reduce_partials", n=F.sum("n_rows"),
+        _guarded_count("reduce_partials", n=F.sum(nr_ok),
                        verb="totals").alias("n_rows"),
-        *[F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
-          for c in sum_cols])
+        *[s_ok(c) for c in sum_cols])

@@ -46,14 +46,21 @@ _SEP = "\x1f"
 #: NULL content sentinel. A NULL must hash differently from the empty
 #: string (a row flipping a column between NULL and '' is a real
 #: change), and no real value may ALIAS it: NUL bytes in content are
-#: escaped by doubling before the sentinel is applied, so a string
-#: column literally holding '\\x00null' (possible for arbitrary string
-#: content, unlike casts of the numeric/date types) hashes as
+#: escaped by doubling, and the \\x1f SEPARATOR itself is escaped as
+#: NUL + \\x1f (a string column holding a literal \\x1f would
+#: otherwise alias a column boundary: ('a\\x1fb','c') and
+#: ('a','b\\x1fc') hashed identically, and a real change between them
+#: fingerprinted as unchanged — silent-stale-partition class). The
+#: joined string parses deterministically left to right (a NUL always
+#: starts a 2-char escape, a BARE \\x1f is always a boundary), so the
+#: map is injective; a string literally holding '\\x00null' hashes as
 #: '\\x00\\x00null' — distinct from NULL's single-NUL sentinel, whose
 #: leading NUL can never survive the doubling. DuckDB mirror:
-#: ``coalesce(replace(CAST(c AS VARCHAR), chr(0), chr(0) || chr(0)),
-#: chr(0) || 'null')`` — chr(0) round-trips replace+md5 identically in
-#: both engines (verified against Python hashlib in tests).
+#: ``coalesce(replace(replace(CAST(c AS VARCHAR), chr(0),
+#: chr(0) || chr(0)), chr(31), chr(0) || chr(31)), chr(0) || 'null')``
+#: — NUL doubling FIRST, then the separator escape, same order as
+#: here; chr(0) round-trips replace+md5 identically in both engines
+#: (verified against Python hashlib in tests).
 _NULL = "\x00null"
 
 #: fingerprint-sum headroom bound (see the module docstring): above
@@ -75,11 +82,22 @@ def partition_fingerprints(df: DataFrame, part_cols: "list[str]",
     sums could wrap silently under non-ANSI configs."""
     if not part_cols or not content_cols:
         raise ValueError("need at least one partition and content column")
+    clash = {"n_rows", "fp_a", "fp_b"} & set(part_cols)
+    if clash:
+        # the partial_aggregates convention: a part col named like an
+        # output yields a duplicate-column frame whose struct packing
+        # in changed_partitions reads the WRONG column
+        raise ValueError(
+            f"partition columns {sorted(clash)} collide with the "
+            "fingerprint output names (n_rows/fp_a/fp_b) — rename "
+            "them first")
     h = F.md5(F.concat_ws(
         _SEP, F.lit(seed),
-        *[F.coalesce(F.replace(F.col(c).cast("string"),
-                               F.lit("\x00"), F.lit("\x00\x00")),
-                     F.lit(_NULL))
+        *[F.coalesce(
+            F.replace(F.replace(F.col(c).cast("string"),
+                                F.lit("\x00"), F.lit("\x00\x00")),
+                      F.lit(_SEP), F.lit("\x00" + _SEP)),
+            F.lit(_NULL))
           for c in content_cols]))
     a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     b = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
@@ -116,6 +134,11 @@ def changed_partitions(current: DataFrame, previous: DataFrame,
         raise ValueError(
             "need at least one partition column (the sibling "
             "partition_fingerprints contract)")
+    if "status" in part_cols:
+        raise ValueError(
+            "a partition column named 'status' collides with the "
+            "diff's output column — the result frame would hold two "
+            "ambiguous 'status' columns; rename it first")
     cur = current.select(
         *[F.col(c).alias(f"_c{i}") for i, c in enumerate(part_cols)],
         F.struct("n_rows", "fp_a", "fp_b").alias("_cur"))

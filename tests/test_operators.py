@@ -1286,13 +1286,39 @@ def test_partition_fingerprints_and_snapshot_diff(spark):
 
     want = {}
     for src, i, t in rows:
-        body = (t.replace("\x00", "\x00\x00") if t is not None
-                else chr(0) + "null")
+        body = (t.replace("\x00", "\x00\x00")
+                .replace("\x1f", "\x00\x1f")
+                if t is not None else chr(0) + "null")
         h = hashlib.md5(
             f"snap1\x1f{i}\x1f{body}".encode()).hexdigest()
         n, a, b = want.get(src, (0, 0, 0))
         want[src] = (n + 1, a + int(h[:8], 16), b + int(h[8:16], 16))
     assert fp == want
+
+    # a literal \x1f INSIDE a value must not alias a column boundary:
+    # ('a\x1fb','c') and ('a','b\x1fc') are DIFFERENT content, and a
+    # partition flipping between them is a REAL change — unescaped,
+    # both concatenated to the same hash input and the change
+    # fingerprinted as unchanged (silent-stale-partition class)
+    sep1 = partition_fingerprints(
+        spark.createDataFrame([("s", "a\x1fb", "c")],
+                              "src string, x string, y string"),
+        ["src"], ["x", "y"]).collect()[0]
+    sep2 = partition_fingerprints(
+        spark.createDataFrame([("s", "a", "b\x1fc")],
+                              "src string, x string, y string"),
+        ["src"], ["x", "y"]).collect()[0]
+    assert (sep1["fp_a"], sep1["fp_b"]) != (sep2["fp_a"], sep2["fp_b"])
+    assert changed_partitions(
+        partition_fingerprints(
+            spark.createDataFrame([("s", "a\x1fb", "c")],
+                                  "src string, x string, y string"),
+            ["src"], ["x", "y"]),
+        partition_fingerprints(
+            spark.createDataFrame([("s", "a", "b\x1fc")],
+                                  "src string, x string, y string"),
+            ["src"], ["x", "y"]),
+        ["src"]).collect()[0]["status"] == "changed"
 
     # a string column literally holding the NUL sentinel '\\x00null'
     # must NOT alias NULL (the r11 advice): NUL bytes in real content
@@ -1600,6 +1626,95 @@ def test_table_quality_report(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     init = plan.split("== Initial Plan ==")[-1]
     assert init.count("Scan ExistingRDD") == 1, init
+
+
+def test_incremental_adoption_guards(spark):
+    """The whole-file review's adoption-path class for the incremental
+    plane, each pinned with the silent corruption it prevents:
+    (a) a diff status outside new/changed/deleted fell BETWEEN 'drop
+    the old partial' and 'rebuild', silently deleting that partition
+    from the partials; (b) duplicate (partition, group) rows in a
+    hand-built partials table pass the keep anti-join and double-count
+    every reduce — check_unique=True raises in-plan; (c) a drifted
+    DOUBLE sum column float-widened the whole refreshed table through
+    unionByName with no error; (d) hand-built partials with
+    out-of-envelope sums (or negative/NULL n_rows) wrapped the reduce
+    total silently under non-ANSI; (e) part cols named like outputs
+    yielded ambiguous duplicate-column frames; (f) misspelled columns
+    now fail BEFORE the diff's expensive eager materialization."""
+    from fstd2pandas_spark.plans.incremental import (
+        incremental_refresh, partial_aggregates, reduce_partials)
+    from fstd2pandas_spark.plans.snapshot import (
+        changed_partitions, partition_fingerprints)
+
+    schema = "day string, u long, v long"
+    cur = spark.createDataFrame(
+        [("d1", 1, 10), ("d1", 2, 20), ("d2", 1, 7)], schema)
+    partials = partial_aggregates(cur, ["day"], ["u"], ["v"])
+    diff = changed_partitions(
+        partition_fingerprints(cur, ["day"], ["u", "v"]),
+        partition_fingerprints(cur.filter("day = 'd1'"),
+                               ["day"], ["u", "v"]),
+        ["day"])
+
+    # (a) unknown status refused loudly
+    bad_diff = diff.unionByName(spark.createDataFrame(
+        [("d1", "modified")], "day string, status string"))
+    with pytest.raises(ValueError, match="unknown status"):
+        incremental_refresh(cur, partials, bad_diff, ["day"], ["u"],
+                            ["v"])
+
+    # (b) duplicate partials rows: default lean, opt-in raises naming
+    # the key; unique partials pass WITH the guard
+    dup = partials.unionByName(partials.filter("day = 'd1' AND u = 1"))
+    with pytest.raises(Exception, match="double-counts"):
+        incremental_refresh(cur, dup, diff, ["day"], ["u"], ["v"],
+                            check_unique=True).collect()
+    ok = incremental_refresh(cur, partials, diff, ["day"], ["u"],
+                             ["v"], check_unique=True)
+    assert {tuple(r) for r in ok.collect()} == \
+        {tuple(r) for r in partials.collect()}
+
+    # (c) drifted double sum column refused at call time, both entry
+    # points (previously: unionByName silently widened to double)
+    drifted = partials.withColumn("sum_v",
+                                  F.col("sum_v").cast("double"))
+    with pytest.raises(ValueError, match="must be integers"):
+        incremental_refresh(cur, drifted, diff, ["day"], ["u"], ["v"])
+    with pytest.raises(ValueError, match="must be integers"):
+        reduce_partials(drifted, ["u"], ["v"])
+
+    # (d) hand-built partials outside the build envelope refused
+    # in-plan: out-of-envelope sum, negative and NULL n_rows
+    hand = spark.createDataFrame(
+        [(1, 1, 2 ** 62)], "u long, n_rows long, sum_v long")
+    with pytest.raises(Exception, match="envelope"):
+        reduce_partials(hand, ["u"], ["v"]).collect()
+    for nr in (-5, None):
+        handn = spark.createDataFrame(
+            [(1, nr, 3)], "u long, n_rows long, sum_v long")
+        with pytest.raises(Exception, match="outside"):
+            reduce_partials(handn, ["u"], ["v"]).collect()
+    # ...while legitimate partials still reduce exactly
+    red = reduce_partials(partials, ["u"], ["v"]).collect()
+    assert {(r["u"], r["n_rows"], r["sum_v"]) for r in red} == \
+        {(1, 2, 17), (2, 1, 20)}
+
+    # (e) reserved output names refused in the snapshot plane too
+    with pytest.raises(ValueError, match="fp_a"):
+        partition_fingerprints(
+            cur.withColumnRenamed("day", "fp_a"), ["fp_a"], ["v"])
+    with pytest.raises(ValueError, match="status"):
+        changed_partitions(
+            partials.withColumnRenamed("day", "status"),
+            partials.withColumnRenamed("day", "status"), ["status"])
+
+    # (f) misspelled columns fail BEFORE the eager diff checkpoint
+    with pytest.raises(ValueError, match="not in the current"):
+        incremental_refresh(cur, partials, diff, ["day"], ["u"],
+                            ["vv"])
+    with pytest.raises(ValueError, match="not in the partials"):
+        reduce_partials(partials.drop("n_rows"), ["u"], ["v"])
 
 
 def test_incremental_refresh_randomized_model(spark):

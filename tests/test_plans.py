@@ -1402,9 +1402,20 @@ def test_expire_partitions(spark, tmp_path, monkeypatch):
 
     kept_before = {t for t in fps() if t[0] in (0, None)}
 
-    # values arrive as decoded STRINGS (None for the NULL partition)
-    stats = comp.expire_partitions(
-        spark, path, ["day"], lambda v: v["day"] in ("1", "2"))
+    # values arrive as decoded STRINGS (None for the NULL partition).
+    # The metadata-plane claim is PINNED: zero Spark jobs run during
+    # the expiry (plan walk + renames only — no scan, no shuffle)
+    sc = spark.sparkContext
+    sc.setJobGroup("expire-pin", "expire must run no jobs")
+    try:
+        stats = comp.expire_partitions(
+            spark, path, ["day"], lambda v: v["day"] in ("1", "2"))
+    finally:
+        sc.setJobGroup(None, None)
+    import time as _time
+    _time.sleep(0.5)   # listener-bus drain
+    assert list(sc.statusTracker().getJobIdsForGroup("expire-pin")) \
+        == []
     assert sorted(stats["expired"]) == ["day=1", "day=2"]
     assert stats["files_removed"] >= 2 and stats["bytes_removed"] > 0
     assert fps() == kept_before
