@@ -54,10 +54,15 @@ def cycle_window_stats(stream: DataFrame, window_duration: str = "6 hours",
                        watermark: str = "1 hour") -> DataFrame:
     """Per (forecast-cycle window, nomvar) rollup: record count and the
     running mean of field means — the streaming version of ``fststat``
-    (SURVEY §2.5 A1). Late records beyond ``watermark`` are dropped."""
-    mean_d = F.aggregate(
-        "d", F.lit(0.0), lambda a, x: a + x.cast("double"),
-    ) / F.greatest(F.size("d"), F.lit(1))
+    (SURVEY §2.5 A1). Late records beyond ``watermark`` are dropped.
+    An EMPTY ``d`` array has no mean: it contributes NULL (skipped by
+    avg/min/max, still counted by n_records) — a divisor guard of 1
+    would fabricate a 0.0 that drags min_mean to zero and deflates
+    mean_of_means, a value the batch ``fststat`` never produces."""
+    mean_d = F.when(
+        F.size("d") > 0,
+        F.aggregate("d", F.lit(0.0),
+                    lambda a, x: a + x.cast("double")) / F.size("d"))
     return (
         stream.withWatermark("event_time", watermark)
         .withColumn("_mean", mean_d)
@@ -131,6 +136,19 @@ def streaming_interval_join(left: DataFrame, right: DataFrame,
             "collide with the prefixed right columns — the join "
             "condition and result schema would be ambiguous; pick a "
             "different right_prefix")
+    # crisp fail-at-call on misspelled columns (the merge.py
+    # convention): unresolved names would otherwise die deep in
+    # analysis naming a renamed INTERNAL column
+    lmiss = [c for c in (on, left_time) if c not in left.columns]
+    if lmiss:
+        raise ValueError(
+            f"streaming_interval_join: columns {lmiss} not in the "
+            f"left stream schema {sorted(left.columns)}")
+    rmiss = [c for c in (on, right_time) if c not in right.columns]
+    if rmiss:
+        raise ValueError(
+            f"streaming_interval_join: columns {rmiss} not in the "
+            f"right stream schema {sorted(right.columns)}")
     # ONE Project for the whole rename (a withColumnRenamed loop
     # stacks N nested projections)
     r = right.select(*[F.col(c).alias(right_prefix + c)
@@ -188,7 +206,16 @@ def running_extrema(stream: DataFrame) -> DataFrame:
                     continue
                 vals = pd.Series(arr, dtype="float64")
                 n += len(vals)
-                m, mx = float(vals.min()), float(vals.max())
+                # NaN/None elements count toward n_seen (the batch
+                # count(*) contract) but must NOT poison the extrema:
+                # pd.Series.min() over an all-NaN array returns NaN,
+                # and min(lo, NaN) keeps NaN when it arrives FIRST —
+                # making the answer depend on micro-batch arrival
+                # order, permanently (Spark's batch min/max skip NULLs)
+                clean = vals.dropna()
+                if clean.empty:
+                    continue
+                m, mx = float(clean.min()), float(clean.max())
                 lo = m if lo is None else min(lo, m)
                 hi = mx if hi is None else max(hi, mx)
         state.update((n, lo, hi))
@@ -261,10 +288,16 @@ def streaming_exact_dedup(stream: DataFrame, text_col: str = "text",
 
     ``normalized=True`` keys on :func:`normalized_text_col` (case/
     punctuation/whitespace-insensitive), matching the batch operator's
-    normalized ledger.  A NULL text hashes to NULL and NULL keys
-    compare equal in ``dropDuplicatesWithinWatermark``, so the stream
-    keeps one NULL-text document per horizon — stated here because the
-    batch operator has the same one-NULL-group contract.
+    normalized ledger — INCLUDING its degenerate-form rule: a document
+    whose normalized form is EMPTY (punctuation/emoji-only text) falls
+    back to its RAW text as the key, because every such document would
+    otherwise share md5('') and this destructive filter would silently
+    mass-delete all but one unrelated degenerate document per horizon
+    (the batch ledger excludes them for the same reason,
+    dedup.py normalized_exact_dedup). A NULL text hashes to NULL and
+    NULL keys compare equal in ``dropDuplicatesWithinWatermark``, so
+    the stream keeps one NULL-text document per horizon — stated here
+    because the batch operator has the same one-NULL-group contract.
 
     If the stream has no ``event_time_col``, a processing-time column
     is added (``current_timestamp()``): content dedup has no intrinsic
@@ -273,8 +306,19 @@ def streaming_exact_dedup(stream: DataFrame, text_col: str = "text",
     executor count exactly like the batch hash-groupBy."""
     from fstd2pandas_spark.operators.llm.dedup import normalized_text_col
 
-    key = (normalized_text_col(F.col(text_col)) if normalized
-           else F.col(text_col))
+    if "content_hash" in stream.columns:
+        # the interval join's enforced reserved-name discipline:
+        # withColumn would silently OVERWRITE the caller's column
+        raise ValueError(
+            "streaming_exact_dedup: the stream already carries a "
+            "'content_hash' column, which this operator would "
+            "silently overwrite — rename it first")
+    if normalized:
+        norm = normalized_text_col(F.col(text_col))
+        key = F.when(F.length(norm) > 0, norm).otherwise(
+            F.col(text_col))
+    else:
+        key = F.col(text_col)
     out = stream.withColumn("content_hash", F.md5(key))
     if event_time_col not in out.columns:
         out = out.withColumn(event_time_col, F.current_timestamp())
@@ -304,14 +348,34 @@ def streaming_signature_dedup(stream: DataFrame, text_col: str = "text",
     banding: band-level dropDuplicates would OR across bands and drop
     everything sharing ANY band — a recall tool for candidate
     GENERATION, far too aggressive for a destructive filter.  State:
-    one signature per horizon, partitioned by the signature hash."""
-    from fstd2pandas_spark.operators.llm.dedup import minhash_signature
+    one signature per horizon, partitioned by the signature hash.
 
+    DEGENERATE documents (fewer than ``shingle_k`` tokens, so the
+    shingle set is empty) fall back to EXACT content hashing: their
+    MinHash signature is the all-sentinel vector — one shared value
+    for 'hi', 'bye' and every other short document — and keying this
+    destructive filter on it would silently mass-delete all but one
+    short document per horizon. The sentinel is detectable exactly
+    (real minimum hashes live in [0, P); only an empty shingle set
+    coalesces to P itself). NULL text stays the one-NULL-group
+    contract of :func:`streaming_exact_dedup`."""
+    from fstd2pandas_spark.operators.llm.dedup import (MINHASH_P,
+                                                       minhash_signature)
+
+    clash = sorted({"sig", "signature_hash"} & set(stream.columns))
+    if clash:
+        raise ValueError(
+            f"streaming_signature_dedup: the stream already carries "
+            f"{clash}, which this operator would silently "
+            "overwrite/drop — rename them first")
     out = minhash_signature(stream, text_col, num_hashes, shingle_k)
     out = out.withColumn(
         "signature_hash",
-        F.md5(F.array_join(
-            F.transform(F.col("sig"), lambda x: x.cast("string")), "|")))
+        F.when(F.element_at(F.col("sig"), 1) != F.lit(MINHASH_P),
+               F.md5(F.array_join(
+                   F.transform(F.col("sig"),
+                               lambda x: x.cast("string")), "|")))
+        .otherwise(F.md5(F.col(text_col))))
     if event_time_col not in out.columns:
         out = out.withColumn(event_time_col, F.current_timestamp())
     return (
@@ -364,10 +428,22 @@ def streaming_funnel(stream: DataFrame, steps: "list[str]",
         raise ValueError("streaming_funnel: need at least one step")
     within_us = None if within is None else int(within) * 1_000_000
 
+    # NULL event_id tie-break sentinel: Spark sorts NULLs FIRST in an
+    # ascending struct sort (the batch fold's ordering), and int(pd.NA)
+    # would RAISE inside the state function, killing the whole query
+    # on one bad row
+    _eid_null = -(2 ** 63) + 1
+
     def _update(key, pdfs, state: GroupState):
         depth, first_us, last_us, last_eid = (
             state.get if state.exists else (0, None, -1, -1))
         ev = pd.concat(list(pdfs), ignore_index=True)
+        # a NULL clock cannot be ordered: the batch fold SKIPS such
+        # events (unix_micros(NULL) nulls the accept condition) — and
+        # pandas converts NaT to int64-MIN instead of raising, which
+        # would otherwise accept a garbage timestamp as step 1 and
+        # permanently wedge the within-horizon at ~-9.2e15
+        ev = ev.dropna(subset=[ts_col])
         # applyInPandasWithState currently delivers session-naive
         # timestamps, but pandas 2.x raises on .astype('datetime64[ns]')
         # for a tz-aware column — normalize defensively so the operator
@@ -377,8 +453,10 @@ def streaming_funnel(stream: DataFrame, steps: "list[str]",
             ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
         ev = ev.assign(
             _us=ts.astype("datetime64[ns]").astype("int64") // 1000,
-        ).sort_values(["_us", id_col])
-        for us, eid, et in zip(ev["_us"], ev[id_col], ev[type_col]):
+            _eid=ev[id_col].map(
+                lambda x: _eid_null if pd.isna(x) else int(x)),
+        ).sort_values(["_us", "_eid"])
+        for us, eid, et in zip(ev["_us"], ev["_eid"], ev[type_col]):
             us, eid = int(us), int(eid)
             if depth >= k or et != steps[depth]:
                 continue

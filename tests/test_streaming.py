@@ -56,8 +56,11 @@ def test_cycle_window_stats_matches_batch(spark, records, drop_zone):
 
     batch = spark.read.parquet(drop_zone).withColumn(
         "event_time", stamp_to_timestamp(F.col("datev")))
-    mean_d = F.aggregate("d", F.lit(0.0), lambda a, x: a + x.cast("double")) \
-        / F.greatest(F.size("d"), F.lit(1))
+    # mirror the operator's empty-array rule: no mean, not a fake 0.0
+    mean_d = F.when(
+        F.size("d") > 0,
+        F.aggregate("d", F.lit(0.0),
+                    lambda a, x: a + x.cast("double")) / F.size("d"))
     want = (
         batch.withColumn("_mean", mean_d)
         .groupBy(F.window("event_time", "6 hours"), "nomvar")
@@ -794,6 +797,120 @@ def test_cdc_sink_holds_the_lease(spark, tmp_path):
             read_cdc_table(spark, root).collect()} \
         == {(1, "a"), (2, "b")}
     assert not os.path.exists(os.path.join(root, ".maintenance-lock"))
+
+
+def test_streaming_degenerate_input_guards(spark, tmp_path):
+    """The record_stream whole-file review's silent-wrong-answer
+    classes, pinned: (a) punctuation-only docs must NOT collapse into
+    one md5('') group under normalized exact dedup (destructive
+    mass-delete — the batch ledger's degenerate-form rule); (b) short
+    documents (< shingle_k tokens) all share the MinHash SENTINEL
+    signature and must fall back to exact hashing instead of being
+    mass-deleted; (c) pre-existing reserved columns are refused, not
+    silently overwritten; (d) a NULL ts is dropped (pandas converts
+    NaT to int64-MIN, which would wedge the within-horizon funnel
+    forever) and a NULL event_id must not crash the query; (e) a NaN
+    arriving FIRST must not permanently poison running extrema;
+    (f) interval-join misspelled columns fail crisply at call."""
+    import os
+    import uuid
+
+    from fstd2pandas_spark.streaming.record_stream import (
+        run_to_memory, running_extrema, streaming_exact_dedup,
+        streaming_funnel, streaming_interval_join,
+        streaming_signature_dedup)
+
+    # (a) + (b): one drop zone of documents
+    dz = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        [(1, "!!!"), (2, "???"), (3, "!!!"),
+         (4, "hi"), (5, "bye"),
+         (6, "the quick brown fox jumps"),
+         (7, "the quick brown fox jumps")],
+        "doc_id long, text string")
+    docs.coalesce(1).write.parquet(dz)
+
+    n1 = f"sed_{uuid.uuid4().hex[:8]}"
+    run_to_memory(streaming_exact_dedup(
+        spark.readStream.schema("doc_id long, text string").parquet(dz),
+        normalized=True), n1)
+    texts = sorted(r["text"] for r in
+                   spark.table(n1).select("text").collect())
+    # '!!!' deduped against its copy only; '???' SURVIVES
+    assert texts == ["!!!", "???", "bye", "hi",
+                     "the quick brown fox jumps"]
+
+    n2 = f"sgd_{uuid.uuid4().hex[:8]}"
+    run_to_memory(streaming_signature_dedup(
+        spark.readStream.schema("doc_id long, text string").parquet(dz),
+        shingle_k=3), n2)
+    texts2 = sorted(r["text"] for r in
+                    spark.table(n2).select("text").collect())
+    # 'hi' and 'bye' both survive (sentinel fallback to exact text);
+    # the two real duplicates still collapse, as do '!!!' copies
+    assert texts2 == ["!!!", "???", "bye", "hi",
+                      "the quick brown fox jumps"]
+
+    # (c) reserved columns refused
+    withres = docs.withColumnRenamed("doc_id", "content_hash")
+    with pytest.raises(ValueError, match="content_hash"):
+        streaming_exact_dedup(withres)
+    with pytest.raises(ValueError, match="sig"):
+        streaming_signature_dedup(
+            docs.withColumnRenamed("doc_id", "sig"))
+
+    # (d) NULL ts dropped, NULL event_id ordered via sentinel — the
+    # funnel still completes instead of crashing or wedging
+    fz = str(tmp_path / "funl")
+    import datetime as _dt
+    t1 = _dt.datetime(2024, 1, 1, 10, 0, 0)
+    t2 = _dt.datetime(2024, 1, 1, 10, 30, 0)
+    spark.createDataFrame(
+        [(1, None, 7, "view"), (1, t1, None, "view"),
+         (1, t2, 3, "click")],
+        "user_id long, ts timestamp, event_id long, event_type string"
+    ).coalesce(1).write.parquet(fz)
+    n3 = f"fun_{uuid.uuid4().hex[:8]}"
+    run_to_memory(streaming_funnel(
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, "
+            "event_type string").parquet(fz),
+        ["view", "click"], within=7200), n3, output_mode="update")
+    rows = spark.table(n3).collect()
+    assert rows[-1]["depth"] == 2
+    assert rows[-1]["first_step_us"] == int(t1.replace(
+        tzinfo=_dt.timezone.utc).timestamp()) * 1_000_000
+
+    # (e) NaN arriving FIRST does not poison the extrema
+    ez = str(tmp_path / "ext")
+    os.makedirs(ez)
+    for i, arr in enumerate(([float("nan")], [1.0, 5.0])):
+        stage = str(tmp_path / f"est{i}")
+        spark.createDataFrame([("VV", arr)],
+                              "nomvar string, d array<double>") \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        import glob
+        import shutil
+        dst = os.path.join(ez, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+                    dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    n4 = f"ext_{uuid.uuid4().hex[:8]}"
+    run_to_memory(running_extrema(
+        spark.readStream.schema("nomvar string, d array<double>")
+        .option("maxFilesPerTrigger", "1").parquet(ez)),
+        n4, output_mode="update")
+    fin = spark.table(n4).orderBy(F.desc("n_seen")).collect()[0]
+    assert (fin["n_seen"], fin["running_min"], fin["running_max"]) \
+        == (3, 1.0, 5.0)
+
+    # (f) interval-join misspelled columns fail at call time
+    s1 = spark.readStream.schema("user_id long, ts timestamp") \
+        .parquet(fz)
+    with pytest.raises(ValueError, match="not in the left"):
+        streaming_interval_join(s1, s1, left_time="tss")
+    with pytest.raises(ValueError, match="not in the right"):
+        streaming_interval_join(s1, s1.drop("ts"))
 
 
 def test_vacuum_generations_tiers(spark, tmp_path):
