@@ -3719,12 +3719,15 @@ _Q_JACCARD_SQL = """
     GROUP BY a.doc_id, b.doc_id
   )
   , p AS (
+    -- threshold the EXACT ratio (the engine's rule: rounding first
+    -- would admit pairs within 5e-7 below the threshold); round only
+    -- the emitted column
     SELECT doc_a, doc_b,
            round(shared / (na.n + nb.n - shared), 6) AS jaccard
     FROM shared
     JOIN sizes na ON na.doc_id = doc_a
     JOIN sizes nb ON nb.doc_id = doc_b
-    WHERE round(shared / (na.n + nb.n - shared), 6) >= 0.2
+    WHERE shared / (na.n + nb.n - shared) >= 0.2
   ), e AS (
     SELECT doc_a AS src, doc_b AS dst FROM p
     UNION SELECT doc_b, doc_a FROM p

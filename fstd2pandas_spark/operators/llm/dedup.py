@@ -101,6 +101,11 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     hash is the fold *input*, so it is computed exactly once per shingle
     regardless of signature width — the variants are integer arithmetic.
     Shuffle-free per-document computation."""
+    if not 1 <= num_hashes <= len(MINHASH_AS):
+        raise ValueError(
+            f"num_hashes must be in 1..{len(MINHASH_AS)} (the affine "
+            f"coefficient family width), got {num_hashes} — 0 would "
+            "give every document the identical empty signature")
     # Projection boundaries matter doubly here (CollapseProject keeps
     # expensive multi-referenced aliases, and HOF lambdas have no
     # loop-invariant hoisting): tokens materialize first — an inline
@@ -148,12 +153,24 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     downstream n_bands aggregation sees the same B^2/2 rows; a bucket
     that big means `bands`/`r` are mistuned, not that the plan broke).
     """
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a multiple of bands "
             f"({bands}); a ragged banding drops remainder hashes")
     r = num_hashes // bands
     with_sig = minhash_signature(df, text_col, num_hashes, shingle_k)
+    # DEGENERATE documents (empty shingle set: fewer than shingle_k
+    # tokens, or NULL text) all share the all-sentinel signature, so
+    # unguarded they pair with EACH OTHER at maximum confidence
+    # (n_bands = bands) — a destructive dedup keyed on these
+    # candidates mass-deletes unrelated short documents, and >sqrt(cap)
+    # of them trips the group ceiling on every run. The sentinel is
+    # detectable exactly: real minimum hashes live in [0, P), only an
+    # empty set coalesces to P itself (the streaming sibling's rule).
+    with_sig = with_sig.filter(
+        F.element_at(F.col("sig"), 1) != F.lit(MINHASH_P))
     banded = with_sig.select(
         F.col(id_col),
         F.explode(
@@ -248,11 +265,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         shared.hint("merge").join(na, "doc_a")
         .hint("merge").join(nb, "doc_b")
         .withColumn(
-            "jaccard",
-            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+            "_j", F.col("shared") / (F.col("na") + F.col("nb")
+                                     - F.col("shared")))
+        # threshold the EXACT ratio; rounding first would admit pairs
+        # whose true jaccard sits within 5e-7 below the threshold
+        .filter(F.col("_j") >= threshold)
+        .select("doc_a", "doc_b",
+                F.round(F.col("_j"), 6).alias("jaccard"))
     )
 
 
@@ -260,7 +279,11 @@ def simhash_buckets(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Documents grouped by SimHash value — each multi-doc bucket is a
     near-duplicate candidate set. Returns (simhash, n_docs, min_doc)."""
-    with_sh = simhash(df, text_col, bits)
+    # simhash(NULL text) is NULL: unrelated unknown-content docs must
+    # not collapse into one NULL-key "near-duplicate" bucket (the
+    # signature_hamming_pairs rule, applied at the text-input door)
+    with_sh = simhash(df, text_col, bits).filter(
+        F.col("simhash").isNotNull())
     return with_sh.groupBy("simhash").agg(
         F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc")
     )
@@ -414,15 +437,23 @@ def boilerplate_span_stats(df: DataFrame, k: int = 3, min_df: int = 2,
             .groupBy(id_col)
             .agg(F.sum("_n").alias("n_boilerplate_spans"))
         )
+    # NULL text means UNKNOWN content: all three metrics stay NULL
+    # (the duplicate_spans/repetition_metrics contract) — coalescing
+    # the count to 0 made an unknown-content doc read as perfectly
+    # clean (boilerplate_frac 0.0), exactly what a C4-style threshold
+    # must not keep silently
+    has_text = F.col(text_col).isNotNull()
     return (
-        df.withColumn("n_spans", F.size(spans_arr).cast("long"))
+        df.withColumn("n_spans",
+                      F.when(has_text, F.size(spans_arr)).cast("long"))
         .join(hits, id_col, "left")
         .withColumn("n_boilerplate_spans",
-                    F.coalesce(F.col("n_boilerplate_spans"),
-                               F.lit(0)).cast("long"))
-        .withColumn("boilerplate_frac", F.round(
+                    F.when(has_text,
+                           F.coalesce(F.col("n_boilerplate_spans"),
+                                      F.lit(0))).cast("long"))
+        .withColumn("boilerplate_frac", F.when(has_text, F.round(
             F.col("n_boilerplate_spans") /
-            F.greatest(F.col("n_spans"), F.lit(1)), 6))
+            F.greatest(F.col("n_spans"), F.lit(1)), 6)))
     )
 
 
@@ -459,7 +490,13 @@ def _simhash_blocks_grouped(df: DataFrame, text_col: str, id_col: str,
     """Shared pigeonhole machinery: ONE signature pass + ONE shuffle
     grouping (block, value) into the sorted (id, simhash) member array.
     Returns (grouped_df, block_sizes); callers filter/derive from it."""
-    sh = simhash(df, text_col, bits).select(id_col, "simhash")
+    # NULL-text signatures are NULL — filtered here for the same
+    # reason signature_hamming_pairs filters them: every NULL lands in
+    # the same (block, NULL) groups, streaming B^2/2 pairs that
+    # bit_count(NULL) discards afterwards (and tripping the group
+    # ceiling on a corpus with many unknown-content docs)
+    sh = (simhash(df, text_col, bits).select(id_col, "simhash")
+          .filter(F.col("simhash").isNotNull()))
     return _signature_blocks_grouped(sh, "simhash", id_col, bits,
                                      max_hamming)
 
@@ -500,7 +537,11 @@ def _signature_blocks_grouped(sh: DataFrame, sig_col: str, id_col: str,
         F.struct(
             F.lit(i).alias("block"),
             F.shiftright(F.col(sig_col), offsets[i])
-            .bitwiseAND(F.lit((1 << sizes[i]) - 1)).alias("value"))
+            # a FULL-width block (bits=64, max_hamming=0) needs the
+            # all-ones mask -1: (1 << 64) - 1 overflows F.lit's long
+            # and died as a cryptic py4j NumberFormatException
+            .bitwiseAND(F.lit((1 << sizes[i]) - 1 if sizes[i] < 64
+                              else -1)).alias("value"))
         for i in range(n_blocks)
     ]
     banded = sh.select(
@@ -630,7 +671,20 @@ def simhash_report_rows(df: DataFrame, text_col: str = "text",
     stays O(member-array), never O(group^2): seeds carry only an index,
     the slice is taken inside the second Generate. Pair dedup is the
     minimal-agreeing-block predicate (bit arithmetic, no distinct).
+
+    The fused (v1, v2, v3) schema is LONG, so ``id_col`` must be an
+    integral column — refused at call time: the silent alternative was
+    a deep-plan CAST_INVALID_INPUT under ANSI and NULLed-out doc ids
+    under non-ANSI (doc identity silently destroyed); the two-frame
+    :func:`simhash_report` handles string ids and is the right tool.
     """
+    id_type = dict(df.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"simhash_report_rows: id_col {id_col!r} has type "
+            f"{id_type!r} — the fused (v1, v2, v3) long schema needs "
+            "an integral id (non-ANSI would silently NULL doc ids "
+            "out); use simhash_report for string ids")
     grouped, sizes = _simhash_blocks_grouped(
         df, text_col, id_col, bits, max_hamming)
     # heads for block-0 groups + pair seeds (member index 0..m-2) for

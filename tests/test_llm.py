@@ -67,6 +67,79 @@ def test_fingerprint_deterministic(docs):
     assert all(0 <= v < 1_000_000_007 for v in a.values())
 
 
+def test_dedup_degenerate_input_guards(spark):
+    """The dedup.py whole-file review's silent-wrong-answer classes:
+    (a) degenerate documents (< shingle_k tokens, or NULL text) all
+    share the all-sentinel MinHash signature — unguarded they paired
+    with each other at n_bands = bands (maximum confidence), a
+    mass-delete hazard; (b) simhash(NULL text) is NULL, so NULL-text
+    docs collapsed into one NULL-key 'near-duplicate' bucket in every
+    simhash path; (c) boilerplate_span_stats reported NULL-text docs
+    as perfectly clean (frac 0.0) against the module's NULL-metric
+    contract; (d) simhash_report_rows force-cast ids to long, NULLing
+    doc identity under non-ANSI; (e) a full-width pigeonhole block
+    (bits=64, max_hamming=0) overflowed the literal mask; (f) bad
+    num_hashes/bands died as IndexError/ZeroDivisionError."""
+    from fstd2pandas_spark.operators.llm.dedup import (
+        boilerplate_span_stats, lsh_candidate_pairs, minhash_signature,
+        signature_hamming_pairs, simhash_buckets, simhash_hamming_pairs,
+        simhash_report, simhash_report_rows)
+
+    deg = spark.createDataFrame(
+        [(1, "hi"), (2, "completely different"), (3, None),
+         (4, "the quick brown fox jumps over dogs"),
+         (5, "the quick brown fox jumps over dogs")],
+        "doc_id long, text string")
+
+    # (a) short/NULL docs emit NO candidate pairs; real dups still do
+    pairs = lsh_candidate_pairs(deg, num_hashes=12, bands=4).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(4, 5)}
+
+    # (b) NULL-text docs form no simhash bucket and no pair
+    many_null = deg.unionByName(spark.createDataFrame(
+        [(6, None), (7, None)], "doc_id long, text string"))
+    bks = simhash_buckets(many_null).collect()
+    assert all(r["simhash"] is not None for r in bks)
+    prs = simhash_hamming_pairs(many_null, bits=48).collect()
+    assert all(a not in (3, 6, 7) and b not in (3, 6, 7)
+               for a, b in [(r["doc_a"], r["doc_b"]) for r in prs])
+    rows = simhash_report_rows(many_null, bits=48).collect()
+    assert all(r["v1"] is not None for r in rows)
+
+    # (c) NULL text -> ALL THREE boilerplate metrics NULL, never a
+    # clean-looking 0.0 fraction
+    bp = {r["doc_id"]: r for r in
+          boilerplate_span_stats(many_null, k=2, min_df=2).collect()}
+    for d in (3, 6, 7):
+        assert bp[d]["n_spans"] is None
+        assert bp[d]["n_boilerplate_spans"] is None
+        assert bp[d]["boilerplate_frac"] is None
+    assert bp[4]["boilerplate_frac"] is not None
+
+    # (d) string ids refused by the fused report (simhash_report is
+    # the documented string-id tool and still works)
+    sdocs = deg.withColumn("doc_id", F.concat(F.lit("doc"),
+                                              F.col("doc_id")))
+    with pytest.raises(ValueError, match="integral id"):
+        simhash_report_rows(sdocs)
+    b2, p2 = simhash_report(sdocs)
+    assert all(isinstance(r["min_doc"], str) for r in b2.collect())
+
+    # (e) bits=64 / max_hamming=0: exact 64-bit match, no mask overflow
+    sig = spark.createDataFrame(
+        [(1, -42), (2, -42), (3, 7)], "doc_id long, h long")
+    got = signature_hamming_pairs(sig, "h", bits=64,
+                                  max_hamming=0).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"])
+            for r in got] == [(1, 2, 0)]
+
+    # (f) crisp parameter validation
+    with pytest.raises(ValueError, match="1..12"):
+        minhash_signature(deg, num_hashes=16)
+    with pytest.raises(ValueError, match="bands must be"):
+        lsh_candidate_pairs(deg, num_hashes=0, bands=0)
+
+
 def test_lsh_candidates_catch_high_jaccard(docs):
     """LSH with 8 hashes / 4 bands must surface every pair with very high
     true Jaccard (threshold ~ (1/b)^(1/r) ≈ 0.5 at s=0.9 w.p. ~1)."""
