@@ -161,16 +161,6 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
             f"({bands}); a ragged banding drops remainder hashes")
     r = num_hashes // bands
     with_sig = minhash_signature(df, text_col, num_hashes, shingle_k)
-    # DEGENERATE documents (empty shingle set: fewer than shingle_k
-    # tokens, or NULL text) all share the all-sentinel signature, so
-    # unguarded they pair with EACH OTHER at maximum confidence
-    # (n_bands = bands) — a destructive dedup keyed on these
-    # candidates mass-deletes unrelated short documents, and >sqrt(cap)
-    # of them trips the group ceiling on every run. The sentinel is
-    # detectable exactly: real minimum hashes live in [0, P), only an
-    # empty set coalesces to P itself (the streaming sibling's rule).
-    with_sig = with_sig.filter(
-        F.element_at(F.col("sig"), 1) != F.lit(MINHASH_P))
     banded = with_sig.select(
         F.col(id_col),
         F.explode(
@@ -189,6 +179,24 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    # DEGENERATE documents (empty shingle set: fewer than shingle_k
+    # tokens, or NULL text) all share the all-sentinel signature, so
+    # unguarded they pair with EACH OTHER at maximum confidence
+    # (n_bands = bands) — a destructive dedup keyed on these
+    # candidates mass-deletes unrelated short documents, and >sqrt(cap)
+    # of them trips the group ceiling on every run. The sentinel is
+    # detectable exactly (real minimum hashes live in [0, P); only an
+    # empty set coalesces to P itself — the streaming sibling's rule),
+    # and its BAND BUCKET is one driver-computable constant per r, so
+    # the exclusion is a cheap string filter AFTER banding: a filter
+    # on the sig column itself would be predicate-pushed INTO the
+    # signature fold and re-evaluate the md5 fold per reference
+    # (measured: ~20x on the benched gate).
+    import hashlib as _hashlib
+
+    sentinel_bucket = _hashlib.md5(
+        "|".join([str(MINHASH_P)] * r).encode()).hexdigest()
+    banded = banded.filter(F.col("bucket") != F.lit(sentinel_bucket))
 
     # one shuffle on (band, bucket); sort_array makes the positional
     # i<j pair enumeration below emit exactly the doc_a < doc_b pairs
@@ -279,14 +287,16 @@ def simhash_buckets(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Documents grouped by SimHash value — each multi-doc bucket is a
     near-duplicate candidate set. Returns (simhash, n_docs, min_doc)."""
+    with_sh = simhash(df, text_col, bits)
     # simhash(NULL text) is NULL: unrelated unknown-content docs must
     # not collapse into one NULL-key "near-duplicate" bucket (the
-    # signature_hamming_pairs rule, applied at the text-input door)
-    with_sh = simhash(df, text_col, bits).filter(
-        F.col("simhash").isNotNull())
-    return with_sh.groupBy("simhash").agg(
-        F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc")
-    )
+    # signature_hamming_pairs rule). Filtered on the GROUPING KEY
+    # after the aggregation — a filter on the simhash column itself
+    # would be predicate-pushed into the signature expression and
+    # re-evaluate it per reference.
+    return (with_sh.groupBy("simhash").agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc"))
+        .filter(F.col("simhash").isNotNull()))
 
 
 def normalized_text_col(text: Column) -> Column:
@@ -490,13 +500,7 @@ def _simhash_blocks_grouped(df: DataFrame, text_col: str, id_col: str,
     """Shared pigeonhole machinery: ONE signature pass + ONE shuffle
     grouping (block, value) into the sorted (id, simhash) member array.
     Returns (grouped_df, block_sizes); callers filter/derive from it."""
-    # NULL-text signatures are NULL — filtered here for the same
-    # reason signature_hamming_pairs filters them: every NULL lands in
-    # the same (block, NULL) groups, streaming B^2/2 pairs that
-    # bit_count(NULL) discards afterwards (and tripping the group
-    # ceiling on a corpus with many unknown-content docs)
-    sh = (simhash(df, text_col, bits).select(id_col, "simhash")
-          .filter(F.col("simhash").isNotNull()))
+    sh = simhash(df, text_col, bits).select(id_col, "simhash")
     return _signature_blocks_grouped(sh, "simhash", id_col, bits,
                                      max_hamming)
 
@@ -556,6 +560,15 @@ def _signature_blocks_grouped(sh: DataFrame, sig_col: str, id_col: str,
         F.sort_array(F.collect_list(
             F.struct(F.col(id_col).alias("i"),
                      F.col(sig_col).alias("s")))).alias("ms"))
+    # NULL signatures (NULL-text simhash; undecodable payloads) all
+    # land in the same (block, NULL) groups — one spurious giant
+    # candidate set per block whose pairs bit_count(NULL) would only
+    # discard afterwards. Dropped HERE on the post-aggregation
+    # grouping key (cheap; group-count rows) — filtering the
+    # signature column pre-banding would be predicate-pushed into the
+    # signature expression and re-evaluate it per reference — and
+    # BEFORE the ceiling so a NULL-heavy corpus cannot trip it.
+    grouped = grouped.filter(F.col("value").isNotNull())
     grouped = grouped.filter(
         require_group_within(F.size("ms"), "signature pigeonhole block"))
     return grouped, sizes
