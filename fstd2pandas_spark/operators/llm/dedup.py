@@ -97,6 +97,14 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     """Add ``sig``: array of `num_hashes` minhash values over word
     shingles (P as sentinel for empty shingle sets).
 
+    The sentinel is exact and detectable: real minimum hashes live in
+    [0, P), so a signature slot equal to P means — and only means —
+    the document's shingle set was empty (fewer than ``shingle_k``
+    tokens, or NULL text). Downstream consumers must NOT treat two
+    all-sentinel signatures as similar; :func:`lsh_candidate_pairs`
+    excludes such documents from pairing entirely (see its docstring
+    for the exact-dedup fallback to chain for short documents).
+
     Single ``aggregate`` fold over the shingle-hash array: the md5 base
     hash is the fold *input*, so it is computed exactly once per shingle
     regardless of signature width — the variants are integer arithmetic.
@@ -134,6 +142,20 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         bands: int = 4, shingle_k: int = 3) -> DataFrame:
     """MinHash-LSH candidate pairs: documents sharing at least one band
     bucket. Returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
+
+    DEGENERATE documents never pair: a document with fewer than
+    ``shingle_k`` tokens, or NULL text, has an empty shingle set and
+    therefore NO MinHash signature to compare — it is excluded from
+    banding entirely and appears in no candidate pair, even against an
+    exact-identical twin. That is deliberate: all empty shingle sets
+    share the one all-sentinel signature, so including them would pair
+    every degenerate document with every other at maximum confidence
+    (n_bands = bands) and a destructive dedup keyed on those candidates
+    would mass-delete unrelated short documents. For exact-duplicate
+    coverage of short/NULL documents, chain :func:`exact_dedup` (or
+    its normalized/multi-key variants) alongside LSH — the streaming
+    sibling ``streaming_signature_dedup`` applies the same fallback
+    (content hash) automatically.
 
     rows-per-band r = num_hashes / bands (must divide evenly — a ragged
     banding would silently drop the remainder hashes and weaken the
@@ -286,7 +308,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def simhash_buckets(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """Documents grouped by SimHash value — each multi-doc bucket is a
-    near-duplicate candidate set. Returns (simhash, n_docs, min_doc)."""
+    near-duplicate candidate set. Returns (simhash, n_docs, min_doc).
+
+    NULL-text documents form no bucket and appear in no candidate set
+    (simhash of unknown content is unknown — grouping such documents
+    together would mark unrelated ones as near-duplicates); dedup them
+    exactly via :func:`exact_dedup` if NULL==NULL is intended."""
     with_sh = simhash(df, text_col, bits)
     # simhash(NULL text) is NULL: unrelated unknown-content docs must
     # not collapse into one NULL-key "near-duplicate" bucket (the
@@ -499,8 +526,16 @@ def _simhash_blocks_grouped(df: DataFrame, text_col: str, id_col: str,
                             bits: int, max_hamming: int):
     """Shared pigeonhole machinery: ONE signature pass + ONE shuffle
     grouping (block, value) into the sorted (id, simhash) member array.
-    Returns (grouped_df, block_sizes); callers filter/derive from it."""
-    sh = simhash(df, text_col, bits).select(id_col, "simhash")
+    Returns (grouped_df, block_sizes); callers filter/derive from it.
+
+    NULL-text rows are excluded HERE, on the source column, before the
+    signature projection is even attached — the cheapest point (the
+    predicate pushes to the scan) and it spares the per-token md5 fold
+    for rows whose signature would be NULL anyway. simhash(non-NULL
+    text) is never NULL (split of a non-null string is non-null), so
+    past this filter the pipeline carries no NULL signatures at all."""
+    sh = simhash(df.filter(F.col(text_col).isNotNull()),
+                 text_col, bits).select(id_col, "simhash")
     return _signature_blocks_grouped(sh, "simhash", id_col, bits,
                                      max_hamming)
 
@@ -513,12 +548,20 @@ def signature_hamming_pairs(df: DataFrame, sig_col: str,
     precomputed signatures (perceptual image dHashes, audio
     fingerprints, projection sign vectors). Same scale shape: one
     (block, value) shuffle, chained-Generate i<j pair streaming, exact
-    ``bit_count(xor)`` filter. Returns (doc_a, doc_b, hamming)."""
-    # NULL signatures (e.g. image_dhash's undecodable payloads) would
-    # all land in the same (block, NULL) groups — one giant member
-    # array per block whose pairs bit_count(NULL) discards anyway;
-    # drop them before banding
-    sh = df.filter(F.col(sig_col).isNotNull()).select(
+    ``bit_count(xor)`` filter. Returns (doc_a, doc_b, hamming).
+
+    NULL signatures (e.g. ``image_dhash``'s undecodable payloads) are
+    excluded — they carry no content to compare, and keying them
+    together would pair unrelated unknown-content items. The exclusion
+    rides the shared helper's grouping-key filter rather than a
+    ``df.filter(sig.isNotNull())`` here: when the caller's ``sig_col``
+    is a COMPUTED column (a dhash expression, a projection hash), a
+    source-side filter is predicate-pushed through the caller's
+    projection and re-evaluates the expression inside the filter — the
+    d0d052e re-evaluation class; the helper's filter lands above the
+    block Generate where the signature is already a plain attribute
+    (plan-locked in tests/test_plans.py)."""
+    sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(sig_col).cast("long").alias("simhash"))
     grouped, sizes = _signature_blocks_grouped(sh, "simhash", "doc_id",
@@ -560,14 +603,20 @@ def _signature_blocks_grouped(sh: DataFrame, sig_col: str, id_col: str,
         F.sort_array(F.collect_list(
             F.struct(F.col(id_col).alias("i"),
                      F.col(sig_col).alias("s")))).alias("ms"))
-    # NULL signatures (NULL-text simhash; undecodable payloads) all
-    # land in the same (block, NULL) groups — one spurious giant
-    # candidate set per block whose pairs bit_count(NULL) would only
-    # discard afterwards. Dropped HERE on the post-aggregation
-    # grouping key (cheap; group-count rows) — filtering the
-    # signature column pre-banding would be predicate-pushed into the
-    # signature expression and re-evaluate it per reference — and
-    # BEFORE the ceiling so a NULL-heavy corpus cannot trip it.
+    # NULL signatures (undecodable payloads handed to
+    # signature_hamming_pairs; the simhash path pre-filters NULL text
+    # at the source) would all land in the same (block, NULL) groups —
+    # one spurious giant candidate set per block whose pairs
+    # bit_count(NULL) would only discard afterwards. Dropped on the
+    # grouping key, which Catalyst pushes BELOW the aggregation to
+    # just above the block Generate (a deterministic predicate on a
+    # grouping expression passes through Aggregate; the generated
+    # `value` attribute stops it there) — so NULL rows never enter the
+    # collect_list buffers (no NULL-heavy-corpus OOM, ceiling
+    # unaffected) AND a caller-COMPUTED signature column is not
+    # re-evaluated inside the filter (the d0d052e class; a pre-banding
+    # df.filter(sig.isNotNull()) was measured to double the fold).
+    # Both properties are plan-locked in tests/test_plans.py.
     grouped = grouped.filter(F.col("value").isNotNull())
     grouped = grouped.filter(
         require_group_within(F.size("ms"), "signature pigeonhole block"))
@@ -635,6 +684,10 @@ def simhash_report(df: DataFrame, text_col: str = "text",
     :func:`simhash_buckets` signature, since bit i of a simhash does
     not depend on the total width), pairs are the Hamming-radius
     near-dups of :func:`simhash_hamming_pairs`.
+
+    NULL-text documents appear in NEITHER output (no bucket, no pair)
+    — the :func:`simhash_buckets` contract; chain :func:`exact_dedup`
+    for exact coverage of unknown-content rows if needed.
 
     The signature fold (token-array walk + groupBy(block, value)) is
     the dominant cost at corpus scale, so it must run ONCE for both

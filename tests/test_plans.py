@@ -1830,3 +1830,73 @@ def test_histogram_sketch_single_exchange_plan(spark):
     assert len(aggs) >= 2, aggs   # partial + final = map-side combine
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_dedup_fold_single_evaluation_lock(spark):
+    """No-re-evaluation lock across the dedup family (the d0d052e
+    class, regression-proofed): a guard/filter added on an
+    expression-bearing column gets predicate-pushed through the
+    projection, substituting the alias so the whole signature fold
+    re-evaluates inside the filter and again per downstream reference
+    — measured at 20x on doc_minhash_lsh before the fix. This pins the
+    md5 base-hash fold (marker ``conv(substring(md5`` — the shared
+    spelling of minhash's and simhash's base hash, absent everywhere
+    else in these plans) to exactly ONE occurrence in each OPTIMIZED
+    logical plan; any future filter that re-duplicates the subtree
+    fails here, not in the bench. simhash_report's two frames read the
+    eager localCheckpoint, so their plans must contain the fold ZERO
+    times (stronger: the fold ran once, at checkpoint time). AQE off
+    per the lock idiom (the optimized logical plan is pre-AQE, but the
+    toggle keeps the collect()-free assertions hermetic)."""
+    import re
+
+    from fstd2pandas_spark.operators.llm.dedup import (
+        lsh_candidate_pairs, signature_hamming_pairs,
+        simhash_hamming_pairs, simhash_report, simhash_report_rows)
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i % 3} y z a b c d e f") for i in range(20)],
+        "doc_id long, text string")
+
+    def opt(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    FOLD = "conv(substring(md5"
+
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+        p = opt(lsh_candidate_pairs(docs))
+        assert p.count(FOLD) == 1, p
+        # the affine variants all read the ONE _mh base-hash array:
+        # the first coefficient appears once, not once per reference
+        assert p.count("769236919") == 1, p
+
+        p = opt(simhash_hamming_pairs(docs, bits=48, max_hamming=2))
+        assert p.count(FOLD) == 1, p
+
+        p = opt(simhash_report_rows(docs, bits=48, max_hamming=2))
+        assert p.count(FOLD) == 1, p
+
+        buckets, prs = simhash_report(docs, bits=48, max_hamming=2)
+        assert opt(buckets).count(FOLD) == 0, opt(buckets)
+        assert opt(prs).count(FOLD) == 0, opt(prs)
+
+        # caller-COMPUTED signature column: the NULL exclusion must
+        # ride the grouping-key filter (pushed below the Aggregate to
+        # just above the block Generate — so NULL rows never enter the
+        # collect_list buffers), NOT a source-side isNotNull that
+        # re-evaluates the caller's expression (fold would count 2)
+        sig = docs.withColumn(
+            "psig",
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+            .cast("long"))
+        p = opt(signature_hamming_pairs(sig, "psig",
+                                        bits=32, max_hamming=1))
+        assert p.count(FOLD) == 1, p
+        m = re.search(r"Filter isnotnull\(b#\d+\.value\)", p)
+        assert m is not None, p
+        assert m.start() > p.index("Aggregate [block"), p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
