@@ -59,6 +59,45 @@ class LeaseHeldError(RuntimeError):
     """Another maintenance run holds the single-writer lease."""
 
 
+class LeaseExpiredError(RuntimeError):
+    """The held lease aged into breakability mid-run (sustained
+    heartbeat failure): raised by :meth:`LeaseHandle.check` so a
+    critical section stops BEFORE interleaving with a breaker."""
+
+
+class LeaseHandle:
+    """Yielded by :func:`maintenance_lease`: lets the critical section
+    ask whether its lease is still protecting it. ``check()`` between
+    mutating steps (the compaction swap loop calls it per partition)
+    raises :class:`LeaseExpiredError` once sustained heartbeat failure
+    means the lock's mtime age MUST exceed ``ttl_sec`` — from that
+    moment a concurrent breaker could legitimately take the lease, and
+    continuing to rename/delete is exactly the interleaving the lease
+    exists to prevent."""
+
+    def __init__(self, root: str, ttl_sec: float):
+        import threading
+
+        self._root = root
+        self._ttl = ttl_sec
+        self._expired = threading.Event()
+
+    def expired(self) -> bool:
+        """True once the lease has aged into breakability."""
+        return self._expired.is_set()
+
+    def check(self) -> None:
+        """Raise :class:`LeaseExpiredError` if :meth:`expired`."""
+        if self._expired.is_set():
+            raise LeaseExpiredError(
+                f"maintenance lease on {self._root} has aged into "
+                f"breakability (no successful heartbeat for more than "
+                f"ttl_sec={self._ttl:.0f}s) — a concurrent breaker "
+                "could now own this table; aborting before further "
+                "mutations can interleave. Verify the filesystem, "
+                "then run recover_compaction if this left debris")
+
+
 #: (root, scheme) pairs whose flat-namespace advisory warning already
 #: fired this process — the lease is acquired per micro-batch by the
 #: CDC sink, and the honesty warning must not flood a continuous
@@ -126,13 +165,21 @@ def maintenance_lease(spark: SparkSession, root: str, who: str,
     breaker can never delete a RIVAL breaker's freshly-created lock
     (the delete-then-create race). While held, a daemon heartbeat
     refreshes the lock's mtime every ``ttl_sec / 4`` so a LIVE run
-    longer than ``ttl_sec`` never reads as stale. Release deletes
-    only OUR token's file: a lock that reads as a different token is
-    left behind with a WARNING that two runs may have interleaved; a
-    lock that exists but cannot be READ (transient I/O) is also left
-    behind — deleting a possible rival's lock risks the concurrency
-    the lease exists to prevent — with a warning telling the operator
-    how to clear it if it turns out to be ours.
+    longer than ``ttl_sec`` never reads as stale; SUSTAINED heartbeat
+    failure (no successful beat for ``ttl_sec`` — the lock's mtime age
+    now exceeds the ttl, so a breaker could legitimately take it)
+    escalates to an ERROR log and flips the yielded
+    :class:`LeaseHandle` to expired — long critical sections call
+    ``handle.check()`` between mutating steps (the compaction swap
+    loop does, per partition) and abort with
+    :class:`LeaseExpiredError` instead of mutating on under a lease
+    that no longer protects them. Release mirrors the takeover's
+    rename-FIRST discipline: the lock is renamed to a release-unique
+    name, verified to carry OUR token, then deleted — so a breaker
+    that takes over between a read and a delete can never lose its
+    fresh lock to our release (a claimed rival/unreadable lock is
+    renamed back and left, with a WARNING that two runs may have
+    interleaved).
 
     Clock domains: staleness compares the READER's ``time.time()``
     against the filesystem's stamped mtime (creation stamp is the
@@ -199,12 +246,36 @@ def maintenance_lease(spark: SparkSession, root: str, who: str,
             out = fs.create(lock, False)
         except Exception as e:
             # held-lease detection must match the CONTENTION failure
-            # only: 'The specified bucket does not exist' contains
-            # 'exist' too, and misclassifying it sends the operator
-            # chasing a phantom concurrent run instead of the typo
+            # only. Primary signal: the Java exception CLASS (walking
+            # the cause chain — py4j wraps, and HDFS RemoteException
+            # carries the real class inside). Fallback: the 'already
+            # exists' wording, but only when the message names the
+            # LOCK path itself — 'parent path ... already exists as a
+            # file' or an object-store 409 about another path is a
+            # real filesystem problem, and misclassifying it sends the
+            # operator chasing a phantom concurrent run
+            names = []
+            jexc = getattr(e, "java_exception", None)
+            seen = 0
+            while jexc is not None and seen < 8:
+                try:
+                    cls = jexc.getClass().getName()
+                    names.append(cls)
+                    if cls.endswith("RemoteException"):
+                        # HDFS IPC carries the server-side class as a
+                        # STRING, not as a cause
+                        names.append(jexc.getClassName())
+                    jexc = jexc.getCause()
+                except Exception:
+                    break
+                seen += 1
             msg = str(e)
-            if "FileAlreadyExistsException" in msg or \
-                    "already exists" in msg.lower():
+            contention = any(
+                n.endswith("FileAlreadyExistsException") for n in names
+            ) or ("already exists" in msg.lower()
+                  and (str(lock) in msg
+                       or lock.toUri().getPath() in msg))
+            if contention:
                 return False
             raise
         try:
@@ -289,55 +360,120 @@ def maintenance_lease(spark: SparkSession, root: str, who: str,
                         "retry later")
         # heartbeat: a LIVE holder must never age into breakability —
         # a >ttl compaction broken mid-swap by recovery automation is
-        # exactly the interleaving the lease prevents
+        # exactly the interleaving the lease prevents. Sustained
+        # failure ESCALATES: once no beat has landed for ttl_sec, the
+        # lock's mtime age must exceed the ttl and a breaker could
+        # legitimately take it — warn-only would leave the critical
+        # section mutating under a lease that no longer protects it,
+        # so the handle flips to expired (LeaseExpiredError from
+        # check()) and the log escalates to ERROR
         stop = threading.Event()
+        handle = LeaseHandle(root, ttl_sec)
+        last_ok = [time.time()]  # the create itself stamped the mtime
 
         def _beat():
             while not stop.wait(max(1.0, ttl_sec / 4)):
                 try:
                     fs.setTimes(lock, int(time.time() * 1000), -1)
+                    last_ok[0] = time.time()
                 except Exception as e:
-                    _log.warning(
-                        "maintenance-lease heartbeat on %s failed: "
-                        "%s — the lease may age into breakability",
-                        root, e)
+                    starved = time.time() - last_ok[0]
+                    if starved > ttl_sec:
+                        if not handle.expired():
+                            handle._expired.set()
+                            _log.error(
+                                "maintenance-lease heartbeat on %s "
+                                "has failed for %.0fs > ttl_sec=%.0fs "
+                                "— the lease HAS aged into "
+                                "breakability; the critical section "
+                                "will abort at its next check() "
+                                "(last error: %s)",
+                                root, starved, ttl_sec, e)
+                    else:
+                        _log.warning(
+                            "maintenance-lease heartbeat on %s "
+                            "failed: %s — the lease ages into "
+                            "breakability after %.0fs more of this",
+                            root, e, ttl_sec - starved)
 
         beat = threading.Thread(target=_beat, daemon=True,
                                 name="maintenance-lease-heartbeat")
         beat.start()
         try:
-            yield
+            yield handle
         finally:
             stop.set()
             beat.join(timeout=5)
-            cur = None
-            for _ in range(3):
-                cur, _age = _read_lease(spark, fs, lock)
-                if cur is None or cur.get("token"):
-                    break  # gone, or readable with a token
-                time.sleep(0.2)
-            if cur is None:
+            _release(handle)
+
+    def _release(handle) -> None:
+        """Rename-FIRST release, mirroring the takeover's discipline:
+        read-verify-delete has a window — if the heartbeat failed long
+        enough for the lease to go stale and a breaker takes over
+        between our read and our delete, the delete removes the
+        BREAKER's fresh lock. Renaming the lock to a release-unique
+        name first makes the claim atomic: whatever we renamed is
+        OURS to inspect, and a rival's lock that lost its path this
+        way is put BACK."""
+        rel = jpath(spark, f"{base}/{LEASE_FILE}.release-{token}")
+        try:
+            ok = fs.rename(lock, rel)
+        except Exception:
+            ok = False
+        if not ok:
+            if handle.expired():
+                _log.error(
+                    "maintenance lease on %s could not be claimed at "
+                    "release after the heartbeat outage — a breaker "
+                    "has likely taken over; CHECK FOR INTERLEAVED "
+                    "WRITES (recover_compaction verifies the table)",
+                    root)
+            else:
                 _log.warning(
                     "maintenance lease on %s vanished mid-run — a "
                     "concurrent breaker may have run; check for "
                     "interleaved writes", root)
-            elif cur.get("token") == token:
-                delete_checked(fs, lock, what="maintenance lease")
-            elif not cur.get("token"):
-                _log.warning(
-                    "maintenance lease on %s exists but could not be "
-                    "READ to verify ownership — leaving it (deleting "
-                    "a possible rival's lock risks concurrent "
-                    "writers); if no other maintenance run is "
-                    "active, it is this run's and can be deleted "
-                    "manually or broken with break_lease=True once "
-                    "stale", root)
-            else:
+            return
+        cur = None
+        for _ in range(3):
+            cur, _age = _read_lease(spark, fs, rel)
+            if cur is None or cur.get("token"):
+                break  # vanished, or readable with a token
+            time.sleep(0.2)
+        if cur is not None and cur.get("token") == token:
+            delete_checked(fs, rel, what="maintenance lease")
+        elif cur is None:
+            _log.warning(
+                "maintenance lease on %s vanished AFTER the release "
+                "rename claimed it — unexpected (nothing else knows "
+                "the release name); treat as released", root)
+        else:
+            # a rival's lock (breaker took over mid-run) or
+            # unreadable content: restore its path — stealing a live
+            # rival's lock is the exact race this rename exists to
+            # close, and an unreadable lock MIGHT be a rival's
+            try:
+                restored = fs.rename(rel, lock)
+            except Exception:
+                restored = False
+            if cur.get("token"):
                 _log.warning(
                     "maintenance lease on %s was REPLACED mid-run "
-                    "(now held by %r) — leaving it; two maintenance "
-                    "runs may have interleaved",
-                    root, cur.get("owner"))
+                    "(now held by %r) — %s; two maintenance runs may "
+                    "have interleaved", root, cur.get("owner"),
+                    "restored to its path" if restored else
+                    f"could NOT be restored (it is at {rel}; move it "
+                    "back manually)")
+            else:
+                _log.warning(
+                    "maintenance lease on %s exists but could not be "
+                    "READ to verify ownership — leaving it%s "
+                    "(deleting a possible rival's lock risks "
+                    "concurrent writers); if no other maintenance "
+                    "run is active, it is this run's and can be "
+                    "deleted manually or broken with break_lease="
+                    "True once stale", root,
+                    "" if restored else f" at {rel}")
 
     return _ctx()
 

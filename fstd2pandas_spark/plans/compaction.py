@@ -326,9 +326,10 @@ def compact_partitions(spark: SparkSession, path: str,
                            "compact_partitions")
     with maintenance_lease(spark, path, "compact_partitions",
                            ttl_sec=lease_ttl_sec,
-                           break_lease=break_lease):
+                           break_lease=break_lease) as lease:
         return _compact_locked(spark, path, part_cols, target_bytes,
-                               order_by, max_partitions, verify, fs)
+                               order_by, max_partitions, verify, fs,
+                               lease)
 
 
 def _refuse_on_debris(spark: SparkSession, path: str,
@@ -349,7 +350,8 @@ def _refuse_on_debris(spark: SparkSession, path: str,
 def _compact_locked(spark: SparkSession, path: str,
                     part_cols: "list[str]", target_bytes: int,
                     order_by: "list[str] | None",
-                    max_partitions: int, verify: bool, fs) -> dict:
+                    max_partitions: int, verify: bool, fs,
+                    lease=None) -> dict:
     """The body of :func:`compact_partitions`, run under the lease."""
     debris: "list[str]" = []
     plan = compaction_plan(spark, path, part_cols, target_bytes,
@@ -499,6 +501,13 @@ def _compact_locked(spark: SparkSession, path: str,
 
     try:
         for e in touched:
+            # between partitions, not mid-partition: a swap step is
+            # the atomic unit recovery can decide, so aborting at the
+            # boundary leaves the cleanest possible crash state when
+            # sustained heartbeat failure has aged the lease into
+            # breakability (LeaseExpiredError from the handle)
+            if lease is not None:
+                lease.check()
             old = jpath(spark, f"{path.rstrip('/')}/{e['rel']}")
             new = jpath(spark, f"{tmp}/{e['rel']}")
             parent = old.getParent()
@@ -610,7 +619,7 @@ def expire_partitions(spark: SparkSession, path: str,
                            "expire_partitions")
     with maintenance_lease(spark, path, "expire_partitions",
                            ttl_sec=lease_ttl_sec,
-                           break_lease=break_lease):
+                           break_lease=break_lease) as lease:
         debris: "list[str]" = []
         entries = _list_partitions(spark, path, part_cols, debris)
         _refuse_on_debris(spark, path, debris, "expire_partitions")
@@ -627,6 +636,10 @@ def expire_partitions(spark: SparkSession, path: str,
                  "bytes_removed": sum(e["bytes"] for e in doomed)}
         base_dir = path.rstrip("/")
         for e in doomed:
+            # same boundary-abort as the compaction swap loop: an
+            # expiry step is recovery-decidable on its own, so stop
+            # between partitions once the lease no longer protects us
+            lease.check()
             old = jpath(spark, f"{base_dir}/{e['rel']}")
             leaf = e["rel"].rsplit("/", 1)[-1]
             hidden = jpath(

@@ -1900,3 +1900,180 @@ def test_dedup_fold_single_evaluation_lock(spark):
         assert m.start() > p.index("Aggregate [block"), p
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+
+
+def test_maintenance_lease_release_identity_race(spark, tmp_path,
+                                                 caplog):
+    """The release-side TOCTOU, closed rename-first (the takeover's
+    own discipline mirrored): if the heartbeat fails long enough for
+    the lease to go stale and a breaker takes over between release's
+    read and its delete, the old read-verify-delete removed the
+    BREAKER's fresh lock. Release now renames the lock to a
+    release-unique name BEFORE inspecting it — a rival's lock that
+    loses its path this way is put back and survives."""
+    import json
+    import logging
+    import os
+
+    import fstd2pandas_spark.fsutil as fsu
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    lock = os.path.join(root, ".maintenance-lock")
+
+    with caplog.at_level(logging.WARNING,
+                         logger="fstd2pandas_spark.fsutil"):
+        with fsu.maintenance_lease(spark, root, "run-a",
+                                   ttl_sec=3600.0):
+            # simulate a post-heartbeat-outage breaker takeover
+            # mid-run: our lock is gone, a rival's FRESH lock is at
+            # the path
+            with open(lock, "w") as f:
+                f.write(json.dumps({"owner": "rival",
+                                    "token": "rivaltok"}))
+    # the breaker's lock SURVIVES release, at its own path
+    assert json.load(open(lock))["token"] == "rivaltok"
+    assert not [e for e in os.listdir(root) if "release" in e]
+    assert any("REPLACED mid-run" in r.getMessage()
+               for r in caplog.records)
+
+    # an UNREADABLE lock at release time: also restored, not deleted
+    # (it might be a rival's)
+    os.remove(lock)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="fstd2pandas_spark.fsutil"):
+        with fsu.maintenance_lease(spark, root, "run-a",
+                                   ttl_sec=3600.0):
+            with open(lock, "w") as f:
+                f.write("torn{")
+    assert open(lock).read() == "torn{"
+    assert not [e for e in os.listdir(root) if "release" in e]
+    assert any("could not be READ" in r.getMessage()
+               for r in caplog.records)
+    os.remove(lock)
+
+
+def test_maintenance_lease_heartbeat_escalation(spark, tmp_path,
+                                                caplog):
+    """Sustained heartbeat failure must get LOUD while it matters
+    (r14 What's-wrong #2): once no beat has landed for ttl_sec the
+    lock's mtime age exceeds the ttl — a breaker could legitimately
+    take the lease — so the yielded handle flips to expired, check()
+    raises LeaseExpiredError into the critical section, and the log
+    escalates to ERROR. setTimes is made to fail by removing the lock
+    file (FileNotFound on every beat)."""
+    import logging
+    import os
+    import time
+
+    import fstd2pandas_spark.fsutil as fsu
+
+    root = str(tmp_path / "hb")
+    os.makedirs(root)
+    lock = os.path.join(root, ".maintenance-lock")
+
+    with caplog.at_level(logging.WARNING,
+                         logger="fstd2pandas_spark.fsutil"):
+        with fsu.maintenance_lease(spark, root, "hb",
+                                   ttl_sec=5.0) as lease:
+            assert isinstance(lease, fsu.LeaseHandle)
+            assert not lease.expired()
+            lease.check()  # healthy: no-op
+            os.remove(lock)  # every subsequent beat now fails
+            deadline = time.time() + 15
+            while not lease.expired() and time.time() < deadline:
+                time.sleep(0.25)
+            assert lease.expired()
+            with pytest.raises(fsu.LeaseExpiredError,
+                               match="aged into breakability"):
+                lease.check()
+    errors = [r for r in caplog.records
+              if r.levelno >= logging.ERROR]
+    assert any("aged into breakability" in r.getMessage()
+               for r in errors)
+    # the escalation fires ONCE, not once per subsequent failed beat
+    assert sum("HAS aged into" in r.getMessage() for r in errors) == 1
+    # release after the outage: the lock cannot be claimed -> the
+    # operator is told to check for interleaving, at ERROR level
+    assert any("could not be claimed at release" in r.getMessage()
+               for r in errors)
+
+    # the compaction swap loop checks the handle BETWEEN partitions:
+    # an expired lease aborts before the first rename, leaving the
+    # dataset byte-identical and no debris
+    from fstd2pandas_spark.fsutil import hadoop_fs
+    from fstd2pandas_spark.plans.compaction import _compact_locked
+
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(d, i) for d in (0, 1) for i in range(40)], "day int, u long")
+    df.repartition(4).write.partitionBy("day").parquet(path)
+    before = sorted(
+        r["day"] * 1000 + r["u"]
+        for r in spark.read.parquet(path).collect())
+
+    class _ExpiredLease:
+        def check(self):
+            raise fsu.LeaseExpiredError("test: lease expired")
+
+    fs, _ = hadoop_fs(spark, path)
+    with pytest.raises(fsu.LeaseExpiredError):
+        _compact_locked(spark, path, ["day"], 1 << 30,
+                        order_by=None, max_partitions=64,
+                        verify=False, fs=fs, lease=_ExpiredLease())
+    after = sorted(
+        r["day"] * 1000 + r["u"]
+        for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert not [e for e in os.listdir(str(tmp_path))
+                if ".compact-" in e]
+
+
+def test_maintenance_lease_contention_classification(spark, tmp_path,
+                                                     monkeypatch):
+    """Held-lease detection on the FileSystem.create path must match
+    the CONTENTION failure only (ADVICE r14): the Java exception
+    class when available, else the 'already exists' wording ONLY when
+    the message names the lock path itself — 'parent path ... already
+    exists as a file' is a real filesystem problem and must surface,
+    not read as a phantom concurrent run."""
+    import os
+
+    import fstd2pandas_spark.fsutil as fsu
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+
+    class _FakeFS:
+        def __init__(self, msg_fmt):
+            self.msg_fmt = msg_fmt
+
+        def create(self, p, overwrite):
+            raise RuntimeError(self.msg_fmt.format(p=p))
+
+        def getFileStatus(self, p):
+            raise IOError("no status")
+
+    def fake_hadoop_fs(msg_fmt):
+        def _f(spark_, path_):
+            return _FakeFS(msg_fmt), fsu.jpath(spark_, path_)
+        return _f
+
+    monkeypatch.setattr(fsu, "fs_scheme", lambda fs: "hdfs")
+
+    # contention wording naming the LOCK path -> LeaseHeldError
+    monkeypatch.setattr(fsu, "hadoop_fs",
+                        fake_hadoop_fs("{p} already exists"))
+    with pytest.raises(fsu.LeaseHeldError):
+        with fsu.maintenance_lease(spark, root, "a"):
+            pass
+
+    # 'already exists' about ANOTHER path (parent-is-a-file, a 409
+    # about the bucket) -> the real error surfaces
+    monkeypatch.setattr(
+        fsu, "hadoop_fs",
+        fake_hadoop_fs("parent path /tbl already exists as a file"))
+    with pytest.raises(RuntimeError, match="parent path"):
+        with fsu.maintenance_lease(spark, root, "a"):
+            pass
