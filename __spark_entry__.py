@@ -866,6 +866,11 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them from raw orders with the pk filter — an expired partition
     # leaking back, a half-deleted one, or a KEPT partition touched
     # all move an integer); xp_parts rides the expired count.
+    # Round 15: the key is NULLABLE (pk NULL for o_orderkey % 64 = 7,
+    # written as __HIVE_DEFAULT_PARTITION__) and the predicate ALSO
+    # expires the NULL partition — the decoded-None predicate arm
+    # (GDPR expiry of the "unknown key" partition) now sits under the
+    # driver's hash check, not just pytest.
     from fstd2pandas_spark.plans.compaction import expire_partitions
 
     exp_dir = os.path.join(
@@ -873,14 +878,18 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"expire_{os.path.basename(os.path.normpath(sf_dir))}")
     shutil.rmtree(exp_dir, ignore_errors=True)
     (tgt.filter((F.col("o_orderkey") % 64) < 8)
-        .withColumn("pk", (F.col("o_orderkey") % 4).cast("long"))
+        .withColumn("pk", F.when((F.col("o_orderkey") % 64) != 7,
+                                 (F.col("o_orderkey") % 4))
+                    .cast("long"))
         .coalesce(1).write.partitionBy("pk").parquet(exp_dir))
-    xstats = expire_partitions(spark, exp_dir, ["pk"],
-                               lambda v: v["pk"] in ("1", "2"))
-    if sorted(xstats["expired"]) != ["pk=1", "pk=2"]:
+    xstats = expire_partitions(
+        spark, exp_dir, ["pk"],
+        lambda v: v["pk"] is None or v["pk"] in ("1", "2"))
+    if sorted(xstats["expired"]) != [
+            "pk=1", "pk=2", "pk=__HIVE_DEFAULT_PARTITION__"]:
         raise AssertionError(
-            "expiry gate: expected [pk=1, pk=2] expired, got "
-            f"{xstats['expired']}")
+            "expiry gate: expected [pk=1, pk=2, pk=NULL] expired, "
+            f"got {xstats['expired']}")
     xpg = (partition_fingerprints(
                spark.read.parquet(exp_dir),
                gcols, ["o_orderkey", "cents", "pk"])
@@ -1078,10 +1087,12 @@ _Q_DEDUP_SQL = """
            (SELECT CAST(count(DISTINCT o_orderkey % 4) AS BIGINT)
             FROM orders WHERE o_orderkey % 32 < 8) AS cp_files
     FROM cpr GROUP BY o_custkey, o_orderstatus, o_orderpriority),
-  -- expiry mirror (round 14): the engine writes the o_orderkey % 64
-  -- < 8 slice hive-partitioned on pk, expires pk IN (1, 2) as a
-  -- metadata-plane op, and fingerprints what REMAINS — the oracle
-  -- derives those fingerprints from raw orders with the pk filter
+  -- expiry mirror (round 14, widened round 15): the engine writes
+  -- the o_orderkey % 64 < 8 slice hive-partitioned on a NULLABLE pk
+  -- (NULL for o_orderkey % 64 = 7 -> __HIVE_DEFAULT_PARTITION__),
+  -- expires pk IN (1, 2) AND the NULL partition as a metadata-plane
+  -- op, and fingerprints what REMAINS — the oracle derives those
+  -- fingerprints from raw orders with the pk filter
   xpr AS (
     SELECT o_custkey, o_orderstatus, o_orderpriority,
            CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) AS ha,
@@ -1093,13 +1104,14 @@ _Q_DEDUP_SQL = """
                           AS VARCHAR), chr(31),
                      CAST(o_orderkey % 4 AS VARCHAR))) AS h
           FROM orders
-          WHERE o_orderkey % 64 < 8 AND o_orderkey % 4 IN (0, 3))),
+          WHERE o_orderkey % 64 < 8 AND o_orderkey % 4 IN (0, 3)
+            AND o_orderkey % 64 <> 7)),
   xp AS (
     SELECT o_custkey, o_orderstatus, o_orderpriority,
            CAST(count(*) AS BIGINT) AS xp_n,
            CAST(sum(ha) AS BIGINT) AS xp_fpa,
            CAST(sum(hb) AS BIGINT) AS xp_fpb,
-           CAST(2 AS BIGINT) AS xp_parts
+           CAST(3 AS BIGINT) AS xp_parts
     FROM xpr GROUP BY o_custkey, o_orderstatus, o_orderpriority),
   -- generation mirror (round 14): gen-0 is the slice's PRE-merge
   -- rows (time travel must see original cents), and
@@ -3756,10 +3768,36 @@ _Q_JACCARD_SQL = """
 
 
 def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs over the corpus PLUS six injected
+    degenerate documents (negative ids: two NULL texts, two identical
+    one-token texts, a two-token text, an empty string — all below
+    shingle_k=3, so every one has the empty shingle set). The
+    mass-delete guard (dedup.py: degenerate docs are excluded from
+    banding, so they pair with NOTHING — not even an exact-identical
+    twin) is thereby under the driver's value hash: unguarded, the six
+    would pair with each other at n_bands=4 and the extra negative-id
+    rows hash-mismatch the oracle, which runs on the base corpus only
+    (degenerate docs contribute zero pairs by the operator contract).
+    The probe row (-999, 6, 0) pins NON-vacuously that the six rows
+    really were in the operator's input: it counts doc_id < 0 on the
+    exact frame handed to lsh_candidate_pairs (a pushed-filter scan —
+    near-free), so silently dropping the union would flip it to
+    (-999, 0, 0) and fail the gate."""
     from fstd2pandas_spark.operators.llm import lsh_candidate_pairs
 
-    docs = _load(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(docs, num_hashes=8, bands=4).orderBy("doc_a", "doc_b")
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    deg = spark.createDataFrame(
+        [(-1, None), (-2, "hello"), (-3, "two tokens"),
+         (-4, ""), (-5, None), (-6, "hello")],
+        "doc_id long, text string")
+    inp = docs.unionByName(deg)
+    pairs = lsh_candidate_pairs(inp, num_hashes=8, bands=4)
+    probe = (inp.filter(F.col("doc_id") < 0)
+             .agg(F.count("*").alias("n"))
+             .select(F.lit(-999).cast("long").alias("doc_a"),
+                     F.col("n").alias("doc_b"),
+                     F.lit(0).cast("long").alias("n_bands")))
+    return pairs.unionByName(probe).orderBy("doc_a", "doc_b")
 
 
 def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
@@ -3791,10 +3829,18 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
              x -> CAST(x AS VARCHAR)), '|')) AS bucket
     FROM sigs, (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
   )
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT * FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    UNION ALL
+    -- the Spark side unions six DEGENERATE documents (negative ids;
+    -- NULL/sub-shingle_k texts) into the operator input: they must
+    -- contribute ZERO pairs (the mass-delete guard), so the oracle is
+    -- the base corpus plus only this input-count probe row
+    SELECT -999 AS doc_a, 6 AS doc_b, 0 AS n_bands
+  )
   ORDER BY doc_a, doc_b
 """
 
@@ -3810,12 +3856,31 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature fold — the dominant cost at corpus scale — appears
     exactly once in the plan (locked by tests/test_plans.py). Unified
     (kind, v1, v2, v3) schema: bucket=(simhash, n_docs, min_doc),
-    pair=(doc_a, doc_b, hamming)."""
+    pair=(doc_a, doc_b, hamming).
+
+    Three NULL-text documents (negative ids) are unioned into the
+    operator input: simhash(NULL) is NULL, and the NULL-signature
+    guard must keep them out of EVERY bucket and EVERY pair (unrelated
+    unknown-content docs must not collapse into one "near-duplicate"
+    group — unguarded they'd emit a 3-doc bucket and 3 pair rows whose
+    negative ids hash-mismatch the base-corpus oracle). The
+    kind='probe' row (-999, n_null_fed, 0) pins non-vacuously that the
+    three rows really reached the operator's input frame."""
     from fstd2pandas_spark.operators.llm.dedup import simhash_report_rows
 
-    docs = _load(spark, sf_dir, "documents")
-    return (simhash_report_rows(docs, bits=48, max_hamming=2)
-            .orderBy("kind", "v1", "v2"))
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    deg = spark.createDataFrame(
+        [(-1, None), (-2, None), (-3, None)], "doc_id long, text string")
+    inp = docs.unionByName(deg)
+    rows = simhash_report_rows(inp, bits=48, max_hamming=2)
+    probe = (inp.filter(F.col("text").isNull()
+                        & (F.col("doc_id") < 0))
+             .agg(F.count("*").alias("n"))
+             .select(F.lit("probe").alias("kind"),
+                     F.lit(-999).cast("long").alias("v1"),
+                     F.col("n").alias("v2"),
+                     F.lit(0).cast("long").alias("v3")))
+    return rows.unionByName(probe).orderBy("kind", "v1", "v2")
 
 
 def _simhash_sql(bits: int = 16, pair_bits: int = 48,
@@ -3845,6 +3910,13 @@ def _simhash_sql(bits: int = 16, pair_bits: int = 48,
          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS v3
   FROM shw a JOIN shw b ON a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+  UNION ALL
+  -- the Spark side unions three NULL-text documents (negative ids)
+  -- into the operator input: the NULL-signature guard must keep them
+  -- out of every bucket and pair, so the oracle is the base corpus
+  -- plus only this input-count probe row
+  SELECT 'probe' AS kind, CAST(-999 AS BIGINT) AS v1,
+         CAST(3 AS BIGINT) AS v2, CAST(0 AS BIGINT) AS v3
   ORDER BY kind, v1, v2
 """
 
@@ -4188,13 +4260,38 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every id's (cell, keep/dup_of) verdict is pinned: vec_b =
     dup_of (-1 when kept), cos = the assigned cell. The oracle
     re-trains the same cells in SQL (the emb_ann_ivf centroid CTEs) and
-    derives components from the clone cliques."""
+    derives components from the clone cliques.
+
+    kind='deg' (round 15): five DEGENERATE vectors (negative ids — one
+    NULL embedding, two all-zero, two NaN-component; the zero/NaN
+    pairs are IDENTICAL twins) are unioned into the lsh arm's input.
+    Their cosine is UNDEFINED, so they must produce ZERO pairs — not
+    even against their identical twin (unguarded, the all-zero pair
+    ABORTED the whole query under ANSI as DIVIDE_BY_ZERO, and under
+    non-ANSI scored NaN, which passes `NaN >= threshold` and pairs the
+    dead vector with everything in its bucket at maximum confidence —
+    the mass-delete class). Any leaked negative-id pair hash-mismatches
+    the base-corpus oracle; the (-999, 5, 0.0) probe row counts
+    vec_id < 0 on the exact frame handed to embedding_neardup, so
+    silently dropping the union fails the gate too."""
     from fstd2pandas_spark.operators.llm import embedding_neardup
     from fstd2pandas_spark.operators.llm.similarity import semantic_dedup
 
     emb = _load(spark, sf_dir, "embeddings")
-    lsh = embedding_neardup(emb, threshold=0.4, n_planes=4).select(
+    nanvec = [float("nan")] + [0.5] * 63
+    deg = spark.createDataFrame(
+        [(-1, None), (-2, [0.0] * 64), (-3, [0.0] * 64),
+         (-4, nanvec), (-5, nanvec)],
+        "vec_id long, embedding array<float>")
+    linp = emb.select("vec_id", "embedding").unionByName(deg)
+    lsh = embedding_neardup(linp, threshold=0.4, n_planes=4).select(
         F.lit("lsh").alias("kind"), "vec_a", "vec_b", "cos")
+    lsh = lsh.unionByName(
+        linp.filter(F.col("vec_id") < 0).agg(F.count("*").alias("n"))
+        .select(F.lit("deg").alias("kind"),
+                F.lit(-999).cast("long").alias("vec_a"),
+                F.col("n").alias("vec_b"),
+                F.lit(0.0).alias("cos")))
     ev = emb.select("vec_id", "embedding")
     base = (ev
             .unionByName(ev.filter(F.col("vec_id") < 20).select(
@@ -4284,6 +4381,13 @@ def _neardup_bucketed_sql(n_planes: int = 4, dim: int = 64,
               THEN scomp.comp ELSE -1 END AS BIGINT) AS vec_b,
          CAST(sasg.cell AS DOUBLE) AS cos
   FROM sasg LEFT JOIN scomp ON scomp.node = sasg.vec_id
+  UNION ALL
+  -- the Spark side unions five DEGENERATE vectors (negative ids:
+  -- NULL / all-zero / NaN-component) into the lsh arm's input; their
+  -- cosine is UNDEFINED so they contribute ZERO pairs — the oracle is
+  -- the base corpus plus only this input-count probe row
+  SELECT 'deg' AS kind, CAST(-999 AS BIGINT) AS vec_a,
+         CAST(5 AS BIGINT) AS vec_b, CAST(0.0 AS DOUBLE) AS cos
   ORDER BY kind, vec_a, vec_b
 """
 

@@ -45,8 +45,24 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    """Cosine similarity between two float arrays (double precision)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity between two float arrays (double precision).
+
+    NULL when it is UNDEFINED: a zero-norm vector has no direction
+    (the raw division is 0/0 — under ANSI that ABORTS the whole query
+    as DIVIDE_BY_ZERO, so one dead all-zero embedding — the classic
+    broken-encoder artifact — killed corpus-wide dedup; under
+    non-ANSI it is NaN, which Spark orders ABOVE every real double
+    and which passes `NaN >= threshold`, so the dead vector paired
+    with everything it met as a maximum-confidence "near-duplicate"
+    and hijacked rank 1 of every top-k). A NaN component poisons the
+    fold to NaN the same way. ``try_divide`` maps the zero divisor to
+    NULL and ``nanvl`` maps a NaN result to NULL — single evaluation
+    of the dot and norm folds, no guard re-evaluation — so undefined
+    similarities drop out of thresholds and sort AFTER every real
+    candidate, matching the module's NULL-metric contract."""
+    return F.nanvl(
+        F.try_divide(_dot(a, b), _norm(a) * _norm(b)),
+        F.lit(None).cast("double"))
 
 
 def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
@@ -55,8 +71,14 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
                 n_queries: int = 10) -> DataFrame:
     """Brute-force cosine top-k: for each query vector, the k nearest
     others. Returns (query_id, neighbor_id, cos) with cos rounded to 6 dp,
-    ranked by (cos desc, neighbor_id asc)."""
-    emb = ensure_min_partitions(emb)
+    ranked by (cos desc, neighbor_id asc).
+
+    NULL-embedding rows are excluded from BOTH sides (a vector that
+    does not exist can neither be searched nor found — keeping them
+    emitted k arbitrary neighbors with NULL cos per NULL query);
+    zero-norm/NaN candidates score NULL (see :func:`cosine_col`) and
+    rank after every real neighbor."""
+    emb = ensure_min_partitions(emb).filter(F.col(vec_col).isNotNull())
     if query_ids is None:
         queries = emb.filter(F.col(id_col) < n_queries)
     else:
@@ -77,7 +99,11 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        # NULL cos (zero-norm/NaN input) = no defined similarity = no
+        # result row; the filter sits ABOVE the window, where cos is a
+        # plain attribute (no pushdown into the fold), and NULLs sort
+        # last within each window so surviving ranks stay contiguous
+        .filter((F.col("rank") <= k) & F.col("cos").isNotNull())
         .select("query_id", "neighbor_id", "cos", "rank")
     )
 
@@ -101,13 +127,32 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.4,
     subtree (ReusedExchange), and each bucket holds ~N/2^n_planes rows.
     ``n_planes=0`` is the exact all-pairs O(N^2) baseline, kept only as a
     small-sf correctness cross-check — never run it on a real corpus.
+
+    NULL-embedding rows never pair (no content to compare) and are
+    excluded at the SOURCE column (scan-pushed predicate) — unguarded,
+    every NULL vector landed in bucket 0 (each plane's sign fold is
+    NULL -> the otherwise-0 arm) and streamed B^2/2 join rows whose
+    NULL cosine was discarded only afterwards. Zero-norm/NaN vectors
+    score NULL against everything (:func:`cosine_col`) and fall out of
+    the threshold instead of passing it as NaN. A hot bucket (constant
+    embeddings, n_planes mistuned for the corpus size) raises in-plan
+    at MAX_GROUP_MEMBERS members BEFORE the join fans out — the dedup
+    module's group-ceiling precedent; the count rides a window over
+    the same hashpartitioning the join needs (one exchange total).
     """
-    emb = ensure_min_partitions(emb)
+    from fstd2pandas_spark.operators.llm.dedup import require_group_within
+
+    emb = ensure_min_partitions(emb).filter(F.col(vec_col).isNotNull())
     if n_planes > 0:
         bucketed = emb.select(
             F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
             lsh_bucket_col(F.col(vec_col), n_planes, dim).alias("_bucket"),
         ).repartition("_bucket")
+        bn = F.count(F.lit(1)).over(Window.partitionBy("_bucket"))
+        bucketed = (bucketed.withColumn("_bn", bn)
+                    .filter(require_group_within(F.col("_bn"),
+                                                 "embedding LSH bucket"))
+                    .drop("_bn"))
         a = bucketed.select(F.col("_id").alias("vec_a"),
                             F.col("_v").alias("_va"), "_bucket")
         b = bucketed.select(F.col("_id").alias("vec_b"),
@@ -166,6 +211,18 @@ def ivf_cell_col(vec: Column, n_cells: int, dim: int,
     return best_c
 
 
+def _trainable(vec_col: str, dim: int) -> Column:
+    """True for vectors the centroid math can digest: non-NULL,
+    exactly ``dim`` wide, every component non-NULL and finite. Shared
+    by :func:`lloyd_refine` and :func:`pq_train` — one definition, so
+    the two trainers can never disagree on what counts as data."""
+    return (F.col(vec_col).isNotNull()
+            & (F.size(vec_col) == dim)
+            & F.forall(F.col(vec_col),
+                       lambda x: x.isNotNull() & ~F.isnan(x)
+                       & (F.abs(x) != F.lit(float("inf")))))
+
+
 #: 2**20 — exact dyadic quantizer: float * _LLOYD_Q is exact, floor has
 #: no rounding ties, and integer sums are summation-order-free, so the
 #: refined centroids are bit-identical on any engine or partitioning
@@ -181,7 +238,16 @@ def lloyd_refine(emb: DataFrame, n_cells: int, dim: int,
     result is deterministic under any aggregation order — the property
     that lets an SQL oracle reproduce the index exactly. One shuffle per
     iteration (the cell groupBy); the collect is n_cells bounded rows.
-    Empty cells keep their previous (md5-seeded) centroid."""
+    Empty cells keep their previous (md5-seeded) centroid.
+
+    Only well-formed vectors train (non-NULL, exactly ``dim`` wide,
+    every component finite): a NULL/short vector contributed NOTHING
+    to the per-dimension sums (``element_at`` past the end is NULL and
+    ``sum`` skips it) but still counted in ``_n``, and a NaN component
+    dropped out of ITS dimension's sum the same way (``floor(NaN)``
+    casts to NULL) — every such row silently DILUTED its cell's mean
+    toward zero, degrading the index with no signal."""
+    emb = emb.filter(_trainable(vec_col, dim))
     for _ in range(iters):
         assigned = emb.select(
             ivf_cell_col(F.col(vec_col), n_cells, dim, weights)
@@ -222,8 +288,12 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
     ``refine`` > 0 runs that many Lloyd iterations over the corpus to
     replace the md5-seeded centroids with member means (deterministic —
     see :func:`lloyd_refine`) before building the inverted lists.
+
+    NULL-embedding rows are excluded from queries and candidates (the
+    :func:`cosine_topk` contract — unguarded they all crowd cell 0
+    with NULL scores); zero-norm/NaN vectors score NULL and rank last.
     """
-    emb = ensure_min_partitions(emb)
+    emb = ensure_min_partitions(emb).filter(F.col(vec_col).isNotNull())
     weights = (lloyd_refine(emb, n_cells, dim, vec_col, iters=refine)
                if refine else None)
     cand = emb.select(
@@ -255,7 +325,11 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        # NULL cos (zero-norm/NaN input) = no defined similarity = no
+        # result row; the filter sits ABOVE the window, where cos is a
+        # plain attribute (no pushdown into the fold), and NULLs sort
+        # last within each window so surviving ranks stay contiguous
+        .filter((F.col("rank") <= k) & F.col("cos").isNotNull())
         .select("query_id", "neighbor_id", "cos", "rank")
     )
 
@@ -297,8 +371,12 @@ def lsh_ann_topk(emb: DataFrame, k: int = 5, n_planes: int = 4,
     At 100 TB this is the shape that works: bucketing is a narrow map,
     the join is per-bucket (co-partitioned), and each bucket holds
     ~N / 2^n_planes vectors.
+
+    NULL-embedding rows are excluded (they all sign-fold into bucket 0
+    and can neither query nor answer — the :func:`cosine_topk`
+    contract); zero-norm/NaN vectors score NULL and rank last.
     """
-    emb = ensure_min_partitions(emb)
+    emb = ensure_min_partitions(emb).filter(F.col(vec_col).isNotNull())
     bucketed = emb.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), n_planes, dim))
     q = bucketed.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_bucket"
@@ -316,7 +394,11 @@ def lsh_ann_topk(emb: DataFrame, k: int = 5, n_planes: int = 4,
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        # NULL cos (zero-norm/NaN input) = no defined similarity = no
+        # result row; the filter sits ABOVE the window, where cos is a
+        # plain attribute (no pushdown into the fold), and NULLs sort
+        # last within each window so surviving ranks stay contiguous
+        .filter((F.col("rank") <= k) & F.col("cos").isNotNull())
         .select("query_id", "neighbor_id", "cos", "rank")
     )
 
@@ -362,19 +444,29 @@ def embedding_dim_stats(emb: DataFrame,
     micro-units (round(x * 1e6) summed as longs — summation-order-free
     and bit-identical on any engine/partitioning, the repo-wide
     contract), min/max/zero/positive counts are exact comparisons on
-    the float32 values."""
+    the float32 values.
+
+    NaN components are REPORTED, not fatal and not poisonous: they
+    count in ``n_nan`` (the health signal this scan exists to raise)
+    and are excluded from the numeric folds — unguarded, one NaN
+    KILLED the whole scan under ANSI (``cast(NaN as long)``) and under
+    non-ANSI pinned ``max_x`` to NaN (Spark orders NaN above every
+    double), hiding the dimension's real range."""
     xd = F.col("x").cast("double")
+    xn = F.when(~F.isnan(xd), xd)
     return (emb.select(F.posexplode(vec_col).alias("j", "x"))
             .groupBy("j")
             .agg(F.count("*").cast("long").alias("n"),
-                 F.sum(F.round(xd * 1e6, 0).cast("long"))
+                 F.sum(F.round(xn * 1e6, 0).cast("long"))
                  .cast("long").alias("sum_q6"),
-                 F.min(xd).alias("min_x"),
-                 F.max(xd).alias("max_x"),
+                 F.min(xn).alias("min_x"),
+                 F.max(xn).alias("max_x"),
                  F.sum((F.col("x") == 0).cast("long"))
                  .cast("long").alias("n_zero"),
-                 F.sum((xd > 0).cast("long"))
-                 .cast("long").alias("n_pos")))
+                 F.sum((xn > 0).cast("long"))
+                 .cast("long").alias("n_pos"),
+                 F.sum(F.isnan(xd).cast("long"))
+                 .cast("long").alias("n_nan")))
 
 
 def int8_quantize(emb: DataFrame,
@@ -389,19 +481,39 @@ def int8_quantize(emb: DataFrame,
 
     A narrow shuffle-free per-row map. Deterministic: both the scale
     division and the rounding operate on identical IEEE doubles on any
-    engine, so codes are bit-stable — an SQL oracle rebuilds them."""
+    engine, so codes are bit-stable — an SQL oracle rebuilds them.
+
+    A vector with a NaN or Infinity component quantizes to NULL scale
+    and NULL codes (unknown content — the module's NULL-metric
+    contract): unguarded, ``max|x|`` went non-finite, the per-element
+    ``round(x / scale)`` produced NaN, and the ``cast("int")`` KILLED
+    the whole query under ANSI (CAST_INVALID_INPUT) or silently
+    NULLed single codes under non-ANSI. ``max|x|`` is computed once
+    behind a projection boundary — it is referenced by the finite
+    guard, the zero test and the scale, and CollapseProject keeps
+    multi-referenced non-cheap aliases."""
     xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(xs, lambda x: F.abs(x)))
-    scale = maxabs / F.lit(127.0)
-    codes = F.when(
-        maxabs == 0,
-        F.transform(xs, lambda x: F.lit(0))
-    ).otherwise(
-        F.transform(xs, lambda x: F.greatest(
-            F.lit(-127),
-            F.least(F.lit(127), F.round(x / scale, 0).cast("int")))))
-    return (emb.withColumn("q8_scale", scale)
-            .withColumn("q8_codes", codes))
+    out = emb.withColumn(
+        "_ma", F.array_max(F.transform(xs, lambda x: F.abs(x))))
+    ma = F.col("_ma")
+    finite = ~F.isnan(ma) & (ma != F.lit(float("inf")))
+    scale = F.when(finite, ma / F.lit(127.0))
+    codes = F.when(finite & (ma == 0),
+                   F.transform(xs, lambda x: F.lit(0))) \
+        .when(
+            finite,
+            # per-element NULL guard: least/greatest SKIP NULLs in
+            # Spark, so an unguarded NULL element would clamp to 127
+            # instead of staying NULL
+            F.transform(xs, lambda x: F.when(
+                x.isNotNull(),
+                F.greatest(
+                    F.lit(-127),
+                    F.least(F.lit(127),
+                            F.round(x / (ma / F.lit(127.0)), 0)
+                            .cast("int"))))))
+    return (out.withColumn("q8_scale", scale)
+            .withColumn("q8_codes", codes).drop("_ma"))
 
 
 # ---------------------------------------------------------------- PQ / ADC
@@ -432,8 +544,16 @@ def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16, dim: int = 64,
     `iters` Lloyd passes with the same quantized-integer sums as
     :func:`lloyd_refine` — one shuffle per pass covering ALL subspaces
     at once (group key (sub, code)), collects bounded by m * ksub.
-    Returns codebook[m][ksub][d_sub] of python floats."""
+    Returns codebook[m][ksub][d_sub] of python floats.
+
+    Only well-formed vectors train (non-NULL, exactly ``dim`` wide,
+    finite components — the shared :func:`_trainable` rule): a NULL
+    embedding among the ksub md5-ranked seed rows died as an opaque
+    driver-side TypeError (``None[j]``), and malformed vectors diluted
+    the Lloyd means the same way as in lloyd_refine (counted in
+    ``_n``, absent from the sums)."""
     d_sub = dim // m
+    emb = emb.filter(_trainable(vec_col, dim))
     seed_rows = (emb.select(F.col(id_col), F.col(vec_col))
                  .withColumn("_h", F.md5(F.col(id_col).cast("string")))
                  .orderBy("_h", id_col).limit(ksub).collect())
@@ -557,8 +677,14 @@ def pq_adc_topk(emb: DataFrame, k: int = 5, m: int = 8, ksub: int = 16,
     the small side by construction); compose with
     :func:`ivf_cell_col` cell filters for IVF-PQ candidate
     restriction at larger scale. Returns (query_id, neighbor_id, adc,
-    rank) with adc rounded to 6 dp and ranks dense per query."""
+    rank) with adc rounded to 6 dp and ranks dense per query.
+
+    NULL-embedding rows are excluded (uncodable, unsearchable — the
+    :func:`cosine_topk` contract); a NaN query/reconstruction scores
+    NULL adc (``nanvl``) and ranks last instead of hijacking rank 1
+    (Spark orders NaN above every real double)."""
     d_sub = dim // m
+    emb = emb.filter(F.col(vec_col).isNotNull())
     if codebook is None and train_iters > 0:
         codebook = pq_train(emb, m, ksub, dim, vec_col, id_col,
                             iters=train_iters)
@@ -578,11 +704,13 @@ def pq_adc_topk(emb: DataFrame, k: int = 5, m: int = 8, ksub: int = 16,
     # list_dot_product, so the 6-dp rank keys agree bitwise
     scored = joined.select(
         "query_id", "neighbor_id",
-        F.round(_dot(F.col("_qv"), F.col("_recon")), 6).alias("adc"))
+        F.nanvl(F.round(_dot(F.col("_qv"), F.col("_recon")), 6),
+                F.lit(None).cast("double")).alias("adc"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+            .filter((F.col("rank") <= k)
+                    & F.col("adc").isNotNull()))
 
 
 def ivf_pq_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
@@ -599,8 +727,11 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
     to score, instead of dim * 32-bit vectors). Scores are asymmetric
     distances: one sequential dot of the full-precision query against
     the code reconstruction. Returns (query_id, neighbor_id, adc,
-    rank)."""
-    emb = ensure_min_partitions(emb)
+    rank).
+
+    NULL-embedding rows are excluded and NaN asymmetric distances
+    score NULL and rank last — the :func:`pq_adc_topk` contract."""
+    emb = ensure_min_partitions(emb).filter(F.col(vec_col).isNotNull())
     weights = (lloyd_refine(emb, n_cells, dim, vec_col, iters=refine)
                if refine else None)
     if codebook is None and train_iters > 0:
@@ -630,12 +761,15 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
     scored = (cand.join(F.broadcast(q), "_cell")
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(_dot(F.col("_qv"), F.col("_recon")), 6)
-                      .alias("adc")))
+                      F.nanvl(
+                          F.round(_dot(F.col("_qv"), F.col("_recon")),
+                                  6),
+                          F.lit(None).cast("double")).alias("adc")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+            .filter((F.col("rank") <= k)
+                    & F.col("adc").isNotNull()))
 
 
 def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
@@ -679,8 +813,15 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
     # the same hashpartitioning(cell) the aggregation needs raises
     # in-plan while rows are still narrow, and the exchange is reused
     # by the fold (one shuffle total, plan-locked in tests)
+    # NULL embeddings cannot pair (their cosine is NULL against
+    # everything) and must not trip the cell ceiling from the cell-0
+    # corner they all crowd into — excluded from the pair plane HERE;
+    # they stay in `assigned`, so the output still carries every input
+    # row (a NULL-embedding doc is KEPT: unknown content is never a
+    # duplicate of anything)
+    pairable = assigned.filter(F.col("v").isNotNull())
     cell_n = F.count(F.lit(1)).over(Window.partitionBy("cell"))
-    guarded = (assigned
+    guarded = (pairable
                .withColumn("_cn", cell_n)
                .filter(require_group_within(F.col("_cn"), "SemDeDup cell"))
                .drop("_cn"))

@@ -1963,3 +1963,117 @@ def test_int8_quantize_roundtrip_and_edge_cases(spark):
         for c, x in zip(got[i]["q8_codes"], v):
             assert abs(c * scale - x) <= scale / 2 + 1e-12
         assert max(map(abs, got[i]["q8_codes"])) == 127
+
+
+def test_similarity_degenerate_vector_guards(spark):
+    """The similarity.py whole-file review's silent-wrong-answer
+    classes: (a) a zero-norm vector's cosine is 0/0 — under ANSI
+    (this session's default) it ABORTED the whole query as
+    DIVIDE_BY_ZERO; under non-ANSI it was NaN, which Spark orders
+    above every real double and which passes `NaN >= threshold`, so
+    one dead all-zero embedding paired with everything it met at
+    maximum confidence (the mass-delete class) and hijacked rank 1 of
+    every top-k; (b) NULL embeddings crowded LSH bucket 0 / IVF cell
+    0, streaming discarded-anyway join rows, and emitted k arbitrary
+    NULL-cos neighbors per NULL query; (c) NULL/short vectors DILUTED
+    Lloyd/PQ centroid means (counted in _n, absent from the sums) and
+    a NULL seed vector crashed pq_train with an opaque TypeError;
+    (d) a NaN/Inf component killed int8_quantize (ANSI cast) and
+    pinned embedding_dim_stats' max to NaN; (e) a hot LSH bucket had
+    no group ceiling, unlike every other collision-group path."""
+    import fstd2pandas_spark.operators.llm.dedup as dd
+    from fstd2pandas_spark.operators.llm.similarity import (
+        cosine_topk, embedding_dim_stats, embedding_neardup,
+        int8_quantize, lloyd_refine, pq_adc_topk, pq_train,
+        semantic_dedup)
+
+    nanvec = [float("nan")] + [0.5] * 3
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0]),
+         (2, [0.0, 0.0, 0.0, 0.0]), (3, None), (4, nanvec),
+         (5, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+
+    # (a)+(b) neardup, exact AND bucketed: no crash, and the
+    # degenerate rows (zero/NULL/NaN) pair with NOTHING — not even
+    # their identical twin
+    for planes in (0, 2):
+        got = embedding_neardup(emb.unionByName(
+            spark.createDataFrame([(6, [0.0, 0.0, 0.0, 0.0])],
+                                  "vec_id long, embedding array<float>")),
+            threshold=0.4, n_planes=planes, dim=4).collect()
+        ids = {i for r in got for i in (r["vec_a"], r["vec_b"])}
+        assert not ids & {2, 3, 4, 6}, got
+
+    # (a)+(b) top-k: degenerate queries emit NO rows, degenerate
+    # candidates never outrank a real neighbor, no NULL-cos filler
+    tk = cosine_topk(emb, k=5, n_queries=6).collect()
+    assert all(r["cos"] is not None for r in tk)
+    assert {r["query_id"] for r in tk} <= {0, 1, 5}
+    assert all(r["neighbor_id"] not in (2, 3, 4) for r in tk)
+
+    # (c) training ignores malformed vectors: same centroids with and
+    # without them (they previously diluted the means via _n)
+    # the zero vector (2) IS legitimate training data; only the
+    # NULL (3) and NaN-component (4) rows are excluded
+    clean = emb.filter(F.col("vec_id").isin(0, 1, 2, 5))
+    w_dirty = lloyd_refine(emb, n_cells=2, dim=4, iters=1)
+    w_clean = lloyd_refine(clean, n_cells=2, dim=4, iters=1)
+    assert w_dirty == w_clean
+    big = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 0.25]) for i in range(12)]
+        + [(99, None), (98, [1.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    cb = pq_train(big, m=2, ksub=4, dim=4)   # no TypeError
+    cb2 = pq_train(big.filter("vec_id < 90"), m=2, ksub=4, dim=4)
+    assert cb == cb2
+
+    # adc: NaN query scores NULL everywhere -> the query vanishes
+    # instead of returning arbitrary neighbors
+    adc = pq_adc_topk(emb, k=3, m=2, ksub=2, dim=4, n_queries=6,
+                      train_iters=0).collect()
+    assert all(r["adc"] is not None for r in adc)
+    assert 4 not in {r["query_id"] for r in adc}
+
+    # semantic_dedup: nothing merges through undefined cosines —
+    # every input row is still present, the one GENUINE near-dup pair
+    # (0, 1: cos ~0.994) still collapses, and every degenerate row is
+    # kept (unknown content is never a duplicate of anything)
+    sem = {r["id"]: r for r in semantic_dedup(
+        emb, threshold=0.95, n_cells=2, dim=4, train_iters=1).collect()}
+    assert len(sem) == 6
+    assert not sem[1]["keep"] and sem[1]["dup_of"] == 0
+    for d in (2, 3, 4):
+        assert sem[d]["keep"] and sem[d]["dup_of"] is None
+
+    # (d) int8: NaN/Inf vectors -> NULL scale AND codes (never an
+    # ANSI kill or a clamped-garbage code); NULL elements stay NULL
+    # (least/greatest skip NULLs — unguarded they clamped to 127)
+    q8 = {r["vec_id"]: r for r in int8_quantize(emb.unionByName(
+        spark.createDataFrame(
+            [(7, [float("inf"), 1.0, 0.0, 0.0]),
+             (8, [None, 2.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>"))).collect()}
+    for d in (4, 7):
+        assert q8[d]["q8_scale"] is None and q8[d]["q8_codes"] is None
+    assert q8[8]["q8_codes"][0] is None
+    assert q8[8]["q8_codes"][1] == 127
+    assert q8[2]["q8_codes"] == [0, 0, 0, 0] and q8[2]["q8_scale"] == 0.0
+
+    # (d) dim stats: NaN reported in n_nan, excluded from the folds
+    ds = {r["j"]: r for r in embedding_dim_stats(emb).collect()}
+    assert ds[0]["n_nan"] == 1
+    assert ds[0]["max_x"] == 1.0 and not (ds[0]["max_x"] != ds[0]["max_x"])
+
+    # (e) a hot LSH bucket raises loudly instead of fanning out B^2/2
+    orig = dd.MAX_GROUP_MEMBERS
+    try:
+        dd.MAX_GROUP_MEMBERS = 8
+        hot = spark.createDataFrame(
+            [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)],
+            "vec_id long, embedding array<float>")
+        with pytest.raises(Exception, match="embedding LSH bucket"):
+            embedding_neardup(hot, threshold=0.4, n_planes=2,
+                              dim=4).collect()
+    finally:
+        dd.MAX_GROUP_MEMBERS = orig

@@ -338,10 +338,16 @@ def test_simhash_report_shares_one_signature_fold(spark):
     df = e.queries()["doc_simhash"](spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("collect_list") == 2  # partial + final of ONE agg
-    assert plan.count("Scan parquet") == 1
+    # two scans since round 15: the signature plan's scan plus the
+    # degenerate-probe COUNT branch (a pushed-filter doc_id < 0 scan
+    # that skips every row group — near-free); the FOLD itself (the
+    # md5 token walk) must still appear exactly once
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("conv(substring(md5") == 1
     # exchanges: repartition (parallelism), the fold's hash exchange,
-    # the final orderBy range exchange — and nothing else (no distinct)
-    assert plan.count("Exchange") <= 3
+    # the final orderBy range exchange, plus the probe branch's
+    # single-row aggregate exchange — and nothing else (no distinct)
+    assert plan.count("Exchange") <= 4
     # the two-frame simhash_report keeps its localCheckpoint sharing;
     # its buckets/pairs must still agree with the fused rows (pinned in
     # tests/test_llm.py) — here we only lock the fused plan shape
