@@ -21,8 +21,12 @@ PageRank so a hardening fix can never miss one of the two loops.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 from fstd2pandas_spark.operators.iterative import (
     make_checkpointer, release_checkpoint,
@@ -132,7 +136,18 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
                     f"label propagation did not converge within "
                     f"max_iter={max_iter} rounds (convergence guard "
                     f"{require_convergence_within} requested)")
-            converged = True
+            # no guard: the documented max_iter bound applies, but the
+            # labels are UNCONVERGED — two members of one duplicate
+            # cluster may carry different canonical ids. Say so: a
+            # silent partial merge reads exactly like a converged one
+            _log.warning(
+                "neardup_components: labels still changing after "
+                "max_iter=%d rounds — returning PARTIALLY merged "
+                "components (a chain-shaped pair graph deeper than "
+                "max_iter); raise max_iter or pass "
+                "require_convergence_within to fail loudly instead",
+                max_iter)
+            converged = True  # keep the returned snapshot un-released
     finally:
         # the raise paths must not leak storage either: the edge
         # snapshot has no reader past this function, and on failure the

@@ -26,7 +26,15 @@ def _hash_bucket(id_col: Column, seed: str, n: int = 100) -> Column:
 def hash_split(df: DataFrame, id_col: str = "doc_id", val_pct: int = 5,
                test_pct: int = 0, seed: str = "split1") -> DataFrame:
     """Add a ``split`` column: 'val' for the first ``val_pct`` hash
-    buckets, 'test' for the next ``test_pct``, 'train' otherwise."""
+    buckets, 'test' for the next ``test_pct``, 'train' otherwise.
+
+    A NULL id has no deterministic identity, so its ``split`` is NULL
+    — NOT 'train': the unguarded otherwise-arm silently funneled every
+    NULL-id row into the training set (the one place a row of unknown
+    provenance must never land by default), while :func:`hash_sample`
+    EXCLUDED the same rows — two membership rules for one module.
+    Callers filtering ``split = 'train'`` therefore exclude NULL-id
+    rows, consistently with the samplers."""
     if not 0 <= val_pct + test_pct <= 100:
         raise ValueError("val_pct + test_pct must be within [0, 100]")
     b = _hash_bucket(F.col(id_col), seed)
@@ -34,7 +42,7 @@ def hash_split(df: DataFrame, id_col: str = "doc_id", val_pct: int = 5,
         "split",
         F.when(b < val_pct, "val")
         .when(b < val_pct + test_pct, "test")
-        .otherwise("train"),
+        .when(b.isNotNull(), "train"),
     )
 
 
@@ -280,7 +288,13 @@ def temperature_mix_sample(df: DataFrame, alpha: float = 0.5,
     bit-identical and an SQL oracle gates membership exactly. Other
     alphas go through ``pow`` (documented 1-ulp cross-engine caveat,
     only observable when a threshold lands within ~1e-12 of a
-    half-basis-point boundary)."""
+    half-basis-point boundary).
+
+    A NULL source is ITS OWN stratum (the groupBy already counts it as
+    one group; the threshold joins back null-safely) — with a plain
+    equality join, NULL-source rows influenced every OTHER source's
+    threshold through ``n_min`` (a small unknown-source group could BE
+    the minimum) while receiving no threshold themselves."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
     counts = df.groupBy(F.col(source_col).alias("_src")).agg(
@@ -299,7 +313,8 @@ def temperature_mix_sample(df: DataFrame, alpha: float = 0.5,
     )
     b = _hash_bucket(F.col(id_col), seed, 10000)
     return (
-        df.join(F.broadcast(thr), df[source_col] == thr["_src"], "left")
+        df.join(F.broadcast(thr), df[source_col].eqNullSafe(thr["_src"]),
+                "left")
         .drop("_src")
         .withColumn("temp_sampled", b < F.col("temp_thr"))
     )

@@ -258,9 +258,12 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
     # degenerates the pigeonhole blocks of
     # :func:`~fstd2pandas_spark.operators.llm.dedup.simhash_hamming_pairs`
     # covering those bits into an all-pairs join.
-    if bits > 60:
-        raise ValueError("simhash supports at most 60 bits "
-                         "(md5-prefix base hash)")
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            f"simhash bits must be in 1..60 (md5-prefix base hash), "
+            f"got {bits} — bits < 1 would give every document the "
+            "constant signature 0, collapsing the whole corpus into "
+            "one near-duplicate bucket")
     df = ensure_min_partitions(df)
     with_h = df.withColumn(
         "_th",

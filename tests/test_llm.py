@@ -138,6 +138,10 @@ def test_dedup_degenerate_input_guards(spark):
         minhash_signature(deg, num_hashes=16)
     with pytest.raises(ValueError, match="bands must be"):
         lsh_candidate_pairs(deg, num_hashes=0, bands=0)
+    # bits < 1 would hand every document the constant 0 signature
+    from fstd2pandas_spark.operators.llm.text import simhash
+    with pytest.raises(ValueError, match="1..60"):
+        simhash(deg, bits=0)
 
 
 def test_lsh_candidates_catch_high_jaccard(docs):
@@ -659,6 +663,31 @@ def test_neardup_convergence_guard(spark):
            for r in neardup_components(
                clique, require_convergence_within=2).collect()}
     assert got == {n: 0 for n in range(4)}
+
+    # without the guard, exhausting max_iter mid-change must WARN —
+    # a silent partial merge reads exactly like a converged one —
+    # and still return the documented bounded-round labels
+    import logging
+
+    logger = logging.getLogger(
+        "fstd2pandas_spark.operators.llm.cluster")
+    records = []
+
+    class _Cap(logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    h = _Cap()
+    logger.addHandler(h)
+    try:
+        part = {r.node: r.component
+                for r in neardup_components(chain,
+                                            max_iter=2).collect()}
+    finally:
+        logger.removeHandler(h)
+    assert any("PARTIALLY merged" in m for m in records)
+    assert len(part) == 13 and part[0] == 0
+    assert len(set(part.values())) > 1  # genuinely unconverged
 
 
 def test_neardup_releases_superseded_checkpoints(spark):
@@ -2077,3 +2106,37 @@ def test_similarity_degenerate_vector_guards(spark):
                               dim=4).collect()
     finally:
         dd.MAX_GROUP_MEMBERS = orig
+
+
+def test_sampling_null_identity_guards(spark):
+    """sampling.py review pins: (a) a NULL-id row must NOT silently
+    land in the training split (it has no deterministic identity; the
+    old otherwise-'train' arm put every unknown-provenance row in the
+    one set it must never default into, while hash_sample EXCLUDED the
+    same rows — two membership rules in one module); (b) a NULL source
+    is its own temperature stratum: it gets a threshold back (it
+    already counted as a group, and could even BE n_min) instead of a
+    NULL temp_thr via the non-null-safe join."""
+    from fstd2pandas_spark.operators.llm.sampling import (
+        hash_sample, hash_split, temperature_mix_sample)
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(40)] + [(None, "a")],
+        "doc_id long, src string")
+    sp = {r["doc_id"]: r["split"]
+          for r in hash_split(df, val_pct=10).collect()}
+    assert sp[None] is None
+    assert set(sp.values()) - {None} <= {"train", "val", "test"}
+    assert None not in {r["doc_id"]
+                        for r in hash_sample(df, pct=50).collect()}
+
+    # NULL source: own stratum, gets the threshold of its own size —
+    # here it is the smallest group (1 row) so its threshold is 10000
+    # (keep-all) and the big group's fraction is sqrt(1/40)
+    tm = spark.createDataFrame(
+        [(i, "big") for i in range(40)] + [(100, None)],
+        "doc_id long, source string")
+    got = {r["doc_id"]: r for r in temperature_mix_sample(tm).collect()}
+    assert got[100]["temp_thr"] == 10000 and got[100]["temp_sampled"]
+    import math
+    assert got[0]["temp_thr"] == round(10000 * math.sqrt(1 / 40))
