@@ -3293,7 +3293,9 @@ def _langid_sql() -> str:
   bqt AS (SELECT unnest([{terms}]) AS term),
   bm AS (SELECT btf.* FROM btf JOIN bqt USING (term)),
   bdf AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM bm GROUP BY term),
-  bst AS (SELECT count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS total_dl
+  -- count(tk) skips NULL-text rows, mirroring the engine's
+  -- searchable-docs-only N (the avgdl/idf dilution guard)
+  bst AS (SELECT count(tk) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS total_dl
           FROM btk),
   bsc AS (SELECT doc_id,
             CAST(round(log10((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)

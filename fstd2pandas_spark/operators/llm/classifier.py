@@ -60,7 +60,11 @@ def linear_text_classifier(df: DataFrame, text_col: str = "text",
     ``weights``: an optional trained weight vector of length ``dim``
     (integer micro-units).  Without it the deterministic md5-derived
     pseudo-weights stand in — same plan, same cost, oracle-exact.
-    NULL text scores as bias alone (no tokens)."""
+    NULL text scores NULL and gets a NULL verdict — the module's
+    NULL-metric contract: a keep/drop decided by bias alone would
+    hand every unknown-content document the SAME definite verdict,
+    which is precisely what a corpus-wide quality filter must not do
+    silently (empty text, by contrast, genuinely scores the bias)."""
     if weights is not None and len(weights) != dim:
         raise ValueError(
             f"weights length {len(weights)} != dim {dim}")
@@ -72,8 +76,11 @@ def linear_text_classifier(df: DataFrame, text_col: str = "text",
         warr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
         per_tok = F.transform(
             buckets, lambda b: F.element_at(warr, (b + 1).cast("int")))
+    # per_tok is NULL exactly when the text is NULL (split of a
+    # non-null string is never NULL), so the fold's own NULL
+    # propagation IS the contract — no second text_col reference
     score = F.aggregate(
-        F.coalesce(per_tok, F.array().cast("array<bigint>")),
+        per_tok,
         F.lit(int(bias)).cast("long"), lambda a, x: a + x)
     return (
         df.withColumn(f"{out_prefix}_score", score)

@@ -31,7 +31,13 @@ def contamination_overlap(docs: DataFrame, bench: DataFrame,
                           id_col: str = "doc_id") -> DataFrame:
     """Per document: the count of distinct shingles shared with the
     benchmark corpus and a ``contaminated`` flag (count >= min_shared).
-    Documents with no overlap report 0 / false."""
+    Documents with no overlap report 0 / false.
+
+    NULL-text documents report NULL / NULL — the module's NULL-metric
+    contract (the boilerplate_span_stats rule): a document whose
+    content is UNKNOWN cannot be certified leak-free, and a 0/false
+    verdict is exactly what a decontamination filter must not hand it
+    silently."""
     bsh = _shingle_set(bench, text_col, id_col, shingle_k) \
         .select("shingle").distinct()
     hits = (
@@ -39,10 +45,14 @@ def contamination_overlap(docs: DataFrame, bench: DataFrame,
         .join(F.broadcast(bsh), "shingle", "leftsemi")
         .groupBy(id_col).agg(F.count("*").alias("n_bench_shingles"))
     )
+    has_text = F.col(text_col).isNotNull()
     return (
         docs.join(hits, id_col, "left")
         .withColumn("n_bench_shingles",
-                    F.coalesce(F.col("n_bench_shingles"), F.lit(0)))
+                    F.when(has_text,
+                           F.coalesce(F.col("n_bench_shingles"),
+                                      F.lit(0))))
         .withColumn("contaminated",
-                    F.col("n_bench_shingles") >= min_shared)
+                    F.when(has_text,
+                           F.col("n_bench_shingles") >= min_shared))
     )

@@ -119,12 +119,16 @@ def lm_perplexity(df: DataFrame, model: DataFrame, unigrams: DataFrame,
                   middle_q6: int = DEFAULT_MIDDLE_Q6) -> DataFrame:
     """Score every document of ``df`` against a trained model; adds
 
-    - ``lm_bigrams`` — scored bigram count (0 for < 2 tokens / NULL);
+    - ``lm_bigrams`` — scored bigram count (0 for < 2 tokens; NULL
+      for NULL text — unknown content is not an empty document, the
+      module's NULL-metric contract);
     - ``lm_q6``      — sum of per-bigram quantized log10 probabilities
-      (micro-units, BIGINT; 0 when no bigrams);
+      (micro-units, BIGINT; 0 when no bigrams, NULL for NULL text);
     - ``lm_bucket``  — 'head' / 'middle' / 'tail' by the integer
-      cross-multiplication ``lm_q6 >= threshold * lm_bigrams``, or
-      'empty' when there is nothing to score.
+      cross-multiplication ``lm_q6 >= threshold * lm_bigrams``,
+      'empty' when there is genuinely nothing to score, NULL for NULL
+      text (unguarded, the when-chain's otherwise-arm would have
+      labeled unknown content 'tail').
 
     Lower (more negative) ``lm_q6 / lm_bigrams`` = higher perplexity =
     further into the tail, exactly CCNet's ordering.
@@ -149,15 +153,25 @@ def lm_perplexity(df: DataFrame, model: DataFrame, unigrams: DataFrame,
         .groupBy(id_col)
         .agg(F.sum("q6").alias("lm_q6"), F.count("*").alias("lm_bigrams"))
     )
+    has_text = F.col(text_col).isNotNull()
     out = (
         df.join(scored.hint("merge"), id_col, "left")
         .withColumn("lm_bigrams",
-                    F.coalesce(F.col("lm_bigrams"), F.lit(0)).cast("long"))
-        .withColumn("lm_q6", F.coalesce(F.col("lm_q6"), F.lit(0)).cast("long"))
+                    F.when(has_text,
+                           F.coalesce(F.col("lm_bigrams"), F.lit(0)))
+                    .cast("long"))
+        .withColumn("lm_q6",
+                    F.when(has_text,
+                           F.coalesce(F.col("lm_q6"), F.lit(0)))
+                    .cast("long"))
     )
     return out.withColumn(
         "lm_bucket",
-        F.when(F.col("lm_bigrams") == 0, F.lit("empty"))
+        # NULL text FIRST: with lm_bigrams NULL every comparison arm
+        # below is NULL and the otherwise-arm would label unknown
+        # content 'tail'
+        F.when(F.col("lm_bigrams").isNull(), F.lit(None).cast("string"))
+        .when(F.col("lm_bigrams") == 0, F.lit("empty"))
         .when(F.col("lm_q6") >= F.lit(head_q6) * F.col("lm_bigrams"),
               F.lit("head"))
         .when(F.col("lm_q6") >= F.lit(middle_q6) * F.col("lm_bigrams"),

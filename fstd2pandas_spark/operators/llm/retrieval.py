@@ -92,8 +92,13 @@ def bm25_scores(df: DataFrame, queries: "dict[int, str]",
     micro-unit score sum — order-free across engines.
     """
     post = doc_postings(df, text_col, id_col)
+    # corpus stats over SEARCHABLE documents only: count(text_col)
+    # skips NULLs exactly like the total_dl sum does — count(*) would
+    # count NULL-text rows into N while their (NULL) lengths drop out
+    # of total_dl, silently shrinking avgdl and inflating idf for
+    # every real document (the lloyd_refine dilution class)
     stats = df.select(
-        F.count("*").alias("n_docs"),
+        F.count(text_col).alias("n_docs"),
         F.sum(F.size(F.filter(tokens_col(F.col(text_col)),
                               lambda t: t != ""))).alias("total_dl"),
     )

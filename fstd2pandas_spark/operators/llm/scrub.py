@@ -121,13 +121,25 @@ def canonical_url_col(url: Column) -> Column:
         u, r"(?i)^https?://(?:[^/@?#\s]*@)?([^/?#\s]*)", 1))
     rest = F.regexp_replace(
         u, r"(?i)^https?://(?:[^/@?#\s]*@)?[^/?#\s]*", "")
-    host = F.regexp_replace(host, r":80$", "")
+    # default ports are PER-SCHEME: an unconditional ':80' strip
+    # collapsed 'https://h:80/' (a real non-default port) onto
+    # 'https://h/' — two different resources deduped as one
+    host = F.when(scheme == "http",
+                  F.regexp_replace(host, r":80$", "")).otherwise(host)
     host = F.when(scheme == "https",
                   F.regexp_replace(host, r":443$", "")).otherwise(host)
-    # strip tracking params (leading '?p=v&' / '&p=v' forms), then a
-    # dangling '?' or '&'
-    rest = F.regexp_replace(
-        rest, r"[?&](utm_[A-Za-z]+|fbclid|gclid)=[^&#]*", "?")
+    # strip tracking params in three ANCHORED passes: mid/trailing
+    # ('&p=v' removed outright), leading-followed-by-more ('?p=v&' ->
+    # '?'), query-is-only-tracking ('?p=v' -> ''). The old single
+    # pass replaced every '[?&]p=v' with '?', so a tracking param
+    # REMOVED MID-QUERY turned the next parameter's separator into
+    # '?' ('?utm_a=1&x=2&utm_b=3&y=4' -> '?x=2?y=4'), and the
+    # tracking variant no longer canonicalized onto its clean twin —
+    # the very match this function exists to produce
+    track = r"(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*"
+    rest = F.regexp_replace(rest, f"&{track}", "")
+    rest = F.regexp_replace(rest, f"\\?{track}&", "?")
+    rest = F.regexp_replace(rest, f"\\?{track}$", "")
     rest = F.regexp_replace(rest, r"\?[?&]+", "?")
     rest = F.regexp_replace(rest, r"[?&]$", "")
     rebuilt = F.concat(scheme, F.lit("://"), host,

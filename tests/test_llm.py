@@ -578,6 +578,13 @@ def test_normalized_dedup_and_decontamination(spark):
     assert out[0][1]                               # bench overlaps itself
     assert out[3] == (1, True)                     # shares "quick brown fox"
     assert out[2] == (0, False)
+    # NULL text: contamination is UNKNOWN, not 0/false — a leak-free
+    # certificate for unverifiable content is the silent failure mode
+    nd = docs.unionByName(spark.createDataFrame(
+        [(9, None)], "doc_id long, text string"))
+    out9 = {r.doc_id: (r.n_bench_shingles, r.contaminated)
+            for r in contamination_overlap(nd, bench).collect()}
+    assert out9[9] == (None, None)
     # shingling is punctuation-sensitive by design: doc 1's "quick,"
     # token breaks every candidate shingle
     assert out[1] == (0, False)
@@ -1406,6 +1413,27 @@ def test_canonical_url_dedup(spark):
     assert out["http://example.com/a"] == (1, 3)
     assert out["http://example.com/b"] == (4, 1)
     assert out[None] == (5, 1)
+
+    # review pins: (a) a tracking param removed MID-query must not
+    # turn the next parameter's separator into '?' (the old single
+    # pass produced '?x=2?y=4', so the tracking variant never
+    # collapsed onto its clean twin); (b) ':80' is the default port
+    # of http ONLY — on https it is a real port and must survive
+    from pyspark.sql import Row
+    c = spark.createDataFrame([
+        Row(u="http://h.com/p?utm_a=1&x=2&utm_b=3&y=4"),
+        Row(u="http://h.com/p?x=2&y=4"),
+        Row(u="http://h.com/p?utm_a=1&utm_b=2"),
+        Row(u="https://h.com:80/p"),
+        Row(u="https://h.com:443/p"),
+        Row(u="http://h.com:80/p"),
+    ]).select(canonical_url_col(F.col("u")).alias("c")).collect()
+    got = [r["c"] for r in c]
+    assert got[0] == got[1] == "http://h.com/p?x=2&y=4", got
+    assert got[2] == "http://h.com/p", got
+    assert got[3] == "https://h.com:80/p", got
+    assert got[4] == "https://h.com/p", got
+    assert got[5] == "http://h.com/p", got
     # plan: canonicalization itself is a pure projection
     plan = df.select(canonical_url_col(F.col("url")))._jdf \
         .queryExecution().executedPlan().toString()
@@ -1503,8 +1531,13 @@ def test_lm_train_counts_and_score_exact(spark):
     assert (out[2].lm_bigrams, out[2].lm_q6) == (1, -477121)
     # (b, c) unseen bigram -> 0.4 * c(c)/6; (a, z) unseen w2 -> 0.4 * 1/6
     assert out[3].lm_q6 == out[4].lm_q6 == -1176091
-    assert out[5].lm_bucket == out[6].lm_bucket == "empty"
+    # empty text is genuinely 'empty'; NULL text is UNKNOWN content
+    # and gets the NULL verdict (the module's NULL-metric contract —
+    # unguarded, the bucket chain's otherwise-arm read it as 'tail')
+    assert out[5].lm_bucket == "empty"
     assert (out[5].lm_q6, out[5].lm_bigrams) == (0, 0)
+    assert out[6].lm_bucket is None
+    assert (out[6].lm_q6, out[6].lm_bigrams) == (None, None)
 
 
 def test_lm_bucket_thresholds(spark):
@@ -1771,7 +1804,10 @@ def test_linear_text_classifier_known_values(spark):
            for r in linear_text_classifier(df, dim=64, bias=7).collect()}
     exp0 = 7 + w(bucket("alpha", 64)) + 2 * w(bucket("beta", 64))
     assert out[0] == (exp0, exp0 > 0)
-    assert out[1] == (7, True) and out[2] == (7, True)
+    # empty text genuinely scores the bias; NULL text is UNKNOWN
+    # content and must not get a definite verdict from bias alone
+    assert out[1] == (7, True)
+    assert out[2] == (None, None)
     # trained weights: bucket -> its own index as weight
     weights = list(range(64))
     out2 = {r["doc_id"]: r["clf_score"] for r in linear_text_classifier(
