@@ -59,8 +59,23 @@ def countmin_counters(df: DataFrame, key_col: str, width: int = 1024,
     bytes per URL) instead of rows."""
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
-    w = (F.col(weight_col).cast("long") if weight_col
-         else F.lit(1).cast("long"))
+    if weight_col:
+        # a NULL weight would be SKIPPED by the sum — a silent
+        # UNDERcount, the one direction a Count-Min must never err —
+        # and a negative weight breaks the overcount-only min-estimate
+        # invariant the same way; both raise in-plan
+        wr = F.col(weight_col).cast("long")
+        bad = F.concat(
+            F.lit(f"countmin_counters: weight {weight_col} = "),
+            F.coalesce(wr.cast("string"), F.lit("NULL")),
+            F.lit(" — weights must be non-NULL and >= 0 (a NULL is "
+                  "silently skipped by the sum and a negative weight "
+                  "breaks the overcount-only invariant: both turn the "
+                  "sketch into an undercounter)"))
+        w = (F.when(wr >= 0, wr)
+             .otherwise(F.raise_error(bad).cast("long")))
+    else:
+        w = F.lit(1).cast("long")
     rows = (df.filter(F.col(key_col).isNotNull())
             .select(F.explode(_banded(F.col(key_col), width, depth))
                     .alias("db"), w.alias("_w")))
@@ -173,6 +188,36 @@ def hll_registers(df: DataFrame, key_col: str,
             .select(*gcols, (h1 % m).alias("reg"), rank.alias("_r"))
             .groupBy(*gcols, "reg")
             .agg(F.max("_r").alias("max_rank"))
+            .withColumn("hll_p", F.lit(int(p))))
+
+
+def hll_merge(a: DataFrame, b: DataFrame,
+              group_cols: "list[str] | None" = None,
+              p: int = 10) -> DataFrame:
+    """Merge two register tables built with the same ``p``: MAX rank
+    per (group, reg) — the merged table is EXACTLY the table of the
+    union of the two key streams (max distributes over union), the
+    roll-up property the module docstring promises and
+    :func:`kmins_merge` already ships for its family. Groups/registers
+    present on one side only pass through. The ``hll_p`` parameter
+    columns are validated the bounded-distinct way (a mismatched p
+    means different register SPACES — maxing them would silently
+    estimate a garbage cardinality)."""
+    gcols = list(group_cols or [])
+    for side, name in ((a, "left"), (b, "right")):
+        params = [r[0] for r in
+                  side.select("hll_p").distinct().collect()]
+        if len(params) > 1:
+            raise ValueError(
+                f"hll_merge: {name} side mixes {len(params)} p "
+                f"parameterizations {sorted(params)}")
+        if params and params[0] != p:
+            raise ValueError(
+                f"hll_merge: {name} side was built with "
+                f"p={params[0]}, merge called with p={p}")
+    return (a.unionByName(b)
+            .groupBy(*gcols, "reg")
+            .agg(F.max("max_rank").alias("max_rank"))
             .withColumn("hll_p", F.lit(int(p))))
 
 
@@ -441,6 +486,10 @@ def kmins_estimate(minima_rows: "list[int]", k: int) -> float:
     if not minima_rows:
         return 0.0
     M = float(1 << 60)
+    if sum(minima_rows) == 0:
+        # every component's minimum is literally 0 — beyond the
+        # estimator's regime (n̂ -> infinity), not a ZeroDivisionError
+        return float("inf")
     return k * M / sum(minima_rows) - 1.0
 
 
@@ -533,18 +582,35 @@ def histogram_merge(sketches: DataFrame,
                           .cast(T.ArrayType(T.LongType()))))
     ex = sketches.select(*group_cols, "n_under", "n_over",
                          F.posexplode(checked).alias("_i", "_c"))
+    # _k = how many input sketches contributed to this (group, bin):
+    # sketches of DIFFERENT nbins merging into one group would leave
+    # the tail bins fed by fewer inputs than bin 0 — a silently
+    # half-merged histogram (every other sketch family validates its
+    # parameterization; the hist LENGTH is this one's parameter)
     per_bin = (ex.groupBy(*group_cols, "_i")
                .agg(F.sum("_c").cast("long").alias("_c"),
+                    F.count("*").alias("_k"),
                     F.sum(F.when(F.col("_i") == 0, F.col("n_under")))
                     .alias("_u"),
                     F.sum(F.when(F.col("_i") == 0, F.col("n_over")))
                     .alias("_o")))
+    ragged = F.concat(
+        F.lit("histogram_merge: a group mixes sketches of different "
+              "bin counts (some bins fed by "),
+        F.min("_k").cast("string"), F.lit(" inputs, others by "),
+        F.max("_k").cast("string"),
+        F.lit(") — merging histograms built with different nbins "
+              "would silently sum mismatched bin widths"))
+    merged_hist = F.transform(
+        F.array_sort(F.collect_list(F.struct("_i", "_c"))),
+        lambda s: s["_c"])
     return (per_bin.groupBy(*group_cols)
             .agg(F.max("_u").cast("long").alias("n_under"),
                  F.max("_o").cast("long").alias("n_over"),
-                 F.transform(
-                     F.array_sort(F.collect_list(F.struct("_i", "_c"))),
-                     lambda s: s["_c"]).alias("hist"))
+                 F.when(F.min("_k") == F.max("_k"), merged_hist)
+                 .otherwise(F.raise_error(ragged)
+                            .cast(T.ArrayType(T.LongType())))
+                 .alias("hist"))
             .select(*group_cols, "n_under", "n_over", "hist"))
 
 

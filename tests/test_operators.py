@@ -2797,3 +2797,64 @@ def test_histogram_sketch_exact_and_quantile(spark):
     # silently vanishing the group (posexplode of NULL emits no rows)
     with pytest.raises(Exception, match="NULL hist"):
         histogram_merge(outer, ["g"]).collect()
+
+
+def test_sketch_review_guards(spark):
+    """sketch.py review pins: (a) a NULL or negative Count-Min weight
+    raises in-plan — a NULL was silently SKIPPED by the sum (an
+    undercount, the one direction the sketch must never err) and a
+    negative weight breaks the overcount-only invariant; (b)
+    histogram_merge refuses a group mixing sketches of different bin
+    counts (the tail bins merged from fewer inputs — a silently
+    half-merged histogram); (c) hll_merge: per-register GREATEST with
+    the bounded-distinct p validation, so per-shard tables roll up
+    exactly like kmins_merge; (d) kmins_estimate's all-zero-minima
+    edge returns inf, not ZeroDivisionError."""
+    import pytest as _pt
+
+    from fstd2pandas_spark.operators.sketch import (
+        countmin_counters, histogram_merge, histogram_sketch,
+        hll_estimate, hll_merge, hll_registers, kmins_estimate)
+
+    # (a)
+    wdf = spark.createDataFrame(
+        [("a", 2), ("b", None)], "k string, w int")
+    good = countmin_counters(wdf.filter("w IS NOT NULL"), "k",
+                             width=8, depth=2, weight_col="w")
+    assert sum(r["c"] for r in good.collect()) == 4  # 2 per depth row
+    with _pt.raises(Exception, match="non-NULL and >= 0"):
+        countmin_counters(wdf, "k", width=8, depth=2,
+                          weight_col="w").collect()
+    neg = spark.createDataFrame([("a", -1)], "k string, w int")
+    with _pt.raises(Exception, match="non-NULL and >= 0"):
+        countmin_counters(neg, "k", width=8, depth=2,
+                          weight_col="w").collect()
+
+    # (b)
+    vals = spark.createDataFrame(
+        [("g", float(i % 10)) for i in range(50)], "g string, x double")
+    h8 = histogram_sketch(vals, "x", 0.0, 10.0, 8, ["g"])
+    h4 = histogram_sketch(vals, "x", 0.0, 10.0, 4, ["g"])
+    ok = histogram_merge(h8.unionByName(h8), ["g"]).collect()
+    assert ok[0]["hist"] == [2 * c for c in
+                             h8.collect()[0]["hist"]]
+    with _pt.raises(Exception, match="different bin counts"):
+        histogram_merge(h8.unionByName(h4), ["g"]).collect()
+
+    # (c)
+    a = spark.createDataFrame([(f"k{i}",) for i in range(30)], "k string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(15, 60)],
+                              "k string")
+    ra, rb = hll_registers(a, "k", p=6), hll_registers(b, "k", p=6)
+    ru = hll_registers(a.unionByName(b), "k", p=6)
+    merged = hll_merge(ra, rb, p=6)
+    assert ({(r["reg"], r["max_rank"]) for r in merged.collect()}
+            == {(r["reg"], r["max_rank"]) for r in ru.collect()})
+    est = hll_estimate(
+        [(r["reg"], r["max_rank"]) for r in merged.collect()], p=6)
+    assert 40 <= est <= 80  # 60 distinct, HLL tolerance at m=64
+    with _pt.raises(ValueError, match="built with"):
+        hll_merge(ra, rb, p=8)
+
+    # (d)
+    assert kmins_estimate([0, 0], k=2) == float("inf")
