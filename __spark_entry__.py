@@ -3267,8 +3267,10 @@ def _langid_sql() -> str:
         ("<[^>]+>", "' '"),
     ):
         stripped = f"regexp_replace({stripped}, '{pat}', {rep}, 'g')"
-    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                     ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''")):
+    # '&amp;' last, mirroring the engine: decoding it first would
+    # double-decode '&amp;lt;' into '<'
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&")):
         stripped = f"replace({stripped}, '{ent}', '{rep}')"
     for pat, rep in (("[ \\t]+", "' '"), (" ?\\n ?", "chr(10)"),
                      ("\\n{2,}", "chr(10)"), ("^\\s+|\\s+$", "''")):

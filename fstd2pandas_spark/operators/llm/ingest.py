@@ -104,6 +104,12 @@ def _parse_warc(raw: bytes):
             length = int(headers.get("content-length", "0"))
         except ValueError:
             break
+        if length < 0:
+            # a crafted negative Content-Length could land the cursor
+            # back ON this record's own header and re-yield it forever
+            # (a one-record shard hanging its task); malformed framing
+            # stops the walk — records already yielded stand
+            break
         body = raw[head_end + 4:head_end + 4 + length]
         yield headers, body
         pos = head_end + 4 + length
@@ -182,8 +188,12 @@ def html_to_text_col(html: Column) -> Column:
     x = F.regexp_replace(
         x, r"</?(p|div|br|li|tr|h1|h2|h3|h4|h5|h6)[^>]*>", "\n")
     x = F.regexp_replace(x, r"<[^>]+>", " ")
-    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+    # '&amp;' decodes LAST: its replacement introduces a bare '&'
+    # that must not feed a later entity pass — decoding it first
+    # double-decoded '&amp;lt;' (the HTML spelling of a literal
+    # '&lt;') into '<' instead of '&lt;'
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
         x = F.replace(x, F.lit(ent), F.lit(rep))
     x = F.regexp_replace(x, r"[ \t]+", " ")
     x = F.regexp_replace(x, r" ?\n ?", "\n")

@@ -175,3 +175,24 @@ def test_warc_runner_never_raises_on_fuzz():
         pdf = pd.DataFrame({"path": ["shard"], "content": [payload]})
         for out in run(iter([pdf])):   # must not raise
             assert list(out.columns)[0] == "shard"
+
+
+def test_warc_negative_length_and_entity_order(spark):
+    """ingest.py review pins: (a) a crafted negative Content-Length
+    must stop the record walk, not land the cursor back on the same
+    record and re-yield it forever (a one-record shard hanging its
+    task); (b) '&amp;' decodes LAST — decoding it first double-decoded
+    '&amp;lt;' (the HTML spelling of a LITERAL '&lt;') into '<'."""
+    from fstd2pandas_spark.operators.llm.ingest import (
+        _parse_warc, html_to_text_col)
+
+    rec = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"Content-Length: -13\r\n"
+           b"\r\n")
+    got = list(_parse_warc(rec * 3))
+    assert len(got) <= 1  # stops; never loops re-yielding
+
+    out = spark.range(1).select(html_to_text_col(F.lit(
+        "a &amp;lt; b &amp; c &lt; d")).alias("t")).collect()
+    assert out[0]["t"] == "a &lt; b & c < d"
