@@ -3500,8 +3500,18 @@ def _tokens_sql() -> str:
       FROM bw0) GROUP BY p),
   tp0 AS (SELECT p FROM pr0 ORDER BY c DESC, p ASC LIMIT 1),
   bw1 AS (
-    SELECT trim(replace(' ' || bw.s || ' ', ' ' || tp.p || ' ',
-                        ' ' || replace(tp.p, ' ', '') || ' ')) AS s, cnt
+    -- canonical single-pass merge fold (mirrors bpe.py
+    -- _merge_once_col): a plain replace shares the delimiter space
+    -- between consecutive pair occurrences ('a b a b' -> 'ab a b')
+    SELECT list_reduce(string_split(bw.s, ' '), (acc, x) ->
+             CASE WHEN x = string_split(tp.p, ' ')[2]
+                   AND right(' ' || acc,
+                             length(string_split(tp.p, ' ')[1]) + 1)
+                       = ' ' || string_split(tp.p, ' ')[1]
+             THEN left(acc, length(acc)
+                       - length(string_split(tp.p, ' ')[1]))
+                  || replace(tp.p, ' ', '')
+             ELSE acc || ' ' || x END) AS s, cnt
     FROM bw0 bw, tp0 tp),
   pr1 AS (
     SELECT p, sum(cnt) AS c FROM (
@@ -3513,8 +3523,18 @@ def _tokens_sql() -> str:
       FROM bw1) GROUP BY p),
   tp1 AS (SELECT p FROM pr1 ORDER BY c DESC, p ASC LIMIT 1),
   bw2 AS (
-    SELECT trim(replace(' ' || bw.s || ' ', ' ' || tp.p || ' ',
-                        ' ' || replace(tp.p, ' ', '') || ' ')) AS s, cnt
+    -- canonical single-pass merge fold (mirrors bpe.py
+    -- _merge_once_col): a plain replace shares the delimiter space
+    -- between consecutive pair occurrences ('a b a b' -> 'ab a b')
+    SELECT list_reduce(string_split(bw.s, ' '), (acc, x) ->
+             CASE WHEN x = string_split(tp.p, ' ')[2]
+                   AND right(' ' || acc,
+                             length(string_split(tp.p, ' ')[1]) + 1)
+                       = ' ' || string_split(tp.p, ' ')[1]
+             THEN left(acc, length(acc)
+                       - length(string_split(tp.p, ' ')[1]))
+                  || replace(tp.p, ' ', '')
+             ELSE acc || ' ' || x END) AS s, cnt
     FROM bw1 bw, tp1 tp),
   pr2 AS (
     SELECT p, sum(cnt) AS c FROM (
@@ -3526,8 +3546,18 @@ def _tokens_sql() -> str:
       FROM bw2) GROUP BY p),
   tp2 AS (SELECT p FROM pr2 ORDER BY c DESC, p ASC LIMIT 1),
   bw3 AS (
-    SELECT trim(replace(' ' || bw.s || ' ', ' ' || tp.p || ' ',
-                        ' ' || replace(tp.p, ' ', '') || ' ')) AS s, cnt
+    -- canonical single-pass merge fold (mirrors bpe.py
+    -- _merge_once_col): a plain replace shares the delimiter space
+    -- between consecutive pair occurrences ('a b a b' -> 'ab a b')
+    SELECT list_reduce(string_split(bw.s, ' '), (acc, x) ->
+             CASE WHEN x = string_split(tp.p, ' ')[2]
+                   AND right(' ' || acc,
+                             length(string_split(tp.p, ' ')[1]) + 1)
+                       = ' ' || string_split(tp.p, ' ')[1]
+             THEN left(acc, length(acc)
+                       - length(string_split(tp.p, ' ')[1]))
+                  || replace(tp.p, ' ', '')
+             ELSE acc || ' ' || x END) AS s, cnt
     FROM bw2 bw, tp2 tp),
   pr3 AS (
     SELECT p, sum(cnt) AS c FROM (
@@ -3539,8 +3569,18 @@ def _tokens_sql() -> str:
       FROM bw3) GROUP BY p),
   tp3 AS (SELECT p FROM pr3 ORDER BY c DESC, p ASC LIMIT 1),
   bw4 AS (
-    SELECT trim(replace(' ' || bw.s || ' ', ' ' || tp.p || ' ',
-                        ' ' || replace(tp.p, ' ', '') || ' ')) AS s, cnt
+    -- canonical single-pass merge fold (mirrors bpe.py
+    -- _merge_once_col): a plain replace shares the delimiter space
+    -- between consecutive pair occurrences ('a b a b' -> 'ab a b')
+    SELECT list_reduce(string_split(bw.s, ' '), (acc, x) ->
+             CASE WHEN x = string_split(tp.p, ' ')[2]
+                   AND right(' ' || acc,
+                             length(string_split(tp.p, ' ')[1]) + 1)
+                       = ' ' || string_split(tp.p, ' ')[1]
+             THEN left(acc, length(acc)
+                       - length(string_split(tp.p, ' ')[1]))
+                  || replace(tp.p, ' ', '')
+             ELSE acc || ' ' || x END) AS s, cnt
     FROM bw3 bw, tp3 tp),
   pr4 AS (
     SELECT p, sum(cnt) AS c FROM (
@@ -3552,8 +3592,18 @@ def _tokens_sql() -> str:
       FROM bw4) GROUP BY p),
   tp4 AS (SELECT p FROM pr4 ORDER BY c DESC, p ASC LIMIT 1),
   bw5 AS (
-    SELECT trim(replace(' ' || bw.s || ' ', ' ' || tp.p || ' ',
-                        ' ' || replace(tp.p, ' ', '') || ' ')) AS s, cnt
+    -- canonical single-pass merge fold (mirrors bpe.py
+    -- _merge_once_col): a plain replace shares the delimiter space
+    -- between consecutive pair occurrences ('a b a b' -> 'ab a b')
+    SELECT list_reduce(string_split(bw.s, ' '), (acc, x) ->
+             CASE WHEN x = string_split(tp.p, ' ')[2]
+                   AND right(' ' || acc,
+                             length(string_split(tp.p, ' ')[1]) + 1)
+                       = ' ' || string_split(tp.p, ' ')[1]
+             THEN left(acc, length(acc)
+                       - length(string_split(tp.p, ' ')[1]))
+                  || replace(tp.p, ' ', '')
+             ELSE acc || ' ' || x END) AS s, cnt
     FROM bw4 bw, tp4 tp),
   pr5 AS (
     SELECT p, sum(cnt) AS c FROM (
@@ -3565,8 +3615,18 @@ def _tokens_sql() -> str:
       FROM bw5) GROUP BY p),
   tp5 AS (SELECT p FROM pr5 ORDER BY c DESC, p ASC LIMIT 1),
   bw6 AS (
-    SELECT trim(replace(' ' || bw.s || ' ', ' ' || tp.p || ' ',
-                        ' ' || replace(tp.p, ' ', '') || ' ')) AS s, cnt
+    -- canonical single-pass merge fold (mirrors bpe.py
+    -- _merge_once_col): a plain replace shares the delimiter space
+    -- between consecutive pair occurrences ('a b a b' -> 'ab a b')
+    SELECT list_reduce(string_split(bw.s, ' '), (acc, x) ->
+             CASE WHEN x = string_split(tp.p, ' ')[2]
+                   AND right(' ' || acc,
+                             length(string_split(tp.p, ' ')[1]) + 1)
+                       = ' ' || string_split(tp.p, ' ')[1]
+             THEN left(acc, length(acc)
+                       - length(string_split(tp.p, ' ')[1]))
+                  || replace(tp.p, ' ', '')
+             ELSE acc || ' ' || x END) AS s, cnt
     FROM bw5 bw, tp5 tp),
   bvocab AS (
     SELECT replace(s, ' ', '') AS w,

@@ -164,19 +164,32 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     ranks = nodes.select("node",
                          F.lit(scale // n).cast("long").alias("r"))
     prev = None
-    for _ in range(iters):
-        # dangling mass: ONE scalar per iteration (bounded driver
-        # round-trip — the redistribute-uniformly constant)
-        d_total = (dangling.join(ranks, "node")
-                   .agg(F.sum("r").alias("s")).first()["s"]) or 0
-        ranks = _next_ranks(nodes, ed, ranks, teleport, damping_num,
-                            damping_den, int(d_total) // n)
-        ranks = _ckpt(ranks)
-        # checkpoints here are eager, so the superseded snapshot can be
-        # released immediately — without this, k iterations pin k full
-        # N-row rank snapshots in block-manager storage until GC
-        # (reliable-checkpoint files are ContextCleaner's job instead)
-        if prev is not None and checkpoint_dir is None:
-            _release_checkpoint(prev)
-        prev = ranks
+    try:
+        for _ in range(iters):
+            # dangling mass: ONE scalar per iteration (bounded driver
+            # round-trip — the redistribute-uniformly constant)
+            d_total = (dangling.join(ranks, "node")
+                       .agg(F.sum("r").alias("s")).first()["s"]) or 0
+            ranks = _next_ranks(nodes, ed, ranks, teleport,
+                                damping_num, damping_den,
+                                int(d_total) // n)
+            ranks = _ckpt(ranks)
+            # checkpoints here are eager, so the superseded snapshot
+            # can be released immediately — without this, k iterations
+            # pin k full N-row rank snapshots in block-manager storage
+            # until GC (reliable-checkpoint files are ContextCleaner's
+            # job instead)
+            if prev is not None and checkpoint_dir is None:
+                _release_checkpoint(prev)
+            prev = ranks
+    finally:
+        # the build sides (V + E + V rows) have no reader past the
+        # loop — the returned ranks is an eager checkpoint with its
+        # lineage truncated — and on a raise path nothing the caller
+        # can reach references them either; release deterministically
+        # instead of waiting for driver GC (the neardup_components
+        # finally, mirrored — its storage test is this one's twin)
+        if checkpoint_dir is None:
+            for df_ in (nodes, ed, dangling):
+                _release_checkpoint(df_)
     return ranks

@@ -4,10 +4,16 @@ al. 2016, public), shaped for a 100 TB corpus.
 
 Representation trick that keeps EVERYTHING engine-native and
 oracle-mirrorable: a word's symbol sequence is a space-joined string
-(``hello`` -> ``h e l l o``), so applying a merge (a, b) -> ab is ONE
-literal, left-to-right, non-overlapping ``replace(' a b ' -> ' ab ')``
-over the space-padded string — exactly BPE's left-to-right merge
-semantics, identical in Spark and ANSI SQL, no per-row Python.
+(``hello`` -> ``h e l l o``), and applying a merge (a, b) -> ab is a
+LEFT-TO-RIGHT FOLD over the symbols — if the accumulator's last token
+is ``a`` and the next symbol is ``b``, fuse them; else append — which
+is exactly canonical BPE's single-pass merge (Sennrich et al. 2016),
+identical in Spark (``aggregate``) and the oracle (``list_reduce``),
+no per-row Python. A plain ``replace(' a b ' -> ' ab ')`` is NOT
+canonical here: consecutive pair occurrences share their delimiter
+space, so ``a b a b`` replaced to ``ab a b`` (the second occurrence
+lost its leading space to the first match) where true BPE yields
+``ab ab`` — repeated-pair words tokenized measurably worse.
 
 Scale design: training operates on the DISTINCT-word table (one
 groupBy of the corpus — the working set is vocabulary-sized, not
@@ -24,6 +30,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fstd2pandas_spark.operators.llm.text import tokens_col
+
+
+def _merge_once_col(col, a: str, b: str):
+    """Apply ONE merge (a, b) -> ab to a space-joined symbol string,
+    with canonical BPE single-pass semantics: fold the symbols left to
+    right, fusing when the accumulator's LAST token is ``a`` and the
+    incoming symbol is ``b``. The freshly fused token ``ab`` differs
+    from ``a`` (symbols are never empty), so a fused position cannot
+    fuse again within the pass — exactly the rescan rule. Symbols
+    contain no spaces by construction, so the ``' ' + a`` suffix test
+    is an exact token-boundary check (no LIKE/regex, so metacharacter
+    symbols are safe)."""
+    syms = F.split(col, " ")
+    rest = F.slice(syms, F.lit(2), F.size(syms) - F.lit(1))
+    return F.aggregate(
+        rest, F.element_at(syms, 1),
+        lambda acc, x: F.when(
+            (x == F.lit(b))
+            & F.endswith(F.concat(F.lit(" "), acc), F.lit(" " + a)),
+            F.concat(F.left(acc, F.length(acc) - F.lit(len(a))),
+                     F.lit(a + b)))
+        .otherwise(F.concat(acc, F.lit(" "), x)))
 
 
 def _char_spaced(col):
@@ -50,13 +78,12 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     lexicographically smallest pair, so any engine agrees), and merges
     it everywhere. Returns (merges, final word table (s, cnt)).
 
-    Plan depth grows one replace per round; ``checkpoint_every``
+    Plan depth grows one merge fold per round; ``checkpoint_every``
     truncates lineage with localCheckpoint (the neardup_components
     idiom) so n_merges can be large without planner blowup."""
     words = bpe_word_table(df, text_col)
     merges: list[tuple[str, str]] = []
     for r in range(n_merges):
-        syms = F.split(F.col("s"), " ")
         pairs = words.select(
             F.explode(F.expr(
                 "CASE WHEN size(split(s, ' ')) < 2 THEN array() "
@@ -71,12 +98,8 @@ def bpe_train(df: DataFrame, text_col: str = "text",
             break
         a, b = top[0]["p"].split(" ", 1)
         merges.append((a, b))
-        merged = a + b
         words = words.select(
-            F.trim(F.replace(
-                F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
-                F.lit(f" {a} {b} "), F.lit(f" {merged} "))).alias("s"),
-            "cnt")
+            _merge_once_col(F.col("s"), a, b).alias("s"), "cnt")
         if checkpoint_every and (r + 1) % checkpoint_every == 0:
             words = words.localCheckpoint(eager=False)
     return merges, words
@@ -84,11 +107,12 @@ def bpe_train(df: DataFrame, text_col: str = "text",
 
 def apply_merges_col(col, merges: "list[tuple[str, str]]"):
     """Apply a learned merge list, in order, to a space-joined symbol
-    string Column — a pure narrow map (one replace per merge)."""
-    x = F.concat(F.lit(" "), col, F.lit(" "))
+    string Column — a pure narrow map (one canonical single-pass fold
+    per merge; see :func:`_merge_once_col`)."""
+    x = col
     for a, b in merges:
-        x = F.replace(x, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
-    return F.trim(x)
+        x = _merge_once_col(x, a, b)
+    return x
 
 
 def bpe_token_counts(df: DataFrame, merges: "list[tuple[str, str]]",

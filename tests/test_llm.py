@@ -2176,3 +2176,38 @@ def test_sampling_null_identity_guards(spark):
     assert got[100]["temp_thr"] == 10000 and got[100]["temp_sampled"]
     import math
     assert got[0]["temp_thr"] == round(10000 * math.sqrt(1 / 40))
+
+
+def test_bpe_merge_is_canonical_single_pass(spark):
+    """The replace-trick divergence, pinned closed: consecutive pair
+    occurrences share their delimiter space, so a plain
+    replace(' a b ' -> ' ab ') left 'a b a b' as 'ab a b' — canonical
+    BPE (Sennrich 2016) merges BOTH ('ab ab'), and runs of a repeated
+    symbol merge left-to-right non-overlapping ('a a a a a a' ->
+    'aa aa aa'). The fold must also not re-fuse a freshly merged
+    token ('a b b' stays 'ab b'), and trained merges must now
+    tokenize repeated-pair words canonically end-to-end."""
+    from fstd2pandas_spark.operators.llm.bpe import (
+        apply_merges_col, bpe_token_counts, bpe_train)
+
+    cases = spark.createDataFrame(
+        [("a b a b",), ("a a a a a a",), ("a b b",), ("x",),
+         ("b a b",)], ["s"])
+    got = [r["m"] for r in cases.select(
+        apply_merges_col(F.col("s"), [("a", "b")]).alias("m"))
+        .collect()]
+    assert got == ["ab ab", "a a a a a a", "ab b", "x", "b ab"]
+    got2 = [r["m"] for r in cases.select(
+        apply_merges_col(F.col("s"), [("a", "a")]).alias("m"))
+        .collect()]
+    assert got2 == ["a b a b", "aa aa aa", "a b b", "x", "b a b"]
+
+    # end-to-end: 'abab' must cost 2 BPE tokens once (a, b) is learned
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab abab"), (1, "abab abab")],
+        "doc_id long, text string")
+    merges, words = bpe_train(docs, n_merges=1)
+    assert merges == [("a", "b")]
+    n = {r["doc_id"]: r["bpe_real_tokens"]
+         for r in bpe_token_counts(docs, merges, words).collect()}
+    assert n == {0: 5, 1: 4}  # 'abab' = [ab, ab] = 2 symbols each

@@ -994,9 +994,12 @@ def test_pagerank_releases_superseded_checkpoints(spark):
         [(i, (i * 7) % 50) for i in range(200)], ["src", "dst"])
     pagerank(df, iters=6).collect()
     after = sc._jsc.sc().getPersistentRDDs().size()
-    # nodes + ed + dangling + final ranks may stay; the 5 superseded
-    # per-iteration snapshots must NOT
-    assert after - before <= 4, (before, after)
+    # ONLY the final ranks snapshot may stay (one slot of slack for
+    # lazy GC of unrelated state): the 5 superseded per-iteration
+    # snapshots are released per round and the nodes/ed/dangling
+    # build sides in the loop's finally — the returned checkpoint's
+    # lineage is truncated, so nothing it can reach needs them
+    assert after - before <= 2, (before, after)
 
     import pytest as _pytest
     with _pytest.raises(ValueError, match="scale"):
