@@ -125,16 +125,41 @@ def _ppm_tokens(payload: bytes, n: int, start: int = 2):
     return toks, i
 
 
-def _decode_ppm(payload: bytes) -> np.ndarray:
+def _decode_ppm(payload: bytes) -> "np.ndarray | None":
+    """Total PPM decode: every malformed shape returns None (the
+    shared never-raise fuzz contract) — a forged header claiming more
+    pixels than the payload ships previously escaped as numpy's
+    frombuffer/reshape ValueError and killed the task; non-numeric
+    header/P3 tokens raised int()/np.array ValueErrors; a zero
+    dimension produced an empty image that crashed dhash downstream;
+    and ``maxval > 255`` (2-byte big-endian samples per the spec, a
+    layout this decoder does not implement) silently mis-decoded as
+    1-byte samples instead of falling back."""
     binary = payload[:2] == b"P6"
-    (w, h, maxval), off = _ppm_tokens(payload, 3)
+    try:
+        (w, h, maxval), off = _ppm_tokens(payload, 3)
+    except ValueError:
+        return None
+    if w < 1 or h < 1 or not 1 <= maxval <= 255 \
+            or w * h * 3 > MAX_DECODE_BYTES:
+        return None
     if binary:
+        if len(payload) - off < w * h * 3:
+            return None
         raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
                             offset=off)
     else:
-        raw = np.array(payload[off:].split()[:w * h * 3], dtype=np.int64)
+        toks = payload[off:].split()[:w * h * 3]
+        if len(toks) < w * h * 3:
+            return None
+        try:
+            raw = np.array(toks, dtype=np.int64)
+        except ValueError:
+            return None
+        if raw.min() < 0 or raw.max() > maxval:
+            return None
     if maxval != 255:
-        raw = (raw.astype(np.int64) * 255) // max(maxval, 1)
+        raw = (raw.astype(np.int64) * 255) // maxval
     return raw.astype(np.uint8).reshape(h, w, 3)
 
 
@@ -148,6 +173,10 @@ def _decode_bmp(payload: bytes) -> "np.ndarray | None":
         return None    # only the uncompressed 24-bit layout is codec-free
     top_down, h = h < 0, abs(h)
     stride = (w * 3 + 3) & ~3
+    # a forged header claiming more rows than the payload ships must
+    # fall back, not escape as frombuffer's ValueError (never-raise)
+    if off < 0 or stride * h > len(payload) - off:
+        return None
     rows = np.frombuffer(payload, np.uint8, stride * h, off)
     img = rows.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)[..., ::-1]
     return img if top_down else img[::-1]

@@ -25,7 +25,24 @@ def _img(seed):
         0, 256, size=(16, 16, 3)).astype(np.uint8)
 
 
+def _bmp24(img):
+    import struct
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = b"".join(
+        img[y, :, ::-1].tobytes() + b"\x00" * (stride - w * 3)
+        for y in range(h - 1, -1, -1))
+    off = 54
+    return (b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(rows), 2835, 2835, 0, 0) + rows)
+
+
 _VALID = {
+    "ppm": (b"P6\n16 16\n255\n" + _img(8).tobytes()),
+    "ppm_ascii": ("P3\n4 4\n255\n" + " ".join(
+        str(v) for v in _img(9)[:4, :4].reshape(-1))).encode(),
+    "bmp": _bmp24(_img(10)),
     "jpeg": encode_jpeg(_img(1)),
     "jpeg_prog": encode_jpeg_progressive(_img(4)),
     "png": encode_png(_img(2), ctype=2),
@@ -65,7 +82,8 @@ def test_decoders_survive_corruption(kind, data):
     None or a well-formed array (bit rot, truncation mid-transfer and
     adversarial inputs all look like this in a crawl)."""
     payload = bytearray(_VALID[kind])
-    magic = {"png": 8, "gif": 6, "tiff": 4}.get(kind.split("_")[0], 3)
+    magic = {"png": 8, "gif": 6, "tiff": 4, "ppm": 2,
+             "bmp": 2}.get(kind.split("_")[0], 3)
     pos = data.draw(st.integers(min_value=magic,
                                 max_value=len(payload) - 1))
     val = data.draw(st.integers(min_value=0, max_value=255))
@@ -233,3 +251,37 @@ def test_parse_avi_deep_list_nesting_no_recursion_error():
     payload = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
     out = parse_avi(payload)
     assert out is not None and out[1] == [b"hi"]
+
+
+def test_ppm_bmp_forged_headers_return_none():
+    """The review-found crash class, pinned deterministically: PPM/BMP
+    headers claiming more pixels than the payload ships escaped as
+    numpy frombuffer/reshape ValueErrors (killing the mapInPandas
+    task); non-numeric PPM tokens raised from int(); a zero dimension
+    produced an empty image that crashed dhash downstream; and
+    maxval > 255 (2-byte samples per the spec, unimplemented here)
+    silently mis-decoded as 1-byte instead of falling back."""
+    from fstd2pandas_spark.operators.llm.multimodal import (
+        decode_image, dhash_bits)
+
+    bad = [
+        b"P6\n1000000 1000000 255\n" + b"\x00" * 32,   # forged dims
+        b"P6\nab cd 255\n" + b"\x00" * 16,             # non-numeric
+        b"P6\n0 0 255\n",                              # zero dims
+        b"P6\n2 2 65535\n" + b"\x00" * 24,             # 16-bit maxval
+        b"P3\n4 4 255\n1 2 3",                         # short tokens
+        b"P3\n2 2 255\n" + b"1 " * 11 + b"xyz",        # bad P3 token
+        b"BM" + b"\x00" * 20 + b"\xff\xff\xff\x7f"     # forged BMP h
+        + b"\x00" * 40,
+    ]
+    for p in bad:
+        assert decode_image(p) is None, p[:24]
+
+    # a legitimate tiny PPM still decodes and dhashes
+    ok = b"P6\n2 2\n255\n" + bytes(range(12))
+    img = decode_image(ok)
+    assert img is not None and img.shape == (2, 2, 3)
+    assert isinstance(dhash_bits(img, 4), int)
+    # and sub-255 maxval still rescales (1-byte samples)
+    ok2 = decode_image(b"P6\n1 1\n3\n\x03\x00\x01")
+    assert ok2 is not None and list(ok2.reshape(-1)) == [255, 0, 85]
