@@ -41,7 +41,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
 
     Output = every left row + ``{prefix}<col>`` for each of
     ``right_cols`` + ``{prefix}ts_us`` (the matched right time,
-    microseconds) — NULL when no right row qualifies. Equal timestamps
+    microseconds) — NULL when no right row qualifies. A NULL time on
+    EITHER side never matches: a left row with unknown time gets NULL
+    match columns, a right row with unknown time contributes no
+    payload (an observation with no position on the axis cannot be
+    "closest" to anything). Equal timestamps
     match (inclusive, like pandas merge_asof); several right rows on
     the exact same key and timestamp resolve to the MAXIMAL right
     payload in ``right_cols`` tuple order — the payload struct rides
@@ -71,8 +75,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     payload = F.struct(
         us_r.alias("_ts_us"),
         *[F.col(c).alias(c) for c in right_cols]).alias("_pay")
-    r = right.select(F.col(by).alias("_k"), us_r.alias("_us"),
-                     F.lit(0).alias("_side"), payload)
+    # a right row with a NULL/uncastable time has no position on the
+    # axis and must match NOTHING: under the ascending orderings it
+    # sorted FIRST and its payload was carried into every left row
+    # until the first real right row — a fabricated match with an
+    # unknown-time observation (cheap per-row cast, filtered on the
+    # source column before the window)
+    r = (right.filter(us_r.isNotNull())
+         .select(F.col(by).alias("_k"), us_r.alias("_us"),
+                 F.lit(0).alias("_side"), payload))
     l = left.select(
         F.col(by).alias("_k"), us_l.alias("_us"),
         F.lit(1).alias("_side"),
@@ -132,6 +143,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         matched = F.last("_pay", ignorenulls=True).over(w)
         out = (u.withColumn("_m", matched)
                .filter(F.col("_side") == 1))
+    # a LEFT row with a NULL/uncastable time gets NO match: backward's
+    # ascending sort happened to put it before every right row (NULL
+    # by luck), but forward's DESCENDING sort put it last — matched to
+    # the EARLIEST right row — and nearest fell through to the
+    # forward peek; a row whose time is unknown must not correlate
+    # with anything (post-window attribute filter, no re-evaluation)
+    out = out.withColumn(
+        "_m", F.when(F.col("_us").isNotNull(), F.col("_m")))
     if tolerance is not None:
         gap = {"backward": F.col("_us") - F.col("_m._ts_us"),
                "forward": F.col("_m._ts_us") - F.col("_us"),

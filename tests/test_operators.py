@@ -2861,3 +2861,36 @@ def test_sketch_review_guards(spark):
 
     # (d)
     assert kmins_estimate([0, 0], k=2) == float("inf")
+
+
+def test_asof_join_null_time_never_matches(spark):
+    """The temporal.py review pin: NULL times must not correlate.
+    Backward only got this right by sort-order luck; FORWARD's
+    descending ordering put a NULL-ts left row last and matched it to
+    the EARLIEST right row, 'nearest' fell through to the forward
+    peek, and a NULL-ts right row sorted first under the ascending
+    orders and was carried into every left row before the first real
+    right row."""
+    from fstd2pandas_spark.operators.temporal import asof_join
+
+    L = spark.createDataFrame(
+        [(1, 1, "2020-01-01 10:00:00"), (1, 2, None)],
+        "user_id long, lid long, ts string")
+    R = spark.createDataFrame(
+        [(1, 10, "2020-01-01 09:00:00"), (1, 11, "2020-01-01 11:00:00"),
+         (1, 99, None)],
+        "user_id long, rid long, ts string")
+    for d in ("backward", "forward", "nearest"):
+        got = {r["lid"]: r["asof_rid"]
+               for r in asof_join(L, R, right_cols=["rid"],
+                                  direction=d).collect()}
+        assert got[2] is None, (d, got)          # NULL left time
+        assert got[1] == {"backward": 10, "forward": 11,
+                          "nearest": 10}[d], (d, got)
+    # NULL-ts right row (rid 99) must never be the carried payload,
+    # even for a left row EARLIER than every real right row
+    L2 = spark.createDataFrame(
+        [(1, 3, "2020-01-01 08:00:00")], "user_id long, lid long, ts string")
+    got2 = {r["lid"]: r["asof_rid"]
+            for r in asof_join(L2, R, right_cols=["rid"]).collect()}
+    assert got2[3] is None, got2
