@@ -57,13 +57,24 @@ def _funnel_fold(steps: "list[str]", ts_col: str, type_col: str,
         raise ValueError("funnel: need at least one step")
     k = len(steps)
     steps_arr = F.array(*[F.lit(s) for s in steps])
-    ev = F.sort_array(F.collect_list(F.struct(
-        # cast: parquet TIMESTAMP_NTZ is not accepted by unix_micros;
-        # the session TZ is UTC so the NTZ -> TZ cast is deterministic
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
-        F.col(id_col).alias("eid"),
-        F.col(type_col).alias("etype"),
-    )))
+    # cast: parquet TIMESTAMP_NTZ is not accepted by unix_micros; the
+    # session TZ is UTC so the NTZ -> TZ cast is deterministic
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # NULL-ts events are DROPPED (collect_list skips NULL entries) —
+    # the streaming_funnel rule, which r14 closed on the stream side
+    # only: an event with unknown time cannot establish temporal
+    # order, but without `within` the fold's accept condition never
+    # reads ts_us, so a NULL-ts event of the right type COMPLETED a
+    # step (a NULL in step_ts_us), and as step 1 under `within` its
+    # NULL horizon bound wedged every later step — the batch twin of
+    # the streaming NaT wedge
+    ev = F.sort_array(F.collect_list(F.when(
+        us.isNotNull(),
+        F.struct(
+            us.alias("ts_us"),
+            F.col(id_col).alias("eid"),
+            F.col(type_col).alias("etype"),
+        ))))
 
     def advance(acc, e):
         want = F.element_at(steps_arr, F.size(acc) + 1)

@@ -2894,3 +2894,30 @@ def test_asof_join_null_time_never_matches(spark):
     got2 = {r["lid"]: r["asof_rid"]
             for r in asof_join(L2, R, right_cols=["rid"]).collect()}
     assert got2[3] is None, got2
+
+
+def test_funnel_null_ts_events_dropped(spark):
+    """The batch twin of the r14 streaming NaT wedge, closed: without
+    `within` the fold's accept condition never read ts_us, so a
+    NULL-ts event of the right type COMPLETED a step (NULL in
+    step_ts_us); as step 1 under `within` its NULL horizon bound
+    wedged every later step. NULL-ts events now drop at the collect
+    (the streaming_funnel rule); real events still fold normally."""
+    from fstd2pandas_spark.operators.funnel import funnel_steps
+
+    ev = spark.createDataFrame(
+        [(1, 1, "view", None),                       # NULL-ts step 1
+         (1, 2, "view", "2020-01-01 10:00:00"),
+         (1, 3, "click", "2020-01-01 10:30:00"),
+         (2, 4, "view", "2020-01-01 09:00:00"),
+         (2, 5, "click", None)],                     # NULL-ts step 2
+        "user_id long, event_id long, event_type string, ts string")
+    for within in (None, 3600):
+        got = {r["user"]: (r["depth"], r["step_ts_us"]) for r in
+               funnel_steps(ev, ["view", "click"],
+                            within=within).collect()}
+        # user 1: the NULL-ts view is ignored; the real view + click
+        # complete both steps with REAL timestamps (no NULL wedge)
+        assert got[1][0] == 2 and None not in got[1][1], (within, got)
+        # user 2: the NULL-ts click never counts
+        assert got[2][0] == 1, (within, got)
