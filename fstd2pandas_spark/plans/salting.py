@@ -40,7 +40,21 @@ def salted_join(big: DataFrame, other: DataFrame, on: "list[str]",
                 seed: int = 42) -> DataFrame:
     """Equi-join where ``big``'s hottest keys would otherwise serialize
     on one reducer: salt ``big``, replicate ``other``, join on
-    keys + salt, drop the salt."""
+    keys + salt, drop the salt.
+
+    ``how`` must preserve the replicated side's multiplicity-invariance:
+    inner/left/semi/anti only see ``other`` rows that MATCH (each big
+    row meets its one salt's copy — exactly once). A right or full
+    OUTER join would also emit ``other``'s UNMATCHED rows — which
+    exist once per salt after replication — silently duplicating every
+    unmatched right row ``n_salts`` times; refused."""
+    h = how.lower().replace("_", "").replace("outer", "")
+    if h in ("right", "full"):
+        raise ValueError(
+            f"salted_join: how={how!r} — an outer side on the "
+            "REPLICATED input emits its unmatched rows once per salt "
+            f"(x{n_salts} duplication); salt the other side or use an "
+            "unsalted join for right/full outer")
     return (
         with_salt(big, n_salts, seed)
         .join(replicated(other, n_salts), [*on, SALT_COL], how)

@@ -2083,3 +2083,24 @@ def test_maintenance_lease_contention_classification(spark, tmp_path,
     with pytest.raises(RuntimeError, match="parent path"):
         with fsu.maintenance_lease(spark, root, "a"):
             pass
+
+
+def test_salted_join_refuses_outer_on_replicated_side(spark):
+    """salting.py review pin: a right/full outer salted join emits the
+    replicated side's UNMATCHED rows once per salt — n_salts silent
+    duplicates; refused loudly. Left/inner stay correct (multiplicity
+    pinned against the unsalted join)."""
+    from fstd2pandas_spark.plans.salting import salted_join
+
+    big = spark.createDataFrame([(1, "x"), (1, "y"), (3, "z")],
+                                "k long, v string")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, d string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="once per salt"):
+            salted_join(big, dim, ["k"], 4, how=how)
+    for how in ("inner", "left"):
+        got = sorted((r["k"], r["v"], r["d"]) for r in
+                     salted_join(big, dim, ["k"], 4, how=how).collect())
+        exp = sorted((r["k"], r["v"], r["d"]) for r in
+                     big.join(dim, ["k"], how).collect())
+        assert got == exp, how
