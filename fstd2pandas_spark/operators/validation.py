@@ -59,7 +59,24 @@ def _violation_agg(rule) -> Column:
     elif kind == "between":
         cond = c.isNotNull() & ((c < F.lit(rule[3])) | (c > F.lit(rule[4])))
     elif kind == "in_set":
-        cond = c.isNotNull() & ~c.isin(*rule[3])
+        vals = list(rule[3])
+        if not vals:
+            raise ValueError(
+                f"rule {name}: in_set with an EMPTY set — every "
+                "non-NULL value would violate; if that is the intent "
+                "(column must be all NULL), use not_null's inverse "
+                "via a custom rule")
+        if any(v is None for v in vals):
+            # SQL three-valued logic: x IN (.., NULL) is NULL for
+            # every non-member, so ~isin is NULL and the violation
+            # arm NEVER fires — the rule silently counted zero
+            # violations for all out-of-set values
+            raise ValueError(
+                f"rule {name}: in_set contains None — NULL is not a "
+                "set member in SQL (x IN (.., NULL) is NULL, and the "
+                "rule would silently count zero violations); NULLs "
+                "are not_null's job")
+        cond = c.isNotNull() & ~c.isin(*vals)
     elif kind == "matches":
         cond = c.isNotNull() & ~c.rlike(rule[3])
     elif kind == "unique":

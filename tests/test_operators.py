@@ -2921,3 +2921,22 @@ def test_funnel_null_ts_events_dropped(spark):
         assert got[1][0] == 2 and None not in got[1][1], (within, got)
         # user 2: the NULL-ts click never counts
         assert got[2][0] == 1, (within, got)
+
+
+def test_in_set_rule_null_and_empty_refused(spark):
+    """validation.py review pin: an in_set rule containing None made
+    x IN (.., NULL) evaluate to NULL for every non-member — the
+    violation arm never fired and the rule silently certified any
+    value; an empty set died as an opaque py4j error. Both refused
+    at call time; a clean in_set still counts exactly."""
+    from fstd2pandas_spark.operators.validation import (
+        table_quality_report)
+
+    df = spark.createDataFrame([("a",), ("b",), ("z",)], "c string")
+    with pytest.raises(ValueError, match="contains None"):
+        table_quality_report(df, [("r", "c", "in_set", ["a", None])])
+    with pytest.raises(ValueError, match="EMPTY set"):
+        table_quality_report(df, [("r", "c", "in_set", [])])
+    got = table_quality_report(
+        df, [("r", "c", "in_set", ["a", "b"])]).collect()[0]
+    assert got["n_violations"] == 1 and not got["passed"]
