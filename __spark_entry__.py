@@ -4461,13 +4461,37 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (similarity.py random_projection) gated as kind='proj'
     rows: each query vector's 8 projected float32 components, rounded
     to 6 dp (the float32 cast is mirrored in the oracle so both engines
-    round the same 32-bit value; + 0.0 collapses IEEE -0.0)."""
+    round the same 32-bit value; + 0.0 collapses IEEE -0.0).
+
+    kind='deg' (round 15): three DEGENERATE vectors (negative ids —
+    NULL, all-zero, NaN-component) are unioned into the ann arm's
+    input. Negative ids fall under n_queries, so they become QUERIES
+    too: a vector with no defined cosine must emit NO top-k rows at
+    all (unguarded, the all-zero query ABORTED the query under ANSI
+    and under non-ANSI its NaN scores hijacked rank 1), and as
+    CANDIDATES their NULL scores rank after every real neighbor and
+    drop — the base-corpus oracle plus the (-999, 3) input-count
+    probe row pins both directions under the driver's value hash."""
     from fstd2pandas_spark.operators.llm import lsh_ann_topk
     from fstd2pandas_spark.operators.llm.similarity import random_projection
 
     emb = _load(spark, sf_dir, "embeddings")
-    ann = lsh_ann_topk(emb, k=5, n_planes=4, dim=64, n_queries=10).select(
+    nanvec = [float("nan")] + [0.5] * 63
+    deg = spark.createDataFrame(
+        [(-1, None), (-2, [0.0] * 64), (-3, nanvec)],
+        "vec_id long, embedding array<float>")
+    ann_inp = emb.select("vec_id", "embedding").unionByName(deg)
+    ann = lsh_ann_topk(ann_inp, k=5, n_planes=4, dim=64,
+                       n_queries=10).select(
         F.lit("ann").alias("kind"), "query_id", "neighbor_id", "cos", "rank")
+    ann = ann.unionByName(
+        ann_inp.filter(F.col("vec_id") < 0)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("deg").alias("kind"),
+                F.lit(-999).cast("long").alias("query_id"),
+                F.col("n").alias("neighbor_id"),
+                F.lit(0.0).alias("cos"),
+                F.lit(-1).alias("rank")))
     proj = random_projection(
         emb.filter(F.col("vec_id") < 10), out_dim=8, dim=64,
     ).select(
@@ -4571,6 +4595,15 @@ def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5,
                list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
         FROM e WHERE vec_id < {n_queries}) s,
        (SELECT unnest(generate_series(0, {dim - 1})) AS o) o
+  UNION ALL
+  -- the Spark side unions three DEGENERATE vectors (negative ids:
+  -- NULL / all-zero / NaN-component) into the ann arm's input; their
+  -- cosine is UNDEFINED so as queries they emit NOTHING and as
+  -- candidates they rank after (and outside) every real top-k — the
+  -- oracle is the base corpus plus only this input-count probe row
+  SELECT 'deg' AS kind, CAST(-999 AS BIGINT) AS query_id,
+         CAST(3 AS BIGINT) AS neighbor_id, CAST(0.0 AS DOUBLE) AS cos,
+         CAST(-1 AS INT) AS rank
   ORDER BY kind, query_id, rank, neighbor_id
 """
 
