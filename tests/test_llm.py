@@ -2211,3 +2211,46 @@ def test_bpe_merge_is_canonical_single_pass(spark):
     n = {r["doc_id"]: r["bpe_real_tokens"]
          for r in bpe_token_counts(docs, merges, words).collect()}
     assert n == {0: 5, 1: 4}  # 'abab' = [ab, ab] = 2 symbols each
+
+
+def test_bpe_merge_fold_matches_python_reference(spark):
+    """Property pin for the canonical fold: 300 random symbol
+    sequences x random merge pairs, compared against the obvious
+    pure-Python single-pass merge (fuse when the accumulator's last
+    token is `a` and the next symbol is `b`). One Spark job for all
+    cases. Includes the adversarial shapes: repeated pairs sharing
+    delimiters, runs of one symbol, merged-token prefixes ('ab' as a
+    symbol next to the ('a','b') merge)."""
+    import random
+
+    from fstd2pandas_spark.operators.llm.bpe import _merge_once_col
+
+    rng = random.Random(1517)
+    alphabet = ["a", "b", "c", "ab", "bb"]
+    cases = []
+    for i in range(300):
+        syms = [rng.choice(alphabet)
+                for _ in range(rng.randint(1, 12))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((i, " ".join(syms), a, b))
+
+    def ref(s, a, b):
+        out = []
+        for x in s.split(" "):
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return " ".join(out)
+
+    df = spark.createDataFrame(cases, "i long, s string, a string, b string")
+    got = {}
+    for (a, b), grp in __import__("itertools").groupby(
+            sorted(cases, key=lambda c: (c[2], c[3])),
+            key=lambda c: (c[2], c[3])):
+        ids = [c[0] for c in grp]
+        part = df.filter(F.col("i").isin(ids)).select(
+            "i", _merge_once_col(F.col("s"), a, b).alias("m")).collect()
+        got.update({r["i"]: r["m"] for r in part})
+    for i, s, a, b in cases:
+        assert got[i] == ref(s, a, b), (s, a, b, got[i], ref(s, a, b))
