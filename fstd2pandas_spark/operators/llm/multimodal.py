@@ -149,7 +149,10 @@ def _decode_ppm(payload: bytes) -> "np.ndarray | None":
         raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
                             offset=off)
     else:
-        toks = payload[off:].split()[:w * h * 3]
+        # maxsplit bounds the tokenization at the pixels the header
+        # claims — an oversized ASCII tail must not amplify into a
+        # giant python list before the slice
+        toks = payload[off:].split(None, w * h * 3)[:w * h * 3]
         if len(toks) < w * h * 3:
             return None
         try:
