@@ -293,6 +293,31 @@ def bloom_bits(df: DataFrame, key_col: str, m: int = 8192,
             .withColumn("bloom_k", F.lit(int(k))))
 
 
+def bloom_merge(a: DataFrame, b: DataFrame, m: int, k: int) -> DataFrame:
+    """Merge two bit tables built with the same (m, k): plain
+    union+distinct — the merged filter is EXACTLY the filter of the
+    union of the two key sets (set-bit union distributes over key
+    union), completing the validated-merge family (kmins_merge /
+    hll_merge / merge_counters). The (m, k) parameter columns are
+    validated the bounded-distinct way on BOTH sides: a mismatched
+    merge would mix positions from different bit spaces, and the
+    resulting filter could report FALSE NEGATIVES — the one thing a
+    Bloom filter must never do."""
+    for side, name in ((a, "left"), (b, "right")):
+        params = [tuple(r) for r in
+                  side.select("bloom_m", "bloom_k").distinct().collect()]
+        if len(params) > 1:
+            raise ValueError(
+                f"bloom_merge: {name} side mixes {len(params)} (m, k) "
+                f"parameterizations {sorted(params)}")
+        if params and params[0] != (m, k):
+            raise ValueError(
+                f"bloom_merge: {name} side was built with "
+                f"(m={params[0][0]}, k={params[0][1]}), merge called "
+                f"with ({m}, {k})")
+    return (a.unionByName(b).distinct())
+
+
 def bloom_might_contain(bits: DataFrame, keys: DataFrame, key_col: str,
                         m: int, k: int) -> DataFrame:
     """``might_contain`` per distinct non-NULL key in ``keys``: true

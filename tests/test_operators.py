@@ -2862,6 +2862,23 @@ def test_sketch_review_guards(spark):
     # (d)
     assert kmins_estimate([0, 0], k=2) == float("inf")
 
+    # bloom_merge completes the validated-merge family: merged ==
+    # union-built, mismatched (m, k) refused (a mixed merge could
+    # report FALSE NEGATIVES — the one forbidden Bloom error)
+    from fstd2pandas_spark.operators.sketch import (
+        bloom_bits, bloom_merge, bloom_might_contain)
+
+    fa = bloom_bits(a, "k", m=256, k=3)
+    fb = bloom_bits(b, "k", m=256, k=3)
+    fu = bloom_bits(a.unionByName(b), "k", m=256, k=3)
+    fm = bloom_merge(fa, fb, m=256, k=3)
+    assert ({r["bit"] for r in fm.collect()}
+            == {r["bit"] for r in fu.collect()})
+    probe = bloom_might_contain(fm, a.unionByName(b), "k", m=256, k=3)
+    assert all(r["might_contain"] for r in probe.collect())
+    with _pt.raises(ValueError, match="built with"):
+        bloom_merge(fa, fb, m=128, k=3)
+
 
 def test_asof_join_null_time_never_matches(spark):
     """The temporal.py review pin: NULL times must not correlate.
