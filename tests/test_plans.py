@@ -2104,3 +2104,53 @@ def test_salted_join_refuses_outer_on_replicated_side(spark):
         exp = sorted((r["k"], r["v"], r["d"]) for r in
                      big.join(dim, ["k"], how).collect())
         assert got == exp, how
+
+
+def test_expire_partitions_aborts_on_expired_lease(spark, tmp_path,
+                                                   monkeypatch):
+    """The lease-expiry boundary abort, pinned on expire_partitions
+    too (the compaction swap loop's twin): once the handle reports the
+    lease aged into breakability, the delete loop must stop BETWEEN
+    partitions with everything not yet expired intact. Staged by
+    patching maintenance_lease to yield a handle that expires after
+    the first check."""
+    import os
+
+    import fstd2pandas_spark.plans.compaction as comp
+    from fstd2pandas_spark.fsutil import LeaseExpiredError
+
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(d, i) for d in (0, 1, 2) for i in range(10)],
+        "day int, u long")
+    df.coalesce(1).write.partitionBy("day").parquet(path)
+
+    class _FlakyLease:
+        def __init__(self):
+            self.checks = 0
+
+        def check(self):
+            self.checks += 1
+            if self.checks > 1:
+                raise LeaseExpiredError("test: lease expired")
+
+    import contextlib
+
+    handle = _FlakyLease()
+
+    @contextlib.contextmanager
+    def fake_lease(*a, **k):
+        yield handle
+
+    monkeypatch.setattr(comp, "maintenance_lease", fake_lease)
+    with pytest.raises(LeaseExpiredError):
+        comp.expire_partitions(spark, path, ["day"],
+                               lambda v: v["day"] in ("0", "1", "2"))
+    # exactly ONE partition expired (the pre-check ran before each);
+    # the rest are intact and the dataset readable — the recoverable
+    # boundary state, not a half-deleted partition
+    days = sorted(r["day"] for r in
+                  spark.read.parquet(path).select("day")
+                  .distinct().collect())
+    assert len(days) == 2, days
+    assert handle.checks == 2
