@@ -2084,6 +2084,27 @@ def test_maintenance_lease_contention_classification(spark, tmp_path,
         with fsu.maintenance_lease(spark, root, "a"):
             pass
 
+    # the REAL Py4J branch: scheme patched to non-local so the code
+    # takes FileSystem.create against the actual local Hadoop FS —
+    # contention on an existing lock arrives as a Py4JJavaError whose
+    # java_exception class is org.apache.hadoop.fs.
+    # FileAlreadyExistsException (probed), and the class walk must
+    # classify it as a held lease naming the holder
+    import json
+    import os as _os
+    import time as _time
+
+    monkeypatch.undo()
+    monkeypatch.setattr(fsu, "fs_scheme", lambda fs: "hdfs")
+    lock = _os.path.join(root, ".maintenance-lock")
+    with open(lock, "w") as f:
+        f.write(json.dumps({"owner": "holder-x", "token": "t"}))
+    _os.utime(lock, None)
+    with pytest.raises(fsu.LeaseHeldError, match="locked by holder-x"):
+        with fsu.maintenance_lease(spark, root, "b", ttl_sec=3600):
+            pass
+    _os.remove(lock)
+
 
 def test_salted_join_refuses_outer_on_replicated_side(spark):
     """salting.py review pin: a right/full outer salted join emits the
