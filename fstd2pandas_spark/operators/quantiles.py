@@ -36,10 +36,16 @@ def group_quantiles_disc(df: DataFrame, value_col: str,
     """``(*group_cols, q, value)``: the exact discrete q-quantile of
     ``value_col`` per group for every q in ``qs`` — the member value at
     ascending rank ``max(1, ceil(q * n))``, NULLs excluded (they have
-    no rank; DuckDB's quantile_disc skips them identically). One sort
-    window serves every q: each ranked row checks membership against
-    the (tiny, broadcast-literal) q list, so asking for 3 quantiles or
-    30 costs the same single shuffle."""
+    no rank; DuckDB's quantile_disc skips them identically) and — for
+    float/double columns — NaNs excluded too: a NaN score is an
+    unknown value with no defined rank, and the engines genuinely
+    DISAGREE on where it sorts (probed: Spark orders NaN above every
+    double, so it lands at q=1.0; DuckDB's quantile_disc returned it
+    as the MEDIAN of (1, NaN, 3)) — including it would make the
+    threshold engine-dependent, breaking the module's determinism
+    contract. One sort window serves every q: each ranked row checks
+    membership against the (tiny, broadcast-literal) q list, so asking
+    for 3 quantiles or 30 costs the same single shuffle."""
     if not qs:
         raise ValueError("qs must be non-empty")
     qlist = sorted(set(float(q) for q in qs))
@@ -62,7 +68,10 @@ def group_quantiles_disc(df: DataFrame, value_col: str,
             F.lit(" rows, above INT_MAX — row_number() ranks are "
                   "32-bit; split the stratum or pre-aggregate"))
         ).cast("long"))
-    ranked = (df.filter(F.col(value_col).isNotNull())
+    keep = F.col(value_col).isNotNull()
+    if dict(df.dtypes).get(value_col) in ("float", "double"):
+        keep = keep & ~F.isnan(F.col(value_col))
+    ranked = (df.filter(keep)
               .select(*gcols, F.col(value_col).alias("value"))
               .withColumn("_rn", F.row_number().over(w))
               .withColumn("_n", n_guarded))
@@ -104,7 +113,26 @@ def quantile_flags(df: DataFrame, value_col: str, group_col: str,
             .agg(F.first("value")))
     renames = {str(float(q)): f"q{round(float(q) * 100)}"
                for q in sorted(set(qs))}
+    if len(set(renames.values())) != len(renames):
+        raise ValueError(
+            f"quantile_flags: qs {sorted(set(float(q) for q in qs))} "
+            "collide after the q{round(q*100)} labeling — two "
+            "thresholds would silently share one output column; "
+            "use group_quantiles_disc directly for sub-percent qs")
     for old, new in renames.items():
         wide = wide.withColumnRenamed(old, new)
-    return (df.join(F.broadcast(wide), group_col, "left")
+    # eqNullSafe, NOT the name-equality join: group_quantiles_disc
+    # treats NULL as its own stratum (the module rule sampling.py's
+    # temperature_mix_sample settled), so its threshold row EXISTS —
+    # a plain equi-join would compute it and then hand every NULL-group
+    # row NULL thresholds back (below_med NULL despite a known median).
+    jc = df[group_col].eqNullSafe(wide[group_col])
+    qcols = [c for c in wide.columns if c != group_col]
+    return (df.join(F.broadcast(wide), jc, "left")
+            .drop(wide[group_col])
+            # restore the name-equality join's key-first column order
+            # (the expression join keeps df's natural order instead)
+            .select(group_col,
+                    *[c for c in df.columns if c != group_col],
+                    *qcols)
             .withColumn("below_med", F.col(value_col) < F.col("q50")))

@@ -32,7 +32,19 @@ def sessionize(df: DataFrame, ts_col: str = "ts",
     event + gap. ``extra_sums`` maps extra output columns to numeric
     input columns summed per session (long). Works unchanged on a
     watermarked stream (append mode emits a session once the watermark
-    passes its close)."""
+    passes its close).
+
+    EXCLUSION CONTRACT: events with a NULL timestamp (no position on
+    the time axis — the asof_join/funnel rule) or a NULL key are
+    excluded, EXPLICITLY. ``session_window`` happens to drop NULL
+    timestamps itself, but silently, and it GROUPS all NULL keys
+    together — two unrelated unidentified users' events would read as
+    one pseudo-user's session (co-occurrence that never happened, the
+    md5('')-collapse class from streaming_exact_dedup). The filter
+    below makes both rules engine-independent and visible in the plan;
+    their value/extra columns drop out of the sums with them."""
+    df = df.filter(F.col(ts_col).isNotNull()
+                   & F.col(key_col).isNotNull())
     w = F.session_window(F.col(ts_col), gap)
     aggs = [F.count("*").cast("long").alias("n_events"),
             F.round(F.sum(F.col(value_col).cast("decimal(18,6)"))

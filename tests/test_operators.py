@@ -1175,6 +1175,78 @@ def test_quantile_flags_thresholds_and_below_median(spark):
         quantile_flags(df, "v", "g", qs=(0.25, 0.75))
 
 
+def test_quantiles_sessions_degenerate_inputs(spark):
+    """The round-15 degenerate-input sweep over quantiles.py and
+    sessions.py, pinned:
+
+    1. quantile_flags hands a NULL-group row ITS OWN stratum's
+       thresholds (eqNullSafe join) — the old name-equality join
+       computed the NULL stratum's median and then handed those rows
+       NULL back (below_med NULL despite a known threshold; the
+       temperature_mix_sample class).
+    2. group_quantiles_disc excludes NaN values like NULLs: the
+       engines disagree on NaN's rank (Spark sorts it above every
+       double; DuckDB's quantile_disc returned it as the MEDIAN of
+       (1, NaN, 3)), so including it makes the threshold
+       engine-dependent.
+    3. quantile_flags refuses qs whose q{round(q*100)} labels collide
+       (two thresholds sharing one output column silently).
+    4. sessionize EXCLUDES NULL-timestamp events (no position on the
+       time axis — session_window drops them silently; now explicit)
+       and NULL-key events (all unidentified users previously merged
+       into ONE pseudo-user whose fabricated sessions interleaved
+       unrelated events).
+    """
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from fstd2pandas_spark.operators.quantiles import (
+        group_quantiles_disc, quantile_flags)
+    from fstd2pandas_spark.operators.sessions import sessionize
+
+    # 1: NULL stratum's thresholds come back to its rows
+    q = spark.createDataFrame(
+        [("en", 1.0), ("en", 2.0), ("en", 3.0), ("en", 4.0),
+         (None, 10.0), (None, 20.0), (None, 30.0)],
+        "lang string, score double")
+    out = {(r["lang"], r["score"]): r
+           for r in quantile_flags(q, "score", "lang", (0.5,)).collect()}
+    assert out[(None, 10.0)]["q50"] == 20.0
+    assert out[(None, 10.0)]["below_med"] is True
+    assert out[(None, 30.0)]["below_med"] is False
+    assert out[("en", 1.0)]["q50"] == 2.0  # real strata unchanged
+
+    # 2: NaN has no rank — (1, NaN, 3) medians to 1.0 at n=2, and
+    # q=1.0 is 3.0, never NaN
+    nan_df = spark.createDataFrame(
+        [("en", 1.0), ("en", float("nan")), ("en", 3.0)],
+        "lang string, score double")
+    got = {r["q"]: r["value"]
+           for r in group_quantiles_disc(
+               nan_df, "score", ["lang"], (0.5, 1.0)).collect()}
+    assert got == {0.5: 1.0, 1.0: 3.0}
+
+    # 3: colliding labels refuse
+    with _pytest.raises(ValueError, match="collide"):
+        quantile_flags(q, "score", "lang", (0.5, 0.252, 0.248))
+
+    # 4: sessionize exclusion contract
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [("u1", t0, 1.0),
+         ("u1", t0 + dt.timedelta(minutes=10), 2.0),
+         ("u1", None, 100.0),          # NULL ts: excluded, sum too
+         (None, t0, 5.0),              # NULL key: excluded —
+         (None, t0 + dt.timedelta(minutes=5), 6.0),  # no pseudo-user
+         ("u2", None, 7.0)],           # u2 has ONLY a NULL-ts event
+        "user_id string, ts timestamp, value double")
+    sess = sessionize(ev, gap="30 minutes").collect()
+    assert {r["user_id"] for r in sess} == {"u1"}
+    (u1,) = sess
+    assert u1["n_events"] == 2 and u1["sum_value"] == 3.0
+
+
 def test_group_linfit_exact_and_guards(spark):
     """Slope/intercept equal the exact-fraction OLS on integer points
     (bit-compare against Python Fraction -> float), NULL points are
