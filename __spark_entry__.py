@@ -1930,8 +1930,12 @@ _Q_STATS_SQL = f"""
          round(sqrt(greatest(
             list_sum(list_transform(d, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / len(d)
             - pow(list_sum(list_transform(d, x -> CAST(x AS DOUBLE))) / len(d), 2), 0.0)), 4) AS std,
-         CAST((list_position(d, list_min(d)) - 1) % ni + 1 AS INT) AS min_i,
-         CAST((list_position(d, list_max(d)) - 1) % ni + 1 AS INT) AS max_i
+         CAST(list_min(list_transform(d, (x, p) ->
+              CASE WHEN x = list_min(d) THEN (p - 1) % ni END)) + 1
+              AS INT) AS min_i,
+         CAST(list_min(list_transform(d, (x, p) ->
+              CASE WHEN x = list_max(d) THEN (p - 1) % ni END)) + 1
+              AS INT) AS max_i
   FROM rec ORDER BY key
 """
 

@@ -29,8 +29,14 @@ def select_meta(df: DataFrame) -> DataFrame:
 
 
 def select_no_meta(df: DataFrame) -> DataFrame:
-    """Rows that are real data fields (complement of :func:`select_meta`)."""
-    return df.filter(~F.col("nomvar").isin(META_NOMVARS))
+    """Rows that are real data fields (complement of :func:`select_meta`).
+
+    A NULL nomvar is a DATA row: pandas' ``~isin`` keeps NaN (isin is
+    False for NaN), so the reference's meta/data split is a true
+    partition — Spark's ``~isin`` alone would evaluate NULL and drop
+    the row from BOTH halves, silently losing it from every query."""
+    return df.filter(~F.col("nomvar").isin(META_NOMVARS)
+                     | F.col("nomvar").isNull())
 
 
 def select_with_meta(df: DataFrame, nomvars: "str | list[str]",
@@ -76,13 +82,39 @@ def add_metadata_to_query_results(result_df: DataFrame, meta_df: DataFrame) -> D
 
 
 def process_hy(df: DataFrame) -> DataFrame:
-    """Keep at most one HY record and stamp it with the data rows' grid
-    (std_io.py:97-124). HY is grid-independent (grid='None' at decode), so
-    the single surviving row is cross-joined to the first data grid."""
-    hy = df.filter(F.col("nomvar") == "HY").limit(1)
-    rest = df.filter(F.col("nomvar") != "HY")
-    first_grid = rest.filter(~F.col("nomvar").isin(META_NOMVARS)) \
-        .select(F.first("grid").alias("_g")).limit(1)
+    """Keep at most one HY record and stamp it with the rest's first
+    grid (std_io.py:97-124). HY is grid-independent (grid='None' at
+    decode), so the single surviving row is cross-joined to the first
+    surviving grid.
+
+    Determinism + parity contract (round-15 review):
+
+    - "first" is first in ``(path, key)`` order — the reference's
+      ``iloc[0]`` / ``grid.unique()[0]`` are ROW-ORDER firsts (file
+      order), and an unordered ``F.first``/``limit(1)`` here would be
+      whichever partition finished, a different answer per run.
+    - the grid comes from ALL non-HY rows (std_io.py:118 takes
+      ``df.grid.unique()[0]`` of the whole hy-less frame, meta rows
+      included), not just data rows.
+    - when NOTHING else survives, the reference returns df unchanged
+      (std_io.py:107 ``if df.empty: return df``) — i.e. HY is DROPPED,
+      never stamped with a fabricated NULL grid. The ``limit(1)`` on a
+      plain projection (zero rows when rest is empty, vs. a global
+      aggregate's one NULL row) gets that for free, lazily.
+    - a NULL nomvar survives the ``!= 'HY'`` split (pandas: NaN != x
+      is True; Spark alone would drop the row entirely).
+
+    Frames without the (path, key) identity columns (synthetic record
+    tables) order by whichever of the two they have; with neither, the
+    pick falls back to the old arbitrary ``limit(1)``."""
+    order = [F.col(c).asc_nulls_first()
+             for c in ("path", "key") if c in df.columns]
+    hy = df.filter(F.col("nomvar") == "HY")
+    rest = df.filter((F.col("nomvar") != "HY")
+                     | F.col("nomvar").isNull())
+    first_src = rest.orderBy(*order) if order else rest
+    first_grid = first_src.select(F.col("grid").alias("_g")).limit(1)
+    hy = (hy.orderBy(*order) if order else hy).limit(1)
     hy_stamped = hy.drop("grid").crossJoin(F.broadcast(first_grid)) \
         .withColumnRenamed("_g", "grid")
     return rest.unionByName(hy_stamped.select(*rest.columns))

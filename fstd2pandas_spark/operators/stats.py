@@ -30,25 +30,54 @@ def _arr_mean(d: Column) -> Column:
 
 def array_stats_columns(d: Column, ni: Column) -> list[Column]:
     """min, max, mean, std, min_pos, max_pos expression list for a flat
-    field array."""
-    mn = F.array_min(d).cast("double")
-    mx = F.array_max(d).cast("double")
+    field array.
+
+    NaN parity (round-15 review): the reference computes ``np.min`` /
+    ``np.argmin`` (dataframe_utils.py:170-179) — NaN POISONS them (one
+    NaN makes min/max NaN and argmin/argmax point at the FIRST NaN),
+    while Spark's array_min/array_max order NaN above every double (so
+    min skipped it and max returned NaN only by accident of the
+    ordering). A missing-data field must report the same stats here as
+    in the reference, so NaN presence is detected once and min/max/
+    positions take the numpy branch. mean/std already agree (the
+    arithmetic folds propagate NaN in both engines)."""
+    has_nan = F.exists(d, lambda x: F.isnan(x.cast("double")))
+    nan_lit = F.lit(float("nan")).cast("double")
+    mn = F.when(has_nan, nan_lit).otherwise(F.array_min(d).cast("double"))
+    mx = F.when(has_nan, nan_lit).otherwise(F.array_max(d).cast("double"))
     mean = _arr_mean(d)
     # population std via E[x^2] - E[x]^2 (matches np.std)
     ex2 = F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")) / F.size(d)
     std = F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0)))
-    pmin = F.array_position(d, F.array_min(d))   # 1-based flat index
-    pmax = F.array_position(d, F.array_max(d))
 
-    def _pos(p):
-        return F.struct(
-            ((p - 1) % ni + 1).cast("int").alias("i"),
-            ((p - 1) / ni + 1).cast("int").alias("j"),
-        )
+    def _lex_argpos(pred):
+        # (i, j) of the matching element FIRST in (i, j)-lexicographic
+        # order: np.argmin/argmax flatten the reference's (ni, nj)
+        # array C-order — the traversal visits positions in (i, j) lex
+        # order (last axis fastest) — so among ties the reference picks
+        # the smallest (i, j), while array_position's first-in-flat-
+        # storage pick is smallest (j, i) (d is stored ni-fastest). A
+        # struct array_min over (i0, j0)-keyed structs IS the
+        # lexicographic min; non-matching slots map to NULL, which
+        # array_min skips.
+        keyed = F.transform(
+            d, lambda x, p0: F.when(pred(x), F.struct(
+                (p0 % ni).cast("int").alias("i0"),
+                F.floor(p0 / ni).cast("int").alias("j0"))))
+        best = F.array_min(keyed)
+        return F.struct((best["i0"] + 1).cast("int").alias("i"),
+                        (best["j0"] + 1).cast("int").alias("j"))
+
+    pmin = F.when(has_nan,
+                  _lex_argpos(lambda x: F.isnan(x.cast("double")))) \
+        .otherwise(_lex_argpos(lambda x: x == F.array_min(d)))
+    pmax = F.when(has_nan,
+                  _lex_argpos(lambda x: F.isnan(x.cast("double")))) \
+        .otherwise(_lex_argpos(lambda x: x == F.array_max(d)))
 
     return [
         mn.alias("min"), mx.alias("max"), mean.alias("mean"),
-        std.alias("std"), _pos(pmin).alias("min_pos"), _pos(pmax).alias("max_pos"),
+        std.alias("std"), pmin.alias("min_pos"), pmax.alias("max_pos"),
     ]
 
 

@@ -30,6 +30,46 @@ def test_select_with_meta(records):
         select_with_meta(records, ["ZZ"])
 
 
+def test_select_process_hy_null_nomvar_and_determinism(spark):
+    """The round-15 select.py review, pinned:
+
+    1. a NULL nomvar is a DATA row — pandas' ~isin keeps NaN, so the
+       reference's meta/data split is a true partition; Spark's ~isin
+       alone dropped the row from BOTH halves (and process_hy's
+       != 'HY' dropped it entirely).
+    2. process_hy's "first grid" is the (path, key)-ordered first of
+       ALL surviving rows (the reference's row-order unique()[0]),
+       not an arbitrary-partition F.first.
+    3. an HY with NOTHING else surviving is DROPPED (std_io.py:107
+       returns df unchanged when df is empty), never stamped with a
+       fabricated NULL grid.
+    """
+    from fstd2pandas_spark.operators.select import (
+        process_hy, select_meta, select_no_meta)
+
+    df = spark.createDataFrame(
+        [("HY", "None", "f1", 9),
+         (None, "7788", "f1", 3),     # NULL nomvar, earliest key
+         (">>", "1122", "f1", 5),     # meta row precedes the data row
+         ("TT", "5566", "f1", 7)],
+        "nomvar string, grid string, path string, key long")
+
+    # 1: the split is a partition — NULL lands in no_meta, not nowhere
+    assert select_meta(df).filter(F.col("nomvar").isNull()).count() == 0
+    assert select_no_meta(df).filter(F.col("nomvar").isNull()).count() == 1
+
+    out = process_hy(df).collect()
+    by_var = {r["nomvar"]: r for r in out}
+    assert None in by_var                      # NULL row survived
+    # 2: HY stamped with key-3's grid (the NULL-nomvar row is first)
+    assert by_var["HY"]["grid"] == "7788"
+    assert len(out) == 4                       # exactly one HY, all rest
+
+    # 3: HY alone -> dropped, not NULL-gridded
+    only_hy = df.filter(F.col("nomvar") == "HY")
+    assert process_hy(only_hy).count() == 0
+
+
 def test_query_with_meta_prunes_unused_grids(records):
     out = query_with_meta(records, "nomvar = 'HU'")
     grids = {r.grid for r in out.filter(F.col("nomvar") == ">>")
@@ -98,6 +138,46 @@ def test_fststat_values(spark, records):
     assert st.std == pytest.approx(math.sqrt(var), rel=1e-5)
     pmin = d.index(min(d))
     assert (st.min_pos.i, st.min_pos.j) == (pmin % ni + 1, pmin // ni + 1)
+
+
+def test_fststat_nan_and_tie_parity_with_numpy(spark):
+    """round-15 stats.py review, pinned against numpy itself: min/max/
+    argmin/argmax match np.min / np.argmin over the reference's
+    (ni, nj) array EXACTLY —
+
+    - NaN poisons min/max (np.min propagates it; Spark's array_min
+      used to skip it as 'greater than every double'),
+    - argmin/argmax point at the first NaN when one exists,
+    - ties resolve to the smallest (i, j) (np.argmin's C-order flatten
+      of the (ni, nj) array); array_position's first-in-flat-storage
+      pick was smallest (j, i) — a transposed tie diverged.
+    """
+    import numpy as np
+
+    from fstd2pandas_spark.operators.stats import array_stats_columns
+
+    cases = [
+        ([1.0, float("nan"), 0.5, 2.0], 2),       # NaN at (2, 1)
+        ([3.0, 1.0, 2.0, 1.0], 2),                # dup min, same i
+        ([5.0, 1.0, 1.0, 9.0, 9.0, 2.0], 2),      # transposed min AND
+        ([float("nan"), float("nan")], 2),        #   max ties
+        ([4.0], 1),
+    ]
+    df = spark.createDataFrame(cases, "d array<float>, ni int")
+    out = df.select("d", "ni",
+                    *array_stats_columns(F.col("d"), F.col("ni"))).collect()
+    for r in out:
+        a = np.reshape(np.array(r["d"], dtype=np.float32),
+                       (r["ni"], len(r["d"]) // r["ni"]), order="F")
+        mi = np.unravel_index(np.argmin(a), a.shape)
+        mx = np.unravel_index(np.argmax(a), a.shape)
+        for got, exp in ((r["min"], np.min(a)), (r["max"], np.max(a))):
+            assert (math.isnan(got) and np.isnan(exp)) \
+                or got == pytest.approx(float(exp)), r["d"]
+        assert (r["min_pos"]["i"], r["min_pos"]["j"]) \
+            == (mi[0] + 1, mi[1] + 1), r["d"]
+        assert (r["max_pos"]["i"], r["max_pos"]["j"]) \
+            == (mx[0] + 1, mx[1] + 1), r["d"]
 
 
 def test_voir_sorted(records):
