@@ -11,9 +11,10 @@ representation survives parquet round-trips.
   columns except typvar/datyp/nbits/datev/d — apply_mask.py:56), then NULL
   out elements where the mask says "drop" (keep_value polarity,
   apply_mask.py:71-75). Mask rows are removed from the output.
-- ``recover_mask``: the inverse — split each masked-variable row into a
-  data row (NULLs replaced by 0) and a uint 0/1 mask row with typvar
-  '@@', datyp 2, nbits 1 (recover_mask.py:66-82).
+- ``recover_mask``: the inverse — split each LONE masked-variable row
+  into a data row (NULLs replaced by 0) and a uint 0/1 mask row with
+  typvar '@@', datyp 2, nbits 1; an already-paired (var, mask) group
+  passes through unchanged (recover_mask.py:61-82).
 
 The pairing is a self-join of two *disjoint filters of the same scan* on
 exact keys — Spark plans it as one shuffle on the group key (or a
@@ -23,7 +24,7 @@ a count check the caller can run (:func:`unpaired_mask_groups`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fstd2pandas_spark.schema import BASE_COLUMNS, META_NOMVARS
@@ -39,11 +40,58 @@ class MaskError(Exception):
 
 
 def _split(df: DataFrame, mask_typvar: str):
+    """meta / masked / not_masked, a true three-way partition: a NULL
+    nomvar is a data row (pandas' ~isin keeps NaN — the select.py
+    rule) and a NULL typvar lands in not_masked (it cannot name a
+    mask pairing; modern pandas raises on the NA mask, so there is no
+    reference behavior to diverge from — pass-through loses nothing)."""
     meta = df.filter(F.col("nomvar").isin(META_NOMVARS))
-    no_meta = df.filter(~F.col("nomvar").isin(META_NOMVARS))
+    no_meta = df.filter(~F.col("nomvar").isin(META_NOMVARS)
+                        | F.col("nomvar").isNull())
     masked = no_meta.filter(F.col("typvar").contains("@"))
-    not_masked = no_meta.filter(~F.col("typvar").contains("@"))
+    not_masked = no_meta.filter(~F.col("typvar").contains("@")
+                                | F.col("typvar").isNull())
     return meta, masked, not_masked
+
+
+def _group_size_guard(masked: DataFrame, mask_typvar: str,
+                      op: str) -> DataFrame:
+    """Attach per-pairing-group counts ``_n`` (rows) and ``_nm`` (mask
+    rows), guarded LOUDLY: the reference RAISES on malformed groups
+    (apply_mask.py:63 'There should only be 2 rows per group!',
+    recover_mask.py:66 likewise for 1) where a bare inner join silently
+    DROPPED an unpaired variable and silently FANNED OUT a duplicated
+    mask — data loss/duplication reading as success. The window rides
+    the exact key the pairing join shuffles on, so Catalyst plans one
+    exchange for both. Guards live in the count columns themselves so
+    any branch filter evaluates them (callers filter on ``_n``)."""
+    w = Window.partitionBy(*MASK_GROUP_COLS)
+    key_str = F.concat_ws(
+        "/", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+               for c in ("nomvar", "etiket", "ip1", "ip2", "ip3")])
+    n = F.count("*").over(w)
+    nm = F.sum((F.col("typvar") == mask_typvar).cast("int")).over(w)
+    if op == "apply":
+        bad = (n != 2) | (nm != 1)
+        msg = F.concat(
+            F.lit("apply_mask: pairing group "), key_str,
+            F.lit(" has "), n.cast("string"), F.lit(" rows ("),
+            nm.cast("string"),
+            F.lit(f" with mask typvar {mask_typvar!r}) — there should "
+                  "be exactly 2 rows per group, 1 of them the mask "
+                  "(apply_mask.py:63); run unpaired_mask_groups to "
+                  "list every offender"))
+    else:
+        bad = n > 2
+        msg = F.concat(
+            F.lit("recover_mask: pairing group "), key_str,
+            F.lit(" has "), n.cast("string"),
+            F.lit(" rows — at most 2 (an already-recovered var+mask "
+                  "pair passes through; recover_mask.py:66); run "
+                  "unpaired_mask_groups to list every offender"))
+    n_guarded = F.when(~bad, n).otherwise(
+        F.raise_error(msg).cast("long"))
+    return masked.withColumn("_n", n_guarded).withColumn("_nm", nm)
 
 
 def apply_mask(df: DataFrame, mask_typvar: str = "@@",
@@ -54,17 +102,34 @@ def apply_mask(df: DataFrame, mask_typvar: str = "@@",
         raise MaskError(f"keep_value can only be 0 or 1! provided {keep_value}")
 
     meta, masked, not_masked = _split(df, mask_typvar)
-    vars_ = masked.filter(F.col("typvar") != mask_typvar)
-    masks = masked.filter(F.col("typvar") == mask_typvar).select(
-        *MASK_GROUP_COLS, F.col("d").alias("_mask_d")
-    )
-    keep = float(keep_value)
+    guarded = _group_size_guard(masked, mask_typvar, "apply")
+    # filtering on the guarded _n makes every masked row evaluate the
+    # group-size check, so a 3-row group raises (reference
+    # apply_mask.py:63) instead of silently dropping / fanning out
+    vars_ = guarded.filter((F.col("_n") == 2)
+                           & (F.col("typvar") != mask_typvar)) \
+        .drop("_n", "_nm")
+    masks = guarded.filter((F.col("_n") == 2)
+                           & (F.col("typvar") == mask_typvar)) \
+        .select(*MASK_GROUP_COLS, F.col("d").alias("_mask_d"))
+    # keep polarity matches the reference's astype(bool) exactly
+    # (apply_mask.py:71-75): keep_value=1 keeps where the mask element
+    # is NONZERO (NaN included — truthy in numpy, and NaN != 0 is true
+    # here), not only where it equals 1; keep_value=0 keeps where it
+    # is exactly zero. A NULL mask element keeps nothing (no reference
+    # analog; both branches evaluate NULL -> masked out).
+    if keep_value == 1:
+        def keep_cond(m):
+            return m != F.lit(0.0)
+    else:
+        def keep_cond(m):
+            return m == F.lit(0.0)
     # MERGE hint: the mask side is one record per data record — corpus-
     # scale — so a stats-driven broadcast would be a driver-OOM plan
     paired = vars_.hint("merge").join(masks, MASK_GROUP_COLS, "inner")
     masked_d = F.zip_with(
         F.col("d"), F.col("_mask_d"),
-        lambda v, m: F.when(m == F.lit(keep), v).otherwise(F.lit(None)),
+        lambda v, m: F.when(keep_cond(m), v).otherwise(F.lit(None)),
     )
     applied = paired.withColumn("d", masked_d).drop("_mask_d")
     return (
@@ -81,7 +146,17 @@ def recover_mask(df: DataFrame, mask_typvar: str = "@@",
         raise MaskError(f"keep_value can only be 0 or 1! provided {keep_value}")
 
     meta, masked, not_masked = _split(df, mask_typvar)
-    vars_ = masked.filter(F.col("typvar") != mask_typvar)
+    guarded = _group_size_guard(masked, mask_typvar, "recover")
+    # Reference semantics (recover_mask.py:61-82), matched exactly:
+    # a 2-row group is an ALREADY-recovered var+mask pair and passes
+    # through UNCHANGED — the old code silently DROPPED the existing
+    # mask row and synthesized a replacement from the var's NULLs
+    # (all-keep when the var was never apply_mask'ed: a fabricated
+    # mask overwriting a real one); a 1-row group (whatever its
+    # typvar — the reference synthesizes from a lone mask row too)
+    # splits into data + synthesized mask; >2 raises in the guard.
+    passthrough = guarded.filter(F.col("_n") == 2).drop("_n", "_nm")
+    vars_ = guarded.filter(F.col("_n") == 1).drop("_n", "_nm")
     keep = float(keep_value)
 
     data_rows = vars_.withColumn(
@@ -102,6 +177,7 @@ def recover_mask(df: DataFrame, mask_typvar: str = "@@",
     )
     return (
         meta.unionByName(not_masked)
+        .unionByName(passthrough.select(df.columns))
         .unionByName(data_rows.select(df.columns))
         .unionByName(mask_rows.select(df.columns))
     )

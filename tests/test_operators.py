@@ -234,6 +234,88 @@ def test_mask_apply_recover_roundtrip(records):
     assert mask_row.datyp == 2 and mask_row.nbits == 1
 
 
+def test_mask_group_guards_polarity_and_passthrough(spark):
+    """round-15 mask.py review, pinned:
+
+    1. apply_mask RAISES on a malformed pairing group (the reference's
+       'There should only be 2 rows per group!', apply_mask.py:63) —
+       the bare inner join silently DROPPED an unpaired variable and
+       silently FANNED OUT a duplicated mask.
+    2. keep polarity matches astype(bool): a NONZERO mask element
+       keeps under keep_value=1 (the old == 1.0 comparison dropped a
+       value under a mask element of 2.0).
+    3. recover_mask passes an already-paired (var, mask) group through
+       UNCHANGED (recover_mask.py:61-64) — the old code dropped the
+       real mask row and synthesized an all-keep replacement — and
+       raises on a >2-row group.
+    4. NULL nomvar/typvar rows survive the splits (data/not_masked).
+    """
+    from fstd2pandas_spark.operators.mask import (
+        MASK_GROUP_COLS, apply_mask, recover_mask)
+
+    cols = MASK_GROUP_COLS + ["typvar", "datyp", "nbits", "datev", "d"]
+
+    def rec(nomvar, typvar, d, ip1=500):
+        base = {c: 0 for c in cols}
+        base.update(nomvar=nomvar, typvar=typvar, d=d, ip1=ip1,
+                    etiket="E", grtyp="Z", grid="11", path="f", key=1)
+        # string columns need string zeros
+        for c in ("etiket", "grtyp", "grid", "path", "nomvar", "typvar"):
+            if base[c] == 0:
+                base[c] = "x"
+        return tuple(base[c] for c in cols)
+
+    schema = ", ".join(
+        f"`{c}` " + ("string" if c in ("nomvar", "typvar", "etiket",
+                                       "grtyp", "grid", "path")
+                     else "array<float>" if c == "d" else "long")
+        for c in cols)
+
+    # 2: nonzero (2.0) and NaN mask elements KEEP under keep_value=1
+    ok = spark.createDataFrame(
+        [rec("TT", "P@", [1.0, 2.0, 3.0, 4.0]),
+         rec("TT", "@@", [1.0, 2.0, float("nan"), 0.0])], schema)
+    out = apply_mask(ok).filter(F.col("typvar") == "P@").collect()
+    assert [v for v in out[0]["d"]] == pytest.approx([1.0, 2.0, 3.0, None])
+
+    # 1: unpaired variable raises instead of vanishing
+    lone = spark.createDataFrame([rec("TT", "P@", [1.0])], schema)
+    with pytest.raises(Exception, match="2 rows per group"):
+        apply_mask(lone).collect()
+    # ... and a duplicated mask raises instead of fanning out
+    dup = spark.createDataFrame(
+        [rec("TT", "P@", [1.0]), rec("TT", "@@", [1.0]),
+         rec("TT", "@@", [0.0])], schema)
+    with pytest.raises(Exception, match="2 rows per group"):
+        apply_mask(dup).collect()
+
+    # 3: recover passes a paired group through byte-identical
+    back = recover_mask(ok).orderBy("typvar").collect()
+    src = ok.orderBy("typvar").collect()
+
+    def _eq(a, b):
+        if isinstance(a, list) and isinstance(b, list):
+            return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+        if isinstance(a, float) and isinstance(b, float) \
+                and math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+
+    assert len(back) == len(src) == 2
+    for x, y in zip(back, src):
+        for name, a, b in zip(back[0].__fields__, tuple(x), tuple(y)):
+            assert _eq(a, b), (name, a, b)
+    with pytest.raises(Exception, match="at most 2"):
+        recover_mask(dup).collect()
+
+    # 4: NULL nomvar / NULL typvar rows pass through, never vanish
+    nulls = spark.createDataFrame(
+        [rec(None, "P", [9.0]), rec("TT", None, [8.0])], schema)
+    survived = apply_mask(nulls).collect()
+    assert len(survived) == 2
+    assert len(recover_mask(nulls).collect()) == 2
+
+
 def test_quick_pressure_sigma(records):
     px = quick_pressure(records)
     rows = px.filter(F.col("nomvar") == "PX").collect()
