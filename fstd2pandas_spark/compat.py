@@ -443,7 +443,8 @@ def get_hy_field(df, hybrid_ips=None):
     an explicit empty list short-circuits like the reference)."""
     if hybrid_ips is not None and not list(hybrid_ips):
         return df.filter(F.lit(False))
-    no_meta = df.filter(~F.col("nomvar").isin(*_schema.META_NOMVARS))
+    no_meta = df.filter(~F.col("nomvar").isin(*_schema.META_NOMVARS)
+                        | F.col("nomvar").isNull())
     profile = _grid_profile(_group_profile(no_meta))
     return _hy_field(df, profile)
 

@@ -15,6 +15,8 @@ distributed op — SURVEY §7.3e), gated behind an xarray import-try.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -24,6 +26,15 @@ from fstd2pandas_spark.functions.codecs import (
     stamp_to_timestamp,
 )
 from fstd2pandas_spark.schema import ASCENDING_KINDS, META_NOMVARS
+
+_log = logging.getLogger(__name__)
+
+
+def _data_rows(df: DataFrame) -> DataFrame:
+    """Non-meta rows, keeping NULL nomvar as data (the select.py rule:
+    pandas' ~isin keeps NaN; bare ~isin would drop the row entirely)."""
+    return df.filter(~F.col("nomvar").isin(META_NOMVARS)
+                     | F.col("nomvar").isNull())
 
 
 def _level_cols(df: DataFrame) -> DataFrame:
@@ -49,7 +60,7 @@ def to_cube(df: DataFrame, by_time: bool = False) -> DataFrame:
     ``cube`` (array<array<float>>, one inner array per record), ``ni``,
     ``nj`` (validated single-valued per group).
     """
-    data = _level_cols(df.filter(~F.col("nomvar").isin(META_NOMVARS)))
+    data = _level_cols(_data_rows(df))
     if by_time:
         keys = ["grid", "nomvar", "ip1"]
         axis = stamp_to_timestamp(F.col("datev")).cast("double")
@@ -115,11 +126,20 @@ def cube_attributes(df: DataFrame, by_time: bool = False) -> DataFrame:
     than one row per cube."""
     from fstd2pandas_spark.functions.meta import with_decoded_columns
 
-    dec = _level_cols(with_decoded_columns(
-        df.filter(~F.col("nomvar").isin(META_NOMVARS))))
+    dec = _level_cols(with_decoded_columns(_data_rows(df)))
     attr_cols = [c for c in XARRAY_ATTR_COLS if c in dec.columns]
-    return dec.groupBy(*_cube_keys(by_time)).agg(
-        *[F.first(c, ignorenulls=True).alias(c) for c in attr_cols])
+    # deterministic "first": the reference takes the attrs of ONE row
+    # of the group (file order) — with the (path, key) identity present
+    # that is min_by, the same value every run; F.first alone is
+    # whichever partition finished (a different attrs dict per run for
+    # any attr that varies within the group, e.g. forecast_hour in a
+    # by_time group)
+    if {"path", "key"} <= set(dec.columns):
+        order = F.struct("path", "key")
+        aggs = [F.min_by(F.col(c), order).alias(c) for c in attr_cols]
+    else:
+        aggs = [F.first(c, ignorenulls=True).alias(c) for c in attr_cols]
+    return dec.groupBy(*_cube_keys(by_time)).agg(*aggs)
 
 
 def to_xarray(df: DataFrame, by_time: bool = False,
@@ -153,6 +173,15 @@ def to_xarray(df: DataFrame, by_time: bool = False,
                 c: r[c] for c in attr_cols if r[c] is not None}
 
     rows = to_cube(df, by_time=by_time).collect()
+    ragged = [r for r in rows if r.ragged]
+    if ragged:
+        # never a silent skip: a ragged group (mixed ni/nj) cannot
+        # stack — the reference would crash on the reshape; name the
+        # dropped cubes so the caller knows the Dataset is partial
+        _log.warning(
+            "to_xarray: %d cube group(s) are ragged (mixed ni/nj) and "
+            "were NOT exported: %s", len(ragged),
+            [tuple(r[k] for k in keys) for r in ragged[:10]])
     arrays = {}
     for r in rows:
         if r.ragged:

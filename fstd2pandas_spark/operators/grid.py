@@ -293,7 +293,8 @@ def grid_lat_lon(df: DataFrame, keep_template_cols: bool = True) -> DataFrame:
     explode (LA/LO). No Python in the hot path; per-grid work is
     O(ni*nj) array construction inside codegen.
     """
-    no_meta = df.filter(~F.col("nomvar").isin(META_NOMVARS))
+    no_meta = df.filter(~F.col("nomvar").isin(META_NOMVARS)
+                        | F.col("nomvar").isNull())
     unsupported = (
         no_meta.select("grtyp").distinct()
         .filter(~F.col("grtyp").isin(SUPPORTED_GRTYPS))

@@ -196,7 +196,10 @@ def metadata_cleanup(df: DataFrame, strict_toctoc: bool = True) -> DataFrame:
     """Drop descriptor records not referenced by any data row
     (dataframe_utils.py:67-110). Returns data rows + the surviving meta
     rows (column set unchanged)."""
-    no_meta = df.filter(~F.col("nomvar").isin(META_NOMVARS))
+    # NULL nomvar is a data row (pandas ~isin keeps NaN — the select.py
+    # rule); bare ~isin silently dropped it from the cleanup output
+    no_meta = df.filter(~F.col("nomvar").isin(META_NOMVARS)
+                        | F.col("nomvar").isNull())
     groups = _group_profile(no_meta)
     profile = _grid_profile(groups)
     deformation = _grid_deformation_fields(df, groups)

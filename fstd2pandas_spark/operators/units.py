@@ -135,7 +135,8 @@ def family_mismatch_rows(df: DataFrame, to_unit_name: str) -> DataFrame:
         F.col("name").alias("unit"), F.col("expression").alias("_expr")
     )
     return (
-        df.filter(~F.col("nomvar").isin(META_NOMVARS))
+        df.filter(~F.col("nomvar").isin(META_NOMVARS)
+                  | F.col("nomvar").isNull())
         .join(F.broadcast(units), "unit", "left")
         .filter(
             (F.col("unit") != "scalar")

@@ -85,7 +85,10 @@ def set_vertical_coordinate_type(df: DataFrame) -> DataFrame:
         return df
 
     meta = df.filter(F.col("nomvar").isin(META_NOMVARS))
-    no_meta = df.filter(~F.col("nomvar").isin(META_NOMVARS))
+    # NULL nomvar is a data row (pandas ~isin keeps NaN — the select.py
+    # rule); bare ~isin dropped it from BOTH halves
+    no_meta = df.filter(~F.col("nomvar").isin(META_NOMVARS)
+                        | F.col("nomvar").isNull())
 
     flags = _meta_flags_per_grid(meta)
     with_kind = no_meta.withColumn("ip1_kind", decode_ip_kind(F.col("ip1")))

@@ -65,7 +65,9 @@ def write_record_table(df: DataFrame, path: str, mode: str = "write",
         _update(df, driver_threshold=update_driver_threshold)
         return
     if no_meta:
-        df = df.filter(~F.col("nomvar").isin(META_NOMVARS))
+        # NULL nomvar is a data row, not meta (the select.py rule)
+        df = df.filter(~F.col("nomvar").isin(META_NOMVARS)
+                       | F.col("nomvar").isNull())
     if mode == "write":
         df = metadata_cleanup(df)
     if partition_by:

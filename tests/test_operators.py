@@ -118,6 +118,30 @@ def test_vctype_classification(records):
     assert all(v == "UNKNOWN" for n, v in got if n in META_NOMVARS)
 
 
+def test_null_nomvar_survives_every_meta_data_split(spark, records):
+    """round-15 sweep of the ~isin(META_NOMVARS) class: a NULL nomvar
+    is a DATA row everywhere (pandas' ~isin keeps NaN), so it must
+    survive metadata_cleanup, set_vertical_coordinate_type, and to_cube
+    instead of vanishing from both halves of the split."""
+    from fstd2pandas_spark.operators.cube import to_cube
+
+    nulled = records.withColumn(
+        "nomvar",
+        F.when(F.col("nomvar") == "TT", F.lit(None)).otherwise(
+            F.col("nomvar")))
+    n_null = nulled.filter(F.col("nomvar").isNull()).count()
+    assert n_null > 0
+
+    cleaned = metadata_cleanup(nulled)
+    assert cleaned.filter(F.col("nomvar").isNull()).count() == n_null
+
+    vc = set_vertical_coordinate_type(nulled)
+    assert vc.filter(F.col("nomvar").isNull()).count() == n_null
+
+    cubes = to_cube(nulled)
+    assert cubes.filter(F.col("nomvar").isNull()).count() > 0
+
+
 def test_fststat_values(spark, records):
     row = fststat(records.filter((F.col("nomvar") == "FB"))).collect()[0]
     assert row.min == pytest.approx(3.25)
