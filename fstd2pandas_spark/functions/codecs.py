@@ -169,12 +169,18 @@ def encode_ip_expr(value: Column, kind: Column) -> Column:
     # positive fix-up: if rounding pushed mantissa to 10^6, drop one exponent
     e_pos = F.when((m0 >= 1000000) & (e0 > 0), e0 - 1).otherwise(e0)
     m_pos = F.least(F.when(e_pos == e0, m0).otherwise(_m(e_pos)), F.lit(999999))
-    # negative branch: mantissa capacity is 48575 (20-bit field minus the
-    # 1000000 sign offset), so shed digits until it fits
-    e_n0 = F.greatest(e0 - 1, F.lit(0))
-    m_n0 = _m(e_n0)
-    e_neg = F.when((m_n0 > 48575) & (e_n0 > 0), e_n0 - 1).otherwise(e_n0)
-    m_neg = F.least(F.when(e_neg == e_n0, m_n0).otherwise(_m(e_neg)), F.lit(48575))
+    # negative branch: mantissa capacity is 48575 (20-bit field minus
+    # the 1000000 sign offset) — shed digits only WHILE the mantissa
+    # exceeds it (encode_ip_py's loop; two conditional sheds cover
+    # m0 <= 10^6 exactly). An unconditional first shed diverged from
+    # the Python/reference loop on tiny values (|v| < 1e-6, exponent
+    # pinned at 15 with the mantissa ALREADY under 48575): same decoded
+    # value, different bit pattern — a bit-parity break between the
+    # expression and encode_ip_py (round-15 review; property-pinned).
+    e_n1 = F.when((m0 > 48575) & (e0 > 0), e0 - 1).otherwise(e0)
+    m_n1 = F.when(e_n1 == e0, m0).otherwise(_m(e_n1))
+    e_neg = F.when((m_n1 > 48575) & (e_n1 > 0), e_n1 - 1).otherwise(e_n1)
+    m_neg = F.least(F.when(e_neg == e_n1, m_n1).otherwise(_m(e_neg)), F.lit(48575))
 
     e1 = F.when(value < 0, e_neg).otherwise(e_pos)
     mant = F.when(value < 0, m_neg + 1000000).otherwise(m_pos)

@@ -85,6 +85,34 @@ def test_spark_encode_matches_python(spark):
         assert row.ip == encode_ip_py(row.v, row.k), (row.v, row.k)
 
 
+def test_spark_encode_matches_python_property(spark):
+    """round-15 codecs.py review, property-pinned: encode_ip_expr is
+    BIT-IDENTICAL to encode_ip_py over a randomized magnitude sweep
+    covering both signs and the exponent-saturated tail. The old
+    negative branch shed a mantissa digit UNCONDITIONALLY, so a tiny
+    negative value (|v| < 1e-6, exponent pinned at 15 with the
+    mantissa already under the 48575 capacity) encoded at a different
+    exponent than the Python/reference loop — same decoded value,
+    different bit pattern."""
+    import random
+
+    rng = random.Random(20260816)
+    vals = []
+    for _ in range(300):
+        mag = 10.0 ** rng.uniform(-9, 7)
+        sign = rng.choice([1.0, -1.0])
+        vals.append((sign * mag, rng.choice([0, 1, 2, 4, 5, 6, 10, 21])))
+    # the exact divergence shape, deterministically
+    vals += [(-1e-7, 0), (-9.9e-7, 1), (-1e-9, 5), (1e-7, 0),
+             (-48575.0, 0), (-48576.0, 0), (-999999.4, 0)]
+    df = spark.createDataFrame(vals, "v double, k int")
+    out = df.select(
+        "v", "k", encode_ip_expr(F.col("v"), F.col("k")).alias("ip")
+    ).collect()
+    for row in out:
+        assert row.ip == encode_ip_py(row.v, row.k), (row.v, row.k)
+
+
 def test_spark_stamp_roundtrip(spark):
     stamps = [442998800, datetime_to_stamp_py(dt.datetime(1980, 1, 2)),
               datetime_to_stamp_py(dt.datetime(2026, 8, 13, 6))]
