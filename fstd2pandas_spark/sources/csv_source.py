@@ -69,40 +69,62 @@ def read_csv_records(spark: SparkSession, path: str,
     # "a,b;c,d" -> rows(j) of values(i) -> flat array (ni fastest)
     rows2d = F.transform(
         F.split(F.col("d"), ";"),
-        lambda r: F.transform(F.split(r, ","), lambda x: x.cast("float")),
+        lambda r: F.transform(F.split(r, ","), lambda x: x.try_cast("float")),
     )
     df = (
         df.withColumn("_rows", rows2d)
         .withColumn("nj", F.size(F.col("_rows")).cast("int"))
         .withColumn("ni", F.size(F.element_at(F.col("_rows"), 1)).cast("int"))
     )
-    # rectangularity: every ';'-row must have ni values, or len(d) !=
-    # ni*nj flows silently downstream (reference raises
-    # ArrayIsNotStableError, csv_reader.py:475-487). Eager like the
-    # reference — CSV ingest is the small-file path.
-    ragged = (
-        df.filter(F.exists("_rows", lambda r: F.size(r) != F.col("ni")))
-        .limit(1).count()
-    )
-    if ragged:
-        raise CsvReaderError(
-            "ragged 'd' array: every ';'-separated row must have the "
-            "same number of ','-separated values")
-    df = df.withColumn("d", F.flatten(F.col("_rows"))).drop("_rows")
+    df = df.withColumn("d", F.flatten(F.col("_rows")))
     if encode_ip1 and has_level:
         df = df.withColumn(
             "ip1",
-            encode_ip_expr(F.col("level").cast("double"), F.lit(CSV_IP1_KIND)),
+            encode_ip_expr(F.col("level").try_cast("double"), F.lit(CSV_IP1_KIND)),
         ).drop("level")
     elif has_level:
-        df = df.withColumn("ip1", F.col("level").cast("int")).drop("level")
+        df = df.withColumn("ip1", F.col("level").try_cast("int")).drop("level")
 
     ints = ["ni", "nj", "nk", "ip1", "ip2", "ip3", "deet", "npas", "datyp",
             "nbits", "ig1", "ig2", "ig3", "ig4"]
     for c in ints:
-        df = df.withColumn(c, F.col(c).cast("int"))
-    df = df.withColumn("dateo", F.col("dateo").cast("long"))
-    df = df.withColumn("datev", F.col("datev").cast("long"))
+        df = df.withColumn(c, F.col(c).try_cast("int"))
+    df = df.withColumn("dateo", F.col("dateo").try_cast("long"))
+    df = df.withColumn("datev", F.col("datev").try_cast("long"))
+
+    # Eager ingest validation, ONE aggregation job (CSV is the
+    # small-file path; the reference is eager too):
+    # - rectangularity: every ';'-row must have ni values, or
+    #   len(d) != ni*nj flows silently downstream (reference raises
+    #   ArrayIsNotStableError, csv_reader.py:475-487);
+    # - unparseable cells: try_cast turns a typo'd or empty numeric
+    #   cell into NULL on EVERY config (a bare cast would be a silent
+    #   NULL under non-ANSI and an opaque NumberFormatException under
+    #   ANSI) — and a NULL element inside ``d`` means
+    #   MASKED in this engine (mask.py), so a bad CSV cell would read
+    #   as a masked grid point; the reference raises on the
+    #   np.array/astype conversion (csv_reader.py:489-504), so does
+    #   this reader, naming the column.
+    check_cols = ints + ["dateo", "datev"]
+    flags = df.agg(
+        F.max(F.exists("_rows", lambda r: F.size(r) != F.col("ni"))
+              .cast("int")).alias("_ragged"),
+        F.max(F.exists("d", lambda x: x.isNull()).cast("int")).alias("d"),
+        *[F.max(F.col(c).isNull().cast("int")).alias(c)
+          for c in check_cols],
+    ).collect()[0]
+    if flags["_ragged"]:
+        raise CsvReaderError(
+            "ragged 'd' array: every ';'-separated row must have the "
+            "same number of ','-separated values")
+    bad = [c for c in ["d", *check_cols] if flags[c]]
+    if bad:
+        raise CsvReaderError(
+            f"unparseable or empty numeric cell(s) in column(s) {bad} "
+            "— a silent NULL here would read as masked/garbage "
+            "metadata downstream; fix the CSV (the reference raises "
+            "on the same conversion)")
+    df = df.drop("_rows")
 
     from fstd2pandas_spark.operators.metadata import add_grid_column
 

@@ -107,6 +107,23 @@ def test_csv_validation(spark, tmp_path):
     with pytest.raises(CsvReaderError):
         read_csv_records(spark, str(p2))
 
+    # round-15 review: cast() turned unparseable cells into NULLs
+    # SILENTLY — and a NULL element inside d means MASKED downstream
+    # (mask.py), so a typo'd data cell read as a masked grid point;
+    # the reference raises on the np.array/astype conversion.
+    p3 = tmp_path / "bad3.csv"
+    p3.write_text("nomvar,level,d\nTT,1.0,\"1.5,oops;3.5,4.5\"\n")
+    with pytest.raises(CsvReaderError, match="unparseable"):
+        read_csv_records(spark, str(p3))
+    p4 = tmp_path / "bad4.csv"   # empty cell in a numeric column
+    p4.write_text("nomvar,level,ip2,d\nTT,1.0,,\"1.5\"\n")
+    with pytest.raises(CsvReaderError, match="ip2"):
+        read_csv_records(spark, str(p4))
+    p5 = tmp_path / "bad5.csv"   # ragged d still raises
+    p5.write_text("nomvar,level,d\nTT,1.0,\"1.5,2.5;3.5\"\n")
+    with pytest.raises(CsvReaderError, match="ragged"):
+        read_csv_records(spark, str(p5))
+
 
 def test_maybe_fstrec(fstrec_dir, tmp_path):
     from fstd2pandas_spark.sources.fstrec_format import maybe_fstrec
