@@ -320,8 +320,14 @@ def grid_lat_lon(df: DataFrame, keep_template_cols: bool = True) -> DataFrame:
     tile_key = F.when(
         F.col("grtyp") == "#",
         F.concat_ws("_", "ig3", "ig4", "ni", "nj")).otherwise(F.lit(""))
+    # deterministic representative: ties on (nomvar, ip1, ip2, ip3) —
+    # duplicate records differing only in d/typvar — previously let
+    # row_number pick by partition timing, so the LA/LO template
+    # columns (etiket, dateo, ...) could differ per run; the (path,
+    # key) identity breaks the tie in file order when present
+    tiebreak = [c for c in ("path", "key") if c in df.columns]
     w = Window.partitionBy("grid", "_tile") \
-              .orderBy("nomvar", "ip1", "ip2", "ip3")
+              .orderBy("nomvar", "ip1", "ip2", "ip3", *tiebreak)
     rep = (
         no_meta.withColumn("_tile", tile_key)
         .withColumn("_rn", F.row_number().over(w))
@@ -329,13 +335,21 @@ def grid_lat_lon(df: DataFrame, keep_template_cols: bool = True) -> DataFrame:
     )
 
     # axis records: >> holds the lon axis (ni x 1), ^^ the lat axis
-    # (1 x nj), ^> the packed U-grid subgrid axes
-    ax = (df.filter(F.col("nomvar") == ">>")
-            .select(F.col("grid"), F.col("d").alias("_ax")))
-    ay = (df.filter(F.col("nomvar") == "^^")
-            .select(F.col("grid"), F.col("d").alias("_ay")))
-    axy = (df.filter(F.col("nomvar") == "^>")
-             .select(F.col("grid"), F.col("d").alias("_axy")))
+    # (1 x nj), ^> the packed U-grid subgrid axes. ONE row per grid:
+    # a multi-file read carries the SAME >>/^^ once per file, and a
+    # bare join on grid would fan rep out — duplicate LA/LO pairs per
+    # grid, one per copy of the axis record (round-15 review; pinned).
+    def _one_axis_per_grid(nomvar: str, alias: str) -> DataFrame:
+        rows = df.filter(F.col("nomvar") == nomvar)
+        aw = Window.partitionBy("grid").orderBy(
+            *(tiebreak or [F.lit(1)]))
+        return (rows.withColumn("_arn", F.row_number().over(aw))
+                .filter(F.col("_arn") == 1)
+                .select(F.col("grid"), F.col("d").alias(alias)))
+
+    ax = _one_axis_per_grid(">>", "_ax")
+    ay = _one_axis_per_grid("^^", "_ay")
+    axy = _one_axis_per_grid("^>", "_axy")
     rep = (rep.join(F.broadcast(ax), "grid", "left")
               .join(F.broadcast(ay), "grid", "left")
               .join(F.broadcast(axy), "grid", "left"))

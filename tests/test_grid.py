@@ -133,6 +133,32 @@ def test_z_grid_latlon_outer_product(spark):
     np.testing.assert_allclose(got[("gz", "LA")], [45, 45, 45, 50, 50, 50])
 
 
+def test_duplicate_axis_records_do_not_fan_out(spark):
+    """round-15 grid.py review: a multi-file read carries the SAME
+    >>/^^ once per file; the bare join on grid fanned the
+    representative out — DUPLICATE LA/LO pairs per grid, one per copy
+    of the axis record. One axis row per grid now wins."""
+    ax = [10.0, 20.0, 30.0]
+    ay = [45.0, 50.0]
+    rows = [
+        _rec(grtyp="Z", ni=3, nj=2, grid="gz", ig=(11, 22, 0, 0)),
+        # the same axis pair, "read from two files"
+        _rec(nomvar=">>", grtyp="L", ni=3, nj=1, grid="gz", d=ax,
+             ip1=11, ip2=22),
+        _rec(nomvar=">>", grtyp="L", ni=3, nj=1, grid="gz", d=ax,
+             ip1=11, ip2=22),
+        _rec(nomvar="^^", grtyp="L", ni=1, nj=2, grid="gz", d=ay,
+             ip1=11, ip2=22),
+        _rec(nomvar="^^", grtyp="L", ni=1, nj=2, grid="gz", d=ay,
+             ip1=11, ip2=22),
+    ]
+    out = grid_lat_lon(spark.createDataFrame(rows, schema=_REC)).collect()
+    assert len(out) == 2                      # exactly one LA + one LO
+    got = {r.nomvar: list(r.d) for r in out}
+    np.testing.assert_allclose(got["LO"], [10, 20, 30, 10, 20, 30])
+    np.testing.assert_allclose(got["LA"], [45, 45, 45, 50, 50, 50])
+
+
 def test_unsupported_grtyp_raises(spark):
     df = spark.createDataFrame([_rec(grtyp="Q")], schema=_REC)
     with pytest.raises(GridDefinitionError):
