@@ -74,8 +74,11 @@ class RecordHeader:
     n_floats: int
 
 
-def _pad(s: str, n: int) -> bytes:
-    return s.encode("ascii", "replace")[:n].ljust(n, b" ")
+def _pad(s: "str | None", n: int) -> bytes:
+    # NULL string metadata writes as spaces (reads back as ''), never
+    # as the literal text 'None' — the xdf pack_dir_entry rule
+    return ("" if s is None else str(s)) \
+        .encode("ascii", "replace")[:n].ljust(n, b" ")
 
 
 def write_fstrec(path: str, records: "list[dict]") -> int:
@@ -93,7 +96,16 @@ def write_fstrec(path: str, records: "list[dict]") -> int:
                 f"record {rec.get('nomvar')!r} has no data array 'd'; "
                 "metadata-only tables cannot be written as containers "
                 "(use update mode for metadata edits)")
-        d = np.asarray(rec["d"], dtype="<f4")
+        d0 = np.asarray(rec["d"])
+        if d0.dtype == object:
+            # NULL elements are the engine's MASKED representation
+            # (mask.py) — a float cast would die as an opaque numpy
+            # TypeError; name the remedy instead
+            raise ValueError(
+                f"record {rec.get('nomvar')!r}: d contains NULL "
+                "(masked) elements — run recover_mask() to split the "
+                "record into data + mask before writing")
+        d = d0.astype("<f4")
         expect = int(rec["ni"]) * int(rec["nj"]) * int(rec.get("nk", 1))
         if len(d) != expect:
             raise ValueError(

@@ -145,11 +145,20 @@ def pack_dir_entry(rec: dict, swa: int, lng: int) -> np.ndarray:
         if not 0 <= v < (1 << bits):
             raise ValueError(
                 f"{name}={v} out of the {bits}-bit directory-entry range")
+    # NULL string metadata writes as SPACES (reads back as ''), never
+    # as str(None): the old stringification silently wrote the literal
+    # text 'None'/'No' into nomvar/typvar/etiket — and a NULL grtyp
+    # became 'N', a REAL grid type (polar stereographic), corrupting
+    # the record's projection on disk
+    def _s(key: str, default: str = "") -> str:
+        v = rec.get(key)
+        return default if v is None else str(v)
+
     deleted = 1 if rec.get("deleted") else 0
     w[0] = (deleted << 31) | (int(lng) & 0xFFFFFF)
     w[1] = swa
     w[2] = (int(rec["deet"]) << 8) | (int(rec["nbits"]) & 0xFF)
-    w[3] = (int(rec["ni"]) << 8) | (ord(str(rec.get("grtyp", "X"))[:1] or "X") & 0xFF)
+    w[3] = (int(rec["ni"]) << 8) | (ord(_s("grtyp", "X")[:1] or "X") & 0xFF)
     w[4] = (int(rec["nj"]) << 8) | (int(rec["datyp"]) & 0xFF)
     w[5] = (int(rec.get("nk", 1)) << 12)  # ubc = 0
     w[6] = int(rec["npas"]) << 6
@@ -157,11 +166,11 @@ def pack_dir_entry(rec: dict, swa: int, lng: int) -> np.ndarray:
     w[7] = (int(rec["ig4"]) << 8) | ((ig2 >> 16) & 0xFF)
     w[8] = (int(rec["ig1"]) << 8) | ((ig2 >> 8) & 0xFF)
     w[9] = (int(rec["ig3"]) << 8) | (ig2 & 0xFF)
-    etiket = str(rec.get("etiket", "")).ljust(12)
+    etiket = _s("etiket").ljust(12)
     w[10] = _str6(etiket[:5], 5) << 2
     w[11] = _str6(etiket[5:10], 5) << 2
-    w[12] = ((_str6(etiket[10:12], 2) << 12) | _str6(str(rec["typvar"]), 2)) << 8
-    w[13] = _str6(str(rec["nomvar"]), 4) << 8
+    w[12] = ((_str6(etiket[10:12], 2) << 12) | _str6(_s("typvar"), 2)) << 8
+    w[13] = _str6(_s("nomvar"), 4) << 8
     w[14] = int(rec["ip1"]) << 4  # levtyp = 0
     w[15] = int(rec["ip2"]) << 4
     w[16] = int(rec["ip3"]) << 4
@@ -220,6 +229,14 @@ def _payload_words(rec: dict, d: np.ndarray) -> np.ndarray:
     # block on read
     want = ni * nj * nk
     arr = np.asarray(d)
+    if arr.dtype == object:
+        # NULL elements are the engine's MASKED representation
+        # (mask.py) — the astype below would die as an opaque numpy
+        # TypeError; name the remedy instead (the fstrec writer rule)
+        raise ValueError(
+            f"record {rec.get('nomvar')!r}: d contains NULL (masked) "
+            "elements — run recover_mask() to split the record into "
+            "data + mask before writing")
     if arr.size != want:
         raise ValueError(
             f"record {rec.get('nomvar')!r}: len(d)={arr.size} != "

@@ -125,6 +125,40 @@ def test_csv_validation(spark, tmp_path):
         read_csv_records(spark, str(p5))
 
 
+def test_writers_null_metadata_and_masked_d(tmp_path):
+    """round-15 sources review: NULL string metadata writes as SPACES
+    (reads back as ''), never as str(None) — the old stringification
+    wrote the literal text 'None'/'No', and a NULL grtyp became 'N', a
+    REAL grid type (polar stereographic). A masked d (NULL elements)
+    refuses naming recover_mask instead of an opaque numpy TypeError."""
+    from fstd2pandas_spark.sources.fstrec_format import (
+        read_directory, write_fstrec)
+    from fstd2pandas_spark.sources.xdf_format import (
+        read_xdf_directory, write_xdf)
+
+    base = dict(nomvar=None, typvar=None, etiket=None, grtyp=None,
+                ni=2, nj=1, nk=1, dateo=442998800, ip1=500, ip2=0, ip3=0,
+                deet=0, npas=0, datyp=5, nbits=32, ig1=0, ig2=0, ig3=0,
+                ig4=0, datev=442998800, d=[1.0, 2.0])
+
+    p1 = str(tmp_path / "n.fstrec")
+    write_fstrec(p1, [dict(base)])
+    h = read_directory(p1)[0]
+    assert (h.nomvar, h.typvar, h.etiket) == ("", "", "")
+
+    p2 = str(tmp_path / "n.fst")
+    write_xdf(p2, [dict(base)])
+    h2 = read_xdf_directory(p2)[0]
+    assert (h2.nomvar, h2.typvar, h2.etiket) == ("", "", "")
+    assert h2.grtyp == "X"          # the explicit no-projection default
+
+    masked = dict(base, nomvar="TT", d=[1.0, None])
+    with pytest.raises(ValueError, match="recover_mask"):
+        write_fstrec(str(tmp_path / "m.fstrec"), [masked])
+    with pytest.raises(ValueError, match="recover_mask"):
+        write_xdf(str(tmp_path / "m.fst"), [masked])
+
+
 def test_maybe_fstrec(fstrec_dir, tmp_path):
     from fstd2pandas_spark.sources.fstrec_format import maybe_fstrec
 
