@@ -7013,8 +7013,12 @@ _Q_INVARIANTS_SQL = f"""
   WITH rec AS ({_META_RECORDS_SQL}),
   inv AS (
     SELECT nomvar,
-           count(DISTINCT deet) AS deet, count(DISTINCT ni) AS ni,
-           count(DISTINCT dateo) AS dateo, count(DISTINCT nj) AS nj
+           -- NULL counts as a distinct value (pandas unique() includes
+           -- NaN) — mirrors group_invariant_violations exactly
+           count(DISTINCT deet) + max(CASE WHEN deet IS NULL THEN 1 ELSE 0 END) AS deet,
+           count(DISTINCT ni) + max(CASE WHEN ni IS NULL THEN 1 ELSE 0 END) AS ni,
+           count(DISTINCT dateo) + max(CASE WHEN dateo IS NULL THEN 1 ELSE 0 END) AS dateo,
+           count(DISTINCT nj) + max(CASE WHEN nj IS NULL THEN 1 ELSE 0 END) AS nj
     FROM rec GROUP BY nomvar),
   ips AS (SELECT DISTINCT ip1 FROM rec),
   kinds AS (

@@ -24,8 +24,16 @@ def group_invariant_violations(df: DataFrame, group_keys: list[str],
     Returns (group_keys..., col, n_distinct) rows for every violated
     invariant — the Spark form of the reference's raise-on-unique()>1
     checks (std_vgrid.py:131-153, dataframe_utils.py:344-348,
-    csv_reader.py:475-487)."""
-    aggs = [F.countDistinct(c).alias(c) for c in invariant_cols]
+    csv_reader.py:475-487).
+
+    NULL counts as a distinct value: pandas' ``unique()`` includes NaN,
+    so the reference flags a group holding {1, NaN} — bare
+    countDistinct SKIPS NULLs and would read that group as invariant
+    (a hidden violation). All-NULL stays 1 distinct, matching
+    ``unique() == [NaN]``."""
+    aggs = [(F.countDistinct(c)
+             + F.max(F.col(c).isNull().cast("int"))).alias(c)
+            for c in invariant_cols]
     counted = df.groupBy(*group_keys).agg(*aggs)
     stacked = counted.select(
         *group_keys,

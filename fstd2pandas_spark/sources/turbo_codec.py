@@ -144,6 +144,14 @@ def _pack_bits(u: np.ndarray) -> np.ndarray:
     for b in range(nblocks):
         blk = u[b * _BLOCK:(b + 1) * _BLOCK]
         w = int(blk.max()).bit_length() if len(blk) else 0
+        if w > (1 << _WIDTH_BITS) - 1:
+            # the 6-bit width prefix tops out at 63: a wider token
+            # (int64-wrapped zigzag of an out-of-range residual) would
+            # silently encode width w % 64 and decode to garbage
+            raise ValueError(
+                f"turbo-pack block token needs {w} bits, above the "
+                f"{(1 << _WIDTH_BITS) - 1}-bit block-width ceiling — "
+                "input values exceed the codec's range for this nbits")
         chunks.append(((w >> np.arange(_WIDTH_BITS - 1, -1, -1)) & 1
                        ).astype("uint8"))
         if w:

@@ -118,6 +118,23 @@ def test_vctype_classification(records):
     assert all(v == "UNKNOWN" for n, v in got if n in META_NOMVARS)
 
 
+def test_group_invariants_count_null_as_distinct(spark):
+    """round-15 dedup.py review: a group holding {1, NULL} IS an
+    invariant violation — pandas' unique() includes NaN, so the
+    reference raises; bare countDistinct skipped the NULL and read the
+    group as invariant. All-NULL stays 1 distinct (unique() == [NaN])."""
+    from fstd2pandas_spark.operators.dedup import group_invariant_violations
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", None),        # {1, NULL} -> violation (2)
+         ("B", 2), ("B", 2),           # constant -> fine
+         ("C", None), ("C", None)],    # all-NULL -> fine (1)
+        "g string, x int")
+    out = {(r["g"], r["col"]): r["n_distinct"]
+           for r in group_invariant_violations(df, ["g"], ["x"]).collect()}
+    assert out == {("A", "x"): 2}
+
+
 def test_null_nomvar_survives_every_meta_data_split(spark, records):
     """round-15 sweep of the ~isin(META_NOMVARS) class: a NULL nomvar
     is a DATA row everywhere (pandas' ~isin keeps NaN), so it must
