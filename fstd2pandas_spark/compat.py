@@ -312,13 +312,6 @@ def to_cmc_xarray(df: DataFrame, attributes: bool = False):
 convert_to_cmc_xarray = to_cmc_xarray
 
 
-def compute_stats(df: DataFrame) -> DataFrame:
-    """Per-record summary stats (reference dataframe_utils.py:160-168)."""
-    from fstd2pandas_spark.operators.stats import fststat
-
-    return fststat(df)
-
-
 # ===================================================================== #
 # Reference-name completion sweep: every remaining public fstpy name.   #
 # Each is a thin delegation to this engine's operators (dataframe ops   #
@@ -576,6 +569,8 @@ def is_global_grid(grid_params: dict, lon: np.ndarray,
     """std_grid.py is_global_grid(grid_params, lon): (global, repeated)
     from a longitude row — scalar mirror of operators/grid.py's
     Column rules (C23 epsilon discipline)."""
+    import math as _math
+
     grtyp = grid_params.get("grtyp")
     if grtyp in ("A", "G"):
         return True, False
@@ -584,15 +579,36 @@ def is_global_grid(grid_params: dict, lon: np.ndarray,
     row = np.asarray(lon, dtype=np.float64).reshape(-1)
     if row.size < 2:
         return False, False
-    span = float(row[-1] - row[0])
-    dlon = float(row[1] - row[0])
     if grtyp == "Z":
-        rep = abs(span - 360.0) <= epsilon
+        # first longitude equals the last (std_grid.py:240-244) — NOT
+        # span == 360, which missed a 0-based repeated meridian and
+        # falsely flagged a [0..360] non-repeating axis (round-15
+        # review: the scalar had drifted from the Column rule the
+        # fst_latlon_all gate verifies)
+        rep = abs(float(row[0]) - float(row[-1])) <= epsilon
         return rep, rep
     if grtyp == "L":
-        is_global = (abs(span + dlon - 360.0) <= epsilon
-                     or abs(span - 360.0) <= epsilon)
-        return is_global, abs(span - 360.0) <= epsilon
+        dlon = float(grid_params.get("dlon", row[1] - row[0]))
+        ni = int(grid_params.get("ni", row.size))
+        last = float(row[-1])
+        nb = ni * dlon
+        if _math.fmod(360.0, dlon) != 0:
+            # non-exact dlon (std_grid.py:247-258): case 2 (wraps but
+            # the repeated point's longitude differs -> repetition
+            # only) before case 3 (wraps, last strictly below 360 ->
+            # global) — the Column rule in operators/grid.py verbatim
+            if nb >= 360.0 - epsilon and \
+                    last <= (nb + dlon) - 360.0 + epsilon:
+                return False, True
+            if nb >= 360.0 - epsilon and last < 360.0 \
+                    and abs(last - 360.0) > epsilon:
+                return True, False
+            return False, False
+        if abs(nb - 360.0) <= epsilon:
+            return True, False
+        if abs(nb - (360.0 + dlon)) <= epsilon:
+            return True, True
+        return False, False
     return False, False
 
 

@@ -178,6 +178,22 @@ def test_is_global_grid_scalar():
     assert ok is True and rep is True
     assert C.is_global_grid({"grtyp": "A"}, lon) == (True, False)
     assert C.is_global_grid({"grtyp": "B"}, lon) == (True, True)
+    # round-15: Z follows the reference's first==last rule
+    # (std_grid.py:240-244), not span==360
+    z_rep = np.array([0.0, 120.0, 240.0, 0.0])     # repeated meridian
+    assert C.is_global_grid({"grtyp": "Z"}, z_rep) == (True, True)
+    z_360 = np.arange(0.0, 361.0, 10.0)            # [0..360]: 0 != 360
+    assert C.is_global_grid({"grtyp": "Z"}, z_360) == (False, False)
+    # non-exact dlon (fmod(360, 7) != 0), reference cases 2 and 3:
+    # case 3 — wraps, last point strictly below 360 -> global
+    l_c3 = np.arange(0.0, 360.0, 7.0)              # ni*dlon = 364
+    assert C.is_global_grid(
+        {"grtyp": "L", "ni": l_c3.size, "dlon": 7.0}, l_c3) == (True, False)
+    # case 2 — wraps AND the final point re-enters past 360 (stored
+    # modulo) at a DIFFERENT longitude -> repetition only, not global
+    l_c2 = np.append(l_c3, 4.0)                    # ni*dlon = 371
+    assert C.is_global_grid(
+        {"grtyp": "L", "ni": l_c2.size, "dlon": 7.0}, l_c2) == (False, True)
 
 
 def test_file_roundtrip_helpers(spark, tmp_path):
