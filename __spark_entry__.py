@@ -1905,10 +1905,23 @@ _Q_META_PARSE_SQL = f"""
 
 
 def q_fst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 fststat: per-record min/max/mean/std + argmin/argmax positions."""
+    """A1 fststat: per-record min/max/mean/std + argmin/argmax positions.
+
+    round 15: a constant PROBE row (key = -1, ni = 2, nj = 3) with
+    TRANSPOSED ties — min 1.0 at (2,1) AND (1,2), max 9.0 at (2,2) AND
+    (1,3) — rides the input, putting the np.argmin tie rule (smallest
+    (i, j), the C-order flatten of the reference's (ni, nj) array)
+    under the driver's value hash: the old first-in-flat-storage pick
+    returns min_i = 2 here and hash-mismatches. The corpus rows all
+    have nj = 1, where the two rules coincide — without the probe the
+    tie semantics would sit outside the gate."""
     from fstd2pandas_spark.operators.stats import array_stats_columns
 
-    rec = records_from_lineitem(spark, sf_dir)
+    probe = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS key, 'PROBE' AS nomvar, 2 AS ni, "
+        "transform(array(5, 1, 1, 9, 9, 2), x -> CAST(x AS FLOAT)) AS d")
+    rec = (records_from_lineitem(spark, sf_dir)
+           .select("key", "nomvar", "ni", "d").unionByName(probe))
     stats = rec.select("key", "nomvar", "ni", *array_stats_columns(F.col("d"), F.col("ni")))
     return stats.select(
         "key", "nomvar",
@@ -1922,7 +1935,13 @@ def q_fst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_STATS_SQL = f"""
-  WITH rec AS ({_RECORDS_SQL})
+  WITH rec0 AS ({_RECORDS_SQL}),
+  rec AS (
+    SELECT key, nomvar, ni, d FROM rec0
+    UNION ALL   -- the transposed-tie PROBE row (see q_fst_stats)
+    SELECT CAST(-1 AS BIGINT), 'PROBE', 2,
+           [5.0, 1.0, 1.0, 9.0, 9.0, 2.0]::FLOAT[]
+  )
   SELECT key, nomvar,
          round(list_min(d), 4) AS min,
          round(list_max(d), 4) AS max,
@@ -2659,20 +2678,36 @@ def q_fst_select_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2/F3/F4: select data rows by nomvar, then re-attach the meta
     records of the surviving grids via a left-semi join
     (operators/select.py add_metadata_to_query_results;
-    reference std_io.py:77-94)."""
+    reference std_io.py:77-94).
+
+    round 15: a NULL-nomvar PROBE row (key = -21, grid 3 — a grid the
+    TT selection already covers, so the meta set is unchanged) rides
+    the input and the selection keeps NULL alongside TT. This puts the
+    pandas partition rule — ~isin keeps NaN, a NULL nomvar is a DATA
+    row — under the driver's value hash: the old bare ~isin dropped
+    the row from both halves and would come up one row short here."""
     from fstd2pandas_spark.operators.select import (
         add_metadata_to_query_results, select_meta, select_no_meta)
 
-    rec = meta_records_from_lineitem(spark, sf_dir)
-    result = select_no_meta(rec).filter(F.col("nomvar") == "TT")
+    probe = spark.sql(
+        "SELECT CAST(-21 AS BIGINT) AS key, "
+        "CAST(NULL AS STRING) AS nomvar, 3 AS grid")
+    rec = meta_records_from_lineitem(spark, sf_dir).unionByName(
+        probe, allowMissingColumns=True)
+    result = select_no_meta(rec).filter(
+        (F.col("nomvar") == "TT") | F.col("nomvar").isNull())
     out = add_metadata_to_query_results(result, select_meta(rec))
     return out.select("key", "nomvar", "grid").orderBy("key", "nomvar")
 
 
 _Q_SELECT_META_SQL = f"""
-  WITH rec AS ({_META_RECORDS_SQL}),
-  res AS (SELECT * FROM rec WHERE nomvar = 'TT'
-          AND nomvar NOT IN ({_META_LIST_SQL})),
+  WITH rec0 AS ({_META_RECORDS_SQL}),
+  rec AS (SELECT key, nomvar, grid FROM rec0
+          UNION ALL   -- the NULL-nomvar PROBE (see q_fst_select_meta)
+          SELECT CAST(-21 AS BIGINT), NULL, 3),
+  res AS (SELECT * FROM rec
+          WHERE (nomvar = 'TT' OR nomvar IS NULL)
+          AND (nomvar NOT IN ({_META_LIST_SQL}) OR nomvar IS NULL)),
   meta AS (SELECT * FROM rec WHERE nomvar IN ({_META_LIST_SQL}))
   SELECT key, nomvar, grid FROM res
   UNION ALL
@@ -6965,12 +7000,28 @@ def q_fst_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     one gated query (reference std_vgrid.py:131-153,
     dataframe_utils.py:186-197, std_io.py:97-124). Output is a uniform
     (chk, name, pos, value) check ledger so three differently-shaped
-    operators share one oracle row."""
+    operators share one oracle row.
+
+    round 15: a two-row PRB PROBE group rides the input, identical in
+    every invariant column except deet = {{0, NULL}} — pandas'
+    unique() includes NaN, so the reference flags that group, and the
+    gate now hashes the expected ('PRB/deet', 2) violation row; bare
+    countDistinct skipped the NULL and read the group as invariant.
+    The probe's ip1 is an existing literal (distinct-set unchanged)
+    and grid 99 keeps it out of the HY arm."""
     from fstd2pandas_spark.operators.dedup import (
         group_invariant_violations, kinds_and_ip1)
     from fstd2pandas_spark.operators.select import process_hy
 
-    rec = meta_records_from_lineitem(spark, sf_dir)
+    probe = spark.sql(f"""
+      SELECT * FROM (VALUES
+        (CAST(-31 AS BIGINT), 'PRB', {ALL_IP1S[0]},
+         CAST({STAMPS[0]} AS BIGINT), 0, 4, 1, 99),
+        (CAST(-32 AS BIGINT), 'PRB', {ALL_IP1S[0]},
+         CAST({STAMPS[0]} AS BIGINT), CAST(NULL AS INT), 4, 1, 99)
+      ) p(key, nomvar, ip1, dateo, deet, ni, nj, grid)""")
+    rec = meta_records_from_lineitem(spark, sf_dir).unionByName(
+        probe, allowMissingColumns=True)
     # A4: per-nomvar one-distinct-value invariants. deet/ni/dateo are
     # deliberately violated by the modulo construction (the operator's
     # job is to FIND them); nj is constant and must NOT be reported.
@@ -7010,7 +7061,16 @@ def q_fst_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_INVARIANTS_SQL = f"""
-  WITH rec AS ({_META_RECORDS_SQL}),
+  WITH rec0 AS ({_META_RECORDS_SQL}),
+  rec AS (
+    SELECT key, nomvar, ip1, dateo, deet, ni, nj, grid FROM rec0
+    UNION ALL   -- the {{0, NULL}}-deet PRB probe (see q_fst_invariants)
+    SELECT * FROM (VALUES
+      (CAST(-31 AS BIGINT), 'PRB', {ALL_IP1S[0]},
+       CAST({STAMPS[0]} AS BIGINT), 0, 4, 1, 99),
+      (CAST(-32 AS BIGINT), 'PRB', {ALL_IP1S[0]},
+       CAST({STAMPS[0]} AS BIGINT), NULL, 4, 1, 99)
+    ) p(key, nomvar, ip1, dateo, deet, ni, nj, grid)),
   inv AS (
     SELECT nomvar,
            -- NULL counts as a distinct value (pandas unique() includes
