@@ -2061,6 +2061,74 @@ _Q_MASK_SQL = f"""
 """
 
 
+def q_fst_mask_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 at the OPERATOR level (round 15): the real
+    operators/mask.py apply_mask — 17-key pairing join, mask
+    consumption, astype(bool) keep polarity — under the driver's value
+    hash (q_fst_mask checks the zip_with SEMANTICS on a derived mask;
+    this one drives the operator itself on constructed var+mask pairs).
+
+    Probes: (1) every key%3==0 mask's FIRST element is 2.0 — the
+    reference keeps ANY nonzero mask element (astype(bool)), so the
+    old == 1.0 polarity hash-mismatches here; (2) a NULL-nomvar
+    not-masked row (key = -41) passes through — the old bare ~isin
+    dropped it and comes up one row short. ig1 carries the key so
+    every pairing group is unique (the modulo construction would
+    otherwise collide groups and trip the 2-rows-per-group guard)."""
+    from fstd2pandas_spark.operators.mask import apply_mask
+
+    rec = records_from_lineitem(spark, sf_dir)
+    base = (rec
+            .withColumn("nk", F.lit(1)).withColumn("ip2", F.lit(0))
+            .withColumn("ip3", F.lit(0)).withColumn("datyp", F.lit(5))
+            .withColumn("nbits", F.lit(32)).withColumn("grtyp", F.lit("Z"))
+            .withColumn("ig1", F.col("key").cast("int"))
+            .withColumn("ig2", F.lit(0)).withColumn("ig3", F.lit(0))
+            .withColumn("ig4", F.lit(0))
+            .withColumn("datev", F.col("dateo"))
+            .withColumn("grid", F.lit("11")))
+    vars_ = base.withColumn("typvar", F.lit("P@"))
+    mask_d = F.transform(
+        "d", lambda x, p: F.when((F.col("key") % 3 == 0) & (p == 0),
+                                 F.lit(2.0))
+        .when(x > 25.0, F.lit(1.0)).otherwise(F.lit(0.0)).cast("float"))
+    masks = base.withColumn("typvar", F.lit("@@")) \
+                .withColumn("d", mask_d)
+    probe = spark.sql(
+        "SELECT CAST(-41 AS BIGINT) AS key, CAST(NULL AS STRING) AS "
+        "nomvar, 'PRBE' AS etiket, 1 AS ni, 1 AS nj, 1 AS nk, "
+        "CAST(0 AS BIGINT) AS dateo, 0 AS ip1, 0 AS ip2, 0 AS ip3, "
+        "0 AS deet, 0 AS npas, 5 AS datyp, 32 AS nbits, 'Z' AS grtyp, "
+        "-41 AS ig1, 0 AS ig2, 0 AS ig3, 0 AS ig4, "
+        "CAST(0 AS BIGINT) AS datev, '11' AS grid, 'X' AS typvar, "
+        "array(CAST(7.0 AS FLOAT)) AS d")
+    inp = vars_.unionByName(masks).unionByName(
+        probe, allowMissingColumns=True)
+    out = apply_mask(inp)
+    return (out.select("key", "typvar",
+                       F.posexplode("d").alias("pos", "v"))
+            .select("key", "typvar", "pos",
+                    F.round(F.col("v").cast("double"), 4).alias("val"))
+            .orderBy("key", "typvar", "pos"))
+
+
+_Q_MASK_APPLY_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL}),
+  cells AS (
+    SELECT key, s.i - 1 AS pos, CAST(d[s.i] AS DOUBLE) AS v,
+           CASE WHEN key % 3 = 0 AND s.i = 1 THEN 2.0
+                WHEN d[s.i] > 25.0 THEN 1.0 ELSE 0.0 END AS m
+    FROM rec, UNNEST(generate_series(1, len(d))) s(i))
+  SELECT * FROM (
+    SELECT key, 'P@' AS typvar, pos,
+           round(CASE WHEN m <> 0 THEN v END, 4) AS val
+    FROM cells
+    UNION ALL   -- the NULL-nomvar pass-through probe
+    SELECT CAST(-41 AS BIGINT), 'X', 0, 7.0
+  ) ORDER BY key, typvar, pos
+"""
+
+
 def q_fst_pressure_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 eta pressure: pres = level*(P0-PT) + PT with P0 = the record's own
     d (as surrogate surface pressure) and PT = 10.0; level from ip1 decode."""
@@ -7135,6 +7203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fst_stats": q_fst_stats,
         "fst_unit_convert": q_fst_unit_convert,
         "fst_mask": q_fst_mask,
+        "fst_mask_apply": q_fst_mask_apply,
         "fst_pressure_eta": q_fst_pressure_eta,
         "fst_pressure_hybrid": q_fst_pressure_hybrid,
         "fst_pressure_sigma": q_fst_pressure_sigma,
@@ -7190,6 +7259,7 @@ def oracle_sql() -> dict[str, str]:
         "fst_stats": _Q_STATS_SQL,
         "fst_unit_convert": _Q_UNIT_SQL,
         "fst_mask": _Q_MASK_SQL,
+        "fst_mask_apply": _Q_MASK_APPLY_SQL,
         "fst_pressure_eta": _Q_PRESSURE_SQL,
         "fst_pressure_hybrid": _Q_PRESSURE_HYB_SQL,
         "fst_pressure_sigma": _Q_PRESSURE_SIGMA_SQL,
