@@ -2129,6 +2129,71 @@ _Q_MASK_APPLY_SQL = f"""
 """
 
 
+def q_fst_recover_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 at the OPERATOR level (round 15): the real
+    operators/mask.py recover_mask under the driver's value hash —
+    lone masked vars split into data + synthesized 0/1 mask (datyp 2,
+    nbits 1), while an ALREADY-PAIRED (var, mask) group passes through
+    UNCHANGED (recover_mask.py:61-64). Every key%3==0 group ships a
+    pre-existing '@@' mask whose pattern (v > 30) deliberately DIFFERS
+    from the var's NULL pattern (v > 25) and keeps datyp 5/nbits 32:
+    the old code dropped the real mask row and synthesized a
+    replacement from the var's NULLs — here that hash-mismatches on
+    both the 25<v<=30 cells and the (datyp, nbits) columns."""
+    from fstd2pandas_spark.operators.mask import recover_mask
+
+    rec = records_from_lineitem(spark, sf_dir)
+    base = (rec
+            .withColumn("nk", F.lit(1)).withColumn("ip2", F.lit(0))
+            .withColumn("ip3", F.lit(0)).withColumn("datyp", F.lit(5))
+            .withColumn("nbits", F.lit(32)).withColumn("grtyp", F.lit("Z"))
+            .withColumn("ig1", F.col("key").cast("int"))
+            .withColumn("ig2", F.lit(0)).withColumn("ig3", F.lit(0))
+            .withColumn("ig4", F.lit(0))
+            .withColumn("datev", F.col("dateo"))
+            .withColumn("grid", F.lit("11")))
+    vars_ = base.withColumn("typvar", F.lit("P@")).withColumn(
+        "d", F.transform("d", lambda x: F.when(x > 25.0, x)))
+    pt_masks = (base.filter(F.col("key") % 3 == 0)
+                .withColumn("typvar", F.lit("@@"))
+                .withColumn("d", F.transform(
+                    "d", lambda x: F.when(x > 30.0, F.lit(1.0))
+                    .otherwise(F.lit(0.0)).cast("float"))))
+    out = recover_mask(vars_.unionByName(pt_masks))
+    return (out.select("key", "typvar", "datyp", "nbits",
+                       F.posexplode("d").alias("pos", "v"))
+            .select("key", "typvar", "datyp", "nbits", "pos",
+                    F.round(F.col("v").cast("double"), 4).alias("val"))
+            .orderBy("key", "typvar", "pos"))
+
+
+_Q_RECOVER_APPLY_SQL = f"""
+  WITH rec AS ({_RECORDS_SQL}),
+  cells AS (
+    SELECT key, s.i - 1 AS pos, CAST(d[s.i] AS DOUBLE) AS v
+    FROM rec, UNNEST(generate_series(1, len(d))) s(i))
+  SELECT * FROM (
+    -- lone vars (key%3 <> 0): data row (NULL -> 0) + synthesized mask
+    SELECT key, 'P@' AS typvar, 5 AS datyp, 32 AS nbits, pos,
+           round(CASE WHEN v > 25.0 THEN v ELSE 0.0 END, 4) AS val
+    FROM cells WHERE key % 3 <> 0
+    UNION ALL
+    SELECT key, '@@', 2, 1, pos,
+           CASE WHEN v > 25.0 THEN 1.0 ELSE 0.0 END
+    FROM cells WHERE key % 3 <> 0
+    UNION ALL
+    -- paired groups (key%3 = 0): BOTH rows pass through unchanged
+    SELECT key, 'P@', 5, 32, pos,
+           round(CASE WHEN v > 25.0 THEN v END, 4)
+    FROM cells WHERE key % 3 = 0
+    UNION ALL
+    SELECT key, '@@', 5, 32, pos,
+           CASE WHEN v > 30.0 THEN 1.0 ELSE 0.0 END
+    FROM cells WHERE key % 3 = 0
+  ) ORDER BY key, typvar, pos
+"""
+
+
 def q_fst_pressure_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 eta pressure: pres = level*(P0-PT) + PT with P0 = the record's own
     d (as surrogate surface pressure) and PT = 10.0; level from ip1 decode."""
@@ -7204,6 +7269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fst_unit_convert": q_fst_unit_convert,
         "fst_mask": q_fst_mask,
         "fst_mask_apply": q_fst_mask_apply,
+        "fst_recover_apply": q_fst_recover_apply,
         "fst_pressure_eta": q_fst_pressure_eta,
         "fst_pressure_hybrid": q_fst_pressure_hybrid,
         "fst_pressure_sigma": q_fst_pressure_sigma,
@@ -7260,6 +7326,7 @@ def oracle_sql() -> dict[str, str]:
         "fst_unit_convert": _Q_UNIT_SQL,
         "fst_mask": _Q_MASK_SQL,
         "fst_mask_apply": _Q_MASK_APPLY_SQL,
+        "fst_recover_apply": _Q_RECOVER_APPLY_SQL,
         "fst_pressure_eta": _Q_PRESSURE_SQL,
         "fst_pressure_hybrid": _Q_PRESSURE_HYB_SQL,
         "fst_pressure_sigma": _Q_PRESSURE_SIGMA_SQL,
