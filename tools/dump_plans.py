@@ -69,6 +69,26 @@ PLAN_NOTES = {
         "r10 from_json); events_hourly's plan is final — do not "
         "re-open without new evidence."
     ),
+    "fst_stats": (
+        "**Round-15 parity cost, deliberate:** fststat now matches "
+        "np.min/np.argmin BIT-EXACTLY on NaN (poisoning min/max, argmin "
+        "at the first NaN) and on tied extrema (np's (i,j)-lex order vs "
+        "array_position's flat-first (j,i)), plus a constant "
+        "transposed-tie probe row unioned into the gate input. The "
+        "extra passes (exists(isnan) + one keyed transform + array_min "
+        "per extremum; a struct-keyed variant measured ~2x worse and "
+        "was replaced by ONE linearized long key) cost ~+0.2 s real at "
+        "sf0.1 on top of host drift — accepted: the old plan computed "
+        "the WRONG answer on NaN fields and transposed ties."
+    ),
+    "fst_mask": (
+        "**Round-15 guard, measured free:** apply_mask now enforces "
+        "the reference's 2-rows-per-group contract with a window count "
+        "over the exact pairing key the merge join shuffles on — plan "
+        "still shows 2 exchanges total (the window's hashpartitioning "
+        "feeds the SMJ), warm sf0.1 runs 0.88 s vs 0.872 s before on a "
+        "matching host."
+    ),
     "doc_simhash": (
         "**Single-fold lock (round 8):** the query uses the fused "
         "simhash_report_rows — one explode chain over the one "
