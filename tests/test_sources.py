@@ -293,6 +293,92 @@ def test_xdf_bit_roundtrip(tmp_path):
             assert np.array_equal(read_xdf_payload(f, h), r["d"])
 
 
+def test_xdf_property_fuzz_roundtrip(tmp_path):
+    """round-15: hypothesis property fuzz over the XDF container —
+    RANDOM records (6-bit-alphabet strings at every legal length,
+    random dims, every field at random points of its directory-entry
+    bit range, random datyps across transparent AND codec layouts with
+    in-range payloads) write -> read back BIT-EXACT. The hand-written
+    matrix tests pin chosen corners; this sweeps the space between."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fstd2pandas_spark.sources.xdf_format import (
+        read_xdf_directory, read_xdf_payload, write_xdf)
+
+    alpha = st.text(
+        alphabet=[chr(c) for c in range(33, 96)])  # 6-bit printables
+
+    rec_st = st.fixed_dictionaries({
+        "nomvar": alpha.map(lambda s: s[:4]),
+        "typvar": alpha.map(lambda s: s[:2]),
+        "etiket": alpha.map(lambda s: s[:12]),
+        "grtyp": st.sampled_from(list("ABGLZ#YENSXU")),
+        "ni": st.integers(1, 40), "nj": st.integers(1, 8),
+        "nk": st.just(1),
+        "ip1": st.integers(0, (1 << 28) - 1),
+        "ip2": st.integers(0, (1 << 28) - 1),
+        "ip3": st.integers(0, (1 << 28) - 1),
+        "deet": st.integers(0, (1 << 24) - 1),
+        "npas": st.integers(0, (1 << 20) - 1),
+        "ig1": st.integers(0, (1 << 24) - 1),
+        "ig2": st.integers(0, (1 << 24) - 1),
+        "ig3": st.integers(0, (1 << 24) - 1),
+        "ig4": st.integers(0, (1 << 24) - 1),
+        "datev": st.integers(1, (1 << 31) - 1).map(
+            lambda v: v - v % 10 + (v % 8)),   # last digit 0-7
+        "layout": st.sampled_from([
+            (5, 32), (5, 64), (2, 32), (4, 32), (133, 24),
+            (130, 16), (132, 16), (134, 16), (1, 12), (6, 20)]),
+        "seed": st.integers(0, 2**32 - 1),
+    })
+
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(rec_st, min_size=1, max_size=8))
+    def run(recs):
+        rows = []
+        for r in recs:
+            datyp, nbits = r.pop("layout")
+            rng = np.random.default_rng(r.pop("seed"))
+            n = r["ni"] * r["nj"]
+            if (datyp, nbits) in ((5, 32), (5, 64)):
+                d = (rng.standard_normal(n) * 1e3).astype("<f4")
+            elif datyp == 133:
+                d = rng.standard_normal(n).astype("<f4")
+            elif datyp in (2, 130):
+                d = rng.integers(0, 1 << min(nbits, 24), n).astype("<f4")
+            elif datyp in (4, 132):
+                lim = 1 << (min(nbits, 24) - 1)
+                d = rng.integers(-lim, lim, n).astype("<f4")
+            else:
+                d = rng.integers(0, 1 << min(nbits - 1, 20),
+                                 n).astype("<f4")
+            rows.append(dict(r, datyp=datyp, nbits=nbits, d=d,
+                             deleted=False))
+        path = str(tmp_path / "fuzz.fst")
+        write_xdf(path, rows)
+        hdrs = read_xdf_directory(path)
+        assert len(hdrs) == len(rows)
+        fields = ("ni", "nj", "nk", "ip1", "ip2", "ip3", "deet",
+                  "npas", "datyp", "nbits", "ig1", "ig2", "ig3",
+                  "ig4", "datev")
+        with open(path, "rb") as f:
+            for r, h in zip(rows, hdrs):
+                for k in fields:
+                    assert getattr(h, k) == r[k], k
+                assert h.nomvar == r["nomvar"].strip()
+                assert h.typvar == r["typvar"].strip()
+                assert h.etiket == r["etiket"].strip()
+                assert h.grtyp == r["grtyp"]
+                back = read_xdf_payload(f, h)
+                assert np.array_equal(back, r["d"]), (
+                    r["datyp"], r["nbits"])
+
+    run()
+
+
 def test_xdf_transparent_datyps_and_compressed_rejection(tmp_path):
     import numpy as np
 
