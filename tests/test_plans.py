@@ -244,6 +244,36 @@ def test_sessionize_single_exchange(spark):
     assert "SessionWindow" in plan or "session_window" in plan
 
 
+def test_apply_mask_guard_rides_the_pairing_exchange(spark):
+    """round-15 lock: apply_mask's 2-rows-per-group guard is a window
+    over the EXACT key its merge join shuffles on, so the plan carries
+    the same TWO hash exchanges (one per join side) it had without the
+    guard — a formulation partitioning the window on anything else
+    would add a third shuffle and regress the benched fst_mask."""
+    from fstd2pandas_spark.operators.mask import MASK_GROUP_COLS, apply_mask
+    from pyspark.sql import functions as F
+
+    cols = MASK_GROUP_COLS + ["typvar", "datyp", "nbits", "datev", "d"]
+    schema = ", ".join(
+        f"`{c}` " + ("string" if c in ("nomvar", "typvar", "etiket",
+                                       "grtyp", "grid", "path")
+                     else "array<float>" if c == "d" else "long")
+        for c in cols)
+    base = {c: ("x" if c in ("nomvar", "typvar", "etiket", "grtyp",
+                             "grid", "path") else 0) for c in cols}
+    rows = [tuple(dict(base, nomvar="TT", typvar="P@",
+                       d=[1.0])[c] for c in cols),
+            tuple(dict(base, nomvar="TT", typvar="@@",
+                       d=[1.0])[c] for c in cols)]
+    df = spark.createDataFrame(rows, schema)
+    plan = _plan(apply_mask(df))
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln
+                and "ReusedExchange" not in ln]
+    assert len(shuffles) <= 2, shuffles
+    assert "SortMergeJoin" in plan
+
+
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
 def test_duplicate_spans_join_strategy(spark):
     """The window-hash join back onto occurrences must never broadcast
