@@ -240,3 +240,54 @@ def test_turbo_quantized_roundtrip_property(ni, nj, nbits, datyp, seed):
     span = float(d.max() - d.min()) or 1.0
     assert back.shape == d.shape
     assert np.allclose(back, d, atol=span / (1 << (nbits - 1)))
+
+
+def test_decode_sql_mirrors_match_spark_exprs(spark):
+    """round-15 gate-integrity lock: every oracle gate leans on the
+    DuckDB SQL mirrors of decode_ip_kind / decode_ip_value
+    (__spark_entry__._DECODE_KIND_SQL/_DECODE_VALUE_SQL) being
+    EQUIVALENT to the Spark Column expressions — sweep ~6k random ips
+    across every encoding range (new-style all kinds/exponents,
+    negative-mantissa encodings, old-style pressure/sigma/height/
+    arbitrary, the range boundaries, and a negative ip) and compare
+    bit-exactly. A mirror drift would silently green-light a wrong
+    engine change (both sides wrong together is the one failure the
+    driver's hash cannot see)."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as E
+
+    rng = random.Random(20260815)
+    ips = [rng.randrange(0, 1 << 28) for _ in range(3000)]
+    ips += [rng.randrange(0, 32768) for _ in range(1000)]
+    ips += [((rng.randrange(32) << 24) | (rng.randrange(16) << 20)
+             | rng.randrange(1000001, 1048576)) for _ in range(1000)]
+    ips += [0, 1999, 2000, 12000, 12001, 32000, 32001, 32767, 32768,
+            -5, 1048575, 1000000]
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip int")
+    got = {r["ip"]: (r["k"], r["v"]) for r in df.select(
+        "ip", decode_ip_kind(F.col("ip")).alias("k"),
+        decode_ip_value(F.col("ip")).alias("v")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(ip INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?)", [(ip,) for ip in ips])
+    sql = (f"SELECT ip, ({E._DECODE_KIND_SQL.format(ip='ip')}) AS k, "
+           f"({E._DECODE_VALUE_SQL.format(ip='ip')}) AS v FROM t")
+    for ip, k, v in con.execute(sql).fetchall():
+        gk, gv = got[ip]
+        assert gk == k, ip
+        # NOT bit-exact by design: the sweep itself found that JVM
+        # Math.pow(10, -9) and DuckDB's libm pow differ in the last
+        # ulp, so mant * 10^(4-exp) can differ by ~1e-16 relative
+        # (e.g. ip 83517274: ...001e-06 vs ...999e-06). Every gate
+        # rounds decoded values to 4-6 dp, where a 1-ulp wobble only
+        # matters on exact .5-at-the-last-digit boundaries (measure
+        # zero for decoded grids); 1e-14 still catches any REAL rule
+        # drift, which changes values by whole quanta.
+        if v == 0:
+            assert gv == 0, ip
+        else:
+            assert abs(gv - v) <= 1e-14 * abs(v), (ip, gv, v)
