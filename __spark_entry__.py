@@ -1810,7 +1810,12 @@ def _stations_case_sql() -> str:
 
 #: SQL mirror of the old-format AAMMJJHH decode branch
 _STAMP_OLD_SQL = """
-  CASE WHEN {s} IN (0, 10101011) OR {s} <= 0 THEN NULL
+  CASE WHEN {s} IN (0, 10101011) OR {s} <= 0
+            -- hour 24: DuckDB's try_cast ACCEPTS '24:00:00' (ISO,
+            -- normalized to next midnight) where Spark's
+            -- try_make_timestamp rejects it — an unparseable old
+            -- stamp must be NULL on both sides (mirror-sweep finding)
+            OR ({s} % 100) >= 24 THEN NULL
        ELSE try_cast(printf('%04d-%02d-%02d %02d:00:00',
                             1900 + CAST({s} // 1000000 AS INT),
                             CAST(({s} // 10000) % 100 AS INT),

@@ -291,3 +291,57 @@ def test_decode_sql_mirrors_match_spark_exprs(spark):
             assert gv == 0, ip
         else:
             assert abs(gv - v) <= 1e-14 * abs(v), (ip, gv, v)
+
+
+def test_stamp_and_kindstr_sql_mirrors_match_spark(spark):
+    """round-15 gate-integrity lock, part 2: the stamp and kind-string
+    SQL mirrors. Random new-style stamps (valid last digit), old-format
+    AAMMJJHH stamps (valid and unparseable), dummy/negative stamps, and
+    every kind code -1..101 — Spark expression vs DuckDB fragment."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from fstd2pandas_spark.functions.meta import kind_str
+
+    rng = random.Random(20260817)
+    # new-style: base + positive linear part, last digit 0-7
+    news = [123200000 + (v - v % 10 + v % 8)
+            for v in (rng.randrange(0, 400_000_000) for _ in range(800))]
+    # old-format AAMMJJHH: mix of valid and garbage digit fields
+    olds = [aa * 1000000 + mm * 10000 + dd * 100 + hh
+            for aa, mm, dd, hh in ((rng.randrange(0, 123),
+                                    rng.randrange(0, 20),
+                                    rng.randrange(0, 40),
+                                    rng.randrange(0, 30))
+                                   for _ in range(800))
+            if aa * 1000000 + mm * 10000 + dd * 100 + hh < 123200000]
+    stamps = news + olds + [0, 10101011, -4, 123200000, 442998800]
+    df = spark.createDataFrame([(s,) for s in stamps], "s long")
+    got = {r["s"]: r["ts"] for r in df.select(
+        "s", stamp_to_timestamp(F.col("s")).alias("ts")).collect()}
+
+    con = duckdb.connect()
+    con.execute("SET timezone = 'UTC'")
+    con.execute("CREATE TABLE t(s BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in stamps])
+    new_arm = E._STAMP_TS_SQL.format(s="s")
+    old_arm = E._STAMP_OLD_SQL.format(s="s")
+    sql = (f"SELECT s, CASE WHEN s >= 123200000 THEN ({new_arm}) "
+           f"ELSE ({old_arm}) END AS ts FROM t")
+    for s, ts in con.execute(sql).fetchall():
+        g = got[s]
+        g = g.replace(tzinfo=None) if g is not None else None
+        ts = ts.replace(tzinfo=None) if ts is not None else None
+        assert g == ts, (s, g, ts)
+
+    kinds = list(range(-1, 40)) + [100, 101]
+    kdf = spark.createDataFrame([(k,) for k in kinds], "k int")
+    kgot = {r["k"]: r["ks"] for r in kdf.select(
+        "k", kind_str(F.col("k")).alias("ks")).collect()}
+    con.execute("CREATE TABLE kt(k INTEGER)")
+    con.executemany("INSERT INTO kt VALUES (?)", [(k,) for k in kinds])
+    ksql = f"SELECT k, ({E._KIND_STR_SQL.format(k='k')}) AS ks FROM kt"
+    for k, ks in con.execute(ksql).fetchall():
+        assert kgot[k] == ks, k
