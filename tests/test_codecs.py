@@ -345,3 +345,53 @@ def test_stamp_and_kindstr_sql_mirrors_match_spark(spark):
     ksql = f"SELECT k, ({E._KIND_STR_SQL.format(k='k')}) AS ks FROM kt"
     for k, ks in con.execute(ksql).fetchall():
         assert kgot[k] == ks, k
+
+
+def test_parsed_etiket_matches_reference_re(spark):
+    """round-15: parsed_etiket (Java rlike cascade) swept against a
+    literal transcription of the reference's re.match cascade
+    (std_dec.py:268-323) over random 6-bit-alphabet etikets of every
+    length 0..12 plus lowercase/near-miss shapes — label/run/
+    implementation/ensemble_member must agree exactly, including which
+    of the four patterns wins and the whole-etiket fallback."""
+    import random
+    import re
+
+    from fstd2pandas_spark.functions.meta import parsed_etiket
+
+    def ref(raw):
+        mr = "[RGPEAIMWNC_][\\dRLHMEA_]"
+        pats = [(mr + "\\w{5}[NPX]$", 5, False),
+                (mr + "\\w{5}[NPX]\\w{3}$", 5, True),
+                (mr + "\\w{6}[NPX]$", 6, False),
+                (mr + "\\w{6}[NPX]\\w{3}$", 6, True)]
+        for pat, n, ens in pats:
+            if re.match(pat, raw):
+                lab = raw[2:2 + n]
+                impl = raw[2 + n]
+                mem = raw[3 + n:6 + n] if ens else None
+                return (lab, raw[:2], impl, mem)
+        return (raw, None, None, None)
+
+    rng = random.Random(20260818)
+    alpha = [chr(c) for c in range(33, 96)]
+    ets = ["".join(rng.choice(alpha) for _ in range(rng.randrange(0, 13)))
+           for _ in range(1500)]
+    # targeted shapes: valid CMC/SPOOKI with/without member, lowercase
+    # label chars (\w matches them; the 6-bit alphabet never ships
+    # them, but the ENGINES must still agree), near-misses
+    ets += ["R1_V710_N", "R1_V710_NABC", "G2LABEL6X", "G2LABEL6X123",
+            "R1_v710_N", "r1_V710_N", "R1_V710_Q", "R1_V710_NAB",
+            "R1_V710_NABCD", "", "N", "R1", "R1_V710_N "]
+    df = spark.createDataFrame([(e,) for e in ets], "etiket string")
+    out = df.select("etiket", parsed_etiket(F.col("etiket")).alias("p")) \
+            .collect()
+    seen_parsed = 0
+    for r in out:
+        exp = ref(r["etiket"])
+        got = (r["p"]["label"], r["p"]["run"],
+               r["p"]["implementation"], r["p"]["ensemble_member"])
+        assert got == exp, (r["etiket"], got, exp)
+        if exp[1] is not None:
+            seen_parsed += 1
+    assert seen_parsed >= 4      # the targeted valid shapes all parsed
