@@ -112,3 +112,41 @@ def test_to_timezone(spark):
     assert r.x.hour == 8  # UTC-4 in July
     with pytest.raises(InvalidTimezoneError):
         to_timezone(F.col("t"), "Not/AZone")
+
+
+def test_precision_max_sql_mirror_full_lattice(spark):
+    """round-15 mirror lock: precision_max (C22) vs the gate's
+    _PM_PRIO_SQL over the FULL datyp lattice (every pair from
+    DATYP_PRIORITY plus unknown codes) — not just the 5x5 sample the
+    fst_encode_ip gate rotates through."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from fstd2pandas_spark.functions.encoders import (
+        DATYP_PRIORITY, precision_max)
+
+    codes = sorted(DATYP_PRIORITY) + [99, 3]      # 99/3: unknown -> 0
+    pairs = [(a, na, b, nb)
+             for a in codes for b in codes
+             for na, nb in ((8, 16), (32, 12))]
+    df = spark.createDataFrame(pairs, "da int, na int, db int, nb int")
+    got = {(r["da"], r["na"], r["db"], r["nb"]): (r["p"]["datyp"],
+                                                  r["p"]["nbits"])
+           for r in df.select(
+               "da", "na", "db", "nb",
+               precision_max(F.col("da"), F.col("na"),
+                             F.col("db"), F.col("nb")).alias("p"))
+           .collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(da INT, na INT, db INT, nb INT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", pairs)
+    pa = E._PM_PRIO_SQL.format(d="da")
+    pb = E._PM_PRIO_SQL.format(d="db")
+    sql = (f"SELECT da, na, db, nb, "
+           f"CASE WHEN ({pa}) >= ({pb}) THEN da ELSE db END AS d, "
+           f"greatest(na, nb) AS n FROM t")
+    for da, na, db, nb, d, n in con.execute(sql).fetchall():
+        assert got[(da, na, db, nb)] == (d, n), (da, db)
