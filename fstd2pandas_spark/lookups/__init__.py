@@ -17,7 +17,6 @@ are tiny (≤1k rows) and used per-record.
 from __future__ import annotations
 
 import os
-from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,9 +84,27 @@ def _read(spark: SparkSession, name: str, schema: T.StructType) -> DataFrame:
     )
 
 
-@lru_cache(maxsize=None)
+#: per-table cache holding (owning session, frame) — NOT lru_cache on
+#: the name alone: that pinned each DataFrame to whichever SparkSession
+#: existed FIRST, so after a session stop/restart every lookup join
+#: died on a stopped SparkContext (round-15 review; pinned). The owning
+#: session is compared by IDENTITY on every hit (an id()-keyed variant
+#: could alias a recycled object id), and a miss simply reloads the
+#: kilobyte CSV under the current session.
+_SESSION_CACHE: "dict[str, tuple[SparkSession, DataFrame]]" = {}
+
+
 def _cached(key: str) -> DataFrame:
     spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    hit = _SESSION_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = _load(spark, key)
+    _SESSION_CACHE[key] = (spark, df)
+    return df
+
+
+def _load(spark: SparkSession, key: str) -> DataFrame:
     if key == "units":
         return _read(spark, "units.csv", _UNITS_SCHEMA).cache()
     if key == "stdvar":

@@ -3232,3 +3232,29 @@ def test_in_set_rule_null_and_empty_refused(spark):
     got = table_quality_report(
         df, [("r", "c", "in_set", ["a", "b"])]).collect()[0]
     assert got["n_violations"] == 1 and not got["passed"]
+
+
+def test_lookup_cache_survives_session_restart():
+    """round-15 lookups review: the table cache was lru_cache on the
+    NAME alone, pinning each frame to whichever SparkSession existed
+    first — after a stop/restart every lookup join died on a stopped
+    SparkContext. The cache now re-loads under the current session
+    (owner compared by identity). Subprocess: stopping the suite's
+    shared session here would kill every later test."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from fstd2pandas_spark.session import get_spark\n"
+        "from fstd2pandas_spark.lookups import stdvar_df\n"
+        "s1 = get_spark('a', master='local[2]', shuffle_partitions=2)\n"
+        "n1 = stdvar_df().count()\n"
+        "s1.stop()\n"
+        "s2 = get_spark('b', master='local[2]', shuffle_partitions=2)\n"
+        "n2 = stdvar_df().count()\n"
+        "assert n1 == n2 > 0, (n1, n2)\n"
+        "s2.stop()\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True,
+                   timeout=240, capture_output=True)
