@@ -89,6 +89,22 @@ PLAN_NOTES = {
         "feeds the SMJ), warm sf0.1 runs 0.88 s vs 0.872 s before on a "
         "matching host."
     ),
+    "doc_minhash_lsh": (
+        "**Round-15 probe-cost decomposition (same-process A/B at "
+        "sf0.1, min-of-3 warm):** base LSH 0.77-0.94 s; + the six-row "
+        "degenerate-document union into the operator input ~+0.3 s "
+        "(the signature fold runs over a Union node); + the "
+        "input-count probe aggregate ~+0.25 s (a pushed-filter "
+        "doc_id<0 scan — row-group-skipped but still a 33-task "
+        "stage). Both components are MANDATED by the r14 order book "
+        "(degenerate docs must be in the operator's real input, and "
+        "the probe must count on that exact frame or it cannot "
+        "detect a silently dropped union — counting the local "
+        "relation alone would be vacuous). The cross-round bench "
+        "delta on doc_minhash_lsh/doc_simhash vs r14 is this ordered "
+        "work, not a regression; the signature fold still appears "
+        "exactly once (plan-locked, test_plans.py)."
+    ),
     "doc_simhash": (
         "**Single-fold lock (round 8):** the query uses the fused "
         "simhash_report_rows — one explode chain over the one "
