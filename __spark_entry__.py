@@ -3022,21 +3022,44 @@ def q_fst_metadata_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated on hybrid levels, ``!!`` gated on level-family vcodes — and drop
     the rest. The result is projected onto columns inside every dedup
     subset (nomvar, ip1, ip2, ni, nj, ig1) and DISTINCT'd so the compare is
-    insensitive to which duplicate row a dedup keeps."""
+    insensitive to which duplicate row a dedup keeps.
+
+    round 15: a NULL-nomvar PROBE row — a COPY of the key-min data row
+    with nomvar nulled and key -51, so every profile (groups/dims/
+    kinds distinct sets) is unchanged — rides the input. pandas' ~isin
+    keeps NaN, so the reference RETURNS the row; the old bare ~isin
+    silently dropped it from the cleanup output (the one real
+    data-loss instance of the round-15 sweep), which would come up one
+    distinct row short here. Output ordering is NULLS LAST explicitly:
+    nomvar is now nullable and Spark defaults NULLS FIRST where DuckDB
+    defaults NULLS LAST."""
     from fstd2pandas_spark.operators.metadata import metadata_cleanup
+    from fstd2pandas_spark.schema import META_NOMVARS
 
     # metadata_cleanup references its input once per descriptor family;
     # checkpoint the synthetic construction so those references scan
     # materialized blocks instead of re-expanding the lineage
-    rec = _full_records(spark, sf_dir).localCheckpoint(eager=True)
-    out = metadata_cleanup(rec)
+    rec0 = _full_records(spark, sf_dir).localCheckpoint(eager=True)
+    probe = (rec0.filter(~F.col("nomvar").isin(META_NOMVARS))
+             .orderBy("key").limit(1)
+             .withColumn("nomvar", F.lit(None).cast("string"))
+             .withColumn("key", F.lit(-51).cast("long")))
+    out = metadata_cleanup(rec0.unionByName(probe))
     cols = ["nomvar", "ip1", "ip2", "ni", "nj", "ig1"]
-    return out.select(*cols).distinct().orderBy(*cols)
+    return (out.select(*cols).distinct()
+            .orderBy(*[F.col(c).asc_nulls_last() for c in cols]))
 
 
 _Q_META_CLEANUP_SQL = f"""
-  WITH rec AS ({_FULL_RECORDS_SQL}),
-  no_meta AS (SELECT * FROM rec WHERE nomvar NOT IN ({_META_LIST_SQL})),
+  WITH rec1 AS ({_FULL_RECORDS_SQL}),
+  prb AS (SELECT * FROM rec1 WHERE nomvar NOT IN ({_META_LIST_SQL})
+          ORDER BY key LIMIT 1),
+  rec AS (SELECT * FROM rec1
+          UNION ALL   -- the NULL-nomvar probe (see q_fst_metadata_cleanup)
+          SELECT * REPLACE (CAST(-51 AS BIGINT) AS key,
+                            NULL AS nomvar) FROM prb),
+  no_meta AS (SELECT * FROM rec WHERE nomvar NOT IN ({_META_LIST_SQL})
+              OR nomvar IS NULL),
   kinds AS (SELECT *, ({_DECODE_KIND_SQL.format(ip='ip1')}) AS k FROM no_meta),
   groups AS (SELECT DISTINCT grid, dateo, datev, deet, npas FROM no_meta),
   cand AS (SELECT * FROM rec WHERE nomvar IN ('>>', '^^', '^>')),
