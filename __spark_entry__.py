@@ -3914,11 +3914,16 @@ _Q_FINGERPRINT_SQL = """
               END AS bg
     FROM t)
   SELECT doc_id,
+         -- NULL text fingerprints as NULL like the engine: bare
+         -- list_prepend(0, NULL) yields [0] and the reduce fabricates
+         -- fingerprint 0, aliasing an unknown-content doc with the
+         -- empty-fold value (mirror-faithfulness sweep, round 15)
+         CASE WHEN text IS NULL THEN NULL ELSE
          list_reduce(
            list_prepend(CAST(0 AS BIGINT),
              list_transform(tk,
                t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))),
-           (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint,
+           (acc, h) -> (acc * 31 + h) % 1000000007) END AS fingerprint,
          CAST(len(tk) AS BIGINT) AS n_tok_rep,
          CAST(len(list_distinct(tk)) AS BIGINT) AS n_tok_distinct,
          CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
@@ -3928,7 +3933,10 @@ _Q_FINGERPRINT_SQL = """
                    ELSE list_max(list_transform(list_distinct(bg),
                         x -> len(list_filter(bg, y -> y = x)))) END
               AS BIGINT) AS top_bigram_count,
-         CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_bigrams
+         -- NULL text keeps the NULL-metric contract: DuckDB's
+         -- greatest(NULL, 0) is 0 where the engine guards explicitly
+         CAST(CASE WHEN text IS NULL THEN NULL
+                   ELSE greatest(len(tk) - 1, 0) END AS BIGINT) AS n_bigrams
   FROM b ORDER BY doc_id
 """
 
@@ -4085,7 +4093,11 @@ def _minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
                              j -> array_to_string(list_slice(t, j, j + 2), ' ')) END AS sh
     FROM toks
   ), sigs AS (
+    -- degenerate docs (sub-k/NULL text -> empty shingle set) are
+    -- excluded from banding like the engine: they all share the
+    -- all-sentinel signature and would pair with each other
     SELECT doc_id, [{sig_terms}] AS sig FROM shing
+    WHERE sh IS NOT NULL AND len(sh) > 0
   ), banded AS (
     SELECT doc_id, b.band AS band,
            md5(array_to_string(list_transform(
@@ -4162,7 +4174,10 @@ def _simhash_sql(bits: int = 16, pair_bits: int = 48,
   WITH th AS (
     SELECT doc_id, list_transform(string_split(lower(text), ' '),
            t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hs
-    FROM documents),
+    -- NULL text excluded like the engine (simhash(NULL) is NULL and
+    -- dropped): unguarded, every NULL-text doc would read as simhash
+    -- 0 here and collapse into one bucket + all-pairs
+    FROM documents WHERE text IS NOT NULL),
   sh AS (SELECT doc_id, CAST({total(bits)} AS BIGINT) AS simhash FROM th),
   shw AS (SELECT doc_id, CAST({total(pair_bits)} AS BIGINT) AS simhash
           FROM th)
