@@ -3544,12 +3544,18 @@ def _langid_sql() -> str:
                      doc_id) AS rr
           FROM documents)
   SELECT d.doc_id, d.lang, {expr} AS lang_pred,
-         coalesce(h.n_bench_shingles, 0) AS n_bench_shingles,
-         coalesce(h.n_bench_shingles, 0) >= 1 AS contaminated,
+         -- NULL text keeps the engine's NULL-verdict contract
+         -- (decontam.py: a decontamination filter must never certify
+         -- unverifiable content): metrics NULL, never 0/false
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE coalesce(h.n_bench_shingles, 0) END AS n_bench_shingles,
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE coalesce(h.n_bench_shingles, 0) >= 1 END AS contaminated,
          CAST(concat('0x', substr(md5(concat('strat1_',
               CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
            < {strat_thr} AS sampled,
-         substr(md5({stripped}), 1, 8) AS html_sig,
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE substr(md5({stripped}), 1, 8) END AS html_sig,
          tth.temp_thr,
          (CAST(concat('0x', substr(md5(concat('temp1_',
                CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000)
@@ -3583,7 +3589,7 @@ def _langid_sql() -> str:
 #: synthetic word-soup with no real PII, so the gated query plants
 #: spans derived from doc_id (identical expression on both engines) and
 #: the detectors/redactor run against text with real matches.
-_PII_INJECT_SQL = """concat(text,
+_PII_INJECT_SQL = """CASE WHEN text IS NULL THEN NULL ELSE concat(text,
     CASE WHEN doc_id % 7 = 0 THEN ' mail user' || CAST(doc_id AS STRING)
          || '@example.com' ELSE '' END,
     CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.'
@@ -3594,7 +3600,7 @@ _PII_INJECT_SQL = """concat(text,
          || CAST(doc_id % 3 AS STRING) || '.example.org/p/'
          || CAST(doc_id AS STRING) ELSE '' END,
     CASE WHEN doc_id % 10 = 0 THEN ' and https://site0.example.org/m/'
-         || CAST(doc_id AS STRING) ELSE '' END)"""
+         || CAST(doc_id AS STRING) ELSE '' END) END"""
 
 
 def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3847,10 +3853,11 @@ def _tokens_sql() -> str:
            CAST(CAST(concat('0x', substr(md5(concat('pack1_',
                 CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
            {_PII_INJECT_SQL} AS p,
-           string_split(text, ' ') AS tkr,
-           CASE WHEN len(string_split(text, ' ')) <= 32 THEN 1
-                ELSE 1 + CAST(ceil((len(string_split(text, ' ')) - 32)
-                              / 24.0) AS INT) END AS nch
+           string_split(coalesce(text, ''), ' ') AS tkr,
+           CASE WHEN len(string_split(coalesce(text, ''), ' ')) <= 32
+                THEN 1
+                ELSE 1 + CAST(ceil((len(string_split(coalesce(text, ''),
+                                   ' ')) - 32) / 24.0) AS INT) END AS nch
     FROM documents),
   p AS (
     SELECT *,
@@ -3867,8 +3874,9 @@ def _tokens_sql() -> str:
              '<EMAIL>', 'g'), {ipv4}, '<IPV4>', 'g'), {phone})) AS n_phone,
          substr(md5({redact}), 1, 8) AS redacted_sig,
          len(regexp_extract_all(p, {q(URL_PATTERN)})) AS n_urls,
-         coalesce(regexp_extract(p, {q(URL_DOMAIN_PATTERN)}, 1), '')
-           AS first_domain,
+         CASE WHEN p IS NULL THEN NULL
+              ELSE coalesce(regexp_extract(p, {q(URL_DOMAIN_PATTERN)}, 1),
+                            '') END AS first_domain,
          list_contains(regexp_extract_all(p, {q(URL_DOMAIN_PATTERN)}, 1),
            'site0.example.org') AS blocked_domain,
          -- expected canonical URL, derived constructively (scheme+host
@@ -4489,25 +4497,41 @@ def _quality_sql() -> str:
                  list_slice(string_split(text, chr(10)), 1, i - 1), x)),
            chr(10))), 1, 8) AS line_dedup_sig,
          CAST(len(sp.spans) AS BIGINT) AS n_spans,
-         CAST(coalesce(h.nb, 0) AS BIGINT) AS n_boilerplate_spans,
-         CAST(coalesce(dspn.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-         CAST(coalesce(dspn.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
-         substr(md5(coalesce(dcln.cleaned, '')), 1, 8) AS substr_sig,
+         -- NULL text keeps the engine's NULL-metric contract (the
+         -- boilerplate_span_stats rule: unknown content must never
+         -- read as perfectly clean); coalesce-to-0 only for real text
+         CAST(CASE WHEN d.text IS NULL THEN NULL
+              ELSE coalesce(h.nb, 0) END AS BIGINT) AS n_boilerplate_spans,
+         CAST(CASE WHEN d.text IS NULL THEN NULL
+              ELSE coalesce(dspn.n_dup_spans, 0) END AS BIGINT) AS n_dup_spans,
+         CAST(CASE WHEN d.text IS NULL THEN NULL
+              ELSE coalesce(dspn.n_dup_tokens, 0) END AS BIGINT) AS n_dup_tokens,
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE substr(md5(coalesce(dcln.cleaned, '')), 1, 8)
+              END AS substr_sig,
          CAST((CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
             + (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END)
             + (CASE WHEN stop_ratio BETWEEN 0.02 AND 1.0 THEN 0 ELSE 1 END)
            AS INT) AS gopher_fails,
-         ((n_tokens BETWEEN 50 AND 100000)
-          AND (mean_token_len BETWEEN 3.0 AND 10.0)
-          AND (stop_ratio BETWEEN 0.02 AND 1.0)) AS gopher_keep,
-         CAST(coalesce(lagg.lm_bigrams, 0) AS BIGINT) AS lm_bigrams,
-         CAST(coalesce(lagg.lm_q6, 0) AS BIGINT) AS lm_q6,
-         CASE WHEN coalesce(lagg.lm_bigrams, 0) = 0 THEN 'empty'
+         -- per-rule coalesce-to-FALSE mirrors gopher_filter's
+         -- fail-closed rule: a NULL metric FAILS its bound
+         (coalesce(n_tokens BETWEEN 50 AND 100000, FALSE)
+          AND coalesce(mean_token_len BETWEEN 3.0 AND 10.0, FALSE)
+          AND coalesce(stop_ratio BETWEEN 0.02 AND 1.0, FALSE))
+           AS gopher_keep,
+         CAST(CASE WHEN d.text IS NULL THEN NULL
+              ELSE coalesce(lagg.lm_bigrams, 0) END AS BIGINT) AS lm_bigrams,
+         CAST(CASE WHEN d.text IS NULL THEN NULL
+              ELSE coalesce(lagg.lm_q6, 0) END AS BIGINT) AS lm_q6,
+         CASE WHEN d.text IS NULL THEN NULL
+              WHEN coalesce(lagg.lm_bigrams, 0) = 0 THEN 'empty'
               WHEN lagg.lm_q6 >= -1200000 * lagg.lm_bigrams THEN 'head'
               WHEN lagg.lm_q6 >= -2000000 * lagg.lm_bigrams THEN 'middle'
               ELSE 'tail' END AS lm_bucket,
-         clf.clf_score,
-         clf.clf_score > 0 AS clf_keep,
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE clf.clf_score END AS clf_score,
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE clf.clf_score > 0 END AS clf_keep,
          nqq.ntok_q25, nqq.ntok_q50, nqq.ntok_q75,
          q.n_tokens < nqq.ntok_q50 AS ntok_below_med,
          gql.gq_ntok_viol, gql.gq_max_pass
@@ -4519,7 +4543,11 @@ def _quality_sql() -> str:
   LEFT JOIN dcln USING (doc_id)
   LEFT JOIN lagg USING (doc_id)
   JOIN clf USING (doc_id)
-  LEFT JOIN nqq ON nqq.lang = d.lang
+  -- nqq joins NULL-SAFELY: quantile_flags treats NULL as its own
+  -- stratum and hands its thresholds back (the round-15 eqNullSafe
+  -- rule); gql mirrors the engine's plain equality join, where
+  -- NULL-lang rows receive no stratum rule values
+  LEFT JOIN nqq ON nqq.lang IS NOT DISTINCT FROM d.lang
   LEFT JOIN gql ON gql.lang = d.lang
   ORDER BY doc_id
 """

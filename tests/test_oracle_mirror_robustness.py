@@ -29,7 +29,8 @@ WORDS = ["the", "cat", "sat", "mat", "dog", "ran", "fast", "data",
          "2024", "--", "...", "e.g.", "co-op", "$5", "50%", "foo_bar"]
 
 GATES = ["doc_exact_dedup", "doc_fingerprint", "doc_ngram_jaccard",
-         "doc_minhash_lsh", "doc_simhash"]
+         "doc_minhash_lsh", "doc_simhash", "doc_langid",
+         "doc_token_counts", "doc_quality"]
 
 
 def _dirty_corpus(seed: int, n: int = 250) -> pd.DataFrame:
@@ -56,7 +57,14 @@ def _dirty_corpus(seed: int, n: int = 250) -> pd.DataFrame:
     rows = [(i, text()) for i in range(n)]
     for i in range(0, n, 7):          # exact duplicates
         rows[i] = (rows[i][0], rows[rng.randrange(n)][1])
-    return pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    # the full real-table schema so every doc gate can run
+    langs = ["en", "fr", "es", "de", "zh", None]
+    df["lang"] = [rng.choice(langs) for _ in range(n)]
+    df["source"] = [rng.choice(["src0", "src1", "src2", None])
+                    for _ in range(n)]
+    df["n_chars"] = [len(t) if t is not None else 0 for t in df["text"]]
+    return df
 
 
 @pytest.mark.parametrize("gate", GATES)
