@@ -3967,7 +3967,15 @@ _Q_COSINE_SQL = """
                                 list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
                                 list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
                               c.vec_id ASC) AS rank
-    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+    FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+               AND len(list_filter(embedding, x -> x IS NULL)) = 0
+               AND len(list_filter(embedding,
+                       x -> isnan(CAST(x AS DOUBLE)))) = 0) q
+    JOIN (SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+               AND len(list_filter(embedding, x -> x IS NULL)) = 0
+               AND len(list_filter(embedding,
+                       x -> isnan(CAST(x AS DOUBLE)))) = 0) c
+      ON c.vec_id != q.vec_id
     WHERE q.vec_id < 10) t
   WHERE rank <= 5 ORDER BY query_id, rank
 """
@@ -4627,7 +4635,19 @@ def _neardup_bucketed_sql(n_planes: int = 4, dim: int = 64,
     return f"""
   WITH e AS (SELECT vec_id,
                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             FROM embeddings),
+             -- degenerate vectors excluded like the engine
+             -- (similarity.py _searchable: NULL and NULL-element
+             -- source-excluded). ZERO vectors stay: the engine trains
+             -- and cell-assigns them but their cosine is NULL and
+             -- never emitted — DuckDB's list_cosine_similarity scores
+             -- a zero vector -1.0, below every threshold, so the
+             -- mirrors agree wherever each query has >= k real
+             -- candidates (true of the corpus and the harness)
+             FROM embeddings
+             WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+               AND len(list_filter(embedding, x -> x IS NULL)) = 0
+               AND len(list_filter(embedding,
+                       x -> isnan(CAST(x AS DOUBLE)))) = 0),
   bucketed AS (SELECT vec_id, v, {planes} AS bucket FROM e),
   -- SemDeDup mirror: the cloned base, Lloyd-refined cells (the
   -- emb_ann_ivf centroid CTEs over eb), within-cell >= 0.999 pairs,
@@ -4688,6 +4708,18 @@ def _neardup_bucketed_sql(n_planes: int = 4, dim: int = 64,
               THEN scomp.comp ELSE -1 END AS BIGINT) AS vec_b,
          CAST(sasg.cell AS DOUBLE) AS cos
   FROM sasg LEFT JOIN scomp ON scomp.node = sasg.vec_id
+  UNION ALL
+  -- semantic_dedup KEEPS every input row (unknown content is never a
+  -- duplicate): vectors the e CTE excluded (NULL / NULL-element /
+  -- NaN) still emit a kept verdict, cell-0 (the engine's argmin over
+  -- all-NULL centroid scores)
+  SELECT 'sem', vec_id, CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)
+  FROM embeddings
+  WHERE vec_id IS NOT NULL
+    AND (embedding IS NULL
+         OR len(list_filter(embedding, x -> x IS NULL)) > 0
+         OR len(list_filter(embedding,
+                x -> isnan(CAST(x AS DOUBLE)))) > 0)
   UNION ALL
   -- the Spark side unions five DEGENERATE vectors (negative ids:
   -- NULL / all-zero / NaN-component) into the lsh arm's input; their
@@ -4789,7 +4821,19 @@ def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 5,
     return f"""
   WITH e AS (SELECT vec_id,
                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             FROM embeddings),
+             -- degenerate vectors excluded like the engine
+             -- (similarity.py _searchable: NULL and NULL-element
+             -- source-excluded). ZERO vectors stay: the engine trains
+             -- and cell-assigns them but their cosine is NULL and
+             -- never emitted — DuckDB's list_cosine_similarity scores
+             -- a zero vector -1.0, below every threshold, so the
+             -- mirrors agree wherever each query has >= k real
+             -- candidates (true of the corpus and the harness)
+             FROM embeddings
+             WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+               AND len(list_filter(embedding, x -> x IS NULL)) = 0
+               AND len(list_filter(embedding,
+                       x -> isnan(CAST(x AS DOUBLE)))) = 0),
   bucketed AS (SELECT vec_id, v, {planes} AS bucket FROM e),
   proj AS (
     SELECT 'proj' AS kind, e.vec_id AS query_id, o.o AS neighbor_id,
@@ -4903,7 +4947,19 @@ def _ann_ivf_sql(n_cells: int = 8, nprobe: int = 2, dim: int = 64,
     return f"""
   WITH e AS (SELECT vec_id,
                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-             FROM embeddings),
+             -- degenerate vectors excluded like the engine
+             -- (similarity.py _searchable: NULL and NULL-element
+             -- source-excluded). ZERO vectors stay: the engine trains
+             -- and cell-assigns them but their cosine is NULL and
+             -- never emitted — DuckDB's list_cosine_similarity scores
+             -- a zero vector -1.0, below every threshold, so the
+             -- mirrors agree wherever each query has >= k real
+             -- candidates (true of the corpus and the harness)
+             FROM embeddings
+             WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+               AND len(list_filter(embedding, x -> x IS NULL)) = 0
+               AND len(list_filter(embedding,
+                       x -> isnan(CAST(x AS DOUBLE)))) = 0),
   cents0 AS (
     SELECT c.c AS c,
            list_transform(generate_series(0, {dim - 1}),

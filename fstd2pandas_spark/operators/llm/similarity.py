@@ -78,7 +78,7 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
     emitted k arbitrary neighbors with NULL cos per NULL query);
     zero-norm/NaN candidates score NULL (see :func:`cosine_col`) and
     rank after every real neighbor."""
-    emb = ensure_min_partitions(emb).filter(F.col(vec_col).isNotNull())
+    emb = ensure_min_partitions(emb).filter(_searchable(vec_col))
     if query_ids is None:
         queries = emb.filter(F.col(id_col) < n_queries)
     else:
@@ -142,7 +142,7 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.4,
     """
     from fstd2pandas_spark.operators.llm.dedup import require_group_within
 
-    emb = ensure_min_partitions(emb).filter(F.col(vec_col).isNotNull())
+    emb = ensure_min_partitions(emb).filter(_searchable(vec_col))
     if n_planes > 0:
         bucketed = emb.select(
             F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
@@ -209,6 +209,21 @@ def ivf_cell_col(vec: Column, n_cells: int, dim: int,
             best_c = F.when(cond, F.lit(c)).otherwise(best_c)
             best_s = F.when(cond, s).otherwise(best_s)
     return best_c
+
+
+def _searchable(vec_col: str) -> Column:
+    """Vectors the search/dedup plane can position in the space:
+    non-NULL AND with no NULL component. A vector carrying a NULL
+    element has no defined inner product with ANYTHING — left in, it
+    NULL-scored out of the cosine paths but still flowed through the
+    signature/bucket arms (an exact-dup hash over a half-unknown
+    vector pairs two documents whose similarity is unverifiable — the
+    NULL-verdict rule says refuse to certify). NaN components keep
+    their NULL-scored path and zero norms their NULL cosine; this is
+    the SOURCE rule, one definition for every entry point (round 15;
+    the oracle mirrors exclude the same shapes)."""
+    return (F.col(vec_col).isNotNull()
+            & ~F.exists(F.col(vec_col), lambda x: x.isNull()))
 
 
 def _trainable(vec_col: str, dim: int) -> Column:
@@ -293,7 +308,7 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
     :func:`cosine_topk` contract — unguarded they all crowd cell 0
     with NULL scores); zero-norm/NaN vectors score NULL and rank last.
     """
-    emb = ensure_min_partitions(emb).filter(F.col(vec_col).isNotNull())
+    emb = ensure_min_partitions(emb).filter(_searchable(vec_col))
     weights = (lloyd_refine(emb, n_cells, dim, vec_col, iters=refine)
                if refine else None)
     cand = emb.select(
@@ -376,7 +391,7 @@ def lsh_ann_topk(emb: DataFrame, k: int = 5, n_planes: int = 4,
     and can neither query nor answer — the :func:`cosine_topk`
     contract); zero-norm/NaN vectors score NULL and rank last.
     """
-    emb = ensure_min_partitions(emb).filter(F.col(vec_col).isNotNull())
+    emb = ensure_min_partitions(emb).filter(_searchable(vec_col))
     bucketed = emb.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), n_planes, dim))
     q = bucketed.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_bucket"
@@ -684,7 +699,7 @@ def pq_adc_topk(emb: DataFrame, k: int = 5, m: int = 8, ksub: int = 16,
     NULL adc (``nanvl``) and ranks last instead of hijacking rank 1
     (Spark orders NaN above every real double)."""
     d_sub = dim // m
-    emb = emb.filter(F.col(vec_col).isNotNull())
+    emb = emb.filter(_searchable(vec_col))
     if codebook is None and train_iters > 0:
         codebook = pq_train(emb, m, ksub, dim, vec_col, id_col,
                             iters=train_iters)
@@ -731,7 +746,7 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
 
     NULL-embedding rows are excluded and NaN asymmetric distances
     score NULL and rank last — the :func:`pq_adc_topk` contract."""
-    emb = ensure_min_partitions(emb).filter(F.col(vec_col).isNotNull())
+    emb = ensure_min_partitions(emb).filter(_searchable(vec_col))
     weights = (lloyd_refine(emb, n_cells, dim, vec_col, iters=refine)
                if refine else None)
     if codebook is None and train_iters > 0:
