@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fstd2pandas_spark.operators.llm.text import tokens_col
+from fstd2pandas_spark.operators.llm.text import size_col, tokens_col
 from fstd2pandas_spark.plans.partitioning import ensure_min_partitions
 
 #: stupid-backoff discount (Brants et al. 2007 use 0.4)
@@ -71,10 +71,10 @@ def _bigram_rows(df: DataFrame, text_col: str, *extra: str) -> DataFrame:
     with doubled spaces yields no phantom '' context).
     """
     toks = F.filter(tokens_col(F.col(text_col)), lambda t: t != "")
-    pairs = F.when(F.size(toks) < 2, F.array().cast(
+    pairs = F.when(size_col(toks) < 2, F.array().cast(
         "array<struct<w1:string,w2:string>>")).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
+            F.sequence(F.lit(1), size_col(toks) - 1),
             lambda i: F.struct(F.element_at(toks, i).alias("w1"),
                                F.element_at(toks, i + 1).alias("w2")),
         ))

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from fstd2pandas_spark.operators.llm.text import tokens_col
+from fstd2pandas_spark.operators.llm.text import size_col, tokens_col
 from fstd2pandas_spark.plans.partitioning import ensure_min_partitions
 
 #: Okapi defaults
@@ -61,11 +61,11 @@ def doc_postings(df: DataFrame, text_col: str = "text",
         F.array_distinct(toks),
         lambda t: F.struct(
             t.alias("term"),
-            F.size(F.filter(toks, lambda x: x == t)).alias("tf")),
+            size_col(F.filter(toks, lambda x: x == t)).alias("tf")),
     )
     return (
         ensure_min_partitions(df)
-        .select(id_col, F.size(toks).alias("dl"),
+        .select(id_col, size_col(toks).alias("dl"),
                 F.explode(entries).alias("e"))
         .select(id_col, F.col("e.term").alias("term"),
                 F.col("e.tf").alias("tf"), "dl")
@@ -99,7 +99,7 @@ def bm25_scores(df: DataFrame, queries: "dict[int, str]",
     # every real document (the lloyd_refine dilution class)
     stats = df.select(
         F.count(text_col).alias("n_docs"),
-        F.sum(F.size(F.filter(tokens_col(F.col(text_col)),
+        F.sum(size_col(F.filter(tokens_col(F.col(text_col)),
                               lambda t: t != ""))).alias("total_dl"),
     )
     qt = _query_terms(df.sparkSession, queries)

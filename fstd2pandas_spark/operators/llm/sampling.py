@@ -342,7 +342,8 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
     # NULL text must not silently DELETE the row (explode(NULL) drops
     # it); treat as empty -> one empty chunk, keeping the op 1:1-safe
     tk = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
-    n = F.size(tk)
+    from fstd2pandas_spark.operators.llm.text import size_col
+    n = size_col(tk)
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
         F.lit(1) + F.ceil((n - chunk_tokens) / F.lit(stride)).cast("int"))
     chunks = F.transform(

@@ -27,6 +27,19 @@ BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 MOD_PRIME = 1_000_000_007
 
 
+def size_col(c: Column) -> Column:
+    """``F.size`` with a CONFIG-INDEPENDENT NULL contract: under
+    non-ANSI Spark, legacy ``sizeOfNull`` makes ``size(NULL)`` return
+    -1 instead of NULL — a NULL-text doc then scored n_tokens = -1,
+    quality -0.904, and the -1s poisoned every downstream running sum
+    (the token packer's pack_offset shifted for EVERY later document).
+    No legitimate array has size -1, so ``nullif(size, -1)`` restores
+    the NULL-metric contract on every config and is a no-op under
+    ANSI (round-15 find, surfaced by the mirror harness running after
+    a test left the session non-ANSI)."""
+    return F.nullif(F.size(c), F.lit(-1))
+
+
 def tokens_col(text: Column) -> Column:
     """Whitespace tokens of lowercased text."""
     return F.split(F.lower(text), " ")
@@ -34,7 +47,7 @@ def tokens_col(text: Column) -> Column:
 
 def shingles_col(tokens: Column, k: int = 3) -> Column:
     """Word k-shingles (space-joined); empty array when < k tokens."""
-    n = F.size(tokens)
+    n = size_col(tokens)
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), n - k),
@@ -60,7 +73,7 @@ def language_id(df: DataFrame, text_col: str = "text",
     df = ensure_min_partitions(df)
     toks = tokens_col(F.col(text_col))
     scores = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        lang: size_col(F.filter(toks, lambda t: t.isin(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
     # ascending-name iteration + strictly-greater replacement = argmax with
@@ -85,15 +98,15 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
               + 0.3*min(stop_ratio*5, 1)     (rounded to 6 dp)
     """
     toks = tokens_col(F.col(text_col))
-    n_tok = F.size(toks)
+    n_tok = size_col(toks)
     n_chars = F.length(F.col(text_col))
     mean_len = F.round(
         F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) /
         F.greatest(n_tok, F.lit(1)), 6)
-    n_punct = F.size(F.filter(F.split(F.col(text_col), ""),
+    n_punct = size_col(F.filter(F.split(F.col(text_col), ""),
                               lambda c: c.isin(".", ",", "!", "?", ";", ":")))
     punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    n_stop = size_col(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
     stop_ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6)
     # composite in DECIMAL: the rounded 6-dp ratios cast exactly, every
     # product/sum is exact rational, and the final 6-dp round has
@@ -123,7 +136,7 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count."""
     df = ensure_min_partitions(df)
     return (
-        df.withColumn("ws_tokens", F.size(tokens_col(F.col(text_col))))
+        df.withColumn("ws_tokens", size_col(tokens_col(F.col(text_col))))
         .withColumn("bpe_tokens", F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)))
     )
 
@@ -166,11 +179,11 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     """
     df = ensure_min_partitions(df)
     toks = tokens_col(F.col(text_col))
-    n_tok = F.size(toks)
-    n_dist = F.size(F.array_distinct(toks))
+    n_tok = size_col(toks)
+    n_dist = size_col(F.array_distinct(toks))
     lines = F.split(F.col(text_col), "\n")
-    n_lines = F.size(lines)
-    n_dlines = F.size(F.array_distinct(lines))
+    n_lines = size_col(lines)
+    n_dlines = size_col(F.array_distinct(lines))
 
     # NULL-text contract (both methods): every metric is NULL — a doc
     # whose text is unknown must not look like an empty-but-clean one

@@ -599,12 +599,17 @@ def test_funnel_within_ansi_mode(spark):
         (2, "2024-01-01T10:30", 1, "click"),
         (3, "2024-01-01T09:00", 2, "click"),     # never matches step 1
     ), _EV_SCHEMA)
+    # restore the PRIOR value, not a hardcoded 'false': leaving the
+    # session non-ANSI silently changed the semantics of every test
+    # that ran after this one (round-15 find — the only order-dependent
+    # failure in the suite)
+    ansi0 = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         out = {r.user: r.depth for r in
                funnel_steps(df, ["view", "click"], within=3600).collect()}
     finally:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.ansi.enabled", ansi0)
     assert out == {1: 2, 2: 0}
 
 
