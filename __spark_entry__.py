@@ -2029,16 +2029,15 @@ _Q_UNIT_SQL = f"""
 """
 
 
-def q_fst_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G10 apply-mask semantics: zip_with NULLing where mask == 0.
-    The mask here derives from the data itself (qty > 25) so both engines
-    construct identical pairs."""
-    rec = records_from_lineitem(spark, sf_dir)
-    # mask -> zip_with-NULL -> sentinel fuses to ONE array walk (the
-    # mask is derived from the data, so "m == 1" is just "v > 25"); a
-    # second walk counts the masked cells. The library operator
-    # (operators/mask.py apply_mask) keeps the general zip_with form —
-    # there the mask is a SEPARATE record.
+def _mask_zipwith_rows(rec: DataFrame) -> DataFrame:
+    """G10 zip_with SEMANTICS rows, shared by the bench-only q_fst_mask
+    and fst_mask_apply's 'ZW' arm: sentinel fill where mask == 0 (the
+    mask derives from the data itself, qty > 25, so both engines
+    construct identical pairs) plus the masked-cell count. mask ->
+    zip_with-NULL -> sentinel fuses to ONE array walk; a second walk
+    counts the masked cells. The library operator (operators/mask.py
+    apply_mask) keeps the general zip_with form — there the mask is a
+    SEPARATE record (covered by the same gate's operator arms)."""
     sent = F.transform("d", lambda x: F.when(x > 25.0, x)
                        .otherwise(F.lit(-999.0).cast("float")))
     return (
@@ -2048,22 +2047,20 @@ def q_fst_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(sent).alias("pos", "val"),
         )
         .withColumn("val", F.round(F.col("val").cast("double"), 4))
-        .orderBy("key", "pos")
     )
 
 
-_Q_MASK_SQL = f"""
-  WITH rec AS ({_RECORDS_SQL}),
-  m AS (
-    SELECT key,
-           list_transform(d, v -> CASE WHEN v > 25.0 THEN v ELSE CAST(-999.0 AS FLOAT) END) AS d_masked,
-           len(list_filter(d, v -> v <= 25.0)) AS n_masked
-    FROM rec)
-  SELECT key, n_masked, s.i - 1 AS pos,
-         round(CAST(d_masked[s.i] AS DOUBLE), 4) AS val
-  FROM m, UNNEST(generate_series(1, len(d_masked))) s(i)
-  ORDER BY key, pos
-"""
+def q_fst_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 apply-mask semantics: zip_with NULLing where mask == 0.
+    BENCH-ONLY since round 16: the driver gate is fst_mask_apply, whose
+    'ZW' arm carries these exact rows under the driver's value hash
+    (the driver checks only the first 50 declared queries, so the two
+    semantics gates were folded into their operator gates to bring the
+    source/sink roundtrips back inside the window — VERDICT r15 #1).
+    Kept as a standalone function so bench.py's per-query cross-round
+    comparator keeps timing the same plan."""
+    rec = records_from_lineitem(spark, sf_dir)
+    return _mask_zipwith_rows(rec).orderBy("key", "pos")
 
 
 def q_fst_mask_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2079,7 +2076,13 @@ def q_fst_mask_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     not-masked row (key = -41) passes through — the old bare ~isin
     dropped it and comes up one row short. ig1 carries the key so
     every pairing group is unique (the modulo construction would
-    otherwise collide groups and trip the 2-rows-per-group guard)."""
+    otherwise collide groups and trip the 2-rows-per-group guard).
+
+    Since round 16 this gate also carries the former fst_mask gate's
+    zip_with-semantics rows as a third arm (typvar 'ZW', with its
+    n_masked count column): the driver checks only the first 50
+    declared queries, and folding the semantics gate here freed a slot
+    for the source/sink roundtrip gates (VERDICT r15 #1)."""
     from fstd2pandas_spark.operators.mask import apply_mask
 
     rec = records_from_lineitem(spark, sf_dir)
@@ -2110,11 +2113,14 @@ def q_fst_mask_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     inp = vars_.unionByName(masks).unionByName(
         probe, allowMissingColumns=True)
     out = apply_mask(inp)
-    return (out.select("key", "typvar",
-                       F.posexplode("d").alias("pos", "v"))
-            .select("key", "typvar", "pos",
-                    F.round(F.col("v").cast("double"), 4).alias("val"))
-            .orderBy("key", "typvar", "pos"))
+    op_rows = (out.select("key", "typvar",
+                          F.posexplode("d").alias("pos", "v"))
+               .select("key", "typvar", "pos",
+                       F.round(F.col("v").cast("double"), 4).alias("val"),
+                       F.lit(None).cast("int").alias("n_masked")))
+    zw = _mask_zipwith_rows(rec).select(
+        "key", F.lit("ZW").alias("typvar"), "pos", "val", "n_masked")
+    return op_rows.unionByName(zw).orderBy("key", "typvar", "pos")
 
 
 _Q_MASK_APPLY_SQL = f"""
@@ -2123,13 +2129,22 @@ _Q_MASK_APPLY_SQL = f"""
     SELECT key, s.i - 1 AS pos, CAST(d[s.i] AS DOUBLE) AS v,
            CASE WHEN key % 3 = 0 AND s.i = 1 THEN 2.0
                 WHEN d[s.i] > 25.0 THEN 1.0 ELSE 0.0 END AS m
+    FROM rec, UNNEST(generate_series(1, len(d))) s(i)),
+  zw AS (
+    SELECT key, s.i - 1 AS pos,
+           round(CAST(CASE WHEN d[s.i] > 25.0 THEN d[s.i]
+                           ELSE CAST(-999.0 AS FLOAT) END AS DOUBLE), 4) AS val,
+           len(list_filter(d, v -> v <= 25.0)) AS n_masked
     FROM rec, UNNEST(generate_series(1, len(d))) s(i))
   SELECT * FROM (
     SELECT key, 'P@' AS typvar, pos,
-           round(CASE WHEN m <> 0 THEN v END, 4) AS val
+           round(CASE WHEN m <> 0 THEN v END, 4) AS val,
+           CAST(NULL AS INT) AS n_masked
     FROM cells
     UNION ALL   -- the NULL-nomvar pass-through probe
-    SELECT CAST(-41 AS BIGINT), 'X', 0, 7.0
+    SELECT CAST(-41 AS BIGINT), 'X', 0, 7.0, CAST(NULL AS INT)
+    UNION ALL   -- the folded fst_mask zip_with-semantics arm
+    SELECT key, 'ZW', pos, val, n_masked FROM zw
   ) ORDER BY key, typvar, pos
 """
 
@@ -2144,7 +2159,14 @@ def q_fst_recover_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the var's NULL pattern (v > 25) and keeps datyp 5/nbits 32:
     the old code dropped the real mask row and synthesized a
     replacement from the var's NULLs — here that hash-mismatches on
-    both the 25<v<=30 cells and the (datyp, nbits) columns."""
+    both the 25<v<=30 cells and the (datyp, nbits) columns.
+
+    Since round 16 this gate also carries the former fst_recover_mask
+    gate's split-semantics rows as two extra arms (typvar 'ZD' for the
+    masked->0 data array, 'ZM' for the 0/1 synthesized mask, both with
+    NULL datyp/nbits): the driver checks only the first 50 declared
+    queries, and folding the semantics gate here freed a slot for the
+    source/sink roundtrip gates (VERDICT r15 #1)."""
     from fstd2pandas_spark.operators.mask import recover_mask
 
     rec = records_from_lineitem(spark, sf_dir)
@@ -2165,11 +2187,24 @@ def q_fst_recover_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "d", lambda x: F.when(x > 30.0, F.lit(1.0))
                     .otherwise(F.lit(0.0)).cast("float"))))
     out = recover_mask(vars_.unionByName(pt_masks))
-    return (out.select("key", "typvar", "datyp", "nbits",
-                       F.posexplode("d").alias("pos", "v"))
-            .select("key", "typvar", "datyp", "nbits", "pos",
-                    F.round(F.col("v").cast("double"), 4).alias("val"))
-            .orderBy("key", "typvar", "pos"))
+    op_rows = (out.select("key", "typvar", "datyp", "nbits",
+                          F.posexplode("d").alias("pos", "v"))
+               .select("key", "typvar", "datyp", "nbits", "pos",
+                       F.round(F.col("v").cast("double"), 4).alias("val")))
+    cells = rec.select("key", F.posexplode("d").alias("pos", "v"))
+    nd = F.lit(None).cast("int")
+    sem = cells.select(
+        "key", F.lit("ZD").alias("typvar"),
+        nd.alias("datyp"), nd.alias("nbits"), "pos",
+        F.round(F.when(F.col("v") > 25.0, F.col("v"))
+                .otherwise(F.lit(0.0)).cast("double"), 4).alias("val"),
+    ).unionByName(cells.select(
+        "key", F.lit("ZM").alias("typvar"),
+        nd.alias("datyp"), nd.alias("nbits"), "pos",
+        F.when(F.col("v") > 25.0, F.lit(1.0))
+         .otherwise(F.lit(0.0)).alias("val"),
+    ))
+    return op_rows.unionByName(sem).orderBy("key", "typvar", "pos")
 
 
 _Q_RECOVER_APPLY_SQL = f"""
@@ -2195,6 +2230,16 @@ _Q_RECOVER_APPLY_SQL = f"""
     SELECT key, '@@', 5, 32, pos,
            CASE WHEN v > 30.0 THEN 1.0 ELSE 0.0 END
     FROM cells WHERE key % 3 = 0
+    UNION ALL
+    -- folded fst_recover_mask semantics: data arm (masked -> 0)
+    SELECT key, 'ZD', CAST(NULL AS INT), CAST(NULL AS INT), pos,
+           round(CASE WHEN v > 25.0 THEN v ELSE 0.0 END, 4)
+    FROM cells
+    UNION ALL
+    -- folded fst_recover_mask semantics: synthesized 0/1 mask arm
+    SELECT key, 'ZM', CAST(NULL AS INT), CAST(NULL AS INT), pos,
+           CASE WHEN v > 25.0 THEN 1.0 ELSE 0.0 END
+    FROM cells
   ) ORDER BY key, typvar, pos
 """
 
@@ -2584,20 +2629,14 @@ _G9_SPECS = [
 _G9_DATA = [(95221840, 9182), (27762976, 7364)]
 
 
-def q_fst_vctype(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3/G8 vertical-coordinate classification
-    (reference std_vgrid.py:574-646): per-grid meta flags -> vcode pick ->
-    8-key broadcast join against the VCTYPES rule table. Extended with G9
-    ``toctoc_from_vgrid`` (reference std_vgrid.py:749-791): real ``!!``
-    records built from (kind, version, vtbl) descriptors are unioned into
-    the table so their ig1/grid drive the classification of synthetic data
-    rows on the same grids, and their flattened (ip1,A,B) payload is
-    emitted as a construction-check ledger (negative keys)."""
+def _vctype_gate(spark: SparkSession, rec: DataFrame) -> DataFrame:
+    """The fst_vctype gate pipeline over an arbitrary records table —
+    split out in round 16 so the dirty-corpus mirror harness
+    (tests/test_oracle_mirror_robustness.py) can run the identical
+    pipeline on random record tables."""
     from fstd2pandas_spark.operators.vgrid import (
         set_vertical_coordinate_type, toctoc_from_vgrid)
     from fstd2pandas_spark.schema import empty_record_table
-
-    rec = meta_records_from_lineitem(spark, sf_dir)
 
     def _as_rec(df, key_col):
         return df.select(
@@ -2637,6 +2676,18 @@ def q_fst_vctype(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(chk).orderBy("key", "nomvar")
 
 
+def q_fst_vctype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/G8 vertical-coordinate classification
+    (reference std_vgrid.py:574-646): per-grid meta flags -> vcode pick ->
+    8-key broadcast join against the VCTYPES rule table. Extended with G9
+    ``toctoc_from_vgrid`` (reference std_vgrid.py:749-791): real ``!!``
+    records built from (kind, version, vtbl) descriptors are unioned into
+    the table so their ig1/grid drive the classification of synthetic data
+    rows on the same grids, and their flattened (ip1,A,B) payload is
+    emitted as a construction-check ledger (negative keys)."""
+    return _vctype_gate(spark, meta_records_from_lineitem(spark, sf_dir))
+
+
 def _g9_expected_sql() -> str:
     """Expected rows for the G9 extension: the construction ledger (flat
     row-major (ip1,A,B) payload at key -(ig1*100+pos)) plus the
@@ -2655,8 +2706,12 @@ def _g9_expected_sql() -> str:
     return ", ".join(rows)
 
 
-_Q_VCTYPE_SQL = f"""
-  WITH rec AS ({_META_RECORDS_SQL}),
+def _vctype_oracle_sql(records_sql: str) -> str:
+    """_Q_VCTYPE_SQL parameterized by the records relation — the
+    round-16 dirty-corpus mirror harness swaps in a random record
+    table."""
+    return f"""
+  WITH rec AS ({records_sql}),
   meta AS (SELECT * FROM rec WHERE nomvar IN ({_META_LIST_SQL})),
   data AS (SELECT *, ({_DECODE_KIND_SQL.format(ip='ip1')}) AS ip1_kind
            FROM rec WHERE nomvar NOT IN ({_META_LIST_SQL})),
@@ -2705,18 +2760,16 @@ _Q_VCTYPE_SQL = f"""
 """
 
 
-def q_fst_grid_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 3-tier fallback grid-meta association (reference
-    dataframe_utils.py:335-392, our operators/metadata.py
-    _grid_deformation_fields): match each data row to an axis ('>>')
-    record very-strictly on (grid,dateo,deet,npas), then (grid,dateo),
-    then (grid); tier records which level matched. Each tier is a
-    broadcast join of a tiny aggregated axis table."""
+_Q_VCTYPE_SQL = _vctype_oracle_sql(_META_RECORDS_SQL)
+
+
+def _grid_assoc_gate(spark: SparkSession, rec: DataFrame) -> DataFrame:
+    """The fst_grid_assoc gate pipeline over an arbitrary records
+    table — split out in round 16 for the dirty-corpus mirror
+    harness."""
     from fstd2pandas_spark.operators.grid import (
         df_from_grid, grid_metadata_for)
     from fstd2pandas_spark.schema import empty_record_table
-
-    rec = meta_records_from_lineitem(spark, sf_dir)
 
     def _as_rec(df, key_col):
         return df.select(
@@ -2773,8 +2826,22 @@ def q_fst_grid_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(rescan).orderBy("key", "tier")
 
 
-_Q_GRID_ASSOC_SQL = f"""
-  WITH rec AS ({_META_RECORDS_SQL}),
+def q_fst_grid_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 3-tier fallback grid-meta association (reference
+    dataframe_utils.py:335-392, our operators/metadata.py
+    _grid_deformation_fields): match each data row to an axis ('>>')
+    record very-strictly on (grid,dateo,deet,npas), then (grid,dateo),
+    then (grid); tier records which level matched. Each tier is a
+    broadcast join of a tiny aggregated axis table."""
+    return _grid_assoc_gate(spark, meta_records_from_lineitem(spark, sf_dir))
+
+
+def _grid_assoc_oracle_sql(records_sql: str) -> str:
+    """_Q_GRID_ASSOC_SQL parameterized by the records relation — the
+    round-16 dirty-corpus mirror harness swaps in a random record
+    table."""
+    return f"""
+  WITH rec AS ({records_sql}),
   axes AS (SELECT grid, dateo, deet, npas, key FROM rec WHERE nomvar = '>>'
            UNION ALL
            SELECT 7788, CAST(0 AS BIGINT), 0, 0, CAST(-11 AS BIGINT)),
@@ -2810,6 +2877,9 @@ _Q_GRID_ASSOC_SQL = f"""
                  WHERE key % 97 = 0 OR key < 0)
   ORDER BY key, tier
 """
+
+
+_Q_GRID_ASSOC_SQL = _grid_assoc_oracle_sql(_META_RECORDS_SQL)
 
 
 def q_fst_select_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3033,13 +3103,20 @@ def q_fst_metadata_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct row short here. Output ordering is NULLS LAST explicitly:
     nomvar is now nullable and Spark defaults NULLS FIRST where DuckDB
     defaults NULLS LAST."""
-    from fstd2pandas_spark.operators.metadata import metadata_cleanup
-    from fstd2pandas_spark.schema import META_NOMVARS
-
     # metadata_cleanup references its input once per descriptor family;
     # checkpoint the synthetic construction so those references scan
     # materialized blocks instead of re-expanding the lineage
     rec0 = _full_records(spark, sf_dir).localCheckpoint(eager=True)
+    return _meta_cleanup_gate(spark, rec0)
+
+
+def _meta_cleanup_gate(spark: SparkSession, rec0: DataFrame) -> DataFrame:
+    """The fst_metadata_cleanup gate pipeline over an arbitrary
+    full-schema records table — split out in round 16 for the
+    dirty-corpus mirror harness."""
+    from fstd2pandas_spark.operators.metadata import metadata_cleanup
+    from fstd2pandas_spark.schema import META_NOMVARS
+
     probe = (rec0.filter(~F.col("nomvar").isin(META_NOMVARS))
              .orderBy("key").limit(1)
              .withColumn("nomvar", F.lit(None).cast("string"))
@@ -3050,8 +3127,12 @@ def q_fst_metadata_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(*[F.col(c).asc_nulls_last() for c in cols]))
 
 
-_Q_META_CLEANUP_SQL = f"""
-  WITH rec1 AS ({_FULL_RECORDS_SQL}),
+def _meta_cleanup_oracle_sql(records_sql: str) -> str:
+    """_Q_META_CLEANUP_SQL parameterized by the records relation — the
+    round-16 dirty-corpus mirror harness swaps in a random record
+    table."""
+    return f"""
+  WITH rec1 AS ({records_sql}),
   prb AS (SELECT * FROM rec1 WHERE nomvar NOT IN ({_META_LIST_SQL})
           ORDER BY key LIMIT 1),
   rec AS (SELECT * FROM rec1
@@ -3111,35 +3192,7 @@ _Q_META_CLEANUP_SQL = f"""
 """
 
 
-def q_fst_recover_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G11 recover-mask (reference recover_mask.py:16-100,
-    operators/mask.py recover_mask): split a null-masked array into a
-    data array (masked -> 0) and a 0/1 uint mask array."""
-    rec = records_from_lineitem(spark, sf_dir)
-    # posexplode d once; derive both outputs per scalar cell (driver
-    # canonicalizer contract — no array columns in results).
-    cells = rec.select("key", F.posexplode("d").alias("pos", "v"))
-    return (
-        cells.select(
-            "key", "pos",
-            F.round(
-                F.when(F.col("v") > 25.0, F.col("v"))
-                .otherwise(F.lit(0.0)).cast("double"), 4).alias("d_data"),
-            F.when(F.col("v") > 25.0, 1).otherwise(0).alias("d_mask"),
-        )
-        .orderBy("key", "pos")
-    )
-
-
-_Q_RECOVER_MASK_SQL = f"""
-  WITH rec AS ({_RECORDS_SQL})
-  SELECT key, s.i - 1 AS pos,
-         round(CAST(CASE WHEN d[s.i] > 25.0 THEN d[s.i]
-                         ELSE CAST(0.0 AS FLOAT) END AS DOUBLE), 4) AS d_data,
-         CASE WHEN d[s.i] > 25.0 THEN 1 ELSE 0 END AS d_mask
-  FROM rec, UNNEST(generate_series(1, len(d))) s(i)
-  ORDER BY key, pos
-"""
+_Q_META_CLEANUP_SQL = _meta_cleanup_oracle_sql(_FULL_RECORDS_SQL)
 
 
 
@@ -7394,7 +7447,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fst_meta_parse": q_fst_meta_parse,
         "fst_stats": q_fst_stats,
         "fst_unit_convert": q_fst_unit_convert,
-        "fst_mask": q_fst_mask,
         "fst_mask_apply": q_fst_mask_apply,
         "fst_recover_apply": q_fst_recover_apply,
         "fst_pressure_eta": q_fst_pressure_eta,
@@ -7406,7 +7458,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fst_grid_assoc": q_fst_grid_assoc,
         "fst_select_meta": q_fst_select_meta,
         "fst_interval": q_fst_interval,
-        "fst_recover_mask": q_fst_recover_mask,
         "fst_metadata_cleanup": q_fst_metadata_cleanup,
         "fst_encode_ip": q_fst_encode_ip,
         "fst_voir": q_fst_voir,
@@ -7451,7 +7502,6 @@ def oracle_sql() -> dict[str, str]:
         "fst_meta_parse": _Q_META_PARSE_SQL,
         "fst_stats": _Q_STATS_SQL,
         "fst_unit_convert": _Q_UNIT_SQL,
-        "fst_mask": _Q_MASK_SQL,
         "fst_mask_apply": _Q_MASK_APPLY_SQL,
         "fst_recover_apply": _Q_RECOVER_APPLY_SQL,
         "fst_pressure_eta": _Q_PRESSURE_SQL,
@@ -7463,7 +7513,6 @@ def oracle_sql() -> dict[str, str]:
         "fst_grid_assoc": _Q_GRID_ASSOC_SQL,
         "fst_select_meta": _Q_SELECT_META_SQL,
         "fst_interval": _Q_INTERVAL_SQL,
-        "fst_recover_mask": _Q_RECOVER_MASK_SQL,
         "fst_metadata_cleanup": _Q_META_CLEANUP_SQL,
         "fst_encode_ip": _Q_ENCODE_IP_SQL,
         "fst_voir": _Q_VOIR_SQL,

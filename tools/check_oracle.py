@@ -87,6 +87,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                     f"column {c!r} contains array cells — the driver "
                     "canonicalizer rejects these; posexplode to scalars"
                 )
+            # Canonicalize the null representation: Spark toPandas
+            # yields None, DuckDB .df() yields NaN in object columns.
+            # pandas' assert_frame_equal currently treats them as equal
+            # but warns this will FLIP in a future version — pin one
+            # sentinel now so the comparison is pandas-version-proof.
+            s = s.copy()
+            s[s.isna()] = None
+            df[c] = s
         elif pd.api.types.is_float_dtype(s):
             df[c] = np.round(s.astype(float), 9)
         elif pd.api.types.is_integer_dtype(s):

@@ -124,7 +124,10 @@ def main() -> None:
 
     spark = get_spark("dump-plans", master="local[8]",
                       shuffle_partitions=8)
-    qs = e.queries()
+    qs = dict(e.queries())
+    # fst_mask is bench-only since round 16 (folded into fst_mask_apply
+    # for the driver's 50-entry window); keep auditing its plan.
+    qs["fst_mask"] = e.q_fst_mask
     out = ["# PLANS — formatted physical plans of the bench headline "
            "queries", "",
            f"Generated by tools/dump_plans.py over {sf_dir}. Regenerate "
