@@ -2713,8 +2713,13 @@ def _vctype_oracle_sql(records_sql: str) -> str:
     return f"""
   WITH rec AS ({records_sql}),
   meta AS (SELECT * FROM rec WHERE nomvar IN ({_META_LIST_SQL})),
+  -- NULL nomvar is a DATA row (the F7 pandas ~isin rule the engine's
+  -- set_vertical_coordinate_type applies); bare NOT IN drops it from
+  -- BOTH halves — a corpus-masked gap the round-16 dirty harness found
+  -- (the fixed corpus never produces a NULL nomvar)
   data AS (SELECT *, ({_DECODE_KIND_SQL.format(ip='ip1')}) AS ip1_kind
-           FROM rec WHERE nomvar NOT IN ({_META_LIST_SQL})),
+           FROM rec WHERE nomvar NOT IN ({_META_LIST_SQL})
+              OR nomvar IS NULL),
   flags AS (
     SELECT grid,
            max(CASE WHEN nomvar = '!!' THEN 1 ELSE 0 END) = 1 AS toctoc,

@@ -158,3 +158,142 @@ def test_emb_gates_match_their_oracles_on_random_corpus(
     assert len(a) == len(b), (len(a), len(b))
     pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                   rtol=1e-6, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# round 16: the FST multi-join mirrors (fst_vctype, fst_grid_assoc,
+# fst_metadata_cleanup) — the most complex oracle SQL in the entry —
+# on RANDOM DIRTY record tables: NULL nomvar/typvar/etiket, duplicate
+# meta rows, orphan grids (meta-only grid 100, data-only grid 101),
+# multiple HY rows, randomly missing P0/PT. The gate bodies and their
+# oracle SQL are parameterized by the records relation
+# (__spark_entry__._vctype_gate/_vctype_oracle_sql etc.), so the
+# harness runs the IDENTICAL pipelines on the swapped-in corpus.
+
+_META_VARS = ["!!", "P0", "PT", "HY", ">>", "^^", "^>", "!!SF"]
+_DATA_VARS = ["TT", "UU", "HU", "GZ"]
+#: decoded kinds: 0 (old>12000), 1 (old 2000..12000 / new k1),
+#: 2 (old <2000 / new k2), 5 (new hybrid)
+_IP1S = [0, 500, 850, 1195, 12000, 32000,
+         95221840, 27762976, 41819464, 75597472]
+_VCODES = [0, 1001, 1002, 2001, 5001, 5005, 21001]
+
+#: the 12-column meta-records schema the vctype/grid_assoc gates take
+_REC12 = ["key", "nomvar", "etiket", "ip1", "dateo", "deet", "npas",
+          "ni", "nj", "d", "grid", "ig1"]
+
+_REC_CASTS = {
+    "key": "bigint", "nomvar": "string", "etiket": "string",
+    "ip1": "int", "dateo": "bigint", "deet": "int", "npas": "int",
+    "ni": "int", "nj": "int", "d": "array<float>", "grid": "int",
+    "ig1": "int", "typvar": "string", "nk": "int", "ip2": "int",
+    "ip3": "int", "ig2": "int", "ig3": "int", "ig4": "int",
+    "nbits": "int", "datyp": "int", "grtyp": "string",
+    "datev": "bigint",
+}
+
+
+def _dirty_fst_records(seed: int, n: int = 300) -> pd.DataFrame:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.05:
+            nomvar = None          # NULL nomvar: a DATA row per F7
+        elif r < 0.45:
+            nomvar = rng.choice(_META_VARS)   # heavy meta share
+        else:
+            nomvar = rng.choice(_DATA_VARS)
+        if rng.random() < 0.08:
+            # orphan grids: 100 carries ONLY descriptors, 101 ONLY data
+            grid = 100 if nomvar in _META_VARS else 101
+        else:
+            grid = rng.randrange(5)
+        ni = rng.randrange(1, 4)
+        rows.append(dict(
+            key=i, nomvar=nomvar,
+            etiket=rng.choice(["ET1", "ET2", None]),
+            ip1=rng.choice(_IP1S),
+            dateo=rng.choice([0, 100, 200]),
+            deet=rng.choice([0, 6]), npas=rng.choice([0, 12]),
+            ni=ni, nj=1,
+            # dyadic values so the float32 record payload is exact
+            d=[rng.randrange(-80, 800) / 4.0 for _ in range(ni)],
+            grid=grid,
+            ig1=rng.choice(_VCODES) if nomvar == "!!" else 0,
+            typvar=rng.choice(["P", "X", None]),
+            nk=1, ip2=rng.choice([0, 6]), ip3=0,
+            ig2=rng.randrange(3), ig3=0, ig4=0,
+            nbits=rng.choice([16, 32]), datyp=rng.choice([5, 134]),
+            grtyp="Z",
+        ))
+    # duplicate records under FRESH keys (keys stay unique so the
+    # min-key / limit-1 picks are deterministic on both sides)
+    for j in range(n // 10):
+        dup = dict(rng.choice(rows[:n]))
+        dup["key"] = n + j
+        rows.append(dup)
+    df = pd.DataFrame(rows)
+    df["datev"] = df["dateo"] + df["deet"] * df["npas"]
+    return df
+
+
+def _fst_setup(spark, tmp_path, seed):
+    from pyspark.sql import functions as F
+
+    pdf = _dirty_fst_records(seed)
+    path = str(tmp_path / "records.parquet")
+    pdf.to_parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW records AS SELECT * FROM '{path}'")
+    rec = spark.read.parquet(path).select(
+        *[F.col(c).cast(t).alias(c) for c, t in _REC_CASTS.items()])
+    return rec, con
+
+
+def _fst_compare(sdf, odf):
+    from check_oracle import normalize
+
+    a, b = normalize(sdf), normalize(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), (len(a), len(b))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                  rtol=1e-9, atol=1e-12)
+
+
+FST_SEEDS = [11, 22, 33]
+
+
+@pytest.mark.parametrize("seed", FST_SEEDS)
+def test_fst_vctype_mirror_on_dirty_records(spark, tmp_path, seed):
+    import __spark_entry__ as E
+
+    rec, con = _fst_setup(spark, tmp_path, seed)
+    sdf = E._vctype_gate(spark, rec.select(_REC12)).toPandas()
+    odf = con.execute(
+        E._vctype_oracle_sql("SELECT * FROM records")).df()
+    _fst_compare(sdf, odf)
+
+
+@pytest.mark.parametrize("seed", FST_SEEDS)
+def test_fst_grid_assoc_mirror_on_dirty_records(spark, tmp_path, seed):
+    import __spark_entry__ as E
+
+    rec, con = _fst_setup(spark, tmp_path, seed)
+    sdf = E._grid_assoc_gate(spark, rec.select(_REC12)).toPandas()
+    odf = con.execute(
+        E._grid_assoc_oracle_sql("SELECT * FROM records")).df()
+    _fst_compare(sdf, odf)
+
+
+@pytest.mark.parametrize("seed", FST_SEEDS)
+def test_fst_metadata_cleanup_mirror_on_dirty_records(
+        spark, tmp_path, seed):
+    import __spark_entry__ as E
+
+    rec, con = _fst_setup(spark, tmp_path, seed)
+    sdf = E._meta_cleanup_gate(
+        spark, rec.localCheckpoint(eager=True)).toPandas()
+    odf = con.execute(
+        E._meta_cleanup_oracle_sql("SELECT * FROM records")).df()
+    _fst_compare(sdf, odf)
