@@ -326,8 +326,16 @@ def grid_lat_lon(df: DataFrame, keep_template_cols: bool = True) -> DataFrame:
     # columns (etiket, dateo, ...) could differ per run; the (path,
     # key) identity breaks the tie in file order when present
     tiebreak = [c for c in ("path", "key") if c in df.columns]
+    # content-hash fallback when (path, key) are absent: otherwise
+    # row_number breaks residual ties by partition timing and the
+    # LA/LO template columns could differ per run (round-16 advice)
+    _content = [c for c in ("nomvar", "typvar", "etiket", "ni", "nj",
+                            "dateo", "deet", "npas", "ip1", "ip2", "ip3",
+                            "ig1", "ig2", "ig3", "ig4", "grtyp", "d")
+                if c in df.columns]
+    content_tb = tiebreak or [F.xxhash64(F.struct(*_content))]
     w = Window.partitionBy("grid", "_tile") \
-              .orderBy("nomvar", "ip1", "ip2", "ip3", *tiebreak)
+              .orderBy("nomvar", "ip1", "ip2", "ip3", *content_tb)
     rep = (
         no_meta.withColumn("_tile", tile_key)
         .withColumn("_rn", F.row_number().over(w))
@@ -341,8 +349,14 @@ def grid_lat_lon(df: DataFrame, keep_template_cols: bool = True) -> DataFrame:
     # grid, one per copy of the axis record (round-15 review; pinned).
     def _one_axis_per_grid(nomvar: str, alias: str) -> DataFrame:
         rows = df.filter(F.col("nomvar") == nomvar)
+        # without (path, key) identity columns, tiebreak on the axis
+        # CONTENT: orderBy(lit(1)) let row_number pick an arbitrary,
+        # partition-timing-dependent copy — deterministic only if all
+        # same-grid copies are byte-identical. A content hash makes the
+        # kept row the same every run; remaining ties are genuinely
+        # byte-identical payloads, where any pick is the same output.
         aw = Window.partitionBy("grid").orderBy(
-            *(tiebreak or [F.lit(1)]))
+            *(tiebreak or [F.xxhash64("d")]))
         return (rows.withColumn("_arn", F.row_number().over(aw))
                 .filter(F.col("_arn") == 1)
                 .select(F.col("grid"), F.col("d").alias(alias)))

@@ -71,10 +71,18 @@ def read_csv_records(spark: SparkSession, path: str,
         F.split(F.col("d"), ";"),
         lambda r: F.transform(F.split(r, ","), lambda x: x.try_cast("float")),
     )
+    # nullif(size, -1): under non-ANSI config, legacy sizeOfNull makes
+    # F.size(NULL) return -1 — a wholly-NULL d cell would yield
+    # ni = nj = -1 (non-NULL, invisible to the NULL scan below) and
+    # slip past the eager validation only on that config. No legitimate
+    # array has size -1, so this is a no-op under ANSI (the text.py
+    # size_col rule: validation loudness must not depend on config).
     df = (
         df.withColumn("_rows", rows2d)
-        .withColumn("nj", F.size(F.col("_rows")).cast("int"))
-        .withColumn("ni", F.size(F.element_at(F.col("_rows"), 1)).cast("int"))
+        .withColumn("nj", F.nullif(F.size(F.col("_rows")),
+                                   F.lit(-1)).cast("int"))
+        .withColumn("ni", F.nullif(F.size(F.element_at(F.col("_rows"), 1)),
+                                   F.lit(-1)).cast("int"))
     )
     df = df.withColumn("d", F.flatten(F.col("_rows")))
     if encode_ip1 and has_level:
@@ -109,7 +117,12 @@ def read_csv_records(spark: SparkSession, path: str,
     flags = df.agg(
         F.max(F.exists("_rows", lambda r: F.size(r) != F.col("ni"))
               .cast("int")).alias("_ragged"),
-        F.max(F.exists("d", lambda x: x.isNull()).cast("int")).alias("d"),
+        # d.isNull() first: a wholly-NULL d cell makes F.exists return
+        # NULL, which max() skips — the flag would fire only via the
+        # ni/nj NULL scan, i.e. only under ANSI config without this
+        F.max((F.col("d").isNull()
+               | F.exists("d", lambda x: x.isNull()))
+              .cast("int")).alias("d"),
         *[F.max(F.col(c).isNull().cast("int")).alias(c)
           for c in check_cols],
     ).collect()[0]

@@ -125,6 +125,31 @@ def test_csv_validation(spark, tmp_path):
         read_csv_records(spark, str(p5))
 
 
+@pytest.mark.parametrize("ansi", ["true", "false"])
+def test_csv_null_d_cell_raises_on_every_config(spark, tmp_path, ansi):
+    """round-16 advice: a wholly-NULL d cell must refuse LOUDLY under
+    BOTH ANSI configs. Under non-ANSI, legacy sizeOfNull makes
+    F.size(NULL) return -1, so ni/nj became -1 (non-NULL — invisible
+    to the NULL scan) and F.exists over a NULL array returns NULL
+    (skipped by max) — the record silently entered the table with
+    d=NULL and ni=nj=-1; under ANSI the same row was caught via the
+    ni/nj NULL scan. Validation loudness must not depend on config
+    (the text.py size_col class)."""
+    from fstd2pandas_spark.sources.csv_source import (
+        CsvReaderError, read_csv_records)
+
+    p = tmp_path / "nulld.csv"
+    # second row's d cell is EMPTY -> NULL after the csv read
+    p.write_text("nomvar,level,d\nTT,1.0,\"1.5\"\nUU,2.0,\n")
+    ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", ansi)
+    try:
+        with pytest.raises(CsvReaderError, match="'d'"):
+            read_csv_records(spark, str(p))
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi0)
+
+
 def test_writers_null_metadata_and_masked_d(tmp_path):
     """round-15 sources review: NULL string metadata writes as SPACES
     (reads back as ''), never as str(None) — the old stringification
