@@ -114,6 +114,34 @@ def test_fststat_plan_shape(spark, records):
     assert n_shuffles == 0, plan_string(stats, "simple")
 
 
+def test_fststat_array_pass_census(spark, records):
+    """round-16 fold-count lock (the r15 #5 order): the optimized plan's
+    higher-order-function census over fststat. Interpreted HOFs get no
+    codegen subexpression elimination, so every textual occurrence is a
+    real per-row array pass — a future edit that duplicates the keyed
+    transform or the NaN probe shows up here as count inflation. The
+    current counts are the MEASURED optimum: a single-aggregate fold of
+    (min, max, argmin-key, argmax-key, nan-key, sum, sumsq) was A/B'd
+    same-process at sf0.1 and LOST (0.85 s vs 0.65 s min-of-5 — the
+    per-element struct rebuild costs more than these extra short-array
+    passes), as did hoisting the shared scalars behind a projection
+    boundary (0.69 s); both parity-identical, both rejected."""
+    from fstd2pandas_spark.operators import fststat
+
+    plan = (fststat(records)._jdf.queryExecution()
+            .optimizedPlan().toString())
+    census = {tok: plan.count(tok) for tok in
+              ("aggregate(", "transform(", "array_min(",
+               "array_max(", "exists(")}
+    assert census["aggregate("] <= 4, census
+    assert census["transform("] <= 8, census
+    assert census["array_min("] <= 11, census
+    assert census["array_max("] <= 3, census
+    assert census["exists("] <= 4, census
+    # and the stats are actually array-driven (census not vacuous)
+    assert census["aggregate("] >= 2 and census["array_min("] >= 1, census
+
+
 def test_scalar_pipeline_is_codegen(spark, sf_dir):
     df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
           .filter(F.col("n_chars") > 10)
