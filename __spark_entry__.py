@@ -6788,11 +6788,17 @@ def _latlon_all_sql() -> str:
     """
     return f"""
   WITH g AS (
+    -- DISTINCT keys (round 16): the engine keys everything by GRID id
+    -- and collapses duplicate definitions of the same grid to one
+    -- LA/LO pair (the multi-file FST shape) — a duplicated nation key
+    -- must not fabricate a second row-set here. A no-op on the real
+    -- table (n_nationkey is the primary key); load-bearing in the
+    -- random-nation mirror harness's duplicate-keys case.
     SELECT n_nationkey AS k,
            CAST(n_nationkey % 5 + 4 AS INT) AS ni,
            CAST(n_nationkey % 4 + 3 AS INT) AS nj,
            (['A','B','G','L','Z','Y','E','N','S','U'])[CAST(n_nationkey % 10 AS INT) + 1] AS gt
-    FROM nation),
+    FROM (SELECT DISTINCT n_nationkey FROM nation) nation),
   p AS (
     SELECT k, ni, nj, gt,
            CASE WHEN gt = 'A' THEN CAST(k % 3 AS INT)

@@ -264,6 +264,98 @@ def _fst_compare(sdf, odf):
 FST_SEEDS = [11, 22, 33]
 
 
+def _latlon_grid_ids(k: int) -> list[str]:
+    """Python mirror of q_fst_latlon_all's grid-id construction: the
+    grid ids key k contributes (its main grid, plus the '#' tile grid
+    for Z keys). Used to sample COLLISION-FREE key sets: two distinct
+    keys can map to the same concat(ig1, ig2) id (N/S have only six ig
+    combos), and colliding DIFFERENT geometries resolve through the
+    engine's per-grid content-hash representative pick — deterministic
+    in the engine but not expressible in the SQL mirror, so the
+    harness excludes that shape by construction (identical duplicates,
+    the realistic multi-file shape, ARE tested via dup=True)."""
+    gt = "ABGLZYENSU"[k % 10]
+    lat0, lon0 = k - 12, k * 14 - 180
+    if gt == "A":
+        ig1 = k % 3
+    elif gt in ("B", "G"):
+        ig1 = 0
+    elif gt == "L":
+        ig1 = round((lat0 + 90) * 100)
+    elif gt == "Z":
+        ig1 = 3000 + k
+    elif gt == "Y":
+        ig1 = 4000 + k
+    elif gt == "E":
+        ig1 = (k % 60 - 30 + 90) * 100
+    elif gt == "U":
+        ig1 = 5000 + k
+    else:
+        ig1 = (k % 3 + 2) * 100
+    if gt in ("A", "B", "G"):
+        ig2 = 1000 + k
+    elif gt == "L":
+        ig2 = round((lon0 + 180) * 100)
+    elif gt in ("Z", "Y"):
+        ig2 = 500 + k
+    elif gt == "E":
+        ig2 = (k * 11 % 360) * 100
+    elif gt == "U":
+        ig2 = 600 + k
+    else:
+        ig2 = (k % 2 + 2) * 100
+    ids = [f"{ig1}{ig2}"]
+    if gt == "Z":                        # the '#' tile companion grid
+        ids.append(f"{30000 + k}{700 + k}")
+    return ids
+
+
+@pytest.mark.parametrize("seed,dup", [(7, False), (77, False),
+                                      (777, False), (7, True)])
+def test_fst_latlon_mirror_on_random_nation(spark, tmp_path, seed, dup):
+    """round 16: fst_latlon_all's oracle is a pure property mirror of
+    the nation keys (every grid parameter derives from n_nationkey by
+    formula), so the harness swaps in RANDOM keys 0..99 — a 4x larger
+    k-domain than the fixed 25-key table, sweeping the per-grtyp trig
+    seams (E rotated frames, N/S stereographic, '#' tile slices,
+    U composites) and the C23 epsilon rules at values the fixed corpus
+    never hits. Keys are sampled collision-free on grid id (see
+    _latlon_grid_ids). The dup=True case duplicates keys — the SAME
+    grid defined by several records, a real multi-file FST shape the
+    engine collapses to one LA/LO pair per grid (found the missing
+    DISTINCT in the oracle's g CTE). NULL keys are out of scope:
+    nation is a TPC-H dimension with a primary key; a NULL-key grid
+    definition has no reference analog."""
+    import random as _random
+
+    import __spark_entry__ as E
+
+    rng = _random.Random(seed)
+    keys, taken = [], set()
+    for k in rng.sample(range(0, 100), 60):
+        ids = _latlon_grid_ids(k)
+        if not any(i in taken for i in ids):
+            taken.update(ids)
+            keys.append(k)
+        if len(keys) == 30:
+            break
+    if dup:
+        keys = keys + keys[:10]          # 10 duplicated grid definitions
+    pdf = pd.DataFrame({
+        "n_nationkey": keys,
+        "n_name": [f"N{k}" for k in keys],
+        "n_regionkey": [k % 5 for k in keys],
+        "n_comment": ["x" for _ in keys],
+    })
+    pdf.to_parquet(str(tmp_path / "nation.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM "
+                f"'{tmp_path}/nation.parquet'")
+    sdf = E.queries()["fst_latlon_all"](spark, str(tmp_path)).toPandas()
+    odf = con.execute(E.oracle_sql()["fst_latlon_all"]).df()
+    _fst_compare(sdf, odf)
+
+
 @pytest.mark.parametrize("seed", FST_SEEDS)
 def test_fst_vctype_mirror_on_dirty_records(spark, tmp_path, seed):
     import __spark_entry__ as E
