@@ -2326,9 +2326,16 @@ def q_fst_pressure_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.lit(float(k5b)).cast("float"), F.lit(8.0).cast("float"),
                   ttb2),
         ig1=F.lit(5005), ig2=F.lit(0), nbits=F.lit(64), datyp=F.lit(5))
-    # one global HY record (grid 25): ptop=2.0, pref=800, rcoef=1.6
+    # one global HY record (grid 25): ptop=2.0, pref=800, rcoef=1.6.
+    # Built from a LITERAL one-row frame (round 16): deriving it from
+    # grids.filter(g == 25) made the construction depend on DATA
+    # COVERAGE — a corpus with no key%50 == 25 row built no HY at all,
+    # so grids 25-49 classified UNKNOWN while the oracle assumed the
+    # HY unconditionally (found by the random-lineitem mirror harness;
+    # masked on the real corpus, where every grid has data).
     hy = _meta(
-        grids.filter(g == 25), "HY", "HYBRID", 30_000_000,
+        spark.range(1).select(F.lit("25").alias("grid")),
+        "HY", "HYBRID", 30_000_000,
         ip1=0, ni=F.lit(1), nj=F.lit(1),
         d=F.array(F.lit(2.0).cast("float")),
         ig1=F.lit(800), ig2=F.lit(1600), nbits=F.lit(32), datyp=F.lit(5))
@@ -2587,9 +2594,13 @@ _Q_META_EXISTS_SQL = f"""
          max(CASE WHEN nomvar = 'PT' THEN 1 ELSE 0 END) = 1 AS has_pt,
          max(CASE WHEN nomvar = 'HY' THEN 1 ELSE 0 END) = 1 AS has_hy,
          max(CASE WHEN nomvar = '!!SF' THEN 1 ELSE 0 END) = 1 AS has_sf,
-         array_to_string(
+         -- outer coalesce (round 16): DuckDB's array_to_string([])
+         -- returns NULL where Spark's array_join over an empty array
+         -- returns '' — corpus-masked (every real-corpus grid carries
+         -- a '!!' row), found by the random-lineitem mirror harness
+         coalesce(array_to_string(
            coalesce(list_sort(array_agg(DISTINCT ig1) FILTER (WHERE nomvar = '!!')),
-                    []), ',') AS vcodes
+                    []), ','), '') AS vcodes
   FROM rec WHERE nomvar IN ({_META_LIST_SQL})
   GROUP BY grid ORDER BY grid
 """
@@ -7481,9 +7492,15 @@ _Q_INVARIANTS_SQL = f"""
            CAST(ip1 AS BIGINT)
     FROM kinds
     UNION ALL
-    SELECT 'hy_limit1', '3', 0,
-           CAST(CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS BIGINT)
+    -- HAVING (round 16): with NO HY row on grid 3 the engine emits
+    -- NOTHING (process_hy drops HY lazily when nothing survives — the
+    -- F5 rule — and groupBy over the empty frame has no row), while a
+    -- bare ungrouped aggregate here fabricated a 0-count ledger row.
+    -- Corpus-masked (the fixed corpus always has an HY on grid 3);
+    -- found by the random-lineitem mirror harness.
+    SELECT 'hy_limit1', '3', 0, CAST(1 AS BIGINT)
     FROM rec WHERE nomvar = 'HY' AND grid = 3
+    HAVING count(*) > 0
   ) ORDER BY chk, name, pos
 """
 

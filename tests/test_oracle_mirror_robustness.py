@@ -264,6 +264,70 @@ def _fst_compare(sdf, odf):
 FST_SEEDS = [11, 22, 33]
 
 
+#: every registry gate whose input is constructed from lineitem alone
+#: (records_from_lineitem / meta_records_from_lineitem / _full_records)
+FST_LINEITEM_GATES = [
+    "fst_decode_ip", "fst_dates", "fst_meta_parse", "fst_stats",
+    "fst_unit_convert", "fst_mask_apply", "fst_recover_apply",
+    "fst_pressure_eta", "fst_pressure_hybrid", "fst_pressure_sigma",
+    "fst_pressure_const", "fst_meta_exists", "fst_vctype",
+    "fst_grid_assoc", "fst_select_meta", "fst_interval",
+    "fst_metadata_cleanup", "fst_encode_ip", "fst_voir", "fst_cube",
+    "fst_invariants", "fst_ip_info",
+]
+
+
+def _dirty_lineitem(seed: int, n_orders: int = 100) -> pd.DataFrame:
+    """Random lineitem: a 1000x wider l_orderkey domain than the fixed
+    corpus (stressing every modulo-derived record attribute), variable
+    group sizes down to single-line orders, duplicate (linenumber,
+    quantity) sort ties, and quantity extremes the fixed 1..50 domain
+    never reaches — zero, negative, huge, fractional (all dyadic so
+    the float32 payload cast is exact). NULL quantities are out of
+    scope: a record's d is a dense decoded payload in the reference
+    (numpy arrays hold no None; missing data travels as mask records),
+    so a NULL array element has no reference analog."""
+    rng = random.Random(seed)
+    qtys = [0.0, 0.25, 1.0, 25.0, 25.25, 50.0, -7.5, 1024.0, 99999.75]
+    rows = []
+    for ok in rng.sample(range(0, 2_000_000), n_orders):
+        nlines = rng.choice([1, 1, 2, 3, 4, 7])
+        for ln in range(1, nlines + 1):
+            # no l_shipdate: the fst gates never read it, and pandas
+            # writes it as TIMESTAMP(NANOS), which Spark's reader
+            # rejects outright
+            rows.append(dict(
+                l_orderkey=ok, l_partkey=rng.randrange(1000),
+                l_suppkey=rng.randrange(100), l_linenumber=ln,
+                l_quantity=rng.choice(qtys),
+                l_extendedprice=1.0, l_discount=0.0, l_tax=0.0,
+                l_returnflag="N", l_linestatus="O"))
+        if rng.random() < 0.3:           # duplicate-linenumber sort tie
+            r = dict(rows[-1])
+            r["l_quantity"] = rng.choice(qtys)
+            rows.append(r)
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("gate", FST_LINEITEM_GATES)
+def test_fst_gates_match_their_oracles_on_random_lineitem(
+        spark, tmp_path, gate):
+    """round 16: the full lineitem-derived gate roster vs its own
+    oracles on the random corpus — the same both-sides-drift probe the
+    doc/emb/multi-join planes got, now over every records-derived
+    mirror in one sweep."""
+    import __spark_entry__ as E
+
+    _dirty_lineitem(20260816).to_parquet(
+        str(tmp_path / "lineitem.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{tmp_path}/lineitem.parquet'")
+    sdf = E.queries()[gate](spark, str(tmp_path)).toPandas()
+    odf = con.execute(E.oracle_sql()[gate]).df()
+    _fst_compare(sdf, odf)
+
+
 def _latlon_grid_ids(k: int) -> list[str]:
     """Python mirror of q_fst_latlon_all's grid-id construction: the
     grid ids key k contributes (its main grid, plus the '#' tile grid
