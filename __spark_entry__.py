@@ -990,10 +990,26 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(0)).cast("long").alias("cf_del"),
         F.sum(F.when(F.col("_change_type") == "update_postimage", 1)
               .otherwise(0)).cast("long").alias("cf_upd"))
-    res = (base.join(mg, gcols, "left").join(s2g, gcols, "left")
-           .join(pitg, gcols, "left").join(cpg, gcols, "left")
-           .join(cfg, gcols, "left").join(g0g, gcols, "left")
-           .join(gcg, gcols, "left").join(xpg, gcols, "left"))
+    def _nsj(left: DataFrame, right: DataFrame) -> DataFrame:
+        # NULL-SAFE group join (round 16): a NULL o_custkey/status/
+        # priority is one GROUP (SQL GROUP BY and pandas merge both
+        # match NULL keys), but a plain equi-join dropped its metrics
+        # from every arm — the F7 NULL-key data-loss class, found by
+        # the random-orders mirror harness (the real corpus has no
+        # NULL group keys). eqNullSafe keeps these hash-joinable.
+        r = right
+        for c in gcols:
+            r = r.withColumnRenamed(c, "_r_" + c)
+        cond = None
+        for c in gcols:
+            e = F.col(c).eqNullSafe(F.col("_r_" + c))
+            cond = e if cond is None else cond & e
+        return (left.join(r, cond, "left")
+                .drop(*["_r_" + c for c in gcols]))
+
+    res = base
+    for arm in (mg, s2g, pitg, cpg, cfg, g0g, gcg, xpg):
+        res = _nsj(res, arm)
     # slice-scoped gates (cp_*, xp_*, gn0/gc0/gc_*) and the diff
     # gates (cf_*) read NULL for groups their corpus misses —
     # coalesce to 0 on BOTH sides (the engine NULL-from-left-join vs
@@ -1162,15 +1178,43 @@ _Q_DEDUP_SQL = """
          COALESCE(xp.xp_fpa, 0) AS xp_fpa,
          COALESCE(xp.xp_fpb, 0) AS xp_fpb,
          COALESCE(xp.xp_parts, 0) AS xp_parts
-  FROM base LEFT JOIN m USING (o_custkey, o_orderstatus, o_orderpriority)
-  LEFT JOIN s2 USING (o_custkey, o_orderstatus, o_orderpriority)
-  LEFT JOIN pit USING (o_custkey, o_orderstatus, o_orderpriority)
-  LEFT JOIN cp USING (o_custkey, o_orderstatus, o_orderpriority)
-  LEFT JOIN cf USING (o_custkey, o_orderstatus, o_orderpriority)
-  LEFT JOIN g0 USING (o_custkey, o_orderstatus, o_orderpriority)
-  LEFT JOIN gc USING (o_custkey, o_orderstatus, o_orderpriority)
-  LEFT JOIN xp USING (o_custkey, o_orderstatus, o_orderpriority)
-  ORDER BY o_custkey, o_orderstatus, o_orderpriority
+  -- NULL-SAFE group joins (round 16, mirrors the engine's eqNullSafe
+  -- assembly): USING is null-unsafe, so a NULL group key lost its
+  -- metrics from every arm — corpus-masked (no NULL group keys in the
+  -- real orders table), found by the random-orders mirror harness
+  FROM base LEFT JOIN m
+    ON base.o_custkey IS NOT DISTINCT FROM m.o_custkey
+   AND base.o_orderstatus IS NOT DISTINCT FROM m.o_orderstatus
+   AND base.o_orderpriority IS NOT DISTINCT FROM m.o_orderpriority
+  LEFT JOIN s2
+    ON base.o_custkey IS NOT DISTINCT FROM s2.o_custkey
+   AND base.o_orderstatus IS NOT DISTINCT FROM s2.o_orderstatus
+   AND base.o_orderpriority IS NOT DISTINCT FROM s2.o_orderpriority
+  LEFT JOIN pit
+    ON base.o_custkey IS NOT DISTINCT FROM pit.o_custkey
+   AND base.o_orderstatus IS NOT DISTINCT FROM pit.o_orderstatus
+   AND base.o_orderpriority IS NOT DISTINCT FROM pit.o_orderpriority
+  LEFT JOIN cp
+    ON base.o_custkey IS NOT DISTINCT FROM cp.o_custkey
+   AND base.o_orderstatus IS NOT DISTINCT FROM cp.o_orderstatus
+   AND base.o_orderpriority IS NOT DISTINCT FROM cp.o_orderpriority
+  LEFT JOIN cf
+    ON base.o_custkey IS NOT DISTINCT FROM cf.o_custkey
+   AND base.o_orderstatus IS NOT DISTINCT FROM cf.o_orderstatus
+   AND base.o_orderpriority IS NOT DISTINCT FROM cf.o_orderpriority
+  LEFT JOIN g0
+    ON base.o_custkey IS NOT DISTINCT FROM g0.o_custkey
+   AND base.o_orderstatus IS NOT DISTINCT FROM g0.o_orderstatus
+   AND base.o_orderpriority IS NOT DISTINCT FROM g0.o_orderpriority
+  LEFT JOIN gc
+    ON base.o_custkey IS NOT DISTINCT FROM gc.o_custkey
+   AND base.o_orderstatus IS NOT DISTINCT FROM gc.o_orderstatus
+   AND base.o_orderpriority IS NOT DISTINCT FROM gc.o_orderpriority
+  LEFT JOIN xp
+    ON base.o_custkey IS NOT DISTINCT FROM xp.o_custkey
+   AND base.o_orderstatus IS NOT DISTINCT FROM xp.o_orderstatus
+   AND base.o_orderpriority IS NOT DISTINCT FROM xp.o_orderpriority
+  ORDER BY base.o_custkey, base.o_orderstatus, base.o_orderpriority
 """
 
 

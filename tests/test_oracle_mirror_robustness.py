@@ -328,6 +328,60 @@ def test_fst_gates_match_their_oracles_on_random_lineitem(
     _fst_compare(sdf, odf)
 
 
+def _dirty_orders(seed: int, n: int = 400,
+                  null_groups: bool = False) -> pd.DataFrame:
+    """Random orders for the maintenance-plane gate (dedup_keys):
+    o_orderkey stays a PRIMARY KEY (the MERGE/SCD2 target contract) but
+    the domain is 2000x wider than the fixed corpus, with keys 0..63
+    always present so every modulo slice the gate's loud density
+    assertions require (pk cells of %32<8, %64<8 incl. the %64==7 NULL
+    partition) is populated; o_custkey is drawn from a tiny domain so
+    dedup groups carry heavy duplication; prices span zero, negative,
+    fractional-cent-exact and huge values (two-decimal and dyadic only
+    — a half-cent exact .005 would probe the ENGINES' rounding modes,
+    not the mirror). null_groups adds NULL o_custkey/o_orderstatus/
+    o_orderpriority rows — NULL grouping keys through the whole
+    merge/SCD2/compaction/feed plane."""
+    rng = random.Random(seed)
+    keys = list(range(0, 64)) + rng.sample(range(64, 3_000_000), n - 64)
+    stats_ = ["O", "F", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-LOW"]
+    prices = [0.0, 0.25, 901.5, 123.44, 50000.78, -12.25, 9999999.12]
+    rows = []
+    for i, k in enumerate(keys):
+        nullish = null_groups and i % 11 == 0
+        rows.append(dict(
+            o_orderkey=k,
+            o_custkey=None if nullish else rng.randrange(20),
+            o_orderstatus=None if nullish and i % 22 == 0
+            else rng.choice(stats_),
+            o_orderpriority=rng.choice(prios + ([None] if nullish else [])),
+            o_totalprice=rng.choice(prices)))
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("seed,null_groups", [(3, False), (33, False),
+                                              (3, True)])
+def test_dedup_maintenance_plane_on_random_orders(
+        spark, tmp_path, seed, null_groups):
+    """round 16: the dedup_keys gate — the maintenance plane's single
+    oracle (MERGE latest-wins/tombstone/insert, SCD2 history +
+    point-in-time, physical compaction invariance, partition expiry
+    incl. the NULL partition, the 2-generation CDC stream, and the
+    snapshot-diff change feed) — vs its arithmetic oracle on random
+    orders."""
+    import __spark_entry__ as E
+
+    _dirty_orders(seed, null_groups=null_groups).to_parquet(
+        str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{tmp_path}/orders.parquet'")
+    sdf = E.queries()["dedup_keys"](spark, str(tmp_path)).toPandas()
+    odf = con.execute(E.oracle_sql()["dedup_keys"]).df()
+    _fst_compare(sdf, odf)
+
+
 def _latlon_grid_ids(k: int) -> list[str]:
     """Python mirror of q_fst_latlon_all's grid-id construction: the
     grid ids key k contributes (its main grid, plus the '#' tile grid
