@@ -1476,8 +1476,12 @@ _Q_CONDAGG_SQL = """
            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
            max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
            count(*) AS n_events,
-           CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(max(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+           -- nullif (round 16): DuckDB regexp_extract returns ''
+           -- on NO MATCH and CAST('' AS BIGINT) aborts the query —
+           -- the engine's get_json_object yields NULL for a missing/
+           -- null/malformed k (corpus-masked: every real props has k)
+           CAST(sum(CAST(nullif(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(nullif(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '') AS BIGINT)) AS BIGINT) AS max_k
     FROM events GROUP BY user_id),
   -- OLS trend mirror: exact integer sums (DuckDB's BIGINT sums are
   -- HUGEINT = the engine's DECIMAL(38,0)); the only float steps are
@@ -1493,7 +1497,13 @@ _Q_CONDAGG_SQL = """
   ols AS (
     SELECT user_id, count(*) AS n, sum(x) AS sx, sum(cv) AS sy,
            sum(x * cv) AS sxy, sum(x * x) AS sxx
-    FROM fx GROUP BY user_id),
+    -- x IS NOT NULL (round 16): group_linfit EXCLUDES rows with a
+    -- NULL coordinate ("they have no point") — a NULL-ts event gave
+    -- x NULL here, and count(*) still counted it while the x-sums
+    -- skipped it: an inflated n shifted every affected user's slope.
+    -- Corpus-masked (no NULL ts in the real events); found by the
+    -- random-events mirror harness.
+    FROM fx WHERE x IS NOT NULL GROUP BY user_id),
   trend AS (
     SELECT user_id,
            CASE WHEN n * sxx - sx * sx <> 0 THEN
@@ -1679,12 +1689,19 @@ _Q_EVENTS_SQL = """
            event_type AS k2, count(*) AS n,
            round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value,
            CAST(NULL AS BIGINT) AS dur_s,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           -- json_valid guard (round 16): Spark's get_json_object
+           -- returns NULL on malformed JSON where DuckDB's
+           -- json_extract_string ABORTS the query — corpus-masked
+           -- (the real props are all valid), found by the
+           -- random-events mirror harness
+           CAST(sum(CAST(CASE WHEN json_valid(props) THEN
+                json_extract_string(props, '$.k') END AS BIGINT))
                 AS BIGINT) AS sum_k
     FROM events GROUP BY 2, 3),
   brk AS (
     SELECT user_id, ts, value,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk,
+           CAST(CASE WHEN json_valid(props) THEN
+                json_extract_string(props, '$.k') END AS BIGINT) AS kk,
            -- Spark merges sessions when the gap is <= 30 min (windows
            -- [t, t+gap) merge on overlap OR touch), so a new session
            -- starts only on a STRICTLY larger gap
@@ -1692,7 +1709,13 @@ _Q_EVENTS_SQL = """
                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS b
-    FROM events),
+    -- sessionize's EXCLUSION CONTRACT (operators/sessions.py): NULL
+    -- timestamps have no position on the time axis and NULL keys must
+    -- not pool unrelated unidentified users into one pseudo-session;
+    -- without this mirror, a NULL-ts event sorted NULLS-LAST and
+    -- silently GLUED onto the user's final session (round 16, found
+    -- by the random-events mirror harness)
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
   g AS (SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts
                                ROWS UNBOUNDED PRECEDING) AS sid
         FROM brk),
@@ -1710,22 +1733,38 @@ _Q_EVENTS_SQL = """
     FROM g GROUP BY user_id, sid),
   -- funnel mirror: INDEPENDENT derivation as the classic sequential
   -- min-join cascade (step i+1 = first event of its type strictly
-  -- after step i; the engine uses a per-user sorted-array fold). The
-  -- events table has no (user_id, ts) ties, so strictly-after on ts
-  -- alone is exact; the operator's event_id tie-break is pinned by a
-  -- pytest instead.
-  fv AS (SELECT user_id, min(ts) AS t1 FROM events
-         WHERE event_type = 'view' GROUP BY user_id),
-  fc AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-         JOIN fv USING (user_id)
-         WHERE e.event_type = 'click' AND e.ts > fv.t1
-           AND e.ts <= fv.t1 + INTERVAL 86400 SECOND
-         GROUP BY e.user_id),
-  fp AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-         JOIN fc USING (user_id) JOIN fv USING (user_id)
-         WHERE e.event_type = 'purchase' AND e.ts > fc.t2
-           AND e.ts <= fv.t1 + INTERVAL 86400 SECOND
-         GROUP BY e.user_id),
+  -- after step i; the engine uses a per-user sorted-array fold).
+  -- round 16: TIE-EXACT on (ts, event_id) — the fold's strictly-after
+  -- rule accepts a same-timestamp later-id event, which "no ties on
+  -- the real corpus" used to mask — and explicit NULL exclusions
+  -- (NULL ts has no position on the time axis; a NULL user pools
+  -- unidentified events into one pseudo-user — the funnel_steps /
+  -- sessionize contract, now enforced engine-side too).
+  fv AS (SELECT user_id, ts AS t1, event_id AS e1 FROM (
+           SELECT user_id, ts, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events
+           WHERE event_type = 'view' AND ts IS NOT NULL
+             AND user_id IS NOT NULL) t WHERE rn = 1),
+  fc AS (SELECT user_id, t2, e2 FROM (
+           SELECT e.user_id, e.ts AS t2, e.event_id AS e2,
+                  row_number() OVER (PARTITION BY e.user_id
+                                     ORDER BY e.ts, e.event_id) AS rn
+           FROM events e JOIN fv USING (user_id)
+           WHERE e.event_type = 'click'
+             AND (e.ts > fv.t1
+                  OR (e.ts = fv.t1 AND e.event_id > fv.e1))
+             AND e.ts <= fv.t1 + INTERVAL 86400 SECOND) t WHERE rn = 1),
+  fp AS (SELECT user_id, t3 FROM (
+           SELECT e.user_id, e.ts AS t3,
+                  row_number() OVER (PARTITION BY e.user_id
+                                     ORDER BY e.ts, e.event_id) AS rn
+           FROM events e JOIN fc USING (user_id) JOIN fv USING (user_id)
+           WHERE e.event_type = 'purchase'
+             AND (e.ts > fc.t2
+                  OR (e.ts = fc.t2 AND e.event_id > fc.e2))
+             AND e.ts <= fv.t1 + INTERVAL 86400 SECOND) t WHERE rn = 1),
   fu AS (SELECT fv.user_id,
                 CASE WHEN t3 IS NOT NULL THEN 3
                      WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth,
@@ -1749,9 +1788,14 @@ _Q_EVENTS_SQL = """
                    CAST(NULL AS BIGINT) AS sum_k
             FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
                  v(i, s)),
-  -- weekly retention cohorts (cohort = user's first-activity week)
+  -- weekly retention cohorts (cohort = user's first-activity week).
+  -- round 16: NULL ts contributes no activity period (the engine's
+  -- collect_set skips NULL — unguarded, a NULL week fabricated a
+  -- NULL-offset cohort row) and NULL users are excluded per the
+  -- NULL-identity contract
   rcp AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p
-          FROM events),
+          FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL),
   rcf AS (SELECT user_id, min(p) AS cohort FROM rcp GROUP BY user_id),
   rcg AS (SELECT 'cohort' AS kind,
                  CAST(floor(epoch(cohort)) AS BIGINT) AS k1,
@@ -6237,23 +6281,43 @@ def _zone_sig_terms(num_hashes: int = 8) -> str:
 _Q_STREAM_EVENTS_SQL = """
   WITH ltb AS (SELECT min(ts) + INTERVAL 2 HOUR AS t2,
                       date_trunc('hour', max(ts)) AS fh FROM events),
+  -- ts IS NOT NULL (round 16): Spark's STREAMING window assigner
+  -- drops NULL event times (no window can contain them), so the
+  -- hour/day/week/gset arms must exclude them — corpus-masked (no
+  -- NULL ts in the real events), found by the random-events harness
   h8 AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS k1,
                      event_type AS k2, count(*) AS n,
                      round(CAST(sum(CAST(value AS DECIMAL(18,6)))
                                 AS DOUBLE), 4) AS sv
-              FROM events GROUP BY 1, 2),
-  fv AS (SELECT user_id, min(ts) AS t1 FROM events
-              WHERE event_type = 'view' GROUP BY user_id),
-  fc AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-         JOIN fv USING (user_id)
-         WHERE e.event_type = 'click' AND e.ts > fv.t1
-           AND e.ts <= fv.t1 + INTERVAL 86400 SECOND
-         GROUP BY e.user_id),
-  fp AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-         JOIN fc USING (user_id) JOIN fv USING (user_id)
-         WHERE e.event_type = 'purchase' AND e.ts > fc.t2
-           AND e.ts <= fv.t1 + INTERVAL 86400 SECOND
-         GROUP BY e.user_id),
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+  -- round 16: tie-exact (ts, event_id) cascade + NULL exclusions,
+  -- mirroring the streaming funnel's fold rule and the NULL-identity
+  -- contract (see the batch events oracle for the rationale)
+  fv AS (SELECT user_id, ts AS t1, event_id AS e1 FROM (
+           SELECT user_id, ts, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events
+           WHERE event_type = 'view' AND ts IS NOT NULL
+             AND user_id IS NOT NULL) t WHERE rn = 1),
+  fc AS (SELECT user_id, t2, e2 FROM (
+           SELECT e.user_id, e.ts AS t2, e.event_id AS e2,
+                  row_number() OVER (PARTITION BY e.user_id
+                                     ORDER BY e.ts, e.event_id) AS rn
+           FROM events e JOIN fv USING (user_id)
+           WHERE e.event_type = 'click'
+             AND (e.ts > fv.t1
+                  OR (e.ts = fv.t1 AND e.event_id > fv.e1))
+             AND e.ts <= fv.t1 + INTERVAL 86400 SECOND) t WHERE rn = 1),
+  fp AS (SELECT user_id, t3 FROM (
+           SELECT e.user_id, e.ts AS t3,
+                  row_number() OVER (PARTITION BY e.user_id
+                                     ORDER BY e.ts, e.event_id) AS rn
+           FROM events e JOIN fc USING (user_id) JOIN fv USING (user_id)
+           WHERE e.event_type = 'purchase'
+             AND (e.ts > fc.t2
+                  OR (e.ts = fc.t2 AND e.event_id > fc.e2))
+             AND e.ts <= fv.t1 + INTERVAL 86400 SECOND) t WHERE rn = 1),
   fu AS (SELECT fv.user_id,
                 CASE WHEN t3 IS NOT NULL THEN 3
                      WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth,
@@ -6272,17 +6336,30 @@ _Q_STREAM_EVENTS_SQL = """
            translate(text, 'abcdefghijklmnopqrstuvwxyz',
                      'ABCDEFGHIJKLMNOPQRSTUVWXYZ'), n_chars
     FROM documents WHERE doc_id % 7 = 0),
-  ztoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM zone),
+  ztoks AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t
+            FROM zone),
   zshing AS (
-    SELECT doc_id, CASE WHEN len(t) < 3 THEN []::VARCHAR[]
-                        ELSE list_transform(generate_series(1, len(t) - 2),
-                             j -> array_to_string(list_slice(t, j, j + 2),
-                                                  ' ')) END AS sh
+    SELECT doc_id, text,
+           CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                ELSE list_transform(generate_series(1, len(t) - 2),
+                     j -> array_to_string(list_slice(t, j, j + 2),
+                                          ' ')) END AS sh
     FROM ztoks),
-  zsigs AS (SELECT doc_id, [__ZONE_SIG_TERMS__] AS sig FROM zshing),
+  zsigs AS (SELECT doc_id, text, [__ZONE_SIG_TERMS__] AS sig FROM zshing),
+  -- DEGENERATE fallback (round 16): the engine's
+  -- streaming_signature_dedup hashes a degenerate document (sentinel
+  -- signature: too short to shingle, empty or NULL text) by md5(text)
+  -- so distinct degenerate texts stay distinct and NULL text keys a
+  -- NULL hash — the sentinel-signature grouping here collapsed ALL of
+  -- them into ONE bucket (the r15 simhash-oracle class, on this
+  -- mirror). fb marks fallback rows: their batch group size is
+  -- undefined (the batch rederivation join misses), mirrored as NULL
   zsh AS (SELECT doc_id,
-                 md5(array_to_string(list_transform(sig,
-                     x -> CAST(x AS VARCHAR)), '|')) AS sighash
+                 CASE WHEN sig[1] <> __MINHASH_P__ THEN
+                      md5(array_to_string(list_transform(sig,
+                          x -> CAST(x AS VARCHAR)), '|'))
+                 ELSE md5(text) END AS sighash,
+                 sig[1] = __MINHASH_P__ AS fb
           FROM zsigs)
   SELECT 'hour' AS kind, k1, k2, n, sv AS sum_value,
          CAST(NULL AS BIGINT) AS dur_s
@@ -6337,7 +6414,9 @@ _Q_STREAM_EVENTS_SQL = """
   UNION ALL
   -- streaming signature dedup: ONE survivor per minhash signature,
   -- k1 = the zone group size that signature collapsed (1..5)
-  SELECT 'sgdedup' AS kind, CAST(count(*) AS BIGINT) AS k1,
+  SELECT 'sgdedup' AS kind,
+         CASE WHEN max(fb) THEN CAST(NULL AS BIGINT)
+              ELSE CAST(count(*) AS BIGINT) END AS k1,
          sighash AS k2, CAST(1 AS BIGINT) AS n,
          CAST(NULL AS DOUBLE) AS sum_value,
          CAST(NULL AS BIGINT) AS dur_s
@@ -6380,7 +6459,10 @@ _Q_STREAM_EVENTS_SQL = """
    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 4 HOUR
   GROUP BY date_trunc('hour', v.ts), v.user_id
   ORDER BY kind, k1, k2
-""".replace("__ZONE_SIG_TERMS__", _zone_sig_terms())
+""".replace("__ZONE_SIG_TERMS__", _zone_sig_terms()).replace(
+    "__MINHASH_P__",
+    str(__import__("fstd2pandas_spark.operators.llm.dedup",
+                   fromlist=["MINHASH_P"]).MINHASH_P))
 
 
 def q_stream_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6537,6 +6619,12 @@ _Q_STREAM_EXTREMA_SQL = """
                 '_', event_type)), 1, 8)) AS BIGINT) % 4 AS bucket,
            count(*) AS c
     FROM events, (SELECT unnest([0, 1]) AS d) d
+    -- NULL keys are EXCLUDED from the counter matrix
+    -- (countmin_counters' documented isNotNull rule); without this,
+    -- DuckDB's NULL-skipping concat hashed every NULL-type event into
+    -- the md5('cms<d>_') bucket and inflated whichever type shares it
+    -- (round 16, found by the random-events mirror harness)
+    WHERE event_type IS NOT NULL
     GROUP BY 1, 2),
   cest AS (
     SELECT t.event_type,
@@ -6551,7 +6639,7 @@ _Q_STREAM_EXTREMA_SQL = """
          round(max(e.value), 6) AS running_max,
          any_value(cest.cms_est) AS cms_est,
          any_value(lcc.lc_occ) AS lc_occ,
-         any_value(cest.cms_est) >= 3000 AS cms_hh,
+         coalesce(any_value(cest.cms_est) >= 3000, FALSE) AS cms_hh,
          any_value(hreg.hll_nreg) AS hll_nreg,
          any_value(hreg.hll_sumrank) AS hll_sumrank,
          any_value(hreg.hll_maxrank) AS hll_maxrank,
@@ -6559,8 +6647,15 @@ _Q_STREAM_EXTREMA_SQL = """
          any_value(blm.bloom_true) AS bloom_true,
          any_value(km.km_summin) AS km_summin,
          any_value(km.km_agree_purch) AS km_agree_purch
-  FROM events e JOIN cest ON cest.event_type = e.event_type
-  JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS lc_occ
+  -- LEFT sketch joins (round 16): the engine keeps the NULL
+  -- event_type GROUP from the stateful operator and left-joins the
+  -- sketch columns null-UNSAFELY (the sketch of an unknown key is
+  -- undefined, so the NULL group reads NULL sketch metrics); INNER
+  -- joins here dropped that group's extrema row entirely. For
+  -- non-NULL types LEFT == INNER (every type has a sketch row).
+  -- Found by the random-events mirror harness.
+  FROM events e LEFT JOIN cest ON cest.event_type = e.event_type
+  LEFT JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS lc_occ
         FROM (SELECT DISTINCT event_type,
                      CAST(concat('0x', substr(md5(concat('lc_',
                           CAST(event_id AS VARCHAR))), 1, 8)) AS BIGINT)
@@ -6571,7 +6666,7 @@ _Q_STREAM_EXTREMA_SQL = """
   -- md5 bits mod 64, rank = 33 - minimal-binary length of the next 32
   -- bits (bin() is minimal-width in DuckDB exactly like Spark's
   -- conv(x,10,2); both give '0' length 1, overridden to rank 33)
-  JOIN (SELECT event_type,
+  LEFT JOIN (SELECT event_type,
                CAST(count(*) AS BIGINT) AS hll_nreg,
                CAST(sum(mr) AS BIGINT) AS hll_sumrank,
                CAST(max(mr) AS BIGINT) AS hll_maxrank

@@ -39,9 +39,15 @@ def funnel_steps(df: DataFrame, steps: "list[str]", ts_col: str = "ts",
     ``step_ts_us`` holds the unix-microsecond time of each completed
     step (``size == depth``). Users with depth 0 are kept (they exist
     in the events table but never did step 1).
+
+    NULL-identity exclusion (round 16, the sessions.py contract): a
+    NULL user key would pool every unidentified event into ONE
+    pseudo-user whose "funnel" chains steps that never co-occurred —
+    excluded explicitly, like sessionize.
     """
     ev, folded = _funnel_fold(steps, ts_col, type_col, id_col, within)
-    grouped = df.groupBy(F.col(user_col).alias("user")).agg(ev.alias("_ev"))
+    grouped = (df.filter(F.col(user_col).isNotNull())
+               .groupBy(F.col(user_col).alias("user")).agg(ev.alias("_ev")))
     return (
         grouped.withColumn("step_ts_us", folded).drop("_ev")
         .withColumn("depth", F.size("step_ts_us"))
@@ -126,10 +132,14 @@ def user_activity_report(df: DataFrame, steps: "list[str]",
         raise ValueError(f"unsupported period {period!r}")
     p = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
     ev, folded = _funnel_fold(steps, ts_col, type_col, id_col, within)
-    grouped = df.groupBy(F.col(user_col).alias("user")).agg(
+    # NULL-identity exclusion (round 16, the sessions.py contract): a
+    # NULL user key pools unrelated unidentified events into one
+    # pseudo-user's funnel/cohort — excluded explicitly
+    grouped = (df.filter(F.col(user_col).isNotNull())
+               .groupBy(F.col(user_col).alias("user")).agg(
         ev.alias("_ev"),
         F.min(p).alias("cohort"),
-        F.collect_set(p).alias("periods"))
+        F.collect_set(p).alias("periods")))
     return (
         grouped.withColumn("step_ts_us", folded).drop("_ev")
         .withColumn("depth", F.size("step_ts_us"))

@@ -176,7 +176,12 @@ def streaming_drop_duplicates(stream: DataFrame,
 
 
 _EXTREMA_SCHEMA = T.StructType([
-    T.StructField("nomvar", T.StringType(), False),
+    # nomvar NULLABLE (round 16): a NULL variable name is a valid
+    # GROUP (batch groupBy keeps it) — declared non-null, the state
+    # function's NULL-key row failed row decoding and KILLED the whole
+    # streaming query (EXPRESSION_DECODING_FAILED), found by the
+    # random-events mirror harness
+    T.StructField("nomvar", T.StringType(), True),
     T.StructField("n_seen", T.LongType(), False),
     T.StructField("running_min", T.DoubleType(), True),
     T.StructField("running_max", T.DoubleType(), True),
@@ -386,7 +391,12 @@ def streaming_signature_dedup(stream: DataFrame, text_col: str = "text",
 
 
 _FUNNEL_OUT_SCHEMA = T.StructType([
-    T.StructField("user", T.LongType(), False),
+    # user NULLABLE (round 16): a NULL user id is a valid GROUP (batch
+    # groupBy keeps it) — declared non-null, the NULL-key group's
+    # output row failed row decoding and KILLED the whole streaming
+    # query, the same class as the extrema schema above; found by the
+    # random-events mirror harness
+    T.StructField("user", T.LongType(), True),
     T.StructField("depth", T.IntegerType(), False),
     T.StructField("first_step_us", T.LongType(), True),
     T.StructField("last_step_us", T.LongType(), True),
@@ -481,6 +491,10 @@ def streaming_funnel(stream: DataFrame, steps: "list[str]",
 
     return (
         stream.select(user_col, ts_col, id_col, type_col)
+        # NULL-identity exclusion (round 16, the batch funnel_steps /
+        # sessionize contract): a NULL user key pools unrelated
+        # unidentified events into one pseudo-user's funnel state
+        .filter(F.col(user_col).isNotNull())
         .groupBy(user_col)
         .applyInPandasWithState(
             _update, _FUNNEL_OUT_SCHEMA, _FUNNEL_STATE_SCHEMA,

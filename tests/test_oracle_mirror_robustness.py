@@ -328,6 +328,83 @@ def test_fst_gates_match_their_oracles_on_random_lineitem(
     _fst_compare(sdf, odf)
 
 
+#: events-derived gates: the batch rollup/sessions/funnel plane, the
+#: per-user conditional-aggregation plane, and both streaming gates
+EVENTS_GATES = ["events_hourly", "conditional_agg",
+                "stream_events_hourly", "stream_running_extrema"]
+
+
+def _dirty_events(seed: int, n: int = 800) -> pd.DataFrame:
+    """Random events: wider user domain, NULL user_id/event_type/
+    value/ts rows, unknown event types, duplicate per-user timestamps
+    (funnel strictly-after ties), exact hour-boundary timestamps,
+    dirty props JSON (missing k, null k, empty object, malformed, and
+    NULL). Timestamps are whole MICROSECONDS so the engine's
+    nanos->micros normalization is exact on both sides."""
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "signup", "error",
+             "weird", None]
+    props = ['{"k": %d}', '{"k": null}', "{}", "not json", None]
+    vals = [0.0, 0.25, 12.75, 123.44, -5.5, 99999.12, None]
+    base_us = 1_704_067_200_000_000          # 2024-01-01 UTC
+    rows = []
+    last_ts_by_user: dict = {}
+    for i in range(n):
+        r = rng.random()
+        uid = None if r < 0.03 else rng.randrange(40)
+        if r >= 0.03 and rng.random() < 0.05 and uid in last_ts_by_user:
+            ts_us = last_ts_by_user[uid]   # duplicate per-user ts
+        elif rng.random() < 0.05:
+            # exact hour boundary
+            ts_us = base_us + rng.randrange(40 * 24) * 3_600_000_000
+        else:
+            ts_us = base_us + rng.randrange(40 * 86400) * 1_000_000 \
+                + rng.randrange(1_000_000)
+        if rng.random() < 0.02:
+            ts = None
+        else:
+            ts = pd.Timestamp(ts_us, unit="us")
+            if uid is not None:
+                last_ts_by_user[uid] = ts_us
+        p = rng.choice(props)
+        if p is not None and "%d" in p:
+            p = p % rng.randrange(-50, 200)
+        rows.append(dict(event_id=i, ts=ts, user_id=uid,
+                         event_type=rng.choice(types),
+                         value=rng.choice(vals), props=p))
+    df = pd.DataFrame(rows)
+    # nullable Int64: None user_ids otherwise flip the column to
+    # float64 and the parquet schema to DOUBLE (the real table is
+    # BIGINT — '6.0' vs '6' in every stringified key)
+    df["user_id"] = df["user_id"].astype("Int64")
+    return df
+
+
+@pytest.mark.parametrize("gate", EVENTS_GATES)
+def test_events_gates_match_their_oracles_on_random_events(
+        spark, tmp_path, gate):
+    """round 16: the events plane (hour/session/funnel/cohort rollups,
+    the per-user conditional-agg/trend/fingerprint/histogram/
+    incremental plane, and both Structured Streaming gates) vs its own
+    oracles on a random dirty events corpus."""
+    import __spark_entry__ as E
+
+    _dirty_events(20260816).to_parquet(
+        str(tmp_path / "events.parquet"))
+    # the streaming gate's signature-dedup arm also reads documents:
+    # give it the doc harness's dirty corpus
+    _dirty_corpus(20260816).to_parquet(
+        str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet'")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+    sdf = E.queries()[gate](spark, str(tmp_path)).toPandas()
+    odf = con.execute(E.oracle_sql()[gate]).df()
+    _fst_compare(sdf, odf)
+
+
 def _dirty_orders(seed: int, n: int = 400,
                   null_groups: bool = False) -> pd.DataFrame:
     """Random orders for the maintenance-plane gate (dedup_keys):
