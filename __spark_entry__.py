@@ -427,15 +427,24 @@ __PRANK_CTES__
   -- as-of mirror: DuckDB's NATIVE ASOF JOIN — an independent
   -- implementation of the same semantics as the engine's
   -- union-and-window-fill (inclusive at equal timestamps)
+  -- round 16 (found by the random-events mirror harness): the outer
+  -- CASE nulls the match for a NULL-ts purchase — DuckDB's native
+  -- ASOF matches a NULL left time to the LAST right row where the
+  -- engine documents "a left row with unknown time gets NULL match
+  -- columns". (NULL-user rows need no guard: DuckDB's equi-condition
+  -- never matches NULL keys, and the engine now enforces the same
+  -- NULL-identity rule at the operator.)
   SELECT 'asof' AS side, CAST(p.event_id AS BIGINT) AS join_key,
-         coalesce(CAST(v.event_id AS VARCHAR), '-') AS info
+         coalesce(CASE WHEN p.ts IS NOT NULL
+                       THEN CAST(v.event_id AS VARCHAR) END, '-') AS info
   FROM (SELECT * FROM events WHERE event_type = 'purchase') p
   ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
     ON p.user_id = v.user_id AND p.ts >= v.ts
   UNION ALL
   -- forward mirror: the same native ASOF with the inequality swapped
   SELECT 'asoff' AS side, CAST(p.event_id AS BIGINT) AS join_key,
-         coalesce(CAST(v.event_id AS VARCHAR), '-') AS info
+         coalesce(CASE WHEN p.ts IS NOT NULL
+                       THEN CAST(v.event_id AS VARCHAR) END, '-') AS info
   FROM (SELECT * FROM events WHERE event_type = 'purchase') p
   ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
     ON p.user_id = v.user_id AND p.ts <= v.ts

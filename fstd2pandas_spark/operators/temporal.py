@@ -45,7 +45,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     EITHER side never matches: a left row with unknown time gets NULL
     match columns, a right row with unknown time contributes no
     payload (an observation with no position on the axis cannot be
-    "closest" to anything). Equal timestamps
+    "closest" to anything). A NULL ``by`` key never matches either
+    (round 16, the NULL-identity contract shared with sessionize and
+    the funnel): two unidentified entities are not known to be the
+    same one, so pooling them fabricates temporal co-occurrence —
+    NULL-key left rows are kept, unmatched. Equal timestamps
     match (inclusive, like pandas merge_asof); several right rows on
     the exact same key and timestamp resolve to the MAXIMAL right
     payload in ``right_cols`` tuple order — the payload struct rides
@@ -81,7 +85,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     # until the first real right row — a fabricated match with an
     # unknown-time observation (cheap per-row cast, filtered on the
     # source column before the window)
-    r = (right.filter(us_r.isNotNull())
+    # NULL-identity exclusion (round 16, the sessions.py/funnel
+    # contract): window partitioning GROUPS NULL keys, so an
+    # unidentified right row would "match" every unidentified left
+    # row — a temporal co-occurrence between entities never known to
+    # be the same. Filtering the RIGHT side is sufficient AND keeps
+    # every left row: a NULL-key left row lands in a partition with
+    # no payload and gets NULL match columns, like an unmatched row.
+    r = (right.filter(us_r.isNotNull() & F.col(by).isNotNull())
          .select(F.col(by).alias("_k"), us_r.alias("_us"),
                  F.lit(0).alias("_side"), payload))
     l = left.select(

@@ -437,6 +437,123 @@ def _dirty_orders(seed: int, n: int = 400,
     return pd.DataFrame(rows)
 
 
+#: the remaining TPC-H-shaped gates (full lineitem columns + the
+#: orders/customer/nation/region dim chain + events for the temporal
+#: join arms)
+TPCH_GATES = ["pricing_summary", "filter_project", "union_all_distinct",
+              "join_semi_anti", "revenue_by_nation"]
+
+
+def _dirty_tpch(seed: int, tmp_path) -> None:
+    """Random TPC-H-ish tables: NULL group keys (returnflag/
+    linestatus), NULL measures (quantity/discount/price), predicate
+    BOUNDARY values (shipdate exactly at the Q1 cutoff and 1 us past
+    it, discount exactly 0.05, quantity exactly 10/45), NULL join
+    keys, dangling foreign keys (customers pointing at missing
+    nations, orders at missing customers), and customers with no
+    orders. Prices stay within DECIMAL(18,2); timestamps are whole
+    microseconds."""
+    rng = random.Random(seed)
+    cutoff = pd.Timestamp("1998-09-02")
+    ships = [None, cutoff, cutoff + pd.Timedelta(microseconds=1),
+             pd.Timestamp("1995-03-15"), pd.Timestamp("1998-12-31")]
+    flags = ["R", "A", "N", None]
+    stats_ = ["O", "F", None]
+    qtys = [None, 0.0, 9.75, 10.0, 25.0, 44.75, 45.0, 50.0, -3.25]
+    discs = [None, 0.0, 0.05, 0.04, 0.1, 1.0]
+    prices = [0.0, 0.25, 901.5, 123.44, 50000.78, -12.25, 12345678.99]
+    li = []
+    okeys = list(range(0, 64)) + rng.sample(range(64, 500000), 150)
+    for ok in okeys:
+        for ln in range(1, rng.choice([1, 2, 2, 3, 4]) + 1):
+            li.append(dict(
+                l_orderkey=ok,
+                l_partkey=rng.choice([None] + [rng.randrange(2000)] * 9),
+                l_suppkey=rng.randrange(100), l_linenumber=ln,
+                l_quantity=rng.choice(qtys),
+                l_extendedprice=rng.choice(prices),
+                l_discount=rng.choice(discs), l_tax=0.0,
+                l_returnflag=rng.choice(flags),
+                l_linestatus=rng.choice(stats_),
+                l_shipdate=rng.choice(ships)))
+    lidf = pd.DataFrame(li)
+    lidf["l_partkey"] = lidf["l_partkey"].astype("Int64")
+    # microsecond timestamps: only the events table gets the
+    # nanos-as-long normalization in the entry's _load; a NANOS
+    # l_shipdate is rejected outright by Spark's parquet reader
+    lidf.to_parquet(str(tmp_path / "lineitem.parquet"),
+                    coerce_timestamps="us",
+                    allow_truncated_timestamps=True)
+    # orders: every lineitem okey + extra orderless keys; some orders
+    # point at custkeys absent from customer
+    orows = [dict(o_orderkey=ok, o_custkey=rng.randrange(60),
+                  o_orderstatus=rng.choice(["O", "F", "P"]),
+                  o_totalprice=rng.choice(prices),
+                  o_orderdate=rng.choice(
+                      [None, pd.Timestamp("1995-06-01"),
+                       pd.Timestamp("1997-01-15")]),
+                  o_orderpriority=rng.choice(["1-URGENT", "2-HIGH"]))
+             for ok in okeys + [900000 + i for i in range(10)]]
+    pd.DataFrame(orows).to_parquet(str(tmp_path / "orders.parquet"),
+                                   coerce_timestamps="us",
+                                   allow_truncated_timestamps=True)
+    # customer: keys 0..79 — 60..79 have no orders (anti rows); some
+    # nationkeys dangle past the nation table, some are NULL
+    crows = [dict(c_custkey=c, c_name=f"C{c}" if c % 9 else None,
+                  c_nationkey=None if c % 17 == 0
+                  else rng.choice(list(range(25)) + [90, 91]),
+                  c_acctbal=0.0, c_mktsegment="BUILDING")
+             for c in range(80)]
+    cdf = pd.DataFrame(crows)
+    cdf["c_nationkey"] = cdf["c_nationkey"].astype("Int64")
+    cdf.to_parquet(str(tmp_path / "customer.parquet"))
+    nrows = [dict(n_nationkey=n, n_name=f"N{n}",
+                  n_regionkey=(n % 5) if n % 11 else 9)  # 9 dangles
+             for n in range(25)]
+    pd.DataFrame(nrows).to_parquet(str(tmp_path / "nation.parquet"))
+    pd.DataFrame([dict(r_regionkey=r, r_name=f"R{r}")
+                  for r in range(5)]).to_parquet(
+        str(tmp_path / "region.parquet"))
+    _dirty_events(seed).to_parquet(str(tmp_path / "events.parquet"))
+
+
+@pytest.mark.parametrize("gate", TPCH_GATES)
+def test_tpch_gates_match_their_oracles_on_random_tables(
+        spark, tmp_path, gate):
+    """round 16: the TPC-H-shaped gates (Q1 decimal aggregation,
+    pushdown filter/project, z-order union, semi/anti + asof/range
+    temporal joins, the dim-chain revenue rollup) vs their oracles on
+    random dirty tables."""
+    import __spark_entry__ as E
+
+    _dirty_tpch(20260816, tmp_path)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation", "region",
+              "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{tmp_path}/{t}.parquet'")
+    sdf = E.queries()[gate](spark, str(tmp_path)).toPandas()
+    odf = con.execute(E.oracle_sql()[gate]).df()
+    _fst_compare(sdf, odf)
+
+
+@pytest.mark.parametrize("seed", [3, 33])
+def test_window_topk_on_random_orders(spark, tmp_path, seed):
+    """round 16: the widened window surface (rank / lag / lead /
+    first_value / ntile over one window spec) vs DuckDB's native
+    window functions on random orders — duplicate totalprice ties and
+    extreme prices the fixed corpus never exercises."""
+    import __spark_entry__ as E
+
+    _dirty_orders(seed).to_parquet(str(tmp_path / "orders.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"'{tmp_path}/orders.parquet'")
+    sdf = E.queries()["window_topk"](spark, str(tmp_path)).toPandas()
+    odf = con.execute(E.oracle_sql()["window_topk"]).df()
+    _fst_compare(sdf, odf)
+
+
 @pytest.mark.parametrize("seed,null_groups", [(3, False), (33, False),
                                               (3, True)])
 def test_dedup_maintenance_plane_on_random_orders(
