@@ -5832,9 +5832,14 @@ def _mm_sql() -> str:
     FROM documents),
   b AS (
     SELECT asset_id, kind, n_bytes,
-           list_transform(generate_series(0, 15),
-             i -> CAST(concat('0x', substr(hex, 2 * i + 1, 2)) AS BIGINT))
-             AS bytes
+           -- hex guard (round 16): a NULL payload keeps NULL features
+           -- (the engine's unknown-content contract) — unguarded,
+           -- DuckDB's NULL-skipping concat turned substr(NULL) into
+           -- the literal '0x' and the BIGINT cast ABORTED the query
+           CASE WHEN hex IS NOT NULL THEN
+             list_transform(generate_series(0, 15),
+               i -> CAST(concat('0x', substr(hex, 2 * i + 1, 2)) AS BIGINT))
+           END AS bytes
     FROM h),
   -- kind='ppm': PREDICT the real decoder's features from the same md5
   -- bytes the Spark side encodes into a genuine 4x4 PPM payload

@@ -62,9 +62,11 @@ MAX_PNG_FILTERED_BYTES = MAX_DECODE_BYTES
 
 _FEATURE_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType(), False),
-    T.StructField("kind", T.StringType(), False),
-    T.StructField("n_bytes", T.IntegerType(), False),
-    T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    T.StructField("kind", T.StringType(), True),
+    # n_bytes/feature NULLABLE (round 16): a NULL payload is UNKNOWN
+    # content and keeps NULL metrics — see _featurize
+    T.StructField("n_bytes", T.IntegerType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
 ])
 
 
@@ -483,14 +485,20 @@ def _opaque_features(payload: bytes) -> np.ndarray:
     (arithmetic-coded JPEG, MP3, non-MJPEG video): md5-seeded
     byte histogram folded to FEATURE_DIM floats — deterministic, so
     pipelines stay testable without the codec."""
-    if payload is None:
-        payload = b""
     digest = hashlib.md5(payload).digest()
     arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
     return arr.reshape(FEATURE_DIM, -1).mean(axis=1) / 255.0
 
 
-def _featurize(payload: bytes) -> np.ndarray:
+def _featurize(payload: bytes) -> "np.ndarray | None":
+    # NULL payload = UNKNOWN content (round 16, the module's
+    # NULL-metric contract): a failed fetch is not an empty file, and
+    # featurizing None as b'' gave unknown content the EXACT feature
+    # vector of a genuinely empty payload — a fabricated near-dup
+    # between assets whose similarity is unverifiable (the
+    # _searchable class). NULL features instead.
+    if payload is None:
+        return None
     img = decode_image(payload)
     if img is not None:
         return _image_features(img)
@@ -511,12 +519,17 @@ def extract_features(df: DataFrame, batch_rows: int = 64) -> DataFrame:
             # bound working set: split oversized Arrow batches
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start:start + batch_rows]
-                feats = [_featurize(p).tolist() for p in chunk["payload"]]
+                fs = [_featurize(p) for p in chunk["payload"]]
+                feats = [f.tolist() if f is not None else None
+                         for f in fs]
                 yield pd.DataFrame({
                     "asset_id": chunk["asset_id"].values,
                     "kind": chunk["kind"].values,
-                    "n_bytes": [len(p) if p is not None else 0
-                                for p in chunk["payload"]],
+                    # nullable Int32: None n_bytes for a NULL payload
+                    # (a plain int list with None would float-widen)
+                    "n_bytes": pd.array(
+                        [len(p) if p is not None else None
+                         for p in chunk["payload"]], dtype="Int32"),
                     "feature": feats,
                 })
 

@@ -30,7 +30,10 @@ WORDS = ["the", "cat", "sat", "mat", "dog", "ran", "fast", "data",
 
 GATES = ["doc_exact_dedup", "doc_fingerprint", "doc_ngram_jaccard",
          "doc_minhash_lsh", "doc_simhash", "doc_langid",
-         "doc_token_counts", "doc_quality"]
+         "doc_token_counts", "doc_quality",
+         # round 16: the multimodal plumbing gate is documents-driven
+         # too (text -> opaque binary payload -> mapInPandas features)
+         "mm_features"]
 
 
 def _dirty_corpus(seed: int, n: int = 250) -> pd.DataFrame:
