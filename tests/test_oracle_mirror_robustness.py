@@ -579,6 +579,47 @@ def test_dedup_maintenance_plane_on_random_orders(
     _fst_compare(sdf, odf)
 
 
+def test_dirty_mirrors_hold_under_ansi(spark, tmp_path):
+    """round 16: loudness/values must not depend on config (the
+    size(NULL) class from round 15) — a representative cross-section
+    of the dirty-corpus mirrors re-run under spark.sql.ansi.enabled =
+    true: the dirtiest arithmetic (pricing decimals on NULL/extreme
+    measures), the records plane's stats/mask folds on quantity
+    extremes, and the JSON/regexp extraction plane. The prior config
+    value is RESTORED (hardcoding 'false' here silently flipped every
+    later test non-ANSI in round 15)."""
+    import __spark_entry__ as E
+
+    _dirty_tpch(20260816, tmp_path)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation", "region",
+              "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{tmp_path}/{t}.parquet'")
+    ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for gate in ("pricing_summary", "join_semi_anti",
+                     "conditional_agg"):
+            sdf = E.queries()[gate](spark, str(tmp_path)).toPandas()
+            odf = con.execute(E.oracle_sql()[gate]).df()
+            _fst_compare(sdf, odf)
+        # the records plane re-reads lineitem, but with ITS corpus
+        # (the TPC-H one carries NULL quantities, which the records
+        # plane adjudicates out — a decoded d payload is dense)
+        _dirty_lineitem(20260816).to_parquet(
+            str(tmp_path / "lineitem.parquet"))
+        con.execute("DROP VIEW lineitem")
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                    f"'{tmp_path}/lineitem.parquet'")
+        for gate in ("fst_stats", "fst_mask_apply"):
+            sdf = E.queries()[gate](spark, str(tmp_path)).toPandas()
+            odf = con.execute(E.oracle_sql()[gate]).df()
+            _fst_compare(sdf, odf)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi0)
+
+
 def _latlon_grid_ids(k: int) -> list[str]:
     """Python mirror of q_fst_latlon_all's grid-id construction: the
     grid ids key k contributes (its main grid, plus the '#' tile grid
