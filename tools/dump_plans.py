@@ -79,7 +79,25 @@ PLAN_NOTES = {
         "per extremum; a struct-keyed variant measured ~2x worse and "
         "was replaced by ONE linearized long key) cost ~+0.2 s real at "
         "sf0.1 on top of host drift — accepted: the old plan computed "
-        "the WRONG answer on NaN fields and transposed ties."
+        "the WRONG answer on NaN fields and transposed ties.\n\n"
+        "**Round-16 single-fold A/B (the r15 #5 order), REJECTED with "
+        "numbers:** two recovery candidates were built parity-identical "
+        "(asserted frame-equal on the gate output AND on direct "
+        "NaN/tie/-0.0/constant edge rows) and A/B'd same-process at "
+        "sf0.1, min-of-5 interleaved: (a) ONE `F.aggregate` fold "
+        "computing struct(min, max, argmin-key, argmax-key, "
+        "first-NaN-key, sum, sumsq) in a single array pass — 0.85 s vs "
+        "current 0.65 s: the per-element accumulator-struct rebuild "
+        "(8 fields x ~15 when-branches per element) costs more than "
+        "the extra short-array passes it eliminates (gate arrays are "
+        "~4-7 elements; the O(n^2) array_min-inside-transform term is "
+        "negligible at that n); (b) hoisting the shared scalars "
+        "(array_min/max, exists, mean, ex2) behind a projection "
+        "boundary so each evaluates once per row — 0.69 s vs 0.67 s "
+        "same-window: within noise, no win. Current shape kept; the "
+        "pass census is plan-locked (tests/test_cube.py "
+        "test_fststat_array_pass_census) so accidental duplication of "
+        "the keyed transform inflates the census and fails loudly."
     ),
     "fst_mask": (
         "**Round-15 guard, measured free:** apply_mask now enforces "
@@ -222,7 +240,29 @@ def main() -> None:
            "bench movement on these two queries as guard+probe cost "
            "plus host drift (calib moved ~1.2-1.4x during the round's "
            "measurement windows); every untouched query moved by the "
-           "calib factor alone.", ""]
+           "calib factor alone.", "",
+           "**Round-16 note (flat by the calib lens; one headline "
+           "query touched with a measured no-op):** local quiet-host "
+           "bench 10.724 s at jvm_md5 calib 0.482 vs r15's 10.962 at "
+           "0.546 — the calib block moved 0.88x, so the normalized "
+           "totals are flat (~-2% raw, within noise). The ONLY "
+           "headline query whose code changed is events_hourly: "
+           "funnel_steps / user_activity_report gained the "
+           "NULL-identity filter (`user_id IS NOT NULL` ahead of the "
+           "one user-key shuffle). On the real corpus it removes zero "
+           "rows (no NULL users), and at 100x scale the filter is a "
+           "SCALE WIN, not a cost: the NULL pseudo-user is the largest "
+           "single group in every identity-keyed shuffle (sessions, "
+           "funnels, as-of joins pool ALL unidentified events into one "
+           "partition — a skew bomb at fact-table scale), and "
+           "excluding it at the source removes that partition "
+           "entirely. The same reasoning applies to asof_join's new "
+           "right-side NULL-key filter (join_semi_anti, not benched) "
+           "and sessionize (already filtered). The round's other "
+           "engine changes (streaming state schema nullability, "
+           "extract_features' NULL contract, the dedup_keys eqNullSafe "
+           "assembly — still hash-joinable group-level broadcasts) "
+           "touch no headline plan.", ""]
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
