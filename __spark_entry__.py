@@ -1029,7 +1029,13 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               "xp_n", "xp_fpa", "xp_fpb", "xp_parts"):
         res = res.withColumn(
             c, F.coalesce(F.col(c), F.lit(0).cast("long")))
-    return res.orderBy(*gcols)
+    # NULLS LAST to match the oracle's DuckDB-default ORDER BY (round
+    # 17 advice): the group join is already NULL-safe, but Spark's
+    # default ascending sort is NULLS FIRST, so a corpus with NULL
+    # group keys would hash-mismatch purely on row order under the
+    # driver's row-order-sensitive hash (fst_metadata_cleanup
+    # precedent).
+    return res.orderBy(*[F.col(c).asc_nulls_last() for c in gcols])
 
 
 _Q_DEDUP_SQL = """

@@ -333,6 +333,15 @@ def grid_lat_lon(df: DataFrame, keep_template_cols: bool = True) -> DataFrame:
                             "dateo", "deet", "npas", "ip1", "ip2", "ip3",
                             "ig1", "ig2", "ig3", "ig4", "grtyp", "d")
                 if c in df.columns]
+    if not tiebreak and not _content:
+        # an empty struct hashes to a constant, silently reverting to
+        # the partition-timing-dependent pick this fallback exists to
+        # eliminate — fail loudly instead (round-17 advice)
+        raise ValueError(
+            "latlon representative tiebreak: frame has neither "
+            "(path, key) identity columns nor any record content "
+            "columns to hash; cannot pick a deterministic "
+            "representative")
     content_tb = tiebreak or [F.xxhash64(F.struct(*_content))]
     w = Window.partitionBy("grid", "_tile") \
               .orderBy("nomvar", "ip1", "ip2", "ip3", *content_tb)
