@@ -262,7 +262,28 @@ def main() -> None:
            "engine changes (streaming state schema nullability, "
            "extract_features' NULL contract, the dedup_keys eqNullSafe "
            "assembly — still hash-joinable group-level broadcasts) "
-           "touch no headline plan.", ""]
+           "touch no headline plan.", "",
+           "**Round-17 note (events_hourly cross-round drift "
+           "ADJUDICATED by same-process A/B — noise):** the r16 "
+           "verdict flagged events_hourly 1.053 s (r14) -> 1.317 s "
+           "(r16) at near-equal calib as the one headline number "
+           "without a measured explanation. The d250100 method "
+           "settles it: the gate body in __spark_entry__.py is "
+           "byte-identical between r14 (77eda7f) and HEAD, so the A/B "
+           "swapped in the r14 operators/funnel.py + sessions.py "
+           "(the only files on the path that changed — the "
+           "NULL-identity filters and the NULL-ts F.when wrap in the "
+           "fold's collect_list struct) and ran both variants "
+           "interleaved, min-of-5, one JVM, sf0.1: r14 2.703 s vs "
+           "r16 2.553 s (delta -0.150 s, r16 FASTER at the min; "
+           "per-iter spread 2.6-3.9 s on both variants dwarfs the "
+           "delta), frames byte-equal at 100,573 rows. Conclusion: "
+           "the r16 code is not slower — if anything the pushed NULL "
+           "filters shave the fold input — and the cross-round BENCH "
+           "movement is per-query host noise, exactly the class the "
+           "round-8 bench-environment note documents. No fix needed; "
+           "the NULL-identity filter stays (it is the 100x skew win "
+           "described in the round-16 note).", ""]
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
