@@ -290,4 +290,9 @@ def compressed_payload_length(f, offset: int) -> int:
     bitstream) so the reader can size its read without librmn's lng."""
     f.seek(offset)
     head = np.frombuffer(f.read(5 * 4), dtype=">u4")
+    if len(head) < 5:
+        # a truncated file would otherwise die as an opaque IndexError
+        raise ValueError(
+            "truncated FST/XDF record: file ends inside the compressed "
+            "payload's 5-word header")
     return 5 + int(head[4])

@@ -337,7 +337,17 @@ def maybe_xdf(path: str) -> bool:
 def read_xdf_directory(path: str, include_deleted: bool = False
                        ) -> "list[RecordHeader]":
     """Walk header -> DIR0 page chain -> vectorized entry unpack; never
-    touches payload bytes (the metadata fast path, std_io.py:656-812)."""
+    touches payload bytes (the metadata fast path, std_io.py:656-812).
+
+    Corruption contract (round 17): a damaged file raises, never
+    returns silently wrong headers — a truncated page read, an entry
+    count outside [0, ENTRIES_PER_PAGE] (a flipped ``nent`` would
+    otherwise pull record bytes into the directory as garbage entries),
+    a page-chain cycle (a flipped ``nxt_addr`` pointing backward would
+    otherwise loop forever), and an XOR-checksum mismatch over the
+    page's entries (the ``chksum`` word the writer stamps; a zero
+    stored checksum is treated as absent) are all loud ``ValueError``s.
+    """
     with open(path, "rb") as f:
         head = np.frombuffer(f.read(FILE_HEADER_FIXED_WORDS * 4), dtype=">u4")
         # slice (not index) keeps the big-endian dtype for tobytes()
@@ -349,7 +359,13 @@ def read_xdf_directory(path: str, include_deleted: bool = False
         key_offset = (lprm + laux) * 8
         chunks = []
         next_addr = 1 + header_units
+        seen_pages: "set[int]" = set()
         while next_addr:
+            if next_addr in seen_pages:
+                raise ValueError(
+                    f"corrupt FST/XDF directory in {path}: page chain "
+                    f"cycles back to unit {next_addr}")
+            seen_pages.add(next_addr)
             f.seek((next_addr - 1) * 8)
             page_head = np.frombuffer(f.read(PAGE_HEADER_WORDS * 4), dtype=">u4")
             if len(page_head) < PAGE_HEADER_WORDS or \
@@ -357,11 +373,46 @@ def read_xdf_directory(path: str, include_deleted: bool = False
                 raise ValueError(
                     f"bad directory page at unit {next_addr} in {path}")
             nent = int(page_head[5])
-            raw = np.frombuffer(
-                f.read(nent * ENTRY_WORDS * 4), dtype=">u4"
-            ).reshape(nent, ENTRY_WORDS)
+            if not 0 <= nent <= ENTRIES_PER_PAGE:
+                raise ValueError(
+                    f"corrupt FST/XDF directory in {path}: page at unit "
+                    f"{next_addr} claims {nent} entries (max "
+                    f"{ENTRIES_PER_PAGE} per page)")
+            buf = f.read(nent * ENTRY_WORDS * 4)
+            if len(buf) < nent * ENTRY_WORDS * 4:
+                raise ValueError(
+                    f"truncated FST/XDF directory in {path}: page at "
+                    f"unit {next_addr} claims {nent} entries but the "
+                    f"file ends after {len(buf)} bytes of them")
+            raw = np.frombuffer(buf, dtype=">u4").reshape(nent, ENTRY_WORDS)
+            stored_chksum = int(page_head[6])
+            if stored_chksum and nent:
+                got = int(np.bitwise_xor.reduce(
+                    raw.reshape(-1).astype("uint32")))
+                if got != stored_chksum:
+                    raise ValueError(
+                        f"corrupt FST/XDF directory in {path}: page at "
+                        f"unit {next_addr} fails its XOR checksum "
+                        f"(stored {stored_chksum:#010x}, computed "
+                        f"{got:#010x}) — entries are bit-damaged")
             chunks.append(raw)
             next_addr = int(page_head[4])
+    # cross-check the walk against the file header's own censuses: a
+    # flipped nxt_addr that happens to become 0 would otherwise end the
+    # chain early and silently drop every later page's records
+    nrec = int(head[13])
+    nbd = int(head[7])
+    total = sum(len(c) for c in chunks)
+    if nrec and total != nrec:
+        raise ValueError(
+            f"corrupt FST/XDF directory in {path}: walked {total} "
+            f"entries but the file header declares nrec={nrec} — the "
+            "page chain is damaged")
+    if nbd and len(seen_pages) != nbd:
+        raise ValueError(
+            f"corrupt FST/XDF directory in {path}: walked "
+            f"{len(seen_pages)} directory pages but the file header "
+            f"declares nbd={nbd} — the page chain is damaged")
     if not chunks:
         return []
     cols = unpack_dir_entries(np.concatenate(chunks))
@@ -387,23 +438,100 @@ def read_xdf_directory(path: str, include_deleted: bool = False
     return out
 
 
-def read_xdf_payload(f, header: RecordHeader) -> np.ndarray:
+def _colval(v):
+    """numpy scalar -> the python value RecordHeader carries."""
+    return str(v) if isinstance(v, np.str_) else int(v)
+
+
+def verify_record_keys(f, header: RecordHeader) -> None:
+    """Cross-check the record-local primary-key block against the
+    directory-derived header (round 17).
+
+    XDF repeats every record's packed primary keys at its ``swa``
+    ahead of the payload (write_xdf lays files out that way; librmn
+    rebuilds damaged directories from exactly these copies).  A bit
+    flip in either copy — a directory entry pointing at the wrong
+    extent (flipped ``swa``), or damaged metadata on either side —
+    makes the two copies disagree, so payload reads can be verified
+    instead of trusting the directory blindly.  The local block is
+    DECODED and compared field-by-field (not repacked-and-compared:
+    string metadata canonicalizes on read — stripped padding — so a
+    repack of the read-back header need not be byte-identical to what
+    an arbitrary writer packed); ``swa`` is cross-checked against the
+    header's byte offset.  Raises ``ValueError`` on mismatch or
+    truncation; returns None when the copies agree.
+    """
+    key_bytes = (LPRM + LAUX) * 8
+    rec_start = header.offset - key_bytes
+    if rec_start < 0:
+        raise ValueError(
+            f"corrupt FST/XDF record {header.nomvar!r}: directory swa "
+            "points before the start of the file")
+    f.seek(rec_start)
+    local = np.frombuffer(f.read(LPRM * 8), dtype=">u4")
+    if len(local) < ENTRY_WORDS:
+        raise ValueError(
+            f"truncated FST/XDF record {header.nomvar!r}: file ends "
+            "inside the record's primary-key block")
+    swa = rec_start // 8 + 1
+    cols = unpack_dir_entries(local.reshape(1, ENTRY_WORDS))
+    mismatched = [k for k in (
+        "nomvar", "typvar", "etiket", "grtyp", "ni", "nj", "nk",
+        "ip1", "ip2", "ip3", "deet", "npas", "datyp", "nbits",
+        "ig1", "ig2", "ig3", "ig4", "datev")
+        if _colval(cols[k][0]) != getattr(header, k)]
+    if int(cols["swa"][0]) != swa:
+        mismatched.append("swa")
+    if mismatched:
+        raise ValueError(
+            f"corrupt FST/XDF record {header.nomvar!r} at swa {swa}: "
+            f"the record-local primary keys disagree with the "
+            f"directory entry on {mismatched} — the directory or the "
+            "record extent is bit-damaged (or the swa points at the "
+            "wrong extent)")
+
+
+def read_xdf_payload(f, header: RecordHeader,
+                     verify_keys: bool = True) -> np.ndarray:
     """Seek + read one record's payload (the point read of get_data,
     std_io.py:463-475), decoded per (datyp, nbits) and returned float32
     to match the engine's ``d`` column type.  Turbo-packed records
     (datyp 130/134) carry a self-describing header, so the byte count
-    comes from the payload itself rather than ni*nj*nk."""
+    comes from the payload itself rather than ni*nj*nk.
+
+    Corruption contract (round 17): the returned array ALWAYS has
+    ``ni*nj*nk`` elements — a truncated payload raises instead of
+    silently returning a short array (``np.frombuffer`` on a short
+    read would), and ``verify_keys`` (default on; one extra 72-byte
+    read per record) cross-checks the record-local primary-key block
+    against the directory entry so a bit-damaged directory or a
+    ``swa`` pointing at the wrong extent raises before any bytes are
+    decoded."""
+    if verify_keys:
+        verify_record_keys(f, header)
     if turbo_codec.is_codec_datyp(header.datyp, header.nbits):
         nwords = turbo_codec.compressed_payload_length(f, header.offset)
         f.seek(header.offset)
-        words = np.frombuffer(f.read(nwords * 4), dtype=">u4")
+        buf = f.read(nwords * 4)
+        if len(buf) < nwords * 4:
+            raise ValueError(
+                f"truncated FST/XDF record {header.nomvar!r}: "
+                f"compressed payload claims {nwords} words but the "
+                f"file ends after {len(buf)} bytes")
+        words = np.frombuffer(buf, dtype=">u4")
         return turbo_codec.decompress_payload(
             words, header.ni, header.nj, header.nk,
             header.datyp, header.nbits)
     dt = payload_dtype(header.datyp, header.nbits)
     f.seek(header.offset)
     nbytes = header.n_floats * np.dtype(dt).itemsize
-    return np.frombuffer(f.read(nbytes), dtype=dt).astype("<f4")
+    buf = f.read(nbytes)
+    if len(buf) < nbytes:
+        raise ValueError(
+            f"truncated FST/XDF record {header.nomvar!r}: payload "
+            f"needs {nbytes} bytes ({header.n_floats} values of {dt}) "
+            f"but the file ends after {len(buf)}")
+    return np.frombuffer(buf, dtype=dt).astype("<f4")
 
 
 def list_xdf_files(path: str) -> "list[str]":

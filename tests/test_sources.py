@@ -780,3 +780,273 @@ def test_source_review_fixes(spark, tmp_path):
     csv.write_text('nomvar,level,d\nTT,1.0,"1,2;3"\n')
     with _pt.raises(CsvReaderError, match="ragged"):
         read_csv_records(spark, str(csv))
+
+
+# --------------------------------------------------------------- round 17
+# XDF READ-path corruption fuzz: the write path validates loudly
+# (test_xdf_write_validation) and the roundtrip is property-fuzzed, but
+# authentic files in the wild are DAMAGED more often than they are
+# librmn-compressed. Contract: reading a truncated or bit-flipped file
+# either raises a loud typed error or returns results provably
+# consistent with the pristine file — NEVER a silently wrong array.
+# Guards under test (sources/xdf_format.py): the per-page XOR checksum,
+# the nrec/nbd census cross-check (a flipped nxt_addr that becomes 0
+# would otherwise silently drop trailing pages), the page-chain cycle
+# detector, the nent range check, short-read guards on every frombuffer,
+# and verify_record_keys (the record-local primary-key block XDF repeats
+# at each swa, decoded and compared field-by-field against the
+# directory entry).
+
+
+def _xdf_fuzz_corpus_records(n=300):
+    """Mixed-layout corpus: transparent AND codec datyps, some deleted
+    records, >256 records so the directory chains two DIR0 pages."""
+    import numpy as np
+
+    layouts = [(5, 32), (5, 64), (2, 32), (4, 32),
+               (130, 16), (134, 16), (133, 24), (1, 12)]
+    rng = np.random.RandomState(17)
+    recs = []
+    for i in range(n):
+        datyp, nbits = layouts[i % len(layouts)]
+        ni, nj = int(rng.randint(1, 9)), int(rng.randint(1, 7))
+        m = ni * nj
+        if datyp == 5:
+            d = (rng.randn(m) * 1e3).astype("<f4")
+        elif datyp == 133:
+            d = rng.randn(m).astype("<f4")
+        elif datyp in (2, 130):
+            d = rng.randint(0, 1 << min(nbits, 24), m).astype("<f4")
+        elif datyp == 4:
+            lim = 1 << (min(nbits, 24) - 1)
+            d = rng.randint(-lim, lim, m).astype("<f4")
+        else:
+            d = rng.randint(0, 1 << min(nbits - 1, 20), m).astype("<f4")
+        recs.append(dict(
+            nomvar=["TT", "UU", "GZ", "P0"][i % 4], typvar="P",
+            etiket=f"FUZZ{i % 100:03d}", ni=ni, nj=nj, nk=1,
+            ip1=int(rng.randint(0, 2 ** 28)), ip2=i % 30, ip3=i,
+            deet=300, npas=i % 100, datyp=datyp, nbits=nbits,
+            grtyp="Z", ig1=i % 90, ig2=(i * 7) % (1 << 24), ig3=0,
+            ig4=i % 50, datev=442998800 + 10 * i + (i % 8),
+            deleted=(i % 41 == 7), d=d))
+    return recs
+
+
+def _xdf_read_all(path):
+    """Directory walk + every live payload, asserting the length
+    invariant (a successful read NEVER yields a wrong-length array)."""
+    import numpy as np  # noqa: F401
+
+    from fstd2pandas_spark.sources.xdf_format import (
+        read_xdf_directory, read_xdf_payload)
+
+    hdrs = read_xdf_directory(path)
+    out = {}
+    with open(path, "rb") as f:
+        for h in hdrs:
+            d = read_xdf_payload(f, h)
+            assert len(d) == h.ni * h.nj * h.nk, \
+                "wrong-length array returned from corrupt file"
+            out[(h.nomvar, h.ip1, h.ip2, h.ip3, h.datev, h.offset)] = d
+    return out
+
+
+@pytest.fixture(scope="module")
+def xdf_fuzz_corpus(tmp_path_factory):
+    """Pristine container + byte-region map for outcome adjudication."""
+    import numpy as np
+
+    from fstd2pandas_spark.sources import turbo_codec
+    from fstd2pandas_spark.sources.xdf_format import (
+        FILE_HEADER_WORDS, PAGE_HEADER_WORDS, PAGE_WORDS,
+        payload_dtype, read_xdf_directory, write_xdf)
+
+    path = str(tmp_path_factory.mktemp("xdf_fuzz") / "pristine.fst")
+    recs = _xdf_fuzz_corpus_records()
+    write_xdf(path, recs)
+    pristine_bytes = open(path, "rb").read()
+    pristine = _xdf_read_all(path)
+
+    # byte -> region classification from the pristine layout
+    live_offsets = {h.offset for h in read_xdf_directory(path)}
+    all_hdrs = read_xdf_directory(path, include_deleted=True)
+    regions = []  # (start, end, kind, payload_key_or_None)
+    hdr_bytes = FILE_HEADER_WORDS * 4
+    regions.append((0, hdr_bytes, "file_header", None))
+    npages = -(-len(all_hdrs) // 256)
+    for p in range(npages):
+        base = hdr_bytes + p * PAGE_WORDS * 4
+        regions.append((base, base + PAGE_HEADER_WORDS * 4,
+                        "page_head", None))
+        nent = min(256, len(all_hdrs) - p * 256)
+        ent_end = base + PAGE_HEADER_WORDS * 4 + nent * 18 * 4
+        regions.append((base + PAGE_HEADER_WORDS * 4, ent_end,
+                        "dir_entry", None))
+        regions.append((ent_end, base + PAGE_WORDS * 4,
+                        "page_slack", None))
+    with open(path, "rb") as f:
+        for h in all_hdrs:
+            live = h.offset in live_offsets
+            rec_start = h.offset - 88
+            if not live:
+                # a deleted record's whole extent is never read
+                regions.append((rec_start, h.offset + 8, "dead", None))
+                continue
+            regions.append((rec_start, rec_start + 72, "keyblock", None))
+            regions.append((rec_start + 72, rec_start + 88, "aux", None))
+            if turbo_codec.is_codec_datyp(h.datyp, h.nbits):
+                nb = turbo_codec.compressed_payload_length(
+                    f, h.offset) * 4
+            else:
+                nb = h.n_floats * np.dtype(
+                    payload_dtype(h.datyp, h.nbits)).itemsize
+            key = (h.nomvar, h.ip1, h.ip2, h.ip3, h.datev, h.offset)
+            regions.append((h.offset, h.offset + nb, "payload", key))
+            pad_end = h.offset + nb + (-nb % 8)   # extent is 8-aligned
+            regions.append((h.offset + nb, pad_end, "pad", None))
+    return path, pristine_bytes, pristine, regions
+
+
+def _classify(regions, byte_pos):
+    for start, end, kind, key in regions:
+        if start <= byte_pos < end:
+            return kind, key
+    return "pad", None
+
+
+@pytest.mark.parametrize("seed", range(120))
+def test_xdf_corruption_fuzz(xdf_fuzz_corpus, tmp_path, seed):
+    """>=100-seed corruption fuzz of the XDF READ path (round 17):
+    truncate at a random offset, or flip a random bit (40 of the 120
+    seeds steer the flip into the structural regions so the directory
+    guards see real traffic). Every outcome must be a loud typed
+    exception or a result provably consistent with the pristine file;
+    a payload-region flip may change that one record's VALUES (raw
+    float payloads carry no checksum — the format's own limit, same as
+    librmn) but never its LENGTH and never any other record."""
+    import numpy as np
+
+    path, pristine_bytes, pristine, regions = xdf_fuzz_corpus
+    rng = np.random.RandomState(1000 + seed)
+    data = bytearray(pristine_bytes)
+    mode = ("truncate" if seed % 3 == 0 else
+            "flip_structural" if seed % 3 == 1 else "flip_anywhere")
+
+    if mode == "truncate":
+        cut = int(rng.randint(0, len(data)))
+        data = data[:cut]
+        flipped_kind, flipped_key = "truncate", None
+    else:
+        if mode == "flip_structural":
+            structural = [r for r in regions if r[2] in
+                          ("file_header", "page_head", "dir_entry",
+                           "keyblock")]
+            start, end, _, _ = structural[
+                int(rng.randint(0, len(structural)))]
+            pos = int(rng.randint(start, end))
+        else:
+            pos = int(rng.randint(0, len(data)))
+        bit = int(rng.randint(0, 8))
+        data[pos] ^= 1 << bit
+        flipped_kind, flipped_key = _classify(regions, pos)
+
+    p = str(tmp_path / "damaged.fst")
+    with open(p, "wb") as f:
+        f.write(bytes(data))
+
+    try:
+        got = _xdf_read_all(p)
+    except (ValueError, NotImplementedError, OSError):
+        return  # loud typed exception: the contract's happy path
+    # success: everything returned must be consistent with pristine
+    assert set(got) <= set(pristine), \
+        f"{flipped_kind}: fabricated records from a corrupt file"
+    if mode == "truncate":
+        assert set(got) == set(pristine), \
+            "truncate: silently dropped records without an error"
+    for key, d in got.items():
+        if key == flipped_key:
+            continue  # the flipped payload's VALUES may change (no
+            #             checksum in the format); length was asserted
+        assert np.array_equal(d, pristine[key]), \
+            f"{flipped_kind}: silently wrong array for {key}"
+
+
+def test_xdf_corruption_targeted(xdf_fuzz_corpus, tmp_path):
+    """Deterministic structural corruptions, one per guard: chain
+    cycle, out-of-range nent, early chain termination (nxt_addr -> 0),
+    checksum damage, swapped swa pointers, truncated final payload."""
+    import numpy as np
+
+    from fstd2pandas_spark.sources.xdf_format import (
+        FILE_HEADER_WORDS, PAGE_HEADER_WORDS, PAGE_WORDS,
+        read_xdf_directory)
+
+    path, pristine_bytes, pristine, regions = xdf_fuzz_corpus
+    hdr_bytes = FILE_HEADER_WORDS * 4
+    page0 = hdr_bytes
+
+    def damage(mutate):
+        data = bytearray(pristine_bytes)
+        mutate(data)
+        p = str(tmp_path / "t.fst")
+        with open(p, "wb") as f:
+            f.write(bytes(data))
+        return p
+
+    def word(data, byte_pos, value):
+        data[byte_pos:byte_pos + 4] = int(value).to_bytes(4, "big")
+
+    first_page_unit = 1 + (FILE_HEADER_WORDS // 2)
+
+    # 1. page chain cycle: page 0's nxt_addr points back at page 0
+    p = damage(lambda d: word(d, page0 + 4 * 4, first_page_unit))
+    with pytest.raises(ValueError, match="cycle|nbd|nrec"):
+        read_xdf_directory(p)
+
+    # 2. nent out of range
+    p = damage(lambda d: word(d, page0 + 5 * 4, 100_000))
+    with pytest.raises(ValueError, match="entries"):
+        read_xdf_directory(p)
+
+    # 3. early chain termination: nxt_addr -> 0 silently drops page 2
+    #    without the nrec census check
+    p = damage(lambda d: word(d, page0 + 4 * 4, 0))
+    with pytest.raises(ValueError, match="nrec|nbd"):
+        read_xdf_directory(p)
+
+    # 4. a flipped directory-entry word fails the page XOR checksum
+    p = damage(lambda d: word(d, page0 + PAGE_HEADER_WORDS * 4 + 8,
+                              0xDEADBEEF))
+    with pytest.raises(ValueError, match="checksum"):
+        read_xdf_directory(p)
+
+    # 5. two records' swa pointers swapped (directory says record A
+    #    lives where record B does): caught by the record-local keys
+    #    even when the checksum is recomputed to match
+    data = bytearray(pristine_bytes)
+    e0 = page0 + PAGE_HEADER_WORDS * 4          # entry 0
+    e1 = e0 + 18 * 4                            # entry 1
+    w0 = data[e0 + 4:e0 + 8]
+    w1 = data[e1 + 4:e1 + 8]
+    data[e0 + 4:e0 + 8], data[e1 + 4:e1 + 8] = w1, w0
+    # recompute the page checksum so only verify_record_keys stands
+    nent0 = int.from_bytes(data[page0 + 5 * 4:page0 + 6 * 4], "big")
+    ent = np.frombuffer(
+        bytes(data[e0:e0 + nent0 * 18 * 4]), dtype=">u4")
+    word(data, page0 + 6 * 4,
+         int(np.bitwise_xor.reduce(ent.astype("uint32"))))
+    p = str(tmp_path / "swap.fst")
+    with open(p, "wb") as f:
+        f.write(bytes(data))
+    with pytest.raises(ValueError, match="record-local|disagree"):
+        _xdf_read_all(p)
+
+    # 6. truncation inside the FINAL record's payload: short read must
+    #    raise, never return a short array
+    last_payload = max(r for r in regions if r[2] == "payload")
+    p = damage(lambda d: d.__delitem__(
+        slice(last_payload[0] + 4, len(d))))
+    with pytest.raises(ValueError, match="truncated|ends"):
+        _xdf_read_all(p)
