@@ -7330,7 +7330,14 @@ def q_fst_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``partition_by`` file clustering (the 100 TB layout — content is
     unchanged, so the oracle stays the identity) and S9's in-place
     ``update`` mode (every TT record's etiket is retagged after the
-    write; the oracle applies the same CASE)."""
+    write; the oracle applies the same CASE).
+
+    Dirty coverage (round 17): the container roundtrip's random-corpus
+    analog is test_oracle_mirror_robustness.py::
+    test_fst_xdf_roundtrip_mirror_on_dirty_records plus the fstrec/XDF
+    property fuzz in test_sources.py; a roundtrip oracle recomputes
+    from the same parquet, so mirror-drift risk concentrates in the
+    container codec, which those sweep."""
     from fstd2pandas_spark.sources import (
         detect_rewrite, register, write_record_table)
 
@@ -7384,7 +7391,13 @@ def q_fst_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_csv_records, and compare against the identity construction. The
     d string parse (C20) and the defaulted-column fill are both on the
     read path; quantities are small decimals so the string round-trip is
-    exact."""
+    exact.
+
+    Dirty coverage (round 17): the CSV dialect's hostile-input handling
+    is pinned by test_csv_validation / test_csv_null_d_cell_raises
+    (both ANSI configs) in test_sources.py; the roundtrip oracle
+    recomputes from the same parquet, so mirror-drift risk concentrates
+    in the dialect parser those tests sweep."""
     from fstd2pandas_spark.sources import read_csv_records, write_csv_records
 
     # every 10th record keeps the CSV small while covering all modulo arms
@@ -7436,7 +7449,16 @@ def q_fst_xdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataSource (magic-sniffed per file, S8), and compare against the
     identity construction. The directory stores only the valid-date
     stamp, so ``dateo`` is the derived value ``stamp - deet*npas/5``
-    exactly as the reference recovers it (std_io.py:786-792)."""
+    exactly as the reference recovers it (std_io.py:786-792).
+
+    Dirty coverage (round 17): this gate's random-corpus analog is
+    test_oracle_mirror_robustness.py::
+    test_fst_xdf_roundtrip_mirror_on_dirty_records (NULL string
+    metadata, garbage dateo, extreme field values, duplicates, every
+    codec arm, 3 seeds) plus the XDF property fuzz / format matrix /
+    corruption fuzz in test_sources.py — a roundtrip oracle recomputes
+    from the same input, so mirror-drift risk concentrates in the
+    container codec, which those sweep."""
     from fstd2pandas_spark.schema import field_dtype
     from fstd2pandas_spark.sources import register, write_record_table
     from fstd2pandas_spark.sources.xdf_format import maybe_xdf
