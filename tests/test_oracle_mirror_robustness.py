@@ -24,6 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
+# full-corpus robustness harness (~10 min of the suite's wall-clock):
+# `pytest -m "not slow"` keeps the operator suites as the fast
+# pre-commit inner loop; CI (and the pre-round check) runs everything
+pytestmark = pytest.mark.slow
+
 WORDS = ["the", "cat", "sat", "mat", "dog", "ran", "fast", "data",
          "spark", "hello", "world", "a", "b", "I", "don't", "x1",
          "2024", "--", "...", "e.g.", "co-op", "$5", "50%", "foo_bar"]
