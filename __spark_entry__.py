@@ -4246,10 +4246,16 @@ def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fstd2pandas_spark.operators.llm import lsh_candidate_pairs
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    deg = spark.createDataFrame(
-        [(-1, None), (-2, "hello"), (-3, "two tokens"),
-         (-4, ""), (-5, None), (-6, "hello")],
-        "doc_id long, text string")
+    # VALUES, not createDataFrame: a Python-built frame plans as a
+    # Scan ExistingRDD whose per-execution RDD setup cost ~0.29 s at
+    # sf0.1 (round-17 A/B, min-of-5 interleaved: union-with-RDD 1.089 s
+    # vs union-with-VALUES 0.800 s vs base 0.737 s); the SQL local
+    # relation is a JVM LocalTableScan with the same rows
+    deg = spark.sql("""
+      SELECT doc_id, text FROM VALUES
+        (CAST(-1 AS BIGINT), CAST(NULL AS STRING)), (-2, 'hello'),
+        (-3, 'two tokens'), (-4, ''), (-5, CAST(NULL AS STRING)),
+        (-6, 'hello') AS t(doc_id, text)""")
     inp = docs.unionByName(deg)
     pairs = lsh_candidate_pairs(inp, num_hashes=8, bands=4)
     probe = (inp.filter(F.col("doc_id") < 0)
@@ -4333,8 +4339,13 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fstd2pandas_spark.operators.llm.dedup import simhash_report_rows
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    deg = spark.createDataFrame(
-        [(-1, None), (-2, None), (-3, None)], "doc_id long, text string")
+    # VALUES, not createDataFrame — the doc_minhash_lsh rationale (a
+    # Python-built frame plans as a per-execution-cost RDD scan)
+    deg = spark.sql("""
+      SELECT doc_id, text FROM VALUES
+        (CAST(-1 AS BIGINT), CAST(NULL AS STRING)),
+        (-2, CAST(NULL AS STRING)),
+        (-3, CAST(NULL AS STRING)) AS t(doc_id, text)""")
     inp = docs.unionByName(deg)
     rows = simhash_report_rows(inp, bits=48, max_hamming=2)
     probe = (inp.filter(F.col("text").isNull()
@@ -4765,11 +4776,19 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fstd2pandas_spark.operators.llm.similarity import semantic_dedup
 
     emb = _load(spark, sf_dir, "embeddings")
-    nanvec = [float("nan")] + [0.5] * 63
-    deg = spark.createDataFrame(
-        [(-1, None), (-2, [0.0] * 64), (-3, [0.0] * 64),
-         (-4, nanvec), (-5, nanvec)],
-        "vec_id long, embedding array<float>")
+    # VALUES-style JVM local relation, not createDataFrame — the
+    # doc_minhash_lsh rationale (a Python-built frame plans as a
+    # per-execution-cost RDD scan); constant folding collapses the
+    # array_repeat/array_insert literals driver-side
+    deg = spark.sql("""
+      SELECT CAST(-1 AS BIGINT) AS vec_id,
+             CAST(NULL AS ARRAY<FLOAT>) AS embedding
+      UNION ALL SELECT -2, array_repeat(CAST(0.0 AS FLOAT), 64)
+      UNION ALL SELECT -3, array_repeat(CAST(0.0 AS FLOAT), 64)
+      UNION ALL SELECT -4, array_insert(
+        array_repeat(CAST(0.5 AS FLOAT), 63), 1, CAST('NaN' AS FLOAT))
+      UNION ALL SELECT -5, array_insert(
+        array_repeat(CAST(0.5 AS FLOAT), 63), 1, CAST('NaN' AS FLOAT))""")
     linp = emb.select("vec_id", "embedding").unionByName(deg)
     lsh = embedding_neardup(linp, threshold=0.4, n_planes=4).select(
         F.lit("lsh").alias("kind"), "vec_a", "vec_b", "cos")
@@ -4930,10 +4949,13 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fstd2pandas_spark.operators.llm.similarity import random_projection
 
     emb = _load(spark, sf_dir, "embeddings")
-    nanvec = [float("nan")] + [0.5] * 63
-    deg = spark.createDataFrame(
-        [(-1, None), (-2, [0.0] * 64), (-3, nanvec)],
-        "vec_id long, embedding array<float>")
+    # VALUES-style JVM local relation — the doc_minhash_lsh rationale
+    deg = spark.sql("""
+      SELECT CAST(-1 AS BIGINT) AS vec_id,
+             CAST(NULL AS ARRAY<FLOAT>) AS embedding
+      UNION ALL SELECT -2, array_repeat(CAST(0.0 AS FLOAT), 64)
+      UNION ALL SELECT -3, array_insert(
+        array_repeat(CAST(0.5 AS FLOAT), 63), 1, CAST('NaN' AS FLOAT))""")
     ann_inp = emb.select("vec_id", "embedding").unionByName(deg)
     ann = lsh_ann_topk(ann_inp, k=5, n_planes=4, dim=64,
                        n_queries=10).select(
