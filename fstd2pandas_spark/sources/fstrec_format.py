@@ -14,23 +14,37 @@ the *architecturally relevant* properties of it (SURVEY §2.1 S1-S8):
 
 Layout (little-endian):
 
-    magic  b'FSTR0001'
+    magic  b'FSTR0002'
     u32    nrecords
+    u32    crc32 of the directory block   (v2; absent in FSTR0001)
     directory: nrecords * HEADER (fixed width, see _HEADER_STRUCT)
     payloads: concatenated float32 arrays
 
 Header fields mirror BASE_COLUMNS; payload extent = (offset, n_floats).
+
+Corruption contract (round 17, the XDF read-path contract applied to
+the portable container): a damaged file raises, never returns silently
+wrong data — the v2 directory CRC catches any header bit flip, the
+``n_floats == ni*nj*nk`` and offset-continuity invariants (write_fstrec
+lays payloads out contiguously; update mode never moves extents) catch
+extent corruption even on legacy v1 files, and short reads raise on
+both the directory and payload paths. Payload bit flips remain
+value-undetectable (float payloads carry no checksum — the same limit
+as the XDF container and librmn itself). FSTR0001 files stay readable;
+new files are always written as FSTR0002.
 """
 
 from __future__ import annotations
 
 import os
 import struct
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
 
-MAGIC = b"FSTR0001"
+MAGIC = b"FSTR0002"
+MAGIC_V1 = b"FSTR0001"
 
 #: nomvar(4s) typvar(2s) etiket(12s) grtyp(2s) then 17 ints + 2 longs + extent
 _HEADER_STRUCT = struct.Struct(
@@ -46,7 +60,10 @@ _HEADER_STRUCT = struct.Struct(
 )
 
 HEADER_SIZE = _HEADER_STRUCT.size
-_PREFIX = len(MAGIC) + 4
+#: v2 prefix: magic + nrecords + directory crc32
+_PREFIX = len(MAGIC) + 8
+#: legacy v1 prefix: magic + nrecords (no checksum)
+_PREFIX_V1 = len(MAGIC_V1) + 4
 
 @dataclass
 class RecordHeader:
@@ -127,6 +144,7 @@ def write_fstrec(path: str, records: "list[dict]") -> int:
     with open(path, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<I", len(records)))
+        f.write(struct.pack("<I", zlib.crc32(bytes(headers))))
         f.write(bytes(headers))
         for p in payloads:
             f.write(p)
@@ -134,26 +152,53 @@ def write_fstrec(path: str, records: "list[dict]") -> int:
 
 
 def maybe_fstrec(path: str) -> bool:
-    """Magic-bytes sniff (the reference's maybeFST, std_io.py:136-151)."""
+    """Magic-bytes sniff (the reference's maybeFST, std_io.py:136-151).
+    Accepts the current FSTR0002 layout and legacy FSTR0001 files."""
     try:
         with open(path, "rb") as f:
-            return f.read(len(MAGIC)) == MAGIC
+            return f.read(len(MAGIC)) in (MAGIC, MAGIC_V1)
     except OSError:
         return False
 
 
 def read_directory(path: str) -> list[RecordHeader]:
     """Read only the header directory — the metadata-scan fast path
-    (std_io.py:698-799's vectorized unpack; payloads untouched)."""
+    (std_io.py:698-799's vectorized unpack; payloads untouched).
+
+    Corruption contract (round 17): truncation and header damage raise
+    — the v2 CRC covers every directory byte; the ``n_floats ==
+    ni*nj*nk`` and offset-continuity invariants hold on BOTH format
+    versions, so a flipped extent on a legacy v1 file cannot silently
+    map a record onto the wrong payload bytes."""
     with open(path, "rb") as f:
-        if f.read(len(MAGIC)) != MAGIC:
+        magic = f.read(len(MAGIC))
+        if magic not in (MAGIC, MAGIC_V1):
             raise ValueError(f"not an fstrec file: {path}")
-        (n,) = struct.unpack("<I", f.read(4))
+        head = f.read(8 if magic == MAGIC else 4)
+        if len(head) < (8 if magic == MAGIC else 4):
+            raise ValueError(f"truncated fstrec file: {path}")
+        if magic == MAGIC:
+            n, crc = struct.unpack("<II", head)
+            prefix = _PREFIX
+        else:
+            (n,) = struct.unpack("<I", head)
+            crc = None
+            prefix = _PREFIX_V1
         raw = f.read(HEADER_SIZE * n)
+    if len(raw) < HEADER_SIZE * n:
+        raise ValueError(
+            f"truncated fstrec file {path}: directory claims {n} "
+            f"records but the file ends after {len(raw)} bytes of "
+            "headers")
+    if crc is not None and zlib.crc32(raw) != crc:
+        raise ValueError(
+            f"corrupt fstrec directory in {path}: CRC32 mismatch — "
+            "the header block is bit-damaged")
     out = []
+    expect_offset = prefix + HEADER_SIZE * n
     for i in range(n):
         vals = _HEADER_STRUCT.unpack_from(raw, i * HEADER_SIZE)
-        out.append(RecordHeader(
+        h = RecordHeader(
             nomvar=vals[0].decode().rstrip(), typvar=vals[1].decode().rstrip(),
             etiket=vals[2].decode().rstrip(), grtyp=vals[3].decode().rstrip(),
             ni=vals[4], nj=vals[5], nk=vals[6], dateo=vals[7], ip1=vals[8],
@@ -161,15 +206,35 @@ def read_directory(path: str) -> list[RecordHeader]:
             datyp=vals[13], nbits=vals[14], ig1=vals[15], ig2=vals[16],
             ig3=vals[17], ig4=vals[18], datev=vals[19],
             offset=vals[20], n_floats=vals[21],
-        ))
+        )
+        if h.n_floats != h.ni * h.nj * h.nk:
+            raise ValueError(
+                f"corrupt fstrec record {h.nomvar!r} in {path}: extent "
+                f"n_floats={h.n_floats} != ni*nj*nk="
+                f"{h.ni * h.nj * h.nk}")
+        if h.offset != expect_offset:
+            raise ValueError(
+                f"corrupt fstrec record {h.nomvar!r} in {path}: extent "
+                f"offset {h.offset} breaks the contiguous layout "
+                f"(expected {expect_offset}) — the directory is "
+                "bit-damaged")
+        expect_offset += 4 * h.n_floats
+        out.append(h)
     return out
 
 
 def read_payload(f, header: RecordHeader) -> np.ndarray:
     """Seek + read one record's float32 payload (the point read of
-    get_data, std_io.py:463-475)."""
+    get_data, std_io.py:463-475). A truncated payload raises instead of
+    silently returning a short array (round 17)."""
     f.seek(header.offset)
-    return np.frombuffer(f.read(header.n_floats * 4), dtype="<f4")
+    buf = f.read(header.n_floats * 4)
+    if len(buf) < header.n_floats * 4:
+        raise ValueError(
+            f"truncated fstrec record {header.nomvar!r}: payload needs "
+            f"{header.n_floats * 4} bytes but the file ends after "
+            f"{len(buf)}")
+    return np.frombuffer(buf, dtype="<f4")
 
 
 def update_metadata(path: str, updates: "dict[int, dict]") -> int:
@@ -190,11 +255,13 @@ def update_metadata(path: str, updates: "dict[int, dict]") -> int:
                 raise KeyError(f"unknown metadata field {name}")
     edited = 0
     with open(path, "r+b") as f:
+        magic = f.read(len(MAGIC))
+        prefix = _PREFIX if magic == MAGIC else _PREFIX_V1
         for key, fields in updates.items():
             h = headers[key - 1]
             for name, value in fields.items():
                 setattr(h, name, value)
-            f.seek(_PREFIX + (key - 1) * HEADER_SIZE)
+            f.seek(prefix + (key - 1) * HEADER_SIZE)
             f.write(_HEADER_STRUCT.pack(
                 _pad(h.nomvar, 4), _pad(h.typvar, 2), _pad(h.etiket, 12),
                 _pad(h.grtyp, 2), int(h.ni), int(h.nj), int(h.nk),
@@ -204,6 +271,12 @@ def update_metadata(path: str, updates: "dict[int, dict]") -> int:
                 int(h.datev), h.offset, h.n_floats,
             ))
             edited += 1
+        if magic == MAGIC and edited:
+            # re-stamp the directory CRC over the edited header block
+            f.seek(prefix)
+            raw = f.read(HEADER_SIZE * len(headers))
+            f.seek(len(MAGIC) + 4)
+            f.write(struct.pack("<I", zlib.crc32(raw)))
     return edited
 
 

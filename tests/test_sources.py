@@ -1050,3 +1050,129 @@ def test_xdf_corruption_targeted(xdf_fuzz_corpus, tmp_path):
         slice(last_payload[0] + 4, len(d))))
     with pytest.raises(ValueError, match="truncated|ends"):
         _xdf_read_all(p)
+
+
+# fstrec container corruption fuzz (round 17, the XDF contract applied
+# to the portable container): FSTR0002 adds a directory CRC32, and the
+# n_floats==ni*nj*nk / offset-continuity invariants hold on legacy
+# FSTR0001 files too, so no header flip can silently remap a record
+# onto the wrong payload bytes on either version.
+
+
+def _fstrec_fuzz_file(tmp_path, n=150):
+    import numpy as np
+
+    from fstd2pandas_spark.sources.fstrec_format import write_fstrec
+
+    rng = np.random.RandomState(23)
+    recs = []
+    for i in range(n):
+        ni, nj = int(rng.randint(1, 6)), int(rng.randint(1, 4))
+        recs.append(dict(
+            nomvar=["TT", "UU", "GZ"][i % 3], typvar="P",
+            etiket=f"FZ{i % 100:03d}", grtyp="Z",
+            ni=ni, nj=nj, nk=1, dateo=442998800 + i,
+            ip1=i, ip2=i % 30, ip3=i, deet=300, npas=i % 50,
+            datyp=5, nbits=32, ig1=0, ig2=0, ig3=0, ig4=0,
+            datev=442998800 + i,
+            d=rng.randn(ni * nj).astype("<f4")))
+    path = str(tmp_path / "pristine.fstrec")
+    write_fstrec(path, recs)
+    return path, recs
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_fstrec_corruption_fuzz(tmp_path, seed):
+    """Truncate at a random offset or flip a random bit: every outcome
+    is a loud typed exception or — for flips landing in a payload —
+    results where only that record's VALUES change (float payloads
+    carry no checksum; lengths and all other records must hold)."""
+    import numpy as np
+
+    from fstd2pandas_spark.sources.fstrec_format import (
+        HEADER_SIZE, _PREFIX, read_directory, read_payload)
+
+    path, recs = _fstrec_fuzz_file(tmp_path)
+    pristine_bytes = open(path, "rb").read()
+    hdr_end = _PREFIX + HEADER_SIZE * len(recs)
+
+    def read_all(p):
+        out = {}
+        with open(p, "rb") as f:
+            for h in read_directory(p):
+                d = read_payload(f, h)
+                assert len(d) == h.ni * h.nj * h.nk, "wrong-length array"
+                out[h.ip3] = (h.nomvar, h.etiket, d)
+        return out
+
+    pristine = read_all(path)
+    rng = np.random.RandomState(4000 + seed)
+    data = bytearray(pristine_bytes)
+    if seed % 2 == 0:
+        cut = int(rng.randint(0, len(data)))
+        data = data[:cut]
+        in_payload = False
+    else:
+        pos = int(rng.randint(0, len(data)))
+        data[pos] ^= 1 << int(rng.randint(0, 8))
+        in_payload = pos >= hdr_end
+    p = str(tmp_path / "damaged.fstrec")
+    with open(p, "wb") as f:
+        f.write(bytes(data))
+    try:
+        got = read_all(p)
+    except (ValueError, UnicodeDecodeError, OSError):
+        return
+    # success: possible only for a payload-region flip (the CRC covers
+    # every header byte; truncation always hits a guard)
+    assert in_payload, "structural corruption read back silently"
+    assert set(got) == set(pristine)
+    diff = [k for k in got
+            if got[k][:2] != pristine[k][:2]
+            or not np.array_equal(got[k][2], pristine[k][2])]
+    assert len(diff) <= 1, "one payload flip changed multiple records"
+
+
+def test_fstrec_v1_legacy_read(tmp_path):
+    """FSTR0001 files (no directory CRC) remain readable, and the
+    version-independent extent invariants still guard them."""
+    import struct
+
+    import numpy as np
+
+    from fstd2pandas_spark.sources.fstrec_format import (
+        HEADER_SIZE, _PREFIX, _PREFIX_V1, maybe_fstrec, read_directory,
+        read_payload)
+
+    path, recs = _fstrec_fuzz_file(tmp_path)
+    v2 = open(path, "rb").read()
+    # rewrite as v1: old magic, no crc word, offsets shifted back by 4
+    n = len(recs)
+    hdrs = bytearray(v2[_PREFIX:_PREFIX + HEADER_SIZE * n])
+    for i in range(n):
+        off_at = i * HEADER_SIZE + HEADER_SIZE - 12  # Q offset, I n_floats
+        (off,) = struct.unpack_from("<Q", hdrs, off_at)
+        struct.pack_into("<Q", hdrs, off_at, off - 4)
+    v1 = (b"FSTR0001" + struct.pack("<I", n) + bytes(hdrs)
+          + v2[_PREFIX + HEADER_SIZE * n:])
+    p1 = str(tmp_path / "legacy.fstrec")
+    with open(p1, "wb") as f:
+        f.write(v1)
+    assert maybe_fstrec(p1)
+    hdrs_read = read_directory(p1)
+    assert len(hdrs_read) == n
+    with open(p1, "rb") as f:
+        for h, r in zip(hdrs_read, recs):
+            assert h.nomvar == r["nomvar"]
+            assert np.array_equal(read_payload(f, h), r["d"])
+    # a flipped extent on v1 (no CRC) is still caught by the
+    # continuity invariant
+    bad = bytearray(v1)
+    off_at = _PREFIX_V1 + HEADER_SIZE - 12
+    (off,) = struct.unpack_from("<Q", bad, off_at)
+    struct.pack_into("<Q", bad, off_at, off + 8)
+    p2 = str(tmp_path / "legacy_bad.fstrec")
+    with open(p2, "wb") as f:
+        f.write(bytes(bad))
+    with pytest.raises(ValueError, match="contiguous|n_floats"):
+        read_directory(p2)
