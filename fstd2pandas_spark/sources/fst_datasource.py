@@ -73,12 +73,23 @@ def _list_container_files(path: str) -> "list[str]":
 
 
 def _container_io(path: str):
-    """Per-file format dispatch -> (read_directory, read_payload)."""
+    """Per-file format dispatch -> (read_directory, read_payload,
+    verify_batch). ``verify_batch`` (XDF only, else None) is the
+    vectorized record-local primary-key verification: the scan path
+    runs it ONCE per chunk and reads payloads with the per-record
+    verify off — same integrity contract as the point-read API at
+    ~1/100th the per-record cost (round 17; xdf_format.py
+    verify_record_keys_batch). fstrec needs no batch step: its
+    directory CRC32 already covers every header byte at
+    read_directory time."""
     from fstd2pandas_spark.sources import fstrec_format, xdf_format
 
     if xdf_format.maybe_xdf(path):
-        return xdf_format.read_xdf_directory, xdf_format.read_xdf_payload
-    return fstrec_format.read_directory, fstrec_format.read_payload
+        def _payload_noverify(f, h):
+            return xdf_format.read_xdf_payload(f, h, verify_keys=False)
+        return (xdf_format.read_xdf_directory, _payload_noverify,
+                xdf_format.verify_record_keys_batch)
+    return fstrec_format.read_directory, fstrec_format.read_payload, None
 
 
 def _grid_of(h) -> str:
@@ -151,7 +162,7 @@ class _FstRecReaderBase(DataSourceReader):
         import pyarrow as pa
 
         path = partition.path
-        read_directory, read_payload = _container_io(path)
+        read_directory, read_payload, verify_batch = _container_io(path)
         headers = read_directory(path)
         selected = [
             (i + 1, h) for i, h in enumerate(headers)
@@ -206,6 +217,11 @@ class _FstRecReaderBase(DataSourceReader):
                     np.fromiter((k for k, _ in chunk), dtype=np.int64,
                                 count=n))
                 if f is not None:
+                    if verify_batch is not None:
+                        # one vectorized key-block verification per
+                        # chunk; the payload reads below then skip the
+                        # per-record verify (same contract, batched)
+                        verify_batch(f, [h for _, h in chunk])
                     # zero-copy list column: one concatenated float32
                     # values buffer + int32 offsets (no per-element
                     # Python boxing in the scan hot path)

@@ -461,32 +461,63 @@ def verify_record_keys(f, header: RecordHeader) -> None:
     header's byte offset.  Raises ``ValueError`` on mismatch or
     truncation; returns None when the copies agree.
     """
+    verify_record_keys_batch(f, [header])
+
+
+_VERIFIED_FIELDS = ("nomvar", "typvar", "etiket", "grtyp", "ni", "nj",
+                    "nk", "ip1", "ip2", "ip3", "deet", "npas", "datyp",
+                    "nbits", "ig1", "ig2", "ig3", "ig4", "datev")
+
+
+def verify_record_keys_batch(f, headers: "list[RecordHeader]") -> None:
+    """Vectorized :func:`verify_record_keys` over many records — the
+    scan-path shape (round 17): per-record verification runs
+    ``unpack_dir_entries`` at batch size 1 (~276 µs/record measured —
+    a 100x tax over the raw payload read, ~16 s on a 60k-record file),
+    while ONE unpack over the stacked key blocks costs ~3 µs/record.
+    The file reads stay per-record (adjacent to the payload reads the
+    caller is about to do); only the decode+compare is batched."""
+    if not headers:
+        return
     key_bytes = (LPRM + LAUX) * 8
-    rec_start = header.offset - key_bytes
-    if rec_start < 0:
+    n = len(headers)
+    blocks = np.empty((n, ENTRY_WORDS), dtype=">u4")
+    swas = np.empty(n, dtype="int64")
+    for i, h in enumerate(headers):
+        rec_start = h.offset - key_bytes
+        if rec_start < 0:
+            raise ValueError(
+                f"corrupt FST/XDF record {h.nomvar!r}: directory swa "
+                "points before the start of the file")
+        f.seek(rec_start)
+        buf = f.read(LPRM * 8)
+        if len(buf) < LPRM * 8:
+            raise ValueError(
+                f"truncated FST/XDF record {h.nomvar!r}: file ends "
+                "inside the record's primary-key block")
+        blocks[i] = np.frombuffer(buf, dtype=">u4")
+        swas[i] = rec_start // 8 + 1
+    cols = unpack_dir_entries(blocks)
+    bad: "dict[int, list[str]]" = {}
+    for k in _VERIFIED_FIELDS:
+        got = cols[k]
+        if got.dtype.kind in "US":
+            want = np.array([getattr(h, k) for h in headers],
+                            dtype=got.dtype)
+        else:
+            want = np.fromiter((getattr(h, k) for h in headers),
+                               dtype="int64", count=n)
+        for i in np.nonzero(got != want)[0]:
+            bad.setdefault(int(i), []).append(k)
+    for i in np.nonzero(cols["swa"].astype("int64") != swas)[0]:
+        bad.setdefault(int(i), []).append("swa")
+    if bad:
+        i, fields = next(iter(sorted(bad.items())))
+        h = headers[i]
         raise ValueError(
-            f"corrupt FST/XDF record {header.nomvar!r}: directory swa "
-            "points before the start of the file")
-    f.seek(rec_start)
-    local = np.frombuffer(f.read(LPRM * 8), dtype=">u4")
-    if len(local) < ENTRY_WORDS:
-        raise ValueError(
-            f"truncated FST/XDF record {header.nomvar!r}: file ends "
-            "inside the record's primary-key block")
-    swa = rec_start // 8 + 1
-    cols = unpack_dir_entries(local.reshape(1, ENTRY_WORDS))
-    mismatched = [k for k in (
-        "nomvar", "typvar", "etiket", "grtyp", "ni", "nj", "nk",
-        "ip1", "ip2", "ip3", "deet", "npas", "datyp", "nbits",
-        "ig1", "ig2", "ig3", "ig4", "datev")
-        if _colval(cols[k][0]) != getattr(header, k)]
-    if int(cols["swa"][0]) != swa:
-        mismatched.append("swa")
-    if mismatched:
-        raise ValueError(
-            f"corrupt FST/XDF record {header.nomvar!r} at swa {swa}: "
-            f"the record-local primary keys disagree with the "
-            f"directory entry on {mismatched} — the directory or the "
+            f"corrupt FST/XDF record {h.nomvar!r} at swa {int(swas[i])}:"
+            f" the record-local primary keys disagree with the "
+            f"directory entry on {fields} — the directory or the "
             "record extent is bit-damaged (or the swa points at the "
             "wrong extent)")
 
