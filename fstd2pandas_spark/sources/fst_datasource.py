@@ -10,7 +10,11 @@ Usage::
 Scale behavior:
 - ``partitions()`` plans one Spark task per file (the reference reads
   files sequentially, std_reader.py:84-90 — here N files scan in
-  parallel natively);
+  parallel natively), and files larger than
+  ``option("split_target_bytes")`` (default 256 MB; 0 disables) are
+  planned as multiple tasks over contiguous directory-index ranges, so
+  read parallelism is never capped by the file count — a single
+  multi-GB container fans out instead of pinning one core;
 - **filter pushdown** (``pushFilters``): equality/range/In filters on
   metadata columns are evaluated against the header directory BEFORE any
   payload bytes are read — the engine-side version of the reference's
@@ -20,6 +24,21 @@ Scale behavior:
   Python DataSource API has no projection pushdown hook yet, so the
   option is the explicit contract.
 - reads yield Arrow RecordBatches (zero-copy into Spark).
+
+Known upstream issue (pyspark 4.1.2, reproduced with a 20-line toy
+Python DataSource — tests/test_sources.py::
+test_upstream_pushdown_shares_plan_across_derived_queries): with
+Python-reader filter pushdown enabled, EXECUTING a fully-pushed
+filtered query derived from a loaded DataFrame and then RE-EXECUTING
+the parent DataFrame returns the child's filtered rows — the planned
+scan is shared across queries over one load, last planning wins.
+Filtered queries themselves are always correct; fresh loads are always
+correct. Safe patterns: re-load per logical query (this package's api
+facade and every __spark_entry__ gate do), or pass
+``option("pushdown", "false")`` on a load that must be shared across
+several actions (filters then run engine-side; results identical, the
+header-skip fast path is lost). The strict-xfail sentinel test flips
+the day a Spark upgrade fixes this, so the warning can be retired.
 """
 
 from __future__ import annotations
@@ -57,6 +76,17 @@ SCHEMA_DDL = (
 @dataclass
 class _FilePartition(InputPartition):
     path: str
+    #: intra-file split (round 17): one task per FILE caps read
+    #: parallelism at the file count — a single multi-GB container
+    #: would occupy one core while the rest of the cluster idles. A
+    #: file larger than split_target_bytes is planned as n_splits
+    #: contiguous DIRECTORY-INDEX ranges; each task re-reads the (KB-
+    #: sized) directory and slices its range. Ranges are contiguous in
+    #: the directory, and the writer lays payload extents in directory
+    #: order (W3/S6), so each task still reads one sequential byte
+    #: span.
+    split: int = 0
+    n_splits: int = 1
 
 
 def _list_container_files(path: str) -> "list[str]":
@@ -149,13 +179,30 @@ class _FstRecReaderBase(DataSourceReader):
             raise ValueError("fstrec: path required")
         self.with_data = str(options.get("with_data", "true")).lower() != "false"
         self.batch_rows = int(options.get("batch_rows", "2048"))
+        #: files above this size are split into multiple tasks
+        #: (contiguous directory-index ranges); 0 disables splitting
+        self.split_target = int(
+            options.get("split_target_bytes", str(256 * 1024 * 1024)))
         self.filters: list[Filter] = []
 
     def partitions(self):
+        import os as _os
+
         files = _list_container_files(self.path)
         if not files:
             raise FileNotFoundError(f"fstrec: no files at {self.path}")
-        return [_FilePartition(p) for p in files]
+        parts = []
+        for p in files:
+            n_splits = 1
+            if self.split_target > 0:
+                try:
+                    size = _os.path.getsize(p)
+                except OSError:
+                    size = 0
+                n_splits = max(1, -(-size // self.split_target))
+            parts.extend(_FilePartition(p, s, n_splits)
+                         for s in range(n_splits))
+        return parts
 
     def read(self, partition: _FilePartition):
         import numpy as np
@@ -164,8 +211,15 @@ class _FstRecReaderBase(DataSourceReader):
         path = partition.path
         read_directory, read_payload, verify_batch = _container_io(path)
         headers = read_directory(path)
+        lo, hi = 0, len(headers)
+        if partition.n_splits > 1:
+            # this task's contiguous directory-index range; global
+            # 1-based keys are preserved via the enumerate offset
+            lo = (len(headers) * partition.split) // partition.n_splits
+            hi = (len(headers) * (partition.split + 1)) \
+                // partition.n_splits
         selected = [
-            (i + 1, h) for i, h in enumerate(headers)
+            (i + 1, h) for i, h in enumerate(headers[lo:hi], start=lo)
             if all(_matches(h, f, i + 1, path) for f in self.filters)
         ]
         if not selected:
@@ -415,7 +469,18 @@ class FstRecDataSource(DataSource):
         return SCHEMA_DDL
 
     def reader(self, schema: StructType) -> _FstRecReaderBase:
-        cls = FstRecReader if FstRecDataSource.pushdown else _FstRecReaderBase
+        # option("pushdown", "false"): per-load escape from the
+        # upstream Spark 4.1 Python-DataSource plan-sharing bug (see
+        # the module docstring's "Known upstream issue"): with filter
+        # pushdown on, EXECUTING a fully-pushed filtered child query
+        # and then RE-EXECUTING its parent DataFrame returns the
+        # child's filtered rows. Re-loading per logical query (what
+        # this package's own facade and gates do) avoids it; loads
+        # that must be shared across several actions can turn the
+        # pushdown off here instead.
+        opt_on = str(self.options.get("pushdown", "true")).lower() != "false"
+        cls = (FstRecReader if FstRecDataSource.pushdown and opt_on
+               else _FstRecReaderBase)
         return cls(self.options)
 
     def streamReader(self, schema: StructType) -> FstRecStreamReader:

@@ -1176,3 +1176,143 @@ def test_fstrec_v1_legacy_read(tmp_path):
         f.write(bytes(bad))
     with pytest.raises(ValueError, match="contiguous|n_floats"):
         read_directory(p2)
+
+
+def test_split_large_files_into_multiple_tasks(registered, records,
+                                               tmp_path):
+    """round 17: read parallelism must not be capped by the file count
+    — a container larger than split_target_bytes plans as multiple
+    tasks over contiguous directory-index ranges. Forced tiny target:
+    same multiset as the unsplit read (rows, keys, payloads), filters
+    still push down, and the metadata-only scan splits too."""
+    out = str(tmp_path / "one_big_file")
+    records.coalesce(1).write.format("fstrec").mode("overwrite").save(out)
+
+    # fresh load per query throughout — the documented safe pattern for
+    # pushdown loads (see test_upstream_pushdown_shares_plan_across_
+    # derived_queries: a filtered child would otherwise pollute its
+    # parent's later executions, an upstream Spark 4.1 bug this test
+    # first tripped over)
+    def plain():
+        return registered.read.format("fstrec").load(out)
+
+    def split(**opts):
+        r = registered.read.format("fstrec").option(
+            "split_target_bytes", "2048")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load(out)
+
+    n_plain = plain().rdd.getNumPartitions()
+    assert split().rdd.getNumPartitions() > n_plain
+
+    key = ("nomvar", "typvar", "grid", "ip1", "ip2", "datev", "key")
+    p = [tuple(r[c] for c in key) + (tuple(r.d),)
+         for r in plain().collect()]
+    s = [tuple(r[c] for c in key) + (tuple(r.d),)
+         for r in split().collect()]
+    assert sorted(p) == sorted(s) and len(p) == records.count()
+
+    # pushed filters evaluate per-range with global keys intact
+    tt_p = sorted(r.key for r in plain()
+                  .filter(F.col("nomvar") == "TT").collect())
+    tt_s = sorted(r.key for r in split()
+                  .filter(F.col("nomvar") == "TT").collect())
+    assert tt_p == tt_s and tt_p
+
+    meta = split(with_data="false")
+    assert meta.count() == records.count()
+    assert all(r.d is None for r in meta.select("d").collect())
+
+    # split_target_bytes=0 disables splitting
+    off = (registered.read.format("fstrec")
+           .option("split_target_bytes", "0").load(out))
+    assert off.rdd.getNumPartitions() == n_plain
+
+
+# ------------------------------------------------------------ round 17
+# Upstream Spark 4.1 Python-DataSource pushdown plan sharing: the toy
+# source below has NOTHING of this repo in it, isolating the bug to
+# pyspark itself. With filter pushdown on, executing a fully-pushed
+# filtered child and then re-executing the parent DataFrame returns
+# the CHILD's rows (last planning wins for the shared load). The
+# strict xfail fails the suite the day a Spark upgrade fixes it — the
+# signal to retire the fstrec docstring warning and the per-load
+# option("pushdown", "false") escape hatch.
+
+
+class _ToyPushReader:
+    pass  # placeholder so the datasource classes below stay local
+
+
+def _toy_datasource():
+    from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                        EqualTo, InputPartition)
+
+    class ToyReader(DataSourceReader):
+        def __init__(self):
+            self.keep = None
+
+        def pushFilters(self, filters):
+            for f in filters:
+                if isinstance(f, EqualTo) and f.attribute == ("a",):
+                    self.keep = f.value
+                else:
+                    yield f
+
+        def partitions(self):
+            return [InputPartition(0)]
+
+        def read(self, p):
+            for i in range(10):
+                if self.keep is None or i == self.keep:
+                    yield (i,)
+
+    class Toy(DataSource):
+        @classmethod
+        def name(cls):
+            return "toy_pushshare"
+
+        def schema(self):
+            return "a int"
+
+        def reader(self, schema):
+            return ToyReader()
+
+    return Toy
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="upstream pyspark 4.1.2: planned Python-DataSource scan is "
+           "shared across queries derived from one load; a fixed Spark "
+           "makes this pass and the fstrec warning can be retired")
+def test_upstream_pushdown_shares_plan_across_derived_queries(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(_toy_datasource())
+    except Exception:
+        pass  # already registered in this session
+    df = spark.read.format("toy_pushshare").load()
+    assert df.count() == 10
+    assert df.filter(F.col("a") == 3).count() == 1
+    # a fixed Spark returns 10 here; 4.1.2 returns the child's 1
+    assert df.count() == 10
+
+
+def test_fstrec_pushdown_option_escape(registered, records, tmp_path):
+    """option('pushdown', 'false') makes a shared load safe: the
+    filtered child still answers correctly (engine-side filter) and
+    the parent is immune to the upstream plan sharing."""
+    out = str(tmp_path / "shared")
+    records.write.format("fstrec").mode("overwrite").save(out)
+    df = (registered.read.format("fstrec")
+          .option("pushdown", "false").load(out))
+    n = df.count()
+    assert n == records.count()
+    tt = df.filter(F.col("nomvar") == "TT").count()
+    assert tt == 10
+    assert df.count() == n        # parent unpolluted
+    # and the documented safe pattern for pushdown loads: re-load
+    fresh = registered.read.format("fstrec").load(out)
+    assert fresh.count() == n
