@@ -359,8 +359,23 @@ class FstRecStreamReader(DataSourceStreamReader):
         return {"files": self._current_files()}
 
     def partitions(self, start: dict, end: dict):
+        import os as _os
+
         new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
-        return [_FilePartition(p) for p in new]
+        # same intra-file split as the batch reader: a huge
+        # forecast-cycle drop must not pin one core for the whole
+        # micro-batch
+        target = 256 * 1024 * 1024
+        parts = []
+        for p in new:
+            try:
+                size = _os.path.getsize(p)
+            except OSError:
+                size = 0
+            n_splits = max(1, -(-size // target))
+            parts.extend(_FilePartition(p, s, n_splits)
+                         for s in range(n_splits))
+        return parts
 
     def read(self, partition: _FilePartition):
         reader = FstRecReader({
