@@ -297,7 +297,22 @@ def main() -> None:
            "movement is per-query host noise, exactly the class the "
            "round-8 bench-environment note documents. No fix needed; "
            "the NULL-identity filter stays (it is the 100x skew win "
-           "described in the round-16 note).", ""]
+           "described in the round-16 note).", "",
+           "**Round-17 bench adjudication (a real improvement through "
+           "the calib lens):** local quiet-host bench 10.204 s at "
+           "jvm_md5 calib 0.510 vs r16's driver 9.174 at 0.374 — "
+           "normalized 10.204 x (0.374/0.510) = 7.48 s, ~-18%, "
+           "outside the noise band and attributable: the "
+           "createDataFrame->VALUES conversion on the degenerate-probe "
+           "gates (same-process interleaved A/B: minhash -0.291 s, "
+           "simhash -0.406 s; doc_simhash reads 0.938 raw on a SLOWER "
+           "host window vs r16's 1.203 on a faster one — unambiguous). "
+           "No other headline plan changed this round (the fstrec v2 "
+           "CRC, the XDF read guards + batched key verification, and "
+           "the intra-file scan splits live on the container gates, "
+           "which are not benched; the batch verification was "
+           "measured at ~3 us/record vs 276 us for the naive "
+           "per-record shape before shipping).", ""]
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
