@@ -23,6 +23,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fstd2pandas_spark.functions.timeutil import (ntz_epoch_s,
+                                                  ntz_trunc)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fstd2pandas_spark.functions.codecs import (  # noqa: E402
@@ -51,15 +54,45 @@ def _t(sf_dir: str, name: str) -> str:
 
 
 def _fix_event_ts(df: DataFrame) -> DataFrame:
-    """Normalize events.ts to session-tz TimestampType across testdata
-    generations: nanos-as-long bigint (legacy conf) gets rebuilt via
-    timestamp_micros; native TIMESTAMP_NTZ gets a wall-clock cast (session
-    tz is UTC, so the cast is identity on values)."""
+    """Normalize events.ts to TIMESTAMP_NTZ UTC wall times across
+    testdata generations, INDEPENDENT of spark.sql.session.timeZone
+    (round 17): the old normalization targeted session-tz TimestampType,
+    so under a non-UTC session every hour bucket, session boundary and
+    funnel epoch silently shifted by the UTC offset (and wall times in
+    a DST gap do not even exist locally). nanos-as-long bigints and LTZ
+    instants both carry naive-as-UTC epochs, so the NTZ wall is rebuilt
+    by pure epoch arithmetic (timestampadd over the NTZ epoch literal —
+    a plain NTZ cast of an LTZ renders the SESSION wall, which is the
+    dependence being removed); native TIMESTAMP_NTZ passes through.
+    Downstream consumers are wall-time-only expressions (date_trunc /
+    session_window on NTZ, functions/timeutil.py epochs) — pinned by
+    test_dirty_mirrors_hold_under_nonutc_timezone."""
+    ntz_epoch = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+    dtype = dict(df.dtypes)["ts"]
+    if dtype in ("bigint", "long"):
+        return df.withColumn("ts", F.expr(
+            f"timestampadd(MICROSECOND, CAST(ts / 1000 AS BIGINT), "
+            f"{ntz_epoch})"))
+    if dtype == "timestamp":
+        # LTZ -> epoch (the DECIMAL cast is TZ-free) -> UTC wall NTZ
+        return df.withColumn("ts", F.expr(
+            f"timestampadd(MICROSECOND, CAST(CAST(ts AS DECIMAL(26,6)) "
+            f"* 1000000 AS BIGINT), {ntz_epoch})"))
+    return df
+
+
+def _fix_event_ts_ltz(df: DataFrame) -> DataFrame:
+    """The STREAMING variant of _fix_event_ts: watermarks and
+    streaming windows require TimestampType (EVENT_TIME_IS_NOT_ON_
+    TIMESTAMP_TYPE on NTZ), so the stream gates keep the session-tz
+    TIMESTAMP normalization — the documented boundary of the round-17
+    TZ-independence contract (the TZ cross-section covers the batch
+    plane; stream semantics are pinned under the UTC session the
+    engine's get_spark sets)."""
     dtype = dict(df.dtypes)["ts"]
     if dtype in ("bigint", "long"):
         return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     if dtype != "timestamp":
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
@@ -300,7 +333,7 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("asof_view_id").cast("string"),
                    F.lit("-")).alias("info"))
     hviews = ev.filter(F.col("event_type") == "view").select(
-        "user_id", F.date_trunc("hour", F.col("ts")).alias("ts"),
+        "user_id", ntz_trunc("hour", F.col("ts")).alias("ts"),
         F.col("event_id").alias("view_id"))
     asofe = asof_join(purch, hviews, right_cols=["view_id"]).select(
         F.lit("asofe").alias("side"),
@@ -332,8 +365,10 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = ev.filter(F.col("event_type") == "error")         .withColumnRenamed("user_id", "uid")
     hits = range_join(errors, iv, by="uid").select(
         F.col("event_id").alias("_eid"),
-        F.floor(F.unix_micros(F.col("start").cast("timestamp"))
-                / F.lit(1_000_000)).cast("long").alias("_sstart"))
+        # ntz_epoch_s, not unix_micros(cast) — the session-TZ route
+        # shifted the emitted session-start epoch under a non-UTC
+        # session (round-17 TZ cross-section)
+        ntz_epoch_s("start").alias("_sstart"))
     rng = errors.hint("merge").join(hits, errors["event_id"] == hits["_eid"], "left")         .select(
             F.lit("range").alias("side"),
             F.col("event_id").cast("bigint").alias("join_key"),
@@ -401,7 +436,12 @@ _Q_SEMI_ANTI_SQL = """
                                         ORDER BY ts, event_id)
                      > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS b
-    FROM events),
+    -- sessionize's exclusion contract (round 16): a NULL clock has no
+    -- position on the time axis and a NULL identity never pools —
+    -- without this mirror filter a NULL-ts event inflates count(*)
+    -- and a 2-real-event session crosses n >= 3 on the oracle side
+    -- only (found by the round-17 TZ cross-section's dirty corpus)
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
   sg AS (SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts
                                 ROWS UNBOUNDED PRECEDING) AS sid
          FROM sbrk),
@@ -1315,7 +1355,7 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmin = Window.partitionBy("user_id")
     pts = (ev.filter(F.col("value").isNotNull())
            .select("user_id",
-                   F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+                   F.floor(ntz_epoch_s("ts") / 3600).cast("long")
                    .alias("_h"),
                    F.round(F.col("value") * 100, 0).cast("long")
                    .alias("_cv"))
@@ -1386,7 +1426,7 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     evd = ev.select(
         "user_id", "event_id",
-        F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+        F.floor(ntz_epoch_s("ts") / 86400).cast("long")
         .alias("_day"),
         F.round(F.col("value") * 100, 0).cast("long").alias("_cv"))
     d7 = F.col("_day") % 7
@@ -1631,23 +1671,23 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev_raw.withColumn(
         "_k", F.get_json_object(F.col("props"), "$.k").cast("long"))
     hourly = (
-        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        ev.groupBy(ntz_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
         .agg(F.count("*").cast("long").alias("n"),
              F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias("sum_value"),
              F.sum("_k").cast("long").alias("sum_k"))
         .select(F.lit("hour").alias("kind"),
-                F.unix_timestamp("hour").alias("k1"),
+                ntz_epoch_s("hour").alias("k1"),
                 F.col("event_type").alias("k2"), "n", "sum_value",
                 F.lit(None).cast("long").alias("dur_s"), "sum_k")
     )
     sessions = sessionize(ev, gap="30 minutes",
                           extra_sums={"sum_k": "_k"}).select(
         F.lit("session").alias("kind"),
-        F.unix_timestamp("session_start").alias("k1"),
+        ntz_epoch_s("session_start").alias("k1"),
         F.col("user_id").cast("string").alias("k2"),
         F.col("n_events").alias("n"), "sum_value",
-        (F.unix_timestamp("session_end")
-         - F.unix_timestamp("session_start")).alias("dur_s"), "sum_k")
+        (ntz_epoch_s("session_end")
+         - ntz_epoch_s("session_start")).alias("dur_s"), "sum_k")
     steps = ["view", "click", "purchase"]
     # from ev_raw, NOT ev: the funnel/cohort branches don't consume _k,
     # and building them on the post-withColumn frame drags the JSON
@@ -1686,7 +1726,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kind='cohort' rows keyed (cohort week epoch, offset-in-weeks)
     cohorts = cohorts_from_report(fs).select(
         F.lit("cohort").alias("kind"),
-        F.unix_timestamp("cohort").alias("k1"),
+        ntz_epoch_s("cohort").alias("k1"),
         F.col("period_offset").cast("string").alias("k2"),
         F.col("n_users").cast("long").alias("n"),
         F.lit(None).cast("double").alias("sum_value"),
@@ -6011,7 +6051,7 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(_t(sf_dir, "events")).schema
     # FileStreamSource wants a directory or glob, not a bare file path
-    stream = _fix_event_ts(
+    stream = _fix_event_ts_ltz(
         spark.readStream.schema(schema)
         .parquet(os.path.join(sf_dir, "events*.parquet"))
     )
@@ -6093,7 +6133,7 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gates the batch fold in events_hourly.
     from fstd2pandas_spark.streaming.record_stream import streaming_funnel
 
-    fstream = _fix_event_ts(
+    fstream = _fix_event_ts_ltz(
         spark.readStream.schema(schema)
         .parquet(os.path.join(sf_dir, "events*.parquet"))
     )
@@ -6219,7 +6259,12 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # date_trunc(hour, max_ts) >= wm, old windows end ~28 days before.
     import shutil
 
-    ev = _load(spark, sf_dir, "events").select("ts", "event_type")
+    # streaming arm: the watermark needs TimestampType, so the late
+    # zone is written with the session-tz LTZ cast (the _fix_event_ts_
+    # ltz boundary; _load now yields NTZ wall times for the batch
+    # plane's TZ-independence)
+    ev = (_load(spark, sf_dir, "events").select("ts", "event_type")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
     bounds = ev.agg(F.min("ts").alias("t0"),
                     F.date_trunc("hour", F.max("ts")).alias("fh")).first()
     old = ev.filter(
@@ -6268,8 +6313,11 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The min-watermark policy keeps batch-1 purchases from being
     # late-dropped (the right node saw no batch-0 data, so the global
     # watermark is still epoch 0); pinned in tests/test_streaming.py.
-    evj = _load(spark, sf_dir, "events").select("user_id", "ts",
-                                                "event_type")
+    # LTZ cast: the stream-stream join watermarks need TimestampType
+    # (the _fix_event_ts_ltz streaming boundary)
+    evj = (_load(spark, sf_dir, "events").select("user_id", "ts",
+                                                 "event_type")
+           .withColumn("ts", F.col("ts").cast("timestamp")))
     views = evj.filter(F.col("event_type") == "view").drop("event_type")
     purch = (evj.filter(F.col("event_type") == "purchase")
              .drop("event_type"))

@@ -30,6 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fstd2pandas_spark.functions.timeutil import (ntz_epoch_us,
+                                                  ntz_trunc)
+
 
 def funnel_steps(df: DataFrame, steps: "list[str]", ts_col: str = "ts",
                  user_col: str = "user_id", type_col: str = "event_type",
@@ -63,9 +66,11 @@ def _funnel_fold(steps: "list[str]", ts_col: str, type_col: str,
         raise ValueError("funnel: need at least one step")
     k = len(steps)
     steps_arr = F.array(*[F.lit(s) for s in steps])
-    # cast: parquet TIMESTAMP_NTZ is not accepted by unix_micros; the
-    # session TZ is UTC so the NTZ -> TZ cast is deterministic
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # TZ-independent wall-time epoch (round 17): unix_micros(NTZ->TZ
+    # cast) routed the wall time through spark.sql.session.timeZone —
+    # every step timestamp and `within` horizon silently shifted under
+    # a non-UTC session (functions/timeutil.py)
+    us = ntz_epoch_us(F.col(ts_col))
     # NULL-ts events are DROPPED (collect_list skips NULL entries) —
     # the streaming_funnel rule, which r14 closed on the stream side
     # only: an event with unknown time cannot establish temporal
@@ -130,7 +135,8 @@ def user_activity_report(df: DataFrame, steps: "list[str]",
     """
     if period not in _PERIOD_DAYS:
         raise ValueError(f"unsupported period {period!r}")
-    p = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
+    p = ntz_trunc(period, F.col(ts_col))  # TZ-free wall-time trunc
+    # (round 17: date_trunc itself session-TZ-casts NTZ input)
     ev, folded = _funnel_fold(steps, ts_col, type_col, id_col, within)
     # NULL-identity exclusion (round 16, the sessions.py contract): a
     # NULL user key pools unrelated unidentified events into one
@@ -229,7 +235,8 @@ def retention_cohorts(df: DataFrame, ts_col: str = "ts",
     shuffles and a join and returns the same rows."""
     if period not in _PERIOD_DAYS:
         raise ValueError(f"unsupported period {period!r}")
-    p = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
+    p = ntz_trunc(period, F.col(ts_col))  # TZ-free wall-time trunc
+    # (round 17: date_trunc itself session-TZ-casts NTZ input)
     per_user = (
         df.select(F.col(user_col).alias("user"), p.alias("p"))
         .groupBy("user")

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fstd2pandas_spark.functions.timeutil import wall_epoch_us
+
 
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str = "user_id", right_on: "str | None" = None,
@@ -73,8 +75,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         right_cols = [c for c in right.columns
                       if c not in (by, right_on or on)]
     r_on = right_on or on
-    us_l = F.unix_micros(F.col(on).cast("timestamp"))
-    us_r = F.unix_micros(F.col(r_on).cast("timestamp"))
+    # TZ-independent, dtype-aware epochs (round 17, timeutil.py):
+    # numeric axes are epoch seconds, LTZ instants take the
+    # decimal-cast epoch, wall times the field arithmetic — none
+    # routes through spark.sql.session.timeZone
+    us_l = wall_epoch_us(left, on)
+    us_r = wall_epoch_us(right, r_on)
 
     payload = F.struct(
         us_r.alias("_ts_us"),
@@ -199,9 +205,10 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str = "ts",
     names beforehand).
     """
     wus = int(bin_width) * 1_000_000
-    p_us = F.unix_micros(F.col(on).cast("timestamp"))
-    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
-    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    # TZ-independent, dtype-aware epochs (round 17, timeutil.py)
+    p_us = wall_epoch_us(points, on)
+    s_us = wall_epoch_us(intervals, start_col)
+    e_us = wall_epoch_us(intervals, end_col)
     n_bins = (F.floor(e_us / wus) - F.floor(s_us / wus) + 1)
     iv = intervals.withColumn("_nb", n_bins)
     # three-way gate: valid intervals explode; oversized intervals

@@ -864,3 +864,41 @@ def test_fst_xdf_roundtrip_mirror_on_dirty_records(
            .orderBy("ip3", "pos")).toPandas()
     odf = con.execute(_XDF_DIRTY_MIRROR_SQL).df()
     _fst_compare(sdf, odf)
+
+
+def test_dirty_mirrors_hold_under_nonutc_timezone(spark, tmp_path):
+    """round 17: engine VALUES must not depend on
+    spark.sql.session.timeZone — the config-independence contract the
+    ANSI cross-section pins, extended to the clock. The temporal plane
+    (hour buckets, session epochs, funnel step timestamps, cohort
+    truncs, as-of/range joins, the per-user conditional-agg day/hour
+    keys) previously routed NTZ wall times through the session TZ via
+    unix_micros/unix_timestamp(NTZ->TZ cast): under America/New_York
+    every epoch shifted by the UTC offset — and 2024-03-10 02:30 (a
+    DST gap there) does not even exist as a local time. The operators
+    now compute epochs from the wall-time fields directly
+    (functions/timeutil.py), so the dirty events/TPC-H mirrors must
+    match their UNCHANGED DuckDB oracles (naive-as-UTC) under a
+    DST-observing negative-offset zone. Streaming gates are excluded:
+    watermarks are inherently TIMESTAMP-typed (documented boundary).
+    The prior config value is RESTORED (the ANSI-test rule)."""
+    import __spark_entry__ as E
+
+    _dirty_tpch(20260817, tmp_path)
+    _dirty_events(20260817).to_parquet(
+        str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation", "region",
+              "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{tmp_path}/{t}.parquet'")
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for gate in ("events_hourly", "conditional_agg",
+                     "join_semi_anti", "dedup_keys"):
+            sdf = E.queries()[gate](spark, str(tmp_path)).toPandas()
+            odf = con.execute(E.oracle_sql()[gate]).df()
+            _fst_compare(sdf, odf)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)

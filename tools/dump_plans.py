@@ -312,7 +312,30 @@ def main() -> None:
            "the intra-file scan splits live on the container gates, "
            "which are not benched; the batch verification was "
            "measured at ~3 us/record vs 276 us for the naive "
-           "per-record shape before shipping).", ""]
+           "per-record shape before shipping).", "",
+           "**Round-17 note (events_hourly plan touched: "
+           "TZ-independence of the temporal plane):** every epoch and "
+           "trunc on the batch events path now computes from NTZ "
+           "wall-time FIELDS (functions/timeutil.py ntz_epoch_us / "
+           "ntz_trunc / wall_epoch_us) instead of routing through "
+           "spark.sql.session.timeZone — unix_timestamp/unix_micros/"
+           "date_trunc over (casts of) NTZ all shift by the session "
+           "offset under a non-UTC zone, and date_trunc additionally "
+           "collapses DST-gap wall times onto the next hour "
+           "(measured). Values are now config-independent (pinned: "
+           "test_dirty_mirrors_hold_under_nonutc_timezone runs the "
+           "events/asof/range/cohort mirrors under America/New_York "
+           "against the UNCHANGED naive-as-UTC oracles). Cost: none "
+           "measurable — events_hourly min-of-7 1.555 s vs 1.542 s "
+           "same host window before the refactor; the extra field "
+           "extractions are whole-stage-codegen expressions. The "
+           "STREAMING plane keeps session-tz TIMESTAMP event time "
+           "(watermarks reject NTZ — _fix_event_ts_ltz, documented "
+           "boundary). The cross-section also caught a corpus-masked "
+           "ORACLE gap: the join gate's session rebuild did not "
+           "mirror sessionize's NULL-clock/NULL-identity exclusion, "
+           "so a NULL-ts event inflated count(*) and a 2-real-event "
+           "session crossed n>=3 on the oracle side only.", ""]
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
