@@ -55,8 +55,13 @@ _DUMMY_STAMPS = (0, 10101011)
 # ---------------------------------------------------------------------------
 
 def stamp_to_timestamp(stamp: Column) -> Column:
-    """Decode a CMC date-time stamp column to a UTC timestamp (NULL for
-    dummy stamps).
+    """Decode a CMC date-time stamp column to a UTC wall time
+    (TIMESTAMP_NTZ; NULL for dummy stamps). NTZ, not LTZ (round 17):
+    an RMN stamp is a UTC wall time by definition, and an LTZ instant
+    renders through spark.sql.session.timeZone at every collection /
+    date_format — decoded dates silently shifted under a non-UTC
+    session. Streaming consumers that need TimestampType for
+    watermarks cast explicitly (record_stream.with_event_time).
 
     New-style stamps (post-1980, >= _STAMP_BASE) use the linear 5-second
     encoding. Old-format stamps below the base carry AAMMJJHH decimal
@@ -71,19 +76,27 @@ def stamp_to_timestamp(stamp: Column) -> Column:
     mm = (F.floor(stamp / 10000) % 100).cast("int")
     dd = (F.floor(stamp / 100) % 100).cast("int")
     hh = (stamp % 100).cast("int")
-    old_ts = F.try_make_timestamp(
+    old_ts = F.try_make_timestamp_ntz(
         yy + F.lit(1900), mm, dd, hh, F.lit(0), F.lit(0))
+    new_ts = F.timestamp_add(
+        "SECOND", secs.cast("long"),
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
     return (
         F.when(stamp.isin(*_DUMMY_STAMPS) | (stamp <= 0),
-               F.lit(None).cast("timestamp"))
-        .when(stamp >= F.lit(_STAMP_BASE), F.timestamp_seconds(secs))
+               F.lit(None).cast("timestamp_ntz"))
+        .when(stamp >= F.lit(_STAMP_BASE), new_ts)
         .otherwise(old_ts)
     )
 
 
 def timestamp_to_stamp(ts: Column) -> Column:
-    """Encode a UTC timestamp column to a CMC date-time stamp."""
-    units5 = ((F.unix_timestamp(ts) - F.lit(_EPOCH_1980)) / 5).cast("long")
+    """Encode a UTC wall-time column (TIMESTAMP_NTZ / DATE / string —
+    stamp_to_timestamp's inverse) to a CMC date-time stamp. Computed
+    from the wall-time fields, never the session clock (round 17:
+    ``unix_timestamp`` routed through spark.sql.session.timeZone)."""
+    from fstd2pandas_spark.functions.timeutil import ntz_epoch_s
+
+    units5 = ((ntz_epoch_s(ts) - F.lit(_EPOCH_1980)) / 5).cast("long")
     return (
         F.lit(_STAMP_BASE) + (units5 / 8).cast("long") * 10 + (units5 % 8)
     ).cast("long")

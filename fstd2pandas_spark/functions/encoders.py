@@ -121,8 +121,16 @@ def precision_max(datyp_a: Column, nbits_a: Column,
 
 
 def to_timezone(ts: Column, timezone: str) -> Column:
-    """C14 (dataframe.py:148-167): UTC timestamp -> naive timestamp in the
-    given zone; the zone is validated eagerly."""
+    """C14 (dataframe.py:148-167): UTC wall time (TIMESTAMP_NTZ,
+    stamp_to_timestamp's type) -> naive wall time in the given zone;
+    the zone is validated eagerly.
+
+    Independent of spark.sql.session.timeZone (round 17): the old
+    ``from_utc_timestamp(ts, zone)`` re-interpreted its input through
+    the session clock, shifting date_local 100% under a non-UTC
+    session; ``convert_timezone`` with BOTH zones explicit never
+    touches the session."""
     if timezone not in available_timezones():
         raise InvalidTimezoneError(f"Invalid timezone: {timezone!r}")
-    return F.from_utc_timestamp(ts, timezone)
+    return F.convert_timezone(F.lit("UTC"), F.lit(timezone),
+                              ts.cast("timestamp_ntz"))

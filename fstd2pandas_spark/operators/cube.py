@@ -63,7 +63,11 @@ def to_cube(df: DataFrame, by_time: bool = False) -> DataFrame:
     data = _level_cols(_data_rows(df))
     if by_time:
         keys = ["grid", "nomvar", "ip1"]
-        axis = stamp_to_timestamp(F.col("datev")).cast("double")
+        # NTZ has no double cast: the sortable axis value is the
+        # TZ-free wall-time epoch (round 17)
+        from fstd2pandas_spark.functions.timeutil import ntz_epoch_us
+        axis = (ntz_epoch_us(stamp_to_timestamp(F.col("datev")))
+                / F.lit(1_000_000.0)).cast("double")
         sort_sign = F.lit(1.0)
     else:
         # datev in the key: the reference's "one datev per group" invariant

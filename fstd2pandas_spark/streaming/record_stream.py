@@ -47,7 +47,12 @@ def read_record_stream(spark: SparkSession, path: str,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(path)
-    return df.withColumn("event_time", stamp_to_timestamp(F.col("datev")))
+    # .cast("timestamp"): watermarks require TimestampType, and
+    # stamp_to_timestamp is NTZ since round 17 (the streaming plane is
+    # the documented session-tz boundary — engine sessions pin UTC)
+    return df.withColumn(
+        "event_time",
+        stamp_to_timestamp(F.col("datev")).cast("timestamp"))
 
 
 def cycle_window_stats(stream: DataFrame, window_duration: str = "6 hours",

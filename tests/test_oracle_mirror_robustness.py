@@ -895,8 +895,13 @@ def test_dirty_mirrors_hold_under_nonutc_timezone(spark, tmp_path):
     tz0 = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
+        # fst_dates pins the records plane: stamp decode is NTZ UTC
+        # wall (old-format stamps via make_timestamp_ntz), the C14
+        # zone shift uses convert_timezone with BOTH zones explicit,
+        # and date_format over NTZ renders the wall — all previously
+        # session-routed (date_local shifted 100% under NY)
         for gate in ("events_hourly", "conditional_agg",
-                     "join_semi_anti", "dedup_keys"):
+                     "join_semi_anti", "dedup_keys", "fst_dates"):
             sdf = E.queries()[gate](spark, str(tmp_path)).toPandas()
             odf = con.execute(E.oracle_sql()[gate]).df()
             _fst_compare(sdf, odf)
