@@ -335,7 +335,18 @@ def main() -> None:
            "ORACLE gap: the join gate's session rebuild did not "
            "mirror sessionize's NULL-clock/NULL-identity exclusion, "
            "so a NULL-ts event inflated count(*) and a 2-real-event "
-           "session crossed n>=3 on the oracle side only.", ""]
+           "session crossed n>=3 on the oracle side only. COMPLETION: "
+           "stamp_to_timestamp is now TIMESTAMP_NTZ (UTC wall — "
+           "old-format stamps via make_timestamp_ntz, the zoneless "
+           "form interpreted digit fields in the session zone), "
+           "timestamp_to_stamp inverts from wall fields, and "
+           "to_timezone uses convert_timezone with both zones "
+           "explicit; a full sweep shows 49/50 gates value-identical "
+           "under an America/New_York session (the exception is the "
+           "streaming gate — watermarks are session-zoned by Spark's "
+           "design). A decimal allowPrecisionLoss sweep of the "
+           "numeric gates is also clean (no decimal division in gate "
+           "arithmetic).", ""]
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
