@@ -110,13 +110,25 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # config sweeps (round 17): --tz=America/New_York re-runs the gates
+    # under a non-UTC session, --ansi=true under ANSI — the oracles are
+    # UNCHANGED (naive-as-UTC DuckDB), so any mismatch is a
+    # config-dependence leak (the values-must-not-depend-on-config
+    # contract; the streaming gate is the documented TZ boundary)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a[2:].split("=", 1) for a in sys.argv[1:]
+                if a.startswith("--") and "=" in a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
     from fstd2pandas_spark.session import get_spark
 
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    if "tz" in opts:
+        spark.conf.set("spark.sql.session.timeZone", opts["tz"])
+    if "ansi" in opts:
+        spark.conf.set("spark.sql.ansi.enabled", opts["ansi"])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
