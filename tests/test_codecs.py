@@ -395,3 +395,71 @@ def test_parsed_etiket_matches_reference_re(spark):
         if exp[1] is not None:
             seen_parsed += 1
     assert seen_parsed >= 4      # the targeted valid shapes all parsed
+
+
+# --------------------------------------------------------------- round 17
+# functions/timeutil.py unit coverage: the TZ cross-section pins the
+# helpers end-to-end through the gates; these pin their EDGE semantics
+# directly — session-TZ invariance across a DST-observing zone, the
+# DST-gap wall time that does not exist locally, microsecond
+# exactness, NULL propagation, pre-1970 walls, and the dtype dispatch.
+
+
+def test_timeutil_epochs_and_truncs_are_session_tz_invariant(spark):
+    from fstd2pandas_spark.functions.timeutil import (
+        ntz_epoch_s, ntz_epoch_us, ntz_trunc, wall_epoch_us)
+
+    df = spark.sql("""SELECT * FROM VALUES
+      (TIMESTAMP_NTZ'2024-03-10 02:30:45.123456'),  -- inside the NY DST gap
+      (TIMESTAMP_NTZ'1969-12-31 23:59:59.000001'),  -- pre-1970
+      (TIMESTAMP_NTZ'2024-01-01 00:00:00'),
+      (CAST(NULL AS TIMESTAMP_NTZ)) AS t(ts)""")
+    expect_us = [1710037845123456, -999999, 1704067200000000, None]
+    expect_s = [1710037845, -1, 1704067200, None]
+    expect_hr = ["2024-03-10 02:00:00", "1969-12-31 23:00:00",
+                 "2024-01-01 00:00:00", None]
+    expect_wk = ["2024-03-04 00:00:00", "1969-12-29 00:00:00",
+                 "2024-01-01 00:00:00", None]
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Kathmandu"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            rows = df.select(
+                ntz_epoch_us("ts").alias("us"),
+                ntz_epoch_s("ts").alias("s"),
+                ntz_trunc("hour", F.col("ts")).alias("hr"),
+                ntz_trunc("week", F.col("ts")).alias("wk"),
+            ).collect()
+            assert [r.us for r in rows] == expect_us, tz
+            assert [r.s for r in rows] == expect_s, tz
+            assert [str(r.hr) if r.hr else None
+                    for r in rows] == expect_hr, tz
+            assert [str(r.wk) if r.wk else None
+                    for r in rows] == expect_wk, tz
+
+        # dtype dispatch: numeric = epoch seconds; LTZ = instant epoch
+        # (both TZ-free); NTZ = wall fields
+        d2 = spark.sql("""SELECT CAST(1704069000 AS BIGINT) AS b,
+                                 CAST(1704069000.5 AS DOUBLE) AS d,
+                                 timestamp_micros(1704069000123456) AS l,
+                                 TIMESTAMP_NTZ'2024-01-01 00:30:00' AS n""")
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            r = d2.select(
+                wall_epoch_us(d2, "b").alias("b"),
+                wall_epoch_us(d2, "d").alias("d"),
+                wall_epoch_us(d2, "l").alias("l"),
+                wall_epoch_us(d2, "n").alias("n")).collect()[0]
+            assert r.b == 1704069000000000, tz
+            assert r.d == 1704069000500000, tz
+            assert r.l == 1704069000123456, tz
+            assert r.n == 1704069000000000, tz   # 2024-01-01 00:30 UTC
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_timeutil_trunc_rejects_unknown_unit():
+    from fstd2pandas_spark.functions.timeutil import ntz_trunc
+
+    with pytest.raises(ValueError, match="unit"):
+        ntz_trunc("month", F.lit("2024-01-01"))
