@@ -346,7 +346,20 @@ def main() -> None:
            "streaming gate — watermarks are session-zoned by Spark's "
            "design). A decimal allowPrecisionLoss sweep of the "
            "numeric gates is also clean (no decimal division in gate "
-           "arithmetic).", ""]
+           "arithmetic).", "",
+           "**Round-17 events_hourly materialization A/B (measured, "
+           "REJECTED):** the user_activity_report localCheckpoint vs "
+           "cache vs plain-recompute, same-process min-of-5 "
+           "interleaved at sf0.1: ckpt 1.392 s / cache 1.410 / plain "
+           "1.322 — plain recompute is ~0.07 s faster locally because "
+           "at sf0.1 the checkpoint's block write+read costs more "
+           "than re-running the fold. REJECTED: plain re-executes the "
+           "events scan AND the user-key shuffle once per consumer "
+           "(3x fact-table shuffles at 100 TB vs one materialized "
+           "users-sized result) — the d0d052e class of local-win/"
+           "scale-loss. The checkpoint stays; this note is the "
+           "standing adjudication so the question is not re-opened "
+           "each round.", ""]
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
