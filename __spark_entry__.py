@@ -6041,7 +6041,31 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end (SURVEY §2.10 extension): file
     stream over events, event-time watermark + tumbling window, drained
     with an availableNow trigger. Complete mode output equals the batch
-    rollup, so the oracle fully gates the streaming path too."""
+    rollup, so the oracle fully gates the streaming path too.
+
+    Session-TZ pinning (round 17): streaming event time is
+    TimestampType by Spark's design (watermarks reject NTZ), so the
+    stream arms interpret NTZ walls through the session zone — the one
+    gate the TZ cross-section could not cover. Production pipelines
+    pin the zone for event-time jobs; this gate does the same: the
+    streams AND their post-aggregations run and MATERIALIZE
+    (localCheckpoint) under a UTC session, the prior conf is restored
+    in finally (the ANSI-test rule), and only the TZ-free final sort
+    evaluates afterwards. With this, all 50 gates are
+    config-independent."""
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        merged = _stream_events_hourly_body(spark, sf_dir)
+        merged = merged.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    return merged.orderBy("kind", "k1", "k2")
+
+
+def _stream_events_hourly_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate's stream arms; values are only deterministic under the
+    UTC session the public gate pins."""
     import uuid
 
     from fstd2pandas_spark.streaming import (
@@ -6349,8 +6373,7 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(None).cast("double").alias("sum_value"),
                      "dur_s"))
     return (hourly.unionByName(funnel).unionByName(sded)
-            .unionByName(sgd).unionByName(late).unionByName(sjoin)
-            .orderBy("kind", "k1", "k2"))
+            .unionByName(sgd).unionByName(late).unionByName(sjoin))
 
 
 def _zone_sig_terms(num_hashes: int = 8) -> str:

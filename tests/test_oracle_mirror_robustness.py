@@ -879,17 +879,21 @@ def test_dirty_mirrors_hold_under_nonutc_timezone(spark, tmp_path):
     now compute epochs from the wall-time fields directly
     (functions/timeutil.py), so the dirty events/TPC-H mirrors must
     match their UNCHANGED DuckDB oracles (naive-as-UTC) under a
-    DST-observing negative-offset zone. Streaming gates are excluded:
-    watermarks are inherently TIMESTAMP-typed (documented boundary).
+    DST-observing negative-offset zone. The streaming gate pins a UTC
+    session internally (watermarks are TIMESTAMP-typed by Spark's
+    design) and is covered too — all 50 gates are config-independent.
     The prior config value is RESTORED (the ANSI-test rule)."""
     import __spark_entry__ as E
 
     _dirty_tpch(20260817, tmp_path)
     _dirty_events(20260817).to_parquet(
         str(tmp_path / "events.parquet"))
+    # the streaming gate's signature-dedup arm reads documents too
+    _dirty_corpus(20260817).to_parquet(
+        str(tmp_path / "documents.parquet"))
     con = duckdb.connect()
     for t in ("lineitem", "orders", "customer", "nation", "region",
-              "events"):
+              "events", "documents"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{tmp_path}/{t}.parquet'")
     tz0 = spark.conf.get("spark.sql.session.timeZone")
@@ -900,8 +904,12 @@ def test_dirty_mirrors_hold_under_nonutc_timezone(spark, tmp_path):
         # zone shift uses convert_timezone with BOTH zones explicit,
         # and date_format over NTZ renders the wall — all previously
         # session-routed (date_local shifted 100% under NY)
+        # stream_events_hourly: the gate pins a UTC session around
+        # stream construction + materialization (watermarks are
+        # session-zoned by Spark's design), so it too must match here
         for gate in ("events_hourly", "conditional_agg",
-                     "join_semi_anti", "dedup_keys", "fst_dates"):
+                     "join_semi_anti", "dedup_keys", "fst_dates",
+                     "stream_events_hourly"):
             sdf = E.queries()[gate](spark, str(tmp_path)).toPandas()
             odf = con.execute(E.oracle_sql()[gate]).df()
             _fst_compare(sdf, odf)

@@ -341,12 +341,14 @@ def main() -> None:
            "form interpreted digit fields in the session zone), "
            "timestamp_to_stamp inverts from wall fields, and "
            "to_timezone uses convert_timezone with both zones "
-           "explicit; a full sweep shows 49/50 gates value-identical "
-           "under an America/New_York session (the exception is the "
-           "streaming gate — watermarks are session-zoned by Spark's "
-           "design). A decimal allowPrecisionLoss sweep of the "
-           "numeric gates is also clean (no decimal division in gate "
-           "arithmetic).", "",
+           "explicit; the streaming gate pins a UTC session around "
+           "stream construction + materialization (watermarks are "
+           "session-zoned by Spark's design — the move a production "
+           "event-time job makes), so the full sweep shows ALL 50 "
+           "gates value-identical under an America/New_York session "
+           "(tools/check_oracle.py --tz runs it). Decimal "
+           "allowPrecisionLoss and caseSensitive sweeps are also "
+           "clean.", "",
            "**Round-17 events_hourly materialization A/B (measured, "
            "REJECTED):** the user_activity_report localCheckpoint vs "
            "cache vs plain-recompute, same-process min-of-5 "
