@@ -89,14 +89,30 @@ def stamp_to_timestamp(stamp: Column) -> Column:
     )
 
 
-def timestamp_to_stamp(ts: Column) -> Column:
+def timestamp_to_stamp(ts: Column, ts_dtype: "str | None" = None) -> Column:
     """Encode a UTC wall-time column (TIMESTAMP_NTZ / DATE / string —
     stamp_to_timestamp's inverse) to a CMC date-time stamp. Computed
     from the wall-time fields, never the session clock (round 17:
-    ``unix_timestamp`` routed through spark.sql.session.timeZone)."""
+    ``unix_timestamp`` routed through spark.sql.session.timeZone).
+
+    For a TIMESTAMP (LTZ) column — an INSTANT, e.g. the streaming
+    plane's watermark-cast ``event_time`` — pass
+    ``ts_dtype="timestamp"``: the epoch then comes from the TZ-free
+    DECIMAL cast (instant -> UTC wall seconds). The default path casts
+    its input to TIMESTAMP_NTZ, and Spark routes an implicit LTZ->NTZ
+    cast through ``spark.sql.session.timeZone`` — exactly the session
+    dependence the wall-field arithmetic removes (the dispatch cannot
+    be automatic: a bare Column carries no dtype, and NTZ->DECIMAL
+    fails analysis, so both branches cannot share one expression).
+    Callers with a DataFrame in hand: ``dict(df.dtypes)[name]`` is the
+    value to pass."""
     from fstd2pandas_spark.functions.timeutil import ntz_epoch_s
 
-    units5 = ((ntz_epoch_s(ts) - F.lit(_EPOCH_1980)) / 5).cast("long")
+    if ts_dtype == "timestamp":
+        epoch_s = F.floor(ts.cast("decimal(26,6)")).cast("long")
+    else:
+        epoch_s = ntz_epoch_s(ts)
+    units5 = ((epoch_s - F.lit(_EPOCH_1980)) / 5).cast("long")
     return (
         F.lit(_STAMP_BASE) + (units5 / 8).cast("long") * 10 + (units5 % 8)
     ).cast("long")

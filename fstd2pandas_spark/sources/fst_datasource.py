@@ -11,7 +11,7 @@ Scale behavior:
 - ``partitions()`` plans one Spark task per file (the reference reads
   files sequentially, std_reader.py:84-90 — here N files scan in
   parallel natively), and files larger than
-  ``option("split_target_bytes")`` (default 256 MB; 0 disables) are
+  ``option("split_target_bytes")`` (default 128 MiB; 0 disables) are
   planned as multiple tasks over contiguous directory-index ranges, so
   read parallelism is never capped by the file count — a single
   multi-GB container fans out instead of pinning one core;
@@ -180,9 +180,14 @@ class _FstRecReaderBase(DataSourceReader):
         self.with_data = str(options.get("with_data", "true")).lower() != "false"
         self.batch_rows = int(options.get("batch_rows", "2048"))
         #: files above this size are split into multiple tasks
-        #: (contiguous directory-index ranges); 0 disables splitting
+        #: (contiguous directory-index ranges); 0 disables splitting.
+        #: Default 128 MiB — measured on a 1 GiB container at local[32]
+        #: (round 18, PLANS.md): 155 MiB/s unsplit -> 840 MiB/s at
+        #: 128 MiB -> 1.1 GiB/s at 64 MiB (local page-cache plateau);
+        #: 128 MiB matches spark.sql.files.maxPartitionBytes' cluster
+        #: sweet spot and halves the 100-TB task count vs 64 MiB.
         self.split_target = int(
-            options.get("split_target_bytes", str(256 * 1024 * 1024)))
+            options.get("split_target_bytes", str(128 * 1024 * 1024)))
         self.filters: list[Filter] = []
 
     def partitions(self):
@@ -345,6 +350,9 @@ class FstRecStreamReader(DataSourceStreamReader):
             raise ValueError("fstrec: path required")
         self.with_data = str(options.get("with_data", "true")).lower() != "false"
         self.batch_rows = int(options.get("batch_rows", "2048"))
+        # same tuning contract as the batch reader (0 disables splits)
+        self.split_target = int(
+            options.get("split_target_bytes", str(128 * 1024 * 1024)))
 
     def _current_files(self) -> list[str]:
         try:
@@ -364,15 +372,16 @@ class FstRecStreamReader(DataSourceStreamReader):
         new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
         # same intra-file split as the batch reader: a huge
         # forecast-cycle drop must not pin one core for the whole
-        # micro-batch
-        target = 256 * 1024 * 1024
+        # micro-batch (split_target_bytes option honored, 0 disables)
         parts = []
         for p in new:
-            try:
-                size = _os.path.getsize(p)
-            except OSError:
-                size = 0
-            n_splits = max(1, -(-size // target))
+            n_splits = 1
+            if self.split_target > 0:
+                try:
+                    size = _os.path.getsize(p)
+                except OSError:
+                    size = 0
+                n_splits = max(1, -(-size // self.split_target))
             parts.extend(_FilePartition(p, s, n_splits)
                          for s in range(n_splits))
         return parts

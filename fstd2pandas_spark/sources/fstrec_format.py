@@ -251,6 +251,17 @@ def update_metadata(path: str, updates: "dict[int, dict]") -> int:
         for name in fields:
             if name in ("offset", "n_floats", "d"):
                 raise ValueError(f"cannot update {name} in-place")
+            if name in ("ni", "nj", "nk"):
+                # editing the shape without editing the payload would
+                # break the n_floats == ni*nj*nk read invariant — the
+                # re-stamped CRC would bless a header every later
+                # read_directory() rejects, permanently bricking the
+                # container. The engine's own UPDATE path already
+                # excludes these; forbid them here too.
+                raise ValueError(
+                    f"cannot update {name} in-place: the payload extent "
+                    "is fixed, so a shape edit would make the file "
+                    "unreadable (rewrite the record instead)")
             if not hasattr(headers[key - 1], name):
                 raise KeyError(f"unknown metadata field {name}")
     edited = 0

@@ -347,12 +347,29 @@ def read_xdf_directory(path: str, include_deleted: bool = False
     otherwise loop forever), and an XOR-checksum mismatch over the
     page's entries (the ``chksum`` word the writer stamps; a zero
     stored checksum is treated as absent) are all loud ``ValueError``s.
+
+    Foreign-file relaxation (round 18): the chksum formula and the
+    ``nrec == walked entries`` census are THIS writer's invariants —
+    the reference documents nrec as the number of *valid* records
+    (erased entries stay in the pages) and never validates chksum on
+    read ('not valid when in core', std_io.py header comments), so an
+    authentic librmn file with erased records or a stale checksum is
+    NOT corrupt. Files are told apart by the key-descriptor table:
+    librmn always writes bit descriptors there, this writer zeroes it.
+    On a foreign file the chksum mismatch downgrades to a warning and
+    the censuses only reject *fewer* walked records/pages than declared
+    (a provably damaged chain); native files keep the strict guards the
+    corruption fuzz pins.
     """
+    import warnings as _warnings
+
     with open(path, "rb") as f:
         head = np.frombuffer(f.read(FILE_HEADER_FIXED_WORDS * 4), dtype=">u4")
         # slice (not index) keeps the big-endian dtype for tobytes()
         if len(head) < FILE_HEADER_FIXED_WORDS or head[3:4].tobytes() != SIGN:
             raise ValueError(f"not an FST/XDF file: {path}")
+        key_table = np.frombuffer(f.read(KEY_TABLE_WORDS * 4), dtype=">u4")
+        native = not key_table.any()
         header_units = int(head[0]) & 0xFFFFFF
         lprm = int(head[10]) >> 16
         laux = int(head[11]) >> 16
@@ -390,32 +407,49 @@ def read_xdf_directory(path: str, include_deleted: bool = False
                 got = int(np.bitwise_xor.reduce(
                     raw.reshape(-1).astype("uint32")))
                 if got != stored_chksum:
-                    raise ValueError(
-                        f"corrupt FST/XDF directory in {path}: page at "
-                        f"unit {next_addr} fails its XOR checksum "
+                    if native:
+                        raise ValueError(
+                            f"corrupt FST/XDF directory in {path}: page "
+                            f"at unit {next_addr} fails its XOR checksum "
+                            f"(stored {stored_chksum:#010x}, computed "
+                            f"{got:#010x}) — entries are bit-damaged")
+                    # librmn's on-disk chksum may be stale/garbage
+                    # ('not valid when in core') and its formula is not
+                    # public — trust the entries on a foreign file
+                    _warnings.warn(
+                        f"FST/XDF page at unit {next_addr} in {path} "
+                        "does not match this engine's XOR checksum "
                         f"(stored {stored_chksum:#010x}, computed "
-                        f"{got:#010x}) — entries are bit-damaged")
+                        f"{got:#010x}); librmn files carry no "
+                        "read-validated checksum — trusting the entries")
             chunks.append(raw)
             next_addr = int(page_head[4])
     # cross-check the walk against the file header's own censuses: a
     # flipped nxt_addr that happens to become 0 would otherwise end the
-    # chain early and silently drop every later page's records
+    # chain early and silently drop every later page's records. Native
+    # files: strict equality (this writer stamps exact counts, deleted
+    # entries included in nrec). Foreign files: nrec counts only VALID
+    # records and headers may be stale — only FEWER walked than
+    # declared is provably a damaged chain.
     nrec = int(head[13])
     nbd = int(head[7])
     total = sum(len(c) for c in chunks)
-    if nrec and total != nrec:
+    cols = (unpack_dir_entries(np.concatenate(chunks)) if total else None)
+    nvalid = (total - int(np.count_nonzero(cols["dltf"])) if total else 0)
+    walked_rec = total if native else nvalid
+    if nrec and (walked_rec != nrec if native else walked_rec < nrec):
         raise ValueError(
-            f"corrupt FST/XDF directory in {path}: walked {total} "
-            f"entries but the file header declares nrec={nrec} — the "
-            "page chain is damaged")
-    if nbd and len(seen_pages) != nbd:
+            f"corrupt FST/XDF directory in {path}: walked {walked_rec} "
+            f"{'entries' if native else 'valid records'} but the file "
+            f"header declares nrec={nrec} — the page chain is damaged")
+    if nbd and (len(seen_pages) != nbd if native
+                else len(seen_pages) < nbd):
         raise ValueError(
             f"corrupt FST/XDF directory in {path}: walked "
             f"{len(seen_pages)} directory pages but the file header "
             f"declares nbd={nbd} — the page chain is damaged")
-    if not chunks:
+    if not chunks or cols is None:
         return []
-    cols = unpack_dir_entries(np.concatenate(chunks))
     out = []
     for i in range(len(cols["swa"])):
         if cols["dltf"][i] and not include_deleted:

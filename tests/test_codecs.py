@@ -127,6 +127,37 @@ def test_spark_stamp_roundtrip(spark):
         assert row.ts.replace(tzinfo=None) == stamp_to_datetime_py(row.stamp)
 
 
+def test_timestamp_to_stamp_ltz_dispatch(spark):
+    """An LTZ TimestampType input (e.g. the streaming plane's
+    watermark-cast event_time) must encode the INSTANT's UTC wall, not
+    the session-zone rendering: ts_dtype="timestamp" routes through
+    the TZ-free decimal-cast epoch. Verified under a non-UTC session —
+    the exact configuration where the implicit LTZ->NTZ default path
+    would shift every stamp by the UTC offset."""
+    utc_wall = dt.datetime(2020, 7, 14, 16, 0)   # NY 12:00 EDT instant
+    want = datetime_to_stamp_py(utc_wall)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.sql(
+            "SELECT timestamp'2020-07-14 12:00:00' AS event_time")
+        assert dict(df.dtypes)["event_time"] == "timestamp"
+        got = df.select(
+            timestamp_to_stamp(F.col("event_time"),
+                               ts_dtype="timestamp").alias("s")
+        ).collect()[0].s
+        assert got == want
+        # and the default NTZ path stays wall-field-exact under the
+        # same non-UTC session (the round-17 contract)
+        df2 = spark.sql(
+            "SELECT timestamp_ntz'2020-07-14 16:00:00' AS wall")
+        got2 = df2.select(
+            timestamp_to_stamp(F.col("wall")).alias("s")).collect()[0].s
+        assert got2 == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_encode_ip_from_user(spark):
     """C16: printable-kind encode matches int-kind encode and round-trips."""
     from pyspark.sql import functions as F

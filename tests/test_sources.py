@@ -767,6 +767,18 @@ def test_source_review_fixes(spark, tmp_path):
                                 10**6: {"etiket": "X"}})
     assert [h.etiket for h in read_directory(fpath)] == before
 
+    # shape fields are forbidden in-place: editing ni/nj/nk without the
+    # payload would break the n_floats == ni*nj*nk read invariant — the
+    # re-stamped CRC would bless headers every later read rejects,
+    # permanently bricking the container (round 18, ADVICE)
+    h1 = read_directory(fpath)[0]
+    for shape_field in ("ni", "nj", "nk"):
+        with _pt.raises(ValueError, match="shape edit"):
+            update_metadata(fpath, {1: {shape_field: 999}})
+    # ...and the file is still fully readable with unchanged headers
+    after = read_directory(fpath)[0]
+    assert (after.ni, after.nj, after.nk) == (h1.ni, h1.nj, h1.nk)
+
     # update mode refuses non-fstrec targets BEFORE editing anything
     df_edit = (spark.read.format("fstrec").load(out)
                .withColumn("etiket", F.lit("NEWTAG"))
@@ -1050,6 +1062,85 @@ def test_xdf_corruption_targeted(xdf_fuzz_corpus, tmp_path):
         slice(last_payload[0] + 4, len(d))))
     with pytest.raises(ValueError, match="truncated|ends"):
         _xdf_read_all(p)
+
+
+def test_xdf_foreign_layout_census_relaxation(tmp_path):
+    """Files NOT written by this engine must not be falsely rejected
+    (round 18, ADVICE): the reference documents nrec as the number of
+    VALID records (erased entries stay in the pages) and never
+    validates the page chksum on read ('not valid when in core'), so an
+    authentic librmn file with erased records and a stale checksum is
+    legal. Foreign layout is told apart by a nonzero key-descriptor
+    table (librmn always writes bit descriptors there; this writer
+    zeroes it). Native files keep the strict guards — pinned again here
+    and by the corruption fuzz above."""
+    import warnings
+
+    import numpy as np
+
+    from fstd2pandas_spark.sources.xdf_format import (
+        FILE_HEADER_FIXED_WORDS, FILE_HEADER_WORDS, read_xdf_directory,
+        write_xdf)
+
+    recs = _xdf_fuzz_corpus_records(n=10)
+    for i in (3, 7):
+        recs[i]["deleted"] = True
+    path = str(tmp_path / "native.fst")
+    write_xdf(path, recs)
+    pristine = _xdf_read_all(path)
+    nvalid = len(pristine)
+    assert nvalid == 10 - 2
+
+    data = bytearray(open(path, "rb").read())
+
+    def word(buf, byte_pos, value):
+        buf[byte_pos:byte_pos + 4] = int(value).to_bytes(4, "big")
+
+    page0 = FILE_HEADER_WORDS * 4
+    chksum_pos = page0 + 6 * 4
+    stored = int.from_bytes(data[chksum_pos:chksum_pos + 4], "big")
+
+    # --- foreign: key table nonzero + librmn nrec semantics + stale
+    # checksum -> reads fine (with a warning), same records
+    foreign = bytearray(data)
+    word(foreign, FILE_HEADER_FIXED_WORDS * 4, 0x00CAFE01)
+    word(foreign, 13 * 4, nvalid)             # nrec = valid only
+    word(foreign, chksum_pos, (stored ^ 0x5A5A5A5A) or 1)
+    fpath = str(tmp_path / "foreign.fst")
+    open(fpath, "wb").write(bytes(foreign))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = _xdf_read_all(fpath)
+    assert any("checksum" in str(x.message) for x in w)
+    # offsets are part of the pristine keys; compare metadata + values
+    assert {k[:5] for k in got} == {k[:5] for k in pristine}
+    by_meta = {k[:5]: v for k, v in pristine.items()}
+    for k, d in got.items():
+        assert np.array_equal(d, by_meta[k[:5]])
+
+    # --- foreign file with a provably damaged chain still raises:
+    # fewer valid records walked than nrec declares
+    broken = bytearray(foreign)
+    word(broken, 13 * 4, nvalid + 1)
+    bpath = str(tmp_path / "foreign_broken.fst")
+    open(bpath, "wb").write(bytes(broken))
+    with pytest.raises(ValueError, match="nrec"):
+        read_xdf_directory(bpath)
+
+    # --- native strict guards unchanged: the SAME edits on a
+    # zeroed-key-table file are corruption
+    nat1 = bytearray(data)
+    word(nat1, 13 * 4, nvalid)                # nrec != walked total
+    npath1 = str(tmp_path / "native_nrec.fst")
+    open(npath1, "wb").write(bytes(nat1))
+    with pytest.raises(ValueError, match="nrec"):
+        read_xdf_directory(npath1)
+    nat2 = bytearray(data)
+    word(nat2, chksum_pos, (stored ^ 0x5A5A5A5A) or 1)
+    npath2 = str(tmp_path / "native_chk.fst")
+    open(npath2, "wb").write(bytes(nat2))
+    with pytest.raises(ValueError, match="checksum"):
+        read_xdf_directory(npath2)
 
 
 # fstrec container corruption fuzz (round 17, the XDF contract applied
