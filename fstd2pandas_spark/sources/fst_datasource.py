@@ -342,7 +342,28 @@ class FstRecStreamReader(DataSourceStreamReader):
     """Streaming scan: each micro-batch reads the .fstrec files that
     appeared since the last committed offset — forecast-cycle drops
     become a Structured Streaming source (SURVEY §2.10 extension).
-    Offsets are the sorted seen-file list; one task per new file."""
+
+    Offsets are a BOUNDED (mtime_ns, path) high-water cursor plus a
+    late-file grace set (round 18; pre-r18 offsets carried the full
+    accumulated file list — O(all-files-ever) driver work and
+    checkpoint JSON on every trigger of a long-running stream). A file
+    is consumed per an offset iff its (mtime_ns, path) is at or below
+    the high-water mark AND (it is older than the grace window, or
+    listed in the offset's grace set). The grace set holds only files
+    whose mtime falls inside ``late_file_grace_s`` (default 300 s) of
+    the high-water mtime, so the serialized offset is O(files landing
+    within one grace window) — independent of total ingested count —
+    while a file PUBLISHED after a newer one (the two-phase writer's
+    os.replace keeps the temp file's older mtime) is still picked up
+    exactly once. Documented boundary (same as Spark's own file source
+    with maxFileAge): a file landing with an mtime older than
+    high-water − grace is treated as already seen; raise
+    ``late_file_grace_s`` for drop zones fed by slow copies that
+    preserve mtimes. ``latestOffset`` is a pure function of the
+    directory listing, so a restarted query needs no in-process state;
+    files must stay in place until their batch commits (they are
+    re-listed on replay — the pre-r18 contract too, which embedded
+    paths, not bytes)."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -353,6 +374,11 @@ class FstRecStreamReader(DataSourceStreamReader):
         # same tuning contract as the batch reader (0 disables splits)
         self.split_target = int(
             options.get("split_target_bytes", str(128 * 1024 * 1024)))
+        self.grace_ns = int(
+            float(options.get("late_file_grace_s", "300")) * 1_000_000_000)
+        #: monotonic floor within this run: a transient empty/short
+        #: listing (FS hiccup) must not regress the high-water mark
+        self._last_offset: "dict | None" = None
 
     def _current_files(self) -> list[str]:
         try:
@@ -360,16 +386,59 @@ class FstRecStreamReader(DataSourceStreamReader):
         except FileNotFoundError:
             return []
 
+    def _listing(self) -> "list[tuple[int, str]]":
+        import os as _os
+
+        out = []
+        for p in self._current_files():
+            try:
+                out.append((_os.stat(p).st_mtime_ns, p))
+            except OSError:
+                continue   # raced a concurrent delete
+        return out
+
+    @staticmethod
+    def _consumed(off: dict, mtime_ns: int, path: str) -> bool:
+        """Is (mtime_ns, path) covered by ``off``? Offsets are
+        self-describing: the grace bound used is the one stamped INTO
+        the offset, so changing the option between runs cannot shift
+        the meaning of an already-committed checkpoint."""
+        if "files" in off:           # legacy pre-r18 full-list offset
+            return path in off["files"]
+        hw = (off.get("hw_m", -1), off.get("hw_n", ""))
+        if (mtime_ns, path) > hw:
+            return False
+        if mtime_ns < hw[0] - off.get("g", 0):
+            return True
+        return path in off.get("grace", ())
+
     def initialOffset(self) -> dict:
-        return {"files": []}
+        return {"hw_m": -1, "hw_n": "", "g": self.grace_ns, "grace": []}
 
     def latestOffset(self) -> dict:
-        return {"files": self._current_files()}
+        listing = self._listing()
+        if not listing:
+            return self._last_offset or self.initialOffset()
+        hw_m, hw_n = max(listing)
+        prev = self._last_offset
+        if prev and "files" not in prev and \
+                (hw_m, hw_n) < (prev.get("hw_m", -1), prev.get("hw_n", "")):
+            return prev              # listing shrank below the floor
+        off = {
+            "hw_m": hw_m, "hw_n": hw_n, "g": self.grace_ns,
+            "grace": sorted(p for m, p in listing
+                            if m >= hw_m - self.grace_ns),
+        }
+        self._last_offset = off
+        return off
 
     def partitions(self, start: dict, end: dict):
         import os as _os
 
-        new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        new = sorted(
+            p for m, p in self._listing()
+            if self._consumed(end, m, p) and not self._consumed(start, m, p)
+        )
         # same intra-file split as the batch reader: a huge
         # forecast-cycle drop must not pin one core for the whole
         # micro-batch (split_target_bytes option honored, 0 disables)
@@ -441,12 +510,17 @@ class FstRecWriter(DataSourceWriter):
         tid = TaskContext.get().partitionId() if TaskContext.get() else 0
         ext = "fst" if self.container == "xdf" else "fstrec"
         name = f"part-{tid:05d}-{uuid.uuid4().hex[:8]}.{ext}"
-        records = [r.asDict() for r in rows]
-        if not records:
-            return _WriteResult(path="", tmp_path="", n=0)
         writer_fn = write_xdf if self.container == "xdf" else write_fstrec
         tmp = os.path.join(tmp_dir, name)
-        n = writer_fn(tmp, records)
+        # stream rows into the format writer — materializing the whole
+        # partition as Python dicts costs ~11x the raw payload bytes
+        # (measured, PLANS.md round 18); the writers consume iterables
+        n = writer_fn(tmp, (r.asDict() for r in rows))
+        if not n:
+            # empty partition: drop the empty container, publish nothing
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            return _WriteResult(path="", tmp_path="", n=0)
         return _WriteResult(path=os.path.join(self.path, name),
                             tmp_path=tmp, n=n)
 

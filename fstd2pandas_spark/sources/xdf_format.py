@@ -253,20 +253,36 @@ def _payload_words(rec: dict, d: np.ndarray) -> np.ndarray:
 
 
 def write_xdf(path: str, records: "list[dict]") -> int:
-    """Write records (BASE column dicts + ``d``) as one FST/XDF file.
+    """Write records (an iterable of BASE column dicts + ``d``) as one
+    FST/XDF file.
 
     Layout: file header, then every directory page, then the record
     extents; pages are chained through ``nxt_addr`` and each record's
     primary-key block is repeated at its ``swa`` the way librmn lays
     files out, so the result is byte-compatible with the walk in
-    std_io.py:656-735."""
+    std_io.py:656-735.
+
+    Memory (round 18): rows collapse to packed big-endian payload words
+    as they arrive (~1x raw bytes held instead of ~11x for a partition
+    of unpickled Python-float lists, measured in PLANS.md); only the
+    small metadata dicts and the packed words stay resident — the swa
+    layout needs the full record census before any byte is written, so
+    a 1x-raw buffer is this format's floor without a patch-after-copy
+    sidecar pass (the fstrec container, the engine's primary write
+    target, spills to O(one record))."""
+    metas: "list[dict]" = []
+    payloads: "list[np.ndarray]" = []
+    for rec in records:
+        payloads.append(_payload_words(rec, rec.get("d", [])))
+        m = dict(rec)
+        m.pop("d", None)    # drop the float-object list immediately
+        metas.append(m)
+    records = metas
     n = len(records)
     npages = max(1, -(-n // ENTRIES_PER_PAGE))
     header_units = FILE_HEADER_WORDS // 2
     page_units = PAGE_WORDS // 2
     first_page = 1 + header_units
-
-    payloads = [_payload_words(r, r.get("d", [])) for r in records]
     lngs = [LPRM + LAUX + len(p) // 2 for p in payloads]
     swas = []
     cur = first_page + npages * page_units

@@ -1407,3 +1407,52 @@ def test_fstrec_pushdown_option_escape(registered, records, tmp_path):
     # and the documented safe pattern for pushdown loads: re-load
     fresh = registered.read.format("fstrec").load(out)
     assert fresh.count() == n
+
+
+def test_fstrec_spill_write_byte_identical(tmp_path, monkeypatch):
+    """Round 18 writer memory ceiling: the streaming consumption with a
+    sidecar spill (forced here with a 64-byte threshold) produces a
+    byte-identical container to the in-memory assembly, leaves no
+    sidecar behind, and a validation failure mid-stream still writes
+    NOTHING (all-or-nothing per file, as before)."""
+    import numpy as np
+
+    from fstd2pandas_spark.sources import fstrec_format as ff
+
+    rng = np.random.RandomState(31)
+    recs = []
+    for i in range(20):
+        ni, nj = int(rng.randint(1, 9)), int(rng.randint(1, 7))
+        recs.append(dict(
+            nomvar=["TT", "UU"][i % 2], typvar="P", etiket=f"SP{i:03d}",
+            grtyp="Z", ni=ni, nj=nj, nk=1, dateo=442998800 + i,
+            ip1=i, ip2=i % 5, ip3=i, deet=300, npas=i, datyp=5,
+            nbits=32, ig1=1, ig2=2, ig3=0, ig4=0,
+            datev=442998800 + 10 * i,
+            d=rng.randn(ni * nj).astype("<f4")))
+
+    p_mem = tmp_path / "mem.fstrec"
+    assert ff.write_fstrec(str(p_mem), recs) == 20
+
+    monkeypatch.setattr(ff, "_SPILL_BYTES", 64)
+    p_spill = tmp_path / "spill.fstrec"
+    # an ITERATOR, like the datasource writer's row stream
+    assert ff.write_fstrec(str(p_spill), iter(recs)) == 20
+    assert p_spill.read_bytes() == p_mem.read_bytes()
+    assert not (tmp_path / "spill.fstrec.spill").exists()
+
+    bad = recs[:3] + [dict(recs[0], d=None)]
+    with pytest.raises(ValueError, match="no data array"):
+        ff.write_fstrec(str(tmp_path / "bad.fstrec"), iter(bad))
+    assert not (tmp_path / "bad.fstrec").exists()
+    assert not (tmp_path / "bad.fstrec.spill").exists()
+
+    # write_xdf takes iterators too now
+    from fstd2pandas_spark.sources.xdf_format import (
+        read_xdf_directory, write_xdf)
+
+    p_x1, p_x2 = tmp_path / "a.fst", tmp_path / "b.fst"
+    write_xdf(str(p_x1), recs)
+    write_xdf(str(p_x2), iter(recs))
+    assert p_x1.read_bytes() == p_x2.read_bytes()
+    assert len(read_xdf_directory(str(p_x1))) == 20
