@@ -238,8 +238,15 @@ class _FstRecReaderBase(DataSourceReader):
         # chunk by ROWS and by ELEMENT COUNT: Arrow list offsets are
         # int32, so one batch must stay far below 2^31 total floats
         # (2048 rows of ~1M-point operational grids would overflow the
-        # offsets and wrap negative); 64M floats = 256 MB values buffer
-        max_elems = 64 * 1024 * 1024
+        # offsets and wrap negative). The cap is ALSO the fat-record
+        # batch size, and small batches pipeline through the
+        # Python-worker Arrow IPC bridge far better than big ones —
+        # measured end-to-end on a 1 GiB container, single task
+        # (round 18, PLANS.md): 256 MiB batches 155 MiB/s, 16 MiB
+        # 235, 4 MiB 314 MiB/s (the JVM consumes batch k while Python
+        # assembles k+1). 1M floats = 4 MiB values buffer; typical
+        # small-record scans stay batch_rows-bound and are unaffected.
+        max_elems = 1024 * 1024
         chunks: list[list] = []
         cur, cur_elems = [], 0
         for item in selected:
