@@ -1456,3 +1456,48 @@ def test_fstrec_spill_write_byte_identical(tmp_path, monkeypatch):
     write_xdf(str(p_x2), iter(recs))
     assert p_x1.read_bytes() == p_x2.read_bytes()
     assert len(read_xdf_directory(str(p_x1))) == 20
+
+
+def test_fat_record_arrow_batch_cap(tmp_path):
+    """Fat records chunk by ELEMENT COUNT (round 18: the cap is also
+    the IPC pipelining unit — 1 Mi floats = 4 MiB values buffer per
+    batch, measured optimum): multi-record batches stay at or under the
+    cap, a single over-cap record rides alone, every value and every
+    global key survives the chunking."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fstd2pandas_spark.sources.fst_datasource import (
+        _FilePartition, _FstRecReaderBase)
+    from fstd2pandas_spark.sources.fstrec_format import write_fstrec
+
+    CAP = 1024 * 1024
+    rng = np.random.RandomState(3)
+    sizes = [400_000] * 6 + [1_500_000]     # 2-per-batch, then solo
+    recs, want = [], []
+    for i, m in enumerate(sizes):
+        d = rng.randn(m).astype("<f4")
+        want.append(d)
+        recs.append(dict(
+            nomvar="TT", typvar="P", etiket=f"FAT{i:03d}", grtyp="Z",
+            ni=m // 1000, nj=1000, nk=1, dateo=442998800, ip1=i,
+            ip2=0, ip3=i, deet=300, npas=i, datyp=5, nbits=32,
+            ig1=1, ig2=2, ig3=0, ig4=0, datev=442998800, d=d))
+    p = str(tmp_path / "fat.fstrec")
+    write_fstrec(p, recs)
+
+    reader = _FstRecReaderBase({"path": p, "split_target_bytes": "0"})
+    batches = list(reader.read(_FilePartition(p, 0, 1)))
+    assert len(batches) >= 4            # 6x400k -> 3 batches, 1 solo
+    keys, vals = [], []
+    for b in batches:
+        col = b.column("d")
+        n_vals = len(col.values)
+        if b.num_rows > 1:
+            assert n_vals <= CAP, (b.num_rows, n_vals)
+        keys.extend(b.column("key").to_pylist())
+        for row in col:
+            vals.append(np.asarray(row.values))
+    assert keys == list(range(1, len(sizes) + 1))
+    for got, exp in zip(vals, want):
+        assert np.array_equal(got, exp)
