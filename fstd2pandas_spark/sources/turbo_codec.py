@@ -122,7 +122,11 @@ def _unresiduals(e: np.ndarray, ni: int) -> np.ndarray:
 
 
 def _zigzag(e: np.ndarray) -> np.ndarray:
-    return np.where(e >= 0, e << 1, (-e << 1) - 1).astype("uint64")
+    # (e << 1) ^ (e >> 63): branch-free zigzag (arithmetic shift makes
+    # the XOR mask all-ones exactly for negatives); bit-identical to
+    # the np.where form across the full wrap range, two ops not three
+    e = np.asarray(e, dtype="int64")
+    return ((e << 1) ^ (e >> 63)).astype("uint64")
 
 
 def _unzigzag(u: np.ndarray) -> np.ndarray:
@@ -133,36 +137,110 @@ def _unzigzag(u: np.ndarray) -> np.ndarray:
     return (u >> 1) ^ -(u & 1)
 
 
+#: exact integer bit_length for uint64 arrays: count of powers of two
+#: <= x (float log2 would mis-round near 2**53+)
+_POWS64 = (np.uint64(1) << np.arange(64, dtype="uint64"))
+
+
+def _block_bits(toks2d: np.ndarray, w: int) -> np.ndarray:
+    """(nsel, _BLOCK) uint64 tokens -> (nsel, _BLOCK*w) uint8 bits,
+    each token MSB-first, via C-speed unpackbits on the big-endian
+    byte view (no per-token shift broadcast)."""
+    nsel = len(toks2d)
+    by = np.ascontiguousarray(toks2d, dtype=">u8").view("uint8") \
+        .reshape(nsel, _BLOCK, 8)
+    bits = np.unpackbits(by, axis=-1)          # (nsel, _BLOCK, 64)
+    return np.ascontiguousarray(bits[:, :, 64 - w:]) \
+        .reshape(nsel, _BLOCK * w)
+
+
 def _pack_bits(u: np.ndarray) -> np.ndarray:
     """Width-prefixed block bitstream -> big-endian u32 words.
 
-    Deliberately a per-block loop: a width-grouped "vectorized" variant
-    (width table up front, per-distinct-width fancy-index scatter) was
-    measured 2.5x SLOWER at 2M tokens (4.0 s vs 1.6 s pack) — the giant
-    uint8 bit-matrix temporaries and scatter dominate, while this loop's
-    62k tiny numpy calls stay cache-resident. Don't redo that experiment.
+    Vectorized per DISTINCT width (round 18): all widths come from one
+    exact searchsorted bit-length, each width group's segments (6-bit
+    prefix + unpackbits token matrix) build as whole arrays, and one
+    ragged GATHER (repeat(delta) + arange) reassembles the groups into
+    block order — no per-bit scatter. Replaces a per-block loop
+    measured at ~7-9 MiB/s of raw payload with ~30 MiB/s steady-state
+    (same-process A/B, byte-identical output; PLANS.md round 18). An
+    earlier r9-era "vectorized" attempt lost 2.5x to the loop because
+    it SCATTERED per-token bit matrices into the output — the gather
+    formulation is what makes this one win; keep that distinction if
+    revisiting. The final (possibly short) block packs alone on the
+    scalar path.
     """
-    nblocks = -(-len(u) // _BLOCK) if len(u) else 0
-    chunks = []
-    for b in range(nblocks):
-        blk = u[b * _BLOCK:(b + 1) * _BLOCK]
-        w = int(blk.max()).bit_length() if len(blk) else 0
-        if w > (1 << _WIDTH_BITS) - 1:
-            # the 6-bit width prefix tops out at 63: a wider token
-            # (int64-wrapped zigzag of an out-of-range residual) would
-            # silently encode width w % 64 and decode to garbage
-            raise ValueError(
-                f"turbo-pack block token needs {w} bits, above the "
-                f"{(1 << _WIDTH_BITS) - 1}-bit block-width ceiling — "
-                "input values exceed the codec's range for this nbits")
-        chunks.append(((w >> np.arange(_WIDTH_BITS - 1, -1, -1)) & 1
+    n = len(u)
+    if n == 0:
+        return np.zeros(0, dtype=">u4")
+    u = np.ascontiguousarray(u, dtype="uint64")
+    nblocks = -(-n // _BLOCK)
+    nlast = n - (nblocks - 1) * _BLOCK
+    up = u if n == nblocks * _BLOCK else np.concatenate(
+        [u, np.zeros(nblocks * _BLOCK - n, dtype="uint64")])
+    blocks = up.reshape(nblocks, _BLOCK)
+    widths = np.searchsorted(_POWS64, blocks.max(axis=1),
+                             side="right").astype("int64")
+    wmax = int(widths.max())
+    if wmax > (1 << _WIDTH_BITS) - 1:
+        # the 6-bit width prefix tops out at 63: a wider token
+        # (int64-wrapped zigzag of an out-of-range residual) would
+        # silently encode width w % 64 and decode to garbage
+        raise ValueError(
+            f"turbo-pack block token needs {wmax} bits, above the "
+            f"{(1 << _WIDTH_BITS) - 1}-bit block-width ceiling — "
+            "input values exceed the codec's range for this nbits")
+    ns = np.full(nblocks, _BLOCK, dtype="int64")
+    ns[-1] = nlast
+    lens = _WIDTH_BITS + ns * widths
+    out_starts = np.zeros(nblocks, dtype="int64")
+    np.cumsum(lens[:-1], out=out_starts[1:])
+    total = int(lens.sum())
+    nfull = nblocks - 1 if nlast < _BLOCK else nblocks
+
+    gparts, gsel, glens = [], [], []
+    for w in np.unique(widths[:nfull]):
+        w = int(w)
+        sel = np.nonzero(widths[:nfull] == w)[0]
+        pre = np.broadcast_to(
+            ((w >> np.arange(_WIDTH_BITS - 1, -1, -1)) & 1).astype("uint8"),
+            (len(sel), _WIDTH_BITS))
+        if w:
+            seg = np.concatenate([pre, _block_bits(blocks[sel], w)], axis=1)
+        else:
+            seg = np.ascontiguousarray(pre)
+        gparts.append(seg.ravel())
+        gsel.append(sel)
+        glens.append(np.full(len(sel), _WIDTH_BITS + _BLOCK * w,
+                             dtype="int64"))
+    if gparts:
+        gbits = np.concatenate(gparts) if len(gparts) > 1 else gparts[0]
+        sel_all = np.concatenate(gsel)
+        lens_g = np.concatenate(glens)
+        src_starts = np.zeros(len(sel_all), dtype="int64")
+        np.cumsum(lens_g[:-1], out=src_starts[1:])
+        # out position p inside block b reads gbits[p + delta[b]]
+        delta = np.empty(nfull, dtype="int32")
+        delta[sel_all] = (src_starts - out_starts[sel_all]).astype("int32")
+        total_full = int(lens_g.sum())
+        out_full = gbits[np.repeat(delta, lens[:nfull].astype("int32"))
+                         + np.arange(total_full, dtype="int32")]
+    else:
+        out_full = np.zeros(0, dtype="uint8")
+    pieces = [out_full]
+    if nfull < nblocks:
+        w = int(widths[-1])
+        pieces.append(((w >> np.arange(_WIDTH_BITS - 1, -1, -1)) & 1
                        ).astype("uint8"))
         if w:
-            bits = ((blk[:, None] >> np.arange(w - 1, -1, -1,
-                                               dtype="uint64")) & 1
-                    ).astype("uint8")
-            chunks.append(bits.reshape(-1))
-    bits = np.concatenate(chunks) if chunks else np.zeros(0, dtype="uint8")
+            blk = up[(nblocks - 1) * _BLOCK:][:nlast]
+            tb = ((blk[:, None] >> np.arange(w - 1, -1, -1, dtype="uint64")
+                   [None, :]) & np.uint64(1)).astype("uint8")
+            pieces.append(tb.reshape(-1))
+    bits = np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+    if len(bits) != total:   # internal layout invariant, never data-dependent
+        raise AssertionError(
+            f"turbo-pack assembly produced {len(bits)} bits, expected {total}")
     pad = (-len(bits)) % 32
     if pad:
         bits = np.concatenate([bits, np.zeros(pad, dtype="uint8")])
@@ -197,9 +275,9 @@ def _unpack_bits(words: np.ndarray, ntokens: int) -> np.ndarray:
     nbytes = len(raw)
     for b in range(nblocks):
         byte = pos >> 3
-        if byte + 1 >= nbytes:
+        if byte >= nbytes:
             raise ValueError("truncated turbo-pack bitstream")
-        pair = (raw[byte] << 8) | raw[byte + 1]
+        pair = (raw[byte] << 8) | (raw[byte + 1] if byte + 1 < nbytes else 0)
         w = (pair >> (10 - (pos & 7))) & 0x3F
         pos += _WIDTH_BITS
         starts[b] = pos
