@@ -102,68 +102,181 @@ def _list_container_files(path: str) -> "list[str]":
     return sorted(seen)
 
 
-def _container_io(path: str):
-    """Per-file format dispatch -> (read_directory, read_payload,
-    verify_batch). ``verify_batch`` (XDF only, else None) is the
-    vectorized record-local primary-key verification: the scan path
-    runs it ONCE per chunk and reads payloads with the per-record
-    verify off — same integrity contract as the point-read API at
-    ~1/100th the per-record cost (round 17; xdf_format.py
-    verify_record_keys_batch). fstrec needs no batch step: its
-    directory CRC32 already covers every header byte at
-    read_directory time."""
+def _container_columns(path: str):
+    """Per-file format dispatch for the COLUMNAR scan path (round 18;
+    per-record RecordHeader boxing + getattr extraction measured
+    ~9 us/record on a metadata-only scan — PLANS.md) ->
+    (read_columns, payload_at, verify_cols). ``verify_cols`` (XDF
+    only, else None) is the batched record-local primary-key
+    verification, run ONCE per chunk; fstrec needs no batch step —
+    its directory CRC32 already covers every header byte."""
     from fstd2pandas_spark.sources import fstrec_format, xdf_format
 
     if xdf_format.maybe_xdf(path):
-        def _payload_noverify(f, h):
-            return xdf_format.read_xdf_payload(f, h, verify_keys=False)
-        return (xdf_format.read_xdf_directory, _payload_noverify,
-                xdf_format.verify_record_keys_batch)
-    return fstrec_format.read_directory, fstrec_format.read_payload, None
+        def _payload(f, cols, i):
+            return xdf_format.read_xdf_payload_at(
+                f, int(cols["offset"][i]), int(cols["ni"][i]),
+                int(cols["nj"][i]), int(cols["nk"][i]),
+                int(cols["datyp"][i]), int(cols["nbits"][i]),
+                int(cols["n_floats"][i]), cols["nomvar"][i])
+        return (xdf_format.read_xdf_directory_columns, _payload,
+                xdf_format.verify_record_keys_cols)
+
+    def _payload(f, cols, i):
+        return fstrec_format.read_payload_at(
+            f, int(cols["offset"][i]), int(cols["n_floats"][i]),
+            cols["nomvar"][i])
+    return (fstrec_format.read_directory_columns, _payload, None)
 
 
-def _grid_of(h) -> str:
-    if h.nomvar in ("^>", ">>", "^^", "!!", "!!SF"):
-        return f"{h.ip1}{h.ip2}"
-    if h.nomvar == "HY":
-        return "None"
-    return f"{h.ig1}{h.ig2}"
+#: axis/descriptor records whose grid id is f"{ip1}{ip2}" (the
+#: reference's grid-association idiom)
+_META_NOMVARS = ("^>", ">>", "^^", "!!", "!!SF")
+#: ascii whitespace str.rstrip() strips — the boxed path's decode()
+#: semantics, reproduced for the Arrow fast path
+_RSTRIP_CHARS = " \t\r\n\x0b\x0c\x1c\x1d\x1e\x1f\x85"
 
 
-def _header_value(h, col: str, key: int, path: str):
-    if col == "grid":
-        return _grid_of(h)
-    if col == "key":
-        return key
-    if col == "path":
-        return path
-    return getattr(h, col)
+def _strings_to_arrow(arr):
+    """numpy string column -> Arrow string array at C speed. fstrec
+    columns arrive as raw space-padded bytes (S dtype): cast + rtrim
+    in Arrow (~25x cheaper than np.char.rstrip, measured); xdf columns
+    are already-stripped numpy unicode."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if arr.dtype.kind == "S":
+        return pc.ascii_rtrim(pa.array(arr).cast(pa.string()),
+                              characters=_RSTRIP_CHARS)
+    return pa.array(arr)
 
 
-def _matches(h, flt: Filter, key: int, path: str) -> bool:
-    """Evaluate one pushed filter against a directory header."""
+def _grid_arrow(cols):
+    """Vectorized grid id column: f"{ip1}{ip2}" for axis/descriptor
+    records, "None" for HY, else f"{ig1}{ig2}" — int->string casts and
+    joins in Arrow."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    nv = cols["nomvar"]
+    if nv.dtype.kind == "S":
+        w = nv.dtype.itemsize
+        metas = np.array([s.encode().ljust(w, b" ")
+                          for s in _META_NOMVARS], dtype=nv.dtype)
+        meta = np.isin(nv, metas)
+        hy = nv == b"HY".ljust(w, b" ")
+    else:
+        meta = np.isin(nv, np.array(_META_NOMVARS))
+        hy = nv == "HY"
+
+    def _join(a, b):
+        return pc.binary_join_element_wise(
+            pc.cast(pa.array(a), pa.string()),
+            pc.cast(pa.array(b), pa.string()), "")
+
+    return pc.if_else(
+        pa.array(meta), _join(cols["ip1"], cols["ip2"]),
+        pc.if_else(pa.array(hy), pa.scalar("None"),
+                   _join(cols["ig1"], cols["ig2"])))
+
+
+def _filter_mask(flt: Filter, cols, grid_pa, path: str, n: int,
+                 dec_cache: dict):
+    """One pushed filter -> boolean numpy mask (the vectorized twin of
+    the old per-record ``_matches``). String columns stored as padded
+    bytes compare against the value PADDED TO FIELD WIDTH with spaces
+    (identical ordering to stripped-string comparison for values
+    without trailing whitespace — space sorts below every printable);
+    values that do not round-trip through padding (trailing
+    whitespace) fall back to a decoded-column comparison with exact
+    Python semantics."""
+    import numpy as np
+
     col = flt.attribute[0]
-    if col == "d":
-        return True
-    try:
-        v = _header_value(h, col, key, path)
-    except AttributeError:
-        return True
-    if isinstance(flt, EqualTo):
-        return v == flt.value
-    if isinstance(flt, In):
-        return v in flt.values
-    if isinstance(flt, GreaterThan):
-        return v > flt.value
-    if isinstance(flt, GreaterThanOrEqual):
-        return v >= flt.value
-    if isinstance(flt, LessThan):
-        return v < flt.value
-    if isinstance(flt, LessThanOrEqual):
-        return v <= flt.value
     if isinstance(flt, IsNotNull):
-        return v is not None
-    return True
+        return np.ones(n, dtype=bool)   # header columns are never null
+    if col == "path":
+        v = flt.value
+        ok = (path == v if isinstance(flt, EqualTo)
+              else path in flt.values if isinstance(flt, In)
+              else path > v if isinstance(flt, GreaterThan)
+              else path >= v if isinstance(flt, GreaterThanOrEqual)
+              else path < v if isinstance(flt, LessThan)
+              else path <= v)
+        return np.full(n, bool(ok))
+    if col == "grid":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        if isinstance(flt, EqualTo):
+            m = pc.equal(grid_pa, str(flt.value))
+        elif isinstance(flt, In):
+            m = pc.is_in(grid_pa,
+                         value_set=pa.array([str(v) for v in flt.values]))
+        elif isinstance(flt, GreaterThan):
+            m = pc.greater(grid_pa, str(flt.value))
+        elif isinstance(flt, GreaterThanOrEqual):
+            m = pc.greater_equal(grid_pa, str(flt.value))
+        elif isinstance(flt, LessThan):
+            m = pc.less(grid_pa, str(flt.value))
+        else:
+            m = pc.less_equal(grid_pa, str(flt.value))
+        return m.to_numpy(zero_copy_only=False)
+
+    arr = cols[col]
+    if arr.dtype.kind == "S":
+        width = arr.dtype.itemsize
+
+        def enc(v):
+            s = str(v)
+            if s != s.rstrip():
+                return None          # not representable padded
+            b = s.encode("ascii", "replace")
+            return b.ljust(width, b" ") if len(b) <= width else b
+
+        def dec():
+            if col not in dec_cache:
+                dec_cache[col] = np.char.rstrip(arr.astype("U"))
+            return dec_cache[col]
+
+        if isinstance(flt, In):
+            pbs = [enc(v) for v in flt.values]
+            if any(p is None for p in pbs):
+                target, vals = dec(), [str(v) for v in flt.values]
+            else:
+                target, vals = arr, pbs
+            m = np.zeros(n, dtype=bool)
+            for v in vals:
+                m |= target == v
+            return m
+        pb = enc(flt.value)
+        target, v = ((arr, pb) if pb is not None
+                     else (dec(), str(flt.value)))
+        if isinstance(flt, EqualTo):
+            return target == v
+        if isinstance(flt, GreaterThan):
+            return target > v
+        if isinstance(flt, GreaterThanOrEqual):
+            return target >= v
+        if isinstance(flt, LessThan):
+            return target < v
+        return target <= v
+
+    # int columns (incl. the virtual 1-based 'key') and xdf unicode
+    if isinstance(flt, EqualTo):
+        return arr == flt.value
+    if isinstance(flt, In):
+        m = np.zeros(n, dtype=bool)
+        for v in flt.values:
+            m |= arr == v
+        return m
+    if isinstance(flt, GreaterThan):
+        return arr > flt.value
+    if isinstance(flt, GreaterThanOrEqual):
+        return arr >= flt.value
+    if isinstance(flt, LessThan):
+        return arr < flt.value
+    return arr <= flt.value
 
 
 class _FstRecReaderBase(DataSourceReader):
@@ -214,26 +327,47 @@ class _FstRecReaderBase(DataSourceReader):
         import pyarrow as pa
 
         path = partition.path
-        read_directory, read_payload, verify_batch = _container_io(path)
-        headers = read_directory(path)
-        lo, hi = 0, len(headers)
+        read_columns, payload_at, verify_cols = _container_columns(path)
+        cols = read_columns(path)
+        total = len(cols["nomvar"])
+        lo, hi = 0, total
         if partition.n_splits > 1:
             # this task's contiguous directory-index range; global
-            # 1-based keys are preserved via the enumerate offset
-            lo = (len(headers) * partition.split) // partition.n_splits
-            hi = (len(headers) * (partition.split + 1)) \
-                // partition.n_splits
-        selected = [
-            (i + 1, h) for i, h in enumerate(headers[lo:hi], start=lo)
-            if all(_matches(h, f, i + 1, path) for f in self.filters)
-        ]
-        if not selected:
+            # 1-based keys are preserved via the arange offset
+            lo = (total * partition.split) // partition.n_splits
+            hi = (total * (partition.split + 1)) // partition.n_splits
+        view = {k: v[lo:hi] for k, v in cols.items()}
+        view["key"] = np.arange(lo + 1, hi + 1, dtype="int64")
+        n = hi - lo
+        if not n:
+            return
+        grid_pa = _grid_arrow(view)
+        if self.filters:
+            mask = np.ones(n, dtype=bool)
+            dec_cache: dict = {}
+            for flt in self.filters:
+                mask &= _filter_mask(flt, view, grid_pa, path, n,
+                                     dec_cache)
+            if not mask.all():
+                idx = np.nonzero(mask)[0]
+                view = {k: v[idx] for k, v in view.items()}
+                grid_pa = grid_pa.take(pa.array(idx, pa.int64()))
+                n = len(idx)
+        if not n:
             return
 
         int32_cols = ("ni", "nj", "nk", "ip1", "ip2", "ip3", "deet",
                       "npas", "datyp", "nbits", "ig1", "ig2", "ig3", "ig4")
         int64_cols = ("dateo", "datev")
         str_cols = ("nomvar", "typvar", "etiket", "grtyp")
+        # whole-selection Arrow conversion once (zero-copy for the
+        # int columns already at width; C-speed casts otherwise);
+        # per-chunk emission below slices these
+        np_i32 = {c: np.ascontiguousarray(view[c], dtype="<i4")
+                  for c in int32_cols}
+        np_i64 = {c: np.ascontiguousarray(view[c], dtype="<i8")
+                  for c in int64_cols}
+        pa_str = {c: _strings_to_arrow(view[c]) for c in str_cols}
 
         # chunk by ROWS and by ELEMENT COUNT: Arrow list offsets are
         # int32, so one batch must stay far below 2^31 total floats
@@ -247,55 +381,51 @@ class _FstRecReaderBase(DataSourceReader):
         # assembles k+1). 1M floats = 4 MiB values buffer; typical
         # small-record scans stay batch_rows-bound and are unaffected.
         max_elems = 1024 * 1024
-        chunks: list[list] = []
-        cur, cur_elems = [], 0
-        for item in selected:
-            sz = int(item[1].ni) * int(item[1].nj) * int(item[1].nk)
-            if cur and (len(cur) >= self.batch_rows
-                        or cur_elems + sz > max_elems):
-                chunks.append(cur)
-                cur, cur_elems = [], 0
-            cur.append(item)
+        sizes = view["n_floats"].tolist()
+        bounds = [0]
+        cur_rows = cur_elems = 0
+        for i, sz in enumerate(sizes):
+            if cur_rows and (cur_rows >= self.batch_rows
+                             or cur_elems + sz > max_elems):
+                bounds.append(i)
+                cur_rows = cur_elems = 0
+            cur_rows += 1
             cur_elems += sz
-        if cur:
-            chunks.append(cur)
+        bounds.append(n)
 
+        names = ("nomvar", "typvar", "etiket", "ni", "nj", "nk",
+                 "dateo", "ip1", "ip2", "ip3", "deet", "npas",
+                 "datyp", "nbits", "grtyp", "ig1", "ig2", "ig3",
+                 "ig4", "datev", "grid", "d", "path", "key")
         f = open(path, "rb") if self.with_data else None
         try:
-            for chunk in chunks:
-                n = len(chunk)
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                m = b - a
                 arrays: dict[str, pa.Array] = {}
                 for c in str_cols:
-                    arrays[c] = pa.array([getattr(h, c) for _, h in chunk],
-                                         pa.string())
+                    arrays[c] = pa_str[c].slice(a, m)
                 for c in int32_cols:
-                    arrays[c] = pa.array(
-                        np.fromiter((getattr(h, c) for _, h in chunk),
-                                    dtype=np.int32, count=n))
+                    arrays[c] = pa.array(np_i32[c][a:b])
                 for c in int64_cols:
-                    arrays[c] = pa.array(
-                        np.fromiter((getattr(h, c) for _, h in chunk),
-                                    dtype=np.int64, count=n))
-                arrays["grid"] = pa.array([_grid_of(h) for _, h in chunk],
-                                          pa.string())
-                arrays["path"] = pa.array([path] * n, pa.string())
-                arrays["key"] = pa.array(
-                    np.fromiter((k for k, _ in chunk), dtype=np.int64,
-                                count=n))
+                    arrays[c] = pa.array(np_i64[c][a:b])
+                arrays["grid"] = grid_pa.slice(a, m)
+                arrays["path"] = pa.array([path] * m, pa.string())
+                arrays["key"] = pa.array(view["key"][a:b])
                 if f is not None:
-                    if verify_batch is not None:
+                    if verify_cols is not None:
                         # one vectorized key-block verification per
                         # chunk; the payload reads below then skip the
                         # per-record verify (same contract, batched)
-                        verify_batch(f, [h for _, h in chunk])
+                        verify_cols(f, view, np.arange(a, b))
                     # zero-copy list column: one concatenated float32
                     # values buffer + int32 offsets (no per-element
                     # Python boxing in the scan hot path)
                     payloads = [
-                        np.asarray(read_payload(f, h), dtype=np.float32)
-                        for _, h in chunk
+                        np.asarray(payload_at(f, view, i),
+                                   dtype=np.float32)
+                        for i in range(a, b)
                     ]
-                    offsets = np.zeros(n + 1, dtype=np.int32)
+                    offsets = np.zeros(m + 1, dtype=np.int32)
                     np.cumsum([p.size for p in payloads], out=offsets[1:])
                     values = (np.concatenate(payloads) if payloads
                               else np.empty(0, dtype=np.float32))
@@ -303,18 +433,9 @@ class _FstRecReaderBase(DataSourceReader):
                         pa.array(offsets, pa.int32()),
                         pa.array(values, pa.float32()))
                 else:
-                    arrays["d"] = pa.nulls(n, pa.list_(pa.float32()))
+                    arrays["d"] = pa.nulls(m, pa.list_(pa.float32()))
                 yield pa.RecordBatch.from_arrays(
-                    [arrays[c] for c in (
-                        "nomvar", "typvar", "etiket", "ni", "nj", "nk",
-                        "dateo", "ip1", "ip2", "ip3", "deet", "npas",
-                        "datyp", "nbits", "grtyp", "ig1", "ig2", "ig3",
-                        "ig4", "datev", "grid", "d", "path", "key")],
-                    names=[
-                        "nomvar", "typvar", "etiket", "ni", "nj", "nk",
-                        "dateo", "ip1", "ip2", "ip3", "deet", "npas",
-                        "datyp", "nbits", "grtyp", "ig1", "ig2", "ig3",
-                        "ig4", "datev", "grid", "d", "path", "key"])
+                    [arrays[c] for c in names], names=list(names))
         finally:
             if f is not None:
                 f.close()

@@ -215,15 +215,34 @@ def maybe_fstrec(path: str) -> bool:
         return False
 
 
-def read_directory(path: str) -> list[RecordHeader]:
-    """Read only the header directory — the metadata-scan fast path
-    (std_io.py:698-799's vectorized unpack; payloads untouched).
+#: numpy mirror of _HEADER_STRUCT (itemsize asserted equal below): one
+#: frombuffer turns the whole directory into column arrays — the
+#: columnar metadata fast path (round 18; per-record unpack_from +
+#: dataclass boxing measured ~4.4 us/record on a 100k-record file)
+_HEADER_DTYPE = np.dtype([
+    ("nomvar", "S4"), ("typvar", "S2"), ("etiket", "S12"), ("grtyp", "S2"),
+    ("ni", "<i4"), ("nj", "<i4"), ("nk", "<i4"), ("dateo", "<i8"),
+    ("ip1", "<i4"), ("ip2", "<i4"), ("ip3", "<i4"),
+    ("deet", "<i4"), ("npas", "<i4"), ("datyp", "<i4"), ("nbits", "<i4"),
+    ("ig1", "<i4"), ("ig2", "<i4"), ("ig3", "<i4"), ("ig4", "<i4"),
+    ("datev", "<i8"), ("offset", "<u8"), ("n_floats", "<u4"),
+])
+assert _HEADER_DTYPE.itemsize == HEADER_SIZE
 
-    Corruption contract (round 17): truncation and header damage raise
-    — the v2 CRC covers every directory byte; the ``n_floats ==
-    ni*nj*nk`` and offset-continuity invariants hold on BOTH format
-    versions, so a flipped extent on a legacy v1 file cannot silently
-    map a record onto the wrong payload bytes."""
+_STR_FIELDS = (("nomvar", "U4"), ("typvar", "U2"),
+               ("etiket", "U12"), ("grtyp", "U2"))
+_INT_FIELDS = ("ni", "nj", "nk", "dateo", "ip1", "ip2", "ip3", "deet",
+               "npas", "datyp", "nbits", "ig1", "ig2", "ig3", "ig4",
+               "datev")
+
+
+def read_directory_columns(path: str) -> "dict[str, np.ndarray]":
+    """Directory -> column arrays, fully vectorized (no per-record
+    Python). String columns come back as the RAW space-padded bytes
+    (S dtype) — np.char decoding measured ~3.5 us/record, while the
+    scan path strips them in Arrow at C speed and the boxed path
+    decodes per record anyway. Returns the schema metadata columns
+    plus int64 ``offset`` / ``n_floats`` extent columns."""
     with open(path, "rb") as f:
         magic = f.read(len(MAGIC))
         if magic not in (MAGIC, MAGIC_V1):
@@ -248,47 +267,94 @@ def read_directory(path: str) -> list[RecordHeader]:
         raise ValueError(
             f"corrupt fstrec directory in {path}: CRC32 mismatch — "
             "the header block is bit-damaged")
-    out = []
-    expect_offset = prefix + HEADER_SIZE * n
-    for i in range(n):
-        vals = _HEADER_STRUCT.unpack_from(raw, i * HEADER_SIZE)
-        h = RecordHeader(
-            nomvar=vals[0].decode().rstrip(), typvar=vals[1].decode().rstrip(),
-            etiket=vals[2].decode().rstrip(), grtyp=vals[3].decode().rstrip(),
-            ni=vals[4], nj=vals[5], nk=vals[6], dateo=vals[7], ip1=vals[8],
-            ip2=vals[9], ip3=vals[10], deet=vals[11], npas=vals[12],
-            datyp=vals[13], nbits=vals[14], ig1=vals[15], ig2=vals[16],
-            ig3=vals[17], ig4=vals[18], datev=vals[19],
-            offset=vals[20], n_floats=vals[21],
+    arr = np.frombuffer(raw, dtype=_HEADER_DTYPE, count=n)
+    cols: "dict[str, np.ndarray]" = {}
+    for name, _udt in _STR_FIELDS:
+        cols[name] = arr[name]
+    for name in _INT_FIELDS:
+        cols[name] = arr[name]
+    offset = arr["offset"].astype("int64")
+    n_floats = arr["n_floats"].astype("int64")
+    want = (arr["ni"].astype("int64") * arr["nj"].astype("int64")
+            * arr["nk"].astype("int64"))
+    expect = (prefix + HEADER_SIZE * n
+              + 4 * np.concatenate([[0], np.cumsum(n_floats[:-1])])
+              if n else np.zeros(0, dtype="int64"))
+    bad_nfl = n_floats != want
+    bad_off = offset != expect
+    if bad_nfl.any() or bad_off.any():
+        # report the FIRST bad record with the boxed path's precedence
+        # (n_floats before offset) and its exact error text
+        i = int(np.nonzero(bad_nfl | bad_off)[0][0])
+        nomvar = bytes(cols["nomvar"][i]).decode(errors="replace").rstrip()
+        if bad_nfl[i]:
+            raise ValueError(
+                f"corrupt fstrec record {nomvar!r} in {path}: extent "
+                f"n_floats={int(n_floats[i])} != ni*nj*nk="
+                f"{int(want[i])}")
+        raise ValueError(
+            f"corrupt fstrec record {nomvar!r} in {path}: extent "
+            f"offset {int(offset[i])} breaks the contiguous layout "
+            f"(expected {int(expect[i])}) — the directory is "
+            "bit-damaged")
+    cols["offset"] = offset
+    cols["n_floats"] = n_floats
+    return cols
+
+
+def read_directory(path: str) -> list[RecordHeader]:
+    """Read only the header directory — the metadata-scan fast path
+    (std_io.py:698-799's vectorized unpack; payloads untouched).
+
+    Corruption contract (round 17): truncation and header damage raise
+    — the v2 CRC covers every directory byte; the ``n_floats ==
+    ni*nj*nk`` and offset-continuity invariants hold on BOTH format
+    versions, so a flipped extent on a legacy v1 file cannot silently
+    map a record onto the wrong payload bytes. (Round 18: the scan
+    path reads :func:`read_directory_columns` directly; this boxed
+    view serves point reads, update mode and tests.)"""
+    cols = read_directory_columns(path)
+    return [
+        RecordHeader(
+            nomvar=cols["nomvar"][i].decode().rstrip(),
+            typvar=cols["typvar"][i].decode().rstrip(),
+            etiket=cols["etiket"][i].decode().rstrip(),
+            grtyp=cols["grtyp"][i].decode().rstrip(),
+            ni=int(cols["ni"][i]), nj=int(cols["nj"][i]),
+            nk=int(cols["nk"][i]), dateo=int(cols["dateo"][i]),
+            ip1=int(cols["ip1"][i]), ip2=int(cols["ip2"][i]),
+            ip3=int(cols["ip3"][i]), deet=int(cols["deet"][i]),
+            npas=int(cols["npas"][i]), datyp=int(cols["datyp"][i]),
+            nbits=int(cols["nbits"][i]), ig1=int(cols["ig1"][i]),
+            ig2=int(cols["ig2"][i]), ig3=int(cols["ig3"][i]),
+            ig4=int(cols["ig4"][i]), datev=int(cols["datev"][i]),
+            offset=int(cols["offset"][i]),
+            n_floats=int(cols["n_floats"][i]),
         )
-        if h.n_floats != h.ni * h.nj * h.nk:
-            raise ValueError(
-                f"corrupt fstrec record {h.nomvar!r} in {path}: extent "
-                f"n_floats={h.n_floats} != ni*nj*nk="
-                f"{h.ni * h.nj * h.nk}")
-        if h.offset != expect_offset:
-            raise ValueError(
-                f"corrupt fstrec record {h.nomvar!r} in {path}: extent "
-                f"offset {h.offset} breaks the contiguous layout "
-                f"(expected {expect_offset}) — the directory is "
-                "bit-damaged")
-        expect_offset += 4 * h.n_floats
-        out.append(h)
-    return out
+        for i in range(len(cols["nomvar"]))
+    ]
+
+
+def read_payload_at(f, offset: int, n_floats: int,
+                    nomvar: str = "?") -> np.ndarray:
+    """Seek + read one record's float32 payload by extent scalars (the
+    columnar scan path; no header object needed). A truncated payload
+    raises instead of silently returning a short array (round 17)."""
+    f.seek(offset)
+    buf = f.read(n_floats * 4)
+    if len(buf) < n_floats * 4:
+        raise ValueError(
+            f"truncated fstrec record {nomvar!r}: payload needs "
+            f"{n_floats * 4} bytes but the file ends after "
+            f"{len(buf)}")
+    return np.frombuffer(buf, dtype="<f4")
 
 
 def read_payload(f, header: RecordHeader) -> np.ndarray:
     """Seek + read one record's float32 payload (the point read of
-    get_data, std_io.py:463-475). A truncated payload raises instead of
-    silently returning a short array (round 17)."""
-    f.seek(header.offset)
-    buf = f.read(header.n_floats * 4)
-    if len(buf) < header.n_floats * 4:
-        raise ValueError(
-            f"truncated fstrec record {header.nomvar!r}: payload needs "
-            f"{header.n_floats * 4} bytes but the file ends after "
-            f"{len(buf)}")
-    return np.frombuffer(buf, dtype="<f4")
+    get_data, std_io.py:463-475)."""
+    return read_payload_at(f, header.offset, header.n_floats,
+                           header.nomvar)
 
 
 def update_metadata(path: str, updates: "dict[int, dict]") -> int:

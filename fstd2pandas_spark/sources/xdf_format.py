@@ -350,10 +350,11 @@ def maybe_xdf(path: str) -> bool:
         return False
 
 
-def read_xdf_directory(path: str, include_deleted: bool = False
-                       ) -> "list[RecordHeader]":
+def _walk_directory(path: str) -> "tuple[dict | None, int]":
     """Walk header -> DIR0 page chain -> vectorized entry unpack; never
     touches payload bytes (the metadata fast path, std_io.py:656-812).
+    Returns (column dict incl. dltf/swa, key_offset) — None columns for
+    an empty directory.
 
     Corruption contract (round 17): a damaged file raises, never
     returns silently wrong headers — a truncated page read, an entry
@@ -464,7 +465,44 @@ def read_xdf_directory(path: str, include_deleted: bool = False
             f"corrupt FST/XDF directory in {path}: walked "
             f"{len(seen_pages)} directory pages but the file header "
             f"declares nbd={nbd} — the page chain is damaged")
-    if not chunks or cols is None:
+    return cols, key_offset
+
+
+#: integer metadata columns the scan path carries (schema order)
+_INT_COLS = ("ni", "nj", "nk", "dateo", "ip1", "ip2", "ip3", "deet",
+             "npas", "datyp", "nbits", "ig1", "ig2", "ig3", "ig4",
+             "datev")
+_STR_COLS = ("nomvar", "typvar", "etiket", "grtyp")
+
+
+def read_xdf_directory_columns(path: str) -> "dict[str, np.ndarray]":
+    """Directory -> column arrays for non-deleted records, no
+    per-record boxing (round 18 scan fast path): the schema metadata
+    columns (strings as numpy unicode, already stripped by
+    unpack_dir_entries) plus int64 ``offset`` / ``n_floats``."""
+    cols, key_offset = _walk_directory(path)
+    if cols is None:
+        return {k: np.zeros(0, dtype="int64") for k in
+                _INT_COLS + ("offset", "n_floats")} | {
+                k: np.zeros(0, dtype="U1") for k in _STR_COLS}
+    m = cols["dltf"] == 0
+    out: "dict[str, np.ndarray]" = {}
+    for k in _STR_COLS + _INT_COLS:
+        out[k] = cols[k][m]
+    out["offset"] = (cols["swa"][m].astype("int64") - 1) * 8 + key_offset
+    out["n_floats"] = (out["ni"].astype("int64")
+                       * out["nj"].astype("int64")
+                       * out["nk"].astype("int64"))
+    return out
+
+
+def read_xdf_directory(path: str, include_deleted: bool = False
+                       ) -> "list[RecordHeader]":
+    """Boxed directory view (see :func:`_walk_directory` for the walk
+    and its corruption/foreign-file contract; the scan path reads
+    :func:`read_xdf_directory_columns` instead)."""
+    cols, key_offset = _walk_directory(path)
+    if cols is None:
         return []
     out = []
     for i in range(len(cols["swa"])):
@@ -529,43 +567,68 @@ def verify_record_keys_batch(f, headers: "list[RecordHeader]") -> None:
     caller is about to do); only the decode+compare is batched."""
     if not headers:
         return
+    expected = {
+        k: (np.array([getattr(h, k) for h in headers])
+            if isinstance(getattr(headers[0], k), str)
+            else np.fromiter((getattr(h, k) for h in headers),
+                             dtype="int64", count=len(headers)))
+        for k in _VERIFIED_FIELDS
+    }
+    _verify_key_blocks(
+        f, np.fromiter((h.offset for h in headers), dtype="int64",
+                       count=len(headers)), expected)
+
+
+def verify_record_keys_cols(f, cols: "dict[str, np.ndarray]",
+                            idx: np.ndarray) -> None:
+    """Columnar twin of :func:`verify_record_keys_batch` (round 18
+    scan path): verify the rows of ``cols`` selected by ``idx``
+    without boxing RecordHeaders."""
+    if not len(idx):
+        return
+    _verify_key_blocks(f, cols["offset"][idx],
+                       {k: cols[k][idx] for k in _VERIFIED_FIELDS})
+
+
+def _verify_key_blocks(f, offsets: np.ndarray,
+                       expected: "dict[str, np.ndarray]") -> None:
+    """Shared core: read each record-local key block, decode them all
+    in ONE unpack, compare field-by-field against the expected arrays
+    (directory-derived)."""
     key_bytes = (LPRM + LAUX) * 8
-    n = len(headers)
+    n = len(offsets)
     blocks = np.empty((n, ENTRY_WORDS), dtype=">u4")
     swas = np.empty(n, dtype="int64")
-    for i, h in enumerate(headers):
-        rec_start = h.offset - key_bytes
+    for i in range(n):
+        rec_start = int(offsets[i]) - key_bytes
         if rec_start < 0:
             raise ValueError(
-                f"corrupt FST/XDF record {h.nomvar!r}: directory swa "
-                "points before the start of the file")
+                f"corrupt FST/XDF record {expected['nomvar'][i]!r}: "
+                "directory swa points before the start of the file")
         f.seek(rec_start)
         buf = f.read(LPRM * 8)
         if len(buf) < LPRM * 8:
             raise ValueError(
-                f"truncated FST/XDF record {h.nomvar!r}: file ends "
-                "inside the record's primary-key block")
+                f"truncated FST/XDF record {expected['nomvar'][i]!r}: "
+                "file ends inside the record's primary-key block")
         blocks[i] = np.frombuffer(buf, dtype=">u4")
         swas[i] = rec_start // 8 + 1
     cols = unpack_dir_entries(blocks)
     bad: "dict[int, list[str]]" = {}
     for k in _VERIFIED_FIELDS:
         got = cols[k]
+        want = expected[k]
         if got.dtype.kind in "US":
-            want = np.array([getattr(h, k) for h in headers],
-                            dtype=got.dtype)
-        else:
-            want = np.fromiter((getattr(h, k) for h in headers),
-                               dtype="int64", count=n)
+            want = np.asarray(want, dtype=got.dtype)
         for i in np.nonzero(got != want)[0]:
             bad.setdefault(int(i), []).append(k)
     for i in np.nonzero(cols["swa"].astype("int64") != swas)[0]:
         bad.setdefault(int(i), []).append("swa")
     if bad:
         i, fields = next(iter(sorted(bad.items())))
-        h = headers[i]
         raise ValueError(
-            f"corrupt FST/XDF record {h.nomvar!r} at swa {int(swas[i])}:"
+            f"corrupt FST/XDF record {str(expected['nomvar'][i])!r} at "
+            f"swa {int(swas[i])}:"
             f" the record-local primary keys disagree with the "
             f"directory entry on {fields} — the directory or the "
             "record extent is bit-damaged (or the swa points at the "
@@ -590,27 +653,36 @@ def read_xdf_payload(f, header: RecordHeader,
     decoded."""
     if verify_keys:
         verify_record_keys(f, header)
-    if turbo_codec.is_codec_datyp(header.datyp, header.nbits):
-        nwords = turbo_codec.compressed_payload_length(f, header.offset)
-        f.seek(header.offset)
+    return read_xdf_payload_at(
+        f, header.offset, header.ni, header.nj, header.nk,
+        header.datyp, header.nbits, header.n_floats, header.nomvar)
+
+
+def read_xdf_payload_at(f, offset: int, ni: int, nj: int, nk: int,
+                        datyp: int, nbits: int, n_floats: int,
+                        nomvar="?") -> np.ndarray:
+    """Scalar-argument payload read (the columnar scan path; key
+    verification is the caller's batched step)."""
+    if turbo_codec.is_codec_datyp(datyp, nbits):
+        nwords = turbo_codec.compressed_payload_length(f, offset)
+        f.seek(offset)
         buf = f.read(nwords * 4)
         if len(buf) < nwords * 4:
             raise ValueError(
-                f"truncated FST/XDF record {header.nomvar!r}: "
+                f"truncated FST/XDF record {nomvar!r}: "
                 f"compressed payload claims {nwords} words but the "
                 f"file ends after {len(buf)} bytes")
         words = np.frombuffer(buf, dtype=">u4")
         return turbo_codec.decompress_payload(
-            words, header.ni, header.nj, header.nk,
-            header.datyp, header.nbits)
-    dt = payload_dtype(header.datyp, header.nbits)
-    f.seek(header.offset)
-    nbytes = header.n_floats * np.dtype(dt).itemsize
+            words, ni, nj, nk, datyp, nbits)
+    dt = payload_dtype(datyp, nbits)
+    f.seek(offset)
+    nbytes = n_floats * np.dtype(dt).itemsize
     buf = f.read(nbytes)
     if len(buf) < nbytes:
         raise ValueError(
-            f"truncated FST/XDF record {header.nomvar!r}: payload "
-            f"needs {nbytes} bytes ({header.n_floats} values of {dt}) "
+            f"truncated FST/XDF record {nomvar!r}: payload "
+            f"needs {nbytes} bytes ({n_floats} values of {dt}) "
             f"but the file ends after {len(buf)}")
     return np.frombuffer(buf, dtype=dt).astype("<f4")
 
