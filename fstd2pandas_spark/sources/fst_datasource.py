@@ -199,7 +199,7 @@ def _filter_mask(flt: Filter, cols, grid_pa, path: str, n: int,
     if col == "path":
         v = flt.value
         ok = (path == v if isinstance(flt, EqualTo)
-              else path in flt.values if isinstance(flt, In)
+              else path in flt.value if isinstance(flt, In)
               else path > v if isinstance(flt, GreaterThan)
               else path >= v if isinstance(flt, GreaterThanOrEqual)
               else path < v if isinstance(flt, LessThan)
@@ -212,7 +212,7 @@ def _filter_mask(flt: Filter, cols, grid_pa, path: str, n: int,
             m = pc.equal(grid_pa, str(flt.value))
         elif isinstance(flt, In):
             m = pc.is_in(grid_pa,
-                         value_set=pa.array([str(v) for v in flt.values]))
+                         value_set=pa.array([str(v) for v in flt.value]))
         elif isinstance(flt, GreaterThan):
             m = pc.greater(grid_pa, str(flt.value))
         elif isinstance(flt, GreaterThanOrEqual):
@@ -240,9 +240,9 @@ def _filter_mask(flt: Filter, cols, grid_pa, path: str, n: int,
             return dec_cache[col]
 
         if isinstance(flt, In):
-            pbs = [enc(v) for v in flt.values]
+            pbs = [enc(v) for v in flt.value]
             if any(p is None for p in pbs):
-                target, vals = dec(), [str(v) for v in flt.values]
+                target, vals = dec(), [str(v) for v in flt.value]
             else:
                 target, vals = arr, pbs
             m = np.zeros(n, dtype=bool)
@@ -267,7 +267,7 @@ def _filter_mask(flt: Filter, cols, grid_pa, path: str, n: int,
         return arr == flt.value
     if isinstance(flt, In):
         m = np.zeros(n, dtype=bool)
-        for v in flt.values:
+        for v in flt.value:
             m |= arr == v
         return m
     if isinstance(flt, GreaterThan):

@@ -1542,3 +1542,107 @@ def test_turbo_pack_bitstream_paths_bit_exact():
     bits = np.unpackbits(np.frombuffer(words.tobytes(), dtype="uint8"))
     assert list(bits[:10]) == [0, 0, 0, 0, 1, 0, 1, 1, 0, 1]
     assert not bits[10:].any()
+
+
+def test_columnar_pushdown_mask_parity(tmp_path):
+    """Round 18 columnar pushdown: every pushed-filter type evaluated
+    by the vectorized mask must select EXACTLY the rows a per-record
+    Python evaluation over the boxed (decoded, stripped) headers
+    selects — on both container formats, including the padded-bytes
+    string comparisons, the virtual grid/key columns, and the
+    trailing-whitespace fallback literal."""
+    import numpy as np
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
+        LessThan, LessThanOrEqual)
+
+    from fstd2pandas_spark.sources.fst_datasource import (
+        _FilePartition, FstRecReader)
+    from fstd2pandas_spark.sources.fstrec_format import write_fstrec
+    from fstd2pandas_spark.sources.xdf_format import write_xdf
+    from fstd2pandas_spark.sources import fstrec_format, xdf_format
+
+    rng = np.random.RandomState(77)
+    recs = []
+    for i in range(400):
+        ni, nj = int(rng.randint(1, 5)), int(rng.randint(1, 4))
+        nomvar = ["TT", "UU", "HY", ">>", "P0", "T"][i % 6]
+        recs.append(dict(
+            nomvar=nomvar, typvar=["P", "X", "P "][i % 3].strip() or "P",
+            etiket=f"E{i % 7:02d}", grtyp=["Z", "X", "E"][i % 3],
+            ni=ni, nj=nj, nk=1, dateo=442998800, ip1=i % 50, ip2=i % 9,
+            ip3=i, deet=300, npas=i % 77, datyp=5, nbits=32,
+            ig1=i % 13, ig2=i % 4, ig3=0, ig4=i % 3,
+            datev=442998800 + 10 * (i % 40),
+            d=rng.randn(ni * nj).astype("<f4")))
+    paths = {}
+    p1 = str(tmp_path / "m.fstrec"); write_fstrec(p1, recs); paths[p1] = fstrec_format
+    p2 = str(tmp_path / "m.fst"); write_xdf(p2, recs); paths[p2] = xdf_format
+
+    def grid_of(h):
+        if h.nomvar in ("^>", ">>", "^^", "!!", "!!SF"):
+            return f"{h.ip1}{h.ip2}"
+        if h.nomvar == "HY":
+            return "None"
+        return f"{h.ig1}{h.ig2}"
+
+    filters = [
+        [EqualTo(("nomvar",), "TT")],
+        [EqualTo(("nomvar",), "T")],          # prefix of 'TT'
+        [GreaterThan(("nomvar",), "T")],      # range across prefixes
+        [GreaterThanOrEqual(("nomvar",), "TT")],
+        [LessThan(("etiket",), "E03")],
+        [LessThanOrEqual(("typvar",), "P")],
+        [In(("nomvar",), ("TT", "HY", ">>"))],
+        [EqualTo(("nomvar",), "TT "), ],      # trailing-space literal
+        [In(("grtyp",), ("Z", "E"))],
+        [EqualTo(("ip2",), 4)],
+        [GreaterThan(("ip3",), 200), LessThanOrEqual(("ip3",), 350)],
+        [EqualTo(("grid",), "None")],
+        [In(("grid",), ("12", "00", "None"))],
+        [GreaterThan(("key",), 350)],
+        [IsNotNull(("nomvar",)), EqualTo(("datev",), 442998810)],
+        [EqualTo(("nomvar",), "ZZZZZZZ")],    # overlong literal
+    ]
+    for path, fmt in paths.items():
+        if fmt is fstrec_format:
+            headers = fmt.read_directory(path)
+        else:
+            headers = fmt.read_xdf_directory(path)
+        for fls in filters:
+            def pyval(h, key, col):
+                if col == "grid":
+                    return grid_of(h)
+                if col == "key":
+                    return key
+                if col == "path":
+                    return path
+                return getattr(h, col)
+
+            def pymatch(h, key, flt):
+                v = pyval(h, key, flt.attribute[0])
+                if isinstance(flt, EqualTo):
+                    return v == flt.value
+                if isinstance(flt, In):
+                    return v in flt.value
+                if isinstance(flt, GreaterThan):
+                    return v > flt.value
+                if isinstance(flt, GreaterThanOrEqual):
+                    return v >= flt.value
+                if isinstance(flt, LessThan):
+                    return v < flt.value
+                if isinstance(flt, LessThanOrEqual):
+                    return v <= flt.value
+                return v is not None
+            want = sorted(
+                k for k, h in enumerate(headers, start=1)
+                if all(pymatch(h, k, flt) for flt in fls))
+            reader = FstRecReader({"path": path,
+                                   "split_target_bytes": "0"})
+            leftover = list(reader.pushFilters(list(fls)))
+            assert not leftover, (path, fls)
+            got = []
+            for b in reader.read(_FilePartition(path, 0, 1)):
+                got.extend(b.column("key").to_pylist())
+            assert sorted(got) == want, (path, fls, sorted(got)[:5],
+                                         want[:5])
