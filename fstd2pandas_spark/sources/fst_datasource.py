@@ -120,13 +120,14 @@ def _container_columns(path: str):
                 int(cols["datyp"][i]), int(cols["nbits"][i]),
                 int(cols["n_floats"][i]), cols["nomvar"][i])
         return (xdf_format.read_xdf_directory_columns, _payload,
-                xdf_format.verify_record_keys_cols)
+                xdf_format.verify_record_keys_cols, "both")
 
     def _payload(f, cols, i):
         return fstrec_format.read_payload_at(
             f, int(cols["offset"][i]), int(cols["n_floats"][i]),
             cols["nomvar"][i])
-    return (fstrec_format.read_directory_columns, _payload, None)
+    return (fstrec_format.read_directory_columns, _payload, None,
+            "right")
 
 
 #: axis/descriptor records whose grid id is f"{ip1}{ip2}" (the
@@ -137,24 +138,32 @@ _META_NOMVARS = ("^>", ">>", "^^", "!!", "!!SF")
 _RSTRIP_CHARS = " \t\r\n\x0b\x0c\x1c\x1d\x1e\x1f\x85"
 
 
-def _strings_to_arrow(arr):
-    """numpy string column -> Arrow string array at C speed. fstrec
-    columns arrive as raw space-padded bytes (S dtype): cast + rtrim
-    in Arrow (~25x cheaper than np.char.rstrip, measured); xdf columns
-    are already-stripped numpy unicode."""
+def _strings_to_arrow(arr, trim: str):
+    """numpy string column -> Arrow string array at C speed. Both
+    container formats hand over RAW space-padded bytes (S dtype); the
+    trim mode carries each format's semantics — fstrec right-strips
+    (str.rstrip of the boxed decode), XDF strips BOTH sides (librmn
+    6-bit fields). Arrow trim measured ~25x cheaper than np.char."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
     if arr.dtype.kind == "S":
-        return pc.ascii_rtrim(pa.array(arr).cast(pa.string()),
-                              characters=_RSTRIP_CHARS)
+        s = pa.array(np.ascontiguousarray(arr)).cast(pa.string())
+        if trim == "both":
+            return pc.ascii_trim(s, characters=_RSTRIP_CHARS)
+        return pc.ascii_rtrim(s, characters=_RSTRIP_CHARS)
     return pa.array(arr)
 
 
-def _grid_arrow(cols):
+def _grid_arrow(cols, trim: str):
     """Vectorized grid id column: f"{ip1}{ip2}" for axis/descriptor
     records, "None" for HY, else f"{ig1}{ig2}" — int->string casts and
-    joins in Arrow."""
+    joins in Arrow. Membership tests run on the raw padded bytes
+    (value padded to field width), which equals the stripped-string
+    test unless a both-sides-stripping (XDF) column carries LEADING
+    whitespace — a cheap first-byte sweep detects that and falls back
+    to exact decoded comparison."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -162,10 +171,20 @@ def _grid_arrow(cols):
     nv = cols["nomvar"]
     if nv.dtype.kind == "S":
         w = nv.dtype.itemsize
-        metas = np.array([s.encode().ljust(w, b" ")
-                          for s in _META_NOMVARS], dtype=nv.dtype)
-        meta = np.isin(nv, metas)
-        hy = nv == b"HY".ljust(w, b" ")
+        decoded = None
+        if trim == "both" and len(nv):
+            firsts = np.frombuffer(
+                np.ascontiguousarray(nv), dtype="uint8").reshape(-1, w)[:, 0]
+            if (firsts == 0x20).any():
+                decoded = np.char.strip(nv.astype("U"))
+        if decoded is not None:
+            meta = np.isin(decoded, np.array(_META_NOMVARS))
+            hy = decoded == "HY"
+        else:
+            metas = np.array([s.encode().ljust(w, b" ")
+                              for s in _META_NOMVARS], dtype=nv.dtype)
+            meta = np.isin(np.ascontiguousarray(nv), metas)
+            hy = nv == b"HY".ljust(w, b" ")
     else:
         meta = np.isin(nv, np.array(_META_NOMVARS))
         hy = nv == "HY"
@@ -182,7 +201,7 @@ def _grid_arrow(cols):
 
 
 def _filter_mask(flt: Filter, cols, grid_pa, path: str, n: int,
-                 dec_cache: dict):
+                 dec_cache: dict, trim: str):
     """One pushed filter -> boolean numpy mask (the vectorized twin of
     the old per-record ``_matches``). String columns stored as padded
     bytes compare against the value PADDED TO FIELD WIDTH with spaces
@@ -229,19 +248,36 @@ def _filter_mask(flt: Filter, cols, grid_pa, path: str, n: int,
 
         def enc(v):
             s = str(v)
-            if s != s.rstrip():
+            canon = s.strip() if trim == "both" else s.rstrip()
+            if s != canon:
                 return None          # not representable padded
             b = s.encode("ascii", "replace")
             return b.ljust(width, b" ") if len(b) <= width else b
 
         def dec():
             if col not in dec_cache:
-                dec_cache[col] = np.char.rstrip(arr.astype("U"))
+                strip = np.char.strip if trim == "both" else np.char.rstrip
+                dec_cache[col] = strip(arr.astype("U"))
             return dec_cache[col]
+
+        def clean_col():
+            # the padded-bytes compare equals the stripped compare
+            # unless a both-sides-stripping (XDF) column carries
+            # LEADING whitespace; one cached first-byte sweep decides
+            if trim != "both":
+                return True
+            key = ("__noleading__", col)
+            if key not in dec_cache:
+                firsts = (np.frombuffer(np.ascontiguousarray(arr),
+                                        dtype="uint8")
+                          .reshape(-1, width)[:, 0]) if n else \
+                    np.zeros(0, dtype="uint8")
+                dec_cache[key] = not bool((firsts == 0x20).any())
+            return dec_cache[key]
 
         if isinstance(flt, In):
             pbs = [enc(v) for v in flt.value]
-            if any(p is None for p in pbs):
+            if any(p is None for p in pbs) or not clean_col():
                 target, vals = dec(), [str(v) for v in flt.value]
             else:
                 target, vals = arr, pbs
@@ -250,7 +286,7 @@ def _filter_mask(flt: Filter, cols, grid_pa, path: str, n: int,
                 m |= target == v
             return m
         pb = enc(flt.value)
-        target, v = ((arr, pb) if pb is not None
+        target, v = ((arr, pb) if pb is not None and clean_col()
                      else (dec(), str(flt.value)))
         if isinstance(flt, EqualTo):
             return target == v
@@ -327,7 +363,8 @@ class _FstRecReaderBase(DataSourceReader):
         import pyarrow as pa
 
         path = partition.path
-        read_columns, payload_at, verify_cols = _container_columns(path)
+        read_columns, payload_at, verify_cols, trim = \
+            _container_columns(path)
         cols = read_columns(path)
         total = len(cols["nomvar"])
         lo, hi = 0, total
@@ -341,13 +378,13 @@ class _FstRecReaderBase(DataSourceReader):
         n = hi - lo
         if not n:
             return
-        grid_pa = _grid_arrow(view)
+        grid_pa = _grid_arrow(view, trim)
         if self.filters:
             mask = np.ones(n, dtype=bool)
             dec_cache: dict = {}
             for flt in self.filters:
                 mask &= _filter_mask(flt, view, grid_pa, path, n,
-                                     dec_cache)
+                                     dec_cache, trim)
             if not mask.all():
                 idx = np.nonzero(mask)[0]
                 view = {k: v[idx] for k, v in view.items()}
@@ -367,7 +404,8 @@ class _FstRecReaderBase(DataSourceReader):
                   for c in int32_cols}
         np_i64 = {c: np.ascontiguousarray(view[c], dtype="<i8")
                   for c in int64_cols}
-        pa_str = {c: _strings_to_arrow(view[c]) for c in str_cols}
+        pa_str = {c: _strings_to_arrow(view[c], trim)
+                  for c in str_cols}
 
         # chunk by ROWS and by ELEMENT COUNT: Arrow list offsets are
         # int32, so one batch must stay far below 2^31 total floats

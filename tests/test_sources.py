@@ -1566,7 +1566,13 @@ def test_columnar_pushdown_mask_parity(tmp_path):
     recs = []
     for i in range(400):
         ni, nj = int(rng.randint(1, 5)), int(rng.randint(1, 4))
-        nomvar = ["TT", "UU", "HY", ">>", "P0", "T"][i % 6]
+        # ' T' and ' HY' exercise the leading-whitespace divergence:
+        # fstrec right-strips (reads back ' T'), XDF strips both sides
+        # (reads back 'T') — the vectorized mask must follow each
+        # format's boxed semantics, including the XDF fallback off the
+        # padded-bytes fast path
+        nomvar = ["TT", "UU", "HY", ">>", "P0", "T", " T",
+                  " HY"][i % 8]
         recs.append(dict(
             nomvar=nomvar, typvar=["P", "X", "P "][i % 3].strip() or "P",
             etiket=f"E{i % 7:02d}", grtyp=["Z", "X", "E"][i % 3],
