@@ -504,6 +504,13 @@ class FstRecReader(_FstRecReaderBase):
                 yield f
 
 
+def _stat_ns(path: str) -> int:
+    """mtime_ns of one file (separable for tests/alternate stores)."""
+    import os as _os
+
+    return _os.stat(path).st_mtime_ns
+
+
 class FstRecStreamReader(DataSourceStreamReader):
     """Streaming scan: each micro-batch reads the .fstrec files that
     appeared since the last committed offset — forecast-cycle drops
@@ -545,6 +552,13 @@ class FstRecStreamReader(DataSourceStreamReader):
         #: monotonic floor within this run: a transient empty/short
         #: listing (FS hiccup) must not regress the high-water mark
         self._last_offset: "dict | None" = None
+        #: published container files are immutable (the writer's
+        #: two-phase commit never rewrites a name), so mtimes are
+        #: cached per run — a trigger costs O(listdir + NEW files)
+        #: stat calls, not O(all files ever); deleted files simply
+        #: drop out of the listing, and a fresh instance (restart)
+        #: re-stats once
+        self._mtime_cache: "dict[str, int]" = {}
 
     def _current_files(self) -> list[str]:
         try:
@@ -553,14 +567,17 @@ class FstRecStreamReader(DataSourceStreamReader):
             return []
 
     def _listing(self) -> "list[tuple[int, str]]":
-        import os as _os
-
         out = []
+        cache = self._mtime_cache
         for p in self._current_files():
-            try:
-                out.append((_os.stat(p).st_mtime_ns, p))
-            except OSError:
-                continue   # raced a concurrent delete
+            m = cache.get(p)
+            if m is None:
+                try:
+                    m = _stat_ns(p)
+                except OSError:
+                    continue   # raced a concurrent delete
+                cache[p] = m
+            out.append((m, p))
         return out
 
     @staticmethod

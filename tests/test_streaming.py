@@ -1155,3 +1155,45 @@ def test_stream_offsets_legacy_full_list(tmp_path):
     end = reader.latestOffset()
     got = [q.path for q in reader.partitions(legacy, end)]
     assert got == [str(new)], got
+
+
+def test_stream_listing_stats_only_new_files(tmp_path, monkeypatch):
+    """The per-trigger listing stats each file once per RUN, not once
+    per trigger: published container files are immutable (the writer's
+    two-phase commit never rewrites a name), so mtimes are cached and
+    a long-running stream's driver cost per trigger is O(listdir +
+    new files), not O(all files) stat calls."""
+    import os
+
+    from fstd2pandas_spark.sources import fst_datasource as fd
+    from fstd2pandas_spark.sources.fstrec_format import write_fstrec
+
+    zone = tmp_path / "zone"
+    zone.mkdir()
+    t0 = 1_600_000_000
+    for i in range(10):
+        p = zone / f"a{i}.fstrec"
+        write_fstrec(str(p), [_tiny_rec(i)])
+        os.utime(p, (t0 + i, t0 + i))
+    reader = fd.FstRecStreamReader({"path": str(zone)})
+    start = reader.initialOffset()
+    real_stat = os.stat
+    calls = []
+
+    def counting_stat(p, *a, **k):
+        calls.append(str(p))
+        return real_stat(p, *a, **k)
+
+    monkeypatch.setattr(fd, "_stat_ns", lambda p: counting_stat(p).st_mtime_ns)
+    end1 = reader.latestOffset()
+    first_round = len(calls)
+    assert first_round == 10
+    assert len(reader.partitions(start, end1)) == 10
+    calls.clear()
+    # next trigger: one new file -> exactly one stat
+    pn = zone / "b_new.fstrec"
+    write_fstrec(str(pn), [_tiny_rec(99)])
+    os.utime(pn, (t0 + 100, t0 + 100))
+    end2 = reader.latestOffset()
+    assert [q.path for q in reader.partitions(end1, end2)] == [str(pn)]
+    assert calls == [str(pn)], calls
