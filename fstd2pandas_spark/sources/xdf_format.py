@@ -266,27 +266,68 @@ def write_xdf(path: str, records: "list[dict]") -> int:
     std_io.py:656-735.
 
     Memory (round 18): rows collapse to packed big-endian payload words
-    as they arrive (~1x raw bytes held instead of ~11x for a partition
-    of unpickled Python-float lists, measured in PLANS.md); only the
-    small metadata dicts and the packed words stay resident — the swa
-    layout needs the full record census before any byte is written, so
-    a 1x-raw buffer is this format's floor without a patch-after-copy
-    sidecar pass (the fstrec container, the engine's primary write
-    target, spills to O(one record))."""
+    as they arrive (the unpickled Python-float lists cost ~11x the raw
+    bytes when a partition is held whole, measured in PLANS.md), and
+    once the running payload passes ``_SPILL_BYTES`` the packed words
+    stream to a sidecar (``<path>.spill``, removed on every exit path)
+    — peak memory is O(one record + directory) regardless of partition
+    size, same as the fstrec writer; the swa layout only needs the
+    per-record LENGTHS up front, which the spill keeps. Output is
+    byte-identical either way, and the target file is still only
+    created after every record validates."""
     metas: "list[dict]" = []
-    payloads: "list[np.ndarray]" = []
-    for rec in records:
-        payloads.append(_payload_words(rec, rec.get("d", [])))
-        m = dict(rec)
-        m.pop("d", None)    # drop the float-object list immediately
-        metas.append(m)
-    records = metas
+    chunks: "list[bytes]" = []
+    plens: "list[int]" = []
+    buf_bytes = 0
+    spill = None
+    spill_path = path + ".spill"
+    try:
+        for rec in records:
+            pw = _payload_words(rec, rec.get("d", []))
+            b = pw.tobytes()
+            plens.append(len(pw))
+            m = dict(rec)
+            m.pop("d", None)    # drop the float-object list immediately
+            metas.append(m)
+            if spill is None and buf_bytes + len(b) > _SPILL_BYTES:
+                spill = open(spill_path, "wb")
+                for c in chunks:
+                    spill.write(c)
+                chunks = []
+            if spill is not None:
+                spill.write(b)
+            else:
+                chunks.append(b)
+            buf_bytes += len(b)
+        if spill is not None:
+            spill.close()
+            spill = None
+        return _assemble_xdf(
+            path, metas, plens, chunks,
+            spill_path if buf_bytes and not chunks else None)
+    finally:
+        if spill is not None:
+            spill.close()
+        if os.path.exists(spill_path):
+            os.remove(spill_path)
+
+
+#: write-path spill threshold (the fstrec writer's contract)
+_SPILL_BYTES = 64 * 1024 * 1024
+
+
+def _assemble_xdf(path: str, records: "list[dict]", plens: "list[int]",
+                  chunks: "list[bytes]",
+                  spill_path: "str | None") -> int:
+    """Directory + record-extent assembly from per-record metadata and
+    payload word counts; payload bytes come from the in-memory chunk
+    list or stream back out of the sidecar."""
     n = len(records)
     npages = max(1, -(-n // ENTRIES_PER_PAGE))
     header_units = FILE_HEADER_WORDS // 2
     page_units = PAGE_WORDS // 2
     first_page = 1 + header_units
-    lngs = [LPRM + LAUX + len(p) // 2 for p in payloads]
+    lngs = [LPRM + LAUX + pl // 2 for pl in plens]
     swas = []
     cur = first_page + npages * page_units
     for lng in lngs:
@@ -331,14 +372,20 @@ def write_xdf(path: str, records: "list[dict]") -> int:
         flat = base + PAGE_HEADER_WORDS
         words[flat:flat + chunk.size] = chunk.reshape(-1)
 
-    with open(path, "wb") as f:
-        f.write(words.tobytes())
-        aux = np.zeros(2 * LAUX, dtype=">u4")
-        for i, rec in enumerate(records):
-            f.write(entries[i].tobytes())
-            aux[0] = stamp_raw(rec["datev"]) & 0xFFFFFFFF
-            f.write(aux.tobytes())
-            f.write(payloads[i].tobytes())
+    sf = open(spill_path, "rb") if spill_path else None
+    try:
+        with open(path, "wb") as f:
+            f.write(words.tobytes())
+            aux = np.zeros(2 * LAUX, dtype=">u4")
+            for i, rec in enumerate(records):
+                f.write(entries[i].tobytes())
+                aux[0] = stamp_raw(rec["datev"]) & 0xFFFFFFFF
+                f.write(aux.tobytes())
+                f.write(sf.read(plens[i] * 4) if sf is not None
+                        else chunks[i])
+    finally:
+        if sf is not None:
+            sf.close()
     return n
 
 

@@ -1447,15 +1447,22 @@ def test_fstrec_spill_write_byte_identical(tmp_path, monkeypatch):
     assert not (tmp_path / "bad.fstrec").exists()
     assert not (tmp_path / "bad.fstrec.spill").exists()
 
-    # write_xdf takes iterators too now
-    from fstd2pandas_spark.sources.xdf_format import (
-        read_xdf_directory, write_xdf)
+    # write_xdf takes iterators too, and spills past its threshold to
+    # a byte-identical file with no sidecar left behind
+    from fstd2pandas_spark.sources import xdf_format as xf
 
     p_x1, p_x2 = tmp_path / "a.fst", tmp_path / "b.fst"
-    write_xdf(str(p_x1), recs)
-    write_xdf(str(p_x2), iter(recs))
+    write_n = xf.write_xdf(str(p_x1), recs)
+    assert write_n == 20
+    monkeypatch.setattr(xf, "_SPILL_BYTES", 64)
+    assert xf.write_xdf(str(p_x2), iter(recs)) == 20
     assert p_x1.read_bytes() == p_x2.read_bytes()
-    assert len(read_xdf_directory(str(p_x1))) == 20
+    assert not (tmp_path / "b.fst.spill").exists()
+    assert len(xf.read_xdf_directory(str(p_x1))) == 20
+    with pytest.raises(ValueError, match="NULL|no data array"):
+        xf.write_xdf(str(tmp_path / "bad.fst"), iter(bad))
+    assert not (tmp_path / "bad.fst").exists()
+    assert not (tmp_path / "bad.fst.spill").exists()
 
 
 def test_fat_record_arrow_batch_cap(tmp_path):
