@@ -15,10 +15,13 @@ Scale behavior:
   planned as multiple tasks over contiguous directory-index ranges, so
   read parallelism is never capped by the file count — a single
   multi-GB container fans out instead of pinning one core;
-- **filter pushdown** (``pushFilters``): equality/range/In filters on
-  metadata columns are evaluated against the header directory BEFORE any
-  payload bytes are read — the engine-side version of the reference's
-  query-before-data-load (O1, std_io.py:44-49);
+- **filter pushdown** (``pushFilters``): equality / null-safe equality /
+  range / In / IsNull / IsNotNull / NOT / startswith / endswith /
+  contains predicates on metadata columns are evaluated against the
+  header directory BEFORE any payload bytes are read — the engine-side
+  version of the reference's query-before-data-load (O1,
+  std_io.py:44-49). ``etiket LIKE 'R1%'``-class queries (the idiomatic
+  run-prefix selection) skip non-matching records' payloads entirely;
 - **lazy field data**: with ``option("with_data", "false")`` the reader
   never touches payload extents (column-pruning fast path, O2). Spark's
   Python DataSource API has no projection pushdown hook yet, so the
@@ -51,6 +54,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceWriter,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
@@ -58,8 +62,13 @@ from pyspark.sql.datasource import (
     In,
     InputPartition,
     IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    Not,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -212,13 +221,25 @@ def _filter_mask(flt: Filter, cols, grid_pa, path: str, n: int,
     Python semantics."""
     import numpy as np
 
+    if isinstance(flt, Not):
+        # header columns are never NULL, so boolean complement IS the
+        # SQL NOT of the child predicate here
+        return ~_filter_mask(flt.child, cols, grid_pa, path, n,
+                             dec_cache, trim)
     col = flt.attribute[0]
     if isinstance(flt, IsNotNull):
         return np.ones(n, dtype=bool)   # header columns are never null
+    if isinstance(flt, IsNull):
+        return np.zeros(n, dtype=bool)
+    if isinstance(flt, EqualNullSafe):
+        flt = EqualTo(flt.attribute, flt.value)   # no NULLs: same test
     if col == "path":
         v = flt.value
         ok = (path == v if isinstance(flt, EqualTo)
               else path in flt.value if isinstance(flt, In)
+              else path.startswith(v) if isinstance(flt, StringStartsWith)
+              else path.endswith(v) if isinstance(flt, StringEndsWith)
+              else v in path if isinstance(flt, StringContains)
               else path > v if isinstance(flt, GreaterThan)
               else path >= v if isinstance(flt, GreaterThanOrEqual)
               else path < v if isinstance(flt, LessThan)
@@ -232,6 +253,12 @@ def _filter_mask(flt: Filter, cols, grid_pa, path: str, n: int,
         elif isinstance(flt, In):
             m = pc.is_in(grid_pa,
                          value_set=pa.array([str(v) for v in flt.value]))
+        elif isinstance(flt, StringStartsWith):
+            m = pc.starts_with(grid_pa, pattern=str(flt.value))
+        elif isinstance(flt, StringEndsWith):
+            m = pc.ends_with(grid_pa, pattern=str(flt.value))
+        elif isinstance(flt, StringContains):
+            m = pc.match_substring(grid_pa, pattern=str(flt.value))
         elif isinstance(flt, GreaterThan):
             m = pc.greater(grid_pa, str(flt.value))
         elif isinstance(flt, GreaterThanOrEqual):
@@ -285,6 +312,26 @@ def _filter_mask(flt: Filter, cols, grid_pa, path: str, n: int,
             for v in vals:
                 m |= target == v
             return m
+        if isinstance(flt, StringStartsWith):
+            v = str(flt.value)
+            # prefix test on the STRIPPED value == raw-bytes prefix
+            # compare, unless the value itself ends in whitespace
+            # (those chars could be padding) or the column carries
+            # leading whitespace under both-sides stripping
+            if v == v.rstrip() and clean_col():
+                vb = v.encode("ascii", "replace")
+                if len(vb) > width:
+                    return np.zeros(n, dtype=bool)
+                mat = (np.frombuffer(np.ascontiguousarray(arr),
+                                     dtype="uint8").reshape(-1, width)
+                       if n else np.zeros((0, width), dtype="uint8"))
+                return (mat[:, :len(vb)]
+                        == np.frombuffer(vb, dtype="uint8")).all(axis=1)
+            return np.char.startswith(dec(), v)
+        if isinstance(flt, StringEndsWith):
+            return np.char.endswith(dec(), str(flt.value))
+        if isinstance(flt, StringContains):
+            return np.char.find(dec(), str(flt.value)) >= 0
         pb = enc(flt.value)
         target, v = ((arr, pb) if pb is not None and clean_col()
                      else (dec(), str(flt.value)))
@@ -490,15 +537,31 @@ class FstRecReader(_FstRecReaderBase):
         "ip2", "ip3", "deet", "npas", "datyp", "nbits", "grtyp", "ig1",
         "ig2", "ig3", "ig4", "datev", "grid", "path", "key",
     ])
+    #: the string-typed subset: String* filters are only meaningful
+    #: (and only generated by Spark) for these
+    STR_PUSHABLE = frozenset(
+        ["nomvar", "typvar", "etiket", "grtyp", "grid", "path"])
+
+    def _supported(self, f: Filter) -> bool:
+        if isinstance(f, Not):
+            # header columns are never NULL, so ~mask IS SQL NOT here
+            # (no third truth value to lose)
+            return self._supported(f.child)
+        if not (len(f.attribute) == 1 and f.attribute[0] in self.PUSHABLE):
+            return False
+        if isinstance(f, (StringStartsWith, StringEndsWith,
+                          StringContains)):
+            return f.attribute[0] in self.STR_PUSHABLE
+        return isinstance(
+            f, (EqualTo, EqualNullSafe, In, GreaterThan,
+                GreaterThanOrEqual, LessThan, LessThanOrEqual,
+                IsNotNull, IsNull))
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Accept every supported metadata filter; Spark re-applies the
         rest (we keep unsupported ones by yielding them back)."""
-        supported = (EqualTo, In, GreaterThan, GreaterThanOrEqual,
-                     LessThan, LessThanOrEqual, IsNotNull)
         for f in filters:
-            if (isinstance(f, supported) and len(f.attribute) == 1
-                    and f.attribute[0] in self.PUSHABLE):
+            if self._supported(f):
                 self.filters.append(f)
             else:
                 yield f

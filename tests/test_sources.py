@@ -1560,8 +1560,9 @@ def test_columnar_pushdown_mask_parity(tmp_path):
     trailing-whitespace fallback literal."""
     import numpy as np
     from pyspark.sql.datasource import (
-        EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
-        LessThan, LessThanOrEqual)
+        EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In,
+        IsNotNull, IsNull, LessThan, LessThanOrEqual, Not,
+        StringContains, StringEndsWith, StringStartsWith)
 
     from fstd2pandas_spark.sources.fst_datasource import (
         _FilePartition, FstRecReader)
@@ -1616,6 +1617,20 @@ def test_columnar_pushdown_mask_parity(tmp_path):
         [GreaterThan(("key",), 350)],
         [IsNotNull(("nomvar",)), EqualTo(("datev",), 442998810)],
         [EqualTo(("nomvar",), "ZZZZZZZ")],    # overlong literal
+        # round-18 extensions: NOT / null-safe / IsNull / String ops
+        [Not(EqualTo(("nomvar",), "TT"))],
+        [Not(In(("grtyp",), ("Z",)))],
+        [EqualNullSafe(("nomvar",), "UU")],
+        [IsNull(("etiket",))],
+        [StringStartsWith(("etiket",), "E0")],
+        [StringStartsWith(("nomvar",), "T")],
+        [StringStartsWith(("nomvar",), "T ")],   # trailing-space prefix
+        [StringEndsWith(("etiket",), "3")],
+        [StringContains(("etiket",), "0")],
+        [StringStartsWith(("grid",), "1")],
+        [StringContains(("grid",), "2")],
+        [Not(StringStartsWith(("nomvar",), "T"))],
+        [StringStartsWith(("nomvar",), "TOOLONGVALUE")],
     ]
     for path, fmt in paths.items():
         if fmt is fstrec_format:
@@ -1633,11 +1648,21 @@ def test_columnar_pushdown_mask_parity(tmp_path):
                 return getattr(h, col)
 
             def pymatch(h, key, flt):
+                if isinstance(flt, Not):
+                    return not pymatch(h, key, flt.child)
                 v = pyval(h, key, flt.attribute[0])
-                if isinstance(flt, EqualTo):
+                if isinstance(flt, (EqualTo, EqualNullSafe)):
                     return v == flt.value
                 if isinstance(flt, In):
                     return v in flt.value
+                if isinstance(flt, IsNull):
+                    return v is None
+                if isinstance(flt, StringStartsWith):
+                    return v.startswith(flt.value)
+                if isinstance(flt, StringEndsWith):
+                    return v.endswith(flt.value)
+                if isinstance(flt, StringContains):
+                    return flt.value in v
                 if isinstance(flt, GreaterThan):
                     return v > flt.value
                 if isinstance(flt, GreaterThanOrEqual):
