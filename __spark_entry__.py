@@ -2092,7 +2092,7 @@ def q_fst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(array(5, 1, 1, 9, 9, 2), x -> CAST(x AS FLOAT)) AS d")
     rec = (records_from_lineitem(spark, sf_dir)
            .select("key", "nomvar", "ni", "d").unionByName(probe))
-    stats = rec.select("key", "nomvar", "ni", *array_stats_columns(F.col("d"), F.col("ni")))
+    stats = rec.select("key", "nomvar", "ni", *array_stats_columns("d", "ni"))
     return stats.select(
         "key", "nomvar",
         F.round("min", 4).alias("min"),

@@ -43,6 +43,19 @@ from fstd2pandas_spark.plans.partitioning import ensure_min_partitions
 MAX_GROUP_MEMBERS = 10_000
 
 
+#: shared ceiling-message halves: the DSL guard (require_group_within)
+#: and the fused-SQL guard (_group_ceiling_sql) build the SAME message
+#: from these, so the two plan-construction paths cannot drift
+_CEILING_MSG_PRE = "{what} has "
+_CEILING_MSG_POST = (
+    " members, above MAX_GROUP_MEMBERS={cap} — a hot "
+    "collision group this size means the banding/cell knobs "
+    "are mistuned for this corpus (or it needs exact-dedup "
+    "first); raise fstd2pandas_spark.operators.llm.dedup."
+    "MAX_GROUP_MEMBERS deliberately if the B^2/2 pair "
+    "fan-out is intended")
+
+
 def require_group_within(cnt: Column, what: str,
                          cap: "int | None" = None) -> Column:
     """Boolean guard column for a group-size ceiling: True below the
@@ -53,15 +66,23 @@ def require_group_within(cnt: Column, what: str,
     via a window count when members carry whole vectors)."""
     cap = MAX_GROUP_MEMBERS if cap is None else cap
     msg = F.concat(
-        F.lit(f"{what} has "), cnt.cast("string"),
-        F.lit(f" members, above MAX_GROUP_MEMBERS={cap} — a hot "
-              "collision group this size means the banding/cell knobs "
-              "are mistuned for this corpus (or it needs exact-dedup "
-              "first); raise fstd2pandas_spark.operators.llm.dedup."
-              "MAX_GROUP_MEMBERS deliberately if the B^2/2 pair "
-              "fan-out is intended"))
+        F.lit(_CEILING_MSG_PRE.format(what=what)), cnt.cast("string"),
+        F.lit(_CEILING_MSG_POST.format(cap=cap)))
     return F.when(cnt <= F.lit(int(cap)), F.lit(True)) \
             .otherwise(F.raise_error(msg).cast("boolean"))
+
+
+def _group_ceiling_sql(cnt_sql: str, what: str,
+                       cap: "int | None" = None) -> str:
+    """SQL-text twin of :func:`require_group_within` for fused
+    single-``spark.sql`` plan builds — same predicate tree, same
+    message (shared templates above)."""
+    cap = MAX_GROUP_MEMBERS if cap is None else cap
+    pre = _CEILING_MSG_PRE.format(what=what).replace("'", "\\'")
+    post = _CEILING_MSG_POST.format(cap=cap).replace("'", "\\'")
+    return (f"CASE WHEN {cnt_sql} <= {int(cap)} THEN true "
+            f"ELSE CAST(raise_error(concat('{pre}', "
+            f"CAST({cnt_sql} AS STRING), '{post}')) AS BOOLEAN) END")
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -182,25 +203,6 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
             f"num_hashes ({num_hashes}) must be a multiple of bands "
             f"({bands}); a ragged banding drops remainder hashes")
     r = num_hashes // bands
-    with_sig = minhash_signature(df, text_col, num_hashes, shingle_k)
-    banded = with_sig.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.array_join(
-                            F.transform(F.slice(F.col("sig"), b * r + 1, r),
-                                        lambda x: x.cast("string")),
-                            "|",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
     # DEGENERATE documents (empty shingle set: fewer than shingle_k
     # tokens, or NULL text) all share the all-sentinel signature, so
     # unguarded they pair with EACH OTHER at maximum confidence
@@ -218,24 +220,75 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
 
     sentinel_bucket = _hashlib.md5(
         "|".join([str(MINHASH_P)] * r).encode()).hexdigest()
-    banded = banded.filter(F.col("bucket") != F.lit(sentinel_bucket))
-
-    # one shuffle on (band, bucket); sort_array makes the positional
-    # i<j pair enumeration below emit exactly the doc_a < doc_b pairs
-    # the banding defines, independent of arrival order. Member arrays
-    # are narrow (ids only), so the size ceiling checks AFTER the fold
-    # — the raise is about the B^2/2 pair fan-out, not array memory
-    grouped = (banded.groupBy("band", "bucket")
-               .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-               .filter(require_group_within(F.size("ids"), "LSH bucket"))
-               .filter(F.size("ids") > 1))
-    outer = grouped.select("ids", F.posexplode("ids").alias("_i", "doc_a"))
-    pairs = outer.select(
-        "doc_a",
-        F.explode(
-            F.expr("slice(ids, _i + 2, size(ids) - _i - 1)")).alias("doc_b"),
-    ).filter(F.col("doc_a") < F.col("doc_b"))  # strict: drop dup-id self-pairs
-    return pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_bands"))
+    # r18: ONE spark.sql statement for the whole pipeline. The former
+    # Column-DSL chain re-ran eager analysis per transformation (~13
+    # steps over a fold-bearing plan) and cost ~300 ms of driver time
+    # per build (measured); the fused CTE form is a single parse + one
+    # analysis pass. Each CTE mirrors one DSL step — same expressions,
+    # same filter placement (sentinel filter AFTER banding, never on
+    # the sig column; ceiling then size>1 above the fold) — so the
+    # optimized plan is unchanged: signatures computed once, one
+    # (band, bucket) exchange, two chained Generates streaming i<j
+    # pairs, map-side-combined final n_bands aggregation (plan-locked
+    # in tests/test_plans.py; value equivalence vs the unfused
+    # minhash_signature building blocks pinned in tests/test_llm.py).
+    sig_terms = ", ".join(
+        "coalesce(array_min(transform(_mh, "
+        f"h -> (cast({MINHASH_AS[i]} as bigint) * h + {MINHASH_BS[i]}) "
+        f"% {MINHASH_P})), cast({MINHASH_P} as bigint))"
+        for i in range(num_hashes))
+    k = int(shingle_k)
+    shingles = (
+        f"CASE WHEN nullif(size(_tk), -1) < {k} "
+        "THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(0, nullif(size(_tk), -1) - {k}), "
+        f"j -> array_join(slice(_tk, j + 1, {k}), ' ')) END")
+    src = ensure_min_partitions(df)
+    return df.sparkSession.sql(f"""
+      WITH _t AS (
+        SELECT {id_col} AS _id, split(lower({text_col}), ' ') AS _tk
+        FROM {{src}}
+      ),
+      _h AS (
+        SELECT _id, transform({shingles},
+                 s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)) AS _mh
+        FROM _t
+      ),
+      _sig AS (SELECT _id, array({sig_terms}) AS sig FROM _h),
+      _b0 AS (
+        SELECT _id, explode(transform(sequence(0, {int(bands) - 1}),
+                 b -> named_struct('band', b, 'bucket',
+                   md5(array_join(transform(slice(sig, b * {r} + 1, {r}),
+                                            x -> CAST(x AS STRING)), '|'))))) AS bb
+        FROM _sig
+      ),
+      _banded AS (
+        SELECT _id, bb.band AS band, bb.bucket AS bucket FROM _b0
+        WHERE bb.bucket != '{sentinel_bucket}'
+      ),
+      _g0 AS (
+        SELECT band, bucket, sort_array(collect_list(_id)) AS ids
+        FROM _banded GROUP BY band, bucket
+      ),
+      _grouped AS (
+        SELECT * FROM _g0
+        WHERE {_group_ceiling_sql('size(ids)', 'LSH bucket')}
+          AND size(ids) > 1
+      ),
+      _outer AS (
+        SELECT ids, _i, doc_a FROM _grouped
+        LATERAL VIEW posexplode(ids) AS _i, doc_a
+      ),
+      _pairs AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT doc_a,
+                 explode(slice(ids, _i + 2, size(ids) - _i - 1)) AS doc_b
+          FROM _outer)
+        WHERE doc_a < doc_b
+      )
+      SELECT doc_a, doc_b, count(*) AS n_bands
+      FROM _pairs GROUP BY doc_a, doc_b
+    """, src=src)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -751,12 +804,41 @@ def simhash_report_rows(df: DataFrame, text_col: str = "text",
             f"{id_type!r} — the fused (v1, v2, v3) long schema needs "
             "an integral id (non-ANSI would silently NULL doc ids "
             "out); use simhash_report for string ids")
-    grouped, sizes = _simhash_blocks_grouped(
-        df, text_col, id_col, bits, max_hamming)
-    # heads for block-0 groups + pair seeds (member index 0..m-2) for
-    # multi-member groups; groups that are neither vanish in the explode
-    # empty arrays are spelled as filters/slices of same-typed arrays so
-    # the element struct type tracks the id column's type exactly
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            f"simhash bits must be in 1..60 (md5-prefix base hash), "
+            f"got {bits} — bits < 1 would give every document the "
+            "constant signature 0, collapsing the whole corpus into "
+            "one near-duplicate bucket")
+    n_blocks = max_hamming + 1
+    if bits < n_blocks:
+        raise ValueError("need at least one bit per block")
+    # r18: the whole pipeline is built as ONE spark.sql statement.
+    # The step-by-step Column-DSL build of the same plan cost ~306 ms
+    # of pure driver time per call (measured min-of-7 at sf0.1: each
+    # of the ~14 chained transformations re-runs eager analysis over
+    # the full fold-bearing plan plus its py4j round-trips); the fused
+    # CTE form is a single parse + one analysis pass (~70 ms). Every
+    # CTE mirrors one step of the former DSL chain (same expressions,
+    # same filter placement), so the optimized plan — fold-once, two
+    # chained Generates, no post-fold shuffle — is unchanged
+    # (plan-locked in tests/test_plans.py; value-equivalence of the
+    # fused build is pinned in tests/test_llm.py).
+    base, rem = divmod(bits, n_blocks)
+    sizes = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    offsets = [sum(sizes[:i]) for i in range(n_blocks)]
+    src = ensure_min_partitions(df.filter(F.col(text_col).isNotNull()))
+    counts = (f"aggregate(_th, array_repeat(cast(0 as bigint), {bits}), "
+              "(acc, h) -> transform(acc, (a, i) -> a + (shiftright(h, i) & 1)))")
+    sh = (f"aggregate(transform({counts}, (c, i) -> "
+          "CASE WHEN c * 2 > size(_th) "
+          "THEN shiftleft(cast(1 as bigint), i) ELSE cast(0 as bigint) END), "
+          "cast(0 as bigint), (a, x) -> a + x)")
+    block_structs = ", ".join(
+        f"named_struct('block', {i}, 'value', "
+        f"(shiftright(simhash, {offsets[i]}) & "
+        f"{(1 << sizes[i]) - 1 if sizes[i] < 64 else -1}))"
+        for i in range(n_blocks))
     e_arr = (
         "concat("
         "filter(array(named_struct('k', 0, 'i', -1)), x -> block = 0), "
@@ -764,33 +846,55 @@ def simhash_report_rows(df: DataFrame, text_col: str = "text",
         "   x -> named_struct('k', 1, 'i', cast(x as int))), "
         "   filter(array(named_struct('k', 1, 'i', -1)), x -> false)))"
     )
-    ex1 = grouped.select(
-        "block", "value", "ms", F.explode(F.expr(e_arr)).alias("e"))
-    ex2 = ex1.select(
-        "block", "value", "ms", "e",
-        F.explode_outer(F.expr(
-            "IF(e.k = 1, slice(ms, e.i + 2, size(ms) - e.i - 1), "
-            "slice(ms, 1, 0))")).alias("b"),
-        # head rows never read `a`; the guarded index keeps element_at
-        # in-bounds (ms is non-empty by construction)
-        F.expr("element_at(ms, IF(e.k = 1, e.i + 1, 1))").alias("a"))
-    minimal_block = _minimal_block_pred(sizes, "block", "a.s", "b.s")
-    hamming = F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s")))
-    return (
-        ex2.filter(
-            (F.col("e.k") == 0)
-            | (F.col("b").isNotNull() & (F.col("a.i") < F.col("b.i"))
-               & (hamming <= max_hamming) & minimal_block))
-        .select(
-            F.when(F.col("e.k") == 0, F.lit("bucket"))
-            .otherwise(F.lit("pair")).alias("kind"),
-            F.when(F.col("e.k") == 0, F.col("value"))
-            .otherwise(F.col("a.i")).cast("long").alias("v1"),
-            F.when(F.col("e.k") == 0, F.size("ms"))
-            .otherwise(F.col("b.i")).cast("long").alias("v2"),
-            F.when(F.col("e.k") == 0, F.col("ms")[0]["i"])
-            .otherwise(hamming).cast("long").alias("v3"))
-    )
+    minimal_block = " AND ".join(
+        f"(block <= {j} OR (shiftright(a.s, {offsets[j]}) & "
+        f"{(1 << sizes[j]) - 1}) != (shiftright(b.s, {offsets[j]}) & "
+        f"{(1 << sizes[j]) - 1}))"
+        for j in range(n_blocks - 1)) or "true"
+    hamming = "bit_count(a.s ^ b.s)"
+    return df.sparkSession.sql(f"""
+      WITH _t AS (
+        SELECT {id_col} AS doc_id,
+               transform(split(lower({text_col}), ' '),
+                 t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)) AS _th
+        FROM {{src}}
+      ),
+      _sh AS (SELECT doc_id, {sh} AS simhash FROM _t),
+      _b0 AS (SELECT doc_id, simhash,
+                     explode(array({block_structs})) AS b
+              FROM _sh),
+      _banded AS (SELECT doc_id, simhash, b.block AS block,
+                         b.value AS value FROM _b0),
+      _g0 AS (
+        SELECT block, value,
+               sort_array(collect_list(named_struct('i', doc_id,
+                                                    's', simhash))) AS ms
+        FROM _banded
+        GROUP BY block, value
+      ),
+      _grouped AS (
+        SELECT * FROM _g0
+        WHERE value IS NOT NULL
+          AND {_group_ceiling_sql('size(ms)', 'signature pigeonhole block')}
+      ),
+      _ex1 AS (SELECT block, value, ms, explode({e_arr}) AS e
+               FROM _grouped),
+      _ex2 AS (SELECT block, value, ms, e,
+                      explode_outer(IF(e.k = 1,
+                        slice(ms, e.i + 2, size(ms) - e.i - 1),
+                        slice(ms, 1, 0))) AS b,
+                      element_at(ms, IF(e.k = 1, e.i + 1, 1)) AS a
+               FROM _ex1)
+      SELECT CASE WHEN e.k = 0 THEN 'bucket' ELSE 'pair' END AS kind,
+             CAST(CASE WHEN e.k = 0 THEN value ELSE a.i END AS BIGINT) AS v1,
+             CAST(CASE WHEN e.k = 0 THEN size(ms) ELSE b.i END AS BIGINT) AS v2,
+             CAST(CASE WHEN e.k = 0 THEN ms[0].i
+                       ELSE {hamming} END AS BIGINT) AS v3
+      FROM _ex2
+      WHERE e.k = 0 OR (b IS NOT NULL AND a.i < b.i
+                        AND {hamming} <= {int(max_hamming)}
+                        AND {minimal_block})
+    """, src=src)
 
 
 def duplicate_spans(df: DataFrame, text_col: str = "text",

@@ -21,16 +21,12 @@ from pyspark.sql import functions as F
 from fstd2pandas_spark.functions.codecs import decode_ip_value
 
 
-def _arr_mean(d: Column) -> Column:
-    return F.aggregate(
-        d, F.lit(0.0),
-        lambda acc, x: acc + x.cast("double"),
-    ) / F.size(d)
-
-
-def array_stats_columns(d: Column, ni: Column) -> list[Column]:
+def array_stats_columns(d: "Column | str" = "d",
+                        ni: "Column | str" = "ni") -> list[Column]:
     """min, max, mean, std, min_pos, max_pos expression list for a flat
-    field array.
+    field array. ``d`` / ``ni`` are column NAMES (r18; plain Columns
+    still accepted for source compatibility — they must print as a
+    bare SQL identifier, which is all any caller ever passed).
 
     NaN parity (round-15 review): the reference computes ``np.min`` /
     ``np.argmin`` (dataframe_utils.py:170-179) — NaN POISONS them (one
@@ -40,19 +36,34 @@ def array_stats_columns(d: Column, ni: Column) -> list[Column]:
     ordering). A missing-data field must report the same stats here as
     in the reference, so NaN presence is detected once and min/max/
     positions take the numpy branch. mean/std already agree (the
-    arithmetic folds propagate NaN in both engines)."""
-    has_nan = F.exists(d, lambda x: F.isnan(x.cast("double")))
-    nan_lit = F.lit(float("nan")).cast("double")
-    mn = F.when(has_nan, nan_lit).otherwise(F.array_min(d).cast("double"))
-    mx = F.when(has_nan, nan_lit).otherwise(F.array_max(d).cast("double"))
-    mean = _arr_mean(d)
+    arithmetic folds propagate NaN in both engines).
+
+    r18: each output column is ONE ``F.expr`` over SQL text instead of
+    a Column-DSL tree — the DSL build of these six expressions cost
+    ~150 ms of py4j round-trips per call (every lambda, cast and
+    arithmetic node is a driver→JVM hop); the text form is six parse
+    calls. The expressions are verbatim transcriptions (same HOF
+    census — pinned by test_fststat_array_pass_census — and
+    value-identical, pinned by the fst_stats oracle gate and
+    test_operators)."""
+    d = d if isinstance(d, str) else d._jc.toString()
+    ni = ni if isinstance(ni, str) else ni._jc.toString()
+    has_nan = f"exists({d}, x -> isnan(cast(x as double)))"
+    nan_lit = "cast('NaN' as double)"
+    mn = (f"CASE WHEN {has_nan} THEN {nan_lit} "
+          f"ELSE cast(array_min({d}) as double) END")
+    mx = (f"CASE WHEN {has_nan} THEN {nan_lit} "
+          f"ELSE cast(array_max({d}) as double) END")
+    mean = (f"aggregate({d}, 0.0D, (acc, x) -> acc + cast(x as double))"
+            f" / size({d})")
     # population std via E[x^2] - E[x]^2 (matches np.std)
-    ex2 = F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")) / F.size(d)
-    std = F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0)))
+    ex2 = (f"aggregate({d}, 0.0D, (acc, x) -> "
+           f"acc + cast(x as double) * cast(x as double)) / size({d})")
+    std = f"sqrt(greatest({ex2} - ({mean}) * ({mean}), 0.0D))"
 
-    nj = F.floor(F.size(d) / ni).cast("long")
+    nj = f"cast(floor(size({d}) / {ni}) as bigint)"
 
-    def _lex_argpos(pred):
+    def _lex_argpos(pred: str) -> str:
         # (i, j) of the matching element FIRST in (i, j)-lexicographic
         # order: np.argmin/argmax flatten the reference's (ni, nj)
         # array C-order — the traversal visits positions in (i, j) lex
@@ -64,25 +75,24 @@ def array_stats_columns(d: Column, ni: Column) -> list[Column]:
         # variant measured ~2x slower on the sf0.1 bench (per-element
         # struct boxing); non-matching slots are NULL, which array_min
         # skips.
-        keyed = F.transform(
-            d, lambda x, p0: F.when(
-                pred(x),
-                (p0 % ni).cast("long") * nj + F.floor(p0 / ni)))
-        k = F.array_min(keyed)
-        return F.struct(
-            (F.floor(k / nj) + 1).cast("int").alias("i"),
-            ((k % nj) + 1).cast("int").alias("j"))
+        k = (f"array_min(transform({d}, (x, p0) -> "
+             f"CASE WHEN {pred} THEN "
+             f"cast(p0 % {ni} as bigint) * {nj} + floor(p0 / {ni}) END))")
+        return (f"named_struct("
+                f"'i', cast(floor({k} / {nj}) + 1 as int), "
+                f"'j', cast({k} % {nj} + 1 as int))")
 
-    pmin = F.when(has_nan,
-                  _lex_argpos(lambda x: F.isnan(x.cast("double")))) \
-        .otherwise(_lex_argpos(lambda x: x == F.array_min(d)))
-    pmax = F.when(has_nan,
-                  _lex_argpos(lambda x: F.isnan(x.cast("double")))) \
-        .otherwise(_lex_argpos(lambda x: x == F.array_max(d)))
+    pmin = (f"CASE WHEN {has_nan} "
+            f"THEN {_lex_argpos('isnan(cast(x as double))')} "
+            f"ELSE {_lex_argpos(f'x = array_min({d})')} END")
+    pmax = (f"CASE WHEN {has_nan} "
+            f"THEN {_lex_argpos('isnan(cast(x as double))')} "
+            f"ELSE {_lex_argpos(f'x = array_max({d})')} END")
 
     return [
-        mn.alias("min"), mx.alias("max"), mean.alias("mean"),
-        std.alias("std"), pmin.alias("min_pos"), pmax.alias("max_pos"),
+        F.expr(mn).alias("min"), F.expr(mx).alias("max"),
+        F.expr(mean).alias("mean"), F.expr(std).alias("std"),
+        F.expr(pmin).alias("min_pos"), F.expr(pmax).alias("max_pos"),
     ]
 
 
@@ -95,7 +105,7 @@ def fststat(df: DataFrame) -> DataFrame:
         "nomvar", "typvar",
         decode_ip_value(F.col("ip1")).cast("float").alias("level"),
         "ip1", "ip2", "ip3", "dateo", "etiket",
-        *array_stats_columns(F.col("d"), F.col("ni")),
+        *array_stats_columns("d", "ni"),
     )
 
 

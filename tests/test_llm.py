@@ -161,6 +161,46 @@ def test_lsh_candidates_catch_high_jaccard(docs):
         lsh_candidate_pairs(docs, num_hashes=12, bands=5)
 
 
+def test_lsh_fused_sql_matches_signature_building_blocks(docs):
+    """The fused single-spark.sql build of lsh_candidate_pairs (r18)
+    must emit exactly the pairs derivable from the UNFUSED DSL
+    building block (minhash_signature) by the documented banding
+    rules: band bucket = md5 of the '|'-joined signature slice,
+    all-sentinel buckets excluded, pairs counted per shared bucket.
+    Pins the SQL transcription against the DSL machinery so the two
+    plan-construction paths cannot drift."""
+    import hashlib
+    from fstd2pandas_spark.operators.llm.dedup import (
+        MINHASH_P, lsh_candidate_pairs, minhash_signature)
+
+    num_hashes, bands = 8, 4
+    r = num_hashes // bands
+    sigs = {row["doc_id"]: row["sig"]
+            for row in minhash_signature(
+                docs, num_hashes=num_hashes).select("doc_id", "sig").collect()}
+    sentinel = hashlib.md5("|".join([str(MINHASH_P)] * r).encode()).hexdigest()
+    buckets: dict = {}
+    for doc, sig in sigs.items():
+        for b in range(bands):
+            h = hashlib.md5(
+                "|".join(str(x) for x in sig[b * r:(b + 1) * r]).encode()
+            ).hexdigest()
+            if h != sentinel:
+                buckets.setdefault((b, h), []).append(doc)
+    expected: dict = {}
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b_ in ms[i + 1:]:
+                if a < b_:
+                    expected[(a, b_)] = expected.get((a, b_), 0) + 1
+    got = {(row["doc_a"], row["doc_b"]): row["n_bands"]
+           for row in lsh_candidate_pairs(
+               docs, num_hashes=num_hashes, bands=bands).collect()}
+    assert got == expected
+    assert expected, "fixture should produce at least one candidate pair"
+
+
 def test_cosine_topk_matches_numpy(emb):
     pdf = emb.toPandas()
     vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
