@@ -722,11 +722,15 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        orders.withColumn("rank", F.row_number().over(w))
-        .withColumn("prev_ok", F.lag("o_orderkey").over(w))
-        .withColumn("next_ok", F.lead("o_orderkey").over(w))
-        .withColumn("top_ok", F.first("o_orderkey").over(w))
-        .withColumn("nt4", F.ntile(4).over(w))
+        # one withColumns call: the chained form re-ran eager analysis
+        # per step (r18); same single Window node either way
+        orders.withColumns({
+            "rank": F.row_number().over(w),
+            "prev_ok": F.lag("o_orderkey").over(w),
+            "next_ok": F.lead("o_orderkey").over(w),
+            "top_ok": F.first("o_orderkey").over(w),
+            "nt4": F.ntile(4).over(w),
+        })
         .filter(F.col("rank") <= 3)
         .select("o_custkey", "o_orderkey", "rank",
                 "prev_ok", "next_ok", "top_ok", "nt4")
@@ -1754,9 +1758,16 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("sum_value"),
         F.col("period_offset").alias("dur_s"),
         F.lit(None).cast("long").alias("sum_k"))
-    return (hourly.unionByName(sessions).unionByName(fuser)
-            .unionByName(fstep).unionByName(cohorts)
-            .orderBy("kind", "k1", "k2"))
+    # one bound-frame UNION ALL statement instead of 4 chained
+    # unionByName calls (r18): every chained union re-analyzed the
+    # whole combined 5-arm plan; all arms project the identical
+    # (kind, k1, k2, n, sum_value, dur_s, sum_k) column order, so the
+    # positional union is the byName union
+    return spark.sql(
+        "SELECT * FROM {h} UNION ALL SELECT * FROM {s} "
+        "UNION ALL SELECT * FROM {fu} UNION ALL SELECT * FROM {fs} "
+        "UNION ALL SELECT * FROM {co} ORDER BY kind, k1, k2",
+        h=hourly, s=sessions, fu=fuser, fs=fstep, co=cohorts)
 
 
 _Q_EVENTS_SQL = """

@@ -27,6 +27,8 @@ multiplies scans by funnel depth — the fold reads the events once.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -61,7 +63,18 @@ def _funnel_fold(steps: "list[str]", ts_col: str, type_col: str,
                  id_col: str, within: "int | None"):
     """The shared fold machinery: (sorted-events aggregate expression,
     fold-over-'_ev' Column) used by :func:`funnel_steps` and
-    :func:`user_activity_report`."""
+    :func:`user_activity_report`. Memoized on its parameters (r18):
+    building these Column trees costs ~70 ms of py4j round trips per
+    call, and Columns are immutable unresolved expressions — safe to
+    reuse across DataFrames and queries."""
+    return _funnel_fold_cached(tuple(steps), ts_col, type_col, id_col,
+                               within)
+
+
+@lru_cache(maxsize=64)
+def _funnel_fold_cached(steps: "tuple[str, ...]", ts_col: str,
+                        type_col: str, id_col: str,
+                        within: "int | None"):
     if not steps:
         raise ValueError("funnel: need at least one step")
     k = len(steps)
@@ -148,11 +161,11 @@ def user_activity_report(df: DataFrame, steps: "list[str]",
         F.collect_set(p).alias("periods")))
     return (
         grouped.withColumn("step_ts_us", folded).drop("_ev")
-        .withColumn("depth", F.size("step_ts_us"))
         # the period rides WITH the report so cohorts_from_report can
         # never be applied with a mismatched period length
-        .withColumn("_period_days",
-                    F.lit(_PERIOD_DAYS[period]).cast("int"))
+        .withColumns({"depth": F.size("step_ts_us"),
+                      "_period_days":
+                      F.lit(_PERIOD_DAYS[period]).cast("int")})
     )
 
 

@@ -77,35 +77,59 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
     does not exist can neither be searched nor found — keeping them
     emitted k arbitrary neighbors with NULL cos per NULL query);
     zero-norm/NaN candidates score NULL (see :func:`cosine_col`) and
-    rank after every real neighbor."""
-    emb = ensure_min_partitions(emb).filter(_searchable(vec_col))
+    rank after every real neighbor.
+
+    r18: built as ONE spark.sql statement over the bound source — the
+    former Column-DSL chain cost ~250 ms of driver-side build per call
+    (eager analysis per step + py4j round trips); each CTE mirrors one
+    DSL step verbatim (same BROADCAST of the query side, the
+    NULL-cos/rank filter still ABOVE the window where cos is a plain
+    attribute), so the optimized plan and values are unchanged (A/B
+    verified; oracle gate + numpy cross-check pin it)."""
     if query_ids is None:
-        queries = emb.filter(F.col(id_col) < n_queries)
+        qpred = f"{id_col} < {int(n_queries)}"
     else:
-        queries = emb.filter(F.col(id_col).isin(query_ids))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    cand = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    )
-    scored = (
-        cand.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        # NULL cos (zero-norm/NaN input) = no defined similarity = no
-        # result row; the filter sits ABOVE the window, where cos is a
-        # plain attribute (no pushdown into the fold), and NULLs sort
-        # last within each window so surviving ranks stay contiguous
-        .filter((F.col("rank") <= k) & F.col("cos").isNotNull())
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+        ids = ", ".join(str(int(i)) for i in query_ids)
+        qpred = f"{id_col} IN ({ids})"
+    dot = ("aggregate(zip_with(_qv, _cv, "
+           "(x, y) -> cast(x as double) * cast(y as double)), "
+           "0.0D, (acc, x) -> acc + x)")
+
+    def norm(v: str) -> str:
+        return (f"sqrt(aggregate(transform({v}, "
+                "x -> cast(x as double) * cast(x as double)), "
+                "0.0D, (acc, x) -> acc + x))")
+
+    cos = (f"round(nanvl(try_divide({dot}, {norm('_qv')} * {norm('_cv')}), "
+           "cast(null as double)), 6)")
+    src = ensure_min_partitions(emb)
+    # NULL cos (zero-norm/NaN input) = no defined similarity = no
+    # result row; the filter sits ABOVE the window, where cos is a
+    # plain attribute (no pushdown into the fold), and NULLs sort
+    # last within each window so surviving ranks stay contiguous
+    return emb.sparkSession.sql(f"""
+      WITH _f AS (
+        SELECT * FROM {{src}}
+        WHERE {vec_col} IS NOT NULL
+          AND NOT exists({vec_col}, x -> x IS NULL)
+      ),
+      _q AS (SELECT {id_col} AS query_id, {vec_col} AS _qv
+             FROM _f WHERE {qpred}),
+      _c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS _cv FROM _f),
+      _s AS (
+        SELECT /*+ BROADCAST(_q) */ neighbor_id, _cv, query_id, _qv,
+               {cos} AS cos
+        FROM _c CROSS JOIN _q
+        WHERE neighbor_id != query_id
+      ),
+      _r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM _s
+      )
+      SELECT query_id, neighbor_id, cos, rank
+      FROM _r WHERE rank <= {int(k)} AND cos IS NOT NULL
+    """, src=src)
 
 
 def embedding_neardup(emb: DataFrame, threshold: float = 0.4,

@@ -204,14 +204,21 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
         top = ("CASE WHEN size(_bg) = 0 THEN 0 ELSE "
                "array_max(transform(array_distinct(_bg), "
                "b -> size(filter(_bg, x -> x = b)))) END")
+        # withColumns (plural): each chained withColumn re-runs eager
+        # analysis over the whole plan — batching the independent
+        # columns into one call is a single analysis pass (r18; the
+        # optimized plan is identical, CollapseProject merged the
+        # chain anyway)
         out = (
             df.withColumn("_bg", F.expr(bg))
-            .withColumn("top_bigram_count", F.expr(top).cast("long"))
-            # greatest() skips NULL inputs, so guard NULL text
-            # explicitly to keep the NULL-metric contract
-            .withColumn("n_bigrams", F.when(
-                ~null_text,
-                F.greatest(n_tok - 1, F.lit(0))).cast("long"))
+            .withColumns({
+                "top_bigram_count": F.expr(top).cast("long"),
+                # greatest() skips NULL inputs, so guard NULL text
+                # explicitly to keep the NULL-metric contract
+                "n_bigrams": F.when(
+                    ~null_text,
+                    F.greatest(n_tok - 1, F.lit(0))).cast("long"),
+            })
             .drop("_bg")
         )
     elif method == "explode":
@@ -234,19 +241,19 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    return (
-        out.withColumn("n_tok_rep", n_tok.cast("long"))
-        .withColumn("n_tok_distinct", n_dist.cast("long"))
-        .withColumn("n_lines", n_lines.cast("long"))
-        .withColumn("n_lines_distinct", n_dlines.cast("long"))
-        .withColumn("dup_word_frac", F.round(
-            (n_tok - n_dist) / F.greatest(n_tok, F.lit(1)), 6))
-        .withColumn("dup_line_frac", F.round(
-            (n_lines - n_dlines) / F.greatest(n_lines, F.lit(1)), 6))
-        .withColumn("top_bigram_frac", F.round(
+    return out.withColumns({
+        "n_tok_rep": n_tok.cast("long"),
+        "n_tok_distinct": n_dist.cast("long"),
+        "n_lines": n_lines.cast("long"),
+        "n_lines_distinct": n_dlines.cast("long"),
+        "dup_word_frac": F.round(
+            (n_tok - n_dist) / F.greatest(n_tok, F.lit(1)), 6),
+        "dup_line_frac": F.round(
+            (n_lines - n_dlines) / F.greatest(n_lines, F.lit(1)), 6),
+        "top_bigram_frac": F.round(
             F.col("top_bigram_count") /
-            F.greatest(F.col("n_bigrams"), F.lit(1)), 6))
-    )
+            F.greatest(F.col("n_bigrams"), F.lit(1)), 6),
+    })
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16,
