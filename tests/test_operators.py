@@ -613,6 +613,55 @@ def test_funnel_within_ansi_mode(spark):
     assert out == {1: 2, 2: 0}
 
 
+def test_funnel_ignores_non_step_event_types(spark):
+    """Non-step-typed (and NULL-typed) events never advance the fold, so
+    the r18 narrowing drops them from the collected array entirely —
+    interleaving them anywhere (including between a tie pair) must not
+    change any user's depth or step timestamps."""
+    from fstd2pandas_spark.operators.funnel import funnel_steps
+
+    base = [
+        (1, "2024-01-01T10:00", 1, "view"),
+        (2, "2024-01-01T10:05", 1, "click"),
+        (3, "2024-01-01T10:10", 1, "purchase"),
+        (10, "2024-01-01T10:00", 2, "view"),
+        (11, "2024-01-01T10:00", 2, "click"),    # ts tie with the view
+    ]
+    noise = [
+        (100, "2024-01-01T09:59", 1, "signup"),
+        (101, "2024-01-01T10:05", 1, "other"),   # ts tie with the click
+        (102, "2024-01-01T10:00", 2, "signup"),  # inside the tie pair
+        (103, "2024-01-01T23:00", 2, None),      # NULL type
+    ]
+    steps = ["view", "click", "purchase"]
+    clean = {r.user: (r.depth, tuple(r.step_ts_us)) for r in funnel_steps(
+        spark.createDataFrame(_ev_rows(*base), _EV_SCHEMA), steps).collect()}
+    noisy = {r.user: (r.depth, tuple(r.step_ts_us)) for r in funnel_steps(
+        spark.createDataFrame(_ev_rows(*base, *noise), _EV_SCHEMA),
+        steps).collect()}
+    assert clean == noisy
+    assert clean[1][0] == 3 and clean[2][0] == 2
+
+
+def test_funnel_duplicate_step_names(spark):
+    """Duplicate step names are legal API input and use the name-compare
+    fallback (array_position would map every duplicate to its first
+    index): view -> click -> view completes on a SECOND view strictly
+    after the click."""
+    from fstd2pandas_spark.operators.funnel import funnel_steps
+
+    df = spark.createDataFrame(_ev_rows(
+        (1, "2024-01-01T10:00", 1, "view"),
+        (2, "2024-01-01T10:05", 1, "click"),
+        (3, "2024-01-01T10:10", 1, "view"),      # completes step 3
+        (4, "2024-01-01T10:00", 2, "view"),
+        (5, "2024-01-01T10:05", 2, "click"),     # no second view
+    ), _EV_SCHEMA)
+    out = {r.user: r.depth for r in
+           funnel_steps(df, ["view", "click", "view"]).collect()}
+    assert out == {1: 3, 2: 2}
+
+
 def test_user_activity_report_matches_separate_ops(spark, sf_dir):
     """The fused one-shuffle report must agree with funnel_steps AND
     retention_cohorts computed separately."""
