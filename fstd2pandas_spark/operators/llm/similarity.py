@@ -25,9 +25,31 @@ fold => bit-identical to the oracle's list_cosine_similarity).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from fstd2pandas_spark.plans.partitioning import ensure_min_partitions
+
+
+def _md5_seed(prefix: str, n: int) -> "list[float]":
+    """The md5 seed recipe — w[j] in [-1, 1) from the first 4 hex digits
+    of ``md5(f"{prefix}{j}")`` — computed DRIVER-SIDE in Python (r18,
+    guide §1.2/§5): the Column formulation
+    (``conv(substr(md5(concat(prefix, j)), 1, 4), 16, 10) / 32768 - 1``
+    inside a ``transform``) is a lambda expression, which Catalyst never
+    constant-folds, so every ROW of every consumer re-hashed
+    n_cells x dim md5 values in the interpreter (measured: 53.6 s to
+    Lloyd-train 2,030 vectors at sf0.1). Bit-identical by construction:
+    hexdigest is the same lowercase hex, int(.., 16) == conv(.., 16, 10)
+    for 4 hex digits, and /32768.0 - 1.0 is the same exact IEEE-double
+    arithmetic. The seeds stay reproducible on any engine — the oracle
+    mirrors keep computing them in SQL."""
+    return [
+        int(hashlib.md5(f"{prefix}{j}".encode()).hexdigest()[:4], 16)
+        / 32768.0 - 1.0
+        for j in range(n)
+    ]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -198,41 +220,39 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.4,
     )
 
 
-def _centroid_weights(cell: int, dim: int) -> Column:
-    """Deterministic pseudo-random centroid: w[j] in [-1, 1) from the
-    first 4 md5 hex digits of ``ivf{cell}_{j}`` — reproducible on any
-    engine, no training pass needed (a k-means refinement would slot in
-    here without changing the query shape)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"ivf{cell}_"), j.cast("string"))), 1, 4),
-            16, 10).cast("double") / 32768.0 - 1.0,
-    )
-
-
 def _centroid_col(cell: int, dim: int, weights=None) -> Column:
-    """Centroid c as a Column array: a Lloyd-refined literal when one is
-    available, the md5 seed otherwise."""
+    """Centroid c as a LITERAL Column array: a Lloyd-refined weight list
+    when one is available, the md5 seed (:func:`_md5_seed`,
+    ``ivf{cell}_{j}``) otherwise — reproducible on any engine, no
+    training pass needed (a k-means refinement slots in without
+    changing the query shape)."""
     if weights is not None and weights[cell] is not None:
         return F.array(*[F.lit(w) for w in weights[cell]])
-    return _centroid_weights(cell, dim)
+    return F.array(*[F.lit(w) for w in _md5_seed(f"ivf{cell}_", dim)])
 
 
 def ivf_cell_col(vec: Column, n_cells: int, dim: int,
                  weights=None) -> Column:
     """IVF cell assignment: argmax over cells of <vec, centroid_c>
-    (ties break toward the lower cell id)."""
-    best_c, best_s = None, None
-    for c in range(n_cells):
-        s = _dot(vec, _centroid_col(c, dim, weights))
-        if best_s is None:
-            best_c, best_s = F.lit(c), s
-        else:
-            cond = s > best_s
-            best_c = F.when(cond, F.lit(c)).otherwise(best_c)
-            best_s = F.when(cond, s).otherwise(best_s)
-    return best_c
+    (ties break toward the lower cell id).
+
+    Linear argmax (r18): each dot product appears ONCE in a scores
+    array and the winner is ``array_position(scores,
+    array_max(scores))`` — the previous running-best ``when`` chain
+    embedded the accumulated expression twice per step, doubling the
+    (interpreted, HOF-bearing) tree per cell: 2^n_cells dot-product
+    copies evaluated per row. Semantics preserved exactly:
+    first-occurrence-of-max = lowest winning cell (the strictly-greater
+    chain's tie-break); Spark orders NaN greatest and equates NaN=NaN,
+    so a NaN score wins in both forms and position finds the first NaN;
+    an all-NULL score row (NULL/short vector — dot nullability depends
+    only on ``vec``, centroids are literals) fell through every
+    ``when`` to the initial cell 0, which the ``coalesce`` mirrors."""
+    scores = F.array(*[_dot(vec, _centroid_col(c, dim, weights))
+                       for c in range(n_cells)])
+    return F.coalesce(
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("int"),
+        F.lit(0))
 
 
 def _searchable(vec_col: str) -> Column:
@@ -374,20 +394,19 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
 
 
 def _plane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Sign bit of <vec, w_plane> with w_plane[j] = +-1 from md5(plane_j)."""
+    """Sign bit of <vec, w_plane> with w_plane[j] = +-1 from md5(plane_j):
+    +1 when the first hex digit of ``md5(f"{plane}_{j}")`` is 0-7 (the
+    hash's top bit clear), else -1. The weights are a LITERAL array
+    (r18): the ``transform`` lambda formulation re-hashed dim md5
+    values per row per plane in the interpreter (lambdas are never
+    constant-folded) — same value, computed once driver-side."""
+    w_plane = F.array(*[
+        F.lit(1.0 if int(hashlib.md5(f"{plane}_{j}".encode())
+                         .hexdigest()[0], 16) < 8 else -1.0)
+        for j in range(dim)
+    ])
     signed = F.aggregate(
-        F.zip_with(
-            vec,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda j: F.when(
-                    F.substring(F.md5(F.concat(F.lit(f"{plane}_"), j.cast("string"))), 1, 1)
-                    .isin("0", "1", "2", "3", "4", "5", "6", "7"),
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            lambda x, w: x.cast("double") * w,
-        ),
+        F.zip_with(vec, w_plane, lambda x, w: x.cast("double") * w),
         F.lit(0.0), lambda acc, x: acc + x,
     )
     return F.when(signed > 0, F.lit(1)).otherwise(F.lit(0))
@@ -565,13 +584,7 @@ def _pq_centroid(sub: int, c: int, d_sub: int,
     ``pq{sub}_{c}_{j}``."""
     if codebook is not None:
         return F.array(*[F.lit(float(w)) for w in codebook[sub][c]])
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(d_sub - 1)),
-        lambda j: F.conv(
-            F.substring(F.md5(F.concat(
-                F.lit(f"pq{sub}_{c}_"), j.cast("string"))), 1, 4),
-            16, 10).cast("double") / 32768.0 - 1.0,
-    )
+    return F.array(*[F.lit(w) for w in _md5_seed(f"pq{sub}_{c}_", d_sub)])
 
 
 def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16, dim: int = 64,

@@ -72,19 +72,25 @@ def language_id(df: DataFrame, text_col: str = "text",
     """
     df = ensure_min_partitions(df)
     toks = tokens_col(F.col(text_col))
-    scores = {
-        lang: size_col(F.filter(toks, lambda t: t.isin(markers)))
-        for lang, markers in LANG_MARKERS.items()
-    }
-    # ascending-name iteration + strictly-greater replacement = argmax with
-    # ascending-name tie-break; 'und' when no marker hits at all
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(scores):
-        s = scores[lang]
-        cond = s > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, s).otherwise(best_score)
+    # Linear argmax (r18, the ivf_cell_col fix): each language's marker
+    # count appears ONCE in a scores array — the previous running-best
+    # `when` chain embedded the accumulated expression twice per
+    # language (2^n_langs copies of the interpreted filter-HOF per
+    # row). Tie-break preserved: langs iterate sorted ascending and
+    # array_position finds the FIRST occurrence of the max, exactly the
+    # strictly-greater chain's lowest-name winner; `und` when no marker
+    # hits (max <= 0) or NULL text (max NULL falls to otherwise).
+    langs = sorted(LANG_MARKERS)
+    scores = F.array(*[
+        size_col(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
+        for lang in langs
+    ])
+    m = F.array_max(scores)
+    best = F.when(
+        m > 0,
+        F.element_at(F.array(*[F.lit(lang) for lang in langs]),
+                     F.array_position(scores, m).cast("int")),
+    ).otherwise(F.lit("und"))
     return df.withColumn(out_col, best)
 
 
