@@ -78,9 +78,13 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
     ).distinct()
     labels = edges.select(F.col("src").alias("node")).distinct() \
                   .withColumn("component", F.col("node"))
+    #: `snap` is the CHECKPOINTED frame backing the current `labels`
+    #: (release_checkpoint needs the LogicalRDD root, and from r18
+    #: `labels` may be a projection over it)
+    snap = None
     if checkpoint:
         edges = _ckpt(edges)
-        labels = _ckpt(labels)
+        labels = snap = _ckpt(labels)
     # MERGE hints throughout: the label and edge tables are both
     # pair-graph-scale (millions of rows on a real corpus), so a
     # stats-driven broadcast of either side is a scale hazard
@@ -92,6 +96,12 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
                 edges.hint("merge").join(labels, edges.dst == labels.node)
                 .groupBy("src").agg(F.min("component").alias("_nmin"))
             )
+            # the round's OLD component rides along as `_prev` so the
+            # convergence check below is a plain filter over the
+            # checkpointed frame (r18, guide §2.4): the former
+            # nxt-join-labels-on-node check re-shuffled BOTH label
+            # snapshots every round (checkpointed RDDs surface no
+            # partitioning to the planner) and cost a full extra job
             nxt = (
                 labels.hint("merge")
                 .join(neigh, labels.node == neigh.src, "left")
@@ -100,23 +110,25 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
                     F.least(F.col("component"),
                             F.coalesce(F.col("_nmin"), F.col("component")))
                     .alias("component"),
+                    F.col("component").alias("_prev"),
                 )
             )
             if checkpoint:
                 nxt = _ckpt(nxt)
             changed = (
-                nxt.alias("n").hint("merge").join(labels.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
+                nxt.filter(F.col("component") != F.col("_prev"))
                 .limit(1).count()
             )
-            prev = labels
-            labels = nxt
-            # the convergence check above was prev's LAST reader —
-            # release its snapshot now (checkpoints are eager, nxt is
-            # materialized) so k rounds never pin k label snapshots;
+            prev_snap = snap
+            snap = nxt if checkpoint else None
+            labels = nxt.select("node", "component")
+            # nxt is materialized (checkpoints are eager), so the
+            # previous round's snapshot has no reader left — release it
+            # now so k rounds never pin k label snapshots;
             # reliable-checkpoint files are ContextCleaner's job instead
-            if checkpoint and checkpoint_dir is None:
-                release_checkpoint(prev)
+            if (checkpoint and checkpoint_dir is None
+                    and prev_snap is not None):
+                release_checkpoint(prev_snap)
             if changed == 0:
                 converged = True
                 break
@@ -155,8 +167,8 @@ def neardup_components(pairs: DataFrame, id_a: str = "doc_a",
         # retried call would otherwise pin graph-scale state per attempt
         if checkpoint and checkpoint_dir is None:
             release_checkpoint(edges)
-            if not converged:
-                release_checkpoint(labels)
+            if not converged and snap is not None:
+                release_checkpoint(snap)
     return labels
 
 
