@@ -74,6 +74,10 @@ def _next_ranks(nodes: DataFrame, ed: DataFrame, ranks: DataFrame,
                .select(F.col("dst"),
                        F.expr("r div deg").alias("_sh"))
                .groupBy("dst").agg(F.sum("_sh").alias("_c")))
+    # extra node columns (e.g. the static `_dang` flag) ride through so
+    # per-iteration scalars can be computed from the rank snapshot
+    # alone (r18) — the plan-locked exchange shape is unchanged
+    extras = [c for c in nodes.columns if c != "node"]
     return (nodes.join(contrib, nodes["node"] == contrib["dst"],
                        "left")
             .select(F.col("node"),
@@ -82,7 +86,8 @@ def _next_ranks(nodes: DataFrame, ed: DataFrame, ranks: DataFrame,
                               f"(coalesce(_c, CAST(0 AS BIGINT)) "
                               f"+ {int(d_share)})) "
                               f"div {int(damping_den)}"))
-                    .cast("long").alias("r")))
+                    .cast("long").alias("r"),
+                    *[nodes[c] for c in extras]))
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -138,37 +143,45 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                       F.col(dst).cast("long").alias("dst"))
          .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
          .distinct())
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # nodes carry a STATIC `_dang` flag (no out-edges) so the
+    # per-iteration dangling mass is a filter+sum over the rank
+    # snapshot alone (r18, the neardup_components convergence-check
+    # fix): the former `dangling.join(ranks, "node")` re-shuffled two
+    # checkpointed V-row tables per iteration (LogicalRDDs surface no
+    # partitioning under AQE) just to sum a known-static subset
     nodes = _ckpt(_copart(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct(), "node"))
+        .distinct()
+        .join(outdeg.withColumnRenamed("src", "node"), "node", "left")
+        .select("node", F.col("deg").isNull().alias("_dang")), "node"))
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("r", F.lit(0).cast("long"))
+        return nodes.select("node").withColumn("r",
+                                               F.lit(0).cast("long"))
     if scale < n:
         # scale // n == 0 would zero every rank silently from
         # iteration 1 — refuse, matching the sketch parameter contract
         raise ValueError(
             f"scale ({scale}) must be >= node count ({n}) or every "
             "integer rank floors to 0")
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # build side co-partitioned by src: the per-iteration src-side
     # join is then exchange-free wherever LogicalRDD partitioning is
     # honored (AQE off / classic planner)
     ed = _ckpt(_copart(e.join(outdeg, "src"), "src"))
-    dangling = _ckpt(_copart(
-        nodes.join(outdeg.withColumnRenamed("src", "node"),
-                   "node", "left_anti"), "node"))
     teleport = (scale * (damping_den - damping_num)) \
         // (damping_den * n)
     ranks = nodes.select("node",
-                         F.lit(scale // n).cast("long").alias("r"))
+                         F.lit(scale // n).cast("long").alias("r"),
+                         "_dang")
     prev = None
     try:
         for _ in range(iters):
             # dangling mass: ONE scalar per iteration (bounded driver
-            # round-trip — the redistribute-uniformly constant)
-            d_total = (dangling.join(ranks, "node")
+            # round-trip — the redistribute-uniformly constant), read
+            # off the rank snapshot's own `_dang` flag — no join
+            d_total = (ranks.filter(F.col("_dang"))
                        .agg(F.sum("r").alias("s")).first()["s"]) or 0
             ranks = _next_ranks(nodes, ed, ranks, teleport,
                                 damping_num, damping_den,
@@ -183,13 +196,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 _release_checkpoint(prev)
             prev = ranks
     finally:
-        # the build sides (V + E + V rows) have no reader past the
-        # loop — the returned ranks is an eager checkpoint with its
-        # lineage truncated — and on a raise path nothing the caller
-        # can reach references them either; release deterministically
-        # instead of waiting for driver GC (the neardup_components
-        # finally, mirrored — its storage test is this one's twin)
+        # the build sides (V + E rows) have no reader past the loop —
+        # the returned ranks is a projection over an eager checkpoint
+        # with its lineage truncated — and on a raise path nothing the
+        # caller can reach references them either; release
+        # deterministically instead of waiting for driver GC (the
+        # neardup_components finally, mirrored — its storage test is
+        # this one's twin)
         if checkpoint_dir is None:
-            for df_ in (nodes, ed, dangling):
+            for df_ in (nodes, ed):
                 _release_checkpoint(df_)
-    return ranks
+    return ranks.select("node", "r")
