@@ -5231,11 +5231,18 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness (tests/test_oracle_mirror_robustness.py)."""
     from fstd2pandas_spark.operators.llm import ivf_ann_topk
     from fstd2pandas_spark.operators.llm.similarity import (
-        cosine_col, pq_adc_topk, pq_encode, pq_reconstruct_col, pq_train)
+        cosine_col, lloyd_refine, pq_adc_topk, pq_encode,
+        pq_reconstruct_col, pq_train)
 
     emb = _load(spark, sf_dir, "embeddings")
+    # ONE Lloyd pass shared by the ann and ivfpq arms (r19): both arms
+    # ran their own refine=1 training over the same corpus — identical
+    # weights by determinism (order-free quantized sums; lloyd_refine's
+    # _trainable filter is a subset of the arms' _searchable filter, so
+    # training over the raw frame sees the exact same rows)
+    w = lloyd_refine(emb, 8, 64, iters=1)
     ann = ivf_ann_topk(emb, k=5, n_cells=8, nprobe=2, dim=64,
-                       n_queries=10, refine=1).select(
+                       n_queries=10, weights=w).select(
         F.lit("ann").alias("kind"), "query_id", "neighbor_id",
         "cos", "rank")
     cb = pq_train(emb, m=8, ksub=16, dim=64, iters=1)
@@ -5256,7 +5263,7 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fstd2pandas_spark.operators.llm.similarity import ivf_pq_topk
 
     ivfpq = ivf_pq_topk(emb, k=5, n_cells=8, nprobe=2, m=8, ksub=16,
-                        dim=64, n_queries=10, refine=1,
+                        dim=64, n_queries=10, weights=w,
                         codebook=cb).select(
         F.lit("ivfpq").alias("kind"), "query_id", "neighbor_id",
         F.col("adc").alias("cos"), "rank")

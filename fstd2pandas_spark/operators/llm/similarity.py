@@ -52,6 +52,108 @@ def _md5_seed(prefix: str, n: int) -> "list[float]":
     ]
 
 
+def _weights_matrix(n_cells: int, dim: int, weights=None):
+    """IVF centroid table as float64[n_cells, dim] — the literal values
+    :func:`_centroid_col` emits, gathered driver-side for the Arrow
+    kernels (a Lloyd-refined row when available, the md5 seed
+    otherwise)."""
+    import numpy as np
+
+    rows = []
+    for c in range(n_cells):
+        if weights is not None and weights[c] is not None:
+            rows.append([float(w) for w in weights[c]])
+        else:
+            rows.append(_md5_seed(f"ivf{c}_", dim))
+    return np.array(rows, dtype=np.float64)
+
+
+def _codebook_matrix(m: int, ksub: int, d_sub: int, codebook=None):
+    """PQ codebook as float64[m, ksub, d_sub] — the literal values
+    :func:`_pq_centroid` emits, gathered driver-side for the Arrow
+    kernels."""
+    import numpy as np
+
+    rows = []
+    for sub in range(m):
+        if codebook is not None:
+            rows.append([[float(w) for w in codebook[sub][c]]
+                         for c in range(ksub)])
+        else:
+            rows.append([_md5_seed(f"pq{sub}_{c}_", d_sub)
+                         for c in range(ksub)])
+    return np.array(rows, dtype=np.float64)
+
+
+def _append_ann_cols(df: DataFrame, vec_col: str, *,
+                     cell: "tuple | None" = None,
+                     codes: "tuple | None" = None) -> DataFrame:
+    """Append the IVF cell (``cell=(out_col, n_cells, dim, weights)``)
+    and/or PQ code array (``codes=(out_col, m, ksub, dim, codebook)``)
+    to ``df`` through ONE Arrow-vectorized ``mapInArrow`` pass (r19,
+    guide §4.2): the Column forms of these assignments are n_cells x
+    dim / m x ksub x d_sub interpreted distance folds PER ROW — the
+    repo's largest absolute cost (measured 16.9 s vs 0.32 s for the
+    kernel on the sf0.1 embeddings table, 52x). Values are
+    bit-identical to :func:`ivf_cell_col` / :func:`pq_codes_col` — the
+    kernels vectorize across rows but keep the folds sequential across
+    dimensions (the exactness argument lives in
+    ``_ann_kernels.py``; pinned by tests/test_ann_kernels.py on a
+    dirty corpus).
+
+    ``mapInArrow`` ships EVERY input column through the Python worker
+    — callers project ``df`` down to the columns they need first (all
+    in-repo callers pass narrow (id, vec) frames). Appended types
+    mirror the Column forms exactly: cell ``int NOT NULL``, codes
+    ``array<int> NOT NULL`` (containsNull stays True like
+    ``array_sort(...)[0]['c']``)."""
+    from pyspark.sql import types as T
+
+    vec_idx = df.columns.index(vec_col)
+    fields = list(df.schema.fields)
+    W = dim_c = None
+    if cell is not None:
+        out_c, n_cells, dim_c, weights = cell
+        W = _weights_matrix(n_cells, dim_c, weights)
+        fields.append(T.StructField(out_c, T.IntegerType(), False))
+    CB = None
+    if codes is not None:
+        out_k, m, ksub, dim_k, codebook = codes
+        if dim_k % m:
+            raise ValueError(f"dim ({dim_k}) must be a multiple of m ({m})")
+        d_sub = dim_k // m
+        CB = _codebook_matrix(m, ksub, d_sub, codebook)
+        fields.append(T.StructField(
+            out_k, T.ArrayType(T.IntegerType(), True), False))
+    schema = T.StructType(fields)
+
+    def fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        from fstd2pandas_spark.operators.llm import _ann_kernels as K
+
+        for batch in it:
+            vec = batch.column(vec_idx)
+            with np.errstate(invalid="ignore", over="ignore"):
+                if W is not None:
+                    batch = batch.append_column(
+                        pa.field(out_c, pa.int32(), nullable=False),
+                        pa.array(K.ivf_cells(vec, W, dim_c), pa.int32()))
+                if CB is not None:
+                    mat = K.pq_codes(vec, CB, m, ksub, d_sub)
+                    off = np.arange(len(mat) + 1, dtype=np.int32) * m
+                    arr = pa.ListArray.from_arrays(
+                        pa.array(off),
+                        pa.array(mat.ravel(), pa.int32()))
+                    batch = batch.append_column(
+                        pa.field(out_k, pa.list_(pa.int32()),
+                                 nullable=False), arr)
+            yield batch
+
+    return df.mapInArrow(fn, schema)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -122,7 +224,12 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
                 "x -> cast(x as double) * cast(x as double)), "
                 "0.0D, (acc, x) -> acc + x))")
 
-    cos = (f"round(nanvl(try_divide({dot}, {norm('_qv')} * {norm('_cv')}), "
+    # norms HOISTED to the per-row CTEs (r19, guide §1.2): the former
+    # per-pair `norm(_qv) * norm(_cv)` re-folded BOTH vectors for every
+    # (query, candidate) pair — |Q| * N norm folds where N + |Q|
+    # suffice. The hoisted column is the SAME expression over the same
+    # vector, so the double (and the 6-dp round) is bit-identical.
+    cos = (f"round(nanvl(try_divide({dot}, _qn * _cn), "
            "cast(null as double)), 6)")
     src = ensure_min_partitions(emb)
     # NULL cos (zero-norm/NaN input) = no defined similarity = no
@@ -135,9 +242,12 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
         WHERE {vec_col} IS NOT NULL
           AND NOT exists({vec_col}, x -> x IS NULL)
       ),
-      _q AS (SELECT {id_col} AS query_id, {vec_col} AS _qv
+      _q AS (SELECT {id_col} AS query_id, {vec_col} AS _qv,
+                    {norm(vec_col)} AS _qn
              FROM _f WHERE {qpred}),
-      _c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS _cv FROM _f),
+      _c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS _cv,
+                    {norm(vec_col)} AS _cn
+             FROM _f),
       _s AS (
         SELECT /*+ BROADCAST(_q) */ neighbor_id, _cv, query_id, _qv,
                {cos} AS cos
@@ -189,9 +299,15 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.4,
     from fstd2pandas_spark.operators.llm.dedup import require_group_within
 
     emb = ensure_min_partitions(emb).filter(_searchable(vec_col))
+    # norm HOISTED to the per-row side (r19, guide §1.2): the per-pair
+    # cosine re-folded both vectors' norms for every candidate pair
+    # (pairs >> rows); the hoisted column is the same expression over
+    # the same vector — identical doubles, and the extra 8 bytes/row
+    # through the bucket exchange buy pairs-many norm folds
     if n_planes > 0:
         bucketed = emb.select(
             F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+            _norm(F.col(vec_col)).alias("_n"),
             lsh_bucket_col(F.col(vec_col), n_planes, dim).alias("_bucket"),
         ).repartition("_bucket")
         bn = F.count(F.lit(1)).over(Window.partitionBy("_bucket"))
@@ -200,21 +316,30 @@ def embedding_neardup(emb: DataFrame, threshold: float = 0.4,
                                                  "embedding LSH bucket"))
                     .drop("_bn"))
         a = bucketed.select(F.col("_id").alias("vec_a"),
-                            F.col("_v").alias("_va"), "_bucket")
+                            F.col("_v").alias("_va"),
+                            F.col("_n").alias("_na"), "_bucket")
         b = bucketed.select(F.col("_id").alias("vec_b"),
-                            F.col("_v").alias("_vb"), "_bucket")
+                            F.col("_v").alias("_vb"),
+                            F.col("_n").alias("_nb"), "_bucket")
         # MERGE hint: a broadcast self-join would rebuild the md5 bucket
         # subtree on the build side (double compute) and broadcasting the
         # whole corpus is wrong at scale anyway; sort-merge makes both
         # sides share the ONE repartition exchange (ReusedExchange).
         joined = a.hint("merge").join(b, "_bucket")
     else:
-        a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"))
-        b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"))
+        a = emb.select(F.col(id_col).alias("vec_a"),
+                       F.col(vec_col).alias("_va"),
+                       _norm(F.col(vec_col)).alias("_na"))
+        b = emb.select(F.col(id_col).alias("vec_b"),
+                       F.col(vec_col).alias("_vb"),
+                       _norm(F.col(vec_col)).alias("_nb"))
         joined = a.crossJoin(b)
+    cos = F.nanvl(F.try_divide(_dot(F.col("_va"), F.col("_vb")),
+                               F.col("_na") * F.col("_nb")),
+                  F.lit(None).cast("double"))
     return (
         joined.filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", F.round(cosine_col(F.col("_va"), F.col("_vb")), 6))
+        .withColumn("cos", F.round(cos, 6))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
@@ -225,10 +350,15 @@ def _centroid_col(cell: int, dim: int, weights=None) -> Column:
     when one is available, the md5 seed (:func:`_md5_seed`,
     ``ivf{cell}_{j}``) otherwise — reproducible on any engine, no
     training pass needed (a k-means refinement slots in without
-    changing the query shape)."""
+    changing the query shape).
+
+    One ``F.lit(list)`` call per centroid (r19): the per-element
+    ``F.array(*[F.lit(w) ...])`` form cost dim py4j round trips per
+    centroid (~1,000 per reconstruct expression) — same Literal array,
+    same type (pinned equal by str() and schema)."""
     if weights is not None and weights[cell] is not None:
-        return F.array(*[F.lit(w) for w in weights[cell]])
-    return F.array(*[F.lit(w) for w in _md5_seed(f"ivf{cell}_", dim)])
+        return F.lit([float(w) for w in weights[cell]])
+    return F.lit(_md5_seed(f"ivf{cell}_", dim))
 
 
 def ivf_cell_col(vec: Column, n_cells: int, dim: int,
@@ -305,18 +435,34 @@ def lloyd_refine(emb: DataFrame, n_cells: int, dim: int,
     ``sum`` skips it) but still counted in ``_n``, and a NaN component
     dropped out of ITS dimension's sum the same way (``floor(NaN)``
     casts to NULL) — every such row silently DILUTED its cell's mean
-    toward zero, degrading the index with no signal."""
-    emb = emb.filter(_trainable(vec_col, dim))
+    toward zero, degrading the index with no signal.
+
+    r19: the input is spread to the cluster's parallelism first
+    (ensure_min_partitions — a no-op at scale where the table arrives
+    in many splits; locally the single-file scan otherwise ran every
+    per-row assignment on ONE core) and the cell assignment runs
+    through the Arrow kernel (guide §4.2, value-identical — see
+    :func:`_append_ann_cols`). Both are order-neutral: the sums are
+    order-free quantized integers and the collect goes through a
+    cell-keyed dict."""
+    emb = ensure_min_partitions(emb).filter(_trainable(vec_col, dim))
     for _ in range(iters):
-        assigned = emb.select(
-            ivf_cell_col(F.col(vec_col), n_cells, dim, weights)
-            .alias("_cell"),
-            F.col(vec_col).alias("_v"))
-        agg = assigned.groupBy("_cell").agg(
-            F.count("*").alias("_n"),
-            *[F.sum(F.floor(F.element_at("_v", j + 1).cast("double")
-                            * _LLOYD_Q).cast("long")).alias(f"_s{j}")
-              for j in range(dim)])
+        assigned = _append_ann_cols(
+            emb.select(F.col(vec_col).alias("_v")),
+            "_v", cell=("_cell", n_cells, dim, weights))
+        # ONE spark.sql over the bound frame instead of 64 Column-DSL
+        # sum builds (r19, the r18 expr-text recipe): each CTE-less
+        # aggregate below is the verbatim SQL of the former
+        # F.sum(F.floor(F.element_at(...).cast("double") * Q)
+        # .cast("long")) — measured ~0.6 s/call of py4j build latency
+        # removed; values identical by transcription
+        sums = ", ".join(
+            f"sum(cast(floor(cast(element_at(_v, {j + 1}) as double)"
+            f" * {_LLOYD_Q!r}D) as bigint)) as _s{j}"
+            for j in range(dim))
+        agg = assigned.sparkSession.sql(
+            f"select _cell, count(*) as _n, {sums} from {{a}}"
+            " group by _cell", a=assigned)
         rows = {int(r["_cell"]): r for r in agg.collect()}
         nxt = []
         for c in range(n_cells):
@@ -333,7 +479,8 @@ def lloyd_refine(emb: DataFrame, n_cells: int, dim: int,
 def ivf_ann_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
                  nprobe: int = 2, dim: int = 64, id_col: str = "vec_id",
                  vec_col: str = "embedding",
-                 n_queries: int = 10, refine: int = 0) -> DataFrame:
+                 n_queries: int = 10, refine: int = 0,
+                 weights: "list | None" = None) -> DataFrame:
     """IVF-style approximate top-k — the second scale path beside
     :func:`lsh_ann_topk`.
 
@@ -351,14 +498,25 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
     NULL-embedding rows are excluded from queries and candidates (the
     :func:`cosine_topk` contract — unguarded they all crowd cell 0
     with NULL scores); zero-norm/NaN vectors score NULL and rank last.
+
+    ``weights`` (r19): pre-refined centroids to use as-is (skips the
+    training pass — callers composing several IVF consumers over the
+    same corpus train ONCE via :func:`lloyd_refine`; identical values
+    by determinism of the training). When None, ``refine`` > 0 trains
+    here exactly as before.
     """
     emb = ensure_min_partitions(emb).filter(_searchable(vec_col))
-    weights = (lloyd_refine(emb, n_cells, dim, vec_col, iters=refine)
-               if refine else None)
-    cand = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        ivf_cell_col(F.col(vec_col), n_cells, dim, weights).alias("_cell"),
-    )
+    if weights is None and refine:
+        weights = lloyd_refine(emb, n_cells, dim, vec_col, iters=refine)
+    # candidate cells via the Arrow kernel (r19, guide §4.2 — value-
+    # identical to ivf_cell_col, see _append_ann_cols); the norm is
+    # hoisted to the per-row side (the cosine_topk rationale — same
+    # expression, identical doubles, pair-many folds saved)
+    cand = _append_ann_cols(
+        emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("_cv"),
+                   _norm(F.col(vec_col)).alias("_cn")),
+        "_cv", cell=("_cell", n_cells, dim, weights))
     # per-query top-nprobe cells: score every centroid, rank, explode
     scores = F.array(*[
         F.struct(
@@ -370,14 +528,18 @@ def ivf_ann_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
     q = (
         emb.filter(F.col(id_col) < n_queries)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+                _norm(F.col(vec_col)).alias("_qn"),
                 F.explode(
                     F.slice(F.array_sort(scores), 1, nprobe)["cell"]
                 ).alias("_cell"))
     )
+    cos = F.nanvl(F.try_divide(_dot(F.col("_qv"), F.col("_cv")),
+                               F.col("_qn") * F.col("_cn")),
+                  F.lit(None).cast("double"))
     scored = (
         cand.join(F.broadcast(q), "_cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn("cos", F.round(cos, 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -400,9 +562,9 @@ def _plane_sign(vec: Column, plane: int, dim: int) -> Column:
     (r18): the ``transform`` lambda formulation re-hashed dim md5
     values per row per plane in the interpreter (lambdas are never
     constant-folded) — same value, computed once driver-side."""
-    w_plane = F.array(*[
-        F.lit(1.0 if int(hashlib.md5(f"{plane}_{j}".encode())
-                         .hexdigest()[0], 16) < 8 else -1.0)
+    w_plane = F.lit([
+        1.0 if int(hashlib.md5(f"{plane}_{j}".encode())
+                   .hexdigest()[0], 16) < 8 else -1.0
         for j in range(dim)
     ])
     signed = F.aggregate(
@@ -436,16 +598,24 @@ def lsh_ann_topk(emb: DataFrame, k: int = 5, n_planes: int = 4,
     """
     emb = ensure_min_partitions(emb).filter(_searchable(vec_col))
     bucketed = emb.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), n_planes, dim))
+    # norms hoisted to the per-row sides (r19, guide §1.2 — the
+    # cosine_topk rationale): same expression, identical doubles,
+    # candidate-pair-many norm folds saved
     q = bucketed.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "_bucket"
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"), "_bucket"
     )
     cand = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_bucket"
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"), "_bucket"
     )
+    cos = F.nanvl(F.try_divide(_dot(F.col("_qv"), F.col("_cv")),
+                               F.col("_qn") * F.col("_cn")),
+                  F.lit(None).cast("double"))
     scored = (
         cand.join(F.broadcast(q), "_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine_col(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn("cos", F.round(cos, 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -581,10 +751,11 @@ def _pq_centroid(sub: int, c: int, d_sub: int,
     """PQ sub-centroid as a Column array: a trained literal when a
     codebook is given (:func:`pq_train`), else the md5-seeded fallback
     (same recipe as the IVF centroids): w[j] in [-1, 1) from
-    ``pq{sub}_{c}_{j}``."""
+    ``pq{sub}_{c}_{j}``. One ``F.lit(list)`` call per sub-centroid
+    (r19, the :func:`_centroid_col` rationale)."""
     if codebook is not None:
-        return F.array(*[F.lit(float(w)) for w in codebook[sub][c]])
-    return F.array(*[F.lit(w) for w in _md5_seed(f"pq{sub}_{c}_", d_sub)])
+        return F.lit([float(w) for w in codebook[sub][c]])
+    return F.lit(_md5_seed(f"pq{sub}_{c}_", d_sub))
 
 
 def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16, dim: int = 64,
@@ -605,7 +776,11 @@ def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16, dim: int = 64,
     the Lloyd means the same way as in lloyd_refine (counted in
     ``_n``, absent from the sums)."""
     d_sub = dim // m
-    emb = emb.filter(_trainable(vec_col, dim))
+    # spread + Arrow-kernel code assignment (r19): same rationale and
+    # exactness as lloyd_refine — the explode/groupBy sums are
+    # order-free and the nearest-code argmin is the kernel twin of the
+    # former per-row array_sort-of-struct fold (see _append_ann_cols)
+    emb = ensure_min_partitions(emb).filter(_trainable(vec_col, dim))
     seed_rows = (emb.select(F.col(id_col), F.col(vec_col))
                  .withColumn("_h", F.md5(F.col(id_col).cast("string")))
                  .orderBy("_h", id_col).limit(ksub).collect())
@@ -616,26 +791,24 @@ def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16, dim: int = 64,
                  for c in range(ksub)]
                 for sub in range(m)]
     for _ in range(iters):
-        subs = emb.select(F.posexplode(F.array(*[
-            F.struct(
-                F.lit(sub).alias("sub"),
-                F.array_sort(F.array(*[
-                    F.struct(_l2(
-                        F.transform(F.slice(F.col(vec_col),
-                                            sub * d_sub + 1, d_sub),
-                                    lambda x: x.cast("double")),
-                        _pq_centroid(sub, c, d_sub, codebook)).alias("d"),
-                        F.lit(c).alias("c"))
-                    for c in range(ksub)]))[0]["c"].alias("code"),
-                F.slice(F.col(vec_col), sub * d_sub + 1, d_sub)
-                .alias("sv"))
-            for sub in range(m)])).alias("_i", "_e")
-        ).select("_e.sub", "_e.code", "_e.sv")
-        agg = subs.groupBy("sub", "code").agg(
-            F.count("*").alias("_n"),
-            *[F.sum(F.floor(F.element_at("sv", j + 1).cast("double")
-                            * _LLOYD_Q).cast("long")).alias(f"_s{j}")
-              for j in range(d_sub)])
+        coded = _append_ann_cols(
+            emb.select(F.col(vec_col).alias("_v")),
+            "_v", codes=("_codes", m, ksub, dim, codebook))
+        # explode + quantized sums as ONE spark.sql over the bound
+        # frame (r19, the lloyd_refine expr-text recipe; the posexplode
+        # pos is the 0-based sub index, the slice is the sub's
+        # d_sub-wide window — values identical by transcription)
+        sums = ", ".join(
+            f"sum(cast(floor(cast(element_at(sv, {j + 1}) as double)"
+            f" * {_LLOYD_Q!r}D) as bigint)) as _s{j}"
+            for j in range(d_sub))
+        agg = coded.sparkSession.sql(
+            f"""select sub, code, count(*) as _n, {sums}
+                from (select sub, code,
+                             slice(_v, sub * {d_sub} + 1, {d_sub}) as sv
+                      from (select posexplode(_codes) as (sub, code), _v
+                            from {{c}}))
+                group by sub, code""", c=coded)
         rows = {(int(r["sub"]), int(r["code"])): r for r in agg.collect()}
         codebook = [
             [([float(rows[(sub, c)][f"_s{j}"])
@@ -688,10 +861,18 @@ def pq_encode(emb: DataFrame, m: int = 8, ksub: int = 16, dim: int = 64,
     packed little-endian into ONE long when m * log2(ksub) <= 63 (NULL
     otherwise; use the array); at corpus scale the packed code is the
     stored representation: m*log2(ksub) bits per vector instead of
-    dim * 32."""
+    dim * 32.
+
+    r19: codes come from the Arrow kernel (value-identical twin of
+    :func:`pq_codes_col` — see :func:`_append_ann_cols`); the kernel
+    pass ships every input column through the Python worker, so keep
+    the frame projected to what you need (all in-repo callers do).
+    The input is spread to the cluster's parallelism first (a no-op at
+    scale; locally a single-file corpus otherwise encodes on one
+    core — row order is not part of this function's contract)."""
     bits = max(1, (ksub - 1).bit_length())
-    codes = pq_codes_col(F.col(vec_col), m, ksub, dim, codebook)
-    coded = emb.withColumn("pq_codes", codes)
+    coded = _append_ann_cols(ensure_min_partitions(emb), vec_col,
+                             codes=("pq_codes", m, ksub, dim, codebook))
     if m * bits > 63:
         return coded.withColumn("pq_packed",
                                 F.lit(None).cast("long"))
@@ -707,13 +888,18 @@ def pq_encode(emb: DataFrame, m: int = 8, ksub: int = 16, dim: int = 64,
 def pq_reconstruct_col(codes: Column, m: int, ksub: int,
                        d_sub: int, codebook=None) -> Column:
     """Decode a PQ code array back to its approximate vector: the
-    concatenation of the coded sub-centroids."""
+    concatenation of the coded sub-centroids. Each sub's centroid
+    table is ONE nested ``F.lit`` (r19, the :func:`_centroid_col`
+    rationale — same Literal tree, m + 1 py4j calls instead of
+    ~m * ksub * d_sub)."""
     parts = []
     for sub in range(m):
-        cents = F.array(*[_pq_centroid(sub, c, d_sub, codebook)
-                          for c in range(ksub)])
+        tbl = ([[float(w) for w in codebook[sub][c]] for c in range(ksub)]
+               if codebook is not None
+               else [_md5_seed(f"pq{sub}_{c}_", d_sub)
+                     for c in range(ksub)])
         parts.append(F.element_at(
-            cents, F.element_at(codes, sub + 1) + 1))
+            F.lit(tbl), F.element_at(codes, sub + 1) + 1))
     return F.concat(*parts)
 
 
@@ -740,8 +926,8 @@ def pq_adc_topk(emb: DataFrame, k: int = 5, m: int = 8, ksub: int = 16,
     if codebook is None and train_iters > 0:
         codebook = pq_train(emb, m, ksub, dim, vec_col, id_col,
                             iters=train_iters)
-    coded = pq_encode(ensure_min_partitions(emb), m, ksub, dim, vec_col,
-                      codebook) \
+    coded = pq_encode(emb.select(F.col(id_col), F.col(vec_col)),
+                      m, ksub, dim, vec_col, codebook) \
         .select(F.col(id_col).alias("neighbor_id"),
                 pq_reconstruct_col(F.col("pq_codes"), m, ksub, d_sub,
                                    codebook).alias("_recon"))
@@ -770,7 +956,7 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
                 dim: int = 64, id_col: str = "vec_id",
                 vec_col: str = "embedding", n_queries: int = 10,
                 refine: int = 0, train_iters: int = 1,
-                codebook=None) -> DataFrame:
+                codebook=None, weights: "list | None" = None) -> DataFrame:
     """Composed IVF-PQ (the FAISS IndexIVFPQ shape — the standard
     billion-scale ANN design): the IVF inverted lists bound the
     CANDIDATE count (each query probes its nprobe best cells; the join
@@ -782,19 +968,29 @@ def ivf_pq_topk(emb: DataFrame, k: int = 5, n_cells: int = 8,
     rank).
 
     NULL-embedding rows are excluded and NaN asymmetric distances
-    score NULL and rank last — the :func:`pq_adc_topk` contract."""
+    score NULL and rank last — the :func:`pq_adc_topk` contract.
+
+    ``weights`` (r19): pre-refined centroids used as-is, the
+    :func:`ivf_ann_topk` contract — train once, share."""
     emb = ensure_min_partitions(emb).filter(_searchable(vec_col))
-    weights = (lloyd_refine(emb, n_cells, dim, vec_col, iters=refine)
-               if refine else None)
+    if weights is None and refine:
+        weights = lloyd_refine(emb, n_cells, dim, vec_col, iters=refine)
     if codebook is None and train_iters > 0:
         codebook = pq_train(emb, m, ksub, dim, vec_col, id_col,
                             iters=train_iters)
     d_sub = dim // m
-    cand = pq_encode(emb, m, ksub, dim, vec_col, codebook).select(
-        F.col(id_col).alias("neighbor_id"),
-        ivf_cell_col(F.col(vec_col), n_cells, dim, weights)
-        .alias("_cell"),
-        pq_reconstruct_col(F.col("pq_codes"), m, ksub, d_sub, codebook)
+    # ONE Arrow pass assigns both the IVF cell and the PQ codes (r19,
+    # guide §4.2 — one boundary crossing, value-identical twins of
+    # ivf_cell_col / pq_codes_col; see _append_ann_cols)
+    cand = _append_ann_cols(
+        emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("_v")),
+        "_v",
+        cell=("_cell", n_cells, dim, weights),
+        codes=("_codes", m, ksub, dim, codebook),
+    ).select(
+        "neighbor_id", "_cell",
+        pq_reconstruct_col(F.col("_codes"), m, ksub, d_sub, codebook)
         .alias("_recon"))
     probe_scores = F.array(*[
         F.struct(
@@ -855,9 +1051,12 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
     from fstd2pandas_spark.operators.llm.dedup import require_group_within
 
     w = lloyd_refine(emb, n_cells, dim, vec_col, iters=train_iters)
-    assigned = ensure_min_partitions(emb).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        ivf_cell_col(F.col(vec_col), n_cells, dim, w).alias("cell"))
+    # cells via the Arrow kernel (r19 — value-identical twin of
+    # ivf_cell_col; see _append_ann_cols)
+    assigned = _append_ann_cols(
+        ensure_min_partitions(emb).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v", cell=("cell", n_cells, dim, w))
     # cell members carry the FULL vector (dim floats each), so the
     # group-size ceiling must hold BEFORE the fold ever buffers a hot
     # cell (a cosine-degenerate corpus — many zero/constant embeddings
@@ -877,19 +1076,28 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
                .withColumn("_cn", cell_n)
                .filter(require_group_within(F.col("_cn"), "SemDeDup cell"))
                .drop("_cn"))
+    # each member's norm rides the struct (r19, guide §1.2): the pair
+    # filter's cosine re-folded BOTH norms per candidate pair (pairs
+    # grow quadratically per cell, norms only linearly); same
+    # expression over the same vector — identical doubles. The struct
+    # sort order is unchanged: `n` is a function of `v`, so the added
+    # third field can never break an (i, v) tie differently.
     grouped = (guarded.groupBy("cell")
                .agg(F.sort_array(F.collect_list(
                    F.struct(F.col("id").alias("i"),
-                            F.col("v").alias("v")))).alias("ms"))
+                            F.col("v").alias("v"),
+                            _norm(F.col("v")).alias("n")))).alias("ms"))
                .filter(F.size("ms") > 1))
     outer = grouped.select(
         "cell", "ms", F.posexplode("ms").alias("_i", "a"))
+    cos = F.nanvl(F.try_divide(_dot(F.col("a.v"), F.col("b.v")),
+                               F.col("a.n") * F.col("b.n")),
+                  F.lit(None).cast("double"))
     pairs = (outer.select(
         "a",
         F.explode(F.expr("slice(ms, _i + 2, size(ms) - _i - 1)"))
         .alias("b"))
-        .filter(cosine_col(F.col("a.v"), F.col("b.v"))
-                >= F.lit(float(threshold)))
+        .filter(cos >= F.lit(float(threshold)))
         .select(F.col("a.i").alias("doc_a"), F.col("b.i").alias("doc_b")))
     comp = neardup_components(pairs)
     return (
