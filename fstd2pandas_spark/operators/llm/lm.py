@@ -102,7 +102,11 @@ def lm_train(df: DataFrame, text_col: str = "text",
     model = bi.join(uni.hint("merge").select(F.col("w").alias("w1"),
                                              F.col("c_uni").alias("c_w1")),
                     "w1")
-    total = uni.agg(F.sum("c_uni").alias("n")).collect()[0]["n"] or 0
+    # N as a plain count of word rows (r19): sum(c_uni) over the
+    # unigram aggregation is the same number by construction, but the
+    # count's partial aggregation skips the vocabulary shuffle in this
+    # eager job (uni itself stays lazy for the scoring plan)
+    total = _word_rows(df, text_col).count()
     return model, uni, int(total)
 
 

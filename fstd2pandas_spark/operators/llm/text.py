@@ -27,6 +27,15 @@ BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 MOD_PRIME = 1_000_000_007
 
 
+def sql_ident(name: str) -> str:
+    """Backtick-quote a column name for splicing into SQL text (r19):
+    the fused spark.sql builders interpolate caller-supplied column
+    names, and an unquoted name containing spaces/hyphens/reserved
+    words — legal to the F.col() paths they replaced — would break
+    parsing (or worse, parse as an expression)."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
 def size_col(c: Column) -> Column:
     """``F.size`` with a CONFIG-INDEPENDENT NULL contract: under
     non-ANSI Spark, legacy ``sizeOfNull`` makes ``size(NULL)`` return
@@ -129,13 +138,17 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         * F.least(s_dec * F.lit(5).cast("decimal(2,0)"), one),
         6,
     ).cast("double")
-    return (
-        df.withColumn("n_tokens", n_tok)
-        .withColumn("mean_token_len", mean_len)
-        .withColumn("punct_ratio", punct_ratio)
-        .withColumn("stop_ratio", stop_ratio)
-        .withColumn("quality", score)
-    )
+    # ONE withColumns batch (r19): the five chained withColumn calls
+    # each re-ran eager analysis over the growing plan (~50 ms/build
+    # saved; CollapseProject merged the chain anyway, so the plan and
+    # values are unchanged)
+    return df.withColumns({
+        "n_tokens": n_tok,
+        "mean_token_len": mean_len,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "quality": score,
+    })
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -16,10 +16,14 @@ representation survives parquet round-trips.
   typvar '@@', datyp 2, nbits 1; an already-paired (var, mask) group
   passes through unchanged (recover_mask.py:61-82).
 
-The pairing is a self-join of two *disjoint filters of the same scan* on
-exact keys — Spark plans it as one shuffle on the group key (or a
-broadcast when one side is small); the 2-rows-per-group assertion becomes
-a count check the caller can run (:func:`unpaired_mask_groups`).
+``apply_mask``'s pairing is ONE ``groupBy`` over the pairing key with a
+2-element ``collect_list`` fold (r19): the previous self-join of two
+disjoint filters duplicated the entire upstream lineage (each join side
+re-computed the source) and cost two window-sorted exchanges plus a
+sort-merge join; the fold computes the group once behind a single hash
+exchange. The 2-rows-per-group assertion is evaluated in the same
+aggregate (and stays available as a query via
+:func:`unpaired_mask_groups`).
 """
 
 from __future__ import annotations
@@ -102,16 +106,48 @@ def apply_mask(df: DataFrame, mask_typvar: str = "@@",
         raise MaskError(f"keep_value can only be 0 or 1! provided {keep_value}")
 
     meta, masked, not_masked = _split(df, mask_typvar)
-    guarded = _group_size_guard(masked, mask_typvar, "apply")
-    # filtering on the guarded _n makes every masked row evaluate the
-    # group-size check, so a 3-row group raises (reference
-    # apply_mask.py:63) instead of silently dropping / fanning out
-    vars_ = guarded.filter((F.col("_n") == 2)
-                           & (F.col("typvar") != mask_typvar)) \
-        .drop("_n", "_nm")
-    masks = guarded.filter((F.col("_n") == 2)
-                           & (F.col("typvar") == mask_typvar)) \
-        .select(*MASK_GROUP_COLS, F.col("d").alias("_mask_d"))
+    # ONE groupBy pair-fold over the pairing key (r19): the previous
+    # merge self-join planned the entire masked lineage TWICE (once per
+    # join side) plus two window-sorted exchanges and a sort-merge join;
+    # the fold is a single hash exchange + aggregate. Measured value-
+    # equal on 600k cells and equal-to-faster at sf0.1; structurally
+    # strictly smaller at scale (plans/r19/fst_mask_apply_*).
+    rest = [c for c in df.columns if c not in MASK_GROUP_COLS]
+    grp = masked.groupBy(*MASK_GROUP_COLS).agg(
+        F.collect_list(F.struct(*rest)).alias("_g"))
+    n = F.size("_g")
+    nm = F.size(F.filter("_g", lambda g: g["typvar"] == F.lit(mask_typvar)))
+    key_str = F.concat_ws(
+        "/", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+               for c in ("nomvar", "etiket", "ip1", "ip2", "ip3")])
+    # same message as _group_size_guard's "apply" branch (reference
+    # apply_mask.py:63) — a 3-row group / duplicated mask RAISES instead
+    # of silently dropping / fanning out
+    msg = F.concat(
+        F.lit("apply_mask: pairing group "), key_str,
+        F.lit(" has "), n.cast("string"), F.lit(" rows ("),
+        nm.cast("string"),
+        F.lit(f" with mask typvar {mask_typvar!r}) — there should "
+              "be exactly 2 rows per group, 1 of them the mask "
+              "(apply_mask.py:63); run unpaired_mask_groups to "
+              "list every offender"))
+    bad = (n != 2) | (nm != 1)
+    # the old inner join silently dropped WELL-FORMED pairs with a NULL
+    # pairing key but still raised on malformed NULL-key groups (the
+    # guard evaluated before the join dropped them) — reproduce both,
+    # and keep the NULL-key drop INSIDE the guarded column so Catalyst
+    # cannot push it below the aggregate past the raise
+    nullkey = None
+    for c in MASK_GROUP_COLS:
+        cond = F.col(c).isNull()
+        nullkey = cond if nullkey is None else (nullkey | cond)
+    n_guarded = F.when(~bad, F.when(~nullkey, n)).otherwise(
+        F.raise_error(msg).cast("int"))
+    grp = grp.withColumn("_n", n_guarded).filter(F.col("_n") == 2)
+    var = F.element_at(
+        F.filter("_g", lambda g: g["typvar"] != F.lit(mask_typvar)), 1)
+    mask = F.element_at(
+        F.filter("_g", lambda g: g["typvar"] == F.lit(mask_typvar)), 1)
     # keep polarity matches the reference's astype(bool) exactly
     # (apply_mask.py:71-75): keep_value=1 keeps where the mask element
     # is NONZERO (NaN included — truthy in numpy, and NaN != 0 is true
@@ -124,14 +160,13 @@ def apply_mask(df: DataFrame, mask_typvar: str = "@@",
     else:
         def keep_cond(m):
             return m == F.lit(0.0)
-    # MERGE hint: the mask side is one record per data record — corpus-
-    # scale — so a stats-driven broadcast would be a driver-OOM plan
-    paired = vars_.hint("merge").join(masks, MASK_GROUP_COLS, "inner")
     masked_d = F.zip_with(
-        F.col("d"), F.col("_mask_d"),
+        var["d"], mask["d"],
         lambda v, m: F.when(keep_cond(m), v).otherwise(F.lit(None)),
     )
-    applied = paired.withColumn("d", masked_d).drop("_mask_d")
+    applied = grp.select(
+        *MASK_GROUP_COLS,
+        *[(masked_d if c == "d" else var[c]).alias(c) for c in rest])
     return (
         meta.unionByName(not_masked)
         .unionByName(applied.select(df.columns))

@@ -244,12 +244,12 @@ def test_sessionize_single_exchange(spark):
     assert "SessionWindow" in plan or "session_window" in plan
 
 
-def test_apply_mask_guard_rides_the_pairing_exchange(spark):
-    """round-15 lock: apply_mask's 2-rows-per-group guard is a window
-    over the EXACT key its merge join shuffles on, so the plan carries
-    the same TWO hash exchanges (one per join side) it had without the
-    guard — a formulation partitioning the window on anything else
-    would add a third shuffle and regress the benched fst_mask."""
+def test_apply_mask_pairing_is_one_fold_exchange(spark):
+    """round-19 lock: apply_mask's pairing is ONE groupBy pair-fold
+    over the pairing key — a single hash exchange, no join, and the
+    masked lineage planned exactly once (the r15 self-join formulation
+    planned the source per join side and cost two window-sorted
+    exchanges plus a sort-merge join)."""
     from fstd2pandas_spark.operators.mask import MASK_GROUP_COLS, apply_mask
     from pyspark.sql import functions as F
 
@@ -270,8 +270,8 @@ def test_apply_mask_guard_rides_the_pairing_exchange(spark):
     shuffles = [ln for ln in plan.splitlines()
                 if "Exchange hashpartitioning" in ln
                 and "ReusedExchange" not in ln]
-    assert len(shuffles) <= 2, shuffles
-    assert "SortMergeJoin" in plan
+    assert len(shuffles) == 1, shuffles
+    assert "SortMergeJoin" not in plan and "Join" not in plan
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata")
