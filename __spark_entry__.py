@@ -98,13 +98,15 @@ def _fix_event_ts_ltz(df: DataFrame) -> DataFrame:
     return df
 
 
-#: process-local cache of INFERRED parquet schemas, keyed by path.
-#: Schema inference launches a footer-reading Spark job (~80-90 ms of
-#: driver latency per spark.read.parquet call — measured r18); supplying
-#: the schema on repeat loads of the same path cuts reader setup ~4x
-#: (122 -> 29 ms). Metadata only — every query still computes from the
-#: parquet data; the first load of each path infers from the real
-#: footers, so the cached schema is identical by construction.
+#: process-local cache of INFERRED parquet schemas, keyed by
+#: (path, mtime_ns). Schema inference launches a footer-reading Spark
+#: job (~80-90 ms of driver latency per spark.read.parquet call —
+#: measured r18); supplying the schema on repeat loads of the same path
+#: cuts reader setup ~4x (122 -> 29 ms). Metadata only — every query
+#: still computes from the parquet data; the first load of each path
+#: infers from the real footers, so the cached schema is identical by
+#: construction, and the mtime token (r19) makes a regenerated dataset
+#: re-infer instead of silently reading with a stale schema.
 _SCHEMA_CACHE: dict = {}
 
 
@@ -115,10 +117,14 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # vectorized reader rejects without the legacy nanos-as-long conf
         # (must be set before schema INFERENCE, i.e. before the first load)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sch = _SCHEMA_CACHE.get(path)
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        key = (path, None)  # let the reader raise its own error
+    sch = _SCHEMA_CACHE.get(key)
     if sch is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[path] = df.schema
+        _SCHEMA_CACHE[key] = df.schema
     else:
         df = spark.read.schema(sch).parquet(path)
     return _fix_event_ts(df) if name == "events" else df

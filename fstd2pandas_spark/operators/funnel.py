@@ -66,14 +66,19 @@ def _funnel_fold(steps: "list[str]", ts_col: str, type_col: str,
     :func:`user_activity_report`. Memoized on its parameters (r18):
     building these Column trees costs ~70 ms of py4j round trips per
     call, and Columns are immutable unresolved expressions — safe to
-    reuse across DataFrames and queries."""
-    return _funnel_fold_cached(tuple(steps), ts_col, type_col, id_col,
-                               within)
+    reuse across DataFrames and queries WITHIN one JVM gateway: the
+    key carries the active SparkContext's identity (r19) so a
+    stop()/relaunch in a long-lived process gets fresh Columns instead
+    of dead py4j references."""
+    from pyspark import SparkContext
+    tok = id(SparkContext._active_spark_context)
+    return _funnel_fold_cached(tok, tuple(steps), ts_col, type_col,
+                               id_col, within)
 
 
 @lru_cache(maxsize=64)
-def _funnel_fold_cached(steps: "tuple[str, ...]", ts_col: str,
-                        type_col: str, id_col: str,
+def _funnel_fold_cached(_session_tok: int, steps: "tuple[str, ...]",
+                        ts_col: str, type_col: str, id_col: str,
                         within: "int | None"):
     if not steps:
         raise ValueError("funnel: need at least one step")

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fstd2pandas_spark.operators.llm.text import (
-    tokens_col, shingles_col, simhash,
+    tokens_col, shingles_col, simhash, sql_ident,
 )
 from fstd2pandas_spark.plans.partitioning import ensure_min_partitions
 
@@ -202,6 +202,15 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a multiple of bands "
             f"({bands}); a ragged banding drops remainder hashes")
+    # the fused SQL no longer routes through minhash_signature, so its
+    # range check must live here too (r19): num_hashes = 0 would
+    # silently return the empty pair set (every band bucket equals the
+    # r = 0 sentinel), and > len(MINHASH_AS) a bare IndexError
+    if not 1 <= num_hashes <= len(MINHASH_AS):
+        raise ValueError(
+            f"num_hashes must be in 1..{len(MINHASH_AS)} (the affine "
+            f"coefficient family width), got {num_hashes} — 0 would "
+            "give every document the identical empty signature")
     r = num_hashes // bands
     # DEGENERATE documents (empty shingle set: fewer than shingle_k
     # tokens, or NULL text) all share the all-sentinel signature, so
@@ -246,7 +255,8 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     src = ensure_min_partitions(df)
     return df.sparkSession.sql(f"""
       WITH _t AS (
-        SELECT {id_col} AS _id, split(lower({text_col}), ' ') AS _tk
+        SELECT {sql_ident(id_col)} AS _id,
+               split(lower({sql_ident(text_col)}), ' ') AS _tk
         FROM {{src}}
       ),
       _h AS (
@@ -854,8 +864,8 @@ def simhash_report_rows(df: DataFrame, text_col: str = "text",
     hamming = "bit_count(a.s ^ b.s)"
     return df.sparkSession.sql(f"""
       WITH _t AS (
-        SELECT {id_col} AS doc_id,
-               transform(split(lower({text_col}), ' '),
+        SELECT {sql_ident(id_col)} AS doc_id,
+               transform(split(lower({sql_ident(text_col)}), ' '),
                  t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)) AS _th
         FROM {{src}}
       ),

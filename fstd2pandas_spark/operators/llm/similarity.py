@@ -29,6 +29,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from fstd2pandas_spark.operators.llm.text import sql_ident
 from fstd2pandas_spark.plans.partitioning import ensure_min_partitions
 
 
@@ -210,6 +211,7 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
     NULL-cos/rank filter still ABOVE the window where cos is a plain
     attribute), so the optimized plan and values are unchanged (A/B
     verified; oracle gate + numpy cross-check pin it)."""
+    id_col, vec_col = sql_ident(id_col), sql_ident(vec_col)
     if query_ids is None:
         qpred = f"{id_col} < {int(n_queries)}"
     else:

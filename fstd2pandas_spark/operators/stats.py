@@ -15,6 +15,8 @@ shuffle: a pure map over records.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -46,8 +48,26 @@ def array_stats_columns(d: "Column | str" = "d",
     census — pinned by test_fststat_array_pass_census — and
     value-identical, pinned by the fst_stats oracle gate and
     test_operators)."""
-    d = d if isinstance(d, str) else d._jc.toString()
-    ni = ni if isinstance(ni, str) else ni._jc.toString()
+    def _as_ident(c, what: str) -> str:
+        # Column back-compat is for bare identifiers ONLY (r19 guard):
+        # a composite expression would be silently re-parsed as SQL
+        # text with potentially different semantics, so reject it.
+        if not isinstance(c, str):
+            try:
+                c = c._jc.toString()
+            except AttributeError:  # e.g. Spark Connect Column
+                raise TypeError(
+                    f"array_stats_columns: pass {what} as a column NAME "
+                    "(str); Column objects are only supported on classic "
+                    "PySpark and only for bare identifiers") from None
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*", c):
+            raise TypeError(
+                f"array_stats_columns: {what}={c!r} is not a bare column "
+                "identifier; pass a plain column name")
+        return c
+
+    d = _as_ident(d, "d")
+    ni = _as_ident(ni, "ni")
     has_nan = f"exists({d}, x -> isnan(cast(x as double)))"
     nan_lit = "cast('NaN' as double)"
     mn = (f"CASE WHEN {has_nan} THEN {nan_lit} "
