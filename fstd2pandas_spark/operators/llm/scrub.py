@@ -48,12 +48,16 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     removes — ``n_email + n_ipv4 + n_phone == 0`` is the "clean
     document" predicate a filter stage keys on.
     """
-    out = df
+    # ONE withColumns batch (r19): the count columns never reference
+    # each other's OUTPUT — the cascade lives in the Python-side `col`
+    # expression — so the chained per-column analysis passes were pure
+    # build latency; plan and values unchanged
+    counts: dict[str, Column] = {}
     col: Column = F.col(text_col)
     for name, pat in PII_PATTERNS.items():
-        out = out.withColumn(f"n_{name}", F.regexp_count(col, F.lit(pat)))
+        counts[f"n_{name}"] = F.regexp_count(col, F.lit(pat))
         col = F.regexp_replace(col, pat, f"<{name.upper()}>")
-    return out
+    return df.withColumns(counts)
 
 
 def redact_pii(df: DataFrame, text_col: str = "text",
@@ -85,15 +89,15 @@ def url_metrics(df: DataFrame, text_col: str = "text",
     a per-row probe; no join, no shuffle.  For multi-million-entry
     lists, broadcast-join a domains table instead.
     """
-    out = (
-        df.withColumn("n_urls",
-                      F.regexp_count(F.col(text_col), F.lit(URL_PATTERN)))
-        .withColumn("first_domain",
-                    F.regexp_extract(F.col(text_col), URL_DOMAIN_PATTERN, 1))
-        .withColumn("all_domains",
-                    F.regexp_extract_all(F.col(text_col),
-                                         F.lit(URL_DOMAIN_PATTERN), 1))
-    )
+    # ONE withColumns batch (r19): independent expressions, one
+    # analysis pass instead of three; plan and values unchanged
+    out = df.withColumns({
+        "n_urls": F.regexp_count(F.col(text_col), F.lit(URL_PATTERN)),
+        "first_domain": F.regexp_extract(F.col(text_col),
+                                         URL_DOMAIN_PATTERN, 1),
+        "all_domains": F.regexp_extract_all(F.col(text_col),
+                                            F.lit(URL_DOMAIN_PATTERN), 1),
+    })
     if blocklist is not None:
         out = out.withColumn(
             "blocked_domain",
